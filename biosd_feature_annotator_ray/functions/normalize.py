@@ -1,0 +1,60 @@
+"""Key / match normalization kernels (SURVEY.md §2 M4, §2.8).
+
+Mirrors the reference's memo-key construction
+(``ExpPropValAnnotation.getPvalText`` — lower, trim, collapse
+whitespace, SURVEY.md §1.1) and ZOOMA's match normalization
+(additionally strip outer punctuation — FIXTURES.md §3.3).
+
+All kernels are pure pyarrow.compute (RE2) — zero Python per row.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r"\s+"
+# Outer punctuation strip for the MEDIUM match tier (FIXTURES.md §3.3
+# tier 4): leading/trailing non-alphanumeric runs.
+_OUTER_PUNCT = r"^[^0-9A-Za-z]+|[^0-9A-Za-z]+$"
+
+KEY_SEP = "|"
+
+
+def norm_array(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
+    """lower(trim(collapse_ws(x))) — the memo-key normalization."""
+    out = pc.utf8_trim_whitespace(arr)
+    out = pc.replace_substring_regex(out, _WS, " ")
+    return pc.utf8_lower(out)
+
+
+def punct_strip_array(arr: pa.ChunkedArray | pa.Array):
+    """Normalized form with outer punctuation removed (match tier 4)."""
+    out = pc.replace_substring_regex(arr, _OUTER_PUNCT, "")
+    return pc.utf8_trim_whitespace(out)
+
+
+def make_key(char_type_norm, value_text) -> pa.ChunkedArray | pa.Array:
+    """key = norm(type) + "|" + norm(value) — the memoization key that
+    replaces the reference's process-global annotation store (§2.3 ST1)."""
+    return pc.binary_join_element_wise(char_type_norm, norm_array(value_text), KEY_SEP)
+
+
+# Python-scalar twins (used in actor state / index build, small data only).
+_ws_re = re.compile(r"\s+")
+_punct_re = re.compile(r"^[^0-9A-Za-z]+|[^0-9A-Za-z]+$")
+
+
+def norm_str(s: str) -> str:
+    return _ws_re.sub(" ", s.strip()).lower()
+
+
+def punct_strip_str(s: str) -> str:
+    return _punct_re.sub("", s).strip()
+
+
+def token_sig(s: str) -> str:
+    """Sorted token multiset signature for the token-set tier (tier 5)."""
+    return " ".join(sorted(_ws_re.split(s.strip()))) if s.strip() else ""

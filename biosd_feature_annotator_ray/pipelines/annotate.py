@@ -1,0 +1,186 @@
+"""The flagship annotation pipeline (SURVEY.md §3.4 lifecycle).
+
+Replaces the reference's per-record orchestrator
+(``PropertyValAnnotationManager.annotate`` + thread-pooled
+``PropertyValAnnotationService`` — SURVEY.md §3.1) with a declarative
+stage chain; the pipeline IS the orchestrator:
+
+    read_parquet(pages)                      S1   streaming blocks
+      → map_batches(extract_text)            M2   stateless tasks
+      → map_batches(detect_mentions)         M3   row-expanding
+      → map_batches(parse_batch)             M4–M9 vectorized kernels
+    [keys branch]
+      → distinct keys (+ unit keys)          A1 map-side combine + bucket shuffle
+      → map_batches(LinkerActor, pool)       ST2/ST4/J1–J3
+      → confidence threshold                 M10
+      → broadcast links (ray.put)            §4.2-4 map-side join back
+    [main branch]
+      → map_batches(AnnotationJoiner, pool)  emit triples
+      → dedup (subj,pred,obj,obj_kind)       A2 bucket shuffle
+      → add part_id = hash(subj) % P         §4.2-3
+      → groupby(part_id) pack + write        A5/S3 checkpointed sink
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..functions.normalize import norm_array
+from ..functions.parsers import parse_batch
+from ..functions.textextract import extract_text
+from ..sources.pages import read_pages
+from ..stages.canonicalize import dedup_exact, distinct_counts
+from ..stages.graph import add_part_id
+from ..stages.linker import LinkerActor, broadcast_dictionaries, filter_confidence
+from ..stages.mentions import DEFAULT_TYPE_VOCAB, detect_mentions
+from ..stages.triples import AnnotationJoiner, unit_key_array
+
+
+@dataclass
+class PipelineSpec:
+    """Declarative stage config (SURVEY.md §2.10 user-extension surface)."""
+
+    batch_size: int = 4096                # pages per batch in the map stages
+    link_batch_size: int = 8192           # distinct keys per linker batch
+    link_concurrency: tuple[int, int] = (1, 8)   # actor pool (min, max)
+    join_concurrency: tuple[int, int] = (1, 8)
+    min_confidence: str = "GOOD"          # M10 threshold
+    n_buckets: int = 32                   # bucket-shuffle width for dedup/distinct
+    salt: int = 1                         # >1 → two-level hot-key reduce
+    num_parts: int = 16                   # graph partitions P (fixed by data scale)
+    max_edges: int = 10_000               # adjacency row cap (hub spill-over)
+    type_vocab: tuple[str, ...] = DEFAULT_TYPE_VOCAB
+    lang: str | None = None               # M11 read-time filter
+
+
+def build_mentions(pages: "ray.data.Dataset", spec: PipelineSpec) -> "ray.data.Dataset":
+    """pages → parsed mention stream (all stateless, zero shuffles)."""
+    vocab = spec.type_vocab
+    return (
+        pages.map_batches(extract_text, batch_format="pyarrow", batch_size=spec.batch_size)
+        .map_batches(
+            lambda t: detect_mentions(t, type_vocab=vocab),
+            batch_format="pyarrow",
+            batch_size=spec.batch_size,
+        )
+        .map_batches(parse_batch, batch_format="pyarrow")
+    )
+
+
+def _keys_of_batch(batch: pa.Table) -> pa.Table:
+    """Local distinct over mention keys + unit keys (map-side combine)."""
+    import pyarrow.compute as pc
+
+    keys = batch.column("key")
+    unit_keys = pc.drop_null(unit_key_array(batch.column("unit_text")))
+    allk = pa.concat_arrays(
+        [keys.combine_chunks(), unit_keys.combine_chunks() if isinstance(unit_keys, pa.ChunkedArray) else unit_keys]
+    )
+    return pa.table({"key": allk.unique()})
+
+
+def compute_links(
+    mentions: "ray.data.Dataset",
+    spec: PipelineSpec,
+    terms_ref=None,
+    curated_ref=None,
+) -> "ray.data.Dataset":
+    """Distinct-key reduction (A1) → linker actor pool → M10 threshold.
+
+    Linking runs ONCE per distinct key globally — strictly stronger than
+    the reference's per-process memo store (SURVEY.md §2.3 ST1)."""
+    if terms_ref is None or curated_ref is None:
+        terms_ref, curated_ref = broadcast_dictionaries()
+    keys = mentions.map_batches(_keys_of_batch, batch_format="pyarrow")
+    distinct = distinct_counts(keys, "key", nb=spec.n_buckets).drop_columns(["count"])
+    linked = distinct.map_batches(
+        LinkerActor,
+        fn_constructor_kwargs={"terms_ref": terms_ref, "curated_ref": curated_ref},
+        batch_format="pyarrow",
+        batch_size=spec.link_batch_size,
+        concurrency=spec.link_concurrency,
+    )
+    return filter_confidence(linked, spec.min_confidence)
+
+
+def dataset_to_table(ds: "ray.data.Dataset", empty_schema: pa.Schema | None = None) -> pa.Table:
+    """Materialize a SMALL dataset to one Arrow table (links, manifests).
+    Never call on the main stream. ``empty_schema`` is the fallback when
+    the dataset produced no blocks at all (e.g. empty input)."""
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows > 0]
+    if not tables:
+        schema = ds.schema(fetch_if_missing=False)
+        if schema is not None:
+            return schema.base_schema.empty_table()
+        if empty_schema is not None:
+            return empty_schema.empty_table()
+        raise ValueError("dataset is empty and no fallback schema was given")
+    return pa.concat_tables(tables, promote_options="permissive")
+
+
+def build_triples(
+    mentions: "ray.data.Dataset",
+    links_table: pa.Table,
+    spec: PipelineSpec,
+) -> "ray.data.Dataset":
+    """Broadcast-back join + emission + exact dedup (A2)."""
+    links_ref = ray.put(links_table)
+    triples = mentions.map_batches(
+        AnnotationJoiner,
+        fn_constructor_kwargs={"links_ref": links_ref},
+        batch_format="pyarrow",
+        batch_size=spec.batch_size,
+        concurrency=spec.join_concurrency,
+    )
+    return dedup_exact(triples, ["subj", "pred", "obj", "obj_kind"], nb=spec.n_buckets)
+
+
+def annotate_pages(
+    pages: "ray.data.Dataset",
+    spec: PipelineSpec | None = None,
+    terms: pa.Table | None = None,
+    curated: pa.Table | None = None,
+) -> "ray.data.Dataset":
+    """pages Dataset → deduped triples Dataset (no sink)."""
+    spec = spec or PipelineSpec()
+    terms_ref, curated_ref = broadcast_dictionaries(terms, curated)
+    from ..schemas import ANNOTATIONS
+
+    mentions = build_mentions(pages, spec)
+    links = compute_links(mentions, spec, terms_ref, curated_ref)
+    links_table = dataset_to_table(links, empty_schema=ANNOTATIONS)
+    return build_triples(mentions, links_table, spec)
+
+
+def run(
+    input_path: str | list[str] | "ray.data.Dataset",
+    out_dir: str,
+    spec: PipelineSpec | None = None,
+    terms: pa.Table | None = None,
+    curated: pa.Table | None = None,
+    resume: bool = True,
+    fail_after_parts: int | None = None,
+) -> pa.Table:
+    """Full checkpointed run: returns the manifest table."""
+    from ..sources.sink import write_graph_checkpointed
+
+    spec = spec or PipelineSpec()
+    pages = (
+        input_path
+        if isinstance(input_path, ray.data.Dataset)
+        else read_pages(input_path, lang=spec.lang)
+    )
+    triples = annotate_pages(pages, spec, terms, curated)
+    num_parts = spec.num_parts
+    with_part = triples.map_batches(
+        lambda t: add_part_id(t, num_parts), batch_format="pyarrow"
+    )
+    return write_graph_checkpointed(
+        with_part, out_dir, resume=resume, fail_after_parts=fail_after_parts
+    )

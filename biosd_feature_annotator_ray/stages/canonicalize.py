@@ -1,0 +1,160 @@
+"""Canonicalization / dedup shuffle machinery (SURVEY.md §2 A1, A2, K1, K4).
+
+The reference memoizes per distinct text key in a process-global store
+(``AnnotatorResources.getStore`` — SURVEY.md §2.3 ST1); distributed, the
+same semantics become a distinct-key reduction + groupby-argmax. These
+operators implement the scalable pattern:
+
+  1. **map-side combine** — local (per-batch) dedup / partial aggregate
+     inside ``map_batches``, which collapses Zipf-skewed hot keys
+     ("Homo sapiens" on 40% of pages) to ≤1 row per key per batch
+     BEFORE anything shuffles;
+  2. **bucket shuffle** — group by ``stable_hash(key) % n_buckets``
+     (optionally × ``salt`` sub-buckets for a two-level reduce), so the
+     shuffle moves int32 bucket ids and the per-group Python cost is
+     per-BUCKET, not per-key;
+  3. **vectorized in-bucket finish** — pandas/Arrow kernels inside each
+     bucket group (drop_duplicates / groupby-sum / sort+first).
+
+All tie-breaks are total orders → results are deterministic regardless
+of block arrival order, so salted and unsalted plans agree (tested).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import hash_columns
+
+_B = "__bucket"
+_S = "__salt"
+_H = "__h"
+
+
+def _add_bucket(batch: pa.Table, cols: list[str], nb: int, salt: int = 0) -> pa.Table:
+    h = hash_columns(batch, cols)
+    out = batch.append_column(_B, pa.array((h % np.uint64(nb)).astype(np.int32)))
+    if salt > 1:
+        # Round-robin sub-bucket: any assignment is valid because the
+        # in-bucket finish is associative; round-robin is deterministic
+        # given block content.
+        out = out.append_column(_S, pa.array((np.arange(len(batch)) % salt).astype(np.int32)))
+    return out
+
+
+def dedup_exact(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+    nb: int = 64,
+    keep_order_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Exact dedup on ``cols`` (SURVEY.md A2). Keeps the row with the
+    smallest ``keep_order_col`` (or an arbitrary-but-deterministic first
+    by the full ``cols`` sort when None)."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        if keep_order_col:
+            df = df.sort_values(keep_order_col, kind="mergesort")
+        df = df.drop_duplicates(subset=cols, keep="first")
+        return _add_bucket(pa.Table.from_pandas(df, preserve_index=False), cols, nb)
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = group.drop_columns([_B]).to_pandas()
+        if keep_order_col:
+            df = df.sort_values(keep_order_col, kind="mergesort")
+        df = df.drop_duplicates(subset=cols, keep="first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def distinct_counts(ds: "ray.data.Dataset", col: str, nb: int = 64) -> "ray.data.Dataset":
+    """Distinct values of ``col`` with exact global counts (A1 key
+    reduction + the K4 hot-key report input). Partial counts per batch,
+    bucket shuffle, vectorized in-bucket sum."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        vc = batch.column(col).to_pandas().value_counts()
+        t = pa.table({col: pa.array(vc.index, type=batch.schema.field(col).type),
+                      "count": pa.array(vc.to_numpy(), pa.int64())})
+        return _add_bucket(t, [col], nb)
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = group.select([col, "count"]).to_pandas()
+        out = df.groupby(col, sort=False, as_index=False)["count"].sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow")
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def groupby_argmax(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_cols: list[str],
+    ascending: list[bool],
+    nb: int = 64,
+    salt: int = 1,
+) -> "ray.data.Dataset":
+    """One best row per key (A1/K1): argmax by a total order
+    (``order_cols`` + ``ascending``; key_cols appended as final
+    tie-break so the order is total → deterministic).
+
+    ``salt > 1`` enables the documented two-level hot-key reduce: first
+    reduce within (bucket, salt) sub-groups, then within buckets —
+    output is identical (tested) because argmax over a total order is
+    associative.
+    """
+    oc = order_cols + [k for k in key_cols if k not in order_cols]
+    asc = ascending + [True] * (len(oc) - len(order_cols))
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(oc, ascending=asc, kind="mergesort")
+        return df.drop_duplicates(subset=key_cols, keep="first")
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = best(batch.to_pandas())
+        return _add_bucket(pa.Table.from_pandas(df, preserve_index=False), key_cols, nb, salt)
+
+    def finish_salted(group: pa.Table) -> pa.Table:
+        df = best(group.drop_columns([_S]).to_pandas())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = best(group.drop_columns([_B]).to_pandas())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(local, batch_format="pyarrow")
+    if salt > 1:
+        out = out.groupby([_B, _S]).map_groups(finish_salted, batch_format="pyarrow")
+    return out.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
+CONFIDENCE_RANK = {"HIGH": 3, "GOOD": 2, "MEDIUM": 1, "LOW": 0}
+
+
+def canonicalize_annotations(ann: "ray.data.Dataset", nb: int = 64, salt: int = 1) -> "ray.data.Dataset":
+    """One annotation per key: best candidate by (confidence rank desc,
+    score desc, term_uri asc) — FIXTURES.md §3.3 tie-break."""
+
+    def add_rank(batch: pa.Table) -> pa.Table:
+        conf = batch.column("confidence").to_pandas().map(CONFIDENCE_RANK).fillna(-1)
+        return batch.append_column("_crank", pa.array(conf.to_numpy(dtype=np.int32)))
+
+    ranked = ann.map_batches(add_rank, batch_format="pyarrow")
+    best = groupby_argmax(
+        ranked, ["key"], ["_crank", "score", "term_uri"], [False, False, True], nb=nb, salt=salt
+    )
+    return best.drop_columns(["_crank"])

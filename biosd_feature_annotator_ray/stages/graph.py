@@ -1,0 +1,74 @@
+"""Adjacency-list graph materialization (SURVEY.md §2 A5, §4.2 step 3).
+
+Triples are hash-partitioned on ``subj`` into P fixed partitions (P is
+a function of DATA size, never cluster size — the checkpoint/lineage
+unit), then each partition is packed into adjacency rows
+``subj, edges: list<struct<pred, obj, obj_kind, score>>`` with a single
+shuffle: ``groupby(part_id).map_groups(pack)`` — the within-partition
+subj grouping is partition-local, vectorized via sorted-run offsets
+(no per-subject Python).
+
+Hub subjects (SURVEY.md §7 risk 5): runs longer than ``max_edges`` are
+split into spill-over rows so a single row can never exceed block
+targets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import hash_strings
+from ..schemas import GRAPH_EDGE
+
+
+def add_part_id(batch: pa.Table, num_parts: int) -> pa.Table:
+    h = hash_strings(batch.column("subj"))
+    return batch.append_column("part_id", pa.array((h % np.uint64(num_parts)).astype(np.int32)))
+
+
+def pack_adjacency(part: pa.Table, max_edges: int = 10_000) -> pa.Table:
+    """One partition of triples → adjacency rows (vectorized)."""
+    if len(part) == 0:
+        return pa.table(
+            {"subj": pa.array([], pa.string()),
+             "edges": pa.array([], pa.list_(GRAPH_EDGE)),
+             "part_id": pa.array([], pa.int32())}
+        )
+    part = part.sort_by([("subj", "ascending"), ("pred", "ascending"), ("obj", "ascending")])
+    subj = part.column("subj").combine_chunks()
+    edges_struct = pa.StructArray.from_arrays(
+        [
+            part.column("pred").combine_chunks(),
+            part.column("obj").combine_chunks(),
+            part.column("obj_kind").combine_chunks(),
+            part.column("score").cast(pa.float32()).combine_chunks(),
+        ],
+        fields=list(GRAPH_EDGE),
+    )
+    # Run boundaries of the sorted subj column.
+    s = subj.to_numpy(zero_copy_only=False)
+    change = np.ones(len(s), dtype=bool)
+    change[1:] = s[1:] != s[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(s))
+    # Split hub runs (> max_edges) into spill-over rows.
+    row_starts: list[np.ndarray] = []
+    row_ends: list[np.ndarray] = []
+    for st, en in zip(starts, ends):
+        if en - st <= max_edges:
+            row_starts.append(np.array([st]))
+            row_ends.append(np.array([en]))
+        else:
+            cuts = np.arange(st, en, max_edges)
+            row_starts.append(cuts)
+            row_ends.append(np.append(cuts[1:], en))
+    rs = np.concatenate(row_starts)
+    re_ = np.concatenate(row_ends)
+    offsets = pa.array(np.append(rs, re_[-1]).astype(np.int32))
+    # ListArray.from_arrays requires contiguous offsets; rs is sorted and
+    # re_[i] == rs[i+1] holds by construction (runs tile the partition).
+    edges = pa.ListArray.from_arrays(offsets, edges_struct)
+    out_subj = subj.take(pa.array(rs))
+    part_id = part.column("part_id").combine_chunks().take(pa.array(rs))
+    return pa.table({"subj": out_subj, "edges": edges, "part_id": part_id})

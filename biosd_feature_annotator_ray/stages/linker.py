@@ -1,0 +1,111 @@
+"""Entity-linking actor pool (SURVEY.md §2 ST2/ST4, J1–J3).
+
+Ray-Data-native replacement for the reference's cached discoverer chain
+(``BioSDCachedOntoTermDiscoverer``: memory cache → DB cache → live
+ZOOMA — SURVEY.md §2.3) and the ZOOMA service itself: a callable class
+for ``map_batches(LinkerActor, concurrency=N)`` whose ``__init__``
+builds the lexical-match index ONCE per actor from broadcast
+(``ray.put``) dictionary tables; ``__call__`` resolves a batch of
+distinct keys with zero RPC.
+
+Input batches carry distinct ``key`` strings ("type|value_norm"); unit
+keys use the reserved type ``(unit)``. Output: ANNOTATIONS rows for
+hits only (misses are dropped; downstream left-joins reattach nulls).
+
+Per-actor hot-key dict cache mirrors the reference's memo store (ST1)
+as an optimization only — global once-per-key semantics are guaranteed
+upstream by the distinct-key reduction.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray
+
+from ..functions.normalize import KEY_SEP
+from ..schemas import ANNOTATIONS
+from ..state.dictionaries import (
+    OntologyIndex,
+    fixture_curated_mappings,
+    fixture_ontology_terms,
+)
+
+UNIT_TYPE = "(unit)"
+
+
+def broadcast_dictionaries(terms: pa.Table | None = None, curated: pa.Table | None = None):
+    """ray.put the dictionary tables ONCE; returns (terms_ref, curated_ref).
+
+    Arrow tables in the object store are read zero-copy by every actor
+    (ST4 broadcast path; the hash-shard path for dictionaries that
+    exceed worker memory would key off actor rank — not needed at
+    fixture scale, documented in SURVEY.md §2.3)."""
+    terms = terms if terms is not None else fixture_ontology_terms()
+    curated = curated if curated is not None else fixture_curated_mappings()
+    return ray.put(terms), ray.put(curated)
+
+
+class LinkerActor:
+    """Stateful map_batches callable: distinct keys → annotation rows."""
+
+    def __init__(self, terms_ref=None, curated_ref=None, cache_size: int = 65536):
+        terms = ray.get(terms_ref) if terms_ref is not None else fixture_ontology_terms()
+        curated = ray.get(curated_ref) if curated_ref is not None else fixture_curated_mappings()
+        self.index = OntologyIndex.build(terms, curated)
+        self.cache: dict[str, tuple | None] = {}
+        self.cache_size = cache_size
+        self.stats = {"keys": 0, "hits": 0, "cache_hits": 0}
+
+    def _resolve(self, key: str):
+        cached = self.cache.get(key, False)
+        if cached is not False:
+            self.stats["cache_hits"] += 1
+            return cached
+        char_type, _, value_norm = key.partition(KEY_SEP)
+        hit = self.index.lookup(char_type, value_norm)
+        if len(self.cache) < self.cache_size:
+            self.cache[key] = hit
+        return hit
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        out_keys, uris, labels, confs, scores, provs = [], [], [], [], [], []
+        for key in keys:
+            self.stats["keys"] += 1
+            hit = self._resolve(key)
+            if hit is None:
+                continue
+            self.stats["hits"] += 1
+            uri, label, conf, score, prov = hit
+            out_keys.append(key)
+            uris.append(uri)
+            labels.append(label)
+            confs.append(conf)
+            scores.append(score)
+            provs.append(prov)
+        return pa.table(
+            {
+                "key": pa.array(out_keys, pa.string()),
+                "term_uri": pa.array(uris, pa.string()),
+                "term_label": pa.array(labels, pa.string()),
+                "confidence": pa.array(confs, pa.string()),
+                "score": pa.array(scores, pa.float32()),
+                "provenance": pa.array(provs, pa.string()),
+            },
+            schema=ANNOTATIONS,
+        )
+
+
+def filter_confidence(ds, min_confidence: str = "GOOD"):
+    """M10 threshold filter: keep candidates at/above a confidence tier
+    (reference default ≥ GOOD — SURVEY.md §2.2 M10)."""
+    import pyarrow.compute as pc
+
+    from .canonicalize import CONFIDENCE_RANK
+
+    keep = [c for c, r in CONFIDENCE_RANK.items() if r >= CONFIDENCE_RANK[min_confidence]]
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("confidence"), value_set=pa.array(keep))),
+        batch_format="pyarrow",
+    )

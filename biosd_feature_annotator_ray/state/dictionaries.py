@@ -1,0 +1,146 @@
+"""Ontology / curated-mapping dictionaries + the lexical-match index.
+
+Replaces the reference's live ZOOMA / OLS services (SURVEY.md §2 S5/S6,
+ST4): the dictionary is built offline into Arrow tables, broadcast once
+via ``ray.put`` (small side) or hash-sharded by actor rank (large
+side), and consulted in-process by the LinkerActor — no RPC on the
+data path.
+
+Fixture content: FIXTURES.md §3.1/§3.2 (the frozen mini-ontology the
+linking conformance corpus is defined against).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+
+from ..functions.normalize import norm_str, punct_strip_str, token_sig
+from ..schemas import CURATED_MAPPINGS, ONTOLOGY_TERMS
+
+OBO = "http://purl.obolibrary.org/obo/"
+EFO = "http://www.ebi.ac.uk/efo/"
+
+# FIXTURES.md §3.1 — (uri, label, synonyms, ontology, is_obsolete)
+FIXTURE_TERMS: list[tuple[str, str, list[str], str, bool]] = [
+    (OBO + "NCBITaxon_9606", "Homo sapiens", ["human", "h. sapiens"], "NCBITaxon", False),
+    (OBO + "NCBITaxon_10090", "Mus musculus", ["mouse", "house mouse"], "NCBITaxon", False),
+    (EFO + "EFO_0000400", "diabetes mellitus", ["diabetes"], "EFO", False),
+    (EFO + "EFO_0001265", "liver", ["hepatic tissue"], "EFO", False),
+    (OBO + "PATO_0000384", "male", ["M"], "PATO", False),
+    (OBO + "PATO_0000383", "female", ["F"], "PATO", False),
+    (OBO + "UO_0000034", "week", ["weeks", "wk"], "UO", False),
+    (OBO + "UO_0000022", "milligram", ["mg"], "UO", False),
+    (OBO + "UO_0000027", "degree Celsius", ["celsius", "°C", "C"], "UO", False),
+    (EFO + "EFO_OBS01", "old term", [], "EFO", True),
+]
+
+# FIXTURES.md §3.2 — curated exact (type, value) tier.
+FIXTURE_CURATED: list[tuple[str, str, str, str]] = [
+    ("organism", "homo sapiens", OBO + "NCBITaxon_9606", "HIGH"),
+    ("disease", "t2d", EFO + "EFO_0000400", "HIGH"),
+]
+
+
+def fixture_ontology_terms() -> pa.Table:
+    uris, labels, syns, onts, obs = zip(*FIXTURE_TERMS)
+    return pa.table(
+        {
+            "term_uri": pa.array(uris, pa.string()),
+            "label": pa.array(labels, pa.string()),
+            "synonyms": pa.array([list(s) for s in syns], pa.list_(pa.string())),
+            "ontology": pa.array(onts, pa.string()),
+            "is_obsolete": pa.array(obs, pa.bool_()),
+        },
+        schema=ONTOLOGY_TERMS,
+    )
+
+
+def fixture_curated_mappings() -> pa.Table:
+    ct, vn, uri, conf = zip(*FIXTURE_CURATED)
+    return pa.table(
+        {
+            "char_type": pa.array(ct, pa.string()),
+            "value_norm": pa.array(vn, pa.string()),
+            "term_uri": pa.array(uri, pa.string()),
+            "confidence": pa.array(conf, pa.string()),
+        },
+        schema=CURATED_MAPPINGS,
+    )
+
+
+@dataclass
+class OntologyIndex:
+    """In-memory lexical-match index (one per LinkerActor, built once).
+
+    Tier maps (FIXTURES.md §3.3): curated exact → label exact →
+    synonym exact → punct-stripped → token-set. Obsolete terms are
+    filtered at build. Values are lists of (term_uri, label) sorted by
+    term_uri asc so tie-breaks are deterministic.
+    """
+
+    curated: dict[tuple[str, str], tuple[str, str, str]] = field(default_factory=dict)
+    label_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
+    syn_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
+    punct_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
+    tokenset_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
+    labels_by_uri: dict[str, str] = field(default_factory=dict)
+
+    @classmethod
+    def build(cls, terms: pa.Table, curated: pa.Table | None = None) -> "OntologyIndex":
+        idx = cls()
+
+        def add(m: dict, k: str, uri: str, label: str) -> None:
+            if k:
+                m.setdefault(k, []).append((uri, label))
+
+        for row in terms.to_pylist():
+            if row["is_obsolete"]:
+                continue  # obsolete terms never win (FIXTURES §3.3)
+            uri, label = row["term_uri"], row["label"]
+            idx.labels_by_uri[uri] = label
+            ln = norm_str(label)
+            add(idx.label_map, ln, uri, label)
+            add(idx.punct_map, punct_strip_str(ln), uri, label)
+            add(idx.tokenset_map, token_sig(ln), uri, label)
+            for syn in row["synonyms"] or []:
+                sn = norm_str(syn)
+                add(idx.syn_map, sn, uri, label)
+                add(idx.punct_map, punct_strip_str(sn), uri, label)
+                add(idx.tokenset_map, token_sig(sn), uri, label)
+        for m in (idx.label_map, idx.syn_map, idx.punct_map, idx.tokenset_map):
+            for k in m:
+                m[k] = sorted(set(m[k]))
+        if curated is not None:
+            for row in curated.to_pylist():
+                uri = row["term_uri"]
+                idx.curated[(norm_str(row["char_type"]), norm_str(row["value_norm"]))] = (
+                    uri,
+                    idx.labels_by_uri.get(uri, uri),
+                    row["confidence"],
+                )
+        return idx
+
+    # ------------------------------------------------------------------
+    def lookup(self, char_type: str, value_norm: str):
+        """Resolve one normalized (type, value) → (uri, label, confidence,
+        score, provenance) or None. Tier order per FIXTURES.md §3.3;
+        ties within a tier broken by (score desc, term_uri asc) — the
+        maps store uri-ascending lists, so [0] is the winner."""
+        hit = self.curated.get((char_type, value_norm))
+        if hit:
+            return (hit[0], hit[1], hit[2], 1.0, "curated")
+        c = self.label_map.get(value_norm)
+        if c:
+            return (c[0][0], c[0][1], "GOOD", 0.9, "label")
+        c = self.syn_map.get(value_norm)
+        if c:
+            return (c[0][0], c[0][1], "GOOD", 0.85, "synonym")
+        c = self.punct_map.get(punct_strip_str(value_norm))
+        if c:
+            return (c[0][0], c[0][1], "MEDIUM", 0.7, "punct")
+        c = self.tokenset_map.get(token_sig(value_norm))
+        if c:
+            return (c[0][0], c[0][1], "MEDIUM", 0.65, "tokenset")
+        return None

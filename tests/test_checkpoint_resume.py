@@ -1,0 +1,78 @@
+"""Checkpoint / resume / purge (SURVEY.md §4.3, §5.2 item 5):
+kill after partial write → rerun → identical final output, no dups."""
+
+from __future__ import annotations
+
+import shutil
+import time
+
+import pandas as pd
+import pytest
+
+import ray.data as rd
+
+from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, run
+from biosd_feature_annotator_ray.sources.sink import (
+    completed_partitions,
+    purge,
+    read_graph,
+    read_triples,
+)
+from biosd_feature_annotator_ray.synth import gen_pages
+
+SPEC = PipelineSpec(n_buckets=8, num_parts=8)
+KEY = ["subj", "pred", "obj", "obj_kind"]
+
+
+def _pages():
+    return rd.from_arrow(gen_pages(300))
+
+
+def _triples_df(out):
+    return read_triples(out).to_pandas().sort_values(KEY).reset_index(drop=True)
+
+
+def test_clean_then_resume_identical(ray_session, tmp_path):
+    clean, crashed = str(tmp_path / "clean"), str(tmp_path / "crashed")
+    run(_pages(), clean, SPEC)
+    assert len(completed_partitions(clean)) == 8
+
+    # Crashed run: inject failure after 1 partition per worker.
+    with pytest.raises(Exception):
+        run(_pages(), crashed, SPEC, fail_after_parts=1)
+    done_partial = completed_partitions(crashed)
+    assert 0 < len(done_partial) < 8  # partial state on disk
+
+    # Resume completes the remaining partitions only.
+    manifest = run(_pages(), crashed, SPEC)
+    assert len(completed_partitions(crashed)) == 8
+    assert manifest.num_rows == 8 - len(done_partial)
+
+    pd.testing.assert_frame_equal(_triples_df(clean), _triples_df(crashed))
+
+
+def test_rerun_is_noop(ray_session, tmp_path):
+    out = str(tmp_path / "o")
+    run(_pages(), out, SPEC)
+    before = _triples_df(out)
+    manifest = run(_pages(), out, SPEC)
+    assert manifest.num_rows == 0  # everything pruned at the read
+    pd.testing.assert_frame_equal(before, _triples_df(out))
+
+
+def test_graph_partitions_readable(ray_session, tmp_path):
+    out = str(tmp_path / "g")
+    run(_pages(), out, SPEC)
+    g = read_graph(out).to_pandas()
+    assert g.edges.map(len).sum() == len(_triples_df(out))
+    # adjacency rows are unique per subj (no hub at this scale)
+    assert g.subj.is_unique
+
+
+def test_purge(ray_session, tmp_path):
+    out = str(tmp_path / "p")
+    run(_pages(), out, SPEC)
+    removed = purge(out, older_than_ts=time.time() + 1)
+    assert removed == sorted(range(8))
+    assert completed_partitions(out) == {}
+    shutil.rmtree(out)

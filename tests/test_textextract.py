@@ -1,0 +1,41 @@
+"""Byte-identity invariant + deterministic html→text rule (M2)."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from biosd_feature_annotator_ray.functions.textextract import extract_text, html_to_text
+from biosd_feature_annotator_ray.synth import gen_pages
+
+
+def test_passthrough_byte_identical():
+    """text non-null → passes through UNTOUCHED even when html present."""
+    pages = gen_pages(100)
+    out = extract_text(pages)
+    orig = pages.column("text").to_pylist()
+    new = out.column("text").to_pylist()
+    for o, n in zip(orig, new):
+        if o is not None:
+            assert n == o  # byte identity
+
+
+def test_html_only_rows_filled_deterministically():
+    pages = gen_pages(100)
+    out1 = extract_text(pages)
+    out2 = extract_text(pages)
+    assert out1.column("text").to_pylist() == out2.column("text").to_pylist()
+    assert out1.column("text").null_count == 0
+    # synth html wraps the text → extraction must reproduce it exactly
+    for i, (t, h) in enumerate(zip(pages.column("text").to_pylist(), pages.column("html").to_pylist())):
+        if t is None:
+            body = h[len(b"<html><body>"):-len(b"</body></html>")].decode()
+            assert out1.column("text")[i].as_py() == body
+
+
+def test_html_rule_details():
+    assert html_to_text(b"<p>a</p><p>b</p>") == "a\nb"
+    assert html_to_text(b"<script>var x=1;</script>hello <b>world</b>") == "hello world"
+    assert html_to_text(b"a &amp; b &lt;tag&gt;") == "a & b <tag>"
+    assert html_to_text(b"line1<br>line2") == "line1\nline2"
+    assert html_to_text(b"  spaced   out  ") == "spaced out"
+    assert html_to_text(b"\xff\xfeinvalid") == "��invalid"  # errors=replace
