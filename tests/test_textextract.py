@@ -25,11 +25,20 @@ def test_html_only_rows_filled_deterministically():
     out2 = extract_text(pages)
     assert out1.column("text").to_pylist() == out2.column("text").to_pylist()
     assert out1.column("text").null_count == 0
-    # synth html wraps the text → extraction must reproduce it exactly
+    # synth html wraps the text → extraction reproduces it modulo the
+    # rule's per-line whitespace collapse (the byte-identity invariant
+    # applies to the text-PASSTHROUGH path; html derivation is "the
+    # fixed rule", which collapses space runs).
+    import re
+
+    def expect(body: str) -> str:
+        lines = [re.sub(r"[ \t]+", " ", ln).strip() for ln in body.split("\n")]
+        return "\n".join(ln for ln in lines if ln)
+
     for i, (t, h) in enumerate(zip(pages.column("text").to_pylist(), pages.column("html").to_pylist())):
         if t is None:
             body = h[len(b"<html><body>"):-len(b"</body></html>")].decode()
-            assert out1.column("text")[i].as_py() == body
+            assert out1.column("text")[i].as_py() == expect(body)
 
 
 def test_html_rule_details():
