@@ -1,0 +1,432 @@
+"""Driver-harness queries (SURVEY.md §5.2 item 4, FIXTURES.md §6).
+
+One entry per implemented operator from SURVEY.md §2 + the
+training-data additions, each over the driver testdata tables with a
+DuckDB oracle twin in ORACLES (column names match EXACTLY — the driver
+sorts columns by name before value-hashing). Non-SQL-expressible ops
+(LSH dedup, seeded sampling, model-ish scoring, the full annotation
+pipeline on synthetic pages) have no oracle → driver records the
+weaker rows-only check.
+
+Ray is initialised by the CALLER — nothing here calls ray.init.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from ..stages.canonicalize import dedup_exact, distinct_counts, groupby_argmax
+from ..stages import textstats
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _events(sf_dir: str, columns=None):
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# A3 count
+def q_count_documents(sf_dir: str):
+    n = _docs(sf_dir, ["doc_id"]).count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+# M11/S2 read-time filter (predicate pushdown)
+def q_filter_lang_en(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"],
+        filter=pads.field("lang") == "en",
+    )
+    return ds.select_columns(["doc_id"])
+
+
+# M4 key normalization (pure Arrow kernels)
+def q_normalize_text(sf_dir: str):
+    from ..functions.normalize import norm_array
+
+    def f(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "norm_text": norm_array(batch.column("text"))})
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(f, batch_format="pyarrow")
+
+
+# M5-style regex extraction (vectorized extract_regex + cast)
+def q_extract_json_k(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(batch.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        return pa.table({"event_id": batch.column("event_id"), "k": k})
+
+    return _events(sf_dir, ["event_id", "props"]).map_batches(f, batch_format="pyarrow")
+
+
+# Text analysis: token counting
+def q_token_counts(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.token_count, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens"])
+    )
+
+
+# A1/K1 canonicalization analog: best row per key by a total order
+def q_canonicalize_events(sf_dir: str):
+    best = groupby_argmax(
+        _events(sf_dir, ["user_id", "event_id", "value"]),
+        ["user_id"], ["value", "event_id"], [False, True], nb=16,
+    )
+    return best.select_columns(["user_id", "event_id", "value"])
+
+
+# A2 exact dedup (hash-partition + per-group first)
+def q_dedup_docs(sf_dir: str):
+    out = dedup_exact(_docs(sf_dir, ["doc_id", "text"]), ["text"], nb=16,
+                      keep_order_col="doc_id")
+    return out.select_columns(["doc_id"])
+
+
+# §2.7 distinct
+def q_distinct_event_types(sf_dir: str):
+    return distinct_counts(_events(sf_dir, ["event_type"]), "event_type", nb=8).select_columns(
+        ["event_type"]
+    )
+
+
+# K4 top-k frequent (hot-key report)
+def q_topk_event_types(sf_dir: str):
+    counts = distinct_counts(_events(sf_dir, ["event_type"]), "event_type", nb=8)
+    t = counts.to_pandas().rename(columns={"count": "n"})
+    t = t.sort_values(["n", "event_type"], ascending=[False, True]).head(5)
+    return pa.Table.from_pandas(t.reset_index(drop=True), preserve_index=False)
+
+
+# A4 + pre-aggregate pattern (map-side combine before the groupby)
+def q_lineitem_agg(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"), sum_price=("l_extendedprice", "sum"),
+            n=("l_quantity", "size"),
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                   Sum("sum_price", alias_name="sum_price"),
+                   Sum("n", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df["sum_qty"] = df["sum_qty"].round(2)
+    df["sum_price"] = df["sum_price"].round(2)
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# J1/J2 broadcast hash join (dimension side via ray.put, no shuffle)
+def q_revenue_per_nation(sf_dir: str):
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk2name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
+    cust2nation = {
+        c: nk2name[nk]
+        for c, nk in zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
+    }
+    ref = ray.put(cust2nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        df = batch.to_pandas()
+        df["nation"] = df["o_custkey"].map(lut)
+        g = df.groupby("nation", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("nation")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df["n_orders"] = df["n_orders"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# J4-style broadcast anti join (docs whose id has no label-0 embedding —
+# chosen so the result is non-empty at every sf; every customer has
+# orders in this testdata, which would make that variant empty)
+def q_docs_without_label0_vec(sf_dir: str):
+    keys_tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+                             filters=[("label", "=", 0)])
+    have = pa.array(sorted(set(keys_tbl.column("vec_id").to_pylist())), pa.int64())
+    ref = ray.put(have)
+
+    def f(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        return batch.filter(pc.invert(pc.is_in(batch.column("doc_id"), value_set=keys)))
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(f, batch_format="pyarrow")
+
+
+# K2 sort + limit
+def q_top_orders(sf_dir: str):
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+# Streaming-shaped: tumbling 1h window per event_type (§2.9 analog)
+def q_window_events(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        ws = pc.floor_temporal(batch.column("ts"), unit="hour")
+        t = pa.table({"event_type": batch.column("event_type"), "window_start": ws,
+                      "value": batch.column("value")})
+        df = t.to_pandas()
+        g = df.groupby(["event_type", "window_start"], as_index=False).agg(
+            sum_value=("value", "sum"), n=("value", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _events(sf_dir, ["event_type", "ts", "value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
+    )
+    df = agg.to_pandas()
+    df["sum_value"] = df["sum_value"].round(2)
+    df["n"] = df["n"].astype("int64")
+    df["window_start"] = df["window_start"].astype("datetime64[us]")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Similarity search: exact brute-force cosine top-k
+def q_knn_cosine(sf_dir: str):
+    from ..stages.similarity import knn_brute_force
+
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                            filters=[("vec_id", "<", 5)])
+    out = knn_brute_force(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        queries, k=10,
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (non-SQL-expressible; driver does rows/schema check)
+def q_annotate_triples(sf_dir: str):
+    """Flagship KG pipeline over deterministic synthetic pages (the
+    testdata documents contain no characteristic mentions)."""
+    from ..pipelines.annotate import PipelineSpec, annotate_pages
+    from ..synth import gen_pages
+
+    pages = rd.from_arrow(gen_pages(2000))
+    return annotate_pages(pages, PipelineSpec(n_buckets=16))
+
+
+def q_curate_documents(sf_dir: str):
+    """Training-data curation flagship over the documents table:
+    quality scoring + language-ID + fingerprint + exact-dup marker in
+    one streamed pass (stateless kernels + one bucket shuffle)."""
+    enriched = (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(textstats.quality_features, batch_format="pyarrow")
+        .map_batches(textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(textstats.fingerprint, batch_format="pyarrow")
+    )
+    keep = dedup_exact(enriched, ["content_hash"], nb=16, keep_order_col="doc_id")
+    return keep.select_columns(
+        ["doc_id", "lang", "lang_pred", "quality_score", "fingerprint", "content_hash"]
+    )
+
+
+def q_minhash_near_dups(sf_dir: str):
+    from ..stages.dedup import minhash_near_dups
+
+    return minhash_near_dups(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash_near_dups(sf_dir: str):
+    from ..stages.dedup import simhash_near_dups
+
+    return simhash_near_dups(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+def q_embedding_near_dups(sf_dir: str):
+    """Random testdata vectors have no near-dups, so plant exact copies
+    (vec_id + 1_000_000) — the operator must recover exactly those
+    planted pairs at threshold 0.99."""
+    from ..stages.dedup import embedding_near_dups
+
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    planted = base.slice(0, 50).set_column(
+        0, "vec_id", pc.add(base.slice(0, 50).column("vec_id"), 1_000_000)
+    )
+    vecs = rd.from_arrow(pa.concat_tables([base, planted]))
+    return embedding_near_dups(vecs, dim=64, threshold=0.99)
+
+
+def q_knn_ivf(sf_dir: str):
+    from ..stages.similarity import knn_ivf
+
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                            filters=[("vec_id", "<", 5)])
+    out = knn_ivf(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        queries, k=10, n_centroids=16, nprobe=4,
+    )
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_langid(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "lang_pred"])
+    )
+
+
+def q_quality(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.quality_features, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_tokens_q", "stopword_ratio", "quality_score"])
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.fingerprint, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint", "content_hash"])
+    )
+
+
+def q_sample_seeded(sf_dir: str):
+    # K3 random quota — seeded for determinism within a session
+    return _docs(sf_dir, ["doc_id"]).random_sample(0.1, seed=42)
+
+
+def q_multimodal_image(sf_dir: str):
+    from ..stages.multimodal import ImageDecodeStage, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(256))
+    return media.map_batches(
+        ImageDecodeStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+
+# ---------------------------------------------------------------------------
+QUERIES = {
+    "count_documents": q_count_documents,
+    "filter_lang_en": q_filter_lang_en,
+    "normalize_text": q_normalize_text,
+    "extract_json_k": q_extract_json_k,
+    "token_counts": q_token_counts,
+    "canonicalize_events": q_canonicalize_events,
+    "dedup_docs": q_dedup_docs,
+    "distinct_event_types": q_distinct_event_types,
+    "topk_event_types": q_topk_event_types,
+    "lineitem_agg": q_lineitem_agg,
+    "revenue_per_nation": q_revenue_per_nation,
+    "anti_join_docs": q_docs_without_label0_vec,
+    "top_orders": q_top_orders,
+    "window_events": q_window_events,
+    "knn_cosine": q_knn_cosine,
+    # rows-only
+    "annotate_triples": q_annotate_triples,
+    "curate_documents": q_curate_documents,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "embedding_near_dups": q_embedding_near_dups,
+    "knn_ivf": q_knn_ivf,
+    "langid": q_langid,
+    "quality": q_quality,
+    "fingerprint": q_fingerprint,
+    "sample_seeded": q_sample_seeded,
+    "multimodal_image": q_multimodal_image,
+}
+
+ORACLES = {
+    "count_documents": "SELECT count(*) AS n FROM documents",
+    "filter_lang_en": "SELECT doc_id FROM documents WHERE lang = 'en'",
+    "normalize_text": (
+        "SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS norm_text "
+        "FROM documents"
+    ),
+    "extract_json_k": (
+        "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k "
+        "FROM events"
+    ),
+    "token_counts": (
+        "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens FROM documents"
+    ),
+    "canonicalize_events": (
+        "SELECT user_id, event_id, value FROM ("
+        " SELECT user_id, event_id, value,"
+        "        row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn"
+        " FROM events) WHERE rn = 1"
+    ),
+    "dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",
+    "distinct_event_types": "SELECT DISTINCT event_type FROM events",
+    "topk_event_types": (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type "
+        "ORDER BY n DESC, event_type LIMIT 5"
+    ),
+    "lineitem_agg": (
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,"
+        " round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n"
+        " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    ),
+    "revenue_per_nation": (
+        "SELECT n.n_name AS nation, round(sum(o.o_totalprice), 2) AS revenue,"
+        " count(*) AS n_orders"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "anti_join_docs": (
+        "SELECT doc_id FROM documents WHERE doc_id NOT IN "
+        "(SELECT vec_id FROM embeddings WHERE label = 0)"
+    ),
+    "top_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+    ),
+    "window_events": (
+        "SELECT event_type, date_trunc('hour', ts) AS window_start,"
+        " round(sum(value), 2) AS sum_value, count(*) AS n"
+        " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "knn_cosine": (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),"
+        " s AS (SELECT q.query_id, e.vec_id,"
+        "        list_cosine_similarity(q.qe, e.embedding) AS sim"
+        "       FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)"
+        " SELECT query_id, vec_id, rn AS rank FROM ("
+        "   SELECT query_id, vec_id,"
+        "          row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn"
+        "   FROM s) WHERE rn <= 10"
+    ),
+}

@@ -1,0 +1,321 @@
+"""Near-duplicate detection for training-data pipelines (graft-added).
+
+Exact dedup lives in ``canonicalize.dedup_exact`` (hash-partition +
+per-group first). This module adds the approximate family, each as the
+canonical Ray Data shape:
+
+  signatures (map_batches, vectorized numpy)
+    → explode to (band/block, bucket_hash, doc_id, payload) rows
+    → bucket-shuffle groupby → within-bucket candidate pairs
+    → verify (signature similarity / hamming / exact Jaccard)
+    → dedup pairs across bands (dedup_exact)
+
+Partitioning assumption (documented per SURVEY.md guidance): bucket
+groups are small (LSH is designed so collisions are rare); a
+pathological bucket is capped at ``max_bucket`` members with a log
+note rather than O(n²) blowup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .canonicalize import dedup_exact
+from .textstats import rolling_shingle_hashes
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _minhash_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, 1 << 61, size=num_perm, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, 1 << 61, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm,) uint64 minhash of a shingle-hash set (vectorized)."""
+    if len(shingles) == 0:
+        return np.full(len(a), np.iinfo(np.uint64).max, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # (num_perm, n_shingles) universal hash; min over shingles.
+        m = (np.outer(a, shingles) + b[:, None]) % _MERSENNE
+    return m.min(axis=1)
+
+
+class MinHashSignatures:
+    """map_batches stage: text → (doc_id, band rows).
+
+    Emits one row per (doc, band): band_key = hash of the band slice of
+    the signature; carries the full signature bytes for the verify step
+    (est. Jaccard = fraction of equal signature slots)."""
+
+    def __init__(self, num_perm: int = 128, bands: int = 16, ngram: int = 3, seed: int = 42,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        assert num_perm % bands == 0
+        self.a, self.b = _minhash_params(num_perm, seed)
+        self.num_perm, self.bands, self.ngram = num_perm, bands, ngram
+        self.rows_per_band = num_perm // bands
+        self.id_col, self.text_col = id_col, text_col
+
+    def _sig_bytes(self, sigs: np.ndarray, n: int) -> list[bytes]:
+        allb = sigs.tobytes()
+        per = self.num_perm * 8
+        return [allb[i * per:(i + 1) * per] for i in range(n) for _ in range(self.bands)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pandas().fillna("")
+        n = len(ids)
+        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for i, t in enumerate(texts):
+                sh = np.unique(rolling_shingle_hashes(t.split(), self.ngram))
+                sigs[i] = minhash_signature(sh, self.a, self.b)
+        # band keys: stable hash of each band slice
+        band_view = sigs.reshape(n, self.bands, self.rows_per_band)
+        with np.errstate(over="ignore"):
+            bk = band_view[:, :, 0].copy()
+            for j in range(1, self.rows_per_band):
+                bk = bk * np.uint64(1099511628211) + band_view[:, :, j]
+        doc_rep = np.repeat(ids, self.bands)
+        band_id = np.tile(np.arange(self.bands, dtype=np.int32), n)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "band_id": pa.array(band_id),
+                "band_key": pa.array(bk.reshape(-1).view(np.int64)),
+                "sig": pa.array(self._sig_bytes(sigs, n), pa.binary()),
+            }
+        )
+
+
+def _pairs_from_buckets(group_cols: list[str], sim_fn, threshold: float, max_bucket: int = 64):
+    """Build the within-bucket pairing finish fn (vectorized run-scan)."""
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().sort_values(group_cols + ["doc_id"], kind="mergesort")
+        keys = df[group_cols].astype(str).agg("|".join, axis=1).to_numpy()
+        change = np.ones(len(df), dtype=bool)
+        change[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], len(df))
+        ia, ib, sims = [], [], []
+        ids = df["doc_id"].to_numpy()
+        payload = df["sig"].to_numpy() if "sig" in df else None
+        for st, en in zip(starts, ends):
+            m = min(en - st, max_bucket)
+            for x in range(st, st + m):
+                for y in range(x + 1, st + m):
+                    if ids[x] == ids[y]:
+                        continue
+                    s = sim_fn(payload[x], payload[y]) if payload is not None else 1.0
+                    if s >= threshold:
+                        lo, hi = sorted((ids[x], ids[y]))
+                        ia.append(lo); ib.append(hi); sims.append(s)
+        return pa.table(
+            {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
+             "similarity": pa.array(np.round(sims, 6), pa.float64())}
+        )
+
+    return finish
+
+
+def _sig_similarity(sa: bytes, sb: bytes) -> float:
+    a = np.frombuffer(sa, dtype=np.uint64)
+    b = np.frombuffer(sb, dtype=np.uint64)
+    return float((a == b).mean())
+
+
+def minhash_near_dups(
+    docs: "ray.data.Dataset",
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 16,
+    ngram: int = 3,
+    nb: int = 32,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """MinHash+LSH near-dup pairs: (id_a, id_b, similarity≈Jaccard)."""
+    band_rows = docs.map_batches(
+        MinHashSignatures,
+        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = (
+        band_rows.groupby(["band_id", "band_key"])
+        .map_groups(
+            _pairs_from_buckets(["band_id", "band_key"], _sig_similarity, threshold),
+            batch_format="pyarrow",
+        )
+    )
+    return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
+
+
+# ---------------------------------------------------------------------------
+class SimHashSignatures:
+    """64-bit SimHash per doc + 4×16-bit block rows (pigeonhole: any
+    pair with hamming ≤ 3 shares at least one identical block)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col, self.text_col = id_col, text_col
+        self.bit_w = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
+
+    def simhash(self, tokens: list[str]) -> np.uint64:
+        if not tokens:
+            return np.uint64(0)
+        th = pd.util.hash_pandas_object(pd.Series(tokens), index=False).to_numpy()
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        return np.uint64(((votes > 0).astype(np.uint64) * self.bit_w).sum(dtype=np.uint64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(self.text_col).to_pandas().fillna("")
+        with np.errstate(over="ignore"):
+            sh = np.array([self.simhash(t.split()) for t in texts], dtype=np.uint64)
+        n = len(ids)
+        blocks = np.empty((n, 4), dtype=np.uint64)
+        for b in range(4):
+            blocks[:, b] = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, 4)),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_key": pa.array(blocks.reshape(-1).view(np.int64)),
+                "sig": pa.array([sh[i].tobytes() for i in range(n) for _ in range(4)], pa.binary()),
+            }
+        )
+
+
+def _hamming_sim(sa: bytes, sb: bytes) -> float:
+    a = np.frombuffer(sa, dtype=np.uint64)[0]
+    b = np.frombuffer(sb, dtype=np.uint64)[0]
+    return 1.0 - bin(int(a) ^ int(b)).count("1") / 64.0
+
+
+def simhash_near_dups(
+    docs: "ray.data.Dataset", max_hamming: int = 3, nb: int = 32, concurrency=(1, 8)
+) -> "ray.data.Dataset":
+    """SimHash near-dup pairs (hamming distance ≤ max_hamming)."""
+    threshold = 1.0 - max_hamming / 64.0 - 1e-9
+    rows = docs.map_batches(SimHashSignatures, batch_format="pyarrow", concurrency=concurrency)
+    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
+        _pairs_from_buckets(["band_id", "band_key"], _hamming_sim, threshold),
+        batch_format="pyarrow",
+    )
+    return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
+
+
+# ---------------------------------------------------------------------------
+def ngram_jaccard_verify(
+    docs: "ray.data.Dataset",
+    candidate_pairs: pa.Table,
+    ngram: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> pa.Table:
+    """Exact n-gram Jaccard for candidate pairs.
+
+    The shingle sets of the candidate doc ids are collected driver-side
+    (candidates ≪ corpus); at full scale this step becomes a bucketed
+    hash join of pairs against shingle sets on doc_id (documented
+    fallback, same shape as SURVEY.md §4.2-4)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    needed = set(candidate_pairs.column("id_a").to_pylist()) | set(
+        candidate_pairs.column("id_b").to_pylist()
+    )
+    needed_arr = pa.array(sorted(needed), pa.int64())
+
+    def shingles_of(batch: pa.Table) -> pa.Table:
+        sel = pc.is_in(batch.column(id_col), value_set=needed_arr)
+        b = batch.filter(sel)
+        ids = b.column(id_col).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        sets = []
+        with np.errstate(over="ignore"):
+            for t in texts:
+                sets.append(np.unique(rolling_shingle_hashes((t or "").split(), ngram)).view(np.int64))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.int64()))})
+
+    tbl = docs.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
+    lut = {r.doc_id: set(r.shingles) for r in tbl.itertuples()}
+    ja = []
+    for a, b in zip(candidate_pairs.column("id_a").to_pylist(), candidate_pairs.column("id_b").to_pylist()):
+        sa, sb = lut.get(a, set()), lut.get(b, set())
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        ja.append(inter / union if union else 0.0)
+    return candidate_pairs.set_column(
+        candidate_pairs.schema.get_field_index("similarity"), "similarity",
+        pa.array(np.round(ja, 6), pa.float64()),
+    )
+
+
+# ---------------------------------------------------------------------------
+class CosineLSHSignatures:
+    """Random-hyperplane LSH for embedding near-dup: T tables × B bits."""
+
+    def __init__(self, dim: int, tables: int = 4, bits: int = 16, seed: int = 42,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((tables, bits, dim)).astype(np.float32)
+        self.tables, self.bits = tables, bits
+        self.id_col, self.vec_col = id_col, vec_col
+        self.bit_w = (1 << np.arange(bits)).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        V = np.stack(batch.column(self.vec_col).to_pandas().to_numpy())
+        Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        n = len(ids)
+        keys = np.empty((n, self.tables), dtype=np.int64)
+        for t in range(self.tables):
+            proj = Vn @ self.planes[t].T  # (n, bits)
+            keys[:, t] = ((proj > 0).astype(np.int64) * self.bit_w).sum(axis=1)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, self.tables).astype(np.int64)),
+                "band_id": pa.array(np.tile(np.arange(self.tables, dtype=np.int32), n)),
+                "band_key": pa.array(keys.reshape(-1)),
+                "sig": pa.array([Vn[i].astype(np.float32).tobytes() for i in range(n) for _ in range(self.tables)], pa.binary()),
+            }
+        )
+
+
+def _cosine_sim(sa: bytes, sb: bytes) -> float:
+    a = np.frombuffer(sa, dtype=np.float32)
+    b = np.frombuffer(sb, dtype=np.float32)
+    return float(np.dot(a, b))
+
+
+def embedding_near_dups(
+    vecs: "ray.data.Dataset",
+    dim: int,
+    threshold: float = 0.9,
+    tables: int = 8,
+    bits: int = 12,
+    nb: int = 32,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs via random-hyperplane LSH."""
+    rows = vecs.map_batches(
+        CosineLSHSignatures,
+        fn_constructor_kwargs={"dim": dim, "tables": tables, "bits": bits},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
+        _pairs_from_buckets(["band_id", "band_key"], _cosine_sim, threshold),
+        batch_format="pyarrow",
+    )
+    return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)

@@ -1,0 +1,168 @@
+"""Approximate-nearest-neighbor similarity search over an embedding
+column (graft-added training-data op).
+
+Baseline: brute-force cosine top-k — numpy matmul per batch against a
+broadcast query matrix (``ray.put`` once, zero-copy per actor), local
+top-k per batch, then a bucket-shuffle global top-k per query. Scale
+path: IVF — seeded k-means-ish centroids (built from a driver-side
+sample), vectors partitioned by nearest centroid, queries probe only
+the ``nprobe`` nearest partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _stack(col) -> np.ndarray:
+    return np.stack(col.to_pandas().to_numpy()).astype(np.float64)
+
+
+def _normalize(V: np.ndarray) -> np.ndarray:
+    return V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+
+
+class BatchTopK:
+    """map_batches stage: per-batch cosine top-k vs broadcast queries."""
+
+    def __init__(self, queries_ref, k: int, id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_self: bool = True):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, tuple) else queries_ref
+        self.qids, self.Q = q  # (m,), (m, dim) normalized
+        self.k, self.id_col, self.vec_col = k, id_col, vec_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
+        V = _normalize(_stack(batch.column(self.vec_col)))
+        S = self.Q @ V.T  # (m, n)
+        if self.exclude_self:
+            same = self.qids[:, None] == ids[None, :]
+            S[same] = -np.inf
+        k = min(self.k, S.shape[1])
+        idx = np.argpartition(-S, kth=k - 1, axis=1)[:, :k]
+        rows_q = np.repeat(self.qids, k)
+        cand = ids[idx.reshape(-1)]
+        sim = np.take_along_axis(S, idx, axis=1).reshape(-1)
+        keep = np.isfinite(sim)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q[keep].astype(np.int64)),
+                "vec_id": pa.array(cand[keep].astype(np.int64)),
+                "sim": pa.array(sim[keep], pa.float64()),
+            }
+        )
+
+
+def _global_topk(cands: "ray.data.Dataset", k: int, nb: int = 16) -> "ray.data.Dataset":
+    """Bucket shuffle on query_id, vectorized per-query head-k."""
+    from .canonicalize import _add_bucket, _B
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["query_id"], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
+                            kind="mergesort")
+        df = df.groupby("query_id", sort=False).head(k)
+        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return cands.map_batches(local, batch_format="pyarrow").groupby(_B).map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+def knn_brute_force(
+    vecs: "ray.data.Dataset",
+    queries: pa.Table,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Exact cosine top-k for each query row → (query_id, vec_id, sim, rank)."""
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _normalize(_stack(queries.column(vec_col)))
+    qref = ray.put((qids, Q))
+    cands = vecs.map_batches(
+        BatchTopK,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k, "id_col": id_col,
+                               "vec_col": vec_col, "exclude_self": exclude_self},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return _global_topk(cands, k)
+
+
+# ---------------------------------------------------------------------------
+def build_centroids(vecs: "ray.data.Dataset", n_centroids: int, vec_col: str = "embedding",
+                    sample_rows: int = 4096, iters: int = 5, seed: int = 42) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (the IVF codebook).
+    Deterministic: fixed seed, fixed iteration count."""
+    sample = _normalize(_stack(pa.Table.from_pandas(
+        vecs.limit(sample_rows).to_pandas()).column(vec_col)))
+    rng = np.random.default_rng(seed)
+    C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
+    for _ in range(iters):
+        assign = (sample @ C.T).argmax(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = sample[m].mean(axis=0)
+        C = _normalize(C)
+    return C
+
+
+def knn_ivf(
+    vecs: "ray.data.Dataset",
+    queries: pa.Table,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """IVF-style ANN: only vectors whose nearest centroid is among the
+    query's ``nprobe`` nearest centroids are scored (the 100-TB scale
+    path — prunes the scan to nprobe/n_centroids of the corpus)."""
+    C = build_centroids(vecs, n_centroids, vec_col)
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _normalize(_stack(queries.column(vec_col)))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (m, nprobe)
+    qref = ray.put((qids, Q, C, probe))
+
+    class IVFTopK:
+        def __init__(self):
+            self.qids, self.Q, self.C, self.probe = ray.get(qref)
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            V = _normalize(_stack(batch.column(vec_col)))
+            v_cent = (V @ self.C.T).argmax(axis=1)  # (n,)
+            S = self.Q @ V.T
+            # mask: vector's centroid must be in the query's probe list
+            allowed = (v_cent[None, :, None] == self.probe[:, None, :]).any(axis=2)
+            S[~allowed] = -np.inf
+            S[self.qids[:, None] == ids[None, :]] = -np.inf
+            kk = min(self.k, S.shape[1])
+            idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+            rows_q = np.repeat(self.qids, kk)
+            cand = ids[idx.reshape(-1)]
+            sim = np.take_along_axis(S, idx, axis=1).reshape(-1)
+            keep = np.isfinite(sim)
+            return pa.table({"query_id": pa.array(rows_q[keep].astype(np.int64)),
+                             "vec_id": pa.array(cand[keep].astype(np.int64)),
+                             "sim": pa.array(sim[keep], pa.float64())})
+
+    cands = vecs.map_batches(IVFTopK, batch_format="pyarrow", concurrency=concurrency)
+    return _global_topk(cands, k)

@@ -1,0 +1,166 @@
+"""Text-analysis operators for training-data pipelines (graft-added;
+not in the reference — SURVEY.md notes the web-scale additions):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All operate on the ``documents``-shaped table (doc_id, text, …) as
+vectorized ``map_batches`` kernels; LangId is a stateful actor-pool
+class (stopword tables built once per actor).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_WS = r"\s+"
+# BPE-ish word/number/punct splitter for token counting.
+_BPE_RE = r"[A-Za-z]+|\d+|[^\sA-Za-z\d]"
+
+
+def token_count(batch: pa.Table, col: str = "text", out: str = "n_tokens") -> pa.Table:
+    """Whitespace token count (matches DuckDB
+    ``len(regexp_split_to_array(trim(text),'\\s+'))`` exactly)."""
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(batch.column(col)), _WS)
+    return batch.append_column(out, pc.list_value_length(toks).cast(pa.int64()))
+
+
+def bpe_token_count(batch: pa.Table, col: str = "text", out: str = "n_bpe_tokens") -> pa.Table:
+    """Regex 'BPE-ish' token count (letters / digit runs / punct marks)."""
+    n = pc.count_substring_regex(batch.column(col), _BPE_RE)
+    return batch.append_column(out, n.cast(pa.int64()))
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword / repetition signals.
+_EN_STOP = frozenset(
+    "the a an and or of to in is are was for on with as at by it this that be from".split()
+)
+
+
+def quality_features(batch: pa.Table, col: str = "text") -> pa.Table:
+    """Append n_chars_q, n_tokens_q, mean_token_len, punct_ratio,
+    digit_ratio, stopword_ratio, quality_score ∈ [0,1]."""
+    text = batch.column(col)
+    n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _WS)
+    n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(zero_copy_only=False)
+    n_digit = pc.count_substring_regex(text, r"\d").to_numpy(zero_copy_only=False)
+    # stopword ratio via pandas (vectorized set membership on exploded tokens)
+    s = toks.to_pandas()
+    stop_ratio = s.map(lambda ws: sum(1 for w in ws if w.lower() in _EN_STOP) / max(1, len(ws)))
+    stop_ratio = stop_ratio.to_numpy(dtype=np.float64)
+
+    safe_tok = np.maximum(n_tok, 1.0)
+    mean_tok_len = (n_chars - (n_tok - 1).clip(min=0)) / safe_tok
+    punct_ratio = n_punct / np.maximum(n_chars, 1.0)
+    digit_ratio = n_digit / np.maximum(n_chars, 1.0)
+
+    # Heuristic score: reward mid-range length + sane word lengths +
+    # some stopwords; punish punctuation/digit walls.
+    len_score = np.clip(n_tok / 20.0, 0, 1) * np.clip((2000 - n_tok) / 2000.0, 0, 1)
+    word_score = np.exp(-0.5 * ((mean_tok_len - 5.0) / 3.0) ** 2)
+    stop_score = np.clip(stop_ratio / 0.2, 0, 1)
+    noise_pen = np.clip(1 - 2 * punct_ratio, 0, 1) * np.clip(1 - 2 * digit_ratio, 0, 1)
+    score = np.clip(0.35 * len_score + 0.25 * word_score + 0.2 * stop_score + 0.2 * noise_pen, 0, 1)
+
+    out = batch
+    for name, arr in [
+        ("n_chars_q", n_chars), ("n_tokens_q", n_tok), ("mean_token_len", mean_tok_len),
+        ("punct_ratio", punct_ratio), ("digit_ratio", digit_ratio),
+        ("stopword_ratio", stop_ratio), ("quality_score", score),
+    ]:
+        out = out.append_column(name, pa.array(arr, pa.float64()))
+    return out
+
+
+# ---------------------------------------------------------------------------
+class LangIdStage:
+    """Actor-pool language-ID via stopword/character n-gram heuristic.
+
+    Stateful stage pattern (SURVEY.md §2.3): tables compiled ONCE in
+    __init__, per-batch work vectorized with pandas."""
+
+    STOPWORDS = {
+        "en": "the and of to in is you that it for on with as are this be at or was",
+        "es": "el la de que y en un ser se no por con para su al lo como más pero",
+        "de": "der die und das in den von zu mit sich des auf für ist im nicht ein",
+        "fr": "le la de et les des en un une du que est pour qui dans par sur au",
+    }
+
+    def __init__(self, default: str = "und"):
+        self.sets = {lang: frozenset(ws.split()) for lang, ws in self.STOPWORDS.items()}
+        self.langs = sorted(self.sets)
+        self.default = default
+        self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas().fillna("")
+        toks = texts.str.lower().str.findall(self.word_re)
+
+        def pick(ws: list[str]) -> str:
+            if not ws:
+                return self.default
+            best, best_n = self.default, 0
+            for lang in self.langs:
+                sset = self.sets[lang]
+                n = sum(1 for w in ws if w in sset)
+                if n > best_n:
+                    best, best_n = lang, n
+            return best
+
+        pred = toks.map(pick)
+        return batch.append_column("lang_pred", pa.array(pred.to_numpy(dtype=object), pa.string()))
+
+
+# ---------------------------------------------------------------------------
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """Stable per-token 64-bit hashes (vectorized pandas hash — stable
+    across runs/nodes, unlike Python hash())."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    return pd.util.hash_pandas_object(pd.Series(tokens), index=False).to_numpy()
+
+
+def rolling_shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+    """Rolling (polynomial) hash over token n-grams — the document
+    fingerprint primitive. Stable across runs/nodes."""
+    th = _token_hashes(tokens)
+    if len(th) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if len(th) < n:
+        n = len(th)
+    P = np.uint64(1099511628211)
+    acc = np.zeros(len(th) - n + 1, dtype=np.uint64)
+    for j in range(n):
+        acc = acc * P + th[j : len(th) - n + 1 + j]
+    return acc
+
+
+def fingerprint(batch: pa.Table, col: str = "text", k: int = 8, ngram: int = 3) -> pa.Table:
+    """Winnowing-style fingerprint: the k smallest rolling-hash values
+    of the token n-gram stream, packed to a hex digest; plus a full
+    64-bit content hash. Near-identical docs share most minima."""
+    texts = batch.column(col).to_pandas().fillna("")
+    digests, full = [], np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            toks = t.split()
+            h = rolling_shingle_hashes(toks, ngram)
+            if len(h) == 0:
+                digests.append("")
+                full[i] = 0
+                continue
+            mins = np.sort(h)[:k]
+            digests.append("".join(f"{m:016x}" for m in mins))
+            full[i] = np.bitwise_xor.reduce(h) * _FNV_PRIME + np.uint64(len(h))
+    out = batch.append_column("fingerprint", pa.array(digests, pa.string()))
+    return out.append_column("content_hash", pa.array(full.astype(np.int64).view(np.uint64)))

@@ -1,0 +1,115 @@
+"""Near-dup family + similarity search: planted-duplicate recovery and
+brute-force-vs-oracle agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _docs_with_dups():
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(words, size=40)) for _ in range(60)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    # planted near-dups: copy with one token changed
+    for i in range(5):
+        toks = texts[i].split()
+        toks[3] = "CHANGED"
+        rows.append({"doc_id": 1000 + i, "text": " ".join(toks)})
+    # planted exact dups
+    for i in range(5, 8):
+        rows.append({"doc_id": 2000 + i, "text": texts[i]})
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+
+def test_minhash_recovers_planted(ray_session):
+    from biosd_feature_annotator_ray.stages.dedup import minhash_near_dups
+
+    pairs = minhash_near_dups(_docs_with_dups(), threshold=0.6).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    for i in range(5):
+        assert (i, 1000 + i) in found, (i, found)
+    for i in range(5, 8):
+        assert (i, 2000 + i) in found
+    # exact dup similarity is 1.0
+    exact = pairs[(pairs.id_a >= 5) & (pairs.id_b >= 2005)]
+    assert (exact.similarity == 1.0).all()
+
+
+def test_simhash_recovers_exact_dups(ray_session):
+    from biosd_feature_annotator_ray.stages.dedup import simhash_near_dups
+
+    pairs = simhash_near_dups(_docs_with_dups(), max_hamming=3).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    for i in range(5, 8):
+        assert (i, 2000 + i) in found
+
+
+def test_ngram_jaccard_verify(ray_session):
+    from biosd_feature_annotator_ray.stages.dedup import minhash_near_dups, ngram_jaccard_verify
+
+    docs = _docs_with_dups()
+    pairs = minhash_near_dups(docs, threshold=0.6)
+    import biosd_feature_annotator_ray.pipelines.annotate as ann
+
+    cand = ann.dataset_to_table(pairs)
+    verified = ngram_jaccard_verify(docs, cand).to_pandas()
+    exact = verified[(verified.id_a.isin([5, 6, 7])) & (verified.id_b >= 2005)]
+    assert (exact.similarity == 1.0).all()
+    near = verified[verified.id_b.between(1000, 1004)]
+    assert ((near.similarity > 0.5) & (near.similarity < 1.0)).all()
+
+
+def _vectors(n=100, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    V = rng.standard_normal((n, dim)).astype(np.float32)
+    return pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                     "embedding": pa.array(list(V), pa.list_(pa.float32()))}), V
+
+
+def test_knn_brute_force_matches_numpy(ray_session):
+    from biosd_feature_annotator_ray.stages.similarity import knn_brute_force
+
+    tbl, V = _vectors()
+    queries = tbl.slice(0, 3)
+    out = knn_brute_force(rd.from_arrow(tbl).repartition(4), queries, k=5).to_pandas()
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    for q in range(3):
+        sims = Vn @ Vn[q]
+        sims[q] = -np.inf
+        want = np.argsort(-sims)[:5]
+        got = out[out.query_id == q].sort_values("rank").vec_id.to_numpy()
+        assert list(got) == list(want), (q, got, want)
+
+
+def test_knn_ivf_mostly_agrees(ray_session):
+    """IVF with generous nprobe recovers most of the exact top-k."""
+    from biosd_feature_annotator_ray.stages.similarity import knn_brute_force, knn_ivf
+
+    tbl, _ = _vectors(n=200)
+    queries = tbl.slice(0, 3)
+    ds = rd.from_arrow(tbl).repartition(4)
+    exact = knn_brute_force(ds, queries, k=5).to_pandas()
+    approx = knn_ivf(ds, queries, k=5, n_centroids=8, nprobe=6).to_pandas()
+    agree = 0
+    for q in range(3):
+        e = set(exact[exact.query_id == q].vec_id)
+        a = set(approx[approx.query_id == q].vec_id)
+        agree += len(e & a)
+    assert agree >= 10  # ≥ 2/3 recall with 6/8 probes
+
+
+def test_embedding_near_dups_planted(ray_session):
+    from biosd_feature_annotator_ray.stages.dedup import embedding_near_dups
+
+    tbl, V = _vectors(n=80, dim=32)
+    dup = tbl.slice(0, 4).set_column(0, "vec_id", pa.array(np.arange(4, dtype=np.int64) + 500))
+    vecs = rd.from_arrow(pa.concat_tables([tbl, dup]))
+    pairs = embedding_near_dups(vecs, dim=32, threshold=0.99).to_pandas()
+    found = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
+    assert {(i, 500 + i) for i in range(4)} <= found

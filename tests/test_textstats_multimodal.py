@@ -1,0 +1,81 @@
+"""Text-analysis kernels + multimodal plumbing stubs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from biosd_feature_annotator_ray.stages import multimodal, textstats
+
+
+def test_token_count_matches_duckdb_semantics():
+    import duckdb
+
+    texts = ["a  b c", "", "  ", "one", "x y z w  v"]
+    t = textstats.token_count(pa.table({"text": texts}))
+    got = t.column("n_tokens").to_pylist()
+    want = [
+        duckdb.sql(f"SELECT len(regexp_split_to_array(trim('{s}'), '\\s+'))").fetchone()[0]
+        for s in texts
+    ]
+    assert got == want
+
+
+def test_langid_distinguishes_stopword_languages():
+    stage = textstats.LangIdStage()
+    batch = pa.table(
+        {
+            "text": [
+                "the cat and the dog are in the house",
+                "el perro y el gato en la casa que es",
+                "der hund und die katze ist in dem haus",
+                "le chien et le chat est dans la maison",
+                "zzz qqq www",
+            ]
+        }
+    )
+    out = stage(batch).column("lang_pred").to_pylist()
+    assert out == ["en", "es", "de", "fr", "und"]
+
+
+def test_quality_scores_rank_sensibly():
+    good = "the quick brown fox jumps over the lazy dog and runs to the hills again today"
+    bad = "!!! ??? ### 12345 67890 @@@@"
+    t = textstats.quality_features(pa.table({"text": [good, bad]}))
+    scores = t.column("quality_score").to_pylist()
+    assert scores[0] > scores[1]
+
+
+def test_fingerprint_stability_and_similarity():
+    a = "one two three four five six seven eight nine ten"
+    b = "one two three four five six seven eight nine eleven"  # near-dup
+    c = "completely different words entirely here now"
+    t1 = textstats.fingerprint(pa.table({"text": [a, b, c]}))
+    t2 = textstats.fingerprint(pa.table({"text": [a, b, c]}))
+    assert t1.column("fingerprint").to_pylist() == t2.column("fingerprint").to_pylist()  # stable
+    fa, fb, fc = t1.column("fingerprint").to_pylist()
+    mins = lambda f: set(f[i:i + 16] for i in range(0, len(f), 16))
+    assert len(mins(fa) & mins(fb)) > len(mins(fa) & mins(fc))
+
+
+def test_image_decode_stub_plumbing():
+    media = multimodal.synth_media_table(10)
+    out = multimodal.ImageDecodeStage()(media)
+    assert out.column("feature").type == pa.list_(pa.float32(), multimodal.IMAGE_FEAT_DIM)
+    assert len(out) == 10 and "payload" not in out.column_names
+    # deterministic per content
+    out2 = multimodal.ImageDecodeStage()(media)
+    assert out.column("feature").to_pylist() == out2.column("feature").to_pylist()
+
+
+def test_real_mode_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageDecodeStage(mode="real")
+
+
+def test_video_frame_sampling_expands_rows():
+    media = multimodal.synth_media_table(4)
+    out = multimodal.VideoFrameSampleStage(frames_per_video=3)(media)
+    assert len(out) == 12
+    assert out.column("frame_idx").to_pylist()[:3] == [0, 1, 2]
