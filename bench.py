@@ -1,0 +1,146 @@
+"""Benchmark runner (SURVEY.md §6, BASELINE.md protocol).
+
+Plain run: executes the headline KG-construction pipeline over a cached
+synthetic pages table plus operator micro-benches over $GRAFT_SF_DIR
+(default /root/testdata/sf0.1), then prints ONE JSON line:
+
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "pages": N, "triples": N, "triples_per_sec": N}
+
+--scaling: runs the headline pipeline twice in FRESH processes
+(num_cpus=8 then 32) on the same input and reports both throughputs
+plus scaling efficiency (BASELINE.json north_rule evidence — the
+sandbox substitute for N vs 4N cluster nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("GRAFT_BENCH_PAGES", "100000"))
+PAGES_CACHE = f"/tmp/graft_bench_pages_{PAGES_N}"
+
+
+def ensure_pages() -> str:
+    from biosd_feature_annotator_ray.synth import write_pages
+
+    marker = os.path.join(PAGES_CACHE, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(PAGES_CACHE, ignore_errors=True)
+        write_pages(PAGES_CACHE, PAGES_N, rows_per_file=12500)
+        open(marker, "w").write("ok")
+    return PAGES_CACHE
+
+
+def run_headline() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, run
+    from biosd_feature_annotator_ray.sources.pages import read_pages
+
+    pages_dir = ensure_pages()
+    # warm the page cache (untimed) so we measure compute + shuffle
+    read_pages(pages_dir).count()
+
+    out_dir = f"/tmp/graft_bench_out_{NUM_CPUS}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spec = PipelineSpec(
+        batch_size=4096,
+        link_batch_size=16384,
+        link_concurrency=(1, max(2, NUM_CPUS // 4)),
+        join_concurrency=(1, max(2, NUM_CPUS // 2)),
+        n_buckets=max(16, NUM_CPUS * 2),
+        num_parts=64,
+    )
+    t0 = time.time()
+    manifest = run(pages_dir, out_dir, spec, resume=False)
+    headline_sec = time.time() - t0
+    triples = int(manifest.column("triples").to_pandas().sum()) if manifest.num_rows else 0
+
+    queries_sec = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
+    result = {
+        "metric": "kg_construct_headline_sec",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": queries_sec,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pages": PAGES_N,
+        "triples": triples,
+        "triples_per_sec": round(triples / headline_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_queries() -> dict:
+    """Operator micro-benches over the sf dir (driver-comparable)."""
+    from biosd_feature_annotator_ray.pipelines.queries import QUERIES
+
+    names = [
+        "lineitem_agg", "canonicalize_events", "dedup_docs", "window_events",
+        "revenue_per_nation", "knn_cosine", "minhash_near_dups", "simhash_near_dups",
+        "curate_documents", "token_counts",
+    ]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = QUERIES[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()  # consume
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_scaling() -> None:
+    # BASELINE.md protocol: size the input so the SLOW run takes ≥ 60 s
+    # (fixed per-stage overheads must not dominate the comparison).
+    scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "1600000")
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_PAGES=scaling_pages,
+                   GRAFT_SKIP_QUERIES="1")
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
+                              capture_output=True, text=True, check=True,
+                              cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = one(lo)
+    r_hi = one(hi)
+    tp_lo = r_lo["triples_per_sec"]
+    tp_hi = r_hi["triples_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
+        "triples_per_sec_8": tp_lo,
+        "triples_per_sec_32": tp_hi,
+        "num_cpus": [lo, hi],
+        "pages": r_lo["pages"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_headline()))

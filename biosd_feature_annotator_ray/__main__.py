@@ -1,0 +1,107 @@
+"""CLI (SURVEY.md §2.10): the Ray-Data-native equivalent of the
+reference's ``AnnotateCmd`` options (offset/limit windows → partition
+selection; --submission → url-prefix/lang filters; --property-count →
+count; --purge → partition rewrite; --random-quota → seeded sample).
+
+    python -m biosd_feature_annotator_ray run    --input DIR --output DIR [--lang en]
+                                                 [--random-quota P] [--limit N]
+    python -m biosd_feature_annotator_ray count  --input DIR
+    python -m biosd_feature_annotator_ray purge  --output DIR --older-than-ts T
+    python -m biosd_feature_annotator_ray hotkeys --input DIR [--top K]
+
+Owns its Ray session (scripts/CLI only — never the library).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="biosd_feature_annotator_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pr = sub.add_parser("run", help="full annotation run (AnnotateCmd equivalent)")
+    pr.add_argument("--input", required=True)
+    pr.add_argument("--output", required=True)
+    pr.add_argument("--lang", default=None, help="M11 read-time language filter")
+    pr.add_argument("--url-prefix", default=None, help="S2 submission-scope analog")
+    pr.add_argument("--random-quota", type=float, default=None, help="K3 seeded sample fraction")
+    pr.add_argument("--limit", type=int, default=None, help="K2 smoke-slice")
+    pr.add_argument("--num-parts", type=int, default=64)
+    pr.add_argument("--min-confidence", default="GOOD")
+    pr.add_argument("--no-resume", action="store_true")
+    pr.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
+    pc_ = sub.add_parser("count", help="--property-count equivalent (A3)")
+    pc_.add_argument("--input", required=True)
+    pc_.add_argument("--num-cpus", type=int, default=8)
+
+    pp = sub.add_parser("purge", help="drop partitions older than a cutoff (S4)")
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--older-than-ts", type=float, required=True)
+
+    ph = sub.add_parser("hotkeys", help="K4 top-k frequent keys report (salting input)")
+    ph.add_argument("--input", required=True)
+    ph.add_argument("--top", type=int, default=20)
+    ph.add_argument("--num-cpus", type=int, default=8)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "purge":  # no Ray needed
+        from biosd_feature_annotator_ray.sources.sink import purge
+
+        removed = purge(args.output, args.older_than_ts)
+        print(json.dumps({"removed_partitions": removed}))
+        return 0
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    try:
+        from biosd_feature_annotator_ray.sources.pages import read_pages
+
+        if args.cmd == "count":
+            print(json.dumps({"property_values": read_pages(args.input).count()}))
+            return 0
+
+        if args.cmd == "hotkeys":
+            from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, build_mentions
+            from biosd_feature_annotator_ray.stages.canonicalize import distinct_counts
+
+            mentions = build_mentions(read_pages(args.input), PipelineSpec())
+            counts = distinct_counts(mentions, "key", nb=32)
+            top = counts.sort(["count", "key"], descending=[True, False]).limit(args.top)
+            print(top.to_pandas().to_json(orient="records"))
+            return 0
+
+        # run
+        from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, run
+
+        spec = PipelineSpec(num_parts=args.num_parts, min_confidence=args.min_confidence,
+                            lang=args.lang)
+        pages = read_pages(args.input, lang=args.lang, url_prefix=args.url_prefix)
+        if args.random_quota is not None:
+            pages = pages.random_sample(args.random_quota, seed=42)
+        if args.limit is not None:
+            pages = pages.limit(args.limit)
+        manifest = run(pages, args.output, spec, resume=not args.no_resume)
+        df = manifest.to_pandas()
+        print(json.dumps({
+            "partitions_written": int(len(df)),
+            "triples": int(df["triples"].sum()) if len(df) else 0,
+        }))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -84,7 +84,7 @@ def _keys_of_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"key": allk.unique()})
 
 
-def compute_links(
+def compute_links_distributed(
     mentions: "ray.data.Dataset",
     spec: PipelineSpec,
     terms_ref=None,
@@ -93,10 +93,13 @@ def compute_links(
     """Distinct-key reduction (A1) → linker actor pool → M10 threshold.
 
     Linking runs ONCE per distinct key globally — strictly stronger than
-    the reference's per-process memo store (SURVEY.md §2.3 ST1)."""
+    the reference's per-process memo store (SURVEY.md §2.3 ST1). This is
+    the BIG-dictionary path (each actor loads its shard once); when the
+    distinct key set is driver-sized, ``compute_links_table`` below
+    skips the shuffle + pool entirely."""
     if terms_ref is None or curated_ref is None:
         terms_ref, curated_ref = broadcast_dictionaries()
-    keys = mentions.map_batches(_keys_of_batch, batch_format="pyarrow")
+    keys = mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536)
     distinct = distinct_counts(keys, "key", nb=spec.n_buckets).drop_columns(["count"])
     linked = distinct.map_batches(
         LinkerActor,
@@ -106,6 +109,37 @@ def compute_links(
         concurrency=spec.link_concurrency,
     )
     return filter_confidence(linked, spec.min_confidence)
+
+
+def compute_links_table(
+    mentions: "ray.data.Dataset",
+    spec: PipelineSpec,
+    terms: pa.Table | None = None,
+    curated: pa.Table | None = None,
+) -> pa.Table:
+    """Fast path: map-side distinct keys collected to the driver (the
+    distinct key set is the SMALL side — 10^6–10^8 at full scale), then
+    linked in one vectorized pass with the same LinkerActor logic. No
+    shuffle, no actor pool, identical output to the distributed path
+    (tested). Falls back conceptually to compute_links_distributed when
+    the key set outgrows the driver (SURVEY.md §4.2-4)."""
+    keys = (
+        mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536)
+        .to_pandas()["key"]
+        .drop_duplicates()
+    )
+    linker = LinkerActor.local(terms, curated)
+    linked = linker(pa.table({"key": pa.array(keys.to_numpy(dtype=object), pa.string())}))
+    from ..stages.canonicalize import CONFIDENCE_RANK
+
+    keep = [c for c, r in CONFIDENCE_RANK.items() if r >= CONFIDENCE_RANK[spec.min_confidence]]
+    import pyarrow.compute as pc
+
+    return linked.filter(pc.is_in(linked.column("confidence"), value_set=pa.array(keep)))
+
+
+# Back-compat alias: the distributed variant keeps the original name.
+compute_links = compute_links_distributed
 
 
 def dataset_to_table(ds: "ray.data.Dataset", empty_schema: pa.Schema | None = None) -> pa.Table:
@@ -128,16 +162,21 @@ def build_triples(
     mentions: "ray.data.Dataset",
     links_table: pa.Table,
     spec: PipelineSpec,
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
-    """Broadcast-back join + emission + exact dedup (A2)."""
+    """Broadcast-back join + emission (+ exact dedup A2 when the caller
+    is not the checkpointed sink — the sink fuses dedup into its own
+    part_id shuffle, see sink.write_partition)."""
+    from ..stages.triples import make_joiner_fn
+
     links_ref = ray.put(links_table)
     triples = mentions.map_batches(
-        AnnotationJoiner,
-        fn_constructor_kwargs={"links_ref": links_ref},
+        make_joiner_fn(links_ref),
         batch_format="pyarrow",
-        batch_size=spec.batch_size,
-        concurrency=spec.join_concurrency,
+        batch_size=max(spec.batch_size, 16384),
     )
+    if not dedup:
+        return triples
     return dedup_exact(triples, ["subj", "pred", "obj", "obj_kind"], nb=spec.n_buckets)
 
 
@@ -146,16 +185,13 @@ def annotate_pages(
     spec: PipelineSpec | None = None,
     terms: pa.Table | None = None,
     curated: pa.Table | None = None,
+    dedup: bool = True,
 ) -> "ray.data.Dataset":
     """pages Dataset → deduped triples Dataset (no sink)."""
     spec = spec or PipelineSpec()
-    terms_ref, curated_ref = broadcast_dictionaries(terms, curated)
-    from ..schemas import ANNOTATIONS
-
     mentions = build_mentions(pages, spec)
-    links = compute_links(mentions, spec, terms_ref, curated_ref)
-    links_table = dataset_to_table(links, empty_schema=ANNOTATIONS)
-    return build_triples(mentions, links_table, spec)
+    links_table = compute_links_table(mentions, spec, terms, curated)
+    return build_triples(mentions, links_table, spec, dedup=dedup)
 
 
 def run(
@@ -166,8 +202,20 @@ def run(
     curated: pa.Table | None = None,
     resume: bool = True,
     fail_after_parts: int | None = None,
+    persist_mentions: bool = True,
 ) -> pa.Table:
-    """Full checkpointed run: returns the manifest table."""
+    """Full checkpointed run: returns the manifest table.
+
+    ``persist_mentions=True`` (default) writes the parsed mention stream
+    to ``out_dir/mentions`` once and feeds BOTH downstream consumers
+    (the distinct-keys/links branch and the triples branch) from it —
+    without it the branch point would recompute
+    extract→detect→parse twice (Ray Datasets are lazy and a fork
+    re-executes its lineage). Mentions ≪ pages (text column dropped),
+    so this is a stage checkpoint, not a full materialization; it also
+    makes the mention stage resumable for free."""
+    import os
+
     from ..sources.sink import write_graph_checkpointed
 
     spec = spec or PipelineSpec()
@@ -176,11 +224,35 @@ def run(
         if isinstance(input_path, ray.data.Dataset)
         else read_pages(input_path, lang=spec.lang)
     )
-    triples = annotate_pages(pages, spec, terms, curated)
+    if persist_mentions:
+        from ..schemas import ANNOTATIONS
+
+        mdir = os.path.join(out_dir, "mentions")
+        marker = os.path.join(out_dir, "_MENTIONS_DONE")  # outside mdir: read_parquet(mdir) must see only parquet
+        if not (resume and os.path.exists(marker)):
+            import shutil
+
+            shutil.rmtree(mdir, ignore_errors=True)
+            build_mentions(pages, spec).write_parquet(mdir)
+            with open(marker, "w") as f:
+                f.write("ok")
+        mentions = ray.data.read_parquet(mdir)
+        links_table = compute_links_table(mentions, spec, terms, curated)
+        triples = build_triples(mentions, links_table, spec, dedup=False)
+    else:
+        triples = annotate_pages(pages, spec, terms, curated, dedup=False)
     num_parts = spec.num_parts
-    with_part = triples.map_batches(
-        lambda t: add_part_id(t, num_parts), batch_format="pyarrow"
-    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        # local pre-dedup (map-side combine) + partition assignment; the
+        # sink finishes the exact dedup inside each part_id group.
+        from ..sources.sink import TRIPLE_KEY
+
+        df = t.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
+        df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
+        return add_part_id(pa.Table.from_pandas(df, preserve_index=False), num_parts)
+
+    with_part = triples.map_batches(prep, batch_format="pyarrow", batch_size=65536)
     return write_graph_checkpointed(
         with_part, out_dir, resume=resume, fail_after_parts=fail_after_parts
     )

@@ -129,7 +129,7 @@ def q_lineitem_agg(sf_dir: str):
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow")
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["l_returnflag", "l_linestatus"])
         .aggregate(Sum("sum_qty", alias_name="sum_qty"),
                    Sum("sum_price", alias_name="sum_price"),
@@ -164,7 +164,7 @@ def q_revenue_per_nation(sf_dir: str):
 
     agg = (
         rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("nation")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
@@ -210,7 +210,7 @@ def q_window_events(sf_dir: str):
 
     agg = (
         _events(sf_dir, ["event_type", "ts", "value"])
-        .map_batches(partial, batch_format="pyarrow")
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby(["event_type", "window_start"])
         .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
     )
@@ -228,7 +228,8 @@ def q_knn_cosine(sf_dir: str):
     queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
                             filters=[("vec_id", "<", 5)])
     out = knn_brute_force(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                        override_num_blocks=8),
         queries, k=10,
     )
     return out.select_columns(["query_id", "vec_id", "rank"])
@@ -294,7 +295,8 @@ def q_knn_ivf(sf_dir: str):
     queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
                             filters=[("vec_id", "<", 5)])
     out = knn_ivf(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]),
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                        override_num_blocks=8),
         queries, k=10, n_centroids=16, nprobe=4,
     )
     return out.select_columns(["query_id", "vec_id", "rank"])

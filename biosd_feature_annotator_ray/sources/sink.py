@@ -59,11 +59,20 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
     return done
 
 
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind"]
+
+
 def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None) -> pa.Table:
-    """map_groups body: write one triples partition + its packed graph
-    partition atomically, then the manifest row. Returns the manifest
-    row as a 1-row table (the only thing the driver ever collects)."""
+    """map_groups body: exact-dedup within the partition (duplicates
+    share subj → co-located by construction, so the A2 dedup FUSES into
+    the part_id shuffle — one all-to-all instead of two), then write the
+    triples partition + its packed graph partition atomically, then the
+    manifest row. Returns the manifest row as a 1-row table (the only
+    thing the driver ever collects)."""
     part_id = int(part.column("part_id")[0].as_py())
+    df = part.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
+    df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
+    part = pa.Table.from_pandas(df, preserve_index=False)
     triples = part
     graph = pack_adjacency(part)
     t_path = os.path.join(out_dir, "triples", f"part_id={part_id}", "data.parquet")

@@ -71,7 +71,7 @@ def dedup_exact(
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
-        ds.map_batches(local, batch_format="pyarrow")
+        ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
@@ -94,7 +94,7 @@ def distinct_counts(ds: "ray.data.Dataset", col: str, nb: int = 64) -> "ray.data
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (
-        ds.map_batches(local, batch_format="pyarrow")
+        ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
@@ -136,7 +136,7 @@ def groupby_argmax(
         df = best(group.drop_columns([_B]).to_pandas())
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    out = ds.map_batches(local, batch_format="pyarrow")
+    out = ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
     if salt > 1:
         out = out.groupby([_B, _S]).map_groups(finish_salted, batch_format="pyarrow")
     return out.groupby(_B).map_groups(finish, batch_format="pyarrow")
@@ -153,7 +153,7 @@ def canonicalize_annotations(ann: "ray.data.Dataset", nb: int = 64, salt: int = 
         conf = batch.column("confidence").to_pandas().map(CONFIDENCE_RANK).fillna(-1)
         return batch.append_column("_crank", pa.array(conf.to_numpy(dtype=np.int32)))
 
-    ranked = ann.map_batches(add_rank, batch_format="pyarrow")
+    ranked = ann.map_batches(add_rank, batch_format="pyarrow", batch_size=65536)
     best = groupby_argmax(
         ranked, ["key"], ["_crank", "score", "term_uri"], [False, False, True], nb=nb, salt=salt
     )

@@ -24,8 +24,19 @@ import pyarrow as pa
 
 import ray.data
 
-from .canonicalize import dedup_exact
+from .canonicalize import _add_bucket, _B as _BUCKET_COL, dedup_exact
 from .textstats import rolling_shingle_hashes
+
+
+def _bucketed_pairs(rows, sim_fn, threshold: float, nb: int):
+    """Coarse-bucket shuffle on (band_id, band_key) → run-scan pairing."""
+    finish = _pairs_from_buckets(["band_id", "band_key"], sim_fn, threshold)
+    bucketed = rows.map_batches(
+        lambda t: _add_bucket(t, ["band_id", "band_key"], nb),
+        batch_format="pyarrow", batch_size=65536,
+    )
+    return bucketed.groupby(_BUCKET_COL).map_groups(finish, batch_format="pyarrow")
+
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -95,9 +106,17 @@ class MinHashSignatures:
 
 
 def _pairs_from_buckets(group_cols: list[str], sim_fn, threshold: float, max_bucket: int = 64):
-    """Build the within-bucket pairing finish fn (vectorized run-scan)."""
+    """Build the within-bucket pairing finish fn (vectorized run-scan).
+
+    Handles MANY (band, key) groups per call — callers group by a coarse
+    hash bucket of (band, key), not by the keys themselves, so the
+    per-group Python dispatch cost is per-BUCKET (the millions of tiny
+    LSH buckets would otherwise each pay a map_groups invocation)."""
 
     def finish(g: pa.Table) -> pa.Table:
+        drop = [c for c in (_BUCKET_COL,) if c in g.column_names]
+        if drop:
+            g = g.drop_columns(drop)
         df = g.to_pandas().sort_values(group_cols + ["doc_id"], kind="mergesort")
         keys = df[group_cols].astype(str).agg("|".join, axis=1).to_numpy()
         change = np.ones(len(df), dtype=bool)
@@ -147,13 +166,7 @@ def minhash_near_dups(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = (
-        band_rows.groupby(["band_id", "band_key"])
-        .map_groups(
-            _pairs_from_buckets(["band_id", "band_key"], _sig_similarity, threshold),
-            batch_format="pyarrow",
-        )
-    )
+    pairs = _bucketed_pairs(band_rows, _sig_similarity, threshold, nb)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
 
 
@@ -205,10 +218,7 @@ def simhash_near_dups(
     """SimHash near-dup pairs (hamming distance ≤ max_hamming)."""
     threshold = 1.0 - max_hamming / 64.0 - 1e-9
     rows = docs.map_batches(SimHashSignatures, batch_format="pyarrow", concurrency=concurrency)
-    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
-        _pairs_from_buckets(["band_id", "band_key"], _hamming_sim, threshold),
-        batch_format="pyarrow",
-    )
+    pairs = _bucketed_pairs(rows, _hamming_sim, threshold, nb)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
 
 
@@ -314,8 +324,5 @@ def embedding_near_dups(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = rows.groupby(["band_id", "band_key"]).map_groups(
-        _pairs_from_buckets(["band_id", "band_key"], _cosine_sim, threshold),
-        batch_format="pyarrow",
-    )
+    pairs = _bucketed_pairs(rows, _cosine_sim, threshold, nb)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)

@@ -49,6 +49,20 @@ def broadcast_dictionaries(terms: pa.Table | None = None, curated: pa.Table | No
 class LinkerActor:
     """Stateful map_batches callable: distinct keys → annotation rows."""
 
+    @classmethod
+    def local(cls, terms: pa.Table | None = None, curated: pa.Table | None = None):
+        """Driver-local construction without the object store (used by
+        the compute_links_table fast path)."""
+        obj = cls.__new__(cls)
+        obj.index = OntologyIndex.build(
+            terms if terms is not None else fixture_ontology_terms(),
+            curated if curated is not None else fixture_curated_mappings(),
+        )
+        obj.cache = {}
+        obj.cache_size = 65536
+        obj.stats = {"keys": 0, "hits": 0, "cache_hits": 0}
+        return obj
+
     def __init__(self, terms_ref=None, curated_ref=None, cache_size: int = 65536):
         terms = ray.get(terms_ref) if terms_ref is not None else fixture_ontology_terms()
         curated = ray.get(curated_ref) if curated_ref is not None else fixture_curated_mappings()

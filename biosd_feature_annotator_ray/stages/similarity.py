@@ -59,22 +59,38 @@ class BatchTopK:
         )
 
 
-def _global_topk(cands: "ray.data.Dataset", k: int, nb: int = 16) -> "ray.data.Dataset":
-    """Bucket shuffle on query_id, vectorized per-query head-k."""
+def _topk_frame(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
+                        kind="mergesort")
+    df = df.groupby("query_id", sort=False).head(k)
+    df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
+    return df
+
+
+def _global_topk(cands: "ray.data.Dataset", k: int, nb: int = 16,
+                 driver_finish: bool = True) -> "ray.data.Dataset":
+    """Merge per-batch candidates to the global top-k per query.
+
+    Candidates are already reduced to ≤ k×queries per BATCH, so with a
+    small query set the merge input is tiny → finish on the driver
+    (one vectorized pandas pass; no shuffle). With a large query fleet
+    (driver_finish=False) use the bucket shuffle on query_id instead —
+    same result, tested."""
+    if driver_finish:
+        import ray.data as rd
+
+        return rd.from_pandas(_topk_frame(cands.to_pandas(), k).reset_index(drop=True))
+
     from .canonicalize import _add_bucket, _B
 
     def local(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, ["query_id"], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values(["query_id", "sim", "vec_id"], ascending=[True, False, True],
-                            kind="mergesort")
-        df = df.groupby("query_id", sort=False).head(k)
-        df["rank"] = df.groupby("query_id", sort=False).cumcount() + 1
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return pa.Table.from_pandas(_topk_frame(g.drop_columns([_B]).to_pandas(), k),
+                                    preserve_index=False)
 
-    return cands.map_batches(local, batch_format="pyarrow").groupby(_B).map_groups(
+    return cands.map_batches(local, batch_format="pyarrow", batch_size=65536).groupby(_B).map_groups(
         finish, batch_format="pyarrow"
     )
 
@@ -87,6 +103,7 @@ def knn_brute_force(
     vec_col: str = "embedding",
     exclude_self: bool = True,
     concurrency=(1, 8),
+    driver_finish: bool = True,
 ) -> "ray.data.Dataset":
     """Exact cosine top-k for each query row → (query_id, vec_id, sim, rank)."""
     qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
@@ -99,7 +116,7 @@ def knn_brute_force(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    return _global_topk(cands, k)
+    return _global_topk(cands, k, driver_finish=driver_finish)
 
 
 # ---------------------------------------------------------------------------
@@ -130,6 +147,7 @@ def knn_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     concurrency=(1, 8),
+    driver_finish: bool = True,
 ) -> "ray.data.Dataset":
     """IVF-style ANN: only vectors whose nearest centroid is among the
     query's ``nprobe`` nearest centroids are scored (the 100-TB scale
@@ -165,4 +183,4 @@ def knn_ivf(
                              "sim": pa.array(sim[keep], pa.float64())})
 
     cands = vecs.map_batches(IVFTopK, batch_format="pyarrow", concurrency=concurrency)
-    return _global_topk(cands, k)
+    return _global_topk(cands, k, driver_finish=driver_finish)

@@ -40,6 +40,27 @@ def unit_key_array(unit_text: pa.Array | pa.ChunkedArray):
     )
 
 
+_JOINER_CACHE: dict = {}
+
+
+def make_joiner_fn(links_ref):
+    """Task-based joiner: plain function for map_batches (elastic
+    stateless tasks — no actor-pool spin-up), with a per-worker-process
+    cache so the broadcast links table is fetched/partitioned once per
+    process, not once per batch."""
+
+    key = str(links_ref)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        j = _JOINER_CACHE.get(key)
+        if j is None:
+            j = AnnotationJoiner(links_ref)
+            _JOINER_CACHE[key] = j
+        return j(batch)
+
+    return join_batch
+
+
 class AnnotationJoiner:
     """Actor-pool map_batches callable: joins broadcast canonical links
     (key → uri/conf/score and unit_key → unit_uri) onto mention batches

@@ -1,0 +1,79 @@
+"""Driver-contract pinning: a fast subset of queries() vs their DuckDB
+oracles at sf0.001 (the full sweep is tools/check_oracle.py at sf0.01)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+FAST = [
+    "count_documents", "filter_lang_en", "normalize_text", "extract_json_k",
+    "token_counts", "canonicalize_events", "dedup_docs", "distinct_event_types",
+    "topk_event_types", "lineitem_agg", "revenue_per_nation", "anti_join_docs",
+    "top_orders", "window_events",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return c
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", FAST)
+def test_query_matches_oracle(ray_session, con, name):
+    import __ray_entry__ as e
+
+    res = e.queries()[name](SF)
+    got = _canon(res.to_pandas() if hasattr(res, "to_pandas") else res)
+    want = _canon(con.sql(e.oracle_sql()[name]).df())
+    assert list(got.columns) == list(want.columns)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-9)
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = e.entry().to_pandas()
+    assert len(df) > 0
+    assert {"subj", "pred", "obj", "obj_kind"} <= set(df.columns)
+
+
+def test_every_oracle_has_query():
+    import __ray_entry__ as e
+
+    assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_cli_count_and_run(ray_session, tmp_path):
+    """CLI surface (subprocess owns its own Ray session)."""
+    import json
+    import subprocess
+    import sys
+
+    from biosd_feature_annotator_ray.synth import write_pages
+
+    inp = str(tmp_path / "pages")
+    write_pages(inp, 200, rows_per_file=100)
+    env_cmd = [sys.executable, "-m", "biosd_feature_annotator_ray"]
+    out = subprocess.run(env_cmd + ["count", "--input", inp, "--num-cpus", "2"],
+                         capture_output=True, text=True, check=True, cwd="/root/repo")
+    assert json.loads(out.stdout.strip().splitlines()[-1])["property_values"] == 200
+    out = subprocess.run(
+        env_cmd + ["run", "--input", inp, "--output", str(tmp_path / "out"),
+                   "--num-parts", "4", "--num-cpus", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["partitions_written"] == 4 and res["triples"] > 0
