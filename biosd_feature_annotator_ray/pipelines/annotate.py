@@ -173,7 +173,7 @@ def build_triples(
     triples = mentions.map_batches(
         make_joiner_fn(links_ref),
         batch_format="pyarrow",
-        batch_size=max(spec.batch_size, 16384),
+        batch_size=max(spec.batch_size, 131072),
     )
     if not dedup:
         return triples
@@ -206,17 +206,20 @@ def run(
 ) -> pa.Table:
     """Full checkpointed run: returns the manifest table.
 
-    ``persist_mentions=True`` (default) writes the parsed mention stream
-    to ``out_dir/mentions`` once and feeds BOTH downstream consumers
-    (the distinct-keys/links branch and the triples branch) from it —
-    without it the branch point would recompute
-    extract→detect→parse twice (Ray Datasets are lazy and a fork
-    re-executes its lineage). Mentions ≪ pages (text column dropped),
-    so this is a stage checkpoint, not a full materialization; it also
-    makes the mention stage resumable for free."""
-    import os
-
-    from ..sources.sink import write_graph_checkpointed
+    Single-job architecture: ONE Ray Data job computes the mention
+    stream and scatters it into part_id = hash(url) % P fragment
+    directories; P independent Ray tasks then finalize each partition
+    (link its local distinct keys against the broadcast dictionary →
+    emit triples → exact dedup → pack adjacency → atomic write +
+    manifest). Linking is a pure function of (type, value), so
+    partition-local linking produces byte-identical triples to a global
+    distinct-key pass (tested) while removing both global barriers of
+    the 3-job design. The mention fragments double as the stage
+    checkpoint (resume skips the scatter via _SCATTER_DONE and skips
+    finalized partitions via their manifests)."""
+    from ..functions.hashing import hash_strings
+    from ..sources.sink import run_sink
+    from ..stages.linker import broadcast_dictionaries as _bd
 
     spec = spec or PipelineSpec()
     pages = (
@@ -224,35 +227,22 @@ def run(
         if isinstance(input_path, ray.data.Dataset)
         else read_pages(input_path, lang=spec.lang)
     )
-    if persist_mentions:
-        from ..schemas import ANNOTATIONS
-
-        mdir = os.path.join(out_dir, "mentions")
-        marker = os.path.join(out_dir, "_MENTIONS_DONE")  # outside mdir: read_parquet(mdir) must see only parquet
-        if not (resume and os.path.exists(marker)):
-            import shutil
-
-            shutil.rmtree(mdir, ignore_errors=True)
-            build_mentions(pages, spec).write_parquet(mdir)
-            with open(marker, "w") as f:
-                f.write("ok")
-        mentions = ray.data.read_parquet(mdir)
-        links_table = compute_links_table(mentions, spec, terms, curated)
-        triples = build_triples(mentions, links_table, spec, dedup=False)
-    else:
-        triples = annotate_pages(pages, spec, terms, curated, dedup=False)
     num_parts = spec.num_parts
 
-    def prep(t: pa.Table) -> pa.Table:
-        # local pre-dedup (map-side combine) + partition assignment; the
-        # sink finishes the exact dedup inside each part_id group.
-        from ..sources.sink import TRIPLE_KEY
+    def tag(batch: pa.Table) -> pa.Table:
+        import numpy as _np
 
-        df = t.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
-        df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
-        return add_part_id(pa.Table.from_pandas(df, preserve_index=False), num_parts)
+        h = hash_strings(batch.column("url"))
+        return batch.append_column(
+            "part_id", pa.array((h % _np.uint64(num_parts)).astype(_np.int32))
+        )
 
-    with_part = triples.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-    return write_graph_checkpointed(
-        with_part, out_dir, resume=resume, fail_after_parts=fail_after_parts
+    mentions = build_mentions(pages, spec).map_batches(
+        tag, batch_format="pyarrow", batch_size=131072
+    )
+    terms_ref, curated_ref = _bd(terms, curated)
+    return run_sink(
+        mentions, out_dir, num_parts, terms_ref, curated_ref,
+        min_confidence=spec.min_confidence, resume=resume,
+        fail_after_parts=fail_after_parts,
     )

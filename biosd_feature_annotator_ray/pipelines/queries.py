@@ -221,6 +221,41 @@ def q_window_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# §2.9 session windows (gap-based, per-user) — custom windowed operator
+def q_session_windows(sf_dir: str):
+    from ..stages.windows import session_windows
+
+    out = session_windows(_events(sf_dir, ["user_id", "event_id", "ts"]),
+                          gap=pd.Timedelta(minutes=30), nb=8)
+    df = out.to_pandas()
+    df["session_id"] = df["session_id"].astype("int64")
+    df["n_events"] = df["n_events"].astype("int64")
+    for c in ("start_ts", "end_ts"):
+        df[c] = df[c].astype("datetime64[us]")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# §2.9 sliding windows (overlapping) — rows-only (series-generation SQL is not ANSI-stable)
+def q_sliding_windows(sf_dir: str):
+    from ..stages.windows import sliding_windows
+
+    out = sliding_windows(_events(sf_dir, ["event_type", "ts", "value"]),
+                          size=pd.Timedelta(hours=1), slide=pd.Timedelta(minutes=30))
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(2)
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# §2.8 timestamp → partition date (strftime kernel)
+def q_partition_date(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        d = pc.strftime(batch.column("ts"), format="%Y-%m-%d")
+        return pa.table({"event_id": batch.column("event_id"), "part_date": d})
+
+    return _events(sf_dir, ["event_id", "ts"]).map_batches(f, batch_format="pyarrow")
+
+
 # Similarity search: exact brute-force cosine top-k
 def q_knn_cosine(sf_dir: str):
     from ..stages.similarity import knn_brute_force
@@ -356,6 +391,9 @@ QUERIES = {
     "anti_join_docs": q_docs_without_label0_vec,
     "top_orders": q_top_orders,
     "window_events": q_window_events,
+    "session_windows": q_session_windows,
+    "sliding_windows": q_sliding_windows,
+    "partition_date": q_partition_date,
     "knn_cosine": q_knn_cosine,
     # rows-only
     "annotate_triples": q_annotate_triples,
@@ -420,6 +458,19 @@ ORACLES = {
         "SELECT event_type, date_trunc('hour', ts) AS window_start,"
         " round(sum(value), 2) AS sum_value, count(*) AS n"
         " FROM events GROUP BY event_type, date_trunc('hour', ts)"
+    ),
+    "session_windows": (
+        "WITH x AS (SELECT user_id, ts, event_id,"
+        "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events),"
+        " y AS (SELECT user_id, ts,"
+        "  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x)"
+        " SELECT user_id, session_id, count(*) AS n_events,"
+        "  min(ts) AS start_ts, max(ts) AS end_ts FROM y GROUP BY user_id, session_id"
+    ),
+    "partition_date": (
+        "SELECT event_id, strftime(ts, '%Y-%m-%d') AS part_date FROM events"
     ),
     "knn_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),"

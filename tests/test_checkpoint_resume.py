@@ -69,6 +69,23 @@ def test_graph_partitions_readable(ray_session, tmp_path):
     assert g.subj.is_unique
 
 
+def test_partition_local_linking_matches_global(ray_session, tmp_path):
+    """run() links per partition; annotate_pages() links globally —
+    byte-identical triples either way (linking is a pure function)."""
+    from biosd_feature_annotator_ray.pipelines.annotate import annotate_pages
+
+    out = str(tmp_path / "pl")
+    run(_pages(), out, SPEC)
+    via_run = _triples_df(out)
+    via_api = (
+        annotate_pages(_pages(), SPEC)
+        .to_pandas()[via_run.columns]
+        .sort_values(KEY)
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(via_run, via_api)
+
+
 def test_purge(ray_session, tmp_path):
     out = str(tmp_path / "p")
     run(_pages(), out, SPEC)

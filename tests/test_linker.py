@@ -30,6 +30,10 @@ CORPUS = [
     ("organism", "old term", None, None),                           # obsolete filtered
     ("treatment", "xyzzy compound", None, None),                    # no tier
     ("organism", "sapiens homo", OBO + "NCBITaxon_9606", "MEDIUM"), # token-set tier
+    ("organism", "NCBITaxon:9606", OBO + "NCBITaxon_9606", "HIGH"), # J2 resolver
+    ("organism", "ncbitaxon_9606", OBO + "NCBITaxon_9606", "HIGH"), # J2 resolver (underscore)
+    ("disease", "EFO_0000400", EFO + "EFO_0000400", "HIGH"),        # J2 resolver (EFO)
+    ("organism", "EFO_OBS01", None, None),                          # resolver never returns obsolete
 ]
 
 
