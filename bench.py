@@ -55,6 +55,11 @@ def run_headline() -> dict:
 
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
+    # The default per-operator resource reservation (50%) throttles a
+    # mostly-single-operator pipeline well below num_cpus (measured:
+    # 64×0.5s tasks: 2.0s reserved vs 1.5s without on 32 cpus).
+    if hasattr(ctx, "op_resource_reservation_enabled"):
+        ctx.op_resource_reservation_enabled = False
 
     from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, run
     from biosd_feature_annotator_ray.sources.pages import read_pages

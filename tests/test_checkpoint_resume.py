@@ -76,7 +76,7 @@ def test_partition_local_linking_matches_global(ray_session, tmp_path):
 
     out = str(tmp_path / "pl")
     run(_pages(), out, SPEC)
-    via_run = _triples_df(out)
+    via_run = _triples_df(out).drop(columns=["part_id"], errors="ignore")
     via_api = (
         annotate_pages(_pages(), SPEC)
         .to_pandas()[via_run.columns]
