@@ -12,7 +12,7 @@ FAST = [
     "count_documents", "filter_lang_en", "normalize_text", "extract_json_k",
     "token_counts", "canonicalize_events", "dedup_docs", "distinct_event_types",
     "topk_event_types", "lineitem_agg", "revenue_per_nation", "anti_join_docs",
-    "top_orders", "window_events",
+    "top_orders", "window_events", "session_windows", "partition_date",
 ]
 
 

@@ -1,0 +1,58 @@
+"""Windowed-aggregate operators (§2.9 graft additions) + J4 anti-join."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray
+import ray.data as rd
+
+from biosd_feature_annotator_ray.stages.windows import session_windows, sliding_windows
+
+
+@pytest.fixture
+def events(ray_session):
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    eid = 0
+    for uid, offsets_min in [
+        (1, [0, 5, 10, 70, 75]),          # two sessions (gap 60 > 30)
+        (2, [0, 40, 45]),                  # two sessions
+        (3, [0]),                          # one singleton session
+    ]:
+        for off in offsets_min:
+            rows.append({"user_id": uid, "event_id": eid,
+                         "ts": base + pd.Timedelta(minutes=off), "value": 1.0,
+                         "event_type": "a" if eid % 2 == 0 else "b"})
+            eid += 1
+    return rd.from_pandas(pd.DataFrame(rows)).repartition(3)
+
+
+def test_session_windows(events):
+    out = session_windows(events, gap=pd.Timedelta(minutes=30), nb=2).to_pandas()
+    out = out.sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    got = list(map(tuple, out[["user_id", "session_id", "n_events"]].itertuples(index=False)))
+    assert got == [(1, 0, 3), (1, 1, 2), (2, 0, 1), (2, 1, 2), (3, 0, 1)]
+    s0 = out[(out.user_id == 1) & (out.session_id == 0)].iloc[0]
+    assert s0.end_ts - s0.start_ts == pd.Timedelta(minutes=10)
+
+
+def test_sliding_windows_counts(events):
+    out = sliding_windows(events, key_col="user_id", size=pd.Timedelta(hours=1),
+                          slide=pd.Timedelta(minutes=30)).to_pandas()
+    # every event appears in exactly size/slide = 2 windows
+    assert out.n.sum() == 9 * 2
+    # window starts align to the slide grid
+    assert (out.window_start.dt.minute % 30 == 0).all()
+
+
+def test_anti_join_keys(ray_session):
+    from biosd_feature_annotator_ray.sources.sink import anti_join_keys
+
+    ds = rd.from_items([{"key": k} for k in ["a", "b", "c", "d"]])
+    done = ray.put(pa.array(["b", "d"]))
+    out = anti_join_keys(ds, "key", done).to_pandas()
+    assert sorted(out.key) == ["a", "c"]
