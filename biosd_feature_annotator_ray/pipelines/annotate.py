@@ -45,7 +45,9 @@ from ..stages.triples import AnnotationJoiner, unit_key_array
 class PipelineSpec:
     """Declarative stage config (SURVEY.md §2.10 user-extension surface)."""
 
-    batch_size: int = 4096                # pages per batch in the map stages
+    batch_size: int | None = None         # None = one batch per block (maximal
+                                          # operator fusion: the whole stateless
+                                          # chain fuses into the read operator)
     link_batch_size: int = 8192           # distinct keys per linker batch
     link_concurrency: tuple[int, int] = (1, 8)   # actor pool (min, max)
     join_concurrency: tuple[int, int] = (1, 8)
@@ -173,7 +175,7 @@ def build_triples(
     triples = mentions.map_batches(
         make_joiner_fn(links_ref),
         batch_format="pyarrow",
-        batch_size=max(spec.batch_size, 131072),
+        batch_size=spec.batch_size,
     )
     if not dedup:
         return triples
@@ -238,7 +240,7 @@ def run(
         )
 
     mentions = build_mentions(pages, spec).map_batches(
-        tag, batch_format="pyarrow", batch_size=131072
+        tag, batch_format="pyarrow", batch_size=spec.batch_size
     )
     terms_ref, curated_ref = _bd(terms, curated)
     return run_sink(

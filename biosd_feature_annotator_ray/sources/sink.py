@@ -239,6 +239,8 @@ def run_sink(
     barrier other than the scatter itself."""
     import ray as _ray
 
+    _dbg = os.environ.get("GRAFT_DEBUG_PHASES")
+    _t0 = time.time()
     done = completed_partitions(out_dir) if resume else {}
     marker = os.path.join(out_dir, "_SCATTER_DONE")
     if not (resume and os.path.exists(marker)):
@@ -247,11 +249,13 @@ def run_sink(
         shutil.rmtree(os.path.join(out_dir, "mentions_raw"), ignore_errors=True)
         mentions_with_part.map_batches(
             lambda t: _scatter_fragments(t, out_dir, subdir="mentions_raw"),
-            batch_format="pyarrow", batch_size=131072,
+            batch_format="pyarrow", batch_size=None,
         ).to_pandas()
         os.makedirs(out_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("ok")
+    if _dbg:
+        print("PHASE scatter", round(time.time() - _t0, 1), flush=True)
 
     todo = [p for p in range(num_parts) if p not in done]
 
@@ -270,6 +274,8 @@ def run_sink(
             first_err = first_err or ex
     if first_err is not None:
         raise first_err
+    if _dbg:
+        print("PHASE finalize", round(time.time() - _t0, 1), flush=True)
     if not rows:
         return pa.table({"part_id": pa.array([], pa.int32()),
                          "triples": pa.array([], pa.int64()),
@@ -334,6 +340,8 @@ def write_graph_checkpointed(
             first_err = first_err or ex
     if first_err is not None:
         raise first_err
+    if _dbg:
+        print("PHASE finalize", round(time.time() - _t0, 1), flush=True)
     if not rows:
         return pa.table({"part_id": pa.array([], pa.int32()),
                          "triples": pa.array([], pa.int64()),
