@@ -25,7 +25,7 @@ import pyarrow as pa
 import ray.data
 
 from .canonicalize import _add_bucket, _B as _BUCKET_COL, dedup_exact
-from .textstats import rolling_shingle_hashes
+from .textstats import batch_token_hashes, rolling_shingle_hashes  # noqa: E501
 
 
 def _bucketed_pairs(rows, sim_fn, threshold: float, nb: int):
@@ -82,10 +82,11 @@ class MinHashSignatures:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pandas().fillna("")
         n = len(ids)
+        th_per_doc = batch_token_hashes(texts)
         sigs = np.empty((n, self.num_perm), dtype=np.uint64)
         with np.errstate(over="ignore"):
-            for i, t in enumerate(texts):
-                sh = np.unique(rolling_shingle_hashes(t.split(), self.ngram))
+            for i in range(n):
+                sh = np.unique(rolling_shingle_hashes([], self.ngram, token_hashes=th_per_doc[i]))
                 sigs[i] = minhash_signature(sh, self.a, self.b)
         # band keys: stable hash of each band slice
         band_view = sigs.reshape(n, self.bands, self.rows_per_band)
@@ -179,19 +180,25 @@ class SimHashSignatures:
         self.id_col, self.text_col = id_col, text_col
         self.bit_w = (np.uint64(1) << np.arange(64, dtype=np.uint64)).astype(np.uint64)
 
-    def simhash(self, tokens: list[str]) -> np.uint64:
-        if not tokens:
+    def simhash_from_hashes(self, th: np.ndarray) -> np.uint64:
+        if len(th) == 0:
             return np.uint64(0)
-        th = pd.util.hash_pandas_object(pd.Series(tokens), index=False).to_numpy()
         bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
         votes = (2 * bits - 1).sum(axis=0)
         return np.uint64(((votes > 0).astype(np.uint64) * self.bit_w).sum(dtype=np.uint64))
 
+    def simhash(self, tokens: list[str]) -> np.uint64:
+        if not tokens:
+            return np.uint64(0)
+        th = pd.util.hash_pandas_object(pd.Series(tokens), index=False).to_numpy()
+        return self.simhash_from_hashes(th)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(self.id_col).to_numpy(zero_copy_only=False)
         texts = batch.column(self.text_col).to_pandas().fillna("")
+        th_per_doc = batch_token_hashes(texts)
         with np.errstate(over="ignore"):
-            sh = np.array([self.simhash(t.split()) for t in texts], dtype=np.uint64)
+            sh = np.array([self.simhash_from_hashes(th) for th in th_per_doc], dtype=np.uint64)
         n = len(ids)
         blocks = np.empty((n, 4), dtype=np.uint64)
         for b in range(4):

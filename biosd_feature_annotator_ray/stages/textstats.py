@@ -130,10 +130,25 @@ def _token_hashes(tokens: list[str]) -> np.ndarray:
     return pd.util.hash_pandas_object(pd.Series(tokens), index=False).to_numpy()
 
 
-def rolling_shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
+def batch_token_hashes(texts: "pd.Series") -> list[np.ndarray]:
+    """Per-doc token-hash arrays for a whole batch with ONE vectorized
+    hash call (a per-doc pandas hash call costs ~100µs of Series setup
+    each — the dominant cost of the signature stages before this)."""
+    toks = [t.split() for t in texts]
+    lengths = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    flat: list[str] = [w for ws in toks for w in ws]
+    if not flat:
+        return [np.empty(0, dtype=np.uint64) for _ in toks]
+    all_h = pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
+    return np.split(all_h, np.cumsum(lengths)[:-1])
+
+
+def rolling_shingle_hashes(tokens: list[str], n: int = 3,
+                           token_hashes: np.ndarray | None = None) -> np.ndarray:
     """Rolling (polynomial) hash over token n-grams — the document
-    fingerprint primitive. Stable across runs/nodes."""
-    th = _token_hashes(tokens)
+    fingerprint primitive. Stable across runs/nodes. Pass
+    ``token_hashes`` (from batch_token_hashes) to skip per-doc hashing."""
+    th = token_hashes if token_hashes is not None else _token_hashes(tokens)
     if len(th) == 0:
         return np.empty(0, dtype=np.uint64)
     if len(th) < n:
@@ -150,11 +165,11 @@ def fingerprint(batch: pa.Table, col: str = "text", k: int = 8, ngram: int = 3) 
     of the token n-gram stream, packed to a hex digest; plus a full
     64-bit content hash. Near-identical docs share most minima."""
     texts = batch.column(col).to_pandas().fillna("")
+    th_per_doc = batch_token_hashes(texts)
     digests, full = [], np.empty(len(texts), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i, t in enumerate(texts):
-            toks = t.split()
-            h = rolling_shingle_hashes(toks, ngram)
+            h = rolling_shingle_hashes([], ngram, token_hashes=th_per_doc[i])
             if len(h) == 0:
                 digests.append("")
                 full[i] = 0
