@@ -359,10 +359,19 @@ def purge(out_dir: str, older_than_ts: float) -> list[int]:
     removed = []
     for part_id, row in completed_partitions(out_dir).items():
         if row["wrote_ts"] < older_than_ts:
-            for sub in ("triples", "graph", "triples_raw"):
+            for sub in ("triples", "graph", "mentions_raw", "triples_raw"):
                 shutil.rmtree(os.path.join(out_dir, sub, f"part_id={part_id}"), ignore_errors=True)
             os.remove(os.path.join(out_dir, MANIFEST_DIR, f"part-{part_id:05d}.json"))
             removed.append(part_id)
+    if removed:
+        # A rerun must RE-ANNOTATE purged partitions from the source, not
+        # resurrect them from (deleted) fragments: drop the scatter marker
+        # so the next run re-scatters the mention stream.
+        for m in ("_SCATTER_DONE", "_MENTIONS_DONE"):
+            try:
+                os.remove(os.path.join(out_dir, m))
+            except FileNotFoundError:
+                pass
     return sorted(removed)
 
 

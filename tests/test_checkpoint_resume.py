@@ -89,7 +89,12 @@ def test_partition_local_linking_matches_global(ray_session, tmp_path):
 def test_purge(ray_session, tmp_path):
     out = str(tmp_path / "p")
     run(_pages(), out, SPEC)
+    before = _triples_df(out)
     removed = purge(out, older_than_ts=time.time() + 1)
     assert removed == sorted(range(8))
     assert completed_partitions(out) == {}
+    # Purge → rerun must RE-ANNOTATE from the source (S4 semantics:
+    # delete old annotations; a fresh run repopulates them).
+    run(_pages(), out, SPEC)
+    pd.testing.assert_frame_equal(before, _triples_df(out))
     shutil.rmtree(out)
