@@ -221,6 +221,38 @@ def q_window_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Text analysis: BPE-ish token count (regex match count, RE2 both sides)
+def q_bpe_token_counts(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(textstats.bpe_token_count, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_bpe_tokens"])
+    )
+
+
+# S1/M11 analog on a timestamp column: predicate pushdown at the read
+def q_lineitem_date_filter(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"],
+        filter=pads.field("l_shipdate") < pads.scalar(pd.Timestamp("1994-01-01")),
+    )
+    n = ds.count()
+    return pa.table({"n": pa.array([n], pa.int64())})
+
+
+# A5 visibility: out-degree per subject of the synthetic KG (rows-only)
+def q_graph_degrees(sf_dir: str):
+    from ..pipelines.annotate import PipelineSpec, annotate_pages
+    from ..synth import gen_pages
+
+    triples = annotate_pages(rd.from_arrow(gen_pages(1000)), PipelineSpec(n_buckets=8))
+    deg = distinct_counts(triples.select_columns(["subj"]), "subj", nb=8)
+    df = deg.to_pandas().rename(columns={"count": "out_degree"})
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # §2.9 session windows (gap-based, per-user) — custom windowed operator
 def q_session_windows(sf_dir: str):
     from ..stages.windows import session_windows
@@ -382,6 +414,9 @@ QUERIES = {
     "normalize_text": q_normalize_text,
     "extract_json_k": q_extract_json_k,
     "token_counts": q_token_counts,
+    "bpe_token_counts": q_bpe_token_counts,
+    "lineitem_date_filter": q_lineitem_date_filter,
+    "graph_degrees": q_graph_degrees,
     "canonicalize_events": q_canonicalize_events,
     "dedup_docs": q_dedup_docs,
     "distinct_event_types": q_distinct_event_types,
@@ -422,6 +457,13 @@ ORACLES = {
     ),
     "token_counts": (
         "SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens FROM documents"
+    ),
+    "bpe_token_counts": (
+        "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))"
+        " AS n_bpe_tokens FROM documents"
+    ),
+    "lineitem_date_filter": (
+        "SELECT count(*) AS n FROM lineitem WHERE l_shipdate < TIMESTAMP '1994-01-01'"
     ),
     "canonicalize_events": (
         "SELECT user_id, event_id, value FROM ("
