@@ -111,6 +111,77 @@ class LinkerActor:
         )
 
 
+class _LinkerShard:
+    """One shard of the big-dictionary path: holds the index over a
+    SUBSET of terms (every num_shards-th row) plus the full curated map
+    (curated is the small hand-curated tier by construction)."""
+
+    def __init__(self, terms_ref, curated_ref, shard: int, num_shards: int):
+        # Ray auto-dereferences ObjectRef arguments to remote calls.
+        terms: pa.Table = ray.get(terms_ref) if isinstance(terms_ref, ray.ObjectRef) else terms_ref
+        curated: pa.Table = ray.get(curated_ref) if isinstance(curated_ref, ray.ObjectRef) else curated_ref
+        idx = [i for i in range(len(terms)) if i % num_shards == shard]
+        self.index = OntologyIndex.build(terms.take(idx), curated)
+
+    def link(self, keys: list[str]) -> list[tuple | None]:
+        out = []
+        for key in keys:
+            char_type, _, value_norm = key.partition(KEY_SEP)
+            out.append(self.index.lookup(char_type, value_norm))
+        return out
+
+
+class ShardedLinker:
+    """ST4 big-dictionary scale path: the ontology dictionary is hash-
+    sharded across S Ray actors (each holds 1/S of the terms), queries
+    fan out to every shard and the per-shard hits are merged by the
+    global tier order (confidence rank desc, score desc, term_uri asc —
+    tier scores are strictly ordered, so the merge reproduces the
+    single-index tier semantics EXACTLY; parity is tested).
+
+    Use when the dictionary exceeds a single worker's memory; at fixture
+    scale the broadcast path (LinkerActor) is strictly cheaper."""
+
+    def __init__(self, terms: pa.Table | None = None, curated: pa.Table | None = None,
+                 num_shards: int = 4):
+        from .canonicalize import CONFIDENCE_RANK
+
+        self.rank = CONFIDENCE_RANK
+        terms_ref, curated_ref = broadcast_dictionaries(terms, curated)
+        shard_cls = ray.remote(_LinkerShard)
+        self.shards = [
+            shard_cls.remote(terms_ref, curated_ref, s, num_shards)
+            for s in range(num_shards)
+        ]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        per_shard = ray.get([s.link.remote(keys) for s in self.shards])
+        out_keys, uris, labels, confs, scores, provs = [], [], [], [], [], []
+        for i, key in enumerate(keys):
+            hits = [ps[i] for ps in per_shard if ps[i] is not None]
+            if not hits:
+                continue
+            # Final component: a curated hit from a shard that lacks the
+            # term row falls back to label=uri — prefer the shard that
+            # has the real label (same uri/tier/score otherwise).
+            best = min(hits, key=lambda h: (-self.rank.get(h[2], -1), -h[3], h[0], h[1] == h[0]))
+            out_keys.append(key)
+            uris.append(best[0]); labels.append(best[1]); confs.append(best[2])
+            scores.append(best[3]); provs.append(best[4])
+        return pa.table(
+            {
+                "key": pa.array(out_keys, pa.string()),
+                "term_uri": pa.array(uris, pa.string()),
+                "term_label": pa.array(labels, pa.string()),
+                "confidence": pa.array(confs, pa.string()),
+                "score": pa.array(scores, pa.float32()),
+                "provenance": pa.array(provs, pa.string()),
+            },
+            schema=ANNOTATIONS,
+        )
+
+
 def filter_confidence(ds, min_confidence: str = "GOOD"):
     """M10 threshold filter: keep candidates at/above a confidence tier
     (reference default ≥ GOOD — SURVEY.md §2.2 M10)."""

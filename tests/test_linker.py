@@ -66,6 +66,20 @@ def test_linker_actor_batch(ray_session):
     assert actor.stats["cache_hits"] > 0
 
 
+def test_sharded_linker_matches_single_index(ray_session):
+    """ST4 big-dictionary path: hash-sharded actors merge to EXACTLY the
+    single-index result (tier scores are strictly ordered)."""
+    from biosd_feature_annotator_ray.functions.normalize import KEY_SEP
+    from biosd_feature_annotator_ray.stages.linker import LinkerActor, ShardedLinker
+
+    keys = pa.table({"key": [f"{norm_str(t)}{KEY_SEP}{norm_str(v)}"
+                             for t, v, _, _ in CORPUS]})
+    single = LinkerActor.local()(keys).to_pylist()
+    sharded = ShardedLinker(num_shards=3)(keys).to_pylist()
+    assert single == sharded
+    assert len(single) > 0
+
+
 def test_tie_break_deterministic():
     """Two terms sharing a synonym → uri-ascending winner."""
     terms = pa.table(
