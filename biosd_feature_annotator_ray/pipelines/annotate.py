@@ -14,11 +14,18 @@ stage chain; the pipeline IS the orchestrator:
       → map_batches(LinkerActor, pool)       ST2/ST4/J1–J3
       → confidence threshold                 M10
       → broadcast links (ray.put)            §4.2-4 map-side join back
-    [main branch]
-      → map_batches(AnnotationJoiner, pool)  emit triples
-      → dedup (subj,pred,obj,obj_kind)       A2 bucket shuffle
-      → add part_id = hash(subj) % P         §4.2-3
-      → groupby(part_id) pack + write        A5/S3 checkpointed sink
+    [checkpointed run() — single-job architecture]
+      read → extract → detect → parse → tag part_id=hash(url)%P
+        (ONE fused Ray Data operator)
+      → scatter mention fragments to part_id dirs      §4.2-3, no all-to-all
+      → P independent finalize tasks:                  A1/A2/A5/S3 fused
+          link local distinct keys (pure function ≡ global pass, tested)
+          → emit triples → exact dedup → pack adjacency
+          → atomic write + manifest
+
+    [API path annotate_pages() — global links]
+      build_mentions → compute_links_table (driver-side distinct keys)
+      → broadcast-back join (AnnotationJoiner tasks) → dedup_exact
 """
 
 from __future__ import annotations

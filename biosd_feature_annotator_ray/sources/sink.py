@@ -10,11 +10,15 @@ equivalent:
       triples/part_id={p}/data.parquet
       graph/part_id={p}/data.parquet
 
-Each partition is written temp → fsync → atomic rename by the map_groups
-worker itself (distributed write, no driver funnel); the manifest row is
-written only after both renames succeed, so a partition is "done" iff
-its manifest exists with ok=true. Resume prunes done partitions before
-any work is scheduled.
+plus ``mentions_raw/part_id={p}/frag-*.parquet`` — the scatter-stage
+fragments that double as the mention checkpoint (``_SCATTER_DONE``
+marker gates re-scatter on resume).
+
+Each partition is written temp → fsync → atomic rename by its own
+finalize task (distributed write, no driver funnel); the manifest row
+is written only after both renames succeed, so a partition is "done"
+iff its manifest exists with ok=true. Resume skips the scatter via the
+marker and skips finalized partitions via their manifests.
 """
 
 from __future__ import annotations

@@ -44,16 +44,22 @@ _EN_STOP = frozenset(
 def quality_features(batch: pa.Table, col: str = "text") -> pa.Table:
     """Append n_chars_q, n_tokens_q, mean_token_len, punct_ratio,
     digit_ratio, stopword_ratio, quality_score ∈ [0,1]."""
-    text = batch.column(col)
+    text = pc.fill_null(batch.column(col), "")
     n_chars = pc.utf8_length(text).to_numpy(zero_copy_only=False).astype(np.float64)
     toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _WS)
     n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
     n_punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(zero_copy_only=False)
     n_digit = pc.count_substring_regex(text, r"\d").to_numpy(zero_copy_only=False)
-    # stopword ratio via pandas (vectorized set membership on exploded tokens)
+    # stopword ratio: explode tokens once, one vectorized isin, bincount
     s = toks.to_pandas()
-    stop_ratio = s.map(lambda ws: sum(1 for w in ws if w.lower() in _EN_STOP) / max(1, len(ws)))
-    stop_ratio = stop_ratio.to_numpy(dtype=np.float64)
+    lengths = s.str.len().to_numpy(dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(s)), lengths)
+    flat = pd.Series([w for ws in s for w in ws], dtype=object).str.lower()
+    stop_hits = np.zeros(len(s), dtype=np.int64)
+    if len(flat):
+        hits = flat.isin(_EN_STOP).to_numpy()
+        stop_hits = np.bincount(doc_idx[hits], minlength=len(s))
+    stop_ratio = stop_hits / np.maximum(lengths, 1)
 
     safe_tok = np.maximum(n_tok, 1.0)
     mean_tok_len = (n_chars - (n_tok - 1).clip(min=0)) / safe_tok
@@ -101,20 +107,21 @@ class LangIdStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pandas().fillna("")
         toks = texts.str.lower().str.findall(self.word_re)
-
-        def pick(ws: list[str]) -> str:
-            if not ws:
-                return self.default
-            best, best_n = self.default, 0
-            for lang in self.langs:
-                sset = self.sets[lang]
-                n = sum(1 for w in ws if w in sset)
-                if n > best_n:
-                    best, best_n = lang, n
-            return best
-
-        pred = toks.map(pick)
-        return batch.append_column("lang_pred", pa.array(pred.to_numpy(dtype=object), pa.string()))
+        # Vectorized: explode tokens once, one isin() per language,
+        # per-doc counts via bincount over the doc index.
+        n_docs = len(texts)
+        lengths = toks.str.len().to_numpy(dtype=np.int64)
+        doc_idx = np.repeat(np.arange(n_docs), lengths)
+        flat = pd.Series([w for ws in toks for w in ws], dtype=object)
+        counts = np.zeros((n_docs, len(self.langs)), dtype=np.int64)
+        if len(flat):
+            for j, lang in enumerate(self.langs):
+                hits = flat.isin(self.sets[lang]).to_numpy()
+                counts[:, j] = np.bincount(doc_idx[hits], minlength=n_docs)
+        best_j = counts.argmax(axis=1)
+        best_n = counts.max(axis=1, initial=0)
+        pred = np.where(best_n > 0, np.array(self.langs, dtype=object)[best_j], self.default)
+        return batch.append_column("lang_pred", pa.array(pred, pa.string()))
 
 
 # ---------------------------------------------------------------------------
