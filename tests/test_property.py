@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for kernel invariants:
+the reference's fixtures are golden-value tests (SURVEY.md §5.1); these
+add the randomized coverage the reference never had."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from biosd_feature_annotator_ray.functions.normalize import norm_str
+from biosd_feature_annotator_ray.functions.parsers import parse_typed_values
+from biosd_feature_annotator_ray.stages.mentions import detect_mentions
+
+SETTINGS = settings(max_examples=200, deadline=None)
+
+
+def _parse_one(v: str) -> dict:
+    return parse_typed_values(pa.array([v], pa.string())).to_pylist()[0]
+
+
+@SETTINGS
+@given(st.floats(allow_nan=False, allow_infinity=False, width=32))
+def test_any_float_repr_parses_as_number_or_year(x):
+    row = _parse_one(repr(float(x)))
+    if row["kind"] == "date":  # the 4-digit-year window rule wins for e.g. "1999"
+        assert float(x).is_integer() and 1800 <= float(x) <= 2100
+    else:
+        assert row["kind"] == "number"
+        assert row["num"] == float(repr(float(x)))
+
+
+@SETTINGS
+@given(st.text(alphabet=" \t", max_size=5), st.sampled_from(["42", "2-5", "34 weeks", "2010-07-28", "n/a"]),
+       st.text(alphabet=" \t", max_size=5))
+def test_parse_invariant_under_outer_whitespace(pre, core, post):
+    a = _parse_one(core)
+    b = _parse_one(pre + core + post)
+    assert a == b
+
+
+@SETTINGS
+@given(st.integers(min_value=0, max_value=99999))
+def test_year_window_rule(y):
+    row = _parse_one(str(y))
+    if 1800 <= y <= 2100 and len(str(y)) == 4:
+        assert row["kind"] == "date"
+        assert row["dt"].year == y
+    else:
+        assert row["kind"] == "number"
+        assert row["num"] == float(y)
+
+
+@SETTINGS
+@given(st.floats(allow_nan=False, allow_infinity=False, width=16),
+       st.floats(allow_nan=False, allow_infinity=False, width=16))
+def test_range_always_ordered(a, b):
+    row = _parse_one(f"{repr(float(a))} to {repr(float(b))}")
+    if row["kind"] == "number_range":
+        assert row["num_lo"] <= row["num_hi"]
+
+
+@SETTINGS
+@given(st.text(max_size=80))
+def test_norm_idempotent(s):
+    assert norm_str(norm_str(s)) == norm_str(s)
+
+
+@SETTINGS
+@given(st.lists(st.sampled_from(["organism: Homo sapiens", "sex:F", "no colon", "", "junk: thing"]),
+                max_size=6))
+def test_mention_count_additive_over_lines(lines):
+    """Detection over a joined page equals the sum over its lines."""
+    page = detect_mentions(pa.table({"url": ["u"], "text": ["\n".join(lines)]}))
+    per_line = sum(
+        len(detect_mentions(pa.table({"url": ["u"], "text": [ln]}))) for ln in lines
+    )
+    assert len(page) == per_line
+
+
+def test_hash_stability_across_processes():
+    """Stable-hash guarantee (SURVEY.md §2.8): same values → same hashes
+    in a subprocess (Python hash() would fail this)."""
+    import subprocess
+    import sys
+
+    from biosd_feature_annotator_ray.functions.hashing import hash_strings
+
+    here = hash_strings(pa.array(["a", "homo sapiens", "x|y"])).tolist()
+    code = (
+        "import pyarrow as pa, sys; sys.path.insert(0, '/root/repo');"
+        "from biosd_feature_annotator_ray.functions.hashing import hash_strings;"
+        "print(hash_strings(pa.array(['a', 'homo sapiens', 'x|y'])).tolist())"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True)
+    assert eval(out.stdout.strip()) == here
