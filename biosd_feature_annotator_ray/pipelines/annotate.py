@@ -132,11 +132,12 @@ def compute_links_table(
     shuffle, no actor pool, identical output to the distributed path
     (tested). Falls back conceptually to compute_links_distributed when
     the key set outgrows the driver (SURVEY.md §4.2-4)."""
-    keys = (
-        mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536)
-        .to_pandas()["key"]
-        .drop_duplicates()
-    )
+    df = mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536).to_pandas()
+    if "key" not in df.columns:  # zero mentions → empty frame loses its schema
+        import pandas as pd
+
+        df = pd.DataFrame({"key": pd.Series([], dtype=object)})
+    keys = df["key"].drop_duplicates()
     linker = LinkerActor.local(terms, curated)
     linked = linker(pa.table({"key": pa.array(keys.to_numpy(dtype=object), pa.string())}))
     from ..stages.canonicalize import CONFIDENCE_RANK
