@@ -42,7 +42,6 @@ from ..functions.parsers import parse_batch
 from ..functions.textextract import extract_text
 from ..sources.pages import read_pages
 from ..stages.canonicalize import dedup_exact, distinct_counts
-from ..stages.graph import add_part_id
 from ..stages.linker import LinkerActor, broadcast_dictionaries, filter_confidence
 from ..stages.mentions import DEFAULT_TYPE_VOCAB, detect_mentions
 from ..stages.triples import AnnotationJoiner, unit_key_array

@@ -114,7 +114,7 @@ def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None,
     )
 
 
-def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "triples_raw") -> pa.Table:
+def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_raw") -> pa.Table:
     """Map-task body: split a part_id-tagged batch by part_id and append
     one fragment file per partition directory.
 
@@ -207,26 +207,6 @@ def finalize_mentions_partition(
                                     "linked_keys": len(links)})
 
 
-def finalize_partition(out_dir: str, part_id: int) -> pa.Table:
-    """Compact one partition: read its fragments, exact-dedup (A2 —
-    duplicates co-locate because part_id = hash(subj)), pack adjacency,
-    atomic write + manifest. Independent per partition → trivially
-    parallel AND resumable."""
-    pdir = os.path.join(out_dir, "triples_raw", f"part_id={part_id}")
-    if os.path.isdir(pdir):
-        frags = sorted(os.listdir(pdir))
-        tbl = pa.concat_tables([pq.read_table(os.path.join(pdir, f)) for f in frags])
-        df = tbl.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
-        df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
-        tbl = pa.Table.from_pandas(df, preserve_index=False)
-    else:
-        from ..schemas import TRIPLES
-
-        tbl = TRIPLES.empty_table()
-    tbl = tbl.append_column("part_id", pa.array(np.full(len(tbl), part_id, dtype=np.int32)))
-    return write_partition(tbl, out_dir, dedup=False, part_id=part_id)
-
-
 def run_sink(
     mentions_with_part: "ray.data.Dataset",
     out_dir: str,
@@ -288,72 +268,6 @@ def run_sink(
     return pa.concat_tables(rows)
 
 
-def write_graph_checkpointed(
-    triples_with_part: "ray.data.Dataset",
-    out_dir: str,
-    resume: bool = True,
-    fail_after_parts: int | None = None,
-    num_parts: int | None = None,
-) -> pa.Table:
-    """The S3 sink, shuffle-free: scatter fragments from map tasks, then
-    finalize every not-yet-done partition in parallel Ray tasks.
-    Returns the manifest table for partitions written THIS run.
-
-    ``fail_after_parts`` is a test hook: raise in finalize after N
-    partitions to exercise resume (SURVEY.md §5.2 item 5)."""
-    import ray as _ray
-
-    done = completed_partitions(out_dir) if resume else {}
-    scatter_marker = os.path.join(out_dir, "_SCATTER_DONE")
-    if not (resume and os.path.exists(scatter_marker)):
-        import shutil
-
-        shutil.rmtree(os.path.join(out_dir, "triples_raw"), ignore_errors=True)
-        seen = triples_with_part.map_batches(
-            lambda t: _scatter_fragments(t, out_dir),
-            batch_format="pyarrow", batch_size=131072,
-        )
-        counts = seen.to_pandas()  # tiny: (part_id, rows) per task
-        os.makedirs(out_dir, exist_ok=True)
-        with open(scatter_marker, "w") as f:
-            f.write("ok")
-        max_part = int(counts["part_id"].max()) + 1 if len(counts) else 0
-    else:
-        max_part = 0
-    if num_parts is None:
-        existing = [
-            int(d.split("=", 1)[1])
-            for d in os.listdir(os.path.join(out_dir, "triples_raw"))
-        ] if os.path.isdir(os.path.join(out_dir, "triples_raw")) else []
-        num_parts = max(existing + [max_part - 1], default=-1) + 1
-
-    todo = [p for p in range(num_parts) if p not in done]
-
-    @_ray.remote
-    def _finalize(p: int, idx: int):
-        if fail_after_parts is not None and idx >= fail_after_parts:
-            raise RuntimeError("injected failure for resume test")
-        return finalize_partition(out_dir, p)
-
-    refs = [_finalize.remote(p, i) for i, p in enumerate(todo)]
-    rows, first_err = [], None
-    for r in refs:  # drain ALL tasks so successful partitions persist before any raise
-        try:
-            rows.append(_ray.get(r))
-        except Exception as ex:  # noqa: BLE001 — re-raised below after drain
-            first_err = first_err or ex
-    if first_err is not None:
-        raise first_err
-    if _dbg:
-        print("PHASE finalize", round(time.time() - _t0, 1), flush=True)
-    if not rows:
-        return pa.table({"part_id": pa.array([], pa.int32()),
-                         "triples": pa.array([], pa.int64()),
-                         "graph_rows": pa.array([], pa.int64()),
-                         "ok": pa.array([], pa.bool_())})
-    return pa.concat_tables(rows)
-
-
 def purge(out_dir: str, older_than_ts: float) -> list[int]:
     """S4 purger: drop partitions written before the cutoff (partition
     rewrite hygiene — the reference deletes annotation rows older than a
@@ -363,7 +277,7 @@ def purge(out_dir: str, older_than_ts: float) -> list[int]:
     removed = []
     for part_id, row in completed_partitions(out_dir).items():
         if row["wrote_ts"] < older_than_ts:
-            for sub in ("triples", "graph", "mentions_raw", "triples_raw"):
+            for sub in ("triples", "graph", "mentions_raw"):
                 shutil.rmtree(os.path.join(out_dir, sub, f"part_id={part_id}"), ignore_errors=True)
             os.remove(os.path.join(out_dir, MANIFEST_DIR, f"part-{part_id:05d}.json"))
             removed.append(part_id)
