@@ -72,3 +72,21 @@ def test_unit_uris_linked(triples):
 
 def test_obsolete_never_wins(triples):
     assert not triples.obj.str.contains("EFO_OBS01").any()
+
+
+def test_empty_and_mention_free_inputs(ray_session):
+    """Edge: empty pages and pages with no characteristic mentions both
+    yield an empty triples dataset (no schema-loss crashes)."""
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, annotate_pages
+    from biosd_feature_annotator_ray.schemas import PAGES
+
+    spec = PipelineSpec(n_buckets=4)
+    assert annotate_pages(rd.from_arrow(PAGES.empty_table()), spec).count() == 0
+    pages = pa.table(
+        {"url": ["u1"], "warc_ts": pa.array([0], pa.timestamp("us", tz="UTC")),
+         "html": pa.array([None], pa.binary()),
+         "text": pa.array(["no mentions here"], pa.large_string()), "lang": ["en"]},
+        schema=PAGES)
+    assert annotate_pages(rd.from_arrow(pages), spec).count() == 0
