@@ -30,14 +30,13 @@ stage chain; the pipeline IS the orchestrator:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import pyarrow as pa
 
 import ray
 import ray.data
 
-from ..functions.normalize import norm_array
 from ..functions.parsers import parse_batch
 from ..functions.textextract import extract_text
 from ..sources.pages import read_pages
