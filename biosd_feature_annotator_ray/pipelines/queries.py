@@ -92,6 +92,17 @@ def q_canonicalize_events(sf_dir: str):
     return best.select_columns(["user_id", "event_id", "value"])
 
 
+# A1 multi-key argmax: latest event per (user, type) — the "keep newest
+# version of each url" Common-Crawl pattern on the events table
+def q_latest_event_per_user_type(sf_dir: str):
+    best = groupby_argmax(
+        _events(sf_dir, ["user_id", "event_type", "event_id", "ts"]),
+        ["user_id", "event_type"], ["ts", "event_id"], [False, False], nb=16,
+    )
+    out = best.select_columns(["user_id", "event_type", "event_id"])
+    return out
+
+
 # A2 exact dedup (hash-partition + per-group first)
 def q_dedup_docs(sf_dir: str):
     out = dedup_exact(_docs(sf_dir, ["doc_id", "text"]), ["text"], nb=16,
@@ -418,6 +429,7 @@ QUERIES = {
     "lineitem_date_filter": q_lineitem_date_filter,
     "graph_degrees": q_graph_degrees,
     "canonicalize_events": q_canonicalize_events,
+    "latest_event_per_user_type": q_latest_event_per_user_type,
     "dedup_docs": q_dedup_docs,
     "distinct_event_types": q_distinct_event_types,
     "topk_event_types": q_topk_event_types,
@@ -469,6 +481,13 @@ ORACLES = {
         "SELECT user_id, event_id, value FROM ("
         " SELECT user_id, event_id, value,"
         "        row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn"
+        " FROM events) WHERE rn = 1"
+    ),
+    "latest_event_per_user_type": (
+        "SELECT user_id, event_type, event_id FROM ("
+        " SELECT user_id, event_type, event_id,"
+        "        row_number() OVER (PARTITION BY user_id, event_type"
+        "                           ORDER BY ts DESC, event_id DESC) AS rn"
         " FROM events) WHERE rn = 1"
     ),
     "dedup_docs": "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text",

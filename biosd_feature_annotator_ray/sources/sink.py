@@ -231,10 +231,13 @@ def run_sink(
         import shutil
 
         shutil.rmtree(os.path.join(out_dir, "mentions_raw"), ignore_errors=True)
-        mentions_with_part.map_batches(
+        scatter_ds = mentions_with_part.map_batches(
             lambda t: _scatter_fragments(t, out_dir, subdir="mentions_raw"),
             batch_format="pyarrow", batch_size=None,
-        ).to_pandas()
+        )
+        scatter_ds.to_pandas()
+        if os.environ.get("GRAFT_DEBUG_STATS"):
+            print(scatter_ds.stats(), flush=True)
         os.makedirs(out_dir, exist_ok=True)
         with open(marker, "w") as f:
             f.write("ok")

@@ -13,6 +13,7 @@ FAST = [
     "token_counts", "canonicalize_events", "dedup_docs", "distinct_event_types",
     "topk_event_types", "lineitem_agg", "revenue_per_nation", "anti_join_docs",
     "top_orders", "window_events", "session_windows", "partition_date",
+    "latest_event_per_user_type", "bpe_token_counts", "lineitem_date_filter",
 ]
 
 
