@@ -232,6 +232,22 @@ def q_window_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Training-data split: deterministic md5-bucket train/val/test
+def q_train_split(sf_dir: str):
+    out = _docs(sf_dir, ["doc_id"]).map_batches(
+        textstats.train_split, batch_format="pyarrow", batch_size=65536
+    )
+    return out.select_columns(["doc_id", "bucket", "split"])
+
+
+# Training-data chunking: fixed-token windows with overlap (rows-only)
+def q_chunk_documents(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda t: textstats.chunk_documents(t, chunk_tokens=32, overlap=8),
+        batch_format="pyarrow", batch_size=65536,
+    )
+
+
 # Text analysis: BPE-ish token count (regex match count, RE2 both sides)
 def q_bpe_token_counts(sf_dir: str):
     return (
@@ -426,6 +442,8 @@ QUERIES = {
     "extract_json_k": q_extract_json_k,
     "token_counts": q_token_counts,
     "bpe_token_counts": q_bpe_token_counts,
+    "train_split": q_train_split,
+    "chunk_documents": q_chunk_documents,
     "lineitem_date_filter": q_lineitem_date_filter,
     "graph_degrees": q_graph_degrees,
     "canonicalize_events": q_canonicalize_events,
@@ -473,6 +491,14 @@ ORACLES = {
     "bpe_token_counts": (
         "SELECT doc_id, len(regexp_extract_all(text, '[A-Za-z]+|\\d+|[^\\sA-Za-z\\d]'))"
         " AS n_bpe_tokens FROM documents"
+    ),
+    "train_split": (
+        "SELECT doc_id,"
+        " CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 AS bucket,"
+        " CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 < 80 THEN 'train'"
+        "      WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT) % 100 < 90 THEN 'val'"
+        "      ELSE 'test' END AS split"
+        " FROM documents"
     ),
     "lineitem_date_filter": (
         "SELECT count(*) AS n FROM lineitem WHERE l_shipdate < TIMESTAMP '1994-01-01'"

@@ -167,6 +167,58 @@ def rolling_shingle_hashes(tokens: list[str], n: int = 3,
     return acc
 
 
+def chunk_documents(batch: pa.Table, chunk_tokens: int = 128, overlap: int = 16,
+                    id_col: str = "doc_id", col: str = "text") -> pa.Table:
+    """Row-expanding map: split each document into fixed-token chunks
+    with overlap (the standard training-data windowing op). Output:
+    (doc_id, chunk_idx, chunk_text, n_tokens). Deterministic."""
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(col).to_pandas().fillna("")
+    out_ids, out_idx, out_text, out_n = [], [], [], []
+    for did, t in zip(ids, texts):
+        toks = t.split()
+        if not toks:
+            continue
+        starts = range(0, max(1, len(toks) - overlap), step)
+        for ci, st in enumerate(starts):
+            piece = toks[st:st + chunk_tokens]
+            out_ids.append(did)
+            out_idx.append(ci)
+            out_text.append(" ".join(piece))
+            out_n.append(len(piece))
+    return pa.table(
+        {
+            id_col: pa.array(out_ids, batch.schema.field(id_col).type),
+            "chunk_idx": pa.array(out_idx, pa.int32()),
+            "chunk_text": pa.array(out_text, pa.string()),
+            "n_tokens": pa.array(out_n, pa.int64()),
+        }
+    )
+
+
+def train_split(batch: pa.Table, id_col: str = "doc_id",
+                fractions: tuple[int, int] = (80, 10)) -> pa.Table:
+    """Deterministic train/val/test assignment: md5 of the id → bucket
+    0–99 → split. md5 is used (not pandas/xxhash) so the assignment is
+    reproducible by ANY system — the DuckDB oracle computes the exact
+    same buckets. At 100 TB you'd swap in a vectorized xxhash with the
+    same contract."""
+    import hashlib
+
+    ids = batch.column(id_col).to_pylist()
+    buckets = np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 100 for i in ids),
+        dtype=np.int64, count=len(ids),
+    )
+    train_f, val_f = fractions
+    split = np.where(buckets < train_f, "train",
+                     np.where(buckets < train_f + val_f, "val", "test"))
+    out = batch.append_column("bucket", pa.array(buckets))
+    return out.append_column("split", pa.array(split.astype(object), pa.string()))
+
+
 def fingerprint(batch: pa.Table, col: str = "text", k: int = 8, ngram: int = 3) -> pa.Table:
     """Winnowing-style fingerprint: the k smallest rolling-hash values
     of the token n-gram stream, packed to a hex digest; plus a full

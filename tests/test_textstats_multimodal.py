@@ -59,6 +59,27 @@ def test_fingerprint_stability_and_similarity():
     assert len(mins(fa) & mins(fb)) > len(mins(fa) & mins(fc))
 
 
+def test_chunk_documents_windows():
+    t = pa.table({"doc_id": [1, 2], "text": ["a b c d e f g h", ""]})
+    out = textstats.chunk_documents(t, chunk_tokens=4, overlap=1)
+    rows = out.to_pylist()
+    # doc 1: step 3 → starts 0,3,6 → chunks [a b c d][d e f g][g h]; doc 2 empty → none
+    assert [r["chunk_text"] for r in rows] == ["a b c d", "d e f g", "g h"]
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2]
+    assert [r["n_tokens"] for r in rows] == [4, 4, 2]
+
+
+def test_train_split_deterministic_and_disjoint():
+    t = pa.table({"doc_id": list(range(200))})
+    a = textstats.train_split(t).to_pandas()
+    b = textstats.train_split(t).to_pandas()
+    assert a.equals(b)
+    assert set(a.split) == {"train", "val", "test"}
+    assert ((a.bucket >= 0) & (a.bucket < 100)).all()
+    # fractions roughly honored
+    assert 0.6 < (a.split == "train").mean() < 0.95
+
+
 def test_image_decode_stub_plumbing():
     media = multimodal.synth_media_table(10)
     out = multimodal.ImageDecodeStage()(media)
