@@ -252,5 +252,5 @@ def run(
     return run_sink(
         mentions, out_dir, num_parts, terms_ref, curated_ref,
         min_confidence=spec.min_confidence, resume=resume,
-        fail_after_parts=fail_after_parts,
+        fail_after_parts=fail_after_parts, max_edges=spec.max_edges,
     )

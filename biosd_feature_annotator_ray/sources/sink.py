@@ -69,7 +69,8 @@ TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind"]
 
 
 def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None,
-                    dedup: bool = True, part_id: int | None = None) -> pa.Table:
+                    dedup: bool = True, part_id: int | None = None,
+                    max_edges: int = 10_000) -> pa.Table:
     """Write one partition: exact-dedup within it (duplicates share
     subj → co-located by construction, so the A2 dedup FUSES into the
     partition exchange — no separate all-to-all), then write the triples
@@ -83,7 +84,7 @@ def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None,
         df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
         part = pa.Table.from_pandas(df, preserve_index=False)
     triples = part
-    graph = pack_adjacency(part)
+    graph = pack_adjacency(part, max_edges=max_edges)
     t_path = os.path.join(out_dir, "triples", f"part_id={part_id}", "data.parquet")
     g_path = os.path.join(out_dir, "graph", f"part_id={part_id}", "data.parquet")
     _atomic_write_parquet(triples.drop_columns(["part_id"]), t_path)
@@ -120,13 +121,21 @@ def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_ra
 
     This replaces the groupby(part_id) ALL-TO-ALL with a disk-backed
     scatter (the classic two-stage distributed hive write): map tasks
-    write fragments with task-unique names; the finalize pass compacts
-    each partition independently. Measured: the in-memory sort shuffle
-    cost 38s on 7.4M triples at 32 cpus; the scatter is one extra
-    sequential write of data that was being written anyway."""
+    write fragments via tmp + atomic rename under CONTENT-DERIVED names;
+    the finalize pass compacts each partition independently. Measured:
+    the in-memory sort shuffle cost 38s on 7.4M triples at 32 cpus; the
+    scatter is one extra sequential write of data that was being written
+    anyway.
+
+    Crash/retry safety: a task killed mid-write leaves only a ``.tmp-*``
+    file (ignored by finalize), never a truncated ``frag-*.parquet``;
+    and because the fragment name is a stable hash of the fragment's own
+    content, a retried task that re-writes the same block OVERWRITES the
+    identical file instead of duplicating mention rows."""
     import uuid
 
-    frag = uuid.uuid4().hex  # fragment NAME only — never enters data
+    from ..functions.hashing import hash_columns
+
     pids = batch.column("part_id").to_numpy(zero_copy_only=False)
     order = np.argsort(pids, kind="stable")
     sorted_tbl = batch.take(pa.array(order))
@@ -140,7 +149,15 @@ def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_ra
         pdir = os.path.join(out_dir, subdir, f"part_id={pid}")
         os.makedirs(pdir, exist_ok=True)
         sub = sorted_tbl.slice(st, en - st).drop_columns(["part_id"])
-        pq.write_table(sub, os.path.join(pdir, f"frag-{frag}.parquet"))
+        # Content-derived fragment name (row-hash fold over all columns):
+        # deterministic per block content → retry-idempotent.
+        with np.errstate(over="ignore"):
+            digest = int(hash_columns(sub, sub.column_names).sum(dtype=np.uint64)
+                         + np.uint64(len(sub)))
+        final = os.path.join(pdir, f"frag-{digest:016x}-{len(sub)}.parquet")
+        tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+        pq.write_table(sub, tmp)
+        os.replace(tmp, final)
     uniq, cnt = np.unique(pids, return_counts=True)
     return pa.table({"part_id": pa.array(uniq.astype(np.int32)),
                      "rows": pa.array(cnt.astype(np.int64))})
@@ -176,9 +193,11 @@ def finalize_mentions_partition(
         from ..schemas import TRIPLES
 
         empty = TRIPLES.empty_table().append_column("part_id", pa.array([], pa.int32()))
-        return write_partition(empty, out_dir, dedup=False, part_id=part_id)
+        return write_partition(empty, out_dir, dedup=False, part_id=part_id,
+                               max_edges=max_edges)
 
-    frags = sorted(os.listdir(pdir))
+    frags = sorted(f for f in os.listdir(pdir)
+                   if f.startswith("frag-") and f.endswith(".parquet"))
     mentions = pa.concat_tables([pq.read_table(os.path.join(pdir, f)) for f in frags])
 
     cache_key = (
@@ -203,6 +222,7 @@ def finalize_mentions_partition(
     triples = AnnotationJoiner(links)(mentions)
     triples = triples.append_column("part_id", pa.array(np.full(len(triples), part_id, dtype=np.int32)))
     return write_partition(triples, out_dir, dedup=True, part_id=part_id,
+                           max_edges=max_edges,
                            metrics={"mentions": len(mentions), "distinct_keys": len(all_keys),
                                     "linked_keys": len(links)})
 
@@ -216,6 +236,7 @@ def run_sink(
     min_confidence: str = "GOOD",
     resume: bool = True,
     fail_after_parts: int | None = None,
+    max_edges: int = 10_000,
 ) -> pa.Table:
     """Single-job sink: scatter MENTION fragments by part_id=hash(url),
     then finalize each partition independently (link → emit → dedup →
@@ -250,7 +271,8 @@ def run_sink(
     def _finalize(p: int, idx: int):
         if fail_after_parts is not None and idx >= fail_after_parts:
             raise RuntimeError("injected failure for resume test")
-        return finalize_mentions_partition(out_dir, p, terms_ref, curated_ref, min_confidence)
+        return finalize_mentions_partition(out_dir, p, terms_ref, curated_ref, min_confidence,
+                                           max_edges=max_edges)
 
     refs = [_finalize.remote(p, i) for i, p in enumerate(todo)]
     rows, first_err = [], None

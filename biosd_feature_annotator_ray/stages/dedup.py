@@ -28,9 +28,49 @@ from .canonicalize import _add_bucket, _B as _BUCKET_COL, dedup_exact
 from .textstats import batch_token_hashes, rolling_shingle_hashes  # noqa: E501
 
 
-def _bucketed_pairs(rows, sim_fn, threshold: float, nb: int):
+DEDUP_STATS_ACTOR = "dedup_stats"
+_STATS_HANDLES: dict = {}
+
+
+@ray.remote(num_cpus=0)
+class DedupStats:
+    """Tiny named counter actor surfacing LSH hot-bucket truncation
+    (the 'log note' promised by the docstring, made queryable). Created
+    by the driver when ``stats_name`` is passed; finish tasks look it up
+    by name and fire one RPC only when a group actually truncates."""
+
+    def __init__(self):
+        self.truncated_groups = 0
+        self.dropped_members = 0
+        self.fallback_pairs = 0
+
+    def inc(self, truncated_groups: int, dropped_members: int, fallback_pairs: int):
+        self.truncated_groups += truncated_groups
+        self.dropped_members += dropped_members
+        self.fallback_pairs += fallback_pairs
+
+    def get(self) -> dict:
+        return {
+            "truncated_groups": self.truncated_groups,
+            "dropped_members": self.dropped_members,
+            "fallback_pairs": self.fallback_pairs,
+        }
+
+
+def get_dedup_stats(stats_name: str = DEDUP_STATS_ACTOR) -> dict:
+    return ray.get(ray.get_actor(stats_name).get.remote())
+
+
+def _bucketed_pairs(rows, sim_fn, threshold: float, nb: int,
+                    max_bucket: int = 64, stats_name: str | None = None):
     """Coarse-bucket shuffle on (band_id, band_key) → run-scan pairing."""
-    finish = _pairs_from_buckets(["band_id", "band_key"], sim_fn, threshold)
+    if stats_name is not None:
+        # Keep the driver-side handle alive for the session (a named,
+        # non-detached actor is GC'd once all handles drop).
+        _STATS_HANDLES[stats_name] = DedupStats.options(
+            name=stats_name, get_if_exists=True).remote()
+    finish = _pairs_from_buckets(["band_id", "band_key"], sim_fn, threshold,
+                                 max_bucket=max_bucket, stats_name=stats_name)
     bucketed = rows.map_batches(
         lambda t: _add_bucket(t, ["band_id", "band_key"], nb),
         batch_format="pyarrow", batch_size=65536,
@@ -106,13 +146,24 @@ class MinHashSignatures:
         )
 
 
-def _pairs_from_buckets(group_cols: list[str], sim_fn, threshold: float, max_bucket: int = 64):
+def _pairs_from_buckets(group_cols: list[str], sim_fn, threshold: float,
+                        max_bucket: int = 64, stats_name: str | None = None,
+                        anchor_k: int = 8):
     """Build the within-bucket pairing finish fn (vectorized run-scan).
 
     Handles MANY (band, key) groups per call — callers group by a coarse
     hash bucket of (band, key), not by the keys themselves, so the
     per-group Python dispatch cost is per-BUCKET (the millions of tiny
-    LSH buckets would otherwise each pay a map_groups invocation)."""
+    LSH buckets would otherwise each pay a map_groups invocation).
+
+    Hot-bucket handling: a (band, key) group larger than ``max_bucket``
+    is NOT silently truncated. The first ``max_bucket`` members get full
+    pairwise comparison; every overflow member is additionally compared
+    against the group's first ``anchor_k`` members (boilerplate-heavy
+    hot buckets are near-cliques, so anchor pairs recover the dups the
+    cap would have dropped at O(n·anchor_k) instead of O(n²)); and the
+    truncation is REPORTED — a log line per finish task plus counters on
+    the named ``DedupStats`` actor when the caller requested one."""
 
     def finish(g: pa.Table) -> pa.Table:
         drop = [c for c in (_BUCKET_COL,) if c in g.column_names]
@@ -127,16 +178,46 @@ def _pairs_from_buckets(group_cols: list[str], sim_fn, threshold: float, max_buc
         ia, ib, sims = [], [], []
         ids = df["doc_id"].to_numpy()
         payload = df["sig"].to_numpy() if "sig" in df else None
+
+        def emit(x: int, y: int) -> bool:
+            if ids[x] == ids[y]:
+                return False
+            s = sim_fn(payload[x], payload[y]) if payload is not None else 1.0
+            if s >= threshold:
+                lo, hi = sorted((ids[x], ids[y]))
+                ia.append(lo); ib.append(hi); sims.append(s)
+                return True
+            return False
+
+        truncated_groups = dropped = fallback_pairs = 0
         for st, en in zip(starts, ends):
             m = min(en - st, max_bucket)
             for x in range(st, st + m):
                 for y in range(x + 1, st + m):
-                    if ids[x] == ids[y]:
-                        continue
-                    s = sim_fn(payload[x], payload[y]) if payload is not None else 1.0
-                    if s >= threshold:
-                        lo, hi = sorted((ids[x], ids[y]))
-                        ia.append(lo); ib.append(hi); sims.append(s)
+                    emit(x, y)
+            if en - st > max_bucket:
+                truncated_groups += 1
+                dropped += (en - st) - max_bucket
+                a_k = min(anchor_k, m)
+                for x in range(st + max_bucket, en):
+                    for y in range(st, st + a_k):
+                        if emit(y, x):
+                            fallback_pairs += 1
+        if truncated_groups:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "LSH hot-bucket cap hit: %d group(s) over max_bucket=%d "
+                "(%d overflow members routed through %d-anchor fallback, "
+                "%d fallback pairs kept)",
+                truncated_groups, max_bucket, dropped, anchor_k, fallback_pairs,
+            )
+            if stats_name is not None:
+                try:
+                    ray.get_actor(stats_name).inc.remote(
+                        truncated_groups, dropped, fallback_pairs)
+                except ValueError:
+                    pass  # actor not created (caller didn't request stats)
         return pa.table(
             {"id_a": pa.array(ia, pa.int64()), "id_b": pa.array(ib, pa.int64()),
              "similarity": pa.array(np.round(sims, 6), pa.float64())}
@@ -159,6 +240,8 @@ def minhash_near_dups(
     ngram: int = 3,
     nb: int = 32,
     concurrency=(1, 8),
+    max_bucket: int = 64,
+    stats_name: str | None = None,
 ) -> "ray.data.Dataset":
     """MinHash+LSH near-dup pairs: (id_a, id_b, similarity≈Jaccard)."""
     band_rows = docs.map_batches(
@@ -167,7 +250,8 @@ def minhash_near_dups(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = _bucketed_pairs(band_rows, _sig_similarity, threshold, nb)
+    pairs = _bucketed_pairs(band_rows, _sig_similarity, threshold, nb,
+                            max_bucket=max_bucket, stats_name=stats_name)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
 
 
@@ -220,12 +304,14 @@ def _hamming_sim(sa: bytes, sb: bytes) -> float:
 
 
 def simhash_near_dups(
-    docs: "ray.data.Dataset", max_hamming: int = 3, nb: int = 32, concurrency=(1, 8)
+    docs: "ray.data.Dataset", max_hamming: int = 3, nb: int = 32, concurrency=(1, 8),
+    max_bucket: int = 64, stats_name: str | None = None,
 ) -> "ray.data.Dataset":
     """SimHash near-dup pairs (hamming distance ≤ max_hamming)."""
     threshold = 1.0 - max_hamming / 64.0 - 1e-9
     rows = docs.map_batches(SimHashSignatures, batch_format="pyarrow", concurrency=concurrency)
-    pairs = _bucketed_pairs(rows, _hamming_sim, threshold, nb)
+    pairs = _bucketed_pairs(rows, _hamming_sim, threshold, nb,
+                            max_bucket=max_bucket, stats_name=stats_name)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
 
 
@@ -323,6 +409,8 @@ def embedding_near_dups(
     bits: int = 12,
     nb: int = 32,
     concurrency=(1, 8),
+    max_bucket: int = 64,
+    stats_name: str | None = None,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via random-hyperplane LSH."""
     rows = vecs.map_batches(
@@ -331,5 +419,6 @@ def embedding_near_dups(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    pairs = _bucketed_pairs(rows, _cosine_sim, threshold, nb)
+    pairs = _bucketed_pairs(rows, _cosine_sim, threshold, nb,
+                            max_bucket=max_bucket, stats_name=stats_name)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)

@@ -73,9 +73,13 @@ def sliding_windows(
     size/slide overlapping windows — implemented as a flat-map
     (replicate each row into its windows: window starts are a pure row
     function) + partial agg + global agg; no key co-location needed."""
-    k = int(size / slide)
     size_us = int(size.value // 1000)
     slide_us = int(slide.value // 1000)
+    # Ceiling division: when size is not an integer multiple of slide an
+    # event still belongs to ceil(size/slide) windows (the extra, earliest
+    # window is partially covering; the `ok = ts < ws + size_us` mask trims
+    # rows that fall outside it).
+    k = -(-size_us // slide_us)
 
     def explode_and_partial(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col).to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)

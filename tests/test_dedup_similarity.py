@@ -65,6 +65,37 @@ def test_ngram_jaccard_verify(ray_session):
     assert ((near.similarity > 0.5) & (near.similarity < 1.0)).all()
 
 
+def test_hot_bucket_cap_reported_and_recovered(ray_session):
+    """A pathological LSH bucket (80 identical docs, max_bucket=16) must
+    (a) fire the truncation counter on the named DedupStats actor and
+    (b) still yield dup pairs for the overflow members via the anchor
+    fallback — the silent-truncation fix from round 1."""
+    import ray
+
+    from biosd_feature_annotator_ray.stages.dedup import get_dedup_stats, minhash_near_dups
+
+    boiler = "the same boilerplate page text repeated verbatim across mirrors " * 3
+    rows = [{"doc_id": i, "text": boiler} for i in range(80)]
+    rows += [{"doc_id": 100 + i, "text": f"unique filler document number {i} "
+              + " ".join(f"tok{i}_{j}" for j in range(30))} for i in range(20)]
+    docs = rd.from_pandas(pd.DataFrame(rows)).repartition(4)
+
+    name = "dedup_stats_test"
+    pairs = minhash_near_dups(docs, threshold=0.9, max_bucket=16,
+                              stats_name=name).to_pandas()
+    stats = get_dedup_stats(name)
+    assert stats["truncated_groups"] > 0
+    assert stats["dropped_members"] > 0
+    # anchor fallback: every overflow member (doc_id >= 16) must still be
+    # paired with at least one anchor (identical docs → similarity 1.0)
+    paired = set(pairs.id_a) | set(pairs.id_b)
+    for i in range(80):
+        assert i in paired, (i, sorted(paired))
+    dup_pairs = pairs[(pairs.id_a < 80) & (pairs.id_b < 80)]
+    assert (dup_pairs.similarity == 1.0).all()
+    ray.kill(ray.get_actor(name))
+
+
 def _vectors(n=100, dim=16, seed=3):
     rng = np.random.default_rng(seed)
     V = rng.standard_normal((n, dim)).astype(np.float32)

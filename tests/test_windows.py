@@ -49,6 +49,35 @@ def test_sliding_windows_counts(events):
     assert (out.window_start.dt.minute % 30 == 0).all()
 
 
+def test_sliding_windows_noninteger_ratio(ray_session):
+    """size=60min, slide=25min → each event belongs to ceil(60/25)=3 or
+    2 windows depending on phase; the floor bug dropped the earliest
+    covering window (ADVICE round 1). Verify against a direct numpy
+    coverage count."""
+    base = pd.Timestamp("2024-01-01")
+    offs = [0, 5, 24, 25, 49, 50, 55, 74, 99, 120]
+    df = pd.DataFrame({
+        "user_id": 1, "event_id": range(len(offs)),
+        "ts": [base + pd.Timedelta(minutes=m) for m in offs],
+        "value": 1.0, "event_type": "a",
+    })
+    out = sliding_windows(rd.from_pandas(df).repartition(3), key_col="user_id",
+                          size=pd.Timedelta(minutes=60),
+                          slide=pd.Timedelta(minutes=25)).to_pandas()
+    # expected total coverage: grid starts are multiples of 25min from
+    # the EPOCH; an event at absolute minute t is covered by
+    # 2 + (t % 25 < 60 - 2*25) windows
+    size_m, slide_m = 60, 25
+    epoch_min = int(base.value // (60 * 10**9))
+    want = sum(2 + ((epoch_min + off) % slide_m < size_m - 2 * slide_m) for off in offs)
+    assert int(out.n.sum()) == want
+    # the event at minute 55 sits ON a grid point here → 3 covering windows
+    assert (epoch_min + 55) % slide_m == 0
+    t55 = base + pd.Timedelta(minutes=55)
+    covering = out[(out.window_start <= t55) & (out.window_start > t55 - pd.Timedelta(minutes=60))]
+    assert len(covering) == 3
+
+
 def test_anti_join_keys(ray_session):
     from biosd_feature_annotator_ray.sources.sink import anti_join_keys
 
