@@ -61,6 +61,9 @@ class PipelineSpec:
     salt: int = 1                         # >1 → two-level hot-key reduce
     num_parts: int = 16                   # graph partitions P (fixed by data scale)
     max_edges: int = 10_000               # adjacency row cap (hub spill-over)
+    max_driver_keys: int = 1_000_000      # distinct-key count above which linking
+                                          # dispatches to the actor-pool path
+                                          # instead of driver-side collection
     type_vocab: tuple[str, ...] = DEFAULT_TYPE_VOCAB
     lang: str | None = None               # M11 read-time filter
 
@@ -91,22 +94,14 @@ def _keys_of_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"key": allk.unique()})
 
 
-def compute_links_distributed(
-    mentions: "ray.data.Dataset",
+def _links_from_keys(
+    keys: "ray.data.Dataset",
     spec: PipelineSpec,
     terms_ref=None,
     curated_ref=None,
 ) -> "ray.data.Dataset":
-    """Distinct-key reduction (A1) → linker actor pool → M10 threshold.
-
-    Linking runs ONCE per distinct key globally — strictly stronger than
-    the reference's per-process memo store (SURVEY.md §2.3 ST1). This is
-    the BIG-dictionary path (each actor loads its shard once); when the
-    distinct key set is driver-sized, ``compute_links_table`` below
-    skips the shuffle + pool entirely."""
-    if terms_ref is None or curated_ref is None:
-        terms_ref, curated_ref = broadcast_dictionaries()
-    keys = mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536)
+    """(possibly-duplicated) key stream → global distinct → linker actor
+    pool → M10 threshold. Shared tail of the distributed paths."""
     distinct = distinct_counts(keys, "key", nb=spec.n_buckets).drop_columns(["count"])
     linked = distinct.map_batches(
         LinkerActor,
@@ -118,6 +113,49 @@ def compute_links_distributed(
     return filter_confidence(linked, spec.min_confidence)
 
 
+def compute_links_distributed(
+    mentions: "ray.data.Dataset",
+    spec: PipelineSpec,
+    terms_ref=None,
+    curated_ref=None,
+) -> "ray.data.Dataset":
+    """Distinct-key reduction (A1) → linker actor pool → M10 threshold.
+
+    Linking runs ONCE per distinct key globally — strictly stronger than
+    the reference's per-process memo store (SURVEY.md §2.3 ST1). This is
+    the BIG-key-set path (bucket shuffle + actor pool); when the
+    distinct key set is driver-sized, ``compute_links_table`` below
+    skips the shuffle + pool entirely. ``compute_links_auto`` picks."""
+    if terms_ref is None or curated_ref is None:
+        terms_ref, curated_ref = broadcast_dictionaries()
+    keys = mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536)
+    return _links_from_keys(keys, spec, terms_ref, curated_ref)
+
+
+def _links_local(
+    keys: "ray.data.Dataset",
+    spec: PipelineSpec,
+    terms: pa.Table | None = None,
+    curated: pa.Table | None = None,
+) -> pa.Table:
+    """Driver finish of the small-key-set path: collect the map-side
+    combined key stream, dedup, link in one vectorized pass."""
+    df = keys.to_pandas()
+    if "key" not in df.columns:  # zero mentions → empty frame loses its schema
+        import pandas as pd
+
+        df = pd.DataFrame({"key": pd.Series([], dtype=object)})
+    uniq = df["key"].drop_duplicates()
+    linker = LinkerActor.local(terms, curated)
+    linked = linker(pa.table({"key": pa.array(uniq.to_numpy(dtype=object), pa.string())}))
+    from ..stages.canonicalize import CONFIDENCE_RANK
+
+    keep = [c for c, r in CONFIDENCE_RANK.items() if r >= CONFIDENCE_RANK[spec.min_confidence]]
+    import pyarrow.compute as pc
+
+    return linked.filter(pc.is_in(linked.column("confidence"), value_set=pa.array(keep)))
+
+
 def compute_links_table(
     mentions: "ray.data.Dataset",
     spec: PipelineSpec,
@@ -125,25 +163,47 @@ def compute_links_table(
     curated: pa.Table | None = None,
 ) -> pa.Table:
     """Fast path: map-side distinct keys collected to the driver (the
-    distinct key set is the SMALL side — 10^6–10^8 at full scale), then
-    linked in one vectorized pass with the same LinkerActor logic. No
-    shuffle, no actor pool, identical output to the distributed path
-    (tested). Falls back conceptually to compute_links_distributed when
-    the key set outgrows the driver (SURVEY.md §4.2-4)."""
-    df = mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536).to_pandas()
-    if "key" not in df.columns:  # zero mentions → empty frame loses its schema
-        import pandas as pd
+    distinct key set is the SMALL side), then linked in one vectorized
+    pass with the same LinkerActor logic. No shuffle, no actor pool,
+    identical output to the distributed path (tested). Callers that
+    don't KNOW the key set is driver-sized use ``compute_links_auto``."""
+    keys = mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536)
+    return _links_local(keys, spec, terms, curated)
 
-        df = pd.DataFrame({"key": pd.Series([], dtype=object)})
-    keys = df["key"].drop_duplicates()
-    linker = LinkerActor.local(terms, curated)
-    linked = linker(pa.table({"key": pa.array(keys.to_numpy(dtype=object), pa.string())}))
-    from ..stages.canonicalize import CONFIDENCE_RANK
 
-    keep = [c for c, r in CONFIDENCE_RANK.items() if r >= CONFIDENCE_RANK[spec.min_confidence]]
-    import pyarrow.compute as pc
+def compute_links_auto(
+    mentions: "ray.data.Dataset",
+    spec: PipelineSpec,
+    terms: pa.Table | None = None,
+    curated: pa.Table | None = None,
+) -> pa.Table:
+    """Scale dispatch for linking (round-1 verdict item 1/2).
 
-    return linked.filter(pc.is_in(linked.column("confidence"), value_set=pa.array(keep)))
+    Materializes the map-side-combined key stream ONCE (it is the
+    reduced small side — ≤ one distinct-key row per batch per key, far
+    smaller than the mention stream) and uses its row count as a cheap
+    UPPER BOUND on the global distinct-key count:
+
+    - bound ≤ ``spec.max_driver_keys`` → driver-side collection + one
+      vectorized link pass (no shuffle, no pool);
+    - bound > threshold → global distinct shuffle + LinkerActor pool
+      (``compute_links_distributed`` tail), with only the dictionary
+      HITS (bounded by the dictionary, not the corpus) collected for
+      the broadcast-back join.
+
+    Both routes produce identical link tables (parity-tested across the
+    threshold)."""
+    keys = mentions.map_batches(
+        _keys_of_batch, batch_format="pyarrow", batch_size=65536
+    ).materialize()
+    upper = keys.count()
+    if upper <= spec.max_driver_keys:
+        return _links_local(keys, spec, terms, curated)
+    terms_ref, curated_ref = broadcast_dictionaries(terms, curated)
+    linked = _links_from_keys(keys, spec, terms_ref, curated_ref)
+    from ..schemas import ANNOTATIONS
+
+    return dataset_to_table(linked, empty_schema=ANNOTATIONS)
 
 
 # Back-compat alias: the distributed variant keeps the original name.
@@ -195,10 +255,11 @@ def annotate_pages(
     curated: pa.Table | None = None,
     dedup: bool = True,
 ) -> "ray.data.Dataset":
-    """pages Dataset → deduped triples Dataset (no sink)."""
+    """pages Dataset → deduped triples Dataset (no sink). Linking
+    dispatches by key-set size (``spec.max_driver_keys``)."""
     spec = spec or PipelineSpec()
     mentions = build_mentions(pages, spec)
-    links_table = compute_links_table(mentions, spec, terms, curated)
+    links_table = compute_links_auto(mentions, spec, terms, curated)
     return build_triples(mentions, links_table, spec, dedup=dedup)
 
 

@@ -144,3 +144,25 @@ def test_embedding_near_dups_planted(ray_session):
     pairs = embedding_near_dups(vecs, dim=32, threshold=0.99).to_pandas()
     found = set(map(tuple, pairs[["id_a", "id_b"]].itertuples(index=False)))
     assert {(i, 500 + i) for i in range(4)} <= found
+
+
+def test_knn_ivf_actually_prunes(ray_session):
+    """Round-1 verdict: IVF must scan ~nprobe/n_centroids of brute force,
+    not score everything and mask. Assert via the scanned-pair counter."""
+    import ray
+
+    from biosd_feature_annotator_ray.stages.similarity import get_scan_stats, knn_ivf
+
+    tbl, _ = _vectors(n=400, dim=16)
+    queries = tbl.slice(0, 4)
+    ds = rd.from_arrow(tbl).repartition(4)
+    name = "ivf_scan_test"
+    out = knn_ivf(ds, queries, k=5, n_centroids=8, nprobe=2,
+                  stats_name=name).to_pandas()
+    stats = get_scan_stats(name)
+    brute_pairs = 4 * 400
+    assert 0 < stats["scanned_pairs"] < 0.6 * brute_pairs, stats
+    assert stats["scanned_vectors"] < 400  # unprobed centroids never shuffled
+    # sanity: each query still returns k ranked neighbors
+    assert (out.groupby("query_id")["rank"].max() == 5).all()
+    ray.kill(ray.get_actor(name))
