@@ -20,9 +20,23 @@ def hash_strings(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
 
 
 def hash_columns(table: pa.Table, cols: list[str]) -> np.ndarray:
-    """uint64 stable row hash over several columns (order-sensitive)."""
-    df = table.select(cols).to_pandas()
-    return pd.util.hash_pandas_object(df, index=False).to_numpy()
+    """uint64 stable row hash over several columns (order-sensitive).
+
+    Values are canonicalized through an Arrow string cast before
+    hashing, so the hash depends only on the LOGICAL value — an int64
+    column that surfaces as float64 in one batch (nulls present) and
+    int64 in another still buckets identically. Nulls hash as a
+    reserved sentinel distinct from any real value."""
+    import pyarrow.compute as pc
+
+    parts = []
+    for c in cols:
+        arr = table.column(c)
+        if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
+            arr = pc.cast(arr, pa.string())
+        parts.append(pc.fill_null(arr, "\x00null\x00"))
+    joined = parts[0] if len(parts) == 1 else pc.binary_join_element_wise(*parts, "\x1f")
+    return hash_strings(joined)
 
 
 def bucket(hashes: np.ndarray, n: int) -> np.ndarray:

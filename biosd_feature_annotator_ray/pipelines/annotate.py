@@ -64,6 +64,10 @@ class PipelineSpec:
     max_driver_keys: int = 1_000_000      # distinct-key count above which linking
                                           # dispatches to the actor-pool path
                                           # instead of driver-side collection
+    max_finalize_rows: int | None = None  # finalize-task heap bound: partitions
+                                          # larger than this stream in url-hash
+                                          # sub-chunks (row groups) instead of
+                                          # one whole-partition materialization
     type_vocab: tuple[str, ...] = DEFAULT_TYPE_VOCAB
     lang: str | None = None               # M11 read-time filter
 
@@ -314,4 +318,5 @@ def run(
         mentions, out_dir, num_parts, terms_ref, curated_ref,
         min_confidence=spec.min_confidence, resume=resume,
         fail_after_parts=fail_after_parts, max_edges=spec.max_edges,
+        max_finalize_rows=spec.max_finalize_rows,
     )

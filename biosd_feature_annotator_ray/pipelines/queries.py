@@ -153,29 +153,35 @@ def q_lineitem_agg(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-# J1/J2 broadcast hash join (dimension side via ray.put, no shuffle)
+# J1–J3 scale shape: fact×dimension via SHUFFLE hash join (customer is
+# the growing side — don't driver-materialize it), then broadcast only
+# the 25-row nation map (round-1 verdict 'what's wrong' #8)
 def q_revenue_per_nation(sf_dir: str):
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    from ..stages.join import shuffle_hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+                  batch_format="pyarrow")
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    nk2name = dict(zip(nation.column("n_nationkey").to_pylist(), nation.column("n_name").to_pylist()))
-    cust2nation = {
-        c: nk2name[nk]
-        for c, nk in zip(cust.column("c_custkey").to_pylist(), cust.column("c_nationkey").to_pylist())
-    }
-    ref = ray.put(cust2nation)
+    nk2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+    ref = ray.put(nk2name)
+
+    joined = shuffle_hash_join(orders, cust, on=["o_custkey"], how="inner", nb=16)
 
     def partial(batch: pa.Table) -> pa.Table:
         lut = ray.get(ref)
         df = batch.to_pandas()
-        df["nation"] = df["o_custkey"].map(lut)
+        df["nation"] = df["c_nationkey"].map(lut)
         g = df.groupby("nation", as_index=False).agg(
             revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "size")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = (
-        rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
-        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
         .groupby("nation")
         .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_orders", alias_name="n_orders"))
     )
@@ -183,6 +189,53 @@ def q_revenue_per_nation(sf_dir: str):
     df["revenue"] = df["revenue"].round(2)
     df["n_orders"] = df["n_orders"].astype("int64")
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Large×large bucketed shuffle hash join (stages/join.py): orders ⋈
+# lineitem — both fact-sized, neither broadcastable at 100 TB
+def q_join_orders_lineitem(sf_dir: str):
+    from ..stages.join import shuffle_hash_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "l_extendedprice", "l_discount"]),
+                  batch_format="pyarrow")
+    joined = shuffle_hash_join(orders, li, on=["o_orderkey"], how="inner", nb=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("o_orderpriority", as_index=False).agg(
+            revenue=("revenue", "sum"), n_lines=("revenue", "size"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n_lines", alias_name="n_lines"))
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df["n_lines"] = df["n_lines"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Shuffle SEMI join: customers with ≥1 big order (filter pushed to the read)
+def q_semi_join_customers(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..stages.join import shuffle_hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 300_000.0,
+    ).map_batches(lambda t: t.select(["o_custkey"]).rename_columns(["c_custkey"]),
+                  batch_format="pyarrow")
+    return shuffle_hash_join(cust, big, on=["c_custkey"], how="semi", nb=16)
 
 
 # J4-style broadcast anti join (docs whose id has no label-0 embedding —
@@ -453,6 +506,8 @@ QUERIES = {
     "topk_event_types": q_topk_event_types,
     "lineitem_agg": q_lineitem_agg,
     "revenue_per_nation": q_revenue_per_nation,
+    "join_orders_lineitem": q_join_orders_lineitem,
+    "semi_join_customers": q_semi_join_customers,
     "anti_join_docs": q_docs_without_label0_vec,
     "top_orders": q_top_orders,
     "window_events": q_window_events,
@@ -532,6 +587,15 @@ ORACLES = {
         " count(*) AS n_orders"
         " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
         " JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name"
+    ),
+    "join_orders_lineitem": (
+        "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
+        " count(*) AS n_lines"
+        " FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority"
+    ),
+    "semi_join_customers": (
+        "SELECT c_custkey FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
     ),
     "anti_join_docs": (
         "SELECT doc_id FROM documents WHERE doc_id NOT IN "

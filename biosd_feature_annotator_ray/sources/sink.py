@@ -166,39 +166,11 @@ def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_ra
 _LINKER_CACHE: dict = {}
 
 
-def finalize_mentions_partition(
-    out_dir: str, part_id: int, terms_ref=None, curated_ref=None,
-    min_confidence: str = "GOOD", max_edges: int = 10_000,
-) -> pa.Table:
-    """One-partition finisher for the single-job pipeline: read this
-    partition's MENTION fragments, link locally, emit triples, dedup,
-    pack adjacency, atomic write + manifest.
-
-    Linking is a PURE function of (type, value) against the broadcast
-    dictionary, so per-partition linking gives byte-identical triples to
-    a global distinct-key link pass (tested) — the global reduction is
-    only a memoization strategy, and partition-local distinct keys give
-    the same dedup-of-work within the partition. The dictionary index
-    is built once per worker PROCESS (module cache), not per task."""
-    import pyarrow.compute as pc
-
+def _get_linker(terms_ref, curated_ref, min_confidence: str):
+    """Dictionary index built once per worker PROCESS (module cache)."""
     import ray as _ray
 
-    from ..stages.canonicalize import CONFIDENCE_RANK
     from ..stages.linker import LinkerActor
-    from ..stages.triples import AnnotationJoiner, unit_key_array
-
-    pdir = os.path.join(out_dir, "mentions_raw", f"part_id={part_id}")
-    if not os.path.isdir(pdir):
-        from ..schemas import TRIPLES
-
-        empty = TRIPLES.empty_table().append_column("part_id", pa.array([], pa.int32()))
-        return write_partition(empty, out_dir, dedup=False, part_id=part_id,
-                               max_edges=max_edges)
-
-    frags = sorted(f for f in os.listdir(pdir)
-                   if f.startswith("frag-") and f.endswith(".parquet"))
-    mentions = pa.concat_tables([pq.read_table(os.path.join(pdir, f)) for f in frags])
 
     cache_key = (
         terms_ref.hex() if terms_ref is not None else None,
@@ -211,6 +183,18 @@ def finalize_mentions_partition(
         curated = _ray.get(curated_ref) if curated_ref is not None else None
         linker = LinkerActor.local(terms, curated)
         _LINKER_CACHE[cache_key] = linker
+    return linker
+
+
+def _link_and_emit(mentions: pa.Table, linker, min_confidence: str,
+                   part_id: int) -> tuple[pa.Table, dict]:
+    """mentions → (part_id-tagged triples, metrics): link local distinct
+    keys (pure function of key ≡ global pass, tested), M10 threshold,
+    broadcast-back join, dedup left to the caller."""
+    import pyarrow.compute as pc
+
+    from ..stages.canonicalize import CONFIDENCE_RANK
+    from ..stages.triples import AnnotationJoiner, unit_key_array
 
     keys = mentions.column("key").combine_chunks().unique()
     unit_keys = pc.drop_null(unit_key_array(mentions.column("unit_text"))).combine_chunks().unique()
@@ -221,10 +205,151 @@ def finalize_mentions_partition(
 
     triples = AnnotationJoiner(links)(mentions)
     triples = triples.append_column("part_id", pa.array(np.full(len(triples), part_id, dtype=np.int32)))
-    return write_partition(triples, out_dir, dedup=True, part_id=part_id,
-                           max_edges=max_edges,
-                           metrics={"mentions": len(mentions), "distinct_keys": len(all_keys),
-                                    "linked_keys": len(links)})
+    return triples, {"mentions": len(mentions), "distinct_keys": len(all_keys),
+                     "linked_keys": len(links)}
+
+
+def finalize_mentions_partition(
+    out_dir: str, part_id: int, terms_ref=None, curated_ref=None,
+    min_confidence: str = "GOOD", max_edges: int = 10_000,
+    max_finalize_rows: int | None = None,
+) -> pa.Table:
+    """One-partition finisher for the single-job pipeline: read this
+    partition's MENTION fragments, link locally, emit triples, dedup,
+    pack adjacency, atomic write + manifest.
+
+    Linking is a PURE function of (type, value) against the broadcast
+    dictionary, so per-partition linking gives byte-identical triples to
+    a global distinct-key link pass (tested) — the global reduction is
+    only a memoization strategy, and partition-local distinct keys give
+    the same dedup-of-work within the partition.
+
+    Memory bound (round-1 verdict item 3): when the partition's total
+    fragment rows exceed ``max_finalize_rows``, the partition is
+    processed in S = ceil(total/max_finalize_rows) url-hash SUB-CHUNKS
+    (sub = high hash bits, independent of the part_id = low-bits
+    assignment). All mentions of a url — hence all duplicate triples
+    and every subj adjacency run — land in ONE sub-chunk, so per-chunk
+    dedup + pack equals whole-partition dedup + pack; chunks stream
+    into the partition parquet as row groups via ``_StreamingWriter``.
+    Peak heap ≈ max_finalize_rows rows instead of the whole partition.
+    Cost: each fragment file is read S times (metadata-cheap local
+    reads) — at cluster scale prefer raising P with data volume so
+    partitions stay row-bounded, and keep this knob as the guard."""
+    pdir = os.path.join(out_dir, "mentions_raw", f"part_id={part_id}")
+    if not os.path.isdir(pdir):
+        from ..schemas import TRIPLES
+
+        empty = TRIPLES.empty_table().append_column("part_id", pa.array([], pa.int32()))
+        return write_partition(empty, out_dir, dedup=False, part_id=part_id,
+                               max_edges=max_edges)
+
+    frag_paths = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
+                  if f.startswith("frag-") and f.endswith(".parquet")]
+    linker = _get_linker(terms_ref, curated_ref, min_confidence)
+    total = sum(pq.ParquetFile(p).metadata.num_rows for p in frag_paths)
+
+    if max_finalize_rows is None or total <= max_finalize_rows:
+        mentions = pa.concat_tables([pq.read_table(p) for p in frag_paths])
+        triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id)
+        return write_partition(triples, out_dir, dedup=True, part_id=part_id,
+                               max_edges=max_edges, metrics=metrics)
+
+    from ..functions.hashing import hash_strings
+    from ..stages.graph import pack_adjacency as _pack
+
+    n_chunks = -(-total // max_finalize_rows)
+    agg = {"mentions": 0, "distinct_keys": 0, "linked_keys": 0,
+           "finalize_chunks": n_chunks}
+    writer = _StreamingWriter(out_dir, part_id)
+    for s in range(n_chunks):
+        picked = []
+        for p in frag_paths:
+            t = pq.read_table(p)
+            h = hash_strings(t.column("url"))
+            sel = ((h >> np.uint64(32)) % np.uint64(n_chunks)) == s
+            if sel.any():
+                picked.append(t.filter(pa.array(sel)))
+        if not picked:
+            continue
+        mentions = pa.concat_tables(picked)
+        triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id)
+        for k in ("mentions", "distinct_keys", "linked_keys"):
+            agg[k] += metrics[k]
+        if len(triples):
+            df = triples.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
+            df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
+            triples = pa.Table.from_pandas(df, preserve_index=False)
+        writer.write_chunk(triples, _pack(triples, max_edges=max_edges))
+    return writer.finish(agg)
+
+
+class _StreamingWriter:
+    """Row-group-streaming partition writer: triples + graph chunks are
+    appended to tmp files via ParquetWriter, then fsync + atomic rename
+    + manifest — same 'done iff manifest exists' contract as
+    write_partition, but never holds more than one chunk in heap."""
+
+    def __init__(self, out_dir: str, part_id: int):
+        self.out_dir, self.part_id = out_dir, part_id
+        self.t_path = os.path.join(out_dir, "triples", f"part_id={part_id}", "data.parquet")
+        self.g_path = os.path.join(out_dir, "graph", f"part_id={part_id}", "data.parquet")
+        self.t_writer = self.g_writer = None
+        self.n_triples = self.n_graph = 0
+
+    def _open(self, path: str, schema: pa.Schema) -> pq.ParquetWriter:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        return pq.ParquetWriter(path + ".tmp", schema)
+
+    def write_chunk(self, triples: pa.Table, graph: pa.Table) -> None:
+        t = triples.drop_columns(["part_id"])
+        g = graph.drop_columns(["part_id"])
+        if self.t_writer is None:
+            self.t_writer = self._open(self.t_path, t.schema)
+            self.g_writer = self._open(self.g_path, g.schema)
+        # pandas round-trips (chunk dedup) can drift nullability/units on
+        # sparse typed columns — pin every chunk to the first chunk's schema
+        self.t_writer.write_table(t.cast(self.t_writer.schema))
+        self.g_writer.write_table(g.cast(self.g_writer.schema))
+        self.n_triples += len(t)
+        self.n_graph += len(g)
+
+    def finish(self, metrics: dict) -> pa.Table:
+        if self.t_writer is None:  # no chunk had rows → empty partition
+            from ..schemas import TRIPLES
+
+            empty = TRIPLES.empty_table().append_column("part_id", pa.array([], pa.int32()))
+            return write_partition(empty, self.out_dir, dedup=False, part_id=self.part_id,
+                                   metrics=metrics)
+        for w, path in ((self.t_writer, self.t_path), (self.g_writer, self.g_path)):
+            w.close()
+            with open(path + ".tmp", "rb") as f:
+                os.fsync(f.fileno())
+            os.replace(path + ".tmp", path)
+        row = {
+            "part_id": self.part_id,
+            "row_counts": {"triples": self.n_triples, "graph_rows": self.n_graph},
+            "stage_metrics": metrics,
+            "code_version": f"{__version__}+{EXTRACT_VERSION}",
+            "wrote_ts": time.time(),
+            "ok": True,
+        }
+        mdir = os.path.join(self.out_dir, MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        mtmp = os.path.join(mdir, f"part-{self.part_id:05d}.json.tmp")
+        with open(mtmp, "w") as f:
+            json.dump(row, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(mtmp, os.path.join(mdir, f"part-{self.part_id:05d}.json"))
+        return pa.table(
+            {
+                "part_id": pa.array([self.part_id], pa.int32()),
+                "triples": pa.array([self.n_triples], pa.int64()),
+                "graph_rows": pa.array([self.n_graph], pa.int64()),
+                "ok": pa.array([True]),
+            }
+        )
 
 
 def run_sink(
@@ -237,6 +362,7 @@ def run_sink(
     resume: bool = True,
     fail_after_parts: int | None = None,
     max_edges: int = 10_000,
+    max_finalize_rows: int | None = None,
 ) -> pa.Table:
     """Single-job sink: scatter MENTION fragments by part_id=hash(url),
     then finalize each partition independently (link → emit → dedup →
@@ -272,7 +398,8 @@ def run_sink(
         if fail_after_parts is not None and idx >= fail_after_parts:
             raise RuntimeError("injected failure for resume test")
         return finalize_mentions_partition(out_dir, p, terms_ref, curated_ref, min_confidence,
-                                           max_edges=max_edges)
+                                           max_edges=max_edges,
+                                           max_finalize_rows=max_finalize_rows)
 
     refs = [_finalize.remote(p, i) for i, p in enumerate(todo)]
     rows, first_err = [], None

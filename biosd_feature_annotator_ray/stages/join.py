@@ -1,0 +1,122 @@
+"""Generic large×large bucketed shuffle hash join (SURVEY.md §4.2-4).
+
+Round-1 verdict item 4: every join in the repo was a broadcast / dict
+lookup; this is the promised fallback for when BOTH sides are fact-
+sized (triples↔pages enrichment, annotations↔mentions at ≥10^8 keys).
+
+Shape (classic distributed hash join, Ray-Data-first):
+
+  1. align both sides to one wide schema (each side null-fills the
+     other side's columns) and tag provenance in a ``__side`` column;
+  2. ``union`` the two streams — no materialization, the streaming
+     executor interleaves blocks;
+  3. bucket-shuffle on ``stable_hash(key) % nb`` (ONE all-to-all, the
+     unavoidable one — both sides move once);
+  4. per-bucket vectorized pandas hash-merge (inner/left/semi/anti).
+
+Skew note: a hot key inflates one bucket; raise ``nb`` or pre-salt the
+build side upstream (canonicalize.py's two-level reduce pattern) when a
+K4 hot-key report shows heavy hitters. Null keys never match (SQL
+semantics), unlike a raw pandas merge.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .canonicalize import _add_bucket, _B
+
+_SIDE = "__side"
+
+
+def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
+    """Arrow schema of a Dataset. Parquet-backed datasets answer from
+    metadata; pandas-backed ones (tests, from_pandas) report a
+    PandasBlockSchema — fall back to peeking one streaming batch."""
+    s = ds.schema()
+    base = getattr(s, "base_schema", s)
+    if isinstance(base, pa.Schema):
+        return base
+    empty = pd.DataFrame({n: pd.Series(dtype=t) for n, t in zip(base.names, base.types)})
+    return pa.Schema.from_pandas(empty, preserve_index=False)
+
+
+def _align(batch: pa.Table, schema: pa.Schema, side: int) -> pa.Table:
+    """Project a batch onto the combined wide schema + side tag."""
+    n = len(batch)
+    cols = []
+    for f in schema:
+        if f.name in batch.column_names:
+            cols.append(batch.column(f.name).cast(f.type))
+        else:
+            cols.append(pa.nulls(n, f.type))
+    out = pa.table(cols, schema=schema)
+    return out.append_column(_SIDE, pa.array([side] * n, pa.int8()))
+
+
+def shuffle_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    how: str = "inner",
+    nb: int = 64,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> "ray.data.Dataset":
+    """Join two Datasets on ``on`` via one bucket shuffle.
+
+    ``how``: inner | left | semi | anti (semi/anti return left columns
+    only). Overlapping non-key columns get ``suffixes``.
+    """
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how={how!r}")
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    for k in on:
+        if k not in lschema.names or k not in rschema.names:
+            raise ValueError(f"join key {k!r} missing from a side")
+    lcols = [n for n in lschema.names if n not in on]
+    rcols = [n for n in rschema.names if n not in on]
+    # Same-named non-key columns are carried ONCE in the wide schema
+    # (left rows hold left values, right rows right values — the __side
+    # split recovers each; pandas applies ``suffixes`` at merge time).
+    wide = pa.schema(
+        [lschema.field(k) for k in on]
+        + [lschema.field(n) for n in lcols]
+        + [rschema.field(n) for n in rcols if n not in lcols]
+    )
+
+    def prep(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return _add_bucket(_align(batch, wide, side), on, nb)
+
+        return f
+
+    both = (
+        left.map_batches(prep(0), batch_format="pyarrow", batch_size=65536)
+        .union(right.map_batches(prep(1), batch_format="pyarrow", batch_size=65536))
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        side = df.pop(_SIDE)
+        ldf = df[side == 0][on + lcols]
+        rdf = df[side == 1][on + rcols]
+        # SQL semantics: null keys never match
+        rdf = rdf.dropna(subset=on)
+        if how in ("inner", "semi", "anti"):
+            ldf = ldf.dropna(subset=on)
+        if how == "semi":
+            keys = rdf[on].drop_duplicates()
+            out = ldf.merge(keys, on=on, how="inner")
+        elif how == "anti":
+            marked = ldf.merge(rdf[on].drop_duplicates(), on=on, how="left",
+                               indicator=True)
+            out = marked[marked["_merge"] == "left_only"].drop(columns=["_merge"])
+        else:
+            out = ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return both.groupby(_B).map_groups(finish, batch_format="pyarrow")

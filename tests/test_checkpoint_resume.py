@@ -140,3 +140,35 @@ def test_scatter_fragments_retry_idempotent(ray_session, tmp_path):
     manifest = run(_pages(), real, SPEC)
     assert manifest.num_rows == 1  # only partition 0 re-finalized
     pd.testing.assert_frame_equal(before, _triples_df(real))
+
+
+def test_streaming_finalize_parity(ray_session, tmp_path):
+    """max_finalize_rows forces the sub-chunked streaming finalize; the
+    triples AND graph partitions must match the whole-partition path
+    exactly, and the manifest must record the chunk count."""
+    import json
+    import os
+
+    whole, chunked = str(tmp_path / "w"), str(tmp_path / "c")
+    run(_pages(), whole, SPEC)
+    spec_c = PipelineSpec(n_buckets=8, num_parts=8, max_finalize_rows=50)
+    man = run(_pages(), chunked, spec_c)
+    assert man.num_rows == 8
+
+    pd.testing.assert_frame_equal(_triples_df(whole), _triples_df(chunked))
+
+    def graph_df(out):
+        df = read_graph(out).to_pandas()
+        df["edges"] = df["edges"].map(
+            lambda es: tuple(sorted((e["pred"], e["obj"], e["obj_kind"]) for e in es)))
+        return df.sort_values(["subj", "edges"]).reset_index(drop=True)
+
+    pd.testing.assert_frame_equal(graph_df(whole), graph_df(chunked))
+
+    with open(os.path.join(chunked, "manifest", "part-00000.json")) as f:
+        m = json.load(f)
+    assert m["stage_metrics"]["finalize_chunks"] > 1
+
+    # resume over the streamed output is still a no-op
+    man2 = run(_pages(), chunked, spec_c)
+    assert man2.num_rows == 0

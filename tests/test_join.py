@@ -1,0 +1,76 @@
+"""Generic bucketed shuffle hash join (stages/join.py, round-1 verdict
+item 4): inner/left/semi/anti parity against pandas merge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+
+
+@pytest.fixture
+def sides(ray_session):
+    rng = np.random.default_rng(11)
+    left = pd.DataFrame({
+        "k": rng.integers(0, 40, size=200),
+        "lv": np.arange(200),
+        "shared": rng.standard_normal(200),
+    })
+    # some null keys (must never match), some keys only on one side
+    left.loc[::50, "k"] = pd.NA
+    right = pd.DataFrame({
+        "k": rng.integers(20, 60, size=150),
+        "rv": np.arange(150) * 10,
+        "shared": rng.standard_normal(150),
+    })
+    left["k"] = left["k"].astype("Int64")
+    right["k"] = right["k"].astype("Int64")
+    return left, right
+
+
+def _norm(df, cols):
+    return df[cols].sort_values(cols).reset_index(drop=True).astype("float64")
+
+
+def test_inner_join_matches_pandas(sides):
+    left, right = sides
+    got = shuffle_hash_join(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right).repartition(3),
+                            on=["k"], nb=8).to_pandas()
+    want = left.dropna(subset=["k"]).merge(right.dropna(subset=["k"]), on="k",
+                                           suffixes=("_l", "_r"))
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_norm(got, cols), _norm(want, cols))
+    assert {"shared_l", "shared_r"} <= set(got.columns)
+
+
+def test_left_join_matches_pandas(sides):
+    left, right = sides
+    got = shuffle_hash_join(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right).repartition(3),
+                            on=["k"], how="left", nb=8).to_pandas()
+    want = left.merge(right.dropna(subset=["k"]), on="k", how="left",
+                      suffixes=("_l", "_r"))
+    assert len(got) == len(want)
+    # unmatched left rows survive with null rv
+    only_left = left[~left.k.isin(right.k)]
+    assert got[got.k.isin(only_left.k)].rv.isna().all()
+
+
+def test_semi_and_anti_partition_left(sides):
+    left, right = sides
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(3)
+    semi = shuffle_hash_join(lds, rds, on=["k"], how="semi", nb=8).to_pandas()
+    anti = shuffle_hash_join(lds, rds, on=["k"], how="anti", nb=8).to_pandas()
+    in_right = set(right.k.dropna())
+    assert set(semi.k).issubset(in_right)
+    assert set(anti.k.dropna()).isdisjoint(in_right)
+    # semi ∪ anti = non-null-key left rows, each exactly once
+    assert len(semi) + len(anti) == left.k.notna().sum()
+    assert set(semi.columns) == set(anti.columns) == {"k", "lv", "shared"}
