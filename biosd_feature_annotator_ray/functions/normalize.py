@@ -42,6 +42,29 @@ def make_key(char_type_norm, value_text) -> pa.ChunkedArray | pa.Array:
     return pc.binary_join_element_wise(char_type_norm, norm_array(value_text), KEY_SEP)
 
 
+def token_sig_array(arr: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """Vectorized twin of ``token_sig``: sorted token multiset signature
+    per row (tier-5 key). One whitespace split + one stable lexsort over
+    the flattened tokens + one binary_join — no per-row Python."""
+    import numpy as np
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    trimmed = pc.utf8_trim_whitespace(arr)
+    toks = pc.utf8_split_whitespace(trimmed)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    fl = flat.to_numpy(zero_copy_only=False)
+    parent = np.repeat(np.arange(len(lengths)), lengths)
+    order = np.lexsort((fl, parent))
+    offsets = np.concatenate(([0], np.cumsum(lengths)))
+    lst = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                   pa.array(fl[order], pa.string()))
+    return pc.binary_join(lst, " ")
+
+
 # Python-scalar twins (used in actor state / index build, small data only).
 _ws_re = re.compile(r"\s+")
 _punct_re = re.compile(r"^[^0-9A-Za-z]+|[^0-9A-Za-z]+$")

@@ -58,7 +58,9 @@ class PipelineSpec:
     join_concurrency: tuple[int, int] = (1, 8)
     min_confidence: str = "GOOD"          # M10 threshold
     n_buckets: int = 32                   # bucket-shuffle width for dedup/distinct
-    salt: int = 1                         # >1 → two-level hot-key reduce
+    salt: int | str = 1                   # >1 → two-level hot-key reduce;
+                                          # "auto" → sample the key stream
+                                          # (K4 hot-key report) and pick one
     num_parts: int = 16                   # graph partitions P (fixed by data scale)
     max_edges: int = 10_000               # adjacency row cap (hub spill-over)
     max_driver_keys: int = 1_000_000      # distinct-key count above which linking
@@ -249,7 +251,15 @@ def build_triples(
     )
     if not dedup:
         return triples
-    return dedup_exact(triples, ["subj", "pred", "obj", "obj_kind"], nb=spec.n_buckets)
+    salt = spec.salt
+    if salt == "auto":
+        from ..stages.canonicalize import recommend_salt
+
+        # K4 hot-key sample over the mention keys (the skewed column —
+        # "Homo sapiens"-style heavy hitters) sets the two-level reduce.
+        salt = recommend_salt(mentions, "key")
+    return dedup_exact(triples, ["subj", "pred", "obj", "obj_kind"], nb=spec.n_buckets,
+                       salt=salt)
 
 
 def annotate_pages(

@@ -293,7 +293,8 @@ def q_train_split(sf_dir: str):
     return out.select_columns(["doc_id", "bucket", "split"])
 
 
-# Training-data chunking: fixed-token windows with overlap (rows-only)
+# Training-data chunking: fixed-token windows with overlap (vectorized
+# Arrow kernels; DuckDB generate_series oracle)
 def q_chunk_documents(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         lambda t: textstats.chunk_documents(t, chunk_tokens=32, overlap=8),
@@ -347,7 +348,8 @@ def q_session_windows(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-# §2.9 sliding windows (overlapping) — rows-only (series-generation SQL is not ANSI-stable)
+# §2.9 sliding windows (overlapping) — oracle via a DuckDB window-grid
+# cross join (round-1 verdict item 7)
 def q_sliding_windows(sf_dir: str):
     from ..stages.windows import sliding_windows
 
@@ -619,6 +621,25 @@ ORACLES = {
         "       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x)"
         " SELECT user_id, session_id, count(*) AS n_events,"
         "  min(ts) AS start_ts, max(ts) AS end_ts FROM y GROUP BY user_id, session_id"
+    ),
+    "sliding_windows": (
+        "WITH g AS ("
+        " SELECT event_type, value,"
+        "  TIMESTAMP '1970-01-01' + INTERVAL 1 SECOND *"
+        "   CAST(floor(epoch(ts)/1800)*1800 - 1800*j.n AS BIGINT) AS window_start"
+        " FROM events, (SELECT unnest(generate_series(0, 1)) AS n) j)"
+        " SELECT event_type, window_start, round(sum(value), 2) AS sum_value,"
+        " count(*) AS n FROM g GROUP BY event_type, window_start"
+    ),
+    "chunk_documents": (
+        "WITH t AS ("
+        " SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,"
+        "        len(regexp_split_to_array(trim(text), '\\s+')) AS L"
+        " FROM documents WHERE trim(text) <> '')"
+        " SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,"
+        "  array_to_string(toks[st+1:st+32], ' ') AS chunk_text,"
+        "  CAST(least(32, L - st) AS BIGINT) AS n_tokens"
+        " FROM t, UNNEST(generate_series(0, greatest(1, L - 8) - 1, 24)) AS u(st)"
     ),
     "partition_date": (
         "SELECT event_id, strftime(ts, '%Y-%m-%d') AS part_date FROM events"

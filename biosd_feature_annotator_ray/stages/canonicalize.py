@@ -51,30 +51,53 @@ def dedup_exact(
     cols: list[str],
     nb: int = 64,
     keep_order_col: str | None = None,
+    salt: int = 1,
 ) -> "ray.data.Dataset":
     """Exact dedup on ``cols`` (SURVEY.md A2). Keeps the row with the
     smallest ``keep_order_col`` (or an arbitrary-but-deterministic first
-    by the full ``cols`` sort when None)."""
+    by the full ``cols`` sort when None). ``salt > 1`` enables the
+    two-level hot-key reduce (identical output — dedup-first is
+    associative; parity-tested)."""
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if keep_order_col:
+            df = df.sort_values(keep_order_col, kind="mergesort")
+        return df.drop_duplicates(subset=cols, keep="first")
 
     def local(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        if keep_order_col:
-            df = df.sort_values(keep_order_col, kind="mergesort")
-        df = df.drop_duplicates(subset=cols, keep="first")
-        return _add_bucket(pa.Table.from_pandas(df, preserve_index=False), cols, nb)
+        df = _dedup(batch.to_pandas())
+        return _add_bucket(pa.Table.from_pandas(df, preserve_index=False), cols, nb, salt)
 
-    def finish(group: pa.Table) -> pa.Table:
-        df = group.drop_columns([_B]).to_pandas()
-        if keep_order_col:
-            df = df.sort_values(keep_order_col, kind="mergesort")
-        df = df.drop_duplicates(subset=cols, keep="first")
+    def finish_salted(group: pa.Table) -> pa.Table:
+        df = _dedup(group.drop_columns([_S]).to_pandas())
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    return (
-        ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
-        .groupby(_B)
-        .map_groups(finish, batch_format="pyarrow")
-    )
+    def finish(group: pa.Table) -> pa.Table:
+        df = _dedup(group.drop_columns([_B]).to_pandas())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    out = ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+    if salt > 1:
+        out = out.groupby([_B, _S]).map_groups(finish_salted, batch_format="pyarrow")
+    return out.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
+def recommend_salt(ds: "ray.data.Dataset", col: str, sample_rows: int = 65536,
+                   max_salt: int = 16, hot_share: float = 0.05) -> int:
+    """K4 → salting wire-up (round-1 verdict item 10): estimate the
+    hottest key's share from a bounded sample (streaming ``limit`` — no
+    full pass) and recommend a two-level-reduce salt. share < hot_share
+    → 1 (salting costs an extra pass); above it, roughly one extra
+    sub-bucket per 6% of share, capped."""
+    sample = ds.limit(sample_rows)
+    counts = distinct_counts(sample, col, nb=4).to_pandas()
+    total = counts["count"].sum()
+    if total == 0:
+        return 1
+    share = counts["count"].max() / total
+    if share < hot_share:
+        return 1
+    return max(2, min(max_salt, int(round(share / 0.06))))
 
 
 def distinct_counts(ds: "ray.data.Dataset", col: str, nb: int = 64) -> "ray.data.Dataset":

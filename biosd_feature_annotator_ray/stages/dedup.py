@@ -322,45 +322,105 @@ def ngram_jaccard_verify(
     ngram: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    nb: int = 16,
 ) -> pa.Table:
-    """Exact n-gram Jaccard for candidate pairs.
+    """Exact n-gram Jaccard for candidate pairs — DISTRIBUTED (round-1
+    verdict item: no driver-side shingle LUT).
 
-    The shingle sets of the candidate doc ids are collected driver-side
-    (candidates ≪ corpus); at full scale this step becomes a bucketed
-    hash join of pairs against shingle sets on doc_id (documented
-    fallback, same shape as SURVEY.md §4.2-4)."""
+    Shingle sets never leave the cluster: only the candidate ID set
+    (ints, ≪ shingle payload) is broadcast to prune the corpus scan.
+    Sets meet their pairs through two bucket shuffles —
+
+      docs → shingles(doc)  ┐ union, bucket by doc_id → attach shingles
+      pairs → (pair, role)  ┘ to each pair role row
+      → bucket by pair_id → the pair's two sets co-locate → exact
+        Jaccard → (pair_id, similarity), collected (one float per pair;
+        the pairs table is a driver-sized input by contract).
+
+    Partitioning assumption: a bucket's shingle rows fit in one task
+    (tune ``nb``); a doc's set is replicated only to the pairs that
+    reference it."""
     import pyarrow.compute as pc
 
     import ray
 
-    needed = set(candidate_pairs.column("id_a").to_pylist()) | set(
-        candidate_pairs.column("id_b").to_pylist()
-    )
-    needed_arr = pa.array(sorted(needed), pa.int64())
+    n_pairs = len(candidate_pairs)
+    if n_pairs == 0:
+        return candidate_pairs
+    ia = candidate_pairs.column("id_a").to_numpy(zero_copy_only=False).astype(np.int64)
+    ib = candidate_pairs.column("id_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    pair_id = np.arange(n_pairs, dtype=np.int64)
+    empty_sh = pa.nulls(2 * n_pairs, pa.list_(pa.int64()))
+    role_rows = pa.table({
+        "doc_id": pa.array(np.concatenate([ia, ib])),
+        "pair_id": pa.array(np.concatenate([pair_id, pair_id])),
+        "role": pa.array(np.concatenate([np.zeros(n_pairs, np.int8),
+                                         np.ones(n_pairs, np.int8)])),
+        "shingles": empty_sh,
+    })
+    needed_arr = pa.array(np.unique(np.concatenate([ia, ib])), pa.int64())
+    ref = ray.put(needed_arr)
 
     def shingles_of(batch: pa.Table) -> pa.Table:
-        sel = pc.is_in(batch.column(id_col), value_set=needed_arr)
+        needed = ray.get(ref)
+        sel = pc.is_in(batch.column(id_col), value_set=needed)
         b = batch.filter(sel)
-        ids = b.column(id_col).to_pylist()
-        texts = b.column(text_col).to_pylist()
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b.column(text_col).to_pandas().fillna("")
+        th_per_doc = batch_token_hashes(texts)
         sets = []
         with np.errstate(over="ignore"):
-            for t in texts:
-                sets.append(np.unique(rolling_shingle_hashes((t or "").split(), ngram)).view(np.int64))
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.int64()))})
+            for th in th_per_doc:
+                sets.append(np.unique(rolling_shingle_hashes([], ngram, token_hashes=th))
+                            .view(np.int64))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "pair_id": pa.array(np.full(len(ids), -1, np.int64)),
+            "role": pa.array(np.full(len(ids), -1, np.int8)),
+            "shingles": pa.array([s.tolist() for s in sets], pa.list_(pa.int64())),
+        })
 
-    tbl = docs.map_batches(shingles_of, batch_format="pyarrow").to_pandas()
-    lut = {r.doc_id: set(r.shingles) for r in tbl.itertuples()}
-    ja = []
-    for a, b in zip(candidate_pairs.column("id_a").to_pylist(), candidate_pairs.column("id_b").to_pylist()):
-        sa, sb = lut.get(a, set()), lut.get(b, set())
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        ja.append(inter / union if union else 0.0)
+    shingle_rows = docs.map_batches(shingles_of, batch_format="pyarrow")
+    both = shingle_rows.union(ray.data.from_arrow(role_rows))
+    bucketed = both.map_batches(lambda t: _add_bucket(t, ["doc_id"], nb),
+                                batch_format="pyarrow", batch_size=65536)
+
+    def attach(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL]).to_pandas()
+        is_sh = df["role"] == -1
+        lut = dict(zip(df.loc[is_sh, "doc_id"], df.loc[is_sh, "shingles"]))
+        out = df[~is_sh]
+        sh = [list(lut[d]) if lut.get(d) is not None else []
+              for d in out["doc_id"]]
+        return pa.table({
+            "pair_id": pa.array(out["pair_id"].to_numpy(), pa.int64()),
+            "role": pa.array(out["role"].to_numpy(), pa.int8()),
+            "shingles": pa.array(sh, pa.list_(pa.int64())),
+        })
+
+    attached = bucketed.groupby(_BUCKET_COL).map_groups(attach, batch_format="pyarrow")
+    rebucketed = attached.map_batches(lambda t: _add_bucket(t, ["pair_id"], nb),
+                                      batch_format="pyarrow", batch_size=65536)
+
+    def score(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL]).to_pandas()
+        pids, sims = [], []
+        for pid, grp in df.groupby("pair_id", sort=False):
+            sets = {r.role: set(r.shingles if r.shingles is not None else [])
+                    for r in grp.itertuples()}
+            sa, sb = sets.get(0, set()), sets.get(1, set())
+            union = len(sa | sb)
+            pids.append(pid)
+            sims.append(len(sa & sb) / union if union else 0.0)
+        return pa.table({"pair_id": pa.array(pids, pa.int64()),
+                         "similarity": pa.array(np.round(sims, 6), pa.float64())})
+
+    scored = rebucketed.groupby(_BUCKET_COL).map_groups(score, batch_format="pyarrow").to_pandas()
+    sim = np.zeros(n_pairs)
+    sim[scored["pair_id"].to_numpy()] = scored["similarity"].to_numpy()
     return candidate_pairs.set_column(
         candidate_pairs.schema.get_field_index("similarity"), "similarity",
-        pa.array(np.round(ja, 6), pa.float64()),
+        pa.array(np.round(sim, 6), pa.float64()),
     )
 
 

@@ -171,29 +171,60 @@ def chunk_documents(batch: pa.Table, chunk_tokens: int = 128, overlap: int = 16,
                     id_col: str = "doc_id", col: str = "text") -> pa.Table:
     """Row-expanding map: split each document into fixed-token chunks
     with overlap (the standard training-data windowing op). Output:
-    (doc_id, chunk_idx, chunk_text, n_tokens). Deterministic."""
+    (doc_id, chunk_idx, chunk_text, n_tokens). Deterministic.
+
+    Fully vectorized (round-1 verdict item 8): tokens are split once
+    with an Arrow regex kernel, overlapping chunk windows become one
+    flat take-index array (numpy arange/repeat algebra), and the chunk
+    texts come from a single ``pc.binary_join`` over a LargeListArray —
+    no per-document Python. Semantics identical to the per-row
+    ``" ".join(t.split()[st:st+chunk_tokens])`` reference
+    implementation (pinned by tests + the DuckDB oracle)."""
     assert 0 <= overlap < chunk_tokens
     step = chunk_tokens - overlap
-    ids = batch.column(id_col).to_pylist()
-    texts = batch.column(col).to_pandas().fillna("")
-    out_ids, out_idx, out_text, out_n = [], [], [], []
-    for did, t in zip(ids, texts):
-        toks = t.split()
-        if not toks:
-            continue
-        starts = range(0, max(1, len(toks) - overlap), step)
-        for ci, st in enumerate(starts):
-            piece = toks[st:st + chunk_tokens]
-            out_ids.append(did)
-            out_idx.append(ci)
-            out_text.append(" ".join(piece))
-            out_n.append(len(piece))
+    text = pc.fill_null(batch.column(col).combine_chunks(), "")
+    if text.type != pa.string():
+        text = text.cast(pa.string())
+    trimmed = pc.utf8_trim_whitespace(text)
+    # after trimming, whitespace-split ≡ Python str.split() (runs
+    # collapse, no empties) and is ~3× cheaper than the regex kernel
+    toks = pc.utf8_split_whitespace(trimmed)
+    La = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    # "" splits to [""]; Python "".split() is [] — zero out empty docs
+    L = np.where(pc.equal(trimmed, "").to_numpy(zero_copy_only=False), 0, La)
+    n_chunks = np.where(L > 0, (np.maximum(1, L - overlap) - 1) // step + 1, 0)
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({
+            id_col: pa.array([], batch.schema.field(id_col).type),
+            "chunk_idx": pa.array([], pa.int32()),
+            "chunk_text": pa.array([], pa.string()),
+            "n_tokens": pa.array([], pa.int64()),
+        })
+    doc_of_chunk = np.repeat(np.arange(len(L)), n_chunks)
+    excl = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_idx = np.arange(total) - np.repeat(excl, n_chunks)
+    tok_start = chunk_idx * step
+    cl = np.minimum(chunk_tokens, L[doc_of_chunk] - tok_start)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_flat_excl = np.concatenate(([0], np.cumsum(La)[:-1]))
+    cs_flat = doc_flat_excl[doc_of_chunk] + tok_start
+    cum_cl = np.cumsum(cl)
+    idx = np.arange(int(cum_cl[-1])) - np.repeat(cum_cl - cl, cl) + np.repeat(cs_flat, cl)
+    taken = flat.take(pa.array(idx))
+    lst = pa.LargeListArray.from_arrays(
+        pa.array(np.concatenate(([0], cum_cl)), pa.int64()),
+        taken.combine_chunks() if isinstance(taken, pa.ChunkedArray) else taken,
+    )
+    chunk_text = pc.binary_join(lst, " ")
     return pa.table(
         {
-            id_col: pa.array(out_ids, batch.schema.field(id_col).type),
-            "chunk_idx": pa.array(out_idx, pa.int32()),
-            "chunk_text": pa.array(out_text, pa.string()),
-            "n_tokens": pa.array(out_n, pa.int64()),
+            id_col: batch.column(id_col).take(pa.array(doc_of_chunk)),
+            "chunk_idx": pa.array(chunk_idx.astype(np.int32)),
+            "chunk_text": chunk_text.cast(pa.string()),
+            "n_tokens": pa.array(cl.astype(np.int64)),
         }
     )
 

@@ -131,6 +131,94 @@ class OntologyIndex:
         return idx
 
     # ------------------------------------------------------------------
+    def _tier_arrays(self):
+        """Arrow key arrays + winner columns per tier, built lazily once
+        per index (the pc.index_in side of the vectorized cascade)."""
+        import numpy as np
+
+        cached = getattr(self, "_tiers", None)
+        if cached is not None:
+            return cached
+
+        def mk(m: dict, conf: str, score: float, prov: str):
+            ks = list(m)
+            return {
+                "keys": pa.array(ks, pa.string()),
+                "uri": np.array([m[k][0][0] for k in ks], object),
+                "label": np.array([m[k][0][1] for k in ks], object),
+                "conf": np.array([conf] * len(ks), object),
+                "score": np.full(len(ks), score),
+                "prov": prov,
+            }
+
+        from ..functions.normalize import KEY_SEP
+
+        ck = list(self.curated)
+        tiers = [
+            ("curated", {
+                "keys": pa.array([t + KEY_SEP + v for t, v in ck], pa.string()),
+                "uri": np.array([self.curated[k][0] for k in ck], object),
+                "label": np.array([self.curated[k][1] for k in ck], object),
+                "conf": np.array([self.curated[k][2] for k in ck], object),
+                "score": np.full(len(ck), 1.0),
+                "prov": "curated",
+            }),
+            ("resolver", mk(self.accession_map, "HIGH", 0.95, "resolver")),
+            ("label", mk(self.label_map, "GOOD", 0.9, "label")),
+            ("synonym", mk(self.syn_map, "GOOD", 0.85, "synonym")),
+            ("punct", mk(self.punct_map, "MEDIUM", 0.7, "punct")),
+            ("tokenset", mk(self.tokenset_map, "MEDIUM", 0.65, "tokenset")),
+        ]
+        self._tiers = tiers
+        return tiers
+
+    def lookup_batch(self, char_types: pa.Array, value_norms: pa.Array):
+        """Vectorized twin of ``lookup`` (round-1 verdict item 8): the
+        tier cascade runs as one ``pc.index_in`` per tier over the
+        still-unresolved rows' transformed keys. Returns parallel
+        (uri, label, conf, score, prov) numpy arrays with None/0 for
+        misses. Parity with the scalar path is pinned by tests."""
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..functions.normalize import KEY_SEP, punct_strip_array, token_sig_array
+
+        n = len(value_norms)
+        uri = np.full(n, None, object)
+        label = np.full(n, None, object)
+        conf = np.full(n, None, object)
+        prov = np.full(n, None, object)
+        score = np.zeros(n)
+        unresolved = np.ones(n, bool)
+
+        transforms = {
+            "curated": lambda: pc.binary_join_element_wise(char_types, value_norms, KEY_SEP),
+            "resolver": lambda: pc.replace_substring(
+                pc.replace_substring(value_norms, ":", "_"), " ", "_"),
+            "label": lambda: value_norms,
+            "synonym": lambda: value_norms,
+            "punct": lambda: punct_strip_array(value_norms),
+            "tokenset": lambda: token_sig_array(value_norms),
+        }
+        for name, tier in self._tier_arrays():
+            if not unresolved.any():
+                break
+            if len(tier["keys"]) == 0:
+                continue
+            idx = pc.index_in(transforms[name](), value_set=tier["keys"])
+            idxn = np.asarray(idx.to_numpy(zero_copy_only=False), dtype="float64")
+            hit = unresolved & ~np.isnan(idxn)
+            if not hit.any():
+                continue
+            ii = idxn[hit].astype(np.int64)
+            uri[hit] = tier["uri"][ii]
+            label[hit] = tier["label"][ii]
+            conf[hit] = tier["conf"][ii]
+            score[hit] = tier["score"][ii]
+            prov[hit] = tier["prov"]
+            unresolved[hit] = False
+        return uri, label, conf, score, prov
+
     def lookup(self, char_type: str, value_norm: str):
         """Resolve one normalized (type, value) → (uri, label, confidence,
         score, provenance) or None. Tier order per FIXTURES.md §3.3;

@@ -62,3 +62,48 @@ def test_canonicalize_annotations(ray_session):
     )
     out = canonicalize_annotations(ann, nb=2, salt=2).to_pandas().sort_values("key")
     assert out.term_uri.tolist() == ["u:A", "u:C"]  # best conf; then uri asc on tie
+
+
+def test_dedup_exact_salted_parity(ray_session):
+    """Two-level salted dedup ≡ unsalted (associative first-by-order)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({
+        "k": rng.choice(["hot"] * 8 + [f"k{i}" for i in range(10)], size=500),
+        "v": rng.integers(0, 3, size=500),
+        "ord": np.arange(500),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    plain = dedup_exact(ds, ["k", "v"], nb=4, keep_order_col="ord").to_pandas()
+    salted = dedup_exact(ds, ["k", "v"], nb=4, keep_order_col="ord", salt=4).to_pandas()
+    cols = ["k", "v", "ord"]
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        salted[cols].sort_values(cols).reset_index(drop=True),
+    )
+
+
+def test_auto_salt_e2e_identical_triples(ray_session):
+    """PipelineSpec(salt='auto') consumes the sampled hot-key report and
+    must emit byte-identical triples to the unsalted plan."""
+    import ray.data as rdm
+
+    from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, annotate_pages
+    from biosd_feature_annotator_ray.stages.canonicalize import recommend_salt
+    from biosd_feature_annotator_ray.synth import gen_pages
+
+    key = ["subj", "pred", "obj", "obj_kind"]
+    plain = annotate_pages(rdm.from_arrow(gen_pages(300)),
+                           PipelineSpec(n_buckets=8)).to_pandas()
+    auto = annotate_pages(rdm.from_arrow(gen_pages(300)),
+                          PipelineSpec(n_buckets=8, salt="auto")).to_pandas()
+    pd.testing.assert_frame_equal(
+        plain.sort_values(key).reset_index(drop=True),
+        auto.sort_values(key).reset_index(drop=True),
+    )
+    # the synthetic pages are organism-skewed → the sample recommends >1
+    from biosd_feature_annotator_ray.pipelines.annotate import build_mentions
+
+    mentions = build_mentions(rdm.from_arrow(gen_pages(300)), PipelineSpec(n_buckets=8))
+    assert recommend_salt(mentions, "key") >= 1

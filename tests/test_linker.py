@@ -93,3 +93,16 @@ def test_tie_break_deterministic():
     )
     idx = OntologyIndex.build(terms)
     assert idx.lookup("t", "shared")[0] == "u:A"
+
+
+def test_lookup_batch_matches_scalar(index):
+    """The vectorized pc.index_in tier cascade must agree with the
+    scalar lookup on every conformance-corpus key plus fuzz strings."""
+    extra = ["", " ", "||", "with|pipe", "männlich", "9606", ":::", "a b c d e"]
+    cts = [norm_str(c) for c, v, _, _ in CORPUS] + ["x"] * len(extra)
+    vals = [norm_str(v) for c, v, _, _ in CORPUS] + extra
+    u, lb, cf, sc, pv = index.lookup_batch(pa.array(cts), pa.array(vals))
+    for i, (ct, v) in enumerate(zip(cts, vals)):
+        want = index.lookup(ct, v)
+        got = None if u[i] is None else (u[i], lb[i], cf[i], float(sc[i]), pv[i])
+        assert got == want, (ct, v, got, want)
