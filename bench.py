@@ -84,6 +84,12 @@ def run_headline() -> dict:
 
     out_dir = f"{BASE}/graft_bench_out_{NUM_CPUS}"
     shutil.rmtree(out_dir, ignore_errors=True)
+    # Task-granularity control (round-1 verdict item 6): re-chunk the
+    # read into ~blocks_per_cpu waves of multi-second fused tasks — the
+    # streaming executor's dispatch overhead dominates sub-second tasks
+    # (measured: ~13/32 cores busy on 0.5 s tasks; raw tasks scale to
+    # ideal). 0 → leave Ray Data's file-based default.
+    bpc = int(os.environ.get("GRAFT_BLOCKS_PER_CPU", "4"))
     spec = PipelineSpec(
         batch_size=4096,
         link_batch_size=16384,
@@ -91,6 +97,7 @@ def run_headline() -> dict:
         join_concurrency=(1, max(2, NUM_CPUS // 2)),
         n_buckets=max(16, NUM_CPUS * 2),
         num_parts=64,
+        num_blocks=(NUM_CPUS * bpc) if bpc > 0 else None,
     )
     t0 = time.time()
     manifest = run(pages_dir, out_dir, spec, resume=False)
@@ -138,6 +145,9 @@ def run_scaling() -> None:
     scaling_pages = os.environ.get("GRAFT_SCALING_PAGES", "3200000")
 
     def one_process(ncpu: int) -> dict:
+        # settle delay first: a fresh ray session right after a previous
+        # one tears down contends with its dying raylet/workers.
+        time.sleep(int(os.environ.get("GRAFT_SCALING_SETTLE", "20")))
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_PAGES=scaling_pages,
                    GRAFT_SKIP_QUERIES="1")
         proc = subprocess.run([sys.executable, os.path.abspath(__file__)], env=env,
@@ -145,40 +155,37 @@ def run_scaling() -> None:
                               cwd=os.path.dirname(os.path.abspath(__file__)))
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    def one(ncpu: int) -> dict:
-        # best-of-2 with a settle delay: a fresh ray session right after a
-        # previous one tears down contends with its dying raylet/workers,
-        # and the shared VM shows large run-to-run noise — take the best
-        # observed run per level (both runs identical input + config).
-        best = None
-        for _ in range(2):
-            time.sleep(30)
-            r = one_process(ncpu)
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
-
+    # MEDIAN-OF-PAIRS protocol (round-1 verdict item 6: median, not
+    # best-of-N): run (hi, lo) back-to-back per pair so shared-VM noise
+    # phases hit both levels of a pair similarly, repeat, report the
+    # median pair efficiency plus every sample for honesty.
     # N vs 4N parallelism levels. 4/16 rather than 8/32: this box has 32
     # logical cores shared with the Ray driver + daemons, and requesting
     # every core makes the comparison measure scheduler contention, not
     # the pipeline (measured: the streaming executor keeps ~13 cores busy
     # at num_cpus=32 on sub-second tasks). Override with GRAFT_SCALING_LEVELS.
     lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(","))
-    r_hi = one(hi)   # high level first: a fresh machine state; the low
-    r_lo = one(lo)   # level is insensitive to ordering (measured)
-    tp_lo = r_lo["triples_per_sec"]
-    tp_hi = r_hi["triples_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
+    n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
+    pairs = []
+    for _ in range(n_pairs):
+        r_hi = one_process(hi)
+        r_lo = one_process(lo)
+        eff = (r_hi["triples_per_sec"] / r_lo["triples_per_sec"]) / (hi / lo)
+        pairs.append({"eff": round(eff, 3), "sec_lo": r_lo["value"],
+                      "sec_hi": r_hi["value"],
+                      "triples_per_sec_lo": r_lo["triples_per_sec"],
+                      "triples_per_sec_hi": r_hi["triples_per_sec"]})
+    effs = sorted(p["eff"] for p in pairs)
+    median = effs[len(effs) // 2] if len(effs) % 2 else round(
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3)
     print(json.dumps({
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": median,
         "unit": "ratio",
-        "sec_lo": r_lo["value"],
-        "sec_hi": r_hi["value"],
-        "triples_per_sec_lo": tp_lo,
-        "triples_per_sec_hi": tp_hi,
+        "protocol": f"median of {n_pairs} (hi,lo) pairs",
+        "pairs": pairs,
         "num_cpus": [lo, hi],
-        "pages": r_lo["pages"],
+        "pages": int(scaling_pages),
     }))
 
 

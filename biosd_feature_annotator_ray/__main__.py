@@ -34,6 +34,9 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--num-parts", type=int, default=64)
     pr.add_argument("--min-confidence", default="GOOD")
     pr.add_argument("--no-resume", action="store_true")
+    pr.add_argument("--salt", default="1",
+                    help="hot-key sub-buckets for the dedup reduce; 'auto' samples "
+                         "the key stream (K4 report) and picks one")
     pr.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
 
     pc_ = sub.add_parser("count", help="--property-count equivalent (A3)")
@@ -48,6 +51,14 @@ def main(argv: list[str] | None = None) -> int:
     ph.add_argument("--input", required=True)
     ph.add_argument("--top", type=int, default=20)
     ph.add_argument("--num-cpus", type=int, default=8)
+
+    pdp = sub.add_parser("dedup", help="near-duplicate pair scan over a documents parquet")
+    pdp.add_argument("--input", required=True, help="parquet with (doc_id, text) columns")
+    pdp.add_argument("--method", choices=["exact", "minhash", "simhash"], default="minhash")
+    pdp.add_argument("--threshold", type=float, default=0.7, help="minhash Jaccard threshold")
+    pdp.add_argument("--max-hamming", type=int, default=3, help="simhash hamming radius")
+    pdp.add_argument("--output", default=None, help="write pairs parquet here (else print count)")
+    pdp.add_argument("--num-cpus", type=int, default=8)
 
     args = p.parse_args(argv)
 
@@ -82,11 +93,34 @@ def main(argv: list[str] | None = None) -> int:
             print(top.to_pandas().to_json(orient="records"))
             return 0
 
+        if args.cmd == "dedup":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages import dedup as dd
+            from biosd_feature_annotator_ray.stages.canonicalize import dedup_exact
+
+            docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            if args.method == "exact":
+                pairs = dedup_exact(docs, ["text"], keep_order_col="doc_id")
+            elif args.method == "minhash":
+                pairs = dd.minhash_near_dups(docs, threshold=args.threshold,
+                                             stats_name=dd.DEDUP_STATS_ACTOR)
+            else:
+                pairs = dd.simhash_near_dups(docs, max_hamming=args.max_hamming,
+                                             stats_name=dd.DEDUP_STATS_ACTOR)
+            if args.output:
+                pairs.write_parquet(args.output)
+                print(json.dumps({"rows": pairs.count(), "output": args.output}))
+            else:
+                print(json.dumps({"rows": pairs.count()}))
+            return 0
+
         # run
         from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, run
 
         spec = PipelineSpec(num_parts=args.num_parts, min_confidence=args.min_confidence,
-                            lang=args.lang)
+                            lang=args.lang,
+                            salt="auto" if args.salt == "auto" else int(args.salt))
         pages = read_pages(args.input, lang=args.lang, url_prefix=args.url_prefix)
         if args.random_quota is not None:
             pages = pages.random_sample(args.random_quota, seed=42)

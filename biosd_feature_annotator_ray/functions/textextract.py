@@ -51,13 +51,20 @@ def extract_text(batch: pa.Table) -> pa.Table:
     synthetic pages, 100% of the documents proxy) no Python loop runs at
     all. Only the null-text rows pay the per-row decode.
     """
+    import pyarrow.compute as pc
+
     text = batch.column("text")
     if text.null_count == 0:
         return batch
-    null_idx = np.flatnonzero(np.asarray(text.is_null()))
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    mask = pc.is_null(text)
+    null_idx = np.flatnonzero(mask.to_numpy(zero_copy_only=False))
     html_needed = batch.column("html").take(pa.array(null_idx)).to_pylist()
-    out = text.to_pylist()
-    for i, h in zip(null_idx, html_needed):
-        out[i] = html_to_text(h) if h is not None else ""
+    # Only the null rows pay Python decode; the 90% non-null strings are
+    # never materialized (replace_with_mask splices in place).
+    repl = pa.array([html_to_text(h) if h is not None else "" for h in html_needed],
+                    type=text.type)
+    new_text = pc.replace_with_mask(text, mask, repl)
     idx = batch.schema.get_field_index("text")
-    return batch.set_column(idx, "text", pa.array(out, type=batch.schema.field(idx).type))
+    return batch.set_column(idx, "text", new_text)

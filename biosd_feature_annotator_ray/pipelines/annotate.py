@@ -72,6 +72,9 @@ class PipelineSpec:
                                           # one whole-partition materialization
     type_vocab: tuple[str, ...] = DEFAULT_TYPE_VOCAB
     lang: str | None = None               # M11 read-time filter
+    num_blocks: int | None = None         # read re-chunking: fewer/longer fused
+                                          # tasks (≈4 waves per core is a good
+                                          # default at cluster scale)
 
 
 def build_mentions(pages: "ray.data.Dataset", spec: PipelineSpec) -> "ray.data.Dataset":
@@ -308,7 +311,7 @@ def run(
     pages = (
         input_path
         if isinstance(input_path, ray.data.Dataset)
-        else read_pages(input_path, lang=spec.lang)
+        else read_pages(input_path, lang=spec.lang, num_blocks=spec.num_blocks)
     )
     num_parts = spec.num_parts
 

@@ -481,11 +481,25 @@ def q_sample_seeded(sf_dir: str):
 
 
 def q_multimodal_image(sf_dir: str):
+    """REAL PNG decode path (pure-python codec): true dimensions +
+    color-histogram features from actual encoded images."""
     from ..stages.multimodal import ImageDecodeStage, synth_media_table
 
-    media = rd.from_arrow(synth_media_table(256))
+    media = rd.from_arrow(synth_media_table(256, kind="png"))
     return media.map_batches(
-        ImageDecodeStage, batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+        ImageDecodeStage, fn_constructor_kwargs={"mode": "real"},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
+    )
+
+
+def q_multimodal_audio(sf_dir: str):
+    """REAL PCM16 WAV decode path: true durations + band-energy spectra."""
+    from ..stages.multimodal import AudioFeaturizeStage, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(256, kind="wav"))
+    return media.map_batches(
+        AudioFeaturizeStage, fn_constructor_kwargs={"mode": "real"},
+        batch_format="pyarrow", batch_size=64, concurrency=(1, 4)
     )
 
 
@@ -529,6 +543,7 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "sample_seeded": q_sample_seeded,
     "multimodal_image": q_multimodal_image,
+    "multimodal_audio": q_multimodal_audio,
 }
 
 ORACLES = {

@@ -21,11 +21,16 @@ def read_pages(
     lang: str | None = None,
     url_prefix: str | None = None,
     columns: list[str] | None = None,
+    num_blocks: int | None = None,
 ) -> "ray.data.Dataset":
     """read_parquet with column pruning + row-group predicate pushdown.
 
     ``lang=`` is the M11 web-hygiene filter pushed to the read (never
     post-shuffle); ``url_prefix=`` is the S2 submission-scope analog.
+    ``num_blocks=`` re-chunks the read into fewer, LONGER fused tasks
+    (task-granularity control: Ray Data's streaming executor dispatch
+    dominates sub-second map tasks — target multi-second tasks, a few
+    waves per core).
     """
     flt = None
     if lang is not None:
@@ -33,7 +38,8 @@ def read_pages(
     if url_prefix is not None:
         p = (pads.field("url") >= url_prefix) & (pads.field("url") < url_prefix + "￿")
         flt = p if flt is None else (flt & p)
-    return ray.data.read_parquet(paths, columns=columns or PAGE_COLUMNS, filter=flt)
+    return ray.data.read_parquet(paths, columns=columns or PAGE_COLUMNS, filter=flt,
+                                 override_num_blocks=num_blocks)
 
 
 def documents_as_pages(sf_dir: str) -> "ray.data.Dataset":

@@ -149,10 +149,15 @@ def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_ra
         pdir = os.path.join(out_dir, subdir, f"part_id={pid}")
         os.makedirs(pdir, exist_ok=True)
         sub = sorted_tbl.slice(st, en - st).drop_columns(["part_id"])
-        # Content-derived fragment name (row-hash fold over all columns):
-        # deterministic per block content → retry-idempotent.
+        # Content-derived fragment name: deterministic per block content →
+        # retry-idempotent. Hashing (url, key, span_start) suffices — the
+        # triple identifies a mention row (value columns are pure
+        # derivations of it), and hashing 3 of 11 columns keeps the
+        # digest out of the hot path's profile.
+        id_cols = [c for c in ("url", "key", "span_start") if c in sub.column_names] \
+            or sub.column_names[:1]
         with np.errstate(over="ignore"):
-            digest = int(hash_columns(sub, sub.column_names).sum(dtype=np.uint64)
+            digest = int(hash_columns(sub, id_cols).sum(dtype=np.uint64)
                          + np.uint64(len(sub)))
         final = os.path.join(pdir, f"frag-{digest:016x}-{len(sub)}.parquet")
         tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")

@@ -2,12 +2,19 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata columns; decode / feature-extract / resize / frame-sample are
-actor-pool ``map_batches`` stages. The decode kernels themselves are
-STUBBED (image/audio libraries are not in this container): mode="real"
-raises NotImplementedError at the exact integration point; mode="fake"
-produces deterministic features from a stable content hash so the
-Ray-side plumbing — schema, batch sizing, actor signature, output
-layout — is real and tested end-to-end.
+actor-pool ``map_batches`` stages.
+
+Decode status (round-1 verdict: make decode real where possible):
+
+- **image, mode="real"**: REAL PNG decode (pure stdlib zlib + filter
+  reconstruction, ``functions/codecs.py``) → true width/height + a
+  4×4×4 color-histogram feature. JPEG needs a real library → raises.
+- **audio, mode="real"**: REAL PCM16 WAV decode → true duration + a
+  32-band log-energy spectrum (numpy rfft).
+- **video**: still stubbed (container formats need ffmpeg); mode="real"
+  raises at the exact integration point.
+- mode="fake" (compat/testing): deterministic features from a stable
+  content hash — exercises the Ray-side plumbing for any payload.
 
 Batch-size guidance (SURVEY.md memory-aware rule): large binary
 payloads need SMALL batches — size batch_size so
@@ -42,22 +49,45 @@ def _fake_features(blobs: list[bytes | None], dim: int) -> np.ndarray:
 class ImageDecodeStage:
     """binary image column → (width, height, feature: list<float32>[64]).
 
-    Real decode would go through PIL/cv2 in __init__-loaded handles;
-    that import point is the only thing to swap at deployment."""
+    mode="real": PNG payloads are ACTUALLY decoded (pure-python codec —
+    true dimensions, color-histogram feature). ``on_error`` governs
+    non-PNG payloads: "raise" (default) or "skip" (drop the row — the
+    quarantine pattern for dirty web corpora). JPEG would slot into the
+    same branch once a real library is deployable."""
 
-    def __init__(self, mode: str = "fake", payload_col: str = "payload"):
+    def __init__(self, mode: str = "fake", payload_col: str = "payload",
+                 on_error: str = "raise"):
         if mode not in ("fake", "real"):
             raise ValueError(mode)
-        if mode == "real":
-            raise NotImplementedError(
-                "image decode requires PIL/opencv — not available in this "
-                "container; deploy with mode='real' after installing and "
-                "implementing _decode_real()"
-            )
-        self.mode, self.payload_col = mode, payload_col
+        if on_error not in ("raise", "skip"):
+            raise ValueError(on_error)
+        self.mode, self.payload_col, self.on_error = mode, payload_col, on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.payload_col).to_pylist()
+        if self.mode == "real":
+            from ..functions.codecs import is_png, png_decode, rgb_histogram_feature
+
+            keep, ws, hs, feats = [], [], [], []
+            for i, b in enumerate(blobs):
+                if not is_png(b):
+                    if self.on_error == "raise":
+                        raise ValueError(
+                            f"row {i}: not a PNG payload (JPEG/other formats "
+                            "need an image library — deploy and extend here)")
+                    continue
+                w, h, px = png_decode(b)
+                keep.append(i)
+                ws.append(w)
+                hs.append(h)
+                feats.append(rgb_histogram_feature(px))
+            out = batch.drop_columns([self.payload_col]).take(pa.array(keep, pa.int64()))
+            f = np.stack(feats).astype(np.float32) if feats else np.zeros((0, IMAGE_FEAT_DIM), np.float32)
+            out = out.append_column("width", pa.array(np.array(ws, np.int32)))
+            out = out.append_column("height", pa.array(np.array(hs, np.int32)))
+            return out.append_column(
+                "feature", pa.FixedSizeListArray.from_arrays(pa.array(f.reshape(-1)), IMAGE_FEAT_DIM)
+            )
         h = _content_hashes(blobs)
         feats = _fake_features(blobs, IMAGE_FEAT_DIM)
         # fake dims derived deterministically from the content hash
@@ -72,15 +102,40 @@ class ImageDecodeStage:
 
 
 class AudioFeaturizeStage:
-    """binary audio column → (duration_s, feature: list<float32>[32])."""
+    """binary audio column → (duration_s, feature: list<float32>[32]).
 
-    def __init__(self, mode: str = "fake", payload_col: str = "payload"):
-        if mode == "real":
-            raise NotImplementedError("audio decode requires soundfile/librosa — stub")
-        self.payload_col = payload_col
+    mode="real": PCM16 WAV payloads are ACTUALLY decoded (pure-python
+    RIFF parse) — true duration + 32-band log-energy spectrum. Other
+    codecs (mp3/ogg) need a real library; ``on_error`` as in
+    ImageDecodeStage."""
+
+    def __init__(self, mode: str = "fake", payload_col: str = "payload",
+                 on_error: str = "raise"):
+        if mode not in ("fake", "real"):
+            raise ValueError(mode)
+        self.mode, self.payload_col, self.on_error = mode, payload_col, on_error
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         blobs = batch.column(self.payload_col).to_pylist()
+        if self.mode == "real":
+            from ..functions.codecs import band_energy_feature, is_wav, wav_decode
+
+            keep, durs, feats = [], [], []
+            for i, b in enumerate(blobs):
+                if not is_wav(b):
+                    if self.on_error == "raise":
+                        raise ValueError(f"row {i}: not a WAV payload")
+                    continue
+                rate, x = wav_decode(b)
+                keep.append(i)
+                durs.append(len(x) / rate)
+                feats.append(band_energy_feature(x))
+            out = batch.drop_columns([self.payload_col]).take(pa.array(keep, pa.int64()))
+            f = np.stack(feats).astype(np.float32) if feats else np.zeros((0, AUDIO_FEAT_DIM), np.float32)
+            out = out.append_column("duration_s", pa.array(np.array(durs, np.float64)))
+            return out.append_column(
+                "feature", pa.FixedSizeListArray.from_arrays(pa.array(f.reshape(-1)), AUDIO_FEAT_DIM)
+            )
         h = _content_hashes(blobs)
         dur = (h % np.uint64(600_000)).astype(np.float64) / 1000.0
         feats = _fake_features(blobs, AUDIO_FEAT_DIM)
@@ -118,14 +173,41 @@ class VideoFrameSampleStage:
         )
 
 
-def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 1024) -> pa.Table:
-    """Deterministic fake media table for tests/benches."""
+def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 1024,
+                      kind: str = "noise") -> pa.Table:
+    """Deterministic media table for tests/benches. kind="noise" →
+    opaque bytes (fake-mode plumbing); "png" → REAL variable-size PNG
+    images; "wav" → REAL PCM16 sine-mix clips."""
     rng = np.random.default_rng(seed)
-    payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes() for _ in range(n)]
+    if kind == "noise":
+        payloads = [rng.integers(0, 256, size=payload_bytes, dtype=np.uint8).tobytes()
+                    for _ in range(n)]
+        mime = "application/octet-stream"
+    elif kind == "png":
+        from ..functions.codecs import png_encode
+
+        payloads = []
+        for _ in range(n):
+            w, h = int(rng.integers(4, 33)), int(rng.integers(4, 33))
+            payloads.append(png_encode(rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)))
+        mime = "image/png"
+    elif kind == "wav":
+        from ..functions.codecs import wav_encode
+
+        payloads = []
+        for _ in range(n):
+            dur = rng.uniform(0.05, 0.4)
+            t = np.arange(int(16000 * dur)) / 16000.0
+            f0 = rng.uniform(100, 4000)
+            payloads.append(wav_encode(0.5 * np.sin(2 * np.pi * f0 * t)
+                                       + 0.2 * np.sin(2 * np.pi * 2 * f0 * t)))
+        mime = "audio/wav"
+    else:
+        raise ValueError(kind)
     return pa.table(
         {
             "media_id": pa.array(np.arange(n, dtype=np.int64)),
             "payload": pa.array(payloads, pa.binary()),
-            "mime": pa.array(["application/octet-stream"] * n),
+            "mime": pa.array([mime] * n),
         }
     )

@@ -1,0 +1,117 @@
+"""Pure-python PNG/WAV codecs (functions/codecs.py) — round-trip
+identity and real-decode multimodal stages."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from biosd_feature_annotator_ray.functions.codecs import (
+    band_energy_feature,
+    is_png,
+    is_wav,
+    png_decode,
+    png_encode,
+    rgb_histogram_feature,
+    wav_decode,
+    wav_encode,
+)
+
+
+def test_png_roundtrip_rgb():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    b = png_encode(img)
+    assert is_png(b)
+    w, h, px = png_decode(b)
+    assert (w, h) == (23, 17)
+    np.testing.assert_array_equal(px, img)
+
+
+def test_png_roundtrip_grey():
+    img = ((np.arange(64).reshape(8, 8) * 3) % 256).astype(np.uint8)
+    w, h, px = png_decode(png_encode(img))
+    assert (w, h) == (8, 8)
+    np.testing.assert_array_equal(px[:, :, 0], img)
+
+
+def test_png_filters_1_and_2():
+    """Decode rows written with Sub/Up filters (foreign encoders use
+    them even though ours emits filter 0)."""
+    import struct
+    import zlib
+
+    from biosd_feature_annotator_ray.functions.codecs import PNG_SIG, _chunk
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    rows = []
+    for y in range(4):
+        raw = img[y].reshape(-1)
+        if y % 2 == 0:  # filter 1 (Sub)
+            enc = np.diff(raw.reshape(5, 3), axis=0, prepend=np.zeros((1, 3), np.uint8))
+            rows.append(b"\x01" + enc.astype(np.uint8).reshape(-1).tobytes())
+        else:           # filter 2 (Up)
+            enc = raw - img[y - 1].reshape(-1)
+            rows.append(b"\x02" + enc.astype(np.uint8).tobytes())
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+    b = (PNG_SIG + _chunk(b"IHDR", ihdr)
+         + _chunk(b"IDAT", zlib.compress(b"".join(rows))) + _chunk(b"IEND", b""))
+    w, h, px = png_decode(b)
+    np.testing.assert_array_equal(px, img)
+
+
+def test_png_rejects_garbage():
+    with pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+    assert not is_png(b"JFIF...")
+
+
+def test_wav_roundtrip():
+    t = np.arange(1600) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t)
+    b = wav_encode(x, rate=16000)
+    assert is_wav(b)
+    rate, y = wav_decode(b)
+    assert rate == 16000 and y.shape == (1600, 1)
+    np.testing.assert_allclose(y[:, 0] / 32767.0, x, atol=1 / 32000)
+
+
+def test_features_shapes_and_determinism():
+    rng = np.random.default_rng(2)
+    px = rng.integers(0, 256, size=(10, 10, 3), dtype=np.uint8)
+    f1, f2 = rgb_histogram_feature(px), rgb_histogram_feature(px)
+    assert f1.shape == (64,) and np.allclose(f1.sum(), 1.0)
+    np.testing.assert_array_equal(f1, f2)
+    s = (rng.standard_normal(3200) * 8000).astype(np.int16).reshape(-1, 1)
+    f = band_energy_feature(s)
+    assert f.shape == (32,) and np.isclose(np.linalg.norm(f), 1.0)
+
+
+def test_real_decode_stages(ray_session):
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.multimodal import (
+        AudioFeaturizeStage,
+        ImageDecodeStage,
+        synth_media_table,
+    )
+
+    media = rd.from_arrow(synth_media_table(32, kind="png"))
+    out = media.map_batches(ImageDecodeStage, fn_constructor_kwargs={"mode": "real"},
+                            batch_format="pyarrow", batch_size=16, concurrency=(1, 2)).to_pandas()
+    assert len(out) == 32
+    assert (out.width.between(4, 32)).all() and (out.height.between(4, 32)).all()
+
+    audio = rd.from_arrow(synth_media_table(32, kind="wav"))
+    out2 = audio.map_batches(AudioFeaturizeStage, fn_constructor_kwargs={"mode": "real"},
+                             batch_format="pyarrow", batch_size=16, concurrency=(1, 2)).to_pandas()
+    assert len(out2) == 32
+    assert (out2.duration_s.between(0.04, 0.41)).all()
+
+    # on_error="skip" quarantines non-decodable payloads
+    mixed = rd.from_arrow(synth_media_table(16, kind="noise"))
+    out3 = mixed.map_batches(
+        ImageDecodeStage, fn_constructor_kwargs={"mode": "real", "on_error": "skip"},
+        batch_format="pyarrow", batch_size=16, concurrency=(1, 2)).to_pandas()
+    assert len(out3) == 0

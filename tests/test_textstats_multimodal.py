@@ -91,8 +91,13 @@ def test_image_decode_stub_plumbing():
 
 
 def test_real_mode_raises():
+    # image/audio real decode is now IMPLEMENTED (pure-python PNG/WAV —
+    # tests/test_codecs.py); only video remains a stub
     with pytest.raises(NotImplementedError):
-        multimodal.ImageDecodeStage(mode="real")
+        multimodal.VideoFrameSampleStage(mode="real")
+    with pytest.raises(ValueError):
+        # real image mode rejects a non-PNG payload instead of faking it
+        multimodal.ImageDecodeStage(mode="real")(multimodal.synth_media_table(2))
 
 
 def test_video_frame_sampling_expands_rows():
