@@ -384,6 +384,80 @@ def q_knn_cosine(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+# AS-OF join (custom operator Ray Data lacks): latest 'view' event of
+# the same user at/before each event's ts — DuckDB ASOF JOIN oracle
+def q_asof_join_events(sf_dir: str):
+    from ..stages.join import asof_join
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    views = (
+        _events(sf_dir, ["user_id", "ts", "event_type"])
+        .map_batches(
+            lambda t: t.filter(pc.equal(t.column("event_type"), "view"))
+            .select(["user_id", "ts"]).rename_columns(["user_id", "view_ts"]),
+            batch_format="pyarrow",
+        )
+    )
+    out = asof_join(ev, views, key="user_id", ts="ts", right_ts="view_ts", nb=16)
+    df = out.to_pandas()[["event_id", "view_ts"]]
+    df["view_ts"] = df["view_ts"].astype("datetime64[us]")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# row_number() per key — windowed rank operator with SQL oracle
+def q_rank_events(sf_dir: str):
+    from ..stages.windows import rank_per_key
+
+    out = rank_per_key(_events(sf_dir, ["event_id", "user_id", "ts"]),
+                       key_col="user_id", order_cols=["ts", "event_id"], nb=8)
+    df = out.to_pandas()[["event_id", "rn"]]
+    df["rn"] = df["rn"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# lag() per key
+def q_lag_events(sf_dir: str):
+    from ..stages.windows import lag_per_key
+
+    out = lag_per_key(_events(sf_dir, ["event_id", "user_id", "ts"]),
+                      key_col="user_id", value_col="event_id",
+                      order_cols=["ts", "event_id"], out="prev_event_id", nb=8)
+    df = out.to_pandas()[["event_id", "prev_event_id"]]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# exact distributed quantiles (histogram-bracket, no global sort)
+def q_quantiles(sf_dir: str):
+    from ..stages.sketches import exact_quantile
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    qs = exact_quantile(ds, "o_totalprice", [0.5, 0.9], n_bins=512)
+    return pa.table({"p50": pa.array([round(qs[0.5], 2)], pa.float64()),
+                     "p90": pa.array([round(qs[0.9], 2)], pa.float64())})
+
+
+# pivot: per-user value sums split by event_type into columns
+def q_pivot_events(sf_dir: str):
+    from ..stages.canonicalize import pivot_sum
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    out = pivot_sum(_events(sf_dir, ["user_id", "event_type", "value"]),
+                    "user_id", "event_type", "value", cats)
+    df = out.to_pandas()
+    for c in cats:
+        df[c] = df[c].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# HLL approximate count-distinct (rows-only: approx by design; the
+# accuracy bound is pinned by pytest against the exact count)
+def q_approx_distinct_users(sf_dir: str):
+    from ..stages.sketches import approx_distinct
+
+    est = approx_distinct(_events(sf_dir, ["user_id"]), "user_id", p=12)
+    return pa.table({"approx_users": pa.array([est], pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # Rows-only queries (non-SQL-expressible; driver does rows/schema check)
 def q_annotate_triples(sf_dir: str):
@@ -530,6 +604,12 @@ QUERIES = {
     "session_windows": q_session_windows,
     "sliding_windows": q_sliding_windows,
     "partition_date": q_partition_date,
+    "asof_join_events": q_asof_join_events,
+    "rank_events": q_rank_events,
+    "lag_events": q_lag_events,
+    "quantiles": q_quantiles,
+    "pivot_events": q_pivot_events,
+    "approx_distinct_users": q_approx_distinct_users,
     "knn_cosine": q_knn_cosine,
     # rows-only
     "annotate_triples": q_annotate_triples,
@@ -658,6 +738,32 @@ ORACLES = {
     ),
     "partition_date": (
         "SELECT event_id, strftime(ts, '%Y-%m-%d') AS part_date FROM events"
+    ),
+    "asof_join_events": (
+        "SELECT e.event_id, l.view_ts FROM events e ASOF JOIN"
+        " (SELECT user_id, ts AS view_ts FROM events WHERE event_type = 'view') l"
+        " ON e.user_id = l.user_id AND e.ts >= l.view_ts"
+    ),
+    "rank_events": (
+        "SELECT event_id, row_number() OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS rn FROM events"
+    ),
+    "lag_events": (
+        "SELECT event_id, lag(event_id) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS prev_event_id FROM events"
+    ),
+    "quantiles": (
+        "SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,"
+        " round(quantile_disc(o_totalprice, 0.9), 2) AS p90 FROM orders"
+    ),
+    "pivot_events": (
+        "SELECT user_id,"
+        " round(sum(CASE WHEN event_type='click' THEN value ELSE 0 END), 2) AS click,"
+        " round(sum(CASE WHEN event_type='error' THEN value ELSE 0 END), 2) AS error,"
+        " round(sum(CASE WHEN event_type='purchase' THEN value ELSE 0 END), 2) AS purchase,"
+        " round(sum(CASE WHEN event_type='signup' THEN value ELSE 0 END), 2) AS signup,"
+        " round(sum(CASE WHEN event_type='view' THEN value ELSE 0 END), 2) AS view"
+        " FROM events GROUP BY user_id"
     ),
     "knn_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),"

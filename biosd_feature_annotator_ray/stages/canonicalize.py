@@ -181,3 +181,33 @@ def canonicalize_annotations(ann: "ray.data.Dataset", nb: int = 64, salt: int = 
         ranked, ["key"], ["_crank", "score", "term_uri"], [False, False, True], nb=nb, salt=salt
     )
     return best.drop_columns(["_crank"])
+
+
+def pivot_sum(
+    ds: "ray.data.Dataset",
+    index_col: str,
+    pivot_col: str,
+    value_col: str,
+    categories: list[str],
+) -> "ray.data.Dataset":
+    """Pivot: one output row per ``index_col`` with one SUM column per
+    category of ``pivot_col`` (missing → 0.0). Map-side partial pivot
+    collapses each batch to ≤1 row per index value BEFORE the shuffle —
+    the exchange moves pre-aggregated wide rows, not events."""
+    cats = list(categories)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([index_col, pivot_col, value_col]).to_pandas()
+        p = df.pivot_table(index=index_col, columns=pivot_col, values=value_col,
+                           aggfunc="sum", fill_value=0.0)
+        p = p.reindex(columns=cats, fill_value=0.0).reset_index()
+        p.columns = [index_col] + cats
+        return pa.Table.from_pandas(p, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(index_col)
+        .aggregate(*[Sum(c, alias_name=c) for c in cats])
+    )

@@ -120,3 +120,63 @@ def shuffle_hash_join(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
+def asof_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    right_ts: str | None = None,
+    nb: int = 32,
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Distributed AS-OF join: each left row matches the LATEST right
+    row of the same ``key`` with right ts ≤ left ts (DuckDB
+    ``ASOF JOIN`` semantics; ``how="left"`` keeps unmatched rows with
+    nulls).
+
+    Shape: same one-bucket-shuffle union as ``shuffle_hash_join``
+    (keys co-locate), then a vectorized ``pd.merge_asof(by=key)``
+    inside each bucket — no per-row Python, no global sort.
+    Determinism note: among right rows tying on (key, ts), the payload
+    of the LAST one in (ts, input-order) wins — pre-dedup the right
+    side on (key, ts) if its payload is not unique per timestamp."""
+    rts = right_ts or ts
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = [n for n in lschema.names if n not in (key, ts)]
+    rcols = [n for n in rschema.names if n not in (key, rts)]
+    wide = pa.schema(
+        [lschema.field(key), lschema.field(ts)]
+        + ([rschema.field(rts)] if rts != ts else [])
+        + [lschema.field(n) for n in lcols]
+        + [rschema.field(n) for n in rcols if n not in lcols]
+    )
+
+    def prep(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return _add_bucket(_align(batch, wide, side), [key], nb)
+
+        return f
+
+    both = (
+        left.map_batches(prep(0), batch_format="pyarrow", batch_size=65536)
+        .union(right.map_batches(prep(1), batch_format="pyarrow", batch_size=65536))
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        side = df.pop(_SIDE)
+        ldf = df[side == 0][[key, ts] + lcols].dropna(subset=[key, ts])
+        rdf = df[side == 1][[key, rts] + rcols].dropna(subset=[key, rts])
+        ldf = ldf.sort_values([ts, key], kind="mergesort")
+        rdf = rdf.sort_values([rts, key], kind="mergesort")
+        out = pd.merge_asof(ldf, rdf, left_on=ts, right_on=rts, by=key,
+                            direction="backward")
+        if how == "inner":
+            probe = rcols[0] if rcols else rts
+            out = out[out[probe].notna()]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return both.groupby(_B).map_groups(finish, batch_format="pyarrow")

@@ -1,0 +1,148 @@
+"""Distributed statistics sketches (graft-added training-data ops):
+exact quantiles at scale and HyperLogLog approximate count-distinct.
+
+- ``exact_quantile``: percentile_disc semantics (smallest value whose
+  cumulative count ≥ ceil(q·n)) computed EXACTLY without a global
+  sort: one histogram pass brackets each target rank into a narrow
+  value range, then only the in-range values (expected n/n_bins) are
+  collected and selected. Skewed bins recurse with a finer histogram
+  instead of collecting unbounded rows — every pass is a streaming
+  map + small reduce, never an all-to-all sort.
+- ``approx_distinct``: classic HLL (2^p registers, stable 64-bit
+  hash); per-batch register arrays reduce by elementwise max — one
+  pass, constant memory, mergeable across datasets/days. Use where the
+  exact ``distinct_counts`` shuffle is too expensive and ±2% is fine.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from ..functions.hashing import hash_strings
+
+
+def _minmax_count(ds: "ray.data.Dataset", col: str) -> tuple[float, float, int]:
+    def local(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pa.table({"mn": pa.array([], pa.float64()),
+                             "mx": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"mn": [float(v.min())], "mx": [float(v.max())],
+                         "n": [int(len(v))]})
+
+    part = ds.map_batches(local, batch_format="pyarrow", batch_size=65536).to_pandas()
+    if part.empty or part["n"].sum() == 0:
+        return np.nan, np.nan, 0
+    return float(part["mn"].min()), float(part["mx"].max()), int(part["n"].sum())
+
+
+def _hist_counts(ds: "ray.data.Dataset", col: str, lo: float, hi: float,
+                 n_bins: int, hi_closed: bool = True) -> np.ndarray:
+    """Global histogram counts over [lo, hi] (or [lo, hi) when
+    ``hi_closed=False`` — refinement inside an interior, right-open
+    bracket). Values outside the range are dropped."""
+    edges = np.linspace(lo, hi, n_bins + 1)
+
+    def local(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        v = v[(v >= lo) & ((v <= hi) if hi_closed else (v < hi))]
+        idx = np.clip(np.searchsorted(edges, v, side="right") - 1, 0, n_bins - 1)
+        c = np.bincount(idx, minlength=n_bins)
+        nz = np.flatnonzero(c)
+        return pa.table({"bin": pa.array(nz.astype(np.int32)),
+                         "cnt": pa.array(c[nz].astype(np.int64))})
+
+    part = ds.map_batches(local, batch_format="pyarrow", batch_size=65536).to_pandas()
+    out = np.zeros(n_bins, dtype=np.int64)
+    if not part.empty:
+        g = part.groupby("bin")["cnt"].sum()
+        out[g.index.to_numpy()] = g.to_numpy()
+    return out
+
+
+def exact_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: list[float],
+    n_bins: int = 4096,
+    max_collect: int = 1_000_000,
+    max_depth: int = 4,
+) -> dict[float, float]:
+    """Exact percentile_disc(q) per q: the ceil(q·n)-th smallest value.
+
+    The dataset is re-scanned once per histogram level (usually 1) plus
+    once per final in-bin collect; each scan is a streaming map with a
+    tiny reduce. Deterministic and exactly equal to a full sort's
+    answer (pinned by the DuckDB ``quantile_disc`` oracle)."""
+    lo, hi, n = _minmax_count(ds, col)
+    if n == 0:
+        return {q: float("nan") for q in qs}
+    out: dict[float, float] = {}
+    for q in qs:
+        k = max(1, int(np.ceil(q * n)))  # 1-based target rank
+        blo, bhi, below = lo, hi, 0      # `below` = count of values < blo
+        closed = True                    # current bracket is [blo, bhi]?
+        for _ in range(max_depth):
+            if blo == bhi:
+                break
+            counts = _hist_counts(ds, col, blo, bhi, n_bins, hi_closed=closed)
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, k - below, side="left"))
+            edges = np.linspace(blo, bhi, n_bins + 1)
+            below += int(cum[b - 1]) if b else 0
+            closed = closed and (b == n_bins - 1)  # only the top bin stays closed
+            blo, bhi = float(edges[b]), float(edges[b + 1])
+            if counts[b] <= max_collect:
+                break
+
+        def in_range(batch: pa.Table, lo_=blo, hi_=bhi, cl=closed) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+            v = v[~np.isnan(v)]
+            m = (v >= lo_) & ((v <= hi_) if cl else (v < hi_))
+            return pa.table({col: pa.array(v[m], pa.float64())})
+
+        vals = ds.map_batches(in_range, batch_format="pyarrow", batch_size=65536).to_pandas()[col]
+        vals = np.sort(vals.to_numpy())
+        out[q] = float(vals[k - below - 1])
+    return out
+
+
+# ---------------------------------------------------------------------------
+def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> int:
+    """HyperLogLog count-distinct: 2^p registers (p=12 → ~1.6% std
+    error, 4 KiB state). Stable across runs/nodes (pandas 64-bit hash).
+    """
+    m = 1 << p
+    shift = np.uint64(64 - p)
+    wmask = np.uint64((1 << (64 - p)) - 1)
+
+    def local(batch: pa.Table) -> pa.Table:
+        h = hash_strings(batch.column(col)).astype(np.uint64)
+        idx = (h >> shift).astype(np.int64)
+        w = h & wmask
+        # rho = position of the leftmost 1-bit in the (64-p)-bit suffix
+        nbits = np.zeros(len(w), dtype=np.int64)
+        nz = w > 0
+        nbits[nz] = np.floor(np.log2(w[nz].astype(np.float64))).astype(np.int64) + 1
+        rho = (64 - p) - nbits + 1
+        regs = np.zeros(m, dtype=np.int8)
+        np.maximum.at(regs, idx, rho.astype(np.int8))
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    parts = ds.map_batches(local, batch_format="pyarrow", batch_size=65536).to_pandas()
+    regs = np.zeros(m, dtype=np.int8)
+    for b in parts["regs"]:
+        regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)  # small-range correction
+    return int(round(est))

@@ -115,3 +115,61 @@ def sliding_windows(
         return out
 
     return agg.map_batches(finalize, batch_format="pyarrow")
+
+
+def rank_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    ascending: list[bool] | None = None,
+    out: str = "rn",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """row_number() OVER (PARTITION BY key ORDER BY order_cols): bucket
+    shuffle on key, vectorized pandas cumcount within each bucket.
+    ``order_cols`` must be a total order per key for determinism."""
+    oc = order_cols or ["ts", "event_id"]
+    asc = ascending or [True] * len(oc)
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, ascending=[True] + asc, kind="mergesort")
+        df[out] = df.groupby(key_col, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def lag_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "event_id",
+    order_cols: list[str] | None = None,
+    out: str = "prev",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """lag(value) OVER (PARTITION BY key ORDER BY order_cols): the
+    previous row's value per key (null for each key's first row)."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        df[out] = df.groupby(key_col, sort=False)[value_col].shift(1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )

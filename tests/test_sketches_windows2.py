@@ -1,0 +1,112 @@
+"""Round-2 operator additions: as-of join, rank/lag windows, exact
+distributed quantile, HyperLogLog, pivot — parity vs pandas/numpy."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+@pytest.fixture
+def ev(ray_session):
+    rng = np.random.default_rng(17)
+    n = 2000
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(rng.integers(0, 10**6, n), unit="s"),
+        "value": rng.uniform(0, 10, n).round(3),
+        "kind": rng.choice(["a", "b", "c"], n),
+    })
+    return df
+
+
+def test_asof_join_matches_pandas(ev):
+    from biosd_feature_annotator_ray.stages.join import asof_join
+
+    right = ev[ev.kind == "b"][["user_id", "ts", "event_id"]].rename(
+        columns={"ts": "b_ts", "event_id": "b_id"})
+    got = asof_join(rd.from_pandas(ev[["event_id", "user_id", "ts"]]).repartition(4),
+                    rd.from_pandas(right).repartition(3),
+                    key="user_id", ts="ts", right_ts="b_ts", nb=8).to_pandas()
+    want = pd.merge_asof(
+        ev[["event_id", "user_id", "ts"]].sort_values("ts", kind="mergesort"),
+        right.sort_values("b_ts", kind="mergesort"),
+        left_on="ts", right_on="b_ts", by="user_id", direction="backward",
+    ).dropna(subset=["b_id"])
+    cols = ["event_id", "b_id"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True).astype("int64"),
+        want[cols].sort_values(cols).reset_index(drop=True).astype("int64"),
+    )
+
+
+def test_rank_and_lag_match_pandas(ev):
+    from biosd_feature_annotator_ray.stages.windows import lag_per_key, rank_per_key
+
+    ds = rd.from_pandas(ev[["event_id", "user_id", "ts"]]).repartition(4)
+    got_rn = rank_per_key(ds, nb=4).to_pandas().sort_values("event_id").reset_index(drop=True)
+    w = ev.sort_values(["user_id", "ts", "event_id"], kind="mergesort").copy()
+    w["rn"] = w.groupby("user_id", sort=False).cumcount() + 1
+    w["prev"] = w.groupby("user_id", sort=False)["event_id"].shift(1)
+    w = w.sort_values("event_id").reset_index(drop=True)
+    assert (got_rn.rn.to_numpy() == w.rn.to_numpy()).all()
+
+    got_lag = lag_per_key(ds, nb=4).to_pandas().sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(got_lag.prev.astype("float64"), w.prev.astype("float64"),
+                                   check_names=False)
+
+
+def test_exact_quantile_matches_numpy(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import exact_quantile
+
+    rng = np.random.default_rng(3)
+    # lognormal → skewed; duplicate block → pathological hot bin
+    v = np.concatenate([rng.lognormal(3, 1, 5000).round(2), np.full(2000, 55.25)])
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(4)
+    qs = [0.1, 0.5, 0.9, 0.99]
+    got = exact_quantile(ds, "x", qs, n_bins=64, max_collect=500)
+    sv = np.sort(v)
+    for q in qs:
+        want = sv[int(np.ceil(q * len(v))) - 1]  # percentile_disc
+        assert got[q] == want, (q, got[q], want)
+
+
+def test_exact_quantile_recursion_path(ray_session):
+    """max_collect below any bin count forces the refinement level."""
+    from biosd_feature_annotator_ray.stages.sketches import exact_quantile
+
+    rng = np.random.default_rng(4)
+    v = rng.uniform(0, 1, 4000)
+    ds = rd.from_pandas(pd.DataFrame({"x": v}))
+    got = exact_quantile(ds, "x", [0.5], n_bins=8, max_collect=10, max_depth=4)
+    want = np.sort(v)[int(np.ceil(0.5 * len(v))) - 1]
+    assert got[0.5] == want
+
+
+def test_approx_distinct_error_bound(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import approx_distinct
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 50_000, 200_000)
+    exact = len(np.unique(vals))
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    est = approx_distinct(ds, "v", p=12)
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+
+
+def test_pivot_sum_matches_pandas(ev):
+    from biosd_feature_annotator_ray.stages.canonicalize import pivot_sum
+
+    cats = ["a", "b", "c"]
+    got = pivot_sum(rd.from_pandas(ev).repartition(4), "user_id", "kind", "value",
+                    cats).to_pandas().sort_values("user_id").reset_index(drop=True)
+    want = ev.pivot_table(index="user_id", columns="kind", values="value",
+                          aggfunc="sum", fill_value=0.0).reindex(columns=cats, fill_value=0.0)
+    want = want.reset_index().sort_values("user_id").reset_index(drop=True)
+    for c in cats:
+        np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9)
