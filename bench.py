@@ -127,7 +127,8 @@ def run_queries() -> dict:
     names = [
         "lineitem_agg", "canonicalize_events", "dedup_docs", "window_events",
         "revenue_per_nation", "knn_cosine", "minhash_near_dups", "simhash_near_dups",
-        "curate_documents", "token_counts",
+        "curate_documents", "token_counts", "join_orders_lineitem", "asof_join_events",
+        "quantiles", "chunk_documents",
     ]
     out = {}
     for name in names:

@@ -25,6 +25,7 @@ from ray.data.aggregate import Sum
 
 from ..stages.canonicalize import dedup_exact, distinct_counts, groupby_argmax
 from ..stages import textstats
+from ..stages.util import as_task_fn
 
 
 def _docs(sf_dir: str, columns=None):
@@ -477,7 +478,7 @@ def q_curate_documents(sf_dir: str):
     enriched = (
         _docs(sf_dir, ["doc_id", "text", "lang"])
         .map_batches(textstats.quality_features, batch_format="pyarrow")
-        .map_batches(textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(as_task_fn(textstats.LangIdStage), batch_format="pyarrow")
         .map_batches(textstats.fingerprint, batch_format="pyarrow")
     )
     keep = dedup_exact(enriched, ["content_hash"], nb=16, keep_order_col="doc_id")
@@ -528,7 +529,7 @@ def q_knn_ivf(sf_dir: str):
 def q_langid(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
-        .map_batches(textstats.LangIdStage, batch_format="pyarrow", concurrency=(1, 4))
+        .map_batches(as_task_fn(textstats.LangIdStage), batch_format="pyarrow")
         .select_columns(["doc_id", "lang_pred"])
     )
 

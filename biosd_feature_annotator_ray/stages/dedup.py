@@ -26,6 +26,7 @@ import ray.data
 
 from .canonicalize import _add_bucket, _B as _BUCKET_COL, dedup_exact
 from .textstats import batch_token_hashes, rolling_shingle_hashes  # noqa: E501
+from .util import as_task_fn as _as_task_fn
 
 
 DEDUP_STATS_ACTOR = "dedup_stats"
@@ -239,17 +240,24 @@ def minhash_near_dups(
     bands: int = 16,
     ngram: int = 3,
     nb: int = 32,
-    concurrency=(1, 8),
+    concurrency=None,
     max_bucket: int = 64,
     stats_name: str | None = None,
 ) -> "ray.data.Dataset":
-    """MinHash+LSH near-dup pairs: (id_a, id_b, similarity≈Jaccard)."""
-    band_rows = docs.map_batches(
-        MinHashSignatures,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands, "ngram": ngram},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    """MinHash+LSH near-dup pairs: (id_a, id_b, similarity≈Jaccard).
+
+    Default runs the signature stage as plain tasks (per-process cached
+    state, fuses with the read); pass ``concurrency`` to force an actor
+    pool (only worth it if the stage state ever becomes expensive)."""
+    kw = {"num_perm": num_perm, "bands": bands, "ngram": ngram}
+    if concurrency is None:
+        band_rows = docs.map_batches(_as_task_fn(MinHashSignatures, kw),
+                                     batch_format="pyarrow")
+    else:
+        band_rows = docs.map_batches(
+            MinHashSignatures, fn_constructor_kwargs=kw,
+            batch_format="pyarrow", concurrency=concurrency,
+        )
     pairs = _bucketed_pairs(band_rows, _sig_similarity, threshold, nb,
                             max_bucket=max_bucket, stats_name=stats_name)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
@@ -304,12 +312,16 @@ def _hamming_sim(sa: bytes, sb: bytes) -> float:
 
 
 def simhash_near_dups(
-    docs: "ray.data.Dataset", max_hamming: int = 3, nb: int = 32, concurrency=(1, 8),
+    docs: "ray.data.Dataset", max_hamming: int = 3, nb: int = 32, concurrency=None,
     max_bucket: int = 64, stats_name: str | None = None,
 ) -> "ray.data.Dataset":
     """SimHash near-dup pairs (hamming distance ≤ max_hamming)."""
     threshold = 1.0 - max_hamming / 64.0 - 1e-9
-    rows = docs.map_batches(SimHashSignatures, batch_format="pyarrow", concurrency=concurrency)
+    if concurrency is None:
+        rows = docs.map_batches(_as_task_fn(SimHashSignatures, {}), batch_format="pyarrow")
+    else:
+        rows = docs.map_batches(SimHashSignatures, batch_format="pyarrow",
+                                concurrency=concurrency)
     pairs = _bucketed_pairs(rows, _hamming_sim, threshold, nb,
                             max_bucket=max_bucket, stats_name=stats_name)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
@@ -468,17 +480,19 @@ def embedding_near_dups(
     tables: int = 8,
     bits: int = 12,
     nb: int = 32,
-    concurrency=(1, 8),
+    concurrency=None,
     max_bucket: int = 64,
     stats_name: str | None = None,
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via random-hyperplane LSH."""
-    rows = vecs.map_batches(
-        CosineLSHSignatures,
-        fn_constructor_kwargs={"dim": dim, "tables": tables, "bits": bits},
-        batch_format="pyarrow",
-        concurrency=concurrency,
-    )
+    kw = {"dim": dim, "tables": tables, "bits": bits}
+    if concurrency is None:
+        rows = vecs.map_batches(_as_task_fn(CosineLSHSignatures, kw), batch_format="pyarrow")
+    else:
+        rows = vecs.map_batches(
+            CosineLSHSignatures, fn_constructor_kwargs=kw,
+            batch_format="pyarrow", concurrency=concurrency,
+        )
     pairs = _bucketed_pairs(rows, _cosine_sim, threshold, nb,
                             max_bucket=max_bucket, stats_name=stats_name)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
