@@ -450,6 +450,27 @@ def q_pivot_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Keyed RANGE join: assign each event to its session window (sessions
+# from the session_windows operator, non-overlapping per user) —
+# window-function SQL oracle
+def q_interval_join_sessions(sf_dir: str):
+    from ..stages.join import interval_join
+    from ..stages.windows import session_windows
+
+    sessions = session_windows(_events(sf_dir, ["user_id", "event_id", "ts"]),
+                               gap=pd.Timedelta(minutes=30), nb=8)
+    sessions = sessions.map_batches(
+        lambda t: t.select(["user_id", "session_id", "start_ts", "end_ts"]),
+        batch_format="pyarrow")
+    ev = _events(sf_dir, ["event_id", "user_id", "ts"])
+    out = interval_join(ev, sessions, key="user_id", ts="ts",
+                        start="start_ts", end="end_ts", nb=8)
+    df = out.to_pandas()[["event_id", "session_id"]]
+    df["session_id"] = df["session_id"].astype("int64")
+    return pa.Table.from_pandas(df.sort_values("event_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
 # HLL approximate count-distinct (rows-only: approx by design; the
 # accuracy bound is pinned by pytest against the exact count)
 def q_approx_distinct_users(sf_dir: str):
@@ -511,6 +532,18 @@ def q_embedding_near_dups(sf_dir: str):
     )
     vecs = rd.from_arrow(pa.concat_tables([base, planted]))
     return embedding_near_dups(vecs, dim=64, threshold=0.99)
+
+
+def q_dup_clusters(sf_dir: str):
+    """Near-dup PAIRS → duplicate CLUSTERS (connected components via
+    distributed min-label propagation) — the keep-one-representative
+    dedup decision. Rows-only (pairs come from LSH)."""
+    from ..stages.dedup import dup_clusters, minhash_near_dups
+
+    pairs = minhash_near_dups(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    out = dup_clusters(pairs, nb=8)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 def q_knn_ivf(sf_dir: str):
@@ -609,6 +642,7 @@ QUERIES = {
     "rank_events": q_rank_events,
     "lag_events": q_lag_events,
     "quantiles": q_quantiles,
+    "interval_join_sessions": q_interval_join_sessions,
     "pivot_events": q_pivot_events,
     "approx_distinct_users": q_approx_distinct_users,
     "knn_cosine": q_knn_cosine,
@@ -618,6 +652,7 @@ QUERIES = {
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "embedding_near_dups": q_embedding_near_dups,
+    "dup_clusters": q_dup_clusters,
     "knn_ivf": q_knn_ivf,
     "langid": q_langid,
     "quality": q_quality,
@@ -756,6 +791,14 @@ ORACLES = {
     "quantiles": (
         "SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,"
         " round(quantile_disc(o_totalprice, 0.9), 2) AS p90 FROM orders"
+    ),
+    "interval_join_sessions": (
+        "WITH x AS (SELECT event_id, user_id, ts,"
+        "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM events)"
+        " SELECT event_id,"
+        "  CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id"
+        "       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM x"
     ),
     "pivot_events": (
         "SELECT user_id,"

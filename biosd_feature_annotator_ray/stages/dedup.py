@@ -496,3 +496,71 @@ def embedding_near_dups(
     pairs = _bucketed_pairs(rows, _cosine_sim, threshold, nb,
                             max_bucket=max_bucket, stats_name=stats_name)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
+
+
+# ---------------------------------------------------------------------------
+def dup_clusters(
+    pairs,
+    nb: int = 32,
+    max_iters: int = 20,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs → duplicate CLUSTERS: connected components
+    of the pair graph as (doc_id, cluster_rep) with cluster_rep = the
+    component's minimum doc id (keep cluster_rep, drop the rest — the
+    standard dedup decision rule).
+
+    Iterative distributed min-label propagation, Ray-Data-first: the
+    edge list is materialized once; each round ships every node's
+    current label across its edges (one bucket-shuffle hash join) and
+    reduces per node with a map-side-combined min (second shuffle).
+    Converges in O(component diameter) rounds — near-dup clusters are
+    shallow — and early-stops on the label-sum fixpoint (the sum is
+    strictly decreasing while any label changes, so one cheap scalar
+    aggregate replaces an old-vs-new diff join)."""
+    import ray.data as rd
+
+    from .join import shuffle_hash_join
+
+    pairs_ds = rd.from_arrow(pairs) if isinstance(pairs, pa.Table) else pairs
+
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch.column("id_a").combine_chunks()
+        b = batch.column("id_b").combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a.cast(pa.int64()), b.cast(pa.int64())]),
+                         "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])})
+
+    edges = pairs_ds.map_batches(expand, batch_format="pyarrow").materialize()
+
+    def _min_label(ds: "ray.data.Dataset") -> "ray.data.Dataset":
+        def local(batch: pa.Table) -> pa.Table:
+            df = batch.to_pandas().groupby("node", as_index=False)["label"].min()
+            return _add_bucket(pa.Table.from_pandas(df, preserve_index=False), ["node"], nb)
+
+        def finish(g: pa.Table) -> pa.Table:
+            df = g.drop_columns([_BUCKET_COL]).to_pandas()
+            out = df.groupby("node", as_index=False)["label"].min()
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        return (ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+                .groupby(_BUCKET_COL).map_groups(finish, batch_format="pyarrow"))
+
+    labels = _min_label(edges.map_batches(
+        lambda t: pa.table({"node": t.column("src"), "label": t.column("src")}),
+        batch_format="pyarrow")).materialize()
+
+    prev_sum = None
+    for _ in range(max_iters):
+        as_src = labels.map_batches(
+            lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow")
+        msgs = shuffle_hash_join(edges, as_src, on=["src"], how="inner", nb=nb)
+        msgs = msgs.map_batches(
+            lambda t: pa.table({"node": t.column("dst").cast(pa.int64()),
+                                "label": t.column("label").cast(pa.int64())}),
+            batch_format="pyarrow")
+        labels = _min_label(msgs.union(labels)).materialize()
+        s = labels.sum("label")
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_rep"]), batch_format="pyarrow")

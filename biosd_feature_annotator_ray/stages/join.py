@@ -180,3 +180,62 @@ def asof_join(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
+def interval_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    nb: int = 32,
+    overlapping: bool = False,
+) -> "ray.data.Dataset":
+    """Keyed range join: left rows (key, ts) ⋈ right intervals
+    (key, start, end) where start ≤ ts ≤ end.
+
+    Same one-bucket-shuffle co-location as the other joins. With
+    non-overlapping intervals per key (sessions, validity windows —
+    the common case) each bucket resolves with ONE vectorized
+    ``merge_asof`` on the interval start + an end-bound filter.
+    ``overlapping=True`` switches to a key-equijoin + range filter
+    (cost bounded by per-key interval count — document/bound it)."""
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = [n for n in lschema.names if n != key]
+    rcols = [n for n in rschema.names if n != key]
+    wide = pa.schema(
+        [lschema.field(key)]
+        + [lschema.field(n) for n in lcols]
+        + [rschema.field(n) for n in rcols if n not in lcols]
+    )
+
+    def prep(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            return _add_bucket(_align(batch, wide, side), [key], nb)
+
+        return f
+
+    both = (
+        left.map_batches(prep(0), batch_format="pyarrow", batch_size=65536)
+        .union(right.map_batches(prep(1), batch_format="pyarrow", batch_size=65536))
+    )
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        side = df.pop(_SIDE)
+        ldf = df[side == 0][[key] + lcols].dropna(subset=[key, ts])
+        rdf = df[side == 1][[key] + rcols].dropna(subset=[key, start, end])
+        if overlapping:
+            out = ldf.merge(rdf, on=key)
+            out = out[(out[start] <= out[ts]) & (out[ts] <= out[end])]
+        else:
+            out = pd.merge_asof(
+                ldf.sort_values([ts, key], kind="mergesort"),
+                rdf.sort_values([start, key], kind="mergesort"),
+                left_on=ts, right_on=start, by=key, direction="backward")
+            out = out[out[end].notna() & (out[ts] <= out[end])]
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return both.groupby(_B).map_groups(finish, batch_format="pyarrow")

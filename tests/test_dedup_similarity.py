@@ -166,3 +166,22 @@ def test_knn_ivf_actually_prunes(ray_session):
     # sanity: each query still returns k ranked neighbors
     assert (out.groupby("query_id")["rank"].max() == 5).all()
     ray.kill(ray.get_actor(name))
+
+
+def test_dup_clusters_connected_components(ray_session):
+    """Label propagation finds exact components, incl. a diameter-4
+    chain that needs several rounds."""
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.stages.dedup import dup_clusters
+
+    pairs = pa.table({
+        "id_a": pa.array([1, 2, 3, 4, 10, 20, 21], pa.int64()),
+        "id_b": pa.array([2, 3, 4, 5, 11, 21, 22], pa.int64()),
+    })
+    out = dup_clusters(pairs, nb=4).to_pandas()
+    got = dict(zip(out.doc_id, out.cluster_rep))
+    assert {k: got[k] for k in [1, 2, 3, 4, 5]} == {k: 1 for k in [1, 2, 3, 4, 5]}
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == got[22] == 20
+    assert len(got) == 10
