@@ -215,8 +215,12 @@ def _pairs_from_buckets(group_cols: list[str], sim_fn, threshold: float,
             )
             if stats_name is not None:
                 try:
-                    ray.get_actor(stats_name).inc.remote(
-                        truncated_groups, dropped, fallback_pairs)
+                    # ray.get so the increment is APPLIED before this task
+                    # completes — a fire-and-forget send could still be in
+                    # flight when the driver reads the counters after
+                    # consuming the dataset (observed flake under load)
+                    ray.get(ray.get_actor(stats_name).inc.remote(
+                        truncated_groups, dropped, fallback_pairs))
                 except ValueError:
                     pass  # actor not created (caller didn't request stats)
         return pa.table(

@@ -226,7 +226,8 @@ def knn_ivf(
         S = Q_[qi] @ V.T  # (|Q_c|, |cell|)
         if stats_name is not None:
             try:
-                ray.get_actor(stats_name).inc.remote(int(S.size), len(ids))
+                # applied-before-task-completion (see dedup.py stats note)
+                ray.get(ray.get_actor(stats_name).inc.remote(int(S.size), len(ids)))
             except ValueError:
                 pass
         S[qids_[qi][:, None] == ids[None, :]] = -np.inf
