@@ -385,6 +385,67 @@ def q_knn_cosine(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+# TPC-H-Q3-shaped composition: broadcast semi-filter (small dimension
+# slice) + read-time predicate pushdown + large×large shuffle join +
+# pre-aggregated groupby + global top-k — the multi-operator pipeline
+# a reference user composes daily
+def q_top_building_orders(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..stages.join import shuffle_hash_join
+
+    cutoff = pd.Timestamp("1995-03-15")
+    building = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"],
+                             filters=[("c_mktsegment", "=", "BUILDING")])
+    ckeys = ray.put(building.column("c_custkey").combine_chunks())
+
+    def keep_building(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("o_custkey"), value_set=ray.get(ckeys)))
+
+    orders = (
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+                        filter=pads.field("o_orderdate") < pads.scalar(cutoff))
+        .map_batches(keep_building, batch_format="pyarrow")
+        .map_batches(lambda t: t.select(["o_orderkey", "o_orderdate"]), batch_format="pyarrow")
+    )
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        filter=pads.field("l_shipdate") > pads.scalar(cutoff),
+    ).map_batches(lambda t: t.select(["l_orderkey", "l_extendedprice", "l_discount"])
+                  .rename_columns(["o_orderkey", "l_extendedprice", "l_discount"]),
+                  batch_format="pyarrow")
+    joined = shuffle_hash_join(orders, li, on=["o_orderkey"], how="inner", nb=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby(["o_orderkey", "o_orderdate"], as_index=False).agg(
+            revenue=("revenue", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["o_orderkey", "o_orderdate"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    )
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    df["o_orderdate"] = df["o_orderdate"].astype("datetime64[us]")
+    df = df.sort_values(["revenue", "o_orderkey"], ascending=[False, True]).head(10)
+    return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+# K3 deterministic hash sample (oracle-able twin of random_sample)
+def q_hash_sample(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        out = textstats.train_split(batch)
+        return out.filter(pc.less(out.column("bucket"), 10)).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(f, batch_format="pyarrow")
+
+
 # AS-OF join (custom operator Ray Data lacks): latest 'view' event of
 # the same user at/before each event's ts — DuckDB ASOF JOIN oracle
 def q_asof_join_events(sf_dir: str):
@@ -583,6 +644,15 @@ def q_fingerprint(sf_dir: str):
     )
 
 
+def q_tfidf_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document (two-pass: broadcast IDF table +
+    vectorized scoring). Rows-only (floating scores; semantics pinned
+    by pytest)."""
+    out = textstats.tfidf_top_terms(_docs(sf_dir, ["doc_id", "text"]), k=3, nb=16)
+    df = out.to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_sample_seeded(sf_dir: str):
     # K3 random quota — seeded for determinism within a session
     return _docs(sf_dir, ["doc_id"]).random_sample(0.1, seed=42)
@@ -632,6 +702,8 @@ QUERIES = {
     "revenue_per_nation": q_revenue_per_nation,
     "join_orders_lineitem": q_join_orders_lineitem,
     "semi_join_customers": q_semi_join_customers,
+    "top_building_orders": q_top_building_orders,
+    "hash_sample": q_hash_sample,
     "anti_join_docs": q_docs_without_label0_vec,
     "top_orders": q_top_orders,
     "window_events": q_window_events,
@@ -657,6 +729,7 @@ QUERIES = {
     "langid": q_langid,
     "quality": q_quality,
     "fingerprint": q_fingerprint,
+    "tfidf_terms": q_tfidf_terms,
     "sample_seeded": q_sample_seeded,
     "multimodal_image": q_multimodal_image,
     "multimodal_audio": q_multimodal_audio,
@@ -729,6 +802,22 @@ ORACLES = {
     "semi_join_customers": (
         "SELECT c_custkey FROM customer WHERE c_custkey IN "
         "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
+    ),
+    "top_building_orders": (
+        "SELECT o_orderkey, o_orderdate,"
+        " round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue"
+        " FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey"
+        " JOIN lineitem l ON l.l_orderkey = o.o_orderkey"
+        " WHERE c.c_mktsegment = 'BUILDING'"
+        "   AND o.o_orderdate < TIMESTAMP '1995-03-15'"
+        "   AND l.l_shipdate > TIMESTAMP '1995-03-15'"
+        " GROUP BY o_orderkey, o_orderdate"
+        " ORDER BY revenue DESC, o_orderkey LIMIT 10"
+    ),
+    "hash_sample": (
+        "SELECT doc_id FROM documents WHERE"
+        " CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+        " % 100 < 10"
     ),
     "anti_join_docs": (
         "SELECT doc_id FROM documents WHERE doc_id NOT IN "

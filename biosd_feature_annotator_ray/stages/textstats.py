@@ -269,3 +269,79 @@ def fingerprint(batch: pa.Table, col: str = "text", k: int = 8, ngram: int = 3) 
             full[i] = np.bitwise_xor.reduce(h) * _FNV_PRIME + np.uint64(len(h))
     out = batch.append_column("fingerprint", pa.array(digests, pa.string()))
     return out.append_column("content_hash", pa.array(full.astype(np.int64).view(np.uint64)))
+
+
+def tfidf_top_terms(
+    docs: "ray.data.Dataset",
+    k: int = 5,
+    min_df: int = 1,
+    max_vocab: int = 1_000_000,
+    id_col: str = "doc_id",
+    col: str = "text",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Top-k TF-IDF terms per document: (doc_id, term, score, rank).
+
+    Two-pass Ray-Data shape: (1) document frequencies via a map-side
+    doc-distinct term explode + the distinct_counts bucket reduce —
+    pruned to ``min_df``/``max_vocab`` and broadcast via ray.put (the
+    IDF table is the SMALL side; at web scale min_df/max_vocab keep it
+    broadcastable); (2) per-batch vectorized term counts scored
+    tf·log(N/(1+df)) with a local top-k. Scores are deterministic;
+    ties break by term asc."""
+    import math
+
+    import ray as _ray
+
+    from .canonicalize import distinct_counts
+
+    def doc_distinct_terms(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pandas().fillna("").str.lower()
+        flat = [w for t in texts for w in set(t.split())]
+        return pa.table({"term": pa.array(flat, pa.string())})
+
+    n_docs = docs.count()
+    df_tbl = distinct_counts(
+        docs.map_batches(doc_distinct_terms, batch_format="pyarrow", batch_size=65536),
+        "term", nb=nb,
+    ).to_pandas()
+    df_tbl = df_tbl[df_tbl["count"] >= min_df]
+    if len(df_tbl) > max_vocab:
+        df_tbl = df_tbl.nlargest(max_vocab, "count")
+    idf = {t: math.log(n_docs / (1.0 + c)) for t, c in
+           zip(df_tbl["term"], df_tbl["count"])}
+    idf_ref = _ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lut = _r.get(idf_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        texts = batch.column(col).to_pandas().fillna("").str.lower()
+        toks = [t.split() for t in texts]
+        lengths = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+        flat = pd.DataFrame({
+            "doc_i": np.repeat(np.arange(len(ids)), lengths),
+            "term": pd.Series([w for ws in toks for w in ws], dtype=object),
+        })
+        if flat.empty:
+            return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
+                             "term": pa.array([], pa.string()),
+                             "score": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int32())})
+        tf = flat.groupby(["doc_i", "term"], sort=False).size().reset_index(name="tf")
+        tf["idf"] = tf["term"].map(lut)
+        tf = tf.dropna(subset=["idf"])
+        tf["score"] = tf["tf"] * tf["idf"]
+        tf = tf.sort_values(["doc_i", "score", "term"], ascending=[True, False, True],
+                            kind="mergesort")
+        top = tf.groupby("doc_i", sort=False).head(k).copy()
+        top["rank"] = top.groupby("doc_i", sort=False).cumcount() + 1
+        return pa.table({
+            id_col: pa.array(ids[top["doc_i"].to_numpy()]),
+            "term": pa.array(top["term"].to_numpy(), pa.string()),
+            "score": pa.array(np.round(top["score"].to_numpy(), 6), pa.float64()),
+            "rank": pa.array(top["rank"].to_numpy().astype(np.int32)),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)

@@ -110,3 +110,29 @@ def test_pivot_sum_matches_pandas(ev):
     want = want.reset_index().sort_values("user_id").reset_index(drop=True)
     for c in cats:
         np.testing.assert_allclose(got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9)
+
+
+def test_tfidf_top_terms(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import tfidf_top_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "the cat sat on the mat",
+            "the dog sat on the log",
+            "the cat chased the dog",
+            "quantum chromodynamics lattice simulation",
+        ],
+    })
+    out = tfidf_top_terms(rd.from_pandas(docs), k=2, nb=4).to_pandas()
+    top1 = out[out["rank"] == 1].set_index("doc_id")["term"].to_dict()
+    # 'the' appears in every doc → idf log(4/5) < 0 → never a top term;
+    # doc 4's rare terms dominate
+    assert "the" not in set(out.term)
+    assert top1[4] in {"quantum", "chromodynamics", "lattice", "simulation"}
+    assert (out.groupby("doc_id")["rank"].max() <= 2).all()
+    # deterministic
+    out2 = tfidf_top_terms(rd.from_pandas(docs), k=2, nb=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["doc_id", "rank"]).reset_index(drop=True),
+        out2.sort_values(["doc_id", "rank"]).reset_index(drop=True))
