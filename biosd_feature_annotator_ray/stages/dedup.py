@@ -124,11 +124,31 @@ class MinHashSignatures:
         texts = batch.column(self.text_col).to_pandas().fillna("")
         n = len(ids)
         th_per_doc = batch_token_hashes(texts)
-        sigs = np.empty((n, self.num_perm), dtype=np.uint64)
+        # Batch-wide minhash: all shingle sets concatenate into one flat
+        # array; the (num_perm, shingles) universal hash computes per
+        # CHUNK of docs and reduces per doc with minimum.reduceat — a
+        # handful of numpy calls per ~64k shingles instead of ~10 per
+        # document.
+        sigs = np.full((n, self.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         with np.errstate(over="ignore"):
-            for i in range(n):
-                sh = np.unique(rolling_shingle_hashes([], self.ngram, token_hashes=th_per_doc[i]))
-                sigs[i] = minhash_signature(sh, self.a, self.b)
+            sh_list = [np.unique(rolling_shingle_hashes([], self.ngram, token_hashes=th))
+                       for th in th_per_doc]
+            lens = np.fromiter((len(s) for s in sh_list), np.int64, count=n)
+            nonempty = np.flatnonzero(lens > 0)
+            if len(nonempty):
+                all_sh = np.concatenate([sh_list[i] for i in nonempty])
+                csum = np.cumsum(lens[nonempty])
+                starts_all = np.concatenate(([0], csum[:-1]))
+                chunk_limit = 1 << 16
+                i0, base = 0, 0
+                while i0 < len(nonempty):
+                    i1 = int(np.searchsorted(csum, base + chunk_limit, side="right"))
+                    i1 = max(i1, i0 + 1)
+                    sl = all_sh[base:csum[i1 - 1]]
+                    st = starts_all[i0:i1] - base
+                    m = (np.outer(self.a, sl) + self.b[:, None]) % _MERSENNE
+                    sigs[nonempty[i0:i1]] = np.minimum.reduceat(m, st, axis=1).T
+                    base, i0 = int(csum[i1 - 1]), i1
         # band keys: stable hash of each band slice
         band_view = sigs.reshape(n, self.bands, self.rows_per_band)
         with np.errstate(over="ignore"):
