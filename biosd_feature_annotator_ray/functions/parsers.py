@@ -86,12 +86,37 @@ def parse_typed_values(values: pa.Array | pa.ChunkedArray) -> pa.Table:
 
     One output row per input row, aligned; kind == "none" where nothing
     in the grammar matched (value stays a string literal for linking).
+
+    Fast path: every tier of the grammar requires at least one digit
+    (numbers and ranges trivially; every date format includes a year),
+    so the expensive regex/strptime cascade runs only on the COMPACTED
+    digit-bearing subset and scatters back — non-digit mention values
+    ("Homo sapiens", "liver", …) are the majority of a real corpus and
+    cost one cheap match_substring_regex pass.
     """
     if isinstance(values, pa.ChunkedArray):
         values = values.combine_chunks()
     if values.type != pa.string():
         values = values.cast(pa.string())
-    v = pc.replace_substring_regex(pc.utf8_trim_whitespace(pc.fill_null(values, "")), r"\s+", " ")
+    v_full = pc.replace_substring_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(values, "")), r"\s+", " ")
+    n_full = len(v_full)
+    m_digit = pc.fill_null(pc.match_substring_regex(v_full, r"\d"), False)
+    idx = np.flatnonzero(m_digit.to_numpy(zero_copy_only=False))
+    empty_cols = {
+        "kind": pa.array(np.full(n_full, "none", dtype=object), pa.string()),
+        "num": pa.nulls(n_full, pa.float64()),
+        "num_lo": pa.nulls(n_full, pa.float64()),
+        "num_hi": pa.nulls(n_full, pa.float64()),
+        "dt": pa.nulls(n_full, _TS),
+        "dt_lo": pa.nulls(n_full, _TS),
+        "dt_hi": pa.nulls(n_full, _TS),
+        "unit_text": pa.nulls(n_full, pa.string()),
+        "note": pa.nulls(n_full, pa.string()),
+    }
+    if len(idx) == 0:
+        return pa.table({f.name: empty_cols[f.name] for f in TYPED_VALUE_FIELDS})
+    v = v_full.take(pa.array(idx))
     n = len(v)
 
     # ---- unit suffix split --------------------------------------------------
@@ -123,14 +148,19 @@ def parse_typed_values(values: pa.Array | pa.ChunkedArray) -> pa.Table:
     m_drange = np.zeros(n, dtype=bool)
     for pat in (_DRANGE_SPACED_RE, _DRANGE_SLASH_RE):
         dr = pc.extract_regex(v, pat)
-        if not pc.any(pc.is_valid(dr)).as_py():
+        val = np.flatnonzero(pc.is_valid(dr).to_numpy(zero_copy_only=False))
+        if len(val) == 0:
             continue
-        a_dt, a_fmt = _date_cascade(pc.struct_field(dr, "a"))
-        b_dt, b_fmt = _date_cascade(pc.struct_field(dr, "b"))
-        ok = (a_fmt >= 0) & (a_fmt == b_fmt) & ~m_drange
-        dt_lo[ok] = np.minimum(a_dt[ok], b_dt[ok])
-        dt_hi[ok] = np.maximum(a_dt[ok], b_dt[ok])
-        m_drange |= ok
+        # compact: the two-sided date cascade (8 strptime passes) runs
+        # only on rows where the range pattern matched
+        dr_sub = dr.take(pa.array(val))
+        a_dt, a_fmt = _date_cascade(pc.struct_field(dr_sub, "a"))
+        b_dt, b_fmt = _date_cascade(pc.struct_field(dr_sub, "b"))
+        ok_sub = (a_fmt >= 0) & (a_fmt == b_fmt) & ~m_drange[val]
+        tgt = val[ok_sub]
+        dt_lo[tgt] = np.minimum(a_dt[ok_sub], b_dt[ok_sub])
+        dt_hi[tgt] = np.maximum(a_dt[ok_sub], b_dt[ok_sub])
+        m_drange[tgt] = True
 
     # ---- precedence select --------------------------------------------------
     sel_drange = m_drange
@@ -148,23 +178,35 @@ def parse_typed_values(values: pa.Array | pa.ChunkedArray) -> pa.Table:
     unit_out = pc.if_else(pa.array(numeric_unit & has_us), unit_raw, pa.scalar(None, pa.string()))
     note = pc.if_else(pa.array(sel_cmp), pc.struct_field(cmp_, "op"), pa.scalar(None, pa.string()))
 
+    # ---- scatter the subset results back to full length ---------------------
+    kind_full = np.full(n_full, "none", dtype=object)
+    kind_full[idx] = kind
+
     def f64(mask, vals):
-        return pa.array(np.where(mask, vals, np.nan), pa.float64(), from_pandas=True)
+        out = np.full(n_full, np.nan)
+        out[idx] = np.where(mask, vals, np.nan)
+        return pa.array(out, pa.float64(), from_pandas=True)
 
     def ts_col(mask, vals):
-        out = np.where(mask, vals, _NULL_TS)
+        out = np.full(n_full, _NULL_TS)
+        out[idx] = np.where(mask, vals, _NULL_TS)
         return pa.array(out, _TS, from_pandas=True)
 
+    def str_col(sub_arr):
+        out = np.full(n_full, None, dtype=object)
+        out[idx] = sub_arr.to_numpy(zero_copy_only=False)
+        return pa.array(out, pa.string())
+
     cols = {
-        "kind": pa.array(kind, pa.string()),
+        "kind": pa.array(kind_full, pa.string()),
         "num": f64(sel_num | sel_cmp, np.where(sel_cmp, cmp_num, num_plain)),
         "num_lo": f64(sel_rng, lo),
         "num_hi": f64(sel_rng, hi),
         "dt": ts_col(sel_date, dt),
         "dt_lo": ts_col(sel_drange, dt_lo),
         "dt_hi": ts_col(sel_drange, dt_hi),
-        "unit_text": unit_out,
-        "note": note,
+        "unit_text": str_col(unit_out),
+        "note": str_col(note),
     }
     return pa.table({f.name: cols[f.name] for f in TYPED_VALUE_FIELDS})
 
