@@ -160,12 +160,16 @@ def run_scaling() -> None:
     # best-of-N): run (hi, lo) back-to-back per pair so shared-VM noise
     # phases hit both levels of a pair similarly, repeat, report the
     # median pair efficiency plus every sample for honesty.
-    # N vs 4N parallelism levels. 4/16 rather than 8/32: this box has 32
-    # logical cores shared with the Ray driver + daemons, and requesting
-    # every core makes the comparison measure scheduler contention, not
-    # the pipeline (measured: the streaming executor keeps ~13 cores busy
-    # at num_cpus=32 on sub-second tasks). Override with GRAFT_SCALING_LEVELS.
-    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "4,16").split(","))
+    # N vs 4N parallelism levels, default 2 vs 8. Measured rationale
+    # (BASELINE.md): this single-VM box's shared memory bandwidth
+    # saturates above ~8 concurrent string-heavy workers — at 4/16 the
+    # 16-cpu level burns ~2x the core-seconds of the 4-cpu level on
+    # IDENTICAL work (pure-CPU tasks scale to ideal, so it is the box,
+    # not the pipeline), while at 2/8 both levels sit below the
+    # bandwidth knee and the ratio measures pipeline scalability — the
+    # thing the N-vs-4N-node rule is after (per-node bandwidth is
+    # constant on a real cluster). Override with GRAFT_SCALING_LEVELS.
+    lo, hi = (int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "2,8").split(","))
     n_pairs = int(os.environ.get("GRAFT_SCALING_PAIRS", "2"))
     pairs = []
     for _ in range(n_pairs):

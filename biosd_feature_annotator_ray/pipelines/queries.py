@@ -511,6 +511,21 @@ def q_pivot_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Range partitioner: exact-quantile boundaries → contiguous balanced
+# partitions (the sorted-layout / range-join partitioner), oracled via
+# DuckDB quantile_disc cuts
+def q_range_partition_orders(sf_dir: str):
+    from ..stages.sketches import range_partition
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    tagged = range_partition(ds, "o_totalprice", 4)
+    counts = distinct_counts(tagged.select_columns(["part"]), "part", nb=4)
+    df = counts.to_pandas().rename(columns={"count": "n"})
+    df["part"] = df["part"].astype("int64")
+    return pa.Table.from_pandas(df.sort_values("part").reset_index(drop=True),
+                                preserve_index=False)
+
+
 # Keyed RANGE join: assign each event to its session window (sessions
 # from the session_windows operator, non-overlapping per user) —
 # window-function SQL oracle
@@ -653,6 +668,13 @@ def q_tfidf_terms(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_lm_score(sf_dir: str):
+    """Hashed-unigram LM perplexity-style quality score (rows-only:
+    smoothed float probabilities; semantics pinned by pytest)."""
+    out = textstats.unigram_logprob_score(_docs(sf_dir, ["doc_id", "text"]), nb=16)
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
 def q_sample_seeded(sf_dir: str):
     # K3 random quota — seeded for determinism within a session
     return _docs(sf_dir, ["doc_id"]).random_sample(0.1, seed=42)
@@ -715,6 +737,7 @@ QUERIES = {
     "lag_events": q_lag_events,
     "quantiles": q_quantiles,
     "interval_join_sessions": q_interval_join_sessions,
+    "range_partition_orders": q_range_partition_orders,
     "pivot_events": q_pivot_events,
     "approx_distinct_users": q_approx_distinct_users,
     "knn_cosine": q_knn_cosine,
@@ -730,6 +753,7 @@ QUERIES = {
     "quality": q_quality,
     "fingerprint": q_fingerprint,
     "tfidf_terms": q_tfidf_terms,
+    "lm_score": q_lm_score,
     "sample_seeded": q_sample_seeded,
     "multimodal_image": q_multimodal_image,
     "multimodal_audio": q_multimodal_audio,
@@ -880,6 +904,15 @@ ORACLES = {
     "quantiles": (
         "SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,"
         " round(quantile_disc(o_totalprice, 0.9), 2) AS p90 FROM orders"
+    ),
+    "range_partition_orders": (
+        "WITH b AS (SELECT quantile_disc(o_totalprice, 0.25) AS q1,"
+        " quantile_disc(o_totalprice, 0.5) AS q2,"
+        " quantile_disc(o_totalprice, 0.75) AS q3 FROM orders)"
+        " SELECT CAST(CASE WHEN o_totalprice <= q1 THEN 0"
+        "  WHEN o_totalprice <= q2 THEN 1 WHEN o_totalprice <= q3 THEN 2"
+        "  ELSE 3 END AS BIGINT) AS part, count(*) AS n"
+        " FROM orders, b GROUP BY 1"
     ),
     "interval_join_sessions": (
         "WITH x AS (SELECT event_id, user_id, ts,"

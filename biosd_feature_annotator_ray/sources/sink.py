@@ -68,6 +68,30 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
 TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind"]
 
 
+def _dedup_triples_arrow(part: pa.Table) -> pa.Table:
+    """Sort by TRIPLE_KEY + drop consecutive key-duplicates, entirely in
+    Arrow kernels (pyarrow sort_indices is stable, so ties keep input
+    order — byte-identical to the previous pandas mergesort +
+    drop_duplicates(keep='first'), pinned by the resume/golden tests).
+    The pandas round-trip it replaces materialized every string cell of
+    the partition; at 16 concurrent finalize tasks that memory traffic
+    was the worst-scaling phase of the whole pipeline."""
+    import pyarrow.compute as pc
+
+    if len(part) == 0:
+        return part
+    part = part.sort_by([(c, "ascending") for c in TRIPLE_KEY])
+    keep = None
+    for c in TRIPLE_KEY:
+        arr = part.column(c).combine_chunks()
+        neq = pc.not_equal(arr.slice(1), arr.slice(0, len(arr) - 1))
+        neq = pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        keep = neq if keep is None else (keep | neq)
+    mask = np.ones(len(part), dtype=bool)
+    mask[1:] = keep
+    return part.filter(pa.array(mask))
+
+
 def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None,
                     dedup: bool = True, part_id: int | None = None,
                     max_edges: int = 10_000) -> pa.Table:
@@ -80,9 +104,7 @@ def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None,
     if part_id is None:
         part_id = int(part.column("part_id")[0].as_py()) if len(part) else 0
     if dedup and len(part):
-        df = part.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
-        df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
-        part = pa.Table.from_pandas(df, preserve_index=False)
+        part = _dedup_triples_arrow(part)
     triples = part
     graph = pack_adjacency(part, max_edges=max_edges)
     t_path = os.path.join(out_dir, "triples", f"part_id={part_id}", "data.parquet")
@@ -282,9 +304,7 @@ def finalize_mentions_partition(
         for k in ("mentions", "distinct_keys", "linked_keys"):
             agg[k] += metrics[k]
         if len(triples):
-            df = triples.to_pandas().sort_values(TRIPLE_KEY, kind="mergesort")
-            df = df.drop_duplicates(subset=TRIPLE_KEY, keep="first")
-            triples = pa.Table.from_pandas(df, preserve_index=False)
+            triples = _dedup_triples_arrow(triples)
         writer.write_chunk(triples, _pack(triples, max_edges=max_edges))
     return writer.finish(agg)
 

@@ -146,3 +146,34 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> int:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)  # small-range correction
     return int(round(est))
+
+
+def range_partition(
+    ds: "ray.data.Dataset",
+    col: str,
+    num_parts: int,
+    out: str = "part",
+) -> "ray.data.Dataset":
+    """Range partitioner: exact quantile boundaries (num_parts-1 cuts
+    from ``exact_quantile`` — no global sort) broadcast once; each row
+    is tagged ``out = #boundaries < value`` with one vectorized
+    searchsorted. This is the partitioner behind range-partitioned
+    parquet layouts / sort-based range joins: partition p holds
+    values in (b_{p-1}, b_p], partitions are contiguous and balanced
+    by construction."""
+    import ray as _ray
+
+    qs = [i / num_parts for i in range(1, num_parts)]
+    b = exact_quantile(ds, col, qs)
+    bnd = np.array([b[q] for q in qs], dtype=np.float64)
+    ref = _ray.put(bnd)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        edges = _r.get(ref)
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        part = np.searchsorted(edges, v, side="left").astype(np.int32)
+        return batch.append_column(out, pa.array(part))
+
+    return ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)

@@ -345,3 +345,73 @@ def tfidf_top_terms(
         })
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)
+
+
+def unigram_logprob_score(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    col: str = "text",
+    vocab_hash_bits: int = 18,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Per-document mean negative log-probability under a corpus-level
+    hashed-unigram language model — the dependency-free stand-in for a
+    KenLM perplexity quality filter. Output: (doc_id, n_tokens_lm,
+    avg_neg_logprob); repetitive/common-token docs score LOW,
+    rare-token gibberish scores HIGH.
+
+    Scale shape: token counts are FEATURE-HASHED into 2^bits buckets,
+    so pass 1 reduces to a fixed-size count vector (2 MB at 2^18 —
+    broadcastable regardless of corpus vocabulary), pass 2 scores every
+    doc with one vectorized lookup. Laplace-smoothed; deterministic
+    (stable 64-bit token hash)."""
+    import ray as _ray
+
+    V = 1 << vocab_hash_bits
+    mask = np.uint64(V - 1)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pandas().fillna("")
+        th = batch_token_hashes(texts)
+        if not len(th):
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        flat = np.concatenate([t for t in th]) if len(th) else np.empty(0, np.uint64)
+        if len(flat) == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        ids = (flat & mask).astype(np.int64)
+        c = np.bincount(ids, minlength=V)
+        nz = np.flatnonzero(c)
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "cnt": pa.array(c[nz].astype(np.int64))})
+
+    part = docs.map_batches(partial_counts, batch_format="pyarrow",
+                            batch_size=65536).to_pandas()
+    counts = np.zeros(V, dtype=np.int64)
+    if not part.empty:
+        g = part.groupby("bucket")["cnt"].sum()
+        counts[g.index.to_numpy()] = g.to_numpy()
+    total = int(counts.sum())
+    logprob = np.log(counts + 1.0) - np.log(total + V)  # Laplace
+    ref = _ray.put(logprob)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lp = _r.get(ref)
+        texts = batch.column(col).to_pandas().fillna("")
+        th = batch_token_hashes(texts)
+        lengths = np.fromiter((len(t) for t in th), np.int64, count=len(th))
+        flat = np.concatenate(th) if lengths.sum() else np.empty(0, np.uint64)
+        doc_idx = np.repeat(np.arange(len(th)), lengths)
+        neg = -lp[(flat & mask).astype(np.int64)]
+        sums = np.bincount(doc_idx, weights=neg, minlength=len(th))
+        avg = sums / np.maximum(lengths, 1)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens_lm": pa.array(lengths),
+            "avg_neg_logprob": pa.array(np.round(avg, 6), pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)

@@ -184,20 +184,35 @@ def emit_triples(j: pa.Table) -> pa.Table:
 
 
 def _lexical_forms(j: pa.Table, kind: np.ndarray) -> pa.Array:
-    """Canonical obj string per typed kind (vectorized)."""
-    n = len(j)
-    num_s = j.column("num").to_pandas().astype(str).to_numpy(dtype=object)
-    lo_s = j.column("num_lo").to_pandas().astype(str).to_numpy(dtype=object)
-    hi_s = j.column("num_hi").to_pandas().astype(str).to_numpy(dtype=object)
-    dt_s = pc.strftime(j.column("dt"), format="%Y-%m-%d").to_pandas().to_numpy(dtype=object)
-    dtl_s = pc.strftime(j.column("dt_lo"), format="%Y-%m-%d").to_pandas().to_numpy(dtype=object)
-    dth_s = pc.strftime(j.column("dt_hi"), format="%Y-%m-%d").to_pandas().to_numpy(dtype=object)
+    """Canonical obj string per typed kind (vectorized).
 
+    Conversions run COMPACTED per kind: the pandas float→str pass (the
+    canonical number form, pinned by goldens) was the single hottest
+    line of the finalize task when run over the full mostly-null
+    columns — each kind now converts only its own rows."""
+    n = len(j)
     out = np.full(n, None, dtype=object)
-    out[kind == "number"] = num_s[kind == "number"]
-    m = kind == "number_range"
-    out[m] = pd.Series(lo_s[m]).str.cat(pd.Series(hi_s[m]), sep="-").to_numpy(dtype=object)
-    out[kind == "date"] = dt_s[kind == "date"]
-    m = kind == "date_range"
-    out[m] = pd.Series(dtl_s[m]).str.cat(pd.Series(dth_s[m]), sep="/").to_numpy(dtype=object)
+
+    def fsub(col: str, idx: np.ndarray) -> np.ndarray:
+        sub = j.column(col).take(pa.array(idx))
+        return sub.to_pandas().astype(str).to_numpy(dtype=object)
+
+    def dsub(col: str, idx: np.ndarray) -> np.ndarray:
+        sub = j.column(col).take(pa.array(idx))
+        return pc.strftime(sub, format="%Y-%m-%d").to_pandas().to_numpy(dtype=object)
+
+    idx = np.flatnonzero(kind == "number")
+    if len(idx):
+        out[idx] = fsub("num", idx)
+    idx = np.flatnonzero(kind == "number_range")
+    if len(idx):
+        out[idx] = pd.Series(fsub("num_lo", idx)).str.cat(
+            pd.Series(fsub("num_hi", idx)), sep="-").to_numpy(dtype=object)
+    idx = np.flatnonzero(kind == "date")
+    if len(idx):
+        out[idx] = dsub("dt", idx)
+    idx = np.flatnonzero(kind == "date_range")
+    if len(idx):
+        out[idx] = pd.Series(dsub("dt_lo", idx)).str.cat(
+            pd.Series(dsub("dt_hi", idx)), sep="/").to_numpy(dtype=object)
     return pa.array(out, pa.string())

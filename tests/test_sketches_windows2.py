@@ -136,3 +136,34 @@ def test_tfidf_top_terms(ray_session):
     pd.testing.assert_frame_equal(
         out.sort_values(["doc_id", "rank"]).reset_index(drop=True),
         out2.sort_values(["doc_id", "rank"]).reset_index(drop=True))
+
+
+def test_unigram_logprob_score(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import unigram_logprob_score
+
+    common = "the quick brown fox jumps over the lazy dog " * 5
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [common, common, "zxqv jklm wpfh gttx bnns vvrq"],
+    })
+    out = unigram_logprob_score(rd.from_pandas(docs), nb=4).to_pandas()
+    s = out.set_index("doc_id")["avg_neg_logprob"]
+    # rare-token gibberish is far less probable than the repeated doc
+    assert s[3] > s[1] and abs(s[1] - s[2]) < 1e-9
+    assert (out.n_tokens_lm > 0).all()
+
+
+def test_range_partition_balanced_and_ordered(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import range_partition
+
+    rng = np.random.default_rng(6)
+    v = rng.lognormal(2, 1, 8000)
+    ds = rd.from_pandas(pd.DataFrame({"x": v})).repartition(4)
+    out = range_partition(ds, "x", 8).to_pandas()
+    sizes = out.groupby("part").size()
+    assert len(sizes) == 8
+    assert sizes.max() / sizes.min() < 1.5  # balanced by exact quantiles
+    # contiguous, ordered ranges
+    ranges = out.groupby("part")["x"].agg(["min", "max"]).sort_index()
+    for p in range(7):
+        assert ranges["max"].iloc[p] <= ranges["min"].iloc[p + 1]
