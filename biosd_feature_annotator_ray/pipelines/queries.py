@@ -511,6 +511,31 @@ def q_pivot_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Grouped quantile: percentile_disc per key inside the bucket shuffle
+def q_grouped_quantile(sf_dir: str):
+    from ..stages.canonicalize import _add_bucket, _B
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["event_type"], 4)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        out = (df.sort_values(["event_type", "value"], kind="mergesort")
+               .groupby("event_type")["value"]
+               .apply(lambda s: s.iloc[max(0, int(np.ceil(0.5 * len(s))) - 1)])
+               .reset_index(name="p50"))
+        out["p50"] = out["p50"].round(2)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    out = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+    return out
+
+
 # Range partitioner: exact-quantile boundaries → contiguous balanced
 # partitions (the sorted-layout / range-join partitioner), oracled via
 # DuckDB quantile_disc cuts
@@ -738,6 +763,7 @@ QUERIES = {
     "quantiles": q_quantiles,
     "interval_join_sessions": q_interval_join_sessions,
     "range_partition_orders": q_range_partition_orders,
+    "grouped_quantile": q_grouped_quantile,
     "pivot_events": q_pivot_events,
     "approx_distinct_users": q_approx_distinct_users,
     "knn_cosine": q_knn_cosine,
@@ -904,6 +930,10 @@ ORACLES = {
     "quantiles": (
         "SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,"
         " round(quantile_disc(o_totalprice, 0.9), 2) AS p90 FROM orders"
+    ),
+    "grouped_quantile": (
+        "SELECT event_type, round(quantile_disc(value, 0.5), 2) AS p50"
+        " FROM events GROUP BY event_type"
     ),
     "range_partition_orders": (
         "WITH b AS (SELECT quantile_disc(o_totalprice, 0.25) AS q1,"
