@@ -14,6 +14,9 @@ FAST = [
     "topk_event_types", "lineitem_agg", "revenue_per_nation", "anti_join_docs",
     "top_orders", "window_events", "session_windows", "partition_date",
     "latest_event_per_user_type", "bpe_token_counts", "lineitem_date_filter",
+    "join_orders_lineitem", "semi_join_customers", "asof_join_events",
+    "rank_events", "lag_events", "quantiles", "pivot_events",
+    "grouped_quantile", "hash_sample", "interval_join_sessions",
 ]
 
 
@@ -78,3 +81,25 @@ def test_cli_count_and_run(ray_session, tmp_path):
         capture_output=True, text=True, check=True, cwd="/root/repo")
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["partitions_written"] == 4 and res["triples"] > 0
+
+
+def test_cli_dedup(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": ["common shared text body here"] * 3
+                + [f"unique document number {i} with filler words" for i in range(17)],
+    })
+    p = str(tmp_path / "docs.parquet")
+    docs.to_parquet(p)
+    out = subprocess.run(
+        [sys.executable, "-m", "biosd_feature_annotator_ray", "dedup",
+         "--input", p, "--method", "minhash", "--threshold", "0.9", "--num-cpus", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["rows"] >= 3  # the 3 identical docs form at least 3 pairs

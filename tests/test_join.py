@@ -74,3 +74,33 @@ def test_semi_and_anti_partition_left(sides):
     # semi ∪ anti = non-null-key left rows, each exactly once
     assert len(semi) + len(anti) == left.k.notna().sum()
     assert set(semi.columns) == set(anti.columns) == {"k", "lv", "shared"}
+
+
+def test_interval_join_overlapping_mode(ray_session):
+    """overlapping=True must return EVERY covering interval."""
+    from biosd_feature_annotator_ray.stages.join import interval_join
+
+    pts = pd.DataFrame({"k": [1, 1, 2], "ts": [5.0, 15.0, 5.0], "pid": [0, 1, 2]})
+    iv = pd.DataFrame({
+        "k": [1, 1, 2], "start": [0.0, 4.0, 100.0], "end": [10.0, 20.0, 200.0],
+        "iv_id": [10, 11, 12],
+    })
+    out = interval_join(rd.from_pandas(pts), rd.from_pandas(iv),
+                        key="k", ts="ts", start="start", end="end",
+                        nb=4, overlapping=True).to_pandas()
+    got = set(map(tuple, out[["pid", "iv_id"]].itertuples(index=False)))
+    # pid 0 (k=1, t=5) covered by both intervals; pid 1 only by [4,20];
+    # pid 2 (k=2, t=5) by none
+    assert got == {(0, 10), (0, 11), (1, 11)}
+
+
+def test_asof_join_left_keeps_unmatched(ray_session):
+    from biosd_feature_annotator_ray.stages.join import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 2], "ts": [1.0, 5.0, 1.0], "lid": [0, 1, 2]})
+    right = pd.DataFrame({"k": [1], "rts": [2.0], "rid": [7]})
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key="k", ts="ts", right_ts="rts", nb=4, how="left").to_pandas()
+    assert len(out) == 3
+    m = out.set_index("lid")["rid"]
+    assert pd.isna(m[0]) and m[1] == 7 and pd.isna(m[2])
