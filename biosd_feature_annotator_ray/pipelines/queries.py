@@ -511,6 +511,29 @@ def q_pivot_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Stratified sample: a deterministic per-group quota (K3 at scale —
+# every stratum keeps its 20 hash-smallest rows; md5 order makes the
+# draw reproducible by ANY system, same contract as train_split)
+def q_stratified_sample(sf_dir: str):
+    import hashlib
+
+    from ..stages.windows import rank_per_key
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        ids = batch.column("event_id").to_pylist()
+        h = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return batch.append_column("h", pa.array(h, pa.string()))
+
+    ranked = rank_per_key(
+        _events(sf_dir, ["event_id", "event_type"]).map_batches(add_md5, batch_format="pyarrow"),
+        key_col="event_type", order_cols=["h", "event_id"], nb=8,
+    )
+    out = ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("rn"), 20)).select(["event_id", "event_type"]),
+        batch_format="pyarrow")
+    return out
+
+
 # Grouped quantile: percentile_disc per key inside the bucket shuffle
 def q_grouped_quantile(sf_dir: str):
     from ..stages.canonicalize import _add_bucket, _B
@@ -764,6 +787,7 @@ QUERIES = {
     "interval_join_sessions": q_interval_join_sessions,
     "range_partition_orders": q_range_partition_orders,
     "grouped_quantile": q_grouped_quantile,
+    "stratified_sample": q_stratified_sample,
     "pivot_events": q_pivot_events,
     "approx_distinct_users": q_approx_distinct_users,
     "knn_cosine": q_knn_cosine,
@@ -934,6 +958,13 @@ ORACLES = {
     "grouped_quantile": (
         "SELECT event_type, round(quantile_disc(value, 0.5), 2) AS p50"
         " FROM events GROUP BY event_type"
+    ),
+    "stratified_sample": (
+        "SELECT event_id, event_type FROM ("
+        " SELECT event_id, event_type,"
+        "  row_number() OVER (PARTITION BY event_type"
+        "   ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn FROM events)"
+        " WHERE rn <= 20"
     ),
     "range_partition_orders": (
         "WITH b AS (SELECT quantile_disc(o_totalprice, 0.25) AS q1,"

@@ -492,3 +492,75 @@ def read_triples(out_dir: str) -> "ray.data.Dataset":
 
 def read_graph(out_dir: str) -> "ray.data.Dataset":
     return ray.data.read_parquet(os.path.join(out_dir, "graph"))
+
+
+def bloom_anti_join(
+    ds: "ray.data.Dataset",
+    col: str,
+    done: "ray.data.Dataset",
+    bits_pow: int = 23,
+    n_hashes: int = 4,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """J4 anti-join at the scale where the done-key set no longer fits a
+    broadcast value_set: a Bloom filter built distributedly over
+    ``done`` (per-batch bitsets, OR-reduced — 1 MiB at 2^23 bits)
+    prefilters the stream. Bloom-NEGATIVE rows are certainly new and
+    pass with zero shuffle (the overwhelming majority on resume);
+    bloom-POSITIVE rows (hits + false positives) settle exactly with a
+    bucketed shuffle anti-join against ``done``. Output ≡ the exact
+    anti-join (tested)."""
+    from ..functions.hashing import hash_strings
+    from ..stages.join import shuffle_hash_join
+
+    import ray as _ray
+
+    m = 1 << bits_pow
+    mask = np.uint64(m - 1)
+    seeds = [np.uint64((0x9E3779B97F4A7C15 * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
+             for i in range(n_hashes)]
+
+    def _positions(arr) -> list[np.ndarray]:
+        h = hash_strings(arr).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return [((h * s) >> np.uint64(64 - bits_pow)) & mask for s in seeds]
+
+    def build(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for pos in _positions(batch.column(col)):
+            np.bitwise_or.at(bits, pos >> np.uint64(3),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = done.map_batches(build, batch_format="pyarrow", batch_size=65536).to_pandas()
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for b in parts["bits"]:
+        bits |= np.frombuffer(b, dtype=np.uint8)
+    ref = _ray.put(bits)
+
+    def split(batch: pa.Table) -> pa.Table:
+        bf = _ray.get(ref)
+        hit = np.ones(len(batch), dtype=bool)
+        for pos in _positions(batch.column(col)):
+            hit &= (bf[(pos >> np.uint64(3)).astype(np.int64)]
+                    & (np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))) != 0
+        return batch.append_column("__maybe", pa.array(hit))
+
+    tagged = ds.map_batches(split, batch_format="pyarrow", batch_size=65536)
+    import pyarrow.compute as pc
+
+    certain_new = tagged.map_batches(
+        lambda t: t.filter(pc.invert(t.column("__maybe"))).drop_columns(["__maybe"]),
+        batch_format="pyarrow")
+    maybe = tagged.map_batches(
+        lambda t: t.filter(t.column("__maybe")).drop_columns(["__maybe"]),
+        batch_format="pyarrow")
+    settled = shuffle_hash_join(maybe, done, on=[col], how="anti", nb=nb)
+    # pin the settled branch back to the input schema (a pandas merge in
+    # an empty bucket can promote int columns to float)
+    from ..stages.join import _arrow_schema
+
+    sch = _arrow_schema(ds)
+    settled = settled.map_batches(lambda t: t.select(sch.names).cast(sch),
+                                  batch_format="pyarrow")
+    return certain_new.union(settled)

@@ -41,7 +41,11 @@ def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
     if isinstance(base, pa.Schema):
         return base
     empty = pd.DataFrame({n: pd.Series(dtype=t) for n, t in zip(base.names, base.types)})
-    return pa.Schema.from_pandas(empty, preserve_index=False)
+    sch = pa.Schema.from_pandas(empty, preserve_index=False)
+    # an EMPTY object-dtype series infers as arrow null — those columns
+    # are strings in every real pandas block
+    return pa.schema([pa.field(f.name, pa.string()) if pa.types.is_null(f.type) else f
+                      for f in sch])
 
 
 def _align(batch: pa.Table, schema: pa.Schema, side: int) -> pa.Table:

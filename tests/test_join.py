@@ -104,3 +104,24 @@ def test_asof_join_left_keeps_unmatched(ray_session):
     assert len(out) == 3
     m = out.set_index("lid")["rid"]
     assert pd.isna(m[0]) and m[1] == 7 and pd.isna(m[2])
+
+
+def test_bloom_anti_join_matches_exact(ray_session):
+    """Bloom prefilter + exact settle ≡ plain anti-join (the done-set
+    scale path for resume)."""
+    import numpy as np
+
+    from biosd_feature_annotator_ray.sources.sink import bloom_anti_join
+
+    rng = np.random.default_rng(13)
+    stream = pd.DataFrame({"key": [f"k{i}" for i in rng.integers(0, 5000, 3000)],
+                           "payload": np.arange(3000)})
+    done = pd.DataFrame({"key": [f"k{i}" for i in range(0, 5000, 3)]})
+    got = bloom_anti_join(rd.from_pandas(stream).repartition(4), "key",
+                          rd.from_pandas(done).repartition(2),
+                          bits_pow=16, nb=8).to_pandas()
+    want = stream[~stream.key.isin(set(done.key))]
+    cols = ["key", "payload"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True))
