@@ -554,6 +554,9 @@ def dup_clusters(
                          "dst": pa.concat_arrays([b.cast(pa.int64()), a.cast(pa.int64())])})
 
     edges = pairs_ds.map_batches(expand, batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(pa.table({"doc_id": pa.array([], pa.int64()),
+                                       "cluster_rep": pa.array([], pa.int64())}))
 
     def _min_label(ds: "ray.data.Dataset") -> "ray.data.Dataset":
         def local(batch: pa.Table) -> pa.Table:

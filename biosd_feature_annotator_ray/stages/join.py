@@ -174,6 +174,13 @@ def asof_join(
         side = df.pop(_SIDE)
         ldf = df[side == 0][[key, ts] + lcols].dropna(subset=[key, ts])
         rdf = df[side == 1][[key, rts] + rcols].dropna(subset=[key, rts])
+        if len(rdf) == 0:  # pandas merge_asof rejects dtype-less empties
+            out = ldf.copy()
+            for c in ([rts] if rts != ts else []) + [c for c in rcols if c not in lcols]:
+                out[c] = pd.NA
+            if how == "inner":
+                out = out.iloc[0:0]
+            return pa.Table.from_pandas(out, preserve_index=False)
         ldf = ldf.sort_values([ts, key], kind="mergesort")
         rdf = rdf.sort_values([rts, key], kind="mergesort")
         out = pd.merge_asof(ldf, rdf, left_on=ts, right_on=rts, by=key,
@@ -231,7 +238,12 @@ def interval_join(
         side = df.pop(_SIDE)
         ldf = df[side == 0][[key] + lcols].dropna(subset=[key, ts])
         rdf = df[side == 1][[key] + rcols].dropna(subset=[key, start, end])
-        if overlapping:
+        if len(rdf) == 0 or len(ldf) == 0:
+            out = ldf.iloc[0:0].copy()
+            for c in [start, end] + [c for c in rcols if c not in lcols]:
+                if c not in out.columns:
+                    out[c] = pd.NA
+        elif overlapping:
             out = ldf.merge(rdf, on=key)
             out = out[(out[start] <= out[ts]) & (out[ts] <= out[end])]
         else:

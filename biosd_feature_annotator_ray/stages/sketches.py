@@ -137,6 +137,8 @@ def approx_distinct(ds: "ray.data.Dataset", col: str, p: int = 12) -> int:
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     parts = ds.map_batches(local, batch_format="pyarrow", batch_size=65536).to_pandas()
+    if parts.empty or "regs" not in parts.columns:
+        return 0
     regs = np.zeros(m, dtype=np.int8)
     for b in parts["regs"]:
         regs = np.maximum(regs, np.frombuffer(b, dtype=np.int8))

@@ -115,3 +115,22 @@ def test_real_decode_stages(ray_session):
         ImageDecodeStage, fn_constructor_kwargs={"mode": "real", "on_error": "skip"},
         batch_format="pyarrow", batch_size=16, concurrency=(1, 2)).to_pandas()
     assert len(out3) == 0
+
+
+def test_png_roundtrip_property():
+    """Property: encode→decode is identity for arbitrary small images."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.integers(1, 24), st.integers(1, 24), st.integers(0, 2**32 - 1),
+           st.booleans())
+    def roundtrip(w, h, seed, grey):
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if grey else (h, w, 3)
+        img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        gw, gh, px = png_decode(png_encode(img))
+        assert (gw, gh) == (w, h)
+        ref = img[:, :, None] if grey else img
+        np.testing.assert_array_equal(px, ref)
+
+    roundtrip()

@@ -167,3 +167,38 @@ def test_range_partition_balanced_and_ordered(ray_session):
     ranges = out.groupby("part")["x"].agg(["min", "max"]).sort_index()
     for p in range(7):
         assert ranges["max"].iloc[p] <= ranges["min"].iloc[p + 1]
+
+
+def test_new_operators_empty_inputs(ray_session):
+    """Degenerate inputs must not crash (driver edge insurance)."""
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.stages.canonicalize import pivot_sum
+    from biosd_feature_annotator_ray.stages.dedup import dup_clusters
+    from biosd_feature_annotator_ray.stages.join import asof_join, interval_join
+    from biosd_feature_annotator_ray.stages.sketches import approx_distinct, exact_quantile
+
+    empty_ev = rd.from_pandas(pd.DataFrame({
+        "k": pd.Series([], dtype="int64"), "ts": pd.Series([], dtype="float64"),
+        "v": pd.Series([], dtype="float64")}))
+
+    assert np.isnan(exact_quantile(empty_ev, "v", [0.5])[0.5])
+    assert approx_distinct(empty_ev, "k") == 0
+    assert len(pivot_sum(rd.from_pandas(pd.DataFrame(
+        {"k": [1], "c": ["a"], "v": [1.0]})), "k", "c", "v", ["a", "b"]).to_pandas()) == 1
+
+    pairs = pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+    assert dup_clusters(pairs).to_pandas().empty
+
+    one = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [1.0], "lid": [0]}))
+    none_right = rd.from_pandas(pd.DataFrame({
+        "k": pd.Series([], dtype="int64"), "rts": pd.Series([], dtype="float64"),
+        "rid": pd.Series([], dtype="int64")}))
+    assert asof_join(one, none_right, key="k", ts="ts", right_ts="rts").to_pandas().empty
+    assert len(asof_join(one, none_right, key="k", ts="ts", right_ts="rts",
+                         how="left").to_pandas()) == 1
+    none_iv = rd.from_pandas(pd.DataFrame({
+        "k": pd.Series([], dtype="int64"), "start": pd.Series([], dtype="float64"),
+        "end": pd.Series([], dtype="float64"), "iv": pd.Series([], dtype="int64")}))
+    assert interval_join(one, none_iv, key="k", ts="ts", start="start",
+                         end="end").to_pandas().empty
