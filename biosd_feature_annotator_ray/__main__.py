@@ -28,6 +28,8 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--input", required=True)
     pr.add_argument("--output", required=True)
     pr.add_argument("--lang", default=None, help="M11 read-time language filter")
+    pr.add_argument("--format", choices=["parquet", "warc", "jsonl"], default="parquet",
+                    help="input format (warc/jsonl sources map onto the PAGES schema)")
     pr.add_argument("--url-prefix", default=None, help="S2 submission-scope analog")
     pr.add_argument("--random-quota", type=float, default=None, help="K3 seeded sample fraction")
     pr.add_argument("--limit", type=int, default=None, help="K2 smoke-slice")
@@ -121,7 +123,16 @@ def main(argv: list[str] | None = None) -> int:
         spec = PipelineSpec(num_parts=args.num_parts, min_confidence=args.min_confidence,
                             lang=args.lang,
                             salt="auto" if args.salt == "auto" else int(args.salt))
-        pages = read_pages(args.input, lang=args.lang, url_prefix=args.url_prefix)
+        if args.format == "warc":
+            from biosd_feature_annotator_ray.sources.warc import read_pages_warc
+
+            pages = read_pages_warc(args.input)
+        elif args.format == "jsonl":
+            from biosd_feature_annotator_ray.sources.warc import read_pages_jsonl
+
+            pages = read_pages_jsonl(args.input)
+        else:
+            pages = read_pages(args.input, lang=args.lang, url_prefix=args.url_prefix)
         if args.random_quota is not None:
             pages = pages.random_sample(args.random_quota, seed=42)
         if args.limit is not None:
