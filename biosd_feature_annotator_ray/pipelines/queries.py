@@ -595,6 +595,98 @@ def q_interval_join_sessions(sf_dir: str):
                                 preserve_index=False)
 
 
+# Running total per key — sum() OVER (... ROWS UNBOUNDED PRECEDING)
+def q_cumsum_events(sf_dir: str):
+    from ..stages.windows import cumsum_per_key
+
+    out = cumsum_per_key(_events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+                         key_col="user_id", value_col="value",
+                         order_cols=["ts", "event_id"], nb=8)
+    df = out.to_pandas()[["event_id", "cum_value"]]
+    df["cum_value"] = df["cum_value"].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Trailing moving average per key — avg() OVER (... ROWS 2 PRECEDING)
+def q_moving_avg_events(sf_dir: str):
+    from ..stages.windows import rolling_mean_per_key
+
+    out = rolling_mean_per_key(_events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+                               key_col="user_id", value_col="value",
+                               order_cols=["ts", "event_id"], window=3, nb=8)
+    df = out.to_pandas()[["event_id", "mov_avg"]]
+    # DuckDB round() is half-away-from-zero; numpy/pandas round is
+    # half-to-even, and dividing 2-decimal values by 2/3 lands on exact
+    # midpoints often enough to matter (33/10k rows at sf0.01).
+    v = df["mov_avg"].to_numpy()
+    df["mov_avg"] = np.sign(v) * np.floor(np.abs(v) * 100 + 0.5) / 100
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Gopher-style repetition signals (distinct-token ratio, top-token share)
+def q_repetition_stats(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.repetition_stats, batch_format="pyarrow", batch_size=65536)
+
+
+# Corpus-level top-k bigram census (n-gram LM / boilerplate phrases)
+def q_top_bigrams(sf_dir: str):
+    return textstats.top_ngrams(_docs(sf_dir, ["text"]), n=2, k=20, nb=16)
+
+
+def _setop_sides(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    a = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"],
+                        filter=pads.field("lang") == "en").select_columns(["doc_id"])
+    b = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"],
+                        filter=pads.field("label") == 0).map_batches(
+        lambda t: t.select(["vec_id"]).rename_columns(["doc_id"]), batch_format="pyarrow")
+    return a, b
+
+
+# Distributed distinct set ops (SQL UNION / INTERSECT / EXCEPT)
+def q_setop_intersect(sf_dir: str):
+    from ..stages.canonicalize import set_op
+
+    a, b = _setop_sides(sf_dir)
+    return set_op(a, b, "doc_id", op="intersect", nb=8)
+
+
+def q_setop_except(sf_dir: str):
+    from ..stages.canonicalize import set_op
+
+    a, b = _setop_sides(sf_dir)
+    return set_op(a, b, "doc_id", op="except", nb=8)
+
+
+def q_setop_union(sf_dir: str):
+    from ..stages.canonicalize import set_op
+
+    a, b = _setop_sides(sf_dir)
+    return set_op(a, b, "doc_id", op="union", nb=8)
+
+
+# Per-source aggregation — the per-domain stats pattern of a web corpus
+def q_source_stats(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        g = df.groupby("source", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _docs(sf_dir, ["source", "n_chars"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("source")
+        .aggregate(Sum("n_docs", alias_name="n_docs"), Sum("sum_chars", alias_name="sum_chars"))
+    )
+    df = agg.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    df["sum_chars"] = df["sum_chars"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # HLL approximate count-distinct (rows-only: approx by design; the
 # accuracy bound is pinned by pytest against the exact count)
 def q_approx_distinct_users(sf_dir: str):
@@ -791,6 +883,14 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "approx_distinct_users": q_approx_distinct_users,
     "knn_cosine": q_knn_cosine,
+    "cumsum_events": q_cumsum_events,
+    "moving_avg_events": q_moving_avg_events,
+    "repetition_stats": q_repetition_stats,
+    "top_bigrams": q_top_bigrams,
+    "setop_intersect": q_setop_intersect,
+    "setop_except": q_setop_except,
+    "setop_union": q_setop_union,
+    "source_stats": q_source_stats,
     # rows-only
     "annotate_triples": q_annotate_triples,
     "curate_documents": q_curate_documents,
@@ -991,6 +1091,48 @@ ORACLES = {
         " round(sum(CASE WHEN event_type='signup' THEN value ELSE 0 END), 2) AS signup,"
         " round(sum(CASE WHEN event_type='view' THEN value ELSE 0 END), 2) AS view"
         " FROM events GROUP BY user_id"
+    ),
+    "cumsum_events": (
+        "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING), 2) AS cum_value FROM events"
+    ),
+    "moving_avg_events": (
+        "SELECT event_id, round(avg(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2)"
+        " AS mov_avg FROM events"
+    ),
+    "repetition_stats": (
+        "WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents),"
+        " c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok)"
+        " SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens_r,"
+        "  count(*) / CAST(sum(cnt) AS DOUBLE) AS distinct_ratio,"
+        "  max(cnt) / CAST(sum(cnt) AS DOUBLE) AS top_token_share"
+        " FROM c GROUP BY doc_id"
+    ),
+    "top_bigrams": (
+        "WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks,"
+        "  len(regexp_split_to_array(trim(text), '\\s+')) AS L FROM documents),"
+        " b AS (SELECT toks[i] || ' ' || toks[i+1] AS ngram"
+        "  FROM t, UNNEST(generate_series(1, L-1)) AS u(i) WHERE L >= 2)"
+        " SELECT ngram, count(*) AS n FROM b GROUP BY ngram"
+        " ORDER BY n DESC, ngram LIMIT 20"
+    ),
+    "setop_intersect": (
+        "SELECT doc_id FROM documents WHERE lang = 'en'"
+        " INTERSECT SELECT vec_id AS doc_id FROM embeddings WHERE label = 0"
+    ),
+    "setop_except": (
+        "SELECT doc_id FROM documents WHERE lang = 'en'"
+        " EXCEPT SELECT vec_id AS doc_id FROM embeddings WHERE label = 0"
+    ),
+    "setop_union": (
+        "SELECT doc_id FROM documents WHERE lang = 'en'"
+        " UNION SELECT vec_id AS doc_id FROM embeddings WHERE label = 0"
+    ),
+    "source_stats": (
+        "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+        " FROM documents GROUP BY source"
     ),
     "knn_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),"

@@ -165,6 +165,57 @@ def groupby_argmax(
     return out.groupby(_B).map_groups(finish, batch_format="pyarrow")
 
 
+def set_op(
+    a: "ray.data.Dataset",
+    b: "ray.data.Dataset",
+    col: str,
+    op: str = "intersect",
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """Distinct set operations over one key column — SQL
+    UNION / INTERSECT / EXCEPT (all DISTINCT semantics). Each side is
+    tagged with a presence bit, locally deduped per batch (map-side
+    combine — hot values collapse before the exchange), then one bucket
+    shuffle ORs the bits per value and keeps:
+
+      union → any bit, intersect → both bits, except → only side A.
+
+    Output: a single distinct ``col`` column. Scale shape: the shuffle
+    carries ≤ one row per (value, side) per batch; no side is ever
+    broadcast, so both inputs may be fact-sized."""
+    if op not in ("union", "intersect", "except"):
+        raise ValueError(f"unknown set op: {op}")
+
+    def tag(bit: int):
+        def f(batch: pa.Table) -> pa.Table:
+            vals = batch.column(col).combine_chunks().unique()
+            t = pa.table({col: vals,
+                          "_tag": pa.array(np.full(len(vals), bit, np.int32))})
+            return _add_bucket(t, [col], nb)
+
+        return f
+
+    tagged = a.map_batches(tag(1), batch_format="pyarrow", batch_size=65536).union(
+        b.map_batches(tag(2), batch_format="pyarrow", batch_size=65536)
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = group.select([col, "_tag"]).to_pandas()
+        # tags ∈ {1, 2}: per-value min/max recovers the presence bits
+        # without a per-group Python OR (vectorized pandas agg).
+        mm = df.groupby(col, sort=False)["_tag"].agg(["min", "max"])
+        if op == "union":
+            keep = mm.index
+        elif op == "intersect":
+            keep = mm.index[(mm["min"].to_numpy() == 1) & (mm["max"].to_numpy() == 2)]
+        else:
+            keep = mm.index[mm["max"].to_numpy() == 1]
+        return pa.table({col: pa.array(keep.to_numpy(),
+                                       type=group.schema.field(col).type)})
+
+    return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
 CONFIDENCE_RANK = {"HIGH": 3, "GOOD": 2, "MEDIUM": 1, "LOW": 0}
 
 

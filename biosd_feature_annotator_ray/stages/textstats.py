@@ -271,6 +271,89 @@ def fingerprint(batch: pa.Table, col: str = "text", k: int = 8, ngram: int = 3) 
     return out.append_column("content_hash", pa.array(full.astype(np.int64).view(np.uint64)))
 
 
+def repetition_stats(batch: pa.Table, id_col: str = "doc_id", col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals per document: total whitespace
+    tokens, distinct-token ratio and the most-frequent token's share.
+    Boilerplate/spam pages have LOW distinct_ratio and HIGH
+    top_token_share; both are pure divisions of exact integer counts,
+    so the DuckDB oracle reproduces them bit-for-bit.
+
+    Token semantics match ``token_count`` (regex split of the trimmed
+    text — an empty document yields the single token '')."""
+    text = pc.fill_null(batch.column(col), "")
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _WS)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+    if len(doc_idx):
+        df = pd.DataFrame({"d": doc_idx, "t": flat.to_pandas()})
+        per = df.groupby(["d", "t"], sort=False).size()
+        by_doc = per.groupby(level=0)
+        distinct = np.zeros(len(lengths), dtype=np.int64)
+        topcnt = np.zeros(len(lengths), dtype=np.int64)
+        sizes = by_doc.size()
+        maxes = by_doc.max()
+        distinct[sizes.index.to_numpy()] = sizes.to_numpy()
+        topcnt[maxes.index.to_numpy()] = maxes.to_numpy()
+    else:
+        distinct = np.zeros(0, dtype=np.int64)
+        topcnt = np.zeros(0, dtype=np.int64)
+    safe = np.maximum(lengths, 1).astype(np.float64)
+    out = batch.select([id_col])
+    out = out.append_column("n_tokens_r", pa.array(lengths))
+    out = out.append_column("distinct_ratio", pa.array(distinct / safe, pa.float64()))
+    out = out.append_column("top_token_share", pa.array(topcnt / safe, pa.float64()))
+    return out
+
+
+def top_ngrams(
+    docs: "ray.data.Dataset",
+    n: int = 2,
+    k: int = 20,
+    col: str = "text",
+    nb: int = 16,
+) -> pa.Table:
+    """Corpus-level top-k token n-grams with counts — the n-gram LM /
+    boilerplate-phrase census. Map-side partial counts (one pandas
+    value_counts per batch over vectorized shifted-token joins) → Sum
+    groupby keyed by the ngram → sort desc + limit. Only the k result
+    rows reach the driver; the shuffle carries pre-combined (ngram,
+    partial-count) rows, not token streams."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(col), "")
+        toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _WS)
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat_arr = pc.list_flatten(toks)
+        if isinstance(flat_arr, pa.ChunkedArray):
+            flat_arr = flat_arr.combine_chunks()
+        flat = flat_arr.to_pandas()
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+        if len(flat) < n:
+            return pa.table({"ngram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        grams = flat.iloc[: len(flat) - n + 1].reset_index(drop=True)
+        same_doc = np.ones(len(grams), dtype=bool)
+        for j in range(1, n):
+            grams = grams + " " + flat.iloc[j : len(flat) - n + 1 + j].reset_index(drop=True)
+            same_doc &= doc_idx[: len(grams)] == doc_idx[j : len(grams) + j]
+        vc = grams[same_doc].value_counts()
+        return pa.table({"ngram": pa.array(vc.index.to_numpy(), pa.string()),
+                         "cnt": pa.array(vc.to_numpy().astype(np.int64))})
+
+    agg = (
+        docs.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("ngram")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )
+    top = agg.sort(["n", "ngram"], descending=[True, False]).limit(k).to_pandas()
+    top["n"] = top["n"].astype("int64")
+    return pa.Table.from_pandas(top[["ngram", "n"]], preserve_index=False)
+
+
 def tfidf_top_terms(
     docs: "ray.data.Dataset",
     k: int = 5,

@@ -147,6 +147,75 @@ def rank_per_key(
     )
 
 
+def cumsum_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    out: str = "cum_value",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """sum(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING): running total per key. Same bucket-shuffle
+    co-location as rank_per_key; the prefix sum is sequential in the
+    declared order, so it matches the SQL window exactly."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        df[out] = df.groupby(key_col, sort=False)[value_col].cumsum()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def rolling_mean_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    window: int = 3,
+    out: str = "mov_avg",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """avg(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    window-1 PRECEDING): trailing moving average. The frame sum is
+    built from explicit per-lag shifted adds (newest-first), not a
+    rolling accumulator, so there is no numerical drift across rows."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        grp = df.groupby(key_col, sort=False)[value_col]
+        total = df[value_col].astype("float64").copy()
+        count = np.ones(len(df), dtype=np.float64)
+        for lag in range(1, window):
+            s = grp.shift(lag)
+            m = s.notna().to_numpy()
+            total = total.add(s.fillna(0.0))
+            count += m
+        df[out] = total.to_numpy() / count
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def lag_per_key(
     events: "ray.data.Dataset",
     key_col: str = "user_id",
