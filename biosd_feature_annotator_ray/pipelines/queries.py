@@ -667,6 +667,65 @@ def q_setop_union(sf_dir: str):
     return set_op(a, b, "doc_id", op="union", nb=8)
 
 
+# Integer quality signals (exact-arithmetic core of quality_features)
+def q_quality_signals(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        textstats.quality_counts, batch_format="pyarrow", batch_size=65536)
+
+
+# Ordered sequence collection — string_agg(... ORDER BY) per key
+def q_string_agg_events(sf_dir: str):
+    from ..stages.windows import collect_seq_per_key
+
+    out = collect_seq_per_key(_events(sf_dir, ["event_id", "user_id", "ts"]),
+                              key_col="user_id", value_col="event_id",
+                              order_cols=["ts", "event_id"], nb=8)
+    return out.select_columns(["user_id", "seq"])
+
+
+# Fixed-width value histogram (distribution profile)
+def q_histogram_values(sf_dir: str):
+    from ..stages.sketches import fixed_width_histogram
+
+    out = fixed_width_histogram(_events(sf_dir, ["value"]), "value", bin_width=10.0)
+    df = out.to_pandas()
+    df["bin"] = df["bin"].astype("int64")
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# dense_rank() per key
+def q_dense_rank_events(sf_dir: str):
+    from ..stages.windows import dense_rank_per_key
+
+    out = dense_rank_per_key(_events(sf_dir, ["event_id", "user_id", "value"]),
+                             key_col="user_id", order_col="value", ascending=False, nb=8)
+    return out.select_columns(["event_id", "drank"])
+
+
+# ntile(4) per key (SQL NTILE fill semantics)
+def q_ntile_events(sf_dir: str):
+    from ..stages.windows import ntile_per_key
+
+    out = ntile_per_key(_events(sf_dir, ["event_id", "user_id", "ts"]),
+                        key_col="user_id", order_cols=["ts", "event_id"],
+                        n_tiles=4, nb=8)
+    return out.select_columns(["event_id", "tile"])
+
+
+# UNPIVOT: melt the pivot back to (user_id, event_type, value) rows
+def q_unpivot_events(sf_dir: str):
+    from ..stages.canonicalize import melt, pivot_sum
+
+    cats = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_sum(_events(sf_dir, ["user_id", "event_type", "value"]),
+                     "user_id", "event_type", "value", cats)
+    out = melt(wide, "user_id", cats, var_name="event_type", value_name="value")
+    df = out.to_pandas()
+    df["value"] = df["value"].round(2)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # Per-source aggregation — the per-domain stats pattern of a web corpus
 def q_source_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
@@ -891,6 +950,12 @@ QUERIES = {
     "setop_except": q_setop_except,
     "setop_union": q_setop_union,
     "source_stats": q_source_stats,
+    "quality_signals": q_quality_signals,
+    "string_agg_events": q_string_agg_events,
+    "histogram_values": q_histogram_values,
+    "dense_rank_events": q_dense_rank_events,
+    "ntile_events": q_ntile_events,
+    "unpivot_events": q_unpivot_events,
     # rows-only
     "annotate_triples": q_annotate_triples,
     "curate_documents": q_curate_documents,
@@ -1133,6 +1198,61 @@ ORACLES = {
     "source_stats": (
         "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars"
         " FROM documents GROUP BY source"
+    ),
+    "quality_signals": (
+        "SELECT doc_id,"
+        " CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens_q,"
+        " CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct,"
+        " CAST(len(regexp_extract_all(text, '\\d')) AS BIGINT) AS n_digit,"
+        " CAST(len(list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        "  x -> lower(x) IN ('the','a','an','and','or','of','to','in','is','are','was',"
+        "   'for','on','with','as','at','by','it','this','that','be','from'))) AS BIGINT)"
+        "  AS n_stop"
+        " FROM documents"
+    ),
+    # LangIdStage oracle: same tokenization (unicode letter runs of the
+    # lowered text), same per-language stopword hit counts, same
+    # first-max tie-break in sorted language order (de, en, es, fr).
+    "langid": (
+        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\pL+') AS w"
+        " FROM documents), c AS (SELECT doc_id,"
+        " len(list_filter(w, x -> x IN ('der','die','und','das','in','den','von','zu',"
+        "  'mit','sich','des','auf','für','ist','im','nicht','ein'))) AS de,"
+        " len(list_filter(w, x -> x IN ('the','and','of','to','in','is','you','that',"
+        "  'it','for','on','with','as','are','this','be','at','or','was'))) AS en,"
+        " len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','ser','se',"
+        "  'no','por','con','para','su','al','lo','como','más','pero'))) AS es,"
+        " len(list_filter(w, x -> x IN ('le','la','de','et','les','des','en','un','une',"
+        "  'du','que','est','pour','qui','dans','par','sur','au'))) AS fr FROM t)"
+        " SELECT doc_id, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'"
+        "  WHEN de >= en AND de >= es AND de >= fr THEN 'de'"
+        "  WHEN en >= es AND en >= fr THEN 'en'"
+        "  WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
+    ),
+    "string_agg_events": (
+        "SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ','"
+        " ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id"
+    ),
+    "histogram_values": (
+        "SELECT CAST(floor(value / 10) AS BIGINT) AS bin, count(*) AS n"
+        " FROM events GROUP BY 1"
+    ),
+    "dense_rank_events": (
+        "SELECT event_id, CAST(dense_rank() OVER (PARTITION BY user_id"
+        " ORDER BY value DESC) AS BIGINT) AS drank FROM events"
+    ),
+    "ntile_events": (
+        "SELECT event_id, CAST(ntile(4) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS BIGINT) AS tile FROM events"
+    ),
+    "unpivot_events": (
+        "WITH u AS (SELECT DISTINCT user_id FROM events),"
+        " c AS (SELECT unnest(['click','error','purchase','signup','view']) AS event_type),"
+        " s AS (SELECT user_id, event_type, sum(value) AS sv FROM events"
+        "       GROUP BY user_id, event_type)"
+        " SELECT u.user_id, c.event_type, round(coalesce(s.sv, 0), 2) AS value"
+        " FROM u CROSS JOIN c LEFT JOIN s ON s.user_id = u.user_id"
+        "  AND s.event_type = c.event_type"
     ),
     "knn_cosine": (
         "WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),"

@@ -262,3 +262,27 @@ def pivot_sum(
         .groupby(index_col)
         .aggregate(*[Sum(c, alias_name=c) for c in cats])
     )
+
+
+def melt(
+    ds: "ray.data.Dataset",
+    index_col: str,
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> "ray.data.Dataset":
+    """UNPIVOT — the inverse of ``pivot_sum``: widen columns back to
+    (index, variable, value) rows. Pure row-local expansion (numpy
+    repeat/tile inside map_batches), no shuffle."""
+    cats = list(value_cols)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        idx = batch.column(index_col).take(pa.array(np.repeat(np.arange(n), len(cats))))
+        names = pa.array(np.tile(np.array(cats, dtype=object), n), pa.string())
+        cols = [batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+                for c in cats]
+        vals = pa.array(np.column_stack(cols).ravel(), pa.float64())
+        return pa.table({index_col: idx, var_name: names, value_name: vals})
+
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)

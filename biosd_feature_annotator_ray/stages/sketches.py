@@ -179,3 +179,29 @@ def range_partition(
         return batch.append_column(out, pa.array(part))
 
     return ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
+
+
+def fixed_width_histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    bin_width: float = 10.0,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Fixed-width value histogram: bin = floor(value / bin_width),
+    exact counts. Map-side bincount collapses each batch to ≤ one row
+    per occupied bin before the (tiny) Sum groupby — the classic
+    distribution-profile op over a fact column. Nulls/NaNs dropped."""
+    from ray.data.aggregate import Sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        bins = np.floor(v / bin_width).astype(np.int64)
+        u, c = np.unique(bins, return_counts=True)
+        return pa.table({"bin": pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby("bin")
+        .aggregate(Sum("cnt", alias_name="n"))
+    )

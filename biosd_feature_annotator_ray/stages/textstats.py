@@ -271,6 +271,37 @@ def fingerprint(batch: pa.Table, col: str = "text", k: int = 8, ngram: int = 3) 
     return out.append_column("content_hash", pa.array(full.astype(np.int64).view(np.uint64)))
 
 
+def quality_counts(batch: pa.Table, id_col: str = "doc_id", col: str = "text") -> pa.Table:
+    """Integer quality signals (the exact-arithmetic core of
+    quality_features, emitted as BIGINT so a SQL oracle reproduces them
+    bit-for-bit): whitespace token count, punctuation marks, digit
+    chars, and English stopword hits. Both sides use RE2 regex
+    semantics (Arrow kernels here, DuckDB regexp_* in the oracle)."""
+    text = pc.fill_null(batch.column(col), "")
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _WS)
+    n_tok = pc.list_value_length(toks).cast(pa.int64())
+    n_punct = pc.count_substring_regex(text, r"[^\w\s]").cast(pa.int64())
+    n_digit = pc.count_substring_regex(text, r"\d").cast(pa.int64())
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+    stop = np.zeros(len(lengths), dtype=np.int64)
+    if len(doc_idx):
+        low = pc.utf8_lower(flat)
+        hits = pc.is_in(low, value_set=pa.array(sorted(_EN_STOP))).to_numpy(
+            zero_copy_only=False)
+        stop = np.bincount(doc_idx[hits], minlength=len(lengths))
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_tokens_q": n_tok,
+        "n_punct": n_punct,
+        "n_digit": n_digit,
+        "n_stop": pa.array(stop.astype(np.int64)),
+    })
+
+
 def repetition_stats(batch: pa.Table, id_col: str = "doc_id", col: str = "text") -> pa.Table:
     """Gopher-style repetition signals per document: total whitespace
     tokens, distinct-token ratio and the most-frequent token's share.

@@ -216,6 +216,108 @@ def rolling_mean_per_key(
     )
 
 
+def dense_rank_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    order_col: str = "value",
+    ascending: bool = False,
+    out: str = "drank",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """dense_rank() OVER (PARTITION BY key ORDER BY order_col): equal
+    values share a rank and ranks are gap-free. pandas rank(method=
+    'dense') inside the co-located bucket groups."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df[out] = (df.groupby(key_col, sort=False)[order_col]
+                   .rank(method="dense", ascending=ascending).astype("int64"))
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def ntile_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    n_tiles: int = 4,
+    out: str = "tile",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """ntile(n) OVER (PARTITION BY key ORDER BY order_cols): SQL NTILE
+    semantics exactly — with group size g, the first g % n tiles get
+    one extra row. Computed from the 0-based in-group position with
+    pure integer algebra (no per-group Python)."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        grp = df.groupby(key_col, sort=False)
+        pos = grp.cumcount().to_numpy()
+        size = grp[oc[0]].transform("size").to_numpy()
+        base, rem = size // n_tiles, size % n_tiles
+        big_span = rem * (base + 1)
+        in_big = pos < big_span
+        tile = np.where(
+            in_big,
+            pos // np.maximum(base + 1, 1),
+            rem + (pos - big_span) // np.maximum(base, 1),
+        )
+        df[out] = (tile + 1).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def collect_seq_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "event_id",
+    order_cols: list[str] | None = None,
+    sep: str = ",",
+    out: str = "seq",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """string_agg(value, sep ORDER BY order_cols) per key — ordered
+    sequence collection (session reconstruction / clickstream export).
+    One output row per key. The per-key join runs on the co-located
+    bucket group after one mergesort; values are cast to string first
+    so the join is a single pandas str aggregation."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        df["_s"] = df[value_col].astype(str)
+        outdf = df.groupby(key_col, sort=False)["_s"].agg(sep.join).reset_index(name=out)
+        return pa.Table.from_pandas(outdf, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def lag_per_key(
     events: "ray.data.Dataset",
     key_col: str = "user_id",

@@ -114,3 +114,87 @@ def test_set_op_rejects_unknown(ray_session):
     a = rd.from_items([{"k": 1}])
     with pytest.raises(ValueError):
         set_op(a, a, "k", op="xor")
+
+
+def test_ntile_matches_sql_semantics(ev):
+    from biosd_feature_annotator_ray.stages.windows import ntile_per_key
+
+    got = ntile_per_key(rd.from_pandas(ev).repartition(4), key_col="user_id",
+                        order_cols=["ts", "event_id"], n_tiles=4, nb=8).to_pandas()
+    # reference: SQL NTILE — first (n % k) tiles get one extra row
+    want = {}
+    for _, g in ev.sort_values(["ts", "event_id"], kind="mergesort").groupby("user_id"):
+        n = len(g)
+        base, rem = divmod(n, 4)
+        tiles = []
+        for t in range(4):
+            tiles.extend([t + 1] * (base + (1 if t < rem else 0)))
+        for eid, tile in zip(g["event_id"], tiles[:n]):
+            want[eid] = tile
+    m = got.set_index("event_id")["tile"]
+    assert all(m[eid] == t for eid, t in want.items())
+
+
+def test_dense_rank_matches_pandas(ev):
+    from biosd_feature_annotator_ray.stages.windows import dense_rank_per_key
+
+    got = dense_rank_per_key(rd.from_pandas(ev).repartition(4), key_col="user_id",
+                             order_col="value", ascending=False, nb=8).to_pandas()
+    want = ev.copy()
+    want["drank"] = (want.groupby("user_id")["value"]
+                     .rank(method="dense", ascending=False).astype("int64"))
+    m = got.set_index("event_id")["drank"].sort_index()
+    w = want.set_index("event_id")["drank"].sort_index()
+    assert (m == w).all()
+
+
+def test_collect_seq_ordered(ray_session):
+    from biosd_feature_annotator_ray.stages.windows import collect_seq_per_key
+
+    df = pd.DataFrame({
+        "event_id": [3, 1, 2, 10, 11],
+        "user_id": [1, 1, 1, 2, 2],
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-01", "2024-01-01", "2024-01-05",
+                              "2024-01-04"]),
+    })
+    got = collect_seq_per_key(rd.from_pandas(df).repartition(2), key_col="user_id",
+                              value_col="event_id", order_cols=["ts", "event_id"],
+                              nb=4).to_pandas().set_index("user_id")["seq"]
+    assert got[1] == "1,2,3"
+    assert got[2] == "11,10"
+
+
+def test_fixed_width_histogram_counts(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import fixed_width_histogram
+
+    vals = np.array([-15.0, -5.0, 0.0, 3.0, 9.99, 10.0, 25.0, np.nan])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(3)
+    got = fixed_width_histogram(ds, "v", bin_width=10.0).to_pandas().set_index("bin")["n"]
+    assert got[-2] == 1 and got[-1] == 1 and got[0] == 3 and got[1] == 1 and got[2] == 1
+
+
+def test_melt_inverts_pivot(ray_session):
+    from biosd_feature_annotator_ray.stages.canonicalize import melt, pivot_sum
+
+    df = pd.DataFrame({
+        "k": [1, 1, 2], "cat": ["a", "b", "a"], "v": [1.0, 2.0, 3.0],
+    })
+    wide = pivot_sum(rd.from_pandas(df), "k", "cat", "v", ["a", "b"])
+    long = melt(wide, "k", ["a", "b"], var_name="cat", value_name="v").to_pandas()
+    long = long.sort_values(["k", "cat"]).reset_index(drop=True)
+    assert long.values.tolist() == [[1, "a", 1.0], [1, "b", 2.0], [2, "a", 3.0], [2, "b", 0.0]]
+
+
+def test_quality_counts_values(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import quality_counts
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["The cat, and 2 dogs!", "x"], pa.string()),
+    })
+    out = quality_counts(batch).to_pandas().set_index("doc_id")
+    assert out.loc[0, "n_tokens_q"] == 5
+    assert out.loc[0, "n_punct"] == 2   # ',' and '!'
+    assert out.loc[0, "n_digit"] == 1
+    assert out.loc[0, "n_stop"] == 2    # 'the', 'and'
+    assert out.loc[1, "n_stop"] == 0
