@@ -726,6 +726,34 @@ def q_unpivot_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Broadcast (map-side) join: fact stream ⋈ broadcast dimension table
+def q_supplier_nation(sf_dir: str):
+    from ..stages.join import broadcast_join
+
+    sup = rd.read_parquet(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+                           ).rename_columns(["s_nationkey", "n_name"])
+    out = broadcast_join(sup, nation, on=["s_nationkey"], how="inner")
+    return out.select_columns(["s_suppkey", "n_name"])
+
+
+# UNNEST WITH ORDINALITY: explode the embedding lists to element rows
+def q_explode_embeddings(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..stages.util import explode_list
+
+    def f(batch: pa.Table) -> pa.Table:
+        out = explode_list(batch, "embedding", ["vec_id"])
+        return out.set_column(out.schema.get_field_index("val"), "val",
+                              out.column("val").cast(pa.float64()))
+
+    return rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < 50,
+    ).map_batches(f, batch_format="pyarrow")
+
+
 # Per-source aggregation — the per-domain stats pattern of a web corpus
 def q_source_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
@@ -951,6 +979,8 @@ QUERIES = {
     "setop_union": q_setop_union,
     "source_stats": q_source_stats,
     "quality_signals": q_quality_signals,
+    "supplier_nation": q_supplier_nation,
+    "explode_embeddings": q_explode_embeddings,
     "string_agg_events": q_string_agg_events,
     "histogram_values": q_histogram_values,
     "dense_rank_events": q_dense_rank_events,
@@ -1198,6 +1228,30 @@ ORACLES = {
     "source_stats": (
         "SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars"
         " FROM documents GROUP BY source"
+    ),
+    "supplier_nation": (
+        "SELECT s_suppkey, n_name FROM supplier"
+        " JOIN nation ON s_nationkey = n_nationkey"
+    ),
+    "explode_embeddings": (
+        "SELECT vec_id, CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,"
+        " CAST(unnest(embedding) AS DOUBLE) AS val FROM embeddings WHERE vec_id < 50"
+    ),
+    # TF-IDF oracle: same tokenization (lowered whitespace split), same
+    # idf = ln(N / (1 + df)), same (score desc, term asc) top-3 rank.
+    "tfidf_terms": (
+        "WITH tok AS (SELECT doc_id,"
+        "  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term"
+        "  FROM documents WHERE trim(text) <> ''),"
+        " tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),"
+        " d AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),"
+        " nn AS (SELECT count(*) AS n FROM documents),"
+        " s AS (SELECT t.doc_id, t.term, t.tf * ln(nn.n / (1.0 + d.df)) AS score"
+        "       FROM tf t JOIN d ON t.term = d.term CROSS JOIN nn),"
+        " r AS (SELECT doc_id, term, score, row_number() OVER ("
+        "       PARTITION BY doc_id ORDER BY score DESC, term) AS rn FROM s)"
+        " SELECT doc_id, term, round(score, 6) AS score, CAST(rn AS INT) AS rank"
+        " FROM r WHERE rn <= 3"
     ),
     "quality_signals": (
         "SELECT doc_id,"

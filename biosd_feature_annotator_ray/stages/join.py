@@ -255,3 +255,46 @@ def interval_join(
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
+def broadcast_join(
+    large: "ray.data.Dataset",
+    small: pa.Table,
+    on: list[str],
+    how: str = "inner",
+) -> "ray.data.Dataset":
+    """Broadcast (map-side) hash join: the SMALL side is put into the
+    object store ONCE (``ray.put``) and every map task merges against
+    it — zero shuffle, the right plan whenever one side fits in a
+    worker's heap (dimension tables, lookup maps, ≤ ~100 MB). For two
+    fact-sized sides use ``shuffle_hash_join``.
+
+    ``how``: inner | left | semi | anti (SQL null semantics — null
+    keys never match)."""
+    import ray as _ray
+
+    if how not in ("inner", "left", "semi", "anti"):
+        raise ValueError(f"unsupported how: {how}")
+    ref = _ray.put(small)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        s = _ray.get(ref)
+        if how in ("semi", "anti"):
+            left_df = batch.to_pandas()
+            right_df = s.select(on).to_pandas().drop_duplicates()
+            m = left_df.merge(right_df.assign(__hit=1), on=on, how="left")
+            keep = m["__hit"].notna() if how == "semi" else m["__hit"].isna()
+            # null keys never match: for semi they are already excluded;
+            # for anti they are kept (SQL NOT EXISTS semantics)
+            return pa.Table.from_pandas(m.loc[keep, list(batch.column_names)],
+                                        preserve_index=False)
+        left_df = batch.to_pandas()
+        right_df = s.to_pandas()
+        null_key = left_df[on].isna().any(axis=1)
+        m = left_df[~null_key].merge(right_df, on=on, how=how)
+        if how == "left" and null_key.any():
+            unmatched = left_df[null_key].reindex(columns=m.columns)
+            m = pd.concat([m, unmatched], ignore_index=True)
+        return pa.Table.from_pandas(m, preserve_index=False)
+
+    return large.map_batches(merge, batch_format="pyarrow", batch_size=65536)

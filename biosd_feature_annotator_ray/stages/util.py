@@ -25,3 +25,29 @@ def as_task_fn(cls, kwargs: dict | None = None):
         return _cached_stage(cls, items)(batch)
 
     return f
+
+
+def explode_list(batch: pa.Table, list_col: str, id_cols: list[str],
+                 pos_col: str = "pos", value_col: str = "val") -> pa.Table:
+    """Row-expanding UNNEST WITH ORDINALITY: one output row per list
+    element, carrying ``id_cols`` plus the element's 0-based position.
+    Pure Arrow/numpy (list_flatten + repeat of the id rows) — no
+    per-row Python. Null/empty lists contribute no rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = batch.column(list_col)
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lengths = pc.fill_null(pc.list_value_length(col), 0).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(col)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+    excl = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    pos = np.arange(int(lengths.sum())) - np.repeat(excl, lengths)
+    cols = {c: batch.column(c).take(pa.array(doc_idx)) for c in id_cols}
+    cols[pos_col] = pa.array(pos.astype(np.int64))
+    cols[value_col] = flat
+    return pa.table(cols)

@@ -198,3 +198,35 @@ def test_quality_counts_values(ray_session):
     assert out.loc[0, "n_digit"] == 1
     assert out.loc[0, "n_stop"] == 2    # 'the', 'and'
     assert out.loc[1, "n_stop"] == 0
+
+
+def test_broadcast_join_all_modes(ray_session):
+    from biosd_feature_annotator_ray.stages.join import broadcast_join
+
+    left = pd.DataFrame({"k": [1, 2, 3, None, 2], "a": [10, 20, 30, 40, 50]})
+    right = pa.table({"k": pa.array([2.0, 3.0, 3.0], pa.float64()),
+                      "b": pa.array(["x", "y", "z"], pa.string())})
+    ds = rd.from_pandas(left).repartition(2)
+    inner = broadcast_join(ds, right, on=["k"], how="inner").to_pandas()
+    assert sorted(inner["a"].tolist()) == [20, 30, 30, 50]   # k=3 matches twice
+    lft = broadcast_join(ds, right, on=["k"], how="left").to_pandas()
+    assert len(lft) == 6  # 4 matched rows + k=1 + null-key row
+    assert lft.loc[lft["a"] == 40, "b"].isna().all()
+    semi = broadcast_join(ds, right, on=["k"], how="semi").to_pandas()
+    assert sorted(semi["a"].tolist()) == [20, 30, 50]        # no duplication
+    anti = broadcast_join(ds, right, on=["k"], how="anti").to_pandas()
+    assert sorted(anti["a"].tolist()) == [10, 40]            # null key kept
+
+    with pytest.raises(ValueError):
+        broadcast_join(ds, right, on=["k"], how="outer")
+
+
+def test_explode_list_positions_and_empties(ray_session):
+    from biosd_feature_annotator_ray.stages.util import explode_list
+
+    batch = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "l": pa.array([[10, 11], [], None, [12]], pa.list_(pa.int64())),
+    })
+    out = explode_list(batch, "l", ["id"]).to_pandas()
+    assert out.values.tolist() == [[1, 0, 10], [1, 1, 11], [4, 0, 12]]
