@@ -28,8 +28,10 @@ import pyarrow as pa
 import ray.data
 
 from .canonicalize import _add_bucket, _B
+from ..functions.hashing import hash_columns
 
 _SIDE = "__side"
+_GOLDEN = 0x9E3779B97F4A7C15
 
 
 def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
@@ -68,11 +70,23 @@ def shuffle_hash_join(
     how: str = "inner",
     nb: int = 64,
     suffixes: tuple[str, str] = ("_l", "_r"),
+    hot_keys: "pa.Table | list | None" = None,
+    salt: int = 8,
 ) -> "ray.data.Dataset":
     """Join two Datasets on ``on`` via one bucket shuffle.
 
     ``how``: inner | left | semi | anti (semi/anti return left columns
     only). Overlapping non-key columns get ``suffixes``.
+
+    **Skew handling**: pass ``hot_keys`` (a pa.Table holding the key
+    columns — e.g. the top rows of a K4 ``distinct_counts`` hot-key
+    report — or, for a single-column key, a plain list of values) to
+    SALT those keys across ``salt`` sub-buckets: LEFT hot rows fan out
+    round-robin, RIGHT hot rows are replicated into every sub-bucket,
+    so one Zipf-heavy key ("Homo sapiens" on 40% of pages) spreads over
+    ``salt`` reduce groups instead of melting one. Output is identical
+    to the unsalted plan for every ``how`` (parity-tested); cost is
+    ``salt×`` duplication of the right-side hot rows only.
     """
     if how not in ("inner", "left", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
@@ -92,9 +106,40 @@ def shuffle_hash_join(
         + [rschema.field(n) for n in rcols if n not in lcols]
     )
 
+    hot = None
+    if hot_keys is not None and salt > 1:
+        import numpy as np
+
+        if not isinstance(hot_keys, pa.Table):
+            hot_keys = pa.table({on[0]: pa.array(list(hot_keys))})
+        hot_tbl = pa.table({k: hot_keys.column(k).cast(wide.field(k).type) for k in on})
+        hot = hash_columns(hot_tbl, on)
+
     def prep(side: int):
         def f(batch: pa.Table) -> pa.Table:
-            return _add_bucket(_align(batch, wide, side), on, nb)
+            t = _align(batch, wide, side)
+            if hot is None:
+                return _add_bucket(t, on, nb)
+            import numpy as np
+
+            h = hash_columns(t, on)
+            hotmask = np.isin(h, hot)
+            if side == 0:
+                sub = np.where(hotmask,
+                               np.arange(len(t), dtype=np.uint64) % np.uint64(salt),
+                               np.uint64(0))
+                b = ((h + sub * np.uint64(_GOLDEN)) % np.uint64(nb)).astype(np.int32)
+                return t.append_column(_B, pa.array(b))
+            idx_cold = np.flatnonzero(~hotmask)
+            idx_hot = np.flatnonzero(hotmask)
+            take = np.concatenate([idx_cold, np.repeat(idx_hot, salt)])
+            sub = np.concatenate([
+                np.zeros(len(idx_cold), np.uint64),
+                np.tile(np.arange(salt, dtype=np.uint64), len(idx_hot)),
+            ])
+            t2 = t.take(pa.array(take))
+            b = ((h[take] + sub * np.uint64(_GOLDEN)) % np.uint64(nb)).astype(np.int32)
+            return t2.append_column(_B, pa.array(b))
 
         return f
 

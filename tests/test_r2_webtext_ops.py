@@ -230,3 +230,24 @@ def test_explode_list_positions_and_empties(ray_session):
     })
     out = explode_list(batch, "l", ["id"]).to_pandas()
     assert out.values.tolist() == [[1, 0, 10], [1, 1, 11], [4, 0, 12]]
+
+
+@pytest.mark.parametrize("how", ["inner", "left", "semi", "anti"])
+def test_salted_join_parity(ray_session, how):
+    from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+
+    rng = np.random.default_rng(11)
+    # Zipf-ish: key 7 on ~60% of left rows
+    lk = np.where(rng.random(3000) < 0.6, 7, rng.integers(0, 50, 3000))
+    left = pd.DataFrame({"k": lk, "a": np.arange(3000)})
+    right = pd.DataFrame({"k": rng.integers(0, 60, 400), "b": np.arange(400) * 10})
+    lds = rd.from_pandas(left).repartition(4)
+    rds = rd.from_pandas(right).repartition(3)
+
+    plain = shuffle_hash_join(lds, rds, on=["k"], how=how, nb=16).to_pandas()
+    salted = shuffle_hash_join(lds, rds, on=["k"], how=how, nb=16,
+                               hot_keys=[7], salt=4).to_pandas()
+    cols = sorted(plain.columns)
+    p = plain[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    s = salted[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(p, s)
