@@ -81,3 +81,14 @@ def punct_strip_str(s: str) -> str:
 def token_sig(s: str) -> str:
     """Sorted token multiset signature for the token-set tier (tier 5)."""
     return " ".join(sorted(_ws_re.split(s.strip()))) if s.strip() else ""
+
+
+def mask_pattern(batch, col: str, pattern: str, repl: str, out: str | None = None):
+    """Regex redaction kernel (PII-mask shape: digit runs, emails,
+    phone-like spans → a placeholder token). RE2 via Arrow
+    ``replace_substring_regex`` — the DuckDB ``regexp_replace(..,'g')``
+    oracle shares the engine semantics."""
+    import pyarrow.compute as pc
+
+    masked = pc.replace_substring_regex(batch.column(col), pattern, repl)
+    return batch.append_column(out or f"{col}_redacted", masked)

@@ -754,6 +754,35 @@ def q_explode_embeddings(sf_dir: str):
     ).map_batches(f, batch_format="pyarrow")
 
 
+# Cross join (Cartesian): small dimension × small dimension
+def q_region_nation_cross(sf_dir: str):
+    from ..stages.join import broadcast_join
+
+    region = rd.read_parquet(f"{sf_dir}/region.parquet", columns=["r_name"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_name"])
+    return broadcast_join(region, nation, on=[], how="cross")
+
+
+# percent_rank() per key — exact integer division, bit-identical to SQL
+def q_percent_rank_events(sf_dir: str):
+    from ..stages.windows import percent_rank_per_key
+
+    out = percent_rank_per_key(_events(sf_dir, ["event_id", "user_id", "value"]),
+                               key_col="user_id", order_col="value", nb=8)
+    return out.select_columns(["event_id", "prank"])
+
+
+# Regex redaction (PII-mask shape): digit runs in props → '<NUM>'
+def q_redact_props(sf_dir: str):
+    from ..functions.normalize import mask_pattern
+
+    return _events(sf_dir, ["event_id", "props"]).map_batches(
+        lambda t: mask_pattern(t, "props", r"\d\d+", "<NUM>",
+                               out="props_redacted").select(["event_id", "props_redacted"]),
+        batch_format="pyarrow",
+    )
+
+
 # Per-source aggregation — the per-domain stats pattern of a web corpus
 def q_source_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
@@ -981,6 +1010,9 @@ QUERIES = {
     "quality_signals": q_quality_signals,
     "supplier_nation": q_supplier_nation,
     "explode_embeddings": q_explode_embeddings,
+    "region_nation_cross": q_region_nation_cross,
+    "percent_rank_events": q_percent_rank_events,
+    "redact_props": q_redact_props,
     "string_agg_events": q_string_agg_events,
     "histogram_values": q_histogram_values,
     "dense_rank_events": q_dense_rank_events,
@@ -1232,6 +1264,17 @@ ORACLES = {
     "supplier_nation": (
         "SELECT s_suppkey, n_name FROM supplier"
         " JOIN nation ON s_nationkey = n_nationkey"
+    ),
+    "region_nation_cross": (
+        "SELECT r_name, n_name FROM region CROSS JOIN nation"
+    ),
+    "percent_rank_events": (
+        "SELECT event_id, percent_rank() OVER (PARTITION BY user_id"
+        " ORDER BY value) AS prank FROM events"
+    ),
+    "redact_props": (
+        "SELECT event_id, regexp_replace(props, '\\d\\d+', '<NUM>', 'g')"
+        " AS props_redacted FROM events"
     ),
     "explode_embeddings": (
         "SELECT vec_id, CAST(unnest(range(len(embedding))) AS BIGINT) AS pos,"

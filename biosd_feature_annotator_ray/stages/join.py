@@ -315,15 +315,19 @@ def broadcast_join(
     fact-sized sides use ``shuffle_hash_join``.
 
     ``how``: inner | left | semi | anti (SQL null semantics — null
-    keys never match)."""
+    keys never match) | cross (Cartesian product; ``on`` ignored)."""
     import ray as _ray
 
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "semi", "anti", "cross"):
         raise ValueError(f"unsupported how: {how}")
     ref = _ray.put(small)
 
     def merge(batch: pa.Table) -> pa.Table:
         s = _ray.get(ref)
+        if how == "cross":
+            return pa.Table.from_pandas(
+                batch.to_pandas().merge(s.to_pandas(), how="cross"),
+                preserve_index=False)
         if how in ("semi", "anti"):
             left_df = batch.to_pandas()
             right_df = s.select(on).to_pandas().drop_duplicates()

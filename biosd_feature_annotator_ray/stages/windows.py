@@ -318,6 +318,36 @@ def collect_seq_per_key(
     )
 
 
+def percent_rank_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    order_col: str = "value",
+    out: str = "prank",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """percent_rank() OVER (PARTITION BY key ORDER BY order_col):
+    (rank - 1) / (n - 1) with gap ranks (SQL RANK ties), 0.0 for
+    single-row groups. Exact integer division → bit-identical to the
+    SQL window."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        grp = df.groupby(key_col, sort=False)
+        rank = grp[order_col].rank(method="min").to_numpy()
+        n = grp[order_col].transform("size").to_numpy().astype(np.float64)
+        df[out] = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def lag_per_key(
     events: "ray.data.Dataset",
     key_col: str = "user_id",

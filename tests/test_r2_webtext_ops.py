@@ -251,3 +251,40 @@ def test_salted_join_parity(ray_session, how):
     p = plain[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     s = salted[cols].sort_values(cols, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(p, s)
+
+
+def test_broadcast_cross_join(ray_session):
+    from biosd_feature_annotator_ray.stages.join import broadcast_join
+
+    left = rd.from_pandas(pd.DataFrame({"a": [1, 2, 3]})).repartition(2)
+    right = pa.table({"b": pa.array(["x", "y"], pa.string())})
+    out = broadcast_join(left, right, on=[], how="cross").to_pandas()
+    assert len(out) == 6
+    assert set(map(tuple, out.values.tolist())) == {(a, b) for a in (1, 2, 3)
+                                                    for b in ("x", "y")}
+
+
+def test_percent_rank_matches_sql_semantics(ev):
+    from biosd_feature_annotator_ray.stages.windows import percent_rank_per_key
+
+    # plant ties: duplicate some values within a user
+    df = ev.copy()
+    df.loc[df.index[:50], "value"] = 1.5
+    got = percent_rank_per_key(rd.from_pandas(df).repartition(3), key_col="user_id",
+                               order_col="value", nb=8).to_pandas()
+    want = df.copy()
+    grp = want.groupby("user_id")["value"]
+    rank = grp.rank(method="min")
+    n = grp.transform("size")
+    want["prank"] = np.where(n > 1, (rank - 1) / (n - 1), 0.0)
+    m = got.set_index("event_id")["prank"].sort_index()
+    w = want.set_index("event_id")["prank"].sort_index()
+    assert np.allclose(m.to_numpy(), w.to_numpy())
+
+
+def test_mask_pattern_redacts(ray_session):
+    from biosd_feature_annotator_ray.functions.normalize import mask_pattern
+
+    batch = pa.table({"t": pa.array(["call 555-1234 now", "no digits", "a1b22c333"])})
+    out = mask_pattern(batch, "t", r"\d\d+", "<NUM>").column("t_redacted").to_pylist()
+    assert out == ["call <NUM>-<NUM> now", "no digits", "a1b<NUM>c<NUM>"]
