@@ -498,6 +498,22 @@ def q_quantiles(sf_dir: str):
                      "p90": pa.array([round(qs[0.9], 2)], pa.float64())})
 
 
+# interpolated quantiles (SQL percentile_cont semantics)
+def q_quantiles_cont(sf_dir: str):
+    from ..stages.sketches import exact_quantile_cont
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+    qs = exact_quantile_cont(ds, "o_totalprice", [0.5, 0.9], n_bins=512)
+
+    # interpolated midpoints of 2-decimal prices land on .xx5 exactly:
+    # round half-away-from-zero like DuckDB (numpy rounds half-to-even)
+    def r2(x: float) -> float:
+        return float(np.sign(x) * np.floor(abs(x) * 100 + 0.5) / 100)
+
+    return pa.table({"p50": pa.array([r2(qs[0.5])], pa.float64()),
+                     "p90": pa.array([r2(qs[0.9])], pa.float64())})
+
+
 # pivot: per-user value sums split by event_type into columns
 def q_pivot_events(sf_dir: str):
     from ..stages.canonicalize import pivot_sum
@@ -992,6 +1008,7 @@ QUERIES = {
     "rank_events": q_rank_events,
     "lag_events": q_lag_events,
     "quantiles": q_quantiles,
+    "quantiles_cont": q_quantiles_cont,
     "interval_join_sessions": q_interval_join_sessions,
     "range_partition_orders": q_range_partition_orders,
     "grouped_quantile": q_grouped_quantile,
@@ -1181,6 +1198,10 @@ ORACLES = {
     "quantiles": (
         "SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,"
         " round(quantile_disc(o_totalprice, 0.9), 2) AS p90 FROM orders"
+    ),
+    "quantiles_cont": (
+        "SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50,"
+        " round(quantile_cont(o_totalprice, 0.9), 2) AS p90 FROM orders"
     ),
     "grouped_quantile": (
         "SELECT event_type, round(quantile_disc(value, 0.5), 2) AS p50"

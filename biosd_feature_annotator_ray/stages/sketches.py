@@ -84,33 +84,69 @@ def exact_quantile(
     lo, hi, n = _minmax_count(ds, col)
     if n == 0:
         return {q: float("nan") for q in qs}
+    return {q: _value_at_rank(ds, col, max(1, int(np.ceil(q * n))), lo, hi,
+                              n_bins, max_collect, max_depth)
+            for q in qs}
+
+
+def _value_at_rank(ds: "ray.data.Dataset", col: str, k: int, lo: float, hi: float,
+                   n_bins: int, max_collect: int, max_depth: int) -> float:
+    """The k-th smallest value (1-based) via histogram bracketing: each
+    level narrows to the bin containing rank k; only the final bin's
+    values (expected n/n_bins) are collected and selected."""
+    blo, bhi, below = lo, hi, 0      # `below` = count of values < blo
+    closed = True                    # current bracket is [blo, bhi]?
+    for _ in range(max_depth):
+        if blo == bhi:
+            break
+        counts = _hist_counts(ds, col, blo, bhi, n_bins, hi_closed=closed)
+        cum = np.cumsum(counts)
+        b = int(np.searchsorted(cum, k - below, side="left"))
+        edges = np.linspace(blo, bhi, n_bins + 1)
+        below += int(cum[b - 1]) if b else 0
+        closed = closed and (b == n_bins - 1)  # only the top bin stays closed
+        blo, bhi = float(edges[b]), float(edges[b + 1])
+        if counts[b] <= max_collect:
+            break
+
+    def in_range(batch: pa.Table, lo_=blo, hi_=bhi, cl=closed) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        m = (v >= lo_) & ((v <= hi_) if cl else (v < hi_))
+        return pa.table({col: pa.array(v[m], pa.float64())})
+
+    vals = ds.map_batches(in_range, batch_format="pyarrow", batch_size=65536).to_pandas()[col]
+    vals = np.sort(vals.to_numpy())
+    return float(vals[k - below - 1])
+
+
+def exact_quantile_cont(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs: list[float],
+    n_bins: int = 4096,
+    max_collect: int = 1_000_000,
+    max_depth: int = 4,
+) -> dict[float, float]:
+    """Exact percentile_cont(q): linear interpolation between the two
+    order statistics straddling h = (n-1)·q — SQL/DuckDB
+    ``quantile_cont`` semantics — using the same histogram-bracket rank
+    lookup as ``exact_quantile`` (two rank probes per q, no global
+    sort)."""
+    lo, hi, n = _minmax_count(ds, col)
+    if n == 0:
+        return {q: float("nan") for q in qs}
     out: dict[float, float] = {}
     for q in qs:
-        k = max(1, int(np.ceil(q * n)))  # 1-based target rank
-        blo, bhi, below = lo, hi, 0      # `below` = count of values < blo
-        closed = True                    # current bracket is [blo, bhi]?
-        for _ in range(max_depth):
-            if blo == bhi:
-                break
-            counts = _hist_counts(ds, col, blo, bhi, n_bins, hi_closed=closed)
-            cum = np.cumsum(counts)
-            b = int(np.searchsorted(cum, k - below, side="left"))
-            edges = np.linspace(blo, bhi, n_bins + 1)
-            below += int(cum[b - 1]) if b else 0
-            closed = closed and (b == n_bins - 1)  # only the top bin stays closed
-            blo, bhi = float(edges[b]), float(edges[b + 1])
-            if counts[b] <= max_collect:
-                break
-
-        def in_range(batch: pa.Table, lo_=blo, hi_=bhi, cl=closed) -> pa.Table:
-            v = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-            v = v[~np.isnan(v)]
-            m = (v >= lo_) & ((v <= hi_) if cl else (v < hi_))
-            return pa.table({col: pa.array(v[m], pa.float64())})
-
-        vals = ds.map_batches(in_range, batch_format="pyarrow", batch_size=65536).to_pandas()[col]
-        vals = np.sort(vals.to_numpy())
-        out[q] = float(vals[k - below - 1])
+        h = (n - 1) * float(q)
+        k0 = int(np.floor(h)) + 1        # 1-based lower rank
+        frac = h - np.floor(h)
+        v0 = _value_at_rank(ds, col, k0, lo, hi, n_bins, max_collect, max_depth)
+        if frac == 0.0 or k0 >= n:
+            out[q] = v0
+            continue
+        v1 = _value_at_rank(ds, col, k0 + 1, lo, hi, n_bins, max_collect, max_depth)
+        out[q] = v0 + frac * (v1 - v0)
     return out
 
 

@@ -288,3 +288,15 @@ def test_mask_pattern_redacts(ray_session):
     batch = pa.table({"t": pa.array(["call 555-1234 now", "no digits", "a1b22c333"])})
     out = mask_pattern(batch, "t", r"\d\d+", "<NUM>").column("t_redacted").to_pylist()
     assert out == ["call <NUM>-<NUM> now", "no digits", "a1b<NUM>c<NUM>"]
+
+
+def test_exact_quantile_cont_matches_numpy(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import exact_quantile_cont
+
+    rng = np.random.default_rng(3)
+    v = rng.uniform(0, 1000, 5003)
+    ds = rd.from_pandas(pd.DataFrame({"v": v})).repartition(4)
+    got = exact_quantile_cont(ds, "v", [0.0, 0.25, 0.5, 0.9, 1.0], n_bins=128)
+    for q, g in got.items():
+        # numpy 'linear' interpolation == SQL percentile_cont
+        assert g == pytest.approx(np.quantile(v, q, method="linear"), rel=1e-12), q
