@@ -129,6 +129,8 @@ def run_queries() -> dict:
         "revenue_per_nation", "knn_cosine", "minhash_near_dups", "simhash_near_dups",
         "curate_documents", "token_counts", "join_orders_lineitem", "asof_join_events",
         "quantiles", "chunk_documents",
+        # round-2 second-wave operators
+        "tfidf_terms", "setop_intersect", "cumsum_events", "top_bigrams",
     ]
     out = {}
     for name in names:
