@@ -335,6 +335,25 @@ def q_graph_degrees(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Graph analytics over the materialized KG: PageRank on subj→obj edges
+# (rows-only: iterative float fixpoint; semantics pinned by the
+# power-iteration parity test)
+def q_graph_pagerank(sf_dir: str):
+    from ..pipelines.annotate import PipelineSpec, annotate_pages
+    from ..stages.graph import pagerank
+    from ..synth import gen_pages
+
+    triples = annotate_pages(rd.from_arrow(gen_pages(500)), PipelineSpec(n_buckets=8))
+    edges = triples.map_batches(
+        lambda t: t.filter(pc.equal(t.column("obj_kind"), "uri")).select(["subj", "obj"]),
+        batch_format="pyarrow")
+    out = pagerank(edges, src="subj", dst="obj", damping=0.85, iters=5, nb=8)
+    df = out.to_pandas()
+    df["rank"] = df["rank"].round(8)
+    return pa.Table.from_pandas(df.sort_values("node").reset_index(drop=True),
+                                preserve_index=False)
+
+
 # §2.9 session windows (gap-based, per-user) — custom windowed operator
 def q_session_windows(sf_dir: str):
     from ..stages.windows import session_windows
@@ -987,6 +1006,7 @@ QUERIES = {
     "chunk_documents": q_chunk_documents,
     "lineitem_date_filter": q_lineitem_date_filter,
     "graph_degrees": q_graph_degrees,
+    "graph_pagerank": q_graph_pagerank,
     "canonicalize_events": q_canonicalize_events,
     "latest_event_per_user_type": q_latest_event_per_user_type,
     "dedup_docs": q_dedup_docs,

@@ -72,3 +72,84 @@ def pack_adjacency(part: pa.Table, max_edges: int = 10_000) -> pa.Table:
     out_subj = subj.take(pa.array(rs))
     part_id = part.column("part_id").combine_chunks().take(pa.array(rs))
     return pa.table({"subj": out_subj, "edges": edges, "part_id": part_id})
+
+
+def pagerank(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Distributed PageRank over an edge-list Dataset → (node, rank).
+
+    Iterative Ray-Data shape — per iteration exactly ONE shuffle join
+    (edges ⋈ ranks on src, same bucket hash every round → effectively
+    co-partitioned) plus one pre-combined groupby(dst) sum; the
+    invariant sets (out-degrees, nodes with no in-edges) are computed
+    once before the loop. Dangling mass is recovered as
+    ``1 − emitted`` (no extra per-iteration pass). Multi-edges carry
+    multiplicity (dedupe upstream if unwanted); node set = src ∪ dst.
+
+    Semantics: r ← (1−d)/N + d·(Σ_in r/outdeg + dangling/N), ranks sum
+    to 1 every iteration.
+    """
+    import ray.data as _rd
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import distinct_counts, set_op
+    from .join import shuffle_hash_join
+
+    e = edges.map_batches(
+        lambda t: t.select([src, dst]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow", batch_size=65536).materialize()
+
+    deg = distinct_counts(e.select_columns(["src"]), "src", nb=nb)  # (src, count)
+    edges_w = shuffle_hash_join(e, deg, on=["src"], how="inner", nb=nb).materialize()
+
+    srcs = e.map_batches(lambda t: t.select(["src"]).rename_columns(["node"]),
+                         batch_format="pyarrow")
+    dsts = e.map_batches(lambda t: t.select(["dst"]).rename_columns(["node"]),
+                         batch_format="pyarrow")
+    nodes = set_op(srcs, dsts, "node", op="union", nb=nb).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return _rd.from_arrow(pa.table({"node": pa.array([], pa.string()),
+                                        "rank": pa.array([], pa.float64())}))
+    no_in = set_op(nodes, dsts, "node", op="except", nb=nb).materialize()
+
+    init = 1.0 / n_nodes
+    ranks = nodes.map_batches(
+        lambda t: t.append_column("rank", pa.array(np.full(len(t), init))),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        r_src = ranks.map_batches(lambda t: t.rename_columns(["src", "rank"]),
+                                  batch_format="pyarrow")
+        joined = shuffle_hash_join(edges_w, r_src, on=["src"], how="inner", nb=nb)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            w = (batch.column("rank").to_numpy(zero_copy_only=False)
+                 / batch.column("count").to_numpy(zero_copy_only=False))
+            t = pa.table({"dst": batch.column("dst"), "w": pa.array(w)})
+            df = t.to_pandas().groupby("dst", as_index=False)["w"].sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        msum = (joined.map_batches(contrib, batch_format="pyarrow", batch_size=65536)
+                .groupby("dst").aggregate(Sum("w", alias_name="msum")).materialize())
+        emitted = msum.sum("msum") or 0.0
+        base = (1.0 - damping) / n_nodes + damping * (1.0 - emitted) / n_nodes
+
+        scored = msum.map_batches(
+            lambda t, b=base: pa.table({
+                "node": t.column("dst"),
+                "rank": pa.array(b + damping * t.column("msum").to_numpy(
+                    zero_copy_only=False)),
+            }), batch_format="pyarrow")
+        floor_rows = no_in.map_batches(
+            lambda t, b=base: t.append_column("rank", pa.array(np.full(len(t), b))),
+            batch_format="pyarrow")
+        ranks = scored.union(floor_rows).materialize()
+
+    return ranks

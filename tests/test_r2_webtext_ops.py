@@ -300,3 +300,32 @@ def test_exact_quantile_cont_matches_numpy(ray_session):
     for q, g in got.items():
         # numpy 'linear' interpolation == SQL percentile_cont
         assert g == pytest.approx(np.quantile(v, q, method="linear"), rel=1e-12), q
+
+
+def test_pagerank_matches_power_iteration(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (3, 4), (4, 3), (5, 2)]
+    # node 2 is the hub; node 5 has no in-edges; no dangling-free graph:
+    # every node here has out-edges except... all have out-edges except none;
+    # add a dangling node by pointing 1->6 (6 has no out-edges)
+    edges.append((1, 6))
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    got = pagerank(rd.from_pandas(df).repartition(3), damping=0.85, iters=12,
+                   nb=4).to_pandas().set_index("node")["rank"]
+
+    # reference power iteration, same semantics
+    nodes = sorted(set(df["src"]) | set(df["dst"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    N = len(nodes)
+    outdeg = df.groupby("src").size().to_dict()
+    r = np.full(N, 1.0 / N)
+    for _ in range(12):
+        new = np.zeros(N)
+        for s, d in edges:
+            new[idx[d]] += r[idx[s]] / outdeg[s]
+        dang = sum(r[idx[n]] for n in nodes if n not in outdeg)
+        r = (1 - 0.85) / N + 0.85 * (new + dang / N)
+    for n in nodes:
+        assert got[n] == pytest.approx(r[idx[n]], rel=1e-9), n
+    assert got.sum() == pytest.approx(1.0, rel=1e-9)
