@@ -381,6 +381,20 @@ def q_sliding_windows(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# §2.8 timestamp decomposition (temporal kernels + cast)
+def q_ts_parts(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts")
+        return pa.table({
+            "event_id": batch.column("event_id"),
+            "h": pc.hour(ts).cast(pa.int64()),
+            "dom": pc.day(ts).cast(pa.int64()),
+            "mon": pc.month(ts).cast(pa.int64()),
+        })
+
+    return _events(sf_dir, ["event_id", "ts"]).map_batches(f, batch_format="pyarrow")
+
+
 # §2.8 timestamp → partition date (strftime kernel)
 def q_partition_date(sf_dir: str):
     def f(batch: pa.Table) -> pa.Table:
@@ -1024,6 +1038,7 @@ QUERIES = {
     "session_windows": q_session_windows,
     "sliding_windows": q_sliding_windows,
     "partition_date": q_partition_date,
+    "ts_parts": q_ts_parts,
     "asof_join_events": q_asof_join_events,
     "rank_events": q_rank_events,
     "lag_events": q_lag_events,
@@ -1201,6 +1216,11 @@ ORACLES = {
     ),
     "partition_date": (
         "SELECT event_id, strftime(ts, '%Y-%m-%d') AS part_date FROM events"
+    ),
+    "ts_parts": (
+        "SELECT event_id, CAST(extract(hour FROM ts) AS BIGINT) AS h,"
+        " CAST(extract(day FROM ts) AS BIGINT) AS dom,"
+        " CAST(extract(month FROM ts) AS BIGINT) AS mon FROM events"
     ),
     "asof_join_events": (
         "SELECT e.event_id, l.view_ts FROM events e ASOF JOIN"

@@ -179,11 +179,13 @@ def asof_join(
     right_ts: str | None = None,
     nb: int = 32,
     how: str = "inner",
+    direction: str = "backward",
 ) -> "ray.data.Dataset":
     """Distributed AS-OF join: each left row matches the LATEST right
     row of the same ``key`` with right ts ≤ left ts (DuckDB
     ``ASOF JOIN`` semantics; ``how="left"`` keeps unmatched rows with
-    nulls).
+    nulls). ``direction``: backward (default) | forward (earliest
+    right ts ≥ left ts) | nearest.
 
     Shape: same one-bucket-shuffle union as ``shuffle_hash_join``
     (keys co-locate), then a vectorized ``pd.merge_asof(by=key)``
@@ -229,7 +231,7 @@ def asof_join(
         ldf = ldf.sort_values([ts, key], kind="mergesort")
         rdf = rdf.sort_values([rts, key], kind="mergesort")
         out = pd.merge_asof(ldf, rdf, left_on=ts, right_on=rts, by=key,
-                            direction="backward")
+                            direction=direction)
         if how == "inner":
             probe = rcols[0] if rcols else rts
             out = out[out[probe].notna()]

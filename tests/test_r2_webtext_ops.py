@@ -329,3 +329,29 @@ def test_pagerank_matches_power_iteration(ray_session):
     for n in nodes:
         assert got[n] == pytest.approx(r[idx[n]], rel=1e-9), n
     assert got.sum() == pytest.approx(1.0, rel=1e-9)
+
+
+@pytest.mark.parametrize("direction", ["forward", "nearest"])
+def test_asof_join_directions(ray_session, direction):
+    from biosd_feature_annotator_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(31)
+    n = 800
+    left = pd.DataFrame({
+        "event_id": np.arange(n),
+        "k": rng.integers(0, 10, n),
+        "ts": pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.choice(10**6, n, replace=False), unit="s"),
+    })
+    right = left.sample(200, random_state=1)[["k", "ts"]].rename(columns={"ts": "rts"})
+    right["tag"] = np.arange(200)
+    got = asof_join(rd.from_pandas(left).repartition(3),
+                    rd.from_pandas(right).repartition(2),
+                    key="k", ts="ts", right_ts="rts", nb=8, how="left",
+                    direction=direction).to_pandas()
+    want = pd.merge_asof(left.sort_values(["ts", "k"], kind="mergesort"),
+                         right.sort_values(["rts", "k"], kind="mergesort"),
+                         left_on="ts", right_on="rts", by="k", direction=direction)
+    g = got.sort_values("event_id").reset_index(drop=True)[["event_id", "tag"]]
+    w = want.sort_values("event_id").reset_index(drop=True)[["event_id", "tag"]]
+    pd.testing.assert_frame_equal(g, w, check_dtype=False)
