@@ -10,8 +10,10 @@ text=null so the extract stage derives it deterministically).
 
 Scale note: each task holds one whole WARC file (CC files ≈ 1 GiB
 uncompressed) — size `target_max_block_size` / task memory
-accordingly; .warc.gz needs a streaming gunzip pass first (documented,
-not implemented — no test fixture can exercise it here).
+accordingly. ``.warc.gz`` is supported: Common Crawl gzips one member
+per record and stdlib gzip reads concatenated members transparently
+(detected by magic bytes, so mixed plain/gz inputs work); budget ~4×
+the compressed size per task.
 
 ``read_pages_jsonl``: `ray.data.read_json` + a schema-mapping batch fn
 for line-delimited page dumps.
@@ -75,8 +77,12 @@ def read_pages_warc(paths: str | list[str]) -> "ray.data.Dataset":
     """WARC files → PAGES-schema Dataset (text null → M2 derives it)."""
 
     def split(batch: pa.Table) -> pa.Table:
+        import gzip
+
         rows = []
         for blob in batch.column("bytes").to_pylist():
+            if blob[:2] == b"\x1f\x8b":  # gzip magic (CC .warc.gz)
+                blob = gzip.decompress(blob)
             rows.extend(parse_warc_records(blob))
         if not rows:
             return PAGES.empty_table()
@@ -134,9 +140,13 @@ def read_pages_jsonl(paths: str | list[str]) -> "ray.data.Dataset":
 
 
 # ---------------------------------------------------------------------------
-def write_warc(path: str, pages: pa.Table) -> None:
+def write_warc(path: str, pages: pa.Table, gzip_per_record: bool = False) -> None:
     """Test/bench fixture writer: PAGES rows → a minimal valid WARC file
-    (response records, HTTP payload framing)."""
+    (response records, HTTP payload framing). ``gzip_per_record=True``
+    emits the Common-Crawl ``.warc.gz`` layout: one gzip member per
+    record, concatenated."""
+    import gzip
+
     with open(path, "wb") as f:
         for row in pages.to_pylist():
             body = row.get("html") or (row.get("text") or "").encode()
@@ -149,4 +159,8 @@ def write_warc(path: str, pages: pa.Table) -> None:
                    b"WARC-Target-URI: " + row["url"].encode() + b"\r\n"
                    b"WARC-Date: " + iso.encode() + b"\r\n"
                    b"Content-Length: " + str(len(http)).encode() + b"\r\n")
-            f.write(hdr + _CRLF2 + http + b"\r\n\r\n")
+            # hdr already ends with CRLF; one more CRLF closes the
+            # header block (a doubled separator would shift the
+            # Content-Length frame by two bytes)
+            rec = hdr + b"\r\n" + http + b"\r\n\r\n"
+            f.write(gzip.compress(rec) if gzip_per_record else rec)

@@ -71,3 +71,22 @@ def test_jsonl_source(ray_session, tmp_path):
 
     triples = annotate_pages(read_pages_jsonl(p), PipelineSpec(n_buckets=4)).to_pandas()
     assert (triples.obj == "http://purl.obolibrary.org/obo/NCBITaxon_9606").any()
+
+
+def test_warc_gz_roundtrip(ray_session, tmp_path):
+    """Common-Crawl .warc.gz layout: one gzip member per record,
+    concatenated — read transparently by magic-byte detection."""
+    from biosd_feature_annotator_ray.sources.warc import read_pages_warc, write_warc
+    from biosd_feature_annotator_ray.synth import gen_pages
+
+    pages = gen_pages(40)
+    gz = str(tmp_path / "cc.warc.gz")
+    write_warc(gz, pages, gzip_per_record=True)
+    got = read_pages_warc(gz).to_pandas().sort_values("url").reset_index(drop=True)
+    want = pages.to_pandas().sort_values("url").reset_index(drop=True)
+    assert list(got["url"]) == list(want["url"])
+    # payload bytes survive the gzip round-trip exactly
+    import pandas as pd
+    exp = want.apply(lambda r: r["html"] if r["html"] is not None
+                     else (r["text"] or "").encode(), axis=1)
+    assert list(got["html"]) == list(exp)
