@@ -564,3 +564,79 @@ def bloom_anti_join(
     settled = settled.map_batches(lambda t: t.select(sch.names).cast(sch),
                                   batch_format="pyarrow")
     return certain_new.union(settled)
+
+
+def write_dataset_partitioned(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    key_col: str,
+    num_parts: int = 64,
+    resume: bool = True,
+) -> "pa.Table":
+    """Generic resumable partitioned sink for ANY Dataset — the
+    flagship's S3 checkpoint layout as a reusable API: rows scatter to
+    ``part_id = stable_hash(key) % num_parts`` fragment files (same
+    atomic, content-named, retry-idempotent ``_scatter_fragments``
+    machinery the flagship uses), then one independent task per
+    partition compacts its fragments into ``data/part-NNNNN.parquet``
+    (sorted by ``key_col``) plus a JSON manifest row. Re-running with
+    ``resume=True`` skips every partition whose manifest row says ok —
+    a failed run resumes from its last completed partition; output is
+    never one giant file.
+
+    Returns the manifest table (part_id, rows, ok) of THIS run's work
+    (resumed-over partitions are not re-listed)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    import ray
+
+    from ..functions.hashing import hash_columns
+
+    subdir = "generic_raw"
+    done = set(completed_partitions(out_dir)) if resume else set()
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, [key_col])
+        pid = (h % np.uint64(num_parts)).astype(np.int32)
+        tagged = batch.append_column("part_id", pa.array(pid))
+        if done:
+            keep = pc.invert(pc.is_in(tagged.column("part_id"),
+                                      value_set=pa.array(sorted(done), pa.int32())))
+            tagged = tagged.filter(keep)
+        if len(tagged) == 0:
+            return pa.table({"part_id": pa.array([], pa.int32()),
+                             "rows": pa.array([], pa.int64())})
+        return _scatter_fragments(tagged, out_dir, subdir=subdir)
+
+    ds.map_batches(scatter, batch_format="pyarrow", batch_size=65536).materialize()
+
+    @ray.remote
+    def compact(p: int) -> dict:
+        pdir = os.path.join(out_dir, subdir, f"part_id={p}")
+        frags = sorted(
+            os.path.join(pdir, f) for f in os.listdir(pdir)
+            if f.startswith("frag-") and f.endswith(".parquet")
+        ) if os.path.isdir(pdir) else []
+        n = 0
+        if frags:
+            tbl = pa.concat_tables([pq.read_table(f) for f in frags])
+            tbl = tbl.sort_by([(key_col, "ascending")])
+            n = len(tbl)
+            _atomic_write_parquet(tbl, os.path.join(out_dir, "data",
+                                                    f"part-{p:05d}.parquet"))
+        row = {"part_id": p, "rows": n, "ok": True, "ts": time.time()}
+        mdir = os.path.join(out_dir, MANIFEST_DIR)
+        os.makedirs(mdir, exist_ok=True)
+        mpath = os.path.join(mdir, f"part-{p:05d}.json")
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(row, f)
+        os.replace(tmp, mpath)
+        return row
+
+    todo = [p for p in range(num_parts) if p not in done]
+    rows = list(ray.get([compact.remote(p) for p in todo]))
+    return pa.Table.from_pandas(pd.DataFrame(rows) if rows else
+                                pd.DataFrame(columns=["part_id", "rows", "ok"]),
+                                preserve_index=False)

@@ -172,3 +172,50 @@ def test_streaming_finalize_parity(ray_session, tmp_path):
     # resume over the streamed output is still a no-op
     man2 = run(_pages(), chunked, spec_c)
     assert man2.num_rows == 0
+
+
+def test_generic_partitioned_writer_resume(ray_session, tmp_path):
+    """write_dataset_partitioned: any Dataset → resumable hash-partitioned
+    parquet; a lost partition is rebuilt, finished ones are skipped."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.sources.sink import write_dataset_partitioned
+
+    df = pd.DataFrame({"doc_id": range(1000), "v": [f"x{i}" for i in range(1000)]})
+    out = str(tmp_path / "generic")
+    man = write_dataset_partitioned(rd.from_pandas(df).repartition(4), out,
+                                    key_col="doc_id", num_parts=8)
+    assert man.num_rows == 8 and man.to_pandas()["ok"].all()
+
+    def read_all():
+        parts = sorted(os.listdir(os.path.join(out, "data")))
+        t = pd.concat([pq.read_table(os.path.join(out, "data", p)).to_pandas()
+                       for p in parts], ignore_index=True)
+        return t.sort_values("doc_id").reset_index(drop=True)
+
+    first = read_all()
+    assert len(first) == 1000
+    pd.testing.assert_frame_equal(first, df)
+
+    # full resume: nothing to do, files untouched
+    mtimes = {p: os.path.getmtime(os.path.join(out, "data", p))
+              for p in os.listdir(os.path.join(out, "data"))}
+    man2 = write_dataset_partitioned(rd.from_pandas(df).repartition(4), out,
+                                     key_col="doc_id", num_parts=8)
+    assert man2.num_rows == 0
+    assert mtimes == {p: os.path.getmtime(os.path.join(out, "data", p))
+                      for p in os.listdir(os.path.join(out, "data"))}
+
+    # lose one partition (manifest + data + fragments): only it is rebuilt
+    os.remove(os.path.join(out, "manifest", "part-00003.json"))
+    os.remove(os.path.join(out, "data", "part-00003.parquet"))
+    import shutil
+    shutil.rmtree(os.path.join(out, "generic_raw", "part_id=3"))
+    man3 = write_dataset_partitioned(rd.from_pandas(df).repartition(4), out,
+                                     key_col="doc_id", num_parts=8)
+    assert man3.num_rows == 1 and man3.to_pandas()["part_id"].iloc[0] == 3
+    pd.testing.assert_frame_equal(read_all(), df)
