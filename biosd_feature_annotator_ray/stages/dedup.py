@@ -191,9 +191,14 @@ def _pairs_from_buckets(group_cols: list[str], sim_fn, threshold: float,
         if drop:
             g = g.drop_columns(drop)
         df = g.to_pandas().sort_values(group_cols + ["doc_id"], kind="mergesort")
-        keys = df[group_cols].astype(str).agg("|".join, axis=1).to_numpy()
-        change = np.ones(len(df), dtype=bool)
-        change[1:] = keys[1:] != keys[:-1]
+        # group boundaries: column-wise numpy neighbor compare (the
+        # previous astype(str)+join built one Python string per row)
+        change = np.zeros(len(df), dtype=bool)
+        if len(df):
+            change[0] = True
+        for c in group_cols:
+            arr = df[c].to_numpy()
+            change[1:] |= arr[1:] != arr[:-1]
         starts = np.flatnonzero(change)
         ends = np.append(starts[1:], len(df))
         ia, ib, sims = [], [], []
