@@ -62,6 +62,17 @@ def main(argv: list[str] | None = None) -> int:
     pdp.add_argument("--output", default=None, help="write pairs parquet here (else print count)")
     pdp.add_argument("--num-cpus", type=int, default=8)
 
+    pcu = sub.add_parser(
+        "curate", help="training-data curation pass (quality + lang-ID + fingerprint "
+        "+ exact dedup) → resumable partitioned parquet")
+    pcu.add_argument("--input", required=True, help="parquet with (doc_id, text[, lang])")
+    pcu.add_argument("--output", required=True)
+    pcu.add_argument("--num-parts", type=int, default=16)
+    pcu.add_argument("--min-quality", type=float, default=None,
+                     help="drop docs with quality_score below this")
+    pcu.add_argument("--no-resume", action="store_true")
+    pcu.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -115,6 +126,40 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"rows": pairs.count(), "output": args.output}))
             else:
                 print(json.dumps({"rows": pairs.count()}))
+            return 0
+
+        if args.cmd == "curate":
+            import pyarrow.compute as pc
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.sources.sink import write_dataset_partitioned
+            from biosd_feature_annotator_ray.stages import textstats
+            from biosd_feature_annotator_ray.stages.canonicalize import dedup_exact
+            from biosd_feature_annotator_ray.stages.util import as_task_fn
+
+            docs = rd.read_parquet(args.input)
+            enriched = (
+                docs.map_batches(textstats.quality_features, batch_format="pyarrow")
+                .map_batches(as_task_fn(textstats.LangIdStage), batch_format="pyarrow")
+                .map_batches(textstats.fingerprint, batch_format="pyarrow")
+            )
+            if args.min_quality is not None:
+                thr = args.min_quality
+                enriched = enriched.map_batches(
+                    lambda t, th=thr: t.filter(
+                        pc.greater_equal(t.column("quality_score"), th)),
+                    batch_format="pyarrow")
+            keep = dedup_exact(enriched, ["content_hash"], nb=args.num_parts,
+                               keep_order_col="doc_id")
+            man = write_dataset_partitioned(keep, args.output, key_col="doc_id",
+                                            num_parts=args.num_parts,
+                                            resume=not args.no_resume)
+            df = man.to_pandas()
+            print(json.dumps({
+                "partitions_written": int(len(df)),
+                "rows": int(df["rows"].sum()) if len(df) else 0,
+                "output": args.output,
+            }))
             return 0
 
         # run

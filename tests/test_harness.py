@@ -103,3 +103,33 @@ def test_cli_dedup(ray_session, tmp_path):
         capture_output=True, text=True, check=True, cwd="/root/repo")
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["rows"] >= 3  # the 3 identical docs form at least 3 pairs
+
+
+def test_cli_curate(ray_session, tmp_path):
+    """curate: quality+langid+fingerprint+dedup → resumable partitioned
+    parquet; second run is a resume no-op."""
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": range(30),
+        "text": ["the same duplicated body of text here"] * 4
+                + [f"document {i} body with the usual filler words" for i in range(26)],
+    })
+    p = str(tmp_path / "docs.parquet")
+    docs.to_parquet(p)
+    out_dir = str(tmp_path / "curated")
+    cmd = [sys.executable, "-m", "biosd_feature_annotator_ray", "curate",
+           "--input", p, "--output", out_dir, "--num-parts", "4", "--num-cpus", "2"]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["partitions_written"] == 4 and res["rows"] == 27  # 30 - 3 dup copies
+    got = duckdb.sql(f"SELECT count(*) n, count(DISTINCT content_hash) h "
+                     f"FROM '{out_dir}/data/*.parquet'").fetchone()
+    assert got == (27, 27)
+    out2 = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd="/root/repo")
+    assert json.loads(out2.stdout.strip().splitlines()[-1])["partitions_written"] == 0
