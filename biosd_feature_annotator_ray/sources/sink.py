@@ -584,6 +584,10 @@ def write_dataset_partitioned(
     a failed run resumes from its last completed partition; output is
     never one giant file.
 
+    Size ``num_parts`` to the DATA (rows/num_parts must fit one
+    worker's heap at compact time — same invariant as the flagship
+    finalize), never to cluster size.
+
     Returns the manifest table (part_id, rows, ok) of THIS run's work
     (resumed-over partitions are not re-listed)."""
     import pandas as pd

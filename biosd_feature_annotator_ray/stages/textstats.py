@@ -380,7 +380,21 @@ def top_ngrams(
         .groupby("ngram")
         .aggregate(Sum("cnt", alias_name="n"))
     )
-    top = agg.sort(["n", "ngram"], descending=[True, False]).limit(k).to_pandas()
+
+    # Exact top-k without a global sort: groupby output blocks hold
+    # disjoint key sets, so each block's local top-k then one driver
+    # merge of ≤ blocks×k rows is the true global top-k (a full sort
+    # would shuffle the entire vocabulary).
+    def local_topk(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        return pa.Table.from_pandas(
+            df.sort_values(["n", "ngram"], ascending=[False, True],
+                           kind="mergesort").head(k),
+            preserve_index=False)
+
+    top = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    top = top.sort_values(["n", "ngram"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
     top["n"] = top["n"].astype("int64")
     return pa.Table.from_pandas(top[["ngram", "n"]], preserve_index=False)
 

@@ -95,3 +95,60 @@ def test_hash_stability_across_processes():
     )
     out = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, check=True)
     assert eval(out.stdout.strip()) == here
+
+
+@given(
+    a=st.lists(st.integers(0, 60), max_size=120),
+    b=st.lists(st.integers(30, 90), max_size=120),
+)
+@settings(max_examples=12, deadline=None)
+def test_set_op_equals_python_sets(a, b):
+    import pandas as pd
+
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.canonicalize import set_op
+
+    da = rd.from_pandas(pd.DataFrame({"k": pd.Series(a, dtype="int64")}))
+    db = rd.from_pandas(pd.DataFrame({"k": pd.Series(b, dtype="int64")}))
+    sa, sb = set(a), set(b)
+    for op, want in [("union", sa | sb), ("intersect", sa & sb), ("except", sa - sb)]:
+        out = set_op(da, db, "k", op=op, nb=4).to_pandas()
+        got = set(out["k"].tolist()) if "k" in out.columns else set()
+        assert got == want, op
+
+
+@given(
+    sizes=st.lists(st.integers(1, 23), min_size=1, max_size=6),
+    n_tiles=st.integers(1, 5),
+)
+@settings(max_examples=12, deadline=None)
+def test_ntile_partition_properties(sizes, n_tiles):
+    """For every group: tiles are 1..min(n,k), contiguous, sizes differ
+    by ≤1, larger tiles come first (SQL NTILE invariants)."""
+    import numpy as np
+    import pandas as pd
+
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.windows import ntile_per_key
+
+    rows = []
+    eid = 0
+    for g, n in enumerate(sizes):
+        for i in range(n):
+            rows.append({"event_id": eid, "user_id": g,
+                         "ts": pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=eid)})
+            eid += 1
+    df = pd.DataFrame(rows)
+    out = ntile_per_key(rd.from_pandas(df), key_col="user_id",
+                        order_cols=["ts", "event_id"], n_tiles=n_tiles,
+                        nb=4).to_pandas()
+    for g, n in enumerate(sizes):
+        tiles = (out[out.user_id == g].sort_values("event_id")["tile"].to_numpy())
+        counts = np.bincount(tiles, minlength=n_tiles + 1)[1:]
+        used = counts[counts > 0]
+        assert tiles.min() == 1 and tiles.max() == min(n, n_tiles)
+        assert (np.diff(tiles) >= 0).all()          # contiguous runs in order
+        assert used.max() - used.min() <= 1          # balanced
+        assert (np.diff(counts[counts > 0]) <= 0).all()  # larger tiles first
