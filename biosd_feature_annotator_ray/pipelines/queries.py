@@ -832,6 +832,38 @@ def q_redact_props(sf_dir: str):
     )
 
 
+# Gopher-style curation FILTER (the oracle-able core of curate_documents):
+# keep docs passing repetition + length thresholds
+def q_gopher_filter(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        stats = textstats.repetition_stats(batch)
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(stats.column("n_tokens_r"), 10),
+                    pc.less_equal(stats.column("n_tokens_r"), 1000)),
+            pc.and_(pc.greater_equal(stats.column("distinct_ratio"), 0.3),
+                    pc.less_equal(stats.column("top_token_share"), 0.3)),
+        )
+        return stats.filter(keep).select(["doc_id"])
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", batch_size=65536)
+
+
+# Multi-key shuffle SEMI join: events against their (user,type)-latest
+# canonical rows — 3-column key co-location
+def q_semi_join_latest_events(sf_dir: str):
+    from ..stages.join import shuffle_hash_join
+
+    latest = groupby_argmax(
+        _events(sf_dir, ["user_id", "event_type", "event_id", "ts"]),
+        ["user_id", "event_type"], ["ts", "event_id"], [False, False], nb=16,
+    ).select_columns(["user_id", "event_type", "event_id"])
+    ev = _events(sf_dir, ["user_id", "event_type", "event_id"])
+    out = shuffle_hash_join(ev, latest, on=["user_id", "event_type", "event_id"],
+                            how="semi", nb=16)
+    return out.select_columns(["event_id"])
+
+
 # Per-source aggregation — the per-domain stats pattern of a web corpus
 def q_source_stats(sf_dir: str):
     def partial(batch: pa.Table) -> pa.Table:
@@ -1054,6 +1086,8 @@ QUERIES = {
     "cumsum_events": q_cumsum_events,
     "moving_avg_events": q_moving_avg_events,
     "repetition_stats": q_repetition_stats,
+    "gopher_filter": q_gopher_filter,
+    "semi_join_latest_events": q_semi_join_latest_events,
     "top_bigrams": q_top_bigrams,
     "setop_intersect": q_setop_intersect,
     "setop_except": q_setop_except,
@@ -1297,6 +1331,21 @@ ORACLES = {
         "  count(*) / CAST(sum(cnt) AS DOUBLE) AS distinct_ratio,"
         "  max(cnt) / CAST(sum(cnt) AS DOUBLE) AS top_token_share"
         " FROM c GROUP BY doc_id"
+    ),
+    "gopher_filter": (
+        "WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        " FROM documents),"
+        " c AS (SELECT doc_id, tok, count(*) AS cnt FROM t GROUP BY doc_id, tok),"
+        " r AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n,"
+        "  count(*) / CAST(sum(cnt) AS DOUBLE) AS dr,"
+        "  max(cnt) / CAST(sum(cnt) AS DOUBLE) AS tts FROM c GROUP BY doc_id)"
+        " SELECT doc_id FROM r WHERE n BETWEEN 10 AND 1000"
+        "  AND dr >= 0.3 AND tts <= 0.3"
+    ),
+    "semi_join_latest_events": (
+        "SELECT event_id FROM ("
+        " SELECT event_id, row_number() OVER (PARTITION BY user_id, event_type"
+        "  ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1"
     ),
     "top_bigrams": (
         "WITH t AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks,"
