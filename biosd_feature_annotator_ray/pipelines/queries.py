@@ -1029,6 +1029,19 @@ def q_multimodal_image(sf_dir: str):
     )
 
 
+def q_multimodal_video(sf_dir: str):
+    """REAL video frame sampling over the MPNG container (indexed PNG
+    frames): seek-table frame access, true dims/duration, per-frame
+    color histograms. Row-expanding actor-pool stage."""
+    from ..stages.multimodal import VideoFrameSampleStage, synth_media_table
+
+    media = rd.from_arrow(synth_media_table(128, kind="mpng"))
+    return media.map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"mode": "real"},
+        batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )
+
+
 def q_multimodal_audio(sf_dir: str):
     """REAL PCM16 WAV decode path: true durations + band-energy spectra."""
     from ..stages.multimodal import AudioFeaturizeStage, synth_media_table
@@ -1120,6 +1133,7 @@ QUERIES = {
     "sample_seeded": q_sample_seeded,
     "multimodal_image": q_multimodal_image,
     "multimodal_audio": q_multimodal_audio,
+    "multimodal_video": q_multimodal_video,
 }
 
 ORACLES = {

@@ -134,3 +134,66 @@ def test_png_roundtrip_property():
         np.testing.assert_array_equal(px, ref)
 
     roundtrip()
+
+
+def test_mpng_roundtrip_and_seek():
+    import numpy as np
+
+    from biosd_feature_annotator_ray.functions.codecs import (
+        is_mpng, mpng_encode, mpng_frame, mpng_index)
+
+    rng = np.random.default_rng(5)
+    frames = [rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8) for _ in range(5)]
+    blob = mpng_encode(frames, fps=12.0)
+    assert is_mpng(blob) and not is_mpng(b"nope")
+    n, fps, offs = mpng_index(blob)
+    assert n == 5 and fps == 12.0 and len(offs) == 6
+    for i, f in enumerate(frames):
+        w, h, px = mpng_frame(blob, i)
+        assert (w, h) == (9, 6)
+        assert np.array_equal(px, f)
+    import pytest
+
+    with pytest.raises(IndexError):
+        mpng_frame(blob, 5)
+
+
+def test_video_real_stage_samples_and_decodes(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.functions.codecs import (
+        mpng_frame, mpng_index, rgb_histogram_feature)
+    from biosd_feature_annotator_ray.stages.multimodal import (
+        VideoFrameSampleStage, synth_media_table)
+
+    media = synth_media_table(24, kind="mpng")
+    out = rd.from_arrow(media).map_batches(
+        VideoFrameSampleStage, fn_constructor_kwargs={"mode": "real",
+                                                      "frames_per_video": 3},
+        batch_size=8, batch_format="pyarrow", concurrency=(1, 2),
+    ).to_pandas()
+    blobs = dict(zip(media.column("media_id").to_pylist(),
+                     media.column("payload").to_pylist()))
+    for mid, grp in out.groupby("media_id"):
+        nf, fps, _ = mpng_index(blobs[mid])
+        assert len(grp) == min(3, nf)
+        assert grp["duration_s"].iloc[0] == nf / fps
+        # sampled frame features equal direct seek-decode of that frame
+        row = grp.iloc[0]
+        w, h, px = mpng_frame(blobs[mid], int(row["frame_idx"]))
+        assert (row["width"], row["height"]) == (w, h)
+        assert np.allclose(np.array(row["feature"]), rgb_histogram_feature(px))
+
+
+def test_video_real_rejects_unknown_container(ray_session):
+    import pytest
+
+    from biosd_feature_annotator_ray.stages.multimodal import VideoFrameSampleStage
+    import pyarrow as pa
+
+    stage = VideoFrameSampleStage(mode="real")
+    batch = pa.table({"media_id": pa.array([0], pa.int64()),
+                      "payload": pa.array([b"\x00\x00\x00\x18ftypmp42"], pa.binary())})
+    with pytest.raises(NotImplementedError):
+        stage(batch)
