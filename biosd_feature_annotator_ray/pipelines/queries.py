@@ -972,6 +972,23 @@ def q_knn_ivf(sf_dir: str):
     return out.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_knn_ivf_indexed(sf_dir: str):
+    """Persisted-IVF query path: build (or resume) the per-centroid
+    parquet index under /tmp, then read ONLY the probed cells."""
+    import os
+
+    from ..stages.similarity import build_ivf_index, knn_ivf_indexed
+
+    idx_dir = f"/tmp/graft_ivf_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                           override_num_blocks=8)
+    build_ivf_index(vecs, idx_dir, n_centroids=16)
+    queries = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
+                            filters=[("vec_id", "<", 5)])
+    out = knn_ivf_indexed(idx_dir, queries, k=10, nprobe=4)
+    return out.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_langid(sf_dir: str):
     return (
         _docs(sf_dir, ["doc_id", "text"])
@@ -1125,6 +1142,7 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "dup_clusters": q_dup_clusters,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_indexed": q_knn_ivf_indexed,
     "langid": q_langid,
     "quality": q_quality,
     "fingerprint": q_fingerprint,

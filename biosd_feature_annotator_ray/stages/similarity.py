@@ -245,3 +245,140 @@ def knn_ivf(
                                 concurrency=concurrency)
     cands = assigned.groupby("__cell").map_groups(score_cell, batch_format="pyarrow")
     return _global_topk(cands, k, driver_finish=driver_finish)
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF index: the 100-TB ANN shape. Build once → per-centroid
+# parquet cell directories + a centroid codebook; queries then read
+# ONLY the probed cells from storage (file-level pruning — unprobed
+# partitions never leave disk) and score with zero shuffle.
+def build_ivf_index(
+    vecs: "ray.data.Dataset",
+    out_dir: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+    seed: int = 42,
+) -> np.ndarray:
+    """Assign every vector to its nearest centroid and write
+    ``out_dir/cells/cent=N/frag-*.parquet`` (atomic, content-named —
+    retry-idempotent) plus ``centroids.parquet``. A ``_DONE`` marker
+    makes rebuilds a no-op (resume contract). Returns the codebook."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        t = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+        return np.stack(t.column("centroid").to_pandas().to_numpy())
+
+    C = build_centroids(vecs, n_centroids, vec_col, seed=seed)
+    cref = ray.put(C)
+
+    class Assign:
+        def __init__(self):
+            self.C = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            V = _normalize(_stack(batch.column(vec_col)))
+            cent = (V @ self.C.T).argmax(axis=1).astype(np.int32)
+            tagged = batch.append_column("cent", pa.array(cent))
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            for c in np.unique(cent):
+                sub = tagged.filter(pa.array(cent == c))
+                cdir = os.path.join(out_dir, "cells", f"cent={int(c)}")
+                os.makedirs(cdir, exist_ok=True)
+                with np.errstate(over="ignore"):
+                    digest = int(np.uint64(np.sum(ids[cent == c].astype(np.uint64)))
+                                 + np.uint64(len(sub)))
+                tmp = os.path.join(cdir, f".tmp-{digest:016x}")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(cdir, f"frag-{digest:016x}.parquet"))
+            u, n = np.unique(cent, return_counts=True)
+            return pa.table({"cent": pa.array(u), "rows": pa.array(n.astype(np.int64))})
+
+    vecs.map_batches(Assign, batch_format="pyarrow", concurrency=concurrency).materialize()
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"centroid_id": pa.array(np.arange(len(C), dtype=np.int64)),
+                  "centroid": pa.array(list(C))}),
+        os.path.join(out_dir, "centroids.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return C
+
+
+def knn_ivf_indexed(
+    index_dir: str,
+    queries: pa.Table,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+    driver_finish: bool = True,
+) -> "ray.data.Dataset":
+    """Query a persisted IVF index: probe the ``nprobe`` nearest
+    centroids per query and ``read_parquet`` ONLY those cell
+    directories — unprobed cells are pruned at the STORAGE level, and
+    scoring is a shuffle-free map (each batch's rows group by their
+    stored ``cent`` and score against just the probing queries)."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    C = np.stack(t.column("centroid").to_pandas().to_numpy())
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _normalize(_stack(queries.column(vec_col)))
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    q_of_cent = [np.flatnonzero((probe == c).any(axis=1)) for c in range(len(C))]
+    probed = sorted(int(c) for c in np.unique(probe))
+    qref = ray.put((qids, Q, q_of_cent))
+
+    dirs = [os.path.join(index_dir, "cells", f"cent={c}") for c in probed]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return rd.from_arrow(pa.table({"query_id": pa.array([], pa.int64()),
+                                       "vec_id": pa.array([], pa.int64()),
+                                       "sim": pa.array([], pa.float64()),
+                                       "rank": pa.array([], pa.int64())}))
+
+    class Score:
+        def __init__(self):
+            self.qids, self.Q, self.q_of_cent = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cent = batch.column("cent").to_numpy(zero_copy_only=False)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            V = _normalize(_stack(batch.column(vec_col)))
+            outs = []
+            for c in np.unique(cent):
+                qi = self.q_of_cent[int(c)]
+                if not len(qi):
+                    continue
+                m = cent == c
+                S = self.Q[qi] @ V[m].T
+                S[self.qids[qi][:, None] == ids[m][None, :]] = -np.inf
+                kk = min(k, S.shape[1])
+                idx = np.argpartition(-S, kth=kk - 1, axis=1)[:, :kk]
+                sim = np.take_along_axis(S, idx, axis=1).reshape(-1)
+                keep = np.isfinite(sim)
+                outs.append(pa.table({
+                    "query_id": pa.array(np.repeat(self.qids[qi], kk)[keep]),
+                    "vec_id": pa.array(ids[m][idx.reshape(-1)][keep].astype(np.int64)),
+                    "sim": pa.array(sim[keep], pa.float64()),
+                }))
+            if not outs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    cands = rd.read_parquet(files).map_batches(Score, batch_format="pyarrow",
+                                               concurrency=concurrency)
+    return _global_topk(cands, k, driver_finish=driver_finish)

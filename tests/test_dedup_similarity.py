@@ -185,3 +185,44 @@ def test_dup_clusters_connected_components(ray_session):
     assert got[10] == got[11] == 10
     assert got[20] == got[21] == got[22] == 20
     assert len(got) == 10
+
+
+def test_ivf_persisted_index_matches_inline_ivf(ray_session, tmp_path):
+    """build_ivf_index + knn_ivf_indexed: same codebook/probe math as
+    inline knn_ivf → identical top-k; only probed cell dirs are read."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.similarity import (
+        build_ivf_index, knn_ivf, knn_ivf_indexed)
+
+    sf = "/root/testdata/sf0.01"
+    vecs = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"],
+                           override_num_blocks=4)
+    queries = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"],
+                            filters=[("vec_id", "<", 5)])
+    idx_dir = str(tmp_path / "ivf")
+    C = build_ivf_index(vecs, idx_dir, n_centroids=16)
+    assert C.shape[0] == 16 and os.path.exists(os.path.join(idx_dir, "_DONE"))
+
+    got = knn_ivf_indexed(idx_dir, queries, k=10, nprobe=4).to_pandas()
+    want = knn_ivf(vecs, queries, k=10, nprobe=4, n_centroids=16).to_pandas()
+    cols = ["query_id", "vec_id", "rank"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True)
+    assert g.equals(w)
+
+    # storage-level pruning: the probed set is a strict subset of cells
+    all_cells = len(os.listdir(os.path.join(idx_dir, "cells")))
+    probed = len({tuple(r) for r in np.argsort(
+        -(np.stack(queries.column("embedding").to_pandas().to_numpy()) @ C.T),
+        axis=1)[:, :4].reshape(-1, 1)})
+    assert probed < all_cells
+
+    # rebuild is a no-op (resume contract): same codebook returned
+    C2 = build_ivf_index(vecs, idx_dir, n_centroids=16)
+    assert np.allclose(C, C2)
