@@ -62,6 +62,21 @@ def main(argv: list[str] | None = None) -> int:
     pdp.add_argument("--output", default=None, help="write pairs parquet here (else print count)")
     pdp.add_argument("--num-cpus", type=int, default=8)
 
+    pix = sub.add_parser("index", help="build a persisted IVF ANN index from an "
+                         "embeddings parquet")
+    pix.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
+    pix.add_argument("--output", required=True, help="index directory")
+    pix.add_argument("--centroids", type=int, default=64)
+    pix.add_argument("--num-cpus", type=int, default=8)
+
+    pse = sub.add_parser("search", help="top-k cosine search against a persisted IVF index")
+    pse.add_argument("--index", required=True)
+    pse.add_argument("--queries", required=True, help="parquet with (vec_id, embedding)")
+    pse.add_argument("--k", type=int, default=10)
+    pse.add_argument("--nprobe", type=int, default=8)
+    pse.add_argument("--output", default=None, help="write results parquet here (else print)")
+    pse.add_argument("--num-cpus", type=int, default=8)
+
     pcu = sub.add_parser(
         "curate", help="training-data curation pass (quality + lang-ID + fingerprint "
         "+ exact dedup) → resumable partitioned parquet")
@@ -126,6 +141,32 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"rows": pairs.count(), "output": args.output}))
             else:
                 print(json.dumps({"rows": pairs.count()}))
+            return 0
+
+        if args.cmd == "index":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.similarity import build_ivf_index
+
+            C = build_ivf_index(rd.read_parquet(args.input), args.output,
+                                n_centroids=args.centroids)
+            print(json.dumps({"centroids": int(C.shape[0]), "dim": int(C.shape[1]),
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "search":
+            import pyarrow.parquet as pq
+
+            from biosd_feature_annotator_ray.stages.similarity import knn_ivf_indexed
+
+            queries = pq.read_table(args.queries)
+            out = knn_ivf_indexed(args.index, queries, k=args.k, nprobe=args.nprobe)
+            if args.output:
+                out.write_parquet(args.output)
+                print(json.dumps({"rows": out.count(), "output": args.output}))
+            else:
+                df = out.to_pandas()
+                print(df.to_json(orient="records"))
             return 0
 
         if args.cmd == "curate":

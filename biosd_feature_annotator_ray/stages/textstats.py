@@ -393,6 +393,9 @@ def top_ngrams(
             preserve_index=False)
 
     top = agg.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if "n" not in top.columns:  # fully empty input → schema-less empty
+        return pa.table({"ngram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
     top = top.sort_values(["n", "ngram"], ascending=[False, True],
                           kind="mergesort").head(k).reset_index(drop=True)
     top["n"] = top["n"].astype("int64")

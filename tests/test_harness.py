@@ -133,3 +133,26 @@ def test_cli_curate(ray_session, tmp_path):
     assert got == (27, 27)
     out2 = subprocess.run(cmd, capture_output=True, text=True, check=True, cwd="/root/repo")
     assert json.loads(out2.stdout.strip().splitlines()[-1])["partitions_written"] == 0
+
+
+def test_cli_index_search(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    cmd0 = [sys.executable, "-m", "biosd_feature_annotator_ray"]
+    idx = str(tmp_path / "ivf")
+    out = subprocess.run(
+        cmd0 + ["index", "--input", "/root/testdata/sf0.001/embeddings.parquet",
+                "--output", idx, "--centroids", "8", "--num-cpus", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["centroids"] == 8
+    out = subprocess.run(
+        cmd0 + ["search", "--index", idx,
+                "--queries", "/root/testdata/sf0.001/embeddings.parquet",
+                "--k", "3", "--nprobe", "2", "--num-cpus", "2",
+                "--output", str(tmp_path / "res")],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["rows"] > 0

@@ -355,3 +355,34 @@ def test_asof_join_directions(ray_session, direction):
     g = got.sort_values("event_id").reset_index(drop=True)[["event_id", "tag"]]
     w = want.sort_values("event_id").reset_index(drop=True)[["event_id", "tag"]]
     pd.testing.assert_frame_equal(g, w, check_dtype=False)
+
+
+def test_new_ops_handle_empty_input(ray_session):
+    """Empty datasets flow through the round-2 operators without
+    crashing (schema-less empty results are acceptable)."""
+    from biosd_feature_annotator_ray.stages.canonicalize import melt, set_op
+    from biosd_feature_annotator_ray.stages.sketches import fixed_width_histogram
+    from biosd_feature_annotator_ray.stages.textstats import top_ngrams
+    from biosd_feature_annotator_ray.stages.windows import (
+        cumsum_per_key, dense_rank_per_key, ntile_per_key, percent_rank_per_key,
+        rolling_mean_per_key)
+
+    ev = rd.from_pandas(pd.DataFrame({
+        "event_id": pd.Series([], dtype="int64"),
+        "user_id": pd.Series([], dtype="int64"),
+        "ts": pd.Series([], dtype="datetime64[us]"),
+        "value": pd.Series([], dtype="float64"),
+    }))
+    docs = rd.from_pandas(pd.DataFrame({"text": pd.Series([], dtype="object")}))
+    assert len(cumsum_per_key(ev, nb=2).to_pandas()) == 0
+    assert len(rolling_mean_per_key(ev, nb=2).to_pandas()) == 0
+    assert len(dense_rank_per_key(ev, nb=2).to_pandas()) == 0
+    assert len(ntile_per_key(ev, nb=2).to_pandas()) == 0
+    assert len(percent_rank_per_key(ev, nb=2).to_pandas()) == 0
+    assert len(fixed_width_histogram(ev, "value").to_pandas()) == 0
+    assert len(top_ngrams(docs, n=2, k=5, nb=2).to_pandas()) == 0
+    assert len(set_op(ev.select_columns(["event_id"]),
+                      ev.select_columns(["event_id"]), "event_id").to_pandas()) == 0
+    wide = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"),
+                                        "a": pd.Series([], dtype="float64")}))
+    assert len(melt(wide, "k", ["a"]).to_pandas()) == 0
