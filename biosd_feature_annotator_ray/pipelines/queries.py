@@ -531,6 +531,61 @@ def q_quantiles(sf_dir: str):
                      "p90": pa.array([round(qs[0.9], 2)], pa.float64())})
 
 
+# Distributed variance via sufficient statistics (n, Σx, Σx²): the
+# classic decomposable-aggregate pattern — only 3 numbers per
+# (group, batch) cross the shuffle
+def q_stddev_by_type(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["sq"] = df["value"] * df["value"]
+        g = df.groupby("event_type", as_index=False).agg(
+            n=("value", "size"), s=("value", "sum"), sq=("sq", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        _events(sf_dir, ["event_type", "value"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("sq", alias_name="sq"))
+    )
+    df = agg.to_pandas()
+    mean = df["s"] / df["n"]
+    var = df["sq"] / df["n"] - mean * mean
+    out = pd.DataFrame({
+        "event_type": df["event_type"],
+        "avg_value": mean.round(2),
+        "sd_value": np.sqrt(np.maximum(var, 0)).round(2),
+    })
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# Distributed Pearson correlation, same sufficient-statistics shape
+def q_corr_price_qty(sf_dir: str):
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        y = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "n": pa.array([float(len(x))]), "sx": pa.array([x.sum()]),
+            "sy": pa.array([y.sum()]), "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]), "sxy": pa.array([(x * y).sum()]),
+        })
+
+    cols = ["n", "sx", "sy", "sxx", "syy", "sxy"]
+    agg = (
+        rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                        columns=["l_extendedprice", "l_quantity"])
+        .map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .aggregate(*[Sum(c, alias_name=c) for c in cols])
+    )
+    n, sx, sy, sxx, syy, sxy = (agg[f"{c}"] for c in cols)
+    cov = sxy / n - (sx / n) * (sy / n)
+    vx = sxx / n - (sx / n) ** 2
+    vy = syy / n - (sy / n) ** 2
+    r = cov / np.sqrt(vx * vy)
+    return pa.table({"r": pa.array([round(float(r), 6)], pa.float64())})
+
+
 # interpolated quantiles (SQL percentile_cont semantics)
 def q_quantiles_cont(sf_dir: str):
     from ..stages.sketches import exact_quantile_cont
@@ -1106,6 +1161,8 @@ QUERIES = {
     "lag_events": q_lag_events,
     "quantiles": q_quantiles,
     "quantiles_cont": q_quantiles_cont,
+    "stddev_by_type": q_stddev_by_type,
+    "corr_price_qty": q_corr_price_qty,
     "interval_join_sessions": q_interval_join_sessions,
     "range_partition_orders": q_range_partition_orders,
     "grouped_quantile": q_grouped_quantile,
@@ -1304,6 +1361,13 @@ ORACLES = {
     "quantiles": (
         "SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,"
         " round(quantile_disc(o_totalprice, 0.9), 2) AS p90 FROM orders"
+    ),
+    "stddev_by_type": (
+        "SELECT event_type, round(avg(value), 2) AS avg_value,"
+        " round(stddev_pop(value), 2) AS sd_value FROM events GROUP BY event_type"
+    ),
+    "corr_price_qty": (
+        "SELECT round(corr(l_extendedprice, l_quantity), 6) AS r FROM lineitem"
     ),
     "quantiles_cont": (
         "SELECT round(quantile_cont(o_totalprice, 0.5), 2) AS p50,"
