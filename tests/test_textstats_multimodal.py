@@ -91,10 +91,12 @@ def test_image_decode_stub_plumbing():
 
 
 def test_real_mode_raises():
-    # image/audio real decode is now IMPLEMENTED (pure-python PNG/WAV —
-    # tests/test_codecs.py); only video remains a stub
+    # image/audio/video real decode is IMPLEMENTED (pure-python
+    # PNG/WAV/MPNG — tests/test_codecs.py); real modes REJECT payloads
+    # in formats that would need codec libraries instead of faking them
     with pytest.raises(NotImplementedError):
-        multimodal.VideoFrameSampleStage(mode="real")
+        # noise payloads are not MPNG → the real video path refuses
+        multimodal.VideoFrameSampleStage(mode="real")(multimodal.synth_media_table(2))
     with pytest.raises(ValueError):
         # real image mode rejects a non-PNG payload instead of faking it
         multimodal.ImageDecodeStage(mode="real")(multimodal.synth_media_table(2))
