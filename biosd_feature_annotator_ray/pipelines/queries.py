@@ -858,6 +858,65 @@ def q_explode_embeddings(sf_dir: str):
     ).map_batches(f, batch_format="pyarrow")
 
 
+# UNION ALL (bag semantics — Dataset.union, no dedup shuffle)
+def q_union_all_ids(sf_dir: str):
+    docs = _docs(sf_dir, ["doc_id"])
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"]).map_batches(
+        lambda t: t.rename_columns(["doc_id"]), batch_format="pyarrow")
+    return docs.union(vecs)
+
+
+# LIKE-style substring filter (Arrow match_substring kernel)
+def q_like_filter(sf_dir: str):
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.match_substring(batch.column("text"), "customer"))
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow").select_columns(["doc_id"])
+
+
+# ROLLUP (nation, year): the coarser grouping sets are DERIVED from the
+# finest aggregate (sums of sums) — the finest result is dimension-
+# sized, so no extra pass over the fact table
+def q_rollup_revenue(sf_dir: str):
+    from ..stages.join import broadcast_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+                         ).rename_columns(["o_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+    ref = ray.put(nk2name)
+    joined = broadcast_join(orders, cust, on=["o_custkey"], how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        df = batch.to_pandas()
+        df["nation"] = df["c_nationkey"].map(lut)
+        df["year"] = df["o_orderdate"].dt.year.astype("int64")
+        g = df.groupby(["nation", "year"], as_index=False).agg(
+            revenue=("o_totalprice", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["nation", "year"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    ).to_pandas()
+    lvl1 = finest.groupby("nation", as_index=False)["revenue"].sum()
+    lvl1["year"] = np.nan
+    total = pd.DataFrame({"nation": [None], "year": [np.nan],
+                          "revenue": [finest["revenue"].sum()]})
+    out = pd.concat([finest, lvl1, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    # rolled-up year is NULL; match the oracle's pandas representation
+    # (float64 + NaN — a nullable-Int64 column hashes differently)
+    out["year"] = out["year"].astype("float64")
+    return pa.Table.from_pandas(out[["nation", "year", "revenue"]], preserve_index=False)
+
+
 # Cross join (Cartesian): small dimension × small dimension
 def q_region_nation_cross(sf_dir: str):
     from ..stages.join import broadcast_join
@@ -1184,6 +1243,9 @@ QUERIES = {
     "supplier_nation": q_supplier_nation,
     "explode_embeddings": q_explode_embeddings,
     "region_nation_cross": q_region_nation_cross,
+    "union_all_ids": q_union_all_ids,
+    "like_filter": q_like_filter,
+    "rollup_revenue": q_rollup_revenue,
     "percent_rank_events": q_percent_rank_events,
     "redact_props": q_redact_props,
     "string_agg_events": q_string_agg_events,
@@ -1473,6 +1535,19 @@ ORACLES = {
     ),
     "region_nation_cross": (
         "SELECT r_name, n_name FROM region CROSS JOIN nation"
+    ),
+    "union_all_ids": (
+        "SELECT doc_id FROM documents UNION ALL SELECT vec_id AS doc_id FROM embeddings"
+    ),
+    "like_filter": (
+        "SELECT doc_id FROM documents WHERE text LIKE '%customer%'"
+    ),
+    "rollup_revenue": (
+        "SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS year,"
+        " round(sum(o.o_totalprice), 2) AS revenue"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+        " GROUP BY ROLLUP(n.n_name, year(o.o_orderdate))"
     ),
     "percent_rank_events": (
         "SELECT event_id, percent_rank() OVER (PARTITION BY user_id"
