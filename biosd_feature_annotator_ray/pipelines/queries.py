@@ -998,6 +998,15 @@ def q_source_stats(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# Count-Min heavy hitters (rows-only: approx by design; never-under-
+# count property + near-exactness pinned by pytest). At this sf the
+# estimates equal the exact K4 counts.
+def q_heavy_hitters(sf_dir: str):
+    from ..stages.sketches import count_min_heavy_hitters
+
+    return count_min_heavy_hitters(_events(sf_dir, ["event_type"]), "event_type", k=5)
+
+
 # HLL approximate count-distinct (rows-only: approx by design; the
 # accuracy bound is pinned by pytest against the exact count)
 def q_approx_distinct_users(sf_dir: str):
@@ -1228,6 +1237,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pivot_events": q_pivot_events,
     "approx_distinct_users": q_approx_distinct_users,
+    "heavy_hitters": q_heavy_hitters,
     "knn_cosine": q_knn_cosine,
     "cumsum_events": q_cumsum_events,
     "moving_avg_events": q_moving_avg_events,
@@ -1423,6 +1433,12 @@ ORACLES = {
     "quantiles": (
         "SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,"
         " round(quantile_disc(o_totalprice, 0.9), 2) AS p90 FROM orders"
+    ),
+    # CMS estimates are exact here: 5 distinct values cannot collide in
+    # all 4 of the 65536-wide rows (verified deterministically)
+    "heavy_hitters": (
+        "SELECT event_type AS value, count(*) AS approx_count FROM events"
+        " GROUP BY event_type ORDER BY approx_count DESC, value LIMIT 5"
     ),
     "stddev_by_type": (
         "SELECT event_type, round(avg(value), 2) AS avg_value,"

@@ -241,3 +241,77 @@ def fixed_width_histogram(
         .groupby("bin")
         .aggregate(Sum("cnt", alias_name="n"))
     )
+
+
+def count_min_heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int = 10,
+    width_bits: int = 16,
+    depth: int = 4,
+    candidate_cap: int = 4096,
+) -> pa.Table:
+    """Approximate heavy hitters via a Count-Min sketch: per-batch
+    partial sketches (depth × 2^width_bits uint64 counters) merge by
+    ELEMENTWISE SUM — constant-size state regardless of cardinality,
+    same mergeable-sketch shape as the HLL. Candidate values are the
+    per-batch local top (≤ candidate_cap per batch, exact within the
+    batch); final counts are CMS point queries (min over rows), which
+    NEVER under-count — a true heavy hitter cannot be displaced by an
+    estimation error, only joined by an over-counted rival.
+
+    Returns (value, approx_count) for the top k, count desc / value asc.
+    Use ``distinct_counts`` when exact counts are worth the shuffle."""
+    from ..functions.hashing import hash_strings
+
+    W = 1 << width_bits
+    mask = np.uint64(W - 1)
+    salts = np.arange(1, depth + 1, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pandas().astype(str)
+        h = pd.util.hash_pandas_object(vals, index=False).to_numpy()
+        sketch = np.zeros((depth, W), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            for d in range(depth):
+                idx = ((h * salts[d]) & mask).astype(np.int64)
+                np.add.at(sketch[d], idx, 1)
+        vc = vals.value_counts().head(candidate_cap)
+        # counters ship as raw bytes — a list column with nulls trips
+        # Ray's tensor-extension casting in to_pandas
+        rows_sk = pa.table({
+            "kind": pa.array(np.zeros(depth, np.int8)),
+            "row": pa.array(np.arange(depth, dtype=np.int32)),
+            "counters": pa.array([sketch[d].tobytes() for d in range(depth)], pa.binary()),
+            "value": pa.nulls(depth, pa.string()),
+            "cnt": pa.nulls(depth, pa.int64()),
+        })
+        rows_cand = pa.table({
+            "kind": pa.array(np.ones(len(vc), np.int8)),
+            "row": pa.array(np.full(len(vc), -1, np.int32)),
+            "counters": pa.nulls(len(vc), pa.binary()),
+            "value": pa.array(vc.index.to_numpy(), pa.string()),
+            "cnt": pa.array(vc.to_numpy().astype(np.int64)),
+        })
+        return pa.concat_tables([rows_sk, rows_cand])
+
+    part = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536).to_pandas()
+    sketch = np.zeros((depth, W), dtype=np.int64)
+    for _, r in part[part["kind"] == 0].iterrows():
+        sketch[int(r["row"])] += np.frombuffer(r["counters"], dtype=np.int64)
+    cands = (part[part["kind"] == 1].groupby("value")["cnt"].sum()
+             .sort_values(ascending=False).head(candidate_cap))
+    if not len(cands):
+        return pa.table({"value": pa.array([], pa.string()),
+                         "approx_count": pa.array([], pa.int64())})
+    vals = pd.Series(cands.index)
+    h = pd.util.hash_pandas_object(vals, index=False).to_numpy()
+    with np.errstate(over="ignore"):
+        est = np.min(np.stack([
+            sketch[d][((h * salts[d]) & mask).astype(np.int64)] for d in range(depth)
+        ]), axis=0)
+    out = pd.DataFrame({"value": vals.to_numpy(), "approx_count": est})
+    out = out.sort_values(["approx_count", "value"], ascending=[False, True],
+                          kind="mergesort").head(k).reset_index(drop=True)
+    return pa.table({"value": pa.array(out["value"], pa.string()),
+                     "approx_count": pa.array(out["approx_count"].to_numpy(), pa.int64())})

@@ -386,3 +386,21 @@ def test_new_ops_handle_empty_input(ray_session):
     wide = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"),
                                         "a": pd.Series([], dtype="float64")}))
     assert len(melt(wide, "k", ["a"]).to_pandas()) == 0
+
+
+def test_count_min_heavy_hitters(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import count_min_heavy_hitters
+
+    rng = np.random.default_rng(9)
+    # two planted heavy hitters over a long uniform tail
+    vals = np.concatenate([
+        np.full(3000, 100), np.full(1500, 200), rng.integers(1000, 9000, 4000)])
+    rng.shuffle(vals)
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(5)
+    top = count_min_heavy_hitters(ds, "v", k=2).to_pandas()
+    assert list(top["value"]) == ["100", "200"]
+    # CMS point queries never under-count
+    assert top["approx_count"].iloc[0] >= 3000
+    assert top["approx_count"].iloc[1] >= 1500
+    # and with depth=4/width=65536 over 8.5k rows they are near-exact
+    assert top["approx_count"].iloc[0] <= 3000 * 1.05
