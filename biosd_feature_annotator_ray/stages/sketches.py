@@ -315,3 +315,29 @@ def count_min_heavy_hitters(
                           kind="mergesort").head(k).reset_index(drop=True)
     return pa.table({"value": pa.array(out["value"], pa.string()),
                      "approx_count": pa.array(out["approx_count"].to_numpy(), pa.int64())})
+
+
+def recommend_hot_keys(
+    ds: "ray.data.Dataset",
+    col: str,
+    sample_rows: int = 65536,
+    hot_share: float = 0.05,
+    k: int = 16,
+) -> list:
+    """Skew probe for the salted join: CMS heavy hitters over a bounded
+    sample (streaming ``limit`` — no shuffle, constant sketch state),
+    returning the ORIGINAL key values whose sampled share exceeds
+    ``hot_share``. Feed the result to
+    ``shuffle_hash_join(hot_keys=..., salt=...)`` — the sketch-driven
+    analog of ``canonicalize.recommend_salt``."""
+    sample = ds.limit(sample_rows).materialize()
+    n = sample.count()
+    if n == 0:
+        return []
+    top = count_min_heavy_hitters(sample, col, k=k).to_pandas()
+    hot_strs = set(top.loc[top["approx_count"] >= hot_share * n, "value"])
+    if not hot_strs:
+        return []
+    # map back from the sketch's string domain to original values
+    vals = pd.Series(sample.select_columns([col]).to_pandas()[col].unique())
+    return vals[vals.astype(str).isin(hot_strs)].tolist()

@@ -404,3 +404,33 @@ def test_count_min_heavy_hitters(ray_session):
     assert top["approx_count"].iloc[1] >= 1500
     # and with depth=4/width=65536 over 8.5k rows they are near-exact
     assert top["approx_count"].iloc[0] <= 3000 * 1.05
+
+
+def test_recommend_hot_keys_feeds_salted_join(ray_session):
+    from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+    from biosd_feature_annotator_ray.stages.sketches import recommend_hot_keys
+
+    rng = np.random.default_rng(13)
+    lk = np.where(rng.random(4000) < 0.5, 7, rng.integers(0, 500, 4000))
+    left = pd.DataFrame({"k": lk, "a": np.arange(4000)})
+    right = pd.DataFrame({"k": np.arange(0, 500), "b": np.arange(500) * 2})
+    lds = rd.from_pandas(left).repartition(4)
+
+    hot = recommend_hot_keys(lds, "k", hot_share=0.1)
+    assert hot == [7]
+
+    plain = shuffle_hash_join(lds, rd.from_pandas(right), on=["k"], how="inner",
+                              nb=16).to_pandas()
+    salted = shuffle_hash_join(lds, rd.from_pandas(right), on=["k"], how="inner",
+                               nb=16, hot_keys=hot, salt=4).to_pandas()
+    cols = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
+        salted[cols].sort_values(cols, kind="mergesort").reset_index(drop=True))
+
+
+def test_recommend_hot_keys_uniform_returns_empty(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import recommend_hot_keys
+
+    df = pd.DataFrame({"k": np.arange(5000) % 400})
+    assert recommend_hot_keys(rd.from_pandas(df), "k", hot_share=0.05) == []
