@@ -1098,11 +1098,9 @@ def q_knn_ivf(sf_dir: str):
 def q_knn_ivf_indexed(sf_dir: str):
     """Persisted-IVF query path: build (or resume) the per-centroid
     parquet index under /tmp, then read ONLY the probed cells."""
-    import os
+    from ..stages.similarity import build_ivf_index, index_dir_for, knn_ivf_indexed
 
-    from ..stages.similarity import build_ivf_index, knn_ivf_indexed
-
-    idx_dir = f"/tmp/graft_ivf_idx_{os.path.basename(os.path.normpath(sf_dir))}"
+    idx_dir = index_dir_for(f"{sf_dir}/embeddings.parquet")
     vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"],
                            override_num_blocks=8)
     build_ivf_index(vecs, idx_dir, n_centroids=16)

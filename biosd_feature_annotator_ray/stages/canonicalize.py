@@ -203,15 +203,20 @@ def set_op(
         df = group.select([col, "_tag"]).to_pandas()
         # tags ∈ {1, 2}: per-value min/max recovers the presence bits
         # without a per-group Python OR (vectorized pandas agg).
-        mm = df.groupby(col, sort=False)["_tag"].agg(["min", "max"])
+        # dropna=False: SQL set ops treat NULLs as equal and KEEP them
+        # (pandas groupby silently drops null group keys by default).
+        mm = df.groupby(col, sort=False, dropna=False)["_tag"].agg(["min", "max"])
         if op == "union":
             keep = mm.index
         elif op == "intersect":
             keep = mm.index[(mm["min"].to_numpy() == 1) & (mm["max"].to_numpy() == 2)]
         else:
             keep = mm.index[mm["max"].to_numpy() == 1]
-        return pa.table({col: pa.array(keep.to_numpy(),
-                                       type=group.schema.field(col).type)})
+        # from_pandas=True maps pandas NA/NaN group keys to Arrow null
+        # (a raw to_numpy() of a nullable index floats NA into NaN and
+        # breaks the int cast)
+        return pa.table({col: pa.Array.from_pandas(
+            pd.Series(keep), type=group.schema.field(col).type)})
 
     return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
 

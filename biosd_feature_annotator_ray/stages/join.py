@@ -34,6 +34,22 @@ _SIDE = "__side"
 _GOLDEN = 0x9E3779B97F4A7C15
 
 
+def _mix64(x):
+    """murmur3 finalizer — decorrelates (hash + sub·GOLDEN) from nb so
+    sub-bucket spreading survives any nb (additive offsets alone
+    collapse when gcd(GOLDEN, nb) > 1, e.g. nb multiples of 5)."""
+    import numpy as np
+
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xFF51AFD7ED558CCD)
+        x ^= x >> np.uint64(33)
+        x *= np.uint64(0xC4CEB9FE1A85EC53)
+        x ^= x >> np.uint64(33)
+    return x
+
+
 def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
     """Arrow schema of a Dataset. Parquet-backed datasets answer from
     metadata; pandas-backed ones (tests, from_pandas) report a
@@ -124,21 +140,33 @@ def shuffle_hash_join(
 
             h = hash_columns(t, on)
             hotmask = np.isin(h, hot)
+
+            def bucket_of(hh, sub):
+                with np.errstate(over="ignore"):
+                    return (_mix64(hh + sub * np.uint64(_GOLDEN))
+                            % np.uint64(nb)).astype(np.int32)
+
             if side == 0:
                 sub = np.where(hotmask,
                                np.arange(len(t), dtype=np.uint64) % np.uint64(salt),
                                np.uint64(0))
-                b = ((h + sub * np.uint64(_GOLDEN)) % np.uint64(nb)).astype(np.int32)
-                return t.append_column(_B, pa.array(b))
+                return t.append_column(_B, pa.array(bucket_of(h, sub)))
+            # build side: one copy per DISTINCT bucket a hot key's subs
+            # map to — two subs sharing a bucket must not yield two
+            # copies (every probe row there would match twice)
             idx_cold = np.flatnonzero(~hotmask)
             idx_hot = np.flatnonzero(hotmask)
-            take = np.concatenate([idx_cold, np.repeat(idx_hot, salt)])
-            sub = np.concatenate([
-                np.zeros(len(idx_cold), np.uint64),
-                np.tile(np.arange(salt, dtype=np.uint64), len(idx_hot)),
-            ])
+            b_cold = bucket_of(h[idx_cold], np.uint64(0))
+            subs = np.arange(salt, dtype=np.uint64)
+            bmat = np.stack([bucket_of(h[idx_hot], s) for s in subs], axis=1)                 if len(idx_hot) else np.empty((0, salt), np.int32)
+            pairs = np.unique(
+                idx_hot.astype(np.int64)[:, None] * np.int64(nb)
+                + bmat.astype(np.int64))
+            hot_rows = (pairs // nb).astype(np.int64)
+            hot_b = (pairs % nb).astype(np.int32)
+            take = np.concatenate([idx_cold, hot_rows])
+            b = np.concatenate([b_cold, hot_b])
             t2 = t.take(pa.array(take))
-            b = ((h[take] + sub * np.uint64(_GOLDEN)) % np.uint64(nb)).astype(np.int32)
             return t2.append_column(_B, pa.array(b))
 
         return f
@@ -317,33 +345,50 @@ def broadcast_join(
     fact-sized sides use ``shuffle_hash_join``.
 
     ``how``: inner | left | semi | anti (SQL null semantics — null
-    keys never match) | cross (Cartesian product; ``on`` ignored)."""
+    keys never match on EITHER side) | cross (Cartesian product;
+    ``on`` ignored). Overlapping non-key right columns get an ``_r``
+    suffix (left columns keep their names).
+
+    The small side is converted/deduped ONCE and cached per worker
+    process — per-batch work is just the merge."""
     import ray as _ray
 
     if how not in ("inner", "left", "semi", "anti", "cross"):
         raise ValueError(f"unsupported how: {how}")
-    ref = _ray.put(small)
+    sdf = small.to_pandas()
+    if how in ("semi", "anti"):
+        # null keys never match: drop them from the probe set so a
+        # null-key right row cannot pair with a null-key left row
+        # (pandas merge matches NaN == NaN, unlike SQL)
+        sdf = sdf[on].dropna().drop_duplicates()
+    elif how != "cross":
+        sdf = sdf[sdf[on].notna().all(axis=1)]
+    ref = _ray.put(sdf)
+    _cache: dict = {}
+
+    def _small() -> pd.DataFrame:
+        if "df" not in _cache:
+            _cache["df"] = _ray.get(ref)
+        return _cache["df"]
 
     def merge(batch: pa.Table) -> pa.Table:
-        s = _ray.get(ref)
+        s = _small()
+        left_df = batch.to_pandas()
         if how == "cross":
-            return pa.Table.from_pandas(
-                batch.to_pandas().merge(s.to_pandas(), how="cross"),
-                preserve_index=False)
+            return pa.Table.from_pandas(left_df.merge(s, how="cross"),
+                                        preserve_index=False)
         if how in ("semi", "anti"):
-            left_df = batch.to_pandas()
-            right_df = s.select(on).to_pandas().drop_duplicates()
-            m = left_df.merge(right_df.assign(__hit=1), on=on, how="left")
+            m = left_df.merge(s.assign(__hit=1), on=on, how="left")
             keep = m["__hit"].notna() if how == "semi" else m["__hit"].isna()
-            # null keys never match: for semi they are already excluded;
-            # for anti they are kept (SQL NOT EXISTS semantics)
             return pa.Table.from_pandas(m.loc[keep, list(batch.column_names)],
                                         preserve_index=False)
-        left_df = batch.to_pandas()
-        right_df = s.to_pandas()
+        right_df = s.rename(columns={
+            c: f"{c}_r" for c in s.columns if c not in on and c in left_df.columns})
         null_key = left_df[on].isna().any(axis=1)
         m = left_df[~null_key].merge(right_df, on=on, how=how)
         if how == "left" and null_key.any():
+            # right columns are suffixed, so reindex only null-fills
+            # THEM — left values survive untouched
             unmatched = left_df[null_key].reindex(columns=m.columns)
             m = pd.concat([m, unmatched], ignore_index=True)
         return pa.Table.from_pandas(m, preserve_index=False)

@@ -285,13 +285,17 @@ def build_ivf_index(
             V = _normalize(_stack(batch.column(vec_col)))
             cent = (V @ self.C.T).argmax(axis=1).astype(np.int32)
             tagged = batch.append_column("cent", pa.array(cent))
-            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            from ..functions.hashing import hash_columns
+
+            id_hashes = hash_columns(batch, [id_col])
             for c in np.unique(cent):
                 sub = tagged.filter(pa.array(cent == c))
                 cdir = os.path.join(out_dir, "cells", f"cent={int(c)}")
                 os.makedirs(cdir, exist_ok=True)
+                # content-derived name: sum of per-row 64-bit id HASHES
+                # (raw-id sums collide — {1,4} vs {2,3}) + row count
                 with np.errstate(over="ignore"):
-                    digest = int(np.uint64(np.sum(ids[cent == c].astype(np.uint64)))
+                    digest = int(np.uint64(np.sum(id_hashes[cent == c], dtype=np.uint64))
                                  + np.uint64(len(sub)))
                 tmp = os.path.join(cdir, f".tmp-{digest:016x}")
                 pq.write_table(sub, tmp)
@@ -382,3 +386,18 @@ def knn_ivf_indexed(
     cands = rd.read_parquet(files).map_batches(Score, batch_format="pyarrow",
                                                concurrency=concurrency)
     return _global_topk(cands, k, driver_finish=driver_finish)
+
+
+def index_dir_for(parquet_path: str, base: str = "/tmp",
+                  prefix: str = "graft_ivf_idx") -> str:
+    """Cache-safe index directory for a source parquet: keyed by the
+    file's identity AND content fingerprint (size + mtime), so
+    regenerated data never silently reuses a stale _DONE index."""
+    import hashlib
+    import os
+
+    st = os.stat(parquet_path)
+    key = hashlib.sha1(
+        f"{os.path.abspath(parquet_path)}|{st.st_size}|{st.st_mtime_ns}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(base, f"{prefix}_{key}")

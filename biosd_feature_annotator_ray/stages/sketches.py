@@ -221,7 +221,6 @@ def fixed_width_histogram(
     ds: "ray.data.Dataset",
     col: str,
     bin_width: float = 10.0,
-    nb: int = 16,
 ) -> "ray.data.Dataset":
     """Fixed-width value histogram: bin = floor(value / bin_width),
     exact counts. Map-side bincount collapses each batch to ≤ one row

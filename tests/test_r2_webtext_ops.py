@@ -434,3 +434,104 @@ def test_recommend_hot_keys_uniform_returns_empty(ray_session):
 
     df = pd.DataFrame({"k": np.arange(5000) % 400})
     assert recommend_hot_keys(rd.from_pandas(df), "k", hot_share=0.05) == []
+
+
+@pytest.mark.parametrize("nb", [20, 5, 16])
+def test_salted_join_parity_collision_prone_nb(ray_session, nb):
+    """Regression: additive sub-bucket offsets collapsed when
+    gcd(GOLDEN, nb) > 1 (nb multiples of 5), duplicating hot-key
+    matches. The mixed bucketing + per-bucket build dedup must give
+    exact parity for ANY nb/salt."""
+    from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+
+    rng = np.random.default_rng(41)
+    lk = np.where(rng.random(2000) < 0.6, 7, rng.integers(0, 40, 2000))
+    left = pd.DataFrame({"k": lk, "a": np.arange(2000)})
+    right = pd.DataFrame({"k": np.concatenate([[7, 7], np.arange(40)]),
+                          "b": np.arange(42)})
+    lds, rds = rd.from_pandas(left).repartition(3), rd.from_pandas(right).repartition(2)
+    plain = shuffle_hash_join(lds, rds, on=["k"], how="inner", nb=nb).to_pandas()
+    salted = shuffle_hash_join(lds, rds, on=["k"], how="inner", nb=nb,
+                               hot_keys=[7], salt=8).to_pandas()
+    cols = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols, kind="mergesort").reset_index(drop=True),
+        salted[cols].sort_values(cols, kind="mergesort").reset_index(drop=True))
+
+
+def test_broadcast_join_null_keys_in_right(ray_session):
+    """Regression: a null key in the BROADCAST side must never match a
+    null-key left row (SQL semantics; pandas merge equates NaNs)."""
+    from biosd_feature_annotator_ray.stages.join import broadcast_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1.0, None, 2.0], "a": [10, 20, 30]}))
+    right = pa.table({"k": pa.array([1.0, None], pa.float64()),
+                      "b": pa.array(["x", "y"], pa.string())})
+    semi = broadcast_join(left, right, on=["k"], how="semi").to_pandas()
+    assert sorted(semi["a"].tolist()) == [10]          # null-key row NOT kept
+    anti = broadcast_join(left, right, on=["k"], how="anti").to_pandas()
+    assert sorted(anti["a"].tolist()) == [20, 30]      # null-key row KEPT
+    inner = broadcast_join(left, right, on=["k"], how="inner").to_pandas()
+    assert sorted(inner["a"].tolist()) == [10]         # no NaN==NaN match
+
+
+def test_broadcast_left_join_shared_column_null_key(ray_session):
+    """Regression: with a shared non-key column, the null-key left row
+    must keep its own value (right columns get the _r suffix)."""
+    from biosd_feature_annotator_ray.stages.join import broadcast_join
+
+    left = rd.from_pandas(pd.DataFrame({"k": [1.0, None], "c": ["keep1", "keep2"]}))
+    right = pa.table({"k": pa.array([1.0], pa.float64()),
+                      "c": pa.array(["rightc"], pa.string())})
+    out = broadcast_join(left, right, on=["k"], how="left").to_pandas()
+    assert sorted(out["c"].tolist()) == ["keep1", "keep2"]
+    assert out.loc[out["c"] == "keep1", "c_r"].iloc[0] == "rightc"
+    assert out.loc[out["c"] == "keep2", "c_r"].isna().all()
+
+
+def test_set_op_keeps_nulls(ray_session):
+    from biosd_feature_annotator_ray.stages.canonicalize import set_op
+
+    a = rd.from_pandas(pd.DataFrame({"k": pd.array([1, None, 1], dtype="Int64")}))
+    b = rd.from_pandas(pd.DataFrame({"k": pd.array([None, 2], dtype="Int64")}))
+    union = set_op(a, b, "k", op="union", nb=4).to_pandas()["k"]
+    assert len(union) == 3 and union.isna().sum() == 1
+    inter = set_op(a, b, "k", op="intersect", nb=4).to_pandas()["k"]
+    assert len(inter) == 1 and inter.isna().all()
+    exc = set_op(a, b, "k", op="except", nb=4).to_pandas()["k"]
+    assert exc.tolist() == [1]
+
+
+def test_ivf_index_fragment_names_do_not_collide(ray_session, tmp_path):
+    """Regression: raw-id-sum digests collide ({1,4} vs {2,3}) and one
+    block's fragment silently overwrote the other's."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.similarity import build_ivf_index
+
+    vec = [1.0] + [0.0] * 7
+    df = pd.DataFrame({"vec_id": [1, 4, 2, 3], "embedding": [vec] * 4})
+    ds = rd.from_pandas(df).repartition(2)  # blocks: {1,4} and {2,3}
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(ds, idx, n_centroids=1)
+    cdir = os.path.join(idx, "cells", "cent=0")
+    total = sum(pq.read_table(os.path.join(cdir, f)).num_rows
+                for f in os.listdir(cdir) if f.endswith(".parquet"))
+    assert total == 4
+
+
+def test_index_dir_for_changes_with_content(tmp_path):
+    import time
+
+    from biosd_feature_annotator_ray.stages.similarity import index_dir_for
+
+    p = str(tmp_path / "emb.parquet")
+    open(p, "wb").write(b"aaaa")
+    d1 = index_dir_for(p)
+    time.sleep(0.01)
+    open(p, "wb").write(b"bbbbbb")
+    d2 = index_dir_for(p)
+    assert d1 != d2
