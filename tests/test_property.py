@@ -152,3 +152,51 @@ def test_ntile_partition_properties(sizes, n_tiles):
         assert (np.diff(tiles) >= 0).all()          # contiguous runs in order
         assert used.max() - used.min() <= 1          # balanced
         assert (np.diff(counts[counts > 0]) <= 0).all()  # larger tiles first
+
+
+@given(
+    lk=st.lists(st.one_of(st.none(), st.integers(0, 8)), min_size=1, max_size=60),
+    rk=st.lists(st.one_of(st.none(), st.integers(0, 8)), min_size=1, max_size=30),
+    how=st.sampled_from(["inner", "left", "semi", "anti"]),
+)
+@settings(max_examples=20, deadline=None)
+def test_broadcast_join_sql_null_semantics(lk, rk, how):
+    """broadcast_join vs a null-aware SQL reference model: null keys
+    never match on either side, for every join mode."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.join import broadcast_join
+
+    left = pd.DataFrame({"k": pd.array(lk, dtype="Float64").astype("float64"),
+                         "a": range(len(lk))})
+    right_df = pd.DataFrame({"k": pd.array(rk, dtype="Float64").astype("float64"),
+                             "b": range(len(rk))})
+    right = pa.Table.from_pandas(right_df, preserve_index=False)
+    got = broadcast_join(rd.from_pandas(left), right, on=["k"], how=how).to_pandas()
+    if "a" not in got.columns:  # all-empty result loses its schema in Ray
+        got = pd.DataFrame({"a": pd.Series([], dtype="int64")})
+
+    rkeys = {k for k in right_df["k"] if pd.notna(k)}
+    if how == "semi":
+        want_a = sorted(a for k, a in zip(left["k"], left["a"])
+                        if pd.notna(k) and k in rkeys)
+        assert sorted(got["a"]) == want_a
+    elif how == "anti":
+        want_a = sorted(a for k, a in zip(left["k"], left["a"])
+                        if pd.isna(k) or k not in rkeys)
+        assert sorted(got["a"]) == want_a
+    else:
+        from collections import Counter
+
+        rcount = Counter(k for k in right_df["k"] if pd.notna(k))
+        exp = Counter()
+        for k, a in zip(left["k"], left["a"]):
+            n = rcount[k] if pd.notna(k) else 0
+            if n:
+                exp[a] += n
+            elif how == "left":
+                exp[a] += 1
+        assert Counter(dict(got["a"].value_counts())) == exp
