@@ -374,6 +374,16 @@ def broadcast_join(
     def merge(batch: pa.Table) -> pa.Table:
         s = _small()
         left_df = batch.to_pandas()
+        # an all-null key column materializes as Arrow null / object
+        # dtype; align it to the broadcast side's dtype so the pandas
+        # merge type-check passes (values are all-NaN either way)
+        if how != "cross":
+            for c in on:
+                if left_df[c].dtype != s[c].dtype and left_df[c].isna().all():
+                    try:
+                        left_df[c] = left_df[c].astype(s[c].dtype)
+                    except (TypeError, ValueError):
+                        left_df[c] = left_df[c].astype("float64")
         if how == "cross":
             return pa.Table.from_pandas(left_df.merge(s, how="cross"),
                                         preserve_index=False)
@@ -385,7 +395,14 @@ def broadcast_join(
         right_df = s.rename(columns={
             c: f"{c}_r" for c in s.columns if c not in on and c in left_df.columns})
         null_key = left_df[on].isna().any(axis=1)
-        m = left_df[~null_key].merge(right_df, on=on, how=how)
+        nn = left_df[~null_key]
+        if len(nn):
+            m = nn.merge(right_df, on=on, how=how)
+        else:
+            m = pd.DataFrame({c: pd.Series([], dtype=(left_df[c].dtype if c in left_df
+                                                      else right_df[c].dtype))
+                              for c in list(left_df.columns)
+                              + [c for c in right_df.columns if c not in left_df.columns]})
         if how == "left" and null_key.any():
             # right columns are suffixed, so reindex only null-fills
             # THEM — left values survive untouched
