@@ -935,6 +935,25 @@ def q_percent_rank_events(sf_dir: str):
     return out.select_columns(["event_id", "prank"])
 
 
+# cume_dist() per key — bit-exact integer division
+def q_cume_dist_events(sf_dir: str):
+    from ..stages.windows import cume_dist_per_key
+
+    out = cume_dist_per_key(_events(sf_dir, ["event_id", "user_id", "value"]),
+                            key_col="user_id", order_col="value", nb=8)
+    return out.select_columns(["event_id", "cdist"])
+
+
+# first_value() per key
+def q_first_value_events(sf_dir: str):
+    from ..stages.windows import first_value_per_key
+
+    out = first_value_per_key(_events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+                              key_col="user_id", value_col="value",
+                              order_cols=["ts", "event_id"], nb=8)
+    return out.select_columns(["event_id", "first_value"])
+
+
 # Regex redaction (PII-mask shape): digit runs in props → '<NUM>'
 def q_redact_props(sf_dir: str):
     from ..functions.normalize import mask_pattern
@@ -1255,6 +1274,8 @@ QUERIES = {
     "like_filter": q_like_filter,
     "rollup_revenue": q_rollup_revenue,
     "percent_rank_events": q_percent_rank_events,
+    "cume_dist_events": q_cume_dist_events,
+    "first_value_events": q_first_value_events,
     "redact_props": q_redact_props,
     "string_agg_events": q_string_agg_events,
     "histogram_values": q_histogram_values,
@@ -1566,6 +1587,14 @@ ORACLES = {
     "percent_rank_events": (
         "SELECT event_id, percent_rank() OVER (PARTITION BY user_id"
         " ORDER BY value) AS prank FROM events"
+    ),
+    "cume_dist_events": (
+        "SELECT event_id, cume_dist() OVER (PARTITION BY user_id"
+        " ORDER BY value) AS cdist FROM events"
+    ),
+    "first_value_events": (
+        "SELECT event_id, first_value(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS first_value FROM events"
     ),
     "redact_props": (
         "SELECT event_id, regexp_replace(props, '\\d\\d+', '<NUM>', 'g')"

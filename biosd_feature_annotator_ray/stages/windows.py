@@ -374,3 +374,61 @@ def lag_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def cume_dist_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    order_col: str = "value",
+    out: str = "cdist",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """cume_dist() OVER (PARTITION BY key ORDER BY order_col):
+    rank(method='max') / n — rows ≤ current over group size. Exact
+    integer division → bit-identical to the SQL window."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        grp = df.groupby(key_col, sort=False)
+        rank = grp[order_col].rank(method="max").to_numpy()
+        n = grp[order_col].transform("size").to_numpy().astype(np.float64)
+        df[out] = rank / n
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def first_value_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    out: str = "first_value",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """first_value(value) OVER (PARTITION BY key ORDER BY order_cols):
+    every row carries its group's first value in the declared total
+    order (pandas transform('first') after one mergesort)."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        df[out] = df.groupby(key_col, sort=False)[value_col].transform("first")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -535,3 +535,25 @@ def test_index_dir_for_changes_with_content(tmp_path):
     open(p, "wb").write(b"bbbbbb")
     d2 = index_dir_for(p)
     assert d1 != d2
+
+
+def test_cume_dist_and_first_value_match_pandas(ev):
+    from biosd_feature_annotator_ray.stages.windows import (
+        cume_dist_per_key, first_value_per_key)
+
+    df = ev.copy()
+    df.loc[df.index[:40], "value"] = 2.25  # plant ties
+    got = cume_dist_per_key(rd.from_pandas(df).repartition(3), key_col="user_id",
+                            order_col="value", nb=8).to_pandas()
+    grp = df.groupby("user_id")["value"]
+    want = grp.rank(method="max") / grp.transform("size")
+    m = got.set_index("event_id")["cdist"].sort_index()
+    assert np.allclose(m.to_numpy(), want.set_axis(df["event_id"]).sort_index().to_numpy())
+
+    got2 = first_value_per_key(rd.from_pandas(df).repartition(3), key_col="user_id",
+                               value_col="value", order_cols=["ts", "event_id"],
+                               nb=8).to_pandas()
+    srt = df.sort_values(["ts", "event_id"], kind="mergesort")
+    want2 = srt.groupby("user_id")["value"].transform("first").set_axis(srt["event_id"])
+    m2 = got2.set_index("event_id")["first_value"].sort_index()
+    assert np.allclose(m2.to_numpy(), want2.sort_index().to_numpy())
