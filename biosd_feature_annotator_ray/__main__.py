@@ -136,6 +136,7 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 pairs = dd.simhash_near_dups(docs, max_hamming=args.max_hamming,
                                              stats_name=dd.DEDUP_STATS_ACTOR)
+            pairs = pairs.materialize()  # one execution for write + count
             if args.output:
                 pairs.write_parquet(args.output)
                 print(json.dumps({"rows": pairs.count(), "output": args.output}))
@@ -219,6 +220,22 @@ def main(argv: list[str] | None = None) -> int:
             pages = read_pages_jsonl(args.input)
         else:
             pages = read_pages(args.input, lang=args.lang, url_prefix=args.url_prefix)
+        if args.format != "parquet" and (args.lang or args.url_prefix):
+            # the parquet path pushes these filters into the read; the
+            # WARC/JSONL sources apply them post-read (same semantics:
+            # a null lang never equals --lang)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            def _scope(t: pa.Table, lang=args.lang, pref=args.url_prefix) -> pa.Table:
+                keep = pa.array([True] * len(t))
+                if lang:
+                    keep = pc.and_(keep, pc.equal(t.column("lang"), lang))
+                if pref:
+                    keep = pc.and_(keep, pc.starts_with(t.column("url"), pattern=pref))
+                return t.filter(pc.fill_null(keep, False))
+
+            pages = pages.map_batches(_scope, batch_format="pyarrow")
         if args.random_quota is not None:
             pages = pages.random_sample(args.random_quota, seed=42)
         if args.limit is not None:

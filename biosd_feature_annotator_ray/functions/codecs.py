@@ -53,9 +53,19 @@ def is_png(b: bytes | None) -> bool:
 
 def png_decode(b: bytes) -> tuple[int, int, np.ndarray]:
     """PNG bytes → (width, height, (h, w, nch) uint8). 8-bit grey/RGB,
-    non-interlaced."""
+    non-interlaced. Any malformed payload raises ValueError (struct /
+    zlib errors are normalized so callers need one except clause)."""
     if not is_png(b):
         raise ValueError("not a PNG (bad signature)")
+    try:
+        return _png_decode_inner(b)
+    except ValueError:
+        raise
+    except Exception as ex:  # struct.error, zlib.error, shape errors
+        raise ValueError(f"corrupt PNG payload: {type(ex).__name__}") from ex
+
+
+def _png_decode_inner(b: bytes) -> tuple[int, int, np.ndarray]:
     pos = 8
     idat: list[bytes] = []
     w = h = nch = None
@@ -136,9 +146,19 @@ def is_wav(b: bytes | None) -> bool:
 
 
 def wav_decode(b: bytes) -> tuple[int, np.ndarray]:
-    """PCM16 WAV bytes → (sample_rate, (n, channels) int16)."""
+    """PCM16 WAV bytes → (sample_rate, (n, channels) int16). Malformed
+    payloads raise ValueError (struct/shape errors normalized)."""
     if not is_wav(b):
         raise ValueError("not a RIFF/WAVE payload")
+    try:
+        return _wav_decode_inner(b)
+    except ValueError:
+        raise
+    except Exception as ex:
+        raise ValueError(f"corrupt WAV payload: {type(ex).__name__}") from ex
+
+
+def _wav_decode_inner(b: bytes) -> tuple[int, np.ndarray]:
     pos, rate, channels, bits, data = 12, None, None, None, None
     while pos + 8 <= len(b):
         typ, ln = struct.unpack("<4sI", b[pos:pos + 8])

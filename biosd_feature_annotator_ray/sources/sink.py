@@ -232,8 +232,16 @@ def _link_and_emit(mentions: pa.Table, linker, min_confidence: str,
 
     triples = AnnotationJoiner(links)(mentions)
     triples = triples.append_column("part_id", pa.array(np.full(len(triples), part_id, dtype=np.int32)))
+    from ..functions.hashing import hash_strings as _hs
+
+    # private key-hash arrays let the CHUNKED finalize union distinct
+    # keys exactly across sub-chunks (summing per-chunk counts would
+    # count a key once per chunk it appears in); popped before the
+    # manifest is written
     return triples, {"mentions": len(mentions), "distinct_keys": len(all_keys),
-                     "linked_keys": len(links)}
+                     "linked_keys": len(links),
+                     "_key_hashes": _hs(all_keys),
+                     "_linked_hashes": _hs(links.column("key").combine_chunks())}
 
 
 def finalize_mentions_partition(
@@ -279,6 +287,8 @@ def finalize_mentions_partition(
     if max_finalize_rows is None or total <= max_finalize_rows:
         mentions = pa.concat_tables([pq.read_table(p) for p in frag_paths])
         triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id)
+        metrics.pop("_key_hashes", None)
+        metrics.pop("_linked_hashes", None)
         return write_partition(triples, out_dir, dedup=True, part_id=part_id,
                                max_edges=max_edges, metrics=metrics)
 
@@ -286,8 +296,8 @@ def finalize_mentions_partition(
     from ..stages.graph import pack_adjacency as _pack
 
     n_chunks = -(-total // max_finalize_rows)
-    agg = {"mentions": 0, "distinct_keys": 0, "linked_keys": 0,
-           "finalize_chunks": n_chunks}
+    agg = {"mentions": 0, "finalize_chunks": n_chunks}
+    key_h, linked_h = [], []
     writer = _StreamingWriter(out_dir, part_id)
     for s in range(n_chunks):
         picked = []
@@ -301,11 +311,17 @@ def finalize_mentions_partition(
             continue
         mentions = pa.concat_tables(picked)
         triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id)
-        for k in ("mentions", "distinct_keys", "linked_keys"):
-            agg[k] += metrics[k]
+        agg["mentions"] += metrics["mentions"]
+        key_h.append(metrics.pop("_key_hashes"))
+        linked_h.append(metrics.pop("_linked_hashes"))
         if len(triples):
             triples = _dedup_triples_arrow(triples)
         writer.write_chunk(triples, _pack(triples, max_edges=max_edges))
+    # exact distinct across chunks: union of key hashes, not a sum of
+    # per-chunk counts (a key spanning chunks must count once — the
+    # memory knob must not perturb manifest metrics)
+    agg["distinct_keys"] = int(len(np.unique(np.concatenate(key_h)))) if key_h else 0
+    agg["linked_keys"] = int(len(np.unique(np.concatenate(linked_h)))) if linked_h else 0
     return writer.finish(agg)
 
 

@@ -581,6 +581,7 @@ def dup_clusters(
         batch_format="pyarrow")).materialize()
 
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         as_src = labels.map_batches(
             lambda t: t.rename_columns(["src", "label"]), batch_format="pyarrow")
@@ -592,7 +593,14 @@ def dup_clusters(
         labels = _min_label(msgs.union(labels)).materialize()
         s = labels.sum("label")
         if s == prev_sum:
+            converged = True
             break
         prev_sum = s
+    if not converged:
+        # a component with diameter > max_iters would report MULTIPLE
+        # representatives — never return silently-wrong clusters
+        raise RuntimeError(
+            f"dup_clusters did not converge within max_iters={max_iters} "
+            "(a duplicate component's diameter exceeds it) — raise max_iters")
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_rep"]), batch_format="pyarrow")

@@ -22,6 +22,7 @@ semantics), unlike a raw pandas merge.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -64,6 +65,26 @@ def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
     # are strings in every real pandas block
     return pa.schema([pa.field(f.name, pa.string()) if pa.types.is_null(f.type) else f
                       for f in sch])
+
+
+def _df_to_schema(df: "pd.DataFrame", schema: pa.Schema) -> pa.Table:
+    """Pin a per-bucket pandas result onto one canonical Arrow schema.
+
+    Without this, buckets disagree: a left-join bucket with unmatched
+    keys promotes int64 right columns to float64+NaN, an empty bucket
+    yields null-typed columns — and the union of blocks then breaks
+    downstream consumers. Integer targets take the float→Int64 route so
+    NaNs become proper nulls."""
+    arrays = []
+    for f in schema:
+        if f.name in df.columns:
+            col = df[f.name]
+            if (pa.types.is_integer(f.type) and getattr(col.dtype, "kind", "") == "f"):
+                col = col.astype("Int64")
+            arrays.append(pa.Array.from_pandas(col, type=f.type))
+        else:
+            arrays.append(pa.nulls(len(df), f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
 
 
 def _align(batch: pa.Table, schema: pa.Schema, side: int) -> pa.Table:
@@ -121,6 +142,20 @@ def shuffle_hash_join(
         + [lschema.field(n) for n in lcols]
         + [rschema.field(n) for n in rcols if n not in lcols]
     )
+    # canonical OUTPUT schema (same for every bucket): overlapping
+    # non-key columns get the pandas-merge suffixes
+    overlap = set(lcols) & set(rcols)
+    if how in ("semi", "anti"):
+        out_schema = pa.schema([lschema.field(k) for k in on]
+                               + [lschema.field(n) for n in lcols])
+    else:
+        out_schema = pa.schema(
+            [lschema.field(k) for k in on]
+            + [pa.field(n + suffixes[0] if n in overlap else n, lschema.field(n).type)
+               for n in lcols]
+            + [pa.field(n + suffixes[1] if n in overlap else n, rschema.field(n).type)
+               for n in rcols]
+        )
 
     hot = None
     if hot_keys is not None and salt > 1:
@@ -194,7 +229,7 @@ def shuffle_hash_join(
             out = marked[marked["_merge"] == "left_only"].drop(columns=["_merge"])
         else:
             out = ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _df_to_schema(out, out_schema)
 
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
 
@@ -258,11 +293,16 @@ def asof_join(
             return pa.Table.from_pandas(out, preserve_index=False)
         ldf = ldf.sort_values([ts, key], kind="mergesort")
         rdf = rdf.sort_values([rts, key], kind="mergesort")
+        # explicit match marker: filtering on a payload column is wrong
+        # when payloads can be null, and when rts == ts the fallback
+        # probe used to hit the LEFT ts (never null) — inner degenerated
+        # to left
+        rdf = rdf.assign(__matched=np.int8(1))
         out = pd.merge_asof(ldf, rdf, left_on=ts, right_on=rts, by=key,
                             direction=direction)
         if how == "inner":
-            probe = rcols[0] if rcols else rts
-            out = out[out[probe].notna()]
+            out = out[out["__matched"].notna()]
+        out = out.drop(columns=["__matched"])
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")

@@ -79,7 +79,14 @@ class ImageDecodeStage:
                             f"row {i}: not a PNG payload (JPEG/other formats "
                             "need an image library — deploy and extend here)")
                     continue
-                w, h, px = png_decode(b)
+                try:
+                    w, h, px = png_decode(b)
+                except ValueError:
+                    # quarantine covers DECODE failures too (truncated
+                    # IDAT, unsupported variants), not just bad magic
+                    if self.on_error == "raise":
+                        raise
+                    continue
                 keep.append(i)
                 ws.append(w)
                 hs.append(h)
@@ -129,7 +136,12 @@ class AudioFeaturizeStage:
                     if self.on_error == "raise":
                         raise ValueError(f"row {i}: not a WAV payload")
                     continue
-                rate, x = wav_decode(b)
+                try:
+                    rate, x = wav_decode(b)
+                except ValueError:
+                    if self.on_error == "raise":
+                        raise
+                    continue
                 keep.append(i)
                 durs.append(len(x) / rate)
                 feats.append(band_energy_feature(x))

@@ -84,22 +84,31 @@ def exact_quantile(
     lo, hi, n = _minmax_count(ds, col)
     if n == 0:
         return {q: float("nan") for q in qs}
+    # the level-0 histogram over [lo, hi] is identical for every q —
+    # compute it once, not once per quantile (each pass scans the data)
+    first = _hist_counts(ds, col, lo, hi, n_bins, hi_closed=True)
     return {q: _value_at_rank(ds, col, max(1, int(np.ceil(q * n))), lo, hi,
-                              n_bins, max_collect, max_depth)
+                              n_bins, max_collect, max_depth, first_counts=first)
             for q in qs}
 
 
 def _value_at_rank(ds: "ray.data.Dataset", col: str, k: int, lo: float, hi: float,
-                   n_bins: int, max_collect: int, max_depth: int) -> float:
+                   n_bins: int, max_collect: int, max_depth: int,
+                   first_counts: "np.ndarray | None" = None) -> float:
     """The k-th smallest value (1-based) via histogram bracketing: each
     level narrows to the bin containing rank k; only the final bin's
-    values (expected n/n_bins) are collected and selected."""
+    values (expected n/n_bins) are collected and selected.
+    ``first_counts``: precomputed level-0 histogram over [lo, hi]
+    (shared across quantiles — saves one full scan per extra q)."""
     blo, bhi, below = lo, hi, 0      # `below` = count of values < blo
     closed = True                    # current bracket is [blo, bhi]?
-    for _ in range(max_depth):
+    for level in range(max_depth):
         if blo == bhi:
             break
-        counts = _hist_counts(ds, col, blo, bhi, n_bins, hi_closed=closed)
+        if level == 0 and first_counts is not None:
+            counts = first_counts
+        else:
+            counts = _hist_counts(ds, col, blo, bhi, n_bins, hi_closed=closed)
         cum = np.cumsum(counts)
         b = int(np.searchsorted(cum, k - below, side="left"))
         edges = np.linspace(blo, bhi, n_bins + 1)
@@ -136,16 +145,19 @@ def exact_quantile_cont(
     lo, hi, n = _minmax_count(ds, col)
     if n == 0:
         return {q: float("nan") for q in qs}
+    first = _hist_counts(ds, col, lo, hi, n_bins, hi_closed=True)
     out: dict[float, float] = {}
     for q in qs:
         h = (n - 1) * float(q)
         k0 = int(np.floor(h)) + 1        # 1-based lower rank
         frac = h - np.floor(h)
-        v0 = _value_at_rank(ds, col, k0, lo, hi, n_bins, max_collect, max_depth)
+        v0 = _value_at_rank(ds, col, k0, lo, hi, n_bins, max_collect, max_depth,
+                            first_counts=first)
         if frac == 0.0 or k0 >= n:
             out[q] = v0
             continue
-        v1 = _value_at_rank(ds, col, k0 + 1, lo, hi, n_bins, max_collect, max_depth)
+        v1 = _value_at_rank(ds, col, k0 + 1, lo, hi, n_bins, max_collect, max_depth,
+                            first_counts=first)
         out[q] = v0 + frac * (v1 - v0)
     return out
 

@@ -191,32 +191,45 @@ class OntologyIndex:
         score = np.zeros(n)
         unresolved = np.ones(n, bool)
 
-        transforms = {
-            "curated": lambda: pc.binary_join_element_wise(char_types, value_norms, KEY_SEP),
-            "resolver": lambda: pc.replace_substring(
-                pc.replace_substring(value_norms, ":", "_"), " ", "_"),
-            "label": lambda: value_norms,
-            "synonym": lambda: value_norms,
-            "punct": lambda: punct_strip_array(value_norms),
-            "tokenset": lambda: token_sig_array(value_norms),
-        }
+        def transform(name: str, ct: pa.Array, vn: pa.Array) -> pa.Array:
+            if name == "curated":
+                return pc.binary_join_element_wise(ct, vn, KEY_SEP)
+            if name == "resolver":
+                return pc.replace_substring(
+                    pc.replace_substring(vn, ":", "_"), " ", "_")
+            if name in ("label", "synonym"):
+                return vn
+            if name == "punct":
+                return punct_strip_array(vn)
+            return token_sig_array(vn)
+
         for name, tier in self._tier_arrays():
             if not unresolved.any():
                 break
             if len(tier["keys"]) == 0:
                 continue
-            idx = pc.index_in(transforms[name](), value_set=tier["keys"])
+            # compact to the still-unresolved subset BEFORE the tier's
+            # transform — the expensive kernels (punct strip, token
+            # signature with its lexsort) only ever see survivors, so
+            # the cascade's cost shrinks as tiers resolve
+            live = np.flatnonzero(unresolved)
+            take = pa.array(live, pa.int64())
+            vn_live = value_norms.take(take)
+            ct_live = char_types.take(take) if name == "curated" else None
+            idx = pc.index_in(transform(name, ct_live, vn_live),
+                              value_set=tier["keys"])
             idxn = np.asarray(idx.to_numpy(zero_copy_only=False), dtype="float64")
-            hit = unresolved & ~np.isnan(idxn)
-            if not hit.any():
+            hitl = ~np.isnan(idxn)
+            if not hitl.any():
                 continue
-            ii = idxn[hit].astype(np.int64)
-            uri[hit] = tier["uri"][ii]
-            label[hit] = tier["label"][ii]
-            conf[hit] = tier["conf"][ii]
-            score[hit] = tier["score"][ii]
-            prov[hit] = tier["prov"]
-            unresolved[hit] = False
+            rows = live[hitl]
+            ii = idxn[hitl].astype(np.int64)
+            uri[rows] = tier["uri"][ii]
+            label[rows] = tier["label"][ii]
+            conf[rows] = tier["conf"][ii]
+            score[rows] = tier["score"][ii]
+            prov[rows] = tier["prov"]
+            unresolved[rows] = False
         return uri, label, conf, score, prov
 
     def lookup(self, char_type: str, value_norm: str):

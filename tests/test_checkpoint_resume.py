@@ -168,6 +168,13 @@ def test_streaming_finalize_parity(ray_session, tmp_path):
     with open(os.path.join(chunked, "manifest", "part-00000.json")) as f:
         m = json.load(f)
     assert m["stage_metrics"]["finalize_chunks"] > 1
+    # the memory knob must not perturb key metrics: distinct/linked keys
+    # are a cross-chunk UNION, so chunked == whole per partition
+    with open(os.path.join(whole, "manifest", "part-00000.json")) as f:
+        mw = json.load(f)
+    assert m["stage_metrics"]["distinct_keys"] == mw["stage_metrics"]["distinct_keys"]
+    assert m["stage_metrics"]["linked_keys"] == mw["stage_metrics"]["linked_keys"]
+    assert m["stage_metrics"]["mentions"] == mw["stage_metrics"]["mentions"]
 
     # resume over the streamed output is still a no-op
     man2 = run(_pages(), chunked, spec_c)

@@ -197,3 +197,31 @@ def test_video_real_rejects_unknown_container(ray_session):
                       "payload": pa.array([b"\x00\x00\x00\x18ftypmp42"], pa.binary())})
     with pytest.raises(NotImplementedError):
         stage(batch)
+
+
+def test_on_error_skip_quarantines_corrupt_payloads(ray_session):
+    """Regression: on_error='skip' only guarded the magic-byte check —
+    a payload with valid magic but corrupt body killed the task."""
+    import numpy as np
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.functions.codecs import png_encode, wav_encode
+    from biosd_feature_annotator_ray.stages.multimodal import (
+        AudioFeaturizeStage, ImageDecodeStage)
+
+    good_png = png_encode(np.zeros((4, 4, 3), dtype=np.uint8))
+    corrupt_png = good_png[:20] + b"\x00" * 8          # valid magic, broken body
+    batch = pa.table({"media_id": pa.array([0, 1], pa.int64()),
+                      "payload": pa.array([good_png, corrupt_png], pa.binary())})
+    out = ImageDecodeStage(mode="real", on_error="skip")(batch)
+    assert out.column("media_id").to_pylist() == [0]
+    import pytest
+    with pytest.raises(ValueError):
+        ImageDecodeStage(mode="real", on_error="raise")(batch)
+
+    good_wav = wav_encode(np.zeros(100))
+    corrupt_wav = good_wav[:16]                        # valid magic, truncated
+    batch_a = pa.table({"media_id": pa.array([0, 1], pa.int64()),
+                        "payload": pa.array([good_wav, corrupt_wav], pa.binary())})
+    out_a = AudioFeaturizeStage(mode="real", on_error="skip")(batch_a)
+    assert out_a.column("media_id").to_pylist() == [0]

@@ -226,3 +226,21 @@ def test_ivf_persisted_index_matches_inline_ivf(ray_session, tmp_path):
     # rebuild is a no-op (resume contract): same codebook returned
     C2 = build_ivf_index(vecs, idx_dir, n_centroids=16)
     assert np.allclose(C, C2)
+
+
+def test_dup_clusters_raises_on_non_convergence(ray_session):
+    """Regression: a chain longer than max_iters used to return
+    silently-wrong multi-representative clusters."""
+    import pyarrow as pa
+    import pytest
+
+    from biosd_feature_annotator_ray.stages.dedup import dup_clusters
+
+    n = 12
+    pairs = pa.table({"id_a": pa.array(list(range(n - 1)), pa.int64()),
+                      "id_b": pa.array(list(range(1, n)), pa.int64()),
+                      "similarity": pa.array([1.0] * (n - 1))})
+    with pytest.raises(RuntimeError):
+        dup_clusters(pairs, nb=4, max_iters=2)
+    out = dup_clusters(pairs, nb=4, max_iters=20).to_pandas()
+    assert (out["cluster_rep"] == 0).all()

@@ -125,3 +125,62 @@ def test_bloom_anti_join_matches_exact(ray_session):
     pd.testing.assert_frame_equal(
         got[cols].sort_values(cols).reset_index(drop=True),
         want[cols].sort_values(cols).reset_index(drop=True))
+
+
+def test_asof_inner_with_null_payload_and_no_payload(ray_session):
+    """Regression: inner as-of used a payload column as the match
+    probe — null payloads dropped matched rows, and a right side with
+    no payload columns made inner behave like left."""
+    import pandas as pd
+
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.join import asof_join
+
+    left = pd.DataFrame({
+        "k": [1, 1, 2],
+        "ts": pd.to_datetime(["2024-01-02", "2024-01-03", "2024-01-02"]),
+        "a": [10, 20, 30],
+    })
+    # right with a NULL payload on the matched row
+    right = pd.DataFrame({
+        "k": [1], "rts": pd.to_datetime(["2024-01-01"]), "val": [None],
+    })
+    out = asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                    key="k", ts="ts", right_ts="rts", nb=4, how="inner").to_pandas()
+    assert sorted(out["a"].tolist()) == [10, 20]  # null payload still matches
+
+    # right side with NO payload columns and shared ts name
+    right2 = pd.DataFrame({"k": [1], "ts": pd.to_datetime(["2024-01-01"])})
+    out2 = asof_join(rd.from_pandas(left), rd.from_pandas(right2),
+                     key="k", ts="ts", nb=4, how="inner").to_pandas()
+    assert sorted(out2["a"].tolist()) == [10, 20]  # k=2 row correctly dropped
+
+
+def test_left_join_blocks_share_one_schema(ray_session):
+    """Regression: buckets with unmatched keys promoted int64 right
+    columns to float64 while matched buckets kept int64 — the block
+    union then had mixed schemas. Every block must carry the pinned
+    schema (int64 + nulls)."""
+    import pandas as pd
+
+    import ray
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+
+    left = pd.DataFrame({"k": range(200), "a": range(200)})
+    right = pd.DataFrame({"k": range(0, 200, 2), "b": range(100)})  # half match
+    out = shuffle_hash_join(rd.from_pandas(left).repartition(3),
+                            rd.from_pandas(right).repartition(2),
+                            on=["k"], how="left", nb=16)
+    t = pa.concat_tables([ray.get(r) for r in out.to_arrow_refs()])
+    assert t.schema.field("b").type == pa.int64()
+    df = t.to_pandas()
+    assert df["b"].isna().sum() == 100 and len(df) == 200
+    # overlapping non-key columns keep deterministic suffixed names
+    right2 = pd.DataFrame({"k": range(0, 200, 2), "a": range(100)})
+    out2 = shuffle_hash_join(rd.from_pandas(left).repartition(2),
+                             rd.from_pandas(right2).repartition(2),
+                             on=["k"], how="left", nb=8).to_pandas()
+    assert {"a_l", "a_r"} <= set(out2.columns)

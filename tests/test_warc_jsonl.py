@@ -90,3 +90,32 @@ def test_warc_gz_roundtrip(ray_session, tmp_path):
     exp = want.apply(lambda r: r["html"] if r["html"] is not None
                      else (r["text"] or "").encode(), axis=1)
     assert list(got["html"]) == list(exp)
+
+
+def test_cli_run_warc_honors_url_prefix(ray_session, tmp_path):
+    """Regression: --url-prefix/--lang were silently ignored for
+    warc/jsonl inputs (only the parquet read path applied them)."""
+    import json
+    import subprocess
+    import sys
+
+    from biosd_feature_annotator_ray.sources.warc import write_warc
+    from biosd_feature_annotator_ray.synth import gen_pages
+
+    pages = gen_pages(60)
+    p = str(tmp_path / "a.warc")
+    write_warc(p, pages)
+    prefix = pages.column("url")[0].as_py()[:30]
+    n_match = sum(1 for u in pages.column("url").to_pylist() if u.startswith(prefix))
+    assert 0 < n_match < 60
+    out = subprocess.run(
+        [sys.executable, "-m", "biosd_feature_annotator_ray", "run",
+         "--format", "warc", "--input", p, "--output", str(tmp_path / "o"),
+         "--url-prefix", prefix, "--num-parts", "2", "--num-cpus", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["triples"] > 0
+    import duckdb
+    urls = duckdb.sql(
+        f"SELECT DISTINCT subj FROM '{tmp_path}/o/triples/*/*.parquet'").df()
+    assert all(u.startswith(prefix) for u in urls["subj"])
