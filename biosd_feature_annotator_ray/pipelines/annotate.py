@@ -87,7 +87,7 @@ def build_mentions(pages: "ray.data.Dataset", spec: PipelineSpec) -> "ray.data.D
             batch_format="pyarrow",
             batch_size=spec.batch_size,
         )
-        .map_batches(parse_batch, batch_format="pyarrow")
+        .map_batches(parse_batch, batch_format="pyarrow", batch_size=spec.batch_size)
     )
 
 
@@ -136,7 +136,12 @@ def compute_links_distributed(
     distinct key set is driver-sized, ``compute_links_table`` below
     skips the shuffle + pool entirely. ``compute_links_auto`` picks."""
     if terms_ref is None or curated_ref is None:
-        terms_ref, curated_ref = broadcast_dictionaries()
+        # fill ONLY the missing ref — replacing a caller-provided ref
+        # with fixture dictionaries would silently link against the
+        # wrong dictionary
+        t2, c2 = broadcast_dictionaries()
+        terms_ref = terms_ref if terms_ref is not None else t2
+        curated_ref = curated_ref if curated_ref is not None else c2
     keys = mentions.map_batches(_keys_of_batch, batch_format="pyarrow", batch_size=65536)
     return _links_from_keys(keys, spec, terms_ref, curated_ref)
 
@@ -261,7 +266,9 @@ def build_triples(
         # K4 hot-key sample over the mention keys (the skewed column —
         # "Homo sapiens"-style heavy hitters) sets the two-level reduce.
         salt = recommend_salt(mentions, "key")
-    return dedup_exact(triples, ["subj", "pred", "obj", "obj_kind"], nb=spec.n_buckets,
+    from ..sources.sink import TRIPLE_KEY
+
+    return dedup_exact(triples, list(TRIPLE_KEY), nb=spec.n_buckets,
                        salt=salt)
 
 
@@ -275,7 +282,11 @@ def annotate_pages(
     """pages Dataset → deduped triples Dataset (no sink). Linking
     dispatches by key-set size (``spec.max_driver_keys``)."""
     spec = spec or PipelineSpec()
-    mentions = build_mentions(pages, spec)
+    # materialize the mention stream ONCE: the key pass, optional salt
+    # probe and the triple join all consume it — without this the full
+    # extract→detect→parse chain re-executes per consumer (run() solves
+    # the same problem with its disk scatter)
+    mentions = build_mentions(pages, spec).materialize()
     links_table = compute_links_auto(mentions, spec, terms, curated)
     return build_triples(mentions, links_table, spec, dedup=dedup)
 

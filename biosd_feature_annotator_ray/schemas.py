@@ -76,6 +76,7 @@ TRIPLES = pa.schema(
         pa.field("obj_dt", pa.timestamp("us")),
         pa.field("obj_dt_hi", pa.timestamp("us")),
         pa.field("unit_uri", pa.string()),
+        pa.field("comparator", pa.string()),     # < <= > >= (typed rows; '<5' ≠ '5')
         pa.field("confidence", pa.string()),
         pa.field("score", pa.float32()),
     ]

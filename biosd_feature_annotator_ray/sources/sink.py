@@ -65,7 +65,9 @@ def completed_partitions(out_dir: str) -> dict[int, dict]:
     return done
 
 
-TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind"]
+# unit_uri and comparator are PART of the identity: '34 weeks' vs
+# '34 days' (and '<5' vs '5') are different facts, not duplicates
+TRIPLE_KEY = ["subj", "pred", "obj", "obj_kind", "unit_uri", "comparator"]
 
 
 def _dedup_triples_arrow(part: pa.Table) -> pa.Table:
@@ -84,8 +86,14 @@ def _dedup_triples_arrow(part: pa.Table) -> pa.Table:
     keep = None
     for c in TRIPLE_KEY:
         arr = part.column(c).combine_chunks()
-        neq = pc.not_equal(arr.slice(1), arr.slice(0, len(arr) - 1))
-        neq = pc.fill_null(neq, True).to_numpy(zero_copy_only=False)
+        a1, a0 = arr.slice(1), arr.slice(0, len(arr) - 1)
+        # null-safe compare: null == null counts EQUAL (nullable key
+        # columns like unit_uri/comparator must still dedup), values
+        # differing in validity count NOT equal
+        neq = pc.fill_null(pc.not_equal(a1, a0), False).to_numpy(zero_copy_only=False)
+        v1 = pc.is_valid(a1).to_numpy(zero_copy_only=False)
+        v0 = pc.is_valid(a0).to_numpy(zero_copy_only=False)
+        neq = neq | (v1 != v0)
         keep = neq if keep is None else (keep | neq)
     mask = np.ones(len(part), dtype=bool)
     mask[1:] = keep

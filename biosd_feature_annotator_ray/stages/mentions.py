@@ -63,7 +63,16 @@ def detect_mentions(batch: pa.Table, type_vocab: tuple[str, ...] = DEFAULT_TYPE_
 
     ext = pc.extract_regex(flat, MENTION_RE)
     t_norm = normalize.norm_array(pc.struct_field(ext, "t"))
-    keep_pa = pc.and_kleene(pc.is_valid(ext), pc.is_in(t_norm, value_set=pa.array(type_vocab)))
+    # normalize the vocab the same way as the detected types (a custom
+    # vocab like ('Organism',) must not silently match nothing), and
+    # drop whitespace-only values ('age: ' section headers) — the lazy
+    # (?P<v>.+?) otherwise captures a single space
+    vocab_norm = pa.array(sorted({normalize.norm_str(v) for v in type_vocab}))
+    v_trim = pc.utf8_trim_whitespace(pc.fill_null(pc.struct_field(ext, "v"), ""))
+    keep_pa = pc.and_kleene(
+        pc.and_kleene(pc.is_valid(ext), pc.is_in(t_norm, value_set=vocab_norm)),
+        pc.not_equal(v_trim, ""),
+    )
     keep = pc.fill_null(keep_pa, False).to_numpy(zero_copy_only=False)
     if not keep.any():
         return MENTIONS.empty_table()

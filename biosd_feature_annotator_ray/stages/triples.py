@@ -54,6 +54,10 @@ def make_joiner_fn(links_ref):
     def join_batch(batch: pa.Table) -> pa.Table:
         j = _JOINER_CACHE.get(key)
         if j is None:
+            # single-entry cache: each run ray.puts a fresh links table,
+            # so per-key caching leaked one links copy per run in every
+            # long-lived worker process
+            _JOINER_CACHE.clear()
             j = AnnotationJoiner(links_ref)
             _JOINER_CACHE[key] = j
         return j(batch)
@@ -101,7 +105,8 @@ def emit_triples(j: pa.Table) -> pa.Table:
     pred = j.column("char_type")
     parts: list[pa.Table] = []
 
-    def build(mask: np.ndarray, obj, obj_kind, num, num_hi, dt, dt_hi, unit_uri, conf, score):
+    def build(mask: np.ndarray, obj, obj_kind, num, num_hi, dt, dt_hi, unit_uri,
+              comparator, conf, score):
         idx = pa.array(np.flatnonzero(mask))
         t = pa.table(
             {
@@ -114,6 +119,7 @@ def emit_triples(j: pa.Table) -> pa.Table:
                 "obj_dt": dt.take(idx),
                 "obj_dt_hi": dt_hi.take(idx),
                 "unit_uri": unit_uri.take(idx),
+                "comparator": comparator.take(idx),
                 "confidence": conf.take(idx),
                 "score": score.take(idx),
             }
@@ -132,7 +138,7 @@ def emit_triples(j: pa.Table) -> pa.Table:
                 has_uri,
                 j.column("term_uri"),
                 pa.array(np.full(n, "uri"), pa.string()),
-                null_f, null_f, null_ts, null_ts, null_s,
+                null_f, null_f, null_ts, null_ts, null_s, null_s,
                 j.column("confidence"),
                 j.column("score").cast(pa.float32()) if j.column("score").type != pa.float32() else j.column("score"),
             )
@@ -160,6 +166,9 @@ def emit_triples(j: pa.Table) -> pa.Table:
                 obj_dt,
                 obj_dt_hi,
                 j.column("unit_uri"),
+                # comparator note survives to the triple: '<5' must not
+                # be asserted (or deduped) as the exact number 5
+                j.column("note"),
                 null_s, null_f32,
             )
         )
@@ -174,7 +183,7 @@ def emit_triples(j: pa.Table) -> pa.Table:
             build(
                 rest, value_norm,
                 pa.array(np.full(n, "string"), pa.string()),
-                null_f, null_f, null_ts, null_ts, null_s, null_s, null_f32,
+                null_f, null_f, null_ts, null_ts, null_s, null_s, null_s, null_f32,
             )
         )
 

@@ -90,3 +90,64 @@ def test_empty_and_mention_free_inputs(ray_session):
          "text": pa.array(["no mentions here"], pa.large_string()), "lang": ["en"]},
         schema=PAGES)
     assert annotate_pages(rd.from_arrow(pages), spec).count() == 0
+
+
+def test_comparator_distinguishes_bound_from_exact(ray_session):
+    """Regression: '<5' used to emit (and dedup) as the exact number 5.
+    The comparator survives to the triple and is part of its identity."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, annotate_pages
+    from biosd_feature_annotator_ray.schemas import PAGES
+
+    pages = pa.table({
+        "url": pa.array(["http://x/1"], pa.string()),
+        "warc_ts": pa.array([pd.Timestamp("2024-01-01")], PAGES.field("warc_ts").type),
+        "html": pa.nulls(1, pa.binary()),
+        "text": pa.array(["age: <5\nage: 5"], pa.large_string()),
+        "lang": pa.array(["en"], pa.string()),
+    }, schema=PAGES)
+    out = annotate_pages(rd.from_arrow(pages), PipelineSpec(n_buckets=4)).to_pandas()
+    nums = out[out.obj_kind == "number"].sort_values("comparator", na_position="last")
+    assert len(nums) == 2
+    assert nums["comparator"].tolist()[0] == "<"
+    assert pd.isna(nums["comparator"].tolist()[1])
+    assert (nums["obj_num"] == 5.0).all()
+
+
+def test_whitespace_value_lines_emit_nothing(ray_session):
+    """Regression: 'age: ' section headers matched the mention regex
+    with a single-space value and emitted junk string triples."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.pipelines.annotate import PipelineSpec, annotate_pages
+    from biosd_feature_annotator_ray.schemas import PAGES
+
+    pages = pa.table({
+        "url": pa.array(["http://x/1"], pa.string()),
+        "warc_ts": pa.array([pd.Timestamp("2024-01-01")], PAGES.field("warc_ts").type),
+        "html": pa.nulls(1, pa.binary()),
+        "text": pa.array(["age: \nsex:   \nage: 7"], pa.large_string()),
+        "lang": pa.array(["en"], pa.string()),
+    }, schema=PAGES)
+    out = annotate_pages(rd.from_arrow(pages), PipelineSpec(n_buckets=4)).to_pandas()
+    assert (out["obj"] != "").all()
+    assert len(out[out.obj_kind == "number"]) == 1
+
+
+def test_custom_type_vocab_is_normalized(ray_session):
+    """Regression: an un-normalized custom vocab silently matched
+    nothing (normalized detected types never equal 'Organism')."""
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.stages.mentions import detect_mentions
+
+    batch = pa.table({"url": ["u"], "text": ["Organism: Homo sapiens"]})
+    out = detect_mentions(batch, type_vocab=("Organism",))
+    assert len(out) == 1 and out.column("char_type")[0].as_py() == "organism"
