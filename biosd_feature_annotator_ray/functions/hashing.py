@@ -32,6 +32,13 @@ def hash_columns(table: pa.Table, cols: list[str]) -> np.ndarray:
     parts = []
     for c in cols:
         arr = table.column(c)
+        if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+            # int64 and its null-promoted float64 twin must render the
+            # SAME string (int 10**15 prints digits, float prints
+            # '1e+15') — route every numeric through float64 first.
+            # Distinct ints > 2^53 may share a bucket (harmless: the
+            # in-bucket compare decides equality on real values).
+            arr = pc.cast(arr, pa.float64(), safe=False)
         if not pa.types.is_string(arr.type) and not pa.types.is_large_string(arr.type):
             arr = pc.cast(arr, pa.string())
         parts.append(pc.fill_null(arr, "\x00null\x00"))

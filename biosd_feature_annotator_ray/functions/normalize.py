@@ -16,6 +16,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _WS = r"\s+"
+# Python's unicode \s (what the scalar twin norm_str collapses):
+# ASCII ws + the \x1c-\x1f separators + NEL + every Unicode Z — RE2's
+# bare \s is ASCII-only, which let NBSP ('&nbsp;' in real HTML) through
+# and downgraded curated matches to tokenset tier (annotation loss).
+_WS_UNI = r"[\s\x1c-\x1f\x85\p{Z}]+"
 # Outer punctuation strip for the MEDIUM match tier (FIXTURES.md §3.3
 # tier 4): leading/trailing non-alphanumeric runs.
 _OUTER_PUNCT = r"^[^0-9A-Za-z]+|[^0-9A-Za-z]+$"
@@ -24,9 +29,12 @@ KEY_SEP = "|"
 
 
 def norm_array(arr: pa.ChunkedArray | pa.Array) -> pa.ChunkedArray | pa.Array:
-    """lower(trim(collapse_ws(x))) — the memo-key normalization."""
-    out = pc.utf8_trim_whitespace(arr)
-    out = pc.replace_substring_regex(out, _WS, " ")
+    """lower(trim(collapse_ws(x))) — the memo-key normalization.
+    Collapses UNICODE whitespace (parity with the scalar ``norm_str``
+    that builds the ontology index; ASCII-only collapse fragmented
+    NBSP-bearing keys)."""
+    out = pc.replace_substring_regex(arr, _WS_UNI, " ")
+    out = pc.utf8_trim_whitespace(out)
     return pc.utf8_lower(out)
 
 

@@ -735,7 +735,7 @@ def q_repetition_stats(sf_dir: str):
 
 # Corpus-level top-k bigram census (n-gram LM / boilerplate phrases)
 def q_top_bigrams(sf_dir: str):
-    return textstats.top_ngrams(_docs(sf_dir, ["text"]), n=2, k=20, nb=16)
+    return textstats.top_ngrams(_docs(sf_dir, ["text"]), n=2, k=20)
 
 
 def _setop_sides(sf_dir: str):
@@ -1165,7 +1165,7 @@ def q_tfidf_terms(sf_dir: str):
 def q_lm_score(sf_dir: str):
     """Hashed-unigram LM perplexity-style quality score (rows-only:
     smoothed float probabilities; semantics pinned by pytest)."""
-    out = textstats.unigram_logprob_score(_docs(sf_dir, ["doc_id", "text"]), nb=16)
+    out = textstats.unigram_logprob_score(_docs(sf_dir, ["doc_id", "text"]))
     return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
 
 

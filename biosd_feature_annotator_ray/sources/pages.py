@@ -16,6 +16,22 @@ import ray.data
 PAGE_COLUMNS = ["url", "warc_ts", "html", "text", "lang"]
 
 
+def _prefix_successor(p: str) -> str | None:
+    """Smallest string greater than every string with prefix ``p``:
+    increment the last incrementable character (skipping the surrogate
+    gap). None when no successor exists (all chars are U+10FFFF)."""
+    chars = list(p)
+    for i in range(len(chars) - 1, -1, -1):
+        c = ord(chars[i])
+        if c >= 0x10FFFF:
+            continue
+        nxt = c + 1
+        if 0xD800 <= nxt <= 0xDFFF:
+            nxt = 0xE000
+        return "".join(chars[:i]) + chr(nxt)
+    return None
+
+
 def read_pages(
     paths: str | list[str],
     lang: str | None = None,
@@ -36,7 +52,13 @@ def read_pages(
     if lang is not None:
         flt = pads.field("lang") == lang
     if url_prefix is not None:
-        p = (pads.field("url") >= url_prefix) & (pads.field("url") < url_prefix + "￿")
+        # range scan [prefix, successor(prefix)): appending U+FFFF as
+        # the bound missed URLs whose next char sorts above it
+        # (astral/emoji path segments in real crawls)
+        succ = _prefix_successor(url_prefix)
+        p = pads.field("url") >= url_prefix
+        if succ is not None:
+            p = p & (pads.field("url") < succ)
         flt = p if flt is None else (flt & p)
     return ray.data.read_parquet(paths, columns=columns or PAGE_COLUMNS, filter=flt,
                                  override_num_blocks=num_blocks)

@@ -82,7 +82,17 @@ def _dedup_triples_arrow(part: pa.Table) -> pa.Table:
 
     if len(part) == 0:
         return part
-    part = part.sort_by([(c, "ascending") for c in TRIPLE_KEY])
+    # survivor preference within a key: confidence rank desc, score
+    # desc (FIXTURES §3.3) — appended as ascending helper columns
+    from ..stages.canonicalize import CONFIDENCE_RANK
+
+    conf = part.column("confidence").to_pandas().map(CONFIDENCE_RANK).fillna(-1)
+    score = part.column("score").to_pandas().fillna(-1.0).astype(float)
+    part = part.append_column("_pref_c", pa.array((-conf).to_numpy(dtype=np.int32)))
+    part = part.append_column("_pref_s", pa.array((-score).to_numpy()))
+    part = part.sort_by([(c, "ascending") for c in TRIPLE_KEY]
+                        + [("_pref_c", "ascending"), ("_pref_s", "ascending")])
+    part = part.drop_columns(["_pref_c", "_pref_s"])
     keep = None
     for c in TRIPLE_KEY:
         arr = part.column(c).combine_chunks()

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 import ray.data
 
-from ..functions.hashing import hash_columns
+from ..functions.hashing import bucket as _hash_bucket, hash_columns
 
 _B = "__bucket"
 _S = "__salt"
@@ -37,7 +37,7 @@ _H = "__h"
 
 def _add_bucket(batch: pa.Table, cols: list[str], nb: int, salt: int = 0) -> pa.Table:
     h = hash_columns(batch, cols)
-    out = batch.append_column(_B, pa.array((h % np.uint64(nb)).astype(np.int32)))
+    out = batch.append_column(_B, pa.array(_hash_bucket(h, nb)))
     if salt > 1:
         # Round-robin sub-bucket: any assignment is valid because the
         # in-bucket finish is associative; round-robin is deterministic
@@ -50,18 +50,28 @@ def dedup_exact(
     ds: "ray.data.Dataset",
     cols: list[str],
     nb: int = 64,
-    keep_order_col: str | None = None,
+    keep_order_col: "str | list[str] | None" = None,
     salt: int = 1,
+    keep_ascending: "list[bool] | None" = None,
 ) -> "ray.data.Dataset":
-    """Exact dedup on ``cols`` (SURVEY.md A2). Keeps the row with the
-    smallest ``keep_order_col`` (or an arbitrary-but-deterministic first
-    by the full ``cols`` sort when None). ``salt > 1`` enables the
-    two-level hot-key reduce (identical output — dedup-first is
-    associative; parity-tested)."""
+    """Exact dedup on ``cols`` (SURVEY.md A2). Keeps the first row by
+    ``keep_order_col`` (one column or a list, with optional per-column
+    ``keep_ascending``), or an arbitrary-but-deterministic first by a
+    full-row sort when None. ``salt > 1`` enables the two-level hot-key
+    reduce (identical output — dedup-first is associative;
+    parity-tested)."""
 
     def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        # deterministic survivor: order by keep_order_col, else by EVERY
+        # column — without a sort, 'first' depends on block arrival
+        # order (and salted vs unsalted plans could keep different rows)
         if keep_order_col:
-            df = df.sort_values(keep_order_col, kind="mergesort")
+            order = ([keep_order_col] if isinstance(keep_order_col, str)
+                     else list(keep_order_col))
+            asc = keep_ascending if keep_ascending is not None else True
+        else:
+            order, asc = list(df.columns), True
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
         return df.drop_duplicates(subset=cols, keep="first")
 
     def local(batch: pa.Table) -> pa.Table:
@@ -106,14 +116,17 @@ def distinct_counts(ds: "ray.data.Dataset", col: str, nb: int = 64) -> "ray.data
     bucket shuffle, vectorized in-bucket sum."""
 
     def local(batch: pa.Table) -> pa.Table:
-        vc = batch.column(col).to_pandas().value_counts()
-        t = pa.table({col: pa.array(vc.index, type=batch.schema.field(col).type),
+        # dropna=False: SQL DISTINCT keeps the null group (it can be
+        # the true hot key — recommend_salt reads this distribution)
+        vc = batch.column(col).to_pandas().value_counts(dropna=False)
+        t = pa.table({col: pa.Array.from_pandas(pd.Series(vc.index),
+                                                type=batch.schema.field(col).type),
                       "count": pa.array(vc.to_numpy(), pa.int64())})
         return _add_bucket(t, [col], nb)
 
     def finish(group: pa.Table) -> pa.Table:
         df = group.select([col, "count"]).to_pandas()
-        out = df.groupby(col, sort=False, as_index=False)["count"].sum()
+        out = df.groupby(col, sort=False, as_index=False, dropna=False)["count"].sum()
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return (

@@ -71,17 +71,6 @@ class LinkerActor:
         self.cache_size = cache_size
         self.stats = {"keys": 0, "hits": 0, "cache_hits": 0}
 
-    def _resolve(self, key: str):
-        cached = self.cache.get(key, False)
-        if cached is not False:
-            self.stats["cache_hits"] += 1
-            return cached
-        char_type, _, value_norm = key.partition(KEY_SEP)
-        hit = self.index.lookup(char_type, value_norm)
-        if len(self.cache) < self.cache_size:
-            self.cache[key] = hit
-        return hit
-
     def __call__(self, batch: pa.Table) -> pa.Table:
         """Distinct keys → annotation rows. Cache-miss keys resolve
         through the VECTORIZED tier cascade (``OntologyIndex.

@@ -50,15 +50,18 @@ def quality_features(batch: pa.Table, col: str = "text") -> pa.Table:
     n_tok = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.float64)
     n_punct = pc.count_substring_regex(text, r"[^\w\s]").to_numpy(zero_copy_only=False)
     n_digit = pc.count_substring_regex(text, r"\d").to_numpy(zero_copy_only=False)
-    # stopword ratio: explode tokens once, one vectorized isin, bincount
-    s = toks.to_pandas()
-    lengths = s.str.len().to_numpy(dtype=np.int64)
-    doc_idx = np.repeat(np.arange(len(s)), lengths)
-    flat = pd.Series([w for ws in s for w in ws], dtype=object).str.lower()
-    stop_hits = np.zeros(len(s), dtype=np.int64)
-    if len(flat):
-        hits = flat.isin(_EN_STOP).to_numpy()
-        stop_hits = np.bincount(doc_idx[hits], minlength=len(s))
+    # stopword ratio: Arrow list_flatten + utf8_lower + is_in + bincount
+    # (no per-token Python — same pattern as quality_counts)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+    stop_hits = np.zeros(len(lengths), dtype=np.int64)
+    if len(doc_idx):
+        hits = pc.is_in(pc.utf8_lower(flat),
+                        value_set=pa.array(sorted(_EN_STOP))).to_numpy(zero_copy_only=False)
+        stop_hits = np.bincount(doc_idx[hits], minlength=len(lengths))
     stop_ratio = stop_hits / np.maximum(lengths, 1)
 
     safe_tok = np.maximum(n_tok, 1.0)
@@ -252,23 +255,25 @@ def train_split(batch: pa.Table, id_col: str = "doc_id",
 
 def fingerprint(batch: pa.Table, col: str = "text", k: int = 8, ngram: int = 3) -> pa.Table:
     """Winnowing-style fingerprint: the k smallest rolling-hash values
-    of the token n-gram stream, packed to a hex digest; plus a full
-    64-bit content hash. Near-identical docs share most minima."""
+    of the token n-gram stream, packed to a hex digest; plus a stable
+    64-bit content hash of the RAW text (exact-identity key — an XOR of
+    shingle hashes was order-invariant and cancelled even-count
+    shingles, colliding e.g. 'a b a b a b' with 'b a b a b a').
+    Near-identical docs share most fingerprint minima."""
     texts = batch.column(col).to_pandas().fillna("")
     th_per_doc = batch_token_hashes(texts)
-    digests, full = [], np.empty(len(texts), dtype=np.uint64)
+    digests = []
     with np.errstate(over="ignore"):
         for i, t in enumerate(texts):
             h = rolling_shingle_hashes([], ngram, token_hashes=th_per_doc[i])
             if len(h) == 0:
                 digests.append("")
-                full[i] = 0
                 continue
             mins = np.sort(h)[:k]
             digests.append("".join(f"{m:016x}" for m in mins))
-            full[i] = np.bitwise_xor.reduce(h) * _FNV_PRIME + np.uint64(len(h))
+    full = pd.util.hash_pandas_object(texts, index=False).to_numpy()
     out = batch.append_column("fingerprint", pa.array(digests, pa.string()))
-    return out.append_column("content_hash", pa.array(full.astype(np.int64).view(np.uint64)))
+    return out.append_column("content_hash", pa.array(full))
 
 
 def quality_counts(batch: pa.Table, id_col: str = "doc_id", col: str = "text") -> pa.Table:
@@ -344,7 +349,6 @@ def top_ngrams(
     n: int = 2,
     k: int = 20,
     col: str = "text",
-    nb: int = 16,
 ) -> pa.Table:
     """Corpus-level top-k token n-grams with counts — the n-gram LM /
     boilerplate-phrase census. Map-side partial counts (one pandas
@@ -483,7 +487,6 @@ def unigram_logprob_score(
     id_col: str = "doc_id",
     col: str = "text",
     vocab_hash_bits: int = 18,
-    nb: int = 32,
 ) -> "ray.data.Dataset":
     """Per-document mean negative log-probability under a corpus-level
     hashed-unigram language model — the dependency-free stand-in for a

@@ -73,7 +73,7 @@ def test_top_ngrams_counts_and_no_cross_doc_grams(ray_session):
     docs = rd.from_pandas(pd.DataFrame({
         "text": ["b c", "a b c a b", "c a"] * 4,
     })).repartition(3)
-    out = top_ngrams(docs, n=2, k=10, nb=4).to_pandas().set_index("ngram")["n"]
+    out = top_ngrams(docs, n=2, k=10).to_pandas().set_index("ngram")["n"]
     # per doc-triple: "b c" → {b c}, "a b c a b" → {a b, b c, c a, a b},
     # "c a" → {c a}; ×4 repeats
     assert out["a b"] == 8
@@ -88,7 +88,7 @@ def test_top_ngrams_trigram(ray_session):
     from biosd_feature_annotator_ray.stages.textstats import top_ngrams
 
     docs = rd.from_pandas(pd.DataFrame({"text": ["a b c d", "a b c"]}))
-    out = top_ngrams(docs, n=3, k=5, nb=2).to_pandas().set_index("ngram")["n"]
+    out = top_ngrams(docs, n=3, k=5).to_pandas().set_index("ngram")["n"]
     assert out["a b c"] == 2
     assert out["b c d"] == 1
     assert len(out) == 2
@@ -380,7 +380,7 @@ def test_new_ops_handle_empty_input(ray_session):
     assert len(ntile_per_key(ev, nb=2).to_pandas()) == 0
     assert len(percent_rank_per_key(ev, nb=2).to_pandas()) == 0
     assert len(fixed_width_histogram(ev, "value").to_pandas()) == 0
-    assert len(top_ngrams(docs, n=2, k=5, nb=2).to_pandas()) == 0
+    assert len(top_ngrams(docs, n=2, k=5).to_pandas()) == 0
     assert len(set_op(ev.select_columns(["event_id"]),
                       ev.select_columns(["event_id"]), "event_id").to_pandas()) == 0
     wide = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64"),
@@ -557,3 +557,67 @@ def test_cume_dist_and_first_value_match_pandas(ev):
     want2 = srt.groupby("user_id")["value"].transform("first").set_axis(srt["event_id"])
     m2 = got2.set_index("event_id")["first_value"].sort_index()
     assert np.allclose(m2.to_numpy(), want2.sort_index().to_numpy())
+
+
+def test_hash_columns_int_float_promotion_parity(ray_session):
+    """Regression: int64 ids >= 1e15 hashed differently from their
+    null-promoted float64 twins ('1000000000000000' vs '1e+15') —
+    duplicates landed in different buckets and survived dedup."""
+    from biosd_feature_annotator_ray.functions.hashing import hash_columns
+
+    big = 10**15
+    as_int = pa.table({"k": pa.array([big], pa.int64())})
+    as_float = pa.table({"k": pa.array([float(big)], pa.float64())})
+    assert hash_columns(as_int, ["k"])[0] == hash_columns(as_float, ["k"])[0]
+
+
+def test_norm_array_matches_norm_str_unicode_ws(ray_session):
+    """Regression: RE2 ASCII \\s let NBSP through; the array kernel must
+    normalize exactly like the scalar twin that builds the index."""
+    from biosd_feature_annotator_ray.functions.normalize import norm_array, norm_str
+
+    cases = ["Homo\xa0sapiens", "  a b  ", "x　y", "tab\tspace",
+             "line1 line2", "plain text"]
+    got = norm_array(pa.array(cases)).to_pylist()
+    assert got == [norm_str(c) for c in cases]
+
+
+def test_content_hash_not_order_invariant(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import fingerprint
+
+    batch = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                      "text": pa.array(["a b a b a b", "b a b a b a"])})
+    out = fingerprint(batch).to_pandas()
+    assert out["content_hash"].iloc[0] != out["content_hash"].iloc[1]
+
+
+def test_distinct_counts_keeps_null_group(ray_session):
+    from biosd_feature_annotator_ray.stages.canonicalize import distinct_counts
+
+    df = pd.DataFrame({"k": ["x"] * 5 + [None] * 9 + ["y"] * 2})
+    out = distinct_counts(rd.from_pandas(df), "k", nb=4).to_pandas()
+    m = {(k if pd.notna(k) else None): int(c) for k, c in zip(out["k"], out["count"])}
+    assert m == {"x": 5, None: 9, "y": 2}
+
+
+def test_prefix_successor_bound(ray_session, tmp_path):
+    from biosd_feature_annotator_ray.sources.pages import _prefix_successor, read_pages
+    from biosd_feature_annotator_ray.synth import gen_pages
+
+    assert _prefix_successor("ab") == "ac"
+    assert _prefix_successor("a퟿"[:1] + chr(0xD7FF)) == "a"
+    assert _prefix_successor(chr(0x10FFFF)) is None
+    # astral URL survives a prefix scan
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pages = gen_pages(5)
+    urls = pages.column("url").to_pylist()
+    urls[0] = "https://x.com/\U0001f600/page"
+    pages = pages.set_column(0, "url", pa.array(urls, pa.string()))
+    p = str(tmp_path / "pages")
+    import os
+    os.makedirs(p)
+    pq.write_table(pages, f"{p}/part.parquet")
+    got = read_pages(p, url_prefix="https://x.com/").to_pandas()
+    assert "https://x.com/\U0001f600/page" in set(got["url"])

@@ -146,7 +146,7 @@ def test_unigram_logprob_score(ray_session):
         "doc_id": [1, 2, 3],
         "text": [common, common, "zxqv jklm wpfh gttx bnns vvrq"],
     })
-    out = unigram_logprob_score(rd.from_pandas(docs), nb=4).to_pandas()
+    out = unigram_logprob_score(rd.from_pandas(docs)).to_pandas()
     s = out.set_index("doc_id")["avg_neg_logprob"]
     # rare-token gibberish is far less probable than the repeated doc
     assert s[3] > s[1] and abs(s[1] - s[2]) < 1e-9
