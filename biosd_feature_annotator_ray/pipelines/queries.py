@@ -224,6 +224,28 @@ def q_join_orders_lineitem(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# FULL OUTER shuffle join: big orders ⋈ heavy lineitems — unmatched
+# rows survive on BOTH sides (the key column is coalesced)
+def q_full_outer_join(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..stages.join import shuffle_hash_join
+
+    big_orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 300_000.0,
+    )
+    heavy_lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
+        filter=pads.field("l_quantity") >= 49,
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
+                  batch_format="pyarrow")
+    j = shuffle_hash_join(big_orders, heavy_lines, on=["o_orderkey"], how="full", nb=16)
+    df = j.to_pandas().sort_values(
+        ["o_orderkey", "l_quantity"], na_position="last").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # Shuffle SEMI join: customers with ≥1 big order (filter pushed to the read)
 def q_semi_join_customers(sf_dir: str):
     import pyarrow.dataset as pads
@@ -1231,6 +1253,7 @@ QUERIES = {
     "lineitem_agg": q_lineitem_agg,
     "revenue_per_nation": q_revenue_per_nation,
     "join_orders_lineitem": q_join_orders_lineitem,
+    "full_outer_join": q_full_outer_join,
     "semi_join_customers": q_semi_join_customers,
     "top_building_orders": q_top_building_orders,
     "hash_sample": q_hash_sample,
@@ -1365,6 +1388,15 @@ ORACLES = {
         "SELECT o_orderpriority, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,"
         " count(*) AS n_lines"
         " FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY o_orderpriority"
+    ),
+    "full_outer_join": (
+        "SELECT COALESCE(o.o_orderkey, l.l_orderkey) AS o_orderkey,"
+        " o.o_totalprice, l.l_quantity"
+        " FROM (SELECT o_orderkey, o_totalprice FROM orders"
+        "       WHERE o_totalprice > 300000) o"
+        " FULL OUTER JOIN (SELECT l_orderkey, l_quantity FROM lineitem"
+        "       WHERE l_quantity >= 49) l"
+        " ON o.o_orderkey = l.l_orderkey"
     ),
     "semi_join_customers": (
         "SELECT c_custkey FROM customer WHERE c_custkey IN "

@@ -112,8 +112,10 @@ def shuffle_hash_join(
 ) -> "ray.data.Dataset":
     """Join two Datasets on ``on`` via one bucket shuffle.
 
-    ``how``: inner | left | semi | anti (semi/anti return left columns
-    only). Overlapping non-key columns get ``suffixes``.
+    ``how``: inner | left | right | full | semi | anti (semi/anti
+    return left columns only; ``full`` is SQL FULL OUTER — the key
+    column is coalesced across sides). Overlapping non-key columns get
+    ``suffixes``.
 
     **Skew handling**: pass ``hot_keys`` (a pa.Table holding the key
     columns — e.g. the top rows of a K4 ``distinct_counts`` hot-key
@@ -125,8 +127,12 @@ def shuffle_hash_join(
     to the unsalted plan for every ``how`` (parity-tested); cost is
     ``salt×`` duplication of the right-side hot rows only.
     """
-    if how not in ("inner", "left", "semi", "anti"):
+    if how not in ("inner", "left", "right", "full", "semi", "anti"):
         raise ValueError(f"unsupported how={how!r}")
+    if hot_keys is not None and how in ("right", "full"):
+        # a replicated build-side hot row that matches NOTHING would be
+        # emitted unmatched once per sub-bucket — wrong output
+        raise ValueError("hot_keys salting is not supported for right/full joins")
     lschema = _arrow_schema(left)
     rschema = _arrow_schema(right)
     for k in on:
@@ -216,9 +222,11 @@ def shuffle_hash_join(
         side = df.pop(_SIDE)
         ldf = df[side == 0][on + lcols]
         rdf = df[side == 1][on + rcols]
-        # SQL semantics: null keys never match
-        rdf = rdf.dropna(subset=on)
-        if how in ("inner", "semi", "anti"):
+        # SQL semantics: null keys never match — but right/full retain
+        # the null-key rows of the preserved side(s) unmatched
+        if how not in ("right", "full"):
+            rdf = rdf.dropna(subset=on)
+        if how in ("inner", "semi", "anti", "right"):
             ldf = ldf.dropna(subset=on)
         if how == "semi":
             keys = rdf[on].drop_duplicates()
@@ -227,6 +235,23 @@ def shuffle_hash_join(
             marked = ldf.merge(rdf[on].drop_duplicates(), on=on, how="left",
                                indicator=True)
             out = marked[marked["_merge"] == "left_only"].drop(columns=["_merge"])
+        elif how in ("right", "full"):
+            # split null-key rows off the preserved side(s) so pandas'
+            # NaN == NaN merge behavior can't pair them, merge the
+            # non-null cores, then re-attach the null-key rows unmatched
+            lnull = ldf[on].isna().any(axis=1)
+            rnull = rdf[on].isna().any(axis=1)
+            out = ldf[~lnull].merge(rdf[~rnull], on=on,
+                                    how="outer" if how == "full" else "right",
+                                    suffixes=suffixes)
+            extras = [rdf[rnull].rename(columns={
+                n: n + suffixes[1] for n in rcols if n in overlap})]
+            if how == "full":
+                extras.append(ldf[lnull].rename(columns={
+                    n: n + suffixes[0] for n in lcols if n in overlap}))
+            extras = [e.reindex(columns=out.columns) for e in extras if len(e)]
+            if extras:
+                out = pd.concat([out] + extras, ignore_index=True)
         else:
             out = ldf.merge(rdf, on=on, how=how, suffixes=suffixes)
         return _df_to_schema(out, out_schema)

@@ -184,3 +184,48 @@ def test_left_join_blocks_share_one_schema(ray_session):
                              rd.from_pandas(right2).repartition(2),
                              on=["k"], how="left", nb=8).to_pandas()
     assert {"a_l", "a_r"} <= set(out2.columns)
+
+
+def test_right_join_matches_sql_semantics(sides):
+    left, right = sides
+    right = right.copy()
+    right.loc[::40, "k"] = pd.NA  # null right keys: retained unmatched
+    got = shuffle_hash_join(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right).repartition(3),
+                            on=["k"], how="right", nb=8).to_pandas()
+    lnn, rnn = left.dropna(subset=["k"]), right.dropna(subset=["k"])
+    core = lnn.merge(rnn, on="k", how="right", suffixes=("_l", "_r"))
+    extra = right[right["k"].isna()].rename(columns={"shared": "shared_r"})
+    want = pd.concat([core, extra.reindex(columns=core.columns)], ignore_index=True)
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_norm(got, cols), _norm(want, cols))
+    # every null-key right row came through exactly once, unmatched
+    assert got["k"].isna().sum() == right["k"].isna().sum()
+    assert got.loc[got["k"].isna(), "lv"].isna().all()
+
+
+def test_full_outer_join_matches_sql_semantics(sides):
+    left, right = sides
+    right = right.copy()
+    right.loc[::40, "k"] = pd.NA
+    got = shuffle_hash_join(rd.from_pandas(left).repartition(4),
+                            rd.from_pandas(right).repartition(3),
+                            on=["k"], how="full", nb=8).to_pandas()
+    lnn, rnn = left.dropna(subset=["k"]), right.dropna(subset=["k"])
+    core = lnn.merge(rnn, on="k", how="outer", suffixes=("_l", "_r"))
+    extras = [right[right["k"].isna()].rename(columns={"shared": "shared_r"}),
+              left[left["k"].isna()].rename(columns={"shared": "shared_l"})]
+    want = pd.concat([core] + [e.reindex(columns=core.columns) for e in extras],
+                     ignore_index=True)
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(_norm(got, cols), _norm(want, cols))
+    # null-key rows from BOTH sides survive, never matched to each other
+    n_null = left["k"].isna().sum() + right["k"].isna().sum()
+    assert got["k"].isna().sum() == n_null
+
+
+def test_full_join_salting_rejected(sides):
+    left, right = sides
+    with pytest.raises(ValueError, match="salting"):
+        shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
+                          on=["k"], how="full", hot_keys=[1, 2])
