@@ -543,6 +543,36 @@ def q_lag_events(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_lead_events(sf_dir: str):
+    from ..stages.windows import lead_per_key
+
+    out = lead_per_key(_events(sf_dir, ["event_id", "user_id", "ts"]),
+                       key_col="user_id", value_col="event_id",
+                       order_cols=["ts", "event_id"], out="next_event_id", nb=8)
+    df = out.to_pandas()[["event_id", "next_event_id"]]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_last_value_events(sf_dir: str):
+    from ..stages.windows import last_value_per_key
+
+    out = last_value_per_key(_events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+                             key_col="user_id", value_col="value",
+                             order_cols=["ts", "event_id"], out="last_value", nb=8)
+    df = out.to_pandas()[["event_id", "last_value"]]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_nth_value_events(sf_dir: str):
+    from ..stages.windows import nth_value_per_key
+
+    out = nth_value_per_key(_events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+                            n=3, key_col="user_id", value_col="value",
+                            order_cols=["ts", "event_id"], out="third_value", nb=8)
+    df = out.to_pandas()[["event_id", "third_value"]]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # exact distributed quantiles (histogram-bracket, no global sort)
 def q_quantiles(sf_dir: str):
     from ..stages.sketches import exact_quantile
@@ -1267,6 +1297,9 @@ QUERIES = {
     "asof_join_events": q_asof_join_events,
     "rank_events": q_rank_events,
     "lag_events": q_lag_events,
+    "lead_events": q_lead_events,
+    "last_value_events": q_last_value_events,
+    "nth_value_events": q_nth_value_events,
     "quantiles": q_quantiles,
     "quantiles_cont": q_quantiles_cont,
     "stddev_by_type": q_stddev_by_type,
@@ -1480,6 +1513,22 @@ ORACLES = {
     "lag_events": (
         "SELECT event_id, lag(event_id) OVER (PARTITION BY user_id"
         " ORDER BY ts, event_id) AS prev_event_id FROM events"
+    ),
+    "lead_events": (
+        "SELECT event_id, lead(event_id) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id) AS next_event_id FROM events"
+    ),
+    "last_value_events": (
+        "SELECT event_id, last_value(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        " AS last_value FROM events"
+    ),
+    "nth_value_events": (
+        "SELECT event_id, nth_value(value, 3) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id"
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+        " AS third_value FROM events"
     ),
     "quantiles": (
         "SELECT round(quantile_disc(o_totalprice, 0.5), 2) AS p50,"

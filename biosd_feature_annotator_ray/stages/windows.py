@@ -432,3 +432,99 @@ def first_value_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def lead_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "event_id",
+    order_cols: list[str] | None = None,
+    out: str = "next",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """lead(value) OVER (PARTITION BY key ORDER BY order_cols): the
+    NEXT row's value per key (null for each key's last row) — the
+    mirror of ``lag_per_key`` (pandas shift(-1) after one mergesort)."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        df[out] = df.groupby(key_col, sort=False)[value_col].shift(-1)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def last_value_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    out: str = "last_value",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """last_value(value) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING): every
+    row carries its group's LAST value in the declared total order
+    (the full-frame variant — SQL's default running frame is a
+    footgun, so the whole-partition frame is what this computes)."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        df[out] = df.groupby(key_col, sort=False)[value_col].transform("last")
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def nth_value_per_key(
+    events: "ray.data.Dataset",
+    n: int,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    out: str = "nth_value",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """nth_value(value, n) OVER (PARTITION BY key ORDER BY order_cols
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING): every
+    row carries its group's n-th value (1-based; null when the group
+    has fewer than n rows). Vectorized: one mergesort + cumcount mask
+    + a key→value map — no per-group Python."""
+    if n < 1:
+        raise ValueError("n is 1-based and must be >= 1")
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        cc = df.groupby(key_col, sort=False).cumcount()
+        nth = df.loc[cc == n - 1].set_index(key_col)[value_col]
+        df[out] = df[key_col].map(nth)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -85,3 +85,27 @@ def test_anti_join_keys(ray_session):
     done = ray.put(pa.array(["b", "d"]))
     out = anti_join_keys(ds, "key", done).to_pandas()
     assert sorted(out.key) == ["a", "c"]
+
+
+def test_lead_last_nth_value_per_key(ray_session):
+    from biosd_feature_annotator_ray.stages.windows import (
+        lead_per_key, last_value_per_key, nth_value_per_key)
+
+    df = pd.DataFrame({
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "event_id": [10, 11, 12, 20, 21, 30],
+        "ts": pd.to_datetime([1, 2, 3, 1, 2, 1], unit="s"),
+        "value": [5.0, 6.0, 7.0, 8.0, 9.0, 1.0],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    lead = lead_per_key(ds, value_col="event_id", out="nxt", nb=4).to_pandas()
+    lead = lead.sort_values("event_id").reset_index(drop=True)
+    assert [x if pd.notna(x) else None for x in lead["nxt"]] == [11, 12, None, 21, None, None]
+    last = last_value_per_key(ds, value_col="value", nb=4).to_pandas()
+    last = last.sort_values("event_id").reset_index(drop=True)
+    assert last["last_value"].tolist() == [7.0, 7.0, 7.0, 9.0, 9.0, 1.0]
+    # n beyond a group's size -> null for that whole group
+    nth = nth_value_per_key(ds, n=3, value_col="value", nb=4).to_pandas()
+    nth = nth.sort_values("event_id").reset_index(drop=True)
+    got = [x if pd.notna(x) else None for x in nth["nth_value"]]
+    assert got == [7.0, 7.0, 7.0, None, None, None]
