@@ -969,6 +969,63 @@ def q_rollup_revenue(sf_dir: str):
     return pa.Table.from_pandas(out[["nation", "year", "revenue"]], preserve_index=False)
 
 
+# Grouped exact COUNT(DISTINCT): map-side pair dedup + one bucket
+# shuffle (dedup_exact) + a small per-group count — the distinct pairs
+# are the only rows that move, never the raw fact stream
+def q_distinct_users_per_type(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    pairs = dedup_exact(_events(sf_dir, ["event_type", "user_id"]),
+                        ["event_type", "user_id"], nb=16)
+    agg = pairs.groupby("event_type").aggregate(Count(alias_name="n_users"))
+    df = agg.to_pandas()
+    df["n_users"] = df["n_users"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# CUBE grouping sets: all 4 levels {(nation,year),(nation),(year),()}
+# derived from the ONE finest dimension-sized aggregate — a single
+# fact-table pass, never 4 (same derivation pattern as ROLLUP, plus
+# the (year)-only slice ROLLUP omits)
+def q_cube_revenue(sf_dir: str):
+    from ..stages.join import broadcast_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+                         ).rename_columns(["o_custkey", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nk2name = dict(zip(nation.column("n_nationkey").to_pylist(),
+                       nation.column("n_name").to_pylist()))
+    ref = ray.put(nk2name)
+    joined = broadcast_join(orders, cust, on=["o_custkey"], how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        df = batch.to_pandas()
+        df["nation"] = df["c_nationkey"].map(lut)
+        df["year"] = df["o_orderdate"].dt.year.astype("int64")
+        g = df.groupby(["nation", "year"], as_index=False).agg(
+            revenue=("o_totalprice", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (
+        joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby(["nation", "year"])
+        .aggregate(Sum("revenue", alias_name="revenue"))
+    ).to_pandas()
+    by_nation = finest.groupby("nation", as_index=False)["revenue"].sum()
+    by_nation["year"] = np.nan
+    by_year = finest.groupby("year", as_index=False)["revenue"].sum()
+    by_year["nation"] = None
+    total = pd.DataFrame({"nation": [None], "year": [np.nan],
+                          "revenue": [finest["revenue"].sum()]})
+    out = pd.concat([finest, by_nation, by_year, total], ignore_index=True)
+    out["revenue"] = out["revenue"].round(2)
+    out["year"] = out["year"].astype("float64")
+    return pa.Table.from_pandas(out[["nation", "year", "revenue"]], preserve_index=False)
+
+
 # Cross join (Cartesian): small dimension × small dimension
 def q_region_nation_cross(sf_dir: str):
     from ..stages.join import broadcast_join
@@ -1329,6 +1386,8 @@ QUERIES = {
     "union_all_ids": q_union_all_ids,
     "like_filter": q_like_filter,
     "rollup_revenue": q_rollup_revenue,
+    "cube_revenue": q_cube_revenue,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "percent_rank_events": q_percent_rank_events,
     "cume_dist_events": q_cume_dist_events,
     "first_value_events": q_first_value_events,
@@ -1664,6 +1723,17 @@ ORACLES = {
         " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
         " JOIN nation n ON c.c_nationkey = n.n_nationkey"
         " GROUP BY ROLLUP(n.n_name, year(o.o_orderdate))"
+    ),
+    "cube_revenue": (
+        "SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS year,"
+        " round(sum(o.o_totalprice), 2) AS revenue"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+        " GROUP BY CUBE(n.n_name, year(o.o_orderdate))"
+    ),
+    "distinct_users_per_type": (
+        "SELECT event_type, count(DISTINCT user_id) AS n_users"
+        " FROM events GROUP BY event_type"
     ),
     "percent_rank_events": (
         "SELECT event_id, percent_rank() OVER (PARTITION BY user_id"
