@@ -969,6 +969,17 @@ def q_rollup_revenue(sf_dir: str):
     return pa.Table.from_pandas(out[["nation", "year", "revenue"]], preserve_index=False)
 
 
+# Duplicate k-gram share per document (Dolma/Gopher curation signal):
+# gram hashes shuffle once, per-doc partials shuffle once — gram TEXT
+# never moves (the oracle twin uses the strings; see dup_ngram_stats)
+def q_dup_ngram_share(sf_dir: str):
+    out = textstats.dup_ngram_stats(_docs(sf_dir, ["doc_id", "text"]), k=5, nb=16)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["n_grams"] = df["n_grams"].astype("int64")
+    df["dup_grams"] = df["dup_grams"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # Grouped exact COUNT(DISTINCT): map-side pair dedup + one bucket
 # shuffle (dedup_exact) + a small per-group count — the distinct pairs
 # are the only rows that move, never the raw fact stream
@@ -1388,6 +1399,7 @@ QUERIES = {
     "rollup_revenue": q_rollup_revenue,
     "cube_revenue": q_cube_revenue,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "dup_ngram_share": q_dup_ngram_share,
     "percent_rank_events": q_percent_rank_events,
     "cume_dist_events": q_cume_dist_events,
     "first_value_events": q_first_value_events,
@@ -1734,6 +1746,18 @@ ORACLES = {
     "distinct_users_per_type": (
         "SELECT event_type, count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY event_type"
+    ),
+    "dup_ngram_share": (
+        "WITH toks AS (SELECT doc_id,"
+        "   regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),"
+        " grams AS (SELECT doc_id, array_to_string(t[i.i:i.i+4], ' ') AS g"
+        "   FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 3)) AS i) AS i),"
+        " gcounts AS (SELECT g, count(DISTINCT doc_id) AS nd FROM grams GROUP BY g),"
+        " per_doc AS (SELECT gr.doc_id, count(*) AS n_grams,"
+        "   CAST(sum(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_grams"
+        "   FROM grams gr JOIN gcounts c ON gr.g = c.g GROUP BY gr.doc_id)"
+        " SELECT doc_id, n_grams, dup_grams,"
+        "  CAST(dup_grams AS DOUBLE)/n_grams AS dup_share FROM per_doc"
     ),
     "percent_rank_events": (
         "SELECT event_id, percent_rank() OVER (PARTITION BY user_id"

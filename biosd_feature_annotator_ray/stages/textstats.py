@@ -549,3 +549,91 @@ def unigram_logprob_score(
         })
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)
+
+
+def dup_ngram_stats(
+    docs: "ray.data.Dataset",
+    k: int = 5,
+    id_col: str = "doc_id",
+    col: str = "text",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Cross-document duplicate n-gram share per document — the
+    Dolma/Gopher-style curation signal "what fraction of this doc's
+    word k-grams also occur in OTHER documents" (boilerplate and
+    templated spam score high; unique prose scores low).
+
+    Output: id_col, n_grams (gram occurrences = n_tok−k+1),
+    dup_grams (occurrences whose gram appears in >1 distinct doc),
+    dup_share = dup_grams / n_grams. Docs with < k tokens emit no row.
+
+    Scale shape: gram identity travels as a 64-bit rolling hash, never
+    the gram text; stage 1 emits per-(doc, gram) counts (map-side
+    reduced), one bucket shuffle on the gram hash counts distinct docs
+    per gram INSIDE each bucket group, and only per-doc partial sums
+    move through the second (doc-keyed, pre-reduced) shuffle. Hash
+    collisions merge two grams with odds ~m²/2⁶⁵ — negligible; the
+    DuckDB oracle twin uses the gram STRINGS and matches exactly at
+    test scale.
+    """
+    import ray.data  # noqa: F401  (type only)
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import _add_bucket, _B
+
+    P = np.uint64(1099511628211)
+    empty = pa.schema([pa.field(id_col, pa.int64()), pa.field("gh", pa.int64()),
+                       pa.field("occ", pa.int64())])
+
+    def grams(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        texts = df[col].fillna("")
+        toks = [t.split() for t in texts]
+        lengths = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+        flat = [w for ws in toks for w in ws]
+        if not flat:
+            return _add_bucket(empty.empty_table(), ["gh"], nb)
+        th = pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+        m = len(th) - k + 1
+        if m <= 0:
+            return _add_bucket(empty.empty_table(), ["gh"], nb)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * P + th[j : m + j]
+        # a window is a real k-gram only when its first and last token
+        # belong to the same document
+        valid = doc_idx[:m] == doc_idx[k - 1 :]
+        g = pd.DataFrame({
+            id_col: df[id_col].to_numpy()[doc_idx[:m][valid]],
+            "gh": acc[valid].view(np.int64),
+        })
+        out = g.groupby([id_col, "gh"], sort=False).size().reset_index(name="occ")
+        return _add_bucket(pa.Table.from_pandas(out, preserve_index=False), ["gh"], nb)
+
+    def per_gram_bucket(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        # rows are per (doc, gram): group size == distinct docs holding it
+        nd = df.groupby("gh", sort=False)["occ"].transform("size")
+        df["dup_occ"] = np.where(nd.to_numpy() > 1, df["occ"].to_numpy(), 0)
+        part = df.groupby(id_col, as_index=False).agg(
+            n_part=("occ", "sum"), dup_part=("dup_occ", "sum"))
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    def share(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("dup_grams").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table({id_col: batch.column(id_col),
+                      "n_grams": pa.array(n), "dup_grams": pa.array(d)})
+        return t.append_column("dup_share", pa.array(d.astype(np.float64) / n, pa.float64()))
+
+    return (
+        docs.map_batches(grams, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(per_gram_bucket, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("n_part", alias_name="n_grams"),
+                   Sum("dup_part", alias_name="dup_grams"))
+        .map_batches(share, batch_format="pyarrow")
+    )

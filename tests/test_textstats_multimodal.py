@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -107,3 +108,25 @@ def test_video_frame_sampling_expands_rows():
     out = multimodal.VideoFrameSampleStage(frames_per_video=3)(media)
     assert len(out) == 12
     assert out.column("frame_idx").to_pylist()[:3] == [0, 1, 2]
+
+
+def test_dup_ngram_stats_planted(ray_session):
+    import ray.data as rd
+    from biosd_feature_annotator_ray.stages.textstats import dup_ngram_stats
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e f",            # grams: abcde, bcdef
+                 "x y a b c d e z",        # xyabc, yabcd, abcde, bcdez
+                 "q w e r t y u"],         # 3 unique grams
+    })
+    out = dup_ngram_stats(rd.from_pandas(df).repartition(3), k=5, nb=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["n_grams"].tolist() == [2, 4, 3]
+    assert out["dup_grams"].tolist() == [1, 1, 0]
+    assert out["dup_share"].tolist() == [0.5, 0.25, 0.0]
+    # a doc shorter than k emits no row
+    short = pd.DataFrame({"doc_id": [9], "text": ["only four words here"]})
+    both = pd.concat([df, short], ignore_index=True)
+    out2 = dup_ngram_stats(rd.from_pandas(both), k=5, nb=4).to_pandas()
+    assert 9 not in set(out2["doc_id"])
