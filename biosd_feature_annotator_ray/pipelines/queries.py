@@ -969,6 +969,49 @@ def q_rollup_revenue(sf_dir: str):
     return pa.Table.from_pandas(out[["nation", "year", "revenue"]], preserve_index=False)
 
 
+# Per-group MODE (most frequent value, deterministic tie-break):
+# map-side partial counts → one groupby sum → argmax per group.
+# The raw fact stream never shuffles, only (group, value, n) partials.
+def q_mode_user_per_type(sf_dir: str):
+    counts = (
+        _events(sf_dir, ["event_type", "user_id"])
+        .map_batches(
+            lambda t: pa.Table.from_pandas(
+                t.to_pandas().groupby(["event_type", "user_id"], as_index=False)
+                .size().rename(columns={"size": "n"}),
+                preserve_index=False),
+            batch_format="pyarrow", batch_size=65536)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    top = groupby_argmax(counts, key_cols=["event_type"],
+                         order_cols=["n", "user_id"], ascending=[False, True], nb=8)
+    df = top.to_pandas()[["event_type", "user_id", "n"]].rename(
+        columns={"user_id": "top_user"})
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Scalar-subquery filter: rows above the GLOBAL mean — the scalar is
+# one tiny aggregate, broadcast into a vectorized filter (no driver
+# loop, no second full pass shuffling anything)
+def q_above_avg_orders(sf_dir: str):
+    from ray.data.aggregate import Mean
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderkey", "o_totalprice"])
+    mean = ds.aggregate(Mean("o_totalprice"))["mean(o_totalprice)"]
+    ref = ray.put(float(mean))
+
+    def f(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        return batch.filter(pc.greater(batch.column("o_totalprice"), m))
+
+    out = ds.map_batches(f, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("o_orderkey").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # Duplicate k-gram share per document (Dolma/Gopher curation signal):
 # gram hashes shuffle once, per-doc partials shuffle once — gram TEXT
 # never moves (the oracle twin uses the strings; see dup_ngram_stats)
@@ -1400,6 +1443,8 @@ QUERIES = {
     "cube_revenue": q_cube_revenue,
     "distinct_users_per_type": q_distinct_users_per_type,
     "dup_ngram_share": q_dup_ngram_share,
+    "mode_user_per_type": q_mode_user_per_type,
+    "above_avg_orders": q_above_avg_orders,
     "percent_rank_events": q_percent_rank_events,
     "cume_dist_events": q_cume_dist_events,
     "first_value_events": q_first_value_events,
@@ -1746,6 +1791,17 @@ ORACLES = {
     "distinct_users_per_type": (
         "SELECT event_type, count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY event_type"
+    ),
+    "mode_user_per_type": (
+        "SELECT event_type, top_user, n FROM ("
+        " SELECT event_type, user_id AS top_user, count(*) AS n,"
+        "  row_number() OVER (PARTITION BY event_type"
+        "   ORDER BY count(*) DESC, user_id) AS rn"
+        " FROM events GROUP BY event_type, user_id) WHERE rn = 1"
+    ),
+    "above_avg_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders"
+        " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
     ),
     "dup_ngram_share": (
         "WITH toks AS (SELECT doc_id,"
