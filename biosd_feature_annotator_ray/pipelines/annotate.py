@@ -267,18 +267,19 @@ def build_triples(
         # "Homo sapiens"-style heavy hitters) sets the two-level reduce.
         salt = recommend_salt(mentions, "key")
     from ..sources.sink import TRIPLE_KEY
-    from ..stages.canonicalize import CONFIDENCE_RANK
 
     def add_pref(t: pa.Table) -> pa.Table:
         # survivor preference = FIXTURES §3.3 tie-break: confidence rank
         # desc, score desc (an unranked/alphabetical survivor could keep
         # a GOOD row over the HIGH row for the same triple key)
-        conf = t.column("confidence").to_pandas().map(CONFIDENCE_RANK).fillna(-1)
-        import numpy as np
+        import pyarrow.compute as _pc
 
-        score = t.column("score").to_pandas().fillna(-1.0).astype(float)
-        out = t.append_column("_pref_c", pa.array((-conf).to_numpy(dtype=np.int32)))
-        return out.append_column("_pref_s", pa.array((-score).to_numpy()))
+        from ..stages.canonicalize import confidence_ranks
+
+        conf = confidence_ranks(t.column("confidence"))
+        score = _pc.fill_null(t.column("score").cast(pa.float64()), -1.0)
+        out = t.append_column("_pref_c", pa.array(-conf))
+        return out.append_column("_pref_s", _pc.negate(score))
 
     tagged = triples.map_batches(add_pref, batch_format="pyarrow",
                                  batch_size=spec.batch_size)

@@ -84,12 +84,12 @@ def _dedup_triples_arrow(part: pa.Table) -> pa.Table:
         return part
     # survivor preference within a key: confidence rank desc, score
     # desc (FIXTURES §3.3) — appended as ascending helper columns
-    from ..stages.canonicalize import CONFIDENCE_RANK
+    from ..stages.canonicalize import confidence_ranks
 
-    conf = part.column("confidence").to_pandas().map(CONFIDENCE_RANK).fillna(-1)
-    score = part.column("score").to_pandas().fillna(-1.0).astype(float)
-    part = part.append_column("_pref_c", pa.array((-conf).to_numpy(dtype=np.int32)))
-    part = part.append_column("_pref_s", pa.array((-score).to_numpy()))
+    conf = confidence_ranks(part.column("confidence"))
+    score = pc.fill_null(part.column("score").cast(pa.float64()), -1.0)
+    part = part.append_column("_pref_c", pa.array(-conf))
+    part = part.append_column("_pref_s", pc.negate(score))
     part = part.sort_by([(c, "ascending") for c in TRIPLE_KEY]
                         + [("_pref_c", "ascending"), ("_pref_s", "ascending")])
     part = part.drop_columns(["_pref_c", "_pref_s"])

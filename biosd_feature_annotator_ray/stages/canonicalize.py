@@ -235,6 +235,17 @@ def set_op(
 
 
 CONFIDENCE_RANK = {"HIGH": 3, "GOOD": 2, "MEDIUM": 1, "LOW": 0}
+_CONF_LEVELS = pa.array(["HIGH", "GOOD", "MEDIUM", "LOW"])
+_CONF_RANKS = np.array([3, 2, 1, 0, -1], dtype=np.int32)  # last = unknown/null
+
+
+def confidence_ranks(conf: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Vectorized CONFIDENCE_RANK lookup (one pc.index_in, no per-row
+    Python map) — the finalize hot loop runs this on every partition."""
+    import pyarrow.compute as _pc
+
+    idx = _pc.fill_null(_pc.index_in(conf, value_set=_CONF_LEVELS), len(_CONF_LEVELS))
+    return _CONF_RANKS[idx.to_numpy(zero_copy_only=False)]
 
 
 def canonicalize_annotations(ann: "ray.data.Dataset", nb: int = 64, salt: int = 1) -> "ray.data.Dataset":
@@ -242,8 +253,7 @@ def canonicalize_annotations(ann: "ray.data.Dataset", nb: int = 64, salt: int = 
     score desc, term_uri asc) — FIXTURES.md §3.3 tie-break."""
 
     def add_rank(batch: pa.Table) -> pa.Table:
-        conf = batch.column("confidence").to_pandas().map(CONFIDENCE_RANK).fillna(-1)
-        return batch.append_column("_crank", pa.array(conf.to_numpy(dtype=np.int32)))
+        return batch.append_column("_crank", pa.array(confidence_ranks(batch.column("confidence"))))
 
     ranked = ann.map_batches(add_rank, batch_format="pyarrow", batch_size=65536)
     best = groupby_argmax(
