@@ -969,6 +969,21 @@ def q_rollup_revenue(sf_dir: str):
     return pa.Table.from_pandas(out[["nation", "year", "revenue"]], preserve_index=False)
 
 
+# Top-k rows PER GROUP (row_number ≤ k): map-side per-key top-k
+# combiner, so at most k·keys rows reach the shuffle
+def q_topk_orders_per_priority(sf_dir: str):
+    from ..stages.canonicalize import groupby_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                         columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    top = groupby_topk(ds, key_cols=["o_orderpriority"],
+                       order_cols=["o_totalprice", "o_orderkey"],
+                       ascending=[False, True], k=3, nb=8)
+    df = top.to_pandas().sort_values(["o_orderpriority", "o_totalprice", "o_orderkey"],
+                                     ascending=[True, False, True]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # Per-group MODE (most frequent value, deterministic tie-break):
 # map-side partial counts → one groupby sum → argmax per group.
 # The raw fact stream never shuffles, only (group, value, n) partials.
@@ -1443,6 +1458,7 @@ QUERIES = {
     "cube_revenue": q_cube_revenue,
     "distinct_users_per_type": q_distinct_users_per_type,
     "dup_ngram_share": q_dup_ngram_share,
+    "topk_orders_per_priority": q_topk_orders_per_priority,
     "mode_user_per_type": q_mode_user_per_type,
     "above_avg_orders": q_above_avg_orders,
     "percent_rank_events": q_percent_rank_events,
@@ -1791,6 +1807,13 @@ ORACLES = {
     "distinct_users_per_type": (
         "SELECT event_type, count(DISTINCT user_id) AS n_users"
         " FROM events GROUP BY event_type"
+    ),
+    "topk_orders_per_priority": (
+        "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+        " SELECT o_orderpriority, o_orderkey, o_totalprice,"
+        "  row_number() OVER (PARTITION BY o_orderpriority"
+        "   ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)"
+        " WHERE rn <= 3"
     ),
     "mode_user_per_type": (
         "SELECT event_type, top_user, n FROM ("

@@ -178,6 +178,43 @@ def groupby_argmax(
     return out.groupby(_B).map_groups(finish, batch_format="pyarrow")
 
 
+def groupby_topk(
+    ds: "ray.data.Dataset",
+    key_cols: list[str],
+    order_cols: list[str],
+    ascending: list[bool],
+    k: int,
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """k best rows per key (generalizes ``groupby_argmax`` beyond
+    k=1): order by ``order_cols``+``ascending`` with key_cols appended
+    as the final tie-break (total order → deterministic output).
+
+    Map-side combiner: every batch keeps ≤ k rows per key BEFORE the
+    bucket shuffle, so at most k·distinct_keys rows move — top-k is
+    associative, the per-bucket finish re-ranks the survivors."""
+    oc = order_cols + [c for c in key_cols if c not in order_cols]
+    asc = ascending + [True] * (len(oc) - len(order_cols))
+
+    def best(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(oc, ascending=asc, kind="mergesort")
+        return df.groupby(key_cols, sort=False, dropna=False).head(k)
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = best(batch.to_pandas())
+        return _add_bucket(pa.Table.from_pandas(df, preserve_index=False), key_cols, nb)
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = best(group.drop_columns([_B]).to_pandas())
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def set_op(
     a: "ray.data.Dataset",
     b: "ray.data.Dataset",

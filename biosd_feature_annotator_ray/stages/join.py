@@ -476,3 +476,38 @@ def broadcast_join(
         return pa.Table.from_pandas(m, preserve_index=False)
 
     return large.map_batches(merge, batch_format="pyarrow", batch_size=65536)
+
+
+def join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: list[str],
+    how: str = "inner",
+    broadcast_threshold_rows: int = 1_000_000,
+    nb: int = 64,
+    suffixes: tuple[str, str] = ("_l", "_r"),
+) -> "ray.data.Dataset":
+    """Size-dispatching join front door (the linking stage's
+    ``compute_links_auto`` pattern generalized to joins): materialize
+    the RIGHT side once, count it, and pick the plan —
+
+    - ≤ ``broadcast_threshold_rows`` → map-side ``broadcast_join``
+      (zero shuffle; the dimension-table case);
+    - larger → bucketed ``shuffle_hash_join`` (both sides move once).
+
+    ``full``/``right`` always take the shuffle plan (broadcast keeps
+    no unmatched right rows). The materialize is the honest price of
+    not knowing the size: blocks land in the object store (spillable)
+    and are consumed by whichever plan wins — callers that already
+    know the shape should call the specific join directly."""
+    if how in ("full", "right"):
+        return shuffle_hash_join(left, right, on, how=how, nb=nb, suffixes=suffixes)
+    m = right.materialize()
+    if m.count() <= broadcast_threshold_rows:
+        import ray as _ray
+
+        small = pa.concat_tables(
+            [pa.Table.from_pandas(df, preserve_index=False) if isinstance(df, pd.DataFrame)
+             else df for df in _ray.get(m.to_arrow_refs())])
+        return broadcast_join(left, small, on, how=how)
+    return shuffle_hash_join(left, m, on, how=how, nb=nb, suffixes=suffixes)

@@ -107,3 +107,20 @@ def test_auto_salt_e2e_identical_triples(ray_session):
 
     mentions = build_mentions(rdm.from_arrow(gen_pages(300)), PipelineSpec(n_buckets=8))
     assert recommend_salt(mentions, "key") >= 1
+
+
+def test_groupby_topk(ray_session):
+    from biosd_feature_annotator_ray.stages.canonicalize import groupby_topk
+
+    df = pd.DataFrame({
+        "g": ["a"] * 5 + ["b"] * 2,
+        "v": [3, 1, 4, 1, 5, 9, 2],
+        "id": range(7),
+    })
+    out = groupby_topk(rd.from_pandas(df).repartition(4), ["g"], ["v", "id"],
+                       [False, True], k=3, nb=4).to_pandas()
+    out = out.sort_values(["g", "v", "id"], ascending=[True, False, True]).reset_index(drop=True)
+    # group a: top3 by v desc = 5,4,3 ; ties (v=1) broken by id and cut
+    assert out[out.g == "a"]["v"].tolist() == [5, 4, 3]
+    # group b has fewer than k rows: all kept
+    assert out[out.g == "b"]["v"].tolist() == [9, 2]

@@ -229,3 +229,17 @@ def test_full_join_salting_rejected(sides):
     with pytest.raises(ValueError, match="salting"):
         shuffle_hash_join(rd.from_pandas(left), rd.from_pandas(right),
                           on=["k"], how="full", hot_keys=[1, 2])
+
+
+def test_join_auto_dispatch_parity(ray_session):
+    from biosd_feature_annotator_ray.stages.join import join
+
+    rng = np.random.default_rng(3)
+    L = pd.DataFrame({"k": rng.integers(0, 50, 300), "a": np.arange(300)})
+    R = pd.DataFrame({"k": rng.integers(25, 75, 100), "b": np.arange(100)})
+    want = L.merge(R, on="k").sort_values(["k", "a", "b"]).reset_index(drop=True)
+    for thr in (1, 10**6):  # force shuffle path, then broadcast path
+        got = join(rd.from_pandas(L).repartition(3), rd.from_pandas(R).repartition(2),
+                   on=["k"], broadcast_threshold_rows=thr).to_pandas()
+        got = got[["k", "a", "b"]].sort_values(["k", "a", "b"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
