@@ -164,3 +164,71 @@ def write_warc(path: str, pages: pa.Table, gzip_per_record: bool = False) -> Non
             # Content-Length frame by two bytes)
             rec = hdr + b"\r\n" + http + b"\r\n\r\n"
             f.write(gzip.compress(rec) if gzip_per_record else rec)
+
+
+def read_pages_jsonl_permissive(
+    paths: str | list[str],
+    dead_letter_dir: str | None = None,
+) -> "ray.data.Dataset":
+    """JSONL ingest that SURVIVES malformed records (``read_json``
+    fails the whole file on one bad line — useless on a crawl dump).
+
+    Each task parses its lines, emits valid PAGES rows, and routes
+    failures (bad JSON, non-object, missing ``url``) to
+    ``dead_letter_dir`` as parquet rows (line, error) — written
+    atomically with content-hashed names so task retries are
+    idempotent. Per-line ``json.loads`` is inherent to the permissive
+    contract (there is no error-capturing vectorized JSON kernel);
+    use ``read_pages_jsonl`` when the input is known-clean."""
+    import hashlib
+    import json
+    import os
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        bad_lines: list[str] = []
+        bad_errs: list[str] = []
+        for line in batch.column("text").to_pylist():
+            if not line or not line.strip():
+                continue
+            try:
+                d = json.loads(line)
+                if not isinstance(d, dict):
+                    raise ValueError("not a JSON object")
+                if not d.get("url"):
+                    raise ValueError("missing url")
+                rows.append(d)
+            except Exception as ex:  # noqa: BLE001 — every failure is routed
+                bad_lines.append(line)
+                bad_errs.append(f"{type(ex).__name__}: {ex}")
+        if bad_lines and dead_letter_dir:
+            os.makedirs(dead_letter_dir, exist_ok=True)
+            t = pa.table({"line": pa.array(bad_lines, pa.large_string()),
+                          "error": pa.array(bad_errs, pa.string())})
+            digest = hashlib.sha256("\x00".join(bad_lines).encode()).hexdigest()[:16]
+            final = os.path.join(dead_letter_dir, f"bad-{digest}.parquet")
+            if not os.path.exists(final):
+                import pyarrow.parquet as pq
+
+                tmp = final + ".tmp"
+                pq.write_table(t, tmp)
+                os.replace(tmp, final)
+        ts = pd.to_datetime([r.get("warc_ts") for r in rows], utc=True, errors="coerce")
+        # tz-naive numpy datetime64 round-trip: tz-aware .to_numpy()
+        # yields object Timestamps whose NaT breaks pa.array
+        ts_np = ts.tz_convert(None).to_numpy()
+        html = [r["html"].encode() if isinstance(r.get("html"), str)
+                else r.get("html") for r in rows]
+        return pa.table(
+            {
+                "url": pa.array([r["url"] for r in rows], pa.string()),
+                "warc_ts": pa.array(ts_np).cast(PAGES.field("warc_ts").type),
+                "html": pa.array(html, pa.binary()),
+                "text": pa.array([r.get("text") for r in rows], pa.large_string()),
+                "lang": pa.array([r.get("lang") for r in rows], pa.string()),
+            },
+            schema=PAGES,
+        )
+
+    return ray.data.read_text(paths).map_batches(parse, batch_format="pyarrow",
+                                                 batch_size=8192)

@@ -119,3 +119,28 @@ def test_cli_run_warc_honors_url_prefix(ray_session, tmp_path):
     urls = duckdb.sql(
         f"SELECT DISTINCT subj FROM '{tmp_path}/o/triples/*/*.parquet'").df()
     assert all(u.startswith(prefix) for u in urls["subj"])
+
+
+def test_jsonl_permissive_dead_letter(ray_session, tmp_path):
+    from biosd_feature_annotator_ray.sources.warc import read_pages_jsonl_permissive
+
+    p = tmp_path / "pages.jsonl"
+    p.write_text("\n".join([
+        '{"url": "http://a", "text": "hello world", "lang": "en"}',
+        'this is not json at all {',
+        '{"no_url": 1, "text": "orphan"}',
+        '{"url": "http://b", "html": "<p>hi</p>"}',
+        '["an", "array"]',
+        "",
+    ]))
+    dl = tmp_path / "dead"
+    out = read_pages_jsonl_permissive(str(p), dead_letter_dir=str(dl)).to_pandas()
+    assert sorted(out["url"]) == ["http://a", "http://b"]
+    assert out.loc[out.url == "http://b", "html"].iloc[0] == b"<p>hi</p>"
+    import pyarrow.parquet as pq
+    bad = pq.read_table(str(dl)).to_pandas().sort_values("line").reset_index(drop=True)
+    assert len(bad) == 3
+    assert bad["error"].str.len().gt(0).all()
+    # idempotent on re-run (content-hashed file names, no duplicates)
+    read_pages_jsonl_permissive(str(p), dead_letter_dir=str(dl)).to_pandas()
+    assert len(pq.read_table(str(dl)).to_pandas()) == 3
