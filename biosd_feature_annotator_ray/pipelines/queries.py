@@ -1389,6 +1389,44 @@ def q_multimodal_audio(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (n-gram overlap vs a held-out eval slice,
+# here doc_id % 97 == 0): benchmark grams reduced + broadcast once, the
+# train corpus streams through one stateless membership map — no
+# shuffle touches the corpus
+def q_decontaminate(sf_dir: str):
+    import numpy as np
+
+    from ..stages.textstats import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def split(eq: bool):
+        def f(t: pa.Table) -> pa.Table:
+            m = t.column("doc_id").to_numpy(zero_copy_only=False) % 97 == 0
+            return t.filter(pa.array(m if eq else ~m))
+
+        return f
+
+    bench = docs.map_batches(split(True), batch_format="pyarrow")
+    train = docs.map_batches(split(False), batch_format="pyarrow")
+    df = decontaminate(train, bench, k=3).to_pandas()
+    df = df.sort_values("doc_id").reset_index(drop=True)
+    df["n_hits"] = df["n_hits"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# KG construction: token co-occurrence edges — per-doc distinct sets,
+# one vectorized self-merge per batch, map-side combined partials,
+# single (t1, t2) groupby-sum; only pair partials are shuffled
+def q_cooccurrence_edges(sf_dir: str):
+    from ..stages.graph import cooccurrence_edges
+
+    out = cooccurrence_edges(_docs(sf_dir, ["doc_id", "text"]), min_count=5)
+    df = out.to_pandas()
+    df["n_docs"] = df["n_docs"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 QUERIES = {
     "count_documents": q_count_documents,
     "filter_lang_en": q_filter_lang_en,
@@ -1458,6 +1496,8 @@ QUERIES = {
     "cube_revenue": q_cube_revenue,
     "distinct_users_per_type": q_distinct_users_per_type,
     "dup_ngram_share": q_dup_ngram_share,
+    "decontaminate": q_decontaminate,
+    "cooccurrence_edges": q_cooccurrence_edges,
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "mode_user_per_type": q_mode_user_per_type,
     "above_avg_orders": q_above_avg_orders,
@@ -1825,6 +1865,28 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "decontaminate": (
+        "WITH toks AS (SELECT doc_id,"
+        "   regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),"
+        " grams AS (SELECT doc_id, array_to_string(t[i.i:i.i+2], ' ') AS g"
+        "   FROM toks, LATERAL (SELECT unnest(range(1, len(t) - 1)) AS i) AS i),"
+        " bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),"
+        " hits AS (SELECT gr.doc_id, count(*) AS n FROM grams gr"
+        "   JOIN bench b ON gr.g = b.g WHERE gr.doc_id % 97 <> 0 GROUP BY gr.doc_id)"
+        " SELECT d.doc_id, CAST(coalesce(h.n, 0) AS BIGINT) AS n_hits,"
+        "  coalesce(h.n, 0) > 0 AS contaminated"
+        " FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        " WHERE d.doc_id % 97 <> 0"
+    ),
+    "cooccurrence_edges": (
+        "WITH toks AS (SELECT DISTINCT doc_id, tok FROM"
+        "   (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+        "    FROM documents) WHERE tok <> ''),"
+        " pairs AS (SELECT a.doc_id, a.tok AS t1, b.tok AS t2 FROM toks a"
+        "   JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok)"
+        " SELECT t1, t2, count(*) AS n_docs FROM pairs GROUP BY t1, t2"
+        " HAVING count(*) >= 5"
     ),
     "dup_ngram_share": (
         "WITH toks AS (SELECT doc_id,"

@@ -153,3 +153,69 @@ def pagerank(
         ranks = scored.union(floor_rows).materialize()
 
     return ranks
+
+
+def cooccurrence_edges(
+    docs: "object",
+    id_col: str = "doc_id",
+    col: str = "text",
+    min_count: int = 1,
+    max_tokens_per_doc: int = 2048,
+) -> "object":
+    """Entity co-occurrence graph construction: one weighted edge
+    ``(t1, t2, n_docs)`` per unordered token pair, where ``n_docs``
+    counts documents containing BOTH tokens (t1 < t2 lexicographically)
+    — the KG-building primitive that turns a linked/tokenized corpus
+    into a relatedness graph.
+
+    Scale shape: per batch, each document is reduced to its DISTINCT
+    token set (drop_duplicates), pairs are generated with ONE
+    vectorized self-merge on the doc index (no per-row Python), and
+    counts are pre-combined per batch — only (t1, t2, partial count)
+    rows enter the single groupby-sum shuffle, never the token stream.
+    The quadratic is bounded by ``max_tokens_per_doc`` (documents are
+    truncated to their first N distinct tokens, and a truncation count
+    is carried in the partials as the ``__truncated__ → __docs__``
+    edge so recall loss is visible, never silent). At web scale the
+    vocabulary must be pre-filtered (min-df cut or an entity linker) so
+    per-doc distinct sets stay small — pair volume is Σ d_i², not V².
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        toks = [t.split() for t in df[col].fillna("")]
+        lengths = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
+        flat = pd.DataFrame({
+            "d": np.repeat(np.arange(len(lengths)), lengths),
+            "t": [w for ws in toks for w in ws],
+        }).drop_duplicates()
+        n_trunc = 0
+        if len(flat):
+            rank = flat.groupby("d").cumcount()
+            n_trunc = int((rank == max_tokens_per_doc).sum())
+            flat = flat[rank < max_tokens_per_doc]
+        m = flat.merge(flat, on="d")
+        m = m[m["t_x"] < m["t_y"]]
+        part = (m.groupby(["t_x", "t_y"], sort=False).size()
+                .reset_index(name="n_part")
+                .rename(columns={"t_x": "t1", "t_y": "t2"}))
+        if n_trunc:
+            part = pd.concat([part, pd.DataFrame(
+                {"t1": ["__truncated__"], "t2": ["__docs__"], "n_part": [n_trunc]})])
+        return pa.Table.from_pandas(part, preserve_index=False).cast(pa.schema([
+            pa.field("t1", pa.string()), pa.field("t2", pa.string()),
+            pa.field("n_part", pa.int64())]))
+
+    agg = (docs.map_batches(pairs, batch_format="pyarrow", batch_size=8192)
+           .groupby(["t1", "t2"])
+           .aggregate(Sum("n_part", alias_name="n_docs")))
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        agg = agg.map_batches(
+            lambda t, mc=int(min_count): t.filter(
+                pc.greater_equal(t.column("n_docs"), mc)),
+            batch_format="pyarrow")
+    return agg

@@ -551,6 +551,96 @@ def unigram_logprob_score(
     return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)
 
 
+def _batch_gram_hashes(texts: "pd.Series", k: int) -> tuple[np.ndarray, np.ndarray]:
+    """Flat rolling k-gram hashes for a whole batch with ONE vectorized
+    token-hash call: returns ``(gh uint64, doc_idx int64)`` — one entry
+    per gram occurrence. Docs with < k tokens contribute no grams
+    (strict, matching SQL ``range`` semantics — unlike
+    rolling_shingle_hashes which shrinks n)."""
+    toks = [t.split() for t in texts]
+    lengths = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
+    flat = [w for ws in toks for w in ws]
+    if not flat:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    th = pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+    m = len(th) - k + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    P = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        acc = np.zeros(m, dtype=np.uint64)
+        for j in range(k):
+            acc = acc * P + th[j : m + j]
+    # a window is a real k-gram only when its first and last token
+    # belong to the same document
+    valid = doc_idx[:m] == doc_idx[k - 1 :]
+    return acc[valid], doc_idx[:m][valid]
+
+
+def decontaminate(
+    train: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    k: int = 3,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> "ray.data.Dataset":
+    """Benchmark decontamination — flag every training document that
+    shares at least one token k-gram with a held-out evaluation set
+    (the standard n-gram-overlap contamination check run before
+    training on web text).
+
+    Output: ``id_col, n_hits, contaminated`` for every train doc —
+    ``n_hits`` = number of gram OCCURRENCES in the doc that appear
+    anywhere in the benchmark, ``contaminated`` = n_hits > 0. Docs
+    shorter than k tokens are kept with n_hits = 0.
+
+    Scale shape: the benchmark side is tiny relative to the corpus
+    (eval suites are MBs against TBs of train), so its distinct gram
+    hashes are reduced distributedly (per-batch np.unique), collected
+    once, and broadcast via ``ray.put`` — the 100-TB train side then
+    streams through a single stateless map_batches doing a sorted
+    searchsorted membership test; no shuffle touches the corpus. Gram
+    identity travels as a 64-bit rolling hash (collision odds ~m²/2⁶⁵);
+    the DuckDB oracle twin joins on gram STRINGS and matches exactly at
+    test scale. If the benchmark ever outgrew driver memory, the
+    fallback is a bucketed semi join on the gram hash
+    (stages/join.py::shuffle_hash_join how="semi").
+    """
+    import ray
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        gh, _ = _batch_gram_hashes(batch.to_pandas()[col].fillna(""), k)
+        return pa.table({"gh": pa.array(np.unique(gh).view(np.int64))})
+
+    parts = [
+        t.column("gh").to_numpy()
+        for t in bench.map_batches(bench_grams, batch_format="pyarrow",
+                                   batch_size=65536).iter_batches(batch_format="pyarrow")
+    ]
+    bench_set = (np.unique(np.concatenate(parts)) if parts
+                 else np.empty(0, np.int64))
+    ref = ray.put(bench_set)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bs = ray.get(ref)  # zero-copy view from the object store
+        df = batch.to_pandas()
+        gh, doc_idx = _batch_gram_hashes(df[col].fillna(""), k)
+        hits = np.zeros(len(df), np.int64)
+        if gh.size and bs.size:
+            g = gh.view(np.int64)
+            pos = np.searchsorted(bs, g)
+            found = (pos < bs.size) & (bs[np.minimum(pos, bs.size - 1)] == g)
+            hits = np.bincount(doc_idx[found], minlength=len(df)).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_hits": pa.array(hits),
+            "contaminated": pa.array(hits > 0),
+        })
+
+    return train.map_batches(score, batch_format="pyarrow", batch_size=65536)
+
+
 def dup_ngram_stats(
     docs: "ray.data.Dataset",
     k: int = 5,

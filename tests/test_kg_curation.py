@@ -1,0 +1,108 @@
+"""Decontamination + co-occurrence graph operators (round-2 wave)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data as rd
+
+
+def _docs_ds(rows):
+    return rd.from_arrow(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }))
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import decontaminate
+
+    bench = _docs_ds([(100, "the quick brown fox jumps")])
+    train = _docs_ds([
+        (1, "a quick brown fox ran away"),       # shares 'quick brown fox'
+        (2, "totally unrelated text here now"),  # clean
+        (3, "xx the quick brown fox jumps yy"),  # shares 3 grams
+        (4, "fox quick brown"),                  # same words, different order
+        (5, "ab"),                               # < k tokens
+    ])
+    out = decontaminate(train, bench, k=3).to_pandas().set_index("doc_id")
+    assert bool(out.loc[1, "contaminated"]) and out.loc[1, "n_hits"] == 1
+    assert not bool(out.loc[2, "contaminated"]) and out.loc[2, "n_hits"] == 0
+    assert out.loc[3, "n_hits"] == 3
+    assert not bool(out.loc[4, "contaminated"])
+    assert not bool(out.loc[5, "contaminated"])
+    assert len(out) == 5  # every train doc kept
+
+
+def test_decontaminate_empty_benchmark(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import decontaminate
+
+    bench = _docs_ds([]).filter(lambda r: True)
+    train = _docs_ds([(1, "some words in a row here")])
+    out = decontaminate(train, bench, k=3).to_pandas()
+    assert out["n_hits"].tolist() == [0]
+    assert not out["contaminated"].any()
+
+
+def test_decontaminate_counts_occurrences_not_grams(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import decontaminate
+
+    bench = _docs_ds([(9, "x y z")])
+    # the SAME contaminated gram occurs twice -> n_hits counts both
+    train = _docs_ds([(1, "x y z w x y z")])
+    out = decontaminate(train, bench, k=3).to_pandas()
+    assert out["n_hits"].tolist() == [2]
+
+
+def test_cooccurrence_basic_counts(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import cooccurrence_edges
+
+    docs = _docs_ds([
+        (1, "a b c"),
+        (2, "b a a b"),   # distinct set {a, b}
+        (3, "c a"),
+        (4, ""),          # no tokens
+    ])
+    out = cooccurrence_edges(docs).to_pandas()
+    got = {(r.t1, r.t2): r.n_docs for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("a", "c"): 2, ("b", "c"): 1}
+
+
+def test_cooccurrence_min_count_filters(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import cooccurrence_edges
+
+    docs = _docs_ds([(1, "a b c"), (2, "a b"), (3, "b c x y")])
+    out = cooccurrence_edges(docs, min_count=2).to_pandas()
+    got = {(r.t1, r.t2): r.n_docs for r in out.itertuples()}
+    assert got == {("a", "b"): 2, ("b", "c"): 2}
+
+
+def test_cooccurrence_truncation_reported(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import cooccurrence_edges
+
+    # 5 distinct tokens, cap at 3 -> 2 docs get truncated; the loss is
+    # surfaced as the __truncated__ marker edge, not silently dropped
+    docs = _docs_ds([(1, "a b c d e"), (2, "a b c d e"), (3, "a b")])
+    out = cooccurrence_edges(docs, max_tokens_per_doc=3).to_pandas()
+    got = {(r.t1, r.t2): r.n_docs for r in out.itertuples()}
+    assert got[("__truncated__", "__docs__")] == 2
+    assert ("c", "d") not in got          # beyond the cap
+    assert got[("a", "b")] == 3
+
+
+def test_cooccurrence_matches_bruteforce(ray_session):
+    from itertools import combinations
+
+    from biosd_feature_annotator_ray.stages.graph import cooccurrence_edges
+
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.integers(0, 9))))
+            for i in range(60)]
+    expect: dict = {}
+    for _, text in rows:
+        for t1, t2 in combinations(sorted(set(text.split())), 2):
+            expect[(t1, t2)] = expect.get((t1, t2), 0) + 1
+    out = cooccurrence_edges(_docs_ds(rows)).to_pandas()
+    got = {(r.t1, r.t2): r.n_docs for r in out.itertuples()}
+    assert got == expect
