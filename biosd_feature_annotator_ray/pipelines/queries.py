@@ -1427,6 +1427,32 @@ def q_cooccurrence_edges(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# BM25 ranked retrieval: two streaming passes (corpus stats reduce,
+# then broadcast-stats scoring with per-batch local top-k) — the
+# corpus is never shuffled or collected
+def q_bm25(sf_dir: str):
+    from ..stages.textstats import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]),
+                     terms=["table", "scan", "vector"], topk=20)
+
+
+# Edit-distance fuzzy matching (string-linking tier): queries are
+# deterministic misspellings (2nd char dropped) of every 50th part
+# name; candidates stream, each batch emits only per-query bests
+def q_fuzzy_match(sf_dir: str):
+    from ..stages.similarity import fuzzy_min_match
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    qdf = part.map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy() % 50 == 0)),
+        batch_format="pyarrow").to_pandas()
+    qs = sorted({n[0] + n[2:] for n in qdf["p_name"]})
+    return fuzzy_min_match(part, qs, col="p_name")
+
+
 QUERIES = {
     "count_documents": q_count_documents,
     "filter_lang_en": q_filter_lang_en,
@@ -1498,6 +1524,8 @@ QUERIES = {
     "dup_ngram_share": q_dup_ngram_share,
     "decontaminate": q_decontaminate,
     "cooccurrence_edges": q_cooccurrence_edges,
+    "bm25": q_bm25,
+    "fuzzy_match": q_fuzzy_match,
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "mode_user_per_type": q_mode_user_per_type,
     "above_avg_orders": q_above_avg_orders,
@@ -1865,6 +1893,38 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "bm25": (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,"
+        "   CASE WHEN trim(text) = '' THEN 0 ELSE"
+        "    len(regexp_split_to_array(trim(text), '\\s+')) END AS dl FROM documents),"
+        " terms AS (SELECT unnest(['table', 'scan', 'vector']) AS term),"
+        " tf AS (SELECT doc_id, dl, term,"
+        "   len(list_filter(t, x -> x = term)) AS tf FROM toks CROSS JOIN terms),"
+        " stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sdl FROM toks),"
+        " dfc AS (SELECT term, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END)"
+        "   AS DOUBLE) AS df FROM tf GROUP BY term),"
+        " scored AS (SELECT tf.doc_id,"
+        "   sum( ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+        "     * tf.tf * (1.2 + 1.0)"
+        "     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / (s.sdl / s.n))) ) AS raw"
+        "   FROM tf CROSS JOIN stats s JOIN dfc d ON tf.term = d.term"
+        "   WHERE tf.tf > 0 GROUP BY tf.doc_id)"
+        " SELECT doc_id, score FROM ("
+        "  SELECT doc_id, round(raw, 6) AS score,"
+        "   row_number() OVER (ORDER BY round(raw, 6) DESC, doc_id) AS rn"
+        "  FROM scored) WHERE rn <= 20"
+    ),
+    "fuzzy_match": (
+        "WITH qs AS (SELECT DISTINCT substr(p_name, 1, 1) || substr(p_name, 3) AS q"
+        "   FROM part WHERE p_partkey % 50 = 0),"
+        " cands AS (SELECT DISTINCT p_name FROM part),"
+        " d AS (SELECT q, p_name, levenshtein(q, p_name) AS dist"
+        "   FROM qs CROSS JOIN cands),"
+        " best AS (SELECT q, p_name, dist, row_number() OVER"
+        "   (PARTITION BY q ORDER BY dist, p_name) AS rn FROM d)"
+        " SELECT q, p_name AS \"match\", CAST(dist AS BIGINT) AS dist"
+        " FROM best WHERE rn = 1"
     ),
     "decontaminate": (
         "WITH toks AS (SELECT doc_id,"

@@ -401,3 +401,81 @@ def index_dir_for(parquet_path: str, base: str = "/tmp",
         f"{os.path.abspath(parquet_path)}|{st.st_size}|{st.st_mtime_ns}".encode()
     ).hexdigest()[:16]
     return os.path.join(base, f"{prefix}_{key}")
+
+
+def _lev_batch(q: str, cands: "pd.Series") -> np.ndarray:
+    """Levenshtein distance from ONE query string to a whole batch of
+    candidates, vectorized over the batch axis (Wagner-Fischer with the
+    insertion chain rewritten as a prefix-min scan, so each DP row is
+    pure numpy — no per-candidate Python in the distance loop)."""
+    import pandas as pd
+
+    n = len(cands)
+    lens = cands.str.len().to_numpy(dtype=np.int64)
+    L = int(lens.max()) if n else 0
+    if L == 0:
+        return np.full(n, len(q), np.int64)
+    padded = cands.str.pad(L, side="right", fillchar="\x00")
+    codes = np.frombuffer("".join(padded.tolist()).encode("utf-32-le"),
+                          np.uint32).reshape(n, L)
+    qc = np.frombuffer(q.encode("utf-32-le"), np.uint32)
+    prev = np.broadcast_to(np.arange(L + 1, dtype=np.int64), (n, L + 1)).copy()
+    js = np.arange(L + 1, dtype=np.int64)
+    for i in range(1, len(qc) + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        cur[:, 1:] = np.minimum(prev[:, 1:] + 1,            # deletion
+                                prev[:, :-1] + (codes != qc[i - 1]))  # sub/match
+        # insertion chain cur[j] = min over j'<=j of cur0[j'] + (j-j'):
+        # prefix-min of (cur0[j'] - j') then add j back
+        cur = np.minimum(cur, np.minimum.accumulate(cur - js, axis=1) + js)
+        prev = cur
+    return prev[np.arange(n), lens] if len(qc) else lens.astype(np.int64)
+
+
+def fuzzy_min_match(
+    cands: "ray.data.Dataset",
+    queries: list[str],
+    col: str,
+) -> "pa.Table":
+    """Edit-distance fuzzy matching: for each query string, the
+    candidate with the MINIMUM Levenshtein distance (ties broken by the
+    lexicographically smallest candidate) — the string-linking tier a
+    KG/entity pipeline runs when exact and token-set matching both miss.
+
+    Scale shape: the query list is small and broadcast in the task
+    closure; the candidate table streams through one stateless
+    map_batches where every query×batch distance matrix is computed by
+    the vectorized DP above. Each batch emits only its per-query best
+    row, and the final reduce merges ≤ |queries|·n_batches partials —
+    the candidate stream is never shuffled or collected.
+
+    Output: ``q, match, dist`` (one row per query).
+    """
+    import pandas as pd
+
+    qs = list(queries)
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        s = pd.Series(batch.column(col).to_pandas()).fillna("").astype(str)
+        rows = []
+        for q in qs:
+            d = _lev_batch(q, s)
+            best = np.lexsort((s.to_numpy(), d))[0] if len(s) else None
+            if best is not None:
+                rows.append((q, s.iloc[best], int(d[best])))
+        return pa.table({
+            "q": pa.array([r[0] for r in rows], pa.string()),
+            "match": pa.array([r[1] for r in rows], pa.string()),
+            "dist": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    parts = cands.map_batches(local_best, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+    if not len(parts):
+        return pa.table({"q": pa.array(qs, pa.string()),
+                         "match": pa.array([None] * len(qs), pa.string()),
+                         "dist": pa.array([None] * len(qs), pa.int64())})
+    out = (parts.sort_values(["q", "dist", "match"])
+           .groupby("q", as_index=False).first())
+    return pa.Table.from_pandas(out, preserve_index=False)

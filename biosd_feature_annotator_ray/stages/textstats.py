@@ -727,3 +727,89 @@ def dup_ngram_stats(
                    Sum("dup_part", alias_name="dup_grams"))
         .map_batches(share, batch_format="pyarrow")
     )
+
+
+def bm25_topk(
+    docs: "ray.data.Dataset",
+    terms: list[str],
+    topk: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    col: str = "text",
+) -> "pa.Table":
+    """BM25 ranked retrieval: score every document against a bag-of-words
+    query and return the global top-k — the classic IR primitive a
+    web-corpus engine needs next to ANN (Robertson/Sparck-Jones BM25,
+    Lucene's idf = ln((N-df+0.5)/(df+0.5)+1) variant).
+
+    Two streaming passes, no corpus shuffle:
+      1. stats pass — per-batch partials (n_docs, Σdl, per-term df)
+         reduced by a tiny Dataset.sum; corpus stats never leave the
+         aggregate.
+      2. score pass — (N, avgdl, df) broadcast in the task closure;
+         per-batch vectorized tf (one isin/bincount per term), local
+         top-k, and a final merge of ≤ topk·n_batches partial rows.
+
+    Scores are rounded half-away-from-zero to 6 decimals BEFORE the
+    cut so the ranking is stable against float summation order (the
+    DuckDB oracle sums per-term contributions in unspecified order;
+    1-ulp drift would otherwise flip exact ties at the boundary).
+    """
+    terms = list(terms)
+    T = len(terms)
+
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        texts = batch.to_pandas()[col].fillna("")
+        toks = [t.split() for t in texts]
+        lengths = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
+        flat = pd.Series([w for ws in toks for w in ws], dtype=object)
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+        cols = {"n": pa.array([len(texts)], pa.int64()),
+                "dl": pa.array([int(lengths.sum())], pa.int64())}
+        for i, t in enumerate(terms):
+            if len(flat):
+                hit = np.bincount(doc_idx[(flat == t).to_numpy()],
+                                  minlength=len(texts))
+                cols[f"df_{i}"] = pa.array([int((hit > 0).sum())], pa.int64())
+            else:
+                cols[f"df_{i}"] = pa.array([0], pa.int64())
+        return pa.table(cols)
+
+    s = docs.map_batches(partial_stats, batch_format="pyarrow",
+                         batch_size=65536).sum(["n", "dl"] + [f"df_{i}" for i in range(T)])
+    N = (s or {}).get("sum(n)") or 0
+    sdl = (s or {}).get("sum(dl)") or 0
+    df_vec = np.array([(s or {}).get(f"sum(df_{i})") or 0 for i in range(T)],
+                      np.float64)
+    if N == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    avgdl = float(sdl) / float(N)
+    idf = np.log((N - df_vec + 0.5) / (df_vec + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        bdf = batch.to_pandas()
+        toks = [t.split() for t in bdf[col].fillna("")]
+        lengths = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
+        flat = pd.Series([w for ws in toks for w in ws], dtype=object)
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+        sc = np.zeros(len(bdf), np.float64)
+        denom_dl = k1 * (1.0 - b + b * lengths.astype(np.float64) / avgdl)
+        for i, t in enumerate(terms):
+            tf = (np.bincount(doc_idx[(flat == t).to_numpy()], minlength=len(bdf))
+                  .astype(np.float64) if len(flat) else np.zeros(len(bdf)))
+            sc += idf[i] * tf * (k1 + 1.0) / (tf + denom_dl)
+        # DuckDB-compatible round (half away from zero) BEFORE the cut
+        sc = np.sign(sc) * np.floor(np.abs(sc) * 1e6 + 0.5) / 1e6
+        keep = sc > 0
+        part = pd.DataFrame({id_col: bdf[id_col].to_numpy()[keep], "score": sc[keep]})
+        part = part.sort_values(["score", id_col],
+                                ascending=[False, True]).head(topk)
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    parts = docs.map_batches(score, batch_format="pyarrow",
+                             batch_size=65536).to_pandas()
+    out = (parts.sort_values(["score", id_col], ascending=[False, True])
+           .head(topk).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)

@@ -106,3 +106,65 @@ def test_cooccurrence_matches_bruteforce(ray_session):
     out = cooccurrence_edges(_docs_ds(rows)).to_pandas()
     got = {(r.t1, r.t2): r.n_docs for r in out.itertuples()}
     assert got == expect
+
+
+def test_bm25_ranks_relevant_docs_first(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import bm25_topk
+
+    docs = _docs_ds([
+        (1, "cat cat cat dog"),
+        (2, "cat dog bird"),
+        (3, "bird bird fish"),
+        (4, "fish fish fish fish"),
+        (5, ""),
+    ])
+    out = bm25_topk(docs, terms=["cat"], topk=3).to_pandas()
+    # doc 1 has highest tf for 'cat'; docs without it never appear
+    assert out["doc_id"].tolist()[0] == 1
+    assert set(out["doc_id"]) == {1, 2}
+
+
+def test_bm25_idf_downweights_common_terms(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import bm25_topk
+
+    # 'the' in every doc (low idf), 'rare' in one (high idf); same tf/dl
+    docs = _docs_ds([(i, "the common words here") for i in range(1, 9)]
+                    + [(9, "the rare words here")])
+    out = bm25_topk(docs, terms=["the", "rare"], topk=9).to_pandas()
+    assert out["doc_id"].iloc[0] == 9
+    assert out["score"].iloc[0] > out["score"].iloc[1]
+
+
+def test_bm25_empty_corpus(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import bm25_topk
+
+    out = bm25_topk(_docs_ds([]), terms=["x"], topk=5).to_pandas()
+    assert len(out) == 0
+
+
+def test_fuzzy_min_match_basic(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.stages.similarity import fuzzy_min_match
+
+    cands = rd.from_arrow(pa.table({"name": pa.array(
+        ["blue bolt", "red widget", "small ring", "hot gear"], pa.string())}))
+    out = fuzzy_min_match(cands, ["blue blt", "red widget", "hot bear"],
+                          col="name").to_pandas().set_index("q")
+    assert out.loc["blue blt", "match"] == "blue bolt"
+    assert out.loc["blue blt", "dist"] == 1
+    assert out.loc["red widget", "dist"] == 0
+    assert out.loc["hot bear", "match"] == "hot gear"
+
+
+def test_fuzzy_min_match_tie_breaks_lexicographically(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.stages.similarity import fuzzy_min_match
+
+    # both candidates are distance 1 from 'ac' -> smaller string wins
+    cands = rd.from_arrow(pa.table({"name": pa.array(["ab", "aa"], pa.string())}))
+    out = fuzzy_min_match(cands, ["ac"], col="name").to_pandas()
+    assert out.loc[0, "match"] == "aa" and out.loc[0, "dist"] == 1
