@@ -1453,6 +1453,54 @@ def q_fuzzy_match(sf_dir: str):
     return fuzzy_min_match(part, qs, col="p_name")
 
 
+# Distributed table profiler (df.describe() of the engine): per-batch
+# column partials + one bucket-shuffled exact-distinct dedup — only
+# |cols|-sized partials and per-batch-unique value hashes move
+def q_profile_events(sf_dir: str):
+    from ..stages.profile import profile_table
+
+    return profile_table(
+        _events(sf_dir),
+        ["event_id", "ts", "user_id", "event_type", "value", "props"])
+
+
+# OHLC time-bucket resample: one partial row per (key, hour) per batch
+# (map-side combine), deterministic first/last by (ts, event_id)
+def q_ohlc_events(sf_dir: str):
+    from ..stages.windows import ohlc_resample
+
+    out = ohlc_resample(_events(
+        sf_dir, ["event_id", "ts", "event_type", "value"]))
+    df = out.to_pandas()
+    df["bucket_ts"] = df["bucket_ts"].astype("datetime64[us]")
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Connected components over an oracle-able derived graph (users linked
+# to user_id+7 when they share a high-value event) — distributed
+# min-label propagation vs a DuckDB recursive-CTE transitive closure
+def q_connected_components(sf_dir: str):
+    from ..stages.dedup import dup_clusters
+
+    def edges(t: pa.Table) -> pa.Table:
+        keep = t.column("value").to_numpy(zero_copy_only=False) > 250.0
+        u = t.column("user_id").to_numpy(zero_copy_only=False)[keep]
+        return pa.table({"id_a": pa.array(u, pa.int64()),
+                         "id_b": pa.array(u + 7, pa.int64())})
+
+    pairs = dedup_exact(
+        _events(sf_dir, ["user_id", "value"]).map_batches(
+            edges, batch_format="pyarrow"),
+        ["id_a", "id_b"], nb=8)
+    out = dup_clusters(pairs, nb=8, max_iters=60).to_pandas()
+    out = out.rename(columns={"doc_id": "node", "cluster_rep": "component"})
+    out["node"] = out["node"].astype("int64")
+    out["component"] = out["component"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("node").reset_index(drop=True), preserve_index=False)
+
+
 QUERIES = {
     "count_documents": q_count_documents,
     "filter_lang_en": q_filter_lang_en,
@@ -1526,6 +1574,9 @@ QUERIES = {
     "cooccurrence_edges": q_cooccurrence_edges,
     "bm25": q_bm25,
     "fuzzy_match": q_fuzzy_match,
+    "profile_events": q_profile_events,
+    "ohlc_events": q_ohlc_events,
+    "connected_components": q_connected_components,
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "mode_user_per_type": q_mode_user_per_type,
     "above_avg_orders": q_above_avg_orders,
@@ -1893,6 +1944,50 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "profile_events": (
+        "SELECT 'event_id' AS col, count(*) AS n_rows,"
+        "  count(*) - count(event_id) AS n_null,"
+        "  count(DISTINCT event_id) AS n_distinct,"
+        "  CAST(min(event_id) AS DOUBLE) AS min_val,"
+        "  CAST(max(event_id) AS DOUBLE) AS max_val FROM events"
+        " UNION ALL SELECT 'ts', count(*), count(*) - count(ts),"
+        "  count(DISTINCT ts), CAST(epoch_us(min(ts)) AS DOUBLE),"
+        "  CAST(epoch_us(max(ts)) AS DOUBLE) FROM events"
+        " UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id),"
+        "  count(DISTINCT user_id), CAST(min(user_id) AS DOUBLE),"
+        "  CAST(max(user_id) AS DOUBLE) FROM events"
+        " UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type),"
+        "  count(DISTINCT event_type), CAST(NULL AS DOUBLE),"
+        "  CAST(NULL AS DOUBLE) FROM events"
+        " UNION ALL SELECT 'value', count(*), count(*) - count(value),"
+        "  count(DISTINCT value), CAST(min(value) AS DOUBLE),"
+        "  CAST(max(value) AS DOUBLE) FROM events"
+        " UNION ALL SELECT 'props', count(*), count(*) - count(props),"
+        "  count(DISTINCT props), CAST(NULL AS DOUBLE),"
+        "  CAST(NULL AS DOUBLE) FROM events"
+    ),
+    "ohlc_events": (
+        "WITH w AS (SELECT event_type, date_trunc('hour', ts) AS bucket_ts, value,"
+        "   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)"
+        "     ORDER BY ts, event_id) AS rn_a,"
+        "   row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)"
+        "     ORDER BY ts DESC, event_id DESC) AS rn_d"
+        "  FROM events)"
+        " SELECT event_type, bucket_ts,"
+        "  max(CASE WHEN rn_a = 1 THEN value END) AS open,"
+        "  max(value) AS high, min(value) AS low,"
+        "  max(CASE WHEN rn_d = 1 THEN value END) AS close,"
+        "  count(*) AS n FROM w GROUP BY event_type, bucket_ts"
+    ),
+    "connected_components": (
+        "WITH RECURSIVE e AS (SELECT DISTINCT user_id AS src, user_id + 7 AS dst"
+        "   FROM events WHERE value > 250.0),"
+        " ue AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),"
+        " nodes AS (SELECT DISTINCT src AS n FROM ue),"
+        " reach(a, b) AS (SELECT n, n FROM nodes"
+        "   UNION SELECT r.a, ue.dst FROM reach r JOIN ue ON r.b = ue.src)"
+        " SELECT a AS node, min(b) AS component FROM reach GROUP BY a"
     ),
     "bm25": (
         "WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t,"

@@ -528,3 +528,57 @@ def nth_value_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def ohlc_resample(
+    ds: "object",
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    val_col: str = "value",
+    freq: str = "h",
+) -> "object":
+    """Time-bucketed OHLC aggregation: per (key, time bucket) the
+    opening value (first by ts, then id), high, low, closing value
+    (last by ts, then id), and event count — the resample primitive
+    for event/market streams.
+
+    Scale shape: classic map-side combine. Each batch reduces to ONE
+    partial row per (key, bucket) — carrying its local open/close
+    anchors (ts, id, value), high, low, n — so only group-sized
+    partials enter the single (key, bucket) shuffle; the final
+    map_groups merges partials by re-picking the lexicographic
+    min/max anchor. first/last are total-ordered by (ts, id), so the
+    result is deterministic under any block arrival order.
+    """
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["_hr"] = df[ts_col].dt.floor(freq)
+        df = df.sort_values([key_col, "_hr", ts_col, id_col], kind="mergesort")
+        g = df.groupby([key_col, "_hr"], sort=False, dropna=False)
+        out = g.agg(
+            o_ts=(ts_col, "first"), o_id=(id_col, "first"), o_val=(val_col, "first"),
+            c_ts=(ts_col, "last"), c_id=(id_col, "last"), c_val=(val_col, "last"),
+            high=(val_col, "max"), low=(val_col, "min"), n=(val_col, "size"),
+        ).reset_index().rename(columns={"_hr": "bucket_ts"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def merge(part: pa.Table) -> pa.Table:
+        df = part.to_pandas()
+        o = np.lexsort((df["o_id"].to_numpy(), df["o_ts"].to_numpy()))[0]
+        c = np.lexsort((df["c_id"].to_numpy(), df["c_ts"].to_numpy()))[-1]
+        return pa.Table.from_pandas(pd.DataFrame({
+            key_col: [df[key_col].iloc[0]],
+            "bucket_ts": [df["bucket_ts"].iloc[0]],
+            "open": [df["o_val"].iloc[o]],
+            "high": [df["high"].max()],
+            "low": [df["low"].min()],
+            "close": [df["c_val"].iloc[c]],
+            "n": [int(df["n"].sum())],
+        }), preserve_index=False)
+
+    return (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+            .groupby([key_col, "bucket_ts"])
+            .map_groups(merge, batch_format="pyarrow"))

@@ -168,3 +168,60 @@ def test_fuzzy_min_match_tie_breaks_lexicographically(ray_session):
     cands = rd.from_arrow(pa.table({"name": pa.array(["ab", "aa"], pa.string())}))
     out = fuzzy_min_match(cands, ["ac"], col="name").to_pandas()
     assert out.loc[0, "match"] == "aa" and out.loc[0, "dist"] == 1
+
+
+def test_profile_table_counts_nulls_and_distincts(ray_session):
+    from biosd_feature_annotator_ray.stages.profile import profile_table
+
+    t = pa.table({
+        "i": pa.array([1, 2, 2, None, 3], pa.int64()),
+        "s": pa.array(["a", None, "a", "b", None], pa.string()),
+        "f": pa.array([1.5, 1.5, None, -2.0, 0.0], pa.float64()),
+        "ts": pa.array(
+            pd.to_datetime(["2024-01-01", "2024-01-02", "2024-01-01",
+                            None, "2024-01-03"]), pa.timestamp("us")),
+    })
+    out = profile_table(rd.from_arrow(t), ["i", "s", "f", "ts"]
+                        ).to_pandas().set_index("col")
+    assert (out["n_rows"] == 5).all()
+    assert out.loc["i", "n_null"] == 1 and out.loc["i", "n_distinct"] == 3
+    assert out.loc["s", "n_null"] == 2 and out.loc["s", "n_distinct"] == 2
+    assert pd.isna(out.loc["s", "min_val"])
+    assert out.loc["f", "min_val"] == -2.0 and out.loc["f", "max_val"] == 1.5
+    assert out.loc["ts", "n_distinct"] == 3
+    # epoch micros survive exactly (no float 2^53 undercount)
+    assert out.loc["ts", "min_val"] == float(
+        pd.Timestamp("2024-01-01").value // 1000)
+
+
+def test_profile_distinct_exact_across_blocks(ray_session):
+    from biosd_feature_annotator_ray.stages.profile import profile_table
+
+    # same values repeated in every block must still count once
+    ds = rd.from_arrow(pa.table({"x": pa.array(list(range(100)) * 5)})
+                       ).repartition(10)
+    out = profile_table(ds, ["x"]).to_pandas()
+    assert out.loc[0, "n_distinct"] == 100 and out.loc[0, "n_rows"] == 500
+
+
+def test_ohlc_deterministic_across_block_orders(ray_session):
+    from biosd_feature_annotator_ray.stages.windows import ohlc_resample
+
+    ts = pd.to_datetime([
+        "2024-01-01 10:05", "2024-01-01 10:20", "2024-01-01 10:40",
+        "2024-01-01 11:01", "2024-01-01 10:20",  # tie ts -> id breaks
+    ])
+    t = pa.table({
+        "event_id": pa.array([5, 2, 3, 4, 1], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 5, pa.string()),
+        "value": pa.array([10.0, 20.0, 30.0, 40.0, 99.0], pa.float64()),
+    })
+    for nblocks in (1, 3):
+        out = (ohlc_resample(rd.from_arrow(t).repartition(nblocks))
+               .to_pandas().sort_values("bucket_ts").reset_index(drop=True))
+        assert out.loc[0, "open"] == 10.0       # 10:05 is first
+        assert out.loc[0, "close"] == 30.0      # 10:40 is last
+        assert out.loc[0, "high"] == 99.0 and out.loc[0, "low"] == 10.0
+        assert out.loc[0, "n"] == 4
+        assert out.loc[1, "open"] == 40.0 and out.loc[1, "n"] == 1
