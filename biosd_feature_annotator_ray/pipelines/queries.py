@@ -1501,6 +1501,34 @@ def q_connected_components(sf_dir: str):
         out.sort_values("node").reset_index(drop=True), preserve_index=False)
 
 
+# Time-RANGE trailing window frame (1h PRECEDING AND CURRENT ROW,
+# peers included): vectorized composite-key searchsorted bounds +
+# integer-cent prefix sums — exact, order-independent
+def q_trailing_sum(sf_dir: str):
+    from ..stages.windows import trailing_time_sum_per_key
+
+    out = trailing_time_sum_per_key(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        window=pd.Timedelta(hours=1))
+    df = out.to_pandas()[["event_id", "tsum"]]
+    return pa.Table.from_pandas(
+        df.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+# BM25 via the PERSISTED inverted index: reads only the query terms'
+# bucket files (storage-level pruning) — bit-identical to the full-scan
+# bm25 operator, so it shares that oracle
+def q_bm25_indexed(sf_dir: str):
+    from ..stages.textindex import (build_text_index, search_text_index,
+                                    text_index_dir_for)
+
+    src = f"{sf_dir}/documents.parquet"
+    idx = text_index_dir_for(src)
+    build_text_index(_docs(sf_dir, ["doc_id", "text"]), idx)
+    return search_text_index(idx, ["table", "scan", "vector"], topk=20)
+
+
 QUERIES = {
     "count_documents": q_count_documents,
     "filter_lang_en": q_filter_lang_en,
@@ -1577,6 +1605,8 @@ QUERIES = {
     "profile_events": q_profile_events,
     "ohlc_events": q_ohlc_events,
     "connected_components": q_connected_components,
+    "trailing_sum": q_trailing_sum,
+    "bm25_indexed": q_bm25_indexed,
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "mode_user_per_type": q_mode_user_per_type,
     "above_avg_orders": q_above_avg_orders,
@@ -1945,6 +1975,11 @@ ORACLES = {
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
     ),
+    "trailing_sum": (
+        "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW),"
+        " 2) AS tsum FROM events"
+    ),
     "profile_events": (
         "SELECT 'event_id' AS col, count(*) AS n_rows,"
         "  count(*) - count(event_id) AS n_null,"
@@ -2157,3 +2192,7 @@ ORACLES = {
         "   FROM s) WHERE rn <= 10"
     ),
 }
+
+# the indexed path is bit-identical to the full-scan operator, so both
+# are checked against the same SQL
+ORACLES["bm25_indexed"] = ORACLES["bm25"]

@@ -225,3 +225,100 @@ def test_ohlc_deterministic_across_block_orders(ray_session):
         assert out.loc[0, "high"] == 99.0 and out.loc[0, "low"] == 10.0
         assert out.loc[0, "n"] == 4
         assert out.loc[1, "open"] == 40.0 and out.loc[1, "n"] == 1
+
+
+def _brute_trailing(df, w):
+    out = []
+    for _, r in df.iterrows():
+        m = ((df.user_id == r.user_id) & (df.ts >= r.ts - w) & (df.ts <= r.ts))
+        out.append(round(df.loc[m, "value"].sum(), 2))
+    return out
+
+
+def test_trailing_time_sum_matches_bruteforce_with_ties(ray_session):
+    from biosd_feature_annotator_ray.stages.windows import trailing_time_sum_per_key
+
+    rng = np.random.default_rng(3)
+    n = 300
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 7, n),
+        # coarse grid forces many exact-ts ties (peer semantics)
+        "ts": pd.Timestamp("2024-03-01") + pd.to_timedelta(
+            rng.integers(0, 48, n) * 30, unit="m"),
+        "value": np.round(rng.uniform(0, 100, n), 2),
+    })
+    w = pd.Timedelta(hours=1)
+    out = (trailing_time_sum_per_key(rd.from_pandas(df), window=w)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert np.allclose(out["tsum"].to_numpy(),
+                       np.array(_brute_trailing(df, w)), atol=1e-9)
+
+
+def test_trailing_time_sum_fallback_segment_path(ray_session):
+    from biosd_feature_annotator_ray.stages.windows import trailing_time_sum_per_key
+
+    # 300 users x a ~500-year ts span makes n_keys*band overflow the
+    # composite encoding -> per-segment fallback must kick in and agree
+    rng = np.random.default_rng(5)
+    n = 600
+    near, far = pd.Timestamp("1700-01-01"), pd.Timestamp("2200-01-01")
+    tvals = [near + pd.Timedelta(minutes=int(i)) if i % 2
+             else far - pd.Timedelta(minutes=int(i)) for i in range(n)]
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.arange(n, dtype=np.int64) % 300,
+        "ts": pd.Series(tvals).astype("datetime64[us]"),
+        "value": np.round(rng.uniform(0, 9, n), 2),
+    })
+    w = pd.Timedelta(hours=2)
+    out = (trailing_time_sum_per_key(rd.from_pandas(df), window=w, nb=1)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert np.allclose(out["tsum"].to_numpy(),
+                       np.array(_brute_trailing(df, w)), atol=1e-9)
+
+
+def test_text_index_parity_with_full_scan(ray_session, tmp_path):
+    from biosd_feature_annotator_ray.stages.textindex import (
+        build_text_index, search_text_index)
+    from biosd_feature_annotator_ray.stages.textstats import bm25_topk
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(25)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.integers(1, 40))))
+            for i in range(200)]
+    docs = _docs_ds(rows)
+    terms = ["w3", "w7", "w19"]
+    full = bm25_topk(docs, terms, topk=15).to_pandas()
+    idx = str(tmp_path / "tidx")
+    build_text_index(docs, idx)
+    via_idx = search_text_index(idx, terms, topk=15).to_pandas()
+    pd.testing.assert_frame_equal(full, via_idx)  # bit-identical
+
+    # rebuild is a resume no-op: fragment count unchanged, result same
+    import glob
+    n_frags = len(glob.glob(f"{idx}/buckets/*/frag-*.parquet"))
+    build_text_index(docs, idx)
+    assert len(glob.glob(f"{idx}/buckets/*/frag-*.parquet")) == n_frags
+    pd.testing.assert_frame_equal(
+        search_text_index(idx, terms, topk=15).to_pandas(), via_idx)
+
+
+def test_text_index_prunes_buckets(ray_session, tmp_path):
+    """A single-term search must not read every bucket file."""
+    from biosd_feature_annotator_ray.functions.hashing import hash_strings
+    from biosd_feature_annotator_ray.stages.textindex import (
+        build_text_index, search_text_index)
+
+    docs = _docs_ds([(1, "alpha beta"), (2, "gamma delta"), (3, "alpha gamma")])
+    idx = str(tmp_path / "tidx2")
+    build_text_index(docs, idx, nb=8)
+    nb_alpha = int(hash_strings(pa.array(["alpha"])) % np.uint64(8))
+    # remove every OTHER bucket dir; the pruned search must still work
+    import os
+    import shutil
+    for d in os.listdir(f"{idx}/buckets"):
+        if d != f"b={nb_alpha}":
+            shutil.rmtree(f"{idx}/buckets/{d}")
+    out = search_text_index(idx, ["alpha"], topk=5, nb=8).to_pandas()
+    assert set(out["doc_id"]) == {1, 3}

@@ -4,7 +4,10 @@ Runs every queries() entry at the given sf_dir, compares against
 oracle_sql() via DuckDB: row count, column-name set, order-insensitive
 value comparison (sorted by all columns). Usage:
 
-    python tools/check_oracle.py [sf_dir]
+    python tools/check_oracle.py [sf_dir] [query_name ...]
+
+With query names given, only those entries run (sf_dir may be omitted
+when the first arg is not a directory).
 """
 
 from __future__ import annotations
@@ -42,7 +45,13 @@ def canon(df):
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    import os
+
+    args = sys.argv[1:]
+    if args and os.path.isdir(args[0]):
+        sf_dir, only = args[0], set(args[1:])
+    else:
+        sf_dir, only = "/root/testdata/sf0.01", set(args)
     import duckdb
     import pandas as pd
 
@@ -62,6 +71,8 @@ def main() -> None:
     qs, oracles = e.queries(), e.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t0 = time.time()
         try:
             got = canon(to_pandas(fn(sf_dir)))
