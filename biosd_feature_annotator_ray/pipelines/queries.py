@@ -1516,6 +1516,76 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# Ontology-subsumption-shaped transitive closure: all (node, ancestor)
+# pairs over the decimal-prefix DAG on o_orderkey — semi-naive datalog
+# (frontier-only joins) vs a DuckDB recursive CTE
+def q_transitive_closure(sf_dir: str):
+    from ..stages.graph import transitive_closure
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+    edges = orders.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t.column("o_orderkey"), 10))
+        .rename_columns(["child"]),
+        batch_format="pyarrow").map_batches(
+        lambda t: t.append_column(
+            "parent", pa.compute.divide(t.column("child"), 10)),
+        batch_format="pyarrow")
+    out = transitive_closure(edges, nb=16).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["node", "anc"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+# Distributed frontier BFS (min-hop distance from a seed set) over a
+# multi-path DAG (decimal + base-7 prefix edges, so min() is decisive)
+# vs a DuckDB recursive CTE with a final min-aggregate
+def q_bfs_depth(sf_dir: str):
+    from ..stages.graph import bfs_min_depth
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        dst = np.concatenate([k[k >= 10], k[k >= 7]])
+        src = np.concatenate([k[k >= 10] // 10, k[k >= 7] // 7])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    out = bfs_min_depth(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        seeds=list(range(1, 10)), nb=16).to_pandas()
+    out["dist"] = out["dist"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values("node").reset_index(drop=True), preserve_index=False)
+
+
+# Triangle count over a deterministic sparse multi-hash graph on
+# customers — degree-oriented wedge join + closing semi join (O(m^1.5)
+# wedges) vs DuckDB's three-way self-join
+def q_triangle_count(sf_dir: str):
+    from ..stages.graph import triangle_count
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        us = np.concatenate([u, u, u])
+        vs = np.concatenate([(u * 37) % 500, (u * 101) % 500,
+                             (u * 7 + 13) % 500])
+        keep = us != vs
+        us, vs = us[keep], vs[keep]
+        return pa.table({"a": pa.array(np.minimum(us, vs), pa.int64()),
+                         "b": pa.array(np.maximum(us, vs), pa.int64())})
+
+    e = dedup_exact(
+        orders.map_batches(edges, batch_format="pyarrow"), ["a", "b"], nb=16)
+    n = triangle_count(e, nb=16)
+    return pa.table({"n_triangles": pa.array([n], pa.int64())})
+
+
 # BM25 via the PERSISTED inverted index: reads only the query terms'
 # bucket files (storage-level pruning) — bit-identical to the full-scan
 # bm25 operator, so it shares that oracle
@@ -1607,6 +1677,9 @@ QUERIES = {
     "connected_components": q_connected_components,
     "trailing_sum": q_trailing_sum,
     "bm25_indexed": q_bm25_indexed,
+    "transitive_closure": q_transitive_closure,
+    "bfs_depth": q_bfs_depth,
+    "triangle_count": q_triangle_count,
     "topk_orders_per_priority": q_topk_orders_per_priority,
     "mode_user_per_type": q_mode_user_per_type,
     "above_avg_orders": q_above_avg_orders,
@@ -1974,6 +2047,35 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "transitive_closure": (
+        "WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS"
+        "   parent FROM orders WHERE o_orderkey >= 10),"
+        " anc(node, anc) AS (SELECT child, parent FROM e"
+        "   UNION SELECT a.node, e.parent FROM anc a JOIN e ON a.anc = e.child)"
+        " SELECT node, anc FROM anc"
+    ),
+    "bfs_depth": (
+        "WITH RECURSIVE e AS ("
+        "  SELECT o_orderkey // 10 AS src, o_orderkey AS dst FROM orders"
+        "   WHERE o_orderkey >= 10"
+        "  UNION SELECT o_orderkey // 7, o_orderkey FROM orders"
+        "   WHERE o_orderkey >= 7),"
+        " d(node, dist) AS ("
+        "  SELECT unnest([1,2,3,4,5,6,7,8,9]) AS node, 0 AS dist"
+        "  UNION SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node)"
+        " SELECT node, min(dist) AS dist FROM d GROUP BY node"
+    ),
+    "triangle_count": (
+        "WITH e0 AS ("
+        "  SELECT o_custkey AS u, (o_custkey * 37) % 500 AS v FROM orders"
+        "  UNION ALL SELECT o_custkey, (o_custkey * 101) % 500 FROM orders"
+        "  UNION ALL SELECT o_custkey, (o_custkey * 7 + 13) % 500 FROM orders),"
+        " e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+        "   FROM e0 WHERE u <> v)"
+        " SELECT count(*) AS n_triangles FROM e e1"
+        "  JOIN e e2 ON e2.a = e1.b"
+        "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b"
     ),
     "trailing_sum": (
         "SELECT event_id, round(sum(value) OVER (PARTITION BY user_id"

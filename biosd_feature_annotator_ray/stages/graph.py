@@ -219,3 +219,249 @@ def cooccurrence_edges(
                 pc.greater_equal(t.column("n_docs"), mc)),
             batch_format="pyarrow")
     return agg
+
+
+def _min_per_node(ds, nb: int, node_col: str = "node", val_col: str = "dist"):
+    """Map-side-combined distributed min(val) per node: per-batch local
+    min, ONE bucket shuffle, per-bucket final min — only per-batch
+    distinct (node, min) partials cross the wire."""
+    import pandas as pd
+
+    from .canonicalize import _B, _add_bucket
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas().groupby(node_col, as_index=False)[val_col].min()
+        return _add_bucket(pa.Table.from_pandas(df, preserve_index=False),
+                           [node_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        out = df.groupby(node_col, as_index=False)[val_col].min()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def transitive_closure(
+    edges,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    nb: int = 32,
+    max_iters: int = 40,
+):
+    """All (node, anc) ancestor pairs over a DAG edge list — the
+    ontology-subsumption / is-a closure primitive of KG construction
+    (expand every linked term to its ancestor terms).
+
+    Semi-naive datalog evaluation, Ray-Data-first: ``delta`` holds only
+    the pairs discovered last round; each round extends it one hop
+    (``delta.anc ⋈ edges.child`` — one bucket-shuffle hash join),
+    dedups within the round, and anti-joins against the accumulated
+    closure so re-derived pairs (multiple DAG paths) never re-enter the
+    frontier. Terminates when delta is empty — ≤ DAG depth rounds, each
+    touching only frontier-sized data, never the full closure.
+
+    CYCLES are detected, not looped on: a cycle would derive
+    ``(n, n)``; any self-pair in delta raises. At 10^12 scale the
+    closure itself is the output volume — partition it on ``node`` (the
+    same hash key every join here already uses) when materializing.
+    """
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"child": t.column(child_col).cast(pa.int64()),
+                            "parent": t.column(parent_col).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "anc": pa.array([], pa.int64())})
+    if e.count() == 0:
+        return rd.from_arrow(empty)
+
+    delta = dedup_exact(e.map_batches(
+        lambda t: pa.table({"node": t.column("child"),
+                            "anc": t.column("parent")}),
+        batch_format="pyarrow"), ["node", "anc"], nb=nb).materialize()
+    closure = delta
+
+    def _n_self_pairs(ds) -> int:
+        return int(ds.map_batches(
+            lambda t: pa.table({"n": pa.array(
+                [int(pa.compute.sum(pa.compute.equal(
+                    t.column("node"), t.column("anc"))).as_py() or 0)],
+                pa.int64())}),
+            batch_format="pyarrow").sum("n") or 0)
+
+    for _ in range(max_iters):
+        if delta.count() == 0:
+            return closure
+        if _n_self_pairs(delta):
+            raise ValueError("transitive_closure: cycle detected "
+                             "(derived a node as its own ancestor)")
+        # one hop: (node, anc) ⋈ (child=anc, parent) → (node, parent)
+        hop = shuffle_hash_join(
+            delta, e.map_batches(
+                lambda t: t.rename_columns(["anc", "new_anc"]),
+                batch_format="pyarrow"),
+            on=["anc"], how="inner", nb=nb)
+        hop = dedup_exact(hop.map_batches(
+            lambda t: pa.table({"node": t.column("node"),
+                                "anc": t.column("new_anc")}),
+            batch_format="pyarrow"), ["node", "anc"], nb=nb).materialize()
+        if hop.count() == 0:  # empty Datasets lose their schema —
+            return closure    # never feed one to a join
+        delta = shuffle_hash_join(
+            hop, closure, on=["node", "anc"], how="anti", nb=nb).materialize()
+        closure = closure.union(delta).materialize()
+    raise RuntimeError(
+        f"transitive_closure did not converge in max_iters={max_iters} "
+        "(DAG deeper than that) — raise max_iters")
+
+
+def bfs_min_depth(
+    edges,
+    seeds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nb: int = 32,
+    max_iters: int = 60,
+):
+    """Minimum-hop distance from a seed set over a directed edge list:
+    (node, dist) for every node reachable from ``seeds`` (seeds at 0).
+
+    Textbook frontier BFS, distributed: each round ships the frontier's
+    labels across its out-edges (one bucket-shuffle hash join), takes
+    the min per target (map-side-combined), and anti-joins against the
+    settled set — with unit weights the first round that reaches a node
+    IS its min distance, so settled nodes never re-enter. Terminates
+    when the frontier empties (≤ graph-diameter rounds, frontier-sized
+    work per round); cycles are harmless (already-settled targets are
+    dropped by the anti-join).
+    """
+    import ray.data as rd
+
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column(src_col).cast(pa.int64()),
+                            "dst": t.column(dst_col).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    if isinstance(seeds, (list, tuple, np.ndarray)):
+        seeds = pa.table({"node": pa.array(
+            sorted(set(int(x) for x in seeds)), pa.int64())})
+    seeds_ds = rd.from_arrow(seeds) if isinstance(seeds, pa.Table) else seeds
+
+    frontier = seeds_ds.map_batches(
+        lambda t: pa.table({"node": t.column("node").cast(pa.int64()),
+                            "dist": pa.array(np.zeros(len(t), np.int64))}),
+        batch_format="pyarrow").materialize()
+    settled = frontier
+    for _ in range(max_iters):
+        if frontier.count() == 0:
+            return settled
+        msgs = shuffle_hash_join(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["src", "dist"]),
+                batch_format="pyarrow"),
+            e, on=["src"], how="inner", nb=nb)
+        msgs = msgs.map_batches(
+            lambda t: pa.table({
+                "node": t.column("dst").cast(pa.int64()),
+                "dist": pa.compute.add(t.column("dist").cast(pa.int64()), 1)}),
+            batch_format="pyarrow")
+        cand = _min_per_node(msgs, nb=nb).materialize()
+        if cand.count() == 0:  # frontier had no out-edges; empty
+            return settled     # Datasets lose their schema — stop here
+        frontier = shuffle_hash_join(
+            cand, settled, on=["node"], how="anti", nb=nb).materialize()
+        settled = settled.union(frontier).materialize()
+    raise RuntimeError(
+        f"bfs_min_depth did not converge in max_iters={max_iters} "
+        "(graph diameter exceeds it) — raise max_iters")
+
+
+def triangle_count(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    nb: int = 64,
+    orient: str = "degree",
+) -> int:
+    """Count triangles in an undirected simple graph given as DISTINCT
+    edges with ``a < b`` (no self-loops). Join-based node-iterator:
+    orient every edge along a total order, build wedges with one
+    edge⋈edge shuffle join, then close them with a semi join back
+    against the edge set — each triangle is counted exactly once.
+
+    ``orient="degree"`` re-orients edges low→high by (degree, node)
+    before the wedge join — the standard skew mitigation: a hub of
+    degree d contributes wedges only among its HIGHER-ordered
+    neighbors, so total wedge volume is O(m^1.5) instead of Σ d².
+    Costs one extra groupby + join; ``orient="value"`` skips it (uses
+    the given a<b order). The triangle COUNT is identical for any
+    total order — parity between the two modes is the self-test.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"a": t.column(a_col).cast(pa.int64()),
+                            "b": t.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    if orient == "degree":
+        def ends(t: pa.Table) -> pa.Table:
+            import pandas as pd
+            both = pd.DataFrame({"node": np.concatenate([
+                t.column("a").to_numpy(zero_copy_only=False),
+                t.column("b").to_numpy(zero_copy_only=False)])})
+            part = both.groupby("node", as_index=False).size()
+            return pa.table({"node": pa.array(part["node"], pa.int64()),
+                             "deg_part": pa.array(part["size"], pa.int64())})
+
+        deg = (e.map_batches(ends, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("deg_part", alias_name="deg")))
+        # re-orient: src = lower (deg, node), dst = higher
+        w = shuffle_hash_join(
+            e, deg.map_batches(lambda t: t.rename_columns(["a", "deg_a"]),
+                               batch_format="pyarrow"),
+            on=["a"], how="inner", nb=nb)
+        w = shuffle_hash_join(
+            w, deg.map_batches(lambda t: t.rename_columns(["b", "deg_b"]),
+                               batch_format="pyarrow"),
+            on=["b"], how="inner", nb=nb)
+
+        def reorient(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            da = t.column("deg_a").to_numpy(zero_copy_only=False)
+            db = t.column("deg_b").to_numpy(zero_copy_only=False)
+            fwd = (da < db) | ((da == db) & (a < b))
+            return pa.table({"a": pa.array(np.where(fwd, a, b), pa.int64()),
+                             "b": pa.array(np.where(fwd, b, a), pa.int64())})
+
+        e = w.map_batches(reorient, batch_format="pyarrow")
+    elif orient != "value":
+        raise ValueError(f"unknown orient={orient!r}")
+    e = e.materialize()
+
+    # wedges: (a, b) ⋈ (a'=b, b') → (a, b, c=b'); close with a semi
+    # join of (a, c) back against the oriented edge set
+    wedges = shuffle_hash_join(
+        e, e.map_batches(lambda t: t.rename_columns(["b", "c"]),
+                         batch_format="pyarrow"),
+        on=["b"], how="inner", nb=nb)
+    closed = shuffle_hash_join(
+        wedges.map_batches(lambda t: t.select(["a", "c"]).rename_columns(["a", "b"]),
+                           batch_format="pyarrow"),
+        e, on=["a", "b"], how="semi", nb=nb)
+    return int(closed.count())

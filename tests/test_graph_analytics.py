@@ -1,0 +1,137 @@
+"""Iterative graph analytics: transitive closure, BFS min-depth,
+triangle counting — brute-force parity on small graphs."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _edges(pairs, cols):
+    return rd.from_arrow(pa.table({
+        cols[0]: pa.array([p[0] for p in pairs], pa.int64()),
+        cols[1]: pa.array([p[1] for p in pairs], pa.int64()),
+    }))
+
+
+def _brute_closure(pairs):
+    parents = {}
+    for c, p in pairs:
+        parents.setdefault(c, set()).add(p)
+    out = set()
+    for n in parents:
+        stack, seen = list(parents[n]), set()
+        while stack:
+            a = stack.pop()
+            if a in seen:
+                continue
+            seen.add(a)
+            stack += list(parents.get(a, ()))
+        out |= {(n, a) for a in seen}
+    return out
+
+
+def test_transitive_closure_multipath_dag(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import transitive_closure
+
+    # diamond (1→2→4, 1→3→4 reversed as child→parent) + a chain + an
+    # isolated edge; 4 reaches 1 via TWO paths — the anti-join must
+    # keep the pair once
+    pairs = [(4, 2), (4, 3), (2, 1), (3, 1), (7, 4), (9, 8)]
+    out = transitive_closure(_edges(pairs, ["child", "parent"]), nb=4)
+    got = {(int(r.node), int(r.anc)) for r in out.to_pandas().itertuples()}
+    assert got == _brute_closure(pairs)
+
+
+def test_transitive_closure_random_dag_vs_brute(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import transitive_closure
+
+    rng = np.random.default_rng(7)
+    # random DAG: edges only from higher to lower ids (child → parent)
+    pairs = set()
+    for _ in range(120):
+        c = int(rng.integers(1, 60))
+        p = int(rng.integers(0, c))
+        pairs.add((c, p))
+    pairs = sorted(pairs)
+    out = transitive_closure(_edges(pairs, ["child", "parent"]), nb=4)
+    got = {(int(r.node), int(r.anc)) for r in out.to_pandas().itertuples()}
+    assert got == _brute_closure(pairs)
+
+
+def test_transitive_closure_cycle_raises(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import transitive_closure
+
+    with pytest.raises(ValueError, match="cycle"):
+        transitive_closure(
+            _edges([(1, 2), (2, 3), (3, 1)], ["child", "parent"]),
+            nb=4).to_pandas()
+
+
+def _brute_bfs(pairs, seeds):
+    adj = {}
+    for s, d in pairs:
+        adj.setdefault(s, []).append(d)
+    dist = {s: 0 for s in seeds}
+    frontier = list(seeds)
+    k = 0
+    while frontier:
+        k += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = k
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_min_depth_vs_brute_with_cycles(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import bfs_min_depth
+
+    rng = np.random.default_rng(11)
+    pairs = sorted({(int(rng.integers(0, 40)), int(rng.integers(0, 40)))
+                    for _ in range(100)})  # cycles + self loops allowed
+    seeds = [0, 1]
+    out = bfs_min_depth(_edges(pairs, ["src", "dst"]), seeds=seeds, nb=4)
+    got = {int(r.node): int(r.dist) for r in out.to_pandas().itertuples()}
+    assert got == _brute_bfs(pairs, seeds)
+
+
+def test_bfs_unreachable_absent(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import bfs_min_depth
+
+    out = bfs_min_depth(_edges([(1, 2), (5, 6)], ["src", "dst"]),
+                        seeds=[1], nb=4).to_pandas()
+    got = {int(r.node): int(r.dist) for r in out.itertuples()}
+    assert got == {1: 0, 2: 1}
+
+
+def _brute_triangles(pairs):
+    es = {frozenset(p) for p in pairs}
+    nodes = sorted({x for p in pairs for x in p})
+    return sum(1 for a, b, c in itertools.combinations(nodes, 3)
+               if {frozenset((a, b)), frozenset((b, c)),
+                   frozenset((a, c))} <= es)
+
+
+def test_triangle_count_known_and_random(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import triangle_count
+
+    # K4 has exactly 4 triangles; pendant edge adds none
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3), (3, 9)]
+    assert triangle_count(_edges(k4, ["a", "b"]), nb=4) == 4
+
+    rng = np.random.default_rng(13)
+    pairs = sorted({(int(u), int(v)) for u, v in
+                    ((min(x, y), max(x, y)) for x, y in
+                     rng.integers(0, 25, (160, 2))) if u != v})
+    want = _brute_triangles(pairs)
+    e = _edges(pairs, ["a", "b"])
+    assert triangle_count(e, nb=4, orient="degree") == want
+    assert triangle_count(e, nb=4, orient="value") == want
