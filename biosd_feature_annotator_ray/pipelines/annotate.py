@@ -70,6 +70,9 @@ class PipelineSpec:
                                           # larger than this stream in url-hash
                                           # sub-chunks (row groups) instead of
                                           # one whole-partition materialization
+    expand_ancestors: bool = False        # materialize is-a subsumption
+                                          # closure triples (ancestor URIs),
+                                          # deduped by the same survivor rule
     type_vocab: tuple[str, ...] = DEFAULT_TYPE_VOCAB
     lang: str | None = None               # M11 read-time filter
     num_blocks: int | None = None         # read re-chunking: fewer/longer fused
@@ -257,6 +260,12 @@ def build_triples(
         batch_format="pyarrow",
         batch_size=spec.batch_size,
     )
+    if spec.expand_ancestors:
+        from ..stages.triples import expand_ancestors
+
+        # BEFORE dedup: entailed rows from two children sharing an
+        # ancestor collapse under the same survivor rule below
+        triples = expand_ancestors(triples)
     if not dedup:
         return triples
     salt = spec.salt

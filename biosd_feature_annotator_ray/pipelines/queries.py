@@ -1225,6 +1225,19 @@ def q_annotate_triples(sf_dir: str):
     return annotate_pages(pages, PipelineSpec(n_buckets=16))
 
 
+def q_annotate_ancestors(sf_dir: str):
+    """Flagship KG pipeline with materialized is-a subsumption closure:
+    linked ontology triples are expanded to their ancestor URIs
+    (broadcast ontology closure, row-expanding vectorized map) and
+    deduped under the standard survivor rule."""
+    from ..pipelines.annotate import PipelineSpec, annotate_pages
+    from ..synth import gen_pages
+
+    pages = rd.from_arrow(gen_pages(2000))
+    return annotate_pages(pages, PipelineSpec(n_buckets=16,
+                                              expand_ancestors=True))
+
+
 def q_curate_documents(sf_dir: str):
     """Training-data curation flagship over the documents table:
     quality scoring + language-ID + fingerprint + exact-dup marker in
@@ -1677,6 +1690,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "trailing_sum": q_trailing_sum,
     "bm25_indexed": q_bm25_indexed,
+    "annotate_ancestors": q_annotate_ancestors,
     "transitive_closure": q_transitive_closure,
     "bfs_depth": q_bfs_depth,
     "triangle_count": q_triangle_count,

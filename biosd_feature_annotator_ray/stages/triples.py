@@ -225,3 +225,63 @@ def _lexical_forms(j: pa.Table, kind: np.ndarray) -> pa.Array:
         out[idx] = pd.Series(dsub("dt_lo", idx)).str.cat(
             pd.Series(dsub("dt_hi", idx)), sep="/").to_numpy(dtype=object)
     return pa.array(out, pa.string())
+
+
+def expand_ancestors(
+    triples: "ray.data.Dataset",
+    closure: pa.Table | None = None,
+    include_original: bool = True,
+) -> "ray.data.Dataset":
+    """Materialized subsumption inference: for every ``obj_kind="uri"``
+    triple whose object has ancestors in the is-a ``closure`` table
+    (``state.dictionaries.ancestor_closure`` by default), emit the
+    entailed ``(subj, pred, ancestor_uri)`` triples — the standard KG
+    ancestor expansion ('Homo sapiens' pages also match 'Mammalia').
+
+    Scale shape: the closure is ONTOLOGY-sized (broadcast once via
+    ``ray.put``, fetched zero-copy per worker); expansion is a
+    row-expanding vectorized map over the triple stream — index_in
+    against the child list, flat-take row/ancestor indices, no per-row
+    Python. Entailed rows inherit confidence/score and keep
+    ``obj_kind="uri"``; duplicates (two children sharing an ancestor)
+    are left to the caller's exact dedup. ``unit_uri`` sidecars are NOT
+    expanded (units subsume trivially; entailed unit triples add noise).
+    """
+    closure = closure if closure is not None else _default_closure()
+    # pre-group driver-side: children (unique, sorted), CSR offsets into
+    # the flat ancestor array
+    df = closure.to_pandas().sort_values(["uri", "anc_uri"])
+    children = df["uri"].drop_duplicates().to_numpy(dtype=object)
+    counts = df.groupby("uri", sort=True).size().to_numpy()
+    offs = np.concatenate(([0], np.cumsum(counts)))
+    state_ref = ray.put((pa.array(children, pa.string()), offs,
+                         pa.array(df["anc_uri"].to_numpy(dtype=object),
+                                  pa.string())))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        kids, offsets, flat_anc = ray.get(state_ref)
+        idx = pc.index_in(batch.column("obj"), value_set=kids)
+        valid = pc.and_kleene(pc.is_valid(idx),
+                              pc.equal(batch.column("obj_kind"), "uri"))
+        sel = np.flatnonzero(valid.to_numpy(zero_copy_only=False))
+        if len(sel) == 0:
+            return batch if include_original else batch.schema.empty_table()
+        ix = idx.to_numpy(zero_copy_only=False)[sel].astype(np.int64)
+        cnt = offsets[ix + 1] - offsets[ix]
+        row_take = np.repeat(sel, cnt)
+        starts = np.repeat(offsets[ix], cnt)
+        within = np.arange(len(row_take)) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        anc_vals = flat_anc.take(pa.array(starts + within))
+        exp = batch.take(pa.array(row_take))
+        exp = exp.set_column(exp.schema.get_field_index("obj"),
+                             "obj", anc_vals)
+        return pa.concat_tables([batch, exp]) if include_original else exp
+
+    return triples.map_batches(expand, batch_format="pyarrow")
+
+
+def _default_closure() -> pa.Table:
+    from ..state.dictionaries import ancestor_closure
+
+    return ancestor_closure()

@@ -43,6 +43,67 @@ FIXTURE_CURATED: list[tuple[str, str, str, str]] = [
 ]
 
 
+# FIXTURES.md §3.4 — direct is-a (subsumption) edges of the frozen
+# mini-ontology, using the public OBO/EFO parent terms. Ancestor URIs
+# are NOT lexical-match targets (they carry no label/synonym rows) —
+# they exist only for closure expansion.
+FIXTURE_IS_A: list[tuple[str, str]] = [
+    (OBO + "NCBITaxon_9606", OBO + "NCBITaxon_9605"),    # Homo sapiens → Homo
+    (OBO + "NCBITaxon_9605", OBO + "NCBITaxon_40674"),   # Homo → Mammalia
+    (OBO + "NCBITaxon_10090", OBO + "NCBITaxon_10088"),  # Mus musculus → Mus
+    (OBO + "NCBITaxon_10088", OBO + "NCBITaxon_40674"),  # Mus → Mammalia
+    (EFO + "EFO_0000400", EFO + "EFO_0000589"),  # diabetes mellitus → metabolic disease
+    (EFO + "EFO_0000589", EFO + "EFO_0000408"),  # metabolic disease → disease
+    (EFO + "EFO_0001265", OBO + "UBERON_0000062"),   # liver → organ
+    (OBO + "PATO_0000384", OBO + "PATO_0001894"),    # male → phenotypic sex
+    (OBO + "PATO_0000383", OBO + "PATO_0001894"),    # female → phenotypic sex
+    (OBO + "UO_0000034", OBO + "UO_0000003"),        # week → time unit
+    (OBO + "UO_0000022", OBO + "UO_0000002"),        # milligram → mass unit
+    (OBO + "UO_0000027", OBO + "UO_0000005"),        # degree Celsius → temperature unit
+]
+
+
+def fixture_is_a() -> pa.Table:
+    return pa.table({
+        "child_uri": pa.array([c for c, _ in FIXTURE_IS_A], pa.string()),
+        "parent_uri": pa.array([p for _, p in FIXTURE_IS_A], pa.string()),
+    })
+
+
+def ancestor_closure(is_a: pa.Table | None = None) -> pa.Table:
+    """Transitive closure of the is-a DAG as a flat (uri, anc_uri)
+    table — ontology-sized state, computed once in-process and
+    broadcast (`ray.put`) like every other dictionary here; the
+    DATA-side expansion over the triple stream is the distributed part
+    (``stages.triples.expand_ancestors``). Raises on cycles."""
+    is_a = is_a if is_a is not None else fixture_is_a()
+    parents: dict[str, set[str]] = {}
+    for c, p in zip(is_a.column("child_uri").to_pylist(),
+                    is_a.column("parent_uri").to_pylist()):
+        parents.setdefault(c, set()).add(p)
+    out_c, out_a = [], []
+    memo: dict[str, frozenset] = {}
+
+    def ancestors(n: str, path: tuple = ()) -> frozenset:
+        if n in memo:
+            return memo[n]
+        if n in path:
+            raise ValueError(f"ancestor_closure: is-a cycle through {n!r}")
+        acc: set[str] = set()
+        for p in parents.get(n, ()):
+            acc.add(p)
+            acc |= ancestors(p, path + (n,))
+        memo[n] = frozenset(acc)
+        return memo[n]
+
+    for n in sorted(parents):
+        for a in sorted(ancestors(n)):
+            out_c.append(n)
+            out_a.append(a)
+    return pa.table({"uri": pa.array(out_c, pa.string()),
+                     "anc_uri": pa.array(out_a, pa.string())})
+
+
 def fixture_ontology_terms() -> pa.Table:
     uris, labels, syns, onts, obs = zip(*FIXTURE_TERMS)
     return pa.table(
