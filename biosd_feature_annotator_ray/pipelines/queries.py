@@ -816,6 +816,60 @@ def q_setop_except(sf_dir: str):
     return set_op(a, b, "doc_id", op="except", nb=8)
 
 
+# BAG-semantics set ops: per-value multiplicity min(ca,cb) / ca-cb —
+# map side ships per-batch counts, reduce re-expands via np.repeat
+def _bag_sides(sf_dir: str):
+    a = _events(sf_dir, ["user_id"]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
+    b = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey"]).map_batches(
+        lambda t: t.rename_columns(["id"]), batch_format="pyarrow")
+    return a, b
+
+
+def q_setop_intersect_all(sf_dir: str):
+    from ..stages.canonicalize import set_op_all
+
+    a, b = _bag_sides(sf_dir)
+    return set_op_all(a, b, "id", op="intersect", nb=8)
+
+
+def q_setop_except_all(sf_dir: str):
+    from ..stages.canonicalize import set_op_all
+
+    a, b = _bag_sides(sf_dir)
+    return set_op_all(a, b, "id", op="except", nb=8)
+
+
+# Trailing rolling max (ROWS frame): C-level groupby-rolling per
+# bucket group — extremes admit no prefix-sum trick
+def q_moving_max_events(sf_dir: str):
+    from ..stages.windows import rolling_extreme_per_key
+
+    out = rolling_extreme_per_key(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        window=4, mode="max")
+    df = out.to_pandas()[["event_id", "mov_max"]]
+    return pa.Table.from_pandas(
+        df.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+# GLOBAL row_number without a single-node sort: exact-quantile range
+# partitions + local rank + broadcast prefix offsets
+def q_global_rn_orders(sf_dir: str):
+    from ..stages.windows import global_row_number
+
+    out = global_row_number(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"]),
+        order_cols=["o_totalprice", "o_orderkey"], n_parts=16)
+    df = out.to_pandas()[["o_orderkey", "rn"]]
+    return pa.Table.from_pandas(
+        df.sort_values("o_orderkey").reset_index(drop=True),
+        preserve_index=False)
+
+
 def q_setop_union(sf_dir: str):
     from ..stages.canonicalize import set_op
 
@@ -1669,6 +1723,10 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "setop_intersect": q_setop_intersect,
     "setop_except": q_setop_except,
+    "setop_intersect_all": q_setop_intersect_all,
+    "setop_except_all": q_setop_except_all,
+    "moving_max_events": q_moving_max_events,
+    "global_rn_orders": q_global_rn_orders,
     "setop_union": q_setop_union,
     "source_stats": q_source_stats,
     "quality_signals": q_quality_signals,
@@ -2061,6 +2119,23 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "setop_intersect_all": (
+        "SELECT user_id AS id FROM events"
+        " INTERSECT ALL SELECT o_custkey FROM orders"
+    ),
+    "setop_except_all": (
+        "SELECT user_id AS id FROM events"
+        " EXCEPT ALL SELECT o_custkey FROM orders"
+    ),
+    "moving_max_events": (
+        "SELECT event_id, max(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        " AS mov_max FROM events"
+    ),
+    "global_rn_orders": (
+        "SELECT o_orderkey, row_number() OVER"
+        " (ORDER BY o_totalprice, o_orderkey) AS rn FROM orders"
     ),
     "transitive_closure": (
         "WITH RECURSIVE e AS (SELECT o_orderkey AS child, o_orderkey // 10 AS"

@@ -271,6 +271,62 @@ def set_op(
     return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
 
 
+def set_op_all(
+    a: "ray.data.Dataset",
+    b: "ray.data.Dataset",
+    col: str,
+    op: str = "intersect",
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """BAG-semantics set operations — SQL INTERSECT ALL / EXCEPT ALL:
+    per-value output multiplicity is ``min(count_a, count_b)`` resp.
+    ``max(0, count_a - count_b)``.
+
+    Same shuffle shape as ``set_op`` but the map side ships per-batch
+    (value, partial count, side) rows instead of presence bits; the
+    reduce sums counts per side and re-expands values ``np.repeat``-
+    vectorized. NULLs compare equal and keep their multiplicity, as in
+    SQL set ops."""
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown bag set op: {op}")
+
+    def tag(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            df = pd.DataFrame({col: batch.column(col).to_pandas()})
+            cnt = (df.groupby(col, sort=False, dropna=False)
+                   .size().reset_index(name="_n"))
+            t = pa.table({
+                col: pa.Array.from_pandas(cnt[col],
+                                          type=batch.schema.field(col).type),
+                "_n": pa.array(cnt["_n"].to_numpy(), pa.int64()),
+                "_side": pa.array(np.full(len(cnt), side, np.int32))})
+            return _add_bucket(t, [col], nb)
+
+        return f
+
+    tagged = a.map_batches(tag(0), batch_format="pyarrow", batch_size=65536).union(
+        b.map_batches(tag(1), batch_format="pyarrow", batch_size=65536)
+    )
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = group.select([col, "_n", "_side"]).to_pandas()
+        # per (value, side) count sums, then a vectorized multiplicity
+        piv = (df.groupby([col, "_side"], sort=False, dropna=False)["_n"]
+               .sum().unstack("_side", fill_value=0)
+               .reindex(columns=[0, 1], fill_value=0))
+        ca = piv[0].to_numpy(dtype=np.int64)
+        cb = piv[1].to_numpy(dtype=np.int64)
+        m = (np.minimum(ca, cb) if op == "intersect"
+             else np.maximum(ca - cb, 0))
+        keep = m > 0
+        vals = pa.Array.from_pandas(pd.Series(piv.index[keep]),
+                                    type=group.schema.field(col).type)
+        reps = pa.array(np.repeat(np.arange(len(vals)), m[keep]))
+        return pa.table({col: vals.take(reps)})
+
+    return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
 CONFIDENCE_RANK = {"HIGH": 3, "GOOD": 2, "MEDIUM": 1, "LOW": 0}
 _CONF_LEVELS = pa.array(["HIGH", "GOOD", "MEDIUM", "LOW"])
 _CONF_RANKS = np.array([3, 2, 1, 0, -1], dtype=np.int32)  # last = unknown/null

@@ -653,3 +653,98 @@ def trailing_time_sum_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def rolling_extreme_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    window: int = 4,
+    mode: str = "max",
+    out: str = "mov_max",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """max/min(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    window-1 PRECEDING AND CURRENT ROW): the trailing rolling extreme.
+    Unlike sums, extremes admit no prefix trick — each bucket group
+    runs pandas' C-level groupby-rolling (min_periods=1), no per-row
+    Python. Same one-bucket-shuffle shape as every window here."""
+    if mode not in ("max", "min"):
+        raise ValueError(f"mode must be max|min, got {mode!r}")
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        r = df.groupby(key_col, sort=False)[value_col].rolling(
+            window, min_periods=1)
+        df[out] = (r.max() if mode == "max" else r.min()).to_numpy()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def global_row_number(
+    ds: "ray.data.Dataset",
+    order_cols: list[str],
+    ascending: "list[bool] | None" = None,
+    out: str = "rn",
+    n_parts: int = 32,
+) -> "ray.data.Dataset":
+    """row_number() OVER (ORDER BY order_cols) — a GLOBAL total-order
+    rank, without a global sort on one node: exact-quantile range
+    boundaries on the (numeric) leading column tag every row with its
+    range partition (map-side), rows per partition are counted (tiny
+    aggregate), the driver prefix-sums n_parts integers, then each
+    partition ranks locally and adds its offset. Two passes over the
+    data, one bucket shuffle, driver traffic = n_parts ints.
+
+    ``order_cols`` must be a total order (append a unique tiebreaker
+    column); ties would otherwise get block-order-dependent ranks.
+    """
+    from ray.data.aggregate import Sum
+
+    from .sketches import range_partition
+
+    asc = ascending or [True] * len(order_cols)
+    lead = order_cols[0]
+    if not asc[0]:
+        raise ValueError("leading order column must be ascending "
+                         "(negate it upstream for DESC)")
+    # exact-quantile range tags on the (numeric) leading column — equal
+    # values always land in the same partition, partitions are value-
+    # contiguous, so local rank + partition offset IS the global rank
+    tagged = range_partition(ds, lead, n_parts, out="_part").materialize()
+
+    def local_counts(t: pa.Table) -> pa.Table:
+        p = t.column("_part").to_numpy(zero_copy_only=False)
+        u, c = np.unique(p, return_counts=True)
+        return pa.table({"_part": pa.array(u.astype(np.int64)),
+                         "_n": pa.array(c.astype(np.int64))})
+
+    counts = (tagged.map_batches(local_counts, batch_format="pyarrow")
+              .groupby("_part").aggregate(Sum("_n", alias_name="n"))
+              .to_pandas().sort_values("_part"))
+    offsets = np.zeros(n_parts + 1, dtype=np.int64)
+    if len(counts):
+        offsets[counts["_part"].to_numpy(dtype=np.int64) + 1] = \
+            counts["n"].to_numpy(dtype=np.int64)
+    offsets = np.cumsum(offsets)
+
+    def rank(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        p = int(df["_part"].iloc[0])
+        df = df.sort_values(order_cols, ascending=asc, kind="mergesort")
+        df[out] = offsets[p] + np.arange(1, len(df) + 1, dtype=np.int64)
+        return pa.Table.from_pandas(df.drop(columns=["_part"]),
+                                    preserve_index=False)
+
+    return tagged.groupby("_part").map_groups(rank, batch_format="pyarrow")
