@@ -1583,6 +1583,35 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# Deterministic weighted sampling (A-ES with an md5-derived uniform):
+# P(selected) ∝ o_totalprice; map-side local top-k keeps the final
+# sort+limit at ≤ k·n_blocks rows
+def q_weighted_sample(sf_dir: str):
+    from ..stages.sketches import weighted_sample
+
+    out = weighted_sample(
+        rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"]),
+        id_col="o_orderkey", weight_col="o_totalprice", k=500).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderkey").reset_index(drop=True),
+        preserve_index=False)
+
+
+# Ordered funnel (click → view → purchase, strictly increasing ts,
+# earliest-completion semantics): one user-bucket shuffle, per-step
+# masked groupby-min across ALL users in the group at once
+def q_funnel_events(sf_dir: str):
+    from ..stages.windows import funnel_steps_per_user
+
+    out = funnel_steps_per_user(
+        _events(sf_dir, ["user_id", "ts", "event_type"]),
+        steps=["click", "view", "purchase"]).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # Ontology-subsumption-shaped transitive closure: all (node, ancestor)
 # pairs over the decimal-prefix DAG on o_orderkey — semi-naive datalog
 # (frontier-only joins) vs a DuckDB recursive CTE
@@ -1723,6 +1752,8 @@ QUERIES = {
     "top_bigrams": q_top_bigrams,
     "setop_intersect": q_setop_intersect,
     "setop_except": q_setop_except,
+    "weighted_sample": q_weighted_sample,
+    "funnel_events": q_funnel_events,
     "setop_intersect_all": q_setop_intersect_all,
     "setop_except_all": q_setop_except_all,
     "moving_max_events": q_moving_max_events,
@@ -2119,6 +2150,33 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "weighted_sample": (
+        "SELECT o_orderkey, o_totalprice FROM ("
+        " SELECT o_orderkey, o_totalprice,"
+        "  -ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))"
+        "       ::UBIGINT AS BIGINT) + 0.5) / 4294967296.0) / o_totalprice"
+        "   AS aes_key"
+        " FROM orders WHERE o_totalprice > 0)"
+        " ORDER BY aes_key LIMIT 500"
+    ),
+    "funnel_events": (
+        "WITH u AS (SELECT DISTINCT user_id FROM events"
+        "   WHERE event_type IN ('click', 'view', 'purchase')),"
+        " s1 AS (SELECT user_id, min(ts) AS t FROM events"
+        "   WHERE event_type = 'click' GROUP BY user_id),"
+        " s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+        "   JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t"
+        "   WHERE e.event_type = 'view' GROUP BY e.user_id),"
+        " s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
+        "   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t"
+        "   WHERE e.event_type = 'purchase' GROUP BY e.user_id)"
+        " SELECT u.user_id, CASE WHEN s3.t IS NOT NULL THEN 3"
+        "  WHEN s2.t IS NOT NULL THEN 2 WHEN s1.t IS NOT NULL THEN 1"
+        "  ELSE 0 END AS steps_done"
+        " FROM u LEFT JOIN s1 ON u.user_id = s1.user_id"
+        "  LEFT JOIN s2 ON u.user_id = s2.user_id"
+        "  LEFT JOIN s3 ON u.user_id = s3.user_id"
     ),
     "setop_intersect_all": (
         "SELECT user_id AS id FROM events"

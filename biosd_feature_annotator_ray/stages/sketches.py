@@ -352,3 +352,46 @@ def recommend_hot_keys(
     # map back from the sketch's string domain to original values
     vals = pd.Series(sample.select_columns([col]).to_pandas()[col].unique())
     return vals[vals.astype(str).isin(hot_strs)].tolist()
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+) -> "ray.data.Dataset":
+    """Weighted sampling without replacement, P(selected) ∝ weight —
+    the Efraimidis–Spirakis A-ES scheme made DETERMINISTIC (and thus
+    resumable + cross-system reproducible): the per-row uniform draw is
+    ``u = (md5(id)[:8] + 0.5) / 2^32`` instead of an RNG, the A-ES key
+    is ``-ln(u) / w`` and the sample is the k SMALLEST keys.
+
+    Scale shape: each batch keeps only its local k smallest (map-side
+    combine), so the final sort+limit sees ≤ k·n_blocks partial rows —
+    never the fact table. Rows with weight ≤ 0 or null are excluded.
+    """
+    import hashlib
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in ids), np.float64, count=len(ids))
+        u = (h + 0.5) / 4294967296.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = -np.log(u) / w
+        ok = np.isfinite(key) & (w > 0)
+        t = batch.append_column("_aes_key", pa.array(key))
+        t = t.filter(pa.array(ok))
+        if len(t) > k:
+            order = np.argsort(
+                t.column("_aes_key").to_numpy(zero_copy_only=False),
+                kind="stable")[:k]
+            t = t.take(pa.array(order))
+        return t
+
+    return (ds.map_batches(local_topk, batch_format="pyarrow",
+                           batch_size=65536)
+            .sort("_aes_key").limit(k).drop_columns(["_aes_key"]))

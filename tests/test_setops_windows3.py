@@ -85,3 +85,78 @@ def test_global_row_number_total_order_with_ties(ray_session):
     want = df.sort_values(["v", "k"]).assign(
         rn=np.arange(1, n + 1)).sort_values("k")["rn"].to_numpy()
     assert np.array_equal(out["rn"].to_numpy(), want)
+
+
+def test_weighted_sample_deterministic_and_biased(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import weighted_sample
+
+    n = 2000
+    # half the ids get 50x the weight — they must dominate the sample
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "w": np.where(np.arange(n) % 2 == 0, 50.0, 1.0)})
+    ds = rd.from_pandas(df)
+    s1 = set(weighted_sample(ds, "id", "w", 200).to_pandas()["id"])
+    s2 = set(weighted_sample(ds.repartition(7), "id", "w", 200)
+             .to_pandas()["id"])
+    assert s1 == s2 and len(s1) == 200  # partitioning-invariant
+    heavy = sum(1 for i in s1 if i % 2 == 0)
+    assert heavy > 170  # E[heavy] ≈ 196 under 50:1 weights
+
+    # zero/negative/null weights are never selected
+    df.loc[0, "w"] = 0.0
+    df.loc[2, "w"] = -3.0
+    s3 = set(weighted_sample(rd.from_pandas(df), "id", "w", n)
+             .to_pandas()["id"])
+    assert 0 not in s3 and 2 not in s3 and len(s3) == n - 2
+
+
+def _funnel_brute(df, steps):
+    out = {}
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values("ts")
+        t = pd.Timestamp.min
+        done = 0
+        for s in steps:
+            q = g[(g.event_type == s) & (g.ts > t)]
+            if len(q) == 0:
+                break
+            t = q["ts"].min()
+            done += 1
+        out[uid] = done
+    return out
+
+
+def test_funnel_matches_bruteforce(ray_session):
+    from biosd_feature_annotator_ray.stages.windows import funnel_steps_per_user
+
+    rng = np.random.default_rng(9)
+    n = 600
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 40, n),
+        "ts": pd.Timestamp("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 100_000, n), unit="s"),
+        "event_type": rng.choice(["a", "b", "c", "noise"], n),
+    })
+    steps = ["a", "b", "c"]
+    out = funnel_steps_per_user(rd.from_pandas(df), steps=steps,
+                                nb=4).to_pandas()
+    got = dict(zip(out["user_id"], out["steps_done"]))
+    want = {u: d for u, d in _funnel_brute(df, steps).items()
+            if (df.loc[df.user_id == u, "event_type"].isin(steps)).any()}
+    assert got == want
+
+
+def test_funnel_order_matters(ray_session):
+    from biosd_feature_annotator_ray.stages.windows import funnel_steps_per_user
+
+    t0 = pd.Timestamp("2024-01-01")
+    df = pd.DataFrame({
+        "user_id": [1, 1, 2, 2],
+        "ts": [t0, t0 + pd.Timedelta(minutes=1),
+               t0 + pd.Timedelta(minutes=1), t0],
+        "event_type": ["a", "b", "a", "b"],  # user 2 did b BEFORE a
+    })
+    out = funnel_steps_per_user(rd.from_pandas(df), steps=["a", "b"],
+                                nb=2).to_pandas()
+    got = dict(zip(out["user_id"], out["steps_done"]))
+    assert got == {1: 2, 2: 1}
