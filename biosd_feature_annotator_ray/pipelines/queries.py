@@ -1583,6 +1583,66 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# Per-document Shannon entropy of the token distribution — exact-int
+# counts, one log per distinct (doc, token); half-away-from-zero
+# round to match DuckDB's round()
+def q_token_entropy(sf_dir: str):
+    out = textstats.token_entropy(_docs(sf_dir, ["doc_id", "text"]))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# Global z-score normalization via sufficient statistics (n, Σx, Σx²):
+# two tiny aggregates, one stateless normalize pass — no global sort
+def q_zscore_events(sf_dir: str):
+    ev = _events(sf_dir, ["event_id", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        return pa.table({"n": pa.array([len(v)], pa.int64()),
+                         "s": pa.array([float(v.sum())], pa.float64()),
+                         "sq": pa.array([float((v * v).sum())], pa.float64())})
+
+    st = (ev.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .sum(["n", "s", "sq"]))
+    n, s, sq = st["sum(n)"], st["sum(s)"], st["sum(sq)"]
+    mu = s / n
+    sd = float(np.sqrt(sq / n - mu * mu))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        z = (v - mu) / sd
+        z = np.sign(z) * np.floor(np.abs(z) * 1e4 + 0.5) / 1e4
+        return pa.table({"event_id": batch.column("event_id"),
+                         "z": pa.array(z, pa.float64())})
+
+    df = ev.map_batches(norm, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+# Tukey-fence outlier filter: exact interpolated quartiles (two rank
+# probes, no global sort) → broadcast bounds → stateless filter
+def q_iqr_outliers(sf_dir: str):
+    from ..stages.sketches import exact_quantile_cont
+
+    ev = _events(sf_dir, ["event_id", "value"])
+    q = exact_quantile_cont(ev, "value", [0.25, 0.75])
+    q1, q3 = q[0.25], q[0.75]
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+
+    def flt(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array((v < lo) | (v > hi)))
+
+    df = ev.map_batches(flt, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # Deterministic weighted sampling (A-ES with an md5-derived uniform):
 # P(selected) ∝ o_totalprice; map-side local top-k keeps the final
 # sort+limit at ≤ k·n_blocks rows
@@ -1754,6 +1814,9 @@ QUERIES = {
     "setop_except": q_setop_except,
     "weighted_sample": q_weighted_sample,
     "funnel_events": q_funnel_events,
+    "token_entropy": q_token_entropy,
+    "zscore_events": q_zscore_events,
+    "iqr_outliers": q_iqr_outliers,
     "setop_intersect_all": q_setop_intersect_all,
     "setop_except_all": q_setop_except_all,
     "moving_max_events": q_moving_max_events,
@@ -2150,6 +2213,32 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "token_entropy": (
+        "WITH toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []"
+        "   ELSE regexp_split_to_array(trim(text), '\\s+') END AS t"
+        "  FROM documents),"
+        " flat AS (SELECT doc_id, unnest(t) AS tok FROM toks),"
+        " cnt AS (SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS c"
+        "   FROM flat GROUP BY doc_id, tok),"
+        " agg AS (SELECT doc_id, sum(c * ln(c)) AS cl, sum(c) AS n"
+        "   FROM cnt GROUP BY doc_id)"
+        " SELECT d.doc_id, CASE WHEN a.n IS NULL THEN 0.0"
+        "   ELSE round(ln(a.n) - a.cl / a.n, 6) END AS entropy"
+        " FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+    ),
+    "zscore_events": (
+        "WITH st AS (SELECT avg(value) AS mu, stddev_pop(value) AS sd"
+        "   FROM events)"
+        " SELECT event_id, round((value - mu) / sd, 4) AS z"
+        " FROM events, st"
+    ),
+    "iqr_outliers": (
+        "WITH q AS (SELECT quantile_cont(value, 0.25) AS q1,"
+        "   quantile_cont(value, 0.75) AS q3 FROM events)"
+        " SELECT event_id, value FROM events, q"
+        " WHERE value < q1 - 1.5 * (q3 - q1)"
+        "    OR value > q3 + 1.5 * (q3 - q1)"
     ),
     "weighted_sample": (
         "SELECT o_orderkey, o_totalprice FROM ("

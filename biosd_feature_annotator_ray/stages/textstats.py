@@ -813,3 +813,43 @@ def bm25_topk(
     out = (parts.sort_values(["score", id_col], ascending=[False, True])
            .head(topk).reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def token_entropy(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    col: str = "text",
+    decimals: int = 6,
+) -> "ray.data.Dataset":
+    """Per-document Shannon entropy of the token distribution (nats) —
+    the information-density quality signal (low entropy = repetitive /
+    template text; pairs with repetition_stats' exact ratios).
+
+    Stateless vectorized map: per batch one pandas groupby produces
+    (doc, token) counts, entropy comes from the algebraic form
+    ``ln(n) − Σ c·ln(c) / n`` (counts are exact ints; one log per
+    DISTINCT (doc, token), summed per doc with a groupby). Empty /
+    whitespace-only docs get entropy 0."""
+
+    def ent(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pandas().fillna("")
+        toks = [t.split() for t in texts]
+        lengths = np.fromiter((len(x) for x in toks), np.int64,
+                              count=len(toks))
+        flat = pd.DataFrame({
+            "d": np.repeat(np.arange(len(toks)), lengths),
+            "t": [w for ws in toks for w in ws]})
+        c = flat.groupby(["d", "t"], sort=False).size().reset_index(name="c")
+        cv = c["c"].to_numpy(dtype=np.float64)
+        c["cl"] = cv * np.log(cv)
+        per_doc = c.groupby("d")["cl"].sum()
+        n = lengths.astype(np.float64)
+        s = np.zeros(len(toks), np.float64)
+        s[per_doc.index.to_numpy()] = per_doc.to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            e = np.where(lengths > 0, np.log(np.maximum(n, 1.0)) - s / np.maximum(n, 1.0), 0.0)
+        e = np.sign(e) * np.floor(np.abs(e) * 10.0**decimals + 0.5) / 10.0**decimals
+        return pa.table({id_col: batch.column(id_col),
+                         "entropy": pa.array(e, pa.float64())})
+
+    return docs.map_batches(ent, batch_format="pyarrow", batch_size=65536)

@@ -160,3 +160,17 @@ def test_funnel_order_matters(ray_session):
                                 nb=2).to_pandas()
     got = dict(zip(out["user_id"], out["steps_done"]))
     assert got == {1: 2, 2: 1}
+
+
+def test_token_entropy_hand_values(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import token_entropy
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["a a a a", "a b c d", "a a b b", ""], pa.string()),
+    }))
+    out = token_entropy(docs).to_pandas().set_index("doc_id")["entropy"]
+    assert out[1] == 0.0                       # all-same tokens
+    assert abs(out[2] - np.log(4)) < 1e-6      # uniform over 4
+    assert abs(out[3] - np.log(2)) < 1e-6      # two 50/50 tokens
+    assert out[4] == 0.0                       # empty doc
