@@ -1583,6 +1583,74 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# CDC MERGE apply: one bucket shuffle co-locates base and change rows;
+# upserts replace/insert, deletes drop — change side always wins
+def q_merge_orders(sf_dir: str):
+    from ..stages.join import merge_upsert
+
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"])
+
+    def mk_changes(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        p = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        m = k % 7
+        dk, dp = k[m == 0], np.full((m == 0).sum(), np.nan)
+        uk, up = k[m == 1], p[m == 1] + 1000.0
+        ik, ip = k[m == 2] + 10_000_000, np.full((m == 2).sum(), 42.42)
+        return pa.table({
+            "o_orderkey": pa.array(np.concatenate([dk, uk, ik]), pa.int64()),
+            "o_totalprice": pa.array(np.concatenate([dp, up, ip]),
+                                     pa.float64()),
+            "op": pa.array(["delete"] * len(dk) + ["upsert"] * (len(uk)
+                                                                + len(ik))),
+        })
+
+    changes = base.map_batches(mk_changes, batch_format="pyarrow")
+    out = merge_upsert(base, changes, on=["o_orderkey"], nb=16).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("o_orderkey").reset_index(drop=True),
+        preserve_index=False)
+
+
+# Incremental materialized-view maintenance: a stored (user, n, s)
+# aggregate absorbs an insert+retraction delta — integer-cent sums make
+# cancellation exact; no recompute over the base facts
+def q_incremental_agg(sf_dir: str):
+    from ..stages.canonicalize import incremental_agg
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_type", "value"])
+    t_base = np.datetime64("2024-01-15")
+    t_del = np.datetime64("2024-01-08")
+
+    def base_rows(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ts < t_base))
+
+    def delta_rows(t: pa.Table) -> pa.Table:
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        et = t.column("event_type").to_numpy(zero_copy_only=False)
+        ins = t.filter(pa.array(ts >= t_base)).append_column(
+            "w", pa.array(np.ones(int((ts >= t_base).sum()), np.int64)))
+        retr_m = (ts < t_del) & (et == "error")
+        retr = t.filter(pa.array(retr_m)).append_column(
+            "w", pa.array(np.full(int(retr_m.sum()), -1, np.int64)))
+        return pa.concat_tables([ins, retr])
+
+    empty = rd.from_arrow(pa.table({
+        "user_id": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}))
+    base_agg = incremental_agg(
+        empty, ev.map_batches(base_rows, batch_format="pyarrow"),
+        ["user_id"], "value")
+    out = incremental_agg(
+        base_agg, ev.map_batches(delta_rows, batch_format="pyarrow"),
+        ["user_id"], "value", weight_col="w").to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # Per-document Shannon entropy of the token distribution — exact-int
 # counts, one log per distinct (doc, token); half-away-from-zero
 # round to match DuckDB's round()
@@ -1814,6 +1882,8 @@ QUERIES = {
     "setop_except": q_setop_except,
     "weighted_sample": q_weighted_sample,
     "funnel_events": q_funnel_events,
+    "merge_orders": q_merge_orders,
+    "incremental_agg": q_incremental_agg,
     "token_entropy": q_token_entropy,
     "zscore_events": q_zscore_events,
     "iqr_outliers": q_iqr_outliers,
@@ -2213,6 +2283,32 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "merge_orders": (
+        "WITH ch AS ("
+        "  SELECT o_orderkey AS k, CAST(NULL AS DOUBLE) AS price,"
+        "   'delete' AS op FROM orders WHERE o_orderkey % 7 = 0"
+        "  UNION ALL SELECT o_orderkey, o_totalprice + 1000, 'upsert'"
+        "   FROM orders WHERE o_orderkey % 7 = 1"
+        "  UNION ALL SELECT o_orderkey + 10000000, 42.42, 'upsert'"
+        "   FROM orders WHERE o_orderkey % 7 = 2)"
+        " SELECT coalesce(b.o_orderkey, ch.k) AS o_orderkey,"
+        "  CASE WHEN ch.op = 'upsert' THEN ch.price"
+        "   ELSE b.o_totalprice END AS o_totalprice"
+        " FROM orders b FULL OUTER JOIN ch ON b.o_orderkey = ch.k"
+        " WHERE coalesce(ch.op, '') <> 'delete'"
+    ),
+    "incremental_agg": (
+        "WITH contrib AS ("
+        "  SELECT user_id, value, 1 AS w FROM events"
+        "   WHERE ts < TIMESTAMP '2024-01-15'"
+        "  UNION ALL SELECT user_id, value, 1 FROM events"
+        "   WHERE ts >= TIMESTAMP '2024-01-15'"
+        "  UNION ALL SELECT user_id, value, -1 FROM events"
+        "   WHERE ts < TIMESTAMP '2024-01-08' AND event_type = 'error')"
+        " SELECT user_id, CAST(sum(w) AS BIGINT) AS n,"
+        "  round(sum(w * value), 2) AS s"
+        " FROM contrib GROUP BY user_id HAVING sum(w) > 0"
     ),
     "token_entropy": (
         "WITH toks AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN []"

@@ -407,3 +407,65 @@ def melt(
         return pa.table({index_col: idx, var_name: names, value_name: vals})
 
     return ds.map_batches(expand, batch_format="pyarrow", batch_size=65536)
+
+
+def incremental_agg(
+    base_agg: "ray.data.Dataset",
+    delta: "ray.data.Dataset",
+    key_cols: list[str],
+    value_col: str,
+    weight_col: str | None = None,
+    n_col: str = "n",
+    sum_col: str = "s",
+    cents: bool = True,
+) -> "ray.data.Dataset":
+    """Incremental materialized-view maintenance for (count, sum)
+    groups: merge a ``delta`` of raw rows — weight +1 inserts, −1
+    retractions via ``weight_col`` — into a stored ``base_agg`` of
+    ``(key…, n, s)`` WITHOUT recomputing from the base facts.
+
+    The delta collapses map-side to per-batch (key, Σw, Σw·value)
+    partials; the stored aggregate streams in as-is; one small groupby
+    merges both. With ``cents=True`` sums travel as integer cents so
+    insert/retract cancellation is exact (no float residue on fully
+    retracted groups). Groups whose maintained count drops to ≤ 0 are
+    removed — over-retraction is the caller's bug, not a negative row.
+    """
+
+    def delta_partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        w = (df[weight_col].to_numpy() if weight_col
+             else np.ones(len(df), np.int64)).astype(np.int64)
+        v = df[value_col].to_numpy(dtype=np.float64)
+        sv = (np.round(v * 100).astype(np.int64) if cents else v) * w
+        part = pd.DataFrame({**{k: df[k] for k in key_cols},
+                             n_col: w, sum_col: sv})
+        g = part.groupby(key_cols, as_index=False, dropna=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def base_prep(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()[key_cols + [n_col, sum_col]]
+        if cents:
+            df[sum_col] = np.round(
+                df[sum_col].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Sum
+
+    merged = (delta.map_batches(delta_partial, batch_format="pyarrow",
+                                batch_size=65536)
+              .union(base_agg.map_batches(base_prep,
+                                          batch_format="pyarrow"))
+              .groupby(key_cols)
+              .aggregate(Sum(n_col, alias_name=n_col),
+                         Sum(sum_col, alias_name=sum_col)))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pa.compute.greater(batch.column(n_col), 0))
+        if cents:
+            s = t.column(sum_col).to_numpy(zero_copy_only=False) / 100.0
+            t = t.set_column(t.schema.get_field_index(sum_col), sum_col,
+                             pa.array(s, pa.float64()))
+        return t
+
+    return merged.map_batches(finish, batch_format="pyarrow")

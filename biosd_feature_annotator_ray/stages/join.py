@@ -511,3 +511,65 @@ def join(
              else df for df in _ray.get(m.to_arrow_refs())])
         return broadcast_join(left, small, on, how=how)
     return shuffle_hash_join(left, m, on, how=how, nb=nb, suffixes=suffixes)
+
+
+def merge_upsert(
+    base: "ray.data.Dataset",
+    changes: "ray.data.Dataset",
+    on: list[str],
+    op_col: str = "op",
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """SQL MERGE / CDC apply: ``changes`` rows carry ``op_col`` ∈
+    {"upsert", "delete"}; the result is ``base`` with upsert rows
+    replacing (or inserting) their key and delete keys removed.
+    Both sides may be fact-sized: one bucket shuffle on the key
+    co-locates base and change rows; within each bucket the change
+    side wins vectorized (pandas keyed merge, no per-row Python).
+
+    Exactly-one-change-per-key is the caller's contract (dedupe a
+    change LOG to the latest row per key first — ``groupby_argmax`` on
+    a sequence column); duplicate change keys raise rather than pick a
+    block-order winner.
+    """
+    from .canonicalize import _B, _add_bucket
+
+    bschema = _arrow_schema(base)
+    out_cols = bschema.names
+    if op_col not in _arrow_schema(changes).names:
+        raise ValueError(f"changes side missing op column {op_col!r}")
+
+    def prep(side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            if side == 0:
+                batch = batch.append_column(
+                    op_col, pa.array(np.full(len(batch), None, object),
+                                     pa.string()))
+            cols = out_cols + [op_col]
+            batch = batch.select(cols).append_column(
+                "_side", pa.array(np.full(len(batch), side, np.int8)))
+            return _add_bucket(batch, on, nb)
+
+        return f
+
+    tagged = base.map_batches(prep(0), batch_format="pyarrow",
+                              batch_size=65536).union(
+        changes.map_batches(prep(1), batch_format="pyarrow",
+                            batch_size=65536))
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        ch = df[df["_side"] == 1]
+        if ch.duplicated(on).any():
+            raise ValueError(
+                "merge_upsert: multiple change rows for one key — "
+                "reduce the change log to latest-per-key first")
+        bs = df[df["_side"] == 0]
+        # base rows whose key has ANY change row are superseded
+        keep_base = bs.merge(ch[on].assign(_hit=1), on=on, how="left")
+        keep_base = keep_base[keep_base["_hit"].isna()][out_cols]
+        ins = ch[ch[op_col] == "upsert"][out_cols]
+        out = pd.concat([keep_base, ins], ignore_index=True)
+        return _df_to_schema(out, bschema)
+
+    return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")

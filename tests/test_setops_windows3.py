@@ -174,3 +174,69 @@ def test_token_entropy_hand_values(ray_session):
     assert abs(out[2] - np.log(4)) < 1e-6      # uniform over 4
     assert abs(out[3] - np.log(2)) < 1e-6      # two 50/50 tokens
     assert out[4] == 0.0                       # empty doc
+
+
+def test_merge_upsert_semantics(ray_session):
+    from biosd_feature_annotator_ray.stages.join import merge_upsert
+
+    base = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+    }))
+    ch = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 9, 7], pa.int64()),
+        "v": pa.array([99.0, None, 90.0, None]),
+        "op": pa.array(["upsert", "delete", "upsert", "delete"]),
+    }))
+    out = (merge_upsert(base, ch, on=["k"], nb=4).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    # 1,4 untouched; 2 updated; 3 deleted; 9 inserted; 7 delete-miss noop
+    assert list(out["k"]) == [1, 2, 4, 9]
+    assert list(out["v"]) == [10.0, 99.0, 40.0, 90.0]
+
+
+def test_merge_upsert_duplicate_change_raises(ray_session):
+    import pytest
+
+    from biosd_feature_annotator_ray.stages.join import merge_upsert
+
+    base = rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                   "v": pa.array([1.0])}))
+    ch = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "v": pa.array([2.0, 3.0]),
+        "op": pa.array(["upsert", "upsert"])}))
+    with pytest.raises(Exception, match="multiple change rows"):
+        merge_upsert(base, ch, on=["k"], nb=2).to_pandas()
+
+
+def test_incremental_agg_retraction_and_parity(ray_session):
+    from biosd_feature_annotator_ray.stages.canonicalize import incremental_agg
+
+    rng = np.random.default_rng(17)
+    n = 400
+    facts = pd.DataFrame({
+        "g": rng.integers(0, 10, n),
+        "value": np.round(rng.uniform(0, 50, n), 2)})
+    empty = rd.from_arrow(pa.table({
+        "g": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()), "s": pa.array([], pa.float64())}))
+    base = incremental_agg(empty, rd.from_pandas(facts), ["g"], "value")
+
+    # delta: insert 50 new rows into group 3, retract ALL of group 7
+    ins = pd.DataFrame({"g": np.full(50, 3), "value": np.full(50, 2.5),
+                        "w": np.ones(50, np.int64)})
+    g7 = facts[facts.g == 7].copy()
+    g7["w"] = -1
+    delta = rd.from_pandas(pd.concat([ins, g7], ignore_index=True))
+    out = (incremental_agg(base, delta, ["g"], "value", weight_col="w")
+           .to_pandas().set_index("g").sort_index())
+
+    # parity: recompute from scratch over the surviving facts
+    want = (pd.concat([facts[facts.g != 7], ins[["g", "value"]]])
+            .groupby("g").agg(n=("value", "size"), s=("value", "sum")))
+    assert 7 not in out.index
+    assert list(out.index) == list(want.index)
+    assert (out["n"].to_numpy() == want["n"].to_numpy()).all()
+    assert np.allclose(out["s"].to_numpy(),
+                       np.round(want["s"].to_numpy(), 2), atol=1e-9)
