@@ -1583,6 +1583,121 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# TPC-H Q5-shaped 6-table join: small dims broadcast (region→nation→
+# supplier), the two fact joins shuffle (orders⋈customer on custkey,
+# then ⋈lineitem on orderkey), supplier matched on BOTH l_suppkey and
+# the customer's nation (local-supplier constraint)
+def q_q5_revenue(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..stages.join import broadcast_join, shuffle_hash_join
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    asia = region.filter(pa.compute.equal(region.column("r_name"), "ASIA"))
+    asia_nat = nation.filter(pa.compute.is_in(
+        nation.column("n_regionkey"), value_set=asia.column("r_regionkey")))
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    supp = supp.filter(pa.compute.is_in(
+        supp.column("s_nationkey"), value_set=asia_nat.column("n_nationkey")))
+    nk2name = dict(zip(asia_nat.column("n_nationkey").to_pylist(),
+                       asia_nat.column("n_name").to_pylist()))
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey",
+                                             "o_orderdate"],
+        filter=(pads.field("o_orderdate")
+                >= pads.scalar(pd.Timestamp("1996-01-01")))
+        & (pads.field("o_orderdate") < pads.scalar(pd.Timestamp("1997-01-01"))))
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).map_batches(lambda t: t.rename_columns(["o_custkey", "c_nationkey"]),
+                  batch_format="pyarrow")
+    oc = shuffle_hash_join(orders, cust, on=["o_custkey"], how="inner",
+                           nb=16).map_batches(
+        lambda t: t.select(["o_orderkey", "c_nationkey"]),
+        batch_format="pyarrow")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "l_suppkey",
+                                    "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow")
+    ol = shuffle_hash_join(oc, li, on=["o_orderkey"], how="inner", nb=16)
+    supp_b = rd.from_arrow(supp.rename_columns(["l_suppkey", "c_nationkey"]))
+    full = broadcast_join(ol, supp_b, on=["l_suppkey", "c_nationkey"],
+                          how="inner")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["n_name"] = df["c_nationkey"].map(nk2name)
+        df["revenue"] = df["l_extendedprice"] * (1 - df["l_discount"])
+        g = df.groupby("n_name", as_index=False)["revenue"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (full.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+           .groupby("n_name").aggregate(Sum("revenue", alias_name="revenue")))
+    df = agg.to_pandas()
+    df["revenue"] = df["revenue"].round(2)
+    return pa.Table.from_pandas(
+        df.sort_values("n_name").reset_index(drop=True), preserve_index=False)
+
+
+# Entity resolution: blocked Levenshtein similarity join — corrupted
+# part names (2nd char dropped) matched back against the catalog under
+# (first-char, length-band) blocking
+def q_er_parts(sf_dir: str):
+    from ..stages.similarity import blocked_lev_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    corrupted = part.map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy() % 20 == 0)),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "p_name": pa.array([s[:1] + s[2:] for s in
+                                t.column("p_name").to_pylist()])}),
+        batch_format="pyarrow")
+    out = blocked_lev_join(corrupted, part, "p_partkey", "p_name",
+                           "p_partkey", "p_name", max_dist=2,
+                           nb=16).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["l_id", "r_id"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+# Global NTILE(8) composed from global_row_number: bucket sizes follow
+# SQL NTILE exactly (first n%k buckets one row larger)
+def q_global_ntile_orders(sf_dir: str):
+    from ..stages.windows import global_row_number
+
+    src = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                          columns=["o_orderkey", "o_totalprice"])
+    n = src.count()  # metadata-only row count; no execution
+    ranked = global_row_number(
+        src, order_cols=["o_totalprice", "o_orderkey"], n_parts=16)
+    k = 8
+    big, rem = divmod(n, k)
+
+    def tile(batch: pa.Table) -> pa.Table:
+        rn = batch.column("rn").to_numpy(zero_copy_only=False) - 1
+        cut = rem * (big + 1)
+        tl = np.where(rn < cut, rn // (big + 1),
+                      rem + (rn - cut) // big if big else rem)
+        return pa.table({"o_orderkey": batch.column("o_orderkey"),
+                         "tile": pa.array((tl + 1).astype(np.int64))})
+
+    df = ranked.map_batches(tile, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("o_orderkey").reset_index(drop=True),
+        preserve_index=False)
+
+
 # CDC MERGE apply: one bucket shuffle co-locates base and change rows;
 # upserts replace/insert, deletes drop — change side always wins
 def q_merge_orders(sf_dir: str):
@@ -1882,6 +1997,9 @@ QUERIES = {
     "setop_except": q_setop_except,
     "weighted_sample": q_weighted_sample,
     "funnel_events": q_funnel_events,
+    "q5_revenue": q_q5_revenue,
+    "er_parts": q_er_parts,
+    "global_ntile_orders": q_global_ntile_orders,
     "merge_orders": q_merge_orders,
     "incremental_agg": q_incremental_agg,
     "token_entropy": q_token_entropy,
@@ -2283,6 +2401,32 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "q5_revenue": (
+        "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)"
+        "  AS revenue"
+        " FROM customer, orders, lineitem, supplier, nation, region"
+        " WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey"
+        "  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey"
+        "  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey"
+        "  AND r_name = 'ASIA'"
+        "  AND o_orderdate >= TIMESTAMP '1996-01-01'"
+        "  AND o_orderdate < TIMESTAMP '1997-01-01'"
+        " GROUP BY n_name"
+    ),
+    "er_parts": (
+        "WITH l AS (SELECT p_partkey AS l_id,"
+        "   substr(p_name, 1, 1) || substr(p_name, 3) AS l_name"
+        "  FROM part WHERE p_partkey % 20 = 0),"
+        " r AS (SELECT p_partkey AS r_id, p_name AS r_name FROM part)"
+        " SELECT l_id, r_id, levenshtein(l_name, r_name) AS dist"
+        " FROM l JOIN r ON substr(l_name, 1, 1) = substr(r_name, 1, 1)"
+        "  AND length(l_name) // 4 = length(r_name) // 4"
+        " WHERE levenshtein(l_name, r_name) <= 2"
+    ),
+    "global_ntile_orders": (
+        "SELECT o_orderkey, ntile(8) OVER"
+        " (ORDER BY o_totalprice, o_orderkey) AS tile FROM orders"
     ),
     "merge_orders": (
         "WITH ch AS ("

@@ -240,3 +240,37 @@ def test_incremental_agg_retraction_and_parity(ray_session):
     assert (out["n"].to_numpy() == want["n"].to_numpy()).all()
     assert np.allclose(out["s"].to_numpy(),
                        np.round(want["s"].to_numpy(), 2), atol=1e-9)
+
+
+def test_blocked_lev_join_vs_bruteforce(ray_session):
+    from biosd_feature_annotator_ray.stages.similarity import blocked_lev_join
+
+    lrows = [(1, "red widget"), (2, "blue bolt"), (3, "tiny gear")]
+    rrows = [(10, "red widget"), (11, "red widgets"), (12, "bed widget"),
+             (13, "blue belt"), (14, "green gadget"), (15, "xed widget")]
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([r[0] for r in lrows], pa.int64()),
+        "name": pa.array([r[1] for r in lrows])}))
+    right = rd.from_arrow(pa.table({
+        "rid": pa.array([r[0] for r in rrows], pa.int64()),
+        "name": pa.array([r[1] for r in rrows])}))
+    out = blocked_lev_join(left, right, "lid", "name", "rid", "name",
+                           max_dist=2, nb=4).to_pandas()
+    got = set(zip(out["l_id"], out["r_id"]))
+
+    def lev(a, b):
+        import numpy as _np
+        d = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    want = {(li, ri) for li, ls in lrows for ri, rs in rrows
+            if ls[:1] == rs[:1] and len(ls) // 4 == len(rs) // 4
+            and lev(ls, rs) <= 2}
+    assert got == want
+    # blocking excludes the first-char typo pair even though lev=1
+    assert (1, 15) not in got and lev("red widget", "xed widget") == 1
