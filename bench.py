@@ -131,6 +131,9 @@ def run_queries() -> dict:
         "quantiles", "chunk_documents",
         # round-2 second-wave operators
         "tfidf_terms", "setop_intersect", "cumsum_events", "top_bigrams",
+        # round-2 continuation: iterative graph / multi-join / indexed IR
+        "transitive_closure", "q5_revenue", "bm25_indexed",
+        "funnel_events", "global_rn_orders",
     ]
     out = {}
     for name in names:
