@@ -1583,6 +1583,53 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# Deterministic global training-data shuffle: every doc gets a
+# reproducible permutation position (md5 key → global_row_number) —
+# the "shuffle the corpus identically on any cluster" primitive
+def q_shuffle_positions(sf_dir: str):
+    import hashlib
+
+    from ..stages.windows import global_row_number
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def addkey(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        h = np.fromiter((int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+                         for i in ids), np.int64, count=len(ids))
+        return t.append_column("hkey", pa.array(h))
+
+    ranked = global_row_number(
+        docs.map_batches(addkey, batch_format="pyarrow"),
+        order_cols=["hkey", "doc_id"], n_parts=8, out="pos")
+    df = ranked.to_pandas()[["doc_id", "pos"]]
+    return pa.Table.from_pandas(
+        df.sort_values("doc_id").reset_index(drop=True), preserve_index=False)
+
+
+# Bloom probe-side pruning in front of the shuffle semi join: orders'
+# big-spender custkeys build a 1 MiB bitset; bloom-negative customers
+# never enter the exchange — output identical to the plain semi join
+def q_bloom_semi_join(sf_dir: str):
+    from ..stages.join import bloom_prefilter, shuffle_hash_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    big = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: t.filter(pa.compute.greater(
+            t.column("o_totalprice"), 300_000.0))
+        .select(["o_custkey"]).rename_columns(["c_custkey"]),
+        batch_format="pyarrow")
+    pruned = bloom_prefilter(cust, big, on=["c_custkey"])
+    out = shuffle_hash_join(pruned, big, on=["c_custkey"], how="semi",
+                            nb=16).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values("c_custkey").reset_index(drop=True),
+        preserve_index=False)
+
+
 # TPC-H Q5-shaped 6-table join: small dims broadcast (region→nation→
 # supplier), the two fact joins shuffle (orders⋈customer on custkey,
 # then ⋈lineitem on orderkey), supplier matched on BOTH l_suppkey and
@@ -1997,6 +2044,8 @@ QUERIES = {
     "setop_except": q_setop_except,
     "weighted_sample": q_weighted_sample,
     "funnel_events": q_funnel_events,
+    "shuffle_positions": q_shuffle_positions,
+    "bloom_semi_join": q_bloom_semi_join,
     "q5_revenue": q_q5_revenue,
     "er_parts": q_er_parts,
     "global_ntile_orders": q_global_ntile_orders,
@@ -2401,6 +2450,15 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "shuffle_positions": (
+        "SELECT doc_id, row_number() OVER (ORDER BY"
+        " CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+        "  ::UBIGINT AS BIGINT), doc_id) AS pos FROM documents"
+    ),
+    "bloom_semi_join": (
+        "SELECT c_custkey FROM customer WHERE c_custkey IN "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 300000)"
     ),
     "q5_revenue": (
         "SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2)"

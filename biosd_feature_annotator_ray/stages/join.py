@@ -573,3 +573,66 @@ def merge_upsert(
         return _df_to_schema(out, bschema)
 
     return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
+def bloom_prefilter(
+    probe: "ray.data.Dataset",
+    build: "ray.data.Dataset",
+    on: list[str],
+    bits_pow: int = 23,
+    n_hashes: int = 4,
+) -> "ray.data.Dataset":
+    """Bloom-filter probe-side pruning for the shuffle join: build a
+    distributed Bloom bitset over the BUILD side's join key (per-batch
+    bitsets OR-reduced on the driver — 1 MiB at 2^23 bits), broadcast
+    it once, and drop probe rows whose key is bloom-NEGATIVE before
+    they ever enter the all-to-all exchange.
+
+    Sound ONLY for join modes where a non-matching probe row
+    contributes nothing — inner and semi (false positives are settled
+    exactly by the join itself; negatives are certain non-matches).
+    For anti/left joins use ``sink.bloom_anti_join``-style splitting
+    instead — dropping bloom-negative rows there would LOSE output.
+
+    At a 10^12-row probe against a 10^8-key build side this cuts the
+    shuffle to ~the matching fraction; the build side is scanned once
+    extra (cheap: bitset partials only)."""
+    import ray as _ray
+
+    from ..functions.hashing import hash_columns
+
+    m = 1 << bits_pow
+    mask = np.uint64(m - 1)
+    seeds = [np.uint64((_GOLDEN * (i + 1)) & 0xFFFFFFFFFFFFFFFF)
+             for i in range(n_hashes)]
+
+    def _positions(batch: pa.Table) -> list[np.ndarray]:
+        h = hash_columns(batch, on).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            return [((h * s) >> np.uint64(64 - bits_pow)) & mask
+                    for s in seeds]
+
+    def build_bits(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for pos in _positions(batch):
+            np.bitwise_or.at(bits, pos >> np.uint64(3),
+                             np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = build.map_batches(build_bits, batch_format="pyarrow",
+                              batch_size=65536).to_pandas()
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    for b in parts["bits"]:
+        bits |= np.frombuffer(b, dtype=np.uint8)
+    ref = _ray.put(bits)
+
+    def keep_positive(batch: pa.Table) -> pa.Table:
+        bf = _ray.get(ref)
+        ok = np.ones(len(batch), dtype=bool)
+        for pos in _positions(batch):
+            ok &= ((bf[(pos >> np.uint64(3)).astype(np.int64)]
+                    >> (pos & np.uint64(7)).astype(np.uint8)) & 1) == 1
+        return batch.filter(pa.array(ok))
+
+    return probe.map_batches(keep_positive, batch_format="pyarrow",
+                             batch_size=65536)

@@ -274,3 +274,31 @@ def test_blocked_lev_join_vs_bruteforce(ray_session):
     assert got == want
     # blocking excludes the first-char typo pair even though lev=1
     assert (1, 15) not in got and lev("red widget", "xed widget") == 1
+
+
+def test_bloom_prefilter_parity_and_pruning(ray_session):
+    from biosd_feature_annotator_ray.stages.join import (
+        bloom_prefilter, shuffle_hash_join)
+
+    rng = np.random.default_rng(21)
+    probe = pd.DataFrame({"k": rng.integers(0, 100_000, 5000),
+                          "v": rng.integers(0, 9, 5000)})
+    build = pd.DataFrame({"k": rng.integers(0, 100_000, 60),
+                          "w": np.arange(60)})
+    p, b = rd.from_pandas(probe), rd.from_pandas(build)
+
+    plain = (shuffle_hash_join(p, b, on=["k"], how="inner", nb=4)
+             .to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True))
+    pruned_probe = bloom_prefilter(p, b, on=["k"])
+    n_kept = pruned_probe.count()
+    bloomed = (shuffle_hash_join(pruned_probe, b, on=["k"], how="inner", nb=4)
+               .to_pandas().sort_values(["k", "v", "w"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, bloomed)
+    # ~60 build keys over a 100k domain: almost all probe rows prune
+    assert n_kept < 200
+
+    semi_plain = set(shuffle_hash_join(p, b, on=["k"], how="semi", nb=4)
+                     .to_pandas()["k"])
+    semi_bloom = set(shuffle_hash_join(pruned_probe, b, on=["k"], how="semi",
+                                       nb=4).to_pandas()["k"])
+    assert semi_plain == semi_bloom
