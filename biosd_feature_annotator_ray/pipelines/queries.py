@@ -1583,6 +1583,117 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# Per-label embedding centroids in long form (label, pos, c): per
+# batch ONE pandas groupby over the reshaped matrix collapses to
+# (labels × dim) partials before the tiny Sum shuffle
+def q_embedding_centroids(sf_dir: str):
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        col = batch.column("embedding").combine_chunks()
+        flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        d = len(flat) // len(batch)
+        M = pd.DataFrame(flat.reshape(len(batch), d))
+        M["label"] = lab
+        g = M.groupby("label")
+        s = g.sum(numeric_only=True)
+        n = g.size()
+        long = s.reset_index().melt(id_vars="label", var_name="pos",
+                                    value_name="s")
+        long["pos"] = long["pos"].astype(np.int64) + 1
+        long["n"] = long["label"].map(n).astype(np.int64)
+        return pa.Table.from_pandas(long, preserve_index=False)
+
+    agg = (emb.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+           .groupby(["label", "pos"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    df = agg.to_pandas()
+    c = df["s"].to_numpy() / df["n"].to_numpy()
+    df["c"] = np.sign(c) * np.floor(np.abs(c) * 1e6 + 0.5) / 1e6
+    df = df[["label", "pos", "c"]].sort_values(["label", "pos"])
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+# Degree histogram of the derived customer graph: two chained
+# map-side-combined count reductions (node degrees → degree counts)
+def q_degree_distribution(sf_dir: str):
+    from ..stages.canonicalize import distinct_counts
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        us = np.concatenate([u, u, u])
+        vs = np.concatenate([(u * 37) % 500, (u * 101) % 500,
+                             (u * 7 + 13) % 500])
+        keep = us != vs
+        us, vs = us[keep], vs[keep]
+        return pa.table({"a": pa.array(np.minimum(us, vs), pa.int64()),
+                         "b": pa.array(np.maximum(us, vs), pa.int64())})
+
+    e = dedup_exact(
+        orders.map_batches(edges, batch_format="pyarrow"), ["a", "b"], nb=16)
+    ends = e.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t.column("a").combine_chunks(),
+            t.column("b").combine_chunks()])}),
+        batch_format="pyarrow")
+    deg = distinct_counts(ends, "node", nb=16).map_batches(
+        lambda t: t.rename_columns(["node", "deg"]), batch_format="pyarrow")
+    hist = distinct_counts(deg.select_columns(["deg"]), "deg", nb=8)
+    df = hist.to_pandas().rename(columns={"count": "n_nodes"})
+    return pa.Table.from_pandas(
+        df.sort_values("deg").reset_index(drop=True), preserve_index=False)
+
+
+# Centered ROWS window mean (2 preceding .. 2 following)
+def q_centered_mean_events(sf_dir: str):
+    from ..stages.windows import centered_mean_per_key
+
+    out = centered_mean_per_key(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]), half=2)
+    df = out.to_pandas()[["event_id", "cmean"]]
+    return pa.Table.from_pandas(
+        df.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+# ratio_to_report: value / sum(value) over its event_type — exact
+# integer-cent denominators broadcast as a tiny dict
+def q_share_of_type(sf_dir: str):
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df["value"].to_numpy() * 100).astype(np.int64)
+        g = (pd.DataFrame({"event_type": df["event_type"], "c": cents})
+             .groupby("event_type", as_index=False)["c"].sum())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    tot = (ev.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("event_type").aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    denom = dict(zip(tot["event_type"], tot["c"].astype(np.int64) / 100.0))
+
+    def ratio(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        r = df["value"].to_numpy() / df["event_type"].map(denom).to_numpy()
+        r = np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6
+        return pa.table({"event_id": batch.column("event_id"),
+                         "share": pa.array(r, pa.float64())})
+
+    df = ev.map_batches(ratio, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(
+        df.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # Deterministic global training-data shuffle: every doc gets a
 # reproducible permutation position (md5 key → global_row_number) —
 # the "shuffle the corpus identically on any cluster" primitive
@@ -2044,6 +2155,10 @@ QUERIES = {
     "setop_except": q_setop_except,
     "weighted_sample": q_weighted_sample,
     "funnel_events": q_funnel_events,
+    "embedding_centroids": q_embedding_centroids,
+    "degree_distribution": q_degree_distribution,
+    "centered_mean_events": q_centered_mean_events,
+    "share_of_type": q_share_of_type,
     "shuffle_positions": q_shuffle_positions,
     "bloom_semi_join": q_bloom_semi_join,
     "q5_revenue": q_q5_revenue,
@@ -2450,6 +2565,33 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "embedding_centroids": (
+        "WITH flat AS (SELECT label,"
+        "   unnest(embedding) AS v,"
+        "   unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings)"
+        " SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS c"
+        " FROM flat GROUP BY label, pos"
+    ),
+    "degree_distribution": (
+        "WITH e0 AS ("
+        "  SELECT o_custkey AS u, (o_custkey * 37) % 500 AS v FROM orders"
+        "  UNION ALL SELECT o_custkey, (o_custkey * 101) % 500 FROM orders"
+        "  UNION ALL SELECT o_custkey, (o_custkey * 7 + 13) % 500 FROM orders),"
+        " e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+        "   FROM e0 WHERE u <> v),"
+        " deg AS (SELECT node, count(*) AS deg FROM ("
+        "   SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY node)"
+        " SELECT deg, count(*) AS n_nodes FROM deg GROUP BY deg"
+    ),
+    "centered_mean_events": (
+        "SELECT event_id, round(avg(value) OVER (PARTITION BY user_id"
+        " ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING),"
+        " 6) AS cmean FROM events"
+    ),
+    "share_of_type": (
+        "SELECT event_id, round(value / sum(value) OVER"
+        " (PARTITION BY event_type), 6) AS share FROM events"
     ),
     "shuffle_positions": (
         "SELECT doc_id, row_number() OVER (ORDER BY"

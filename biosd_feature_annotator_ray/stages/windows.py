@@ -802,3 +802,38 @@ def funnel_steps_per_user(
     return (events.map_batches(local, batch_format="pyarrow",
                                batch_size=65536)
             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def centered_mean_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    half: int = 2,
+    out: str = "cmean",
+    nb: int = 16,
+    decimals: int = 6,
+) -> "ray.data.Dataset":
+    """avg(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    BETWEEN half PRECEDING AND half FOLLOWING) — the centered smoothing
+    window. C-level groupby-rolling (center=True, min_periods=1) per
+    bucket group; edge rows average their partial frame exactly like
+    the SQL ROWS frame. Rounded half-away-from-zero to ``decimals``."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values([key_col] + oc, kind="mergesort")
+        m = (df.groupby(key_col, sort=False)[value_col]
+             .rolling(2 * half + 1, center=True, min_periods=1)
+             .mean().to_numpy())
+        df[out] = np.sign(m) * np.floor(
+            np.abs(m) * 10.0**decimals + 0.5) / 10.0**decimals
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (events.map_batches(local, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
