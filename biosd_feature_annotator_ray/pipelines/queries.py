@@ -1583,6 +1583,57 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# Distributed Lloyd k-means over the embeddings corpus: centroids
+# broadcast per iteration, per-batch partials only; output is the
+# cluster-size histogram (rows-only — iterative float fixpoint)
+def q_kmeans_embeddings(sf_dir: str):
+    from ..stages.similarity import kmeans
+
+    from ray.data.aggregate import Count
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    _, assign = kmeans(emb, k=10, max_iters=12)
+    sizes = (assign.groupby("cluster")
+             .aggregate(Count(alias_name="n_vecs")).to_pandas())
+    sizes["cluster"] = sizes["cluster"].astype("int64")
+    return pa.Table.from_pandas(
+        sizes.sort_values("cluster").reset_index(drop=True),
+        preserve_index=False)
+
+
+# OLS simple regression by sufficient statistics: 5 numbers per batch
+# cross the wire (n, Σx, Σy, Σxy, Σx²) — slope/intercept vs DuckDB's
+# regr_slope/regr_intercept
+def q_linreg_lineitem(sf_dir: str):
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = batch.column("l_extendedprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "sx": pa.array([x.sum()]), "sy": pa.array([y.sum()]),
+            "sxy": pa.array([(x * y).sum()]), "sxx": pa.array([(x * x).sum()])})
+
+    st = (li.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .sum(["n", "sx", "sy", "sxy", "sxx"]))
+    n = st["sum(n)"]
+    sx, sy, sxy, sxx = (st["sum(sx)"], st["sum(sy)"], st["sum(sxy)"],
+                        st["sum(sxx)"])
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = sy / n - slope * sx / n
+
+    def r4(v):
+        return float(np.sign(v) * np.floor(np.abs(v) * 1e4 + 0.5) / 1e4)
+
+    return pa.table({"slope": pa.array([r4(slope)]),
+                     "intercept": pa.array([r4(intercept)])})
+
+
 # Per-label embedding centroids in long form (label, pos, c): per
 # batch ONE pandas groupby over the reshaped matrix collapses to
 # (labels × dim) partials before the tiny Sum shuffle
@@ -2155,6 +2206,8 @@ QUERIES = {
     "setop_except": q_setop_except,
     "weighted_sample": q_weighted_sample,
     "funnel_events": q_funnel_events,
+    "kmeans_embeddings": q_kmeans_embeddings,
+    "linreg_lineitem": q_linreg_lineitem,
     "embedding_centroids": q_embedding_centroids,
     "degree_distribution": q_degree_distribution,
     "centered_mean_events": q_centered_mean_events,
@@ -2565,6 +2618,11 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "linreg_lineitem": (
+        "SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,"
+        " round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept"
+        " FROM lineitem"
     ),
     "embedding_centroids": (
         "WITH flat AS (SELECT label,"

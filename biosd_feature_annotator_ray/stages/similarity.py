@@ -557,3 +557,102 @@ def blocked_lev_join(
             "dist": pa.array(np.concatenate(out_d), pa.int64())})
 
     return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
+def kmeans(
+    vecs: "ray.data.Dataset",
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 42,
+    sample_rows: int = 4096,
+    normalize: bool = False,
+) -> tuple[np.ndarray, "ray.data.Dataset"]:
+    """Full distributed Lloyd k-means (unlike ``build_centroids``,
+    which fits a driver-side SAMPLE for the IVF codebook): every
+    iteration streams the WHOLE corpus once — centroids broadcast via
+    ``ray.put``, per-batch vectorized assignment + (sum-vector, count)
+    partials per cluster, one tiny k×dim Sum groupby — then the driver
+    updates k centroids and checks the max centroid shift against
+    ``tol``. Deterministic: farthest-point (k-center greedy) seeding
+    over a bounded sample, fixed tie-breaks (argmin of squared
+    distance, lowest index wins); ``seed`` is kept for API stability
+    but the init is sample-order-deterministic, not random.
+
+    Returns ``(centroids, assignments)`` where assignments is a
+    Dataset of (id_col, cluster). Empty clusters keep their previous
+    centroid (standard Lloyd degenerate-case handling).
+    """
+    init = _stack(pa.Table.from_pandas(
+        vecs.limit(sample_rows).to_pandas()).column(vec_col)).astype(np.float64)
+    if normalize:
+        init = _normalize(init)
+    # deterministic farthest-point (k-center greedy) seeding over the
+    # sample: immune to the random-init failure mode of two seeds
+    # landing in one cluster, and partitioning-independent
+    kk = min(k, len(init))
+    chosen = [0]
+    dmin = ((init - init[0]) ** 2).sum(axis=1)
+    for _ in range(kk - 1):
+        nxt = int(dmin.argmax())
+        chosen.append(nxt)
+        dmin = np.minimum(dmin, ((init - init[nxt]) ** 2).sum(axis=1))
+    C = init[chosen].copy()
+
+    def make_partial(cref):
+        def partial(batch: pa.Table) -> pa.Table:
+            cc = ray.get(cref)
+            X = _stack(batch.column(vec_col)).astype(np.float64)
+            if normalize:
+                X = _normalize(X)
+            # ||x-c||² = ||x||² - 2x·c + ||c||²; argmin over c
+            D = -2.0 * (X @ cc.T) + (cc * cc).sum(axis=1)[None, :]
+            a = D.argmin(axis=1)
+            sums = np.zeros((len(cc), X.shape[1]))
+            np.add.at(sums, a, X)
+            cnt = np.bincount(a, minlength=len(cc)).astype(np.int64)
+            live = np.flatnonzero(cnt)
+            return pa.table({
+                "c": pa.array(live.astype(np.int64)),
+                "n": pa.array(cnt[live]),
+                "s": pa.array(list(sums[live]),
+                              pa.list_(pa.float64(), X.shape[1]))})
+
+        return partial
+
+    for _ in range(max_iters):
+        cref = ray.put(C)
+        # one corpus pass per iteration; only per-batch (cluster, n,
+        # sum-vector) partials reach the driver (≤ k·n_batches rows of
+        # dim doubles — the classic k-means reduce)
+        parts = (vecs.map_batches(make_partial(cref),
+                                  batch_format="pyarrow",
+                                  batch_size=65536).to_pandas())
+        newC = C.copy()
+        g = parts.groupby("c")
+        for c, grp in g:
+            n = grp["n"].sum()
+            if n > 0:
+                s = np.sum(np.stack(grp["s"].to_numpy()), axis=0)
+                newC[int(c)] = s / n
+        if normalize:
+            newC = _normalize(newC)
+        shift = float(np.abs(newC - C).max())
+        C = newC
+        if shift < tol:
+            break
+
+    cref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cc = ray.get(cref)
+        X = _stack(batch.column(vec_col)).astype(np.float64)
+        if normalize:
+            X = _normalize(X)
+        D = -2.0 * (X @ cc.T) + (cc * cc).sum(axis=1)[None, :]
+        return pa.table({id_col: batch.column(id_col),
+                         "cluster": pa.array(D.argmin(axis=1).astype(np.int64))})
+
+    return C, vecs.map_batches(assign, batch_format="pyarrow")

@@ -302,3 +302,40 @@ def test_bloom_prefilter_parity_and_pruning(ray_session):
     semi_bloom = set(shuffle_hash_join(pruned_probe, b, on=["k"], how="semi",
                                        nb=4).to_pandas()["k"])
     assert semi_plain == semi_bloom
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    from biosd_feature_annotator_ray.stages.similarity import kmeans
+
+    rng = np.random.default_rng(23)
+    centers = np.array([[0.0, 0.0, 0.0], [10.0, 10.0, 0.0],
+                        [-10.0, 5.0, 8.0]])
+    X = np.vstack([c + rng.normal(0, 0.3, (60, 3)) for c in centers])
+    ids = np.arange(len(X), dtype=np.int64)
+    vecs = rd.from_arrow(pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.array(list(X.astype(np.float32)),
+                              pa.list_(pa.float32(), 3))}))
+    C, assign = kmeans(vecs, k=3, max_iters=15, seed=1, sample_rows=180)
+    a = assign.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+    # each planted block must be pure (one cluster id per 60-row block)
+    blocks = [set(a[i * 60:(i + 1) * 60]) for i in range(3)]
+    assert all(len(b) == 1 for b in blocks)
+    assert len(set.union(*blocks)) == 3
+    # recovered centroids close to planted ones (order-free match)
+    d = np.linalg.norm(C[:, None, :] - centers[None, :, :], axis=2)
+    assert d.min(axis=0).max() < 0.2
+
+
+def test_kmeans_deterministic_across_partitioning(ray_session):
+    from biosd_feature_annotator_ray.stages.similarity import kmeans
+
+    rng = np.random.default_rng(29)
+    X = rng.normal(0, 1, (200, 4)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(np.arange(200, dtype=np.int64)),
+                  "embedding": pa.array(list(X), pa.list_(pa.float32(), 4))})
+    a1 = (kmeans(rd.from_arrow(t), k=5, max_iters=8)[1]
+          .to_pandas().sort_values("vec_id")["cluster"].to_numpy())
+    a2 = (kmeans(rd.from_arrow(t).repartition(7), k=5, max_iters=8)[1]
+          .to_pandas().sort_values("vec_id")["cluster"].to_numpy())
+    assert np.array_equal(a1, a2)
