@@ -246,6 +246,49 @@ def q_full_outer_join(sf_dir: str):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+# LEFT OUTER shuffle join: every big order survives, heavy lineitems
+# attach where present (null-filled otherwise)
+def q_left_join_orders(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..stages.join import shuffle_hash_join
+
+    big_orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 300_000.0)
+    heavy_lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
+        filter=pads.field("l_quantity") >= 49,
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
+                  batch_format="pyarrow")
+    j = shuffle_hash_join(big_orders, heavy_lines, on=["o_orderkey"],
+                          how="left", nb=16)
+    df = j.to_pandas().sort_values(
+        ["o_orderkey", "l_quantity"], na_position="last").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# RIGHT OUTER shuffle join: the mirror — every heavy lineitem survives
+def q_right_join_lineitem(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from ..stages.join import shuffle_hash_join
+
+    big_orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 300_000.0)
+    heavy_lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
+        filter=pads.field("l_quantity") >= 49,
+    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
+                  batch_format="pyarrow")
+    j = shuffle_hash_join(big_orders, heavy_lines, on=["o_orderkey"],
+                          how="right", nb=16)
+    df = j.to_pandas().sort_values(
+        ["o_orderkey", "l_quantity"], na_position="last").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 # Shuffle SEMI join: customers with ≥1 big order (filter pushed to the read)
 def q_semi_join_customers(sf_dir: str):
     import pyarrow.dataset as pads
@@ -1583,6 +1626,37 @@ def q_trailing_sum(sf_dir: str):
         preserve_index=False)
 
 
+# Naive Bayes text classifier (feature-hashed, bounded broadcast
+# model): train on even doc_ids' lang, score the odd half, report the
+# confusion counts — one train pass + one score pass
+def q_nb_lang_confusion(sf_dir: str):
+    from ..stages.textstats import nb_predict, nb_train
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def even(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t.column("doc_id").to_numpy() % 2 == 0))
+
+    def odd(t: pa.Table) -> pa.Table:
+        return t.filter(pa.array(
+            t.column("doc_id").to_numpy() % 2 == 1))
+
+    model = nb_train(docs.map_batches(even, batch_format="pyarrow"), "lang")
+    test = docs.map_batches(odd, batch_format="pyarrow")
+    preds = nb_predict(test, model)
+    truth = test.select_columns(["doc_id", "lang"])
+    from ..stages.join import shuffle_hash_join
+
+    j = shuffle_hash_join(preds, truth, on=["doc_id"], how="inner", nb=8)
+    conf = (j.to_pandas().groupby(["lang", "pred"], as_index=False)
+            .size().rename(columns={"size": "n"}))
+    conf["n"] = conf["n"].astype("int64")
+    return pa.Table.from_pandas(
+        conf.sort_values(["lang", "pred"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 # Distributed Lloyd k-means over the embeddings corpus: centroids
 # broadcast per iteration, per-batch partials only; output is the
 # cluster-size histogram (rows-only — iterative float fixpoint)
@@ -2206,6 +2280,9 @@ QUERIES = {
     "setop_except": q_setop_except,
     "weighted_sample": q_weighted_sample,
     "funnel_events": q_funnel_events,
+    "nb_lang_confusion": q_nb_lang_confusion,
+    "left_join_orders": q_left_join_orders,
+    "right_join_lineitem": q_right_join_lineitem,
     "kmeans_embeddings": q_kmeans_embeddings,
     "linreg_lineitem": q_linreg_lineitem,
     "embedding_centroids": q_embedding_centroids,
@@ -2618,6 +2695,22 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "left_join_orders": (
+        "SELECT o.o_orderkey, o.o_totalprice, l.l_quantity"
+        " FROM (SELECT o_orderkey, o_totalprice FROM orders"
+        "       WHERE o_totalprice > 300000) o"
+        " LEFT JOIN (SELECT l_orderkey, l_quantity FROM lineitem"
+        "       WHERE l_quantity >= 49) l"
+        " ON o.o_orderkey = l.l_orderkey"
+    ),
+    "right_join_lineitem": (
+        "SELECT l.l_orderkey AS o_orderkey, o.o_totalprice, l.l_quantity"
+        " FROM (SELECT o_orderkey, o_totalprice FROM orders"
+        "       WHERE o_totalprice > 300000) o"
+        " RIGHT JOIN (SELECT l_orderkey, l_quantity FROM lineitem"
+        "       WHERE l_quantity >= 49) l"
+        " ON o.o_orderkey = l.l_orderkey"
     ),
     "linreg_lineitem": (
         "SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,"

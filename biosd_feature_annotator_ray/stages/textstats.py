@@ -853,3 +853,108 @@ def token_entropy(
                          "entropy": pa.array(e, pa.float64())})
 
     return docs.map_batches(ent, batch_format="pyarrow", batch_size=65536)
+
+
+def nb_train(
+    docs: "ray.data.Dataset",
+    label_col: str,
+    col: str = "text",
+    bits: int = 16,
+    alpha: float = 1.0,
+):
+    """Train a feature-hashed multinomial Naive Bayes text classifier
+    in ONE streamed pass: per batch, tokens hash into 2^bits buckets
+    and collapse to per-(label, bucket) count partials; a tiny groupby
+    sums them. The model is a FIXED-SIZE dense matrix (labels × 2^bits
+    int64) + label doc counts — broadcastable state like the hashed
+    unigram LM, independent of corpus size.
+
+    Returns ``(labels, log_prior, log_cond)`` numpy arrays with
+    Laplace smoothing ``alpha``.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_strings
+
+    m = 1 << bits
+    mask = np.uint64(m - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        texts = batch.column(col).to_pandas().fillna("")
+        labs = batch.column(label_col).to_pandas().fillna("")
+        toks = [t.split() for t in texts]
+        lengths = np.fromiter((len(x) for x in toks), np.int64,
+                              count=len(toks))
+        flat_lab = np.repeat(labs.to_numpy(dtype=object), lengths)
+        words = [w for ws in toks for w in ws]
+        h = (hash_strings(pa.array(words, pa.string())) & mask).astype(
+            np.int64) if words else np.array([], np.int64)
+        df = pd.DataFrame({"label": flat_lab, "b": h})
+        g = df.groupby(["label", "b"], sort=False).size().reset_index(
+            name="n")
+        docs_part = (pd.DataFrame({"label": labs})
+                     .groupby("label", sort=False).size()
+                     .reset_index(name="n"))
+        docs_part["b"] = -1  # sentinel row: per-label doc count
+        return pa.Table.from_pandas(
+            pd.concat([g, docs_part[["label", "b", "n"]]],
+                      ignore_index=True), preserve_index=False)
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            batch_size=65536)
+           .groupby(["label", "b"]).aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    labels = np.array(sorted(agg["label"].unique()), dtype=object)
+    lidx = {l: i for i, l in enumerate(labels)}
+    counts = np.zeros((len(labels), m), dtype=np.int64)
+    docn = np.zeros(len(labels), dtype=np.int64)
+    for lab, b, n in zip(agg["label"], agg["b"], agg["n"]):
+        if b < 0:
+            docn[lidx[lab]] = n
+        else:
+            counts[lidx[lab], int(b)] = n
+    log_prior = np.log(docn / docn.sum())
+    tot = counts.sum(axis=1, keepdims=True)
+    log_cond = np.log((counts + alpha) / (tot + alpha * m))
+    return labels, log_prior, log_cond
+
+
+def nb_predict(
+    docs: "ray.data.Dataset",
+    model,
+    id_col: str = "doc_id",
+    col: str = "text",
+    bits: int = 16,
+    out: str = "pred",
+) -> "ray.data.Dataset":
+    """Score documents against a broadcast NB model: per batch one
+    sparse (doc × bucket) count build + a dense matmul against
+    ``log_cond.T`` — vectorized, no per-token Python in the score."""
+    import ray as _ray
+
+    from ..functions.hashing import hash_strings
+
+    labels, log_prior, log_cond = model
+    ref = _ray.put((labels, log_prior, log_cond))
+    m = 1 << bits
+    mask = np.uint64(m - 1)
+
+    def score(batch: pa.Table) -> pa.Table:
+        labs, lp, lc = _ray.get(ref)
+        texts = batch.column(col).to_pandas().fillna("")
+        toks = [t.split() for t in texts]
+        lengths = np.fromiter((len(x) for x in toks), np.int64,
+                              count=len(toks))
+        words = [w for ws in toks for w in ws]
+        h = (hash_strings(pa.array(words, pa.string())) & mask).astype(
+            np.int64) if words else np.array([], np.int64)
+        di = np.repeat(np.arange(len(toks)), lengths)
+        # scores = lp + Σ_tokens lc[:, bucket] — accumulate per doc
+        S = np.tile(lp, (len(toks), 1))
+        np.add.at(S, di, lc[:, h].T)
+        pred = labs[S.argmax(axis=1)]
+        return pa.table({id_col: batch.column(id_col),
+                         out: pa.array(list(pred), pa.string())})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=65536)

@@ -339,3 +339,36 @@ def test_kmeans_deterministic_across_partitioning(ray_session):
     a2 = (kmeans(rd.from_arrow(t).repartition(7), k=5, max_iters=8)[1]
           .to_pandas().sort_values("vec_id")["cluster"].to_numpy())
     assert np.array_equal(a1, a2)
+
+
+def test_naive_bayes_separable_corpus(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import (
+        nb_predict, nb_train)
+
+    rng = np.random.default_rng(31)
+    va = ["apple", "banana", "cherry", "date", "elder"]
+    vb = ["table", "chair", "lamp", "desk", "shelf"]
+    rows = []
+    for i in range(200):
+        lab, voc = (("fruit", va) if i % 2 == 0 else ("furniture", vb))
+        rows.append((i, " ".join(rng.choice(voc, 12)), lab))
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "text": pa.array([r[1] for r in rows]),
+                  "label": pa.array([r[2] for r in rows])})
+    train = rd.from_arrow(t.filter(pa.array(
+        [r[0] < 150 for r in rows])))
+    test = rd.from_arrow(t.filter(pa.array(
+        [r[0] >= 150 for r in rows])))
+    model = nb_train(train, "label")
+    preds = nb_predict(test, model).to_pandas().set_index("doc_id")["pred"]
+    truth = {r[0]: r[2] for r in rows if r[0] >= 150}
+    acc = np.mean([preds[i] == truth[i] for i in truth])
+    assert acc == 1.0  # fully separable vocabularies
+
+    # determinism across repartitioning of BOTH train and test
+    model2 = nb_train(train.repartition(5), "label")
+    assert np.array_equal(model[1], model2[1])
+    assert np.array_equal(model[2], model2[2])
+    preds2 = (nb_predict(test.repartition(3), model2)
+              .to_pandas().set_index("doc_id")["pred"])
+    assert (preds.sort_index() == preds2.sort_index()).all()
