@@ -49,3 +49,16 @@ def hash_columns(table: pa.Table, cols: list[str]) -> np.ndarray:
 def bucket(hashes: np.ndarray, n: int) -> np.ndarray:
     """hash → [0, n) partition id (int32)."""
     return (hashes % np.uint64(n)).astype(np.int32)
+
+
+def md5_u32(ids) -> "np.ndarray":
+    """First 8 hex chars of md5(str(id)) as int64 in [0, 2^32) — the
+    cross-system deterministic uniform used by train/test splitting,
+    hash sampling, weighted sampling, and the global shuffle. Must stay
+    in lockstep with the DuckDB oracle expression
+    ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::UBIGINT``."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+         for i in ids), np.int64, count=len(ids))

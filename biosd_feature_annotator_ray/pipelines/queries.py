@@ -226,10 +226,10 @@ def q_join_orders_lineitem(sf_dir: str):
 
 # FULL OUTER shuffle join: big orders ⋈ heavy lineitems — unmatched
 # rows survive on BOTH sides (the key column is coalesced)
-def q_full_outer_join(sf_dir: str):
+def _outer_join_sides(sf_dir: str):
+    """Shared sources for the full/left/right outer-join queries:
+    big orders (read-pruned) ⋈ heavy lineitems."""
     import pyarrow.dataset as pads
-
-    from ..stages.join import shuffle_hash_join
 
     big_orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"],
@@ -240,53 +240,33 @@ def q_full_outer_join(sf_dir: str):
         filter=pads.field("l_quantity") >= 49,
     ).map_batches(lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
                   batch_format="pyarrow")
-    j = shuffle_hash_join(big_orders, heavy_lines, on=["o_orderkey"], how="full", nb=16)
+    return big_orders, heavy_lines
+
+
+def _outer_join_query(sf_dir: str, how: str):
+    from ..stages.join import shuffle_hash_join
+
+    big_orders, heavy_lines = _outer_join_sides(sf_dir)
+    j = shuffle_hash_join(big_orders, heavy_lines, on=["o_orderkey"],
+                          how=how, nb=16)
     df = j.to_pandas().sort_values(
         ["o_orderkey", "l_quantity"], na_position="last").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_full_outer_join(sf_dir: str):
+    return _outer_join_query(sf_dir, "full")
 
 
 # LEFT OUTER shuffle join: every big order survives, heavy lineitems
 # attach where present (null-filled otherwise)
 def q_left_join_orders(sf_dir: str):
-    import pyarrow.dataset as pads
-
-    from ..stages.join import shuffle_hash_join
-
-    big_orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"],
-        filter=pads.field("o_totalprice") > 300_000.0)
-    heavy_lines = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
-        filter=pads.field("l_quantity") >= 49,
-    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
-                  batch_format="pyarrow")
-    j = shuffle_hash_join(big_orders, heavy_lines, on=["o_orderkey"],
-                          how="left", nb=16)
-    df = j.to_pandas().sort_values(
-        ["o_orderkey", "l_quantity"], na_position="last").reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _outer_join_query(sf_dir, "left")
 
 
 # RIGHT OUTER shuffle join: the mirror — every heavy lineitem survives
 def q_right_join_lineitem(sf_dir: str):
-    import pyarrow.dataset as pads
-
-    from ..stages.join import shuffle_hash_join
-
-    big_orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"],
-        filter=pads.field("o_totalprice") > 300_000.0)
-    heavy_lines = rd.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"],
-        filter=pads.field("l_quantity") >= 49,
-    ).map_batches(lambda t: t.rename_columns(["o_orderkey", "l_quantity"]),
-                  batch_format="pyarrow")
-    j = shuffle_hash_join(big_orders, heavy_lines, on=["o_orderkey"],
-                          how="right", nb=16)
-    df = j.to_pandas().sort_values(
-        ["o_orderkey", "l_quantity"], na_position="last").reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _outer_join_query(sf_dir, "right")
 
 
 # Shuffle SEMI join: customers with ≥1 big order (filter pushed to the read)
@@ -1748,21 +1728,7 @@ def q_embedding_centroids(sf_dir: str):
 def q_degree_distribution(sf_dir: str):
     from ..stages.canonicalize import distinct_counts
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_custkey"])
-
-    def edges(t: pa.Table) -> pa.Table:
-        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
-        us = np.concatenate([u, u, u])
-        vs = np.concatenate([(u * 37) % 500, (u * 101) % 500,
-                             (u * 7 + 13) % 500])
-        keep = us != vs
-        us, vs = us[keep], vs[keep]
-        return pa.table({"a": pa.array(np.minimum(us, vs), pa.int64()),
-                         "b": pa.array(np.maximum(us, vs), pa.int64())})
-
-    e = dedup_exact(
-        orders.map_batches(edges, batch_format="pyarrow"), ["a", "b"], nb=16)
+    e = _derived_customer_edges(sf_dir)
     ends = e.map_batches(
         lambda t: pa.table({"node": pa.concat_arrays([
             t.column("a").combine_chunks(),
@@ -1823,17 +1789,14 @@ def q_share_of_type(sf_dir: str):
 # reproducible permutation position (md5 key → global_row_number) —
 # the "shuffle the corpus identically on any cluster" primitive
 def q_shuffle_positions(sf_dir: str):
-    import hashlib
-
+    from ..functions.hashing import md5_u32
     from ..stages.windows import global_row_number
 
     docs = _docs(sf_dir, ["doc_id"])
 
     def addkey(t: pa.Table) -> pa.Table:
-        ids = t.column("doc_id").to_pylist()
-        h = np.fromiter((int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-                         for i in ids), np.int64, count=len(ids))
-        return t.append_column("hkey", pa.array(h))
+        return t.append_column(
+            "hkey", pa.array(md5_u32(t.column("doc_id").to_pylist())))
 
     ranked = global_row_number(
         docs.map_batches(addkey, batch_format="pyarrow"),
@@ -2183,12 +2146,10 @@ def q_bfs_depth(sf_dir: str):
         out.sort_values("node").reset_index(drop=True), preserve_index=False)
 
 
-# Triangle count over a deterministic sparse multi-hash graph on
-# customers — degree-oriented wedge join + closing semi join (O(m^1.5)
-# wedges) vs DuckDB's three-way self-join
-def q_triangle_count(sf_dir: str):
-    from ..stages.graph import triangle_count
-
+# Deterministic sparse multi-hash graph on customers, shared by the
+# triangle-count and degree-distribution queries (and their oracles —
+# one recipe, one place to change it)
+def _derived_customer_edges(sf_dir: str):
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_custkey"])
 
@@ -2202,9 +2163,17 @@ def q_triangle_count(sf_dir: str):
         return pa.table({"a": pa.array(np.minimum(us, vs), pa.int64()),
                          "b": pa.array(np.maximum(us, vs), pa.int64())})
 
-    e = dedup_exact(
+    return dedup_exact(
         orders.map_batches(edges, batch_format="pyarrow"), ["a", "b"], nb=16)
-    n = triangle_count(e, nb=16)
+
+
+# Triangle count over the derived customer graph — degree-oriented
+# wedge join + closing semi join (O(m^1.5) wedges) vs DuckDB's
+# three-way self-join
+def q_triangle_count(sf_dir: str):
+    from ..stages.graph import triangle_count
+
+    n = triangle_count(_derived_customer_edges(sf_dir), nb=16)
     return pa.table({"n_triangles": pa.array([n], pa.int64())})
 
 

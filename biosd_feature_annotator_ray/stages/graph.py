@@ -282,36 +282,52 @@ def transitive_closure(
     if e.count() == 0:
         return rd.from_arrow(empty)
 
-    delta = dedup_exact(e.map_batches(
-        lambda t: pa.table({"node": t.column("child"),
-                            "anc": t.column("parent")}),
-        batch_format="pyarrow"), ["node", "anc"], nb=nb).materialize()
-    closure = delta
+    def _project(node_col: str, anc_col: str):
+        # the cycle check rides INSIDE the projection map (a derived
+        # (n, n) pair can only mean a cycle) — no extra frontier pass;
+        # the in-task ValueError surfaces with its type preserved
+        def f(t: pa.Table) -> pa.Table:
+            node = t.column(node_col)
+            anc = t.column(anc_col)
+            if int(pa.compute.sum(pa.compute.equal(node, anc)).as_py()
+                   or 0):
+                raise ValueError(
+                    "transitive_closure: cycle detected (derived a node "
+                    "as its own ancestor)")
+            return pa.table({"node": node, "anc": anc})
 
-    def _n_self_pairs(ds) -> int:
-        return int(ds.map_batches(
-            lambda t: pa.table({"n": pa.array(
-                [int(pa.compute.sum(pa.compute.equal(
-                    t.column("node"), t.column("anc"))).as_py() or 0)],
-                pa.int64())}),
-            batch_format="pyarrow").sum("n") or 0)
+        return f
+
+    def _mat(ds):
+        # Ray wraps in-task errors (UserCodeException) — restore the
+        # documented ValueError for the cycle contract
+        try:
+            return ds.materialize()
+        except Exception as ex:  # noqa: BLE001
+            if "cycle detected" in str(ex):
+                raise ValueError(
+                    "transitive_closure: cycle detected (derived a node "
+                    "as its own ancestor)") from ex
+            raise
+
+    delta = _mat(dedup_exact(
+        e.map_batches(_project("child", "parent"), batch_format="pyarrow"),
+        ["node", "anc"], nb=nb))
+    closure = delta
 
     for _ in range(max_iters):
         if delta.count() == 0:
             return closure
-        if _n_self_pairs(delta):
-            raise ValueError("transitive_closure: cycle detected "
-                             "(derived a node as its own ancestor)")
         # one hop: (node, anc) ⋈ (child=anc, parent) → (node, parent)
         hop = shuffle_hash_join(
             delta, e.map_batches(
                 lambda t: t.rename_columns(["anc", "new_anc"]),
                 batch_format="pyarrow"),
             on=["anc"], how="inner", nb=nb)
-        hop = dedup_exact(hop.map_batches(
-            lambda t: pa.table({"node": t.column("node"),
-                                "anc": t.column("new_anc")}),
-            batch_format="pyarrow"), ["node", "anc"], nb=nb).materialize()
+        hop = _mat(dedup_exact(
+            hop.map_batches(_project("node", "new_anc"),
+                            batch_format="pyarrow"),
+            ["node", "anc"], nb=nb))
         if hop.count() == 0:  # empty Datasets lose their schema —
             return closure    # never feed one to a join
         delta = shuffle_hash_join(

@@ -560,6 +560,12 @@ def merge_upsert(
     def finish(g: pa.Table) -> pa.Table:
         df = g.drop_columns([_B]).to_pandas()
         ch = df[df["_side"] == 1]
+        bad = ~ch[op_col].isin(("upsert", "delete"))
+        if bad.any():
+            raise ValueError(
+                f"merge_upsert: unknown op value(s) "
+                f"{sorted(ch.loc[bad, op_col].unique())} — a typo'd op "
+                "would otherwise silently delete its key")
         if ch.duplicated(on).any():
             raise ValueError(
                 "merge_upsert: multiple change rows for one key — "
@@ -619,8 +625,19 @@ def bloom_prefilter(
                              np.uint8(1) << (pos & np.uint64(7)).astype(np.uint8))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
-    parts = build.map_batches(build_bits, batch_format="pyarrow",
-                              batch_size=65536).to_pandas()
+    def or_combine(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(m // 8, dtype=np.uint8)
+        for bb in batch.column("bits").to_pylist():
+            acc |= np.frombuffer(bb, dtype=np.uint8)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    # tree OR-reduce: per-batch bitsets collapse 64:1 in a combine
+    # stage so the driver folds a handful of bitsets, not one per
+    # 256k build rows (the 10^8-key case would otherwise pull ~GiBs)
+    parts = (build.map_batches(build_bits, batch_format="pyarrow",
+                               batch_size=262144)
+             .map_batches(or_combine, batch_format="pyarrow",
+                          batch_size=64).to_pandas())
     bits = np.zeros(m // 8, dtype=np.uint8)
     for b in parts["bits"]:
         bits |= np.frombuffer(b, dtype=np.uint8)

@@ -370,15 +370,13 @@ def weighted_sample(
     combine), so the final sort+limit sees ≤ k·n_blocks partial rows —
     never the fact table. Rows with weight ≤ 0 or null are excluded.
     """
-    import hashlib
+    from ..functions.hashing import md5_u32
 
     def local_topk(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_pylist()
         w = batch.column(weight_col).to_numpy(zero_copy_only=False).astype(
             np.float64)
-        h = np.fromiter(
-            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
-             for i in ids), np.float64, count=len(ids))
+        h = md5_u32(ids).astype(np.float64)
         u = (h + 0.5) / 4294967296.0
         with np.errstate(divide="ignore", invalid="ignore"):
             key = -np.log(u) / w

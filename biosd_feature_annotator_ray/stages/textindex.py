@@ -48,6 +48,14 @@ def build_text_index(
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return
+    # interrupted build: fragment digests depend on batch BOUNDARIES,
+    # so a rebuild with different batching would leave stale fragments
+    # alongside new ones (duplicated postings → wrong tf/df). Resume
+    # granularity is the whole index — start clean.
+    if os.path.isdir(out_dir):
+        import shutil
+
+        shutil.rmtree(out_dir)
 
     def postings(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
@@ -127,7 +135,12 @@ def search_text_index(
     if not files:
         return empty
 
-    term_idx = {t: i for i, t in enumerate(terms)}
+    # positions, not a dict: a DUPLICATED query term contributes once
+    # per occurrence in bm25_topk's left-to-right sum — replicate each
+    # posting row into every position of its term to stay bit-identical
+    pos_of: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        pos_of.setdefault(t, []).append(i)
     posts = (rd.read_parquet(files)
              .map_batches(lambda t: t.filter(
                  pa.compute.is_in(t.column("term"),
@@ -148,7 +161,12 @@ def search_text_index(
 
     def score(batch: pa.Table) -> pa.Table:
         d = batch.drop_columns([_B]).to_pandas()
-        ti = d["term"].map(term_idx).to_numpy(dtype=np.int64)
+        # replicate rows per query position of their term
+        plists = d["term"].map(pos_of)
+        counts = plists.str.len().to_numpy(dtype=np.int64)
+        d = d.iloc[np.repeat(np.arange(len(d)), counts)].reset_index(drop=True)
+        ti = np.fromiter((p for ps in plists for p in ps), np.int64,
+                         count=int(counts.sum()))
         tf = d["tf"].to_numpy(dtype=np.float64)
         dl = d["dl"].to_numpy(dtype=np.float64)
         contrib = (idf_ref[ti] * tf * (k1 + 1.0)

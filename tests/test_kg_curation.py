@@ -322,3 +322,50 @@ def test_text_index_prunes_buckets(ray_session, tmp_path):
             shutil.rmtree(f"{idx}/buckets/{d}")
     out = search_text_index(idx, ["alpha"], topk=5, nb=8).to_pandas()
     assert set(out["doc_id"]) == {1, 3}
+
+
+def test_text_index_duplicate_query_terms_parity(ray_session, tmp_path):
+    """A duplicated query term contributes once per occurrence in the
+    full-scan BM25; the indexed path must reproduce that exactly."""
+    from biosd_feature_annotator_ray.stages.textindex import (
+        build_text_index, search_text_index)
+    from biosd_feature_annotator_ray.stages.textstats import bm25_topk
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(20)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.integers(3, 30))))
+            for i in range(120)]
+    docs = _docs_ds(rows)
+    terms = ["w3", "w3", "w7"]  # duplicate on purpose
+    full = bm25_topk(docs, terms, topk=12).to_pandas()
+    idx = str(tmp_path / "tidx3")
+    build_text_index(docs, idx)
+    via_idx = search_text_index(idx, terms, topk=12).to_pandas()
+    pd.testing.assert_frame_equal(full, via_idx)
+
+
+def test_text_index_interrupted_build_restarts_clean(ray_session, tmp_path):
+    """Fragments from a crashed (no _DONE) build must not survive into
+    the rebuild — stale postings would double tf/df."""
+    import glob
+    import os
+
+    from biosd_feature_annotator_ray.stages.textindex import (
+        build_text_index, search_text_index)
+    from biosd_feature_annotator_ray.stages.textstats import bm25_topk
+
+    docs = _docs_ds([(1, "alpha beta beta"), (2, "alpha gamma")])
+    idx = str(tmp_path / "tidx4")
+    build_text_index(docs, idx)
+    frags = glob.glob(f"{idx}/buckets/*/frag-*.parquet")
+    os.remove(os.path.join(idx, "_DONE"))  # simulate crash-before-done
+    # plant a stale fragment that different batching would leave behind
+    import shutil
+    stale = frags[0].replace("frag-", "frag-deadbeef")
+    shutil.copy(frags[0], stale)
+    build_text_index(docs, idx)
+    assert not any("deadbeef" in f
+                   for f in glob.glob(f"{idx}/buckets/*/frag-*.parquet"))
+    full = bm25_topk(docs, ["alpha", "beta"], topk=5).to_pandas()
+    via = search_text_index(idx, ["alpha", "beta"], topk=5).to_pandas()
+    pd.testing.assert_frame_equal(full, via)
