@@ -88,6 +88,41 @@ def main(argv: list[str] | None = None) -> int:
     pcu.add_argument("--no-resume", action="store_true")
     pcu.add_argument("--num-cpus", type=int, default=8)
 
+    pcl = sub.add_parser("cluster", help="distributed Lloyd k-means over an "
+                         "embeddings parquet → (id, cluster) parquet")
+    pcl.add_argument("--input", required=True)
+    pcl.add_argument("--output", default=None)
+    pcl.add_argument("--k", type=int, default=10)
+    pcl.add_argument("--iters", type=int, default=15)
+    pcl.add_argument("--num-cpus", type=int, default=8)
+
+    pti = sub.add_parser("textindex", help="build a persisted BM25 inverted "
+                         "index from a documents parquet")
+    pti.add_argument("--input", required=True)
+    pti.add_argument("--output", required=True)
+    pti.add_argument("--buckets", type=int, default=32)
+    pti.add_argument("--num-cpus", type=int, default=8)
+
+    pts = sub.add_parser("textsearch", help="BM25 top-k against a persisted "
+                         "text index (reads only the query terms' buckets)")
+    pts.add_argument("--index", required=True)
+    pts.add_argument("--terms", required=True, help="space-separated query")
+    pts.add_argument("--k", type=int, default=20)
+    pts.add_argument("--buckets", type=int, default=32)
+    pts.add_argument("--num-cpus", type=int, default=8)
+
+    psm = sub.add_parser("sample", help="deterministic sampling: md5-hash "
+                         "fraction or A-ES weighted top-k")
+    psm.add_argument("--input", required=True)
+    psm.add_argument("--id-col", required=True)
+    psm.add_argument("--output", default=None)
+    psm.add_argument("--weight-col", default=None,
+                     help="with --k: P(selected) ∝ weight (A-ES)")
+    psm.add_argument("--k", type=int, default=None)
+    psm.add_argument("--fraction-pct", type=int, default=None,
+                     help="md5-bucket percent filter (0-100)")
+    psm.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -168,6 +203,69 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 df = out.to_pandas()
                 print(df.to_json(orient="records"))
+            return 0
+
+        if args.cmd == "cluster":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.similarity import kmeans
+
+            C, assign = kmeans(rd.read_parquet(args.input), k=args.k,
+                               max_iters=args.iters)
+            if args.output:
+                assign.write_parquet(args.output)
+                print(json.dumps({"k": int(C.shape[0]), "dim": int(C.shape[1]),
+                                  "output": args.output}))
+            else:
+                sizes = assign.to_pandas()["cluster"].value_counts().sort_index()
+                print(json.dumps({"k": int(C.shape[0]),
+                                  "sizes": sizes.to_dict()}))
+            return 0
+
+        if args.cmd == "textindex":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.textindex import build_text_index
+
+            build_text_index(rd.read_parquet(args.input), args.output,
+                             nb=args.buckets)
+            print(json.dumps({"output": args.output}))
+            return 0
+
+        if args.cmd == "textsearch":
+            from biosd_feature_annotator_ray.stages.textindex import search_text_index
+
+            out = search_text_index(args.index, args.terms.split(),
+                                    topk=args.k, nb=args.buckets)
+            print(out.to_pandas().to_json(orient="records"))
+            return 0
+
+        if args.cmd == "sample":
+            import pyarrow as pa
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.functions.hashing import md5_u32
+            from biosd_feature_annotator_ray.stages.sketches import weighted_sample
+
+            ds = rd.read_parquet(args.input)
+            if args.weight_col and args.k:
+                out = weighted_sample(ds, args.id_col, args.weight_col, args.k)
+            elif args.fraction_pct is not None:
+                pct = args.fraction_pct
+
+                def flt(t: "pa.Table", p=pct, c=args.id_col):
+                    h = md5_u32(t.column(c).to_pylist()) % 100
+                    return t.filter(pa.array(h < p))
+
+                out = ds.map_batches(flt, batch_format="pyarrow")
+            else:
+                raise SystemExit("sample: need --weight-col+--k or --fraction-pct")
+            out = out.materialize()
+            if args.output:
+                out.write_parquet(args.output)
+                print(json.dumps({"rows": out.count(), "output": args.output}))
+            else:
+                print(json.dumps({"rows": out.count()}))
             return 0
 
         if args.cmd == "curate":
