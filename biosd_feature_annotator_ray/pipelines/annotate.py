@@ -70,6 +70,11 @@ class PipelineSpec:
                                           # larger than this stream in url-hash
                                           # sub-chunks (row groups) instead of
                                           # one whole-partition materialization
+    fuzzy_link: bool = False              # opt-in fuzzy tier (SURVEY §2.4
+                                          # "fuzzy≥θ=LOW"): Levenshtein
+                                          # fallback vs labels/synonyms,
+                                          # LOW confidence — visible only
+                                          # with min_confidence="LOW"
     expand_ancestors: bool = False        # materialize is-a subsumption
                                           # closure triples (ancestor URIs),
                                           # deduped by the same survivor rule
@@ -117,7 +122,8 @@ def _links_from_keys(
     distinct = distinct_counts(keys, "key", nb=spec.n_buckets).drop_columns(["count"])
     linked = distinct.map_batches(
         LinkerActor,
-        fn_constructor_kwargs={"terms_ref": terms_ref, "curated_ref": curated_ref},
+        fn_constructor_kwargs={"terms_ref": terms_ref, "curated_ref": curated_ref,
+                               "fuzzy": spec.fuzzy_link},
         batch_format="pyarrow",
         batch_size=spec.link_batch_size,
         concurrency=spec.link_concurrency,
@@ -163,7 +169,7 @@ def _links_local(
 
         df = pd.DataFrame({"key": pd.Series([], dtype=object)})
     uniq = df["key"].drop_duplicates()
-    linker = LinkerActor.local(terms, curated)
+    linker = LinkerActor.local(terms, curated, fuzzy=spec.fuzzy_link)
     linked = linker(pa.table({"key": pa.array(uniq.to_numpy(dtype=object), pa.string())}))
     from ..stages.canonicalize import CONFIDENCE_RANK
 
@@ -367,5 +373,6 @@ def run(
         mentions, out_dir, num_parts, terms_ref, curated_ref,
         min_confidence=spec.min_confidence, resume=resume,
         fail_after_parts=fail_after_parts, max_edges=spec.max_edges,
-        max_finalize_rows=spec.max_finalize_rows,
+        max_finalize_rows=spec.max_finalize_rows, fuzzy=spec.fuzzy_link,
+        expand_ancestors=spec.expand_ancestors,
     )

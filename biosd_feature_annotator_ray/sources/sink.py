@@ -211,7 +211,8 @@ def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_ra
 _LINKER_CACHE: dict = {}
 
 
-def _get_linker(terms_ref, curated_ref, min_confidence: str):
+def _get_linker(terms_ref, curated_ref, min_confidence: str,
+                fuzzy: bool = False):
     """Dictionary index built once per worker PROCESS (module cache)."""
     import ray as _ray
 
@@ -221,18 +222,19 @@ def _get_linker(terms_ref, curated_ref, min_confidence: str):
         terms_ref.hex() if terms_ref is not None else None,
         curated_ref.hex() if curated_ref is not None else None,
         min_confidence,
+        fuzzy,
     )
     linker = _LINKER_CACHE.get(cache_key)
     if linker is None:
         terms = _ray.get(terms_ref) if terms_ref is not None else None
         curated = _ray.get(curated_ref) if curated_ref is not None else None
-        linker = LinkerActor.local(terms, curated)
+        linker = LinkerActor.local(terms, curated, fuzzy=fuzzy)
         _LINKER_CACHE[cache_key] = linker
     return linker
 
 
 def _link_and_emit(mentions: pa.Table, linker, min_confidence: str,
-                   part_id: int) -> tuple[pa.Table, dict]:
+                   part_id: int, ancestors_csr=None) -> tuple[pa.Table, dict]:
     """mentions → (part_id-tagged triples, metrics): link local distinct
     keys (pure function of key ≡ global pass, tested), M10 threshold,
     broadcast-back join, dedup left to the caller."""
@@ -249,6 +251,12 @@ def _link_and_emit(mentions: pa.Table, linker, min_confidence: str,
     links = linked.filter(pc.is_in(linked.column("confidence"), value_set=pa.array(keep)))
 
     triples = AnnotationJoiner(links)(mentions)
+    if ancestors_csr is not None:
+        from ..stages.triples import expand_ancestors_table
+
+        # per-row expansion commutes with the partition split, so
+        # partition-local expansion ≡ the annotate_pages path (tested)
+        triples = expand_ancestors_table(triples, ancestors_csr)
     triples = triples.append_column("part_id", pa.array(np.full(len(triples), part_id, dtype=np.int32)))
     from ..functions.hashing import hash_strings as _hs
 
@@ -265,7 +273,8 @@ def _link_and_emit(mentions: pa.Table, linker, min_confidence: str,
 def finalize_mentions_partition(
     out_dir: str, part_id: int, terms_ref=None, curated_ref=None,
     min_confidence: str = "GOOD", max_edges: int = 10_000,
-    max_finalize_rows: int | None = None,
+    max_finalize_rows: int | None = None, fuzzy: bool = False,
+    expand_ancestors: bool = False,
 ) -> pa.Table:
     """One-partition finisher for the single-job pipeline: read this
     partition's MENTION fragments, link locally, emit triples, dedup,
@@ -299,12 +308,19 @@ def finalize_mentions_partition(
 
     frag_paths = [os.path.join(pdir, f) for f in sorted(os.listdir(pdir))
                   if f.startswith("frag-") and f.endswith(".parquet")]
-    linker = _get_linker(terms_ref, curated_ref, min_confidence)
+    linker = _get_linker(terms_ref, curated_ref, min_confidence, fuzzy=fuzzy)
+    csr = None
+    if expand_ancestors:
+        from ..stages.triples import closure_csr
+        from ..state.dictionaries import ancestor_closure
+
+        csr = closure_csr(ancestor_closure())
     total = sum(pq.ParquetFile(p).metadata.num_rows for p in frag_paths)
 
     if max_finalize_rows is None or total <= max_finalize_rows:
         mentions = pa.concat_tables([pq.read_table(p) for p in frag_paths])
-        triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id)
+        triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id,
+                                          ancestors_csr=csr)
         metrics.pop("_key_hashes", None)
         metrics.pop("_linked_hashes", None)
         return write_partition(triples, out_dir, dedup=True, part_id=part_id,
@@ -328,7 +344,8 @@ def finalize_mentions_partition(
         if not picked:
             continue
         mentions = pa.concat_tables(picked)
-        triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id)
+        triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id,
+                                          ancestors_csr=csr)
         agg["mentions"] += metrics["mentions"]
         key_h.append(metrics.pop("_key_hashes"))
         linked_h.append(metrics.pop("_linked_hashes"))
@@ -422,6 +439,8 @@ def run_sink(
     fail_after_parts: int | None = None,
     max_edges: int = 10_000,
     max_finalize_rows: int | None = None,
+    fuzzy: bool = False,
+    expand_ancestors: bool = False,
 ) -> pa.Table:
     """Single-job sink: scatter MENTION fragments by part_id=hash(url),
     then finalize each partition independently (link → emit → dedup →
@@ -458,7 +477,9 @@ def run_sink(
             raise RuntimeError("injected failure for resume test")
         return finalize_mentions_partition(out_dir, p, terms_ref, curated_ref, min_confidence,
                                            max_edges=max_edges,
-                                           max_finalize_rows=max_finalize_rows)
+                                           max_finalize_rows=max_finalize_rows,
+                                           fuzzy=fuzzy,
+                                           expand_ancestors=expand_ancestors)
 
     refs = [_finalize.remote(p, i) for i, p in enumerate(todo)]
     rows, first_err = [], None

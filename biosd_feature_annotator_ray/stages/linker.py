@@ -50,7 +50,8 @@ class LinkerActor:
     """Stateful map_batches callable: distinct keys → annotation rows."""
 
     @classmethod
-    def local(cls, terms: pa.Table | None = None, curated: pa.Table | None = None):
+    def local(cls, terms: pa.Table | None = None, curated: pa.Table | None = None,
+              fuzzy: bool = False):
         """Driver-local construction without the object store (used by
         the compute_links_table fast path)."""
         obj = cls.__new__(cls)
@@ -60,15 +61,18 @@ class LinkerActor:
         )
         obj.cache = {}
         obj.cache_size = 65536
+        obj.fuzzy = fuzzy
         obj.stats = {"keys": 0, "hits": 0, "cache_hits": 0}
         return obj
 
-    def __init__(self, terms_ref=None, curated_ref=None, cache_size: int = 65536):
+    def __init__(self, terms_ref=None, curated_ref=None, cache_size: int = 65536,
+                 fuzzy: bool = False):
         terms = ray.get(terms_ref) if terms_ref is not None else fixture_ontology_terms()
         curated = ray.get(curated_ref) if curated_ref is not None else fixture_curated_mappings()
         self.index = OntologyIndex.build(terms, curated)
         self.cache: dict[str, tuple | None] = {}
         self.cache_size = cache_size
+        self.fuzzy = fuzzy
         self.stats = {"keys": 0, "hits": 0, "cache_hits": 0}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -109,7 +113,8 @@ class LinkerActor:
             parts = pc.split_pattern(fixed, KEY_SEP, max_splits=1)
             ct = pc.list_element(parts, 0)
             val = pc.list_element(parts, 1)
-            u, lb, cf, sc, pv = self.index.lookup_batch(ct, val)
+            u, lb, cf, sc, pv = self.index.lookup_batch(
+                ct, val, fuzzy=getattr(self, "fuzzy", False))
             for j, i in enumerate(miss_idx):
                 hit = None if u[j] is None else (u[j], lb[j], cf[j], float(sc[j]), pv[j])
                 if len(self.cache) < self.cache_size:

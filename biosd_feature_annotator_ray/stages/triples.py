@@ -247,38 +247,49 @@ def expand_ancestors(
     are left to the caller's exact dedup. ``unit_uri`` sidecars are NOT
     expanded (units subsume trivially; entailed unit triples add noise).
     """
-    closure = closure if closure is not None else _default_closure()
-    # pre-group driver-side: children (unique, sorted), CSR offsets into
-    # the flat ancestor array
+    state_ref = ray.put(closure_csr(
+        closure if closure is not None else _default_closure()))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        return expand_ancestors_table(batch, ray.get(state_ref),
+                                      include_original=include_original)
+
+    return triples.map_batches(expand, batch_format="pyarrow")
+
+
+def closure_csr(closure: pa.Table):
+    """(uri, anc_uri) closure table → (children, CSR offsets, flat
+    ancestor array) — the broadcastable expansion state."""
     df = closure.to_pandas().sort_values(["uri", "anc_uri"])
     children = df["uri"].drop_duplicates().to_numpy(dtype=object)
     counts = df.groupby("uri", sort=True).size().to_numpy()
     offs = np.concatenate(([0], np.cumsum(counts)))
-    state_ref = ray.put((pa.array(children, pa.string()), offs,
-                         pa.array(df["anc_uri"].to_numpy(dtype=object),
-                                  pa.string())))
+    return (pa.array(children, pa.string()), offs,
+            pa.array(df["anc_uri"].to_numpy(dtype=object), pa.string()))
 
-    def expand(batch: pa.Table) -> pa.Table:
-        kids, offsets, flat_anc = ray.get(state_ref)
-        idx = pc.index_in(batch.column("obj"), value_set=kids)
-        valid = pc.and_kleene(pc.is_valid(idx),
-                              pc.equal(batch.column("obj_kind"), "uri"))
-        sel = np.flatnonzero(valid.to_numpy(zero_copy_only=False))
-        if len(sel) == 0:
-            return batch if include_original else batch.schema.empty_table()
-        ix = idx.to_numpy(zero_copy_only=False)[sel].astype(np.int64)
-        cnt = offsets[ix + 1] - offsets[ix]
-        row_take = np.repeat(sel, cnt)
-        starts = np.repeat(offsets[ix], cnt)
-        within = np.arange(len(row_take)) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt)
-        anc_vals = flat_anc.take(pa.array(starts + within))
-        exp = batch.take(pa.array(row_take))
-        exp = exp.set_column(exp.schema.get_field_index("obj"),
-                             "obj", anc_vals)
-        return pa.concat_tables([batch, exp]) if include_original else exp
 
-    return triples.map_batches(expand, batch_format="pyarrow")
+def expand_ancestors_table(batch: pa.Table, csr,
+                           include_original: bool = True) -> pa.Table:
+    """Table-level expansion kernel (shared by the Dataset operator and
+    the checkpointed sink's partition finalize)."""
+    kids, offsets, flat_anc = csr
+    idx = pc.index_in(batch.column("obj"), value_set=kids)
+    valid = pc.and_kleene(pc.is_valid(idx),
+                          pc.equal(batch.column("obj_kind"), "uri"))
+    sel = np.flatnonzero(valid.to_numpy(zero_copy_only=False))
+    if len(sel) == 0:
+        return batch if include_original else batch.schema.empty_table()
+    ix = idx.to_numpy(zero_copy_only=False)[sel].astype(np.int64)
+    cnt = offsets[ix + 1] - offsets[ix]
+    row_take = np.repeat(sel, cnt)
+    starts = np.repeat(offsets[ix], cnt)
+    within = np.arange(len(row_take)) - np.repeat(
+        np.cumsum(cnt) - cnt, cnt)
+    anc_vals = flat_anc.take(pa.array(starts + within))
+    exp = batch.take(pa.array(row_take))
+    exp = exp.set_column(exp.schema.get_field_index("obj"),
+                         "obj", anc_vals)
+    return pa.concat_tables([batch, exp]) if include_original else exp
 
 
 def _default_closure() -> pa.Table:

@@ -233,7 +233,48 @@ class OntologyIndex:
         self._tiers = tiers
         return tiers
 
-    def lookup_batch(self, char_types: pa.Array, value_norms: pa.Array):
+    # -- opt-in fuzzy tier (SURVEY §2.4 scoring note: "fuzzy≥θ=LOW") --
+    # constants (FIXTURES §3.5): candidate set = normalized labels +
+    # synonyms; accept when Levenshtein d ≤ 1 (value ≤ 8 chars) or
+    # d ≤ 2, and d < len(value); winner = min (d, key, uri);
+    # confidence LOW, score 0.45 − 0.1·d, provenance "fuzzy".
+    def _fuzzy_keys(self):
+        cached = getattr(self, "_fuzzy", None)
+        if cached is None:
+            merged: dict[str, list] = {}
+            for m in (self.label_map, self.syn_map):
+                for k, v in m.items():
+                    merged.setdefault(k, []).extend(v)
+            ks = sorted(merged)
+            import pandas as pd
+
+            cached = (pd.Series(ks),
+                      [sorted(set(merged[k]))[0] for k in ks])
+            self._fuzzy = cached
+        return cached
+
+    def fuzzy_lookup(self, value_norm: str):
+        """Best fuzzy label/synonym match for one normalized value, or
+        None. Deterministic: (dist, key, uri) ascending."""
+        from ..stages.similarity import _lev_batch
+
+        keys, winners = self._fuzzy_keys()
+        if len(keys) == 0 or not value_norm:
+            return None
+        d = _lev_batch(value_norm, keys)
+        dmax = 1 if len(value_norm) <= 8 else 2
+        ok = (d <= dmax) & (d < len(value_norm))
+        if not ok.any():
+            return None
+        import numpy as np
+
+        cand = np.flatnonzero(ok)
+        best = cand[np.lexsort((keys.to_numpy()[cand], d[cand]))[0]]
+        uri, label = winners[best]
+        return (uri, label, "LOW", 0.45 - 0.1 * float(d[best]), "fuzzy")
+
+    def lookup_batch(self, char_types: pa.Array, value_norms: pa.Array,
+                     fuzzy: bool = False):
         """Vectorized twin of ``lookup`` (round-1 verdict item 8): the
         tier cascade runs as one ``pc.index_in`` per tier over the
         still-unresolved rows' transformed keys. Returns parallel
@@ -291,9 +332,18 @@ class OntologyIndex:
             score[rows] = tier["score"][ii]
             prov[rows] = tier["prov"]
             unresolved[rows] = False
+        if fuzzy and unresolved.any():
+            # per-miss loop is fine: inputs are DISTINCT keys (≪ rows)
+            # and each miss runs the batch-vectorized DP against the
+            # whole label list at once
+            vals = value_norms.to_pylist()
+            for i in np.flatnonzero(unresolved):
+                hit = self.fuzzy_lookup(vals[i] or "")
+                if hit is not None:
+                    uri[i], label[i], conf[i], score[i], prov[i] = hit
         return uri, label, conf, score, prov
 
-    def lookup(self, char_type: str, value_norm: str):
+    def lookup(self, char_type: str, value_norm: str, fuzzy: bool = False):
         """Resolve one normalized (type, value) → (uri, label, confidence,
         score, provenance) or None. Tier order per FIXTURES.md §3.3;
         ties within a tier broken by (score desc, term_uri asc) — the
@@ -319,4 +369,6 @@ class OntologyIndex:
         c = self.tokenset_map.get(token_sig(value_norm))
         if c:
             return (c[0][0], c[0][1], "MEDIUM", 0.65, "tokenset")
+        if fuzzy:
+            return self.fuzzy_lookup(value_norm)
         return None
