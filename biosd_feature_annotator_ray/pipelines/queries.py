@@ -1315,6 +1315,22 @@ def q_annotate_ancestors(sf_dir: str):
                                               expand_ancestors=True))
 
 
+def q_entity_graph(sf_dir: str):
+    """KG relation discovery: flagship annotation → entity
+    co-occurrence edges (ontology URIs linked on the same page, one
+    bucket shuffle on subj, pair expansion per subject)."""
+    from ..pipelines.annotate import PipelineSpec, annotate_pages
+    from ..stages.graph import entity_cooccurrence
+    from ..synth import gen_pages
+
+    triples = annotate_pages(rd.from_arrow(gen_pages(2000)),
+                             PipelineSpec(n_buckets=16))
+    out = entity_cooccurrence(triples, nb=16).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["uri_a", "uri_b"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 def q_curate_documents(sf_dir: str):
     """Training-data curation flagship over the documents table:
     quality scoring + language-ID + fingerprint + exact-dup marker in
@@ -2294,6 +2310,7 @@ QUERIES = {
     "trailing_sum": q_trailing_sum,
     "bm25_indexed": q_bm25_indexed,
     "annotate_ancestors": q_annotate_ancestors,
+    "entity_graph": q_entity_graph,
     "transitive_closure": q_transitive_closure,
     "bfs_depth": q_bfs_depth,
     "triangle_count": q_triangle_count,

@@ -481,3 +481,60 @@ def triangle_count(
                            batch_format="pyarrow"),
         e, on=["a", "b"], how="semi", nb=nb)
     return int(closed.count())
+
+
+def entity_cooccurrence(
+    triples,
+    min_count: int = 1,
+    nb: int = 32,
+):
+    """Entity co-occurrence edges from the KG triple stream: one
+    weighted edge ``(uri_a, uri_b, n_subjects)`` per unordered pair of
+    ontology URIs annotated on the SAME subject (page) — the
+    relation-discovery primitive that turns entity links into a
+    relatedness graph (the entity-level sibling of the token-level
+    ``cooccurrence_edges``).
+
+    Shape: one bucket shuffle on ``subj`` co-locates each subject's
+    links; within a bucket every subject's DISTINCT uri set expands to
+    pairs with ONE vectorized self-merge on the subject index, and
+    counts pre-combine per bucket before the tiny (uri_a, uri_b)
+    Sum groupby. Pair volume is Σ d_subj² — bounded by links per page,
+    never by vocabulary size.
+    """
+    import pandas as pd
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import _B, _add_bucket
+
+    ds = rd.from_arrow(triples) if isinstance(triples, pa.Table) else triples
+
+    def local(batch: pa.Table) -> pa.Table:
+        keep = pa.compute.equal(batch.column("obj_kind"), "uri")
+        t = batch.filter(keep).select(["subj", "obj"])
+        return _add_bucket(t, ["subj"], nb)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        df = (g.drop_columns([_B]).to_pandas()
+              .drop_duplicates(["subj", "obj"]))
+        m = df.merge(df, on="subj")
+        m = m[m["obj_x"] < m["obj_y"]]
+        part = (m.groupby(["obj_x", "obj_y"], sort=False).size()
+                .reset_index(name="n_part")
+                .rename(columns={"obj_x": "uri_a", "obj_y": "uri_b"}))
+        return pa.Table.from_pandas(part, preserve_index=False).cast(
+            pa.schema([pa.field("uri_a", pa.string()),
+                       pa.field("uri_b", pa.string()),
+                       pa.field("n_part", pa.int64())]))
+
+    agg = (ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+           .groupby(_B).map_groups(pairs, batch_format="pyarrow")
+           .groupby(["uri_a", "uri_b"])
+           .aggregate(Sum("n_part", alias_name="n_subjects")))
+    if min_count > 1:
+        agg = agg.map_batches(
+            lambda t: t.filter(pa.compute.greater_equal(
+                t.column("n_subjects"), min_count)),
+            batch_format="pyarrow")
+    return agg

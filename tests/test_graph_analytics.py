@@ -135,3 +135,28 @@ def test_triangle_count_known_and_random(ray_session):
     e = _edges(pairs, ["a", "b"])
     assert triangle_count(e, nb=4, orient="degree") == want
     assert triangle_count(e, nb=4, orient="value") == want
+
+
+def test_entity_cooccurrence_counts(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import entity_cooccurrence
+
+    def trip(subj, obj, kind="uri"):
+        return {"subj": subj, "obj": obj, "obj_kind": kind}
+
+    rows = [
+        trip("p1", "U:a"), trip("p1", "U:b"), trip("p1", "U:b"),  # dup link
+        trip("p1", "42", "number"),                               # ignored
+        trip("p2", "U:a"), trip("p2", "U:b"), trip("p2", "U:c"),
+        trip("p3", "U:a"),                                        # single
+    ]
+    t = pa.table({
+        "subj": pa.array([r["subj"] for r in rows]),
+        "obj": pa.array([r["obj"] for r in rows]),
+        "obj_kind": pa.array([r["obj_kind"] for r in rows])})
+    out = (entity_cooccurrence(rd.from_arrow(t), nb=4).to_pandas()
+           .set_index(["uri_a", "uri_b"])["n_subjects"].to_dict())
+    assert out == {("U:a", "U:b"): 2, ("U:a", "U:c"): 1, ("U:b", "U:c"): 1}
+
+    filtered = (entity_cooccurrence(rd.from_arrow(t), min_count=2, nb=4)
+                .to_pandas())
+    assert len(filtered) == 1 and filtered.iloc[0]["n_subjects"] == 2
