@@ -200,3 +200,102 @@ def test_broadcast_join_sql_null_semantics(lk, rk, how):
             elif how == "left":
                 exp[a] += 1
         assert Counter(dict(got["a"].value_counts())) == exp
+
+
+# ---- round-2 continuation kernels ----------------------------------------
+
+
+def _lev_ref(a: str, b: str) -> int:
+    d = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        nd = [i]
+        for j, cb in enumerate(b, 1):
+            nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+        d = nd
+    return d[-1]
+
+
+@SETTINGS
+@given(st.text(min_size=0, max_size=12),
+       st.lists(st.text(min_size=0, max_size=15), min_size=1, max_size=8))
+def test_lev_batch_matches_reference_dp(q, cands):
+    import pandas as pd
+
+    from biosd_feature_annotator_ray.stages.similarity import _lev_batch
+
+    got = _lev_batch(q, pd.Series(cands))
+    want = [_lev_ref(q, c) for c in cands]
+    assert list(got) == want
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(1, 30), st.integers(0, 29)),
+                min_size=0, max_size=40))
+def test_ancestor_closure_matches_brute_reachability(pairs):
+    from biosd_feature_annotator_ray.state.dictionaries import ancestor_closure
+
+    # force DAG: child id > parent id
+    pairs = sorted({(c, p) for c, p in pairs if c > p})
+    t = pa.table({
+        "child_uri": pa.array([f"n{c}" for c, _ in pairs]),
+        "parent_uri": pa.array([f"n{p}" for _, p in pairs])})
+    got = ancestor_closure(t).to_pandas()
+    got_map = got.groupby("uri")["anc_uri"].apply(set).to_dict()
+
+    parents = {}
+    for c, p in pairs:
+        parents.setdefault(f"n{c}", set()).add(f"n{p}")
+    for n in parents:
+        seen, stack = set(), list(parents[n])
+        while stack:
+            a = stack.pop()
+            if a not in seen:
+                seen.add(a)
+                stack += list(parents.get(a, ()))
+        assert got_map.get(n, set()) == seen
+    assert set(got_map) == set(parents)
+
+
+@SETTINGS
+@given(st.lists(st.tuples(st.integers(0, 5), st.booleans()),
+                min_size=0, max_size=25),
+       st.lists(st.tuples(st.integers(0, 5), st.integers(6, 9)),
+                min_size=0, max_size=15))
+def test_expand_ancestors_table_matches_dict_model(objs, closure_pairs):
+    from biosd_feature_annotator_ray.schemas import TRIPLES
+    from biosd_feature_annotator_ray.stages.triples import (
+        closure_csr, expand_ancestors_table)
+
+    closure_pairs = sorted(set(closure_pairs))
+    closure = pa.table({
+        "uri": pa.array([f"u{c}" for c, _ in closure_pairs]),
+        "anc_uri": pa.array([f"u{a}" for _, a in closure_pairs])})
+    anc_of = {}
+    for c, a in closure_pairs:
+        anc_of.setdefault(f"u{c}", []).append(f"u{a}")
+
+    n = len(objs)
+    batch = pa.table({
+        "subj": pa.array([f"s{i}" for i in range(n)], pa.string()),
+        "pred": pa.array(["p"] * n, pa.string()),
+        "obj": pa.array([f"u{o}" for o, _ in objs], pa.string()),
+        "obj_kind": pa.array(["uri" if is_uri else "string"
+                              for _, is_uri in objs], pa.string()),
+        "obj_num": pa.array([None] * n, pa.float64()),
+        "obj_num_hi": pa.array([None] * n, pa.float64()),
+        "obj_dt": pa.array([None] * n, pa.timestamp("us")),
+        "obj_dt_hi": pa.array([None] * n, pa.timestamp("us")),
+        "unit_uri": pa.array([None] * n, pa.string()),
+        "comparator": pa.array([None] * n, pa.string()),
+        "confidence": pa.array(["HIGH"] * n, pa.string()),
+        "score": pa.array([1.0] * n, pa.float32()),
+    }, schema=TRIPLES)
+    out = expand_ancestors_table(batch, closure_csr(closure))
+    got = sorted(zip(out.column("subj").to_pylist(),
+                     out.column("obj").to_pylist()))
+    want = []
+    for i, (o, is_uri) in enumerate(objs):
+        want.append((f"s{i}", f"u{o}"))
+        if is_uri:
+            want += [(f"s{i}", a) for a in sorted(anc_of.get(f"u{o}", []))]
+    assert got == sorted(want)
