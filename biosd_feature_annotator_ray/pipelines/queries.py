@@ -1315,6 +1315,32 @@ def q_annotate_ancestors(sf_dir: str):
                                               expand_ancestors=True))
 
 
+# First-order Markov transition counts over each user's ordered event
+# stream (lag + pre-combined count groupby) — clickstream modelling
+def q_event_transitions(sf_dir: str):
+    from ..stages.windows import lag_per_key
+
+    lagged = lag_per_key(
+        _events(sf_dir, ["event_id", "user_id", "ts", "event_type"]),
+        value_col="event_type", out="prev")
+
+    def partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas().dropna(subset=["prev"])
+        g = (df.groupby(["prev", "event_type"], sort=False).size()
+             .reset_index(name="n_part"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (lagged.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536)
+           .groupby(["prev", "event_type"])
+           .aggregate(Sum("n_part", alias_name="n")).to_pandas())
+    out = out.rename(columns={"event_type": "cur"})
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(
+        out.sort_values(["prev", "cur"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 def q_entity_graph(sf_dir: str):
     """KG relation discovery: flagship annotation → entity
     co-occurrence edges (ontology URIs linked on the same page, one
@@ -2311,6 +2337,7 @@ QUERIES = {
     "bm25_indexed": q_bm25_indexed,
     "annotate_ancestors": q_annotate_ancestors,
     "entity_graph": q_entity_graph,
+    "event_transitions": q_event_transitions,
     "transitive_closure": q_transitive_closure,
     "bfs_depth": q_bfs_depth,
     "triangle_count": q_triangle_count,
@@ -2681,6 +2708,13 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "event_transitions": (
+        "WITH w AS (SELECT user_id, event_type,"
+        "   lag(event_type) OVER (PARTITION BY user_id"
+        "    ORDER BY ts, event_id) AS prev FROM events)"
+        " SELECT prev, event_type AS cur, count(*) AS n FROM w"
+        " WHERE prev IS NOT NULL GROUP BY prev, event_type"
     ),
     "left_join_orders": (
         "SELECT o.o_orderkey, o.o_totalprice, l.l_quantity"
