@@ -243,6 +243,60 @@ def _min_per_node(ds, nb: int, node_col: str = "node", val_col: str = "dist"):
             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
 
 
+def _subtract_new(new_ds, old_ds, keys: list[str], nb: int,
+                  min_col: str | None = None):
+    """Fused (dedup/min + anti-join) frontier update in ONE bucket
+    shuffle: ``new`` rows tag side 0, ``old`` rows side 1, both bucket
+    on ``keys``; each group keeps the distinct side-0 keys (reduced by
+    min over ``min_col`` when given) that have NO side-1 row. Replaces
+    the dedup-shuffle + anti-join-shuffle pair in the iterative graph
+    loops (one all-to-all per round instead of two). Map side
+    pre-combines (local dedup/min), so hot keys collapse before the
+    exchange."""
+    import pandas as pd
+
+    from .canonicalize import _B, _add_bucket
+
+    cols = keys + ([min_col] if min_col else [])
+
+    def prep(side: int, ds):
+        def f(batch: pa.Table) -> pa.Table:
+            df = batch.select(cols if side == 0 else keys).to_pandas()
+            if side == 0:
+                df = (df.groupby(keys, as_index=False)[min_col].min()
+                      if min_col else df.drop_duplicates(keys))
+            else:
+                df = df.drop_duplicates(keys)
+                if min_col:  # align schemas across the union — a group
+                    df = df.assign(**{min_col: np.nan})  # of only old
+                    # rows must still carry the column
+            t = pa.Table.from_pandas(df, preserve_index=False)
+            t = t.append_column("_side", pa.array(
+                np.full(len(t), side, np.int8)))
+            return _add_bucket(t, keys, nb)
+
+        return f
+
+    tagged = new_ds.map_batches(prep(0, new_ds), batch_format="pyarrow",
+                                batch_size=65536).union(
+        old_ds.map_batches(prep(1, old_ds), batch_format="pyarrow",
+                           batch_size=65536))
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        s0 = df[df["_side"] == 0]
+        s0 = (s0.groupby(keys, as_index=False)[min_col].min()
+              if min_col else s0.drop_duplicates(keys)[cols])
+        s1 = df.loc[df["_side"] == 1, keys].drop_duplicates()
+        out = s0.merge(s1.assign(_hit=1), on=keys, how="left")
+        out = out[out["_hit"].isna()][cols]
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        return t.cast(pa.schema(
+            [pa.field(k, pa.int64()) for k in cols]))
+
+    return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
 def transitive_closure(
     edges,
     child_col: str = "child",
@@ -324,14 +378,10 @@ def transitive_closure(
                 lambda t: t.rename_columns(["anc", "new_anc"]),
                 batch_format="pyarrow"),
             on=["anc"], how="inner", nb=nb)
-        hop = _mat(dedup_exact(
-            hop.map_batches(_project("node", "new_anc"),
-                            batch_format="pyarrow"),
-            ["node", "anc"], nb=nb))
-        if hop.count() == 0:  # empty Datasets lose their schema —
-            return closure    # never feed one to a join
-        delta = shuffle_hash_join(
-            hop, closure, on=["node", "anc"], how="anti", nb=nb).materialize()
+        hop = hop.map_batches(_project("node", "new_anc"),
+                              batch_format="pyarrow")
+        # fused dedup + closure-anti-join: ONE shuffle per round
+        delta = _mat(_subtract_new(hop, closure, ["node", "anc"], nb))
         closure = closure.union(delta).materialize()
     raise RuntimeError(
         f"transitive_closure did not converge in max_iters={max_iters} "
@@ -390,11 +440,9 @@ def bfs_min_depth(
                 "node": t.column("dst").cast(pa.int64()),
                 "dist": pa.compute.add(t.column("dist").cast(pa.int64()), 1)}),
             batch_format="pyarrow")
-        cand = _min_per_node(msgs, nb=nb).materialize()
-        if cand.count() == 0:  # frontier had no out-edges; empty
-            return settled     # Datasets lose their schema — stop here
-        frontier = shuffle_hash_join(
-            cand, settled, on=["node"], how="anti", nb=nb).materialize()
+        # fused per-node min + settled-anti-join: ONE shuffle per round
+        frontier = _subtract_new(msgs, settled, ["node"], nb,
+                                 min_col="dist").materialize()
         settled = settled.union(frontier).materialize()
     raise RuntimeError(
         f"bfs_min_depth did not converge in max_iters={max_iters} "
