@@ -700,44 +700,69 @@ def global_row_number(
     n_parts: int = 32,
 ) -> "ray.data.Dataset":
     """row_number() OVER (ORDER BY order_cols) — a GLOBAL total-order
-    rank, without a global sort on one node: exact-quantile range
-    boundaries on the (numeric) leading column tag every row with its
-    range partition (map-side), rows per partition are counted (tiny
-    aggregate), the driver prefix-sums n_parts integers, then each
-    partition ranks locally and adds its offset. Two passes over the
-    data, one bucket shuffle, driver traffic = n_parts ints.
+    rank, without a global sort on one node: ONE histogram pass over
+    the (numeric, non-null) leading column yields both value-contiguous
+    range boundaries (bin edges at cumulative targets) and EXACT
+    per-partition rank offsets; a tag pass + one range shuffle then
+    rank locally and add the broadcast offset. Three passes total
+    (minmax, histogram, tag+shuffle), driver traffic = n_bins ints.
 
     ``order_cols`` must be a total order (append a unique tiebreaker
     column); ties would otherwise get block-order-dependent ranks.
+    Partition balance is bin-granular — a single value repeated n times
+    is one bin and lands in one partition, as ranking requires.
     """
-    from ray.data.aggregate import Sum
-
-    from .sketches import range_partition
+    from .sketches import _minmax_count
 
     asc = ascending or [True] * len(order_cols)
     lead = order_cols[0]
     if not asc[0]:
         raise ValueError("leading order column must be ascending "
                          "(negate it upstream for DESC)")
-    # exact-quantile range tags on the (numeric) leading column — equal
-    # values always land in the same partition, partitions are value-
-    # contiguous, so local rank + partition offset IS the global rank
-    tagged = range_partition(ds, lead, n_parts, out="_part").materialize()
+    # histogram-derived range tags on the (numeric) leading column:
+    # equal values share a bin → share a partition, bins are value-
+    # contiguous, so local rank + partition offset IS the global rank.
+    # ONE histogram pass yields BOTH the partition boundaries (bin
+    # edges at cumulative-count targets) and the EXACT per-partition
+    # offsets (cumulative bin counts) — no exact-quantile recursion, no
+    # separate count pass. Balance is bin-granular (n_bins ≫ n_parts).
+    n_bins = max(4096, 64 * n_parts)
+    lo, hi, n_total = _minmax_count(ds, lead)
+    if n_total == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(out, pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    w = (hi - lo) / n_bins or 1.0
 
-    def local_counts(t: pa.Table) -> pa.Table:
-        p = t.column("_part").to_numpy(zero_copy_only=False)
-        u, c = np.unique(p, return_counts=True)
-        return pa.table({"_part": pa.array(u.astype(np.int64)),
-                         "_n": pa.array(c.astype(np.int64))})
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / w).astype(np.int64), 0, n_bins - 1)
 
-    counts = (tagged.map_batches(local_counts, batch_format="pyarrow")
-              .groupby("_part").aggregate(Sum("_n", alias_name="n"))
-              .to_pandas().sort_values("_part"))
-    offsets = np.zeros(n_parts + 1, dtype=np.int64)
-    if len(counts):
-        offsets[counts["_part"].to_numpy(dtype=np.int64) + 1] = \
-            counts["n"].to_numpy(dtype=np.int64)
-    offsets = np.cumsum(offsets)
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(lead).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c = np.bincount(bin_of(v[~np.isnan(v)]), minlength=n_bins)
+        return pa.table({"c": pa.array([c.astype(np.int64).tobytes()],
+                                       pa.binary())})
+
+    parts = ds.map_batches(hist, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    counts = np.zeros(n_bins, np.int64)
+    for b in parts["c"]:
+        counts += np.frombuffer(b, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(counts)))
+    # boundary BIN index for partition p = first bin where cumulative
+    # count reaches p·n/n_parts; offsets = cumulative counts there
+    targets = (np.arange(1, n_parts) * n_total) // n_parts
+    bound_bins = np.searchsorted(cum[1:], targets, side="left")
+    offsets = np.concatenate(([0], cum[bound_bins + 1], [n_total]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(lead).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        p = np.searchsorted(bound_bins, bin_of(v), side="left")
+        return batch.append_column("_part", pa.array(p.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
 
     def rank(g: pa.Table) -> pa.Table:
         df = g.to_pandas()
