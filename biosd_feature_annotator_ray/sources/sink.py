@@ -274,7 +274,7 @@ def finalize_mentions_partition(
     out_dir: str, part_id: int, terms_ref=None, curated_ref=None,
     min_confidence: str = "GOOD", max_edges: int = 10_000,
     max_finalize_rows: int | None = None, fuzzy: bool = False,
-    expand_ancestors: bool = False,
+    expand_ancestors: bool = False, ancestors_ref=None,
 ) -> pa.Table:
     """One-partition finisher for the single-job pipeline: read this
     partition's MENTION fragments, link locally, emit triples, dedup,
@@ -310,7 +310,11 @@ def finalize_mentions_partition(
                   if f.startswith("frag-") and f.endswith(".parquet")]
     linker = _get_linker(terms_ref, curated_ref, min_confidence, fuzzy=fuzzy)
     csr = None
-    if expand_ancestors:
+    if ancestors_ref is not None:
+        import ray as _ray
+
+        csr = _ray.get(ancestors_ref)  # run_sink builds + broadcasts once
+    elif expand_ancestors:  # standalone caller: build locally
         from ..stages.triples import closure_csr
         from ..state.dictionaries import ancestor_closure
 
@@ -448,6 +452,14 @@ def run_sink(
     barrier other than the scatter itself."""
     import ray as _ray
 
+    ancestors_ref = None
+    if expand_ancestors:
+        # ontology-sized state: build ONCE on the driver, broadcast a
+        # ref — never recompute the closure in every finalize task
+        from ..stages.triples import closure_csr
+        from ..state.dictionaries import ancestor_closure
+
+        ancestors_ref = _ray.put(closure_csr(ancestor_closure()))
     _dbg = os.environ.get("GRAFT_DEBUG_PHASES")
     _t0 = time.time()
     done = completed_partitions(out_dir) if resume else {}
@@ -479,7 +491,7 @@ def run_sink(
                                            max_edges=max_edges,
                                            max_finalize_rows=max_finalize_rows,
                                            fuzzy=fuzzy,
-                                           expand_ancestors=expand_ancestors)
+                                           ancestors_ref=ancestors_ref)
 
     refs = [_finalize.remote(p, i) for i, p in enumerate(todo)]
     rows, first_err = [], None

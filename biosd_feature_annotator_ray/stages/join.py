@@ -564,8 +564,8 @@ def merge_upsert(
         if bad.any():
             raise ValueError(
                 f"merge_upsert: unknown op value(s) "
-                f"{sorted(ch.loc[bad, op_col].unique())} — a typo'd op "
-                "would otherwise silently delete its key")
+                f"{sorted(map(repr, ch.loc[bad, op_col].unique()))} — a "
+                "typo'd op would otherwise silently delete its key")
         if ch.duplicated(on).any():
             raise ValueError(
                 "merge_upsert: multiple change rows for one key — "

@@ -51,11 +51,22 @@ def build_text_index(
     # interrupted build: fragment digests depend on batch BOUNDARIES,
     # so a rebuild with different batching would leave stale fragments
     # alongside new ones (duplicated postings → wrong tf/df). Resume
-    # granularity is the whole index — start clean.
+    # granularity is the whole index — start clean, but ONLY ever
+    # delete recognizable index artifacts: out_dir pointed at a
+    # directory of unrelated user files must raise, not vanish.
     if os.path.isdir(out_dir):
         import shutil
 
-        shutil.rmtree(out_dir)
+        bdir = os.path.join(out_dir, "buckets")
+        meta = os.path.join(out_dir, "meta.parquet")
+        if os.path.isdir(bdir) or os.path.exists(meta):
+            shutil.rmtree(bdir, ignore_errors=True)
+            if os.path.exists(meta):
+                os.remove(meta)
+        elif os.listdir(out_dir):
+            raise ValueError(
+                f"build_text_index: {out_dir!r} exists, is not a text "
+                "index, and is not empty — refusing to overwrite")
 
     def postings(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

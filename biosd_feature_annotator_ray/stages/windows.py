@@ -728,11 +728,8 @@ def global_row_number(
     # separate count pass. Balance is bin-granular (n_bins ≫ n_parts).
     n_bins = max(4096, 64 * n_parts)
     lo, hi, n_total = _minmax_count(ds, lead)
-    if n_total == 0:
-        return ds.map_batches(
-            lambda t: t.append_column(out, pa.array([], pa.int64())),
-            batch_format="pyarrow")
-    w = (hi - lo) / n_bins or 1.0
+    w = ((hi - lo) / n_bins or 1.0) if n_total else 1.0
+    lo = lo if n_total else 0.0
 
     def bin_of(v: np.ndarray) -> np.ndarray:
         return np.clip(((v - lo) / w).astype(np.int64), 0, n_bins - 1)
@@ -740,12 +737,26 @@ def global_row_number(
     def hist(batch: pa.Table) -> pa.Table:
         v = batch.column(lead).to_numpy(zero_copy_only=False).astype(
             np.float64)
-        c = np.bincount(bin_of(v[~np.isnan(v)]), minlength=n_bins)
+        ok = ~np.isnan(v)
+        c = np.bincount(bin_of(v[ok]), minlength=n_bins)
         return pa.table({"c": pa.array([c.astype(np.int64).tobytes()],
-                                       pa.binary())})
+                                       pa.binary()),
+                         "n_nan": pa.array([int((~ok).sum())], pa.int64())})
 
     parts = ds.map_batches(hist, batch_format="pyarrow",
                            batch_size=65536).to_pandas()
+    if len(parts) and int(parts["n_nan"].sum()):
+        # a null lead value has no defined rank position; binning it
+        # would silently collide ranks across partitions
+        raise ValueError(
+            f"global_row_number: {int(parts['n_nan'].sum())} null/NaN "
+            f"values in leading order column {lead!r} — filter or "
+            "impute them first")
+    if n_total == 0:
+        return ds.map_batches(
+            lambda t: t.append_column(
+                out, pa.array(np.zeros(len(t), np.int64))),
+            batch_format="pyarrow")
     counts = np.zeros(n_bins, np.int64)
     for b in parts["c"]:
         counts += np.frombuffer(b, dtype=np.int64)

@@ -372,3 +372,30 @@ def test_naive_bayes_separable_corpus(ray_session):
     preds2 = (nb_predict(test.repartition(3), model2)
               .to_pandas().set_index("doc_id")["pred"])
     assert (preds.sort_index() == preds2.sort_index()).all()
+
+
+def test_global_row_number_rejects_null_lead(ray_session):
+    import pytest
+
+    from biosd_feature_annotator_ray.stages.windows import global_row_number
+
+    df = pd.DataFrame({"k": [1, 2, 3],
+                       "v": [1.0, np.nan, 3.0]})
+    with pytest.raises(ValueError, match="null/NaN"):
+        global_row_number(rd.from_pandas(df), order_cols=["v", "k"],
+                          n_parts=2).to_pandas()
+
+
+def test_text_index_refuses_unrelated_dir(ray_session, tmp_path):
+    import pytest
+
+    from biosd_feature_annotator_ray.stages.textindex import build_text_index
+
+    d = tmp_path / "precious"
+    d.mkdir()
+    (d / "notes.txt").write_text("do not delete")
+    docs = rd.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()),
+                                   "text": pa.array(["hello"])}))
+    with pytest.raises(ValueError, match="refusing to overwrite"):
+        build_text_index(docs, str(d))
+    assert (d / "notes.txt").read_text() == "do not delete"
