@@ -1730,6 +1730,81 @@ def q_linreg_lineitem(sf_dir: str):
                      "intercept": pa.array([r4(intercept)])})
 
 
+# Grouped OLS: per-order-priority slope of price on quantity — the
+# same 5 sufficient statistics, now keyed (map-side partials per group)
+def q_grouped_linreg(sf_dir: str):
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["x"] = df["l_quantity"].astype(np.float64)
+        df["y"] = df["l_extendedprice"].astype(np.float64)
+        df["xy"] = df["x"] * df["y"]
+        df["xx"] = df["x"] * df["x"]
+        g = df.groupby("l_returnflag", as_index=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxy=("xy", "sum"), sxx=("xx", "sum"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (li.map_batches(partial, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("sxx", alias_name="sxx")).to_pandas())
+    n, sx, sy = agg["n"], agg["sx"], agg["sy"]
+    slope = (n * agg["sxy"] - sx * sy) / (n * agg["sxx"] - sx * sx)
+    sl = slope.to_numpy()
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "slope": np.sign(sl) * np.floor(np.abs(sl) * 1e4 + 0.5) / 1e4})
+    return pa.Table.from_pandas(
+        out.sort_values("l_returnflag").reset_index(drop=True),
+        preserve_index=False)
+
+
+# Time-weighted average (irregular event times): each value weighted
+# by its holding duration until the user's next event — lag/lead
+# machinery, exact microsecond-integer weights
+def q_time_weighted_avg(sf_dir: str):
+    from ..stages.canonicalize import _B, _add_bucket
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, ["user_id"], 16)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = df["ts"].astype("datetime64[us]").astype("int64")
+        nxt = ts.groupby(df["user_id"].to_numpy()).shift(-1)
+        dur = (nxt - ts).to_numpy()  # NaN on each user's last event
+        w = np.nan_to_num(dur, nan=0.0)
+        v = df["value"].to_numpy()
+        part = pd.DataFrame({"user_id": df["user_id"],
+                             "wv": v * w, "w": w})
+        out = part.groupby("user_id", as_index=False).sum()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (ev.map_batches(local, batch_format="pyarrow", batch_size=65536)
+           .groupby(_B).map_groups(finish, batch_format="pyarrow")
+           .to_pandas())
+    # single-event users have zero total duration — undefined TWA,
+    # absent from the oracle too
+    agg = agg[agg["w"] > 0]
+    r = agg["wv"].to_numpy() / agg["w"].to_numpy()
+    out = pd.DataFrame({
+        "user_id": agg["user_id"].astype("int64"),
+        "twa": np.sign(r) * np.floor(np.abs(r) * 1e6 + 0.5) / 1e6})
+    return pa.Table.from_pandas(
+        out.sort_values("user_id").reset_index(drop=True),
+        preserve_index=False)
+
+
 # Per-label embedding centroids in long form (label, pos, c): per
 # batch ONE pandas groupby over the reshaped matrix collapses to
 # (labels × dim) partials before the tiny Sum shuffle
@@ -2338,6 +2413,8 @@ QUERIES = {
     "annotate_ancestors": q_annotate_ancestors,
     "entity_graph": q_entity_graph,
     "event_transitions": q_event_transitions,
+    "grouped_linreg": q_grouped_linreg,
+    "time_weighted_avg": q_time_weighted_avg,
     "transitive_closure": q_transitive_closure,
     "bfs_depth": q_bfs_depth,
     "triangle_count": q_triangle_count,
@@ -2708,6 +2785,20 @@ ORACLES = {
     "above_avg_orders": (
         "SELECT o_orderkey, o_totalprice FROM orders"
         " WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)"
+    ),
+    "grouped_linreg": (
+        "SELECT l_returnflag,"
+        " round(regr_slope(l_extendedprice, l_quantity), 4) AS slope"
+        " FROM lineitem GROUP BY l_returnflag"
+    ),
+    "time_weighted_avg": (
+        "WITH w AS (SELECT user_id, value, ts,"
+        "   lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        "   AS nxt FROM events)"
+        " SELECT user_id,"
+        "  round(sum(value * date_diff('microseconds', ts, nxt))"
+        "   / sum(date_diff('microseconds', ts, nxt)), 6) AS twa"
+        " FROM w WHERE nxt IS NOT NULL GROUP BY user_id"
     ),
     "event_transitions": (
         "WITH w AS (SELECT user_id, event_type,"
