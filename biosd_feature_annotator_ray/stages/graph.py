@@ -303,6 +303,7 @@ def transitive_closure(
     parent_col: str = "parent",
     nb: int = 32,
     max_iters: int = 40,
+    checkpoint_dir: str | None = None,
 ):
     """All (node, anc) ancestor pairs over a DAG edge list — the
     ontology-subsumption / is-a closure primitive of KG construction
@@ -320,6 +321,15 @@ def transitive_closure(
     ``(n, n)``; any self-pair in delta raises. At 10^12 scale the
     closure itself is the output volume — partition it on ``node`` (the
     same hash key every join here already uses) when materializing.
+
+    ``checkpoint_dir``: per-ROUND lineage — each round's delta is
+    written to ``delta-<k>/`` parquet with a ``_DELTA_k_DONE`` marker
+    AFTER the write (closure = append-only union of all deltas, so a
+    round is the natural checkpoint unit). A restarted run replays
+    completed rounds from disk (no recompute — deltas just load) and
+    resumes the iteration at the first unfinished round; a crash
+    mid-round leaves no marker, so that round recomputes from its
+    parents. Deterministic rounds ⇒ byte-stable resume (tested).
     """
     import ray.data as rd
 
@@ -364,12 +374,53 @@ def transitive_closure(
                     "as its own ancestor)") from ex
             raise
 
-    delta = _mat(dedup_exact(
-        e.map_batches(_project("child", "parent"), batch_format="pyarrow"),
-        ["node", "anc"], nb=nb))
-    closure = delta
+    import os
 
-    for _ in range(max_iters):
+    def _ckpt_done(k: int) -> str:
+        return os.path.join(checkpoint_dir, f"_DELTA_{k}_DONE")
+
+    def _ckpt_write(k: int, ds):
+        d = os.path.join(checkpoint_dir, f"delta-{k:04d}")
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)  # unmarked partial write
+        if ds.count() > 0:
+            ds.write_parquet(d)
+        with open(_ckpt_done(k), "w") as f:  # marker AFTER the data
+            f.write("ok")
+
+    def _ckpt_read(k: int):
+        d = os.path.join(checkpoint_dir, f"delta-{k:04d}")
+        if os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            return rd.read_parquet(d)
+        return rd.from_arrow(empty)  # an empty round wrote marker only
+
+    start_round = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        while os.path.exists(_ckpt_done(start_round)):
+            start_round += 1
+
+    if checkpoint_dir and start_round > 0:
+        # replay: load finished rounds from disk instead of recomputing
+        deltas = [_ckpt_read(k) for k in range(start_round)]
+        delta = deltas[-1].materialize()
+        closure = deltas[0]
+        for d in deltas[1:]:
+            closure = closure.union(d)
+        closure = closure.materialize()
+    else:
+        delta = _mat(dedup_exact(
+            e.map_batches(_project("child", "parent"),
+                          batch_format="pyarrow"),
+            ["node", "anc"], nb=nb))
+        closure = delta
+        if checkpoint_dir:
+            _ckpt_write(0, delta)
+        start_round = 1
+
+    for k in range(start_round, max_iters + 1):
         if delta.count() == 0:
             return closure
         # one hop: (node, anc) ⋈ (child=anc, parent) → (node, parent)
@@ -382,6 +433,8 @@ def transitive_closure(
                               batch_format="pyarrow")
         # fused dedup + closure-anti-join: ONE shuffle per round
         delta = _mat(_subtract_new(hop, closure, ["node", "anc"], nb))
+        if checkpoint_dir:
+            _ckpt_write(k, delta)
         closure = closure.union(delta).materialize()
     raise RuntimeError(
         f"transitive_closure did not converge in max_iters={max_iters} "

@@ -160,3 +160,39 @@ def test_entity_cooccurrence_counts(ray_session):
     filtered = (entity_cooccurrence(rd.from_arrow(t), min_count=2, nb=4)
                 .to_pandas())
     assert len(filtered) == 1 and filtered.iloc[0]["n_subjects"] == 2
+
+
+def test_transitive_closure_checkpoint_resume(ray_session, tmp_path):
+    import os
+    import shutil
+
+    from biosd_feature_annotator_ray.stages.graph import transitive_closure
+
+    rng = np.random.default_rng(19)
+    pairs = sorted({(int(c), int(rng.integers(0, c)))
+                    for c in rng.integers(1, 50, 80)})
+    ck = str(tmp_path / "ck")
+
+    def key(ds):
+        return {(int(r.node), int(r.anc)) for r in ds.to_pandas().itertuples()}
+
+    plain = key(transitive_closure(_edges(pairs, ["child", "parent"]), nb=4))
+    first = key(transitive_closure(_edges(pairs, ["child", "parent"]),
+                                   nb=4, checkpoint_dir=ck))
+    assert first == plain
+    markers = sorted(f for f in os.listdir(ck) if f.startswith("_DELTA"))
+    assert len(markers) >= 2
+
+    # full resume: every round replays from disk, result identical
+    resumed = key(transitive_closure(_edges(pairs, ["child", "parent"]),
+                                     nb=4, checkpoint_dir=ck))
+    assert resumed == plain
+
+    # partial resume: drop the LAST completed round's marker + data —
+    # only that round recomputes, output still identical
+    last = len(markers) - 1
+    os.remove(os.path.join(ck, f"_DELTA_{last}_DONE"))
+    shutil.rmtree(os.path.join(ck, f"delta-{last:04d}"), ignore_errors=True)
+    partial = key(transitive_closure(_edges(pairs, ["child", "parent"]),
+                                     nb=4, checkpoint_dir=ck))
+    assert partial == plain
