@@ -81,6 +81,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     nb: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> "ray.data.Dataset":
     """Distributed PageRank over an edge-list Dataset → (node, rank).
 
@@ -124,7 +125,23 @@ def pagerank(
         lambda t: t.append_column("rank", pa.array(np.full(len(t), init))),
         batch_format="pyarrow").materialize()
 
-    for _ in range(iters):
+    # per-iteration checkpoint: the rank table IS the whole state, so a
+    # restart loads the latest marked iteration and continues — the
+    # scale answer to "pagerank materializes ranks each iteration":
+    # persist them to partitioned parquet instead of lineage
+    import os
+
+    start_iter = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        while os.path.exists(os.path.join(checkpoint_dir,
+                                          f"_RANKS_{start_iter}_DONE")):
+            start_iter += 1
+        if start_iter > 0:
+            ranks = _rd.read_parquet(os.path.join(
+                checkpoint_dir, f"ranks-{start_iter - 1:04d}")).materialize()
+
+    for _it in range(start_iter, iters):
         r_src = ranks.map_batches(lambda t: t.rename_columns(["src", "rank"]),
                                   batch_format="pyarrow")
         joined = shuffle_hash_join(edges_w, r_src, on=["src"], how="inner", nb=nb)
@@ -151,6 +168,15 @@ def pagerank(
             lambda t, b=base: t.append_column("rank", pa.array(np.full(len(t), b))),
             batch_format="pyarrow")
         ranks = scored.union(floor_rows).materialize()
+        if checkpoint_dir:
+            import shutil
+
+            d = os.path.join(checkpoint_dir, f"ranks-{_it:04d}")
+            shutil.rmtree(d, ignore_errors=True)
+            ranks.write_parquet(d)
+            with open(os.path.join(checkpoint_dir,
+                                   f"_RANKS_{_it}_DONE"), "w") as f:
+                f.write("ok")
 
     return ranks
 

@@ -196,3 +196,26 @@ def test_transitive_closure_checkpoint_resume(ray_session, tmp_path):
     partial = key(transitive_closure(_edges(pairs, ["child", "parent"]),
                                      nb=4, checkpoint_dir=ck))
     assert partial == plain
+
+
+def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    import os
+
+    from biosd_feature_annotator_ray.stages.graph import pagerank
+
+    e = rd.from_arrow(pa.table({
+        "src": pa.array(["a", "b", "c", "c", "d"]),
+        "dst": pa.array(["b", "c", "a", "d", "a"])}))
+    ck = str(tmp_path / "pr")
+    plain = (pagerank(e, iters=6).to_pandas()
+             .sort_values("node").reset_index(drop=True))
+    first = (pagerank(e, iters=6, checkpoint_dir=ck).to_pandas()
+             .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, first)
+    assert os.path.exists(os.path.join(ck, "_RANKS_5_DONE"))
+    # drop the last two iterations; resume recomputes only those
+    for k in (4, 5):
+        os.remove(os.path.join(ck, f"_RANKS_{k}_DONE"))
+    resumed = (pagerank(e, iters=6, checkpoint_dir=ck).to_pandas()
+               .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain, resumed)
