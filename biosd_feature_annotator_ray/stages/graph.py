@@ -474,6 +474,7 @@ def bfs_min_depth(
     dst_col: str = "dst",
     nb: int = 32,
     max_iters: int = 60,
+    checkpoint_dir: str | None = None,
 ):
     """Minimum-hop distance from a seed set over a directed edge list:
     (node, dist) for every node reachable from ``seeds`` (seeds at 0).
@@ -506,7 +507,50 @@ def bfs_min_depth(
                             "dist": pa.array(np.zeros(len(t), np.int64))}),
         batch_format="pyarrow").materialize()
     settled = frontier
-    for _ in range(max_iters):
+
+    # per-round lineage, same contract as transitive_closure: settled =
+    # append-only union of frontiers, so each round's frontier is the
+    # checkpoint unit (marker written AFTER the data; restart replays
+    # finished rounds from disk and resumes at the first unfinished)
+    import os
+
+    def _done(k):
+        return os.path.join(checkpoint_dir, f"_FRONTIER_{k}_DONE")
+
+    def _write(k, ds):
+        import shutil
+
+        d = os.path.join(checkpoint_dir, f"frontier-{k:04d}")
+        shutil.rmtree(d, ignore_errors=True)
+        if ds.count() > 0:
+            ds.write_parquet(d)
+        with open(_done(k), "w") as f:
+            f.write("ok")
+
+    def _read(k):
+        d = os.path.join(checkpoint_dir, f"frontier-{k:04d}")
+        if os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            return rd.read_parquet(d)
+        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
+                                       "dist": pa.array([], pa.int64())}))
+
+    start = 0
+    if checkpoint_dir:
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        while os.path.exists(_done(start)):
+            start += 1
+        if start > 0:
+            fr = [_read(k) for k in range(start)]
+            frontier = fr[-1].materialize()
+            settled = fr[0]
+            for d in fr[1:]:
+                settled = settled.union(d)
+            settled = settled.materialize()
+        else:
+            _write(0, frontier)
+            start = 1
+    for _k in range(start if checkpoint_dir else 0, max_iters):
         if frontier.count() == 0:
             return settled
         msgs = shuffle_hash_join(
@@ -522,6 +566,8 @@ def bfs_min_depth(
         # fused per-node min + settled-anti-join: ONE shuffle per round
         frontier = _subtract_new(msgs, settled, ["node"], nb,
                                  min_col="dist").materialize()
+        if checkpoint_dir:
+            _write(_k, frontier)
         settled = settled.union(frontier).materialize()
     raise RuntimeError(
         f"bfs_min_depth did not converge in max_iters={max_iters} "

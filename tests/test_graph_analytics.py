@@ -219,3 +219,36 @@ def test_pagerank_checkpoint_resume(ray_session, tmp_path):
     resumed = (pagerank(e, iters=6, checkpoint_dir=ck).to_pandas()
                .sort_values("node").reset_index(drop=True))
     pd.testing.assert_frame_equal(plain, resumed)
+
+
+def test_bfs_checkpoint_resume(ray_session, tmp_path):
+    import os
+    import shutil
+
+    from biosd_feature_annotator_ray.stages.graph import bfs_min_depth
+
+    rng = np.random.default_rng(23)
+    pairs = sorted({(int(rng.integers(0, 30)), int(rng.integers(0, 30)))
+                    for _ in range(70)})
+    ck = str(tmp_path / "bfs")
+
+    def key(ds):
+        return {int(r.node): int(r.dist)
+                for r in ds.to_pandas().itertuples()}
+
+    plain = key(bfs_min_depth(_edges(pairs, ["src", "dst"]), seeds=[0],
+                              nb=4))
+    first = key(bfs_min_depth(_edges(pairs, ["src", "dst"]), seeds=[0],
+                              nb=4, checkpoint_dir=ck))
+    assert first == plain
+    markers = sorted(f for f in os.listdir(ck) if f.startswith("_FRONTIER"))
+    assert len(markers) >= 2
+    # full resume + drop-last-round partial resume
+    assert key(bfs_min_depth(_edges(pairs, ["src", "dst"]), seeds=[0],
+                             nb=4, checkpoint_dir=ck)) == plain
+    last = len(markers) - 1
+    os.remove(os.path.join(ck, f"_FRONTIER_{last}_DONE"))
+    shutil.rmtree(os.path.join(ck, f"frontier-{last:04d}"),
+                  ignore_errors=True)
+    assert key(bfs_min_depth(_edges(pairs, ["src", "dst"]), seeds=[0],
+                             nb=4, checkpoint_dir=ck)) == plain
