@@ -2799,6 +2799,7 @@ ORACLES = {
         "  round(sum(value * date_diff('microseconds', ts, nxt))"
         "   / sum(date_diff('microseconds', ts, nxt)), 6) AS twa"
         " FROM w WHERE nxt IS NOT NULL GROUP BY user_id"
+        " HAVING sum(date_diff('microseconds', ts, nxt)) > 0"
     ),
     "event_transitions": (
         "WITH w AS (SELECT user_id, event_type,"

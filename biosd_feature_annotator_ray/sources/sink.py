@@ -452,14 +452,6 @@ def run_sink(
     barrier other than the scatter itself."""
     import ray as _ray
 
-    ancestors_ref = None
-    if expand_ancestors:
-        # ontology-sized state: build ONCE on the driver, broadcast a
-        # ref — never recompute the closure in every finalize task
-        from ..stages.triples import closure_csr
-        from ..state.dictionaries import ancestor_closure
-
-        ancestors_ref = _ray.put(closure_csr(ancestor_closure()))
     _dbg = os.environ.get("GRAFT_DEBUG_PHASES")
     _t0 = time.time()
     done = completed_partitions(out_dir) if resume else {}
@@ -482,6 +474,16 @@ def run_sink(
         print("PHASE scatter", round(time.time() - _t0, 1), flush=True)
 
     todo = [p for p in range(num_parts) if p not in done]
+
+    ancestors_ref = None
+    if expand_ancestors and todo:
+        # ontology-sized state: build ONCE on the driver, broadcast a
+        # ref — never recompute the closure in every finalize task,
+        # and not at all on a fully-resumed run
+        from ..stages.triples import closure_csr
+        from ..state.dictionaries import ancestor_closure
+
+        ancestors_ref = _ray.put(closure_csr(ancestor_closure()))
 
     @_ray.remote
     def _finalize(p: int, idx: int):

@@ -74,6 +74,84 @@ def pack_adjacency(part: pa.Table, max_edges: int = 10_000) -> pa.Table:
     return pa.table({"subj": out_subj, "edges": edges, "part_id": part_id})
 
 
+class _RoundCheckpoint:
+    """Shared per-round checkpoint primitives for the iterative graph
+    operators (one definition — the three loops stay structurally
+    identical): round data in ``<prefix>-<k:04d>/`` parquet, a
+    ``_<PREFIX>_<k>_DONE`` marker written AFTER the data, empty rounds
+    marker-only. ``scan()`` = number of contiguously finished rounds."""
+
+    def __init__(self, ckpt_dir: str, prefix: str, empty: pa.Table):
+        import os
+
+        self.dir = ckpt_dir
+        self.prefix = prefix
+        self.empty = empty
+        os.makedirs(ckpt_dir, exist_ok=True)
+
+    def _marker(self, k: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"_{self.prefix.upper()}_{k}_DONE")
+
+    def _data(self, k: int) -> str:
+        import os
+
+        return os.path.join(self.dir, f"{self.prefix}-{k:04d}")
+
+    def scan(self) -> int:
+        import os
+
+        k = 0
+        while os.path.exists(self._marker(k)):
+            k += 1
+        return k
+
+    def write(self, k: int, ds) -> None:
+        import shutil
+
+        d = self._data(k)
+        shutil.rmtree(d, ignore_errors=True)  # unmarked partial write
+        if ds.count() > 0:
+            ds.write_parquet(d)
+        with open(self._marker(k), "w") as f:
+            f.write("ok")
+
+    def read(self, k: int):
+        import os
+
+        import ray.data as rd
+
+        d = self._data(k)
+        if os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d)):
+            return rd.read_parquet(d)
+        return rd.from_arrow(self.empty)
+
+    def read_required(self, k: int):
+        """Like read() but RAISES when the round's data is missing —
+        for full-state operators where an empty fallback would be
+        silently wrong (a pruned-and-unmarked state is corruption,
+        not an empty round)."""
+        import os
+
+        d = self._data(k)
+        if not (os.path.isdir(d) and any(
+                f.endswith(".parquet") for f in os.listdir(d))):
+            raise ValueError(
+                f"checkpoint corrupt: round {k} is marked done but its "
+                f"data is missing under {d!r}")
+        return self.read(k)
+
+    def prune_data(self, k: int) -> None:
+        """Drop a superseded round's DATA, keeping its marker (the
+        scan relies on contiguous markers) — for full-state operators
+        (pagerank) where only the latest round is ever read."""
+        import shutil
+
+        shutil.rmtree(self._data(k), ignore_errors=True)
+
+
 def pagerank(
     edges: "ray.data.Dataset",
     src: str = "src",
@@ -129,17 +207,22 @@ def pagerank(
     # restart loads the latest marked iteration and continues — the
     # scale answer to "pagerank materializes ranks each iteration":
     # persist them to partitioned parquet instead of lineage
-    import os
-
     start_iter = 0
+    ck = None
     if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        while os.path.exists(os.path.join(checkpoint_dir,
-                                          f"_RANKS_{start_iter}_DONE")):
-            start_iter += 1
+        ck = _RoundCheckpoint(checkpoint_dir, "ranks",
+                              pa.table({"node": pa.array([], pa.string()),
+                                        "rank": pa.array([], pa.float64())}))
+        start_iter = ck.scan()
+        if start_iter > iters:
+            # rank values differ per iteration — returning a deeper
+            # checkpoint as a shallower request would be silently wrong
+            raise ValueError(
+                f"pagerank: checkpoint_dir holds {start_iter} finished "
+                f"iterations but iters={iters} was requested — use a "
+                "fresh checkpoint_dir or raise iters")
         if start_iter > 0:
-            ranks = _rd.read_parquet(os.path.join(
-                checkpoint_dir, f"ranks-{start_iter - 1:04d}")).materialize()
+            ranks = ck.read_required(start_iter - 1).materialize()
 
     for _it in range(start_iter, iters):
         r_src = ranks.map_batches(lambda t: t.rename_columns(["src", "rank"]),
@@ -168,15 +251,10 @@ def pagerank(
             lambda t, b=base: t.append_column("rank", pa.array(np.full(len(t), b))),
             batch_format="pyarrow")
         ranks = scored.union(floor_rows).materialize()
-        if checkpoint_dir:
-            import shutil
-
-            d = os.path.join(checkpoint_dir, f"ranks-{_it:04d}")
-            shutil.rmtree(d, ignore_errors=True)
-            ranks.write_parquet(d)
-            with open(os.path.join(checkpoint_dir,
-                                   f"_RANKS_{_it}_DONE"), "w") as f:
-                f.write("ok")
+        if ck is not None:
+            ck.write(_it, ranks)
+            if _it > 0:  # full-state: only the latest snapshot is ever
+                ck.prune_data(_it - 1)  # read — constant disk, not O(iters)
 
     return ranks
 
@@ -400,50 +478,28 @@ def transitive_closure(
                     "as its own ancestor)") from ex
             raise
 
-    import os
+    ck = (_RoundCheckpoint(checkpoint_dir, "delta", empty)
+          if checkpoint_dir else None)
+    start_round = ck.scan() if ck else 0
 
-    def _ckpt_done(k: int) -> str:
-        return os.path.join(checkpoint_dir, f"_DELTA_{k}_DONE")
-
-    def _ckpt_write(k: int, ds):
-        d = os.path.join(checkpoint_dir, f"delta-{k:04d}")
-        import shutil
-
-        shutil.rmtree(d, ignore_errors=True)  # unmarked partial write
-        if ds.count() > 0:
-            ds.write_parquet(d)
-        with open(_ckpt_done(k), "w") as f:  # marker AFTER the data
-            f.write("ok")
-
-    def _ckpt_read(k: int):
-        d = os.path.join(checkpoint_dir, f"delta-{k:04d}")
-        if os.path.isdir(d) and any(
-                f.endswith(".parquet") for f in os.listdir(d)):
-            return rd.read_parquet(d)
-        return rd.from_arrow(empty)  # an empty round wrote marker only
-
-    start_round = 0
-    if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        while os.path.exists(_ckpt_done(start_round)):
-            start_round += 1
-
-    if checkpoint_dir and start_round > 0:
+    if ck is not None and start_round > 0:
         # replay: load finished rounds from disk instead of recomputing
-        deltas = [_ckpt_read(k) for k in range(start_round)]
+        deltas = [ck.read(k) for k in range(start_round)]
         delta = deltas[-1].materialize()
         closure = deltas[0]
         for d in deltas[1:]:
             closure = closure.union(d)
         closure = closure.materialize()
+        if delta.count() == 0:  # checkpoint already reached the fixpoint
+            return closure
     else:
         delta = _mat(dedup_exact(
             e.map_batches(_project("child", "parent"),
                           batch_format="pyarrow"),
             ["node", "anc"], nb=nb))
         closure = delta
-        if checkpoint_dir:
-            _ckpt_write(0, delta)
+        if ck is not None:
+            ck.write(0, delta)
         start_round = 1
 
     for k in range(start_round, max_iters + 1):
@@ -459,8 +515,8 @@ def transitive_closure(
                               batch_format="pyarrow")
         # fused dedup + closure-anti-join: ONE shuffle per round
         delta = _mat(_subtract_new(hop, closure, ["node", "anc"], nb))
-        if checkpoint_dir:
-            _ckpt_write(k, delta)
+        if ck is not None:
+            ck.write(k, delta)
         closure = closure.union(delta).materialize()
     raise RuntimeError(
         f"transitive_closure did not converge in max_iters={max_iters} "
@@ -510,47 +566,29 @@ def bfs_min_depth(
 
     # per-round lineage, same contract as transitive_closure: settled =
     # append-only union of frontiers, so each round's frontier is the
-    # checkpoint unit (marker written AFTER the data; restart replays
-    # finished rounds from disk and resumes at the first unfinished)
-    import os
-
-    def _done(k):
-        return os.path.join(checkpoint_dir, f"_FRONTIER_{k}_DONE")
-
-    def _write(k, ds):
-        import shutil
-
-        d = os.path.join(checkpoint_dir, f"frontier-{k:04d}")
-        shutil.rmtree(d, ignore_errors=True)
-        if ds.count() > 0:
-            ds.write_parquet(d)
-        with open(_done(k), "w") as f:
-            f.write("ok")
-
-    def _read(k):
-        d = os.path.join(checkpoint_dir, f"frontier-{k:04d}")
-        if os.path.isdir(d) and any(
-                f.endswith(".parquet") for f in os.listdir(d)):
-            return rd.read_parquet(d)
-        return rd.from_arrow(pa.table({"node": pa.array([], pa.int64()),
-                                       "dist": pa.array([], pa.int64())}))
-
-    start = 0
-    if checkpoint_dir:
-        os.makedirs(checkpoint_dir, exist_ok=True)
-        while os.path.exists(_done(start)):
-            start += 1
-        if start > 0:
-            fr = [_read(k) for k in range(start)]
-            frontier = fr[-1].materialize()
-            settled = fr[0]
-            for d in fr[1:]:
-                settled = settled.union(d)
-            settled = settled.materialize()
-        else:
-            _write(0, frontier)
-            start = 1
-    for _k in range(start if checkpoint_dir else 0, max_iters):
+    # checkpoint unit. Round 0 = the seed frontier on BOTH paths, so
+    # the loop bound is identical with and without checkpointing
+    # (max_iters expansion rounds — no checkpoint off-by-one).
+    ck = (_RoundCheckpoint(
+        checkpoint_dir, "frontier",
+        pa.table({"node": pa.array([], pa.int64()),
+                  "dist": pa.array([], pa.int64())}))
+        if checkpoint_dir else None)
+    start = ck.scan() if ck else 0
+    if ck is not None and start > 0:
+        fr = [ck.read(k) for k in range(start)]
+        frontier = fr[-1].materialize()
+        settled = fr[0]
+        for d in fr[1:]:
+            settled = settled.union(d)
+        settled = settled.materialize()
+        if frontier.count() == 0:  # checkpoint already converged
+            return settled
+    else:
+        if ck is not None:
+            ck.write(0, frontier)
+        start = 1
+    for _k in range(start, max_iters + 1):
         if frontier.count() == 0:
             return settled
         msgs = shuffle_hash_join(
@@ -566,8 +604,8 @@ def bfs_min_depth(
         # fused per-node min + settled-anti-join: ONE shuffle per round
         frontier = _subtract_new(msgs, settled, ["node"], nb,
                                  min_col="dist").materialize()
-        if checkpoint_dir:
-            _write(_k, frontier)
+        if ck is not None:
+            ck.write(_k, frontier)
         settled = settled.union(frontier).materialize()
     raise RuntimeError(
         f"bfs_min_depth did not converge in max_iters={max_iters} "

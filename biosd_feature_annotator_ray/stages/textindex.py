@@ -60,7 +60,11 @@ def build_text_index(
         bdir = os.path.join(out_dir, "buckets")
         meta = os.path.join(out_dir, "meta.parquet")
         if os.path.isdir(bdir) or os.path.exists(meta):
-            shutil.rmtree(bdir, ignore_errors=True)
+            # STRICT delete: a stale fragment that survives would be
+            # read alongside new ones and double tf/df — fail loudly
+            # rather than rebuild on top of it
+            if os.path.isdir(bdir):
+                shutil.rmtree(bdir)
             if os.path.exists(meta):
                 os.remove(meta)
         elif os.listdir(out_dir):

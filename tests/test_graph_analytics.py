@@ -199,7 +199,10 @@ def test_transitive_closure_checkpoint_resume(ray_session, tmp_path):
 
 
 def test_pagerank_checkpoint_resume(ray_session, tmp_path):
+    import glob
     import os
+
+    import pytest
 
     from biosd_feature_annotator_ray.stages.graph import pagerank
 
@@ -207,18 +210,20 @@ def test_pagerank_checkpoint_resume(ray_session, tmp_path):
         "src": pa.array(["a", "b", "c", "c", "d"]),
         "dst": pa.array(["b", "c", "a", "d", "a"])}))
     ck = str(tmp_path / "pr")
-    plain = (pagerank(e, iters=6).to_pandas()
-             .sort_values("node").reset_index(drop=True))
-    first = (pagerank(e, iters=6, checkpoint_dir=ck).to_pandas()
-             .sort_values("node").reset_index(drop=True))
-    pd.testing.assert_frame_equal(plain, first)
-    assert os.path.exists(os.path.join(ck, "_RANKS_5_DONE"))
-    # drop the last two iterations; resume recomputes only those
-    for k in (4, 5):
-        os.remove(os.path.join(ck, f"_RANKS_{k}_DONE"))
-    resumed = (pagerank(e, iters=6, checkpoint_dir=ck).to_pandas()
-               .sort_values("node").reset_index(drop=True))
-    pd.testing.assert_frame_equal(plain, resumed)
+    plain6 = (pagerank(e, iters=6).to_pandas()
+              .sort_values("node").reset_index(drop=True))
+    # run 4 iterations, then EXTEND the same checkpoint to 6 — the
+    # last two iterations compute on top of the stored state
+    pagerank(e, iters=4, checkpoint_dir=ck).to_pandas()
+    assert os.path.exists(os.path.join(ck, "_RANKS_3_DONE"))
+    extended = (pagerank(e, iters=6, checkpoint_dir=ck).to_pandas()
+                .sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(plain6, extended)
+    # superseded snapshots are pruned: exactly one data dir remains
+    assert len(glob.glob(os.path.join(ck, "ranks-*"))) == 1
+    # a SHALLOWER request against a deeper checkpoint must refuse
+    with pytest.raises(ValueError, match="fresh checkpoint_dir"):
+        pagerank(e, iters=2, checkpoint_dir=ck)
 
 
 def test_bfs_checkpoint_resume(ray_session, tmp_path):
