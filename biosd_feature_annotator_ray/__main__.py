@@ -123,6 +123,16 @@ def main(argv: list[str] | None = None) -> int:
                      help="md5-bucket percent filter (0-100)")
     psm.add_argument("--num-cpus", type=int, default=8)
 
+    pcx = sub.add_parser("closure", help="transitive closure of a DAG edge "
+                         "parquet (semi-naive, per-round checkpoint/resume)")
+    pcx.add_argument("--input", required=True)
+    pcx.add_argument("--child-col", default="child")
+    pcx.add_argument("--parent-col", default="parent")
+    pcx.add_argument("--output", default=None)
+    pcx.add_argument("--checkpoint-dir", default=None)
+    pcx.add_argument("--max-iters", type=int, default=40)
+    pcx.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -203,6 +213,23 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 df = out.to_pandas()
                 print(df.to_json(orient="records"))
+            return 0
+
+        if args.cmd == "closure":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import transitive_closure
+
+            out = transitive_closure(
+                rd.read_parquet(args.input), child_col=args.child_col,
+                parent_col=args.parent_col, max_iters=args.max_iters,
+                checkpoint_dir=args.checkpoint_dir).materialize()
+            if args.output:
+                out.write_parquet(args.output)
+                print(json.dumps({"pairs": out.count(),
+                                  "output": args.output}))
+            else:
+                print(json.dumps({"pairs": out.count()}))
             return 0
 
         if args.cmd == "cluster":
