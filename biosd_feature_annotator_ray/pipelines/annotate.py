@@ -66,10 +66,14 @@ class PipelineSpec:
     max_driver_keys: int = 1_000_000      # distinct-key count above which linking
                                           # dispatches to the actor-pool path
                                           # instead of driver-side collection
-    max_finalize_rows: int | None = None  # finalize-task heap bound: partitions
+    max_finalize_rows: int | None | str = "default"
+                                          # finalize-task heap bound: partitions
                                           # larger than this stream in url-hash
                                           # sub-chunks (row groups) instead of
-                                          # one whole-partition materialization
+                                          # one whole-partition materialization.
+                                          # "default" → sink.DEFAULT_MAX_FINALIZE_ROWS
+                                          # (4M rows); None = explicit opt-out
+                                          # (unbounded whole-partition concat)
     fuzzy_link: bool = False              # opt-in fuzzy tier (SURVEY §2.4
                                           # "fuzzy≥θ=LOW"): Levenshtein
                                           # fallback vs labels/synonyms,

@@ -2833,7 +2833,8 @@ ORACLES = {
         "WITH flat AS (SELECT label,"
         "   unnest(embedding) AS v,"
         "   unnest(range(1, len(embedding) + 1)) AS pos FROM embeddings)"
-        " SELECT label, pos, round(avg(CAST(v AS DOUBLE)), 6) AS c"
+        " SELECT CAST(label AS BIGINT) AS label, pos,"
+        "  round(avg(CAST(v AS DOUBLE)), 6) AS c"
         " FROM flat GROUP BY label, pos"
     ),
     "degree_distribution": (
@@ -2963,9 +2964,9 @@ ORACLES = {
         " s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e"
         "   JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t"
         "   WHERE e.event_type = 'purchase' GROUP BY e.user_id)"
-        " SELECT u.user_id, CASE WHEN s3.t IS NOT NULL THEN 3"
+        " SELECT u.user_id, CAST(CASE WHEN s3.t IS NOT NULL THEN 3"
         "  WHEN s2.t IS NOT NULL THEN 2 WHEN s1.t IS NOT NULL THEN 1"
-        "  ELSE 0 END AS steps_done"
+        "  ELSE 0 END AS BIGINT) AS steps_done"
         " FROM u LEFT JOIN s1 ON u.user_id = s1.user_id"
         "  LEFT JOIN s2 ON u.user_id = s2.user_id"
         "  LEFT JOIN s3 ON u.user_id = s3.user_id"
@@ -3003,7 +3004,8 @@ ORACLES = {
         " d(node, dist) AS ("
         "  SELECT unnest([1,2,3,4,5,6,7,8,9]) AS node, 0 AS dist"
         "  UNION SELECT e.dst, d.dist + 1 FROM d JOIN e ON e.src = d.node)"
-        " SELECT node, min(dist) AS dist FROM d GROUP BY node"
+        " SELECT CAST(node AS BIGINT) AS node, CAST(min(dist) AS BIGINT)"
+        "  AS dist FROM d GROUP BY node"
     ),
     "triangle_count": (
         "WITH e0 AS ("

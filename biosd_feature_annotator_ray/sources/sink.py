@@ -39,6 +39,14 @@ from ..stages.graph import pack_adjacency
 
 MANIFEST_DIR = "manifest"
 
+# Finalize-task heap bound (rows) used when callers don't pick one: at
+# ~64 B/mention row this keeps a whole-partition concat near the Ray
+# 128 MiB target block size instead of letting one skewed partition
+# materialize unbounded (r02 verdict item 2). ``None`` remains the
+# explicit opt-out; the "default" sentinel in the signatures resolves
+# to this constant at call time so tests can monkeypatch it.
+DEFAULT_MAX_FINALIZE_ROWS = 4_000_000
+
 
 def _atomic_write_parquet(table: pa.Table, final_path: str) -> None:
     os.makedirs(os.path.dirname(final_path), exist_ok=True)
@@ -273,7 +281,7 @@ def _link_and_emit(mentions: pa.Table, linker, min_confidence: str,
 def finalize_mentions_partition(
     out_dir: str, part_id: int, terms_ref=None, curated_ref=None,
     min_confidence: str = "GOOD", max_edges: int = 10_000,
-    max_finalize_rows: int | None = None, fuzzy: bool = False,
+    max_finalize_rows: int | None | str = "default", fuzzy: bool = False,
     expand_ancestors: bool = False, ancestors_ref=None,
 ) -> pa.Table:
     """One-partition finisher for the single-job pipeline: read this
@@ -298,6 +306,8 @@ def finalize_mentions_partition(
     Cost: each fragment file is read S times (metadata-cheap local
     reads) — at cluster scale prefer raising P with data volume so
     partitions stay row-bounded, and keep this knob as the guard."""
+    if isinstance(max_finalize_rows, str):  # "default" sentinel
+        max_finalize_rows = DEFAULT_MAX_FINALIZE_ROWS
     pdir = os.path.join(out_dir, "mentions_raw", f"part_id={part_id}")
     if not os.path.isdir(pdir):
         from ..schemas import TRIPLES
@@ -442,7 +452,7 @@ def run_sink(
     resume: bool = True,
     fail_after_parts: int | None = None,
     max_edges: int = 10_000,
-    max_finalize_rows: int | None = None,
+    max_finalize_rows: int | None | str = "default",
     fuzzy: bool = False,
     expand_ancestors: bool = False,
 ) -> pa.Table:

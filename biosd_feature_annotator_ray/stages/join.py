@@ -292,6 +292,12 @@ def asof_join(
         + [lschema.field(n) for n in lcols]
         + [rschema.field(n) for n in rcols if n not in lcols]
     )
+    # ``wide`` doubles as the canonical per-bucket OUTPUT schema: without
+    # pinning it, any bucket whose pandas merge null-pads an int column
+    # upcasts it to float64+NaN and the Dataset's dtype diverges from the
+    # inputs' (r02 driver hash failures on asof/interval — dtype, not
+    # values)
+    out_schema = wide
 
     def prep(side: int):
         def f(batch: pa.Table) -> pa.Table:
@@ -315,7 +321,7 @@ def asof_join(
                 out[c] = pd.NA
             if how == "inner":
                 out = out.iloc[0:0]
-            return pa.Table.from_pandas(out, preserve_index=False)
+            return _df_to_schema(out, out_schema)
         ldf = ldf.sort_values([ts, key], kind="mergesort")
         rdf = rdf.sort_values([rts, key], kind="mergesort")
         # explicit match marker: filtering on a payload column is wrong
@@ -328,7 +334,7 @@ def asof_join(
         if how == "inner":
             out = out[out["__matched"].notna()]
         out = out.drop(columns=["__matched"])
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return _df_to_schema(out, out_schema)
 
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
 
@@ -392,7 +398,9 @@ def interval_join(
                 rdf.sort_values([start, key], kind="mergesort"),
                 left_on=ts, right_on=start, by=key, direction="backward")
             out = out[out[end].notna() & (out[ts] <= out[end])]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # pin the canonical schema — a pandas merge that null-padded an
+        # int column must not leak float64 into the Dataset (r02)
+        return _df_to_schema(out, wide)
 
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
 

@@ -181,6 +181,36 @@ def test_streaming_finalize_parity(ray_session, tmp_path):
     assert man2.num_rows == 0
 
 
+def test_default_finalize_bound_engages(ray_session, tmp_path, monkeypatch):
+    """Round-2 verdict item 2: the SHIPPED default must bound finalize
+    heap. With DEFAULT_MAX_FINALIZE_ROWS patched below the partition
+    size, an unconfigured finalize (nobody passes max_finalize_rows)
+    takes the sub-chunk path by itself and yields identical triples."""
+    import json
+    import os
+
+    from biosd_feature_annotator_ray.sources import sink as sink_mod
+
+    out = str(tmp_path / "dflt")
+    run(_pages(), out, SPEC)  # SPEC leaves max_finalize_rows at "default"
+    before = _triples_df(out)
+    # re-finalize partition 0 driver-side with a tiny default in force
+    monkeypatch.setattr(sink_mod, "DEFAULT_MAX_FINALIZE_ROWS", 10)
+    os.remove(os.path.join(out, "manifest", "part-00000.json"))
+    sink_mod.finalize_mentions_partition(out, 0)  # NOT asked to chunk
+    with open(os.path.join(out, "manifest", "part-00000.json")) as f:
+        m = json.load(f)
+    assert m["stage_metrics"]["finalize_chunks"] > 1
+    pd.testing.assert_frame_equal(before, _triples_df(out))
+    # None stays the explicit opt-out: whole-partition path, same rows
+    os.remove(os.path.join(out, "manifest", "part-00000.json"))
+    sink_mod.finalize_mentions_partition(out, 0, max_finalize_rows=None)
+    with open(os.path.join(out, "manifest", "part-00000.json")) as f:
+        m2 = json.load(f)
+    assert "finalize_chunks" not in m2["stage_metrics"]
+    pd.testing.assert_frame_equal(before, _triples_df(out))
+
+
 def test_generic_partitioned_writer_resume(ray_session, tmp_path):
     """write_dataset_partitioned: any Dataset → resumable hash-partitioned
     parquet; a lost partition is rebuilt, finished ones are skipped."""

@@ -2,7 +2,11 @@
 
 Runs every queries() entry at the given sf_dir, compares against
 oracle_sql() via DuckDB: row count, column-name set, order-insensitive
-value comparison (sorted by all columns). Usage:
+value comparison (sorted by all columns), and — since round 3 — DTYPE
+equality after normalizing datetime units, because the driver's value
+hash is dtype-sensitive (r02: asof/interval failed on a float64 vs
+int64 event_id with cell-identical values while the value-only local
+check passed). Usage:
 
     python tools/check_oracle.py [sf_dir] [query_name ...]
 
@@ -90,9 +94,15 @@ def main() -> None:
             status = f"SCHEMA got={list(got.columns)} want={list(want.columns)}"
         elif len(got) != len(want):
             status = f"ROWS got={len(got)} want={len(want)}"
+        elif list(map(str, got.dtypes)) != list(map(str, want.dtypes)):
+            # the driver's value hash diverges on dtype even when every
+            # cell is equal — flag it here so local green == driver green
+            diff = {c: (str(got[c].dtype), str(want[c].dtype))
+                    for c in got.columns if str(got[c].dtype) != str(want[c].dtype)}
+            status = f"DTYPE  {diff}"
         else:
             try:
-                pd.testing.assert_frame_equal(got, want, check_dtype=False, check_exact=False, rtol=1e-9)
+                pd.testing.assert_frame_equal(got, want, check_dtype=True, check_exact=False, rtol=1e-9)
             except AssertionError as ex:
                 status = "VALUES " + str(ex).split("\n")[0]
         if status != "OK":
