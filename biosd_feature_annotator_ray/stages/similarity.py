@@ -121,11 +121,34 @@ def knn_brute_force(
 
 # ---------------------------------------------------------------------------
 def build_centroids(vecs: "ray.data.Dataset", n_centroids: int, vec_col: str = "embedding",
-                    sample_rows: int = 4096, iters: int = 5, seed: int = 42) -> np.ndarray:
+                    sample_rows: int = 4096, iters: int = 5, seed: int = 42,
+                    id_col: str | None = None) -> np.ndarray:
     """Seeded mini k-means on a driver-side sample (the IVF codebook).
-    Deterministic: fixed seed, fixed iteration count."""
-    sample = _normalize(_stack(pa.Table.from_pandas(
-        vecs.limit(sample_rows).to_pandas()).column(vec_col)))
+    Deterministic: fixed seed, fixed iteration count.
+
+    The sample is an UNBIASED distributed bottom-k by a stable hash of
+    ``id_col`` (map-side per-batch bottom-k prune, then a small sort),
+    not the first ``sample_rows`` rows — on input sorted/partitioned by
+    cluster, ``limit()`` would build the whole codebook from one
+    cluster's rows (r02 verdict item 5). ``id_col=None`` keeps the old
+    first-rows behavior for callers without a key column."""
+    if id_col is None:
+        sample_tbl = vecs.limit(sample_rows).to_pandas()
+    else:
+        from ..functions.hashing import hash_columns
+
+        def local_bottom(batch: pa.Table) -> pa.Table:
+            h = hash_columns(batch, [id_col])
+            t = pa.table({vec_col: batch.column(vec_col),
+                          "__h": pa.array(h.astype(np.uint64))})
+            if len(t) > sample_rows:
+                idx = np.argpartition(h, sample_rows - 1)[:sample_rows]
+                t = t.take(pa.array(np.sort(idx)))
+            return t
+
+        sample_tbl = (vecs.map_batches(local_bottom, batch_format="pyarrow")
+                      .sort("__h").limit(sample_rows).to_pandas())
+    sample = _normalize(_stack(pa.Table.from_pandas(sample_tbl).column(vec_col)))
     rng = np.random.default_rng(seed)
     C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):
@@ -188,7 +211,7 @@ def knn_ivf(
     (asserted in tests). Sub-buckets (``nb`` per centroid, keyed on a
     stable hash of the vector id) bound cell size / keep parallelism at
     scale."""
-    C = build_centroids(vecs, n_centroids, vec_col)
+    C = build_centroids(vecs, n_centroids, vec_col, id_col=id_col)
     qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
     Q = _normalize(_stack(queries.column(vec_col)))
     probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]  # (m, nprobe)
@@ -274,7 +297,7 @@ def build_ivf_index(
         t = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
         return np.stack(t.column("centroid").to_pandas().to_numpy())
 
-    C = build_centroids(vecs, n_centroids, vec_col, seed=seed)
+    C = build_centroids(vecs, n_centroids, vec_col, seed=seed, id_col=id_col)
     cref = ray.put(C)
 
     class Assign:

@@ -430,10 +430,29 @@ def tfidf_top_terms(
 
     from .canonicalize import distinct_counts
 
+    def _tokens(batch: pa.Table):
+        """(doc_ordinal, term) pairs via Arrow kernels — trim → \\s+
+        split → drop the '' token an empty doc yields; exactly Python
+        ``text.lower().split()`` / DuckDB regexp_split_to_array(trim(
+        lower(text))) semantics."""
+        text = pc.fill_null(batch.column(col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(text)), _WS)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        return parent[keep], flat.filter(pa.array(keep))
+
     def doc_distinct_terms(batch: pa.Table) -> pa.Table:
-        texts = batch.column(col).to_pandas().fillna("").str.lower()
-        flat = [w for t in texts for w in set(t.split())]
-        return pa.table({"term": pa.array(flat, pa.string())})
+        # per-doc DISTINCT terms, no per-row Python: Arrow group_by on
+        # the (doc ordinal, term) pair (r02 verdict item 4)
+        doc_i, terms = _tokens(batch)
+        pairs = pa.table({"doc_i": pa.array(doc_i), "term": terms})
+        return pairs.group_by(["doc_i", "term"]).aggregate([]).select(["term"])
 
     n_docs = docs.count()
     df_tbl = distinct_counts(
@@ -442,7 +461,10 @@ def tfidf_top_terms(
     ).to_pandas()
     df_tbl = df_tbl[df_tbl["count"] >= min_df]
     if len(df_tbl) > max_vocab:
-        df_tbl = df_tbl.nlargest(max_vocab, "count")
+        # deterministic vocabulary boundary: ties at the cutoff break
+        # by term asc, not by distributed-reduce arrival order
+        df_tbl = df_tbl.sort_values(["count", "term"], ascending=[False, True],
+                                    kind="mergesort").head(max_vocab)
     idf = {t: math.log(n_docs / (1.0 + c)) for t, c in
            zip(df_tbl["term"], df_tbl["count"])}
     idf_ref = _ray.put(idf)
@@ -452,13 +474,8 @@ def tfidf_top_terms(
 
         lut = _r.get(idf_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
-        texts = batch.column(col).to_pandas().fillna("").str.lower()
-        toks = [t.split() for t in texts]
-        lengths = np.fromiter((len(x) for x in toks), dtype=np.int64, count=len(toks))
-        flat = pd.DataFrame({
-            "doc_i": np.repeat(np.arange(len(ids)), lengths),
-            "term": pd.Series([w for ws in toks for w in ws], dtype=object),
-        })
+        doc_i, terms = _tokens(batch)
+        flat = pd.DataFrame({"doc_i": doc_i, "term": terms.to_pandas()})
         if flat.empty:
             return pa.table({id_col: pa.array([], batch.schema.field(id_col).type),
                              "term": pa.array([], pa.string()),

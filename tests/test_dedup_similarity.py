@@ -135,6 +135,27 @@ def test_knn_ivf_mostly_agrees(ray_session):
     assert agree >= 10  # ≥ 2/3 recall with 6/8 probes
 
 
+def test_ivf_codebook_unbiased_on_sorted_input(ray_session):
+    """r02 verdict item 5: the codebook sample is a distributed
+    hash-sample, not the first rows — on input SORTED by cluster
+    (sample_rows ≪ n, so limit() would see only cluster 0) every
+    cluster still gets a nearby centroid. Deterministic: fixed seed."""
+    from biosd_feature_annotator_ray.stages.similarity import build_centroids
+
+    rng = np.random.default_rng(7)
+    means = np.eye(3, 16) * 10.0  # 3 orthogonal, well-separated clusters
+    V = np.concatenate([
+        rng.standard_normal((1000, 16)) * 0.05 + means[c] for c in range(3)
+    ]).astype(np.float32)
+    tbl = pa.table({"vec_id": pa.array(np.arange(3000, dtype=np.int64)),
+                    "embedding": pa.array(list(V), pa.list_(pa.float32()))})
+    ds = rd.from_arrow(tbl).repartition(6)  # blocks in cluster order
+    C = build_centroids(ds, n_centroids=6, sample_rows=300, id_col="vec_id")
+    Mn = means / np.linalg.norm(means, axis=1, keepdims=True)
+    best = (Mn @ C.T).max(axis=1)
+    assert (best > 0.9).all(), best  # every cluster represented
+
+
 def test_embedding_near_dups_planted(ray_session):
     from biosd_feature_annotator_ray.stages.dedup import embedding_near_dups
 
