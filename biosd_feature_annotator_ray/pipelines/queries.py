@@ -369,31 +369,45 @@ def q_lineitem_date_filter(sf_dir: str):
     return pa.table({"n": pa.array([n], pa.int64())})
 
 
-# A5 visibility: out-degree per subject of the synthetic KG (rows-only)
+# A5 visibility: out-degree per node via the distinct_counts reduce —
+# since round 3 over the deterministic orders-derived edge list so the
+# driver gets a full SQL oracle (the KG-based adjacency path stays
+# covered by test_graph_analytics + the flagship golden E2E)
 def q_graph_degrees(sf_dir: str):
-    from ..pipelines.annotate import PipelineSpec, annotate_pages
-    from ..synth import gen_pages
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
 
-    triples = annotate_pages(rd.from_arrow(gen_pages(1000)), PipelineSpec(n_buckets=8))
-    deg = distinct_counts(triples.select_columns(["subj"]), "subj", nb=8)
-    df = deg.to_pandas().rename(columns={"count": "out_degree"})
-    return pa.Table.from_pandas(df, preserve_index=False)
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(k[k >= 10] // 10, pa.int64())})
+
+    deg = distinct_counts(orders.map_batches(edges, batch_format="pyarrow"),
+                          "src", nb=8)
+    df = deg.to_pandas().rename(columns={"src": "subj", "count": "out_degree"})
+    df["out_degree"] = df["out_degree"].astype("int64")
+    return pa.Table.from_pandas(df.sort_values("subj").reset_index(drop=True),
+                                preserve_index=False)
 
 
-# Graph analytics over the materialized KG: PageRank on subj→obj edges
-# (rows-only: iterative float fixpoint; semantics pinned by the
-# power-iteration parity test)
+# PageRank: same distributed power iteration (stages/graph.py), run
+# over the orders-derived edge list so the driver can verify it against
+# an UNROLLED DuckDB oracle (one CTE chain per iteration) instead of a
+# rows-only check; KG-based pagerank stays pinned by the power-iteration
+# parity test in test_graph_analytics
 def q_graph_pagerank(sf_dir: str):
-    from ..pipelines.annotate import PipelineSpec, annotate_pages
     from ..stages.graph import pagerank
-    from ..synth import gen_pages
 
-    triples = annotate_pages(rd.from_arrow(gen_pages(500)), PipelineSpec(n_buckets=8))
-    edges = triples.map_batches(
-        lambda t: t.filter(pc.equal(t.column("obj_kind"), "uri")).select(["subj", "obj"]),
-        batch_format="pyarrow")
-    out = pagerank(edges, src="subj", dst="obj", damping=0.85, iters=5, nb=8)
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k = k[k >= 10]
+        return pa.table({"src": pa.array(k // 10, pa.int64()),
+                         "dst": pa.array(k, pa.int64())})
+
+    out = pagerank(orders.map_batches(edges, batch_format="pyarrow"),
+                   src="src", dst="dst", damping=0.85, iters=3, nb=16)
     df = out.to_pandas()
+    df["node"] = df["node"].astype("int64")
     df["rank"] = df["rank"].round(8)
     return pa.Table.from_pandas(df.sort_values("node").reset_index(drop=True),
                                 preserve_index=False)
@@ -1284,10 +1298,17 @@ def q_heavy_hitters(sf_dir: str):
 # HLL approximate count-distinct (rows-only: approx by design; the
 # accuracy bound is pinned by pytest against the exact count)
 def q_approx_distinct_users(sf_dir: str):
+    """HLL estimate PINNED against the exact distributed distinct count
+    (round-3: the sketch itself is not SQL, but its accuracy contract
+    is — the oracle recomputes the exact count and asserts the sketch
+    landed within 5%, so a broken HLL now fails the driver hash)."""
     from ..stages.sketches import approx_distinct
 
     est = approx_distinct(_events(sf_dir, ["user_id"]), "user_id", p=12)
-    return pa.table({"approx_users": pa.array([est], pa.int64())})
+    exact = distinct_counts(_events(sf_dir, ["user_id"]), "user_id", nb=8).count()
+    ok = exact > 0 and abs(est - exact) / exact <= 0.05
+    return pa.table({"n_exact": pa.array([exact], pa.int64()),
+                     "hll_within_5pct": pa.array([ok], pa.bool_())})
 
 
 # ---------------------------------------------------------------------------
@@ -3239,3 +3260,49 @@ ORACLES = {
 # the indexed path is bit-identical to the full-scan operator, so both
 # are checked against the same SQL
 ORACLES["bm25_indexed"] = ORACLES["bm25"]
+
+ORACLES["graph_degrees"] = (
+    "SELECT CAST(o_orderkey // 10 AS BIGINT) AS subj,"
+    " CAST(count(*) AS BIGINT) AS out_degree"
+    " FROM orders WHERE o_orderkey >= 10 GROUP BY 1"
+)
+
+# HLL accuracy pin: the sketch value is not SQL, its 5%-of-exact
+# contract is (see q_approx_distinct_users)
+ORACLES["approx_distinct_users"] = (
+    "SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,"
+    " TRUE AS hll_within_5pct FROM events"
+)
+
+
+def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Unrolled power iteration matching stages/graph.py::pagerank
+    semantics exactly: r ← (1−d)/N + d·(1−emitted)/N + d·msum, where
+    msum(dst)=Σ rank(src)/outdeg(src) and emitted=Σ msum (dangling-mass
+    recovery). One CTE chain per iteration — no recursive-CTE aggregate
+    restrictions to fight, and DuckDB's planner handles 3 unrolls fine."""
+    s = (
+        "WITH e AS (SELECT o_orderkey // 10 AS src, o_orderkey AS dst"
+        "   FROM orders WHERE o_orderkey >= 10),"
+        " deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),"
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        " nn AS (SELECT count(*) AS n FROM nodes),"
+        " r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"
+    )
+    for i in range(iters):
+        s += (
+            f", m{i} AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS msum"
+            f"   FROM e JOIN r{i} r ON e.src = r.node"
+            f"   JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", em{i} AS (SELECT coalesce(sum(msum), 0) AS emitted FROM m{i})"
+            f", r{i + 1} AS (SELECT n.node,"
+            f"   (1 - {d}) / nn.n + {d} * (1 - em.emitted) / nn.n"
+            f"   + coalesce({d} * m.msum, 0) AS rank"
+            f"   FROM nodes n CROSS JOIN nn CROSS JOIN em{i} em"
+            f"   LEFT JOIN m{i} m ON m.node = n.node)"
+        )
+    return (s + f" SELECT CAST(node AS BIGINT) AS node, round(rank, 8) AS rank"
+                f" FROM r{iters}")
+
+
+ORACLES["graph_pagerank"] = _pagerank_oracle_sql(iters=3, d=0.85)
