@@ -12,7 +12,11 @@ Shape (classic distributed hash join, Ray-Data-first):
      executor interleaves blocks;
   3. bucket-shuffle on ``stable_hash(key) % nb`` (ONE all-to-all, the
      unavoidable one — both sides move once);
-  4. per-bucket vectorized pandas hash-merge (inner/left/semi/anti).
+  4. per-bucket finisher: inner/semi/anti are Arrow-native (dictionary
+     key codes + numpy searchsorted expansion — payload columns never
+     leave Arrow buffers); left/right/full use a pandas merge pinned
+     back onto the canonical schema (outer null-key bookkeeping is
+     where pandas still earns its copy).
 
 Skew note: a hot key inflates one bucket; raise ``nb`` or pre-salt the
 build side upstream (canonicalize.py's two-level reduce pattern) when a
@@ -25,6 +29,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -33,6 +38,47 @@ from ..functions.hashing import hash_columns
 
 _SIDE = "__side"
 _GOLDEN = 0x9E3779B97F4A7C15
+
+
+def _key_codes(lt: pa.Table, rt: pa.Table, on: list[str]):
+    """Exact-equality join codes for the Arrow-native finisher: a
+    canonical per-row key string (both sides already share the wide
+    schema's key types, so a plain string cast is value-exact — ints
+    keep full precision, floats render uniquely, -0.0 normalized to
+    +0.0), dictionary-encoded across BOTH sides so equal keys share a
+    code. Any null key component → null string → code -1."""
+
+    def keystr(t: pa.Table) -> pa.Array:
+        parts = []
+        for c in on:
+            arr = t.column(c)
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if pa.types.is_floating(arr.type):
+                arr = pc.add(arr, 0.0)
+            if not (pa.types.is_string(arr.type)
+                    or pa.types.is_large_string(arr.type)):
+                arr = pc.cast(arr, pa.string())
+            parts.append(arr)
+        if len(parts) == 1:
+            return parts[0]
+        return pc.binary_join_element_wise(*parts, "\x1f")  # null → null
+
+    lk, rk = keystr(lt), keystr(rt)
+    both = pa.chunked_array([lk, rk]).combine_chunks().dictionary_encode()
+    codes = pc.fill_null(both.indices, -1).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    return codes[: len(lt)], codes[len(lt):]
+
+
+def _pin_schema(columns, schema: pa.Schema) -> pa.Table:
+    """Assemble output columns under the canonical schema, casting where
+    the wide carrier type differs (an overlapping non-key column rides
+    in the LEFT-typed wide column but is declared right-typed in the
+    output)."""
+    arrays = [c if c.type == f.type else c.cast(f.type)
+              for c, f in zip(columns, schema)]
+    return pa.table(arrays, schema=schema)
 
 
 def _mix64(x):
@@ -165,8 +211,6 @@ def shuffle_hash_join(
 
     hot = None
     if hot_keys is not None and salt > 1:
-        import numpy as np
-
         if not isinstance(hot_keys, pa.Table):
             hot_keys = pa.table({on[0]: pa.array(list(hot_keys))})
         hot_tbl = pa.table({k: hot_keys.column(k).cast(wide.field(k).type) for k in on})
@@ -177,7 +221,6 @@ def shuffle_hash_join(
             t = _align(batch, wide, side)
             if hot is None:
                 return _add_bucket(t, on, nb)
-            import numpy as np
 
             h = hash_columns(t, on)
             hotmask = np.isin(h, hot)
@@ -218,6 +261,47 @@ def shuffle_hash_join(
     )
 
     def finish(g: pa.Table) -> pa.Table:
+        if how in ("inner", "semi", "anti"):
+            # Arrow-native path (r02 verdict item 6): payload columns
+            # never leave Arrow buffers — key equality is decided on
+            # dictionary codes of a canonical per-row key string, and
+            # one-to-many expansion is numpy searchsorted arithmetic.
+            # Null keys never match (SQL semantics): the canonical key
+            # of a null component is null → code -1 → dropped, which
+            # matches the old pandas dropna(subset=on) behavior.
+            side = g.column(_SIDE).to_numpy(zero_copy_only=False)
+            t = g.drop_columns([_B, _SIDE])
+            lmask = side == 0
+            lt = t.filter(pa.array(lmask)).select(on + lcols).combine_chunks()
+            rt = t.filter(pa.array(~lmask)).select(on + rcols).combine_chunks()
+            lcodes, rcodes = _key_codes(lt, rt, on)
+            if how == "semi":
+                member = np.isin(lcodes, rcodes[rcodes >= 0])
+                out = lt.filter(pa.array(member & (lcodes >= 0)))
+                return _pin_schema(out.columns, out_schema)
+            if how == "anti":
+                member = np.isin(lcodes, rcodes[rcodes >= 0])
+                out = lt.filter(pa.array(~member & (lcodes >= 0)))
+                return _pin_schema(out.columns, out_schema)
+            # inner: expand every (left row, matching right row) pair
+            rvalid = np.flatnonzero(rcodes >= 0)
+            order = rvalid[np.argsort(rcodes[rvalid], kind="stable")]
+            rsorted = rcodes[order]
+            lvalid = np.flatnonzero(lcodes >= 0)
+            lv = lcodes[lvalid]
+            lo = np.searchsorted(rsorted, lv, "left")
+            cnt = np.searchsorted(rsorted, lv, "right") - lo
+            total = int(cnt.sum())
+            l_take = np.repeat(lvalid, cnt)
+            starts = np.repeat(lo, cnt)
+            within = np.arange(total, dtype=np.int64) - np.repeat(
+                np.cumsum(cnt) - cnt, cnt)
+            r_take = order[starts + within]
+            left_out = lt.take(pa.array(l_take))
+            right_out = rt.drop_columns(on).take(pa.array(r_take))
+            return _pin_schema(list(left_out.columns) + list(right_out.columns),
+                               out_schema)
+
         df = g.drop_columns([_B]).to_pandas()
         side = df.pop(_SIDE)
         ldf = df[side == 0][on + lcols]
@@ -226,16 +310,7 @@ def shuffle_hash_join(
         # the null-key rows of the preserved side(s) unmatched
         if how not in ("right", "full"):
             rdf = rdf.dropna(subset=on)
-        if how in ("inner", "semi", "anti", "right"):
-            ldf = ldf.dropna(subset=on)
-        if how == "semi":
-            keys = rdf[on].drop_duplicates()
-            out = ldf.merge(keys, on=on, how="inner")
-        elif how == "anti":
-            marked = ldf.merge(rdf[on].drop_duplicates(), on=on, how="left",
-                               indicator=True)
-            out = marked[marked["_merge"] == "left_only"].drop(columns=["_merge"])
-        elif how in ("right", "full"):
+        if how in ("right", "full"):
             # split null-key rows off the preserved side(s) so pandas'
             # NaN == NaN merge behavior can't pair them, merge the
             # non-null cores, then re-attach the null-key rows unmatched

@@ -15,10 +15,59 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from .canonicalize import _add_bucket, _B
+
+# One pathological key (a single user with 10^9 events) necessarily
+# lands in one reduce bucket — per-key window semantics can't split it.
+# Rather than OOM the worker, the sequential-window finishers raise a
+# typed error at this bound; remedies are raising nb (more, smaller
+# buckets only help when MANY keys share one), pre-filtering the hot
+# key, or a coarser window operator that tolerates pre-aggregation.
+DEFAULT_MAX_BUCKET_ROWS = 50_000_000
+
+
+class WindowBucketOverflow(RuntimeError):
+    """A window reduce bucket exceeded its row bound (hot-key guard)."""
+
+
+def _check_bucket(g: pa.Table, where: str, bound: int | None) -> None:
+    bound = DEFAULT_MAX_BUCKET_ROWS if bound is None else bound
+    if len(g) > bound:
+        raise WindowBucketOverflow(
+            f"{where}: one window bucket holds {len(g):,} rows "
+            f"(> max_bucket_rows={bound:,}) — likely a single hot key, "
+            "which per-key window semantics cannot split; filter or "
+            "pre-aggregate the hot key, or raise max_bucket_rows if the "
+            "worker heap genuinely allows it")
+
+
+def _sorted_runs(g: pa.Table, key_col: str, order_cols: list[str],
+                 ascending: list[bool] | None = None):
+    """Arrow-native run structure for sequential window kernels: drop
+    the bucket column, stable-sort by (key, order_cols), and return
+    ``(table, new_run, run_start)`` where ``new_run[i]`` marks each
+    key's first row and ``run_start[i]`` is the index of row i's run
+    head. No pandas copy — payload columns stay in Arrow buffers
+    (r02 verdict item 6)."""
+    t = g.drop_columns([_B])
+    asc = ascending or [True] * len(order_cols)
+    t = t.sort_by([(key_col, "ascending")]
+                  + [(c, "ascending" if a else "descending")
+                     for c, a in zip(order_cols, asc)])
+    n = len(t)
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        k = t.column(key_col).combine_chunks()
+        same = pc.fill_null(pc.equal(k.slice(1), k.slice(0, n - 1)),
+                            False).to_numpy(zero_copy_only=False)
+        new[1:] = ~same
+    idx = np.arange(n, dtype=np.int64)
+    start = np.maximum.accumulate(np.where(new, idx, 0))
+    return t, new, start
 
 
 def session_windows(
@@ -28,6 +77,7 @@ def session_windows(
     gap: pd.Timedelta = pd.Timedelta(minutes=30),
     order_tiebreak: str = "event_id",
     nb: int = 16,
+    max_bucket_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """Session windows: consecutive events of a key belong to one
     session while the gap between them is ≤ ``gap``.
@@ -40,6 +90,7 @@ def session_windows(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "session_windows", max_bucket_rows)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col, ts_col, order_tiebreak], kind="mergesort")
         brk = (df[ts_col].diff() > gap) | (df[key_col] != df[key_col].shift())
@@ -124,9 +175,11 @@ def rank_per_key(
     ascending: list[bool] | None = None,
     out: str = "rn",
     nb: int = 16,
+    max_bucket_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """row_number() OVER (PARTITION BY key ORDER BY order_cols): bucket
-    shuffle on key, vectorized pandas cumcount within each bucket.
+    shuffle on key, Arrow-native stable sort + numpy run arithmetic
+    within each bucket (no pandas copy of payload columns).
     ``order_cols`` must be a total order per key for determinism."""
     oc = order_cols or ["ts", "event_id"]
     asc = ascending or [True] * len(oc)
@@ -135,10 +188,10 @@ def rank_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, ascending=[True] + asc, kind="mergesort")
-        df[out] = df.groupby(key_col, sort=False).cumcount() + 1
-        return pa.Table.from_pandas(df, preserve_index=False)
+        _check_bucket(g, "rank_per_key", max_bucket_rows)
+        t, _, start = _sorted_runs(g, key_col, oc, asc)
+        rn = np.arange(len(t), dtype=np.int64) - start + 1
+        return t.append_column(out, pa.array(rn))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -154,21 +207,26 @@ def cumsum_per_key(
     order_cols: list[str] | None = None,
     out: str = "cum_value",
     nb: int = 16,
+    max_bucket_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """sum(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
-    UNBOUNDED PRECEDING): running total per key. Same bucket-shuffle
-    co-location as rank_per_key; the prefix sum is sequential in the
-    declared order, so it matches the SQL window exactly."""
+    UNBOUNDED PRECEDING): running total per key, Arrow-native. The
+    per-key prefix is the global cumsum minus the run head's prefix —
+    float association differs from a strictly sequential per-group sum
+    by ≤ a few ulp (the same tolerance already granted to DuckDB's
+    segment-tree window sums)."""
     oc = order_cols or ["ts", "event_id"]
 
     def local(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        df[out] = df.groupby(key_col, sort=False)[value_col].cumsum()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        _check_bucket(g, "cumsum_per_key", max_bucket_rows)
+        t, _, start = _sorted_runs(g, key_col, oc)
+        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        cs = np.cumsum(v)
+        cum = cs - (cs[start] - v[start]) if len(t) else cs
+        return t.append_column(out, pa.array(cum, pa.float64()))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -355,19 +413,25 @@ def lag_per_key(
     order_cols: list[str] | None = None,
     out: str = "prev",
     nb: int = 16,
+    max_bucket_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """lag(value) OVER (PARTITION BY key ORDER BY order_cols): the
-    previous row's value per key (null for each key's first row)."""
+    previous row's value per key (null for each key's first row).
+    Arrow-native: a null-masked take of the value column — works for
+    any Arrow type without a pandas object-dtype round-trip."""
     oc = order_cols or ["ts", "event_id"]
 
     def local(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        df[out] = df.groupby(key_col, sort=False)[value_col].shift(1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        _check_bucket(g, "lag_per_key", max_bucket_rows)
+        t, new, _ = _sorted_runs(g, key_col, oc)
+        idx = np.arange(len(t), dtype=np.int64)
+        src = np.maximum(idx - 1, 0)
+        col = t.column(value_col).combine_chunks()
+        lagged = col.take(pa.array(src, mask=new))  # run head → null
+        return t.append_column(out, lagged)
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -441,20 +505,30 @@ def lead_per_key(
     order_cols: list[str] | None = None,
     out: str = "next",
     nb: int = 16,
+    max_bucket_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """lead(value) OVER (PARTITION BY key ORDER BY order_cols): the
     NEXT row's value per key (null for each key's last row) — the
-    mirror of ``lag_per_key`` (pandas shift(-1) after one mergesort)."""
+    Arrow-native mirror of ``lag_per_key``."""
     oc = order_cols or ["ts", "event_id"]
 
     def local(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        df[out] = df.groupby(key_col, sort=False)[value_col].shift(-1)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        _check_bucket(g, "lead_per_key", max_bucket_rows)
+        t, new, _ = _sorted_runs(g, key_col, oc)
+        n = len(t)
+        idx = np.arange(n, dtype=np.int64)
+        src = np.minimum(idx + 1, max(n - 1, 0))
+        # a row is its run's LAST when the next row starts a new run
+        last = np.empty(n, dtype=bool)
+        if n:
+            last[:-1] = new[1:]
+            last[-1] = True
+        col = t.column(value_col).combine_chunks()
+        led = col.take(pa.array(src, mask=last))
+        return t.append_column(out, led)
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)

@@ -109,3 +109,24 @@ def test_lead_last_nth_value_per_key(ray_session):
     nth = nth.sort_values("event_id").reset_index(drop=True)
     got = [x if pd.notna(x) else None for x in nth["nth_value"]]
     assert got == [7.0, 7.0, 7.0, None, None, None]
+
+
+def test_hot_key_bucket_guard(ray_session):
+    """r02 verdict item 7: one pathological key necessarily melts one
+    window reduce bucket — the finisher raises the typed guard instead
+    of OOMing, and normal-sized buckets are unaffected."""
+    import pytest
+
+    from biosd_feature_annotator_ray.stages.windows import rank_per_key
+
+    df = pd.DataFrame({
+        "user_id": [1] * 200,  # one giant key
+        "event_id": range(200),
+        "ts": pd.to_datetime(range(200), unit="s"),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+    with pytest.raises(Exception, match="max_bucket_rows"):
+        rank_per_key(ds, nb=4, max_bucket_rows=100).to_pandas()
+    # the same data under the default bound is fine
+    ok = rank_per_key(ds, nb=4).to_pandas()
+    assert len(ok) == 200 and ok["rn"].max() == 200
