@@ -134,6 +134,8 @@ def run_queries() -> dict:
         # round-2 continuation: iterative graph / multi-join / indexed IR
         "transitive_closure", "q5_revenue", "bm25_indexed",
         "funnel_events", "global_rn_orders",
+        # round-3 additions
+        "domain_caps", "rollup_orders", "fingerprint_events", "graph_components",
     ]
     out = {}
     for name in names:

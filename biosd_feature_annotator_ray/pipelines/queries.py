@@ -2328,6 +2328,59 @@ def q_bm25_indexed(sf_dir: str):
     return search_text_index(idx, ["table", "scan", "vector"], topk=20)
 
 
+# --- round-3 additions ------------------------------------------------
+def q_domain_caps(sf_dir: str):
+    """Per-source document quota — the Common-Crawl "keep at most N
+    docs per domain" curation op (cap_per_key, Arrow-native)."""
+    from ..stages.windows import cap_per_key
+
+    out = cap_per_key(_docs(sf_dir, ["doc_id", "source"]),
+                      key_col="source", order_cols=["doc_id"], n=10, nb=8)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP hierarchy: one wide shuffle + per-level tiny
+    re-aggregations over integer-cent sums."""
+    from ..stages.canonicalize import rollup_agg
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    out = rollup_agg(orders, ["o_orderstatus", "o_orderpriority"], "o_totalprice")
+    df = out.to_pandas()
+    df["sum_value"] = df["sum_value"].round(2)
+    df = df.sort_values(["o_orderstatus", "o_orderpriority"],
+                        na_position="last").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_fingerprint_events(sf_dir: str):
+    """Order-insensitive table checksum (Σ md5 mod 2^61−1 + count) —
+    cross-engine verification of a materialized table."""
+    from ..stages.sketches import table_fingerprint
+
+    fp, n = table_fingerprint(_events(sf_dir, ["event_id"]), "event_id")
+    return pa.table({"fp": pa.array([fp], pa.int64()),
+                     "n": pa.array([n], pa.int64())})
+
+
+def q_graph_components(sf_dir: str):
+    """Connected components (distributed min-label propagation — the
+    dup-cluster/sameAs-merge operator) over the derived customer graph,
+    against a recursive-CTE min-reachable-label oracle."""
+    from ..stages.dedup import dup_clusters
+
+    pairs = _derived_customer_edges(sf_dir).map_batches(
+        lambda t: t.rename_columns(["id_a", "id_b"]), batch_format="pyarrow")
+    df = dup_clusters(pairs, nb=16).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["cluster_rep"] = df["cluster_rep"].astype("int64")
+    return pa.Table.from_pandas(df.sort_values("doc_id").reset_index(drop=True),
+                                preserve_index=False)
+
+
 QUERIES = {
     "count_documents": q_count_documents,
     "filter_lang_en": q_filter_lang_en,
@@ -2375,6 +2428,10 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pivot_events": q_pivot_events,
     "approx_distinct_users": q_approx_distinct_users,
+    "domain_caps": q_domain_caps,
+    "rollup_orders": q_rollup_orders,
+    "fingerprint_events": q_fingerprint_events,
+    "graph_components": q_graph_components,
     "heavy_hitters": q_heavy_hitters,
     "knn_cosine": q_knn_cosine,
     "cumsum_events": q_cumsum_events,
@@ -3306,3 +3363,43 @@ def _pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
 
 
 ORACLES["graph_pagerank"] = _pagerank_oracle_sql(iters=3, d=0.85)
+
+ORACLES["domain_caps"] = (
+    "SELECT doc_id, source FROM ("
+    "  SELECT doc_id, source,"
+    "   row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn"
+    "  FROM documents) WHERE rn <= 10"
+)
+
+ORACLES["rollup_orders"] = (
+    "SELECT o_orderstatus, o_orderpriority,"
+    " CAST(count(*) AS BIGINT) AS n_rows,"
+    " round(sum(o_totalprice), 2) AS sum_value"
+    " FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)"
+)
+
+# must stay in lockstep with functions/hashing.py::md5_u32 and
+# sketches.MERSENNE61
+ORACLES["fingerprint_events"] = (
+    "SELECT CAST(sum(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
+    "  ::UBIGINT) % 2305843009213693951 AS BIGINT) AS fp,"
+    " CAST(count(*) AS BIGINT) AS n FROM events"
+)
+
+# connected components = min label reachable over the undirected edge
+# closure (same derived graph recipe as triangle_count / degree_distribution)
+ORACLES["graph_components"] = (
+    "WITH RECURSIVE e0 AS ("
+    "  SELECT o_custkey AS u, (o_custkey * 37) % 500 AS v FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 101) % 500 FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 7 + 13) % 500 FROM orders),"
+    " e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+    "   FROM e0 WHERE u <> v),"
+    " ed AS (SELECT a AS src, b AS dst FROM e"
+    "   UNION ALL SELECT b, a FROM e),"
+    " reach(node, lab) AS ("
+    "  SELECT src, src FROM ed"
+    "  UNION SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node)"
+    " SELECT CAST(node AS BIGINT) AS doc_id,"
+    "  CAST(min(lab) AS BIGINT) AS cluster_rep FROM reach GROUP BY node"
+)

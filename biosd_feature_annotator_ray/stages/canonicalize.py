@@ -469,3 +469,71 @@ def incremental_agg(
         return t
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def rollup_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    n_col: str = "n_rows",
+    sum_col: str = "sum_value",
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(keys): count + sum at every prefix level of the
+    key hierarchy — (k1..km), (k1..km-1), …, grand total — rolled-up
+    key columns null, exactly like SQL ROLLUP.
+
+    Shape: ONE wide shuffle (the finest groupby over map-side partials);
+    every coarser level re-aggregates the PREVIOUS level's already-small
+    aggregate table, so the hierarchy costs m tiny shuffles on
+    aggregates, never extra passes over the facts. Sums travel as
+    integer cents so cross-level re-aggregation is exactly associative
+    (bit-identical to SQL's single-pass sums after /100)."""
+    from ray.data.aggregate import Sum
+
+    import ray.data as rd
+
+    from .join import _arrow_schema
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        part = pd.DataFrame({**{k: df[k] for k in keys},
+                             n_col: np.ones(len(df), np.int64), sum_col: cents})
+        g = part.groupby(keys, as_index=False, dropna=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    finest = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+              .groupby(keys)
+              .aggregate(Sum(n_col, alias_name=n_col), Sum(sum_col, alias_name=sum_col))
+              .materialize())
+    fsch = _arrow_schema(finest)
+    ktype = {k: fsch.field(k).type for k in keys}
+
+    def widen(level_keys: list[str]):
+        def f(batch: pa.Table) -> pa.Table:
+            cols = [batch.column(k).cast(ktype[k]) if k in level_keys
+                    else pa.nulls(len(batch), ktype[k]) for k in keys]
+            cols.append(batch.column(n_col).cast(pa.int64()))
+            s = batch.column(sum_col).to_numpy(zero_copy_only=False) / 100.0
+            cols.append(pa.array(s, pa.float64()))
+            return pa.table(cols, names=keys + [n_col, sum_col])
+        return f
+
+    levels = [finest.map_batches(widen(keys), batch_format="pyarrow")]
+    prev = finest
+    for i in range(len(keys) - 1, 0, -1):
+        prev = (prev.groupby(keys[:i])
+                .aggregate(Sum(n_col, alias_name=n_col), Sum(sum_col, alias_name=sum_col))
+                .materialize())
+        levels.append(prev.map_batches(widen(keys[:i]), batch_format="pyarrow"))
+    tot = prev.aggregate(Sum(n_col, alias_name=n_col), Sum(sum_col, alias_name=sum_col))
+    total_tbl = pa.table(
+        [pa.nulls(1, ktype[k]) for k in keys]
+        + [pa.array([int(tot[n_col] or 0)], pa.int64()),
+           pa.array([float(tot[sum_col] or 0) / 100.0], pa.float64())],
+        names=keys + [n_col, sum_col])
+    levels.append(rd.from_arrow(total_tbl))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out

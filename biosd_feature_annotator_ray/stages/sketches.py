@@ -393,3 +393,26 @@ def weighted_sample(
     return (ds.map_batches(local_topk, batch_format="pyarrow",
                            batch_size=65536)
             .sort("_aes_key").limit(k).drop_columns(["_aes_key"]))
+
+
+MERSENNE61 = (1 << 61) - 1
+
+
+def table_fingerprint(ds: "ray.data.Dataset", col: str,
+                      mod: int = MERSENNE61) -> tuple[int, int]:
+    """Order-insensitive dataset checksum: (Σ md5_u32(value) mod 2^61−1,
+    row count). Cross-system deterministic — the same md5 recipe the
+    train/test splitter pins against DuckDB — so two engines (or two
+    runs of a resumable sink) can cheaply agree a materialized table is
+    identical without sorting or shipping it. Map-side per-batch
+    partial sums; the driver folds one tiny row per batch."""
+    from ..functions.hashing import md5_u32
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = md5_u32(batch.column(col).to_pylist())
+        return pa.table({"s": pa.array([int(h.sum()) % mod], pa.int64()),
+                         "n": pa.array([len(h)], pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536).to_pandas()
+    return int(parts["s"].sum()) % mod, int(parts["n"].sum())

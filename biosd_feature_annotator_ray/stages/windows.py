@@ -200,6 +200,37 @@ def rank_per_key(
     )
 
 
+def cap_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    n: int = 1000,
+    nb: int = 16,
+    max_bucket_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-key row quota — the Common-Crawl "keep at most N documents
+    per domain" curation op: each key keeps its first ``n`` rows in
+    (order_cols) order, the rest are dropped. Arrow-native rank +
+    filter in one bucket finisher (same co-location contract as
+    rank_per_key)."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "cap_per_key", max_bucket_rows)
+        t, _, start = _sorted_runs(g, key_col, oc)
+        rn = np.arange(len(t), dtype=np.int64) - start
+        return t.filter(pa.array(rn < n))
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def cumsum_per_key(
     events: "ray.data.Dataset",
     key_col: str = "user_id",
