@@ -2381,6 +2381,83 @@ def q_graph_components(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_pmi_pairs(sf_dir: str):
+    """Top PMI-scored co-occurring term pairs (KG relatedness edges):
+    cooccurrence shuffle + distinct-key token counts + broadcast
+    scoring, ln() bit-parity with the DuckDB oracle."""
+    from ..stages.graph import pmi_pairs
+
+    out = pmi_pairs(_docs(sf_dir, ["doc_id", "text"]), min_count=5)
+    df = out.to_pandas()
+    df["n_ab"] = df.pop("n_docs").astype("int64")
+    df = df.sort_values(["pmi", "t1", "t2"], ascending=[False, True, True],
+                        kind="mergesort").head(100).reset_index(drop=True)
+    return pa.Table.from_pandas(df[["t1", "t2", "n_ab", "pmi"]],
+                                preserve_index=False)
+
+
+def q_two_hop_counts(sf_dir: str):
+    """≤2-hop neighborhood size per node over the derived customer
+    graph — multi-join composition: undirected expand → shuffle
+    self-join → exact dedup → distinct-count reduce."""
+    from ..stages.join import shuffle_hash_join
+
+    e = _derived_customer_edges(sf_dir)  # (a, b) deduped, a < b
+
+    def und(t: pa.Table) -> pa.Table:
+        a = t.column("a").combine_chunks()
+        b = t.column("b").combine_chunks()
+        return pa.table({"node": pa.concat_arrays([a, b]),
+                         "nb": pa.concat_arrays([b, a])})
+
+    ed = e.map_batches(und, batch_format="pyarrow").materialize()
+    mid = ed.map_batches(lambda t: t.rename_columns(["nb", "nb2"]),
+                         batch_format="pyarrow")
+    two = shuffle_hash_join(ed, mid, on=["nb"], how="inner", nb=16).map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("node"), t.column("nb2")))
+                   .select(["node", "nb2"]).rename_columns(["node", "nb"]),
+        batch_format="pyarrow")
+    both = dedup_exact(ed.union(two), ["node", "nb"], nb=16)
+    out = distinct_counts(both.select_columns(["node"]), "node", nb=16)
+    df = out.to_pandas().rename(columns={"count": "n_within2"})
+    df["node"] = df["node"].astype("int64")
+    df["n_within2"] = df["n_within2"].astype("int64")
+    return pa.Table.from_pandas(df.sort_values("node").reset_index(drop=True),
+                                preserve_index=False)
+
+
+def q_table_diff_orders(sf_dir: str):
+    """Snapshot diff (added/removed/changed) between orders and a
+    deterministically-derived second snapshot — one full-outer bucket
+    shuffle + vectorized null-safe classify (table_diff)."""
+    from ..stages.join import table_diff
+
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey", "o_totalprice"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        keep = (k % 97) != 0
+        k2, v2 = k[keep], v[keep].copy()
+        v2[(k2 % 89) == 0] += 1.0  # exact double bump, no rounding
+        add = (k % 101) == 0
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.concatenate([k2, k[add] + 30000000]).astype(np.int64)),
+            "o_totalprice": pa.array(
+                np.concatenate([v2, v[add]]), pa.float64()),
+        })
+
+    new = base.map_batches(derive, batch_format="pyarrow")
+    out = table_diff(base, new, ["o_orderkey"], ["o_totalprice"], nb=16)
+    df = out.to_pandas()
+    df["o_orderkey"] = df["o_orderkey"].astype("int64")
+    return pa.Table.from_pandas(
+        df.sort_values(["o_orderkey", "change"]).reset_index(drop=True),
+        preserve_index=False)
+
+
 QUERIES = {
     "count_documents": q_count_documents,
     "filter_lang_en": q_filter_lang_en,
@@ -2432,6 +2509,9 @@ QUERIES = {
     "rollup_orders": q_rollup_orders,
     "fingerprint_events": q_fingerprint_events,
     "graph_components": q_graph_components,
+    "pmi_pairs": q_pmi_pairs,
+    "two_hop_counts": q_two_hop_counts,
+    "table_diff_orders": q_table_diff_orders,
     "heavy_hitters": q_heavy_hitters,
     "knn_cosine": q_knn_cosine,
     "cumsum_events": q_cumsum_events,
@@ -3384,6 +3464,56 @@ ORACLES["fingerprint_events"] = (
     "SELECT CAST(sum(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))"
     "  ::UBIGINT) % 2305843009213693951 AS BIGINT) AS fp,"
     " CAST(count(*) AS BIGINT) AS n FROM events"
+)
+
+ORACLES["table_diff_orders"] = (
+    "WITH new AS ("
+    "  SELECT o_orderkey, CASE WHEN o_orderkey % 89 = 0"
+    "    THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice"
+    "  FROM orders WHERE o_orderkey % 97 <> 0"
+    "  UNION ALL SELECT o_orderkey + 30000000, o_totalprice FROM orders"
+    "   WHERE o_orderkey % 101 = 0),"
+    " j AS (SELECT b.o_orderkey AS bk, n.o_orderkey AS nk,"
+    "    b.o_totalprice AS bv, n.o_totalprice AS nv"
+    "   FROM orders b FULL OUTER JOIN new n ON b.o_orderkey = n.o_orderkey)"
+    " SELECT CAST(coalesce(bk, nk) AS BIGINT) AS o_orderkey,"
+    "  CASE WHEN bk IS NULL THEN 'added' WHEN nk IS NULL THEN 'removed'"
+    "   ELSE 'changed' END AS change"
+    " FROM j WHERE bk IS NULL OR nk IS NULL OR bv <> nv"
+)
+
+ORACLES["pmi_pairs"] = (
+    "WITH tok AS ("
+    "  SELECT DISTINCT doc_id,"
+    "   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t"
+    "  FROM documents WHERE trim(text) <> ''),"
+    " pairs AS (SELECT a.t AS t1, b.t AS t2, count(*) AS n_ab"
+    "   FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t"
+    "   GROUP BY 1, 2),"
+    " tc AS (SELECT t, count(*) AS n_t FROM tok GROUP BY t),"
+    " nn AS (SELECT count(*) AS n FROM documents),"
+    " s AS (SELECT t1, t2, n_ab,"
+    "    round(ln(CAST(n_ab AS DOUBLE) * nn.n / (ta.n_t * tb.n_t)), 6) AS pmi"
+    "   FROM pairs JOIN tc ta ON ta.t = pairs.t1"
+    "   JOIN tc tb ON tb.t = pairs.t2 CROSS JOIN nn WHERE n_ab >= 5)"
+    " SELECT t1, t2, CAST(n_ab AS BIGINT) AS n_ab, pmi FROM s"
+    " ORDER BY pmi DESC, t1, t2 LIMIT 100"
+)
+
+ORACLES["two_hop_counts"] = (
+    "WITH e0 AS ("
+    "  SELECT o_custkey AS u, (o_custkey * 37) % 500 AS v FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 101) % 500 FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 7 + 13) % 500 FROM orders),"
+    " e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+    "   FROM e0 WHERE u <> v),"
+    " ed AS (SELECT a AS node, b AS nb FROM e"
+    "   UNION ALL SELECT b, a FROM e),"
+    " two AS (SELECT node, nb FROM ed"
+    "   UNION SELECT x.node, y.nb FROM ed x JOIN ed y ON x.nb = y.node"
+    "    WHERE y.nb <> x.node)"
+    " SELECT CAST(node AS BIGINT) AS node,"
+    "  CAST(count(*) AS BIGINT) AS n_within2 FROM two GROUP BY node"
 )
 
 # connected components = min label reachable over the undirected edge

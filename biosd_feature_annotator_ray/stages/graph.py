@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import hash_strings
 from ..schemas import GRAPH_EDGE
@@ -323,6 +324,66 @@ def cooccurrence_edges(
                 pc.greater_equal(t.column("n_docs"), mc)),
             batch_format="pyarrow")
     return agg
+
+
+def pmi_pairs(
+    docs: "object",
+    id_col: str = "doc_id",
+    col: str = "text",
+    min_count: int = 5,
+    max_tokens_per_doc: int = 2048,
+) -> "object":
+    """PMI-scored term relatedness: for every co-occurring unordered
+    token pair, pmi = ln(n_ab·N / (n_a·n_b)) over document-level
+    co-occurrence — the classic KG relatedness-edge weighting on top of
+    ``cooccurrence_edges``.
+
+    Scale shape: pair counts ride the existing pre-combined
+    cooccurrence shuffle; per-token document counts are one
+    distinct-key reduce; the token-count table is the SMALL side (the
+    vocabulary, pre-filtered by the same assumptions cooccurrence
+    documents) and is broadcast once via ray.put — scoring is then a
+    pure per-batch map, no third shuffle."""
+    import ray as _ray
+    from .canonicalize import distinct_counts
+
+    pairs = cooccurrence_edges(docs, id_col=id_col, col=col,
+                               min_count=min_count,
+                               max_tokens_per_doc=max_tokens_per_doc)
+    pairs = pairs.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("t1"), "__truncated__")),
+        batch_format="pyarrow")
+
+    def tok(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        parent = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(flat, "")
+        tbl = pa.table({"d": parent.filter(keep), "t": flat.filter(keep)})
+        return tbl.group_by(["d", "t"]).aggregate([]).select(["t"])
+
+    n_docs = docs.count()
+    tc = distinct_counts(
+        docs.map_batches(tok, batch_format="pyarrow", batch_size=8192), "t")
+    tcp = tc.to_pandas()
+    ref = _ray.put(dict(zip(tcp["t"], tcp["count"])))
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        t1 = batch.column("t1").to_pylist()
+        t2 = batch.column("t2").to_pylist()
+        n_ab = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
+        n_a = np.array([m[t] for t in t1], np.float64)
+        n_b = np.array([m[t] for t in t2], np.float64)
+        pmi = np.round(np.log(n_ab * float(n_docs) / (n_a * n_b)), 6)
+        return batch.append_column("pmi", pa.array(pmi, pa.float64()))
+
+    return pairs.map_batches(score, batch_format="pyarrow")
 
 
 def _min_per_node(ds, nb: int, node_col: str = "node", val_col: str = "dist"):

@@ -736,3 +736,51 @@ def bloom_prefilter(
 
     return probe.map_batches(keep_positive, batch_format="pyarrow",
                              batch_size=65536)
+
+
+def table_diff(
+    base: "ray.data.Dataset",
+    new: "ray.data.Dataset",
+    key_cols: list[str],
+    compare_cols: list[str],
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """CDC-style diff of two keyed tables: (key…, change) with change ∈
+    added | removed | changed — "what happened between snapshot A and
+    snapshot B" without shipping either table to the driver.
+
+    Shape: presence markers on each side, ONE full-outer bucket shuffle
+    join (keys co-locate once), then a per-batch vectorized classify —
+    null-safe equality on ``compare_cols`` (null == null counts as
+    same). Unchanged rows are dropped batch-side, so the output is
+    diff-sized, not table-sized."""
+
+    def mark(name: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.append_column(name, pa.array(
+                np.ones(len(batch), np.int8)))
+        return f
+
+    b = base.map_batches(mark("__in_a"), batch_format="pyarrow",
+                         batch_size=65536)
+    n = new.map_batches(mark("__in_b"), batch_format="pyarrow",
+                        batch_size=65536)
+    j = shuffle_hash_join(b, n, on=key_cols, how="full", nb=nb)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        in_a = pc.is_valid(batch.column("__in_a")).to_numpy(zero_copy_only=False)
+        in_b = pc.is_valid(batch.column("__in_b")).to_numpy(zero_copy_only=False)
+        differs = np.zeros(len(batch), dtype=bool)
+        for c in compare_cols:
+            cl, cr = batch.column(c + "_l"), batch.column(c + "_r")
+            eq = pc.fill_null(pc.equal(cl, cr), False)
+            both_null = pc.and_(pc.is_null(cl), pc.is_null(cr))
+            same = pc.or_(eq, both_null).to_numpy(zero_copy_only=False)
+            differs |= ~same
+        change = np.where(~in_a, "added", np.where(~in_b, "removed", "changed"))
+        keep = ~in_a | ~in_b | differs
+        out = batch.select(key_cols).append_column(
+            "change", pa.array(change, pa.string()))
+        return out.filter(pa.array(keep))
+
+    return j.map_batches(classify, batch_format="pyarrow")

@@ -70,3 +70,16 @@ def test_table_fingerprint_order_insensitive(ray_session):
     # a single changed value changes the fingerprint
     t3 = pa.table({"event_id": pa.array(np.concatenate([ids[:-1], [999]]))})
     assert table_fingerprint(rd.from_arrow(t3), "event_id") != fp1
+
+
+def test_table_diff_classes_and_null_safety(ray_session):
+    from biosd_feature_annotator_ray.stages.join import table_diff
+
+    base = pd.DataFrame({"k": [1, 2, 3, 4], "v": [1.0, None, 3.0, 4.0]})
+    new = pd.DataFrame({"k": [2, 3, 4, 5], "v": [None, 30.0, 4.0, 5.0]})
+    out = table_diff(rd.from_pandas(base).repartition(2),
+                     rd.from_pandas(new).repartition(2),
+                     ["k"], ["v"], nb=4).to_pandas()
+    got = dict(zip(out.k, out.change))
+    # 1 removed; 2 null==null -> same (absent); 3 changed; 4 same; 5 added
+    assert got == {1: "removed", 3: "changed", 5: "added"}
