@@ -1304,8 +1304,13 @@ def q_approx_distinct_users(sf_dir: str):
     landed within 5%, so a broken HLL now fails the driver hash)."""
     from ..stages.sketches import approx_distinct
 
-    est = approx_distinct(_events(sf_dir, ["user_id"]), "user_id", p=12)
-    exact = distinct_counts(_events(sf_dir, ["user_id"]), "user_id", nb=8).count()
+    # ONE events scan: HLL is duplicate-insensitive, so sketching the
+    # (small, materialized) distinct-key set yields the identical
+    # estimate as sketching the raw stream — and exact = its row count.
+    dd = distinct_counts(_events(sf_dir, ["user_id"]), "user_id",
+                         nb=8).materialize()
+    est = approx_distinct(dd, "user_id", p=12)
+    exact = dd.count()
     ok = exact > 0 and abs(est - exact) / exact <= 0.05
     return pa.table({"n_exact": pa.array([exact], pa.int64()),
                      "hll_within_5pct": pa.array([ok], pa.bool_())})
@@ -3483,10 +3488,20 @@ ORACLES["table_diff_orders"] = (
 )
 
 ORACLES["pmi_pairs"] = (
-    "WITH tok AS ("
-    "  SELECT DISTINCT doc_id,"
-    "   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t"
+    # tok models the engine's max_tokens_per_doc=2048 contract exactly:
+    # each doc's first 2048 DISTINCT tokens in appearance order (no doc
+    # in the testdata exceeds 31, but the contract is now oracle-encoded)
+    "WITH raw AS ("
+    "  SELECT doc_id,"
+    "   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t,"
+    "   generate_subscripts(regexp_split_to_array(trim(text), '\\s+'), 1) AS pos"
     "  FROM documents WHERE trim(text) <> ''),"
+    " firstpos AS (SELECT doc_id, t, min(pos) AS fp FROM raw"
+    "   WHERE t <> '' GROUP BY 1, 2),"
+    " tok AS (SELECT doc_id, t FROM ("
+    "   SELECT doc_id, t, row_number() OVER"
+    "     (PARTITION BY doc_id ORDER BY fp) AS rk FROM firstpos)"
+    "   WHERE rk <= 2048),"
     " pairs AS (SELECT a.t AS t1, b.t AS t2, count(*) AS n_ab"
     "   FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t"
     "   GROUP BY 1, 2),"

@@ -260,6 +260,37 @@ def pagerank(
     return ranks
 
 
+def _doc_distinct_tokens(batch: pa.Table, col: str,
+                         max_tokens_per_doc: int):
+    """Shared tokenizer for the co-occurrence/PMI family: RE2 ``\\s+``
+    split (the SAME kernel the DuckDB oracles use — Python str.split
+    additionally breaks on \\v/\\xa0 etc., silently diverging on scraped
+    text), reduced to each document's first ``max_tokens_per_doc``
+    DISTINCT tokens in appearance order. Returns ``(flat_df[d, t],
+    n_truncated_docs)``. Both the pair generator and the token-count
+    pass MUST use this one function so PMI numerators and denominators
+    see the identical token universe."""
+    import pandas as pd
+
+    text = pc.fill_null(batch.column(col), "")
+    if text.type != pa.string():
+        text = text.cast(pa.string())
+    lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    parent = pc.list_parent_indices(lists)
+    flat_t = pc.list_flatten(lists)
+    keep = pc.not_equal(flat_t, "")
+    flat = pd.DataFrame({
+        "d": pc.filter(parent, keep).to_numpy(zero_copy_only=False),
+        "t": pc.filter(flat_t, keep).to_pandas(),
+    }).drop_duplicates()
+    n_trunc = 0
+    if len(flat):
+        rank = flat.groupby("d").cumcount()
+        n_trunc = int((rank == max_tokens_per_doc).sum())
+        flat = flat[rank < max_tokens_per_doc]
+    return flat, n_trunc
+
+
 def cooccurrence_edges(
     docs: "object",
     id_col: str = "doc_id",
@@ -289,18 +320,7 @@ def cooccurrence_edges(
     from ray.data.aggregate import Sum
 
     def pairs(batch: pa.Table) -> pa.Table:
-        df = batch.to_pandas()
-        toks = [t.split() for t in df[col].fillna("")]
-        lengths = np.fromiter((len(x) for x in toks), np.int64, count=len(toks))
-        flat = pd.DataFrame({
-            "d": np.repeat(np.arange(len(lengths)), lengths),
-            "t": [w for ws in toks for w in ws],
-        }).drop_duplicates()
-        n_trunc = 0
-        if len(flat):
-            rank = flat.groupby("d").cumcount()
-            n_trunc = int((rank == max_tokens_per_doc).sum())
-            flat = flat[rank < max_tokens_per_doc]
+        flat, n_trunc = _doc_distinct_tokens(batch, col, max_tokens_per_doc)
         m = flat.merge(flat, on="d")
         m = m[m["t_x"] < m["t_y"]]
         part = (m.groupby(["t_x", "t_y"], sort=False).size()
@@ -317,8 +337,6 @@ def cooccurrence_edges(
            .groupby(["t1", "t2"])
            .aggregate(Sum("n_part", alias_name="n_docs")))
     if min_count > 1:
-        import pyarrow.compute as pc
-
         agg = agg.map_batches(
             lambda t, mc=int(min_count): t.filter(
                 pc.greater_equal(t.column("n_docs"), mc)),
@@ -355,17 +373,11 @@ def pmi_pairs(
         batch_format="pyarrow")
 
     def tok(batch: pa.Table) -> pa.Table:
-        text = pc.fill_null(batch.column(col), "")
-        if text.type != pa.string():
-            text = text.cast(pa.string())
-        lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-        parent = pc.list_parent_indices(lists)
-        flat = pc.list_flatten(lists)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        keep = pc.not_equal(flat, "")
-        tbl = pa.table({"d": parent.filter(keep), "t": flat.filter(keep)})
-        return tbl.group_by(["d", "t"]).aggregate([]).select(["t"])
+        # SAME truncated token universe as the pair generator, so n_a /
+        # n_b denominators and n_ab numerators are mutually consistent
+        # even when a document exceeds max_tokens_per_doc
+        flat, _ = _doc_distinct_tokens(batch, col, max_tokens_per_doc)
+        return pa.table({"t": pa.Array.from_pandas(flat["t"], type=pa.string())})
 
     n_docs = docs.count()
     tc = distinct_counts(
@@ -375,11 +387,12 @@ def pmi_pairs(
 
     def score(batch: pa.Table) -> pa.Table:
         m = _ray.get(ref)
-        t1 = batch.column("t1").to_pylist()
-        t2 = batch.column("t2").to_pylist()
         n_ab = batch.column("n_docs").to_numpy(zero_copy_only=False).astype(np.float64)
-        n_a = np.array([m[t] for t in t1], np.float64)
-        n_b = np.array([m[t] for t in t2], np.float64)
+        n_a = batch.column("t1").to_pandas().map(m).to_numpy(dtype=np.float64)
+        n_b = batch.column("t2").to_pandas().map(m).to_numpy(dtype=np.float64)
+        if np.isnan(n_a).any() or np.isnan(n_b).any():
+            raise RuntimeError("pmi_pairs: pair token absent from the "
+                               "token-count map (tokenizer divergence)")
         pmi = np.round(np.log(n_ab * float(n_docs) / (n_a * n_b)), 6)
         return batch.append_column("pmi", pa.array(pmi, pa.float64()))
 

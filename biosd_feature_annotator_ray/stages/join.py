@@ -45,8 +45,13 @@ def _key_codes(lt: pa.Table, rt: pa.Table, on: list[str]):
     canonical per-row key string (both sides already share the wide
     schema's key types, so a plain string cast is value-exact — ints
     keep full precision, floats render uniquely, -0.0 normalized to
-    +0.0), dictionary-encoded across BOTH sides so equal keys share a
-    code. Any null key component → null string → code -1."""
+    +0.0 and NaN demoted to null so NaN never matches NaN, matching the
+    pandas dropna(subset=on) path this replaced), dictionary-encoded
+    across BOTH sides so equal keys share a code. Any null key
+    component → null string → code -1. Multi-column keys are
+    LENGTH-PREFIXED per component ("3:foo") before joining, so the
+    encoding is injective even when a string key contains the join
+    separator byte."""
 
     def keystr(t: pa.Table) -> pa.Array:
         parts = []
@@ -56,12 +61,15 @@ def _key_codes(lt: pa.Table, rt: pa.Table, on: list[str]):
                 arr = arr.combine_chunks()
             if pa.types.is_floating(arr.type):
                 arr = pc.add(arr, 0.0)
+                arr = pc.if_else(pc.is_nan(arr), pa.scalar(None, arr.type), arr)
             if not (pa.types.is_string(arr.type)
                     or pa.types.is_large_string(arr.type)):
                 arr = pc.cast(arr, pa.string())
             parts.append(arr)
         if len(parts) == 1:
             return parts[0]
+        parts = [pc.binary_join_element_wise(
+            pc.cast(pc.binary_length(p), pa.string()), p, ":") for p in parts]
         return pc.binary_join_element_wise(*parts, "\x1f")  # null → null
 
     lk, rk = keystr(lt), keystr(rt)

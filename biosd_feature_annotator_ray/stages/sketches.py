@@ -415,4 +415,11 @@ def table_fingerprint(ds: "ray.data.Dataset", col: str,
 
     parts = ds.map_batches(partial, batch_format="pyarrow",
                            batch_size=65536).to_pandas()
-    return int(parts["s"].sum()) % mod, int(parts["n"].sum())
+    # Fold with Python ints: each partial is < mod (≈2^61), so a pandas
+    # int64 sum would silently wrap past ~4 partials' worth of headroom
+    # on a billion-row table — exactly the false-"tables differ" failure
+    # this checksum exists to rule out.
+    s = 0
+    for v in parts["s"]:
+        s = (s + int(v)) % mod
+    return s, int(parts["n"].sum())

@@ -62,8 +62,13 @@ def _sorted_runs(g: pa.Table, key_col: str, order_cols: list[str],
     new = np.ones(n, dtype=bool)
     if n > 1:
         k = t.column(key_col).combine_chunks()
-        same = pc.fill_null(pc.equal(k.slice(1), k.slice(0, n - 1)),
-                            False).to_numpy(zero_copy_only=False)
+        k1, k0 = k.slice(1), k.slice(0, n - 1)
+        # null==null is null in Arrow; SQL PARTITION BY puts all NULL
+        # keys in ONE partition (they sort contiguously), so treat two
+        # adjacent nulls as the same run
+        same = pc.or_(pc.fill_null(pc.equal(k1, k0), False),
+                      pc.and_(pc.is_null(k1), pc.is_null(k0))
+                      ).to_numpy(zero_copy_only=False)
         new[1:] = ~same
     idx = np.arange(n, dtype=np.int64)
     start = np.maximum.accumulate(np.where(new, idx, 0))
@@ -242,10 +247,11 @@ def cumsum_per_key(
 ) -> "ray.data.Dataset":
     """sum(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
     UNBOUNDED PRECEDING): running total per key, Arrow-native. The
-    per-key prefix is the global cumsum minus the run head's prefix —
-    float association differs from a strictly sequential per-group sum
-    by ≤ a few ulp (the same tolerance already granted to DuckDB's
-    segment-tree window sums)."""
+    per-key prefix is the global cumsum minus the run head's prefix.
+    Integer value columns stay in int64 (exact, like SQL SUM OVER —
+    no 2^53 float rounding); float columns differ from a strictly
+    sequential per-group sum by ≤ a few ulp (the same tolerance
+    already granted to DuckDB's segment-tree window sums)."""
     oc = order_cols or ["ts", "event_id"]
 
     def local(batch: pa.Table) -> pa.Table:
@@ -254,10 +260,15 @@ def cumsum_per_key(
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "cumsum_per_key", max_bucket_rows)
         t, _, start = _sorted_runs(g, key_col, oc)
-        v = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        is_int = pa.types.is_integer(t.schema.field(value_col).type)
+        col = t.column(value_col)
+        if is_int and col.null_count:
+            col = pc.fill_null(col, 0)  # SQL SUM OVER skips NULLs
+        v = col.to_numpy(zero_copy_only=False).astype(
+            np.int64 if is_int else np.float64)
         cs = np.cumsum(v)
         cum = cs - (cs[start] - v[start]) if len(t) else cs
-        return t.append_column(out, pa.array(cum, pa.float64()))
+        return t.append_column(out, pa.array(cum, pa.int64() if is_int else pa.float64()))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -285,6 +296,7 @@ def rolling_mean_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "rolling_mean_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         grp = df.groupby(key_col, sort=False)[value_col]
@@ -321,6 +333,7 @@ def dense_rank_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "dense_rank_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df[out] = (df.groupby(key_col, sort=False)[order_col]
                    .rank(method="dense", ascending=ascending).astype("int64"))
@@ -351,6 +364,7 @@ def ntile_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "ntile_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         grp = df.groupby(key_col, sort=False)
@@ -394,6 +408,7 @@ def collect_seq_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "collect_seq_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         df["_s"] = df[value_col].astype(str)
@@ -423,6 +438,7 @@ def percent_rank_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "percent_rank_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         grp = df.groupby(key_col, sort=False)
         rank = grp[order_col].rank(method="min").to_numpy()
@@ -486,6 +502,7 @@ def cume_dist_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "cume_dist_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         grp = df.groupby(key_col, sort=False)
         rank = grp[order_col].rank(method="max").to_numpy()
@@ -517,6 +534,7 @@ def first_value_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "first_value_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         df[out] = df.groupby(key_col, sort=False)[value_col].transform("first")
@@ -587,6 +605,7 @@ def last_value_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "last_value_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         df[out] = df.groupby(key_col, sort=False)[value_col].transform("last")
@@ -621,6 +640,7 @@ def nth_value_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "nth_value_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         cc = df.groupby(key_col, sort=False).cumcount()
@@ -722,6 +742,7 @@ def trailing_time_sum_per_key(
     w_us = np.int64(window // pd.Timedelta(microseconds=1))
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "trailing_time_sum_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col, ts_col], kind="mergesort")
         ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
@@ -783,6 +804,7 @@ def rolling_extreme_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "rolling_extreme_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         r = df.groupby(key_col, sort=False)[value_col].rolling(
@@ -919,6 +941,7 @@ def funnel_steps_per_user(
         return _add_bucket(batch.filter(keep), [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "funnel_steps_per_user", None)
         df = g.drop_columns([_B]).to_pandas()
         users = df[key_col].drop_duplicates().sort_values()
         done = pd.Series(np.zeros(len(users), np.int64), index=users)
@@ -966,6 +989,7 @@ def centered_mean_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "centered_mean_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         m = (df.groupby(key_col, sort=False)[value_col]
