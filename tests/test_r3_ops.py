@@ -83,3 +83,92 @@ def test_table_diff_classes_and_null_safety(ray_session):
     got = dict(zip(out.k, out.change))
     # 1 removed; 2 null==null -> same (absent); 3 changed; 4 same; 5 added
     assert got == {1: "removed", 3: "changed", 5: "added"}
+
+
+def test_join_nan_keys_never_match(ray_session):
+    # Arrow-native finisher parity with the old pandas dropna(subset=on)
+    # path: NaN float keys match NOTHING (not even another NaN)
+    from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+
+    l = pd.DataFrame({"k": [1.0, np.nan, np.nan, 2.0], "lv": [1, 2, 3, 4]})
+    r = pd.DataFrame({"k": [np.nan, 2.0, np.nan], "rv": [10, 20, 30]})
+    out = shuffle_hash_join(rd.from_pandas(l).repartition(2),
+                            rd.from_pandas(r).repartition(2),
+                            ["k"], how="inner", nb=4).to_pandas()
+    assert out.lv.tolist() == [4] and out.rv.tolist() == [20]
+    semi = shuffle_hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                             ["k"], how="semi", nb=4).to_pandas()
+    assert semi.lv.tolist() == [4]
+    anti = shuffle_hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                             ["k"], how="anti", nb=4).to_pandas()
+    assert sorted(anti.lv.tolist()) == [1]  # NaN-key rows dropped, not kept
+
+
+def test_join_composite_key_separator_injective(ray_session):
+    # ('a\x1fb','c') and ('a','b\x1fc') must NOT join (length-prefixed
+    # key encoding); equal composite keys containing the separator must
+    from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+
+    l = pd.DataFrame({"k1": ["a\x1fb", "a"], "k2": ["c", "b\x1fc"],
+                      "lv": [1, 2]})
+    r = pd.DataFrame({"k1": ["a", "a\x1fb"], "k2": ["b\x1fc", "c"],
+                      "rv": [20, 10]})
+    out = shuffle_hash_join(rd.from_pandas(l), rd.from_pandas(r),
+                            ["k1", "k2"], how="inner",
+                            nb=4).to_pandas().sort_values("lv")
+    # each left row matches exactly its true composite twin
+    assert out.lv.tolist() == [1, 2] and out.rv.tolist() == [10, 20]
+
+
+def test_window_null_keys_one_partition(ray_session):
+    # SQL PARTITION BY puts all NULL keys in ONE partition: rank counts
+    # them 1..n and cap_per_key's quota applies to the null group too
+    from biosd_feature_annotator_ray.stages.windows import (cap_per_key,
+                                                            rank_per_key)
+
+    df = pd.DataFrame({
+        "source": [None, "a", None, None, "a"],
+        "doc_id": [3, 1, 5, 4, 2],
+    })
+    ds = rd.from_pandas(df).repartition(2)
+    capped = cap_per_key(ds, key_col="source", order_cols=["doc_id"], n=2,
+                         nb=4).to_pandas()
+    assert sorted(capped.doc_id.tolist()) == [1, 2, 3, 4]  # null group capped
+    ranked = rank_per_key(ds, key_col="source", order_cols=["doc_id"],
+                          nb=4).to_pandas().sort_values("doc_id")
+    got = dict(zip(ranked.doc_id, ranked.rn))
+    assert got == {1: 1, 2: 2, 3: 1, 4: 2, 5: 3}
+
+
+def test_cumsum_integer_exact_past_2_53(ray_session):
+    # int64 running totals stay exact where float64 would round
+    from biosd_feature_annotator_ray.stages.windows import cumsum_per_key
+
+    big = (1 << 53) + 1  # not representable as float64 + 1
+    df = pd.DataFrame({"user_id": [1, 1, 1], "value": [big, 1, 1],
+                       "ts": pd.to_datetime(["2024-01-01", "2024-01-02",
+                                             "2024-01-03"]),
+                       "event_id": [1, 2, 3]})
+    out = cumsum_per_key(rd.from_pandas(df), key_col="user_id",
+                         value_col="value", nb=2).to_pandas()
+    out = out.sort_values("event_id")
+    assert out.cum_value.dtype == np.int64
+    assert out.cum_value.tolist() == [big, big + 1, big + 2]
+
+
+def test_cooccurrence_tokenizer_matches_re2(ray_session):
+    # \xa0 and \v are NOT token separators (RE2 \s+, same as the DuckDB
+    # oracle) — str.split() would split them and crash/diverge pmi
+    from biosd_feature_annotator_ray.stages.graph import pmi_pairs
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5, 6],
+        "text": ["foo\xa0bar baz", "foo\xa0bar baz", "foo\xa0bar baz",
+                 "foo\xa0bar baz", "foo\xa0bar baz", "a\vb qux"],
+    })
+    out = pmi_pairs(rd.from_pandas(docs).repartition(2),
+                    min_count=5).to_pandas()
+    # 'foo\xa0bar' stays one token: the pair with 'baz' co-occurs 5x
+    pairs = set(zip(out.t1, out.t2))
+    assert ("baz", "foo\xa0bar") in pairs
+    assert not any("foo" == a or "bar" == b for a, b in pairs)
