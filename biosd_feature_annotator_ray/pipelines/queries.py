@@ -3548,3 +3548,73 @@ ORACLES["graph_components"] = (
     " SELECT CAST(node AS BIGINT) AS doc_id,"
     "  CAST(min(lab) AS BIGINT) AS cluster_rep FROM reach GROUP BY node"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 wave 2: corpus curation census + rebalancing + exact unigram LM
+
+
+def q_rebalance_sources(sf_dir: str):
+    """Head-domain downsampling: each source capped at an EXPECTED 15
+    docs via the cross-system md5 uniform (under-cap sources pass
+    untouched) — the 'don't let one crawl host dominate the training
+    mix' curation primitive."""
+    from ..stages.canonicalize import rebalance_sample
+
+    return rebalance_sample(_docs(sf_dir, ["doc_id", "source"]),
+                            "source", "doc_id", cap=15, nb=8)
+
+
+def q_source_profile(sf_dir: str):
+    """Per-domain corpus census: volume, mean length, language
+    diversity, english share — the curation dashboard aggregate."""
+    from ..stages.textstats import source_profile
+
+    return source_profile(
+        _docs(sf_dir, ["doc_id", "source", "lang", "n_chars"]), nb=8)
+
+
+def q_unigram_nll(sf_dir: str):
+    """Exact-vocabulary unigram LM perplexity-proxy score per document
+    (the oracle-checkable twin of the feature-hashed
+    unigram_logprob_score)."""
+    from ..stages.textstats import unigram_nll_exact
+
+    return unigram_nll_exact(_docs(sf_dir, ["doc_id", "text"]), nb=8)
+
+
+QUERIES["rebalance_sources"] = q_rebalance_sources
+QUERIES["source_profile"] = q_source_profile
+QUERIES["unigram_nll"] = q_unigram_nll
+
+ORACLES["rebalance_sources"] = (
+    "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)"
+    " SELECT d.doc_id, d.source FROM documents d JOIN c USING (source)"
+    " WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+    "  < CASE WHEN c.n <= 15 THEN 4294967296"
+    "    ELSE CAST(floor(4294967296.0 * 15 / c.n) AS BIGINT) END"
+)
+
+ORACLES["source_profile"] = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    " round(avg(n_chars), 2) AS avg_chars,"
+    " CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,"
+    " round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)"
+    "       / CAST(count(*) AS DOUBLE), 4) AS en_share"
+    " FROM documents GROUP BY source"
+)
+
+ORACLES["unigram_nll"] = (
+    "WITH tok AS ("
+    "  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS t"
+    "  FROM documents WHERE trim(text) <> ''),"
+    " tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),"
+    " cnt AS (SELECT t, count(*) AS n FROM tok2 GROUP BY t),"
+    " v AS (SELECT t, n FROM (SELECT t, n, row_number() OVER"
+    "   (ORDER BY n DESC, t) AS rk FROM cnt) WHERE rk <= 65536),"
+    " tot AS (SELECT count(*) AS nn FROM tok2)"
+    " SELECT t2.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    "  round(avg(-ln(coalesce(v.n, 0.5) / tot.nn)), 6) AS nll"
+    " FROM tok2 t2 LEFT JOIN v USING (t) CROSS JOIN tot"
+    " GROUP BY t2.doc_id"
+)

@@ -537,3 +537,47 @@ def rollup_agg(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def rebalance_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    cap: int,
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """Head-key downsampling for training-data curation: keep each
+    ``key_col`` group's EXPECTED size at ≤ ``cap`` rows by thresholding
+    a cross-system-deterministic md5 uniform of ``id_col`` — groups
+    already under the cap pass untouched. The web-corpus analogue is
+    capping over-represented domains without a sort or a per-key
+    shuffle: pass 1 is the small ``distinct_counts`` key census
+    (broadcast once via ray.put), pass 2 a stateless vectorized filter.
+
+    Determinism contract: a row survives iff
+    ``md5_u32(id) < floor(2^32 * cap / n_key)`` — the float64 threshold
+    is computed identically by numpy and the DuckDB oracle expression,
+    so outputs are value-exact across engines and runs.
+    """
+    import ray as _ray
+
+    from ..functions.hashing import md5_u32
+
+    census = distinct_counts(ds, key_col, nb=nb).to_pandas()
+    thresh = {
+        k: (1 << 32) if n <= cap else int(np.floor(4294967296.0 * cap / n))
+        for k, n in zip(census[key_col], census["count"])
+    }
+    ref = _ray.put(thresh)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = _ray.get(ref)
+        kser = batch.column(key_col).to_pandas()
+        lim = kser.map(t).to_numpy(dtype=np.float64)
+        # null keys are not a "domain" — pass through uncapped (dict
+        # lookup of NaN is unreliable; make the choice explicit)
+        lim[kser.isna().to_numpy()] = float(1 << 32)
+        h = md5_u32(batch.column(id_col).to_pylist()).astype(np.float64)
+        return batch.filter(pa.array(h < lim))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)

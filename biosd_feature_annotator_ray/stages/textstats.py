@@ -975,3 +975,126 @@ def nb_predict(
 
     return docs.map_batches(score, batch_format="pyarrow",
                             batch_size=65536)
+
+
+def source_profile(
+    docs: "ray.data.Dataset",
+    key_col: str = "source",
+    lang_col: str = "lang",
+    chars_col: str = "n_chars",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Per-domain corpus census (the curation dashboard for a crawled
+    corpus): docs, mean length, language diversity, english share per
+    ``key_col``. Map-side pre-combine to (key, lang) partials — only
+    one tiny row per (domain, language, batch) crosses the wire — then
+    one bucket shuffle keyed on the domain.
+
+    Output: key, n_docs, avg_chars (round 2), n_langs, en_share
+    (round 4)."""
+    import pandas as pd
+
+    from .canonicalize import _add_bucket, _B
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, lang_col, chars_col]).to_pandas()
+        g = (df.groupby([key_col, lang_col], dropna=False, sort=False)
+             .agg(n=(chars_col, "size"), sum_chars=(chars_col, "sum"))
+             .reset_index())
+        return _add_bucket(pa.Table.from_pandas(g, preserve_index=False),
+                           [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        bylang = (df.groupby([key_col, lang_col], dropna=False, sort=False)
+                  .agg(n=("n", "sum"), sum_chars=("sum_chars", "sum"))
+                  .reset_index())
+        tot = (bylang.groupby(key_col, sort=False)
+               .agg(n_docs=("n", "sum"), sum_chars=("sum_chars", "sum"),
+                    n_langs=(lang_col, "nunique"))
+               .reset_index())
+        en = (bylang[bylang[lang_col] == "en"]
+              .groupby(key_col, sort=False)["n"].sum())
+        # half-away-from-zero rounding (DuckDB round()); numpy/pandas
+        # .round is half-even and diverges on exact .xx5 midpoints,
+        # which ratios of small integer sums DO hit
+        ac = (tot["sum_chars"] / tot["n_docs"]).to_numpy()
+        tot["avg_chars"] = np.floor(np.abs(ac) * 100 + 0.5) / 100 * np.sign(ac)
+        es = (tot[key_col].map(en).fillna(0) / tot["n_docs"]).to_numpy()
+        tot["en_share"] = np.floor(es * 1e4 + 0.5) / 1e4
+        out = tot[[key_col, "n_docs", "avg_chars", "n_langs", "en_share"]]
+        out = out.astype({"n_docs": "int64", "n_langs": "int64"})
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def unigram_nll_exact(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    col: str = "text",
+    max_vocab: int = 65536,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Exact-token unigram LM negative log-likelihood per document —
+    the ORACLE-CHECKABLE twin of ``unigram_logprob_score`` (whose
+    feature-hashed vocabulary a SQL engine cannot reproduce). Pass 1:
+    token-STREAM counts (pre-combined per batch, one groupby-sum
+    shuffle), truncated to the top ``max_vocab`` tokens by
+    (count desc, token asc) — a deterministic boundary — and broadcast
+    once. Pass 2: per-doc mean of -ln(p(t)) where in-vocab p =
+    count/N_total and out-of-vocab p = 0.5/N_total. Docs with zero
+    tokens are dropped (no distribution to score). Output: (id,
+    n_tokens, nll round 6)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        flat = pc.list_flatten(lists)
+        vc = flat.to_pandas().value_counts()
+        vc = vc[vc.index != ""]
+        return pa.table({"t": pa.array(vc.index, pa.string()),
+                         "n_part": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts = (docs.map_batches(tok_partial, batch_format="pyarrow",
+                               batch_size=65536)
+              .groupby("t").aggregate(Sum("n_part", alias_name="n"))
+              .materialize())
+    total = int(counts.sum("n") or 0)
+    # distributed top-V cut: only max_vocab rows ever reach the driver
+    # (the full corpus vocabulary never does)
+    cp = (counts.sort(["n", "t"], descending=[True, False])
+          .limit(max_vocab).to_pandas())
+    ref = _ray.put(dict(zip(cp["t"], cp["n"].astype(float))))
+
+    def score(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = _ray.get(ref)
+        text = pc.fill_null(batch.column(col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists).to_pandas()
+        keep = (flat != "").to_numpy()
+        parent, flat = parent[keep], flat[keep]
+        c = flat.map(m).fillna(0.5).to_numpy(dtype=np.float64)
+        neg = -np.log(c / float(total))
+        nrows = len(batch)
+        sums = np.bincount(parent, weights=neg, minlength=nrows)
+        lens = np.bincount(parent, minlength=nrows)
+        ok = lens > 0
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(ok)),
+            "n_tokens": pa.array(lens[ok].astype(np.int64)),
+            "nll": pa.array(np.round(sums[ok] / lens[ok], 6), pa.float64()),
+        })
+
+    return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)

@@ -172,3 +172,58 @@ def test_cooccurrence_tokenizer_matches_re2(ray_session):
     pairs = set(zip(out.t1, out.t2))
     assert ("baz", "foo\xa0bar") in pairs
     assert not any("foo" == a or "bar" == b for a, b in pairs)
+
+
+def test_rebalance_sample_caps_heads_only(ray_session):
+    # over-cap sources shrink toward the cap, under-cap sources pass
+    # through COMPLETELY (no sampling loss), null keys pass through
+    from biosd_feature_annotator_ray.stages.canonicalize import (
+        rebalance_sample)
+
+    df = pd.DataFrame({
+        "source": ["big"] * 200 + ["small"] * 3 + [None] * 2,
+        "doc_id": np.arange(205, dtype=np.int64),
+    })
+    out = rebalance_sample(rd.from_pandas(df).repartition(4),
+                           "source", "doc_id", cap=20, nb=4).to_pandas()
+    small = out[out.source == "small"]
+    assert len(small) == 3  # under cap: untouched
+    assert out.source.isna().sum() == 2  # null key: untouched
+    big = out[out.source == "big"]
+    assert 5 <= len(big) <= 45  # expected 20 of 200, md5-binomial spread
+    # determinism: identical output on a second run
+    out2 = rebalance_sample(rd.from_pandas(df).repartition(2),
+                            "source", "doc_id", cap=20, nb=8).to_pandas()
+    assert sorted(out2.doc_id) == sorted(out.doc_id)
+
+
+def test_unigram_nll_rare_tokens_score_higher(ray_session):
+    from biosd_feature_annotator_ray.stages.textstats import (
+        unigram_nll_exact)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["common common common", "common rare", ""],
+    })
+    out = unigram_nll_exact(rd.from_pandas(docs),
+                            max_vocab=10).to_pandas()
+    assert set(out.doc_id) == {1, 2}  # empty doc dropped
+    nll = dict(zip(out.doc_id, out.nll))
+    assert nll[2] > nll[1]  # rare-token doc is more surprising
+    assert out[out.doc_id == 1].n_tokens.iloc[0] == 3
+
+
+def test_unigram_nll_oov_smoothing_beyond_vocab(ray_session):
+    # tokens past the max_vocab cut take the 0.5/N out-of-vocab path
+    from biosd_feature_annotator_ray.stages.textstats import (
+        unigram_nll_exact)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["a a a b b c", "c"],
+    })
+    out = unigram_nll_exact(rd.from_pandas(docs),
+                            max_vocab=2).to_pandas()  # vocab = {a, b}
+    nll = dict(zip(out.doc_id, out.nll))
+    # doc 2 is pure OOV: -ln(0.5/7)
+    assert abs(nll[2] - (-np.log(0.5 / 7.0))) < 1e-6
