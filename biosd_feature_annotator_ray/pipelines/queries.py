@@ -3618,3 +3618,108 @@ ORACLES["unigram_nll"] = (
     " FROM tok2 t2 LEFT JOIN v USING (t) CROSS JOIN tot"
     " GROUP BY t2.doc_id"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-3 wave 3: grouped distinct/mode/corr, histogram, stratified sample
+
+
+def q_nunique_types_per_user(sf_dir: str):
+    """Exact COUNT(DISTINCT event_type) per user — pair-bucketed
+    two-level reduce (hot users' values spread across buckets)."""
+    from ..stages.canonicalize import groupby_nunique
+
+    return groupby_nunique(_events(sf_dir, ["user_id", "event_type"]),
+                           "user_id", "event_type", nb=8)
+
+
+def q_mode_event_type(sf_dir: str):
+    """Most frequent event_type per user, smallest-value tie-break —
+    pre-combined counts + the topk(k=1) combiner reduce."""
+    from ..stages.canonicalize import mode_per_key
+
+    return mode_per_key(_events(sf_dir, ["user_id", "event_type"]),
+                        "user_id", "event_type", nb=8)
+
+
+def q_value_histogram(sf_dir: str):
+    """Fixed-width 20-bin histogram of event values over [0, 500):
+    per-batch bincount partials, one tiny reduce — the row stream never
+    shuffles."""
+    from ..stages.sketches import histogram
+
+    return histogram(_events(sf_dir, ["value"]), "value",
+                     lo=0.0, hi=500.0, nbins=20)
+
+
+def q_corr_lineitem(sf_dir: str):
+    """Pearson corr(quantity, price) per returnflag from six sufficient
+    statistics — one groupby-sum of doubles, no second pass."""
+    from ..stages.sketches import grouped_corr
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_returnflag", "l_quantity",
+                                  "l_extendedprice"])
+    return grouped_corr(li, "l_returnflag", "l_quantity",
+                        "l_extendedprice", round_to=4)
+
+
+def q_stratified_docs(sf_dir: str):
+    """Seeded random 5 docs per source: the cross-engine md5 uniform
+    ORDERS each stratum, the cap_per_key quota keeps the first 5 —
+    deterministic stratified sampling without a global shuffle."""
+    from ..functions.hashing import md5_u32
+    from ..stages.windows import cap_per_key
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        h = md5_u32(batch.column("doc_id").to_pylist())
+        return batch.append_column("h", pa.array(h, pa.int64()))
+
+    out = cap_per_key(docs.map_batches(add_h, batch_format="pyarrow"),
+                      key_col="source", order_cols=["h", "doc_id"], n=5,
+                      nb=8)
+    return out.select_columns(["doc_id", "source"])
+
+
+QUERIES["nunique_types_per_user"] = q_nunique_types_per_user
+QUERIES["mode_event_type"] = q_mode_event_type
+QUERIES["value_histogram"] = q_value_histogram
+QUERIES["corr_lineitem"] = q_corr_lineitem
+QUERIES["stratified_docs"] = q_stratified_docs
+
+ORACLES["nunique_types_per_user"] = (
+    "SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT)"
+    " AS n_distinct FROM events GROUP BY user_id"
+)
+
+ORACLES["mode_event_type"] = (
+    "SELECT user_id, event_type AS mode, n AS n_mode FROM ("
+    " SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n,"
+    "  row_number() OVER (PARTITION BY user_id"
+    "   ORDER BY count(*) DESC, event_type) AS rk"
+    " FROM events GROUP BY user_id, event_type) WHERE rk = 1"
+)
+
+ORACLES["value_histogram"] = (
+    "WITH b AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin"
+    "  FROM events WHERE value >= 0 AND value < 500),"
+    " c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin)"
+    " SELECT g.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n"
+    " FROM (SELECT unnest(range(0, 20)) AS bin) g LEFT JOIN c USING (bin)"
+)
+
+ORACLES["corr_lineitem"] = (
+    "SELECT l_returnflag,"
+    " round(corr(l_quantity, l_extendedprice), 4) AS corr_xy"
+    " FROM lineitem GROUP BY l_returnflag"
+)
+
+ORACLES["stratified_docs"] = (
+    "SELECT doc_id, source FROM ("
+    " SELECT doc_id, source, row_number() OVER (PARTITION BY source"
+    "  ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    "   ::UBIGINT AS BIGINT), doc_id) AS rk"
+    " FROM documents) WHERE rk <= 5"
+)

@@ -581,3 +581,72 @@ def rebalance_sample(
         return batch.filter(pa.array(h < lim))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
+
+
+def groupby_nunique(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """Exact COUNT(DISTINCT col) per key. Map-side per-batch pair
+    dedup, then ONE bucket shuffle keyed on the (key, value) PAIR — a
+    hot key's distinct values spread across buckets instead of melting
+    one — per-bucket dedup emits per-key partial counts, and a final
+    tiny groupby-sum (one row per key per bucket) totals them. SQL
+    semantics: null values are not counted; the null KEY group is kept.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, col]).to_pandas()
+        df = df[df[col].notna()].drop_duplicates()
+        return _add_bucket(pa.Table.from_pandas(df, preserve_index=False),
+                           [key_col, col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas().drop_duplicates()
+        out = (df.groupby(key_col, dropna=False, sort=False)
+               .size().reset_index(name="n_part"))
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow")
+            .groupby(key_col)
+            .aggregate(Sum("n_part", alias_name="n_distinct")))
+
+
+def mode_per_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """Most frequent value of ``col`` per key (deterministic tie-break:
+    smallest value wins). Exact counts via map-side pre-combine + one
+    (key, value)-bucketed shuffle, then the existing groupby_topk(k=1)
+    combiner-reduce picks the argmax — both exchanges move only
+    (key, value, count) partials, never the row stream. Null values are
+    excluded (SQL mode() semantics)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def local(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, col]).to_pandas()
+        df = df[df[col].notna()]
+        g = (df.groupby([key_col, col], dropna=False, sort=False)
+             .size().reset_index(name="n_part"))
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    counts = (ds.map_batches(local, batch_format="pyarrow",
+                             batch_size=65536)
+              .groupby([key_col, col])
+              .aggregate(Sum("n_part", alias_name="n")))
+    top = groupby_topk(counts, [key_col], ["n", col], [False, True], k=1,
+                       nb=nb)
+    return top.map_batches(
+        lambda t: t.rename_columns(
+            [{"n": "n_mode", col: "mode"}.get(c, c)
+             for c in t.column_names]),
+        batch_format="pyarrow")

@@ -423,3 +423,90 @@ def table_fingerprint(ds: "ray.data.Dataset", col: str,
     for v in parts["s"]:
         s = (s + int(v)) % mod
     return s, int(parts["n"].sum())
+
+
+def histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    lo: float,
+    hi: float,
+    nbins: int,
+) -> "ray.data.Dataset":
+    """Fixed-width histogram: bin i counts rows with
+    lo + i·w ≤ x < lo + (i+1)·w, w = (hi−lo)/nbins; rows outside
+    [lo, hi) are excluded. Exact-int and cross-engine deterministic:
+    the bin index is the same float64 ``floor((x−lo)/w)`` a SQL engine
+    computes. Per-batch ``np.bincount`` partials (one nbins-long row
+    per batch), ONE tiny groupby-sum — the row stream never shuffles.
+    Empty bins are emitted with n=0 (fixed output cardinality)."""
+    from ray.data.aggregate import Sum
+
+    w = (float(hi) - float(lo)) / int(nbins)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        x = x[(x >= lo) & (x < hi)]
+        b = np.floor((x - lo) / w).astype(np.int64)
+        # guard the hi-edge float artifact: floor can hit nbins when
+        # (x-lo)/w rounds up at the boundary
+        b = np.minimum(b, nbins - 1)
+        c = np.bincount(b, minlength=nbins)
+        return pa.table({"bin": pa.array(np.arange(nbins, dtype=np.int64)),
+                         "n_part": pa.array(c.astype(np.int64))})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby("bin").aggregate(Sum("n_part", alias_name="n")))
+
+
+def grouped_corr(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    x_col: str,
+    y_col: str,
+    round_to: int = 4,
+) -> "ray.data.Dataset":
+    """Pearson correlation of (x, y) per key from the six sufficient
+    statistics (n, Σx, Σy, Σxx, Σyy, Σxy) — map-side per-key partials,
+    ONE groupby-sum of six doubles per key, driver-free finisher.
+    Matches SQL ``corr()`` (sample correlation); rows where either side
+    is null are skipped; groups with < 2 rows or zero variance yield
+    null, like SQL."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, x_col, y_col]).to_pandas()
+        df = df[df[x_col].notna() & df[y_col].notna()]
+        x = df[x_col].to_numpy(dtype=np.float64)
+        y = df[y_col].to_numpy(dtype=np.float64)
+        g = pd.DataFrame({
+            key_col: df[key_col], "n": 1.0, "sx": x, "sy": y,
+            "sxx": x * x, "syy": y * y, "sxy": x * y,
+        }).groupby(key_col, dropna=False, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    st = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby(key_col)
+          .aggregate(*[Sum(c, alias_name=c)
+                       for c in ("n", "sx", "sy", "sxx", "syy", "sxy")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = df["n"].to_numpy()
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxx, syy, sxy = (df["sxx"].to_numpy(), df["syy"].to_numpy(),
+                         df["sxy"].to_numpy())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cov = n * sxy - sx * sy
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            r = cov / np.sqrt(vx * vy)
+        r = np.where((n < 2) | (vx <= 0) | (vy <= 0), np.nan, r)
+        r = np.sign(r) * np.floor(np.abs(r) * 10.0**round_to + 0.5) / 10.0**round_to
+        out = pa.table({key_col: pa.Array.from_pandas(df[key_col]),
+                        "corr_xy": pa.array(r, pa.float64())})
+        return out
+
+    return st.map_batches(finish, batch_format="pyarrow")

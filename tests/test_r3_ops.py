@@ -227,3 +227,70 @@ def test_unigram_nll_oov_smoothing_beyond_vocab(ray_session):
     nll = dict(zip(out.doc_id, out.nll))
     # doc 2 is pure OOV: -ln(0.5/7)
     assert abs(nll[2] - (-np.log(0.5 / 7.0))) < 1e-6
+
+
+def test_groupby_nunique_null_semantics(ray_session):
+    # null VALUES not counted (SQL COUNT DISTINCT); null KEY group kept
+    from biosd_feature_annotator_ray.stages.canonicalize import (
+        groupby_nunique)
+
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", None, None],
+        "v": ["x", "y", None, "x", "z", "z"],
+    })
+    out = groupby_nunique(rd.from_pandas(df).repartition(3),
+                          "k", "v", nb=4).to_pandas()
+    got = {(k if pd.notna(k) else None): n
+           for k, n in zip(out.k, out.n_distinct)}
+    assert got == {"a": 2, "b": 1, None: 1}
+
+
+def test_mode_per_key_tiebreak_smallest(ray_session):
+    from biosd_feature_annotator_ray.stages.canonicalize import mode_per_key
+
+    df = pd.DataFrame({
+        "k": ["u"] * 4 + ["w"] * 3,
+        "v": ["b", "a", "b", "a", "z", "z", "y"],
+    })
+    out = mode_per_key(rd.from_pandas(df).repartition(2),
+                       "k", "v", nb=4).to_pandas()
+    got = dict(zip(out.k, out["mode"]))
+    assert got == {"u": "a", "w": "z"}  # 2-2 tie → smallest value
+    assert dict(zip(out.k, out.n_mode)) == {"u": 2, "w": 2}
+
+
+def test_histogram_edges_and_empty_bins(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import histogram
+
+    df = pd.DataFrame({"v": [0.0, 24.999, 25.0, 49.9, 99.9, 100.0, -1.0,
+                             np.nan]})
+    out = histogram(rd.from_pandas(df).repartition(2), "v",
+                    lo=0.0, hi=100.0, nbins=4).to_pandas()
+    got = dict(zip(out.bin, out.n))
+    # 100.0 and -1.0 and NaN excluded; bin edges right-open
+    assert got == {0: 2, 1: 2, 2: 0, 3: 1}
+
+
+def test_grouped_corr_matches_numpy(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import grouped_corr
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(10, 2, 200)
+    df = pd.DataFrame({
+        "k": ["g1"] * 100 + ["g2"] * 100,
+        "x": x,
+        "y": np.concatenate([x[:100] * 2 + rng.normal(0, 0.5, 100),
+                             -x[100:] + rng.normal(0, 3, 100)]),
+    })
+    out = grouped_corr(rd.from_pandas(df).repartition(4),
+                       "k", "x", "y").to_pandas()
+    got = dict(zip(out.k, out.corr_xy))
+    for k in ("g1", "g2"):
+        sub = df[df.k == k]
+        want = np.corrcoef(sub.x, sub.y)[0, 1]
+        assert abs(got[k] - want) < 1e-3
+    # degenerate group: zero variance → null
+    dg = pd.DataFrame({"k": ["z"] * 3, "x": [1.0, 1.0, 1.0],
+                       "y": [1.0, 2.0, 3.0]})
+    out2 = grouped_corr(rd.from_pandas(dg), "k", "x", "y").to_pandas()
+    assert out2.corr_xy.isna().all()
