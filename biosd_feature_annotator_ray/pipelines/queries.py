@@ -3723,3 +3723,29 @@ ORACLES["stratified_docs"] = (
     "   ::UBIGINT AS BIGINT), doc_id) AS rk"
     " FROM documents) WHERE rk <= 5"
 )
+
+
+def q_pack_sequences(sf_dir: str):
+    """GPT-style training-sequence packing: concat docs in id order
+    into one token stream, cut at 512 — start_offset/pack_id per doc
+    via ONE histogram pass (global weighted cumsum, no sort)."""
+    from ..stages.textstats import pack_sequences
+
+    return pack_sequences(_docs(sf_dir, ["doc_id", "text"]), seq_len=512,
+                          n_parts=8)
+
+
+QUERIES["pack_sequences"] = q_pack_sequences
+
+ORACLES["pack_sequences"] = (
+    "WITH cnt AS (SELECT doc_id,"
+    "   count(*) FILTER (WHERE t <> '') AS n"
+    "  FROM (SELECT doc_id,"
+    "    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t"
+    "   FROM documents) GROUP BY doc_id),"
+    " c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id"
+    "   ROWS UNBOUNDED PRECEDING) - n AS so FROM cnt)"
+    " SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,"
+    "  CAST(so AS BIGINT) AS start_offset,"
+    "  CAST(so // 512 AS BIGINT) AS pack_id FROM c"
+)

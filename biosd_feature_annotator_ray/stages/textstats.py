@@ -1098,3 +1098,109 @@ def unigram_nll_exact(
         })
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)
+
+
+def pack_sequences(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    col: str = "text",
+    seq_len: int = 512,
+    n_parts: int = 16,
+    n_bins: int = 4096,
+) -> "ray.data.Dataset":
+    """GPT-style training-sequence packing: documents are concatenated
+    in ``id_col`` order into one global token stream and cut into
+    fixed-``seq_len`` examples; each doc's ``start_offset`` (tokens
+    before it) and ``pack_id`` (the example its first token lands in)
+    are assigned. Docs may straddle pack boundaries — the standard
+    concat-then-chunk regime.
+
+    Scale shape: the text is tokenized ONCE into a reduced
+    (id, n_tokens) table; a single histogram pass over ``id_col`` then
+    yields value-contiguous range partitions AND each partition's exact
+    global token offset (per-bin row- and token-weight accumulators,
+    driver traffic = n_bins ints); a tag pass + one range shuffle
+    finishes with a local cumsum plus the broadcast offset. No global
+    sort, no sequential scan. Ids must be unique non-null numerics.
+
+    Output: (id, n_tokens, start_offset, pack_id)."""
+
+    def tokcount(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        lists = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        n = np.bincount(parent[nonempty], minlength=len(batch))
+        return pa.table({id_col: batch.column(id_col),
+                         "n_tokens": pa.array(n.astype(np.int64))})
+
+    counts = docs.map_batches(tokcount, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+
+    from .sketches import _minmax_count
+
+    lo, hi, n_total = _minmax_count(counts, id_col)
+    if n_total == 0:
+        return counts.map_batches(
+            lambda t: t.append_column("start_offset",
+                                      pa.array([], pa.int64()))
+            .append_column("pack_id", pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    w = ((hi - lo) / n_bins) or 1.0
+
+    def bin_of(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / w).astype(np.int64), 0, n_bins - 1)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        v = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        if np.isnan(v).any():
+            raise ValueError("pack_sequences: null id values")
+        b = bin_of(v)
+        rows = np.bincount(b, minlength=n_bins)
+        toks = np.bincount(
+            b, weights=batch.column("n_tokens").to_numpy(
+                zero_copy_only=False).astype(np.float64),
+            minlength=n_bins).astype(np.int64)
+        return pa.table({
+            "r": pa.array([rows.astype(np.int64).tobytes()], pa.binary()),
+            "t": pa.array([toks.tobytes()], pa.binary())})
+
+    parts = counts.map_batches(hist, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
+    rows = np.zeros(n_bins, np.int64)
+    toks = np.zeros(n_bins, np.int64)
+    for rb, tb in zip(parts["r"], parts["t"]):
+        rows += np.frombuffer(rb, dtype=np.int64)
+        toks += np.frombuffer(tb, dtype=np.int64)
+    cum_rows = np.concatenate(([0], np.cumsum(rows)))
+    cum_toks = np.concatenate(([0], np.cumsum(toks)))
+    targets = (np.arange(1, n_parts) * n_total) // n_parts
+    bound_bins = np.searchsorted(cum_rows[1:], targets, side="left")
+    # token offset at each partition's start = cumulative token weight
+    # of every bin BEFORE its first bin (partitions own whole bins)
+    woff = np.concatenate(([0], cum_toks[bound_bins + 1]))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        v = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        p = np.searchsorted(bound_bins, bin_of(v), side="left")
+        return batch.append_column("_part", pa.array(p.astype(np.int64)))
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        p = int(df["_part"].iloc[0])
+        df = df.sort_values(id_col, kind="mergesort")
+        n = df["n_tokens"].to_numpy()
+        start = int(woff[p]) + np.cumsum(n) - n
+        df["start_offset"] = start
+        df["pack_id"] = start // int(seq_len)
+        return pa.Table.from_pandas(df.drop(columns=["_part"]),
+                                    preserve_index=False)
+
+    return (counts.map_batches(tag, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby("_part").map_groups(finish, batch_format="pyarrow"))

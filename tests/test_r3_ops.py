@@ -294,3 +294,27 @@ def test_grouped_corr_matches_numpy(ray_session):
                        "y": [1.0, 2.0, 3.0]})
     out2 = grouped_corr(rd.from_pandas(dg), "k", "x", "y").to_pandas()
     assert out2.corr_xy.isna().all()
+
+
+def test_pack_sequences_contiguous_offsets(ray_session):
+    # offsets are the exact global prefix sum in id order; pack_id cuts
+    # at seq_len; empty docs occupy zero tokens but keep a position
+    from biosd_feature_annotator_ray.stages.textstats import pack_sequences
+
+    df = pd.DataFrame({
+        "doc_id": np.arange(50, dtype=np.int64),
+        "text": ["w " * (i % 7) for i in range(50)],  # 0..6 tokens
+    })
+    out = pack_sequences(rd.from_pandas(df).repartition(5),
+                         seq_len=10, n_parts=4).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    n = np.array([i % 7 for i in range(50)])
+    want_start = np.cumsum(n) - n
+    assert (out.n_tokens.to_numpy() == n).all()
+    assert (out.start_offset.to_numpy() == want_start).all()
+    assert (out.pack_id.to_numpy() == want_start // 10).all()
+    # partitioning-independence: different shapes, identical assignment
+    out2 = pack_sequences(rd.from_pandas(df).repartition(9),
+                          seq_len=10, n_parts=2).to_pandas()
+    pd.testing.assert_frame_equal(
+        out2.sort_values("doc_id").reset_index(drop=True), out)
