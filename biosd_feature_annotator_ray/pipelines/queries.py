@@ -3588,9 +3588,13 @@ QUERIES["source_profile"] = q_source_profile
 QUERIES["unigram_nll"] = q_unigram_nll
 
 ORACLES["rebalance_sources"] = (
-    "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source)"
-    " SELECT d.doc_id, d.source FROM documents d JOIN c USING (source)"
-    " WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
+    # LEFT JOIN + the c.n IS NULL arm: null-source rows pass uncapped,
+    # matching rebalance_sample's explicit null-key pass-through
+    "WITH c AS (SELECT source, count(*) AS n FROM documents"
+    "  WHERE source IS NOT NULL GROUP BY source)"
+    " SELECT d.doc_id, d.source FROM documents d LEFT JOIN c USING (source)"
+    " WHERE c.n IS NULL OR"
+    "  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT AS BIGINT)"
     "  < CASE WHEN c.n <= 15 THEN 4294967296"
     "    ELSE CAST(floor(4294967296.0 * 15 / c.n) AS BIGINT) END"
 )
@@ -3738,10 +3742,12 @@ def q_pack_sequences(sf_dir: str):
 QUERIES["pack_sequences"] = q_pack_sequences
 
 ORACLES["pack_sequences"] = (
+    # coalesce BEFORE split: a NULL-text doc still occupies a (0-token)
+    # position in the packing order, exactly as the engine's fill_null
     "WITH cnt AS (SELECT doc_id,"
     "   count(*) FILTER (WHERE t <> '') AS n"
     "  FROM (SELECT doc_id,"
-    "    unnest(regexp_split_to_array(trim(text), '\\s+')) AS t"
+    "    unnest(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')) AS t"
     "   FROM documents) GROUP BY doc_id),"
     " c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id"
     "   ROWS UNBOUNDED PRECEDING) - n AS so FROM cnt)"

@@ -596,7 +596,6 @@ def groupby_nunique(
     tiny groupby-sum (one row per key per bucket) totals them. SQL
     semantics: null values are not counted; the null KEY group is kept.
     """
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     def local(batch: pa.Table) -> pa.Table:
@@ -629,7 +628,6 @@ def mode_per_key(
     combiner-reduce picks the argmax — both exchanges move only
     (key, value, count) partials, never the row stream. Null values are
     excluded (SQL mode() semantics)."""
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     def local(batch: pa.Table) -> pa.Table:

@@ -473,17 +473,21 @@ def grouped_corr(
     Matches SQL ``corr()`` (sample correlation); rows where either side
     is null are skipped; groups with < 2 rows or zero variance yield
     null, like SQL."""
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, x_col, y_col]).to_pandas()
-        df = df[df[x_col].notna() & df[y_col].notna()]
-        x = df[x_col].to_numpy(dtype=np.float64)
-        y = df[y_col].to_numpy(dtype=np.float64)
+        # keep every GROUP even when all its rows have a null side
+        # (SQL corr() emits the group with NULL) — null rows contribute
+        # zeros and don't count toward n
+        valid = (df[x_col].notna() & df[y_col].notna()).to_numpy()
+        x = np.where(valid, df[x_col].to_numpy(dtype=np.float64,
+                                               na_value=0.0), 0.0)
+        y = np.where(valid, df[y_col].to_numpy(dtype=np.float64,
+                                               na_value=0.0), 0.0)
         g = pd.DataFrame({
-            key_col: df[key_col], "n": 1.0, "sx": x, "sy": y,
-            "sxx": x * x, "syy": y * y, "sxy": x * y,
+            key_col: df[key_col], "n": valid.astype(np.float64),
+            "sx": x, "sy": y, "sxx": x * x, "syy": y * y, "sxy": x * y,
         }).groupby(key_col, dropna=False, sort=False).sum().reset_index()
         return pa.Table.from_pandas(g, preserve_index=False)
 

@@ -992,8 +992,6 @@ def source_profile(
 
     Output: key, n_docs, avg_chars (round 2), n_langs, en_share
     (round 4)."""
-    import pandas as pd
-
     from .canonicalize import _add_bucket, _B
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -1009,18 +1007,23 @@ def source_profile(
         bylang = (df.groupby([key_col, lang_col], dropna=False, sort=False)
                   .agg(n=("n", "sum"), sum_chars=("sum_chars", "sum"))
                   .reset_index())
-        tot = (bylang.groupby(key_col, sort=False)
+        # dropna=False throughout: the null-source group is a real row
+        # of the census (SQL GROUP BY keeps it), not droppable noise;
+        # n_en rides the same agg (a .map over a NaN-keyed index would
+        # silently miss the null group's english count)
+        bylang["n_en"] = np.where(bylang[lang_col] == "en",
+                                  bylang["n"], 0)
+        tot = (bylang.groupby(key_col, sort=False, dropna=False)
                .agg(n_docs=("n", "sum"), sum_chars=("sum_chars", "sum"),
-                    n_langs=(lang_col, "nunique"))
+                    n_langs=(lang_col, "nunique"),
+                    n_en=("n_en", "sum"))
                .reset_index())
-        en = (bylang[bylang[lang_col] == "en"]
-              .groupby(key_col, sort=False)["n"].sum())
         # half-away-from-zero rounding (DuckDB round()); numpy/pandas
         # .round is half-even and diverges on exact .xx5 midpoints,
         # which ratios of small integer sums DO hit
         ac = (tot["sum_chars"] / tot["n_docs"]).to_numpy()
         tot["avg_chars"] = np.floor(np.abs(ac) * 100 + 0.5) / 100 * np.sign(ac)
-        es = (tot[key_col].map(en).fillna(0) / tot["n_docs"]).to_numpy()
+        es = (tot["n_en"] / tot["n_docs"]).to_numpy()
         tot["en_share"] = np.floor(es * 1e4 + 0.5) / 1e4
         out = tot[[key_col, "n_docs", "avg_chars", "n_langs", "en_share"]]
         out = out.astype({"n_docs": "int64", "n_langs": "int64"})
@@ -1074,8 +1077,6 @@ def unigram_nll_exact(
     ref = _ray.put(dict(zip(cp["t"], cp["n"].astype(float))))
 
     def score(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
         m = _ray.get(ref)
         text = pc.fill_null(batch.column(col), "")
         if text.type != pa.string():
@@ -1091,10 +1092,13 @@ def unigram_nll_exact(
         sums = np.bincount(parent, weights=neg, minlength=nrows)
         lens = np.bincount(parent, minlength=nrows)
         ok = lens > 0
+        # half-away-from-zero, matching DuckDB round() (np.round is
+        # half-even); nll > 0 always, no sign term needed
+        nll = np.floor((sums[ok] / lens[ok]) * 1e6 + 0.5) / 1e6
         return pa.table({
             id_col: batch.column(id_col).filter(pa.array(ok)),
             "n_tokens": pa.array(lens[ok].astype(np.int64)),
-            "nll": pa.array(np.round(sums[ok] / lens[ok], 6), pa.float64()),
+            "nll": pa.array(nll, pa.float64()),
         })
 
     return docs.map_batches(score, batch_format="pyarrow", batch_size=65536)
@@ -1144,6 +1148,11 @@ def pack_sequences(
 
     lo, hi, n_total = _minmax_count(counts, id_col)
     if n_total == 0:
+        # _minmax_count drops NaN ids: n_total==0 with non-empty counts
+        # means every id is null — raise the documented contract error
+        # instead of a pyarrow length-mismatch deep in a task
+        if counts.count() > 0:
+            raise ValueError("pack_sequences: null id values")
         return counts.map_batches(
             lambda t: t.append_column("start_offset",
                                       pa.array([], pa.int64()))

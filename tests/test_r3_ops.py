@@ -318,3 +318,37 @@ def test_pack_sequences_contiguous_offsets(ray_session):
                           seq_len=10, n_parts=2).to_pandas()
     pd.testing.assert_frame_equal(
         out2.sort_values("doc_id").reset_index(drop=True), out)
+
+
+def test_null_contracts_wave23(ray_session):
+    # null-source group appears in the census; all-null-side corr group
+    # yields a null corr; null-text docs keep a packing position
+    from biosd_feature_annotator_ray.stages.sketches import grouped_corr
+    from biosd_feature_annotator_ray.stages.textstats import (
+        pack_sequences, source_profile)
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "source": ["a", "a", None, None],
+        "lang": ["en", "de", "en", "en"],
+        "n_chars": [10, 20, 30, 40],
+        "text": ["x y", None, "z", "w w"],
+    })
+    prof = source_profile(rd.from_pandas(docs).repartition(2),
+                          nb=4).to_pandas()
+    assert len(prof) == 2  # 'a' and the null group
+    nullrow = prof[prof.source.isna()].iloc[0]
+    assert nullrow.n_docs == 2 and nullrow.en_share == 1.0
+
+    packed = pack_sequences(rd.from_pandas(docs[["doc_id", "text"]]),
+                            seq_len=2, n_parts=2).to_pandas()
+    packed = packed.sort_values("doc_id")
+    assert packed.n_tokens.tolist() == [2, 0, 1, 2]
+    assert packed.start_offset.tolist() == [0, 2, 2, 3]
+
+    cdf = pd.DataFrame({"k": ["g", "g", "h", "h"],
+                        "x": [1.0, 2.0, 1.0, 2.0],
+                        "y": [1.0, 2.0, None, None]})
+    corr = grouped_corr(rd.from_pandas(cdf), "k", "x", "y").to_pandas()
+    got = dict(zip(corr.k, corr.corr_xy))
+    assert got["g"] == 1.0 and np.isnan(got["h"])  # group preserved
