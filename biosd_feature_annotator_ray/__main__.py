@@ -123,6 +123,30 @@ def main(argv: list[str] | None = None) -> int:
                      help="md5-bucket percent filter (0-100)")
     psm.add_argument("--num-cpus", type=int, default=8)
 
+    prb = sub.add_parser("rebalance", help="cap over-represented key groups "
+                         "at an expected size (md5-uniform threshold)")
+    prb.add_argument("--input", required=True)
+    prb.add_argument("--key-col", required=True)
+    prb.add_argument("--id-col", required=True)
+    prb.add_argument("--cap", type=int, required=True)
+    prb.add_argument("--output", default=None)
+    prb.add_argument("--num-cpus", type=int, default=8)
+
+    ppk = sub.add_parser("pack", help="GPT-style sequence packing: global "
+                         "token offsets + fixed-length pack ids per doc")
+    ppk.add_argument("--input", required=True)
+    ppk.add_argument("--id-col", default="doc_id")
+    ppk.add_argument("--text-col", default="text")
+    ppk.add_argument("--seq-len", type=int, default=2048)
+    ppk.add_argument("--output", default=None)
+    ppk.add_argument("--num-cpus", type=int, default=8)
+
+    ppf = sub.add_parser("profile", help="per-domain corpus census "
+                         "(docs, mean length, language mix)")
+    ppf.add_argument("--input", required=True)
+    ppf.add_argument("--key-col", default="source")
+    ppf.add_argument("--num-cpus", type=int, default=8)
+
     pcx = sub.add_parser("closure", help="transitive closure of a DAG edge "
                          "parquet (semi-naive, per-round checkpoint/resume)")
     pcx.add_argument("--input", required=True)
@@ -213,6 +237,48 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 df = out.to_pandas()
                 print(df.to_json(orient="records"))
+            return 0
+
+        if args.cmd == "rebalance":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.canonicalize import rebalance_sample
+
+            out = rebalance_sample(rd.read_parquet(args.input),
+                                   args.key_col, args.id_col,
+                                   cap=args.cap).materialize()
+            if args.output:
+                out.write_parquet(args.output)
+            print(json.dumps({"rows": out.count(), "output": args.output}))
+            return 0
+
+        if args.cmd == "pack":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.textstats import pack_sequences
+
+            out = pack_sequences(rd.read_parquet(
+                args.input, columns=[args.id_col, args.text_col]),
+                id_col=args.id_col, col=args.text_col,
+                seq_len=args.seq_len).materialize()
+            n_packs = out.max("pack_id")
+            if args.output:
+                out.write_parquet(args.output)
+            print(json.dumps({"docs": out.count(),
+                              "packs": int(n_packs) + 1 if n_packs is not None else 0,
+                              "seq_len": args.seq_len,
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "profile":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.textstats import source_profile
+
+            out = source_profile(rd.read_parquet(args.input),
+                                 key_col=args.key_col)
+            print(out.to_pandas().sort_values(args.key_col)
+                  .to_json(orient="records"))
             return 0
 
         if args.cmd == "closure":

@@ -3755,3 +3755,23 @@ ORACLES["pack_sequences"] = (
     "  CAST(so AS BIGINT) AS start_offset,"
     "  CAST(so // 512 AS BIGINT) AS pack_id FROM c"
 )
+
+
+def q_trim_outliers(sf_dir: str):
+    """Length-outlier trim: keep docs inside the [p05, p95] n_chars
+    band — quantile bounds from the histogram-bracket exact_quantile,
+    then one stateless filter."""
+    from ..stages.sketches import trim_outliers
+
+    return trim_outliers(_docs(sf_dir, ["doc_id", "n_chars"]),
+                         "n_chars", 0.05, 0.95)
+
+
+QUERIES["trim_outliers"] = q_trim_outliers
+
+ORACLES["trim_outliers"] = (
+    "WITH b AS (SELECT quantile_disc(n_chars, 0.05) AS lo,"
+    "  quantile_disc(n_chars, 0.95) AS hi FROM documents)"
+    " SELECT doc_id, n_chars FROM documents, b"
+    " WHERE n_chars >= lo AND n_chars <= hi"
+)

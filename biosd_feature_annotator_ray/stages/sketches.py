@@ -514,3 +514,28 @@ def grouped_corr(
         return out
 
     return st.map_batches(finish, batch_format="pyarrow")
+
+
+def trim_outliers(
+    ds: "ray.data.Dataset",
+    col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    n_bins: int = 4096,
+) -> "ray.data.Dataset":
+    """Quantile trim (the 'drop length outliers' curation filter): keep
+    rows with quantile_disc(q_lo) ≤ col ≤ quantile_disc(q_hi). Bounds
+    come from the histogram-bracket exact_quantile (streaming passes,
+    no sort); the filter itself is one stateless vectorized map. Null
+    values never pass (no defined position in the order)."""
+    import pyarrow.compute as pc
+
+    qs = exact_quantile(ds, col, [q_lo, q_hi], n_bins=n_bins)
+    lo, hi = qs[q_lo], qs[q_hi]
+
+    def keep(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        m = pc.and_(pc.greater_equal(v, lo), pc.less_equal(v, hi))
+        return batch.filter(pc.fill_null(m, False))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
