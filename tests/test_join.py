@@ -243,3 +243,32 @@ def test_join_auto_dispatch_parity(ray_session):
                    on=["k"], broadcast_threshold_rows=thr).to_pandas()
         got = got[["k", "a", "b"]].sort_values(["k", "a", "b"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+def test_outer_joins_arrow_native_null_and_dup_parity(ray_session):
+    # left/right/full on data with null keys, NaN keys and duplicate
+    # matches — the unmatched-side chunks must carry nulls and the
+    # preserved side's null-key rows must survive unmatched
+    import duckdb
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+
+    l = pd.DataFrame({"k": [1.0, 1.0, 2.0, np.nan, 5.0],
+                      "lv": [10, 11, 20, 30, 50]})
+    r = pd.DataFrame({"k": [1.0, 2.0, 2.0, np.nan, 9.0],
+                      "rv": [100, 200, 201, 300, 900]})
+    for how, sql in [("left", "LEFT"), ("right", "RIGHT"),
+                     ("full", "FULL OUTER")]:
+        got = shuffle_hash_join(rd.from_pandas(l).repartition(2),
+                                rd.from_pandas(r).repartition(2),
+                                ["k"], how=how, nb=4).to_pandas()
+        want = duckdb.sql(
+            f"SELECT l.k AS lk, r.k AS rk, lv, rv FROM l {sql} JOIN r"
+            " ON l.k = r.k").df()
+        want["k"] = want["lk"].combine_first(want["rk"])
+        want = want[["k", "lv", "rv"]]
+        key = ["k", "lv", "rv"]
+        gs = got[key].sort_values(key, na_position="last").reset_index(drop=True)
+        ws = want[key].sort_values(key, na_position="last").reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs, ws, check_dtype=False), how
