@@ -288,8 +288,10 @@ def shuffle_hash_join(
             out = lt.filter(pa.array(member & (lcodes >= 0)))
             return _pin_schema(out.columns, out_schema)
         if how == "anti":
+            # SQL ANTI/NOT EXISTS: a null-key left row matches nothing,
+            # so it is KEPT (unlike semi, where no match = excluded)
             member = np.isin(lcodes, rcodes[rcodes >= 0])
-            out = lt.filter(pa.array(~member & (lcodes >= 0)))
+            out = lt.filter(pa.array(~member))
             return _pin_schema(out.columns, out_schema)
         # matched core: expand every (left row, matching right row) pair
         rvalid = np.flatnonzero(rcodes >= 0)

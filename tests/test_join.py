@@ -71,8 +71,10 @@ def test_semi_and_anti_partition_left(sides):
     in_right = set(right.k.dropna())
     assert set(semi.k).issubset(in_right)
     assert set(anti.k.dropna()).isdisjoint(in_right)
-    # semi ∪ anti = non-null-key left rows, each exactly once
-    assert len(semi) + len(anti) == left.k.notna().sum()
+    # semi ∪ anti = EVERY left row exactly once (SQL semantics: a
+    # null-key row matches nothing → anti keeps it, semi excludes it)
+    assert len(semi) + len(anti) == len(left)
+    assert anti.k.isna().sum() == left.k.isna().sum()
     assert set(semi.columns) == set(anti.columns) == {"k", "lv", "shared"}
 
 
@@ -272,3 +274,49 @@ def test_outer_joins_arrow_native_null_and_dup_parity(ray_session):
         gs = got[key].sort_values(key, na_position="last").reset_index(drop=True)
         ws = want[key].sort_values(key, na_position="last").reset_index(drop=True)
         pd.testing.assert_frame_equal(gs, ws, check_dtype=False), how
+
+
+def test_join_randomized_duckdb_parity_all_hows(ray_session):
+    # seeded fuzz: composite (int, string) keys with nulls, duplicate
+    # keys on both sides, every how — engine vs DuckDB row-multiset
+    import duckdb
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.join import shuffle_hash_join
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        def mk(n):
+            k1 = rng.integers(0, 6, n).astype("float64")
+            k1[rng.random(n) < 0.15] = np.nan
+            k2 = np.array(["a", "b", "c", None], dtype=object)[
+                rng.integers(0, 4, n)]
+            return pd.DataFrame({
+                "k1": k1, "k2": k2,
+                "v": rng.integers(0, 100, n)})
+        l, r = mk(40), mk(30)
+        l = l.rename(columns={"v": "lv"})
+        r = r.rename(columns={"v": "rv"})
+        for how, sql in [("inner", "JOIN"), ("left", "LEFT JOIN"),
+                         ("right", "RIGHT JOIN"),
+                         ("full", "FULL OUTER JOIN"),
+                         ("semi", "SEMI JOIN"), ("anti", "ANTI JOIN")]:
+            got = shuffle_hash_join(
+                rd.from_pandas(l).repartition(3),
+                rd.from_pandas(r).repartition(2),
+                ["k1", "k2"], how=how, nb=4).to_pandas()
+            if how in ("semi", "anti"):
+                want = duckdb.sql(
+                    f"SELECT l.* FROM l {sql} r"
+                    " ON l.k1 = r.k1 AND l.k2 = r.k2").df()
+            else:
+                want = duckdb.sql(
+                    "SELECT coalesce(l.k1, r.k1) AS k1,"
+                    " coalesce(l.k2, r.k2) AS k2, lv, rv"
+                    f" FROM l {sql} r ON l.k1 = r.k1 AND l.k2 = r.k2").df()
+            cols = list(want.columns)
+            gs = (got[cols].sort_values(cols, na_position="last")
+                  .reset_index(drop=True))
+            ws = (want.sort_values(cols, na_position="last")
+                  .reset_index(drop=True))
+            pd.testing.assert_frame_equal(gs, ws, check_dtype=False)

@@ -101,7 +101,8 @@ def test_join_nan_keys_never_match(ray_session):
     assert semi.lv.tolist() == [4]
     anti = shuffle_hash_join(rd.from_pandas(l), rd.from_pandas(r),
                              ["k"], how="anti", nb=4).to_pandas()
-    assert sorted(anti.lv.tolist()) == [1]  # NaN-key rows dropped, not kept
+    # SQL ANTI JOIN: NaN/null keys match nothing → those rows are KEPT
+    assert sorted(anti.lv.tolist()) == [1, 2, 3]
 
 
 def test_join_composite_key_separator_injective(ray_session):
