@@ -123,6 +123,17 @@ def main(argv: list[str] | None = None) -> int:
                      help="md5-bucket percent filter (0-100)")
     psm.add_argument("--num-cpus", type=int, default=8)
 
+    pdi = sub.add_parser("dedupindex", help="persisted MinHash-LSH dedup "
+                         "index: build once, query/append increments")
+    pdi.add_argument("mode", choices=["build", "query", "append"])
+    pdi.add_argument("--input", required=True,
+                     help="documents parquet (doc_id, text)")
+    pdi.add_argument("--index", required=True, help="index directory")
+    pdi.add_argument("--output", default=None,
+                     help="query mode: write pairs parquet here")
+    pdi.add_argument("--threshold", type=float, default=0.7)
+    pdi.add_argument("--num-cpus", type=int, default=8)
+
     prb = sub.add_parser("rebalance", help="cap over-represented key groups "
                          "at an expected size (md5-uniform threshold)")
     prb.add_argument("--input", required=True)
@@ -237,6 +248,28 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 df = out.to_pandas()
                 print(df.to_json(orient="records"))
+            return 0
+
+        if args.cmd == "dedupindex":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages import dedupindex as di
+
+            docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            if args.mode == "build":
+                n = di.build_dedup_index(docs, args.index)
+                print(json.dumps({"indexed": n, "index": args.index}))
+            elif args.mode == "append":
+                n = di.append_dedup_index(docs, args.index)
+                print(json.dumps({"appended": n, "index": args.index}))
+            else:
+                pairs = di.query_dedup_index(docs, args.index,
+                                             threshold=args.threshold
+                                             ).materialize()
+                if args.output:
+                    pairs.write_parquet(args.output)
+                print(json.dumps({"pairs": pairs.count(),
+                                  "output": args.output}))
             return 0
 
         if args.cmd == "rebalance":

@@ -3775,3 +3775,33 @@ ORACLES["trim_outliers"] = (
     " SELECT doc_id, n_chars FROM documents, b"
     " WHERE n_chars >= lo AND n_chars <= hi"
 )
+
+
+def q_dedup_index_incremental(sf_dir: str):
+    """Incremental dedup against a PERSISTED LSH index (rows-only: the
+    minhash/LSH hash domain is not SQL-reproducible): index the first
+    80% of documents, query the rest + planted exact dups of indexed
+    docs. Returns the verified (new_id, old_id, similarity) pairs —
+    the planted dups guarantee non-empty, deterministic output."""
+    import tempfile
+
+    from ..stages.dedupindex import build_dedup_index, query_dedup_index
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).materialize()
+    n = docs.count()
+    cut = int(n * 0.8)
+    hist = docs.filter(expr=f"doc_id < {cut}")
+    rest = docs.filter(expr=f"doc_id >= {cut}")
+    planted = hist.limit(20).map_batches(
+        lambda t: pa.table({"doc_id": pc.add(t.column("doc_id"), 1_000_000),
+                            "text": t.column("text")}),
+        batch_format="pyarrow")
+    with tempfile.TemporaryDirectory(prefix="ddix-") as ix:
+        build_dedup_index(hist, ix)
+        out = query_dedup_index(rest.union(planted), ix,
+                                threshold=0.7).to_pandas()
+    out = out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+QUERIES["dedup_index_incremental"] = q_dedup_index_incremental

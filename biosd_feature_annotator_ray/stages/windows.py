@@ -98,14 +98,18 @@ def session_windows(
         _check_bucket(g, "session_windows", max_bucket_rows)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col, ts_col, order_tiebreak], kind="mergesort")
-        brk = (df[ts_col].diff() > gap) | (df[key_col] != df[key_col].shift())
+        # same-key test must treat two adjacent NULL keys as one key
+        # (NaN != NaN would start a session per null row)
+        prev = df[key_col].shift()
+        same_key = df[key_col].eq(prev) | (df[key_col].isna() & prev.isna())
+        brk = (df[ts_col].diff() > gap) | ~same_key
         # first row of each key starts session 0
         sid = brk.cumsum()
         df["_sid"] = sid
-        out = df.groupby([key_col, "_sid"], sort=False).agg(
+        out = df.groupby([key_col, "_sid"], sort=False, dropna=False).agg(
             n_events=(ts_col, "size"), start_ts=(ts_col, "min"), end_ts=(ts_col, "max")
         ).reset_index()
-        out["session_id"] = out.groupby(key_col, sort=False).cumcount()
+        out["session_id"] = out.groupby(key_col, sort=False, dropna=False).cumcount()
         out = out[[key_col, "session_id", "n_events", "start_ts", "end_ts"]]
         return pa.Table.from_pandas(out, preserve_index=False)
 
@@ -153,7 +157,7 @@ def sliding_windows(
                 "n": 1,
             }))
         df = pd.concat(frames, ignore_index=True)
-        g = df.groupby([key_col, "window_start"], as_index=False).agg(
+        g = df.groupby([key_col, "window_start"], as_index=False, dropna=False).agg(
             sum_value=("sum_value", "sum"), n=("n", "sum"))
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -299,7 +303,7 @@ def rolling_mean_per_key(
         _check_bucket(g, "rolling_mean_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
-        grp = df.groupby(key_col, sort=False)[value_col]
+        grp = df.groupby(key_col, sort=False, dropna=False)[value_col]
         total = df[value_col].astype("float64").copy()
         count = np.ones(len(df), dtype=np.float64)
         for lag in range(1, window):
@@ -335,7 +339,7 @@ def dense_rank_per_key(
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "dense_rank_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
-        df[out] = (df.groupby(key_col, sort=False)[order_col]
+        df[out] = (df.groupby(key_col, sort=False, dropna=False)[order_col]
                    .rank(method="dense", ascending=ascending).astype("int64"))
         return pa.Table.from_pandas(df, preserve_index=False)
 
@@ -367,7 +371,7 @@ def ntile_per_key(
         _check_bucket(g, "ntile_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
-        grp = df.groupby(key_col, sort=False)
+        grp = df.groupby(key_col, sort=False, dropna=False)
         pos = grp.cumcount().to_numpy()
         size = grp[oc[0]].transform("size").to_numpy()
         base, rem = size // n_tiles, size % n_tiles
@@ -412,7 +416,7 @@ def collect_seq_per_key(
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
         df["_s"] = df[value_col].astype(str)
-        outdf = df.groupby(key_col, sort=False)["_s"].agg(sep.join).reset_index(name=out)
+        outdf = df.groupby(key_col, sort=False, dropna=False)["_s"].agg(sep.join).reset_index(name=out)
         return pa.Table.from_pandas(outdf, preserve_index=False)
 
     return (
@@ -440,7 +444,7 @@ def percent_rank_per_key(
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "percent_rank_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
-        grp = df.groupby(key_col, sort=False)
+        grp = df.groupby(key_col, sort=False, dropna=False)
         rank = grp[order_col].rank(method="min").to_numpy()
         n = grp[order_col].transform("size").to_numpy().astype(np.float64)
         df[out] = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
@@ -504,7 +508,7 @@ def cume_dist_per_key(
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "cume_dist_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
-        grp = df.groupby(key_col, sort=False)
+        grp = df.groupby(key_col, sort=False, dropna=False)
         rank = grp[order_col].rank(method="max").to_numpy()
         n = grp[order_col].transform("size").to_numpy().astype(np.float64)
         df[out] = rank / n
@@ -537,7 +541,7 @@ def first_value_per_key(
         _check_bucket(g, "first_value_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
-        df[out] = df.groupby(key_col, sort=False)[value_col].transform("first")
+        df[out] = df.groupby(key_col, sort=False, dropna=False)[value_col].transform("first")
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
@@ -608,7 +612,7 @@ def last_value_per_key(
         _check_bucket(g, "last_value_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
-        df[out] = df.groupby(key_col, sort=False)[value_col].transform("last")
+        df[out] = df.groupby(key_col, sort=False, dropna=False)[value_col].transform("last")
         return pa.Table.from_pandas(df, preserve_index=False)
 
     return (
@@ -643,7 +647,7 @@ def nth_value_per_key(
         _check_bucket(g, "nth_value_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
-        cc = df.groupby(key_col, sort=False).cumcount()
+        cc = df.groupby(key_col, sort=False, dropna=False).cumcount()
         nth = df.loc[cc == n - 1].set_index(key_col)[value_col]
         df[out] = df[key_col].map(nth)
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -807,7 +811,7 @@ def rolling_extreme_per_key(
         _check_bucket(g, "rolling_extreme_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
-        r = df.groupby(key_col, sort=False)[value_col].rolling(
+        r = df.groupby(key_col, sort=False, dropna=False)[value_col].rolling(
             window, min_periods=1)
         df[out] = (r.max() if mode == "max" else r.min()).to_numpy()
         return pa.Table.from_pandas(df, preserve_index=False)
@@ -950,7 +954,7 @@ def funnel_steps_per_user(
         for i, step in enumerate(sset):
             m = (df[type_col] == step) & (ts > prev_t.reindex(
                 df[key_col]).to_numpy())
-            t_i = df.loc[m].groupby(key_col)[ts_col].min()
+            t_i = df.loc[m].groupby(key_col, dropna=False)[ts_col].min()
             reached = done.index.isin(t_i.index) & (done == i)
             done[reached] = i + 1
             nxt = prev_t.copy()
@@ -992,7 +996,7 @@ def centered_mean_per_key(
         _check_bucket(g, "centered_mean_per_key", None)
         df = g.drop_columns([_B]).to_pandas()
         df = df.sort_values([key_col] + oc, kind="mergesort")
-        m = (df.groupby(key_col, sort=False)[value_col]
+        m = (df.groupby(key_col, sort=False, dropna=False)[value_col]
              .rolling(2 * half + 1, center=True, min_periods=1)
              .mean().to_numpy())
         df[out] = np.sign(m) * np.floor(

@@ -265,3 +265,60 @@ def test_dup_clusters_raises_on_non_convergence(ray_session):
         dup_clusters(pairs, nb=4, max_iters=2)
     out = dup_clusters(pairs, nb=4, max_iters=20).to_pandas()
     assert (out["cluster_rep"] == 0).all()
+
+
+def test_dedup_index_build_query_append(ray_session, tmp_path):
+    # planted dups recovered from the PERSISTED index; append makes it
+    # incremental; fresh docs produce no pairs
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.dedupindex import (
+        append_dedup_index, build_dedup_index, query_dedup_index)
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+
+    def mktext(n=40):
+        return " ".join(rng.choice(vocab, n))
+
+    base = [mktext() for _ in range(30)]
+    hist = pd.DataFrame({"doc_id": np.arange(30, dtype=np.int64),
+                         "text": base})
+    ix = str(tmp_path / "ddix")
+    assert build_dedup_index(rd.from_pandas(hist).repartition(3), ix) == 30
+    # idempotent rebuild: _DONE short-circuits
+    assert build_dedup_index(rd.from_pandas(hist), ix) == 30
+
+    new = pd.DataFrame({
+        "doc_id": np.array([100, 101, 103], dtype=np.int64),
+        "text": [base[5], base[9], mktext()],
+    })
+    pairs = query_dedup_index(rd.from_pandas(new).repartition(2), ix,
+                              threshold=0.7).to_pandas()
+    got = set(zip(pairs.id_a, pairs.id_b))
+    assert (5, 100) in got or (100, 5) in got
+    assert (9, 101) in got or (101, 9) in got
+    assert 103 not in set(pairs.id_a) | set(pairs.id_b)
+
+    assert append_dedup_index(rd.from_pandas(new), ix) == 3
+    p2 = query_dedup_index(
+        rd.from_pandas(pd.DataFrame({"doc_id": [200],
+                                     "text": [base[5]]})), ix).to_pandas()
+    partners = set(p2.id_a) | set(p2.id_b)
+    assert {5, 100, 200}.issubset(partners)  # original AND appended dup
+
+
+def test_dedup_index_refuses_foreign_dir(ray_session, tmp_path):
+    from biosd_feature_annotator_ray.stages.dedupindex import (
+        build_dedup_index)
+
+    d = tmp_path / "notanindex"
+    d.mkdir()
+    (d / "user_data.txt").write_text("precious")
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": ["a b c"]}))
+    import pytest as _pytest
+    import ray.exceptions
+
+    with _pytest.raises((ValueError, ray.exceptions.RayTaskError)):
+        build_dedup_index(docs, str(d))
+    assert (d / "user_data.txt").read_text() == "precious"

@@ -130,3 +130,61 @@ def test_hot_key_bucket_guard(ray_session):
     # the same data under the default bound is fine
     ok = rank_per_key(ds, nb=4).to_pandas()
     assert len(ok) == 200 and ok["rn"].max() == 200
+
+
+def test_windows_randomized_duckdb_parity(ray_session):
+    # seeded fuzz over the Arrow-native window finishers: null keys,
+    # duplicate order values (unique tiebreaker appended), negative
+    # values — engine vs DuckDB window functions
+    import duckdb
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.windows import (
+        cumsum_per_key, dense_rank_per_key, lag_per_key, rank_per_key)
+
+    rng = np.random.default_rng(11)
+    for _ in range(2):
+        n = 120
+        df = pd.DataFrame({
+            "user_id": np.where(rng.random(n) < 0.1, np.nan,
+                                rng.integers(0, 8, n).astype(float)),
+            "ts": pd.to_datetime(rng.integers(0, 20, n), unit="h"),
+            "event_id": np.arange(n, dtype=np.int64),
+            "value": rng.integers(-50, 50, n).astype(np.int64),
+        })
+        ds = rd.from_pandas(df).repartition(4)
+
+        got = rank_per_key(ds, key_col="user_id",
+                           order_cols=["ts", "event_id"],
+                           nb=4).to_pandas().sort_values("event_id")
+        want = duckdb.sql(
+            "SELECT event_id, row_number() OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS rn FROM df ORDER BY event_id").df()
+        assert got.rn.tolist() == want.rn.tolist()
+
+        got = dense_rank_per_key(ds, key_col="user_id", order_col="value",
+                                 ascending=True,
+                                 nb=4).to_pandas().sort_values("event_id")
+        want = duckdb.sql(
+            "SELECT event_id, dense_rank() OVER (PARTITION BY user_id"
+            " ORDER BY value) AS dr FROM df ORDER BY event_id").df()
+        assert got.drank.tolist() == want.dr.tolist()
+
+        got = cumsum_per_key(ds, key_col="user_id", value_col="value",
+                             order_cols=["ts", "event_id"],
+                             nb=4).to_pandas().sort_values("event_id")
+        want = duckdb.sql(
+            "SELECT event_id, sum(value) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cv"
+            " FROM df ORDER BY event_id").df()
+        assert got.cum_value.tolist() == want.cv.tolist()
+
+        got = lag_per_key(ds, key_col="user_id", value_col="value",
+                          order_cols=["ts", "event_id"],
+                          nb=4).to_pandas().sort_values("event_id")
+        want = duckdb.sql(
+            "SELECT event_id, lag(value) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id) AS lg FROM df ORDER BY event_id").df()
+        gl = got.set_index("event_id")["prev"]
+        wl = want.set_index("event_id").lg
+        assert ((gl.isna() == wl.isna()) & ((gl == wl) | gl.isna())).all()
