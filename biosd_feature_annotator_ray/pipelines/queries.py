@@ -3805,3 +3805,21 @@ def q_dedup_index_incremental(sf_dir: str):
 
 
 QUERIES["dedup_index_incremental"] = q_dedup_index_incremental
+
+
+def q_moments_by_type(sf_dir: str):
+    """Sample skewness/kurtosis of event values per type — the G1/G2
+    estimators from five power sums, one groupby-sum shuffle."""
+    from ..stages.sketches import grouped_moments
+
+    return grouped_moments(_events(sf_dir, ["event_type", "value"]),
+                           "event_type", "value", round_to=6)
+
+
+QUERIES["moments_by_type"] = q_moments_by_type
+
+ORACLES["moments_by_type"] = (
+    "SELECT event_type, round(skewness(value), 6) AS skewness,"
+    " round(kurtosis(value), 6) AS kurtosis"
+    " FROM events GROUP BY event_type"
+)

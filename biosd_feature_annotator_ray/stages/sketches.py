@@ -539,3 +539,62 @@ def trim_outliers(
         return batch.filter(pc.fill_null(m, False))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
+
+
+def grouped_moments(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    x_col: str,
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """Sample skewness + excess kurtosis per key (SQL skewness() /
+    kurtosis(): the bias-adjusted G1/G2 estimators) from five raw power
+    sums (n, Σx, Σx², Σx³, Σx⁴) — map-side per-key partials, ONE
+    groupby-sum, driver-free finisher. Nulls skipped; groups smaller
+    than the estimator's support (n<3 for skew, n<4 for kurtosis) yield
+    null, like SQL. Raw power sums lose precision when |mean| ≫ std —
+    center upstream if your data is like that."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select([key_col, x_col]).to_pandas()
+        valid = df[x_col].notna().to_numpy()
+        x = np.where(valid, df[x_col].to_numpy(dtype=np.float64,
+                                               na_value=0.0), 0.0)
+        g = pd.DataFrame({
+            key_col: df[key_col], "n": valid.astype(np.float64),
+            "s1": x, "s2": x * x, "s3": x ** 3, "s4": x ** 4,
+        }).groupby(key_col, dropna=False, sort=False).sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    st = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+          .groupby(key_col)
+          .aggregate(*[Sum(c, alias_name=c)
+                       for c in ("n", "s1", "s2", "s3", "s4")]))
+
+    def finish(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        n = df["n"].to_numpy()
+        s1, s2 = df["s1"].to_numpy(), df["s2"].to_numpy()
+        s3, s4 = df["s3"].to_numpy(), df["s4"].to_numpy()
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mean = s1 / n
+            m2 = s2 / n - mean ** 2
+            m3 = s3 / n - 3 * mean * s2 / n + 2 * mean ** 3
+            m4 = (s4 / n - 4 * mean * s3 / n
+                  + 6 * mean ** 2 * s2 / n - 3 * mean ** 4)
+            g1 = m3 / m2 ** 1.5
+            skew = g1 * np.sqrt(n * (n - 1)) / (n - 2)
+            g2 = m4 / m2 ** 2 - 3.0
+            kurt = (((n + 1) * g2 + 6) * (n - 1) / ((n - 2) * (n - 3)))
+        skew = np.where((n < 3) | (m2 <= 0), np.nan, skew)
+        kurt = np.where((n < 4) | (m2 <= 0), np.nan, kurt)
+        k = 10.0 ** round_to
+        skew = np.sign(skew) * np.floor(np.abs(skew) * k + 0.5) / k
+        kurt = np.sign(kurt) * np.floor(np.abs(kurt) * k + 0.5) / k
+        return pa.table({key_col: pa.Array.from_pandas(df[key_col]),
+                         "skewness": pa.array(skew, pa.float64()),
+                         "kurtosis": pa.array(kurt, pa.float64())})
+
+    return st.map_batches(finish, batch_format="pyarrow")

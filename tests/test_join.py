@@ -320,3 +320,35 @@ def test_join_randomized_duckdb_parity_all_hows(ray_session):
             ws = (want.sort_values(cols, na_position="last")
                   .reset_index(drop=True))
             pd.testing.assert_frame_equal(gs, ws, check_dtype=False)
+
+
+def test_asof_join_randomized_duckdb_parity(ray_session):
+    # seeded fuzz: duplicate (key, ts) on the right are pre-deduped
+    # (documented determinism contract), random gaps, unmatched lefts
+    import duckdb
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(5)
+    for trial in range(2):
+        l = pd.DataFrame({
+            "k": rng.integers(0, 5, 60),
+            "ts": pd.to_datetime(rng.integers(0, 1000, 60), unit="s"),
+            "lv": np.arange(60, dtype=np.int64),
+        })
+        r = pd.DataFrame({
+            "k": rng.integers(0, 5, 40),
+            "ts": pd.to_datetime(rng.integers(0, 1000, 40), unit="s"),
+            "rv": np.arange(40, dtype=np.int64),
+        }).drop_duplicates(["k", "ts"])
+        got = asof_join(rd.from_pandas(l).repartition(3),
+                        rd.from_pandas(r).repartition(2),
+                        key="k", ts="ts", nb=4, how="inner").to_pandas()
+        want = duckdb.sql(
+            "SELECT l.k, l.ts, lv, rv FROM l ASOF JOIN r"
+            " ON l.k = r.k AND l.ts >= r.ts").df()
+        cols = ["k", "lv", "rv"]
+        gs = got[cols].sort_values(cols).reset_index(drop=True)
+        ws = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(gs, ws, check_dtype=False)

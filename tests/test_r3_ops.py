@@ -353,3 +353,18 @@ def test_null_contracts_wave23(ray_session):
     corr = grouped_corr(rd.from_pandas(cdf), "k", "x", "y").to_pandas()
     got = dict(zip(corr.k, corr.corr_xy))
     assert got["g"] == 1.0 and np.isnan(got["h"])  # group preserved
+
+
+def test_grouped_moments_degenerate_groups(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import grouped_moments
+
+    df = pd.DataFrame({
+        "k": ["tiny"] * 2 + ["flat"] * 10 + ["ok"] * 10,
+        "x": [1.0, 2.0] + [5.0] * 10 + list(range(10)),
+    })
+    out = grouped_moments(rd.from_pandas(df).repartition(2),
+                          "k", "x").to_pandas()
+    got = out.set_index("k")
+    assert pd.isna(got.loc["tiny", "skewness"])  # n<3
+    assert pd.isna(got.loc["flat", "kurtosis"])  # zero variance
+    assert np.isfinite(float(got.loc["ok", "skewness"]))
