@@ -3823,3 +3823,31 @@ ORACLES["moments_by_type"] = (
     " round(kurtosis(value), 6) AS kurtosis"
     " FROM events GROUP BY event_type"
 )
+
+
+def q_table_profile_events(sf_dir: str):
+    """Per-column census of the events table: row count, nulls, exact
+    distinct — the pre-training data-quality profile."""
+    from ..stages.sketches import table_profile
+
+    return table_profile(
+        _events(sf_dir, ["event_id", "user_id", "event_type", "value"]),
+        ["event_id", "user_id", "event_type", "value"], nb=8)
+
+
+QUERIES["table_profile_events"] = q_table_profile_events
+
+ORACLES["table_profile_events"] = (
+    " SELECT 'event_id' AS col, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,"
+    "  CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events"
+    " UNION ALL SELECT 'user_id', CAST(count(*) AS BIGINT),"
+    "  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+    "  CAST(count(DISTINCT user_id) AS BIGINT) FROM events"
+    " UNION ALL SELECT 'event_type', CAST(count(*) AS BIGINT),"
+    "  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+    "  CAST(count(DISTINCT event_type) AS BIGINT) FROM events"
+    " UNION ALL SELECT 'value', CAST(count(*) AS BIGINT),"
+    "  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
+    "  CAST(count(DISTINCT value) AS BIGINT) FROM events"
+)

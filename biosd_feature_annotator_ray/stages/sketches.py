@@ -598,3 +598,64 @@ def grouped_moments(
                          "kurtosis": pa.array(kurt, pa.float64())})
 
     return st.map_batches(finish, batch_format="pyarrow")
+
+
+def table_profile(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Per-column data-quality census: (col, n, n_null, n_distinct) for
+    every requested column — the 'profile this table before training on
+    it' primitive. One pass emits per-batch count partials plus the
+    batch-DISTINCT (col, value) pairs in long format (values carried as
+    their exact Arrow string cast, injective for int/float/string/
+    timestamp); distinct counting is then the same pair-bucketed
+    two-level reduce as groupby_nunique — a column with billions of
+    distinct values spreads across buckets instead of melting one."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import _B, _add_bucket
+
+    def local(batch: pa.Table) -> pa.Table:
+        frames = []
+        for c in cols:
+            arr = batch.column(c)
+            if not (pa.types.is_string(arr.type)
+                    or pa.types.is_large_string(arr.type)):
+                arr = arr.cast(pa.string())
+            v = pd.Series(arr.to_pandas()).dropna().drop_duplicates()
+            frames.append(pd.DataFrame({
+                "col": c, "v": v.astype(str),
+                "n_part": 0, "null_part": 0, "is_count": False}))
+            frames.append(pd.DataFrame({
+                "col": [c], "v": [""], "n_part": [len(batch)],
+                "null_part": [batch.column(c).null_count],
+                "is_count": [True]}))
+        out = pd.concat(frames, ignore_index=True)
+        return _add_bucket(pa.Table.from_pandas(out, preserve_index=False),
+                           ["col", "v"], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        counts = df[df["is_count"]]
+        pairs = df[~df["is_count"]].drop_duplicates(["col", "v"])
+        a = (counts.groupby("col", sort=False)
+             .agg(n=("n_part", "sum"), n_null=("null_part", "sum"))
+             .reset_index())
+        b = (pairs.groupby("col", sort=False)
+             .size().reset_index(name="nd"))
+        out = a.merge(b, on="col", how="outer").fillna(0)
+        return pa.Table.from_pandas(out, preserve_index=False).cast(
+            pa.schema([pa.field("col", pa.string()),
+                       pa.field("n", pa.int64()),
+                       pa.field("n_null", pa.int64()),
+                       pa.field("nd", pa.int64())]))
+
+    return (ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow")
+            .groupby("col")
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("n_null", alias_name="n_null"),
+                       Sum("nd", alias_name="n_distinct")))

@@ -368,3 +368,18 @@ def test_grouped_moments_degenerate_groups(ray_session):
     assert pd.isna(got.loc["tiny", "skewness"])  # n<3
     assert pd.isna(got.loc["flat", "kurtosis"])  # zero variance
     assert np.isfinite(float(got.loc["ok", "skewness"]))
+
+
+def test_table_profile_nulls_and_distinct(ray_session):
+    from biosd_feature_annotator_ray.stages.sketches import table_profile
+
+    df = pd.DataFrame({
+        "a": [1, 1, 2, None, None],
+        "b": ["x", "", "", None, "y"],
+    })
+    out = table_profile(rd.from_pandas(df).repartition(2),
+                        ["a", "b"], nb=4).to_pandas().set_index("col")
+    assert out.loc["a", "n"] == 5 and out.loc["a", "n_null"] == 2
+    assert out.loc["a", "n_distinct"] == 2
+    # empty string is a VALUE (counted once), null is not
+    assert out.loc["b", "n_null"] == 1 and out.loc["b", "n_distinct"] == 3
