@@ -136,6 +136,9 @@ def run_queries() -> dict:
         "funnel_events", "global_rn_orders",
         # round-3 additions
         "domain_caps", "rollup_orders", "fingerprint_events", "graph_components",
+        # round-3 second sitting: curation / LLM-data wave
+        "pack_sequences", "unigram_nll", "rebalance_sources",
+        "dedup_index_incremental", "table_profile_events",
     ]
     out = {}
     for name in names:

@@ -124,3 +124,61 @@ def test_groupby_topk(ray_session):
     assert out[out.g == "a"]["v"].tolist() == [5, 4, 3]
     # group b has fewer than k rows: all kept
     assert out[out.g == "b"]["v"].tolist() == [9, 2]
+
+
+def test_canonicalize_family_randomized_duckdb_parity(ray_session):
+    # seeded fuzz: argmax/topk/nunique/mode vs DuckDB over data with
+    # null keys, duplicate order values and ties
+    import duckdb
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.canonicalize import (
+        groupby_argmax, groupby_nunique, groupby_topk, mode_per_key)
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "k": np.where(rng.random(150) < 0.1, None,
+                      rng.integers(0, 10, 150).astype(object)),
+        "v": rng.integers(0, 20, 150),
+        "uid": np.arange(150, dtype=np.int64),
+    })
+    ds = rd.from_pandas(df).repartition(4)
+
+    got = groupby_argmax(ds, ["k"], ["v", "uid"], [False, True],
+                         nb=4).to_pandas()
+    want = duckdb.sql(
+        "SELECT k, v, uid FROM (SELECT *, row_number() OVER (PARTITION"
+        " BY k ORDER BY v DESC, uid) rk FROM df) WHERE rk = 1").df()
+    cols = ["k", "v", "uid"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols, na_position="last").reset_index(drop=True),
+        want[cols].sort_values(cols, na_position="last").reset_index(drop=True),
+        check_dtype=False)
+
+    got = groupby_topk(ds, ["k"], ["v", "uid"], [False, True], k=3,
+                       nb=4).to_pandas()
+    want = duckdb.sql(
+        "SELECT k, v, uid FROM (SELECT *, row_number() OVER (PARTITION"
+        " BY k ORDER BY v DESC, uid) rk FROM df) WHERE rk <= 3").df()
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols, na_position="last").reset_index(drop=True),
+        want[cols].sort_values(cols, na_position="last").reset_index(drop=True),
+        check_dtype=False)
+
+    got = groupby_nunique(ds, "k", "v", nb=4).to_pandas()
+    want = duckdb.sql(
+        "SELECT k, CAST(count(DISTINCT v) AS BIGINT) nd"
+        " FROM df GROUP BY k").df()
+    g = {(None if pd.isna(r.k) else r.k): r.n_distinct
+         for r in got.itertuples()}
+    w = {(None if pd.isna(r.k) else r.k): r.nd for r in want.itertuples()}
+    assert g == w
+
+    got = mode_per_key(ds, "k", "v", nb=4).to_pandas()
+    want = duckdb.sql(
+        "SELECT k, v AS mode FROM (SELECT k, v, row_number() OVER"
+        " (PARTITION BY k ORDER BY count(*) DESC, v) rk FROM df"
+        " GROUP BY k, v) WHERE rk = 1").df()
+    g = {(None if pd.isna(r.k) else r.k): r.mode for r in got.itertuples()}
+    w = {(None if pd.isna(r.k) else r.k): r.mode for r in want.itertuples()}
+    assert g == w
