@@ -3851,3 +3851,24 @@ ORACLES["table_profile_events"] = (
     "  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),"
     "  CAST(count(DISTINCT value) AS BIGINT) FROM events"
 )
+
+
+def q_knn_pq(sf_dir: str):
+    """Product-quantized ANN (rows-only: ADC scores are approximate by
+    construction): 64-d embeddings compress to 8-byte codes, four
+    seeded queries scored via per-query LUT + code lookups.
+    Deterministic: seeded codebooks, stable tie-breaks."""
+    from ..stages.similarity import knn_pq, pq_encode, train_pq
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    books = train_pq(vecs, m=8, sample_rows=4096, iters=6)
+    codes = pq_encode(vecs, books).materialize()
+    q = np.stack(vecs.limit(4).to_pandas()["embedding"].to_numpy())
+    out = knn_pq(codes, books, q, k=10).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["knn_pq"] = q_knn_pq

