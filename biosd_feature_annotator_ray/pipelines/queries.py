@@ -3872,3 +3872,28 @@ def q_knn_pq(sf_dir: str):
 
 
 QUERIES["knn_pq"] = q_knn_pq
+
+
+def q_knn_ivfpq(sf_dir: str):
+    """Persisted IVF-PQ ANN (rows-only — approximate by construction):
+    coarse cells store 8-byte PQ codes; four seeded queries probe 4
+    cells and ADC-score only those cells' codes. Deterministic."""
+    import tempfile
+
+    from ..stages.similarity import build_ivfpq_index, knn_ivfpq_indexed
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    qtbl = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"]
+                           ).limit(4).to_arrow_refs()
+    qtbl = pa.concat_tables(ray.get(qtbl))
+    with tempfile.TemporaryDirectory(prefix="ivfpq-") as ix:
+        build_ivfpq_index(vecs, ix, n_centroids=16, m=8)
+        out = knn_ivfpq_indexed(ix, qtbl, k=10, nprobe=4).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["query_id", "rank"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["knn_ivfpq"] = q_knn_ivfpq

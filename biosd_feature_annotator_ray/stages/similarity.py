@@ -808,3 +808,183 @@ def knn_pq(
     cands = codes.map_batches(score, batch_format="pyarrow",
                               batch_size=65536)
     return _global_topk(cands, k)
+
+
+def build_ivfpq_index(
+    vecs: "ray.data.Dataset",
+    out_dir: str,
+    n_centroids: int = 16,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+    seed: int = 42,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Persisted IVF-PQ: the archive-scale ANN recipe — vectors route
+    to their nearest coarse centroid (storage-level cell pruning, as in
+    build_ivf_index) AND each cell stores only (id, m-byte PQ code):
+    4·d/m× smaller cells (32× at d=64, m=8), so a 100 TB embedding
+    archive's index fits hot storage. Same atomic content-named
+    fragments + _DONE resume contract. Returns (centroids, codebooks).
+    Refinement not taken (documented): classic residual encoding
+    (x − centroid before PQ) buys extra recall at the cost of
+    per-cell codebooks."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        t = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+        C = np.stack(t.column("centroid").to_pandas().to_numpy())
+        bt = pq.read_table(os.path.join(out_dir, "codebooks.parquet"))
+        shape = tuple(int(x) for x in bt.schema.metadata[b"shape"].split(b","))
+        books = np.frombuffer(bt.column("books")[0].as_py(),
+                              np.float32).reshape(shape)
+        return C, books
+
+    C = build_centroids(vecs, n_centroids, vec_col, seed=seed, id_col=id_col)
+    books = train_pq(vecs, m=m, vec_col=vec_col, id_col=id_col, seed=seed)
+    cref = ray.put((C, books))
+
+    class Assign:
+        def __init__(self):
+            self.C, self.books = ray.get(cref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from ..functions.hashing import hash_columns
+
+            mm, ksub, dsub = self.books.shape
+            V = _normalize(_stack(batch.column(vec_col)))
+            cent = (V @ self.C.T).argmax(axis=1).astype(np.int32)
+            codes = np.empty((len(V), mm), np.uint8)
+            for j in range(mm):
+                S = V[:, j * dsub:(j + 1) * dsub].astype(np.float32)
+                d2 = (-2.0 * (S @ self.books[j].T)
+                      + (self.books[j] ** 2).sum(axis=1)[None, :])
+                codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+            cb = codes.tobytes()
+            tagged = pa.table({
+                id_col: batch.column(id_col),
+                "cent": pa.array(cent),
+                "code": pa.array([cb[i * mm:(i + 1) * mm]
+                                  for i in range(len(V))], pa.binary())})
+            id_hashes = hash_columns(batch, [id_col])
+            for c in np.unique(cent):
+                sub = tagged.filter(pa.array(cent == c))
+                cdir = os.path.join(out_dir, "cells", f"cent={int(c)}")
+                os.makedirs(cdir, exist_ok=True)
+                with np.errstate(over="ignore"):
+                    digest = int(np.uint64(np.sum(id_hashes[cent == c],
+                                                  dtype=np.uint64))
+                                 + np.uint64(len(sub)))
+                tmp = os.path.join(cdir, f".tmp-{digest:016x}")
+                pq.write_table(sub, tmp)
+                os.replace(tmp, os.path.join(cdir,
+                                             f"frag-{digest:016x}.parquet"))
+            u, n = np.unique(cent, return_counts=True)
+            return pa.table({"cent": pa.array(u),
+                             "rows": pa.array(n.astype(np.int64))})
+
+    vecs.map_batches(Assign, batch_format="pyarrow",
+                     concurrency=concurrency).materialize()
+    os.makedirs(out_dir, exist_ok=True)
+    pq.write_table(
+        pa.table({"centroid_id": pa.array(np.arange(len(C), dtype=np.int64)),
+                  "centroid": pa.array(list(C))}),
+        os.path.join(out_dir, "centroids.parquet"))
+    bt = pa.table({"books": pa.array([books.astype(np.float32).tobytes()],
+                                     pa.binary())})
+    bt = bt.replace_schema_metadata(
+        {"shape": ",".join(str(x) for x in books.shape)})
+    pq.write_table(bt, os.path.join(out_dir, "codebooks.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return C, books
+
+
+def knn_ivfpq_indexed(
+    index_dir: str,
+    queries: pa.Table,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    concurrency=(1, 8),
+    driver_finish: bool = True,
+) -> "ray.data.Dataset":
+    """Query a persisted IVF-PQ index: probe the nprobe nearest cells,
+    read ONLY those cells' (id, code) fragments from storage, and
+    ADC-score each cell's codes against just its probing queries — the
+    full archive-scale path: storage pruning × 32× smaller bytes ×
+    no decompression."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    t = pq.read_table(os.path.join(index_dir, "centroids.parquet"))
+    C = np.stack(t.column("centroid").to_pandas().to_numpy())
+    bt = pq.read_table(os.path.join(index_dir, "codebooks.parquet"))
+    shape = tuple(int(x) for x in bt.schema.metadata[b"shape"].split(b","))
+    books = np.frombuffer(bt.column("books")[0].as_py(),
+                          np.float32).reshape(shape)
+    mm, ksub, dsub = books.shape
+    qids = queries.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+    Q = _normalize(_stack(queries.column(vec_col))).astype(np.float32)
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), mm, dsub), books)
+    probe = np.argsort(-(Q @ C.T), axis=1)[:, :nprobe]
+    q_of_cent = [np.flatnonzero((probe == c).any(axis=1))
+                 for c in range(len(C))]
+    probed = sorted(int(c) for c in np.unique(probe))
+    qref = ray.put((qids, lut, q_of_cent))
+
+    dirs = [os.path.join(index_dir, "cells", f"cent={c}") for c in probed]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "vec_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64()),
+                      "rank": pa.array([], pa.int64())})
+    if not files:
+        return rd.from_arrow(empty)
+
+    class Score:
+        def __init__(self):
+            self.qids, self.lut, self.q_of_cent = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cent = batch.column("cent").to_numpy(zero_copy_only=False)
+            ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+            raw = batch.column("code").to_pandas().to_numpy()
+            codes = np.frombuffer(b"".join(raw), np.uint8).reshape(len(raw), mm)
+            cols = np.arange(mm)
+            outs = []
+            for c in np.unique(cent):
+                qi = self.q_of_cent[int(c)]
+                if not len(qi):
+                    continue
+                sel = cent == c
+                Cc, Ic = codes[sel], ids[sel]
+                for q in qi:
+                    s = self.lut[q][cols[None, :], Cc].sum(axis=1)
+                    s = np.where(self.qids[q] == Ic, -np.inf, s)
+                    kk = min(k, len(s))
+                    idx = np.argpartition(-s, kth=kk - 1)[:kk]
+                    keep = np.isfinite(s[idx])
+                    outs.append(pa.table({
+                        "query_id": pa.array(
+                            np.full(int(keep.sum()), self.qids[q])),
+                        "vec_id": pa.array(Ic[idx][keep].astype(np.int64)),
+                        "sim": pa.array(np.round(
+                            s[idx][keep].astype(np.float64), 6)),
+                    }))
+            if not outs:
+                return pa.table({"query_id": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            return pa.concat_tables(outs)
+
+    cands = rd.read_parquet(files).map_batches(Score, batch_format="pyarrow",
+                                               concurrency=concurrency)
+    return _global_topk(cands, k, driver_finish=driver_finish)

@@ -363,3 +363,39 @@ def test_pq_recall_and_exactness(ray_session):
         cluster_ok.append(all(v // 40 == q for v in a))
     assert all(cluster_ok), cluster_ok
     assert np.mean(recalls) >= 0.25, recalls
+
+
+def test_ivfpq_index_recall_and_resume(ray_session, tmp_path):
+    # probed-cell IVF-PQ ≥ cluster-level accuracy; rebuild is a no-op
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.similarity import (
+        build_ivfpq_index, knn_brute_force, knn_ivfpq_indexed)
+
+    rng = np.random.default_rng(17)
+    centers = rng.normal(0, 1, (8, 64)).astype(np.float32)
+    X = np.repeat(centers, 40, axis=0) + rng.normal(
+        0, 0.05, (320, 64)).astype(np.float32)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    df = pd.DataFrame({"vec_id": np.arange(320, dtype=np.int64),
+                       "embedding": list(X)})
+    vecs = rd.from_pandas(df).repartition(3)
+    ix = str(tmp_path / "ivfpq")
+    C, books = build_ivfpq_index(vecs, ix, n_centroids=8, m=8)
+    assert books.shape == (8, 256, 8)
+    C2, books2 = build_ivfpq_index(vecs, ix, n_centroids=8, m=8)  # resume
+    assert np.allclose(C, C2) and np.allclose(books, books2)
+
+    qtbl = pa.table({"vec_id": pa.array(np.arange(4, dtype=np.int64)),
+                     "embedding": pa.array(list(X[::40][:4]))})
+    got = knn_ivfpq_indexed(ix, qtbl, k=10, nprobe=2).to_pandas()
+    exact = knn_brute_force(vecs, qtbl, k=10,
+                            exclude_self=False).to_pandas()
+    for q in range(4):
+        hits = got[got.query_id == q].vec_id
+        assert len(hits) == 10
+        # all hits from the query's true cluster (queries are members
+        # of clusters 0..3; ids are cluster-ordered)
+        assert all(v // 40 == q for v in hits)
+        e = set(exact[exact.query_id == q].vec_id)
+        assert len(set(hits) & e) >= 2  # member-level overlap survives PQ
