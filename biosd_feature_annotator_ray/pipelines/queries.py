@@ -3792,9 +3792,13 @@ def q_dedup_index_incremental(sf_dir: str):
     cut = int(n * 0.8)
     hist = docs.filter(expr=f"doc_id < {cut}")
     rest = docs.filter(expr=f"doc_id >= {cut}")
+    # planted ids start past max(doc_id), never colliding with real ids
+    # at any scale factor (a fixed 1e6 offset would collide at n > 1e6)
+    offset = int(docs.max("doc_id")) + 1
     planted = hist.limit(20).map_batches(
-        lambda t: pa.table({"doc_id": pc.add(t.column("doc_id"), 1_000_000),
-                            "text": t.column("text")}),
+        lambda t, off=offset: pa.table(
+            {"doc_id": pc.add(t.column("doc_id"), off),
+             "text": t.column("text")}),
         batch_format="pyarrow")
     with tempfile.TemporaryDirectory(prefix="ddix-") as ix:
         build_dedup_index(hist, ix)

@@ -50,6 +50,27 @@ def _read_meta(index_dir: str) -> dict:
     return {k: int(t.column(k)[0].as_py()) for k in t.column_names}
 
 
+def count_indexed_docs(index_dir: str) -> int:
+    """Exact indexed-doc count derived from fragment FOOTERS (each doc
+    contributes exactly ``bands`` band rows): sum of num_rows / bands.
+    Unlike a read-modify-write meta counter, this stays correct under
+    append retries (duplicate digests overwrite, never double-count)
+    and concurrent appends."""
+    import pyarrow.parquet as pq
+
+    meta = _read_meta(index_dir)
+    total = 0
+    broot = os.path.join(index_dir, "buckets")
+    if os.path.isdir(broot):
+        for b in os.listdir(broot):
+            bdir = os.path.join(broot, b)
+            for f in os.listdir(bdir):
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(
+                        os.path.join(bdir, f)).metadata.num_rows
+    return total // meta["bands"]
+
+
 def _scatter_band_rows(docs: "ray.data.Dataset", out_dir: str,
                        params: dict) -> int:
     """Band-row scatter shared by build and append: one stateless pass,
@@ -79,7 +100,12 @@ def _scatter_band_rows(docs: "ray.data.Dataset", out_dir: str,
             with np.errstate(over="ignore"):
                 digest = int(np.uint64(np.sum(row_h[b == bk], dtype=np.uint64))
                              + np.uint64(len(sub)))
-            tmp = os.path.join(bdir, f".tmp-{digest:016x}")
+            import uuid
+
+            # tmp name is UNIQUE per attempt (a straggler original and
+            # its retry must never interleave writes into one path —
+            # the FINAL name stays content-derived for idempotence)
+            tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex}")
             pq.write_table(sub, tmp, row_group_size=_ROW_GROUP)
             os.replace(tmp, os.path.join(bdir, f"frag-{digest:016x}.parquet"))
         return pa.table({"n": pa.array([len(batch)], pa.int64())})
@@ -108,7 +134,7 @@ def build_dedup_index(
 
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
-        return _read_meta(out_dir).get("n_docs", 0)
+        return count_indexed_docs(out_dir)
     if os.path.isdir(out_dir):
         bdir = os.path.join(out_dir, "buckets")
         if os.path.isdir(bdir) or os.path.exists(_meta_path(out_dir)):
@@ -133,7 +159,7 @@ def build_dedup_index(
             batch_format="pyarrow")
     n = _scatter_band_rows(docs, out_dir, params)
     pq.write_table(pa.table({k: pa.array([v], pa.int64())
-                             for k, v in {**params, "n_docs": n}.items()}),
+                             for k, v in params.items()}),
                    _meta_path(out_dir))
     with open(done, "w") as f:
         f.write("ok")
@@ -158,13 +184,10 @@ def append_dedup_index(docs: "ray.data.Dataset", index_dir: str,
             lambda t, i=id_col, c=col: pa.table(
                 {"doc_id": t.column(i), "text": t.column(c)}),
             batch_format="pyarrow")
-    n = _scatter_band_rows(docs, index_dir, meta)
-    meta["n_docs"] = meta.get("n_docs", 0) + n
-    tmp = _meta_path(index_dir) + ".tmp"
-    pq.write_table(pa.table({k: pa.array([v], pa.int64())
-                             for k, v in meta.items()}), tmp)
-    os.replace(tmp, _meta_path(index_dir))
-    return n
+    # meta holds only the immutable params; doc counts derive from
+    # fragment footers (count_indexed_docs) so a retried append that
+    # re-writes identical digests never double-counts
+    return _scatter_band_rows(docs, index_dir, meta)
 
 
 def query_dedup_index(
@@ -217,7 +240,8 @@ def query_dedup_index(
         if not len(cand):
             return empty
         # hot-key cap: bound the per-(band, key) fan-out, loudly
-        grp = cand.groupby(["band_id", "band_key"], sort=False)
+        grp = cand.groupby(["doc_id_new", "band_id", "band_key"],
+                           sort=False)
         rank = grp.cumcount()
         over = int((rank == max_old_per_key).sum())
         if over:

@@ -133,22 +133,11 @@ def build_centroids(vecs: "ray.data.Dataset", n_centroids: int, vec_col: str = "
     cluster's rows (r02 verdict item 5). ``id_col=None`` keeps the old
     first-rows behavior for callers without a key column."""
     if id_col is None:
-        sample_tbl = vecs.limit(sample_rows).to_pandas()
+        sample = _normalize(_stack(pa.Table.from_pandas(
+            vecs.limit(sample_rows).to_pandas()).column(vec_col)))
     else:
-        from ..functions.hashing import hash_columns
-
-        def local_bottom(batch: pa.Table) -> pa.Table:
-            h = hash_columns(batch, [id_col])
-            t = pa.table({vec_col: batch.column(vec_col),
-                          "__h": pa.array(h.astype(np.uint64))})
-            if len(t) > sample_rows:
-                idx = np.argpartition(h, sample_rows - 1)[:sample_rows]
-                t = t.take(pa.array(np.sort(idx)))
-            return t
-
-        sample_tbl = (vecs.map_batches(local_bottom, batch_format="pyarrow")
-                      .sort("__h").limit(sample_rows).to_pandas())
-    sample = _normalize(_stack(pa.Table.from_pandas(sample_tbl).column(vec_col)))
+        # shared sampling contract with train_pq (one implementation)
+        sample = _hash_sample(vecs, vec_col, id_col, sample_rows)
     rng = np.random.default_rng(seed)
     C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):
@@ -684,6 +673,48 @@ def kmeans(
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's compression half): vectors compressed to
 # m uint8 codes, searched via asymmetric distance computation (ADC).
+def _hash_sample(vecs: "ray.data.Dataset", vec_col: str, id_col: str,
+                 sample_rows: int) -> np.ndarray:
+    """Unbiased distributed bottom-k by a stable id hash (the shared
+    codebook-sampling contract of build_centroids AND train_pq — one
+    implementation so a sampling fix applies to both): map-side
+    per-batch bottom-k prune, then a small sort. Returns normalized
+    float32 rows."""
+    from ..functions.hashing import hash_columns
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch, [id_col])
+        t = pa.table({vec_col: batch.column(vec_col),
+                      "__h": pa.array(h.astype(np.uint64))})
+        if len(t) > sample_rows:
+            idx = np.argpartition(h, sample_rows - 1)[:sample_rows]
+            t = t.take(pa.array(np.sort(idx)))
+        return t
+
+    sample_tbl = (vecs.map_batches(local_bottom, batch_format="pyarrow")
+                  .sort("__h").limit(sample_rows).to_pandas())
+    return _normalize(_stack(pa.Table.from_pandas(sample_tbl)
+                             .column(vec_col)))
+
+
+def _assign_codes(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Nearest-subcentroid code per subspace (shared by pq_encode,
+    build_ivfpq_index and train_pq's k-means step): dot-product form
+    ||s-c||^2 = ||s||^2 - 2 s.c + ||c||^2 (row term constant under
+    argmin). Validates the uint8 code width."""
+    m, ksub, dsub = books.shape
+    if ksub > 256:
+        raise ValueError(f"_assign_codes: ksub={ksub} does not fit the "
+                         "uint8 code layout (nbits must be <= 8)")
+    codes = np.empty((len(X), m), np.uint8)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub].astype(np.float32)
+        d2 = (-2.0 * (S @ books[j].T)
+              + (books[j] ** 2).sum(axis=1)[None, :])
+        codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+    return codes
+
+
 def train_pq(
     vecs: "ray.data.Dataset",
     m: int = 8,
@@ -702,21 +733,7 @@ def train_pq(
     a few hundred KB), and every vector afterwards costs m BYTES
     instead of 4·d — the compression that makes archive-scale ANN fit
     in memory."""
-    from ..functions.hashing import hash_columns
-
-    def local_bottom(batch: pa.Table) -> pa.Table:
-        h = hash_columns(batch, [id_col])
-        t = pa.table({vec_col: batch.column(vec_col),
-                      "__h": pa.array(h.astype(np.uint64))})
-        if len(t) > sample_rows:
-            idx = np.argpartition(h, sample_rows - 1)[:sample_rows]
-            t = t.take(pa.array(np.sort(idx)))
-        return t
-
-    sample_tbl = (vecs.map_batches(local_bottom, batch_format="pyarrow")
-                  .sort("__h").limit(sample_rows).to_pandas())
-    X = _normalize(_stack(pa.Table.from_pandas(sample_tbl).column(vec_col))
-                   ).astype(np.float32)
+    X = _hash_sample(vecs, vec_col, id_col, sample_rows).astype(np.float32)
     n, d = X.shape
     if d % m:
         raise ValueError(f"train_pq: dim {d} not divisible by m={m}")
@@ -727,7 +744,8 @@ def train_pq(
         S = X[:, j * dsub:(j + 1) * dsub]
         C = S[rng.choice(n, size=min(ksub, n), replace=False)].copy()
         for _ in range(iters):
-            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # dot-product form, not the (n, ksub, dsub) broadcast tensor
+            d2 = -2.0 * (S @ C.T) + (C ** 2).sum(axis=1)[None, :]
             assign = d2.argmin(axis=1)
             for c in range(len(C)):
                 sel = assign == c
@@ -752,14 +770,9 @@ def pq_encode(
 
     def enc(batch: pa.Table) -> pa.Table:
         books = ray.get(ref)
-        m, ksub, dsub = books.shape
+        m = books.shape[0]
         X = _normalize(_stack(batch.column(vec_col))).astype(np.float32)
-        codes = np.empty((len(X), m), np.uint8)
-        for j in range(m):
-            S = X[:, j * dsub:(j + 1) * dsub]
-            # ||s-c||^2 = ||s||^2 - 2 s·c + ||c||^2 ; ||s||^2 constant per row
-            d2 = -2.0 * (S @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
-            codes[:, j] = d2.argmin(axis=1).astype(np.uint8)
+        codes = _assign_codes(X, books)
         return pa.table({id_col: batch.column(id_col),
                          "code": pa.array(list(codes.tobytes()[i * m:(i + 1) * m]
                                                for i in range(len(X))),
@@ -798,7 +811,7 @@ def knn_pq(
         frames = []
         for q in range(nq):
             s = L[q][cols[None, :], C].sum(axis=1)
-            top = np.argsort(-s, kind="stable")[:k]
+            top = np.lexsort((ids, -s))[:k]  # code-tie break by vec_id
             frames.append(pd.DataFrame({
                 "query_id": q, "vec_id": ids[top],
                 "sim": np.round(s[top].astype(np.float64), 6)}))
@@ -843,6 +856,27 @@ def build_ivfpq_index(
                               np.float32).reshape(shape)
         return C, books
 
+    # interrupted build: fragment digests depend on batch boundaries —
+    # a rerun would leave stale fragments beside new ones (duplicate
+    # vectors in cells). Same whole-index resume contract as the text
+    # and dedup indexes: clean recognizable artifacts, refuse foreign
+    # directories.
+    if os.path.isdir(out_dir):
+        import shutil
+
+        cdir = os.path.join(out_dir, "cells")
+        known = [cdir, os.path.join(out_dir, "centroids.parquet"),
+                 os.path.join(out_dir, "codebooks.parquet")]
+        if any(os.path.exists(x) for x in known):
+            if os.path.isdir(cdir):
+                shutil.rmtree(cdir)
+            for f in known[1:]:
+                if os.path.exists(f):
+                    os.remove(f)
+        elif os.listdir(out_dir):
+            raise ValueError(
+                f"build_ivfpq_index: {out_dir!r} exists, is not an "
+                "IVF-PQ index, and is not empty — refusing to overwrite")
     C = build_centroids(vecs, n_centroids, vec_col, seed=seed, id_col=id_col)
     books = train_pq(vecs, m=m, vec_col=vec_col, id_col=id_col, seed=seed)
     cref = ray.put((C, books))
@@ -878,7 +912,9 @@ def build_ivfpq_index(
                     digest = int(np.uint64(np.sum(id_hashes[cent == c],
                                                   dtype=np.uint64))
                                  + np.uint64(len(sub)))
-                tmp = os.path.join(cdir, f".tmp-{digest:016x}")
+                import uuid
+
+                tmp = os.path.join(cdir, f".tmp-{uuid.uuid4().hex}")
                 pq.write_table(sub, tmp)
                 os.replace(tmp, os.path.join(cdir,
                                              f"frag-{digest:016x}.parquet"))
@@ -970,7 +1006,9 @@ def knn_ivfpq_indexed(
                     s = self.lut[q][cols[None, :], Cc].sum(axis=1)
                     s = np.where(self.qids[q] == Ic, -np.inf, s)
                     kk = min(k, len(s))
-                    idx = np.argpartition(-s, kth=kk - 1)[:kk]
+                    # lexsort: ADC ties (vectors sharing a code) break
+                    # by vec_id, independent of fragment/batch order
+                    idx = np.lexsort((Ic, -s))[:kk]
                     keep = np.isfinite(s[idx])
                     outs.append(pa.table({
                         "query_id": pa.array(

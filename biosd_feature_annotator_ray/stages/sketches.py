@@ -620,8 +620,14 @@ def table_profile(
 
     def local(batch: pa.Table) -> pa.Table:
         frames = []
+        import pyarrow.compute as pc
+
         for c in cols:
             arr = batch.column(c)
+            if pa.types.is_floating(arr.type):
+                # -0.0 casts to "-0" but SQL DISTINCT equates it with
+                # 0.0 — normalize before the (otherwise injective) cast
+                arr = pc.add(arr, 0.0)
             if not (pa.types.is_string(arr.type)
                     or pa.types.is_large_string(arr.type)):
                 arr = arr.cast(pa.string())

