@@ -138,7 +138,7 @@ def run_queries() -> dict:
         "domain_caps", "rollup_orders", "fingerprint_events", "graph_components",
         # round-3 second sitting: curation / LLM-data wave
         "pack_sequences", "unigram_nll", "rebalance_sources",
-        "dedup_index_incremental", "table_profile_events",
+        "dedup_index_incremental", "table_profile_events", "knn_ivfpq",
     ]
     out = {}
     for name in names:

@@ -25,7 +25,6 @@ index tonight's crawl after deduping it against yesterday's.
 
 from __future__ import annotations
 
-import json
 import os
 
 import numpy as np
