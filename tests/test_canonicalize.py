@@ -182,3 +182,43 @@ def test_canonicalize_family_randomized_duckdb_parity(ray_session):
     g = {(None if pd.isna(r.k) else r.k): r.mode for r in got.itertuples()}
     w = {(None if pd.isna(r.k) else r.k): r.mode for r in want.itertuples()}
     assert g == w
+
+
+def test_setops_randomized_duckdb_parity(ray_session):
+    # seeded fuzz over distinct and bag set ops with nulls + skew
+    import duckdb
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.canonicalize import (
+        set_op, set_op_all)
+
+    rng = np.random.default_rng(31)
+    for _ in range(2):
+        a = pd.DataFrame({"v": np.where(rng.random(120) < 0.1, None,
+                                        rng.integers(0, 15, 120)
+                                        .astype(object))})
+        b = pd.DataFrame({"v": np.where(rng.random(80) < 0.1, None,
+                                        rng.integers(5, 20, 80)
+                                        .astype(object))})
+        da = rd.from_pandas(a).repartition(3)
+        db = rd.from_pandas(b).repartition(2)
+        for op, sql in [("intersect", "INTERSECT"), ("except", "EXCEPT"),
+                        ("union", "UNION")]:
+            def norm(xs):
+                return sorted((None if pd.isna(x) else int(x) for x in xs),
+                              key=lambda x: (x is None, x))
+
+            got = norm(set_op(da, db, "v", op=op).to_pandas()["v"])
+            want = norm(duckdb.sql(
+                f"SELECT v FROM a {sql} SELECT v FROM b").df()["v"])
+            assert got == want, op
+        for op, sql in [("intersect", "INTERSECT ALL"),
+                        ("except", "EXCEPT ALL")]:
+            def norm(xs):
+                return sorted((None if pd.isna(x) else int(x) for x in xs),
+                              key=lambda x: (x is None, x))
+
+            got = norm(set_op_all(da, db, "v", op=op).to_pandas()["v"])
+            want = norm(duckdb.sql(
+                f"SELECT v FROM a {sql} SELECT v FROM b").df()["v"])
+            assert got == want, op

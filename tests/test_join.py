@@ -352,3 +352,34 @@ def test_asof_join_randomized_duckdb_parity(ray_session):
         gs = got[cols].sort_values(cols).reset_index(drop=True)
         ws = want[cols].sort_values(cols).reset_index(drop=True)
         pd.testing.assert_frame_equal(gs, ws, check_dtype=False)
+
+
+def test_asof_forward_randomized_duckdb_parity(ray_session):
+    import duckdb
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.join import asof_join
+
+    rng = np.random.default_rng(6)
+    l = pd.DataFrame({
+        "k": rng.integers(0, 5, 50),
+        "ts": pd.to_datetime(rng.integers(0, 500, 50), unit="s"),
+        "lv": np.arange(50, dtype=np.int64),
+    })
+    r = pd.DataFrame({
+        "k": rng.integers(0, 5, 30),
+        "ts": pd.to_datetime(rng.integers(0, 500, 30), unit="s"),
+        "rv": np.arange(30, dtype=np.int64),
+    }).drop_duplicates(["k", "ts"])
+    got = asof_join(rd.from_pandas(l).repartition(3),
+                    rd.from_pandas(r).repartition(2),
+                    key="k", ts="ts", nb=4, how="inner",
+                    direction="forward").to_pandas()
+    want = duckdb.sql(
+        "SELECT l.k, lv, rv FROM l ASOF JOIN r"
+        " ON l.k = r.k AND l.ts <= r.ts").df()
+    cols = ["k", "lv", "rv"]
+    pd.testing.assert_frame_equal(
+        got[cols].sort_values(cols).reset_index(drop=True),
+        want[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
