@@ -3901,3 +3901,22 @@ def q_knn_ivfpq(sf_dir: str):
 
 
 QUERIES["knn_ivfpq"] = q_knn_ivfpq
+
+
+def q_winsorize_values(sf_dir: str):
+    """Quantile clamp of event values to the [p05, p95] band — the
+    value-preserving outlier treatment (row count unchanged)."""
+    from ..stages.sketches import winsorize
+
+    return winsorize(_events(sf_dir, ["event_id", "value"]), "value",
+                     0.05, 0.95, out="value_w")
+
+
+QUERIES["winsorize_values"] = q_winsorize_values
+
+ORACLES["winsorize_values"] = (
+    "WITH b AS (SELECT quantile_disc(value, 0.05) AS lo,"
+    "  quantile_disc(value, 0.95) AS hi FROM events)"
+    " SELECT event_id, value, least(greatest(value, lo), hi) AS value_w"
+    " FROM events, b"
+)

@@ -665,3 +665,33 @@ def table_profile(
             .aggregate(Sum("n", alias_name="n"),
                        Sum("n_null", alias_name="n_null"),
                        Sum("nd", alias_name="n_distinct")))
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+    out: str | None = None,
+    n_bins: int = 4096,
+) -> "ray.data.Dataset":
+    """Quantile clamp (trim_outliers' value-preserving twin): values
+    outside [quantile_disc(q_lo), quantile_disc(q_hi)] are CLAMPED to
+    the band edge instead of dropped — row count unchanged, heavy tails
+    bounded. Same streaming exact-quantile bounds, one stateless map.
+    Nulls pass through as nulls."""
+    import pyarrow.compute as pc
+
+    qs = exact_quantile(ds, col, [q_lo, q_hi], n_bins=n_bins)
+    lo, hi = qs[q_lo], qs[q_hi]
+    dest = out or col
+
+    def clamp(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        w = pc.min_element_wise(pc.max_element_wise(v, lo), hi)
+        if dest in batch.column_names:
+            return batch.set_column(
+                batch.schema.get_field_index(dest), dest, w)
+        return batch.append_column(dest, w)
+
+    return ds.map_batches(clamp, batch_format="pyarrow", batch_size=65536)
