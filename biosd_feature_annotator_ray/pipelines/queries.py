@@ -3707,7 +3707,10 @@ ORACLES["mode_event_type"] = (
 )
 
 ORACLES["value_histogram"] = (
-    "WITH b AS (SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin"
+    # least(…, 19) mirrors the engine's hi-edge clamp: a value one ulp
+    # below hi can floor() to nbins and would otherwise drop out of the
+    # LEFT JOIN while the engine counts it in the last bin (r03 ADVICE)
+    "WITH b AS (SELECT least(CAST(floor(value / 25.0) AS BIGINT), 19) AS bin"
     "  FROM events WHERE value >= 0 AND value < 500),"
     " c AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY bin)"
     " SELECT g.bin, CAST(coalesce(c.n, 0) AS BIGINT) AS n"

@@ -477,6 +477,7 @@ def rollup_agg(
     value_col: str,
     n_col: str = "n_rows",
     sum_col: str = "sum_value",
+    decimals: int | None = 2,
 ) -> "ray.data.Dataset":
     """GROUP BY ROLLUP(keys): count + sum at every prefix level of the
     key hierarchy — (k1..km), (k1..km-1), …, grand total — rolled-up
@@ -485,20 +486,51 @@ def rollup_agg(
     Shape: ONE wide shuffle (the finest groupby over map-side partials);
     every coarser level re-aggregates the PREVIOUS level's already-small
     aggregate table, so the hierarchy costs m tiny shuffles on
-    aggregates, never extra passes over the facts. Sums travel as
-    integer cents so cross-level re-aggregation is exactly associative
-    (bit-identical to SQL's single-pass sums after /100)."""
+    aggregates, never extra passes over the facts.
+
+    ``decimals`` (r03 ADVICE — the scale is validated, not assumed):
+    with an int, sums travel as 10^decimals-scaled integers so
+    cross-level re-aggregation is exactly associative (bit-identical to
+    SQL's single-pass sums after rescaling); values that don't fit the
+    scale (more fractional digits, or magnitude near 2^62/10^decimals)
+    RAISE instead of silently quantizing. ``decimals=None`` falls back
+    to float64 sums (no quantization; last-ulp association order may
+    differ from a single-pass SQL sum). NULL values raise either way —
+    pick a fill or filter upstream."""
     from ray.data.aggregate import Sum
 
     import ray.data as rd
 
     from .join import _arrow_schema
 
+    scale = None if decimals is None else float(10 ** decimals)
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
-        cents = np.round(df[value_col].to_numpy(dtype=np.float64) * 100).astype(np.int64)
+        if df[value_col].isna().any():
+            raise ValueError(
+                f"rollup_agg: {value_col!r} contains NULLs — SQL SUM "
+                "skips them but COUNT(*) does not; fill or filter "
+                "upstream so the intent is explicit")
+        v = df[value_col].to_numpy(dtype=np.float64)
+        if scale is None:
+            sums = v
+        else:
+            scaled = v * scale
+            if len(scaled) and np.abs(scaled).max() >= 2.0 ** 62:
+                raise ValueError(
+                    f"rollup_agg: |{value_col}|*10^{decimals} exceeds the "
+                    "int64-safe range — use a smaller decimals or "
+                    "decimals=None (float sums)")
+            sums = np.round(scaled).astype(np.int64)
+            err = np.abs(sums - scaled)
+            if len(err) and err.max() > 1e-6 * max(1.0, np.abs(scaled).max()):
+                raise ValueError(
+                    f"rollup_agg: {value_col!r} has values with more than "
+                    f"{decimals} fractional digits — raise decimals or "
+                    "pass decimals=None (float sums)")
         part = pd.DataFrame({**{k: df[k] for k in keys},
-                             n_col: np.ones(len(df), np.int64), sum_col: cents})
+                             n_col: np.ones(len(df), np.int64), sum_col: sums})
         g = part.groupby(keys, as_index=False, dropna=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
@@ -514,7 +546,8 @@ def rollup_agg(
             cols = [batch.column(k).cast(ktype[k]) if k in level_keys
                     else pa.nulls(len(batch), ktype[k]) for k in keys]
             cols.append(batch.column(n_col).cast(pa.int64()))
-            s = batch.column(sum_col).to_numpy(zero_copy_only=False) / 100.0
+            s = batch.column(sum_col).to_numpy(zero_copy_only=False)
+            s = s / scale if scale is not None else s.astype(np.float64)
             cols.append(pa.array(s, pa.float64()))
             return pa.table(cols, names=keys + [n_col, sum_col])
         return f
@@ -530,7 +563,8 @@ def rollup_agg(
     total_tbl = pa.table(
         [pa.nulls(1, ktype[k]) for k in keys]
         + [pa.array([int(tot[n_col] or 0)], pa.int64()),
-           pa.array([float(tot[sum_col] or 0) / 100.0], pa.float64())],
+           pa.array([float(tot[sum_col] or 0)
+                     / (scale if scale is not None else 1.0)], pa.float64())],
         names=keys + [n_col, sum_col])
     levels.append(rd.from_arrow(total_tbl))
     out = levels[0]

@@ -126,13 +126,25 @@ def build_dedup_index(
     nb: int = 32,
 ) -> int:
     """Build the persisted LSH index over a corpus; returns docs
-    indexed. No-op if ``_DONE`` exists. Refuses to overwrite a
-    directory that is not a dedup index."""
+    indexed. No-op if ``_DONE`` exists AND the requested params match
+    the persisted meta (a rebuild with different num_perm/bands/ngram/
+    seed/nb raises instead of silently returning the stale index).
+    Refuses to overwrite a directory that is not a dedup index."""
     import pyarrow.parquet as pq
     import shutil
 
+    params = {"num_perm": num_perm, "bands": bands, "ngram": ngram,
+              "seed": seed, "nb": nb}
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
+        meta = _read_meta(out_dir)
+        diff = {k: (v, meta.get(k)) for k, v in params.items()
+                if meta.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"build_dedup_index: {out_dir!r} already holds a finished "
+                f"index built with different params {diff} (requested, "
+                "persisted) — delete the directory to rebuild")
         return count_indexed_docs(out_dir)
     if os.path.isdir(out_dir):
         bdir = os.path.join(out_dir, "buckets")
@@ -149,8 +161,6 @@ def build_dedup_index(
                 f"build_dedup_index: {out_dir!r} exists, is not a dedup "
                 "index, and is not empty — refusing to overwrite")
     os.makedirs(out_dir, exist_ok=True)
-    params = {"num_perm": num_perm, "bands": bands, "ngram": ngram,
-              "seed": seed, "nb": nb}
     if id_col != "doc_id" or col != "text":
         docs = docs.map_batches(
             lambda t, i=id_col, c=col: pa.table(

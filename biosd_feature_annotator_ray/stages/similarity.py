@@ -130,14 +130,12 @@ def build_centroids(vecs: "ray.data.Dataset", n_centroids: int, vec_col: str = "
     ``id_col`` (map-side per-batch bottom-k prune, then a small sort),
     not the first ``sample_rows`` rows — on input sorted/partitioned by
     cluster, ``limit()`` would build the whole codebook from one
-    cluster's rows (r02 verdict item 5). ``id_col=None`` keeps the old
-    first-rows behavior for callers without a key column."""
-    if id_col is None:
-        sample = _normalize(_stack(pa.Table.from_pandas(
-            vecs.limit(sample_rows).to_pandas()).column(vec_col)))
-    else:
-        # shared sampling contract with train_pq (one implementation)
-        sample = _hash_sample(vecs, vec_col, id_col, sample_rows)
+    cluster's rows (r02 verdict item 5). ``id_col=None`` hashes the
+    vector CONTENT instead (r03 verdict item 5: the old first-rows
+    ``limit()`` fallback is gone — no caller can reintroduce a
+    one-cluster codebook)."""
+    # shared sampling contract with train_pq (one implementation)
+    sample = _hash_sample(vecs, vec_col, id_col, sample_rows)
     rng = np.random.default_rng(seed)
     C = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):
@@ -673,17 +671,35 @@ def kmeans(
 # ---------------------------------------------------------------------------
 # Product quantization (IVF-PQ's compression half): vectors compressed to
 # m uint8 codes, searched via asymmetric distance computation (ADC).
-def _hash_sample(vecs: "ray.data.Dataset", vec_col: str, id_col: str,
-                 sample_rows: int) -> np.ndarray:
+def _content_hash_rows(V: np.ndarray) -> np.ndarray:
+    """Stable FNV-style row hash of vector CONTENT (float32 bytes):
+    order-independent sampling key for datasets without an id column.
+    Vectorized over rows; the loop is over dimensions only."""
+    b = np.ascontiguousarray(V.astype(np.float32))
+    w = b.view(np.uint32).astype(np.uint64)
+    h = np.full(len(b), np.uint64(0xCBF29CE484222325))
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for j in range(w.shape[1]):
+            h = (h ^ w[:, j]) * prime
+    return h
+
+
+def _hash_sample(vecs: "ray.data.Dataset", vec_col: str,
+                 id_col: str | None, sample_rows: int) -> np.ndarray:
     """Unbiased distributed bottom-k by a stable id hash (the shared
     codebook-sampling contract of build_centroids AND train_pq — one
     implementation so a sampling fix applies to both): map-side
-    per-batch bottom-k prune, then a small sort. Returns normalized
-    float32 rows."""
+    per-batch bottom-k prune, then a small sort. ``id_col=None``
+    hashes the vector content instead. Returns normalized float32
+    rows."""
     from ..functions.hashing import hash_columns
 
     def local_bottom(batch: pa.Table) -> pa.Table:
-        h = hash_columns(batch, [id_col])
+        if id_col is None:
+            h = _content_hash_rows(_stack(batch.column(vec_col)))
+        else:
+            h = hash_columns(batch, [id_col])
         t = pa.table({vec_col: batch.column(vec_col),
                       "__h": pa.array(h.astype(np.uint64))})
         if len(t) > sample_rows:
@@ -848,6 +864,19 @@ def build_ivfpq_index(
 
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
+        # a rebuild with different params must not silently return the
+        # stale index (r03 ADVICE): compare against the persisted meta
+        params = {"n_centroids": n_centroids, "m": m, "seed": seed}
+        mpath = os.path.join(out_dir, "meta.parquet")
+        mt = pq.read_table(mpath)
+        meta = {k: int(mt.column(k)[0].as_py()) for k in mt.column_names}
+        diff = {k: (v, meta.get(k)) for k, v in params.items()
+                if meta.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"build_ivfpq_index: {out_dir!r} already holds a finished "
+                f"index built with different params {diff} (requested, "
+                "persisted) — delete the directory to rebuild")
         t = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
         C = np.stack(t.column("centroid").to_pandas().to_numpy())
         bt = pq.read_table(os.path.join(out_dir, "codebooks.parquet"))
@@ -866,7 +895,8 @@ def build_ivfpq_index(
 
         cdir = os.path.join(out_dir, "cells")
         known = [cdir, os.path.join(out_dir, "centroids.parquet"),
-                 os.path.join(out_dir, "codebooks.parquet")]
+                 os.path.join(out_dir, "codebooks.parquet"),
+                 os.path.join(out_dir, "meta.parquet")]
         if any(os.path.exists(x) for x in known):
             if os.path.isdir(cdir):
                 shutil.rmtree(cdir)
@@ -934,6 +964,11 @@ def build_ivfpq_index(
     bt = bt.replace_schema_metadata(
         {"shape": ",".join(str(x) for x in books.shape)})
     pq.write_table(bt, os.path.join(out_dir, "codebooks.parquet"))
+    pq.write_table(
+        pa.table({k: pa.array([v], pa.int64())
+                  for k, v in {"n_centroids": n_centroids, "m": m,
+                               "seed": seed}.items()}),
+        os.path.join(out_dir, "meta.parquet"))
     with open(done, "w") as f:
         f.write("ok")
     return C, books

@@ -252,6 +252,9 @@ def cumsum_per_key(
     """sum(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
     UNBOUNDED PRECEDING): running total per key, Arrow-native. The
     per-key prefix is the global cumsum minus the run head's prefix.
+    SQL null semantics exactly: NULL values are skipped, the output is
+    NULL while the partition's running non-null count is still 0, and
+    a (non-null) float NaN poisons its own partition's tail only.
     Integer value columns stay in int64 (exact, like SQL SUM OVER —
     no 2^53 float rounding); float columns differ from a strictly
     sequential per-group sum by ≤ a few ulp (the same tolerance
@@ -265,14 +268,31 @@ def cumsum_per_key(
         _check_bucket(g, "cumsum_per_key", max_bucket_rows)
         t, _, start = _sorted_runs(g, key_col, oc)
         is_int = pa.types.is_integer(t.schema.field(value_col).type)
+        otype = pa.int64() if is_int else pa.float64()
+        if len(t) == 0:
+            return t.append_column(out, pa.array([], otype))
         col = t.column(value_col)
-        if is_int and col.null_count:
-            col = pc.fill_null(col, 0)  # SQL SUM OVER skips NULLs
-        v = col.to_numpy(zero_copy_only=False).astype(
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(
             np.int64 if is_int else np.float64)
+        if not is_int:
+            # mask non-null NaNs out of the prefix sums so they cannot
+            # leak into OTHER runs via the run-head subtraction; they
+            # are re-propagated within their own run below
+            nanmask = np.isnan(v)
+            v = np.where(nanmask, 0.0, v)
         cs = np.cumsum(v)
-        cum = cs - (cs[start] - v[start]) if len(t) else cs
-        return t.append_column(out, pa.array(cum, pa.int64() if is_int else pa.float64()))
+        cum = cs - (cs[start] - v[start])
+        # NULL until the run has seen a non-null value (SQL SUM OVER)
+        nn = (~null).astype(np.int64)
+        cnt = np.cumsum(nn)
+        run_cnt = cnt - (cnt[start] - nn[start])
+        if not is_int and nanmask.any():
+            ncs = np.cumsum(nanmask.astype(np.int64))
+            run_nan = (ncs - (ncs[start] - nanmask[start].astype(np.int64))) > 0
+            cum = np.where(run_nan, np.nan, cum)
+        return t.append_column(
+            out, pa.array(cum, otype, mask=run_cnt == 0))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)

@@ -188,3 +188,84 @@ def test_windows_randomized_duckdb_parity(ray_session):
         gl = got.set_index("event_id")["prev"]
         wl = want.set_index("event_id").lg
         assert ((gl.isna() == wl.isna()) & ((gl == wl) | gl.isna())).all()
+
+
+def test_cumsum_float_nulls_nan_duckdb_parity(ray_session):
+    """r03 ADVICE (medium): float NULLs/NaNs in cumsum_per_key. DuckDB
+    semantics (verified): NULL until the partition's first non-null,
+    NULL rows after that carry the running sum, a non-null NaN poisons
+    its own partition's tail only. Built as a pa.Table (not pandas —
+    pandas→duckdb turns NaN into NULL and the case vanishes)."""
+    import duckdb
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.windows import cumsum_per_key
+
+    rng = np.random.default_rng(23)
+    for seed in range(3):
+        rng = np.random.default_rng(100 + seed)
+        n = 150
+        vals = rng.normal(0, 10, n)
+        nanmask = rng.random(n) < 0.08
+        nullmask = (rng.random(n) < 0.15) & ~nanmask
+        vals[nanmask] = np.nan
+        varr = pa.array(vals, pa.float64(), mask=nullmask)
+        t = pa.table({
+            "user_id": pa.array(rng.integers(0, 6, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 30, n).astype("datetime64[s]").astype("datetime64[us]")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "value": varr,
+        })
+        got = cumsum_per_key(rd.from_arrow(t).repartition(4),
+                             key_col="user_id", value_col="value",
+                             order_cols=["ts", "event_id"],
+                             nb=4).to_pandas().sort_values("event_id")
+        want = duckdb.sql(
+            "SELECT event_id, sum(value) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cv"
+            " FROM t ORDER BY event_id").df()
+        gv = got["cum_value"].to_numpy()
+        wv = want["cv"].to_numpy()
+        assert (np.isnan(gv) == np.isnan(wv)).all()
+        ok = ~np.isnan(gv)
+        assert np.allclose(gv[ok], wv[ok], atol=1e-9)
+        # NULL-vs-NaN distinction at the Arrow level: pandas erases it
+        # (NULL→NaN), so compare the engine's Arrow output against
+        # DuckDB's Arrow output validity bitmaps directly
+        eng = cumsum_per_key(rd.from_arrow(t), key_col="user_id",
+                             value_col="value",
+                             order_cols=["ts", "event_id"], nb=2)
+        import ray as _ray
+        et = pa.concat_tables(
+            [_ray.get(r) for r in eng.to_arrow_refs()]).sort_by("event_id")
+        warr = duckdb.sql(
+            "SELECT event_id, sum(value) OVER (PARTITION BY user_id"
+            " ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS cv"
+            " FROM t ORDER BY event_id").arrow()
+        assert et.column("cum_value").is_null().to_pylist() == \
+            warr.column("cv").is_null().to_pylist()
+
+
+def test_cumsum_integer_leading_nulls(ray_session):
+    """r03 ADVICE (low): a key whose leading rows are all NULL must get
+    NULL cum_value until the first non-null (SQL parity), in int64."""
+    from biosd_feature_annotator_ray.stages.windows import cumsum_per_key
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array(np.arange(5).astype("datetime64[s]").astype("datetime64[us]")),
+        "event_id": pa.array(np.arange(5, dtype=np.int64)),
+        "value": pa.array([None, None, 7, None, 4], pa.int64()),
+    })
+    out = cumsum_per_key(rd.from_arrow(t), key_col="user_id",
+                         value_col="value",
+                         order_cols=["ts", "event_id"], nb=2)
+    df = out.to_pandas().sort_values("event_id")
+    got = df["cum_value"].tolist()
+    import duckdb
+    want = duckdb.sql(
+        "SELECT sum(value) OVER (PARTITION BY user_id ORDER BY ts,"
+        " event_id ROWS UNBOUNDED PRECEDING) cv FROM t ORDER BY event_id"
+    ).df()["cv"]
+    assert [None if pd.isna(x) else int(x) for x in got] == \
+        [None if pd.isna(x) else int(x) for x in want]
