@@ -125,9 +125,10 @@ def main(argv: list[str] | None = None) -> int:
 
     pdi = sub.add_parser("dedupindex", help="persisted MinHash-LSH dedup "
                          "index: build once, query/append increments")
-    pdi.add_argument("mode", choices=["build", "query", "append"])
-    pdi.add_argument("--input", required=True,
-                     help="documents parquet (doc_id, text)")
+    pdi.add_argument("mode", choices=["build", "query", "append", "compact"])
+    pdi.add_argument("--input", default=None,
+                     help="documents parquet (doc_id, text); "
+                          "not needed for compact")
     pdi.add_argument("--index", required=True, help="index directory")
     pdi.add_argument("--output", default=None,
                      help="query mode: write pairs parquet here")
@@ -255,6 +256,14 @@ def main(argv: list[str] | None = None) -> int:
 
             from biosd_feature_annotator_ray.stages import dedupindex as di
 
+            if args.mode == "compact":
+                stats = di.compact_dedup_index(args.index)
+                print(json.dumps({**stats, "index": args.index}))
+                return 0
+            if not args.input:
+                print("dedupindex: --input is required for "
+                      f"{args.mode}", file=sys.stderr)
+                return 2
             docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
             if args.mode == "build":
                 n = di.build_dedup_index(docs, args.index)

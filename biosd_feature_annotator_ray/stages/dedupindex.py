@@ -199,6 +199,91 @@ def append_dedup_index(docs: "ray.data.Dataset", index_dir: str,
     return _scatter_band_rows(docs, index_dir, meta)
 
 
+def compact_dedup_index(index_dir: str, rows_per_file: int = 2_000_000,
+                        max_concurrency: int = 8) -> dict:
+    """Rewrite each bucket directory's accumulated append fragments into
+    few large band_key-sorted files (r03 verdict item 2: nightly appends
+    against a 100-TB archive grow one fragment set per increment, and
+    query latency degrades with file count even though band_key pruning
+    stays correct).
+
+    Safety contract (same content-digest idempotence as the scatter):
+    new files land via unique-tmp + atomic rename BEFORE the old
+    fragments are unlinked, so a query that races a compaction sees at
+    worst DUPLICATE band rows — which only duplicate candidate pairs,
+    and ``query_dedup_index`` already dedups pairs on (id_a, id_b). A
+    crash between rename and unlink leaves duplicates that the next
+    compaction removes (rows are deduped on (doc_id, band_id, band_key)
+    here, so re-compaction converges and digests are stable). Appends
+    that race a compaction write NEW fragment files, which are not in
+    the deletion snapshot and therefore survive.
+
+    One Ray task per bucket directory (embarrassingly parallel; the
+    Dataset API adds nothing over a directory-rewrite task). Peak task
+    memory is one bucket's rows — at 100 TB size ``nb`` so a bucket's
+    band rows fit a worker heap. Returns
+    {"buckets": n, "frags_before": a, "frags_after": b}."""
+    if not os.path.exists(os.path.join(index_dir, "_DONE")):
+        raise ValueError(f"compact_dedup_index: {index_dir!r} is not a "
+                         "finished dedup index")
+    broot = os.path.join(index_dir, "buckets")
+    bdirs = (sorted(os.path.join(broot, b) for b in os.listdir(broot))
+             if os.path.isdir(broot) else [])
+
+    @ray.remote
+    def compact_bucket(bdir: str) -> tuple[int, int]:
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        from ..functions.hashing import hash_strings
+
+        frags = sorted(f for f in os.listdir(bdir)
+                       if f.endswith(".parquet"))
+        if len(frags) <= 1:
+            return len(frags), len(frags)
+        t = pa.concat_tables([pq.read_table(os.path.join(bdir, f))
+                              for f in frags])
+        # duplicates can exist only if a prior compaction crashed
+        # between rename and unlink (or an append was retried across a
+        # compaction) — dedup on the full logical key so digests and
+        # count_indexed_docs converge
+        df = t.to_pandas().drop_duplicates(
+            subset=["doc_id", "band_id", "band_key"])
+        df = df.sort_values(["band_key", "band_id", "doc_id"],
+                            kind="mergesort")
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        keep: set[str] = set()
+        for lo in range(0, len(t), rows_per_file):
+            sub = t.slice(lo, rows_per_file)
+            row_h = hash_strings(pa.compute.binary_join_element_wise(
+                pa.compute.cast(sub.column("doc_id"), pa.string()),
+                pa.compute.cast(sub.column("band_id"), pa.string()),
+                pa.compute.cast(sub.column("band_key"), pa.string()),
+                "\x1f"))
+            with np.errstate(over="ignore"):
+                digest = int(np.uint64(np.sum(row_h, dtype=np.uint64))
+                             + np.uint64(len(sub)))
+            name = f"frag-{digest:016x}.parquet"
+            tmp = os.path.join(bdir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(sub, tmp, row_group_size=_ROW_GROUP)
+            os.replace(tmp, os.path.join(bdir, name))
+            keep.add(name)
+        for f in frags:
+            if f not in keep:
+                os.remove(os.path.join(bdir, f))
+        return len(frags), len(keep)
+
+    before = after = 0
+    for lo in range(0, len(bdirs), max_concurrency):
+        for b, a in ray.get([compact_bucket.remote(d)
+                             for d in bdirs[lo:lo + max_concurrency]]):
+            before += b
+            after += a
+    return {"buckets": len(bdirs), "frags_before": before,
+            "frags_after": after}
+
+
 def query_dedup_index(
     new_docs: "ray.data.Dataset",
     index_dir: str,

@@ -23,10 +23,14 @@ from .canonicalize import _add_bucket, _B
 
 # One pathological key (a single user with 10^9 events) necessarily
 # lands in one reduce bucket — per-key window semantics can't split it.
-# Rather than OOM the worker, the sequential-window finishers raise a
-# typed error at this bound; remedies are raising nb (more, smaller
-# buckets only help when MANY keys share one), pre-filtering the hot
-# key, or a coarser window operator that tolerates pre-aggregation.
+# Streamable finishers (rank/cap/cumsum/lag/lead) DEGRADE at this
+# bound: they process the sorted bucket in sub-slices with O(1)
+# carried state, so the guard is a spill, not a stop (r03 verdict
+# item 3). Finishers that need the whole partition at once (ntile,
+# percent_rank, last/nth_value, session, …) still raise the typed
+# error; remedies are raising nb (more, smaller buckets only help when
+# MANY keys share one), pre-filtering the hot key, or a coarser window
+# operator that tolerates pre-aggregation.
 DEFAULT_MAX_BUCKET_ROWS = 50_000_000
 
 
@@ -45,19 +49,20 @@ def _check_bucket(g: pa.Table, where: str, bound: int | None) -> None:
             "worker heap genuinely allows it")
 
 
-def _sorted_runs(g: pa.Table, key_col: str, order_cols: list[str],
-                 ascending: list[bool] | None = None):
-    """Arrow-native run structure for sequential window kernels: drop
-    the bucket column, stable-sort by (key, order_cols), and return
-    ``(table, new_run, run_start)`` where ``new_run[i]`` marks each
-    key's first row and ``run_start[i]`` is the index of row i's run
-    head. No pandas copy — payload columns stay in Arrow buffers
-    (r02 verdict item 6)."""
-    t = g.drop_columns([_B])
+def _sort_bucket(g: pa.Table, key_col: str, order_cols: list[str],
+                 ascending: list[bool] | None = None) -> pa.Table:
+    """Drop the bucket column and stable-sort by (key, order_cols)."""
+    t = g.drop_columns([_B]) if _B in g.column_names else g
     asc = ascending or [True] * len(order_cols)
-    t = t.sort_by([(key_col, "ascending")]
-                  + [(c, "ascending" if a else "descending")
-                     for c, a in zip(order_cols, asc)])
+    return t.sort_by([(key_col, "ascending")]
+                     + [(c, "ascending" if a else "descending")
+                        for c, a in zip(order_cols, asc)])
+
+
+def _runs_of(t: pa.Table, key_col: str):
+    """Run structure of an already-sorted table: ``(new_run,
+    run_start)`` where ``new_run[i]`` marks each key's first row and
+    ``run_start[i]`` is the index of row i's run head."""
     n = len(t)
     new = np.ones(n, dtype=bool)
     if n > 1:
@@ -72,7 +77,152 @@ def _sorted_runs(g: pa.Table, key_col: str, order_cols: list[str],
         new[1:] = ~same
     idx = np.arange(n, dtype=np.int64)
     start = np.maximum.accumulate(np.where(new, idx, 0))
+    return new, start
+
+
+def _sorted_runs(g: pa.Table, key_col: str, order_cols: list[str],
+                 ascending: list[bool] | None = None):
+    """Arrow-native run structure for sequential window kernels: drop
+    the bucket column, stable-sort by (key, order_cols), and return
+    ``(table, new_run, run_start)``. No pandas copy — payload columns
+    stay in Arrow buffers (r02 verdict item 6)."""
+    t = _sort_bucket(g, key_col, order_cols, ascending)
+    new, start = _runs_of(t, key_col)
     return t, new, start
+
+
+def _run_geometry(new: np.ndarray):
+    """Per-row run geometry from the ``new_run`` mask of a sorted
+    bucket: ``(pos, size, heads, lens)`` — 0-based in-run position,
+    run length broadcast to every row, run-head indices, run lengths.
+    All numpy; shared by the Arrow-native window finishers."""
+    n = len(new)
+    idx = np.arange(n, dtype=np.int64)
+    start = np.maximum.accumulate(np.where(new, idx, 0))
+    heads = np.flatnonzero(new)
+    lens = np.diff(np.append(heads, n))
+    size = np.repeat(lens, lens)
+    return idx - start, size, heads, lens
+
+
+def _adjacent_same(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """``same[i]`` (i ≥ 1): row i's value equals row i-1's, with SQL
+    null grouping (two nulls compare equal). Length n-1 for an
+    n-row column; used for tie blocks in rank-family finishers."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(a)
+    if n <= 1:
+        return np.zeros(0, dtype=bool)
+    a1, a0 = a.slice(1), a.slice(0, n - 1)
+    return pc.or_(pc.fill_null(pc.equal(a1, a0), False),
+                  pc.and_(pc.is_null(a1), pc.is_null(a0))
+                  ).to_numpy(zero_copy_only=False)
+
+
+# --- streamable spill path (r03 verdict item 3) ---------------------------
+# rank / cap / cumsum / lag / lead are sequential over a sorted run but
+# need only O(1) carried state per key boundary — so an over-bound
+# bucket (one genuinely hot key) is processed in sorted sub-slices
+# instead of raising WindowBucketOverflow. The group table itself is
+# already materialized by map_groups (that part Ray owns); what the
+# slicing bounds is the finisher's ADDITIONAL peak: numpy/Arrow
+# temporaries are O(slice), not O(bucket). Non-streamable finishers
+# (ntile, percent_rank, last/nth_value, session, …) still raise.
+class _NoKey:
+    pass
+
+
+_NOKEY = _NoKey()
+
+
+def _same_key(a, b) -> bool:
+    # SQL PARTITION BY: NULL keys form one partition. Float NaN keys
+    # mirror the vector path (pc.equal(NaN, NaN) is false → own run).
+    return (a is None and b is None) or (a is not None and a == b)
+
+
+def _stream_rank(t: pa.Table, key_col: str, bound: int, out: str,
+                 cap_n: int | None = None) -> pa.Table:
+    parts = []
+    kcol = t.column(key_col)
+    ck, ccnt = _NOKEY, 0
+    for lo in range(0, len(t), bound):
+        sub = t.slice(lo, bound)
+        m = len(sub)
+        new, start = _runs_of(sub, key_col)
+        rn = np.arange(m, dtype=np.int64) - start + 1
+        if ck is not _NOKEY and _same_key(kcol[lo].as_py(), ck):
+            rn[start == 0] += ccnt
+        ck, ccnt = kcol[lo + m - 1].as_py(), int(rn[-1])
+        if cap_n is None:
+            parts.append(sub.append_column(out, pa.array(rn)))
+        else:
+            parts.append(sub.filter(pa.array(rn <= cap_n)))
+    return pa.concat_tables(parts) if parts else t
+
+
+def _stream_cumsum(t: pa.Table, key_col: str, value_col: str, bound: int,
+                   out: str) -> pa.Table:
+    is_int = pa.types.is_integer(t.schema.field(value_col).type)
+    otype = pa.int64() if is_int else pa.float64()
+    parts = []
+    kcol = t.column(key_col)
+    ck, csum, ccnt, cnan = _NOKEY, 0, 0, False
+    for lo in range(0, len(t), bound):
+        sub = t.slice(lo, bound)
+        m = len(sub)
+        _, start = _runs_of(sub, key_col)
+        col = sub.column(value_col)
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(
+            np.int64 if is_int else np.float64)
+        if is_int:
+            nanmask = np.zeros(m, dtype=bool)
+        else:
+            nanmask = np.isnan(v)
+            v = np.where(nanmask, 0.0, v)
+        cs = np.cumsum(v)
+        cum = cs - (cs[start] - v[start])
+        nn = (~null).astype(np.int64)
+        cnt = np.cumsum(nn)
+        run_cnt = cnt - (cnt[start] - nn[start])
+        ncs = np.cumsum(nanmask.astype(np.int64))
+        run_nan = (ncs - (ncs[start] - nanmask[start].astype(np.int64))) > 0
+        if ck is not _NOKEY and _same_key(kcol[lo].as_py(), ck):
+            fr = start == 0
+            cum[fr] += csum
+            run_cnt[fr] += ccnt
+            if cnan:
+                run_nan[fr] = True
+        ck = kcol[lo + m - 1].as_py()
+        csum, ccnt, cnan = cum[-1], int(run_cnt[-1]), bool(run_nan[-1])
+        if not is_int and run_nan.any():
+            cum = np.where(run_nan, np.nan, cum)
+        parts.append(sub.append_column(
+            out, pa.array(cum, otype, mask=run_cnt == 0)))
+    return pa.concat_tables(parts) if parts else t
+
+
+def _stream_lag(t: pa.Table, key_col: str, value_col: str, bound: int,
+                out: str) -> pa.Table:
+    """lag(1) over an already-sorted table in slices. ``lead`` is this
+    same kernel over the reverse order (next row == previous row of
+    the reversed sort)."""
+    parts = []
+    kcol = t.column(key_col)
+    ck, cval = _NOKEY, None
+    for lo in range(0, len(t), bound):
+        sub = t.slice(lo, bound)
+        m = len(sub)
+        new, _ = _runs_of(sub, key_col)
+        col = sub.column(value_col).combine_chunks()
+        idx = np.arange(m, dtype=np.int64)
+        lagged = col.take(pa.array(np.maximum(idx - 1, 0), mask=new))
+        if ck is not _NOKEY and _same_key(kcol[lo].as_py(), ck):
+            lagged = pa.concat_arrays([cval, lagged.slice(1)])
+        parts.append(sub.append_column(out, lagged))
+        ck, cval = kcol[lo + m - 1].as_py(), col.slice(m - 1, 1)
+    return pa.concat_tables(parts) if parts else t
 
 
 def session_windows(
@@ -94,24 +244,44 @@ def session_windows(
     def local(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, [key_col], nb)
 
+    gap_us = np.int64(gap // pd.Timedelta(microseconds=1))
+
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "session_windows", max_bucket_rows)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col, ts_col, order_tiebreak], kind="mergesort")
-        # same-key test must treat two adjacent NULL keys as one key
-        # (NaN != NaN would start a session per null row)
-        prev = df[key_col].shift()
-        same_key = df[key_col].eq(prev) | (df[key_col].isna() & prev.isna())
-        brk = (df[ts_col].diff() > gap) | ~same_key
-        # first row of each key starts session 0
-        sid = brk.cumsum()
-        df["_sid"] = sid
-        out = df.groupby([key_col, "_sid"], sort=False, dropna=False).agg(
-            n_events=(ts_col, "size"), start_ts=(ts_col, "min"), end_ts=(ts_col, "max")
-        ).reset_index()
-        out["session_id"] = out.groupby(key_col, sort=False, dropna=False).cumcount()
-        out = out[[key_col, "session_id", "n_events", "start_ts", "end_ts"]]
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # Arrow-native (r03 verdict item 4): the reduce side only ever
+        # touches (key, ts) columns; output is built from run geometry,
+        # no pandas copy of the bucket
+        t, new, _ = _sorted_runs(g.select([_B, key_col, ts_col,
+                                           order_tiebreak]),
+                                 key_col, [ts_col, order_tiebreak])
+        n = len(t)
+        if n == 0:
+            return pa.table({key_col: t.column(key_col),
+                             "session_id": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "start_ts": t.column(ts_col),
+                             "end_ts": t.column(ts_col)})
+        tcol = t.column(ts_col).combine_chunks()
+        ts = tcol.to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]").astype(np.int64)
+        brk = new.copy()
+        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        sheads = np.flatnonzero(brk)
+        slens = np.diff(np.append(sheads, n))
+        # 0-based session index per key: position of each session head
+        # among its key's session heads
+        hidx = np.arange(len(sheads), dtype=np.int64)
+        hstart = np.maximum.accumulate(np.where(new[sheads], hidx, 0))
+        sid = hidx - hstart
+        send = sheads + slens - 1  # ts-sorted within key → max = last
+        return pa.table({
+            key_col: t.column(key_col).combine_chunks().take(
+                pa.array(sheads)),
+            "session_id": pa.array(sid),
+            "n_events": pa.array(slens.astype(np.int64)),
+            "start_ts": tcol.take(pa.array(sheads)),
+            "end_ts": tcol.take(pa.array(send)),
+        })
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -197,7 +367,11 @@ def rank_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        _check_bucket(g, "rank_per_key", max_bucket_rows)
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        if len(g) > bound:  # hot key: sorted sub-slice spill, not a stop
+            return _stream_rank(_sort_bucket(g, key_col, oc, asc),
+                                key_col, bound, out)
         t, _, start = _sorted_runs(g, key_col, oc, asc)
         rn = np.arange(len(t), dtype=np.int64) - start + 1
         return t.append_column(out, pa.array(rn))
@@ -228,7 +402,11 @@ def cap_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        _check_bucket(g, "cap_per_key", max_bucket_rows)
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        if len(g) > bound:  # hot key: sorted sub-slice spill, not a stop
+            return _stream_rank(_sort_bucket(g, key_col, oc), key_col,
+                                bound, "_rn_unused", cap_n=n)
         t, _, start = _sorted_runs(g, key_col, oc)
         rn = np.arange(len(t), dtype=np.int64) - start
         return t.filter(pa.array(rn < n))
@@ -265,7 +443,11 @@ def cumsum_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        _check_bucket(g, "cumsum_per_key", max_bucket_rows)
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        if len(g) > bound:  # hot key: sorted sub-slice spill, not a stop
+            return _stream_cumsum(_sort_bucket(g, key_col, oc), key_col,
+                                  value_col, bound, out)
         t, _, start = _sorted_runs(g, key_col, oc)
         is_int = pa.types.is_integer(t.schema.field(value_col).type)
         otype = pa.int64() if is_int else pa.float64()
@@ -313,7 +495,10 @@ def rolling_mean_per_key(
     """avg(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
     window-1 PRECEDING): trailing moving average. The frame sum is
     built from explicit per-lag shifted adds (newest-first), not a
-    rolling accumulator, so there is no numerical drift across rows."""
+    rolling accumulator, so there is no numerical drift across rows.
+    SQL null semantics: NULL values are skipped from both sum and
+    count; a frame with no non-null values yields NULL. Arrow-native
+    (r03 verdict item 4): run-geometry numpy, no pandas bucket copy."""
     oc = order_cols or ["ts", "event_id"]
 
     def local(batch: pa.Table) -> pa.Table:
@@ -321,18 +506,24 @@ def rolling_mean_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "rolling_mean_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        grp = df.groupby(key_col, sort=False, dropna=False)[value_col]
-        total = df[value_col].astype("float64").copy()
-        count = np.ones(len(df), dtype=np.float64)
-        for lag in range(1, window):
-            s = grp.shift(lag)
-            m = s.notna().to_numpy()
-            total = total.add(s.fillna(0.0))
-            count += m
-        df[out] = total.to_numpy() / count
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t, new, start = _sorted_runs(g, key_col, oc)
+        n = len(t)
+        col = t.column(value_col)
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        idx = np.arange(n, dtype=np.int64)
+        total = np.zeros(n, np.float64)
+        count = np.zeros(n, np.float64)
+        for lag in range(window):
+            src = idx - lag
+            ok = (src >= start) & ~null[np.maximum(src, 0)]
+            total += np.where(ok, v[np.maximum(src, 0)], 0.0)
+            count += ok
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = total / count
+        return t.append_column(out, pa.array(m, pa.float64(),
+                                             mask=count == 0))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -350,18 +541,26 @@ def dense_rank_per_key(
     nb: int = 16,
 ) -> "ray.data.Dataset":
     """dense_rank() OVER (PARTITION BY key ORDER BY order_col): equal
-    values share a rank and ranks are gap-free. pandas rank(method=
-    'dense') inside the co-located bucket groups."""
+    values share a rank and ranks are gap-free. Arrow-native (r03
+    verdict item 4): one sort, tie blocks from adjacent equality,
+    rank = running tie-block count within the run. Null order values
+    form their own tie block (SQL semantics; the old pandas path
+    crashed on them)."""
 
     def local(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "dense_rank_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df[out] = (df.groupby(key_col, sort=False, dropna=False)[order_col]
-                   .rank(method="dense", ascending=ascending).astype("int64"))
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t, new, start = _sorted_runs(g, key_col, [order_col], [ascending])
+        n = len(t)
+        if n == 0:
+            return t.append_column(out, pa.array([], pa.int64()))
+        newv = new.copy()
+        newv[1:] |= ~_adjacent_same(t.column(order_col))
+        ccs = np.cumsum(newv.astype(np.int64))
+        dr = ccs - ccs[start] + 1
+        return t.append_column(out, pa.array(dr))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -389,11 +588,8 @@ def ntile_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "ntile_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        grp = df.groupby(key_col, sort=False, dropna=False)
-        pos = grp.cumcount().to_numpy()
-        size = grp[oc[0]].transform("size").to_numpy()
+        t, new, _ = _sorted_runs(g, key_col, oc)
+        pos, size, _, _ = _run_geometry(new)
         base, rem = size // n_tiles, size % n_tiles
         big_span = rem * (base + 1)
         in_big = pos < big_span
@@ -402,8 +598,7 @@ def ntile_per_key(
             pos // np.maximum(base + 1, 1),
             rem + (pos - big_span) // np.maximum(base, 1),
         )
-        df[out] = (tile + 1).astype(np.int64)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return t.append_column(out, pa.array((tile + 1).astype(np.int64)))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -423,9 +618,9 @@ def collect_seq_per_key(
 ) -> "ray.data.Dataset":
     """string_agg(value, sep ORDER BY order_cols) per key — ordered
     sequence collection (session reconstruction / clickstream export).
-    One output row per key. The per-key join runs on the co-located
-    bucket group after one mergesort; values are cast to string first
-    so the join is a single pandas str aggregation."""
+    One output row per key. Arrow-native (r03 verdict item 4): one
+    sort, then a zero-copy ListArray over run offsets joined with
+    ``pc.binary_join`` — no pandas str aggregation."""
     oc = order_cols or ["ts", "event_id"]
 
     def local(batch: pa.Table) -> pa.Table:
@@ -433,11 +628,19 @@ def collect_seq_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "collect_seq_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        df["_s"] = df[value_col].astype(str)
-        outdf = df.groupby(key_col, sort=False, dropna=False)["_s"].agg(sep.join).reset_index(name=out)
-        return pa.Table.from_pandas(outdf, preserve_index=False)
+        # the reduce side only needs key + order + value columns
+        need = list(dict.fromkeys([_B, key_col, value_col] + oc))
+        t, new, _ = _sorted_runs(g.select(need), key_col, oc)
+        n = len(t)
+        _, _, heads, _ = _run_geometry(new)
+        svals = pc.cast(t.column(value_col), pa.string()).combine_chunks()
+        offsets = pa.array(np.append(heads, n).astype(np.int32))
+        lists = pa.ListArray.from_arrays(offsets, svals)
+        joined = pc.binary_join(lists, sep)
+        return pa.table({
+            key_col: t.column(key_col).combine_chunks().take(
+                pa.array(heads)),
+            out: joined})
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -463,12 +666,21 @@ def percent_rank_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "percent_rank_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        grp = df.groupby(key_col, sort=False, dropna=False)
-        rank = grp[order_col].rank(method="min").to_numpy()
-        n = grp[order_col].transform("size").to_numpy().astype(np.float64)
-        df[out] = np.where(n > 1, (rank - 1) / np.maximum(n - 1, 1), 0.0)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native (r03 item 4): RANK(min ties) = 1 + position of
+        # the row's tie-block head within its run, from one sort
+        t, new, start = _sorted_runs(g, key_col, [order_col])
+        n = len(t)
+        if n == 0:
+            return t.append_column(out, pa.array([], pa.float64()))
+        _, size, _, _ = _run_geometry(new)
+        blk = new.copy()
+        blk[1:] |= ~_adjacent_same(t.column(order_col))
+        idx = np.arange(n, dtype=np.int64)
+        blk_start = np.maximum.accumulate(np.where(blk, idx, 0))
+        rank = (blk_start - start + 1).astype(np.float64)
+        sz = size.astype(np.float64)
+        pr = np.where(sz > 1, (rank - 1) / np.maximum(sz - 1, 1), 0.0)
+        return t.append_column(out, pa.array(pr, pa.float64()))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -496,7 +708,11 @@ def lag_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        _check_bucket(g, "lag_per_key", max_bucket_rows)
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        if len(g) > bound:  # hot key: sorted sub-slice spill, not a stop
+            return _stream_lag(_sort_bucket(g, key_col, oc), key_col,
+                               value_col, bound, out)
         t, new, _ = _sorted_runs(g, key_col, oc)
         idx = np.arange(len(t), dtype=np.int64)
         src = np.maximum(idx - 1, 0)
@@ -527,12 +743,22 @@ def cume_dist_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "cume_dist_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        grp = df.groupby(key_col, sort=False, dropna=False)
-        rank = grp[order_col].rank(method="max").to_numpy()
-        n = grp[order_col].transform("size").to_numpy().astype(np.float64)
-        df[out] = rank / n
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native (r03 item 4): RANK(max ties) = end of the row's
+        # tie block relative to its run head, from one sort
+        t, new, start = _sorted_runs(g, key_col, [order_col])
+        n = len(t)
+        if n == 0:
+            return t.append_column(out, pa.array([], pa.float64()))
+        _, size, _, _ = _run_geometry(new)
+        blk = new.copy()
+        blk[1:] |= ~_adjacent_same(t.column(order_col))
+        bheads = np.flatnonzero(blk)
+        blens = np.diff(np.append(bheads, n))
+        blk_end = np.repeat(bheads + blens, blens)  # exclusive end
+        rank_max = (blk_end - start).astype(np.float64)
+        return t.append_column(
+            out, pa.array(rank_max / size.astype(np.float64),
+                          pa.float64()))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -551,7 +777,12 @@ def first_value_per_key(
 ) -> "ray.data.Dataset":
     """first_value(value) OVER (PARTITION BY key ORDER BY order_cols):
     every row carries its group's first value in the declared total
-    order (pandas transform('first') after one mergesort)."""
+    order. Arrow-native (r03 item 4): one sort + one take at the run
+    heads — works for any Arrow type, no pandas object round-trip.
+
+    Note the SQL nuance difference from pandas transform('first'):
+    this is the ORDER-first value (run head), which may be NULL —
+    matching SQL first_value(), not pandas' first-non-null."""
     oc = order_cols or ["ts", "event_id"]
 
     def local(batch: pa.Table) -> pa.Table:
@@ -559,10 +790,9 @@ def first_value_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "first_value_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        df[out] = df.groupby(key_col, sort=False, dropna=False)[value_col].transform("first")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        t, new, start = _sorted_runs(g, key_col, oc)
+        col = t.column(value_col).combine_chunks()
+        return t.append_column(out, col.take(pa.array(start)))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -589,7 +819,14 @@ def lead_per_key(
         return _add_bucket(batch, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:
-        _check_bucket(g, "lead_per_key", max_bucket_rows)
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        if len(g) > bound:
+            # hot key: lead == lag over the REVERSED order — one
+            # descending sort, then the same carried-state slice kernel
+            rev = _sort_bucket(g, key_col, oc,
+                               [False] * len(oc))
+            return _stream_lag(rev, key_col, value_col, bound, out)
         t, new, _ = _sorted_runs(g, key_col, oc)
         n = len(t)
         idx = np.arange(n, dtype=np.int64)
@@ -630,10 +867,12 @@ def last_value_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "last_value_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        df[out] = df.groupby(key_col, sort=False, dropna=False)[value_col].transform("last")
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native (r03 item 4): run end = head + size - 1, one take
+        t, new, _ = _sorted_runs(g, key_col, oc)
+        _, size, heads, lens = _run_geometry(new)
+        end_idx = np.repeat(heads + lens - 1, lens)
+        col = t.column(value_col).combine_chunks()
+        return t.append_column(out, col.take(pa.array(end_idx)))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -665,12 +904,15 @@ def nth_value_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "nth_value_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        cc = df.groupby(key_col, sort=False, dropna=False).cumcount()
-        nth = df.loc[cc == n - 1].set_index(key_col)[value_col]
-        df[out] = df[key_col].map(nth)
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native (r03 item 4): nth index = run head + (n-1),
+        # null-masked where the run is shorter than n
+        t, new, start = _sorted_runs(g, key_col, oc)
+        _, size, _, _ = _run_geometry(new)
+        src = start + (n - 1)
+        short = size < n
+        col = t.column(value_col).combine_chunks()
+        nth = col.take(pa.array(np.where(short, 0, src), mask=short))
+        return t.append_column(out, nth)
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -767,15 +1009,15 @@ def trailing_time_sum_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "trailing_time_sum_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col, ts_col], kind="mergesort")
-        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
-        v = df[value_col].to_numpy()
+        # Arrow-native (r03 item 4): one Arrow sort; run mask comes
+        # from _runs_of (null-key aware — the old keys[1:]!=keys[:-1]
+        # comparison split a NULL-key group into per-row segments)
+        t, new_seg, _ = _sorted_runs(g, key_col, [ts_col])
+        ts = t.column(ts_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        v = t.column(value_col).to_numpy(zero_copy_only=False)
         vals = (np.round(v * 100).astype(np.int64) if cents
                 else v.astype(np.float64))
-        keys = df[key_col].to_numpy()
-        # dense per-user rank in sorted order
-        new_seg = np.concatenate(([True], keys[1:] != keys[:-1]))
         seg_id = np.cumsum(new_seg) - 1
         tsn = ts - (ts.min() if len(ts) else 0)
         band = (int(tsn.max()) if len(tsn) else 0) + int(w_us) + 2
@@ -795,8 +1037,8 @@ def trailing_time_sum_per_key(
                 lo = np.searchsorted(seg_ts, seg_ts - w_us, side="left")
                 hi = np.searchsorted(seg_ts, seg_ts, side="right")
                 s[a:b] = P[hi] - P[lo]
-        df[out] = s / 100.0 if cents else s
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return t.append_column(
+            out, pa.array(s / 100.0 if cents else s, pa.float64()))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -829,12 +1071,30 @@ def rolling_extreme_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "rolling_extreme_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        r = df.groupby(key_col, sort=False, dropna=False)[value_col].rolling(
-            window, min_periods=1)
-        df[out] = (r.max() if mode == "max" else r.min()).to_numpy()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native (r03 item 4): per-lag masked extreme over the
+        # sorted runs (window is a small constant; the loop is over
+        # lags, not rows). Nulls/NaNs are skipped like pandas
+        # rolling(min_periods=1); all-missing frames yield null.
+        t, new, start = _sorted_runs(g, key_col, oc)
+        n = len(t)
+        col = t.column(value_col)
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        null = null | np.isnan(v)
+        sent = -np.inf if mode == "max" else np.inf
+        idx = np.arange(n, dtype=np.int64)
+        best = np.full(n, sent, np.float64)
+        any_ok = np.zeros(n, dtype=bool)
+        for lag in range(window):
+            src = np.maximum(idx - lag, 0)
+            ok = (idx - lag >= start) & ~null[src]
+            cand = np.where(ok, v[src], sent)
+            best = (np.maximum(best, cand) if mode == "max"
+                    else np.minimum(best, cand))
+            any_ok |= ok
+        return t.append_column(out, pa.array(best, pa.float64(),
+                                             mask=~any_ok))
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)
@@ -927,12 +1187,14 @@ def global_row_number(
     tagged = ds.map_batches(tag, batch_format="pyarrow", batch_size=65536)
 
     def rank(g: pa.Table) -> pa.Table:
-        df = g.to_pandas()
-        p = int(df["_part"].iloc[0])
-        df = df.sort_values(order_cols, ascending=asc, kind="mergesort")
-        df[out] = offsets[p] + np.arange(1, len(df) + 1, dtype=np.int64)
-        return pa.Table.from_pandas(df.drop(columns=["_part"]),
-                                    preserve_index=False)
+        # Arrow-native (r03 item 4): sort the partition in Arrow and
+        # append the offset rank — no pandas copy of payload columns
+        p = int(g.column("_part")[0].as_py())
+        t = g.drop_columns(["_part"]).sort_by(
+            [(c, "ascending" if a else "descending")
+             for c, a in zip(order_cols, asc)])
+        rn = offsets[p] + np.arange(1, len(t) + 1, dtype=np.int64)
+        return t.append_column(out, pa.array(rn))
 
     return tagged.groupby("_part").map_groups(rank, batch_format="pyarrow")
 
@@ -966,26 +1228,36 @@ def funnel_steps_per_user(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "funnel_steps_per_user", None)
-        df = g.drop_columns([_B]).to_pandas()
-        users = df[key_col].drop_duplicates().sort_values()
-        done = pd.Series(np.zeros(len(users), np.int64), index=users)
-        prev_t = pd.Series(pd.Timestamp.min, index=users)
-        ts = df[ts_col]
+        # Arrow-native (r03 item 4): one sort, then per-step masked
+        # minimum.reduceat over run segments — the loop is over funnel
+        # steps, never rows or users
+        need = list(dict.fromkeys([_B, key_col, ts_col, type_col]))
+        t, new, _ = _sorted_runs(g.select(need), key_col, [ts_col])
+        n = len(t)
+        ktype = g.schema.field(key_col).type
+        if n == 0:
+            return pa.table({key_col: pa.array([], ktype),
+                             out: pa.array([], pa.int64())})
+        _, _, heads, lens = _run_geometry(new)
+        ts = t.column(ts_col).combine_chunks().to_numpy(
+            zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        typ = t.column(type_col)
+        INF = np.int64(2**62)
+        done = np.zeros(len(heads), np.int64)
+        prev = np.full(len(heads), -INF, np.int64)
         for i, step in enumerate(sset):
-            m = (df[type_col] == step) & (ts > prev_t.reindex(
-                df[key_col]).to_numpy())
-            t_i = df.loc[m].groupby(key_col, dropna=False)[ts_col].min()
-            reached = done.index.isin(t_i.index) & (done == i)
-            done[reached] = i + 1
-            nxt = prev_t.copy()
-            nxt.loc[t_i.index] = t_i
-            # a user who stalled before step i keeps prev_t = sentinel
-            prev_t = nxt.where(pd.Series(reached, index=done.index),
-                               pd.Timestamp.max)
+            m = pc.fill_null(pc.equal(typ, step), False).to_numpy(
+                zero_copy_only=False)
+            val = np.where(m & (ts > np.repeat(prev, lens)), ts, INF)
+            t_i = np.minimum.reduceat(val, heads)
+            reached = (done == i) & (t_i < INF)
+            done = np.where(reached, done + 1, done)
+            # a user who stalled before step i gets the +inf sentinel
+            prev = np.where(reached, t_i, INF)
         return pa.table({
-            key_col: pa.Array.from_pandas(
-                users, type=g.schema.field(key_col).type),
-            out: pa.array(done.to_numpy(), pa.int64())})
+            key_col: t.column(key_col).combine_chunks().take(
+                pa.array(heads)),
+            out: pa.array(done, pa.int64())})
 
     return (events.map_batches(local, batch_format="pyarrow",
                                batch_size=65536)
@@ -1014,14 +1286,34 @@ def centered_mean_per_key(
 
     def finish(g: pa.Table) -> pa.Table:
         _check_bucket(g, "centered_mean_per_key", None)
-        df = g.drop_columns([_B]).to_pandas()
-        df = df.sort_values([key_col] + oc, kind="mergesort")
-        m = (df.groupby(key_col, sort=False, dropna=False)[value_col]
-             .rolling(2 * half + 1, center=True, min_periods=1)
-             .mean().to_numpy())
-        df[out] = np.sign(m) * np.floor(
+        # Arrow-native (r03 item 4): per-offset masked sum/count over
+        # the sorted runs; nulls/NaNs skipped (pandas min_periods=1
+        # parity), all-missing frames yield null
+        t, new, start = _sorted_runs(g, key_col, oc)
+        n = len(t)
+        col = t.column(value_col)
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        null = null | np.isnan(v)
+        _, size, _, _ = _run_geometry(new)
+        end = start + size  # exclusive run end per row
+        idx = np.arange(n, dtype=np.int64)
+        total = np.zeros(n, np.float64)
+        count = np.zeros(n, np.float64)
+        for off in range(-half, half + 1):
+            src = idx + off
+            inb = (src >= start) & (src < end)
+            srcc = np.clip(src, 0, max(n - 1, 0))
+            ok = inb & ~null[srcc]
+            total += np.where(ok, v[srcc], 0.0)
+            count += ok
+        with np.errstate(invalid="ignore", divide="ignore"):
+            m = total / count
+        r = np.sign(m) * np.floor(
             np.abs(m) * 10.0**decimals + 0.5) / 10.0**decimals
-        return pa.Table.from_pandas(df, preserve_index=False)
+        return t.append_column(out, pa.array(r, pa.float64(),
+                                             mask=count == 0))
 
     return (events.map_batches(local, batch_format="pyarrow",
                                batch_size=65536)

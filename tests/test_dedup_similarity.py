@@ -444,3 +444,65 @@ def test_dedup_index_append_count_retry_safe(ray_session, tmp_path):
     assert count_indexed_docs(ix) == 15
     append_dedup_index(rd.from_pandas(extra), ix)  # retry: same digests
     assert count_indexed_docs(ix) == 15
+
+
+def test_dedup_index_compact(ray_session, tmp_path):
+    """r03 verdict item 2: compaction rewrites accumulated append
+    fragments into few sorted files — query results byte-identical,
+    count_indexed_docs unchanged, fragment count drops, idempotent."""
+    import os
+
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.dedupindex import (
+        append_dedup_index, build_dedup_index, compact_dedup_index,
+        count_indexed_docs, query_dedup_index)
+
+    rng = np.random.default_rng(5)
+    words = [f"tok{i}" for i in range(40)]
+
+    def mk(ids):
+        return pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "text": [" ".join(rng.choice(words, 15)) for _ in ids]})
+
+    ix = str(tmp_path / "cix")
+    hist = mk(range(20))
+    build_dedup_index(rd.from_pandas(hist).repartition(4), ix, nb=4)
+    # several appends → several fragment generations per bucket
+    for s in range(3):
+        append_dedup_index(
+            rd.from_pandas(mk(range(100 + 20 * s, 120 + 20 * s))
+                           ).repartition(3), ix)
+    # plant exact dups of two indexed docs as the query set
+    new = pd.DataFrame({"doc_id": np.array([900, 901], np.int64),
+                        "text": [hist.text[3], hist.text[7]]})
+
+    def frag_count():
+        broot = os.path.join(ix, "buckets")
+        return sum(len([f for f in os.listdir(os.path.join(broot, b))
+                        if f.endswith(".parquet")])
+                   for b in os.listdir(broot))
+
+    def pairs():
+        return (query_dedup_index(rd.from_pandas(new), ix, threshold=0.8)
+                .to_pandas().sort_values(["id_a", "id_b"])
+                .reset_index(drop=True))
+
+    before_pairs = pairs()
+    n_before = count_indexed_docs(ix)
+    f_before = frag_count()
+    stats = compact_dedup_index(ix)
+    assert stats["frags_after"] < stats["frags_before"] == f_before
+    assert frag_count() == stats["frags_after"]
+    assert count_indexed_docs(ix) == n_before
+    after_pairs = pairs()
+    pd.testing.assert_frame_equal(before_pairs, after_pairs)
+    assert {900, 901} <= set(after_pairs.id_a) | set(after_pairs.id_b)
+    # idempotent: a second compaction is a no-op on fragment count
+    stats2 = compact_dedup_index(ix)
+    assert stats2["frags_after"] == stats["frags_after"]
+    pd.testing.assert_frame_equal(pairs(), after_pairs)
+    # append still works post-compaction
+    append_dedup_index(rd.from_pandas(mk(range(500, 510))), ix)
+    assert count_indexed_docs(ix) == n_before + 10

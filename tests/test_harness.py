@@ -156,3 +156,42 @@ def test_cli_index_search(ray_session, tmp_path):
         capture_output=True, text=True, check=True, cwd="/root/repo")
     res = json.loads(out.stdout.strip().splitlines()[-1])
     assert res["rows"] > 0
+
+
+def test_cli_dedupindex_compact(ray_session, tmp_path):
+    """dedupindex build → append → compact via the CLI (r03 item 2)."""
+    import json
+    import subprocess
+    import sys
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(2)
+    words = [f"w{i}" for i in range(30)]
+
+    def mk(path, ids):
+        pq.write_table(pa.Table.from_pandas(pd.DataFrame({
+            "doc_id": np.asarray(ids, dtype=np.int64),
+            "text": [" ".join(rng.choice(words, 12)) for _ in ids]}),
+            preserve_index=False), path)
+
+    mk(str(tmp_path / "hist.parquet"), range(15))
+    mk(str(tmp_path / "inc.parquet"), range(100, 110))
+    ix = str(tmp_path / "ix")
+    cmd = [sys.executable, "-m", "biosd_feature_annotator_ray", "dedupindex"]
+    subprocess.run(cmd + ["build", "--input", str(tmp_path / "hist.parquet"),
+                          "--index", ix, "--num-cpus", "2"],
+                   capture_output=True, text=True, check=True, cwd="/root/repo")
+    subprocess.run(cmd + ["append", "--input", str(tmp_path / "inc.parquet"),
+                          "--index", ix, "--num-cpus", "2"],
+                   capture_output=True, text=True, check=True, cwd="/root/repo")
+    out = subprocess.run(cmd + ["compact", "--index", ix, "--num-cpus", "2"],
+                         capture_output=True, text=True, check=True,
+                         cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["frags_after"] <= res["frags_before"]
+    from biosd_feature_annotator_ray.stages.dedupindex import count_indexed_docs
+    assert count_indexed_docs(ix) == 25
