@@ -105,11 +105,14 @@ def run_headline() -> dict:
     triples = int(manifest.column("triples").to_pandas().sum()) if manifest.num_rows else 0
 
     queries_sec = {} if os.environ.get("GRAFT_SKIP_QUERIES") else run_queries()
+    index_split = ({} if os.environ.get("GRAFT_SKIP_QUERIES")
+                   else run_index_benches())
     result = {
         "metric": "kg_construct_headline_sec",
         "value": round(headline_sec, 3),
         "unit": "sec",
         "queries": queries_sec,
+        "index_benches": index_split,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "pages": PAGES_N,
@@ -118,6 +121,74 @@ def run_headline() -> dict:
     }
     ray.shutdown()
     return result
+
+
+def run_index_benches() -> dict:
+    """Split build vs query timing for the persisted-index pipelines
+    (r03 verdict item 6): the combined `queries` numbers for
+    dedup_index_incremental / knn_ivfpq / knn_ivf_indexed /
+    bm25_indexed build their index inside the timed query, so a
+    regression in the cheap query path would hide under build noise.
+    Each entry here reports build_sec and query_sec separately over
+    fresh temp dirs."""
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    out = {}
+
+    def timed(f):
+        t0 = time.time()
+        r = f()
+        if hasattr(r, "to_pandas"):
+            r.to_pandas()
+        return round(time.time() - t0, 3)
+
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    cut = int(docs.count() * 0.8)
+    hist = docs.filter(expr=f"doc_id < {cut}")
+    rest = docs.filter(expr=f"doc_id >= {cut}")
+
+    from biosd_feature_annotator_ray.stages.dedupindex import (
+        build_dedup_index, query_dedup_index)
+
+    with tempfile.TemporaryDirectory(prefix="bench-ddix-") as ix:
+        b = timed(lambda: build_dedup_index(hist, ix))
+        q = timed(lambda: query_dedup_index(rest, ix, threshold=0.7))
+        out["dedup_index"] = {"build_sec": b, "query_sec": q}
+
+    vecs = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    qtbl = pq.read_table(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 4)])
+
+    from biosd_feature_annotator_ray.stages.similarity import (
+        build_ivf_index, build_ivfpq_index, knn_ivf_indexed,
+        knn_ivfpq_indexed)
+
+    with tempfile.TemporaryDirectory(prefix="bench-ivfpq-") as ix:
+        b = timed(lambda: build_ivfpq_index(vecs, ix, n_centroids=16, m=8))
+        q = timed(lambda: knn_ivfpq_indexed(ix, qtbl, k=10, nprobe=4))
+        out["knn_ivfpq"] = {"build_sec": b, "query_sec": q}
+
+    with tempfile.TemporaryDirectory(prefix="bench-ivf-") as ix:
+        b = timed(lambda: build_ivf_index(vecs, ix, n_centroids=16))
+        q = timed(lambda: knn_ivf_indexed(ix, qtbl, k=10, nprobe=4))
+        out["knn_ivf"] = {"build_sec": b, "query_sec": q}
+
+    from biosd_feature_annotator_ray.stages.textindex import (
+        build_text_index, search_text_index)
+
+    with tempfile.TemporaryDirectory(prefix="bench-bm25-") as ix:
+        b = timed(lambda: build_text_index(docs, ix))
+        q = timed(lambda: search_text_index(
+            ix, ["table", "scan", "vector"], topk=20))
+        out["bm25"] = {"build_sec": b, "query_sec": q}
+    return out
 
 
 def run_queries() -> dict:

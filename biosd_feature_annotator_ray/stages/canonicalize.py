@@ -370,11 +370,15 @@ def pivot_sum(
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select([index_col, pivot_col, value_col]).to_pandas()
-        p = df.pivot_table(index=index_col, columns=pivot_col, values=value_col,
-                           aggfunc="sum", fill_value=0.0)
-        p = p.reindex(columns=cats, fill_value=0.0).reset_index()
-        p.columns = [index_col] + cats
-        return pa.Table.from_pandas(p, preserve_index=False)
+        # NOT pivot_table: it silently drops the NaN index group where
+        # SQL GROUP BY keeps the null group (r04 fuzz finding). A null
+        # value contributes 0 to its sum — same result as SQL's skip.
+        v = df[value_col].fillna(0.0).to_numpy(dtype=np.float64)
+        pv = df[pivot_col].to_numpy()
+        part = pd.DataFrame({index_col: df[index_col],
+                             **{c: np.where(pv == c, v, 0.0) for c in cats}})
+        g = part.groupby(index_col, as_index=False, dropna=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
 
     from ray.data.aggregate import Sum
 
