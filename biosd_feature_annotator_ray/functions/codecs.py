@@ -237,3 +237,178 @@ def mpng_frame(b: bytes, i: int) -> "tuple[int, int, np.ndarray]":
         raise IndexError(i)
     data_start = 4 + 12 + 4 * (n + 1)
     return png_decode(b[data_start + offs[i]:data_start + offs[i + 1]])
+
+
+# --- MP4 / ISO-BMFF metadata (r04; closes half of the mp4 gap) -----------
+# Pure-python BOX-STRUCTURE parsing: duration, dimensions, codec fourcc,
+# sample count and keyframe (sync-sample) indices — everything a
+# frame-sampling planner needs BEFORE paying for decode. Actual h264
+# pixel decode still requires ffmpeg and still raises (honest stub).
+import struct
+
+
+def is_mp4(b: "bytes | None") -> bool:
+    return (b is not None and len(b) >= 12 and b[4:8] == b"ftyp")
+
+
+def _walk_boxes(buf: bytes, lo: int, hi: int):
+    """Yield (fourcc, body_lo, body_hi) for each top-level box in
+    buf[lo:hi]. Handles 32-bit and 64-bit (size==1) largesize boxes;
+    size==0 means 'to end of enclosing box'."""
+    off = lo
+    while off + 8 <= hi:
+        size = struct.unpack_from(">I", buf, off)[0]
+        typ = buf[off + 4:off + 8]
+        body = off + 8
+        if size == 1:
+            if off + 16 > hi:
+                raise ValueError("mp4: truncated largesize box header")
+            size = struct.unpack_from(">Q", buf, off + 8)[0]
+            body = off + 16
+        elif size == 0:
+            size = hi - off
+        if size < (body - off) or off + size > hi:
+            raise ValueError(f"mp4: box {typ!r} overruns its container")
+        yield typ.decode("latin1"), body, off + size
+        off += size
+
+
+def _find(buf: bytes, lo: int, hi: int, path: "list[str]"):
+    """All (body_lo, body_hi) spans matching a box path like
+    ['moov', 'trak']."""
+    spans = [(lo, hi)]
+    for name in path:
+        nxt = []
+        for a, b in spans:
+            nxt.extend((p, q) for t, p, q in _walk_boxes(buf, a, b)
+                       if t == name)
+        spans = nxt
+    return spans
+
+
+def mp4_parse_meta(b: bytes) -> dict:
+    """Parse an unfragmented MP4's metadata from box structure alone:
+    {duration_s, timescale, width, height, codec, n_samples,
+    keyframes (0-based sample indices; all samples if no stss box),
+    n_tracks}. Fragmented (moof) files raise — their sample tables
+    live per-fragment."""
+    if not is_mp4(b):
+        raise ValueError("not an mp4 (no ftyp)")
+    if _find(b, 0, len(b), ["moof"]):
+        raise NotImplementedError("fragmented mp4 (moof) not supported")
+    moov = _find(b, 0, len(b), ["moov"])
+    if not moov:
+        raise ValueError("mp4: no moov box")
+    mlo, mhi = moov[0]
+    out = {"duration_s": float("nan"), "timescale": 0, "width": 0,
+           "height": 0, "codec": "", "n_samples": 0, "keyframes": [],
+           "n_tracks": 0}
+    for t, p, q in _walk_boxes(b, mlo, mhi):
+        if t == "mvhd":
+            ver = b[p]
+            if ver == 1:
+                ts = struct.unpack_from(">I", b, p + 4 + 16)[0]
+                dur = struct.unpack_from(">Q", b, p + 4 + 20)[0]
+            else:
+                ts = struct.unpack_from(">I", b, p + 4 + 8)[0]
+                dur = struct.unpack_from(">I", b, p + 4 + 12)[0]
+            out["timescale"] = ts
+            out["duration_s"] = dur / ts if ts else float("nan")
+    for tlo, thi in _find(b, mlo, mhi, ["trak"]):
+        out["n_tracks"] += 1
+        hdlr = _find(b, tlo, thi, ["mdia", "hdlr"])
+        kind = b[hdlr[0][0] + 8:hdlr[0][0] + 12] if hdlr else b""
+        if kind != b"vide":
+            continue
+        tkhd = _find(b, tlo, thi, ["tkhd"])
+        if tkhd:
+            p, q = tkhd[0]
+            ver = b[p]
+            base = p + 4 + (32 if ver == 1 else 20)  # after duration
+            wh = base + 8 + 2 + 2 + 2 + 2 + 36  # reserved/layer/…/matrix
+            out["width"] = struct.unpack_from(">I", b, wh)[0] >> 16
+            out["height"] = struct.unpack_from(">I", b, wh + 4)[0] >> 16
+        stbl = _find(b, tlo, thi, ["mdia", "minf", "stbl"])
+        if not stbl:
+            continue
+        slo, shi = stbl[0]
+        for t, p, q in _walk_boxes(b, slo, shi):
+            if t == "stsd":
+                n_ent = struct.unpack_from(">I", b, p + 4)[0]
+                if n_ent:
+                    out["codec"] = b[p + 12:p + 16].decode("latin1")
+            elif t == "stsz":
+                out["n_samples"] = struct.unpack_from(">I", b, p + 8)[0]
+            elif t == "stts" and not out["n_samples"]:
+                cnt = struct.unpack_from(">I", b, p + 4)[0]
+                out["n_samples"] = sum(
+                    struct.unpack_from(">I", b, p + 8 + 8 * i)[0]
+                    for i in range(cnt))
+            elif t == "stss":
+                cnt = struct.unpack_from(">I", b, p + 4)[0]
+                out["keyframes"] = [
+                    struct.unpack_from(">I", b, p + 8 + 4 * i)[0] - 1
+                    for i in range(cnt)]
+        if not out["keyframes"] and out["n_samples"]:
+            out["keyframes"] = list(range(out["n_samples"]))
+    return out
+
+
+def _box(typ: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + typ + body
+
+
+def write_minimal_mp4(width: int, height: int, n_samples: int,
+                      fps: float = 25.0,
+                      keyframes: "list[int] | None" = None,
+                      codec: bytes = b"avc1") -> bytes:
+    """Structurally valid single-video-track unfragmented MP4 with
+    empty samples — a deterministic fixture for the box parser (no
+    encoder in this sandbox, so sample data is zero bytes; players
+    can't render it but the metadata is real and spec-shaped)."""
+    timescale = 1000
+    dur = int(n_samples / fps * timescale)
+    mvhd = _box(b"mvhd", bytes(1) + bytes(3)
+                + struct.pack(">IIII", 0, 0, timescale, dur)
+                + struct.pack(">I", 0x00010000) + struct.pack(">H", 0x0100)
+                + bytes(2 + 8) + struct.pack(">9I", 0x10000, 0, 0, 0,
+                                             0x10000, 0, 0, 0, 0x40000000)
+                + bytes(24) + struct.pack(">I", 2))
+    tkhd = _box(b"tkhd", bytes(1) + b"\x00\x00\x07"
+                + struct.pack(">IIIII", 0, 0, 1, 0, dur) + bytes(8)
+                + struct.pack(">hhhh", 0, 0, 0, 0)
+                + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                              0x40000000)
+                + struct.pack(">II", width << 16, height << 16))
+    mdhd = _box(b"mdhd", bytes(4)
+                + struct.pack(">IIII", 0, 0, timescale, dur)
+                + struct.pack(">HH", 0x55C4, 0))
+    hdlr = _box(b"hdlr", bytes(4) + bytes(4) + b"vide" + bytes(12)
+                + b"VideoHandler\x00")
+    entry = struct.pack(">I", 86) + codec + bytes(6) + struct.pack(">H", 1) \
+        + bytes(16) + struct.pack(">HH", width, height) \
+        + struct.pack(">II", 0x00480000, 0x00480000) + bytes(4) \
+        + struct.pack(">H", 1) + bytes(32) \
+        + struct.pack(">Hh", 0x0018, -1)
+    stsd = _box(b"stsd", bytes(4) + struct.pack(">I", 1) + entry)
+    delta = int(timescale / fps)
+    stts = _box(b"stts", bytes(4) + struct.pack(">III", 1, n_samples, delta))
+    stsz = _box(b"stsz", bytes(4) + struct.pack(">II", 0, n_samples)
+                + b"".join(struct.pack(">I", 0) for _ in range(n_samples)))
+    stsc = _box(b"stsc", bytes(4) + struct.pack(">IIII", 1, 1, n_samples, 1))
+    stco = _box(b"stco", bytes(4) + struct.pack(">II", 1, 0))
+    boxes = [stsd, stts, stsz, stsc, stco]
+    if keyframes is not None:
+        boxes.insert(2, _box(
+            b"stss", bytes(4) + struct.pack(">I", len(keyframes))
+            + b"".join(struct.pack(">I", k + 1) for k in keyframes)))
+    stbl = _box(b"stbl", b"".join(boxes))
+    vmhd = _box(b"vmhd", b"\x00\x00\x00\x01" + bytes(8))
+    dinf = _box(b"dinf", _box(b"dref", bytes(4) + struct.pack(">I", 1)
+                              + _box(b"url ", b"\x00\x00\x00\x01")))
+    minf = _box(b"minf", vmhd + dinf + stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    return ftyp + moov + _box(b"mdat", b"")

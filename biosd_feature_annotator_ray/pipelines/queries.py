@@ -3923,3 +3923,82 @@ ORACLES["winsorize_values"] = (
     " SELECT event_id, value, least(greatest(value, lo), hi) AS value_w"
     " FROM events, b"
 )
+
+
+# --- round-4 additions ------------------------------------------------
+def q_pct_change_events(sf_dir: str):
+    """Relative change vs the previous event per user — value /
+    lag(value) - 1 with SQL null semantics (no previous row, null
+    sides, or zero previous value → NULL)."""
+    from ..stages.windows import pct_change_per_key
+
+    out = pct_change_per_key(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]),
+        key_col="user_id", value_col="value",
+        order_cols=["ts", "event_id"], nb=8)
+    df = out.to_pandas()[["event_id", "pct_change"]]
+    # DuckDB round() is half-away-from-zero; pandas round is half-even
+    v = df["pct_change"].to_numpy()
+    df["pct_change"] = np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5) / 1e6
+    return pa.Table.from_pandas(
+        df.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["pct_change_events"] = q_pct_change_events
+
+ORACLES["pct_change_events"] = (
+    "SELECT event_id, round(value / nullif(lag(value) OVER ("
+    " PARTITION BY user_id ORDER BY ts, event_id), 0) - 1, 6)"
+    " AS pct_change FROM events"
+)
+
+
+def q_ewma_events(sf_dir: str):
+    """Exponentially weighted moving average of event values per user
+    (alpha=0.3, adjust=False) — rows-only: no SQL window equivalent;
+    semantics pinned by the pandas-ewm parity fuzz."""
+    from ..stages.windows import ewma_per_key
+
+    out = ewma_per_key(
+        _events(sf_dir, ["event_id", "user_id", "ts", "value"]), 0.3,
+        key_col="user_id", value_col="value",
+        order_cols=["ts", "event_id"], nb=8)
+    df = out.to_pandas()[["event_id", "ewma"]]
+    df["ewma"] = df["ewma"].round(6)
+    return pa.Table.from_pandas(
+        df.sort_values("event_id").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["ewma_events"] = q_ewma_events
+
+
+def q_mp4_meta(sf_dir: str):
+    """REAL ISO-BMFF box parsing over a deterministic mp4 media table
+    (rows-only — binary container metadata has no SQL twin): width,
+    height, duration, codec, sample count, keyframe map from stss;
+    dirty payloads yield an mp4_error column, not a failed batch."""
+    from ..functions.codecs import write_minimal_mp4
+    from ..stages.multimodal import Mp4MetaStage
+
+    rows = []
+    for i in range(96):
+        if i % 16 == 15:
+            rows.append({"media_id": i, "payload": b"corrupt" + bytes(i)})
+        else:
+            w, h = 160 + 16 * (i % 8), 90 + 9 * (i % 8)
+            nf = 8 + (i % 5) * 4
+            rows.append({"media_id": i,
+                         "payload": write_minimal_mp4(
+                             w, h, nf, fps=float(8 + i % 3),
+                             keyframes=list(range(0, nf, 4)))})
+    media = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (media.map_batches(Mp4MetaStage, batch_format="pyarrow",
+                             batch_size=32, concurrency=(1, 4))
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    out["duration_s"] = out["duration_s"].round(6)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+QUERIES["mp4_meta"] = q_mp4_meta

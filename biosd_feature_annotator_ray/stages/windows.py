@@ -727,6 +727,159 @@ def lag_per_key(
     )
 
 
+def pct_change_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    out: str = "pct_change",
+    nb: int = 16,
+    max_bucket_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """value / lag(value) - 1 OVER (PARTITION BY key ORDER BY
+    order_cols) — relative change vs the previous row (graft-added,
+    r04). SQL (DuckDB) semantics: null where there is no previous row,
+    either side is null, or the previous value is zero (SQL float
+    division by zero is NULL, not inf). Arrow-native; over-bound hot
+    keys spill via the shared lag slice kernel."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def _ratio(t: pa.Table, lag_name: str) -> pa.Table:
+        cur = pc.cast(t.column(value_col), pa.float64())
+        prv = pc.cast(t.column(lag_name), pa.float64())
+        prv = pc.if_else(pc.equal(prv, 0.0),
+                         pa.scalar(None, pa.float64()), prv)
+        r = pc.subtract(pc.divide(cur, prv), 1.0)
+        return t.drop_columns([lag_name]).append_column(out, r)
+
+    def finish(g: pa.Table) -> pa.Table:
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        if len(g) > bound:  # hot key: sorted sub-slice spill
+            t = _stream_lag(_sort_bucket(g, key_col, oc), key_col,
+                            value_col, bound, "__prev")
+            return _ratio(t, "__prev")
+        t, new, _ = _sorted_runs(g, key_col, oc)
+        idx = np.arange(len(t), dtype=np.int64)
+        col = t.column(value_col).combine_chunks()
+        lagged = col.take(pa.array(np.maximum(idx - 1, 0), mask=new))
+        return _ratio(t.append_column("__prev", lagged), "__prev")
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def ewma_per_key(
+    events: "ray.data.Dataset",
+    alpha: float,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    out: str = "ewma",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Exponentially weighted moving average per key (adjust=False
+    recursion: y_i = (1-α)·y_{i-1} + α·x_i; y_0 = x_0), the streaming
+    smoother a metrics pipeline runs over event values (graft-added,
+    r04; no SQL window equivalent — semantics pinned by a pandas-ewm
+    parity fuzz).
+
+    Vectorized WITHOUT a per-row Python scan via the block-rescaled
+    prefix trick: within a block, y_p = s_p·Σ(α·x_j/s_j) + s_p·carry
+    with s_p = (1-α)^p; blocks are sized so s never underflows
+    (B ≈ 600/-log10(1-α)), state carried across blocks and reset at
+    run heads. Null values leave the state unchanged and emit the
+    carried value (pandas ewm ignore_na=False parity is asserted only
+    for non-null inputs; null policy is this engine's documented one).
+    """
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    oc = order_cols or ["ts", "event_id"]
+    q = 1.0 - alpha
+    # biggest block where (1-alpha)^B stays far above float64 underflow
+    B = max(8, min(4096, int(-300.0 / np.log10(q))))
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def _ewma_segments(xs: np.ndarray, news: np.ndarray) -> np.ndarray:
+        """EWMA over a 1-d array with segment resets at ``news`` rows
+        (adjust=False; y = x at each segment head). Block-rescaled
+        prefix: per block, y_p = alpha*s_p*prefix(x_j/s_j) + head and
+        carry corrections with s_p = (1-alpha)^p — no per-row Python,
+        the loop is over ~n/B blocks."""
+        m = len(xs)
+        ys = np.empty(m, np.float64)
+        carry, carry_live = 0.0, False
+        for lo in range(0, m, B):
+            hi = min(lo + B, m)
+            k = hi - lo
+            nb_ = news[lo:hi].copy()
+            xb = xs[lo:hi]
+            idxb = np.arange(k, dtype=np.int64)
+            startb = np.maximum.accumulate(np.where(nb_, idxb, 0))
+            s = q ** idxb.astype(np.float64)
+            w = alpha * xb / s
+            cs = np.cumsum(w)
+            yb = s * (cs - (cs[startb] - w[startb]))
+            # seed correction, vectorized per row: each segment's head
+            # contributes x_head (not alpha*x_head) decayed to the row
+            corr = (1.0 - alpha) * xb[startb] * s / s[startb]
+            if not nb_[0] and carry_live:
+                # segment 0 continues from the previous block: decayed
+                # carry replaces the in-block seed
+                seg0 = startb == 0
+                corr[seg0] = 0.0
+                yb[seg0] += s[seg0] * q * carry
+            yb += corr
+            ys[lo:hi] = yb
+            if k:
+                carry, carry_live = yb[-1], True
+        return ys
+
+    def finish(g: pa.Table) -> pa.Table:
+        t, new, start = _sorted_runs(g, key_col, oc)
+        n = len(t)
+        if n == 0:
+            return t.append_column(out, pa.array([], pa.float64()))
+        col = t.column(value_col)
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        x = pc.fill_null(col, 0.0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        null = null | np.isnan(x)
+        ok = ~null
+        rid = np.cumsum(new) - 1
+        xs = x[ok]
+        rids = rid[ok]
+        news = np.ones(len(xs), dtype=bool)
+        if len(xs) > 1:
+            news[1:] = rids[1:] != rids[:-1]
+        ys = _ewma_segments(xs, news) if len(xs) else xs
+        y = np.zeros(n, np.float64)
+        y[ok] = ys
+        # null rows emit the run state (last non-null emit in the run);
+        # rows before the run's first non-null have no state -> null out
+        idx_all = np.arange(n, dtype=np.int64)
+        lastok = np.maximum.accumulate(np.where(ok, idx_all, -1))
+        has_state = (lastok >= 0) & (lastok >= start)
+        y = np.where(ok, y, np.where(has_state,
+                                     y[np.maximum(lastok, 0)], np.nan))
+        return t.append_column(out, pa.array(y, pa.float64(),
+                                             mask=~(ok | has_state)))
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
 def cume_dist_per_key(
     events: "ray.data.Dataset",
     key_col: str = "user_id",

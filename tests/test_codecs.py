@@ -225,3 +225,64 @@ def test_on_error_skip_quarantines_corrupt_payloads(ray_session):
                         "payload": pa.array([good_wav, corrupt_wav], pa.binary())})
     out_a = AudioFeaturizeStage(mode="real", on_error="skip")(batch_a)
     assert out_a.column("media_id").to_pylist() == [0]
+
+
+def test_mp4_box_parser_roundtrip():
+    from biosd_feature_annotator_ray.functions.codecs import (
+        is_mp4, mp4_parse_meta, write_minimal_mp4)
+
+    b = write_minimal_mp4(1280, 720, 120, fps=30.0,
+                          keyframes=[0, 30, 60, 90])
+    assert is_mp4(b)
+    m = mp4_parse_meta(b)
+    assert (m["width"], m["height"]) == (1280, 720)
+    assert m["n_samples"] == 120 and m["codec"] == "avc1"
+    assert m["keyframes"] == [0, 30, 60, 90]
+    assert abs(m["duration_s"] - 4.0) < 0.01
+    # no stss box -> every sample is a sync sample
+    m2 = mp4_parse_meta(write_minimal_mp4(64, 48, 5, fps=5.0))
+    assert m2["keyframes"] == [0, 1, 2, 3, 4]
+
+
+def test_mp4_parser_rejects_garbage_and_fragmented():
+    import struct
+
+    import pytest
+
+    from biosd_feature_annotator_ray.functions.codecs import (
+        _box, mp4_parse_meta, write_minimal_mp4)
+
+    with pytest.raises(ValueError):
+        mp4_parse_meta(b"\x00" * 64)
+    # truncated box claims a size past EOF
+    b = write_minimal_mp4(32, 32, 2)
+    with pytest.raises(ValueError):
+        mp4_parse_meta(b[: len(b) // 2])
+    # fragmented files raise NotImplementedError (sample tables live
+    # per-fragment)
+    frag = b + _box(b"moof", _box(b"mfhd", bytes(8)))
+    with pytest.raises(NotImplementedError):
+        mp4_parse_meta(frag)
+
+
+def test_mp4_meta_stage_dirty_column(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.functions.codecs import write_minimal_mp4
+    from biosd_feature_annotator_ray.stages.multimodal import Mp4MetaStage
+
+    rows = pd.DataFrame({
+        "media_id": [0, 1, 2],
+        "payload": [write_minimal_mp4(320, 240, 10, keyframes=[0, 5]),
+                    b"not an mp4 at all",
+                    write_minimal_mp4(640, 480, 4)],
+    })
+    out = (rd.from_pandas(rows)
+           .map_batches(Mp4MetaStage, batch_format="pyarrow",
+                        batch_size=64, concurrency=1)
+           .to_pandas().sort_values("media_id").reset_index(drop=True))
+    assert out.loc[0, "width"] == 320 and out.loc[0, "n_keyframes"] == 2
+    assert pd.isna(out.loc[1, "width"]) and "ValueError" in out.loc[1, "mp4_error"]
+    assert out.loc[2, "height"] == 480 and out.loc[2, "keyframes"] == "0,1,2,3"
+    assert out.loc[0, "mp4_error"] is None or pd.isna(out.loc[0, "mp4_error"])

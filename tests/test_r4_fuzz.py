@@ -201,3 +201,80 @@ def test_interval_join_fuzz_duckdb(ray_session):
                .reset_index(drop=True))
         assert gp2["lid"].tolist() == want2["lid"].tolist()
         assert gp2["rid"].astype("int64").tolist() == want2["rid"].tolist()
+
+
+def test_pct_change_fuzz_duckdb(ray_session):
+    from biosd_feature_annotator_ray.stages.windows import pct_change_per_key
+
+    for seed in range(3):
+        rng = np.random.default_rng(600 + seed)
+        n = 200
+        vals = rng.normal(0, 5, n).round(2)
+        vals[rng.random(n) < 0.05] = 0.0  # div-by-zero prev -> NULL
+        t = pa.table({
+            "user_id": pa.array(rng.integers(0, 5, n), pa.int64(),
+                                mask=rng.random(n) < 0.08),
+            "ts": pa.array(rng.integers(0, 30, n).astype("datetime64[s]")
+                           .astype("datetime64[us]")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "value": pa.array(vals, pa.float64(),
+                              mask=rng.random(n) < 0.1),
+        })
+        got = (pct_change_per_key(rd.from_arrow(t).repartition(3),
+                                  key_col="user_id",
+                                  order_cols=["ts", "event_id"], nb=4)
+               .to_pandas().sort_values("event_id"))
+        want = duckdb.sql(
+            "SELECT event_id, value / nullif(lag(value) OVER ("
+            " PARTITION BY user_id ORDER BY ts, event_id), 0) - 1 AS pc"
+            " FROM t ORDER BY event_id").df()
+        gv, wv = got["pct_change"].to_numpy(), want["pc"].to_numpy()
+        assert (np.isnan(gv) == np.isnan(wv)).all()
+        ok = ~np.isnan(gv)
+        assert np.allclose(gv[ok], wv[ok], atol=1e-12)
+        # spill path parity
+        spill = (pct_change_per_key(rd.from_arrow(t).repartition(3),
+                                    key_col="user_id",
+                                    order_cols=["ts", "event_id"], nb=2,
+                                    max_bucket_rows=17)
+                 .to_pandas().sort_values("event_id"))
+        sv = spill["pct_change"].to_numpy()
+        assert (np.isnan(sv) == np.isnan(gv)).all()
+        assert np.allclose(sv[~np.isnan(sv)], gv[ok], atol=1e-12)
+
+
+def test_ewma_fuzz_pandas_parity(ray_session):
+    """EWMA (adjust=False, nulls leave state unchanged and emit it =
+    pandas ignore_na=True) vs pandas groupby().ewm() — including runs
+    long enough to cross the block-rescaled prefix's internal block
+    boundary (alpha=0.99 -> B=150; n per key ~800)."""
+    from biosd_feature_annotator_ray.stages.windows import ewma_per_key
+
+    for alpha in (0.3, 0.99):
+        rng = np.random.default_rng(int(alpha * 100))
+        n = 2500
+        vals = rng.normal(0, 10, n)
+        nullmask = rng.random(n) < 0.1
+        t = pa.table({
+            "user_id": pa.array(rng.integers(0, 3, n), pa.int64(),
+                                mask=rng.random(n) < 0.05),
+            "ts": pa.array(rng.integers(0, 10**6, n)
+                           .astype("datetime64[s]").astype("datetime64[us]")),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "value": pa.array(vals, pa.float64(), mask=nullmask),
+        })
+        got = (ewma_per_key(rd.from_arrow(t).repartition(4), alpha,
+                            key_col="user_id",
+                            order_cols=["ts", "event_id"], nb=2)
+               .to_pandas().sort_values("event_id").reset_index(drop=True))
+        df = t.to_pandas().sort_values(
+            ["user_id", "ts", "event_id"], kind="mergesort")
+        df["want"] = (df.groupby("user_id", dropna=False, sort=False)
+                      ["value"].transform(
+                          lambda s: s.ewm(alpha=alpha, adjust=False,
+                                          ignore_na=True).mean()))
+        want = df.sort_values("event_id").reset_index(drop=True)["want"]
+        gv, wv = got["ewma"].to_numpy(), want.to_numpy()
+        assert (np.isnan(gv) == np.isnan(wv)).all()
+        ok = ~np.isnan(gv)
+        assert np.allclose(gv[ok], wv[ok], rtol=1e-9, atol=1e-9)
