@@ -46,6 +46,10 @@ MANIFEST_DIR = "manifest"
 # explicit opt-out; the "default" sentinel in the signatures resolves
 # to this constant at call time so tests can monkeypatch it.
 DEFAULT_MAX_FINALIZE_ROWS = 4_000_000
+# fixed url-hash sub-bucket fan (the _sub fragment column): finalize
+# sub-chunks are unions of these buckets, so an over-bound partition
+# reads only its chunk's row groups instead of every fragment S times
+FINALIZE_SUBS = 64
 
 
 def _atomic_write_parquet(table: pa.Table, final_path: str) -> None:
@@ -163,7 +167,9 @@ def write_partition(part: pa.Table, out_dir: str, metrics: dict | None = None,
     )
 
 
-def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_raw") -> pa.Table:
+def _scatter_fragments(batch: pa.Table, out_dir: str,
+                       subdir: str = "mentions_raw",
+                       presplit_urls: bool = False) -> pa.Table:
     """Map-task body: split a part_id-tagged batch by part_id and append
     one fragment file per partition directory.
 
@@ -192,6 +198,8 @@ def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_ra
     change[1:] = spids[1:] != spids[:-1]
     starts = np.flatnonzero(change)
     ends = np.append(starts[1:], len(spids))
+    from ..functions.hashing import hash_strings
+
     for st, en in zip(starts, ends):
         pid = int(spids[st])
         pdir = os.path.join(out_dir, subdir, f"part_id={pid}")
@@ -207,9 +215,20 @@ def _scatter_fragments(batch: pa.Table, out_dir: str, subdir: str = "mentions_ra
         with np.errstate(over="ignore"):
             digest = int(hash_columns(sub, id_cols).sum(dtype=np.uint64)
                          + np.uint64(len(sub)))
+        if presplit_urls and "url" in sub.column_names:
+            # pre-split for the over-bound finalize (r03 'what's wrong'
+            # #3): rows sorted by a fixed url-hash sub-bucket column,
+            # written in small row groups, so a sub-chunked finalize
+            # reads ONLY its sub-buckets' row groups (statistics
+            # pruning) instead of re-reading every fragment S times
+            sb = ((hash_strings(sub.column("url")) >> np.uint64(32))
+                  % np.uint64(FINALIZE_SUBS)).astype(np.int16)
+            sub = sub.append_column("_sub", pa.array(sb))
+            sub = sub.take(pa.array(np.argsort(sb, kind="stable")))
         final = os.path.join(pdir, f"frag-{digest:016x}-{len(sub)}.parquet")
         tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
-        pq.write_table(sub, tmp)
+        pq.write_table(sub, tmp,
+                       row_group_size=max(4096, len(sub) // FINALIZE_SUBS + 1))
         os.replace(tmp, final)
     uniq, cnt = np.unique(pids, return_counts=True)
     return pa.table({"part_id": pa.array(uniq.astype(np.int32)),
@@ -303,9 +322,13 @@ def finalize_mentions_partition(
     dedup + pack equals whole-partition dedup + pack; chunks stream
     into the partition parquet as row groups via ``_StreamingWriter``.
     Peak heap ≈ max_finalize_rows rows instead of the whole partition.
-    Cost: each fragment file is read S times (metadata-cheap local
-    reads) — at cluster scale prefer raising P with data volume so
-    partitions stay row-bounded, and keep this knob as the guard."""
+    Read cost (r04): fragments are written sorted by a fixed url-hash
+    ``_sub`` bucket column in small row groups, so each chunk reads
+    ONLY its sub-buckets' row groups via parquet statistics pruning —
+    O(1) reads per byte. Legacy fragments without ``_sub`` (or
+    S > FINALIZE_SUBS) fall back to reading each fragment S times with
+    a hash filter. At cluster scale still prefer raising P with data
+    volume so partitions stay row-bounded; this knob is the guard."""
     if isinstance(max_finalize_rows, str):  # "default" sentinel
         max_finalize_rows = DEFAULT_MAX_FINALIZE_ROWS
     pdir = os.path.join(out_dir, "mentions_raw", f"part_id={part_id}")
@@ -331,8 +354,12 @@ def finalize_mentions_partition(
         csr = closure_csr(ancestor_closure())
     total = sum(pq.ParquetFile(p).metadata.num_rows for p in frag_paths)
 
+    def _strip_sub(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["_sub"]) if "_sub" in t.column_names else t
+
     if max_finalize_rows is None or total <= max_finalize_rows:
-        mentions = pa.concat_tables([pq.read_table(p) for p in frag_paths])
+        mentions = pa.concat_tables([_strip_sub(pq.read_table(p))
+                                     for p in frag_paths])
         triples, metrics = _link_and_emit(mentions, linker, min_confidence, part_id,
                                           ancestors_csr=csr)
         metrics.pop("_key_hashes", None)
@@ -344,17 +371,37 @@ def finalize_mentions_partition(
     from ..stages.graph import pack_adjacency as _pack
 
     n_chunks = -(-total // max_finalize_rows)
+    # pre-split fast path: every fragment carries the sorted _sub
+    # column → each chunk reads only its sub-buckets' row groups
+    # (parquet statistics pruning), O(1) reads per byte instead of S.
+    # A url's chunk is a pure function of its sub bucket (contiguous
+    # ranges), preserving the all-mentions-of-a-url-in-one-chunk
+    # invariant the per-chunk dedup/pack relies on.
+    presplit = (n_chunks <= FINALIZE_SUBS
+                and all("_sub" in pq.ParquetFile(p).schema_arrow.names
+                        for p in frag_paths))
     agg = {"mentions": 0, "finalize_chunks": n_chunks}
     key_h, linked_h = [], []
     writer = _StreamingWriter(out_dir, part_id)
     for s in range(n_chunks):
         picked = []
-        for p in frag_paths:
-            t = pq.read_table(p)
-            h = hash_strings(t.column("url"))
-            sel = ((h >> np.uint64(32)) % np.uint64(n_chunks)) == s
-            if sel.any():
-                picked.append(t.filter(pa.array(sel)))
+        if presplit:
+            import pyarrow.dataset as pads
+
+            subs = [k for k in range(FINALIZE_SUBS)
+                    if k * n_chunks // FINALIZE_SUBS == s]
+            flt = pads.field("_sub").isin(pa.array(subs, pa.int16()))
+            for p in frag_paths:
+                t = pads.dataset(p, format="parquet").to_table(filter=flt)
+                if len(t):
+                    picked.append(_strip_sub(t))
+        else:  # legacy fragments without _sub: hash-filter every read
+            for p in frag_paths:
+                t = _strip_sub(pq.read_table(p))
+                h = hash_strings(t.column("url"))
+                sel = ((h >> np.uint64(32)) % np.uint64(n_chunks)) == s
+                if sel.any():
+                    picked.append(t.filter(pa.array(sel)))
         if not picked:
             continue
         mentions = pa.concat_tables(picked)
@@ -471,7 +518,8 @@ def run_sink(
 
         shutil.rmtree(os.path.join(out_dir, "mentions_raw"), ignore_errors=True)
         scatter_ds = mentions_with_part.map_batches(
-            lambda t: _scatter_fragments(t, out_dir, subdir="mentions_raw"),
+            lambda t: _scatter_fragments(t, out_dir, subdir="mentions_raw",
+                                         presplit_urls=True),
             batch_format="pyarrow", batch_size=None,
         )
         scatter_ds.to_pandas()
