@@ -314,12 +314,17 @@ def mp4_parse_meta(b: bytes) -> dict:
                 dur = struct.unpack_from(">I", b, p + 4 + 12)[0]
             out["timescale"] = ts
             out["duration_s"] = dur / ts if ts else float("nan")
+    video_done = False
     for tlo, thi in _find(b, mlo, mhi, ["trak"]):
         out["n_tracks"] += 1
         hdlr = _find(b, tlo, thi, ["mdia", "hdlr"])
         kind = b[hdlr[0][0] + 8:hdlr[0][0] + 12] if hdlr else b""
-        if kind != b"vide":
+        # FIRST video track wins — mixing fields across tracks would
+        # pair one track's keyframe map with another's n_samples
+        # (r04 review); keep counting n_tracks for all of them
+        if kind != b"vide" or video_done:
             continue
+        video_done = True
         tkhd = _find(b, tlo, thi, ["tkhd"])
         if tkhd:
             p, q = tkhd[0]

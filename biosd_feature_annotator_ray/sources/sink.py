@@ -352,7 +352,11 @@ def finalize_mentions_partition(
         from ..state.dictionaries import ancestor_closure
 
         csr = closure_csr(ancestor_closure())
-    total = sum(pq.ParquetFile(p).metadata.num_rows for p in frag_paths)
+    # ONE footer read per fragment: row count + schema together (the
+    # chunk loop below reuses these — r04 review: per-chunk re-opens
+    # kept O(S×F) metadata I/O on the path sold as O(1) reads)
+    frag_files = [pq.ParquetFile(p) for p in frag_paths]
+    total = sum(f.metadata.num_rows for f in frag_files)
 
     def _strip_sub(t: pa.Table) -> pa.Table:
         return t.drop_columns(["_sub"]) if "_sub" in t.column_names else t
@@ -378,21 +382,24 @@ def finalize_mentions_partition(
     # ranges), preserving the all-mentions-of-a-url-in-one-chunk
     # invariant the per-chunk dedup/pack relies on.
     presplit = (n_chunks <= FINALIZE_SUBS
-                and all("_sub" in pq.ParquetFile(p).schema_arrow.names
-                        for p in frag_paths))
+                and all("_sub" in f.schema_arrow.names
+                        for f in frag_files))
+    if presplit:
+        import pyarrow.dataset as pads
+
+        frag_dsets = [pads.dataset(p, format="parquet")
+                      for p in frag_paths]
     agg = {"mentions": 0, "finalize_chunks": n_chunks}
     key_h, linked_h = [], []
     writer = _StreamingWriter(out_dir, part_id)
     for s in range(n_chunks):
         picked = []
         if presplit:
-            import pyarrow.dataset as pads
-
             subs = [k for k in range(FINALIZE_SUBS)
                     if k * n_chunks // FINALIZE_SUBS == s]
             flt = pads.field("_sub").isin(pa.array(subs, pa.int16()))
-            for p in frag_paths:
-                t = pads.dataset(p, format="parquet").to_table(filter=flt)
+            for d in frag_dsets:
+                t = d.to_table(filter=flt)
                 if len(t):
                     picked.append(_strip_sub(t))
         else:  # legacy fragments without _sub: hash-filter every read

@@ -527,23 +527,49 @@ def rollup_agg(
                     "int64-safe range — use a smaller decimals or "
                     "decimals=None (float sums)")
             sums = np.round(scaled).astype(np.int64)
+            # PER-ELEMENT relative tolerance (review r04: a batch-max
+            # threshold let small values quantize silently next to one
+            # large value)
             err = np.abs(sums - scaled)
-            if len(err) and err.max() > 1e-6 * max(1.0, np.abs(scaled).max()):
+            bad = err > 1e-6 * np.maximum(1.0, np.abs(scaled))
+            if bad.any():
                 raise ValueError(
                     f"rollup_agg: {value_col!r} has values with more than "
-                    f"{decimals} fractional digits — raise decimals or "
-                    "pass decimals=None (float sums)")
+                    f"{decimals} fractional digits (e.g. "
+                    f"{v[bad][0]!r}) — raise decimals or pass "
+                    "decimals=None (float sums)")
         part = pd.DataFrame({**{k: df[k] for k in keys},
-                             n_col: np.ones(len(df), np.int64), sum_col: sums})
+                             n_col: np.ones(len(df), np.int64), sum_col: sums,
+                             # float shadow sum: detects int64 wrap of
+                             # the scaled sums at finish (magnitude
+                             # check on single values cannot bound the
+                             # SUM across millions of rows)
+                             "_fchk": v})
         g = part.groupby(keys, as_index=False, dropna=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
+    aggs = lambda: (Sum(n_col, alias_name=n_col),  # noqa: E731
+                    Sum(sum_col, alias_name=sum_col),
+                    Sum("_fchk", alias_name="_fchk"))
     finest = (ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
               .groupby(keys)
-              .aggregate(Sum(n_col, alias_name=n_col), Sum(sum_col, alias_name=sum_col))
+              .aggregate(*aggs())
               .materialize())
     fsch = _arrow_schema(finest)
     ktype = {k: fsch.field(k).type for k in keys}
+
+    def _wrap_check(s: np.ndarray, f: np.ndarray) -> None:
+        # int64 wrap detector: the exact scaled-int sum must track the
+        # float shadow sum to float precision; a wrapped sum is off by
+        # ~2^64/scale and trips immediately
+        if scale is None or not len(s):
+            return
+        diff = np.abs(s - f)
+        if (diff > 1e-6 * np.maximum(1.0, np.abs(f))).any():
+            raise ValueError(
+                "rollup_agg: scaled-integer sum overflowed int64 (group "
+                "sums too large for this decimals) — use decimals=None "
+                "(float sums) or a smaller decimals")
 
     def widen(level_keys: list[str]):
         def f(batch: pa.Table) -> pa.Table:
@@ -552,6 +578,8 @@ def rollup_agg(
             cols.append(batch.column(n_col).cast(pa.int64()))
             s = batch.column(sum_col).to_numpy(zero_copy_only=False)
             s = s / scale if scale is not None else s.astype(np.float64)
+            _wrap_check(s, batch.column("_fchk").to_numpy(
+                zero_copy_only=False))
             cols.append(pa.array(s, pa.float64()))
             return pa.table(cols, names=keys + [n_col, sum_col])
         return f
@@ -559,16 +587,16 @@ def rollup_agg(
     levels = [finest.map_batches(widen(keys), batch_format="pyarrow")]
     prev = finest
     for i in range(len(keys) - 1, 0, -1):
-        prev = (prev.groupby(keys[:i])
-                .aggregate(Sum(n_col, alias_name=n_col), Sum(sum_col, alias_name=sum_col))
-                .materialize())
+        prev = (prev.groupby(keys[:i]).aggregate(*aggs()).materialize())
         levels.append(prev.map_batches(widen(keys[:i]), batch_format="pyarrow"))
-    tot = prev.aggregate(Sum(n_col, alias_name=n_col), Sum(sum_col, alias_name=sum_col))
+    tot = prev.aggregate(*aggs())
+    tot_s = (float(tot[sum_col] or 0)
+             / (scale if scale is not None else 1.0))
+    _wrap_check(np.array([tot_s]), np.array([float(tot["_fchk"] or 0)]))
     total_tbl = pa.table(
         [pa.nulls(1, ktype[k]) for k in keys]
         + [pa.array([int(tot[n_col] or 0)], pa.int64()),
-           pa.array([float(tot[sum_col] or 0)
-                     / (scale if scale is not None else 1.0)], pa.float64())],
+           pa.array([tot_s], pa.float64())],
         names=keys + [n_col, sum_col])
     levels.append(rd.from_arrow(total_tbl))
     out = levels[0]

@@ -58,15 +58,23 @@ def count_indexed_docs(index_dir: str) -> int:
     import pyarrow.parquet as pq
 
     meta = _read_meta(index_dir)
-    total = 0
     broot = os.path.join(index_dir, "buckets")
-    if os.path.isdir(broot):
-        for b in os.listdir(broot):
-            bdir = os.path.join(broot, b)
-            for f in os.listdir(bdir):
-                if f.endswith(".parquet"):
-                    total += pq.ParquetFile(
-                        os.path.join(bdir, f)).metadata.num_rows
+    # a concurrent compaction can unlink a listed fragment — retry the
+    # walk (post-compaction state is complete and consistent)
+    for attempt in range(3):
+        total = 0
+        try:
+            if os.path.isdir(broot):
+                for b in os.listdir(broot):
+                    bdir = os.path.join(broot, b)
+                    for f in os.listdir(bdir):
+                        if f.endswith(".parquet"):
+                            total += pq.ParquetFile(
+                                os.path.join(bdir, f)).metadata.num_rows
+            break
+        except FileNotFoundError:
+            if attempt == 2:
+                raise
     return total // meta["bands"]
 
 
@@ -211,7 +219,10 @@ def compact_dedup_index(index_dir: str, rows_per_file: int = 2_000_000,
     new files land via unique-tmp + atomic rename BEFORE the old
     fragments are unlinked, so a query that races a compaction sees at
     worst DUPLICATE band rows — which only duplicate candidate pairs,
-    and ``query_dedup_index`` already dedups pairs on (id_a, id_b). A
+    and ``query_dedup_index`` already dedups pairs on (id_a, id_b); a
+    reader whose file listing straddles the unlink gets
+    FileNotFoundError and RETRIES against the now-complete compacted
+    view (probe and count both retry ×3). A
     crash between rename and unlink leaves duplicates that the next
     compaction removes (rows are deduped on (doc_id, band_id, band_key)
     here, so re-compaction converges and digests are stable). Appends
@@ -324,9 +335,20 @@ def query_dedup_index(
             return empty
         new = g.drop_columns([_B]).to_pandas()
         keys = new["band_key"].unique()
-        dset = pads.dataset(bdir, format="parquet")
-        old = dset.to_table(
-            filter=pads.field("band_key").isin(pa.array(keys))).to_pandas()
+        # a compaction racing this probe may unlink a fragment between
+        # dataset discovery and read — re-discover and retry (the
+        # compacted replacement is already in place: rename precedes
+        # unlink, so a retry sees a complete view)
+        for attempt in range(3):
+            try:
+                dset = pads.dataset(bdir, format="parquet")
+                old = dset.to_table(
+                    filter=pads.field("band_key").isin(
+                        pa.array(keys))).to_pandas()
+                break
+            except FileNotFoundError:
+                if attempt == 2:
+                    raise
         if not len(old):
             return empty
         cand = new.merge(old, on=["band_id", "band_key"],

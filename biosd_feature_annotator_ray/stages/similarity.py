@@ -274,7 +274,10 @@ def build_ivf_index(
     """Assign every vector to its nearest centroid and write
     ``out_dir/cells/cent=N/frag-*.parquet`` (atomic, content-named —
     retry-idempotent) plus ``centroids.parquet``. A ``_DONE`` marker
-    makes rebuilds a no-op (resume contract). Returns the codebook."""
+    makes rebuilds a no-op (resume contract) — but only for MATCHING
+    params: a rebuild with a different n_centroids/seed raises instead
+    of silently returning the stale index (r04 review, same guard as
+    build_ivfpq_index/build_dedup_index). Returns the codebook."""
     import os
 
     import pyarrow.parquet as pq
@@ -282,7 +285,22 @@ def build_ivf_index(
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         t = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
-        return np.stack(t.column("centroid").to_pandas().to_numpy())
+        C = np.stack(t.column("centroid").to_pandas().to_numpy())
+        mpath = os.path.join(out_dir, "meta.parquet")
+        if os.path.exists(mpath):
+            mt = pq.read_table(mpath)
+            meta = {k: int(mt.column(k)[0].as_py()) for k in mt.column_names}
+        else:  # legacy index: derive what the artifacts can verify
+            meta = {"n_centroids": len(C), "seed": seed}
+        params = {"n_centroids": n_centroids, "seed": seed}
+        diff = {k: (v, meta.get(k)) for k, v in params.items()
+                if meta.get(k) != v}
+        if diff:
+            raise ValueError(
+                f"build_ivf_index: {out_dir!r} already holds a finished "
+                f"index built with different params {diff} (requested, "
+                "persisted) — delete the directory to rebuild")
+        return C
 
     C = build_centroids(vecs, n_centroids, vec_col, seed=seed, id_col=id_col)
     cref = ray.put(C)
@@ -319,6 +337,11 @@ def build_ivf_index(
         pa.table({"centroid_id": pa.array(np.arange(len(C), dtype=np.int64)),
                   "centroid": pa.array(list(C))}),
         os.path.join(out_dir, "centroids.parquet"))
+    pq.write_table(
+        pa.table({k: pa.array([v], pa.int64())
+                  for k, v in {"n_centroids": n_centroids,
+                               "seed": seed}.items()}),
+        os.path.join(out_dir, "meta.parquet"))
     with open(done, "w") as f:
         f.write("ok")
     return C
@@ -867,9 +890,22 @@ def build_ivfpq_index(
         # a rebuild with different params must not silently return the
         # stale index (r03 ADVICE): compare against the persisted meta
         params = {"n_centroids": n_centroids, "m": m, "seed": seed}
+        t = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
+        C = np.stack(t.column("centroid").to_pandas().to_numpy())
+        bt = pq.read_table(os.path.join(out_dir, "codebooks.parquet"))
+        shape = tuple(int(x) for x in bt.schema.metadata[b"shape"].split(b","))
+        books = np.frombuffer(bt.column("books")[0].as_py(),
+                              np.float32).reshape(shape)
         mpath = os.path.join(out_dir, "meta.parquet")
-        mt = pq.read_table(mpath)
-        meta = {k: int(mt.column(k)[0].as_py()) for k in mt.column_names}
+        if os.path.exists(mpath):
+            mt = pq.read_table(mpath)
+            meta = {k: int(mt.column(k)[0].as_py()) for k in mt.column_names}
+        else:
+            # legacy index (built before meta.parquet existed): derive
+            # the verifiable params from the artifacts; seed is
+            # unrecoverable and skipped
+            meta = {"n_centroids": len(C), "m": int(shape[0]),
+                    "seed": seed}
         diff = {k: (v, meta.get(k)) for k, v in params.items()
                 if meta.get(k) != v}
         if diff:
@@ -877,12 +913,6 @@ def build_ivfpq_index(
                 f"build_ivfpq_index: {out_dir!r} already holds a finished "
                 f"index built with different params {diff} (requested, "
                 "persisted) — delete the directory to rebuild")
-        t = pq.read_table(os.path.join(out_dir, "centroids.parquet"))
-        C = np.stack(t.column("centroid").to_pandas().to_numpy())
-        bt = pq.read_table(os.path.join(out_dir, "codebooks.parquet"))
-        shape = tuple(int(x) for x in bt.schema.metadata[b"shape"].split(b","))
-        books = np.frombuffer(bt.column("books")[0].as_py(),
-                              np.float32).reshape(shape)
         return C, books
 
     # interrupted build: fragment digests depend on batch boundaries —

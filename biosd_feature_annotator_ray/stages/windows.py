@@ -66,15 +66,11 @@ def _runs_of(t: pa.Table, key_col: str):
     n = len(t)
     new = np.ones(n, dtype=bool)
     if n > 1:
-        k = t.column(key_col).combine_chunks()
-        k1, k0 = k.slice(1), k.slice(0, n - 1)
-        # null==null is null in Arrow; SQL PARTITION BY puts all NULL
-        # keys in ONE partition (they sort contiguously), so treat two
-        # adjacent nulls as the same run
-        same = pc.or_(pc.fill_null(pc.equal(k1, k0), False),
-                      pc.and_(pc.is_null(k1), pc.is_null(k0))
-                      ).to_numpy(zero_copy_only=False)
-        new[1:] = ~same
+        # SQL PARTITION BY puts all NULL keys in ONE partition and all
+        # NaN keys in one partition (both sort contiguously) — plain
+        # pc.equal is null for null==null and false for NaN==NaN, so
+        # share the grouping-equality kernel with the tie blocks
+        new[1:] = ~_adjacent_same(t.column(key_col))
     idx = np.arange(n, dtype=np.int64)
     start = np.maximum.accumulate(np.where(new, idx, 0))
     return new, start
@@ -107,16 +103,22 @@ def _run_geometry(new: np.ndarray):
 
 def _adjacent_same(col: "pa.Array | pa.ChunkedArray") -> np.ndarray:
     """``same[i]`` (i ≥ 1): row i's value equals row i-1's, with SQL
-    null grouping (two nulls compare equal). Length n-1 for an
+    grouping semantics — two nulls compare equal, and two float NaNs
+    compare equal (DuckDB rank/dense_rank tie NaNs together; plain
+    pc.equal(NaN, NaN) is false — r04 review). Length n-1 for an
     n-row column; used for tie blocks in rank-family finishers."""
     a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(a)
     if n <= 1:
         return np.zeros(0, dtype=bool)
     a1, a0 = a.slice(1), a.slice(0, n - 1)
-    return pc.or_(pc.fill_null(pc.equal(a1, a0), False),
-                  pc.and_(pc.is_null(a1), pc.is_null(a0))
-                  ).to_numpy(zero_copy_only=False)
+    same = pc.or_(pc.fill_null(pc.equal(a1, a0), False),
+                  pc.and_(pc.is_null(a1), pc.is_null(a0)))
+    if pa.types.is_floating(a.type):
+        same = pc.or_(same, pc.and_(
+            pc.fill_null(pc.is_nan(a1), False),
+            pc.fill_null(pc.is_nan(a0), False)))
+    return same.to_numpy(zero_copy_only=False)
 
 
 # --- streamable spill path (r03 verdict item 3) ---------------------------
@@ -136,9 +138,14 @@ _NOKEY = _NoKey()
 
 
 def _same_key(a, b) -> bool:
-    # SQL PARTITION BY: NULL keys form one partition. Float NaN keys
-    # mirror the vector path (pc.equal(NaN, NaN) is false → own run).
-    return (a is None and b is None) or (a is not None and a == b)
+    # SQL PARTITION BY: NULL keys form one partition; float NaN keys
+    # form one partition too (mirrors _runs_of/_adjacent_same).
+    if a is None or b is None:
+        return a is None and b is None
+    if (isinstance(a, float) and isinstance(b, float)
+            and np.isnan(a) and np.isnan(b)):
+        return True
+    return a == b
 
 
 def _stream_rank(t: pa.Table, key_col: str, bound: int, out: str,
@@ -264,8 +271,14 @@ def session_windows(
         tcol = t.column(ts_col).combine_chunks()
         ts = tcol.to_numpy(zero_copy_only=False).astype(
             "datetime64[us]").astype(np.int64)
+        # NaT becomes int64-min and a raw diff would WRAP to a huge
+        # positive gap (r04 review); mirror the old pandas semantics
+        # (NaT diff > gap is False → no break on null-ts rows)
+        nat = pc.is_null(tcol).to_numpy(zero_copy_only=False)
         brk = new.copy()
-        brk[1:] |= (ts[1:] - ts[:-1]) > gap_us
+        with np.errstate(over="ignore"):
+            brk[1:] |= (((ts[1:] - ts[:-1]) > gap_us)
+                        & ~nat[1:] & ~nat[:-1])
         sheads = np.flatnonzero(brk)
         slens = np.diff(np.append(sheads, n))
         # 0-based session index per key: position of each session head
@@ -783,21 +796,23 @@ def ewma_per_key(
     order_cols: list[str] | None = None,
     out: str = "ewma",
     nb: int = 16,
+    max_bucket_rows: int | None = None,
 ) -> "ray.data.Dataset":
     """Exponentially weighted moving average per key (adjust=False
-    recursion: y_i = (1-α)·y_{i-1} + α·x_i; y_0 = x_0), the streaming
+    recursion: y_i = (1-a)*y_{i-1} + a*x_i; y_0 = x_0) — the streaming
     smoother a metrics pipeline runs over event values (graft-added,
     r04; no SQL window equivalent — semantics pinned by a pandas-ewm
-    parity fuzz).
+    parity fuzz, matching ignore_na=True).
 
     Vectorized WITHOUT a per-row Python scan via the block-rescaled
-    prefix trick: within a block, y_p = s_p·Σ(α·x_j/s_j) + s_p·carry
-    with s_p = (1-α)^p; blocks are sized so s never underflows
-    (B ≈ 600/-log10(1-α)), state carried across blocks and reset at
-    run heads. Null values leave the state unchanged and emit the
-    carried value (pandas ewm ignore_na=False parity is asserted only
-    for non-null inputs; null policy is this engine's documented one).
-    """
+    prefix trick: within a block, y_p = s_p*prefix(a*x_j/s_j) + seed /
+    carry corrections with s_p = (1-a)^p; blocks are sized so s never
+    underflows (B ~ 600/-log10(1-a)), state carried across blocks and
+    reset at run heads. Null/NaN values leave the state unchanged and
+    emit the carried value (null before a run's first non-null).
+    Over-bound hot keys SPILL: the sorted bucket is processed in
+    sub-slices carrying (key, state) — O(slice) temporaries, the same
+    degrade contract as rank/cumsum/lag (r03 item 3)."""
     if not (0.0 < alpha < 1.0):
         raise ValueError("alpha must be in (0, 1)")
     oc = order_cols or ["ts", "event_id"]
@@ -808,19 +823,18 @@ def ewma_per_key(
     def local(batch: pa.Table) -> pa.Table:
         return _add_bucket(batch, [key_col], nb)
 
-    def _ewma_segments(xs: np.ndarray, news: np.ndarray) -> np.ndarray:
+    def _ewma_segments(xs: np.ndarray, news: np.ndarray,
+                       carry: float, carry_live: bool) -> np.ndarray:
         """EWMA over a 1-d array with segment resets at ``news`` rows
-        (adjust=False; y = x at each segment head). Block-rescaled
-        prefix: per block, y_p = alpha*s_p*prefix(x_j/s_j) + head and
-        carry corrections with s_p = (1-alpha)^p — no per-row Python,
-        the loop is over ~n/B blocks."""
+        (adjust=False; y = x at each segment head). ``carry`` seeds the
+        first segment's state when ``carry_live`` and news[0] is False.
+        Block-rescaled prefix — the loop is over ~n/B blocks."""
         m = len(xs)
         ys = np.empty(m, np.float64)
-        carry, carry_live = 0.0, False
         for lo in range(0, m, B):
             hi = min(lo + B, m)
             k = hi - lo
-            nb_ = news[lo:hi].copy()
+            nb_ = news[lo:hi]
             xb = xs[lo:hi]
             idxb = np.arange(k, dtype=np.int64)
             startb = np.maximum.accumulate(np.where(nb_, idxb, 0))
@@ -843,35 +857,73 @@ def ewma_per_key(
                 carry, carry_live = yb[-1], True
         return ys
 
-    def finish(g: pa.Table) -> pa.Table:
-        t, new, start = _sorted_runs(g, key_col, oc)
-        n = len(t)
-        if n == 0:
-            return t.append_column(out, pa.array([], pa.float64()))
-        col = t.column(value_col)
+    def _slice_ewma(sub: pa.Table, carry):
+        """One sorted slice; carry = (key, y_state, seen) or None.
+        Returns (out_values, out_null_mask, new_carry)."""
+        n = len(sub)
+        new, start = _runs_of(sub, key_col)
+        col = sub.column(value_col)
         null = pc.is_null(col).to_numpy(zero_copy_only=False)
         x = pc.fill_null(col, 0.0).to_numpy(
             zero_copy_only=False).astype(np.float64)
         null = null | np.isnan(x)
         ok = ~null
+        kcol = sub.column(key_col)
+        cont = (carry is not None and n > 0
+                and _same_key(kcol[0].as_py(), carry[0]))
+        live = bool(cont and carry[2])
         rid = np.cumsum(new) - 1
         xs = x[ok]
         rids = rid[ok]
         news = np.ones(len(xs), dtype=bool)
         if len(xs) > 1:
             news[1:] = rids[1:] != rids[:-1]
-        ys = _ewma_segments(xs, news) if len(xs) else xs
+        if len(xs) and live and rids[0] == 0:
+            news[0] = False
+        ys = (_ewma_segments(xs, news, carry[1] if live else 0.0, live)
+              if len(xs) else xs)
         y = np.zeros(n, np.float64)
         y[ok] = ys
-        # null rows emit the run state (last non-null emit in the run);
-        # rows before the run's first non-null have no state -> null out
         idx_all = np.arange(n, dtype=np.int64)
         lastok = np.maximum.accumulate(np.where(ok, idx_all, -1))
         has_state = (lastok >= 0) & (lastok >= start)
-        y = np.where(ok, y, np.where(has_state,
-                                     y[np.maximum(lastok, 0)], np.nan))
-        return t.append_column(out, pa.array(y, pa.float64(),
-                                             mask=~(ok | has_state)))
+        fill = np.where(has_state, y[np.maximum(lastok, 0)], np.nan)
+        if live:
+            # null rows of the continuing run before its first in-slice
+            # non-null emit the carried state
+            pre = (start == 0) & ~has_state
+            fill = np.where(pre, carry[1], fill)
+            has_state = has_state | pre
+        yout = np.where(ok, y, fill)
+        null_out = ~(ok | has_state)
+        if n == 0:
+            return yout, null_out, carry
+        lk = kcol[n - 1].as_py()
+        if lastok[-1] >= start[-1]:  # trailing run has in-slice state
+            ncarry = (lk, float(y[lastok[-1]]), True)
+        elif live and start[-1] == 0:  # one long stateful run of nulls
+            ncarry = (lk, carry[1], True)
+        else:
+            ncarry = (lk, 0.0, False)
+        return yout, null_out, ncarry
+
+    def finish(g: pa.Table) -> pa.Table:
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        t = _sort_bucket(g, key_col, oc)
+        n = len(t)
+        if n <= bound:
+            yout, null_out, _ = _slice_ewma(t, None)
+            return t.append_column(out, pa.array(yout, pa.float64(),
+                                                 mask=null_out))
+        parts = []  # hot key: sorted sub-slice spill, not a stop
+        carry = None
+        for lo in range(0, n, bound):
+            sub = t.slice(lo, bound)
+            yout, null_out, carry = _slice_ewma(sub, carry)
+            parts.append(sub.append_column(
+                out, pa.array(yout, pa.float64(), mask=null_out)))
+        return pa.concat_tables(parts)
 
     return (
         events.map_batches(local, batch_format="pyarrow", batch_size=65536)

@@ -278,3 +278,14 @@ def test_ewma_fuzz_pandas_parity(ray_session):
         assert (np.isnan(gv) == np.isnan(wv)).all()
         ok = ~np.isnan(gv)
         assert np.allclose(gv[ok], wv[ok], rtol=1e-9, atol=1e-9)
+        # hot-key spill path parity (r04 review: ewma must degrade,
+        # not OOM): tiny slice bound, same output
+        spill = (ewma_per_key(rd.from_arrow(t).repartition(4), alpha,
+                              key_col="user_id",
+                              order_cols=["ts", "event_id"], nb=2,
+                              max_bucket_rows=97)
+                 .to_pandas().sort_values("event_id")
+                 .reset_index(drop=True))
+        sv = spill["ewma"].to_numpy()
+        assert (np.isnan(sv) == np.isnan(gv)).all()
+        assert np.allclose(sv[ok], gv[ok], rtol=1e-9, atol=1e-9)

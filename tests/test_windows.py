@@ -405,3 +405,58 @@ def test_converted_finishers_null_duckdb_parity(ray_session):
                   order_cols=["ts", "event_id"], window=4, mode="max"),
               ora("max(value) OVER (PARTITION BY user_id"
                   " ORDER BY ts, event_id ROWS 3 PRECEDING)"))
+
+
+def test_rank_family_nan_order_values_duckdb(ray_session):
+    """r04 review: non-null float NaN order values must form ONE tie
+    block (DuckDB ties NaNs together; pc.equal(NaN,NaN) is false)."""
+    import duckdb
+
+    from biosd_feature_annotator_ray.stages.windows import (
+        cume_dist_per_key, dense_rank_per_key, percent_rank_per_key)
+
+    rng = np.random.default_rng(77)
+    n = 120
+    vals = rng.integers(-5, 5, n).astype(np.float64)
+    vals[rng.random(n) < 0.15] = np.nan      # genuine NaN (not null)
+    nullmask = (rng.random(n) < 0.1) & ~np.isnan(vals)
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 4, n), pa.int64(),
+                            mask=rng.random(n) < 0.08),
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "value": pa.array(vals, pa.float64(), mask=nullmask),
+    })
+    ds = rd.from_arrow(t).repartition(3)
+    for op, col, expr in [
+        (dense_rank_per_key, "drank",
+         "dense_rank() OVER (PARTITION BY user_id ORDER BY value)"),
+        (percent_rank_per_key, "prank",
+         "percent_rank() OVER (PARTITION BY user_id ORDER BY value)"),
+        (cume_dist_per_key, "cdist",
+         "cume_dist() OVER (PARTITION BY user_id ORDER BY value)"),
+    ]:
+        kw = {"ascending": True} if op is dense_rank_per_key else {}
+        got = (op(ds, key_col="user_id", order_col="value", nb=2, **kw)
+               .to_pandas().sort_values("event_id")[col].to_numpy())
+        want = duckdb.sql(
+            f"SELECT event_id, {expr} AS x FROM t ORDER BY event_id"
+        ).df()["x"].to_numpy()
+        assert np.allclose(got.astype(float), want.astype(float),
+                           atol=1e-12), col
+
+
+def test_session_windows_null_ts_no_wrap(ray_session):
+    """r04 review: a NaT timestamp must not wrap int64 and force a
+    spurious session break (old pandas semantics: NaT diff > gap is
+    False -> the row merges into the running session)."""
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([0, 60, None, 120],
+                       pa.timestamp("us")),
+    })
+    out = session_windows(rd.from_arrow(t), key_col="user_id",
+                          gap=pd.Timedelta(minutes=30),
+                          order_tiebreak="event_id", nb=2).to_pandas()
+    # all four events in ONE session (NaT sorts last, does not break)
+    assert len(out) == 1 and int(out.loc[0, "n_events"]) == 4
