@@ -1,0 +1,95 @@
+"""Vectorized URL kernels for web-corpus curation (graft-added, r04).
+
+All functions are pyarrow.compute regex/string kernels over a string
+column — no per-row Python in the hot path. Semantics are pinned
+against ``urllib.parse`` on a tricky-URL corpus in the tests.
+
+``registrable_domain`` is a documented HEURISTIC (last two labels,
+plus a small built-in set of common two-label public suffixes like
+``co.uk``): the full Public Suffix List is a data file this sandbox
+doesn't ship; swap ``extra_suffixes`` for the PSL set in production.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# scheme://[userinfo@]host[:port] — host is everything up to /?#
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?(?P<h>[^/?#:]+)"
+
+# common multi-label public suffixes (heuristic subset; see docstring)
+_TWO_LABEL_SUFFIXES = {
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "com.br", "com.cn", "com.mx", "co.in",
+    "co.nz", "com.sg", "com.tr", "co.za", "com.ar", "co.kr",
+}
+
+
+def url_host(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Lowercased host of each URL (userinfo and port stripped); null
+    for strings with no scheme://host shape."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ex = pc.extract_regex(arr, _HOST_RE)
+    host = pc.struct_field(ex, "h")
+    return pc.utf8_lower(host)
+
+
+def url_path_depth(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Number of non-empty path segments: ``https://h/a/b/`` → 2,
+    ``https://h`` → 0. Null where the URL has no host."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    ok = pc.is_valid(url_host(arr))
+    # drop scheme://host, then query/fragment, then count segments
+    path = pc.replace_substring_regex(
+        arr, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
+    path = pc.replace_substring_regex(path, r"[?#].*$", "")
+    seg = pc.count_substring_regex(path, r"/[^/]")
+    return pc.if_else(ok, pc.cast(seg, pa.int32()),
+                      pa.scalar(None, pa.int32()))
+
+
+def strip_tracking_params(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Remove utm_*/gclid/fbclid/msclkid query parameters (the
+    dedup-relevant canonicalization for crawl URLs); drops the ``?``
+    when no parameters survive and any trailing ``&``/``?`` litter."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    out = pc.replace_substring_regex(
+        arr, r"(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*&?", "")
+    out = pc.replace_substring_regex(out, r"[?&]+(#|$)", r"\1")
+    return pc.replace_substring_regex(out, r"\?&", "?")
+
+
+def registrable_domain(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """Heuristic registrable domain of each URL's host: last two
+    labels, or last three when the last two are a known public suffix
+    (``a.b.co.uk`` → ``b.co.uk``). IPs and single-label hosts pass
+    through unchanged."""
+    host = url_host(arr)
+    # last three labels and last two labels via one regex each
+    two = pc.struct_field(
+        pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$"), "d")
+    three = pc.struct_field(
+        pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+\.[^.]+)$"), "d")
+    suffix = pc.struct_field(
+        pc.extract_regex(host, r"[^.]+\.(?P<d>[^.]+\.[^.]+)$"), "d")
+    is_two_label_suffix = pc.is_in(
+        suffix, value_set=pa.array(sorted(_TWO_LABEL_SUFFIXES)))
+    picked = pc.if_else(
+        pc.and_kleene(is_two_label_suffix, pc.is_valid(three)),
+        three, two)
+    # single-label host (no dot): keep the host itself
+    return pc.if_else(pc.is_valid(picked), picked, host)
+
+
+def url_features(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """Append host / registrable_domain / path_depth / canonical_url
+    columns — the one-call curation feature set."""
+    arr = batch.column(url_col)
+    out = batch.append_column("host", url_host(arr))
+    out = out.append_column("domain", registrable_domain(arr))
+    out = out.append_column("path_depth", url_path_depth(arr))
+    return out.append_column("canonical_url", strip_tracking_params(arr))

@@ -4002,3 +4002,51 @@ def q_mp4_meta(sf_dir: str):
 
 
 QUERIES["mp4_meta"] = q_mp4_meta
+
+
+def q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(status, priority) over orders — every subset level
+    from one finest aggregate (no extra pass over the facts)."""
+    from ..stages.canonicalize import cube_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_orderpriority",
+                                      "o_totalprice"])
+    return cube_agg(orders, ["o_orderstatus", "o_orderpriority"],
+                    "o_totalprice")
+
+
+QUERIES["cube_orders"] = q_cube_orders
+
+ORACLES["cube_orders"] = (
+    "SELECT o_orderstatus, o_orderpriority,"
+    " CAST(count(*) AS BIGINT) AS n_rows,"
+    " round(sum(o_totalprice), 2) AS sum_value"
+    " FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+)
+
+
+def q_url_features(sf_dir: str):
+    """Vectorized URL curation features (host / registrable domain /
+    path depth / tracking-param-stripped canonical url) over a
+    deterministic synthetic crawl-URL table — rows-only: no url column
+    exists in the SQL test tables; semantics pinned vs urllib.parse in
+    tests."""
+    from ..functions.urls import url_features
+
+    hosts = ["www.example.com", "sub.domain.co.uk", "cdn.example.com",
+             "a.b.site.org", "shop.example.com.au"]
+    rows = []
+    for i in range(400):
+        h = hosts[i % len(hosts)]
+        track = "?utm_source=s&utm_medium=m" if i % 3 == 0 else ""
+        rows.append({"page_id": i,
+                     "url": f"https://{h}/p/{i % 7}/{i}{track}"})
+    pages = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = pages.map_batches(url_features, batch_format="pyarrow",
+                            batch_size=4096)
+    df = out.to_pandas().sort_values("page_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["url_features"] = q_url_features

@@ -475,46 +475,51 @@ def incremental_agg(
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
-def rollup_agg(
+def grouping_sets_agg(
     ds: "ray.data.Dataset",
     keys: list[str],
+    sets: "list[list[str]]",
     value_col: str,
     n_col: str = "n_rows",
     sum_col: str = "sum_value",
     decimals: int | None = 2,
 ) -> "ray.data.Dataset":
-    """GROUP BY ROLLUP(keys): count + sum at every prefix level of the
-    key hierarchy — (k1..km), (k1..km-1), …, grand total — rolled-up
-    key columns null, exactly like SQL ROLLUP.
+    """GROUP BY GROUPING SETS(sets): count + sum at every requested
+    subset of ``keys`` — rolled-up key columns null, exactly like SQL
+    (caveat shared with SQL itself: a genuinely-NULL key value is
+    indistinguishable from a rolled-up one without GROUPING(); keep
+    keys non-null or pre-fill a sentinel).
 
-    Shape: ONE wide shuffle (the finest groupby over map-side partials);
-    every coarser level re-aggregates the PREVIOUS level's already-small
-    aggregate table, so the hierarchy costs m tiny shuffles on
-    aggregates, never extra passes over the facts.
+    Shape: ONE wide shuffle (the finest groupby over map-side
+    partials); every requested set then re-aggregates that
+    already-small finest table — never an extra pass over the facts.
 
-    ``decimals`` (r03 ADVICE — the scale is validated, not assumed):
-    with an int, sums travel as 10^decimals-scaled integers so
-    cross-level re-aggregation is exactly associative (bit-identical to
-    SQL's single-pass sums after rescaling); values that don't fit the
-    scale (more fractional digits, or magnitude near 2^62/10^decimals)
-    RAISE instead of silently quantizing. ``decimals=None`` falls back
-    to float64 sums (no quantization; last-ulp association order may
-    differ from a single-pass SQL sum). NULL values raise either way —
-    pick a fill or filter upstream."""
+    ``decimals`` (validated integer scaling): with an int, sums travel
+    as 10^decimals-scaled integers so cross-level re-aggregation is
+    exactly associative; values that don't fit the scale RAISE instead
+    of silently quantizing, and an int64 wrap of the scaled SUMS is
+    detected by a float shadow sum. ``decimals=None`` falls back to
+    float64 sums. NULL values raise either way."""
     from ray.data.aggregate import Sum
 
     import ray.data as rd
 
     from .join import _arrow_schema
 
+    sets = [list(g) for g in sets]
+    for g in sets:
+        extra = [c for c in g if c not in keys]
+        if extra:
+            raise ValueError(f"grouping_sets_agg: set {g} has columns "
+                             f"{extra} not in keys={keys}")
     scale = None if decimals is None else float(10 ** decimals)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         if df[value_col].isna().any():
             raise ValueError(
-                f"rollup_agg: {value_col!r} contains NULLs — SQL SUM "
-                "skips them but COUNT(*) does not; fill or filter "
+                f"grouping_sets_agg: {value_col!r} contains NULLs — SQL "
+                "SUM skips them but COUNT(*) does not; fill or filter "
                 "upstream so the intent is explicit")
         v = df[value_col].to_numpy(dtype=np.float64)
         if scale is None:
@@ -523,27 +528,25 @@ def rollup_agg(
             scaled = v * scale
             if len(scaled) and np.abs(scaled).max() >= 2.0 ** 62:
                 raise ValueError(
-                    f"rollup_agg: |{value_col}|*10^{decimals} exceeds the "
-                    "int64-safe range — use a smaller decimals or "
-                    "decimals=None (float sums)")
+                    f"grouping_sets_agg: |{value_col}|*10^{decimals} "
+                    "exceeds the int64-safe range — use a smaller "
+                    "decimals or decimals=None (float sums)")
             sums = np.round(scaled).astype(np.int64)
-            # PER-ELEMENT relative tolerance (review r04: a batch-max
+            # PER-ELEMENT relative tolerance (r04: a batch-max
             # threshold let small values quantize silently next to one
             # large value)
             err = np.abs(sums - scaled)
             bad = err > 1e-6 * np.maximum(1.0, np.abs(scaled))
             if bad.any():
                 raise ValueError(
-                    f"rollup_agg: {value_col!r} has values with more than "
-                    f"{decimals} fractional digits (e.g. "
+                    f"grouping_sets_agg: {value_col!r} has values with "
+                    f"more than {decimals} fractional digits (e.g. "
                     f"{v[bad][0]!r}) — raise decimals or pass "
                     "decimals=None (float sums)")
         part = pd.DataFrame({**{k: df[k] for k in keys},
                              n_col: np.ones(len(df), np.int64), sum_col: sums,
                              # float shadow sum: detects int64 wrap of
-                             # the scaled sums at finish (magnitude
-                             # check on single values cannot bound the
-                             # SUM across millions of rows)
+                             # the scaled sums at finish
                              "_fchk": v})
         g = part.groupby(keys, as_index=False, dropna=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -567,9 +570,9 @@ def rollup_agg(
         diff = np.abs(s - f)
         if (diff > 1e-6 * np.maximum(1.0, np.abs(f))).any():
             raise ValueError(
-                "rollup_agg: scaled-integer sum overflowed int64 (group "
-                "sums too large for this decimals) — use decimals=None "
-                "(float sums) or a smaller decimals")
+                "grouping_sets_agg: scaled-integer sum overflowed int64 "
+                "(group sums too large for this decimals) — use "
+                "decimals=None (float sums) or a smaller decimals")
 
     def widen(level_keys: list[str]):
         def f(batch: pa.Table) -> pa.Table:
@@ -584,25 +587,67 @@ def rollup_agg(
             return pa.table(cols, names=keys + [n_col, sum_col])
         return f
 
-    levels = [finest.map_batches(widen(keys), batch_format="pyarrow")]
-    prev = finest
-    for i in range(len(keys) - 1, 0, -1):
-        prev = (prev.groupby(keys[:i]).aggregate(*aggs()).materialize())
-        levels.append(prev.map_batches(widen(keys[:i]), batch_format="pyarrow"))
-    tot = prev.aggregate(*aggs())
-    tot_s = (float(tot[sum_col] or 0)
-             / (scale if scale is not None else 1.0))
-    _wrap_check(np.array([tot_s]), np.array([float(tot["_fchk"] or 0)]))
-    total_tbl = pa.table(
-        [pa.nulls(1, ktype[k]) for k in keys]
-        + [pa.array([int(tot[n_col] or 0)], pa.int64()),
-           pa.array([tot_s], pa.float64())],
-        names=keys + [n_col, sum_col])
-    levels.append(rd.from_arrow(total_tbl))
+    levels = []
+    for g in sets:
+        if sorted(g) == sorted(keys):
+            levels.append(finest.map_batches(widen(keys),
+                                             batch_format="pyarrow"))
+        elif g:
+            lv = finest.groupby(g).aggregate(*aggs()).materialize()
+            levels.append(lv.map_batches(widen(g), batch_format="pyarrow"))
+        else:  # grand total
+            tot = finest.aggregate(*aggs())
+            tot_s = (float(tot[sum_col] or 0)
+                     / (scale if scale is not None else 1.0))
+            _wrap_check(np.array([tot_s]),
+                        np.array([float(tot["_fchk"] or 0)]))
+            total_tbl = pa.table(
+                [pa.nulls(1, ktype[k]) for k in keys]
+                + [pa.array([int(tot[n_col] or 0)], pa.int64()),
+                   pa.array([tot_s], pa.float64())],
+                names=keys + [n_col, sum_col])
+            levels.append(rd.from_arrow(total_tbl))
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def rollup_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    n_col: str = "n_rows",
+    sum_col: str = "sum_value",
+    decimals: int | None = 2,
+) -> "ray.data.Dataset":
+    """GROUP BY ROLLUP(keys): every prefix level of the key hierarchy —
+    (k1..km), (k1..km-1), …, grand total. Thin wrapper over
+    ``grouping_sets_agg`` (see it for the decimals/validation
+    contract)."""
+    sets = [keys[:i] for i in range(len(keys), -1, -1)]
+    return grouping_sets_agg(ds, keys, sets, value_col, n_col=n_col,
+                             sum_col=sum_col, decimals=decimals)
+
+
+def cube_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    n_col: str = "n_rows",
+    sum_col: str = "sum_value",
+    decimals: int | None = 2,
+) -> "ray.data.Dataset":
+    """GROUP BY CUBE(keys): every subset of the keys (2^m levels) —
+    thin wrapper over ``grouping_sets_agg``. Keep m small (SQL's own
+    advice); each level is a tiny re-aggregation of the finest
+    aggregate, not a pass over the facts."""
+    from itertools import combinations
+
+    sets = [list(c) for r in range(len(keys), -1, -1)
+            for c in combinations(keys, r)]
+    return grouping_sets_agg(ds, keys, sets, value_col, n_col=n_col,
+                             sum_col=sum_col, decimals=decimals)
 
 
 def rebalance_sample(

@@ -289,3 +289,46 @@ def test_ewma_fuzz_pandas_parity(ray_session):
         sv = spill["ewma"].to_numpy()
         assert (np.isnan(sv) == np.isnan(gv)).all()
         assert np.allclose(sv[ok], gv[ok], rtol=1e-9, atol=1e-9)
+
+
+def test_cube_grouping_sets_fuzz_duckdb(ray_session):
+    from biosd_feature_annotator_ray.stages.canonicalize import (
+        cube_agg, grouping_sets_agg)
+
+    for seed in range(2):
+        rng = np.random.default_rng(700 + seed)
+        n = 300
+        df = pd.DataFrame({
+            "a": rng.choice(["x", "y", "z"], n),
+            "b": rng.choice(["p", "q"], n),
+            "c": rng.choice(["m", "n", "o"], n),
+            "v": _cents(rng, n),
+        })
+        ds = rd.from_pandas(df).repartition(3)
+        got = (cube_agg(ds, ["a", "b"], "v").to_pandas()
+               .sort_values(["a", "b"], na_position="first")
+               .reset_index(drop=True))
+        want = duckdb.sql(
+            "SELECT a, b, CAST(count(*) AS BIGINT) AS n_rows,"
+            " round(sum(v), 2) AS sum_value FROM df GROUP BY CUBE(a, b)"
+            " ORDER BY a NULLS FIRST, b NULLS FIRST").df()
+        assert got["n_rows"].tolist() == want["n_rows"].tolist()
+        assert np.allclose(np.round(got["sum_value"], 2),
+                           want["sum_value"], atol=1e-9)
+
+        got = (grouping_sets_agg(ds, ["a", "b", "c"],
+                                 [["a", "c"], ["b"], []], "v")
+               .to_pandas()
+               .sort_values(["a", "b", "c"], na_position="first")
+               .reset_index(drop=True))
+        want = duckdb.sql(
+            "SELECT a, b, c, CAST(count(*) AS BIGINT) AS n_rows,"
+            " round(sum(v), 2) AS sum_value FROM df"
+            " GROUP BY GROUPING SETS ((a, c), (b), ())"
+            " ORDER BY a NULLS FIRST, b NULLS FIRST, c NULLS FIRST").df()
+        assert got["n_rows"].tolist() == want["n_rows"].tolist()
+        assert np.allclose(np.round(got["sum_value"], 2),
+                           want["sum_value"], atol=1e-9)
+    # malformed set raises
+    with pytest.raises(ValueError, match="not in keys"):
+        grouping_sets_agg(ds, ["a"], [["zz"]], "v")
