@@ -85,6 +85,37 @@ def registrable_domain(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
     return pc.if_else(pc.is_valid(picked), picked, host)
 
 
+def extract_links(batch: pa.Table, html_col: str = "html",
+                  url_col: str = "url") -> pa.Table:
+    """Row-expanding href extraction: one output row per ``<a href=…>``
+    in each page's HTML — ``(url, link)`` with quotes/whitespace
+    stripped. Relative links (no ``scheme://``) are dropped: the
+    host-graph consumers downstream only use absolute targets, and
+    resolving relatives needs the full RFC-3986 merge — out of scope
+    for the curation kernel.
+
+    Vectorization note: Arrow has no extract-ALL regex kernel, so this
+    uses pandas ``str.findall`` with one compiled RE2-compatible
+    pattern + ``np.repeat`` for the id carriage — no per-row Python in
+    the caller's hands, and the expansion stays inside one batch."""
+    import numpy as np
+    import pandas as pd
+
+    html = batch.column(html_col).to_pandas().fillna("")
+    found = html.str.findall(r'''<a\s[^>]*href\s*=\s*["']?([^"'\s>]+)''')
+    counts = np.fromiter((len(x) for x in found), dtype=np.int64,
+                         count=len(found))
+    flat = [u for links in found for u in links]
+    idx = np.repeat(np.arange(len(found)), counts)
+    out = pa.table({
+        url_col: batch.column(url_col).take(pa.array(idx)),
+        "link": pa.array(flat, pa.string()),
+    })
+    absolute = pc.match_substring_regex(
+        out.column("link"), r"^[A-Za-z][A-Za-z0-9+.\-]*://")
+    return out.filter(absolute)
+
+
 def url_features(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Append host / registrable_domain / path_depth / canonical_url
     columns — the one-call curation feature set."""

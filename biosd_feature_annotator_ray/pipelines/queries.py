@@ -4050,3 +4050,76 @@ def q_url_features(sf_dir: str):
 
 
 QUERIES["url_features"] = q_url_features
+
+
+def q_dedup_spans(sf_dir: str):
+    """Corpus-wide duplicate-span removal (Lee-et-al-style exact
+    window dedup) over the documents table — rows-only: the sliding
+    k-gram window mask has no tractable SQL twin; semantics are pinned
+    by a brute-force reference oracle in tests/test_dedup_spans.py.
+    Returns per-doc (n_tokens, n_removed) plus a stable hash of the
+    cleaned text so content changes are visible without shipping it."""
+    from ..functions.hashing import hash_columns
+    from ..stages.dedup import remove_dup_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = remove_dup_spans(docs, k=8)
+
+    def digest(batch: pa.Table) -> pa.Table:
+        h = hash_columns(batch.select(["text"]), ["text"])
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": batch.column("n_tokens"),
+            "n_removed": batch.column("n_removed"),
+            "text_hash": pa.array(h.astype(np.int64)),
+        })
+
+    df = (out.map_batches(digest, batch_format="pyarrow").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["dedup_spans"] = q_dedup_spans
+
+
+def q_link_host_graph(sf_dir: str):
+    """Host-level link graph from raw HTML: extract_links (row-
+    expanding href regex) → url_host on both ends → per-(src_host,
+    dst_host) edge weights. Rows-only: pages are synthesized
+    deterministically in the query (no html column in the SQL
+    tables); the extraction kernel is pinned in tests/test_urls.py."""
+    from ray.data.aggregate import Count
+
+    from ..functions.urls import extract_links, url_host
+
+    hosts = ["a.example.com", "b.example.com", "c.example.org",
+             "d.example.net"]
+    rows = []
+    for i in range(300):
+        src = hosts[i % len(hosts)]
+        tgt1 = hosts[(i + 1) % len(hosts)]
+        tgt2 = hosts[(i * 7 + 2) % len(hosts)]
+        html = (f'<p>x</p><a href="https://{tgt1}/p/{i}">t</a>'
+                f'<a class="z" href=\'https://{tgt2}/q\'>u</a>'
+                f'<a href="/relative/{i}">skip</a>')
+        rows.append({"url": f"https://{src}/page/{i}", "html": html})
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    def to_hosts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": url_host(batch.column("url")),
+            "dst_host": url_host(batch.column("link")),
+        })
+
+    edges = (pages.map_batches(extract_links, batch_format="pyarrow",
+                               batch_size=4096)
+             .map_batches(to_hosts, batch_format="pyarrow"))
+    agg = edges.groupby(["src_host", "dst_host"]).aggregate(
+        Count(alias_name="n_links"))
+    df = (agg.to_pandas().sort_values(["src_host", "dst_host"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["link_host_graph"] = q_link_host_graph

@@ -604,3 +604,165 @@ def dup_clusters(
             "(a duplicate component's diameter exceeds it) — raise max_iters")
     return labels.map_batches(
         lambda t: t.rename_columns(["doc_id", "cluster_rep"]), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+def remove_dup_spans(
+    docs: "ray.data.Dataset",
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Corpus-wide duplicate-SPAN removal at token-window granularity —
+    the exact-substring dedup of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") approximated on
+    word k-gram windows instead of a byte suffix array: any window of
+    ``k`` tokens that occurs ≥ 2 times anywhere in the corpus (other
+    docs OR the same doc) is a duplicate span; every token covered by a
+    duplicated window is dropped, except that with ``keep_first`` the
+    globally first occurrence (min ``(doc_id, pos)``) of each window
+    keeps its tokens. Overlapping duplicated windows merge into maximal
+    spans via the coverage mask, so a long replicated passage is
+    removed as one piece wherever it re-occurs.
+
+    Output: ``id_col, text (cleaned), n_tokens, n_removed`` — one row
+    per input doc, order not guaranteed. Tokenization is whitespace
+    ``str.split`` and the cleaned text re-joins surviving tokens with
+    single spaces (whitespace is NOT byte-preserved; runs of
+    whitespace collapse — the standard trade for token-level dedup).
+
+    Scale shape (100-TB): window identity travels as a 64-bit rolling
+    hash over per-token hashes — never the token text. Stage 1 streams
+    the corpus once emitting (gh, doc, pos) occurrence triples bucketed
+    by gh; stage 2 decides duplicate occurrences entirely inside each
+    gh-bucket (a window's occurrences all land in one bucket, so the
+    global keep-first winner is exact); stage 3 moves only the removal
+    coordinates (two int64s per duplicated window — tiny next to the
+    text) through a doc_id-bucketed shuffle where each doc meets its
+    removal list and applies one vectorized diff-array coverage mask.
+    The text column itself is shuffled once (stage 3); no all-pairs
+    stage, no driver-side state. Hash collisions merge two distinct
+    windows with odds ~m²/2⁶⁵ — negligible at any real corpus size.
+
+    Partitioning assumption: one gh-bucket's occurrence rows fit in a
+    task (tune ``nb`` up with corpus size); a pathological corpus that
+    is one window repeated everywhere concentrates in one bucket —
+    pre-shard such keys by salting nb upward.
+    """
+    if k < 2:
+        raise ValueError(f"remove_dup_spans: k must be ≥ 2, got {k}")
+    P = np.uint64(1099511628211)
+    occ_schema = pa.schema([
+        pa.field("gh", pa.int64()), pa.field(id_col, pa.int64()),
+        pa.field("pos", pa.int64()),
+    ])
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        texts = df[text_col].fillna("")
+        toks = [t.split() for t in texts]
+        lengths = np.fromiter((len(x) for x in toks), dtype=np.int64,
+                              count=len(toks))
+        flat = [w for ws in toks for w in ws]
+        if not flat:
+            return _add_bucket(occ_schema.empty_table(), ["gh"], nb)
+        th = pd.util.hash_pandas_object(pd.Series(flat), index=False).to_numpy()
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+        m = len(th) - k + 1
+        if m <= 0:
+            return _add_bucket(occ_schema.empty_table(), ["gh"], nb)
+        with np.errstate(over="ignore"):
+            acc = np.zeros(m, dtype=np.uint64)
+            for j in range(k):
+                acc = acc * P + th[j : m + j]
+        valid = doc_idx[:m] == doc_idx[k - 1 :]
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        widx = np.arange(m, dtype=np.int64)[valid]
+        d = doc_idx[:m][valid]
+        occ = pa.table({
+            "gh": pa.array(acc[valid].view(np.int64)),
+            id_col: pa.array(df[id_col].to_numpy()[d].astype(np.int64)),
+            "pos": pa.array(widx - starts[d]),
+        })
+        return _add_bucket(occ, ["gh"], nb)
+
+    def removals(g: pa.Table) -> pa.Table:
+        gh = g.column("gh").to_numpy(zero_copy_only=False)
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, ids, gh))
+        gh, ids, pos = gh[order], ids[order], pos[order]
+        new_group = np.empty(len(gh), bool)
+        new_group[0] = True
+        np.not_equal(gh[1:], gh[:-1], out=new_group[1:])
+        # group size broadcast to every member
+        bounds = np.flatnonzero(new_group)
+        sizes = np.diff(np.append(bounds, len(gh)))
+        size_per_row = np.repeat(sizes, sizes)
+        dup = size_per_row >= 2
+        drop = dup & ~new_group if keep_first else dup
+        return pa.table({id_col: pa.array(ids[drop]),
+                         "pos": pa.array(pos[drop])})
+
+    removal_rows = (
+        docs.map_batches(occurrences, batch_format="pyarrow",
+                         batch_size=65536)
+        .groupby(_BUCKET_COL).map_groups(removals, batch_format="pyarrow")
+    )
+
+    # stage 3: docs ∪ removal coordinates, co-located by doc_id
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "pos": pa.array(np.full(len(batch), -1, np.int64)),
+            text_col: batch.column(text_col),
+        })
+        return _add_bucket(t, [id_col], nb)
+
+    def tag_removal(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "pos": batch.column("pos"),
+            text_col: pa.nulls(len(batch), pa.string()),
+        })
+        return _add_bucket(t, [id_col], nb)
+
+    both = docs.map_batches(tag_doc, batch_format="pyarrow",
+                            batch_size=65536).union(
+        removal_rows.map_batches(tag_removal, batch_format="pyarrow",
+                                 batch_size=65536))
+
+    def apply_mask(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL]).to_pandas()
+        is_doc = df["pos"].to_numpy() < 0
+        starts_by_doc: dict[int, list[np.ndarray]] = {}
+        rem = df[~is_doc]
+        for did, grp in rem.groupby(id_col, sort=False):
+            starts_by_doc[did] = grp["pos"].to_numpy()
+        out_ids, out_texts, n_tok, n_rem = [], [], [], []
+        for did, text in zip(df.loc[is_doc, id_col], df.loc[is_doc, text_col]):
+            toks = (text or "").split()
+            n = len(toks)
+            starts = starts_by_doc.get(did)
+            if starts is None or n == 0:
+                out_ids.append(did); out_texts.append(" ".join(toks))
+                n_tok.append(n); n_rem.append(0)
+                continue
+            diff = np.zeros(n + 1, np.int64)
+            np.add.at(diff, starts, 1)
+            np.add.at(diff, np.minimum(starts + k, n), -1)
+            covered = np.cumsum(diff[:-1]) > 0
+            kept = [t for t, c in zip(toks, covered) if not c]
+            out_ids.append(did); out_texts.append(" ".join(kept))
+            n_tok.append(n); n_rem.append(int(covered.sum()))
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            text_col: pa.array(out_texts, pa.string()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_removed": pa.array(n_rem, pa.int64()),
+        })
+
+    return both.groupby(_BUCKET_COL).map_groups(apply_mask,
+                                                batch_format="pyarrow")
