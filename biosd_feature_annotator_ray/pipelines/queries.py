@@ -4123,3 +4123,75 @@ def q_link_host_graph(sf_dir: str):
 
 
 QUERIES["link_host_graph"] = q_link_host_graph
+
+
+def q_pca_embeddings(sf_dir: str):
+    """Distributed PCA over the embeddings table (sufficient-statistics
+    pass + driver eigh) and projection onto the top-3 PCs. Rows-only:
+    eigendecomposition has no SQL twin; parity with a single-machine
+    numpy reference is pinned in tests/test_pca.py. Values rounded to
+    6 dp so the float reduce's last ulp can't wobble the driver hash."""
+    from ..stages.similarity import pca_fit, pca_transform
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    m = pca_fit(vecs, n_components=3)
+    proj = pca_transform(vecs, m).to_pandas().sort_values("vec_id")
+    for c in ("pc0", "pc1", "pc2"):
+        proj[c] = np.round(proj[c], 6)
+    evr = pa.table({
+        "vec_id": pa.array([-1, -2, -3], pa.int64()),
+        "pc0": pa.array(np.round(m["explained_variance_ratio"], 6)),
+        "pc1": pa.array(np.round(m["explained_variance"], 6)),
+        "pc2": pa.array([float(m["n"])] * 3, pa.float64()),
+    })
+    return pa.concat_tables(
+        [evr, pa.Table.from_pandas(proj, preserve_index=False)])
+
+
+QUERIES["pca_embeddings"] = q_pca_embeddings
+
+
+def q_near_dedup_corpus(sf_dir: str):
+    """End-to-end near-dedup of the documents table — the full
+    training-data recipe composed from in-repo stages: MinHash-LSH
+    candidate pairs → connected components → keep each cluster's min
+    doc_id → drop every other member from the corpus. Rows-only
+    (LSH candidates); per-stage semantics are pinned in their own
+    tests. Returns the surviving corpus as (doc_id, n_chars) plus a
+    summary row (-1, n_dropped)."""
+    from ..stages.dedup import dup_clusters, minhash_near_dups
+    from ..stages.join import shuffle_hash_join
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    clusters = dup_clusters(pairs, nb=8)
+
+    def non_reps(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+        keep = pac.not_equal(batch.column("doc_id"),
+                             batch.column("cluster_rep"))
+        return batch.filter(keep).select(["doc_id"])
+
+    drop = clusters.map_batches(non_reps, batch_format="pyarrow")
+    kept = shuffle_hash_join(docs, drop, on=["doc_id"], how="anti", nb=8)
+
+    def n_chars(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pac
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pac.cast(pac.utf8_length(batch.column("text")),
+                                pa.int64()),
+        })
+
+    out = kept.map_batches(n_chars, batch_format="pyarrow").to_pandas()
+    n_total = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                              columns=["doc_id"]).count()
+    summary = pd.DataFrame({"doc_id": [-1],
+                            "n_chars": [n_total - len(out)]})
+    df = (pd.concat([summary, out.sort_values("doc_id")])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["near_dedup_corpus"] = q_near_dedup_corpus

@@ -1091,3 +1091,104 @@ def knn_ivfpq_indexed(
     cands = rd.read_parquet(files).map_batches(Score, batch_format="pyarrow",
                                                concurrency=concurrency)
     return _global_topk(cands, k, driver_finish=driver_finish)
+
+
+# ---------------------------------------------------------------------------
+def pca_fit(
+    vecs: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    n_components: int = 4,
+    center: bool = True,
+) -> dict:
+    """Distributed PCA fit via sufficient statistics: ONE streaming
+    pass emits per-batch ``(n, Σx, ΣxxT)`` partials (each d+d²+1
+    floats — model-sized, never data-sized), the driver reduces them
+    in a deterministic order and eigendecomposes the d×d covariance.
+    No shuffle touches the vectors; at 100 TB this is a pure map +
+    tiny driver reduce, the textbook scale shape for d ≤ a few
+    thousand (for larger d switch to randomized sketching — out of
+    scope here).
+
+    Returns ``{mean, components (k×d, rows = PCs), explained_variance,
+    explained_variance_ratio, n}``. Eigenvector sign is fixed so each
+    component's largest-|loading| coordinate is positive —
+    deterministic across runs and block orders (partials are sorted
+    before the float reduce so addition order is stable)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        V = _stack(batch.column(vec_col)).astype(np.float64)
+        return pa.table({
+            "n": pa.array([V.shape[0]], pa.int64()),
+            "s": pa.array([V.sum(axis=0).tolist()], pa.list_(pa.float64())),
+            "ss": pa.array([(V.T @ V).ravel().tolist()],
+                           pa.list_(pa.float64())),
+        })
+
+    parts = [
+        (int(t.column("n")[0].as_py()),
+         np.asarray(t.column("s")[0].as_py()),
+         np.asarray(t.column("ss")[0].as_py()))
+        for t in vecs.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=65536)
+        .iter_batches(batch_format="pyarrow")
+    ]
+    if not parts:
+        raise ValueError("pca_fit: empty dataset")
+    # deterministic reduce order regardless of task completion order
+    parts.sort(key=lambda p: (p[0], p[1].tobytes()))
+    n = sum(p[0] for p in parts)
+    d = parts[0][1].shape[0]
+    s = np.zeros(d); ss = np.zeros(d * d)
+    for p in parts:
+        s += p[1]; ss += p[2]
+    mean = s / n
+    S = ss.reshape(d, d)
+    if center:
+        cov = (S - n * np.outer(mean, mean)) / max(n - 1, 1)
+    else:
+        cov = S / max(n - 1, 1)
+    w, v = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(w)[::-1][:n_components]
+    evals = np.maximum(w[order], 0.0)
+    comps = v[:, order].T               # k×d
+    # sign convention: largest-|loading| coordinate positive
+    amax = np.abs(comps).argmax(axis=1)
+    signs = np.sign(comps[np.arange(len(comps)), amax])
+    signs[signs == 0] = 1.0
+    comps = comps * signs[:, None]
+    total = max(np.maximum(w, 0.0).sum(), 1e-300)
+    return {
+        "mean": mean if center else np.zeros(d),
+        "components": comps,
+        "explained_variance": evals,
+        "explained_variance_ratio": evals / total,
+        "n": n,
+    }
+
+
+def pca_transform(
+    vecs: "ray.data.Dataset",
+    model: dict,
+    vec_col: str = "embedding",
+    out_prefix: str = "pc",
+) -> "ray.data.Dataset":
+    """Project every vector onto the fitted components — the model
+    (k×d) is broadcast once via ``ray.put`` and each batch is one
+    matmul; output keeps all non-vector columns and appends
+    ``pc0..pc{k-1}`` float64 columns."""
+    import ray
+
+    ref = ray.put((model["mean"].astype(np.float64),
+                   model["components"].astype(np.float64)))
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean, comps = ray.get(ref)
+        V = _stack(batch.column(vec_col)).astype(np.float64)
+        P = (V - mean) @ comps.T
+        out = batch.drop_columns([vec_col])
+        for j in range(P.shape[1]):
+            out = out.append_column(f"{out_prefix}{j}",
+                                    pa.array(P[:, j], pa.float64()))
+        return out
+
+    return vecs.map_batches(project, batch_format="pyarrow",
+                            batch_size=65536)

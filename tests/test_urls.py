@@ -80,3 +80,53 @@ def test_url_features_table():
     assert {"host", "domain", "path_depth", "canonical_url"} <= \
         set(out.column_names)
     assert len(out) == len(t)
+
+
+def test_url_fuzz_vs_urllib():
+    """Randomized URL shapes vs urllib.parse: host and path depth must
+    agree on every URL the generator can produce."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    schemes = ["http", "https", "ftp", "x-app+v1.2"]
+    hosts = ["example.com", "a.b.co.uk", "xn--bcher-kva.ch", "192.168.7.1",
+             "localhost", "EXAMPLE.org", "deep.a.b.c.d.net"]
+    urls = []
+    for _ in range(300):
+        s = schemes[rng.integers(0, len(schemes))]
+        h = hosts[rng.integers(0, len(hosts))]
+        user = "u:p@" if rng.random() < 0.2 else ""
+        port = f":{rng.integers(1, 65535)}" if rng.random() < 0.3 else ""
+        nseg = rng.integers(0, 5)
+        path = "".join(f"/s{rng.integers(0, 9)}" for _ in range(nseg))
+        if rng.random() < 0.3:
+            path += "/"
+        q = "?a=1&utm_source=t" if rng.random() < 0.4 else ""
+        frag = "#f" if rng.random() < 0.3 else ""
+        urls.append(f"{s}://{user}{h}{port}{path}{q}{frag}")
+    got_host = url_host(pa.array(urls)).to_pylist()
+    got_depth = url_path_depth(pa.array(urls)).to_pylist()
+    for u, gh, gd in zip(urls, got_host, got_depth):
+        sp = urlsplit(u)
+        assert gh == sp.hostname, (u, gh, sp.hostname)
+        want_d = len([s for s in sp.path.split("/") if s])
+        assert gd == want_d, (u, gd, want_d)
+
+
+def test_extract_links():
+    from biosd_feature_annotator_ray.functions.urls import extract_links
+
+    t = pa.table({
+        "url": ["https://a.com/1", "https://b.com/2", "https://c.com/3"],
+        "html": [
+            '<a href="https://x.com/p">x</a> text '
+            "<a class='k' href='https://y.com'>y</a>"
+            '<a href="/rel">rel dropped</a>',
+            "no links here",
+            None,
+        ],
+    })
+    out = extract_links(t)
+    assert out.column("url").to_pylist() == ["https://a.com/1"] * 2
+    assert out.column("link").to_pylist() == ["https://x.com/p",
+                                              "https://y.com"]
