@@ -210,6 +210,8 @@ def run_queries() -> dict:
         # round-3 second sitting: curation / LLM-data wave
         "pack_sequences", "unigram_nll", "rebalance_sources",
         "dedup_index_incremental", "table_profile_events", "knn_ivfpq",
+        # round-4 additions
+        "cube_orders", "dedup_spans", "near_dedup_corpus", "pca_embeddings",
     ]
     out = {}
     for name in names:

@@ -159,6 +159,18 @@ def main(argv: list[str] | None = None) -> int:
     ppf.add_argument("--key-col", default="source")
     ppf.add_argument("--num-cpus", type=int, default=8)
 
+    psd = sub.add_parser("spandedup", help="corpus-wide duplicate-span "
+                         "removal (Lee-et-al exact-substring dedup at "
+                         "k-token window granularity)")
+    psd.add_argument("--input", required=True, help="parquet with (doc_id, text)")
+    psd.add_argument("--output", required=True, help="cleaned-corpus parquet dir")
+    psd.add_argument("--k", type=int, default=20, help="window size in tokens")
+    psd.add_argument("--keep-first", action="store_true", default=True)
+    psd.add_argument("--remove-all", dest="keep_first", action="store_false",
+                     help="drop every occurrence (no keep-first winner)")
+    psd.add_argument("--buckets", type=int, default=32)
+    psd.add_argument("--num-cpus", type=int, default=8)
+
     pcx = sub.add_parser("closure", help="transitive closure of a DAG edge "
                          "parquet (semi-naive, per-round checkpoint/resume)")
     pcx.add_argument("--input", required=True)
@@ -321,6 +333,24 @@ def main(argv: list[str] | None = None) -> int:
                                  key_col=args.key_col)
             print(out.to_pandas().sort_values(args.key_col)
                   .to_json(orient="records"))
+            return 0
+
+        if args.cmd == "spandedup":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.dedup import remove_dup_spans
+
+            docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
+            out = remove_dup_spans(docs, k=args.k,
+                                   keep_first=args.keep_first,
+                                   nb=args.buckets).materialize()
+            out.write_parquet(args.output)
+            removed = out.sum("n_removed") or 0
+            total = out.sum("n_tokens") or 0
+            print(json.dumps({"docs": out.count(),
+                              "tokens": int(total),
+                              "removed_tokens": int(removed),
+                              "output": args.output}))
             return 0
 
         if args.cmd == "closure":

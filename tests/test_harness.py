@@ -195,3 +195,35 @@ def test_cli_dedupindex_compact(ray_session, tmp_path):
     assert res["frags_after"] <= res["frags_before"]
     from biosd_feature_annotator_ray.stages.dedupindex import count_indexed_docs
     assert count_indexed_docs(ix) == 25
+
+
+def test_cli_spandedup(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    passage = " ".join(f"dup{i}" for i in range(20))
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [" ".join(f"u{d}w{i}" for i in range(30))
+                 + (" " + passage if d in (1, 4) else "")
+                 for d in range(6)],
+    })
+    p = str(tmp_path / "docs.parquet")
+    docs.to_parquet(p)
+    outdir = str(tmp_path / "clean")
+    out = subprocess.run(
+        [sys.executable, "-m", "biosd_feature_annotator_ray", "spandedup",
+         "--input", p, "--output", outdir, "--k", "8", "--num-cpus", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert res["docs"] == 6 and res["removed_tokens"] >= 20
+    got = duckdb.sql(
+        f"SELECT text FROM '{outdir}/*.parquet' WHERE doc_id = 4").df()
+    assert "dup0" not in got["text"].iloc[0]
+    got1 = duckdb.sql(
+        f"SELECT text FROM '{outdir}/*.parquet' WHERE doc_id = 1").df()
+    assert "dup0" in got1["text"].iloc[0]  # keep-first winner
