@@ -164,6 +164,12 @@ def main(argv: list[str] | None = None) -> int:
                          "k-token window granularity)")
     psd.add_argument("--input", required=True, help="parquet with (doc_id, text)")
     psd.add_argument("--output", required=True, help="cleaned-corpus parquet dir")
+    psd.add_argument("--granularity", choices=["window", "line"],
+                     default="window",
+                     help="window = k-token sliding windows (Lee et al.); "
+                     "line = exact duplicate lines (CCNet paragraph pass)")
+    psd.add_argument("--sep", default="\n", help="line separator "
+                     "(line granularity only)")
     psd.add_argument("--k", type=int, default=20, help="window size in tokens")
     psd.add_argument("--keep-first", action="store_true", default=True)
     psd.add_argument("--remove-all", dest="keep_first", action="store_false",
@@ -338,18 +344,26 @@ def main(argv: list[str] | None = None) -> int:
         if args.cmd == "spandedup":
             import ray.data as rd
 
-            from biosd_feature_annotator_ray.stages.dedup import remove_dup_spans
+            from biosd_feature_annotator_ray.stages.dedup import (
+                dedup_lines, remove_dup_spans)
 
             docs = rd.read_parquet(args.input, columns=["doc_id", "text"])
-            out = remove_dup_spans(docs, k=args.k,
-                                   keep_first=args.keep_first,
-                                   nb=args.buckets).materialize()
+            if args.granularity == "line":
+                out = dedup_lines(docs, sep=args.sep,
+                                  keep_first=args.keep_first,
+                                  nb=args.buckets).materialize()
+                unit = "n_lines"
+            else:
+                out = remove_dup_spans(docs, k=args.k,
+                                       keep_first=args.keep_first,
+                                       nb=args.buckets).materialize()
+                unit = "n_tokens"
             out.write_parquet(args.output)
             removed = out.sum("n_removed") or 0
-            total = out.sum("n_tokens") or 0
+            total = out.sum(unit) or 0
             print(json.dumps({"docs": out.count(),
-                              "tokens": int(total),
-                              "removed_tokens": int(removed),
+                              unit: int(total),
+                              "removed": int(removed),
                               "output": args.output}))
             return 0
 

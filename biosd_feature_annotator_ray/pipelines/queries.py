@@ -4195,3 +4195,37 @@ def q_near_dedup_corpus(sf_dir: str):
 
 
 QUERIES["near_dedup_corpus"] = q_near_dedup_corpus
+
+
+def q_dedup_lines_docs(sf_dir: str):
+    """Corpus-wide duplicate-LINE dedup (CCNet-style paragraph pass)
+    over the documents table, split on '.' — the first dedup operator
+    with a FULL DuckDB oracle twin (window rank + string_agg
+    reconstruction): cleaned text, line and removal counts must match
+    the SQL byte-for-byte."""
+    from ..stages.dedup import dedup_lines
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    df = (dedup_lines(docs, sep=".").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["dedup_lines_docs"] = q_dedup_lines_docs
+
+ORACLES["dedup_lines_docs"] = (
+    "WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),"
+    " l AS (SELECT doc_id, unnest(string_split(text, '.')) AS line,"
+    "   unnest(range(1, len(string_split(text, '.')) + 1)) AS ord FROM d),"
+    " ranked AS (SELECT doc_id, ord, line,"
+    "   row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn,"
+    "   count(*) OVER (PARTITION BY line) AS cnt FROM l)"
+    " SELECT doc_id,"
+    " coalesce(string_agg(line, '.' ORDER BY ord)"
+    "   FILTER (WHERE cnt = 1 OR rn = 1), '') AS text,"
+    " CAST(count(*) AS BIGINT) AS n_lines,"
+    " CAST(count(*) FILTER (WHERE cnt > 1 AND rn > 1) AS BIGINT)"
+    "   AS n_removed"
+    " FROM ranked GROUP BY doc_id"
+)

@@ -766,3 +766,138 @@ def remove_dup_spans(
 
     return both.groupby(_BUCKET_COL).map_groups(apply_mask,
                                                 batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+def dedup_lines(
+    docs: "ray.data.Dataset",
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_first: bool = True,
+    min_count: int = 2,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Corpus-wide duplicate-LINE removal (the CCNet/RefinedWeb
+    paragraph-dedup pass): split every doc on ``sep``, drop each line
+    whose exact text occurs ≥ ``min_count`` times anywhere in the
+    corpus — except, with ``keep_first``, the globally first occurrence
+    (min ``(doc_id, position)``). Reconstruction re-joins the surviving
+    lines with ``sep``, so docs are byte-identical where nothing was
+    removed (split semantics are Python ``str.split(sep)`` ==
+    DuckDB ``string_split``: empty segments between consecutive
+    separators are lines too and dedup like any other).
+
+    Output: ``id_col, text (cleaned), n_lines, n_removed`` — one row
+    per input doc (null text behaves as ``''``). Exact-string
+    semantics: occurrences are BUCKETED by a 64-bit line hash but the
+    keep/drop decision groups on the line text itself, so there is no
+    collision risk at any scale (the line strings ride through the
+    one decision shuffle — they are the corpus payload anyway; at
+    extreme scale swap the carried string for a 128-bit digest).
+
+    Scale shape: stage 1 streams the corpus once, exploding to
+    (hash, line, doc, pos) rows; one bucket shuffle co-locates every
+    occurrence of a line (global keep-first is exact inside its
+    bucket); only removal coordinates (two int64s per dropped line)
+    meet the docs in a second doc_id-bucketed shuffle where one
+    vectorized mask per doc rebuilds the text. No driver-side state,
+    no all-pairs stage. SQL twin: row_number/count OVER (PARTITION BY
+    line) + string_agg reconstruction (see the ``dedup_lines_docs``
+    oracle)."""
+    if min_count < 2:
+        raise ValueError(f"dedup_lines: min_count must be ≥ 2, got {min_count}")
+    occ_schema = pa.schema([
+        pa.field("lh", pa.int64()), pa.field("line", pa.string()),
+        pa.field(id_col, pa.int64()), pa.field("pos", pa.int64()),
+    ])
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        split = df[text_col].fillna("").str.split(sep, regex=False)
+        lengths = split.str.len().to_numpy(dtype=np.int64)
+        flat = [ln for lines in split for ln in lines]
+        if not flat:
+            return _add_bucket(occ_schema.empty_table(), ["lh"], nb)
+        lh = pd.util.hash_pandas_object(
+            pd.Series(flat), index=False).to_numpy().view(np.int64)
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        pos = np.arange(len(flat), dtype=np.int64) - starts[doc_idx]
+        occ = pa.table({
+            "lh": pa.array(lh),
+            "line": pa.array(flat, pa.string()),
+            id_col: pa.array(df[id_col].to_numpy()[doc_idx].astype(np.int64)),
+            "pos": pa.array(pos),
+        })
+        return _add_bucket(occ, ["lh"], nb)
+
+    def removals(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL, "lh"]).to_pandas()
+        df = df.sort_values(["line", id_col, "pos"], kind="stable")
+        grp = df.groupby("line", sort=False)
+        cnt = grp["pos"].transform("size").to_numpy()
+        rn = grp.cumcount().to_numpy()
+        drop = (cnt >= min_count) if not keep_first else \
+            (cnt >= min_count) & (rn > 0)
+        out = df[drop]
+        return pa.table({id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+                         "pos": pa.array(out["pos"].to_numpy(), pa.int64())})
+
+    removal_rows = (
+        docs.map_batches(occurrences, batch_format="pyarrow",
+                         batch_size=65536)
+        .groupby(_BUCKET_COL).map_groups(removals, batch_format="pyarrow")
+    )
+
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "pos": pa.array(np.full(len(batch), -1, np.int64)),
+            text_col: batch.column(text_col),
+        })
+        return _add_bucket(t, [id_col], nb)
+
+    def tag_removal(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "pos": batch.column("pos"),
+            text_col: pa.nulls(len(batch), pa.string()),
+        })
+        return _add_bucket(t, [id_col], nb)
+
+    both = docs.map_batches(tag_doc, batch_format="pyarrow",
+                            batch_size=65536).union(
+        removal_rows.map_batches(tag_removal, batch_format="pyarrow",
+                                 batch_size=65536))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL]).to_pandas()
+        is_doc = df["pos"].to_numpy() < 0
+        drops_by_doc: dict[int, np.ndarray] = {}
+        for did, grp in df[~is_doc].groupby(id_col, sort=False):
+            drops_by_doc[did] = grp["pos"].to_numpy()
+        out_ids, out_texts, n_ln, n_rm = [], [], [], []
+        for did, text in zip(df.loc[is_doc, id_col], df.loc[is_doc, text_col]):
+            lines = ("" if text is None or
+                     (isinstance(text, float) and np.isnan(text))
+                     else text).split(sep)
+            drops = drops_by_doc.get(did)
+            if drops is None:
+                out_ids.append(did); out_texts.append(sep.join(lines))
+                n_ln.append(len(lines)); n_rm.append(0)
+                continue
+            mask = np.zeros(len(lines), bool)
+            mask[drops] = True
+            kept = [ln for ln, m in zip(lines, mask) if not m]
+            out_ids.append(did); out_texts.append(sep.join(kept))
+            n_ln.append(len(lines)); n_rm.append(int(mask.sum()))
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            text_col: pa.array(out_texts, pa.string()),
+            "n_lines": pa.array(n_ln, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+        })
+
+    return both.groupby(_BUCKET_COL).map_groups(rebuild,
+                                                batch_format="pyarrow")

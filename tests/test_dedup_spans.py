@@ -130,3 +130,65 @@ def test_fuzz_brute_force_parity(ray_session):
 def test_k_validation(ray_session):
     with pytest.raises(ValueError, match="k must be"):
         remove_dup_spans(rd.from_items([{"doc_id": 1, "text": "a"}]), k=1)
+
+
+def test_dedup_lines_fuzz_duckdb(ray_session):
+    """Randomized corpus (dup lines across docs, empty segments, null
+    texts) vs the full SQL twin, both keep modes."""
+    import duckdb
+
+    from biosd_feature_annotator_ray.stages.dedup import dedup_lines
+
+    for seed in range(3):
+        rng = np.random.default_rng(500 + seed)
+        lines_pool = [f"line{i}" for i in range(8)] + ["", "shared body"]
+        rows = []
+        for d in range(15):
+            if rng.random() < 0.1:
+                rows.append({"doc_id": d, "text": None})
+                continue
+            n = int(rng.integers(0, 6))
+            rows.append({"doc_id": d,
+                         "text": ".".join(rng.choice(lines_pool, n))})
+        df = pd.DataFrame(rows)
+        ds = rd.from_pandas(df).repartition(4)
+        for keep_first in (True, False):
+            got = (dedup_lines(ds, sep=".", keep_first=keep_first, nb=3)
+                   .to_pandas().sort_values("doc_id")
+                   .reset_index(drop=True))
+            keep_pred = "cnt = 1 OR rn = 1" if keep_first else "cnt = 1"
+            drop_pred = ("cnt > 1 AND rn > 1" if keep_first else "cnt > 1")
+            want = duckdb.sql(f"""
+                WITH d AS (SELECT doc_id, coalesce(text, '') AS text FROM df),
+                l AS (SELECT doc_id, unnest(string_split(text, '.')) AS line,
+                  unnest(range(1, len(string_split(text, '.')) + 1)) AS ord
+                  FROM d),
+                ranked AS (SELECT doc_id, ord, line,
+                  row_number() OVER (PARTITION BY line ORDER BY doc_id, ord)
+                    AS rn,
+                  count(*) OVER (PARTITION BY line) AS cnt FROM l)
+                SELECT doc_id,
+                  coalesce(string_agg(line, '.' ORDER BY ord)
+                    FILTER (WHERE {keep_pred}), '') AS text,
+                  CAST(count(*) AS BIGINT) AS n_lines,
+                  CAST(count(*) FILTER (WHERE {drop_pred}) AS BIGINT)
+                    AS n_removed
+                FROM ranked GROUP BY doc_id ORDER BY doc_id""").df()
+            pd.testing.assert_frame_equal(got, want)
+
+
+def test_dedup_lines_min_count(ray_session):
+    from biosd_feature_annotator_ray.stages.dedup import dedup_lines
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a\nb", "a\nc", "a\nb"],
+    })
+    ds = rd.from_pandas(df)
+    # min_count=3: only 'a' (3 occurrences) dedups, 'b' (2) survives
+    got = (dedup_lines(ds, sep="\n", min_count=3).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert got["text"].tolist() == ["a\nb", "c", "b"]
+    assert got["n_removed"].tolist() == [0, 1, 1]
+    with pytest.raises(ValueError, match="min_count"):
+        dedup_lines(ds, min_count=1)

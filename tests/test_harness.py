@@ -220,10 +220,34 @@ def test_cli_spandedup(ray_session, tmp_path):
          "--input", p, "--output", outdir, "--k", "8", "--num-cpus", "2"],
         capture_output=True, text=True, check=True, cwd="/root/repo")
     res = json.loads(out.stdout.strip().splitlines()[-1])
-    assert res["docs"] == 6 and res["removed_tokens"] >= 20
+    assert res["docs"] == 6 and res["removed"] >= 20
     got = duckdb.sql(
         f"SELECT text FROM '{outdir}/*.parquet' WHERE doc_id = 4").df()
     assert "dup0" not in got["text"].iloc[0]
     got1 = duckdb.sql(
         f"SELECT text FROM '{outdir}/*.parquet' WHERE doc_id = 1").df()
     assert "dup0" in got1["text"].iloc[0]  # keep-first winner
+
+
+def test_cli_spandedup_lines(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pandas as pd
+
+    docs = pd.DataFrame({
+        "doc_id": range(4),
+        "text": ["boiler\nunique a", "boiler\nunique b",
+                 "only here", "boiler\nboiler"],
+    })
+    p = str(tmp_path / "docs.parquet")
+    docs.to_parquet(p)
+    out = subprocess.run(
+        [sys.executable, "-m", "biosd_feature_annotator_ray", "spandedup",
+         "--input", p, "--output", str(tmp_path / "clean"),
+         "--granularity", "line", "--num-cpus", "2"],
+        capture_output=True, text=True, check=True, cwd="/root/repo")
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    # 4 "boiler" lines, the globally first survives
+    assert res["docs"] == 4 and res["removed"] == 3
