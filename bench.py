@@ -212,6 +212,7 @@ def run_queries() -> dict:
         "dedup_index_incremental", "table_profile_events", "knn_ivfpq",
         # round-4 additions
         "cube_orders", "dedup_spans", "near_dedup_corpus", "pca_embeddings",
+        "dedup_lines_docs",
     ]
     out = {}
     for name in names:
