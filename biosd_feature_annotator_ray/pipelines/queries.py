@@ -4229,3 +4229,28 @@ ORACLES["dedup_lines_docs"] = (
     "   AS n_removed"
     " FROM ranked GROUP BY doc_id"
 )
+
+
+def q_cube_grouping_orders(sf_dir: str):
+    """CUBE with the GROUPING() bitmask column — disambiguates
+    rolled-up levels from genuinely-NULL key values, matching SQL's
+    GROUPING(k1, k2) bit order (leftmost key = MSB)."""
+    from ..stages.canonicalize import cube_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderstatus", "o_orderpriority",
+                                      "o_totalprice"])
+    return cube_agg(orders, ["o_orderstatus", "o_orderpriority"],
+                    "o_totalprice", grouping_col="grouping_id")
+
+
+QUERIES["cube_grouping_orders"] = q_cube_grouping_orders
+
+ORACLES["cube_grouping_orders"] = (
+    "SELECT o_orderstatus, o_orderpriority,"
+    " CAST(count(*) AS BIGINT) AS n_rows,"
+    " round(sum(o_totalprice), 2) AS sum_value,"
+    " CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT)"
+    "   AS grouping_id"
+    " FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
+)

@@ -483,12 +483,17 @@ def grouping_sets_agg(
     n_col: str = "n_rows",
     sum_col: str = "sum_value",
     decimals: int | None = 2,
+    grouping_col: str | None = None,
 ) -> "ray.data.Dataset":
     """GROUP BY GROUPING SETS(sets): count + sum at every requested
-    subset of ``keys`` — rolled-up key columns null, exactly like SQL
-    (caveat shared with SQL itself: a genuinely-NULL key value is
-    indistinguishable from a rolled-up one without GROUPING(); keep
-    keys non-null or pre-fill a sentinel).
+    subset of ``keys`` — rolled-up key columns null, exactly like SQL.
+
+    ``grouping_col``: when set, appends SQL's ``GROUPING(*keys)``
+    bitmask (leftmost key = most-significant bit; bit set = that key
+    is rolled up in the row's level), which disambiguates a
+    genuinely-NULL key value from a rolled-up one — without it that
+    ambiguity is shared with SQL itself (keep keys non-null or
+    pre-fill a sentinel).
 
     Shape: ONE wide shuffle (the finest groupby over map-side
     partials); every requested set then re-aggregates that
@@ -574,7 +579,15 @@ def grouping_sets_agg(
                 "(group sums too large for this decimals) — use "
                 "decimals=None (float sums) or a smaller decimals")
 
+    m = len(keys)
+
+    def _gid(level_keys: list[str]) -> int:
+        return sum(1 << (m - 1 - i) for i, k in enumerate(keys)
+                   if k not in level_keys)
+
     def widen(level_keys: list[str]):
+        gid = _gid(level_keys)
+
         def f(batch: pa.Table) -> pa.Table:
             cols = [batch.column(k).cast(ktype[k]) if k in level_keys
                     else pa.nulls(len(batch), ktype[k]) for k in keys]
@@ -584,7 +597,12 @@ def grouping_sets_agg(
             _wrap_check(s, batch.column("_fchk").to_numpy(
                 zero_copy_only=False))
             cols.append(pa.array(s, pa.float64()))
-            return pa.table(cols, names=keys + [n_col, sum_col])
+            names = keys + [n_col, sum_col]
+            if grouping_col is not None:
+                cols.append(pa.array(
+                    np.full(len(batch), gid, np.int64)))
+                names = names + [grouping_col]
+            return pa.table(cols, names=names)
         return f
 
     levels = []
@@ -601,11 +619,14 @@ def grouping_sets_agg(
                      / (scale if scale is not None else 1.0))
             _wrap_check(np.array([tot_s]),
                         np.array([float(tot["_fchk"] or 0)]))
-            total_tbl = pa.table(
-                [pa.nulls(1, ktype[k]) for k in keys]
-                + [pa.array([int(tot[n_col] or 0)], pa.int64()),
-                   pa.array([tot_s], pa.float64())],
-                names=keys + [n_col, sum_col])
+            cols = ([pa.nulls(1, ktype[k]) for k in keys]
+                    + [pa.array([int(tot[n_col] or 0)], pa.int64()),
+                       pa.array([tot_s], pa.float64())])
+            names = keys + [n_col, sum_col]
+            if grouping_col is not None:
+                cols.append(pa.array([_gid([])], pa.int64()))
+                names = names + [grouping_col]
+            total_tbl = pa.table(cols, names=names)
             levels.append(rd.from_arrow(total_tbl))
     out = levels[0]
     for lv in levels[1:]:
@@ -620,6 +641,7 @@ def rollup_agg(
     n_col: str = "n_rows",
     sum_col: str = "sum_value",
     decimals: int | None = 2,
+    grouping_col: str | None = None,
 ) -> "ray.data.Dataset":
     """GROUP BY ROLLUP(keys): every prefix level of the key hierarchy —
     (k1..km), (k1..km-1), …, grand total. Thin wrapper over
@@ -627,7 +649,8 @@ def rollup_agg(
     contract)."""
     sets = [keys[:i] for i in range(len(keys), -1, -1)]
     return grouping_sets_agg(ds, keys, sets, value_col, n_col=n_col,
-                             sum_col=sum_col, decimals=decimals)
+                             sum_col=sum_col, decimals=decimals,
+                             grouping_col=grouping_col)
 
 
 def cube_agg(
@@ -637,6 +660,7 @@ def cube_agg(
     n_col: str = "n_rows",
     sum_col: str = "sum_value",
     decimals: int | None = 2,
+    grouping_col: str | None = None,
 ) -> "ray.data.Dataset":
     """GROUP BY CUBE(keys): every subset of the keys (2^m levels) —
     thin wrapper over ``grouping_sets_agg``. Keep m small (SQL's own
@@ -647,7 +671,8 @@ def cube_agg(
     sets = [list(c) for r in range(len(keys), -1, -1)
             for c in combinations(keys, r)]
     return grouping_sets_agg(ds, keys, sets, value_col, n_col=n_col,
-                             sum_col=sum_col, decimals=decimals)
+                             sum_col=sum_col, decimals=decimals,
+                             grouping_col=grouping_col)
 
 
 def rebalance_sample(

@@ -332,3 +332,33 @@ def test_cube_grouping_sets_fuzz_duckdb(ray_session):
     # malformed set raises
     with pytest.raises(ValueError, match="not in keys"):
         grouping_sets_agg(ds, ["a"], [["zz"]], "v")
+
+
+def test_cube_grouping_id_null_keys_duckdb(ray_session):
+    """GROUPING() bitmask vs DuckDB with genuinely-NULL key values —
+    the exact ambiguity the column exists to resolve."""
+    from biosd_feature_annotator_ray.stages.canonicalize import cube_agg
+
+    rng = np.random.default_rng(811)
+    n = 200
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", None], n),
+        "b": rng.choice(["p", None], n),
+        "v": _cents(rng, n),
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    got = (cube_agg(ds, ["a", "b"], "v", grouping_col="gid").to_pandas()
+           .sort_values(["gid", "a", "b"], na_position="first")
+           .reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT a, b, CAST(count(*) AS BIGINT) AS n_rows,"
+        " round(sum(v), 2) AS sum_value,"
+        " CAST(GROUPING(a, b) AS BIGINT) AS gid"
+        " FROM df GROUP BY CUBE(a, b)"
+        " ORDER BY gid, a NULLS FIRST, b NULLS FIRST").df()
+    assert got["gid"].tolist() == want["gid"].tolist()
+    assert got["n_rows"].tolist() == want["n_rows"].tolist()
+    assert got["a"].fillna("∅").tolist() == want["a"].fillna("∅").tolist()
+    assert got["b"].fillna("∅").tolist() == want["b"].fillna("∅").tolist()
+    assert np.allclose(np.round(got["sum_value"], 2), want["sum_value"],
+                       atol=1e-9)
