@@ -15,8 +15,10 @@ from __future__ import annotations
 import pyarrow as pa
 import pyarrow.compute as pc
 
-# scheme://[userinfo@]host[:port] — host is everything up to /?#
-_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?(?P<h>[^/?#:]+)"
+# scheme://[userinfo@]host[:port] — host is everything up to /?#, with
+# bracketed IPv6 literals ([::1], [2001:db8::1]:8080) matched whole
+_HOST_RE = (r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/?#@]*@)?"
+            r"(?P<h>\[[^\]/?#]*\]|[^/?#:]+)")
 
 # common multi-label public suffixes (heuristic subset; see docstring)
 _TWO_LABEL_SUFFIXES = {
@@ -27,21 +29,25 @@ _TWO_LABEL_SUFFIXES = {
 
 
 def url_host(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
-    """Lowercased host of each URL (userinfo and port stripped); null
-    for strings with no scheme://host shape."""
+    """Lowercased host of each URL (userinfo, port, and IPv6 brackets
+    stripped — matching ``urlsplit().hostname``); null for strings
+    with no scheme://host shape."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     ex = pc.extract_regex(arr, _HOST_RE)
     host = pc.struct_field(ex, "h")
+    host = pc.replace_substring_regex(host, r"^\[|\]$", "")
     return pc.utf8_lower(host)
 
 
-def url_path_depth(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+def url_path_depth(arr: "pa.Array | pa.ChunkedArray",
+                   host: "pa.Array | None" = None) -> pa.Array:
     """Number of non-empty path segments: ``https://h/a/b/`` → 2,
-    ``https://h`` → 0. Null where the URL has no host."""
+    ``https://h`` → 0. Null where the URL has no host. Pass a
+    precomputed ``url_host`` result to skip re-extracting it."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    ok = pc.is_valid(url_host(arr))
+    ok = pc.is_valid(url_host(arr) if host is None else host)
     # drop scheme://host, then query/fragment, then count segments
     path = pc.replace_substring_regex(
         arr, r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*", "")
@@ -54,21 +60,32 @@ def url_path_depth(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
 def strip_tracking_params(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
     """Remove utm_*/gclid/fbclid/msclkid query parameters (the
     dedup-relevant canonicalization for crawl URLs); drops the ``?``
-    when no parameters survive and any trailing ``&``/``?`` litter."""
+    when no parameters survive and any ``&``/``?`` litter. Parameter
+    names are anchored on their ``?``/``&`` delimiter, so params whose
+    names merely CONTAIN a tracking name (``mygclid=``), values
+    containing ``gclid=``, and fragments are untouched."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    # keep the delimiter (\1) so consecutive tracking params still have
+    # their anchors in the same global pass; collapse the leftover
+    # delimiter runs afterwards
     out = pc.replace_substring_regex(
-        arr, r"(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*&?", "")
-    out = pc.replace_substring_regex(out, r"[?&]+(#|$)", r"\1")
-    return pc.replace_substring_regex(out, r"\?&", "?")
+        arr, r"([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*",
+        r"\1")
+    out = pc.replace_substring_regex(out, r"&&+", "&")
+    out = pc.replace_substring_regex(out, r"\?&+", "?")
+    return pc.replace_substring_regex(out, r"[?&]+(#|$)", r"\1")
 
 
-def registrable_domain(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+def registrable_domain(arr: "pa.Array | pa.ChunkedArray",
+                       host: "pa.Array | None" = None) -> pa.Array:
     """Heuristic registrable domain of each URL's host: last two
     labels, or last three when the last two are a known public suffix
-    (``a.b.co.uk`` → ``b.co.uk``). IPs and single-label hosts pass
-    through unchanged."""
-    host = url_host(arr)
+    (``a.b.co.uk`` → ``b.co.uk``). IPv4/IPv6 literals and single-label
+    hosts pass through unchanged. Pass a precomputed ``url_host``
+    result to skip re-extracting it."""
+    if host is None:
+        host = url_host(arr)
     # last three labels and last two labels via one regex each
     two = pc.struct_field(
         pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$"), "d")
@@ -81,6 +98,11 @@ def registrable_domain(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
     picked = pc.if_else(
         pc.and_kleene(is_two_label_suffix, pc.is_valid(three)),
         three, two)
+    # IP literals are addresses, not domains: IPv4 dotted-quads would
+    # otherwise collapse to their last two octets; IPv6 has colons
+    is_ip = pc.match_substring_regex(
+        host, r"^(?:\d{1,3}\.){3}\d{1,3}$|:")
+    picked = pc.if_else(is_ip, host, picked)
     # single-label host (no dot): keep the host itself
     return pc.if_else(pc.is_valid(picked), picked, host)
 
@@ -88,21 +110,22 @@ def registrable_domain(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
 def extract_links(batch: pa.Table, html_col: str = "html",
                   url_col: str = "url") -> pa.Table:
     """Row-expanding href extraction: one output row per ``<a href=…>``
-    in each page's HTML — ``(url, link)`` with quotes/whitespace
-    stripped. Relative links (no ``scheme://``) are dropped: the
-    host-graph consumers downstream only use absolute targets, and
-    resolving relatives needs the full RFC-3986 merge — out of scope
-    for the curation kernel.
+    in each page's HTML (tag and attribute case-insensitive) —
+    ``(url, link)`` with quotes/whitespace stripped. Relative links
+    (no ``scheme://``) are dropped: the host-graph consumers
+    downstream only use absolute targets, and resolving relatives
+    needs the full RFC-3986 merge — out of scope for the curation
+    kernel.
 
     Vectorization note: Arrow has no extract-ALL regex kernel, so this
     uses pandas ``str.findall`` with one compiled RE2-compatible
     pattern + ``np.repeat`` for the id carriage — no per-row Python in
     the caller's hands, and the expansion stays inside one batch."""
     import numpy as np
-    import pandas as pd
 
     html = batch.column(html_col).to_pandas().fillna("")
-    found = html.str.findall(r'''<a\s[^>]*href\s*=\s*["']?([^"'\s>]+)''')
+    found = html.str.findall(
+        r'''(?i)<a\s[^>]*href\s*=\s*["']?([^"'\s>]+)''')
     counts = np.fromiter((len(x) for x in found), dtype=np.int64,
                          count=len(found))
     flat = [u for links in found for u in links]
@@ -118,9 +141,11 @@ def extract_links(batch: pa.Table, html_col: str = "html",
 
 def url_features(batch: pa.Table, url_col: str = "url") -> pa.Table:
     """Append host / registrable_domain / path_depth / canonical_url
-    columns — the one-call curation feature set."""
+    columns — the one-call curation feature set. The host is
+    extracted once and shared by the dependent kernels."""
     arr = batch.column(url_col)
-    out = batch.append_column("host", url_host(arr))
-    out = out.append_column("domain", registrable_domain(arr))
-    out = out.append_column("path_depth", url_path_depth(arr))
+    host = url_host(arr)
+    out = batch.append_column("host", host)
+    out = out.append_column("domain", registrable_domain(arr, host=host))
+    out = out.append_column("path_depth", url_path_depth(arr, host=host))
     return out.append_column("canonical_url", strip_tracking_params(arr))

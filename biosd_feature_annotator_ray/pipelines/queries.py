@@ -4185,8 +4185,8 @@ def q_near_dedup_corpus(sf_dir: str):
         })
 
     out = kept.map_batches(n_chars, batch_format="pyarrow").to_pandas()
-    n_total = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                              columns=["doc_id"]).count()
+    # total doc count from parquet footers — no second scan
+    n_total = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     summary = pd.DataFrame({"doc_id": [-1],
                             "n_chars": [n_total - len(out)]})
     df = (pd.concat([summary, out.sort_values("doc_id")])

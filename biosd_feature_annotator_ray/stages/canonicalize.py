@@ -512,6 +512,9 @@ def grouping_sets_agg(
     from .join import _arrow_schema
 
     sets = [list(g) for g in sets]
+    if not sets:
+        raise ValueError("grouping_sets_agg: sets must name at least one "
+                         "grouping set (use [[]] for the grand total)")
     for g in sets:
         extra = [c for c in g if c not in keys]
         if extra:

@@ -607,6 +607,65 @@ def dup_clusters(
 
 
 # ---------------------------------------------------------------------------
+def _apply_doc_removals(
+    docs: "ray.data.Dataset",
+    removal_rows: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    nb: int,
+    unit_col: str,
+    per_doc,
+) -> "ray.data.Dataset":
+    """Shared stage-3 of the corpus-dedup family: union the docs with
+    their removal coordinates (``(id_col, pos)`` rows), co-locate by a
+    doc_id bucket, and rebuild each doc via ``per_doc(text, drops) ->
+    (clean_text, n_units, n_removed)`` (``text`` is never None —
+    nulls arrive as ``''``; ``drops`` is an int64 position array or
+    None). Output: ``id_col, text_col, unit_col, n_removed``."""
+    def tag_doc(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col).cast(pa.int64()),
+            "pos": pa.array(np.full(len(batch), -1, np.int64)),
+            text_col: batch.column(text_col),
+        })
+        return _add_bucket(t, [id_col], nb)
+
+    def tag_removal(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "pos": batch.column("pos"),
+            text_col: pa.nulls(len(batch), pa.string()),
+        })
+        return _add_bucket(t, [id_col], nb)
+
+    both = docs.map_batches(tag_doc, batch_format="pyarrow",
+                            batch_size=65536).union(
+        removal_rows.map_batches(tag_removal, batch_format="pyarrow",
+                                 batch_size=65536))
+
+    def rebuild(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL]).to_pandas()
+        is_doc = df["pos"].to_numpy() < 0
+        drops_by_doc: dict[int, np.ndarray] = {}
+        for did, grp in df[~is_doc].groupby(id_col, sort=False):
+            drops_by_doc[did] = grp["pos"].to_numpy()
+        out_ids, out_texts, n_unit, n_rm = [], [], [], []
+        for did, text in zip(df.loc[is_doc, id_col], df.loc[is_doc, text_col]):
+            clean, n, r = per_doc(text if isinstance(text, str) else "",
+                                  drops_by_doc.get(did))
+            out_ids.append(did); out_texts.append(clean)
+            n_unit.append(n); n_rm.append(r)
+        return pa.table({
+            id_col: pa.array(out_ids, pa.int64()),
+            text_col: pa.array(out_texts, pa.string()),
+            unit_col: pa.array(n_unit, pa.int64()),
+            "n_removed": pa.array(n_rm, pa.int64()),
+        })
+
+    return both.groupby(_BUCKET_COL).map_groups(rebuild,
+                                                batch_format="pyarrow")
+
+
 def remove_dup_spans(
     docs: "ray.data.Dataset",
     k: int = 20,
@@ -712,60 +771,20 @@ def remove_dup_spans(
         .groupby(_BUCKET_COL).map_groups(removals, batch_format="pyarrow")
     )
 
-    # stage 3: docs ∪ removal coordinates, co-located by doc_id
-    def tag_doc(batch: pa.Table) -> pa.Table:
-        t = pa.table({
-            id_col: batch.column(id_col).cast(pa.int64()),
-            "pos": pa.array(np.full(len(batch), -1, np.int64)),
-            text_col: batch.column(text_col),
-        })
-        return _add_bucket(t, [id_col], nb)
+    def per_doc(text: str, starts):
+        toks = text.split()
+        n = len(toks)
+        if starts is None or n == 0:
+            return " ".join(toks), n, 0
+        diff = np.zeros(n + 1, np.int64)
+        np.add.at(diff, starts, 1)
+        np.add.at(diff, np.minimum(starts + k, n), -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        kept = [t for t, c in zip(toks, covered) if not c]
+        return " ".join(kept), n, int(covered.sum())
 
-    def tag_removal(batch: pa.Table) -> pa.Table:
-        t = pa.table({
-            id_col: batch.column(id_col),
-            "pos": batch.column("pos"),
-            text_col: pa.nulls(len(batch), pa.string()),
-        })
-        return _add_bucket(t, [id_col], nb)
-
-    both = docs.map_batches(tag_doc, batch_format="pyarrow",
-                            batch_size=65536).union(
-        removal_rows.map_batches(tag_removal, batch_format="pyarrow",
-                                 batch_size=65536))
-
-    def apply_mask(g: pa.Table) -> pa.Table:
-        df = g.drop_columns([_BUCKET_COL]).to_pandas()
-        is_doc = df["pos"].to_numpy() < 0
-        starts_by_doc: dict[int, list[np.ndarray]] = {}
-        rem = df[~is_doc]
-        for did, grp in rem.groupby(id_col, sort=False):
-            starts_by_doc[did] = grp["pos"].to_numpy()
-        out_ids, out_texts, n_tok, n_rem = [], [], [], []
-        for did, text in zip(df.loc[is_doc, id_col], df.loc[is_doc, text_col]):
-            toks = (text or "").split()
-            n = len(toks)
-            starts = starts_by_doc.get(did)
-            if starts is None or n == 0:
-                out_ids.append(did); out_texts.append(" ".join(toks))
-                n_tok.append(n); n_rem.append(0)
-                continue
-            diff = np.zeros(n + 1, np.int64)
-            np.add.at(diff, starts, 1)
-            np.add.at(diff, np.minimum(starts + k, n), -1)
-            covered = np.cumsum(diff[:-1]) > 0
-            kept = [t for t, c in zip(toks, covered) if not c]
-            out_ids.append(did); out_texts.append(" ".join(kept))
-            n_tok.append(n); n_rem.append(int(covered.sum()))
-        return pa.table({
-            id_col: pa.array(out_ids, pa.int64()),
-            text_col: pa.array(out_texts, pa.string()),
-            "n_tokens": pa.array(n_tok, pa.int64()),
-            "n_removed": pa.array(n_rem, pa.int64()),
-        })
-
-    return both.groupby(_BUCKET_COL).map_groups(apply_mask,
-                                                batch_format="pyarrow")
+    return _apply_doc_removals(docs, removal_rows, id_col, text_col, nb,
+                               "n_tokens", per_doc)
 
 
 # ---------------------------------------------------------------------------
@@ -850,54 +869,14 @@ def dedup_lines(
         .groupby(_BUCKET_COL).map_groups(removals, batch_format="pyarrow")
     )
 
-    def tag_doc(batch: pa.Table) -> pa.Table:
-        t = pa.table({
-            id_col: batch.column(id_col).cast(pa.int64()),
-            "pos": pa.array(np.full(len(batch), -1, np.int64)),
-            text_col: batch.column(text_col),
-        })
-        return _add_bucket(t, [id_col], nb)
+    def per_doc(text: str, drops):
+        lines = text.split(sep)
+        if drops is None:
+            return sep.join(lines), len(lines), 0
+        mask = np.zeros(len(lines), bool)
+        mask[drops] = True
+        kept = [ln for ln, m in zip(lines, mask) if not m]
+        return sep.join(kept), len(lines), int(mask.sum())
 
-    def tag_removal(batch: pa.Table) -> pa.Table:
-        t = pa.table({
-            id_col: batch.column(id_col),
-            "pos": batch.column("pos"),
-            text_col: pa.nulls(len(batch), pa.string()),
-        })
-        return _add_bucket(t, [id_col], nb)
-
-    both = docs.map_batches(tag_doc, batch_format="pyarrow",
-                            batch_size=65536).union(
-        removal_rows.map_batches(tag_removal, batch_format="pyarrow",
-                                 batch_size=65536))
-
-    def rebuild(g: pa.Table) -> pa.Table:
-        df = g.drop_columns([_BUCKET_COL]).to_pandas()
-        is_doc = df["pos"].to_numpy() < 0
-        drops_by_doc: dict[int, np.ndarray] = {}
-        for did, grp in df[~is_doc].groupby(id_col, sort=False):
-            drops_by_doc[did] = grp["pos"].to_numpy()
-        out_ids, out_texts, n_ln, n_rm = [], [], [], []
-        for did, text in zip(df.loc[is_doc, id_col], df.loc[is_doc, text_col]):
-            lines = ("" if text is None or
-                     (isinstance(text, float) and np.isnan(text))
-                     else text).split(sep)
-            drops = drops_by_doc.get(did)
-            if drops is None:
-                out_ids.append(did); out_texts.append(sep.join(lines))
-                n_ln.append(len(lines)); n_rm.append(0)
-                continue
-            mask = np.zeros(len(lines), bool)
-            mask[drops] = True
-            kept = [ln for ln, m in zip(lines, mask) if not m]
-            out_ids.append(did); out_texts.append(sep.join(kept))
-            n_ln.append(len(lines)); n_rm.append(int(mask.sum()))
-        return pa.table({
-            id_col: pa.array(out_ids, pa.int64()),
-            text_col: pa.array(out_texts, pa.string()),
-            "n_lines": pa.array(n_ln, pa.int64()),
-            "n_removed": pa.array(n_rm, pa.int64()),
-        })
-
-    return both.groupby(_BUCKET_COL).map_groups(rebuild,
-                                                batch_format="pyarrow")
+    return _apply_doc_removals(docs, removal_rows, id_col, text_col, nb,
+                               "n_lines", per_doc)

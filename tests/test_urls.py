@@ -24,6 +24,8 @@ URLS = [
     "https://example.com/?utm_source=x&keep=1&utm_medium=y",
     "https://example.com/p?gclid=abc#frag",
     "https://example.com/p?fbclid=1&utm_campaign=z",
+    "https://[2001:DB8::1]:8080/a/b",
+    "https://user:p@[::1]/x",
     None,
 ]
 
@@ -130,3 +132,48 @@ def test_extract_links():
     assert out.column("url").to_pylist() == ["https://a.com/1"] * 2
     assert out.column("link").to_pylist() == ["https://x.com/p",
                                               "https://y.com"]
+
+
+def test_review_regressions():
+    """r04 code-review findings: anchored tracking-param strip, IP
+    passthrough in registrable_domain, case-insensitive link
+    extraction, bracketed-IPv6 hosts."""
+    from biosd_feature_annotator_ray.functions.urls import extract_links
+
+    # 1. unanchored tracking-name matches must NOT fire
+    cases = [
+        "https://e.com/p?mygclid=abc&keep=1",    # name merely ends in gclid
+        "https://e.com/p?xgclid=1",
+        "https://e.com/p?sutm_x=1",
+        "https://e.com/p?a=xgclid=y",            # value contains gclid=
+        "https://e.com/p#gclid=x",               # fragment, not a param
+    ]
+    got = strip_tracking_params(pa.array(cases)).to_pylist()
+    assert got == cases
+    # consecutive tracking params in one pass
+    multi = strip_tracking_params(pa.array([
+        "https://e.com/?utm_a=1&utm_b=2&keep=1",
+        "https://e.com/?keep=1&utm_a=1&utm_b=2&keep2=3",
+        "https://e.com/?utm_a=1&utm_b=2",
+    ])).to_pylist()
+    assert multi == ["https://e.com/?keep=1",
+                     "https://e.com/?keep=1&keep2=3",
+                     "https://e.com/"]
+
+    # 2. IP literals pass through registrable_domain unchanged
+    ips = ["https://192.168.0.1/admin", "https://10.0.0.7/",
+           "https://[2001:DB8::1]:8080/a"]
+    assert registrable_domain(pa.array(ips)).to_pylist() == \
+        ["192.168.0.1", "10.0.0.7", "2001:db8::1"]
+
+    # 3. uppercase anchors are extracted
+    t = pa.table({"url": ["https://a.com/1"],
+                  "html": ['<A HREF="https://up.com/x">c</A>'
+                           '<a HrEf=\'https://mix.com/y\'>d</a>']})
+    assert extract_links(t).column("link").to_pylist() == \
+        ["https://up.com/x", "https://mix.com/y"]
+
+    # 4. bracketed IPv6 host matches urlsplit().hostname
+    v6 = ["https://[2001:DB8::1]:8080/a/b", "https://user:p@[::1]/x"]
+    assert url_host(pa.array(v6)).to_pylist() == \
+        [urlsplit(u).hostname for u in v6]
