@@ -417,3 +417,47 @@ def write_minimal_mp4(width: int, height: int, n_samples: int,
     moov = _box(b"moov", mvhd + trak)
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
     return ftyp + moov + _box(b"mdat", b"")
+
+
+def phash64(px: np.ndarray, hash_size: int = 8) -> np.uint64:
+    """64-bit perceptual image hash (classic pHash recipe): luma →
+    32×32 area resample → 2-D DCT-II → the top-left ``hash_size²``
+    low-frequency block → bit per coefficient vs the block's median
+    (DC term excluded from the median and forced to 0 so flat images
+    hash to 0). Near-identical images (resize, mild noise, small
+    crops) land within a few hamming bits; unrelated images are ~32
+    bits apart. Pure numpy — no image/scipy dependency."""
+    if px.ndim == 3:
+        w = np.array([0.299, 0.587, 0.114], np.float64)[: px.shape[2]]
+        g = (px.astype(np.float64) * w).sum(axis=2) / w.sum()
+    else:
+        g = px.astype(np.float64)
+    n = hash_size * 4
+    h, wdt = g.shape
+    if h < n:
+        g = np.repeat(g, -(-n // h), axis=0)
+    if wdt < n:
+        g = np.repeat(g, -(-n // wdt), axis=1)
+    h, wdt = g.shape
+    ri = np.arange(h) * n // h
+    ci = np.arange(wdt) * n // wdt
+    acc = np.zeros((n, n)); cnt = np.zeros((n, n))
+    np.add.at(acc, (ri[:, None], ci[None, :]), g)
+    np.add.at(cnt, (ri[:, None], ci[None, :]), 1.0)
+    small = acc / cnt
+    i = np.arange(n)
+    M = np.cos(np.pi * (i[None, :] + 0.5) * i[:, None] / n)
+    dct = M @ small @ M.T
+    block = dct[:hash_size, :hash_size].ravel()
+    med = np.median(block[1:])
+    # epsilon relative to the DC term: a flat image's non-DC
+    # coefficients are float rounding noise (~1e-13·DC) around a ~0
+    # median — without the margin its bits would be the SIGN of that
+    # noise; real image coefficients sit far above it
+    tol = 1e-9 * (1.0 + abs(float(dct[0, 0])))
+    bits = block > med + tol
+    bits[0] = False
+    return np.uint64(
+        (bits.astype(np.uint64)
+         << np.arange(hash_size * hash_size, dtype=np.uint64)).sum(
+            dtype=np.uint64))

@@ -4254,3 +4254,40 @@ ORACLES["cube_grouping_orders"] = (
     "   AS grouping_id"
     " FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"
 )
+
+
+def q_image_phash_dups(sf_dir: str):
+    """Image near-dup detection: real PNG decode → 64-bit perceptual
+    hash (DCT pHash) → hamming-pigeonhole LSH pairs. Rows-only
+    (binary payloads, approximate hashing); invariances and planted
+    recovery are pinned in tests/test_image_phash.py. The corpus is
+    the deterministic synthetic PNG table plus noisy/rescaled copies
+    of every 16th image."""
+    from ..functions.codecs import png_decode, png_encode
+    from ..stages.dedup import hash_near_dups
+    from ..stages.multimodal import ImagePhashStage, synth_media_table
+
+    media = synth_media_table(192, kind="png")
+    rng = np.random.default_rng(5)
+    extra = []
+    payloads = media.column("payload").to_pylist()
+    for i in range(0, 192, 16):
+        _, _, px = png_decode(payloads[i])
+        noisy = np.clip(px.astype(np.int64)
+                        + rng.integers(-5, 6, px.shape), 0, 255)
+        extra.append({"media_id": 1000 + i,
+                      "payload": png_encode(noisy.astype(np.uint8)),
+                      "mime": "image/png"})
+    corpus = pa.concat_tables(
+        [media, pa.Table.from_pylist(extra, schema=media.schema)])
+    ds = rd.from_arrow(corpus).repartition(4)
+    hashed = ds.map_batches(ImagePhashStage(), batch_format="pyarrow",
+                            concurrency=2)
+    pairs = hash_near_dups(hashed, max_hamming=6, nb=8)
+    df = (pairs.to_pandas().sort_values(["id_a", "id_b"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df[["id_a", "id_b"]],
+                                preserve_index=False)
+
+
+QUERIES["image_phash_dups"] = q_image_phash_dups

@@ -880,3 +880,51 @@ def dedup_lines(
 
     return _apply_doc_removals(docs, removal_rows, id_col, text_col, nb,
                                "n_lines", per_doc)
+
+
+# ---------------------------------------------------------------------------
+def hash_near_dups(
+    ds: "ray.data.Dataset",
+    hash_col: str = "phash",
+    id_col: str = "media_id",
+    max_hamming: int = 6,
+    nb: int = 32,
+    max_bucket: int = 64,
+    stats_name: str | None = None,
+) -> "ray.data.Dataset":
+    """Near-dup pairs over ANY 64-bit hash column (perceptual image
+    pHash, audio fingerprints, simhashes computed elsewhere):
+    pigeonhole the 64 bits into ``max_hamming + 1`` blocks — a pair
+    within ``max_hamming`` differing bits must share at least one
+    identical block — bucket-shuffle on (block_id, block_value), and
+    verify candidates by exact hamming distance inside each bucket.
+    Same scale shape as simhash_near_dups (one bucket shuffle, counted
+    truncation guard via ``max_bucket``/``stats_name``)."""
+    b = max_hamming + 1
+    if not (2 <= b <= 64):
+        raise ValueError(f"hash_near_dups: max_hamming must be in "
+                         f"[1, 63], got {max_hamming}")
+    widths = [64 // b + (1 if i < 64 % b else 0) for i in range(b)]
+    shifts = np.cumsum([0] + widths[:-1]).astype(np.uint64)
+    masks = np.array([(1 << w) - 1 for w in widths], np.uint64)
+    threshold = 1.0 - max_hamming / 64.0 - 1e-9
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        h = batch.column(hash_col).to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        n = len(ids)
+        blocks = (h[:, None] >> shifts[None, :]) & masks[None, :]
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids.astype(np.int64), b)),
+            "band_id": pa.array(np.tile(np.arange(b, dtype=np.int32), n)),
+            "band_key": pa.array(blocks.reshape(-1).view(np.int64)),
+            "sig": pa.array([h[i].tobytes() for i in range(n)
+                             for _ in range(b)], pa.binary()),
+        })
+
+    rows = ds.map_batches(band_rows, batch_format="pyarrow",
+                          batch_size=65536)
+    pairs = _bucketed_pairs(rows, _hamming_sim, threshold, nb,
+                            max_bucket=max_bucket, stats_name=stats_name)
+    return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)

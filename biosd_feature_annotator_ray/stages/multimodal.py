@@ -330,3 +330,41 @@ def synth_media_table(n: int, seed: int = 42, payload_bytes: int = 1024,
             "mime": pa.array([mime] * n),
         }
     )
+
+
+class ImagePhashStage:
+    """binary PNG column → 64-bit perceptual hash (pHash: DCT
+    low-frequency signs) per image, for corpus-level image dedup via
+    ``stages.dedup.hash_near_dups``. ``on_error``: "raise" (default)
+    or "skip" (quarantine dirty rows). Output: the non-payload columns
+    + ``phash`` (int64 bit-pattern)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError(on_error)
+        self.payload_col, self.on_error = payload_col, on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import is_png, phash64, png_decode
+
+        blobs = batch.column(self.payload_col).to_pylist()
+        keep, hashes = [], []
+        for i, b in enumerate(blobs):
+            if not is_png(b):
+                if self.on_error == "raise":
+                    raise ValueError(f"row {i}: not a PNG payload")
+                continue
+            try:
+                _, _, px = png_decode(b)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                continue
+            keep.append(i)
+            hashes.append(phash64(px))
+        out = batch.drop_columns([self.payload_col]).take(
+            pa.array(keep, pa.int64()))
+        h = (np.array(hashes, np.uint64) if hashes
+             else np.empty(0, np.uint64))
+        return out.append_column("phash", pa.array(h.view(np.int64)))
