@@ -461,3 +461,38 @@ def phash64(px: np.ndarray, hash_size: int = 8) -> np.uint64:
         (bits.astype(np.uint64)
          << np.arange(hash_size * hash_size, dtype=np.uint64)).sum(
             dtype=np.uint64))
+
+
+def audio_fp64(samples: np.ndarray, rate: int = 16000) -> np.uint64:
+    """64-bit audio fingerprint (Haitsma–Kalker-style sign bits): mono
+    mix → 9 equal time frames × 9 log-energy spectral bands → double
+    difference (over band, then over time) → 8×8 sign bits. Gain
+    changes cancel exactly in the log-energy band difference; small
+    additive noise flips few bits; silence hashes to 0 (tolerance
+    relative to the energy range). NOT time-shift invariant — it is a
+    whole-clip near-dup hash, not a retrieval fingerprint."""
+    x = samples.astype(np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    x = x / 32768.0 if samples.dtype.kind == "i" else x
+    T, B = 9, 9
+    if len(x) < T:
+        x = np.pad(x, (0, T - len(x)))
+    E = np.empty((T, B))
+    bounds = (np.arange(T + 1) * len(x)) // T
+    for t in range(T):
+        mag = np.abs(np.fft.rfft(x[bounds[t]:bounds[t + 1]]))
+        bands = np.array_split(mag, B)
+        E[t] = [(bd ** 2).sum() for bd in bands]
+    # floor each band at 1% of the clip's mean band energy BEFORE the
+    # log: a near-empty band's raw log is dominated by whatever noise
+    # trickles in (flipping ~half the bits at SNR 30 dB); the floor
+    # scales with the signal so gain-invariance is preserved exactly
+    floor = 1e-2 * max(E.mean(), 1e-300)
+    E = np.log(np.maximum(E, floor))
+    D = np.diff(np.diff(E, axis=1), axis=0)          # (8, 8)
+    tol = 1e-9 * (1.0 + np.abs(E).max())
+    bits = (D > tol).ravel()
+    return np.uint64(
+        (bits.astype(np.uint64)
+         << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))

@@ -4291,3 +4291,38 @@ def q_image_phash_dups(sf_dir: str):
 
 
 QUERIES["image_phash_dups"] = q_image_phash_dups
+
+
+def q_audio_fp_dups(sf_dir: str):
+    """Audio near-dup detection: real WAV decode → 64-bit spectral
+    fingerprint (gain-invariant double-difference sign bits) →
+    hamming-pigeonhole LSH pairs. Rows-only (binary payloads);
+    invariances and planted recovery pinned in
+    tests/test_image_phash.py. Corpus = the deterministic synthetic
+    WAV table plus re-gained copies of every 16th clip."""
+    from ..functions.codecs import wav_decode, wav_encode
+    from ..stages.dedup import hash_near_dups
+    from ..stages.multimodal import AudioFingerprintStage, synth_media_table
+
+    media = synth_media_table(192, kind="wav")
+    payloads = media.column("payload").to_pylist()
+    extra = []
+    for i in range(0, 192, 16):
+        _, s = wav_decode(payloads[i])
+        quiet = (s.astype(np.float64) / 32768.0) * 0.35
+        extra.append({"media_id": 1000 + i,
+                      "payload": wav_encode(quiet[:, 0]),
+                      "mime": "audio/wav"})
+    corpus = pa.concat_tables(
+        [media, pa.Table.from_pylist(extra, schema=media.schema)])
+    ds = rd.from_arrow(corpus).repartition(4)
+    fp = ds.map_batches(AudioFingerprintStage(), batch_format="pyarrow",
+                        concurrency=2)
+    pairs = hash_near_dups(fp, hash_col="afp", max_hamming=4, nb=8)
+    df = (pairs.to_pandas().sort_values(["id_a", "id_b"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df[["id_a", "id_b"]],
+                                preserve_index=False)
+
+
+QUERIES["audio_fp_dups"] = q_audio_fp_dups

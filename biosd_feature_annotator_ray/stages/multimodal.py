@@ -368,3 +368,39 @@ class ImagePhashStage:
         h = (np.array(hashes, np.uint64) if hashes
              else np.empty(0, np.uint64))
         return out.append_column("phash", pa.array(h.view(np.int64)))
+
+
+class AudioFingerprintStage:
+    """binary PCM16-WAV column → 64-bit spectral fingerprint per clip
+    (Haitsma–Kalker-style double-difference sign bits; gain-invariant,
+    noise-tolerant) for corpus-level audio dedup via
+    ``stages.dedup.hash_near_dups``. ``on_error``: "raise" | "skip"."""
+
+    def __init__(self, payload_col: str = "payload",
+                 on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError(on_error)
+        self.payload_col, self.on_error = payload_col, on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import audio_fp64, is_wav, wav_decode
+
+        blobs = batch.column(self.payload_col).to_pylist()
+        keep, fps = [], []
+        for i, b in enumerate(blobs):
+            if not is_wav(b):
+                if self.on_error == "raise":
+                    raise ValueError(f"row {i}: not a WAV payload")
+                continue
+            try:
+                rate, samples = wav_decode(b)
+            except ValueError:
+                if self.on_error == "raise":
+                    raise
+                continue
+            keep.append(i)
+            fps.append(audio_fp64(samples, rate))
+        out = batch.drop_columns([self.payload_col]).take(
+            pa.array(keep, pa.int64()))
+        h = (np.array(fps, np.uint64) if fps else np.empty(0, np.uint64))
+        return out.append_column("afp", pa.array(h.view(np.int64)))

@@ -83,3 +83,51 @@ def test_hash_near_dups_validation(ray_session):
     with pytest.raises(ValueError, match="max_hamming"):
         hash_near_dups(rd.from_items([{"media_id": 1, "phash": 0}]),
                        max_hamming=0)
+
+
+def test_audio_fp_invariances():
+    from biosd_feature_annotator_ray.functions.codecs import audio_fp64
+
+    rng = np.random.default_rng(3)
+    t = np.arange(16000) / 16000.0
+    clip = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 880 * t)
+    h = audio_fp64(clip)
+    assert _ham(h, audio_fp64(clip + rng.normal(0, 0.01, clip.shape))) <= 6
+    assert _ham(h, audio_fp64(0.4 * clip)) == 0          # exact gain invariance
+    other = 0.5 * np.sin(2 * np.pi * 1313 * t) + 0.3 * np.sin(2 * np.pi * 333 * t)
+    assert _ham(h, audio_fp64(other)) >= 8
+    assert audio_fp64(np.zeros(16000)) == 0              # silence
+
+
+def test_audio_fp_stage_and_near_dups(ray_session):
+    from biosd_feature_annotator_ray.functions.codecs import wav_encode
+    from biosd_feature_annotator_ray.stages.multimodal import (
+        AudioFingerprintStage)
+
+    rng = np.random.default_rng(21)
+    t = np.arange(8000) / 16000.0
+    rows = []
+    clips = {}
+    for i in range(10):
+        f0 = 200.0 * (i + 1) * 1.13
+        clip = (0.5 * np.sin(2 * np.pi * f0 * t)
+                + 0.2 * np.sin(2 * np.pi * 2.7 * f0 * t))
+        clips[i] = clip
+        rows.append({"media_id": i, "payload": wav_encode(clip)})
+    # planted near-dups: quieter copy of 2, noisy copy of 6
+    rows.append({"media_id": 100, "payload": wav_encode(0.3 * clips[2])})
+    rows.append({"media_id": 101, "payload": wav_encode(
+        clips[6] + rng.normal(0, 0.002, len(t)))})
+    rows.append({"media_id": 999, "payload": b"not audio"})
+
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    fp = ds.map_batches(AudioFingerprintStage(on_error="skip"),
+                        batch_format="pyarrow", concurrency=2)
+    pairs = hash_near_dups(fp, hash_col="afp", max_hamming=6, nb=4)
+    got = set(map(tuple,
+                  pairs.to_pandas()[["id_a", "id_b"]].to_numpy()))
+    assert (2, 100) in got and (6, 101) in got
+    assert all(999 not in p for p in got)
+    fdf = fp.to_pandas().set_index("media_id")["afp"]
+    for a, b in got:
+        assert _ham(np.uint64(fdf[a]), np.uint64(fdf[b])) <= 6
