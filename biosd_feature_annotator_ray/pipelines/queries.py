@@ -4326,3 +4326,44 @@ def q_audio_fp_dups(sf_dir: str):
 
 
 QUERIES["audio_fp_dups"] = q_audio_fp_dups
+
+
+def q_video_phash_dups(sf_dir: str):
+    """Video near-dup detection: seek-table frame sampling → per-frame
+    perceptual hash → hamming-pigeonhole pairs (two videos sharing any
+    near-identical sampled frame pair up). Rows-only; planted recovery
+    pinned in tests/test_image_phash.py. Corpus = the deterministic
+    synthetic MPNG table plus per-frame-noised copies of every 16th
+    video."""
+    from ..functions.codecs import mpng_encode, mpng_frame, mpng_index
+    from ..stages.dedup import hash_near_dups
+    from ..stages.multimodal import VideoPhashStage, synth_media_table
+
+    media = synth_media_table(96, kind="mpng")
+    payloads = media.column("payload").to_pylist()
+    rng = np.random.default_rng(9)
+    extra = []
+    for i in range(0, 96, 16):
+        nf, fps, _ = mpng_index(payloads[i])
+        frames = []
+        for fi in range(nf):
+            _, _, px = mpng_frame(payloads[i], fi)
+            frames.append(np.clip(px.astype(np.int64)
+                                  + rng.integers(-4, 5, px.shape),
+                                  0, 255).astype(np.uint8))
+        extra.append({"media_id": 1000 + i,
+                      "payload": mpng_encode(frames, fps=fps),
+                      "mime": "video/x-mpng"})
+    corpus = pa.concat_tables(
+        [media, pa.Table.from_pylist(extra, schema=media.schema)])
+    ds = rd.from_arrow(corpus).repartition(4)
+    frames = ds.map_batches(VideoPhashStage(), batch_format="pyarrow",
+                            concurrency=2)
+    pairs = hash_near_dups(frames, max_hamming=6, nb=8)
+    df = (pairs.to_pandas().sort_values(["id_a", "id_b"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df[["id_a", "id_b"]],
+                                preserve_index=False)
+
+
+QUERIES["video_phash_dups"] = q_video_phash_dups

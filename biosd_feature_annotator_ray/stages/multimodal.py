@@ -404,3 +404,55 @@ class AudioFingerprintStage:
             pa.array(keep, pa.int64()))
         h = (np.array(fps, np.uint64) if fps else np.empty(0, np.uint64))
         return out.append_column("afp", pa.array(h.view(np.int64)))
+
+
+class VideoPhashStage:
+    """binary MPNG video column → one row PER SAMPLED FRAME with the
+    frame's 64-bit perceptual hash — the video near-dup primitive:
+    feed the frame rows to ``stages.dedup.hash_near_dups`` (pairs
+    dedup across frames, so two videos sharing ANY near-identical
+    sampled frame pair up). The seek table means un-sampled frames
+    never decode. ``on_error``: "raise" | "skip" (mp4/h264 payloads
+    always raise NotImplementedError — no ffmpeg here)."""
+
+    def __init__(self, payload_col: str = "payload",
+                 frames_per_video: int = 4, on_error: str = "raise"):
+        if on_error not in ("raise", "skip"):
+            raise ValueError(on_error)
+        self.payload_col = payload_col
+        self.frames = frames_per_video
+        self.on_error = on_error
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.codecs import (
+            is_mp4, is_mpng, mpng_frame, mpng_index, phash64)
+
+        blobs = batch.column(self.payload_col).to_pylist()
+        take_idx, frame_idx, hashes = [], [], []
+        for row, b in enumerate(blobs):
+            if is_mp4(b):
+                raise NotImplementedError(
+                    "mp4/h264 frame decode needs real codec bindings "
+                    "(mp4_parse_meta reads its metadata; pixels do not "
+                    "decode without ffmpeg)")
+            if not is_mpng(b):
+                if self.on_error == "raise":
+                    raise ValueError(f"row {row}: not an MPNG payload")
+                continue
+            nf, _fps, _ = mpng_index(b)
+            if nf == 0:
+                continue
+            sample = np.unique(np.linspace(
+                0, nf - 1, min(self.frames, nf)).astype(np.int64))
+            for fi in sample:
+                _, _, px = mpng_frame(b, int(fi))
+                take_idx.append(row)
+                frame_idx.append(int(fi))
+                hashes.append(phash64(px))
+        base = batch.drop_columns([self.payload_col]).take(
+            pa.array(take_idx, pa.int64()))
+        base = base.append_column(
+            "frame_idx", pa.array(np.array(frame_idx, np.int32)))
+        h = (np.array(hashes, np.uint64) if hashes
+             else np.empty(0, np.uint64))
+        return base.append_column("phash", pa.array(h.view(np.int64)))

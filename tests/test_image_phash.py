@@ -131,3 +131,41 @@ def test_audio_fp_stage_and_near_dups(ray_session):
     fdf = fp.to_pandas().set_index("media_id")["afp"]
     for a, b in got:
         assert _ham(np.uint64(fdf[a]), np.uint64(fdf[b])) <= 6
+
+
+def test_video_phash_near_dups(ray_session):
+    from biosd_feature_annotator_ray.functions.codecs import mpng_encode
+    from biosd_feature_annotator_ray.stages.multimodal import VideoPhashStage
+
+    rng = np.random.default_rng(31)
+    rows, vids = [], {}
+    for i in range(8):
+        frames = [rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+                  for _ in range(6)]
+        vids[i] = frames
+        rows.append({"media_id": i, "payload": mpng_encode(frames)})
+    # planted near-dup: video 100 = video 2 with per-frame noise
+    noisy = [np.clip(f.astype(int) + rng.integers(-5, 6, f.shape),
+                     0, 255).astype(np.uint8) for f in vids[2]]
+    rows.append({"media_id": 100, "payload": mpng_encode(noisy)})
+    rows.append({"media_id": 999, "payload": b"junk"})
+
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    frames = ds.map_batches(VideoPhashStage(on_error="skip"),
+                            batch_format="pyarrow", concurrency=2)
+    pairs = hash_near_dups(frames, max_hamming=6, nb=4)
+    got = set(map(tuple,
+                  pairs.to_pandas()[["id_a", "id_b"]].to_numpy()))
+    assert (2, 100) in got
+    assert all(999 not in p for p in got)
+
+
+def test_video_phash_mp4_raises(ray_session):
+    from biosd_feature_annotator_ray.functions.codecs import write_minimal_mp4
+    from biosd_feature_annotator_ray.stages.multimodal import VideoPhashStage
+
+    mp4 = write_minimal_mp4(64, 48, 10)
+    ds = rd.from_items([{"media_id": 1, "payload": mp4}])
+    with pytest.raises(Exception, match="ffmpeg|NotImplemented"):
+        ds.map_batches(VideoPhashStage(on_error="skip"),
+                       batch_format="pyarrow").materialize()
