@@ -108,32 +108,47 @@ def registrable_domain(arr: "pa.Array | pa.ChunkedArray",
 
 
 def extract_links(batch: pa.Table, html_col: str = "html",
-                  url_col: str = "url") -> pa.Table:
+                  url_col: str = "url",
+                  capture_text: bool = False) -> pa.Table:
     """Row-expanding href extraction: one output row per ``<a href=…>``
     in each page's HTML (tag and attribute case-insensitive) —
-    ``(url, link)`` with quotes/whitespace stripped. Relative links
-    (no ``scheme://``) are dropped: the host-graph consumers
-    downstream only use absolute targets, and resolving relatives
-    needs the full RFC-3986 merge — out of scope for the curation
-    kernel.
+    ``(url, link)`` with quotes/whitespace stripped, plus the
+    whitespace-collapsed ANCHOR TEXT up to the next tag when
+    ``capture_text`` (the classic entity-linking signal: what the web
+    calls the link target). Relative links (no ``scheme://``) are
+    dropped: the host-graph consumers downstream only use absolute
+    targets, and resolving relatives needs the full RFC-3986 merge —
+    out of scope for the curation kernel.
 
     Vectorization note: Arrow has no extract-ALL regex kernel, so this
     uses pandas ``str.findall`` with one compiled RE2-compatible
     pattern + ``np.repeat`` for the id carriage — no per-row Python in
     the caller's hands, and the expansion stays inside one batch."""
     import numpy as np
+    import pandas as pd
 
     html = batch.column(html_col).to_pandas().fillna("")
-    found = html.str.findall(
-        r'''(?i)<a\s[^>]*href\s*=\s*["']?([^"'\s>]+)''')
+    if capture_text:
+        found = html.str.findall(
+            r'''(?i)<a\s[^>]*href\s*=\s*["']?([^"'\s>]+)[^>]*>([^<]*)''')
+        flat_l = [u for links in found for (u, _t) in links]
+        flat_t = [" ".join(t.split()) for links in found
+                  for (_u, t) in links]
+    else:
+        found = html.str.findall(
+            r'''(?i)<a\s[^>]*href\s*=\s*["']?([^"'\s>]+)''')
+        flat_l = [u for links in found for u in links]
+        flat_t = None
     counts = np.fromiter((len(x) for x in found), dtype=np.int64,
                          count=len(found))
-    flat = [u for links in found for u in links]
     idx = np.repeat(np.arange(len(found)), counts)
-    out = pa.table({
+    cols = {
         url_col: batch.column(url_col).take(pa.array(idx)),
-        "link": pa.array(flat, pa.string()),
-    })
+        "link": pa.array(flat_l, pa.string()),
+    }
+    if flat_t is not None:
+        cols["anchor"] = pa.array(flat_t, pa.string())
+    out = pa.table(cols)
     absolute = pc.match_substring_regex(
         out.column("link"), r"^[A-Za-z][A-Za-z0-9+.\-]*://")
     return out.filter(absolute)

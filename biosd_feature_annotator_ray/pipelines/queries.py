@@ -4367,3 +4367,51 @@ def q_video_phash_dups(sf_dir: str):
 
 
 QUERIES["video_phash_dups"] = q_video_phash_dups
+
+
+def q_anchor_text_entities(sf_dir: str):
+    """KG entity-candidate mining from anchor text: extract links WITH
+    their anchor strings, normalize, aggregate per (dst_host, anchor)
+    and keep each target host's dominant anchor — the classic
+    anchor-text entity-label signal. Rows-only (pages synthesized in
+    the query); extraction pinned in tests/test_urls.py."""
+    from ray.data.aggregate import Count
+
+    from ..functions.urls import extract_links, url_host
+    from ..stages.canonicalize import groupby_argmax
+
+    ents = ["Alan Turing", "Ada Lovelace", "Grace Hopper", "Kurt Godel"]
+    hosts = ["people.example.com", "bios.example.org"]
+    rows = []
+    for i in range(400):
+        e = ents[i % len(ents)]
+        h = hosts[i % len(hosts)]
+        slug = e.lower().replace(" ", "-")
+        # every 7th page links with a noisy anchor
+        anchor = e if i % 7 else f"the page about {e}"
+        rows.append({
+            "url": f"https://site{i % 5}.example.net/p/{i}",
+            "html": f'<p>x</p><a href="https://{h}/{slug}">{anchor}</a>',
+        })
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    def links(batch: pa.Table) -> pa.Table:
+        out = extract_links(batch, capture_text=True)
+        import pyarrow.compute as pac
+        return pa.table({
+            "target": out.column("link"),
+            "dst_host": url_host(out.column("link")),
+            "anchor": pac.utf8_lower(out.column("anchor")),
+        })
+
+    counted = (pages.map_batches(links, batch_format="pyarrow")
+               .groupby(["target", "dst_host", "anchor"])
+               .aggregate(Count(alias_name="n")))
+    best = groupby_argmax(counted, ["target"], ["n", "anchor"],
+                          [False, True], nb=8)
+    df = (best.to_pandas().sort_values("target").reset_index(drop=True)
+          [["target", "dst_host", "anchor", "n"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["anchor_text_entities"] = q_anchor_text_entities

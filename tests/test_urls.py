@@ -177,3 +177,23 @@ def test_review_regressions():
     v6 = ["https://[2001:DB8::1]:8080/a/b", "https://user:p@[::1]/x"]
     assert url_host(pa.array(v6)).to_pylist() == \
         [urlsplit(u).hostname for u in v6]
+
+
+def test_extract_links_anchor_text():
+    from biosd_feature_annotator_ray.functions.urls import extract_links
+
+    t = pa.table({
+        "url": ["https://a.com/1"],
+        "html": ['<a href="https://x.com/p">Click  \n here</a>'
+                 '<A HREF="https://y.com" class="z">Entity Name</A>'
+                 '<a href="https://z.com/img"><img src="i.png"></a>'
+                 '<a href="/rel">dropped</a>'],
+    })
+    out = extract_links(t, capture_text=True)
+    assert out.column("link").to_pylist() == [
+        "https://x.com/p", "https://y.com", "https://z.com/img"]
+    assert out.column("anchor").to_pylist() == [
+        "Click here", "Entity Name", ""]
+    # capture_text=False keeps the two-column shape
+    out2 = extract_links(t)
+    assert out2.column_names == ["url", "link"]
