@@ -4029,9 +4029,11 @@ ORACLES["cube_orders"] = (
 def q_url_features(sf_dir: str):
     """Vectorized URL curation features (host / registrable domain /
     path depth / tracking-param-stripped canonical url) over a
-    deterministic synthetic crawl-URL table — rows-only: no url column
-    exists in the SQL test tables; semantics pinned vs urllib.parse in
-    tests."""
+    deterministic synthetic crawl-URL table. Fully oracled: the SQL
+    twin regenerates the same URLs with generate_series and mirrors
+    every kernel (host regex, suffix-set domain heuristic, segment
+    count, anchored tracking-param strip) in DuckDB regexp functions;
+    semantics additionally pinned vs urllib.parse in tests."""
     from ..functions.urls import url_features
 
     hosts = ["www.example.com", "sub.domain.co.uk", "cdn.example.com",
@@ -4050,6 +4052,40 @@ def q_url_features(sf_dir: str):
 
 
 QUERIES["url_features"] = q_url_features
+
+# Full SQL twin: rebuild the synthetic URL table with generate_series
+# and mirror each urls.py kernel in DuckDB regexp functions. The
+# suffix list must stay in sync with urls._TWO_LABEL_SUFFIXES.
+ORACLES["url_features"] = (
+    "WITH hosts AS (SELECT ['www.example.com','sub.domain.co.uk',"
+    "'cdn.example.com','a.b.site.org','shop.example.com.au'] AS h),"
+    " pages AS (SELECT i AS page_id,"
+    "  'https://' || h[(i % 5) + 1] || '/p/' || (i % 7) || '/' || i ||"
+    "  CASE WHEN i % 3 = 0 THEN '?utm_source=s&utm_medium=m' ELSE '' END AS url"
+    "  FROM generate_series(0, 399) t(i) CROSS JOIN hosts),"
+    " f AS (SELECT page_id, url,"
+    "  lower(regexp_extract(url,"
+    "   '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS host,"
+    "  regexp_replace(regexp_replace(url,"
+    "   '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*', ''), '[?#].*$', '') AS path,"
+    "  regexp_replace(regexp_replace(regexp_replace(regexp_replace(url,"
+    "   '([?&])(?:utm_[A-Za-z0-9_]+|gclid|fbclid|msclkid)=[^&#]*', '\\1', 'g'),"
+    "   '&&+', '&', 'g'), '\\?&+', '?', 'g'), '[?&]+(#|$)', '\\1', 'g')"
+    "   AS canonical_url FROM pages),"
+    " d AS (SELECT *, string_split(host, '.') AS parts,"
+    "  len(string_split(host, '.')) AS np FROM f)"
+    " SELECT page_id, url, host,"
+    " CASE WHEN regexp_matches(host, '^(?:\\d{1,3}\\.){3}\\d{1,3}$|:') THEN host"
+    "  WHEN np >= 3 AND list_contains(['co.uk','org.uk','ac.uk','gov.uk',"
+    "   'com.au','net.au','org.au','co.jp','ne.jp','or.jp','com.br','com.cn',"
+    "   'com.mx','co.in','co.nz','com.sg','com.tr','co.za','com.ar','co.kr'],"
+    "   parts[np-1] || '.' || parts[np])"
+    "   THEN parts[np-2] || '.' || parts[np-1] || '.' || parts[np]"
+    "  WHEN np >= 2 THEN parts[np-1] || '.' || parts[np]"
+    "  ELSE host END AS domain,"
+    " CAST(len(regexp_extract_all(path, '/[^/]')) AS INTEGER) AS path_depth,"
+    " canonical_url FROM d"
+)
 
 
 def q_dedup_spans(sf_dir: str):
@@ -4086,9 +4122,10 @@ QUERIES["dedup_spans"] = q_dedup_spans
 def q_link_host_graph(sf_dir: str):
     """Host-level link graph from raw HTML: extract_links (row-
     expanding href regex) → url_host on both ends → per-(src_host,
-    dst_host) edge weights. Rows-only: pages are synthesized
-    deterministically in the query (no html column in the SQL
-    tables); the extraction kernel is pinned in tests/test_urls.py."""
+    dst_host) edge weights. Fully oracled: the SQL twin rebuilds the
+    same synthetic HTML with generate_series and independently
+    re-extracts hrefs with DuckDB regexp_extract_all + the same host
+    regex — an end-to-end second implementation of the extraction."""
     from ray.data.aggregate import Count
 
     from ..functions.urls import extract_links, url_host
@@ -4123,6 +4160,28 @@ def q_link_host_graph(sf_dir: str):
 
 
 QUERIES["link_host_graph"] = q_link_host_graph
+
+# SQL twin that re-extracts the hrefs itself (regexp_extract_all over
+# the regenerated HTML) rather than shortcutting to the intended hosts
+# — it independently verifies the extraction kernel end to end.
+ORACLES["link_host_graph"] = (
+    "WITH hosts AS (SELECT ['a.example.com','b.example.com',"
+    "'c.example.org','d.example.net'] AS h),"
+    " pages AS (SELECT i, h[(i % 4) + 1] AS src,"
+    "  '<p>x</p><a href=\"https://' || h[((i + 1) % 4) + 1] || '/p/' || i"
+    "   || '\">t</a><a class=\"z\" href=''https://'"
+    "   || h[((i * 7 + 2) % 4) + 1] || '/q''>u</a>'"
+    "   || '<a href=\"/relative/' || i || '\">skip</a>' AS html"
+    "  FROM generate_series(0, 299) AS t(i) CROSS JOIN hosts),"
+    " links AS (SELECT src, unnest(regexp_extract_all(html,"
+    "  '(?i)<a\\s[^>]*href\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1)) AS link"
+    "  FROM pages),"
+    " abs_links AS (SELECT src AS src_host, lower(regexp_extract(link,"
+    "  '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host"
+    "  FROM links WHERE regexp_matches(link, '^[A-Za-z][A-Za-z0-9+.\\-]*://'))"
+    " SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links"
+    " FROM abs_links GROUP BY 1, 2"
+)
 
 
 def q_pca_embeddings(sf_dir: str):
@@ -4373,8 +4432,10 @@ def q_anchor_text_entities(sf_dir: str):
     """KG entity-candidate mining from anchor text: extract links WITH
     their anchor strings, normalize, aggregate per (dst_host, anchor)
     and keep each target host's dominant anchor — the classic
-    anchor-text entity-label signal. Rows-only (pages synthesized in
-    the query); extraction pinned in tests/test_urls.py."""
+    anchor-text entity-label signal. Fully oracled: the SQL twin
+    regenerates the pages and re-extracts href AND anchor text with
+    DuckDB regexp_extract named groups, then replays the argmax with
+    a row_number window."""
     from ray.data.aggregate import Count
 
     from ..functions.urls import extract_links, url_host
@@ -4415,3 +4476,230 @@ def q_anchor_text_entities(sf_dir: str):
 
 
 QUERIES["anchor_text_entities"] = q_anchor_text_entities
+
+ORACLES["anchor_text_entities"] = (
+    "WITH ents AS (SELECT ['Alan Turing','Ada Lovelace','Grace Hopper',"
+    "'Kurt Godel'] AS e, ['people.example.com','bios.example.org'] AS h),"
+    " pages AS (SELECT i, '<p>x</p><a href=\"https://' || h[(i % 2) + 1]"
+    "  || '/' || lower(replace(e[(i % 4) + 1], ' ', '-')) || '\">'"
+    "  || CASE WHEN i % 7 = 0 THEN 'the page about ' || e[(i % 4) + 1]"
+    "     ELSE e[(i % 4) + 1] END || '</a>' AS html"
+    "  FROM generate_series(0, 399) t(i) CROSS JOIN ents),"
+    " ext AS (SELECT regexp_extract(html,"
+    "  '(?i)<a\\s[^>]*href\\s*=\\s*[\"'']?([^\"''\\s>]+)[^>]*>([^<]*)',"
+    "  ['u', 't']) AS m FROM pages),"
+    " rows_ AS (SELECT m.u AS target, lower(regexp_extract(m.u,"
+    "  '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/?#@]*@)?([^/?#:]+)', 1)) AS dst_host,"
+    "  lower(trim(regexp_replace(m.t, '\\s+', ' ', 'g'))) AS anchor"
+    "  FROM ext WHERE regexp_matches(m.u, '^[A-Za-z][A-Za-z0-9+.\\-]*://')),"
+    " counted AS (SELECT target, dst_host, anchor,"
+    "  CAST(count(*) AS BIGINT) AS n FROM rows_ GROUP BY 1, 2, 3)"
+    " SELECT target, dst_host, anchor, n FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY target"
+    "   ORDER BY n DESC, anchor ASC) AS rn FROM counted) WHERE rn = 1"
+)
+
+
+# ---------------------------------------------------------------------------
+# Structured-data extraction (stages/structured.py): the web's
+# machine-readable entity layer → triples. Each query synthesizes its
+# page corpus deterministically (no html column in the SQL test
+# tables) and its oracle REGENERATES the corpus in SQL and re-extracts
+# with DuckDB regexp + JSON functions — an independent second
+# implementation, not a shortcut to the intended values.
+
+
+def q_jsonld_triples(sf_dir: str):
+    """JSON-LD block → (url, subj, pred, obj) triples: the
+    highest-precision KG-construction source on the web. Corpus mixes
+    pages with a flat schema.org entity (string/number/bool scalars +
+    a string array), pages with NO block, and pages with INVALID
+    JSON; the extractor must fan out the array, stringify the number
+    via its JSON text, and drop the bad/missing blocks. Fully oracled
+    (DuckDB json_keys/json_extract twin; nested-object recursion is
+    covered by pytest, not this flat corpus)."""
+    from ..stages.structured import extract_jsonld
+
+    types = ["Person", "Organization", "Place", "Event"]
+    rows = []
+    for i in range(300):
+        url = f"https://site.test/p/{i}"
+        if i % 7 == 3:
+            html = "<html><body>no structured data</body></html>"
+        elif i % 11 == 5:
+            html = '<script type="application/ld+json">{bad</script>'
+        else:
+            block = ('{"@context":"https://schema.org",'
+                     f'"@id":"https://kg.test/e/{i % 40}",'
+                     f'"@type":"{types[i % 4]}",'
+                     f'"name":"Entity {i % 40}",'
+                     f'"rank":{i % 9},'
+                     f'"tags":["t{i % 3}","t{(i + 1) % 3}"]}}')
+            html = ('<html><head><script type="application/ld+json">'
+                    + block + '</script></head></html>')
+        rows.append({"url": url, "html": html})
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = pages.map_batches(extract_jsonld, batch_format="pyarrow",
+                            batch_size=4096)
+    df = (out.to_pandas().sort_values(["url", "subj", "pred", "obj"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["jsonld_triples"] = q_jsonld_triples
+
+ORACLES["jsonld_triples"] = (
+    "WITH pages AS (SELECT i, 'https://site.test/p/' || i AS url,"
+    " CASE WHEN i % 7 = 3 THEN '<html><body>no structured data</body></html>'"
+    "  WHEN i % 11 = 5 THEN"
+    "   '<script type=\"application/ld+json\">{bad</script>'"
+    "  ELSE '<html><head><script type=\"application/ld+json\">"
+    "{\"@context\":\"https://schema.org\",\"@id\":\"https://kg.test/e/'"
+    "   || (i%40) || '\",\"@type\":\"'"
+    "   || (['Person','Organization','Place','Event'])[(i%4)+1]"
+    "   || '\",\"name\":\"Entity ' || (i%40) || '\",\"rank\":' || (i%9)"
+    "   || ',\"tags\":[\"t' || (i%3) || '\",\"t' || ((i+1)%3)"
+    "   || '\"]}</script></head></html>' END AS html"
+    " FROM generate_series(0, 299) t(i)),"
+    " blocks AS (SELECT url, regexp_extract(html,"
+    "  '(?is)<script[^>]*type\\s*=\\s*[\"'']application/ld\\+json[\"'']"
+    "[^>]*>(.*?)</script>', 1) AS raw FROM pages),"
+    " valid AS (SELECT url, raw,"
+    "  json_extract_string(raw, '$.\"@id\"') AS subj"
+    "  FROM blocks WHERE raw <> '' AND json_valid(raw)),"
+    " keyed AS (SELECT url, subj, raw, unnest(json_keys(raw)) AS k FROM valid),"
+    " scalars AS (SELECT url, subj, k AS pred,"
+    "  json_extract_string(raw, '$.\"' || k || '\"') AS obj FROM keyed"
+    "  WHERE k NOT IN ('@context','@id')"
+    "   AND json_type(raw, '$.\"' || k || '\"') <> 'ARRAY'),"
+    " arrays AS (SELECT url, subj, k AS pred,"
+    "  unnest(from_json(json_extract(raw, '$.\"' || k || '\"'),"
+    "   '[\"varchar\"]')) AS obj FROM keyed"
+    "  WHERE k NOT IN ('@context','@id')"
+    "   AND json_type(raw, '$.\"' || k || '\"') = 'ARRAY')"
+    " SELECT url, subj, pred, obj FROM scalars"
+    " UNION ALL SELECT url, subj, pred, obj FROM arrays"
+)
+
+
+def q_og_meta(sf_dir: str):
+    """OpenGraph <meta property=… content=…> extraction (both
+    attribute orders), filtered to the og: prefix — the page-level
+    entity-card signal. Fully oracled: the SQL twin tokenizes meta
+    TAGS with regexp_extract_all and re-extracts property/content
+    per tag."""
+    from ..stages.structured import extract_meta_properties
+
+    rows = []
+    for i in range(300):
+        rows.append({
+            "url": f"https://m.test/{i}",
+            "html": (
+                f'<head><meta property="og:title" content="Title {i % 20}" />'
+                f'<meta content="Desc {i % 7}" property="og:description">'
+                f'<meta property="og:site_name"   content="Site{i % 3}">'
+                f'<meta property="twitter:card" content="summary">'
+                f'<meta name="viewport" content="width=device-width"></head>'),
+        })
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = pages.map_batches(extract_meta_properties,
+                            batch_format="pyarrow", batch_size=4096)
+    df = (out.to_pandas().sort_values(["url", "property", "content"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["og_meta"] = q_og_meta
+
+ORACLES["og_meta"] = (
+    "WITH pages AS (SELECT 'https://m.test/' || i AS url,"
+    " '<head><meta property=\"og:title\" content=\"Title ' || (i%20)"
+    " || '\" /><meta content=\"Desc ' || (i%7)"
+    " || '\" property=\"og:description\">"
+    "<meta property=\"og:site_name\"   content=\"Site' || (i%3)"
+    " || '\"><meta property=\"twitter:card\" content=\"summary\">"
+    "<meta name=\"viewport\" content=\"width=device-width\"></head>' AS html"
+    " FROM generate_series(0, 299) t(i)),"
+    " tags AS (SELECT url,"
+    "  unnest(regexp_extract_all(html, '(?i)<meta\\s[^>]*>')) AS tag"
+    "  FROM pages),"
+    " kv AS (SELECT url,"
+    "  regexp_extract(tag, '(?i)\\sproperty\\s*=\\s*[\"'']([^\"'']+)[\"'']',"
+    "   1) AS property,"
+    "  regexp_extract(tag, '(?i)\\scontent\\s*=\\s*[\"'']([^\"'']*)[\"'']',"
+    "   1) AS content,"
+    "  regexp_matches(tag, '(?i)\\sproperty\\s*=\\s*[\"'']')"
+    "   AND regexp_matches(tag, '(?i)\\scontent\\s*=\\s*[\"'']') AS ok"
+    "  FROM tags)"
+    " SELECT url, property, content FROM kv"
+    " WHERE ok AND property LIKE 'og:%'"
+)
+
+
+def q_microdata_pairs(sf_dir: str):
+    """HTML5-microdata itemprop extraction (meta/content form + inline
+    text form, whitespace-collapsed) over a synthetic person-card
+    corpus. Fully oracled: the meta form re-extracts per tag; the
+    text form uses DuckDB's aligned-list lockstep unnest over three
+    parallel regexp_extract_all group pulls, filtering <meta> by tag
+    name (RE2 has no lookahead — the Python kernel's (?!meta) guard
+    is mirrored as a post-filter)."""
+    from ..stages.structured import extract_microdata
+
+    rows = []
+    for i in range(300):
+        gender = "female" if i % 2 else "male"
+        rows.append({
+            "url": f"https://p.test/{i}",
+            "html": (
+                f'<div itemscope itemtype="https://schema.org/Person">'
+                f'<span itemprop="name">Person   {i % 25}</span>'
+                f'<meta itemprop="gender" content="{gender}">'
+                f'<a itemprop="url" href="https://p.test/h/{i % 25}">'
+                f'profile</a></div>'),
+        })
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = pages.map_batches(extract_microdata, batch_format="pyarrow",
+                            batch_size=4096)
+    df = (out.to_pandas().sort_values(["url", "itemprop", "value"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["microdata_pairs"] = q_microdata_pairs
+
+ORACLES["microdata_pairs"] = (
+    "WITH pages AS (SELECT 'https://p.test/' || i AS url,"
+    " '<div itemscope itemtype=\"https://schema.org/Person\">"
+    "<span itemprop=\"name\">Person   ' || (i%25) || '</span>"
+    "<meta itemprop=\"gender\" content=\"'"
+    " || CASE WHEN i % 2 = 1 THEN 'female' ELSE 'male' END"
+    " || '\"><a itemprop=\"url\" href=\"https://p.test/h/' || (i%25)"
+    " || '\">profile</a></div>' AS html"
+    " FROM generate_series(0, 299) t(i)),"
+    " metatags AS (SELECT url,"
+    "  unnest(regexp_extract_all(html, '(?i)<meta\\s[^>]*>')) AS tag"
+    "  FROM pages),"
+    " metakv AS (SELECT url, regexp_extract(tag,"
+    "   '(?i)itemprop\\s*=\\s*[\"'']([^\"'']+)[\"'']', 1) AS itemprop,"
+    "  regexp_extract(tag,"
+    "   '(?i)\\scontent\\s*=\\s*[\"'']([^\"'']*)[\"'']', 1) AS value,"
+    "  regexp_matches(tag, '(?i)itemprop\\s*=\\s*[\"'']')"
+    "   AND regexp_matches(tag, '(?i)\\scontent\\s*=\\s*[\"'']') AS ok"
+    "  FROM metatags),"
+    " textkv AS (SELECT url,"
+    "  unnest(regexp_extract_all(html,"
+    "   '(?i)<(\\w+)\\s[^>]*itemprop\\s*=\\s*[\"'']([^\"'']+)[\"'']"
+    "[^>]*>([^<]*)', 1)) AS tagname,"
+    "  unnest(regexp_extract_all(html,"
+    "   '(?i)<(\\w+)\\s[^>]*itemprop\\s*=\\s*[\"'']([^\"'']+)[\"'']"
+    "[^>]*>([^<]*)', 2)) AS itemprop,"
+    "  unnest(regexp_extract_all(html,"
+    "   '(?i)<(\\w+)\\s[^>]*itemprop\\s*=\\s*[\"'']([^\"'']+)[\"'']"
+    "[^>]*>([^<]*)', 3)) AS rawtext"
+    "  FROM pages)"
+    " SELECT url, itemprop, value FROM metakv WHERE ok"
+    " UNION ALL SELECT url, itemprop,"
+    "  trim(regexp_replace(rawtext, '\\s+', ' ', 'g')) AS value"
+    " FROM textkv WHERE lower(tagname) <> 'meta'"
+)
