@@ -4703,3 +4703,128 @@ ORACLES["microdata_pairs"] = (
     "  trim(regexp_replace(rawtext, '\\s+', ' ', 'g')) AS value"
     " FROM textkv WHERE lower(tagname) <> 'meta'"
 )
+
+
+def q_pii_redact(sf_dir: str):
+    """Typed PII detection + redaction (functions/pii.py) over the
+    documents table, deterministically AUGMENTED per doc_id with one
+    of four planted PII shapes (email / phone / IP / credit card) so
+    every class has real matches. Counts are per-class on the
+    original text; redaction applies the fixed class order. Fully
+    oracled: DuckDB shares the RE2 engine, so the regexp twin is
+    byte-exact."""
+    from ..functions.pii import detect_pii, redact_pii
+
+    def augment(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df["doc_id"]
+        mod = d % 5
+        tail = d.astype(str).copy()
+        tail[:] = " no pii here"
+        tail[mod == 0] = (" Contact: user" + d.astype(str)
+                          + "@example.com now.")
+        tail[mod == 1] = (" Call +1 (555) 010-"
+                          + (d % 10000).astype(int).map("{:04d}".format)
+                          + " today")
+        tail[mod == 2] = (" Server at 10." + (d % 256).astype(str)
+                          + ".0." + (d % 100).astype(str) + " port 80")
+        tail[mod == 3] = (" Card 4111 1111 1111 "
+                          + (d % 10000).astype(int).map("{:04d}".format)
+                          + " expired")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(df["text"].fillna("") + tail, pa.string()),
+        })
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(augment, batch_format="pyarrow", batch_size=65536)
+           .map_batches(detect_pii, batch_format="pyarrow",
+                        batch_size=65536)
+           .map_batches(redact_pii, batch_format="pyarrow",
+                        batch_size=65536))
+    df = (out.select_columns(["doc_id", "n_email", "n_cc", "n_phone",
+                              "n_ip", "text_redacted"])
+          .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["pii_redact"] = q_pii_redact
+
+ORACLES["pii_redact"] = (
+    "WITH aug AS (SELECT doc_id, coalesce(text,'')"
+    " || CASE CAST(doc_id % 5 AS INTEGER)"
+    " WHEN 0 THEN ' Contact: user' || doc_id || '@example.com now.'"
+    " WHEN 1 THEN ' Call +1 (555) 010-'"
+    "  || lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') || ' today'"
+    " WHEN 2 THEN ' Server at 10.' || (doc_id % 256) || '.0.'"
+    "  || (doc_id % 100) || ' port 80'"
+    " WHEN 3 THEN ' Card 4111 1111 1111 '"
+    "  || lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') || ' expired'"
+    " ELSE ' no pii here' END AS t FROM documents)"
+    " SELECT doc_id,"
+    " CAST(len(regexp_extract_all(t,"
+    "  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}')) AS INTEGER)"
+    "  AS n_email,"
+    " CAST(len(regexp_extract_all(t,"
+    "  '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b')) AS INTEGER) AS n_cc,"
+    " CAST(len(regexp_extract_all(t,"
+    "  '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]\\d{2,4}'))"
+    "  AS INTEGER) AS n_phone,"
+    " CAST(len(regexp_extract_all(t,"
+    "  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INTEGER) AS n_ip,"
+    " regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,"
+    "  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',"
+    "  '[EMAIL]', 'g'),"
+    "  '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '[CC]', 'g'),"
+    "  '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]\\d{2,4}',"
+    "  '[PHONE]', 'g'),"
+    "  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS text_redacted"
+    " FROM aug"
+)
+
+
+def q_sentence_split(sf_dir: str):
+    """Row-expanding sentence segmentation over the documents table
+    (text deterministically augmented with terminator punctuation —
+    the synthetic corpus has none) with per-sentence token/char
+    stats. Fully oracled: DuckDB string_split_regex + lockstep
+    aligned-list unnest + row_number replays the same RE2 rule."""
+    from ..stages.textstats import split_sentences
+
+    def augment(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        t = df["text"].fillna("")
+        aug = ("First bit. " + t.str.slice(0, 40) + "! Then  "
+               + t.str.slice(40, 70) + "? End "
+               + df["doc_id"].astype(str) + ".")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text": pa.array(aug, pa.string())})
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(augment, batch_format="pyarrow", batch_size=65536)
+           .map_batches(split_sentences, batch_format="pyarrow",
+                        batch_size=65536))
+    df = (out.to_pandas().sort_values(["doc_id", "sent_idx"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["sentence_split"] = q_sentence_split
+
+ORACLES["sentence_split"] = (
+    "WITH aug AS (SELECT doc_id,"
+    " 'First bit. ' || substr(coalesce(text,''),1,40) || '! Then  ' ||"
+    " substr(coalesce(text,''),41,30) || '? End ' || doc_id || '.' AS t"
+    " FROM documents),"
+    " segs AS (SELECT doc_id,"
+    "  unnest(string_split_regex(t, '[.!?]+\\s+')) AS s,"
+    "  unnest(range(len(string_split_regex(t, '[.!?]+\\s+')))) AS raw_idx"
+    "  FROM aug),"
+    " kept AS (SELECT doc_id, trim(s) AS sentence, raw_idx FROM segs"
+    "  WHERE trim(s) <> '')"
+    " SELECT doc_id,"
+    " CAST(row_number() OVER (PARTITION BY doc_id ORDER BY raw_idx) - 1"
+    "  AS INTEGER) AS sent_idx, sentence,"
+    " CAST(len(regexp_extract_all(sentence, '\\S+')) AS INTEGER) AS n_tokens,"
+    " CAST(length(sentence) AS INTEGER) AS n_chars FROM kept"
+)
