@@ -4828,3 +4828,86 @@ ORACLES["sentence_split"] = (
     " CAST(len(regexp_extract_all(sentence, '\\S+')) AS INTEGER) AS n_tokens,"
     " CAST(length(sentence) AS INTEGER) AS n_chars FROM kept"
 )
+
+
+def q_pmi_cooccur(sf_dir: str):
+    """Token co-occurrence PMI over the documents table: bounded
+    vocabulary (top-50 by document frequency, min_df 2, ties by token
+    asc), per-document distinct token sets, pmi = ln(n_ab·N /
+    (df_a·df_b)) rounded to 6 dp. Map-side pair expansion +
+    pre-aggregation; the global shuffle carries ≤ V²/2 rows."""
+    from ..stages.textstats import cooccurrence_pmi
+
+    return cooccurrence_pmi(_docs(sf_dir, ["doc_id", "text"]),
+                            max_vocab=50, min_df=2)
+
+
+QUERIES["pmi_cooccur"] = q_pmi_cooccur
+
+ORACLES["pmi_cooccur"] = (
+    "WITH toks AS (SELECT DISTINCT doc_id, t FROM (SELECT doc_id,"
+    "  unnest(regexp_split_to_array(trim(lower(coalesce(text,''))),"
+    "   '\\s+')) AS t FROM documents) WHERE t <> ''),"
+    " df AS (SELECT t, count(*) AS df FROM toks GROUP BY t"
+    "  HAVING count(*) >= 2),"
+    " vocab AS (SELECT t, df FROM df ORDER BY df DESC, t ASC LIMIT 50),"
+    " vt AS (SELECT doc_id, toks.t, vocab.df FROM toks"
+    "  JOIN vocab ON toks.t = vocab.t),"
+    " nn AS (SELECT count(*) AS n FROM documents),"
+    " pairs AS (SELECT a.t AS tok_a, b.t AS tok_b,"
+    "  CAST(count(*) AS BIGINT) AS n_ab, any_value(a.df) AS dfa,"
+    "  any_value(b.df) AS dfb FROM vt a"
+    "  JOIN vt b ON a.doc_id = b.doc_id AND a.t < b.t GROUP BY 1, 2)"
+    " SELECT tok_a, tok_b, n_ab,"
+    " round(ln(CAST(n_ab AS DOUBLE) * nn.n / (dfa * dfb)), 6) AS pmi"
+    " FROM pairs CROSS JOIN nn"
+)
+
+
+def q_bgp_match(sf_dir: str):
+    """SPARQL-style basic-graph-pattern match (graph.match_bgp) over a
+    synthesized KG: (?p worksFor ?o)(?o locatedIn ?c)(?p @type Person)
+    → (p, o, c) bindings via chained bucketed hash joins. Fully
+    oracled: the SQL twin regenerates the triples with
+    generate_series and runs the equivalent 3-way self join."""
+    from ..stages.graph import match_bgp
+
+    rows = []
+    for i in range(500):
+        rows.append({"subj": f"P{i}", "pred": "worksFor",
+                     "obj": f"O{i % 20}"})
+        rows.append({"subj": f"P{i}", "pred": "@type",
+                     "obj": "Bot" if i % 3 == 1 else "Person"})
+    for j in range(20):
+        rows.append({"subj": f"O{j}", "pred": "locatedIn",
+                     "obj": f"C{j % 7}"})
+        rows.append({"subj": f"O{j}", "pred": "@type",
+                     "obj": "Organization"})
+    triples = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = match_bgp(triples, [("?p", "worksFor", "?o"),
+                              ("?o", "locatedIn", "?c"),
+                              ("?p", "@type", "Person")], nb=8)
+    df = (out.to_pandas().sort_values(["p", "o", "c"])
+          .reset_index(drop=True)[["p", "o", "c"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["bgp_match"] = q_bgp_match
+
+ORACLES["bgp_match"] = (
+    "WITH t AS ("
+    " SELECT 'P' || i AS subj, 'worksFor' AS pred, 'O' || (i%20) AS obj"
+    "  FROM generate_series(0, 499) s(i)"
+    " UNION ALL SELECT 'P' || i, '@type',"
+    "  CASE WHEN i%3 = 1 THEN 'Bot' ELSE 'Person' END"
+    "  FROM generate_series(0, 499) s(i)"
+    " UNION ALL SELECT 'O' || j, 'locatedIn', 'C' || (j%7)"
+    "  FROM generate_series(0, 19) s(j)"
+    " UNION ALL SELECT 'O' || j, '@type', 'Organization'"
+    "  FROM generate_series(0, 19) s(j))"
+    " SELECT a.subj AS p, a.obj AS o, b.obj AS c FROM t a"
+    " JOIN t b ON a.obj = b.subj AND b.pred = 'locatedIn'"
+    " JOIN t ty ON ty.subj = a.subj AND ty.pred = '@type'"
+    "  AND ty.obj = 'Person'"
+    " WHERE a.pred = 'worksFor'"
+)

@@ -823,3 +823,71 @@ def entity_cooccurrence(
                 t.column("n_subjects"), min_count)),
             batch_format="pyarrow")
     return agg
+
+
+def match_bgp(triples: "ray.data.Dataset",
+              pattern: "list[tuple[str, str, str]]",
+              s_col: str = "subj", p_col: str = "pred",
+              o_col: str = "obj", nb: int = 32) -> "ray.data.Dataset":
+    """SPARQL-style basic-graph-pattern match over a triple Dataset
+    (graft-added, r04). ``pattern`` is a list of (s, p, o) terms; a
+    term starting with ``?`` is a variable, anything else a constant.
+    Returns a Dataset of variable BINDINGS — one column per variable,
+    one row per distinct proof path (bag semantics, exactly the SQL
+    self-join result).
+
+    Execution is Ray-Data-first: each triple pattern compiles to a
+    constant-filtered vectorized scan projected onto its variables;
+    patterns combine left-to-right with bucketed shuffle hash joins
+    on the shared variables. Every pattern after the first must share
+    ≥1 variable with the accumulated bindings — cross products are
+    rejected (at web scale an accidental cross product is a job
+    killer, not a feature). A variable repeated WITHIN one pattern
+    (e.g. ``(?x, knows, ?x)``) becomes a vectorized equality filter.
+    """
+    from .join import shuffle_hash_join
+
+    def is_var(t: str) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    def scan(tp: "tuple[str, str, str]") -> "ray.data.Dataset":
+        s, p, o = tp
+        cols = {s_col: s, p_col: p, o_col: o}
+        consts = {c: t for c, t in cols.items() if not is_var(t)}
+        out_vars: dict = {}
+        for c, t in cols.items():
+            if is_var(t):
+                out_vars.setdefault(t[1:], []).append(c)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            mask = None
+            for c, v in consts.items():
+                m = pc.equal(batch.column(c), v)
+                mask = m if mask is None else pc.and_(mask, m)
+            if mask is not None:
+                batch = batch.filter(pc.fill_null(mask, False))
+            for cs in out_vars.values():
+                if len(cs) > 1:  # same var twice in one pattern
+                    m = pc.equal(batch.column(cs[0]), batch.column(cs[1]))
+                    batch = batch.filter(pc.fill_null(m, False))
+            return pa.table({v: batch.column(cs[0])
+                             for v, cs in out_vars.items()})
+
+        return triples.map_batches(fn, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    if not pattern:
+        raise ValueError("empty pattern")
+    acc = scan(pattern[0])
+    bound = {t[1:] for t in pattern[0] if is_var(t)}
+    for tp in pattern[1:]:
+        tp_vars = {t[1:] for t in tp if is_var(t)}
+        shared = sorted(bound & tp_vars)
+        if not shared:
+            raise ValueError(
+                f"pattern {tp!r} shares no variable with {sorted(bound)}"
+                " — cross products are not supported")
+        acc = shuffle_hash_join(acc, scan(tp), on=shared, how="inner",
+                                nb=nb)
+        bound |= tp_vars
+    return acc

@@ -406,6 +406,25 @@ def top_ngrams(
     return pa.Table.from_pandas(top[["ngram", "n"]], preserve_index=False)
 
 
+def _ws_doc_tokens(batch: pa.Table, col: str):
+    """(doc_ordinal, term) pairs via Arrow kernels — lower → trim →
+    \\s+ split → drop the '' token an empty doc yields; exactly Python
+    ``text.lower().split()`` / DuckDB regexp_split_to_array(trim(
+    lower(text))) semantics. Shared by tfidf_top_terms and
+    cooccurrence_pmi."""
+    text = pc.fill_null(batch.column(col), "")
+    if text.type != pa.string():
+        text = text.cast(pa.string())
+    lists = pc.split_pattern_regex(
+        pc.utf8_trim_whitespace(pc.utf8_lower(text)), _WS)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    return parent[keep], flat.filter(pa.array(keep))
+
+
 def tfidf_top_terms(
     docs: "ray.data.Dataset",
     k: int = 5,
@@ -431,21 +450,7 @@ def tfidf_top_terms(
     from .canonicalize import distinct_counts
 
     def _tokens(batch: pa.Table):
-        """(doc_ordinal, term) pairs via Arrow kernels — trim → \\s+
-        split → drop the '' token an empty doc yields; exactly Python
-        ``text.lower().split()`` / DuckDB regexp_split_to_array(trim(
-        lower(text))) semantics."""
-        text = pc.fill_null(batch.column(col), "")
-        if text.type != pa.string():
-            text = text.cast(pa.string())
-        lists = pc.split_pattern_regex(
-            pc.utf8_trim_whitespace(pc.utf8_lower(text)), _WS)
-        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(lists)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        return parent[keep], flat.filter(pa.array(keep))
+        return _ws_doc_tokens(batch, col)
 
     def doc_distinct_terms(batch: pa.Table) -> pa.Table:
         # per-doc DISTINCT terms, no per-row Python: Arrow group_by on
@@ -1251,3 +1256,122 @@ def split_sentences(batch: pa.Table, id_col: str = "doc_id",
                             pa.int32()),
         "n_chars": pc.cast(pc.utf8_length(flat), pa.int32()),
     })
+
+
+def cooccurrence_pmi(
+    docs: "ray.data.Dataset",
+    max_vocab: int = 50,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    col: str = "text",
+    nb: int = 32,
+) -> pa.Table:
+    """Pointwise mutual information between co-occurring vocabulary
+    tokens (graft-added, r04): pmi(a,b) = ln(n_ab·N / (df_a·df_b))
+    over per-document DISTINCT token sets, with the vocabulary bounded
+    to the ``max_vocab`` highest-df tokens (ties by token asc) with
+    df ≥ ``min_df``. N is the TOTAL document-row count (null-text
+    rows included; they simply co-occur with nothing).
+
+    Scale shape: one df census (map-side doc-distinct explode +
+    bucketed distinct_counts), vocabulary broadcast via ray.put; the
+    quadratic pair expansion happens entirely MAP-SIDE per document
+    (each doc intersects the vocab, ≤ max_vocab tokens, so a doc
+    contributes ≤ V²/2 pairs) and is pre-aggregated per batch with
+    one np.unique over packed pair codes before a ≤V²/2-row global
+    groupby-sum — no shuffle ever carries per-document rows. Returns
+    the small (tok_a, tok_b, n_ab, pmi) table, tok_a < tok_b, pmi
+    rounded to 6 dp."""
+    import math
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import distinct_counts
+
+    def doc_distinct_terms(batch: pa.Table) -> pa.Table:
+        doc_i, terms = _ws_doc_tokens(batch, col)
+        pairs = pa.table({"doc_i": pa.array(doc_i), "term": terms})
+        return (pairs.group_by(["doc_i", "term"]).aggregate([])
+                .select(["term"]))
+
+    n_docs = docs.count()
+    df_tbl = distinct_counts(
+        docs.map_batches(doc_distinct_terms, batch_format="pyarrow",
+                         batch_size=65536),
+        "term", nb=nb,
+    ).to_pandas()
+    df_tbl = df_tbl[df_tbl["count"] >= min_df]
+    df_tbl = df_tbl.sort_values(["count", "term"],
+                                ascending=[False, True],
+                                kind="mergesort").head(max_vocab)
+    # lexicographic vid assignment so vid order == token order and the
+    # map-side a<b pair rule matches the SQL twin's string compare
+    df_tbl = df_tbl.sort_values("term", kind="mergesort")
+    vocab_list = list(df_tbl["term"])
+    dfs = np.asarray(df_tbl["count"], dtype=np.float64)
+    K = len(vocab_list)
+    if K < 2:
+        return pa.table({"tok_a": pa.array([], pa.string()),
+                         "tok_b": pa.array([], pa.string()),
+                         "n_ab": pa.array([], pa.int64()),
+                         "pmi": pa.array([], pa.float64())})
+    vocab_ref = _ray.put(pa.array(vocab_list, pa.string()))
+    triu_cache: dict = {}
+
+    def pairs_partial(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        vocab_arr = _r.get(vocab_ref)
+        doc_i, terms = _ws_doc_tokens(batch, col)
+        vid = pc.fill_null(pc.index_in(terms, value_set=vocab_arr),
+                           -1).to_numpy(zero_copy_only=False)
+        keep = vid >= 0
+        if not keep.any():
+            return pa.table({"ai": pa.array([], pa.int32()),
+                             "bi": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        codes = np.unique(doc_i[keep].astype(np.int64) * K + vid[keep])
+        d, v = codes // K, codes % K  # v ascending within each doc
+        _u, starts, sizes = np.unique(d, return_index=True,
+                                      return_counts=True)
+        ii, jj = [], []
+        for s, m in zip(starts, sizes):
+            if m < 2:
+                continue
+            tri = triu_cache.get(m)
+            if tri is None:
+                tri = np.triu_indices(m, 1)
+                triu_cache[m] = tri
+            ii.append(v[s + tri[0]])
+            jj.append(v[s + tri[1]])
+        if not ii:
+            return pa.table({"ai": pa.array([], pa.int32()),
+                             "bi": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64())})
+        pcodes, cnt = np.unique(
+            np.concatenate(ii) * K + np.concatenate(jj),
+            return_counts=True)
+        return pa.table({
+            "ai": pa.array((pcodes // K).astype(np.int32)),
+            "bi": pa.array((pcodes % K).astype(np.int32)),
+            "n": pa.array(cnt.astype(np.int64)),
+        })
+
+    agg = (docs.map_batches(pairs_partial, batch_format="pyarrow",
+                            batch_size=65536)
+           .groupby(["ai", "bi"]).aggregate(Sum("n", alias_name="n_ab"))
+           .to_pandas())
+    ai = agg["ai"].to_numpy()
+    bi = agg["bi"].to_numpy()
+    n_ab = agg["n_ab"].to_numpy().astype(np.int64)
+    pmi = np.round(np.log((n_ab.astype(np.float64) * float(n_docs))
+                          / (dfs[ai] * dfs[bi])), 6)
+    out = pa.table({
+        "tok_a": pa.array([vocab_list[i] for i in ai], pa.string()),
+        "tok_b": pa.array([vocab_list[i] for i in bi], pa.string()),
+        "n_ab": pa.array(n_ab, pa.int64()),
+        "pmi": pa.array(pmi, pa.float64()),
+    })
+    return out.take(pc.sort_indices(out, sort_keys=[("tok_a", "ascending"),
+                                                    ("tok_b", "ascending")]))
