@@ -4911,3 +4911,117 @@ ORACLES["bgp_match"] = (
     "  AND ty.obj = 'Person'"
     " WHERE a.pred = 'worksFor'"
 )
+
+
+def q_boilerplate_docs(sf_dir: str):
+    """Per-source boilerplate removal (dedup.remove_boilerplate,
+    CCNet frequent-paragraph pass; sep=' ' so the synthetic corpus's
+    tokens act as lines): drop every token appearing in ≥
+    max(3, ceil(0.5·group_size)) distinct docs of its source. Fully
+    oracled: DuckDB census + totals join + string_agg rebuild."""
+    from ..stages.dedup import remove_boilerplate
+
+    out = remove_boilerplate(
+        _docs(sf_dir, ["doc_id", "source", "text"]),
+        group_col="source", sep=" ", min_docs=3, min_frac=0.5)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["n_lines"] = df["n_lines"].astype("int64")
+    df["n_removed"] = df["n_removed"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["boilerplate_docs"] = q_boilerplate_docs
+
+ORACLES["boilerplate_docs"] = (
+    "WITH docs2 AS (SELECT doc_id, coalesce(source,'') AS source,"
+    "  coalesce(text,'') AS t FROM documents),"
+    " seg AS (SELECT doc_id, source,"
+    "  unnest(string_split(t, ' ')) AS line,"
+    "  unnest(range(len(string_split(t, ' ')))) AS pos FROM docs2),"
+    " tot AS (SELECT source, count(*) AS n_docs FROM docs2"
+    "  GROUP BY source),"
+    " census AS (SELECT source, line, count(DISTINCT doc_id) AS nd"
+    "  FROM seg GROUP BY 1, 2),"
+    " boiler AS (SELECT census.source, line FROM census"
+    "  JOIN tot USING (source)"
+    "  WHERE nd >= greatest(3, CAST(ceil(0.5 * n_docs) AS BIGINT))),"
+    " kept AS (SELECT seg.doc_id, seg.pos, seg.line FROM seg"
+    "  LEFT JOIN boiler ON seg.source = boiler.source"
+    "   AND seg.line = boiler.line WHERE boiler.line IS NULL),"
+    " recon AS (SELECT doc_id, string_agg(line, ' ' ORDER BY pos)"
+    "  AS text, count(*) AS n_kept FROM kept GROUP BY doc_id)"
+    " SELECT d.doc_id, coalesce(r.text, '') AS text,"
+    " CAST(len(string_split(d.t, ' ')) AS BIGINT) AS n_lines,"
+    " CAST(len(string_split(d.t, ' ')) - coalesce(r.n_kept, 0)"
+    "  AS BIGINT) AS n_removed"
+    " FROM docs2 d LEFT JOIN recon r USING (doc_id)"
+)
+
+
+def q_kg_export_ntriples(sf_dir: str):
+    """KG interchange loop: synthesize triples (URI objects, typed
+    literals, a newline/quote-bearing note every 10th subject), WRITE
+    them as N-Triples (sources/ntriples.py), READ the .nt files back,
+    and aggregate per (pred, obj_kind). Fully oracled: the SQL twin
+    computes the same aggregate from the regenerated triples WITHOUT
+    serializing — equality proves the escape/parse loop is lossless."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from ..sources.ntriples import read_ntriples, write_ntriples
+
+    rows = []
+    for i in range(500):
+        rows.append({"subj": f"https://kg.test/p/{i}", "pred": "worksFor",
+                     "obj": f"https://kg.test/org/{i % 20}"})
+        rows.append({"subj": f"https://kg.test/p/{i}", "pred": "@type",
+                     "obj": "Bot" if i % 3 == 1 else "Person"})
+        if i % 10 == 0:
+            rows.append({"subj": f"https://kg.test/p/{i}", "pred": "note",
+                         "obj": f'line1\n"q{i}"\tend\\'})
+    triples = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out_dir = tempfile.mkdtemp(prefix="ntq_")
+    try:
+        write_ntriples(triples, out_dir)
+        back = read_ntriples(out_dir)
+        agg = (back.map_batches(
+            lambda b: pa.table({
+                "pred": b.column("pred"), "obj_kind": b.column("obj_kind"),
+                "obj": b.column("obj")}),
+            batch_format="pyarrow")
+            .groupby(["pred", "obj_kind", "obj"])
+            .aggregate(Count(alias_name="n_occ")))
+        df = agg.to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    g = (df.groupby(["pred", "obj_kind"], sort=True)
+         .agg(n=("n_occ", "sum"), n_distinct_obj=("obj", "nunique"),
+              min_obj=("obj", "min"))
+         .reset_index())
+    g["n"] = g["n"].astype("int64")
+    g["n_distinct_obj"] = g["n_distinct_obj"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+QUERIES["kg_export_ntriples"] = q_kg_export_ntriples
+
+ORACLES["kg_export_ntriples"] = (
+    "WITH t AS ("
+    " SELECT 'https://kg.test/p/' || i AS subj, 'worksFor' AS pred,"
+    "  'https://kg.test/org/' || (i%20) AS obj"
+    "  FROM generate_series(0, 499) s(i)"
+    " UNION ALL SELECT 'https://kg.test/p/' || i, '@type',"
+    "  CASE WHEN i%3 = 1 THEN 'Bot' ELSE 'Person' END"
+    "  FROM generate_series(0, 499) s(i)"
+    " UNION ALL SELECT 'https://kg.test/p/' || i, 'note',"
+    "  'line1' || chr(10) || '\"q' || i || '\"' || chr(9) || 'end\\'"
+    "  FROM generate_series(0, 499) s(i) WHERE i%10 = 0),"
+    " k AS (SELECT pred, CASE WHEN regexp_matches(obj,"
+    "  '^[A-Za-z][A-Za-z0-9+.\\-]*://') THEN 'uri' ELSE 'string' END"
+    "  AS obj_kind, obj FROM t)"
+    " SELECT pred, obj_kind, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct_obj,"
+    " min(obj) AS min_obj FROM k GROUP BY 1, 2"
+)

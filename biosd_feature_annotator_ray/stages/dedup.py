@@ -928,3 +928,113 @@ def hash_near_dups(
     pairs = _bucketed_pairs(rows, _hamming_sim, threshold, nb,
                             max_bucket=max_bucket, stats_name=stats_name)
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
+
+
+def remove_boilerplate(
+    docs: "ray.data.Dataset",
+    group_col: str = "source",
+    sep: str = "\n",
+    min_docs: int = 3,
+    min_frac: "float | None" = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Per-group boilerplate-LINE removal (the CCNet "frequent
+    paragraph within a domain" pass, complementing corpus-wide
+    ``dedup_lines``): split every doc on ``sep`` and drop EVERY
+    occurrence of a line that appears in ≥ threshold distinct docs of
+    its group (host/domain/source), where threshold =
+    ``max(min_docs, ceil(min_frac × group_size))`` when ``min_frac``
+    is given, else ``min_docs``. Navigation chrome, cookie banners
+    and footers repeat across a site's pages — unlike ``dedup_lines``
+    there is no keep-first: boilerplate is noise, not content.
+
+    Scale shape: group page totals come from one small
+    ``groupby(group).count()`` broadcast via ``ray.put`` (same
+    bounded-#groups assumption as ``rebalance_sample`` — registrable
+    domains, not raw URLs); occurrences bucket-shuffle on a
+    (group, line) hash so each decision group sees every occurrence;
+    removal coordinates meet the docs in the shared
+    ``_apply_doc_removals`` doc-bucket rebuild. Output:
+    ``id_col, text (cleaned), n_lines, n_removed``."""
+    import math
+
+    import ray as _ray
+
+    if min_frac is None and min_docs < 2:
+        raise ValueError("remove_boilerplate: min_docs must be ≥ 2")
+    thresholds = None
+    if min_frac is not None:
+        tot = docs.groupby(group_col).count().to_pandas()
+        thresholds = {
+            g: max(min_docs, int(math.ceil(min_frac * int(n))))
+            for g, n in zip(tot[group_col], tot["count()"])
+        }
+    thr_ref = _ray.put(thresholds)
+
+    occ_schema = pa.schema([
+        pa.field("gh", pa.int64()), pa.field("grp", pa.string()),
+        pa.field("line", pa.string()), pa.field(id_col, pa.int64()),
+        pa.field("pos", pa.int64()),
+    ])
+
+    def occurrences(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        split = df[text_col].fillna("").str.split(sep, regex=False)
+        lengths = split.str.len().to_numpy(dtype=np.int64)
+        flat = [ln for lines in split for ln in lines]
+        if not flat:
+            return _add_bucket(occ_schema.empty_table(), ["gh"], nb)
+        doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+        grp = df[group_col].fillna("").to_numpy()[doc_idx]
+        gh = pd.util.hash_pandas_object(
+            pd.Series([g + "\x00" + ln for g, ln in zip(grp, flat)]),
+            index=False).to_numpy().view(np.int64)
+        starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+        pos = np.arange(len(flat), dtype=np.int64) - starts[doc_idx]
+        occ = pa.table({
+            "gh": pa.array(gh),
+            "grp": pa.array(grp, pa.string()),
+            "line": pa.array(flat, pa.string()),
+            id_col: pa.array(
+                df[id_col].to_numpy()[doc_idx].astype(np.int64)),
+            "pos": pa.array(pos),
+        })
+        return _add_bucket(occ, ["gh"], nb)
+
+    def removals(g: pa.Table) -> pa.Table:
+        import ray as _r
+
+        thr = _r.get(thr_ref)
+        df = g.drop_columns([_BUCKET_COL, "gh"]).to_pandas()
+        nd = df.groupby(["grp", "line"], sort=False)[id_col] \
+            .transform("nunique").to_numpy()
+        if thr is None:
+            need = np.full(len(df), min_docs, np.int64)
+        else:
+            need = df["grp"].map(thr).fillna(min_docs) \
+                .to_numpy(dtype=np.int64)
+        out = df[nd >= need]
+        return pa.table({
+            id_col: pa.array(out[id_col].to_numpy(), pa.int64()),
+            "pos": pa.array(out["pos"].to_numpy(), pa.int64()),
+        })
+
+    removal_rows = (
+        docs.map_batches(occurrences, batch_format="pyarrow",
+                         batch_size=65536)
+        .groupby(_BUCKET_COL).map_groups(removals, batch_format="pyarrow")
+    )
+
+    def per_doc(text: str, drops):
+        lines = text.split(sep)
+        if drops is None:
+            return sep.join(lines), len(lines), 0
+        mask = np.zeros(len(lines), bool)
+        mask[drops] = True
+        kept = [ln for ln, m in zip(lines, mask) if not m]
+        return sep.join(kept), len(lines), int(mask.sum())
+
+    return _apply_doc_removals(docs, removal_rows, id_col, text_col, nb,
+                               "n_lines", per_doc)
