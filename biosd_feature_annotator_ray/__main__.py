@@ -187,6 +187,45 @@ def main(argv: list[str] | None = None) -> int:
     pcx.add_argument("--max-iters", type=int, default=40)
     pcx.add_argument("--num-cpus", type=int, default=8)
 
+    pst = sub.add_parser("structured", help="structured-data extraction "
+                         "from raw HTML pages: JSON-LD triples, OpenGraph "
+                         "meta, or microdata itemprops")
+    pst.add_argument("--input", required=True,
+                     help="parquet with (url, html)")
+    pst.add_argument("--output", required=True, help="parquet dir")
+    pst.add_argument("--kind", choices=["jsonld", "og", "microdata"],
+                     default="jsonld")
+    pst.add_argument("--num-cpus", type=int, default=8)
+
+    ppi = sub.add_parser("pii", help="typed PII detection + redaction "
+                         "(email/cc/phone/ip) over a documents parquet")
+    ppi.add_argument("--input", required=True)
+    ppi.add_argument("--output", required=True)
+    ppi.add_argument("--text-col", default="text")
+    ppi.add_argument("--num-cpus", type=int, default=8)
+
+    pbp = sub.add_parser("boilerplate", help="per-group frequent-line "
+                         "removal (CCNet boilerplate pass)")
+    pbp.add_argument("--input", required=True,
+                     help="parquet with (doc_id, <group>, text)")
+    pbp.add_argument("--output", required=True)
+    pbp.add_argument("--group-col", default="source")
+    pbp.add_argument("--sep", default="\n")
+    pbp.add_argument("--min-docs", type=int, default=3)
+    pbp.add_argument("--min-frac", type=float, default=None)
+    pbp.add_argument("--buckets", type=int, default=32)
+    pbp.add_argument("--num-cpus", type=int, default=8)
+
+    pnt = sub.add_parser("ntexport", help="export a triples parquet as "
+                         "N-Triples (.nt) files")
+    pnt.add_argument("--input", required=True,
+                     help="parquet with (subj, pred, obj[, obj_kind])")
+    pnt.add_argument("--output", required=True, help=".nt directory")
+    pnt.add_argument("--obj-kind-col", default=None,
+                     help="column marking 'uri' objects (default: "
+                     "scheme:// heuristic)")
+    pnt.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -382,6 +421,79 @@ def main(argv: list[str] | None = None) -> int:
                                   "output": args.output}))
             else:
                 print(json.dumps({"pairs": out.count()}))
+            return 0
+
+        if args.cmd == "structured":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages import structured as st
+
+            fn = {"jsonld": st.extract_jsonld,
+                  "og": st.extract_meta_properties,
+                  "microdata": st.extract_microdata}[args.kind]
+            out = rd.read_parquet(args.input).map_batches(
+                fn, batch_format="pyarrow", batch_size=4096).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"rows": out.count(), "output": args.output}))
+            return 0
+
+        if args.cmd == "pii":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.functions.pii import (
+                detect_pii,
+                redact_pii,
+            )
+
+            tc = args.text_col
+            out = (rd.read_parquet(args.input)
+                   .map_batches(lambda b, c=tc: detect_pii(b, c),
+                                batch_format="pyarrow")
+                   .map_batches(lambda b, c=tc: redact_pii(b, c),
+                                batch_format="pyarrow")).materialize()
+            out.write_parquet(args.output)
+            import pyarrow.compute as pc_
+
+            tot = {f"n_{k}": 0 for k in ("email", "cc", "phone", "ip")}
+            for bt in out.iter_batches(batch_format="pyarrow"):
+                for k in tot:
+                    s = pc_.sum(bt.column(k))
+                    tot[k] += int(s.as_py() or 0)
+            print(json.dumps({"rows": out.count(), **tot,
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "boilerplate":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.dedup import (
+                remove_boilerplate,
+            )
+
+            out = remove_boilerplate(
+                rd.read_parquet(args.input), group_col=args.group_col,
+                sep=args.sep, min_docs=args.min_docs,
+                min_frac=args.min_frac, nb=args.buckets).materialize()
+            out.write_parquet(args.output)
+            df = out.to_pandas()
+            print(json.dumps({"rows": int(len(df)),
+                              "lines_removed": int(df["n_removed"].sum()),
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "ntexport":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.sources.ntriples import (
+                write_ntriples,
+            )
+
+            man = write_ntriples(rd.read_parquet(args.input), args.output,
+                                 obj_kind_col=args.obj_kind_col)
+            df = man.to_pandas()
+            print(json.dumps({"files": int(len(df)),
+                              "triples": int(df["n_triples"].sum()),
+                              "output": args.output}))
             return 0
 
         if args.cmd == "cluster":

@@ -251,3 +251,60 @@ def test_cli_spandedup_lines(ray_session, tmp_path):
     res = json.loads(out.stdout.strip().splitlines()[-1])
     # 4 "boiler" lines, the globally first survives
     assert res["docs"] == 4 and res["removed"] == 3
+
+
+def test_cli_structured_pii_boilerplate_ntexport(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    pages = pd.DataFrame({
+        "url": ["u1", "u2"],
+        "html": ['<script type="application/ld+json">'
+                 '{"@id":"e1","name":"A"}</script>'
+                 '<meta property="og:title" content="T">',
+                 "<p>none</p>"],
+    })
+    pp = str(tmp_path / "pages.parquet")
+    pages.to_parquet(pp)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2], "source": ["a"] * 3,
+        "text": ["nav\nmail a@b.co", "nav\ny", "nav\nz 10.0.0.1"],
+    })
+    dp = str(tmp_path / "docs.parquet")
+    docs.to_parquet(dp)
+    tp = str(tmp_path / "triples.parquet")
+    pd.DataFrame({"subj": ["https://e/1"], "pred": ["name"],
+                  "obj": ["A"]}).to_parquet(tp)
+
+    def run(*cmd):
+        out = subprocess.run(
+            [sys.executable, "-m", "biosd_feature_annotator_ray", *cmd,
+             "--num-cpus", "2"],
+            capture_output=True, text=True, check=True, cwd="/root/repo")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r = run("structured", "--input", pp,
+            "--output", str(tmp_path / "oj"), "--kind", "jsonld")
+    assert r["rows"] == 1
+    r = run("structured", "--input", pp,
+            "--output", str(tmp_path / "og"), "--kind", "og")
+    assert r["rows"] == 1
+
+    r = run("pii", "--input", dp, "--output", str(tmp_path / "op"))
+    assert r["n_email"] == 1 and r["n_ip"] == 1
+    red = duckdb.sql(f"SELECT text_redacted FROM"
+                     f" '{tmp_path}/op/*.parquet' WHERE doc_id = 0").df()
+    assert "[EMAIL]" in red["text_redacted"].iloc[0]
+
+    r = run("boilerplate", "--input", dp,
+            "--output", str(tmp_path / "ob"), "--min-docs", "3")
+    assert r["lines_removed"] == 3
+
+    r = run("ntexport", "--input", tp, "--output", str(tmp_path / "nt"))
+    assert r["triples"] == 1
+    from biosd_feature_annotator_ray.sources.ntriples import read_ntriples
+    assert read_ntriples(str(tmp_path / "nt")).count() == 1
