@@ -5025,3 +5025,78 @@ ORACLES["kg_export_ntriples"] = (
     " CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct_obj,"
     " min(obj) AS min_obj FROM k GROUP BY 1, 2"
 )
+
+
+def q_entity_label_fusion(sf_dir: str):
+    """KG label fusion — the flagship-adjacent composition: the SAME
+    entity URIs appear as JSON-LD subjects (structured ``name``) and
+    as link targets (anchor text); extract both, take min(name) and
+    the dominant anchor per entity, and fuse with a bucketed hash
+    join. The extraction kernels are independently oracled by
+    jsonld_triples / anchor_text_entities; this twin verifies the
+    fusion math (groupby, argmax, join) on the regenerated corpus."""
+    from ray.data.aggregate import Count
+
+    from ..stages.canonicalize import groupby_argmax
+    from ..stages.join import shuffle_hash_join
+    from ..stages.structured import extract_jsonld
+
+    from ..functions.urls import extract_links
+
+    rows = []
+    for i in range(300):
+        k = i % 25
+        target = f"https://kg.test/e/{k}"
+        anchor = f"the {k} page" if i % 6 == 0 else f"entity {k}"
+        html = (f'<script type="application/ld+json">'
+                f'{{"@id":"{target}","@type":"Person",'
+                f'"name":"Entity {k}"}}'
+                f'</script><a href="{target}">{anchor}</a>')
+        rows.append({"url": f"https://s.test/p/{i}", "html": html})
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+    jl = pages.map_batches(extract_jsonld, batch_format="pyarrow",
+                           batch_size=4096)
+    names = jl.map_batches(
+        lambda b: pa.table({
+            "subj": b.filter(pc.equal(b.column("pred"), "name"))
+            .column("subj"),
+            "name": b.filter(pc.equal(b.column("pred"), "name"))
+            .column("obj")}),
+        batch_format="pyarrow")
+    names = groupby_argmax(names, ["subj"], ["name"], [True], nb=8)
+
+    def links(batch: pa.Table) -> pa.Table:
+        out = extract_links(batch, capture_text=True)
+        return pa.table({"subj": out.column("link"),
+                         "top_anchor": out.column("anchor")})
+
+    counted = (pages.map_batches(links, batch_format="pyarrow")
+               .groupby(["subj", "top_anchor"])
+               .aggregate(Count(alias_name="n")))
+    top = groupby_argmax(counted, ["subj"], ["n", "top_anchor"],
+                         [False, True], nb=8)
+    fused = shuffle_hash_join(names, top, on=["subj"], how="inner", nb=8)
+    df = (fused.to_pandas().sort_values("subj").reset_index(drop=True)
+          [["subj", "name", "top_anchor", "n"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["entity_label_fusion"] = q_entity_label_fusion
+
+ORACLES["entity_label_fusion"] = (
+    "WITH pages AS (SELECT i, 'https://kg.test/e/' || (i%25) AS target,"
+    " CASE WHEN i%6 = 0 THEN 'the ' || (i%25) || ' page'"
+    "  ELSE 'entity ' || (i%25) END AS anchor"
+    " FROM generate_series(0, 299) t(i)),"
+    " names AS (SELECT DISTINCT target AS subj,"
+    "  'Entity ' || (i%25) AS name FROM pages),"
+    " cnt AS (SELECT target AS subj, anchor AS top_anchor,"
+    "  CAST(count(*) AS BIGINT) AS n FROM pages GROUP BY 1, 2),"
+    " top AS (SELECT subj, top_anchor, n FROM (SELECT *,"
+    "  row_number() OVER (PARTITION BY subj"
+    "   ORDER BY n DESC, top_anchor ASC) rn FROM cnt) WHERE rn = 1)"
+    " SELECT names.subj, min(name) AS name,"
+    " any_value(top_anchor) AS top_anchor, any_value(n) AS n"
+    " FROM names JOIN top USING (subj) GROUP BY 1"
+)

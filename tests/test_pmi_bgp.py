@@ -101,3 +101,47 @@ class TestMatchBgp:
         ds = _triples([("a", "p", "b")])
         with pytest.raises(ValueError, match="empty"):
             match_bgp(ds, [])
+
+
+class TestMatchBgpFuzz:
+    def test_fuzz_vs_duckdb_self_joins(self):
+        """Random triple soups × two pattern shapes: bindings must
+        equal the equivalent DuckDB self-join, including duplicate
+        proof paths (bag semantics)."""
+        import random
+
+        import duckdb
+
+        rng = random.Random(408)
+        for trial in range(4):
+            n = rng.randrange(40, 120)
+            ents = [f"e{j}" for j in range(rng.randrange(6, 14))]
+            preds = ["knows", "likes", "near"]
+            rows = [(rng.choice(ents), rng.choice(preds),
+                     rng.choice(ents)) for _ in range(n)]
+            tbl = pa.table({
+                "subj": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([r[1] for r in rows], pa.string()),
+                "obj": pa.array([r[2] for r in rows], pa.string()),
+            })
+            ds = rd.from_arrow(tbl).repartition(3)
+
+            # shape 1: 2-hop chain with constant predicates
+            got = sorted(map(tuple, match_bgp(
+                ds, [("?a", "knows", "?b"), ("?b", "likes", "?c")], nb=4)
+                .to_pandas()[["a", "b", "c"]].itertuples(index=False)))
+            want = sorted(map(tuple, duckdb.sql(
+                "SELECT x.subj, x.obj, y.obj FROM tbl x JOIN tbl y"
+                " ON x.obj = y.subj WHERE x.pred = 'knows'"
+                " AND y.pred = 'likes'").fetchall()))
+            assert got == want, f"chain trial {trial}"
+
+            # shape 2: variable predicate + triangle-ish closure
+            got = sorted(map(tuple, match_bgp(
+                ds, [("?a", "?p", "?b"), ("?b", "near", "?a")], nb=4)
+                .to_pandas()[["a", "p", "b"]].itertuples(index=False)))
+            want = sorted(map(tuple, duckdb.sql(
+                "SELECT x.subj, x.pred, x.obj FROM tbl x JOIN tbl y"
+                " ON x.obj = y.subj AND y.obj = x.subj"
+                " WHERE y.pred = 'near'").fetchall()))
+            assert got == want, f"triangle trial {trial}"
