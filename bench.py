@@ -213,6 +213,10 @@ def run_queries() -> dict:
         # round-4 additions
         "cube_orders", "dedup_spans", "near_dedup_corpus", "pca_embeddings",
         "dedup_lines_docs",
+        # round-4 third sitting: structured data / curation / KG ops
+        "jsonld_triples", "pii_redact", "sentence_split", "pmi_cooccur",
+        "boilerplate_docs", "bgp_match", "entity_label_fusion",
+        "kg_export_ntriples",
     ]
     out = {}
     for name in names:
