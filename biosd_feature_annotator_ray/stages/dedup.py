@@ -967,9 +967,13 @@ def remove_boilerplate(
     thresholds = None
     if min_frac is not None:
         tot = docs.groupby(group_col).count().to_pandas()
+        # null group keys coalesce to '' exactly as in `occurrences`
+        # (and the SQL twin), merging their counts with any real ''
+        sizes = (tot.assign(**{group_col: tot[group_col].fillna("")})
+                 .groupby(group_col)["count()"].sum())
         thresholds = {
             g: max(min_docs, int(math.ceil(min_frac * int(n))))
-            for g, n in zip(tot[group_col], tot["count()"])
+            for g, n in sizes.items()
         }
     thr_ref = _ray.put(thresholds)
 

@@ -141,6 +141,7 @@ def extract_jsonld(batch: pa.Table, html_col: str = "html",
     found = html.str.findall(_JSONLD_BLOCK_RE)
     for i, blocks in enumerate(found):
         url = urls[i]
+        label_base = url if url is not None else ""
         for bi, raw in enumerate(blocks[:max_blocks]):
             try:
                 doc = json.loads(raw)
@@ -150,7 +151,7 @@ def extract_jsonld(batch: pa.Table, html_col: str = "html",
             for oi, obj in enumerate(_roots(doc)):
                 subj = obj.get("@id") if isinstance(obj.get("@id"), str) \
                     else None
-                subj = subj or f"_:{url}#{bi}.{oi}"
+                subj = subj or f"_:{label_base}#{bi}.{oi}"
                 _flatten(obj, subj, triples, 0, max_depth)
             for s, p, o in triples:
                 out_url.append(url)

@@ -61,6 +61,16 @@ class TestRemoveBoilerplate:
         assert got[0] == ("", 1, 0)
         assert got[1] == ("", 1, 1)  # null sources group together
 
+    def test_null_source_min_frac_threshold(self):
+        # null group of 4 docs with min_frac 0.75 → threshold
+        # max(2, 3) = 3: 'hdr' (3 docs) removed, 'x' (2 docs) kept —
+        # the threshold lookup must coalesce null keys like the census
+        got = _run([(0, None, "hdr\nx"), (1, None, "hdr\nx"),
+                    (2, None, "hdr"), (3, None, "y")],
+                   min_docs=2, min_frac=0.75)
+        assert got[0] == ("x", 2, 1)
+        assert got[3] == ("y", 1, 0)
+
     def test_min_docs_validation(self):
         with pytest.raises(ValueError, match="min_docs"):
             remove_boilerplate(_ds([(0, "a", "x")]), min_docs=1)
