@@ -4,8 +4,9 @@ A layer above :func:`normalize.mask_pattern`: four PII classes with
 fixed RE2 patterns, per-class match COUNTS (computed independently on
 the ORIGINAL text — an overlapping span counts in every class that
 matches it) and a sequential REDACTION pass in the fixed order
-email → credit-card → phone → IP (so 16-digit card groups are
-masked before the looser phone pattern can bite into them).
+email → credit-card → IP → phone: 16-digit card groups and dotted
+IPv4s (which the looser phone pattern can partially match when an
+interior octet has 3 digits) are both masked before phone runs.
 
 All kernels are ``pyarrow.compute`` regex ops (RE2 — no lookbehind),
 stateless and embarrassingly parallel; DuckDB's regexp functions run
@@ -26,9 +27,9 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
      "[EMAIL]"),
     ("cc", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "[CC]"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
     ("phone", r"\+?\d{1,3}[-. (]{1,2}\d{3}[-. )]{1,2}\d{3}[-. ]\d{2,4}",
      "[PHONE]"),
-    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "[IP]"),
 )
 
 

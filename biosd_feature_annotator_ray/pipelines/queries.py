@@ -4776,9 +4776,9 @@ ORACLES["pii_redact"] = (
     "  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',"
     "  '[EMAIL]', 'g'),"
     "  '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '[CC]', 'g'),"
+    "  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),"
     "  '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]\\d{2,4}',"
-    "  '[PHONE]', 'g'),"
-    "  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g') AS text_redacted"
+    "  '[PHONE]', 'g') AS text_redacted"
     " FROM aug"
 )
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 import hashlib
 import os
 import re
+import uuid
 
 import numpy as np
 import pyarrow as pa
@@ -62,14 +63,19 @@ def _unescape(s: str) -> str:
 
 
 def _term(arr: pa.Array, kinds: "pa.Array | None") -> pa.Array:
-    """Serialize an object column: IRI / blank node / escaped literal."""
+    """Serialize an object column: IRI / blank node / escaped literal.
+    When a kinds column is given it is AUTHORITATIVE: 'uri' → IRI,
+    'bnode' → bare blank node, anything else (incl. a literal that
+    happens to start with '_:') → escaped literal. Only without kinds
+    do the scheme:// and '_:' shape heuristics decide."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    is_bnode = pc.starts_with(arr, "_:")
     if kinds is not None:
         is_iri = pc.equal(kinds, "uri")
+        is_bnode = pc.equal(kinds, "bnode")
     else:
         is_iri = pc.match_substring_regex(arr, _IRI_RE)
+        is_bnode = pc.starts_with(arr, "_:")
     lit = pc.binary_join_element_wise(
         pa.scalar('"'), _escape_literals(arr), pa.scalar('"'), "")
     iri = pc.binary_join_element_wise(
@@ -107,8 +113,12 @@ def write_ntriples(ds: "ray.data.Dataset", path: str,
                    obj_col: str = "obj",
                    obj_kind_col: str | None = None) -> pa.Table:
     """Write a triple Dataset as content-hash-named ``.nt`` files
-    under ``path`` (one file per block; idempotent re-runs). Returns
-    the small (path, n_triples) manifest table."""
+    under ``path`` (one file per block). Re-runs are idempotent ONLY
+    while block boundaries are unchanged (same input files + same
+    parallelism): a re-run with different boundaries produces
+    different content hashes and leaves the old parts in place —
+    export into a fresh directory when re-partitioning. Returns the
+    small (path, n_triples) manifest table."""
     os.makedirs(path, exist_ok=True)
 
     def write_block(batch: pa.Table) -> pa.Table:
@@ -120,7 +130,9 @@ def write_ntriples(ds: "ray.data.Dataset", path: str,
         payload = ("\n".join(lines.to_pylist()) + "\n").encode()
         name = f"part-{hashlib.md5(payload).hexdigest()[:16]}.nt"
         fp = os.path.join(path, name)
-        tmp = fp + ".tmp"
+        # unique tmp per attempt: two concurrent tasks with byte-
+        # identical blocks must not share (and race on) one tmp file
+        tmp = f"{fp}.{uuid.uuid4().hex}.tmp"
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, fp)

@@ -361,7 +361,15 @@ def pmi_pairs(
     distinct-key reduce; the token-count table is the SMALL side (the
     vocabulary, pre-filtered by the same assumptions cooccurrence
     documents) and is broadcast once via ray.put — scoring is then a
-    pure per-batch map, no third shuffle."""
+    pure per-batch map, no third shuffle.
+
+    Sibling, NOT a duplicate: ``textstats.cooccurrence_pmi`` is the
+    tfidf-tokenizer-aligned variant (lowercased \\s+ tokens, top-K-df
+    broadcast vocabulary with a map-side pair explosion bounded by
+    V²/2). This one keeps case (entity-ish tokens) and bounds by
+    ``min_count``/``max_tokens_per_doc`` with the pair counts riding
+    the shuffle. Pick by vocabulary regime; keep semantics divergent
+    on purpose."""
     import ray as _ray
     from .canonicalize import distinct_counts
 
@@ -858,6 +866,10 @@ def match_bgp(triples: "ray.data.Dataset",
         for c, t in cols.items():
             if is_var(t):
                 out_vars.setdefault(t[1:], []).append(c)
+        if not out_vars:
+            raise ValueError(
+                f"all-constant pattern {tp!r} has no variables to bind"
+                " — existence checks are a filter, not a BGP")
 
         def fn(batch: pa.Table) -> pa.Table:
             mask = None
@@ -867,8 +879,9 @@ def match_bgp(triples: "ray.data.Dataset",
             if mask is not None:
                 batch = batch.filter(pc.fill_null(mask, False))
             for cs in out_vars.values():
-                if len(cs) > 1:  # same var twice in one pattern
-                    m = pc.equal(batch.column(cs[0]), batch.column(cs[1]))
+                # same var in 2 OR 3 positions: pairwise equality
+                for k in range(1, len(cs)):
+                    m = pc.equal(batch.column(cs[0]), batch.column(cs[k]))
                     batch = batch.filter(pc.fill_null(m, False))
             return pa.table({v: batch.column(cs[0])
                              for v, cs in out_vars.items()})
@@ -878,6 +891,11 @@ def match_bgp(triples: "ray.data.Dataset",
 
     if not pattern:
         raise ValueError("empty pattern")
+    for tp in pattern:
+        if not any(is_var(t) for t in tp):
+            raise ValueError(
+                f"all-constant pattern {tp!r} has no variables to bind"
+                " — existence checks are a filter, not a BGP")
     acc = scan(pattern[0])
     bound = {t[1:] for t in pattern[0] if is_var(t)}
     for tp in pattern[1:]:

@@ -58,11 +58,15 @@ _ITEMPROP_TEXT_RE = re.compile(
 
 def _html_strings(batch: pa.Table, html_col: str) -> "object":
     """html column as a pandas string Series (binary decoded utf-8
-    with replacement, nulls → '')."""
-    s = batch.column(html_col).to_pandas()
-    if len(s) and s.map(lambda v: isinstance(v, (bytes, bytearray))).any():
+    with replacement, nulls → ''). The bytes-vs-string decision is
+    one O(1) Arrow type check, not a per-row scan."""
+    col = batch.column(html_col)
+    t = col.type
+    s = col.to_pandas()
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+            or pa.types.is_fixed_size_binary(t):
         s = s.map(lambda v: v.decode("utf-8", "replace")
-                  if isinstance(v, (bytes, bytearray)) else v)
+                  if v is not None else v)
     return s.fillna("")
 
 
@@ -75,17 +79,21 @@ def _scalar(v) -> str:
 
 
 def _emit(subj: str, pred: str, v, out: list, depth: int,
-          max_depth: int) -> None:
+          max_depth: int, ordinal: "int | None" = None) -> None:
     if isinstance(v, dict):
         if depth >= max_depth:
             return
         child = v.get("@id") if isinstance(v.get("@id"), str) else None
-        child = child or f"{subj}/{pred}"
+        if child is None:
+            # per-sibling ordinal so two @id-less objects under the
+            # same predicate stay distinct KG nodes (author lists etc.)
+            child = f"{subj}/{pred}" if ordinal is None \
+                else f"{subj}/{pred}.{ordinal}"
         out.append((subj, pred, child))
         _flatten(v, child, out, depth + 1, max_depth)
     elif isinstance(v, list):
-        for el in v:
-            _emit(subj, pred, el, out, depth, max_depth)
+        for idx, el in enumerate(v):
+            _emit(subj, pred, el, out, depth, max_depth, ordinal=idx)
     elif v is None:
         return
     else:

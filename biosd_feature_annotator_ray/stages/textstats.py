@@ -1273,6 +1273,13 @@ def cooccurrence_pmi(
     df ≥ ``min_df``. N is the TOTAL document-row count (null-text
     rows included; they simply co-occur with nothing).
 
+    Sibling, NOT a duplicate: ``graph.pmi_pairs`` is the case-
+    preserving entity-token variant whose pair counts ride the
+    cooccurrence shuffle with ``min_count``/``max_tokens_per_doc``
+    bounds; this one shares the tfidf tokenizer (lowercased \\s+
+    split) and bounds by a broadcast top-K-df vocabulary. Divergent
+    on purpose — pick by vocabulary regime.
+
     Scale shape: one df census (map-side doc-distinct explode +
     bucketed distinct_counts), vocabulary broadcast via ray.put; the
     quadratic pair expansion happens entirely MAP-SIDE per document

@@ -36,7 +36,7 @@ class TestSerialize:
             ("https://e/1", "knows", "https://e/2", "uri"),
             ("https://e/1", "name", "https://looks-like-iri/x", "string"),
             ("_:b0", "label", "plain", "string"),
-            ("https://e/2", "same", "_:b0", "string"),
+            ("https://e/2", "same", "_:b0", "bnode"),
         ])
         lines = serialize_ntriples(t, obj_kind_col="obj_kind").to_pylist()
         assert lines == [
@@ -66,7 +66,7 @@ class TestRoundTrip:
             ("https://kg.test/e/1", "name", NASTY, "string"),
             ("https://kg.test/e/1", "knows", "https://kg.test/e/2", "uri"),
             ("_:b0", "label", "blank subject", "string"),
-            ("https://kg.test/e/2", "sameAs", "_:b0", "string"),
+            ("https://kg.test/e/2", "sameAs", "_:b0", "bnode"),
         ]
         t = _triples(rows)
         out = str(tmp_path / "nt")
@@ -107,3 +107,30 @@ class TestParse:
         t = pa.table({"text": pa.array(
             ['<s> <p> "a\\\\nb" .'], pa.string())})
         assert parse_ntriples(t).to_pylist()[0]["obj"] == "a\\nb"
+
+
+class TestReviewRegressions:
+    def test_kind_column_is_authoritative_for_bnode_lookalikes(self):
+        t = _triples([("https://s/1", "note", "_:b0 looks like a bnode",
+                       "string"),
+                      ("https://s/1", "same", "_:b0", "bnode")])
+        lines = serialize_ntriples(t, obj_kind_col="obj_kind").to_pylist()
+        assert lines == [
+            '<https://s/1> <note> "_:b0 looks like a bnode" .',
+            "<https://s/1> <same> _:b0 .",
+        ]
+        back = parse_ntriples(pa.table({"text": pa.array(lines)}))
+        assert [r["obj_kind"] for r in back.to_pylist()] == [
+            "string", "bnode"]
+        assert back.to_pylist()[0]["obj"] == "_:b0 looks like a bnode"
+
+    def test_identical_blocks_no_tmp_collision(self, tmp_path):
+        # two partitions with byte-identical content write concurrently
+        t = _triples([("s", "p", "o", "string")] * 2)
+        out = str(tmp_path / "nt")
+        man = write_ntriples(
+            rd.from_arrow(t).repartition(2), out,
+            obj_kind_col="obj_kind")
+        assert len(man.to_pandas()) == 2  # both tasks succeeded
+        assert len(glob.glob(os.path.join(out, "*.nt"))) == 1
+        assert glob.glob(os.path.join(out, "*.tmp")) == []

@@ -39,6 +39,11 @@ class TestPii:
         [r] = _pii(["4111 1111 1111 0042"])
         assert r["text_redacted"] == "[CC]"
 
+    def test_ip_with_3digit_octets_masked_as_ip_not_phone(self):
+        [r] = _pii(["Server at 192.168.100.200 responded"])
+        assert r["n_ip"] == 1
+        assert r["text_redacted"] == "Server at [IP] responded"
+
     def test_counts_on_original_text_per_class(self):
         # two emails and one ip in one doc
         [r] = _pii(["a@b.co c@d.io at 10.0.0.1"])
@@ -149,8 +154,8 @@ class TestSplitSentences:
             "  text, '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',"
             "  '[EMAIL]', 'g'),"
             "  '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '[CC]', 'g'),"
+            "  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),"
             "  '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]\\d{2,4}',"
-            "  '[PHONE]', 'g'),"
-            "  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g')"
+            "  '[PHONE]', 'g')"
             " FROM tbl").fetchall()
         assert eng == [tuple(w) for w in want]

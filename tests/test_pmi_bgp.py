@@ -145,3 +145,17 @@ class TestMatchBgpFuzz:
                 " ON x.obj = y.subj AND y.obj = x.subj"
                 " WHERE y.pred = 'near'").fetchall()))
             assert got == want, f"triangle trial {trial}"
+
+
+class TestMatchBgpReviewRegressions:
+    def test_var_in_all_three_positions(self):
+        ds = _triples([("a", "a", "b"), ("x", "x", "x")])
+        out = match_bgp(ds, [("?v", "?v", "?v")], nb=4)
+        assert out.to_pandas().to_dict("records") == [{"v": "x"}]
+
+    def test_all_constant_pattern_rejected(self):
+        ds = _triples([("a", "p", "b")])
+        with pytest.raises(ValueError, match="all-constant"):
+            match_bgp(ds, [("a", "p", "b")])
+        with pytest.raises(ValueError, match="all-constant"):
+            match_bgp(ds, [("?x", "p", "?y"), ("a", "p", "b")])

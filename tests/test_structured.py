@@ -196,3 +196,21 @@ class TestMicrodata:
     def test_meta_tag_not_double_counted(self):
         h = '<meta itemprop="g" content="f">'
         assert extract_microdata(_t([("u", h)])).num_rows == 1
+
+
+class TestReviewRegressions:
+    def test_sibling_idless_objects_stay_distinct(self):
+        h = ('<script type="application/ld+json">{"@id":"e1",'
+             '"authors":[{"name":"A"},{"name":"B"}]}</script>')
+        got = _triples(extract_jsonld(_t([("u", h)])))
+        assert ("u", "e1/authors.0", "name", "A") in got
+        assert ("u", "e1/authors.1", "name", "B") in got
+        links = [o for (_, s, p, o) in got
+                 if s == "e1" and p == "authors"]
+        assert sorted(links) == ["e1/authors.0", "e1/authors.1"]
+
+    def test_single_idless_object_keeps_plain_label(self):
+        h = ('<script type="application/ld+json">{"@id":"e1",'
+             '"worksFor":{"name":"X"}}</script>')
+        got = _triples(extract_jsonld(_t([("u", h)])))
+        assert ("u", "e1", "worksFor", "e1/worksFor") in got
