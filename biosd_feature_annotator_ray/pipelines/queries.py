@@ -5100,3 +5100,64 @@ ORACLES["entity_label_fusion"] = (
     " any_value(top_anchor) AS top_anchor, any_value(n) AS n"
     " FROM names JOIN top USING (subj) GROUP BY 1"
 )
+
+
+def q_graph_hits(sf_dir: str):
+    """HITS hubs/authorities (graph.hits) over the same derived edge
+    list as graph_degrees/graph_pagerank (src = o_orderkey//10 →
+    dst = o_orderkey), 2 iterations, L1-normalized half-steps. Fully
+    oracled by an unrolled-CTE twin (one CTE chain per half-step),
+    scores rounded to 8 dp."""
+    from ..stages.graph import hits
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k = k[k >= 10]
+        return pa.table({"src": pa.array(k // 10, pa.int64()),
+                         "dst": pa.array(k, pa.int64())})
+
+    out = hits(orders.map_batches(edges, batch_format="pyarrow"),
+               src="src", dst="dst", iters=2, nb=16)
+    df = out.to_pandas()
+    df["node"] = df["node"].astype("int64")
+    return pa.Table.from_pandas(df.sort_values("node").reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES["graph_hits"] = q_graph_hits
+
+
+def _hits_oracle_sql(iters: int = 2) -> str:
+    """Unrolled HITS recurrence matching stages/graph.py::hits: per
+    iteration a ← L1-normalized Σ h over in-edges, then h ←
+    L1-normalized Σ a over out-edges; absent scores coalesce to 0."""
+    s = (
+        "WITH e AS (SELECT o_orderkey // 10 AS src, o_orderkey AS dst"
+        "   FROM orders WHERE o_orderkey >= 10),"
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        " nn AS (SELECT count(*) AS n FROM nodes),"
+        " h0 AS (SELECT node, 1.0 / nn.n AS h FROM nodes CROSS JOIN nn)"
+    )
+    for i in range(iters):
+        s += (
+            f", ar{i} AS (SELECT e.dst AS node, sum(h.h) AS a"
+            f"   FROM e JOIN h{i} h ON e.src = h.node GROUP BY e.dst)"
+            f", a{i} AS (SELECT node,"
+            f"   a / (SELECT sum(a) FROM ar{i}) AS a FROM ar{i})"
+            f", hr{i} AS (SELECT e.src AS node, sum(a.a) AS h"
+            f"   FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"
+            f", h{i + 1} AS (SELECT node,"
+            f"   h / (SELECT sum(h) FROM hr{i}) AS h FROM hr{i})"
+        )
+    last = iters
+    return (s + f" SELECT CAST(n.node AS BIGINT) AS node,"
+                f" round(coalesce(h.h, 0), 8) AS hub,"
+                f" round(coalesce(a.a, 0), 8) AS authority"
+                f" FROM nodes n LEFT JOIN h{last} h ON h.node = n.node"
+                f" LEFT JOIN a{last - 1} a ON a.node = n.node")
+
+
+ORACLES["graph_hits"] = _hits_oracle_sql(iters=2)

@@ -909,3 +909,104 @@ def match_bgp(triples: "ray.data.Dataset",
                                 nb=nb)
         bound |= tp_vars
     return acc
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """HITS hubs-and-authorities over an edge-list Dataset →
+    (node, hub, authority), L1-normalized each half-step (graft-added,
+    r04; complements :func:`pagerank` — HITS separates "points at good
+    pages" from "is a good page", the classic link-graph signal pair).
+
+    Semantics per iteration: a(v) ← Σ_{(u,v)∈E} h(u), normalized to
+    Σa = 1; then h(u) ← Σ_{(u,v)∈E} a(v), normalized to Σh = 1.
+    h₀ = 1/N over node set = src ∪ dst; multi-edges carry
+    multiplicity; nodes without in-edges (resp. out-edges) hold
+    authority 0 (resp. hub 0).
+
+    Scale shape mirrors pagerank: per half-step ONE bucket-shuffle
+    join (edges ⋈ scores, same bucket hash every round) plus one
+    pre-combined groupby sum; the normalizer is a scalar aggregate.
+    The SQL twin unrolls the same recurrence as CTEs.
+    """
+    import ray.data as _rd
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import set_op
+    from .join import shuffle_hash_join
+
+    e = edges.map_batches(
+        lambda t: t.select([src, dst]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow", batch_size=65536).materialize()
+    srcs = e.map_batches(lambda t: t.select(["src"]).rename_columns(["node"]),
+                         batch_format="pyarrow")
+    dsts = e.map_batches(lambda t: t.select(["dst"]).rename_columns(["node"]),
+                         batch_format="pyarrow")
+    nodes = set_op(srcs, dsts, "node", op="union", nb=nb).materialize()
+    n_nodes = nodes.count()
+    empty = pa.table({"node": pa.array([], pa.string()),
+                      "hub": pa.array([], pa.float64()),
+                      "authority": pa.array([], pa.float64())})
+    if n_nodes == 0:
+        return _rd.from_arrow(empty)
+
+    init = 1.0 / n_nodes
+    hubs = nodes.map_batches(
+        lambda t: t.append_column("h", pa.array(np.full(len(t), init))),
+        batch_format="pyarrow").materialize()
+    auths = None
+
+    def _propagate(scores, key_in, key_out, col_in, col_out):
+        """scores(key_in, col_in) → (key_out, col_out) summed over
+        edges, L1-normalized; returns a materialized Dataset."""
+        j = shuffle_hash_join(
+            e, scores.map_batches(
+                lambda t: t.rename_columns([key_in, col_in]),
+                batch_format="pyarrow"),
+            on=[key_in], how="inner", nb=nb)
+        agg = (j.map_batches(
+            lambda t: pa.table({key_out: t.column(key_out),
+                                col_out: t.column(col_in)}),
+            batch_format="pyarrow")
+            .groupby(key_out).aggregate(Sum(col_out,
+                                            alias_name=col_out)))
+        agg = agg.materialize()
+        total = agg.sum(col_out) or 0.0
+        if total <= 0:
+            return agg
+        return agg.map_batches(
+            lambda t, s=total: pa.table({
+                key_out: t.column(key_out),
+                col_out: pc.divide(t.column(col_out), pa.scalar(s))}),
+            batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        # authority from hubs: join on src, sum into dst
+        auths = _propagate(
+            hubs.map_batches(lambda t: t.select(["node", "h"]),
+                             batch_format="pyarrow"),
+            "src", "dst", "h", "a")
+        # hubs from authorities: join on dst, sum into src
+        hubs = _propagate(
+            auths.map_batches(lambda t: t.rename_columns(["node", "a"]),
+                              batch_format="pyarrow"),
+            "dst", "src", "a", "h")
+        hubs = hubs.map_batches(
+            lambda t: t.rename_columns(["node", "h"]),
+            batch_format="pyarrow").materialize()
+
+    auths = auths.map_batches(lambda t: t.rename_columns(["node", "a"]),
+                              batch_format="pyarrow")
+    h_full = shuffle_hash_join(nodes, hubs, on=["node"], how="left", nb=nb)
+    both = shuffle_hash_join(h_full, auths, on=["node"], how="left", nb=nb)
+    return both.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node"),
+            "hub": pc.round(pc.fill_null(t.column("h"), 0.0), 8),
+            "authority": pc.round(pc.fill_null(t.column("a"), 0.0), 8),
+        }), batch_format="pyarrow")

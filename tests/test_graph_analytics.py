@@ -257,3 +257,56 @@ def test_bfs_checkpoint_resume(ray_session, tmp_path):
                   ignore_errors=True)
     assert key(bfs_min_depth(_edges(pairs, ["src", "dst"]), seeds=[0],
                              nb=4, checkpoint_dir=ck)) == plain
+
+
+class TestHits:
+    def test_matches_numpy_reference(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from biosd_feature_annotator_ray.stages.graph import hits
+
+        E = [("n1", "n2"), ("n1", "n3"), ("n2", "n3"), ("n4", "n1")]
+        t = pa.table({"src": [s for s, _ in E], "dst": [d for _, d in E]})
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in hits(rd.from_arrow(t).repartition(2), iters=3)
+               .to_pandas().to_dict("records")}
+
+        names = ["n1", "n2", "n3", "n4"]
+        idx = {n: i for i, n in enumerate(names)}
+        h = np.full(4, 0.25)
+        a = np.zeros(4)
+        for _ in range(3):
+            a = np.zeros(4)
+            for s, d in E:
+                a[idx[d]] += h[idx[s]]
+            a /= a.sum()
+            h = np.zeros(4)
+            for s, d in E:
+                h[idx[s]] += a[idx[d]]
+            h /= h.sum()
+        for n in names:
+            assert got[n] == (round(h[idx[n]], 8), round(a[idx[n]], 8))
+
+    def test_empty_graph(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from biosd_feature_annotator_ray.stages.graph import hits
+
+        t = pa.table({"src": pa.array([], pa.string()),
+                      "dst": pa.array([], pa.string())})
+        assert hits(rd.from_arrow(t)).count() == 0
+
+    def test_multi_edge_carries_multiplicity(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from biosd_feature_annotator_ray.stages.graph import hits
+
+        t = pa.table({"src": ["a", "a", "b"], "dst": ["c", "c", "c"]})
+        got = {r["node"]: r["authority"]
+               for r in hits(rd.from_arrow(t), iters=1)
+               .to_pandas().to_dict("records")}
+        assert got["c"] == 1.0 and got["a"] == 0.0
