@@ -5161,3 +5161,64 @@ def _hits_oracle_sql(iters: int = 2) -> str:
 
 
 ORACLES["graph_hits"] = _hits_oracle_sql(iters=2)
+
+
+def q_robots_filter(sf_dir: str):
+    """Crawl-politeness URL filtering: parse per-host robots.txt
+    (agent sections, Allow/Disallow, comments, empty-Disallow) and
+    apply RFC-9309 longest-match over a synthetic URL table —
+    keep_blocked=True so the oracle checks BOTH verdicts. The text
+    PARSE is pinned by pytest; the SQL twin regenerates the parsed
+    rules and replays the packed-score longest-match decision."""
+    from ..functions.robots import parse_robots_rules, robots_filter
+
+    robots_rows = []
+    for k in range(6):
+        doc = ("User-agent: gptbot\nDisallow: /\n\n" if k == 0 else "")
+        doc += ("User-agent: *\nDisallow: /private/\n"
+                "Allow: /private/pub\nDisallow: /tmp\n# note\n")
+        robots_rows.append({"host": f"h{k}.test", "robots_txt": doc})
+    robots_rows.append({"host": "h6.test",
+                        "robots_txt": "User-agent: *\nDisallow:\n"})
+    robots = rd.from_arrow(pa.Table.from_pylist(robots_rows))
+    rules = robots.map_batches(parse_robots_rules,
+                               batch_format="pyarrow").materialize()
+
+    paths = ["/ok/{i}", "/private/{i}", "/private/pub/{i}", "/tmp{i}", ""]
+    urls = rd.from_arrow(pa.Table.from_pylist([
+        {"url": f"https://h{i % 8}.test"
+         + paths[i % 5].replace("{i}", str(i))}
+        for i in range(400)
+    ])).repartition(4)
+    out = robots_filter(urls, rules, nb=8, keep_blocked=True)
+    df = out.to_pandas().sort_values("url").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["robots_filter"] = q_robots_filter
+
+ORACLES["robots_filter"] = (
+    "WITH rules AS ("
+    " SELECT 'h' || k || '.test' AS host, FALSE AS allow,"
+    "  '/private/' AS prefix FROM generate_series(0, 5) s(k)"
+    " UNION ALL SELECT 'h' || k || '.test', TRUE, '/private/pub'"
+    "  FROM generate_series(0, 5) s(k)"
+    " UNION ALL SELECT 'h' || k || '.test', FALSE, '/tmp'"
+    "  FROM generate_series(0, 5) s(k)),"
+    " paths AS (SELECT ['/ok/', '/private/', '/private/pub/', '/tmp',"
+    "  ''] AS p),"
+    " urls AS (SELECT 'https://h' || (i % 8) || '.test'"
+    "  || CASE WHEN i % 5 = 4 THEN ''"
+    "     ELSE p[(i % 5) + 1] || i END AS url,"
+    "  'h' || (i % 8) || '.test' AS host,"
+    "  CASE WHEN i % 5 = 4 THEN '' ELSE p[(i % 5) + 1] || i END AS path"
+    "  FROM generate_series(0, 399) t(i) CROSS JOIN paths),"
+    " scored AS (SELECT url, urls.host,"
+    "  CASE WHEN prefix IS NULL THEN -1"
+    "   WHEN starts_with(path, prefix)"
+    "    THEN 2 * length(prefix) + CAST(allow AS INTEGER)"
+    "   ELSE -2 + CAST(allow AS INTEGER) END AS pack"
+    "  FROM urls LEFT JOIN rules ON urls.host = rules.host)"
+    " SELECT url, host, max(pack) < 0 OR max(pack) % 2 = 1 AS allowed"
+    " FROM scored GROUP BY 1, 2"
+)
