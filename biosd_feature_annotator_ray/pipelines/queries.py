@@ -5222,3 +5222,137 @@ ORACLES["robots_filter"] = (
     " SELECT url, host, max(pack) < 0 OR max(pack) % 2 = 1 AS allowed"
     " FROM scored GROUP BY 1, 2"
 )
+
+
+def q_crawl_frontier(sf_dir: str):
+    """Crawl-frontier discovery — the composition a crawler runs every
+    cycle: extract absolute links from fetched pages, distinct them,
+    and ANTI-join against the already-crawled url set to get the new
+    frontier. Fully oracled (SQL regexp re-extraction + EXCEPT over
+    the regenerated corpus)."""
+    from ..functions.urls import extract_links
+    from ..stages.canonicalize import dedup_exact
+    from ..stages.join import shuffle_hash_join
+
+    hosts = ["a.crawl.test", "b.crawl.test", "c.crawl.test"]
+    rows = []
+    for i in range(300):
+        # each page links to its successor page and a per-host hub —
+        # successors of crawled pages are partly crawled already
+        h = hosts[i % 3]
+        nxt = f"https://{h}/p/{(i + 3) % 450}"
+        hub = f"https://{h}/hub/{i % 7}"
+        rows.append({
+            "url": f"https://{h}/p/{i}",
+            "html": (f'<a href="{nxt}">next</a>'
+                     f"<a href='{hub}'>hub</a>"
+                     f'<a href="/rel/{i}">rel</a>'),
+        })
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    seen = pages.map_batches(
+        lambda b: pa.table({"link": b.column("url")}),
+        batch_format="pyarrow")
+    links = (pages.map_batches(extract_links, batch_format="pyarrow")
+             .map_batches(lambda b: b.select(["link"]),
+                          batch_format="pyarrow"))
+    frontier = shuffle_hash_join(
+        dedup_exact(links, ["link"], nb=8), seen,
+        on=["link"], how="anti", nb=8)
+    df = (frontier.to_pandas().sort_values("link")
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["crawl_frontier"] = q_crawl_frontier
+
+ORACLES["crawl_frontier"] = (
+    "WITH hosts AS (SELECT ['a.crawl.test','b.crawl.test',"
+    "'c.crawl.test'] AS h),"
+    " pages AS (SELECT i, 'https://' || h[(i % 3) + 1] || '/p/' || i"
+    "  AS url,"
+    "  '<a href=\"https://' || h[(i % 3) + 1] || '/p/' || ((i + 3) % 450)"
+    "  || '\">next</a><a href=''https://' || h[(i % 3) + 1] || '/hub/'"
+    "  || (i % 7) || '''>hub</a><a href=\"/rel/' || i || '\">rel</a>'"
+    "  AS html FROM generate_series(0, 299) t(i) CROSS JOIN hosts),"
+    " links AS (SELECT DISTINCT unnest(regexp_extract_all(html,"
+    "  '(?i)<a\\s[^>]*href\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1)) AS link"
+    "  FROM pages),"
+    " abs_links AS (SELECT link FROM links"
+    "  WHERE regexp_matches(link, '^[A-Za-z][A-Za-z0-9+.\\-]*://'))"
+    " SELECT link FROM abs_links EXCEPT SELECT url FROM pages"
+)
+
+
+def q_main_text(sf_dir: str):
+    """Readability-lite main-content extraction over a synthetic page
+    corpus: keep <p> blocks that are ≥30 chars with anchor-text ≤30%
+    of block text, joined in document order. Fully oracled: the SQL
+    twin replays the identical RE2 regexes (block findall, tag strip,
+    anchor concat) plus the integer link-density test and an ordered
+    string_agg."""
+    from ..stages.structured import extract_main_text
+
+    rows = []
+    for i in range(300):
+        paras = [
+            f"<p>Paragraph {i} carries enough real prose to clear the "
+            f"minimum content length bar easily.</p>",
+            f"<p>tiny {i}</p>",
+            f'<p><a href="/a/{i}">one link</a> '
+            f'<a href="/b/{i}">another much longer link text here</a>'
+            f" and</p>",
+            f'<p>Prose with a small <a href="/c/{i}">link {i % 9}</a> '
+            f"inside a decently long sentence about item {i % 40}.</p>",
+        ]
+        if i % 5 == 0:
+            paras.append("<p>Shouty\n  multi   line\tblock with "
+                         "plenty of words to keep around.</p>")
+        rows.append({"url": f"https://m.test/{i}",
+                     "html": "<html>" + "".join(paras) + "</html>"})
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = pages.map_batches(extract_main_text, batch_format="pyarrow",
+                            batch_size=4096)
+    df = out.to_pandas().sort_values("url").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["main_text"] = q_main_text
+
+ORACLES["main_text"] = (
+    "WITH pages AS (SELECT i, 'https://m.test/' || i AS url,"
+    " '<html><p>Paragraph ' || i || ' carries enough real prose to"
+    " clear the minimum content length bar easily.</p><p>tiny ' || i"
+    " || '</p><p><a href=\"/a/' || i || '\">one link</a> <a href=\"/b/'"
+    " || i || '\">another much longer link text here</a> and</p>"
+    "<p>Prose with a small <a href=\"/c/' || i || '\">link ' || (i%9)"
+    " || '</a> inside a decently long sentence about item ' || (i%40)"
+    " || '.</p>' || CASE WHEN i % 5 = 0 THEN"
+    " '<p>Shouty' || chr(10) || '  multi   line' || chr(9) || 'block"
+    " with plenty of words to keep around.</p>' ELSE '' END"
+    " || '</html>' AS html FROM generate_series(0, 299) t(i)),"
+    " blk AS (SELECT url,"
+    "  unnest(regexp_extract_all(html, '(?is)<p[^>]*>(.*?)</p>', 1))"
+    "   AS b,"
+    "  unnest(range(len(regexp_extract_all(html,"
+    "   '(?is)<p[^>]*>(.*?)</p>', 1)))) AS idx FROM pages),"
+    " scored AS (SELECT url, idx,"
+    "  trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'),"
+    "   '\\s+', ' ', 'g')) AS text,"
+    "  trim(regexp_replace(regexp_replace(coalesce(array_to_string("
+    "   regexp_extract_all(b, '(?is)<a[^>]*>(.*?)</a>', 1), ' '), ''),"
+    "   '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g')) AS link_text"
+    "  FROM blk),"
+    " kept AS (SELECT url, idx, text FROM scored"
+    "  WHERE length(text) >= 30"
+    "   AND length(link_text) * 100 <= 30 * length(text)),"
+    " agg AS (SELECT url, string_agg(text, chr(10) ORDER BY idx)"
+    "  AS main_text, CAST(count(*) AS INTEGER) AS n_kept"
+    "  FROM kept GROUP BY url),"
+    " tot AS (SELECT url, CAST(count(*) AS INTEGER) AS n_blocks"
+    "  FROM blk GROUP BY url)"
+    " SELECT p.url, coalesce(a.main_text, '') AS main_text,"
+    " coalesce(t.n_blocks, 0) AS n_blocks,"
+    " coalesce(a.n_kept, 0) AS n_kept"
+    " FROM pages p LEFT JOIN agg a ON a.url = p.url"
+    " LEFT JOIN tot t ON t.url = p.url"
+)

@@ -238,3 +238,51 @@ def extract_microdata(batch: pa.Table, html_col: str = "html",
         "itemprop": pa.array(keys, pa.string()),
         "value": pa.array(vals, pa.string()),
     })
+
+
+_P_BLOCK_RE = re.compile(r"<p[^>]*>(.*?)</p>", re.IGNORECASE | re.DOTALL)
+_A_INNER_RE = re.compile(r"<a[^>]*>(.*?)</a>", re.IGNORECASE | re.DOTALL)
+_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def _clean_text(s: str) -> str:
+    return " ".join(_TAG_RE.sub(" ", s).split())
+
+
+def extract_main_text(batch: pa.Table, html_col: str = "html",
+                      url_col: str = "url", min_chars: int = 30,
+                      max_link_pct: int = 30) -> pa.Table:
+    """Readability-lite main-content extraction (the boilerplate-vs-
+    content split a web-text curation pipeline runs before any
+    quality scoring): take each page's ``<p>`` blocks, strip inner
+    tags (tags → space, whitespace collapsed), and KEEP blocks that
+    are long enough (≥ ``min_chars``) and not link farms (anchor-text
+    chars ≤ ``max_link_pct``% of block text — integer arithmetic, no
+    float threshold). Survivors join with ``\\n`` in document order.
+
+    Output: ``(url, main_text, n_blocks, n_kept)``. One compiled-regex
+    findall per batch column; per-block work is bounded by block
+    count, same budget as the JSON-LD extractor. The SQL twin replays
+    the identical regexes (RE2-compatible: non-greedy, dotall)."""
+    html = _html_strings(batch, html_col)
+    blocks_per = html.str.findall(_P_BLOCK_RE)
+    texts: list = []
+    n_blocks = np.empty(len(blocks_per), np.int32)
+    n_kept = np.empty(len(blocks_per), np.int32)
+    for i, blocks in enumerate(blocks_per):
+        kept = []
+        for b in blocks:
+            text = _clean_text(b)
+            link_text = _clean_text(" ".join(_A_INNER_RE.findall(b)))
+            if len(text) >= min_chars and \
+                    len(link_text) * 100 <= max_link_pct * len(text):
+                kept.append(text)
+        texts.append("\n".join(kept))
+        n_blocks[i] = len(blocks)
+        n_kept[i] = len(kept)
+    return pa.table({
+        url_col: batch.column(url_col),
+        "main_text": pa.array(texts, pa.string()),
+        "n_blocks": pa.array(n_blocks, pa.int32()),
+        "n_kept": pa.array(n_kept, pa.int32()),
+    })

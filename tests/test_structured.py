@@ -214,3 +214,45 @@ class TestReviewRegressions:
              '"worksFor":{"name":"X"}}</script>')
         got = _triples(extract_jsonld(_t([("u", h)])))
         assert ("u", "e1", "worksFor", "e1/worksFor") in got
+
+
+class TestMainText:
+    def test_keeps_prose_drops_short_and_link_farms(self):
+        from biosd_feature_annotator_ray.stages.structured import (
+            extract_main_text,
+        )
+
+        h = ('<p>This paragraph has plenty of real content text in it.'
+             "</p><p>tiny</p>"
+             '<p><a href="/1">all</a> <a href="/2">of this is links '
+             "really</a></p>"
+             "<p>Good prose with one small <a href='/x'>link</a> "
+             "embedded in a long sentence here.</p>")
+        [r] = extract_main_text(_t([("u", h)])).to_pylist()
+        assert r["n_blocks"] == 4 and r["n_kept"] == 2
+        lines = r["main_text"].split("\n")
+        assert lines[0].startswith("This paragraph has plenty")
+        assert lines[1].startswith("Good prose with one small link")
+
+    def test_whitespace_collapse_and_tag_strip(self):
+        from biosd_feature_annotator_ray.stages.structured import (
+            extract_main_text,
+        )
+
+        h = ("<p>Multi\n  line\t<b>bold</b>   text with enough chars "
+             "to keep.</p>")
+        [r] = extract_main_text(_t([("u", h)])).to_pylist()
+        assert r["main_text"] == ("Multi line bold text with enough "
+                                  "chars to keep.")
+
+    def test_no_blocks_and_null_html(self):
+        from biosd_feature_annotator_ray.stages.structured import (
+            extract_main_text,
+        )
+
+        tbl = pa.table({"url": pa.array(["u", "v"], pa.string()),
+                        "html": pa.array(["<div>no paras</div>", None],
+                                         pa.string())})
+        rows = extract_main_text(tbl).to_pylist()
+        assert [(r["main_text"], r["n_blocks"]) for r in rows] == [
+            ("", 0), ("", 0)]
