@@ -216,7 +216,8 @@ def run_queries() -> dict:
         # round-4 third sitting: structured data / curation / KG ops
         "jsonld_triples", "pii_redact", "sentence_split", "pmi_cooccur",
         "boilerplate_docs", "bgp_match", "entity_label_fusion",
-        "kg_export_ntriples",
+        "kg_export_ntriples", "graph_hits", "robots_filter",
+        "crawl_frontier", "main_text",
     ]
     out = {}
     for name in names:
