@@ -5356,3 +5356,60 @@ ORACLES["main_text"] = (
     " FROM pages p LEFT JOIN agg a ON a.url = p.url"
     " LEFT JOIN tot t ON t.url = p.url"
 )
+
+
+def q_kg_sameas_canonical(sf_dir: str):
+    """owl:sameAs canonicalization (graph.canonicalize_entities) over
+    a synthesized KG with 2- and 3-entity alias chains: components of
+    the alias graph pick min-id canonicals, every triple is rewritten
+    through the mapping, sameAs rows drop, merged duplicates dedup.
+    Fully oracled by a recursive-CTE components twin + rewrite joins
+    + DISTINCT."""
+    from ..stages.graph import canonicalize_entities
+
+    rows = []
+    for k in range(50):
+        rows.append({"subj": f"w{k}", "pred": "sameAs", "obj": f"e{k}"})
+        if k % 2 == 0:
+            rows.append({"subj": f"x{k}", "pred": "sameAs",
+                         "obj": f"w{k}"})
+            rows.append({"subj": f"x{k}", "pred": "knows",
+                         "obj": f"w{(k + 1) % 50}"})
+        rows.append({"subj": f"w{k}", "pred": "hasName",
+                     "obj": f"Entity {k}"})
+        rows.append({"subj": f"e{k}", "pred": "rank",
+                     "obj": str(k % 7)})
+    triples = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = canonicalize_entities(triples, nb=8)
+    df = (out.to_pandas().sort_values(["subj", "pred", "obj"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["kg_sameas_canonical"] = q_kg_sameas_canonical
+
+ORACLES["kg_sameas_canonical"] = (
+    "WITH RECURSIVE base AS ("
+    " SELECT 'w' || k AS subj, 'sameAs' AS pred, 'e' || k AS obj"
+    "  FROM generate_series(0, 49) s(k)"
+    " UNION ALL SELECT 'x' || k, 'sameAs', 'w' || k"
+    "  FROM generate_series(0, 49) s(k) WHERE k % 2 = 0"
+    " UNION ALL SELECT 'x' || k, 'knows', 'w' || ((k + 1) % 50)"
+    "  FROM generate_series(0, 49) s(k) WHERE k % 2 = 0"
+    " UNION ALL SELECT 'w' || k, 'hasName', 'Entity ' || k"
+    "  FROM generate_series(0, 49) s(k)"
+    " UNION ALL SELECT 'e' || k, 'rank', CAST(k % 7 AS VARCHAR)"
+    "  FROM generate_series(0, 49) s(k)),"
+    " al AS (SELECT subj AS u, obj AS v FROM base WHERE pred = 'sameAs'),"
+    " ed AS (SELECT u AS src, v AS dst FROM al"
+    "  UNION ALL SELECT v, u FROM al),"
+    " reach(node, lab) AS (SELECT src, src FROM ed"
+    "  UNION SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node),"
+    " mapping AS (SELECT node, min(lab) AS canon FROM reach GROUP BY node),"
+    " facts AS (SELECT * FROM base WHERE pred <> 'sameAs'),"
+    " rewr AS (SELECT coalesce(ms.canon, facts.subj) AS subj, pred,"
+    "  coalesce(mo.canon, facts.obj) AS obj FROM facts"
+    "  LEFT JOIN mapping ms ON ms.node = facts.subj"
+    "  LEFT JOIN mapping mo ON mo.node = facts.obj)"
+    " SELECT DISTINCT subj, pred, obj FROM rewr"
+)

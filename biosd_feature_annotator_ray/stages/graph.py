@@ -1010,3 +1010,125 @@ def hits(
             "hub": pc.round(pc.fill_null(t.column("h"), 0.0), 8),
             "authority": pc.round(pc.fill_null(t.column("a"), 0.0), 8),
         }), batch_format="pyarrow")
+
+
+def canonicalize_entities(
+    triples: "ray.data.Dataset",
+    sameas_pred: str = "sameAs",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    nb: int = 16,
+    max_iters: int = 20,
+) -> "ray.data.Dataset":
+    """owl:sameAs entity canonicalization — the KG-construction
+    canonicalization composition (graft-added, r04): connected
+    components of the (undirected) sameAs alias graph pick each
+    entity's canonical id (the component's MINIMUM id, string order),
+    every triple's subject and object are rewritten through the
+    mapping, the sameAs triples themselves are dropped (they are now
+    self-loops), and the merged stream is exact-deduped.
+
+    String-label min propagation (the string sibling of
+    ``dedup.dup_clusters``): per round one bucket-shuffle join ships
+    labels across edges and a groupby-argmax takes the per-node min;
+    convergence is detected by a per-round hash-sum fixpoint (sum of
+    a 64-bit hash of (node, label) — unchanged sum ⇔ unchanged
+    labels up to an astronomically unlikely collision). Converges in
+    O(alias-chain diameter) rounds. The mapping covers ONLY aliased
+    entities, so the rewrite joins stay proportional to the alias
+    graph, not the KG."""
+    from .canonicalize import dedup_exact, groupby_argmax
+    from .join import shuffle_hash_join
+
+    def alias_edges(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column(p_col), sameas_pred)
+        f = b.filter(pc.fill_null(m, False))
+        a = f.column(s_col).combine_chunks()
+        c = f.column(o_col).combine_chunks()
+        return pa.table({"src": pa.concat_arrays([a, c]),
+                         "dst": pa.concat_arrays([c, a])})
+
+    e = triples.map_batches(alias_edges, batch_format="pyarrow",
+                            batch_size=65536).materialize()
+    if e.count() == 0:
+        # no aliases anywhere: the rewrite is the identity — just
+        # drop (nonexistent) sameAs rows and dedup
+        def facts_only(b: pa.Table) -> pa.Table:
+            m = pc.not_equal(b.column(p_col), sameas_pred)
+            return b.filter(pc.fill_null(m, True)).select(
+                [s_col, p_col, o_col])
+
+        return dedup_exact(
+            triples.map_batches(facts_only, batch_format="pyarrow"),
+            [s_col, p_col, o_col], nb=nb)
+
+    labels = dedup_exact(
+        e.map_batches(lambda t: pa.table({"node": t.column("src")}),
+                      batch_format="pyarrow"),
+        ["node"], nb=nb).map_batches(
+        lambda t: t.append_column("lab", t.column("node")),
+        batch_format="pyarrow").materialize()
+
+    def _state_hash(ds) -> int:
+        from ..functions.hashing import hash_strings
+
+        def h(t: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                t.column("node"), t.column("lab"), "\x1f")
+            v = hash_strings(s).astype(np.uint64)
+            return pa.table({"h": pa.array(
+                [int(v.sum() % np.uint64(2**63 - 1))], pa.int64())})
+
+        return int(ds.map_batches(h, batch_format="pyarrow").sum("h"))
+
+    prev = _state_hash(labels)
+    for _ in range(max_iters):
+        shipped = shuffle_hash_join(
+            e, labels.map_batches(
+                lambda t: t.rename_columns(["src", "lab"]),
+                batch_format="pyarrow"),
+            on=["src"], how="inner", nb=nb).map_batches(
+            lambda t: pa.table({"node": t.column("dst"),
+                                "lab": t.column("lab")}),
+            batch_format="pyarrow")
+        cand = labels.union(shipped)
+        labels = groupby_argmax(cand, ["node"], ["lab"], [True],
+                                nb=nb).materialize()
+        cur = _state_hash(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    mapping = labels.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t.column("node"),
+                                              t.column("lab")))),
+        batch_format="pyarrow")
+
+    def drop_sameas(b: pa.Table) -> pa.Table:
+        m = pc.not_equal(b.column(p_col), sameas_pred)
+        return b.filter(pc.fill_null(m, True)).select(
+            [s_col, p_col, o_col])
+
+    facts = triples.map_batches(drop_sameas, batch_format="pyarrow")
+    j1 = shuffle_hash_join(
+        facts, mapping.map_batches(
+            lambda t: t.rename_columns([s_col, "s_canon"]),
+            batch_format="pyarrow"),
+        on=[s_col], how="left", nb=nb)
+    j1 = j1.map_batches(
+        lambda t: pa.table({
+            s_col: pc.coalesce(t.column("s_canon"), t.column(s_col)),
+            p_col: t.column(p_col), o_col: t.column(o_col)}),
+        batch_format="pyarrow")
+    j2 = shuffle_hash_join(
+        j1, mapping.map_batches(
+            lambda t: t.rename_columns([o_col, "o_canon"]),
+            batch_format="pyarrow"),
+        on=[o_col], how="left", nb=nb)
+    out = j2.map_batches(
+        lambda t: pa.table({
+            s_col: t.column(s_col), p_col: t.column(p_col),
+            o_col: pc.coalesce(t.column("o_canon"), t.column(o_col))}),
+        batch_format="pyarrow")
+    return dedup_exact(out, [s_col, p_col, o_col], nb=nb)

@@ -310,3 +310,47 @@ class TestHits:
                for r in hits(rd.from_arrow(t), iters=1)
                .to_pandas().to_dict("records")}
         assert got["c"] == 1.0 and got["a"] == 0.0
+
+
+class TestCanonicalizeEntities:
+    def _run(self, rows, **kw):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from biosd_feature_annotator_ray.stages.graph import (
+            canonicalize_entities,
+        )
+
+        t = pa.table({"subj": [r[0] for r in rows],
+                      "pred": [r[1] for r in rows],
+                      "obj": [r[2] for r in rows]})
+        out = canonicalize_entities(
+            rd.from_arrow(t).repartition(2), nb=4, **kw)
+        return sorted(map(tuple, out.to_pandas().itertuples(index=False)))
+
+    def test_chain_collapses_and_dedups(self, ray_session):
+        got = self._run([
+            ("B", "sameAs", "A"), ("C", "sameAs", "B"),
+            ("C", "name", "n1"), ("B", "name", "n1"), ("A", "age", "5"),
+            ("X", "knows", "C"), ("Y", "knows", "Z"),
+        ])
+        assert got == [("A", "age", "5"), ("A", "name", "n1"),
+                       ("X", "knows", "A"), ("Y", "knows", "Z")]
+
+    def test_sameas_cycle(self, ray_session):
+        got = self._run([
+            ("A", "sameAs", "B"), ("B", "sameAs", "A"),
+            ("B", "p", "v"),
+        ])
+        assert got == [("A", "p", "v")]
+
+    def test_long_chain_converges(self, ray_session):
+        rows = [(f"n{i + 1:02d}", "sameAs", f"n{i:02d}")
+                for i in range(12)]
+        rows.append(("n12", "fact", "x"))
+        got = self._run(rows)
+        assert got == [("n00", "fact", "x")]
+
+    def test_no_aliases_passthrough(self, ray_session):
+        rows = [("A", "p", "B"), ("B", "q", "C")]
+        assert self._run(rows) == sorted(rows)
