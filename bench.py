@@ -217,7 +217,8 @@ def run_queries() -> dict:
         "jsonld_triples", "pii_redact", "sentence_split", "pmi_cooccur",
         "boilerplate_docs", "bgp_match", "entity_label_fusion",
         "kg_export_ntriples", "graph_hits", "robots_filter",
-        "crawl_frontier", "main_text",
+        "crawl_frontier", "main_text", "kg_sameas_canonical",
+        "sitemap_urls",
     ]
     out = {}
     for name in names:

@@ -172,3 +172,43 @@ def robots_filter(urls: "ray.data.Dataset", rules: "ray.data.Dataset",
         return batch.filter(pc.equal(batch.column("allowed"), True))
 
     return out.map_batches(only_allowed, batch_format="pyarrow")
+
+
+_LOC_RE = r"(?is)<loc>\s*([^<\s][^<]*?)\s*</loc>"
+_LASTMOD_RE = (r"(?is)<url>(?:(?!</url>).)*?<loc>\s*([^<\s][^<]*?)\s*"
+               r"</loc>(?:(?!</url>).)*?<lastmod>\s*([^<]*?)\s*</lastmod>")
+
+
+def parse_sitemap_urls(batch: pa.Table, host_col: str = "host",
+                       sitemap_col: str = "sitemap_xml") -> pa.Table:
+    """Row-expanding sitemap.xml parse: one output row per ``<loc>``
+    entry → ``(host, loc, lastmod)`` with ``lastmod`` null when the
+    entry's ``<url>`` block carries no ``<lastmod>``. Handles both
+    urlset and sitemapindex documents (every ``<loc>`` is emitted —
+    the caller decides whether a loc is a page or a nested sitemap).
+    One compiled-regex findall per batch; whitespace inside tags is
+    trimmed."""
+    import re as _re
+
+    loc_re = _re.compile(_LOC_RE)
+    lm_re = _re.compile(_LASTMOD_RE)
+    hosts = batch.column(host_col).to_pylist()
+    docs = batch.column(sitemap_col).to_pylist()
+    out_h: list = []
+    out_l: list = []
+    out_m: list = []
+    for host, doc in zip(hosts, docs):
+        if not doc:
+            continue
+        if isinstance(doc, (bytes, bytearray)):
+            doc = doc.decode("utf-8", "replace")
+        lastmods = dict(lm_re.findall(doc))
+        for loc in loc_re.findall(doc):
+            out_h.append(host)
+            out_l.append(loc)
+            out_m.append(lastmods.get(loc))
+    return pa.table({
+        host_col: pa.array(out_h, pa.string()),
+        "loc": pa.array(out_l, pa.string()),
+        "lastmod": pa.array(out_m, pa.string()),
+    })

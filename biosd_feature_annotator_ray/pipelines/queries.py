@@ -5413,3 +5413,53 @@ ORACLES["kg_sameas_canonical"] = (
     "  LEFT JOIN mapping mo ON mo.node = facts.obj)"
     " SELECT DISTINCT subj, pred, obj FROM rewr"
 )
+
+
+def q_sitemap_urls(sf_dir: str):
+    """Sitemap.xml URL extraction over synthesized urlset documents
+    (lastmod present on 2 of 3 entries). Fully oracled: the SQL twin
+    unnests <url> blocks with regexp_extract_all and re-extracts
+    loc/lastmod per block (RE2 has no lookahead, so the twin uses the
+    block-scoped form of the engine's pairing regex); sitemapindex
+    handling is pinned by pytest."""
+    from ..functions.robots import parse_sitemap_urls
+
+    rows = []
+    for h in range(10):
+        entries = []
+        for i in range(5):
+            lm = (f"<lastmod> 2024-0{(i % 9) + 1}-1{h % 3} </lastmod>"
+                  if i % 3 != 1 else "")
+            entries.append(f"<url><loc> https://h{h}.test/p/{i} </loc>"
+                           f"{lm}</url>")
+        rows.append({"host": f"h{h}.test",
+                     "sitemap_xml": ('<?xml version="1.0"?><urlset>'
+                                     + "".join(entries) + "</urlset>")})
+    sm = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = sm.map_batches(parse_sitemap_urls, batch_format="pyarrow")
+    df = (out.to_pandas().sort_values(["host", "loc"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["sitemap_urls"] = q_sitemap_urls
+
+ORACLES["sitemap_urls"] = (
+    "WITH ent AS (SELECT h, i,"
+    "  '<url><loc> https://h' || h || '.test/p/' || i || ' </loc>' ||"
+    "  CASE WHEN i % 3 <> 1 THEN '<lastmod> 2024-0' || ((i % 9) + 1)"
+    "   || '-1' || (h % 3) || ' </lastmod>' ELSE '' END || '</url>'"
+    "  AS e FROM generate_series(0, 9) s(h)"
+    "  CROSS JOIN generate_series(0, 4) t(i)),"
+    " docs AS (SELECT 'h' || h || '.test' AS host,"
+    "  '<?xml version=\"1.0\"?><urlset>'"
+    "  || string_agg(e, '' ORDER BY i) || '</urlset>' AS xml"
+    "  FROM ent GROUP BY h),"
+    " blocks AS (SELECT host, unnest(regexp_extract_all(xml,"
+    "  '(?is)<url>(.*?)</url>', 1)) AS b FROM docs)"
+    " SELECT host, trim(regexp_extract(b,"
+    "  '(?is)<loc>\\s*([^<]*?)\\s*</loc>', 1)) AS loc,"
+    " nullif(trim(regexp_extract(b,"
+    "  '(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1)), '') AS lastmod"
+    " FROM blocks"
+)

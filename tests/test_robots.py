@@ -124,3 +124,53 @@ class TestFilter:
             return True if best is None else best[1]
 
         assert got == {u: brute(u) for u in urls}
+
+
+class TestSitemap:
+    def test_urlset_with_and_without_lastmod(self):
+        from biosd_feature_annotator_ray.functions.robots import (
+            parse_sitemap_urls,
+        )
+
+        xml = ('<?xml version="1.0"?><urlset>'
+               "<url><loc> https://h.test/a </loc>"
+               "<lastmod>2024-01-02</lastmod></url>"
+               "<url><loc>https://h.test/b</loc></url></urlset>")
+        t = pa.table({"host": ["h.test"], "sitemap_xml": [xml]})
+        got = parse_sitemap_urls(t).to_pylist()
+        assert got == [
+            {"host": "h.test", "loc": "https://h.test/a",
+             "lastmod": "2024-01-02"},
+            {"host": "h.test", "loc": "https://h.test/b",
+             "lastmod": None},
+        ]
+
+    def test_sitemapindex_and_null_doc(self):
+        from biosd_feature_annotator_ray.functions.robots import (
+            parse_sitemap_urls,
+        )
+
+        idx = ("<sitemapindex><sitemap>"
+               "<loc>https://h.test/sm1.xml</loc></sitemap>"
+               "<sitemap><loc>https://h.test/sm2.xml</loc></sitemap>"
+               "</sitemapindex>")
+        t = pa.table({"host": ["h.test", "x"],
+                      "sitemap_xml": [idx, None]})
+        got = parse_sitemap_urls(t).to_pylist()
+        assert [r["loc"] for r in got] == [
+            "https://h.test/sm1.xml", "https://h.test/sm2.xml"]
+        assert all(r["lastmod"] is None for r in got)
+
+    def test_lastmod_pairing_is_per_url_block(self):
+        from biosd_feature_annotator_ray.functions.robots import (
+            parse_sitemap_urls,
+        )
+
+        # lastmod of the SECOND block must not leak onto the first loc
+        xml = ("<urlset><url><loc>https://h/a</loc></url>"
+               "<url><loc>https://h/b</loc>"
+               "<lastmod>2024-05-06</lastmod></url></urlset>")
+        t = pa.table({"host": ["h"], "sitemap_xml": [xml]})
+        got = {r["loc"]: r["lastmod"]
+               for r in parse_sitemap_urls(t).to_pylist()}
+        assert got == {"https://h/a": None, "https://h/b": "2024-05-06"}
