@@ -100,3 +100,25 @@ def mask_pattern(batch, col: str, pattern: str, repl: str, out: str | None = Non
 
     masked = pc.replace_substring_regex(batch.column(col), pattern, repl)
     return batch.append_column(out or f"{col}_redacted", masked)
+
+
+def fold_array(arr: pa.ChunkedArray | pa.Array):
+    """Unicode case/accent folding for cross-lingual match keys:
+    NFC-normalize, Unicode-lowercase, then strip combining marks
+    (NFD -> drop \\p{Mn} -> NFC). Byte-identical to DuckDB's
+    ``strip_accents(lower(nfc_normalize(x)))`` (pinned by the
+    `unicode_fold` oracle and an accent-corpus test), so the same fold
+    can key both the engine's dedup/link stages and offline SQL audits.
+    All five steps are Arrow kernels (utf8_normalize / utf8_lower /
+    RE2 replace) — zero Python per row."""
+    out = pc.utf8_normalize(arr, form="NFC")
+    out = pc.utf8_lower(out)
+    out = pc.utf8_normalize(out, form="NFD")
+    out = pc.replace_substring_regex(out, r"\p{Mn}", "")
+    return pc.utf8_normalize(out, form="NFC")
+
+
+def fold_text(batch, col: str = "text", out: str | None = None):
+    """Batch wrapper over :func:`fold_array` (adds ``<col>_folded``)."""
+    folded = fold_array(batch.column(col))
+    return batch.append_column(out or f"{col}_folded", folded)

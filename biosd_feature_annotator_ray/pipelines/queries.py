@@ -5463,3 +5463,205 @@ ORACLES["sitemap_urls"] = (
     "  '(?is)<lastmod>\\s*([^<]*?)\\s*</lastmod>', 1)), '') AS lastmod"
     " FROM blocks"
 )
+
+
+_FOLD_WORDS = ["Héllo", "naïve", "Dvořák", "ÅNGSTRÖM", "ΣΟΦΌΣ",
+               "piñata", "œuvre", "STRASSE", "Ćevapčići", "café",
+               "plain"]
+
+
+def q_unicode_fold(sf_dir: str):
+    """Unicode case/accent folding (functions.normalize.fold_array)
+    over a synthesized accented corpus: NFC + Unicode lower + combining
+    -mark strip, byte-identical to DuckDB's
+    strip_accents(lower(nfc_normalize(x))) — the twin uses exactly that
+    expression over the same corpus, so the parity IS the oracle."""
+    from ..functions.normalize import fold_text
+
+    rows = [{"id": i,
+             "text": (f"{_FOLD_WORDS[i % 11]} "
+                      f"{_FOLD_WORDS[(i * 3 + 1) % 11]} item {i}")}
+            for i in range(400)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = ds.map_batches(fold_text, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["unicode_fold"] = q_unicode_fold
+
+ORACLES["unicode_fold"] = (
+    "WITH w(ws) AS (SELECT ['Héllo','naïve','Dvořák','ÅNGSTRÖM',"
+    "'ΣΟΦΌΣ','piñata','œuvre','STRASSE','Ćevapčići','café','plain']),"
+    " corpus AS (SELECT i AS id,"
+    "  ws[(i % 11) + 1] || ' ' || ws[((i * 3 + 1) % 11) + 1]"
+    "   || ' item ' || i AS text"
+    "  FROM generate_series(0, 399) s(i), w)"
+    " SELECT id, text,"
+    " strip_accents(lower(nfc_normalize(text))) AS text_folded"
+    " FROM corpus"
+)
+
+
+def _table_corpus() -> pa.Table:
+    rows = []
+    for i in range(60):
+        if i % 3 == 2:
+            html = f"<html><p>no tables here {i}</p></html>"
+        else:
+            body = "".join(
+                f"<tr><td><b>item {i}-{j}</b></td><td>{j * 7}</td></tr>"
+                for j in range(i % 4 + 1))
+            html = ('<html><table class="t"><tr><th>Name</th>'
+                    '<th> Qty </th></tr>' + body + "</table>")
+            if i % 5 == 0:
+                html += f"<table><tr><td>solo {i}</td></tr></table>"
+            html += "</html>"
+        rows.append({"url": f"https://t{i}.test/", "html": html})
+    return pa.Table.from_pylist(rows)
+
+
+# shared corpus + nested-unnest cell extraction for the web-table twins
+_TABLE_CELLS_SQL = (
+    "WITH rws AS (SELECT i, string_agg('<tr><td><b>item ' || i || '-'"
+    " || j || '</b></td><td>' || (j * 7) || '</td></tr>', '' ORDER BY j)"
+    "  AS body FROM generate_series(0, 59) s(i)"
+    "  JOIN generate_series(0, 3) t(j) ON j <= i % 4 GROUP BY i),"
+    " pages AS (SELECT 'https://t' || i || '.test/' AS url,"
+    "  CASE WHEN i % 3 = 2 THEN"
+    "   '<html><p>no tables here ' || i || '</p></html>'"
+    "  ELSE '<html><table class=\"t\"><tr><th>Name</th>"
+    "<th> Qty </th></tr>' || body || '</table>'"
+    "   || CASE WHEN i % 5 = 0 THEN '<table><tr><td>solo ' || i ||"
+    "    '</td></tr></table>' ELSE '' END || '</html>' END AS html"
+    "  FROM rws),"
+    " tbl AS (SELECT url, unnest(regexp_extract_all(html,"
+    "   '(?is)<table[^>]*>(.*?)</table>', 1)) AS tb,"
+    "  unnest(range(len(regexp_extract_all(html,"
+    "   '(?is)<table[^>]*>(.*?)</table>', 1)))) AS table_idx"
+    "  FROM pages),"
+    " trw AS (SELECT url, table_idx, unnest(regexp_extract_all(tb,"
+    "   '(?is)<tr[^>]*>(.*?)</tr>', 1)) AS rw,"
+    "  unnest(range(len(regexp_extract_all(tb,"
+    "   '(?is)<tr[^>]*>(.*?)</tr>', 1)))) AS row_idx"
+    "  FROM tbl),"
+    " cells AS (SELECT url, CAST(table_idx AS INTEGER) AS table_idx,"
+    "  CAST(row_idx AS INTEGER) AS row_idx,"
+    "  CAST(ci AS INTEGER) AS col_idx,"
+    "  regexp_matches(cell, '(?is)^<th') AS is_header,"
+    "  trim(regexp_replace(regexp_replace(regexp_extract(cell,"
+    "   '(?is)<t[dh][^>]*>(.*?)</t[dh]>', 1), '<[^>]*>', ' ', 'g'),"
+    "   '\\s+', ' ', 'g')) AS cell_text"
+    "  FROM (SELECT url, table_idx, row_idx,"
+    "   unnest(regexp_extract_all(rw, '(?is)<t[dh][^>]*>.*?</t[dh]>'))"
+    "    AS cell,"
+    "   unnest(range(len(regexp_extract_all(rw,"
+    "    '(?is)<t[dh][^>]*>.*?</t[dh]>')))) AS ci FROM trw))"
+)
+
+
+def q_web_tables(sf_dir: str):
+    """HTML <table> extraction (structured.extract_tables) over a
+    synthesized corpus (variable row counts, th headers, nested inline
+    tags, multi-table and table-free pages). The twin regenerates the
+    corpus in SQL and re-extracts with the SAME RE2 regexes via
+    three nested unnest(regexp_extract_all(...)) levels."""
+    from ..stages.structured import extract_tables
+
+    ds = rd.from_arrow(_table_corpus()).repartition(3)
+    out = ds.map_batches(extract_tables, batch_format="pyarrow")
+    df = (out.to_pandas()
+          .sort_values(["url", "table_idx", "row_idx", "col_idx"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["web_tables"] = q_web_tables
+
+ORACLES["web_tables"] = (
+    _TABLE_CELLS_SQL
+    + " SELECT url, table_idx, row_idx, col_idx, is_header, cell_text"
+      " FROM cells"
+)
+
+
+def q_web_table_records(sf_dir: str):
+    """Header-paired table records (structured.table_records composed
+    with extract_tables inside ONE map_batches so a page's cells never
+    split across batch boundaries): body cells join their table's
+    first header row by column position, missing headers fall back to
+    col_<idx>. Twin: LEFT JOIN of the cells CTE onto its header
+    subset."""
+    from ..stages.structured import extract_tables, table_records
+
+    ds = rd.from_arrow(_table_corpus()).repartition(3)
+    out = ds.map_batches(lambda b: table_records(extract_tables(b)),
+                         batch_format="pyarrow")
+    df = (out.to_pandas()
+          .sort_values(["url", "table_idx", "row_idx", "col_name"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["web_table_records"] = q_web_table_records
+
+ORACLES["web_table_records"] = (
+    _TABLE_CELLS_SQL
+    + ", hdr AS (SELECT url, table_idx, col_idx,"
+      "  cell_text AS col_name FROM cells"
+      "  WHERE is_header AND row_idx = 0)"
+      " SELECT b.url, b.table_idx, b.row_idx,"
+      " coalesce(h.col_name, 'col_' || b.col_idx) AS col_name,"
+      " b.cell_text AS value"
+      " FROM (SELECT * FROM cells WHERE NOT is_header) b"
+      " LEFT JOIN hdr h ON h.url = b.url"
+      "  AND h.table_idx = b.table_idx AND h.col_idx = b.col_idx"
+)
+
+
+def q_rdfs_infer_types(sf_dir: str):
+    """RDFS subsumption materialization (graph.rdfs_infer_types) over
+    a synthesized 3-ary class tree (29 subClassOf edges) + 200 typed
+    instances + non-type facts: every instance fact fans out to its
+    class's ancestors, originals kept, exact-deduped. Twin: recursive
+    ancestor CTE + join + UNION ALL + DISTINCT."""
+    from ..stages.graph import rdfs_infer_types
+
+    rows = []
+    for k in range(1, 30):
+        rows.append({"subj": f"c{k}", "pred": "subClassOf",
+                     "obj": f"c{k // 3}"})
+    for i in range(200):
+        rows.append({"subj": f"x{i}", "pred": "rdf:type",
+                     "obj": f"c{i % 30}"})
+        if i % 4 == 0:
+            rows.append({"subj": f"x{i}", "pred": "knows",
+                         "obj": f"x{(i + 1) % 200}"})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = rdfs_infer_types(ds, nb=8)
+    df = (out.to_pandas().sort_values(["subj", "pred", "obj"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["rdfs_infer_types"] = q_rdfs_infer_types
+
+ORACLES["rdfs_infer_types"] = (
+    "WITH RECURSIVE base AS ("
+    " SELECT 'c' || k AS subj, 'subClassOf' AS pred,"
+    "  'c' || (k // 3) AS obj FROM generate_series(1, 29) s(k)"
+    " UNION ALL SELECT 'x' || i, 'rdf:type', 'c' || (i % 30)"
+    "  FROM generate_series(0, 199) t(i)"
+    " UNION ALL SELECT 'x' || i, 'knows', 'x' || ((i + 1) % 200)"
+    "  FROM generate_series(0, 199) t(i) WHERE i % 4 = 0),"
+    " sub AS (SELECT subj AS c, obj AS p FROM base"
+    "  WHERE pred = 'subClassOf'),"
+    " anc(node, a) AS (SELECT c, p FROM sub"
+    "  UNION SELECT an.node, s.p FROM anc an JOIN sub s"
+    "   ON s.c = an.a),"
+    " inferred AS (SELECT b.subj, 'rdf:type' AS pred, an.a AS obj"
+    "  FROM base b JOIN anc an ON an.node = b.obj"
+    "  WHERE b.pred = 'rdf:type')"
+    " SELECT DISTINCT subj, pred, obj FROM"
+    " (SELECT * FROM base UNION ALL SELECT * FROM inferred)"
+)

@@ -1132,3 +1132,123 @@ def canonicalize_entities(
             o_col: pc.coalesce(t.column("o_canon"), t.column(o_col))}),
         batch_format="pyarrow")
     return dedup_exact(out, [s_col, p_col, o_col], nb=nb)
+
+
+def rdfs_infer_types(
+    triples: "ray.data.Dataset",
+    type_pred: str = "rdf:type",
+    subclass_pred: str = "subClassOf",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    nb: int = 16,
+    max_classes: int = 2_000_000,
+    include_original: bool = True,
+) -> "ray.data.Dataset":
+    """RDFS subsumption materialization — the entailment step KG
+    pipelines run after extraction: for every instance fact
+    ``(x, rdf:type, C)`` emit ``(x, rdf:type, A)`` for each strict
+    ancestor ``A`` of ``C`` under the ``subClassOf`` hierarchy, union
+    the originals, and exact-dedup.
+
+    Scale shape: the ontology (``subClassOf`` edges) is the SMALL side
+    — bounded by ``max_classes`` edges (raises beyond it; a trillion-
+    row KG still has a million-class ontology at most) — so the
+    closure is computed driver-side (memoized DFS, cycle-tolerant:
+    classes on a cycle see each other as ancestors, self never
+    re-emitted) and broadcast ONCE via ``ray.put`` as a
+    class → ancestor-tuple dict. The instance stream then expands in
+    one ``map_batches``: the batch's obj column is dictionary-encoded,
+    ancestors are resolved per DISTINCT class, and rows fan out via a
+    CSR-style numpy repeat/gather — no shuffle touches the big side
+    until the final dedup (which callers doing append-only loads can
+    skip via ``include_original=False`` + their own sink dedup).
+    """
+    import ray as _ray
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact
+
+    def sub_edges(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column(p_col), subclass_pred)
+        f = b.filter(pc.fill_null(m, False))
+        return pa.table({"c": f.column(s_col), "p": f.column(o_col)})
+
+    sub = triples.map_batches(sub_edges, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    n_edges = sub.count()
+    if n_edges > max_classes:
+        raise ValueError(
+            f"rdfs_infer_types: {n_edges} subClassOf edges exceed "
+            f"max_classes={max_classes}; the driver-side closure "
+            "assumes an ontology-sized small side")
+    parents: dict[str, list[str]] = {}
+    for b in sub.iter_batches(batch_format="pyarrow"):
+        for c, p in zip(b.column("c").to_pylist(),
+                        b.column("p").to_pylist()):
+            if c is not None and p is not None and c != p:
+                parents.setdefault(c, []).append(p)
+
+    anc: dict[str, tuple] = {}
+
+    def ancestors(cls: str) -> tuple:
+        done = anc.get(cls)
+        if done is not None:
+            return done
+        seen: set = set()
+        stack = list(parents.get(cls, ()))
+        while stack:
+            q = stack.pop()
+            if q in seen:
+                continue
+            seen.add(q)
+            memo = anc.get(q)
+            if memo is not None:
+                seen.update(memo)
+            else:
+                stack.extend(parents.get(q, ()))
+        seen.discard(cls)  # cycles: self is never re-emitted
+        out = tuple(sorted(seen))
+        anc[cls] = out
+        return out
+
+    for c in list(parents):
+        ancestors(c)
+    ref = _ray.put(anc)
+    _cache: dict = {}
+
+    def expand(b: pa.Table) -> pa.Table:
+        if "anc" not in _cache:
+            _cache["anc"] = _ray.get(ref)
+        amap = _cache["anc"]
+        m = pc.fill_null(pc.equal(b.column(p_col), type_pred), False)
+        tr = b.filter(m)
+        base = b.select([s_col, p_col, o_col])
+        if tr.num_rows == 0:
+            return base if include_original else base.slice(0, 0)
+        enc = pc.dictionary_encode(tr.column(o_col)).combine_chunks()
+        vals = enc.dictionary.to_pylist()
+        idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        lists = [amap.get(v, ()) for v in vals]
+        lens = np.array([len(x) for x in lists], np.int64)
+        flat = np.array([a for lst in lists for a in lst], object)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        counts = lens[idx]
+        total = int(counts.sum())
+        if total == 0:
+            return base if include_original else base.slice(0, 0)
+        rep = np.repeat(np.arange(len(idx), dtype=np.int64), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+        pos = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        new_obj = flat[offs[idx[rep]] + pos]
+        inferred = pa.table({
+            s_col: tr.column(s_col).take(pa.array(rep)),
+            p_col: pa.array([type_pred] * total, pa.string()),
+            o_col: pa.array(new_obj, pa.string()),
+        })
+        if not include_original:
+            return inferred
+        return pa.concat_tables([base, inferred])
+
+    out = triples.map_batches(expand, batch_format="pyarrow")
+    return dedup_exact(out, [s_col, p_col, o_col], nb=nb)

@@ -286,3 +286,82 @@ def extract_main_text(batch: pa.Table, html_col: str = "html",
         "n_blocks": pa.array(n_blocks, pa.int32()),
         "n_kept": pa.array(n_kept, pa.int32()),
     })
+
+
+_TABLE_RE = re.compile(r"<table[^>]*>(.*?)</table>",
+                       re.IGNORECASE | re.DOTALL)
+_TR_RE = re.compile(r"<tr[^>]*>(.*?)</tr>", re.IGNORECASE | re.DOTALL)
+# full cell match (tag kept so th/td is decidable per cell); inner
+# text re-extracted with the grouped form — both regexes are RE2-safe
+# so the SQL twin replays them verbatim.
+_CELL_RE = re.compile(r"<t[dh][^>]*>.*?</t[dh]>",
+                      re.IGNORECASE | re.DOTALL)
+_CELL_INNER_RE = re.compile(r"<t[dh][^>]*>(.*?)</t[dh]>",
+                            re.IGNORECASE | re.DOTALL)
+_TH_OPEN_RE = re.compile(r"^<th", re.IGNORECASE)
+
+
+def extract_tables(batch: pa.Table, html_col: str = "html",
+                   url_col: str = "url") -> pa.Table:
+    """Web-table → relational-facts extraction: every ``<table>`` on a
+    page becomes (url, table_idx, row_idx, col_idx, is_header,
+    cell_text) rows — the raw material for table-to-KG fact mining
+    (header cells carry ``is_header=true`` so a downstream stage can
+    pair header columns with body cells).
+
+    Regex-structural, not a DOM parse: non-greedy ``<table>…</table>``
+    blocks (NESTED tables therefore truncate at the inner close —
+    documented wild-HTML tradeoff, same budget as the other kernels
+    here), ``<tr>`` rows inside each block, ``<td>/<th>`` cells inside
+    each row; cell text is tag-stripped and whitespace-collapsed.
+    Row-expanding inside one ``map_batches`` — no shuffle, no state.
+    """
+    html = _html_strings(batch, html_col)
+    urls = batch.column(url_col).to_pylist()
+    o_url: list = []
+    o_tbl: list = []
+    o_row: list = []
+    o_col: list = []
+    o_hdr: list = []
+    o_txt: list = []
+    for i, doc in enumerate(html):
+        for ti, tbl in enumerate(_TABLE_RE.findall(doc or "")):
+            for ri, tr in enumerate(_TR_RE.findall(tbl)):
+                for ci, cell in enumerate(_CELL_RE.findall(tr)):
+                    m = _CELL_INNER_RE.match(cell)
+                    o_url.append(urls[i])
+                    o_tbl.append(ti)
+                    o_row.append(ri)
+                    o_col.append(ci)
+                    o_hdr.append(bool(_TH_OPEN_RE.match(cell)))
+                    o_txt.append(_clean_text(m.group(1) if m else ""))
+    return pa.table({
+        url_col: pa.array(o_url, pa.string()),
+        "table_idx": pa.array(o_tbl, pa.int32()),
+        "row_idx": pa.array(o_row, pa.int32()),
+        "col_idx": pa.array(o_col, pa.int32()),
+        "is_header": pa.array(o_hdr, pa.bool_()),
+        "cell_text": pa.array(o_txt, pa.string()),
+    })
+
+
+def table_records(cells: pa.Table, url_col: str = "url") -> pa.Table:
+    """Fold extracted table cells into (url, table_idx, row_idx,
+    col_name, value) records by pairing each BODY cell with its
+    table's first header row's cell at the same column position —
+    missing headers fall back to ``col_<idx>``. Pure pandas merge on
+    the (already small) cell set inside one task; callers at scale run
+    it per-batch after :func:`extract_tables` (cells of one page never
+    leave their block)."""
+    df = cells.to_pandas()
+    hdr = df[df["is_header"] & (df["row_idx"] == 0)]
+    hdr = hdr[[url_col, "table_idx", "col_idx", "cell_text"]].rename(
+        columns={"cell_text": "col_name"})
+    body = df[~df["is_header"]]
+    out = body.merge(hdr, on=[url_col, "table_idx", "col_idx"],
+                     how="left")
+    fallback = "col_" + out["col_idx"].astype(str)
+    out["col_name"] = out["col_name"].fillna(fallback)
+    out = out[[url_col, "table_idx", "row_idx", "col_name",
+               "cell_text"]].rename(columns={"cell_text": "value"})
+    return pa.Table.from_pandas(out, preserve_index=False)

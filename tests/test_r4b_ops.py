@@ -1,0 +1,193 @@
+"""Fourth-sitting operators: unicode folding, HTML web-table
+extraction, RDFS type inference."""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from biosd_feature_annotator_ray.functions.normalize import (
+    fold_array,
+    fold_text,
+)
+from biosd_feature_annotator_ray.stages.graph import rdfs_infer_types
+from biosd_feature_annotator_ray.stages.structured import (
+    extract_tables,
+    table_records,
+)
+
+
+# ---------------------------------------------------------------- fold
+
+def _fold_ref(s: str) -> str:
+    """Scalar reference: NFC -> lower -> NFD -> drop Mn -> NFC.
+
+    Python's str.lower() applies the contextual FINAL-SIGMA rule
+    (trailing Σ -> ς); Arrow's utf8_lower and DuckDB's lower() both
+    use the simple case mapping (Σ -> σ always). The kernel is
+    DEFINED as DuckDB parity (that is the oracle contract), so the
+    reference pre-maps Σ -> σ so lower() never sees a final sigma
+    (pre-existing ς in the input stays ς on both sides)."""
+    x = unicodedata.normalize("NFC", s).replace("Σ", "σ").lower()
+    x = unicodedata.normalize("NFD", x)
+    x = "".join(c for c in x if unicodedata.category(c) != "Mn")
+    return unicodedata.normalize("NFC", x)
+
+
+FOLD_CASES = [
+    "Héllo WÖRLD", "naïve café", "ΣΟΦΌΣ σοφός", "İstanbul ışık",
+    "Ćevapčići", "ÅNGSTRÖM Å", "ñandú piñata", "œuvre Æsir",
+    "ß STRASSE", "Dvořák", "á combining", "", "plain ascii 42",
+]
+
+
+def test_fold_matches_scalar_reference():
+    got = fold_array(pa.array(FOLD_CASES)).to_pylist()
+    assert got == [_fold_ref(s) for s in FOLD_CASES]
+
+
+def test_fold_nulls_and_idempotence():
+    arr = pa.array(["Café", None, ""])
+    once = fold_array(arr)
+    assert once.to_pylist() == ["cafe", None, ""]
+    assert fold_array(once).to_pylist() == ["cafe", None, ""]
+
+
+def test_fold_duckdb_parity():
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("t", pa.table({"s": pa.array(FOLD_CASES)}))
+    sql = [r[0] for r in con.execute(
+        "SELECT strip_accents(lower(nfc_normalize(s))) FROM t"
+    ).fetchall()]
+    assert fold_array(pa.array(FOLD_CASES)).to_pylist() == sql
+
+
+def test_fold_text_batch_wrapper():
+    t = pa.table({"text": ["Dvořák"], "id": [1]})
+    out = fold_text(t)
+    assert out.column("text_folded").to_pylist() == ["dvorak"]
+    assert out.num_columns == 3
+
+
+# -------------------------------------------------------------- tables
+
+def _cells(html: str, url: str = "u"):
+    return extract_tables(pa.table({"url": [url], "html": [html]}))
+
+
+def test_extract_tables_basic_header_and_body():
+    c = _cells('<table><tr><th>A</th><th> B </th></tr>'
+               '<tr><td>1</td><td><i>2</i></td></tr></table>')
+    assert c.column("cell_text").to_pylist() == ["A", "B", "1", "2"]
+    assert c.column("is_header").to_pylist() == [True, True, False,
+                                                 False]
+    assert c.column("row_idx").to_pylist() == [0, 0, 1, 1]
+    assert c.column("col_idx").to_pylist() == [0, 1, 0, 1]
+
+
+def test_extract_tables_multiple_and_none():
+    c = _cells("<table><tr><td>x</td></tr></table>middle"
+               "<table><tr><td>y</td></tr></table>")
+    assert c.column("table_idx").to_pylist() == [0, 1]
+    assert _cells("<p>no table</p>").num_rows == 0
+    assert _cells("<table><tr><td>open").num_rows == 0  # unclosed
+    assert _cells("").num_rows == 0
+
+
+def test_extract_tables_null_and_binary_html():
+    t = pa.table({"url": ["a", "b"],
+                  "html": pa.array(
+                      [b"<table><tr><td>bin</td></tr></table>", None],
+                      pa.binary())})
+    c = extract_tables(t)
+    assert c.column("cell_text").to_pylist() == ["bin"]
+    assert c.column("url").to_pylist() == ["a"]
+
+
+def test_extract_tables_whitespace_and_tag_strip():
+    c = _cells("<table><tr><td>  a\n\t <b>bold</b>  c </td></tr>"
+               "</table>")
+    assert c.column("cell_text").to_pylist() == ["a bold c"]
+
+
+def test_table_records_header_pairing_and_fallback():
+    c = _cells('<table><tr><th>Name</th></tr>'
+               '<tr><td>n1</td><td>extra</td></tr></table>'
+               '<table><tr><td>nohdr</td></tr></table>')
+    r = table_records(c).to_pandas()
+    recs = {(row.table_idx, row.col_name): row.value
+            for row in r.itertuples()}
+    assert recs[(0, "Name")] == "n1"
+    assert recs[(0, "col_1")] == "extra"  # body wider than header
+    assert recs[(1, "col_0")] == "nohdr"  # headerless table
+
+
+# ---------------------------------------------------------------- rdfs
+
+def _triples(rows):
+    return rd.from_arrow(pa.Table.from_pylist(
+        [{"subj": s, "pred": p, "obj": o} for s, p, o in rows]))
+
+
+def _sorted_rows(ds):
+    df = ds.to_pandas().sort_values(["subj", "pred", "obj"])
+    return [tuple(r) for r in df.itertuples(index=False)]
+
+
+def test_rdfs_diamond_hierarchy():
+    out = rdfs_infer_types(_triples([
+        ("B", "subClassOf", "A"), ("C", "subClassOf", "A"),
+        ("D", "subClassOf", "B"), ("D", "subClassOf", "C"),
+        ("x", "rdf:type", "D"),
+    ]), nb=4)
+    rows = _sorted_rows(out)
+    typed = [o for s, p, o in rows if s == "x" and p == "rdf:type"]
+    assert typed == ["A", "B", "C", "D"]  # A emitted once (dedup)
+
+
+def test_rdfs_cycle_tolerated():
+    out = rdfs_infer_types(_triples([
+        ("A", "subClassOf", "B"), ("B", "subClassOf", "A"),
+        ("x", "rdf:type", "A"),
+    ]), nb=4)
+    typed = [o for s, p, o in _sorted_rows(out)
+             if s == "x" and p == "rdf:type"]
+    assert typed == ["A", "B"]  # cycle => each other, self once
+
+
+def test_rdfs_no_ontology_passthrough():
+    out = rdfs_infer_types(_triples([
+        ("x", "rdf:type", "A"), ("x", "rdf:type", "A"),
+        ("x", "knows", "y"),
+    ]), nb=4)
+    assert _sorted_rows(out) == [("x", "knows", "y"),
+                                 ("x", "rdf:type", "A")]
+
+
+def test_rdfs_inferred_only_mode():
+    out = rdfs_infer_types(_triples([
+        ("B", "subClassOf", "A"), ("x", "rdf:type", "B"),
+    ]), nb=4, include_original=False)
+    assert _sorted_rows(out) == [("x", "rdf:type", "A")]
+
+
+def test_rdfs_deep_chain():
+    rows = [(f"c{k}", "subClassOf", f"c{k - 1}") for k in range(1, 12)]
+    rows.append(("x", "rdf:type", "c11"))
+    out = rdfs_infer_types(_triples(rows), nb=4,
+                           include_original=False)
+    typed = sorted(o for s, p, o in _sorted_rows(out)
+                   if s == "x")
+    assert typed == sorted(f"c{k}" for k in range(11))
+
+
+def test_rdfs_max_classes_guard():
+    with pytest.raises(ValueError, match="max_classes"):
+        rdfs_infer_types(_triples([
+            ("B", "subClassOf", "A"), ("C", "subClassOf", "A"),
+        ]), max_classes=1)
