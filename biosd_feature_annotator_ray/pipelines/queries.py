@@ -5665,3 +5665,47 @@ ORACLES["rdfs_infer_types"] = (
     " SELECT DISTINCT subj, pred, obj FROM"
     " (SELECT * FROM base UNION ALL SELECT * FROM inferred)"
 )
+
+
+def q_jaccard_join_docs(sf_dir: str):
+    """Exact set-similarity self-join with prefix filtering
+    (dedup.jaccard_similarity_join, AllPairs/PPJoin family) at
+    t=0.5 over a synthesized sliding-vocabulary corpus (150 docs,
+    6-11 distinct tokens each, heavy pairwise overlap). The twin is
+    the brute-force O(n^2) token self-join — tractable at oracle
+    scale, which is exactly what the prefix filter avoids at real
+    scale; scores are the same int-operand float64 division on both
+    sides."""
+    from ..stages.dedup import jaccard_similarity_join
+
+    rows = [{"doc_id": i,
+             "text": " ".join(f"w{(i * 7 + j) % 50}"
+                              for j in range(6 + i % 6))}
+            for i in range(150)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = jaccard_similarity_join(ds, 0.5, nb=8)
+    df = (out.to_pandas().sort_values(["id_a", "id_b"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["jaccard_join_docs"] = q_jaccard_join_docs
+
+ORACLES["jaccard_join_docs"] = (
+    "WITH docs AS (SELECT i AS id,"
+    "  string_agg('w' || ((i * 7 + j) % 50), ' ' ORDER BY j) AS text"
+    "  FROM generate_series(0, 149) s(i)"
+    "  JOIN generate_series(0, 10) t(j) ON j < 6 + (i % 6)"
+    "  GROUP BY i),"
+    " tok AS (SELECT DISTINCT id, unnest(string_split(text, ' ')) AS w"
+    "  FROM docs),"
+    " sz AS (SELECT id, count(*) AS n FROM tok GROUP BY id),"
+    " ix AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c"
+    "  FROM tok a JOIN tok b ON a.w = b.w AND a.id < b.id"
+    "  GROUP BY 1, 2)"
+    " SELECT i.id_a, i.id_b, sa.n AS size_a, sb.n AS size_b,"
+    " c AS inter, c * 1.0 / (sa.n + sb.n - c) AS jaccard"
+    " FROM ix i JOIN sz sa ON sa.id = i.id_a"
+    " JOIN sz sb ON sb.id = i.id_b"
+    " WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5"
+)

@@ -1042,3 +1042,155 @@ def remove_boilerplate(
 
     return _apply_doc_removals(docs, removal_rows, id_col, text_col, nb,
                                "n_lines", per_doc)
+
+
+# ---------------------------------------------------------------------------
+def jaccard_similarity_join(
+    docs: "ray.data.Dataset",
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Exact token-set similarity self-join with PREFIX FILTERING
+    (AllPairs / PPJoin family): every pair of documents whose
+    whitespace token sets have Jaccard ≥ ``threshold``, with the exact
+    score — no approximation, yet never all-pairs.
+
+    The filter that makes it scale: order the token universe rarest-
+    first (ascending document frequency, token string as tie-break).
+    A document with n distinct tokens only has to EXPOSE its first
+    ``n - ceil(t*n) + 1`` ordered tokens (its *prefix*): two sets with
+    Jaccard ≥ t must share at least one prefix token of each, so
+    candidate pairs are generated ONLY inside prefix-token buckets —
+    and prefix tokens are by construction the RAREST, so buckets stay
+    small where a raw token join would explode on stopwords. A size
+    filter (t·|a| ≤ |b|, members sorted by size) prunes inside each
+    bucket before the exact set intersection verifies.
+
+    Plan (4 shuffles, all on bounded sides): distinct (token, id) →
+    df counts (map-side pre-aggregated) → df joined back on token →
+    per-doc regroup builds the ordered list + prefix (the doc's full
+    ordered token list rides along ONLY on its ≤ (1-t)·n+1 prefix
+    rows) → prefix-token buckets verify pairs → exact dedup (a pair
+    found under two prefix tokens emits identical rows).
+
+    Returns (id_a, id_b, size_a, size_b, inter, jaccard), id_a < id_b.
+    Jaccard is the raw float64 division inter/(size_a+size_b-inter) —
+    bit-identical to a SQL twin computing the same integer operands.
+    """
+    import math
+
+    import ray.data as rd
+
+    from .join import shuffle_hash_join
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("jaccard_similarity_join: threshold in (0, 1]")
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        o_tok: list = []
+        o_id: list = []
+        for i, s in enumerate(texts):
+            for w in set(s.lower().split()):
+                o_tok.append(w)
+                o_id.append(ids[i])
+        return pa.table({"token": pa.array(o_tok, pa.string()),
+                         id_col: pa.array(o_id, pa.int64())})
+
+    tok = docs.map_batches(tok_rows, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+
+    # document frequency, map-side pre-aggregated before the groupby
+    def local_df(batch: pa.Table) -> pa.Table:
+        return batch.group_by("token").aggregate([("token", "count")])
+
+    df_counts = (tok.map_batches(local_df, batch_format="pyarrow")
+                 .groupby("token").sum("token_count"))
+    df_counts = df_counts.map_batches(
+        lambda t: pa.table({"token": t.column("token"),
+                            "df": t.column("sum(token_count)")
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    ranked = shuffle_hash_join(tok, df_counts, on=["token"],
+                               how="inner", nb=nb)
+    bucketed = ranked.map_batches(
+        lambda t: _add_bucket(t, [id_col], nb),
+        batch_format="pyarrow", batch_size=65536)
+
+    def build_prefix(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL]).to_pandas()
+        o_ptok: list = []
+        o_id: list = []
+        o_size: list = []
+        o_toks: list = []
+        for did, grp in df.groupby(id_col, sort=False):
+            pairs = sorted(zip(grp["df"], grp["token"]))
+            ordered = [w for _, w in pairs]
+            n = len(ordered)
+            plen = n - math.ceil(threshold * n) + 1
+            for w in ordered[:plen]:
+                o_ptok.append(w)
+                o_id.append(did)
+                o_size.append(n)
+                o_toks.append(ordered)
+        return pa.table({
+            "ptoken": pa.array(o_ptok, pa.string()),
+            id_col: pa.array(o_id, pa.int64()),
+            "size": pa.array(o_size, pa.int64()),
+            "tokens": pa.array(o_toks, pa.list_(pa.string())),
+        })
+
+    prefixes = bucketed.groupby(_BUCKET_COL).map_groups(
+        build_prefix, batch_format="pyarrow")
+    pbuckets = prefixes.map_batches(
+        lambda t: _add_bucket(t, ["ptoken"], nb),
+        batch_format="pyarrow", batch_size=65536)
+
+    def verify(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL]).to_pandas()
+        o_a: list = []
+        o_b: list = []
+        o_na: list = []
+        o_nb: list = []
+        o_i: list = []
+        o_j: list = []
+        for _, grp in df.groupby("ptoken", sort=False):
+            mem = sorted(
+                ((int(r[1]), int(r[0]), set(r[2])) for r in
+                 zip(grp[id_col], grp["size"], grp["tokens"])),
+            )  # by (size, id) so the size filter can break early
+            for x in range(len(mem)):
+                na, ida, sa = mem[x]
+                for y in range(x + 1, len(mem)):
+                    nbr, idb, sb = mem[y]
+                    if nbr * threshold > na:  # |b| > |a|/t: no later
+                        break                 # member can qualify
+                    if ida == idb:
+                        continue
+                    inter = len(sa & sb)
+                    jac = inter / (na + nbr - inter)
+                    if jac >= threshold:
+                        lo, hi = (ida, idb) if ida < idb else (idb, ida)
+                        nlo, nhi = (na, nbr) if ida < idb else (nbr, na)
+                        o_a.append(lo)
+                        o_b.append(hi)
+                        o_na.append(nlo)
+                        o_nb.append(nhi)
+                        o_i.append(inter)
+                        o_j.append(jac)
+        return pa.table({
+            "id_a": pa.array(o_a, pa.int64()),
+            "id_b": pa.array(o_b, pa.int64()),
+            "size_a": pa.array(o_na, pa.int64()),
+            "size_b": pa.array(o_nb, pa.int64()),
+            "inter": pa.array(o_i, pa.int64()),
+            "jaccard": pa.array(o_j, pa.float64()),
+        })
+
+    pairs = pbuckets.groupby(_BUCKET_COL).map_groups(
+        verify, batch_format="pyarrow")
+    return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)

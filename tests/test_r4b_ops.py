@@ -191,3 +191,67 @@ def test_rdfs_max_classes_guard():
         rdfs_infer_types(_triples([
             ("B", "subClassOf", "A"), ("C", "subClassOf", "A"),
         ]), max_classes=1)
+
+
+# ------------------------------------------------------- jaccard join
+
+from biosd_feature_annotator_ray.stages.dedup import (  # noqa: E402
+    jaccard_similarity_join,
+)
+
+
+def _jdocs(texts):
+    return rd.from_arrow(pa.Table.from_pylist(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]))
+
+
+def _jpairs(ds, t, nb=4):
+    df = (jaccard_similarity_join(ds, t, nb=nb).to_pandas()
+          .sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    return [tuple(r) for r in df.itertuples(index=False)]
+
+
+def test_jaccard_join_planted():
+    got = _jpairs(_jdocs([
+        "a b c d",          # 0
+        "a b c e",          # 1: J(0,1) = 3/5
+        "x y z",            # 2
+        "x y z",            # 3: J = 1
+        "q",                # 4: singleton
+    ]), 0.6)
+    assert got == [(0, 1, 4, 4, 3, 0.6), (2, 3, 3, 3, 3, 1.0)]
+
+
+def test_jaccard_join_set_semantics_and_case():
+    # duplicate tokens collapse; tokens lowercase before compare
+    got = _jpairs(_jdocs(["A a B b", "a b"]), 0.9)
+    assert got == [(0, 1, 2, 2, 2, 1.0)]
+
+
+def test_jaccard_join_empty_null_threshold_one():
+    got = _jpairs(_jdocs(["", None, "k k", "k"]), 1.0)
+    assert got == [(2, 3, 1, 1, 1, 1.0)]
+    with pytest.raises(ValueError):
+        jaccard_similarity_join(_jdocs(["a"]), 0.0)
+
+
+def test_jaccard_join_fuzz_brute_force():
+    import itertools
+    import random
+
+    rng = random.Random(404)
+    texts = [" ".join(rng.choice("abcdefghijkl")
+                      for _ in range(rng.randint(0, 9)))
+             for _ in range(80)]
+    for t in (0.4, 0.7):
+        got = _jpairs(_jdocs(texts), t, nb=8)
+        sets = [set(s.lower().split()) for s in texts]
+        want = []
+        for a, b in itertools.combinations(range(len(texts)), 2):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= t:
+                want.append((a, b, len(sets[a]), len(sets[b]), inter,
+                             inter / (len(sets[a]) + len(sets[b])
+                                      - inter)))
+        assert got == want
