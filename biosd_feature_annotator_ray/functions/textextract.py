@@ -68,3 +68,59 @@ def extract_text(batch: pa.Table) -> pa.Table:
     new_text = pc.replace_with_mask(text, mask, repl)
     idx = batch.schema.get_field_index("text")
     return batch.set_column(idx, "text", new_text)
+
+
+_ENTITY_RE = re.compile(r"&(?:#[xX]?[0-9a-fA-F]+|[a-zA-Z][a-zA-Z0-9]{1,31});")
+
+
+def decode_html_entities(batch: pa.Table, col: str = "text",
+                         out: str | None = None,
+                         max_distinct: int = 512) -> pa.Table:
+    """HTML entity decoding (``&amp;`` / ``&#233;`` / ``&#x41;`` →
+    their characters) with a bounded-distinct vectorized plan: scan
+    the batch ONCE for its distinct terminated entities (a real
+    corpus batch has dozens, not thousands — charsets are finite),
+    resolve each via the stdlib's full named table, then apply one
+    Arrow ``replace_substring`` pass per distinct entity. Unknown
+    entities pass through; UNTERMINATED entities (``&amp`` without
+    ``;``) are deliberately not decoded (oracle-shared contract).
+
+    Single-logical-pass semantics despite chaining: replacements
+    whose OUTPUT contains ``&`` (``&amp;`` / ``&#38;`` / ``&#x26;``)
+    run LAST, so ``&amp;lt;`` decodes to ``&lt;`` — never
+    double-decoded to ``<``. Batches with more than ``max_distinct``
+    entities fall back to a per-row regex sub with the identical
+    single-pass semantics."""
+    import html as _html
+
+    import pyarrow.compute as pc
+
+    src = batch.column(col)
+    ser = src.to_pandas()
+    found: set[str] = set()
+    notnull = ser.dropna()
+    if len(notnull):
+        for lst in notnull.str.findall(_ENTITY_RE):
+            found.update(lst)
+    repl = []
+    for e in found:
+        d = _html.unescape(e)
+        if d != e:
+            repl.append((e, d))
+    if len(repl) > max_distinct:
+        sub = _ENTITY_RE.sub
+
+        def one(v):
+            if not isinstance(v, str):
+                return v
+            return sub(lambda m: _html.unescape(m.group(0)), v)
+
+        arr: pa.Array | pa.ChunkedArray = pa.array(
+            [one(v) for v in ser], pa.string())
+    else:
+        # amp-producing last => one logical pass
+        repl.sort(key=lambda t: ("&" in t[1], t[0]))
+        arr = src
+        for e, d in repl:
+            arr = pc.replace_substring(arr, pattern=e, replacement=d)
+    return batch.append_column(out or f"{col}_decoded", arr)

@@ -5709,3 +5709,114 @@ ORACLES["jaccard_join_docs"] = (
     " JOIN sz sb ON sb.id = i.id_b"
     " WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.5"
 )
+
+
+def q_page_features(sf_dir: str):
+    """Structural page-quality features (structured.page_features)
+    over a synthesized corpus with varying paragraph/link/script/img
+    mixes and empty pages. Integer-only outputs; the twin replays the
+    same RE2 patterns via length(regexp_extract_all(...))."""
+    from ..stages.structured import page_features
+
+    rows = []
+    for i in range(80):
+        if i % 7 == 6:
+            html = ""
+        else:
+            html = "<html>" + "".join(
+                f"<p>Para {i}-{j} with <b>bold</b> text</p>"
+                for j in range(i % 5 + 1))
+            if i % 3 == 0:
+                html += f'<a href="https://l{i}.test">link {i}</a>'
+            if i % 4 == 1:
+                html += "<script>var x=1;</script>"
+            if i % 2 == 0:
+                html += '<img src="i.png">'
+            html += "</html>"
+        rows.append({"url": f"https://p{i}.test/", "html": html})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = ds.map_batches(page_features, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("url").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["page_features"] = q_page_features
+
+ORACLES["page_features"] = (
+    "WITH paras AS (SELECT i, string_agg('<p>Para ' || i || '-' || j"
+    " || ' with <b>bold</b> text</p>', '' ORDER BY j) AS body"
+    "  FROM generate_series(0, 79) s(i)"
+    "  JOIN generate_series(0, 4) t(j) ON j <= i % 5 GROUP BY i),"
+    " pages AS (SELECT 'https://p' || i || '.test/' AS url,"
+    "  CASE WHEN i % 7 = 6 THEN '' ELSE"
+    "   '<html>' || body"
+    "   || CASE WHEN i % 3 = 0 THEN '<a href=\"https://l' || i ||"
+    "    '.test\">link ' || i || '</a>' ELSE '' END"
+    "   || CASE WHEN i % 4 = 1 THEN '<script>var x=1;</script>'"
+    "    ELSE '' END"
+    "   || CASE WHEN i % 2 = 0 THEN '<img src=\"i.png\">' ELSE '' END"
+    "   || '</html>' END AS html FROM paras)"
+    " SELECT url, CAST(length(html) AS INTEGER) AS html_chars,"
+    " CAST(length(trim(regexp_replace(regexp_replace(html,"
+    "  '<[^>]*>', ' ', 'g'), '\\s+', ' ', 'g'))) AS INTEGER)"
+    "  AS text_chars,"
+    " CAST(len(regexp_extract_all(html, '<[A-Za-z][^>]*>'))"
+    "  AS INTEGER) AS n_tags,"
+    " CAST(len(regexp_extract_all(html, '(?i)<a[\\s>]'))"
+    "  AS INTEGER) AS n_links,"
+    " CAST(len(regexp_extract_all(html, '(?i)<script[\\s>]'))"
+    "  AS INTEGER) AS n_scripts,"
+    " CAST(len(regexp_extract_all(html, '(?i)<img[\\s>]'))"
+    "  AS INTEGER) AS n_images,"
+    " CAST(len(regexp_extract_all(html, '(?i)<p[\\s>]'))"
+    "  AS INTEGER) AS n_paragraphs"
+    " FROM pages"
+)
+
+
+def q_html_entities(sf_dir: str):
+    """HTML entity decoding (functions.textextract.decode_html_
+    entities) over a synthesized corpus with named, decimal and hex
+    entities, unknown entities, and the double-escaped ``&amp;lt;``
+    single-pass case. Twin: nested replace() chain with chr() codes,
+    amp-replacement outermost — the same one-logical-pass ordering
+    the engine enforces."""
+    from ..functions.textextract import decode_html_entities
+
+    rows = []
+    for i in range(100):
+        t = f"Row {i} &amp; &lt;b&gt; caf&#233; &quot;x&quot;"
+        if i % 3 == 0:
+            t += " &#x41;lpha&hellip;"
+        if i % 4 == 1:
+            t += " double &amp;lt; pass"
+        if i % 5 == 2:
+            t += " &unknown; kept"
+        rows.append({"id": i, "text": t})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = ds.map_batches(decode_html_entities, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["html_entities"] = q_html_entities
+
+# the amp replace wraps the whole chain (outermost) so the twin has
+# the same one-logical-pass ordering as the engine:
+ORACLES["html_entities"] = (
+    "WITH corpus AS (SELECT i AS id,"
+    "  'Row ' || i || ' &amp; &lt;b&gt; caf&#233; &quot;x&quot;'"
+    "  || CASE WHEN i % 3 = 0 THEN ' &#x41;lpha&hellip;'"
+    "   ELSE '' END"
+    "  || CASE WHEN i % 4 = 1 THEN ' double &amp;lt; pass'"
+    "   ELSE '' END"
+    "  || CASE WHEN i % 5 = 2 THEN ' &unknown; kept' ELSE '' END"
+    "  AS text FROM generate_series(0, 99) s(i)),"
+    " pre AS (SELECT id, text,"
+    "  replace(replace(replace(replace(replace(replace(text,"
+    "   '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+    "   '&#233;', chr(233)), '&#x41;', chr(65)),"
+    "   '&hellip;', chr(8230)) AS p FROM corpus)"
+    " SELECT id, text, replace(p, '&amp;', '&') AS text_decoded"
+    " FROM pre"
+)

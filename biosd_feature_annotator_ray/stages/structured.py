@@ -32,6 +32,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _JSONLD_BLOCK_RE = re.compile(
     r"""<script[^>]*type\s*=\s*["']application/ld\+json["'][^>]*>(.*?)</script>""",
@@ -365,3 +366,40 @@ def table_records(cells: pa.Table, url_col: str = "url") -> pa.Table:
     out = out[[url_col, "table_idx", "row_idx", "col_name",
                "cell_text"]].rename(columns={"cell_text": "value"})
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def page_features(batch: pa.Table, html_col: str = "html",
+                  url_col: str = "url") -> pa.Table:
+    """Structural page-quality features — the cheap pre-filter a
+    web-text curation pipeline runs before any model-based scoring:
+    per page, integer counts of tags / anchors / scripts / images /
+    paragraphs plus raw html length and tag-stripped visible-text
+    length (nav-heavy, script-heavy and markup-only pages separate
+    from content pages on these alone).
+
+    Every column is a pyarrow.compute kernel over the whole batch
+    (``count_substring_regex`` / ``replace_substring_regex`` /
+    ``utf8_length``) — zero Python per row; the SQL twin replays the
+    same RE2 patterns. Integer outputs only, so the oracle compare is
+    exact. Null html counts as empty."""
+    col = batch.column(html_col)
+    if pa.types.is_binary(col.type) or pa.types.is_large_binary(col.type):
+        col = col.cast(pa.string())
+    html = pc.fill_null(col, "")
+
+    def _count(pat: str) -> pa.Array:
+        return pc.count_substring_regex(html, pat).cast(pa.int32())
+
+    text = pc.replace_substring_regex(html, "<[^>]*>", " ")
+    text = pc.replace_substring_regex(text, r"\s+", " ")
+    text = pc.utf8_trim_whitespace(text)
+    return pa.table({
+        url_col: batch.column(url_col),
+        "html_chars": pc.utf8_length(html).cast(pa.int32()),
+        "text_chars": pc.utf8_length(text).cast(pa.int32()),
+        "n_tags": _count("<[A-Za-z][^>]*>"),
+        "n_links": _count(r"(?i)<a[\s>]"),
+        "n_scripts": _count(r"(?i)<script[\s>]"),
+        "n_images": _count(r"(?i)<img[\s>]"),
+        "n_paragraphs": _count(r"(?i)<p[\s>]"),
+    })

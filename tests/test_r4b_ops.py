@@ -255,3 +255,66 @@ def test_jaccard_join_fuzz_brute_force():
                              inter / (len(sets[a]) + len(sets[b])
                                       - inter)))
         assert got == want
+
+
+# -------------------------------------------- page features / entities
+
+from biosd_feature_annotator_ray.functions.textextract import (  # noqa: E402
+    decode_html_entities,
+)
+from biosd_feature_annotator_ray.stages.structured import (  # noqa: E402
+    page_features,
+)
+
+
+def test_page_features_counts():
+    html = ('<html><p>Hi <b>w</b></p><P id=2>x</P><a href="u">l</a>'
+            '<A>2</A><script>s</script><img src=y></html>')
+    f = page_features(pa.table({"url": ["u"], "html": [html]}))
+    row = f.to_pylist()[0]
+    assert row["n_paragraphs"] == 2
+    assert row["n_links"] == 2
+    assert row["n_scripts"] == 1
+    assert row["n_images"] == 1
+    assert row["html_chars"] == len(html)
+    assert row["text_chars"] == len("Hi w x l 2 s")
+
+
+def test_page_features_null_binary_empty():
+    t = pa.table({"url": ["a", "b", "c"],
+                  "html": pa.array([b"<p>bin</p>", None, b""],
+                                   pa.binary())})
+    f = page_features(t).to_pylist()
+    assert f[0]["n_paragraphs"] == 1 and f[0]["text_chars"] == 3
+    assert f[1]["html_chars"] == 0 and f[2]["n_tags"] == 0
+
+
+def test_decode_entities_core():
+    t = pa.table({"text": ["&amp; &lt;x&gt; &quot;q&quot; &#65;"
+                           " &#x42; caf&#233; &hellip;"]})
+    got = decode_html_entities(t).column("text_decoded")[0].as_py()
+    assert got == '& <x> "q" A B café …'
+
+
+def test_decode_entities_single_pass_and_unknown():
+    t = pa.table({"text": ["&amp;lt; stays", "&#38;gt; stays",
+                           "&bogusname; kept", "&amp unterminated",
+                           None, ""]})
+    got = decode_html_entities(t).column("text_decoded").to_pylist()
+    assert got == ["&lt; stays", "&gt; stays", "&bogusname; kept",
+                   "&amp unterminated", None, ""]
+
+
+def test_decode_entities_fallback_parity():
+    import random
+
+    rng = random.Random(7)
+    ents = ["&amp;", "&lt;", "&gt;", "&#65;", "&#x42;", "&quot;",
+            "&nope;", "&amp;lt;", "plain", " "]
+    texts = ["".join(rng.choice(ents) for _ in range(rng.randint(0, 12)))
+             for _ in range(60)]
+    t = pa.table({"text": texts})
+    a = decode_html_entities(t).column("text_decoded").to_pylist()
+    b = decode_html_entities(t, max_distinct=0)\
+        .column("text_decoded").to_pylist()
+    assert a == b
