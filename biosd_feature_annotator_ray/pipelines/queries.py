@@ -5820,3 +5820,61 @@ ORACLES["html_entities"] = (
     " SELECT id, text, replace(p, '&amp;', '&') AS text_decoded"
     " FROM pre"
 )
+
+
+def q_bgp_optional_match(sf_dir: str):
+    """BGP with OPTIONAL groups and FILTERs (graph.match_bgp): the
+    required block binds employed Persons, one OPTIONAL binds their
+    email (sparse), a second OPTIONAL sub-group binds the employer's
+    city (missing for O15-O19), and FILTERs drop one employer plus a
+    regex constraint. Twin: LEFT JOINs + WHERE over the regenerated
+    KG."""
+    from ..stages.graph import match_bgp
+
+    rows = []
+    for i in range(500):
+        rows.append({"subj": f"P{i}", "pred": "worksFor",
+                     "obj": f"O{i % 20}"})
+        rows.append({"subj": f"P{i}", "pred": "@type",
+                     "obj": "Bot" if i % 3 == 1 else "Person"})
+        if i % 4 == 0:
+            rows.append({"subj": f"P{i}", "pred": "hasEmail",
+                         "obj": f"p{i}@ex.test"})
+    for j in range(15):  # O15..O19 stay unlocated -> null city
+        rows.append({"subj": f"O{j}", "pred": "locatedIn",
+                     "obj": f"C{j % 7}"})
+    triples = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = match_bgp(
+        triples,
+        [("?p", "worksFor", "?o"), ("?p", "@type", "Person")],
+        optional=[("?p", "hasEmail", "?e"),
+                  [("?o", "locatedIn", "?c")]],
+        filters=[("?o", "!=", "O3"), ("?p", "regex", "^P[0-9]+$")],
+        nb=8)
+    df = (out.to_pandas().sort_values(["p", "o", "e", "c"])
+          .reset_index(drop=True)[["p", "o", "e", "c"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["bgp_optional_match"] = q_bgp_optional_match
+
+ORACLES["bgp_optional_match"] = (
+    "WITH t AS ("
+    " SELECT 'P' || i AS subj, 'worksFor' AS pred,"
+    "  'O' || (i % 20) AS obj FROM generate_series(0, 499) s(i)"
+    " UNION ALL SELECT 'P' || i, '@type',"
+    "  CASE WHEN i % 3 = 1 THEN 'Bot' ELSE 'Person' END"
+    "  FROM generate_series(0, 499) s(i)"
+    " UNION ALL SELECT 'P' || i, 'hasEmail', 'p' || i || '@ex.test'"
+    "  FROM generate_series(0, 499) s(i) WHERE i % 4 = 0"
+    " UNION ALL SELECT 'O' || j, 'locatedIn', 'C' || (j % 7)"
+    "  FROM generate_series(0, 14) s(j))"
+    " SELECT w.subj AS p, w.obj AS o, e.obj AS e, l.obj AS c"
+    " FROM t w"
+    " JOIN t ty ON ty.subj = w.subj AND ty.pred = '@type'"
+    "  AND ty.obj = 'Person'"
+    " LEFT JOIN t e ON e.subj = w.subj AND e.pred = 'hasEmail'"
+    " LEFT JOIN t l ON l.subj = w.obj AND l.pred = 'locatedIn'"
+    " WHERE w.pred = 'worksFor' AND w.obj <> 'O3'"
+    "  AND regexp_matches(w.subj, '^P[0-9]+$')"
+)

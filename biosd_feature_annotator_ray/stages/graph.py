@@ -836,7 +836,10 @@ def entity_cooccurrence(
 def match_bgp(triples: "ray.data.Dataset",
               pattern: "list[tuple[str, str, str]]",
               s_col: str = "subj", p_col: str = "pred",
-              o_col: str = "obj", nb: int = 32) -> "ray.data.Dataset":
+              o_col: str = "obj", nb: int = 32,
+              optional: "list | None" = None,
+              filters: "list[tuple[str, str, object]] | None" = None,
+              ) -> "ray.data.Dataset":
     """SPARQL-style basic-graph-pattern match over a triple Dataset
     (graft-added, r04). ``pattern`` is a list of (s, p, o) terms; a
     term starting with ``?`` is a variable, anything else a constant.
@@ -852,6 +855,19 @@ def match_bgp(triples: "ray.data.Dataset",
     rejected (at web scale an accidental cross product is a job
     killer, not a feature). A variable repeated WITHIN one pattern
     (e.g. ``(?x, knows, ?x)``) becomes a vectorized equality filter.
+
+    ``optional``: SPARQL OPTIONAL groups — each entry is one triple
+    pattern or a list forming a sub-BGP; the group compiles like the
+    required block (inner joins within itself), then LEFT-joins onto
+    the accumulated bindings on its shared variables, so unmatched
+    rows keep their bindings with the group's new variables null.
+
+    ``filters``: SPARQL FILTER conjuncts ``(?var, op, operand)`` with
+    op ∈ {==, !=, <, <=, >, >=, contains, regex, isnull, notnull};
+    operand is a literal or another ``?var``. String comparisons
+    (triples are strings). SPARQL error-semantics: a comparison on an
+    unbound (null) binding is FALSE — only isnull keeps such rows.
+    Filters run vectorized after all joins (one map_batches).
     """
     from .join import shuffle_hash_join
 
@@ -896,18 +912,85 @@ def match_bgp(triples: "ray.data.Dataset",
             raise ValueError(
                 f"all-constant pattern {tp!r} has no variables to bind"
                 " — existence checks are a filter, not a BGP")
-    acc = scan(pattern[0])
-    bound = {t[1:] for t in pattern[0] if is_var(t)}
-    for tp in pattern[1:]:
-        tp_vars = {t[1:] for t in tp if is_var(t)}
-        shared = sorted(bound & tp_vars)
+    def compile_group(pats: list):
+        sub = scan(pats[0])
+        sub_bound = {t[1:] for t in pats[0] if is_var(t)}
+        for tp in pats[1:]:
+            tp_vars = {t[1:] for t in tp if is_var(t)}
+            shared = sorted(sub_bound & tp_vars)
+            if not shared:
+                raise ValueError(
+                    f"pattern {tp!r} shares no variable with"
+                    f" {sorted(sub_bound)} — cross products are not"
+                    " supported")
+            sub = shuffle_hash_join(sub, scan(tp), on=shared,
+                                    how="inner", nb=nb)
+            sub_bound |= tp_vars
+        return sub, sub_bound
+
+    acc, bound = compile_group(list(pattern))
+
+    for opt in (optional or []):
+        group = opt if isinstance(opt, list) else [opt]
+        for tp in group:
+            if not any(is_var(t) for t in tp):
+                raise ValueError(
+                    f"all-constant pattern {tp!r} has no variables to"
+                    " bind — existence checks are a filter, not a BGP")
+        sub, sub_bound = compile_group(group)
+        shared = sorted(bound & sub_bound)
         if not shared:
             raise ValueError(
-                f"pattern {tp!r} shares no variable with {sorted(bound)}"
-                " — cross products are not supported")
-        acc = shuffle_hash_join(acc, scan(tp), on=shared, how="inner",
-                                nb=nb)
-        bound |= tp_vars
+                f"optional group {group!r} shares no variable with"
+                f" {sorted(bound)} — cross products are not supported")
+        acc = shuffle_hash_join(acc, sub, on=shared, how="left", nb=nb)
+        bound |= sub_bound
+
+    if filters:
+        _OPS = {"==", "!=", "<", "<=", ">", ">=", "contains", "regex",
+                "isnull", "notnull"}
+        for f in filters:
+            if not is_var(f[0]) or f[0][1:] not in bound:
+                raise ValueError(f"filter on unknown variable {f[0]!r}")
+            if f[1] not in _OPS:
+                raise ValueError(f"unknown filter op {f[1]!r}")
+        specs = [(f[0][1:], f[1],
+                  (f[2] if len(f) > 2 else None)) for f in filters]
+
+        def apply_filters(batch: pa.Table) -> pa.Table:
+            mask = None
+            for v, op, operand in specs:
+                col = batch.column(v)
+                if op == "isnull":
+                    m = pc.is_null(col)
+                elif op == "notnull":
+                    m = pc.is_valid(col)
+                else:
+                    rhs = operand
+                    if isinstance(operand, str) and \
+                            operand.startswith("?"):
+                        rhs = batch.column(operand[1:])
+                    if op == "==":
+                        m = pc.equal(col, rhs)
+                    elif op == "!=":
+                        m = pc.not_equal(col, rhs)
+                    elif op == "<":
+                        m = pc.less(col, rhs)
+                    elif op == "<=":
+                        m = pc.less_equal(col, rhs)
+                    elif op == ">":
+                        m = pc.greater(col, rhs)
+                    elif op == ">=":
+                        m = pc.greater_equal(col, rhs)
+                    elif op == "contains":
+                        m = pc.match_substring(col, rhs)
+                    else:  # regex
+                        m = pc.match_substring_regex(col, rhs)
+                    m = pc.fill_null(m, False)  # unbound -> FALSE
+                mask = m if mask is None else pc.and_(mask, m)
+            return batch.filter(mask) if mask is not None else batch
+
+        acc = acc.map_batches(apply_filters, batch_format="pyarrow")
     return acc
 
 

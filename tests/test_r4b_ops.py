@@ -318,3 +318,60 @@ def test_decode_entities_fallback_parity():
     b = decode_html_entities(t, max_distinct=0)\
         .column("text_decoded").to_pylist()
     assert a == b
+
+
+# ----------------------------------------------- BGP optional/filter
+
+from biosd_feature_annotator_ray.stages.graph import match_bgp  # noqa: E402
+
+
+def _kg():
+    rows = [("P1", "worksFor", "O1"), ("P2", "worksFor", "O1"),
+            ("P3", "worksFor", "O2"), ("P1", "email", "p1@x"),
+            ("O1", "locatedIn", "C1")]
+    return _triples(rows)
+
+
+def test_bgp_optional_null_bindings():
+    out = match_bgp(_kg(), [("?p", "worksFor", "?o")],
+                    optional=[("?p", "email", "?e"),
+                              [("?o", "locatedIn", "?c")]],
+                    nb=4).to_pandas().sort_values("p")
+    got = [tuple(r) for r in out[["p", "o", "e", "c"]]
+           .itertuples(index=False)]
+    assert got == [("P1", "O1", "p1@x", "C1"),
+                   ("P2", "O1", None, "C1"),
+                   ("P3", "O2", None, None)]
+
+
+def test_bgp_filter_null_is_false_and_isnull():
+    base = [("?p", "worksFor", "?o")]
+    opt = [("?p", "email", "?e")]
+    kept = match_bgp(_kg(), base, optional=opt,
+                     filters=[("?e", "contains", "@")], nb=4)
+    assert kept.to_pandas()["p"].tolist() == ["P1"]
+    unbound = match_bgp(_kg(), base, optional=opt,
+                        filters=[("?e", "isnull", None)], nb=4)
+    assert sorted(unbound.to_pandas()["p"]) == ["P2", "P3"]
+
+
+def test_bgp_filter_var_var_and_ops():
+    out = match_bgp(_kg(), [("?p", "worksFor", "?o")],
+                    filters=[("?p", "<", "P3"), ("?o", "==", "?o")],
+                    nb=4)
+    assert sorted(out.to_pandas()["p"]) == ["P1", "P2"]
+
+
+def test_bgp_optional_cross_product_rejected():
+    with pytest.raises(ValueError, match="cross products"):
+        match_bgp(_kg(), [("?p", "worksFor", "?o")],
+                  optional=[("?x", "locatedIn", "?y")], nb=4)
+
+
+def test_bgp_filter_validation():
+    with pytest.raises(ValueError, match="unknown variable"):
+        match_bgp(_kg(), [("?p", "worksFor", "?o")],
+                  filters=[("?zz", "==", "x")], nb=4)
+    with pytest.raises(ValueError, match="unknown filter op"):
+        match_bgp(_kg(), [("?p", "worksFor", "?o")],
+                  filters=[("?p", "~~", "x")], nb=4)
