@@ -5878,3 +5878,105 @@ ORACLES["bgp_optional_match"] = (
     " WHERE w.pred = 'worksFor' AND w.obj <> 'O3'"
     "  AND regexp_matches(w.subj, '^P[0-9]+$')"
 )
+
+
+def q_crawl_schedule(sf_dir: str):
+    """The full per-cycle crawl-scheduling composition: frontier
+    discovery (extract_links -> distinct -> anti-join crawled set),
+    RFC-9309 robots filtering (host b blocks /hub/, host c blocks
+    /hub/ but re-allows /hub/3 via longest-match), then a per-host
+    politeness quota (cap_per_key n=5, url order). Twin: EXCEPT +
+    packed-score longest-match + row_number() OVER host."""
+    from ..functions.robots import parse_robots_rules, robots_filter
+    from ..functions.urls import extract_links
+    from ..stages.canonicalize import dedup_exact
+    from ..stages.join import shuffle_hash_join
+    from ..stages.windows import cap_per_key
+
+    hosts = ["a.crawl.test", "b.crawl.test", "c.crawl.test"]
+    rows = []
+    for i in range(300):
+        h = hosts[i % 3]
+        nxt = f"https://{h}/p/{(i + 3) % 450}"
+        hub = f"https://{h}/hub/{i % 7}"
+        dep = f"https://{h}/p/{i + 600}"  # always-uncrawled deep link
+        rows.append({
+            "url": f"https://{h}/p/{i}",
+            "html": (f'<a href="{nxt}">next</a>'
+                     f"<a href='{hub}'>hub</a>"
+                     f'<a href="{dep}">deep</a>'
+                     f'<a href="/rel/{i}">rel</a>'),
+        })
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    robots = rd.from_arrow(pa.Table.from_pylist([
+        {"host": "a.crawl.test",
+         "robots_txt": "User-agent: *\nDisallow:\n"},
+        {"host": "b.crawl.test",
+         "robots_txt": "User-agent: *\nDisallow: /hub/\n"},
+        {"host": "c.crawl.test",
+         "robots_txt": ("User-agent: *\nDisallow: /hub/\n"
+                        "Allow: /hub/3\n")},
+    ]))
+    rules = robots.map_batches(parse_robots_rules,
+                               batch_format="pyarrow").materialize()
+
+    seen = pages.map_batches(
+        lambda b: pa.table({"link": b.column("url")}),
+        batch_format="pyarrow")
+    links = (pages.map_batches(extract_links, batch_format="pyarrow")
+             .map_batches(lambda b: b.select(["link"]),
+                          batch_format="pyarrow"))
+    frontier = shuffle_hash_join(
+        dedup_exact(links, ["link"], nb=8), seen,
+        on=["link"], how="anti", nb=8).map_batches(
+        lambda b: b.rename_columns(["url"]), batch_format="pyarrow")
+    allowed = robots_filter(frontier, rules, nb=8)
+    sched = cap_per_key(allowed, key_col="host", order_cols=["url"],
+                        n=5, nb=8)
+    df = (sched.to_pandas()[["host", "url"]]
+          .sort_values(["host", "url"]).reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["crawl_schedule"] = q_crawl_schedule
+
+ORACLES["crawl_schedule"] = (
+    "WITH hosts AS (SELECT ['a.crawl.test','b.crawl.test',"
+    "'c.crawl.test'] AS h),"
+    " pages AS (SELECT i, 'https://' || h[(i % 3) + 1] || '/p/' || i"
+    "  AS url,"
+    "  '<a href=\"https://' || h[(i % 3) + 1] || '/p/' || ((i + 3) % 450)"
+    "  || '\">next</a><a href=''https://' || h[(i % 3) + 1] || '/hub/'"
+    "  || (i % 7) || '''>hub</a><a href=\"https://' || h[(i % 3) + 1]"
+    "  || '/p/' || (i + 600) || '\">deep</a>"
+    "<a href=\"/rel/' || i || '\">rel</a>'"
+    "  AS html FROM generate_series(0, 299) t(i) CROSS JOIN hosts),"
+    " links AS (SELECT DISTINCT unnest(regexp_extract_all(html,"
+    "  '(?i)<a\\s[^>]*href\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1)) AS link"
+    "  FROM pages),"
+    " abs_links AS (SELECT link FROM links"
+    "  WHERE regexp_matches(link, '^[A-Za-z][A-Za-z0-9+.\\-]*://')),"
+    " frontier AS (SELECT link AS url FROM abs_links"
+    "  EXCEPT SELECT url FROM pages),"
+    " f2 AS (SELECT url,"
+    "  regexp_extract(url, '^https://([^/]+)', 1) AS host,"
+    "  regexp_replace(url, '^https://[^/]+', '') AS path"
+    "  FROM frontier),"
+    " rules AS (SELECT 'b.crawl.test' AS host, FALSE AS allow,"
+    "  '/hub/' AS prefix"
+    "  UNION ALL SELECT 'c.crawl.test', FALSE, '/hub/'"
+    "  UNION ALL SELECT 'c.crawl.test', TRUE, '/hub/3'),"
+    " scored AS (SELECT url, f2.host,"
+    "  CASE WHEN prefix IS NULL THEN -1"
+    "   WHEN starts_with(path, prefix)"
+    "    THEN 2 * length(prefix) + CAST(allow AS INTEGER)"
+    "   ELSE -2 + CAST(allow AS INTEGER) END AS pack"
+    "  FROM f2 LEFT JOIN rules ON f2.host = rules.host),"
+    " verdict AS (SELECT url, host,"
+    "  max(pack) < 0 OR max(pack) % 2 = 1 AS allowed"
+    "  FROM scored GROUP BY 1, 2),"
+    " ranked AS (SELECT host, url,"
+    "  row_number() OVER (PARTITION BY host ORDER BY url) AS rn"
+    "  FROM verdict WHERE allowed)"
+    " SELECT host, url FROM ranked WHERE rn <= 5"
+)
