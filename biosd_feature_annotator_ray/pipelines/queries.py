@@ -5980,3 +5980,98 @@ ORACLES["crawl_schedule"] = (
     "  FROM verdict WHERE allowed)"
     " SELECT host, url FROM ranked WHERE rn <= 5"
 )
+
+
+def q_script_profile(sf_dir: str):
+    """Unicode script census (textstats.script_profile) over a
+    synthesized multilingual corpus (Latin/Cyrillic/Greek/Han/Arabic
+    word mixes, digit-only and tie rows). The twin counts the same
+    RE2 \\p{Script} classes and replays the first-max-wins dominant
+    CASE chain."""
+    from ..stages.textstats import script_profile
+
+    words = ["hello world", "привет мир", "ωμέγα άλφα", "漢字文档",
+             "مرحبا سلام", "123 456"]
+    rows = [{"doc_id": i,
+             "text": f"{words[i % 6]} {words[(i * 2 + 1) % 6]} #{i}"}
+            for i in range(300)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = ds.map_batches(script_profile, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["script_profile"] = q_script_profile
+
+ORACLES["script_profile"] = (
+    "WITH w(ws) AS (SELECT ['hello world','привет мир','ωμέγα άλφα',"
+    "'漢字文档','مرحبا سلام','123 456']),"
+    " corpus AS (SELECT i AS doc_id,"
+    "  ws[(i % 6) + 1] || ' ' || ws[((i * 2 + 1) % 6) + 1]"
+    "   || ' #' || i AS text"
+    "  FROM generate_series(0, 299) s(i), w),"
+    " cnt AS (SELECT doc_id,"
+    "  CAST(len(regexp_extract_all(text, '\\p{Latin}')) AS INTEGER)"
+    "   AS n_latin,"
+    "  CAST(len(regexp_extract_all(text, '\\p{Cyrillic}')) AS INTEGER)"
+    "   AS n_cyrillic,"
+    "  CAST(len(regexp_extract_all(text, '\\p{Greek}')) AS INTEGER)"
+    "   AS n_greek,"
+    "  CAST(len(regexp_extract_all(text, '\\p{Han}')) AS INTEGER)"
+    "   AS n_han,"
+    "  CAST(len(regexp_extract_all(text, '\\p{Arabic}')) AS INTEGER)"
+    "   AS n_arabic FROM corpus)"
+    " SELECT doc_id, n_latin, n_cyrillic, n_greek, n_han, n_arabic,"
+    " CASE WHEN n_latin + n_cyrillic + n_greek + n_han + n_arabic = 0"
+    "  THEN 'none'"
+    " WHEN n_latin >= n_cyrillic AND n_latin >= n_greek"
+    "  AND n_latin >= n_han AND n_latin >= n_arabic THEN 'latin'"
+    " WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_han"
+    "  AND n_cyrillic >= n_arabic THEN 'cyrillic'"
+    " WHEN n_greek >= n_han AND n_greek >= n_arabic THEN 'greek'"
+    " WHEN n_han >= n_arabic THEN 'han' ELSE 'arabic' END"
+    "  AS dominant_script FROM cnt"
+)
+
+
+def q_property_path(sf_dir: str):
+    """SPARQL property-path ``follows+`` (one-predicate transitive
+    closure) over STRING KG terms — transitive_closure now runs
+    directly on string nodes (no int re-keying), so the composition
+    is filter-on-pred -> closure. Corpus: 20 disjoint 10-hop follow
+    chains + 'likes' noise edges. Twin: recursive CTE on strings."""
+    from ..stages.graph import transitive_closure
+
+    rows = []
+    for i in range(200):
+        if i % 10 != 9:
+            rows.append({"subj": f"E{i}", "pred": "follows",
+                         "obj": f"E{i + 1}"})
+        rows.append({"subj": f"E{i}", "pred": "likes",
+                     "obj": f"E{(i * 3) % 200}"})
+    triples = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    edges = triples.map_batches(
+        lambda t: t.filter(pc.equal(t.column("pred"), "follows"))
+        .select(["subj", "obj"])
+        .rename_columns(["child", "parent"]),
+        batch_format="pyarrow")
+    out = transitive_closure(edges, nb=8)
+    df = (out.to_pandas().sort_values(["node", "anc"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["property_path"] = q_property_path
+
+ORACLES["property_path"] = (
+    "WITH RECURSIVE base AS ("
+    " SELECT 'E' || i AS subj, 'follows' AS pred, 'E' || (i + 1) AS obj"
+    "  FROM generate_series(0, 199) s(i) WHERE i % 10 <> 9"
+    " UNION ALL SELECT 'E' || i, 'likes', 'E' || ((i * 3) % 200)"
+    "  FROM generate_series(0, 199) s(i)),"
+    " e AS (SELECT subj AS c, obj AS p FROM base"
+    "  WHERE pred = 'follows'),"
+    " cl(node, anc) AS (SELECT c, p FROM e"
+    "  UNION SELECT cl.node, e.p FROM cl JOIN e ON e.c = cl.anc)"
+    " SELECT node, anc FROM cl"
+)

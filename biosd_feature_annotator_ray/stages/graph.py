@@ -430,7 +430,8 @@ def _min_per_node(ds, nb: int, node_col: str = "node", val_col: str = "dist"):
 
 
 def _subtract_new(new_ds, old_ds, keys: list[str], nb: int,
-                  min_col: str | None = None):
+                  min_col: str | None = None,
+                  key_type: "pa.DataType | None" = None):
     """Fused (dedup/min + anti-join) frontier update in ONE bucket
     shuffle: ``new`` rows tag side 0, ``old`` rows side 1, both bucket
     on ``keys``; each group keeps the distinct side-0 keys (reduced by
@@ -477,8 +478,12 @@ def _subtract_new(new_ds, old_ds, keys: list[str], nb: int,
         out = s0.merge(s1.assign(_hit=1), on=keys, how="left")
         out = out[out["_hit"].isna()][cols]
         t = pa.Table.from_pandas(out, preserve_index=False)
+        kt = key_type if key_type is not None else pa.int64()
+        # min_col (when present) is always int64; key cols take the
+        # caller's node type (int64 ids or raw string KG terms)
         return t.cast(pa.schema(
-            [pa.field(k, pa.int64()) for k in cols]))
+            [pa.field(k, kt) for k in keys]
+            + ([pa.field(min_col, pa.int64())] if min_col else [])))
 
     return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
 
@@ -523,12 +528,24 @@ def transitive_closure(
     from .join import shuffle_hash_join
 
     edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    # node type: int64 for numeric ids, passthrough for string nodes
+    # (predicate-path closures over raw KG terms) — every downstream
+    # step (hash join, dedup, equality cycle check) is type-agnostic
+    sch = edges_ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        ft = base.field(child_col).type
+        is_str = (pa.types.is_string(ft) or pa.types.is_large_string(ft))
+    else:  # PandasBlockSchema: numpy dtypes; strings are object/string
+        ft = base.types[list(base.names).index(child_col)]
+        is_str = str(ft) in ("object", "string", "string[python]")
+    node_t = pa.string() if is_str else pa.int64()
     e = edges_ds.map_batches(
-        lambda t: pa.table({"child": t.column(child_col).cast(pa.int64()),
-                            "parent": t.column(parent_col).cast(pa.int64())}),
+        lambda t: pa.table({"child": t.column(child_col).cast(node_t),
+                            "parent": t.column(parent_col).cast(node_t)}),
         batch_format="pyarrow").materialize()
-    empty = pa.table({"node": pa.array([], pa.int64()),
-                      "anc": pa.array([], pa.int64())})
+    empty = pa.table({"node": pa.array([], node_t),
+                      "anc": pa.array([], node_t)})
     if e.count() == 0:
         return rd.from_arrow(empty)
 
@@ -596,7 +613,8 @@ def transitive_closure(
         hop = hop.map_batches(_project("node", "new_anc"),
                               batch_format="pyarrow")
         # fused dedup + closure-anti-join: ONE shuffle per round
-        delta = _mat(_subtract_new(hop, closure, ["node", "anc"], nb))
+        delta = _mat(_subtract_new(hop, closure, ["node", "anc"], nb,
+                                   key_type=node_t))
         if ck is not None:
             ck.write(k, delta)
         closure = closure.union(delta).materialize()

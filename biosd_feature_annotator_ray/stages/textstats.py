@@ -1382,3 +1382,35 @@ def cooccurrence_pmi(
     })
     return out.take(pc.sort_indices(out, sort_keys=[("tok_a", "ascending"),
                                                     ("tok_b", "ascending")]))
+
+
+_SCRIPTS = [("latin", r"\p{Latin}"), ("cyrillic", r"\p{Cyrillic}"),
+            ("greek", r"\p{Greek}"), ("han", r"\p{Han}"),
+            ("arabic", r"\p{Arabic}")]
+
+
+def script_profile(batch: pa.Table, col: str = "text",
+                   id_col: str = "doc_id") -> pa.Table:
+    """Per-document Unicode SCRIPT census — the writing-system signal
+    a multilingual curation pipeline keys routing and language-ID
+    priors on: character counts per major script (Latin / Cyrillic /
+    Greek / Han / Arabic, via RE2 ``\\p{Script}`` classes shared with
+    the DuckDB twin) plus the dominant script (first-max-wins in that
+    fixed order; ``none`` when no scripted character appears).
+
+    One ``count_substring_regex`` kernel per script over the whole
+    batch + one numpy argmax — zero Python per row."""
+    text = pc.fill_null(batch.column(col), "")
+    counts = {name: pc.count_substring_regex(text, pat)
+              .to_numpy(zero_copy_only=False).astype(np.int32)
+              for name, pat in _SCRIPTS}
+    mat = np.stack(list(counts.values()))       # scripts x rows
+    dom_idx = np.argmax(mat, axis=0)            # first max wins
+    names = np.array([n for n, _ in _SCRIPTS], object)
+    dom = names[dom_idx]
+    dom[mat.sum(axis=0) == 0] = "none"
+    out = {id_col: batch.column(id_col)}
+    for name, _ in _SCRIPTS:
+        out[f"n_{name}"] = pa.array(counts[name], pa.int32())
+    out["dominant_script"] = pa.array(dom, pa.string())
+    return pa.table(out)

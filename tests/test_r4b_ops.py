@@ -375,3 +375,25 @@ def test_bgp_filter_validation():
     with pytest.raises(ValueError, match="unknown filter op"):
         match_bgp(_kg(), [("?p", "worksFor", "?o")],
                   filters=[("?p", "~~", "x")], nb=4)
+
+
+# -------------------------------------------------- string closure
+
+from biosd_feature_annotator_ray.stages.graph import (  # noqa: E402
+    transitive_closure,
+)
+
+
+def test_closure_string_nodes():
+    e = pa.table({"child": ["a", "b", "x"],
+                  "parent": ["b", "c", "c"]})
+    out = transitive_closure(rd.from_arrow(e), nb=4).to_pandas()
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    assert got == [("a", "b"), ("a", "c"), ("b", "c"), ("x", "c")]
+    assert out["node"].dtype == object  # strings stayed strings
+
+
+def test_closure_string_cycle_detected():
+    e = pa.table({"child": ["a", "b"], "parent": ["b", "a"]})
+    with pytest.raises(ValueError, match="cycle"):
+        transitive_closure(rd.from_arrow(e), nb=4).materialize()
