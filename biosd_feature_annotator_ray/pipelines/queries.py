@@ -6075,3 +6075,58 @@ ORACLES["property_path"] = (
     "  UNION SELECT cl.node, e.p FROM cl JOIN e ON e.c = cl.anc)"
     " SELECT node, anc FROM cl"
 )
+
+
+def q_cdc_chunks(sf_dir: str):
+    """Content-defined chunking (dedup.cdc_chunk_docs, gear rolling
+    hash) over the documents table — byte-offset spans + stable
+    chunk hashes, the storage-dedup primitive. Rows-only by nature
+    (boundaries are not SQL-expressible); byte-exact reconstruction
+    is oracled separately by cdc_reconstruct and shift-tolerance is
+    pinned by pytest."""
+    from ..stages.dedup import cdc_chunk_docs
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        cdc_chunk_docs, batch_format="pyarrow")
+    df = (ds.to_pandas().sort_values(["doc_id", "chunk_idx"])
+          .reset_index(drop=True).drop(columns=["chunk_bytes"]))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["cdc_chunks"] = q_cdc_chunks
+
+
+def q_cdc_reconstruct(sf_dir: str):
+    """CDC losslessness oracle: chunk every document, re-join the
+    chunk BYTES in chunk_idx order, decode — must equal the original
+    text byte-for-byte (multibyte-safe because chunks are bytes).
+    Twin: the identity projection with octet_length."""
+    from ..stages.dedup import cdc_chunk_docs
+
+    def rebuild(b: pa.Table) -> pa.Table:
+        chunks = cdc_chunk_docs(b)
+        df = chunks.to_pandas().sort_values(["chunk_idx"])
+        agg = (df.groupby("doc_id", sort=False)["chunk_bytes"]
+               .apply(lambda xs: b"".join(xs)))
+        ids = b.column("doc_id").to_pylist()
+        txt = [agg.get(i, b"").decode("utf-8") for i in ids]
+        nb = [len(agg.get(i, b"")) for i in ids]
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "text_rebuilt": pa.array(txt, pa.string()),
+            "n_bytes": pa.array(nb, pa.int64()),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        rebuild, batch_format="pyarrow")
+    df = ds.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["cdc_reconstruct"] = q_cdc_reconstruct
+
+ORACLES["cdc_reconstruct"] = (
+    "SELECT doc_id, coalesce(text, '') AS text_rebuilt,"
+    " CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes"
+    " FROM documents"
+)

@@ -1194,3 +1194,114 @@ def jaccard_similarity_join(
     pairs = pbuckets.groupby(_BUCKET_COL).map_groups(
         verify, batch_format="pyarrow")
     return dedup_exact(pairs, ["id_a", "id_b"], nb=nb)
+
+
+# ---------------------------------------------------------------------------
+_GEAR = None
+
+
+def _gear_table() -> np.ndarray:
+    """256-entry deterministic gear table (splitmix64 over the byte
+    value — fixed constants, same table on every worker/run)."""
+    global _GEAR
+    if _GEAR is None:
+        x = np.arange(256, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            z = x + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            z = z ^ (z >> np.uint64(31))
+        _GEAR = z
+    return _GEAR
+
+
+def gear_chunks(data: bytes, avg_size: int = 64, min_size: int | None = None,
+                max_size: int | None = None) -> list[tuple[int, int]]:
+    """Gear-hash content-defined chunk boundaries over one byte string
+    — (start, end) spans. A boundary fires where the rolling gear hash
+    (h = (h << 1) + gear[byte], vectorized as a weighted prefix
+    convolution here via the per-position recurrence evaluated with a
+    numpy scan) has its top log2(avg_size) bits zero, subject to
+    min/max size clamps. Content-defined => INSERTIONS only perturb
+    the chunk containing them (downstream boundaries re-align), which
+    is what makes chunk-hash dedup shift-tolerant where fixed-size
+    blocks are not."""
+    if avg_size < 4 or avg_size & (avg_size - 1):
+        raise ValueError("avg_size must be a power of two >= 4")
+    mn = max(1, min_size if min_size is not None else avg_size // 4)
+    mx = max_size if max_size is not None else avg_size * 4
+    if mx < mn:
+        raise ValueError("max_size < min_size")
+    n = len(data)
+    if n == 0:
+        return []
+    b = np.frombuffer(data, np.uint8)
+    gear = _gear_table()[b]
+    # rolling h_i = (h_{i-1} << 1) + gear[b_i] mod 2^64: position i
+    # only sees its last 64 bytes (older terms shift out), so
+    # h_i = sum_{k=0..63} gear[b_{i-k}] << k — 64 shifted vector
+    # adds, no per-byte Python.
+    h = np.zeros(n, np.uint64)
+    with np.errstate(over="ignore"):
+        for k in range(64):
+            if k >= n:
+                break
+            h[k:] += gear[:n - k] << np.uint64(k)
+    zero_top = int(np.log2(avg_size))
+    is_cut = (h >> np.uint64(64 - zero_top)) == 0
+    cuts = np.flatnonzero(is_cut) + 1  # cut AFTER position i
+    spans: list[tuple[int, int]] = []
+    start = 0
+    ci = 0
+    m = len(cuts)
+    while start < n:
+        lo = start + mn
+        hi = min(start + mx, n)
+        ci = int(np.searchsorted(cuts, lo))
+        end = int(cuts[ci]) if ci < m and cuts[ci] <= hi else hi
+        spans.append((start, end))
+        start = end
+    return spans
+
+
+def cdc_chunk_docs(batch: pa.Table, id_col: str = "doc_id",
+                   text_col: str = "text", avg_size: int = 64,
+                   min_size: int | None = None,
+                   max_size: int | None = None) -> pa.Table:
+    """Content-defined chunking over a document batch: each doc's
+    utf-8 bytes split at gear-hash boundaries; emits (doc_id,
+    chunk_idx, start, length, chunk_hash, chunk_bytes). Chunks are
+    BYTES, not strings — a content-defined boundary may land inside
+    a multibyte utf-8 sequence, and reconstruction must stay
+    byte-exact — so chunk_hash (the repo's stable 64-bit hash, the
+    cross-doc storage-dedup join key) is over the raw bytes too.
+    Row-expanding inside one map_batches; per-doc work is the
+    vectorized boundary scan (64 shifted adds, no per-byte Python)."""
+    from ..functions.hashing import hash_strings
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    texts = batch.column(text_col).to_pandas().fillna("")
+    o_id: list = []
+    o_idx: list = []
+    o_start: list = []
+    o_len: list = []
+    o_bytes: list = []
+    for i, s in enumerate(texts):
+        data = s.encode("utf-8")
+        for ci, (a, z) in enumerate(gear_chunks(data, avg_size,
+                                                min_size, max_size)):
+            o_id.append(ids[i])
+            o_idx.append(ci)
+            o_start.append(a)
+            o_len.append(z - a)
+            o_bytes.append(data[a:z])
+    chunks = pa.array(o_bytes, pa.binary())
+    hashes = hash_strings(chunks).astype(np.int64)
+    return pa.table({
+        id_col: pa.array(np.asarray(o_id, np.int64)),
+        "chunk_idx": pa.array(o_idx, pa.int32()),
+        "start": pa.array(o_start, pa.int64()),
+        "length": pa.array(o_len, pa.int64()),
+        "chunk_hash": pa.array(hashes, pa.int64()),
+        "chunk_bytes": chunks,
+    })

@@ -397,3 +397,66 @@ def test_closure_string_cycle_detected():
     e = pa.table({"child": ["a", "b"], "parent": ["b", "a"]})
     with pytest.raises(ValueError, match="cycle"):
         transitive_closure(rd.from_arrow(e), nb=4).materialize()
+
+
+# ----------------------------------------------------------- CDC
+
+from biosd_feature_annotator_ray.stages.dedup import (  # noqa: E402
+    cdc_chunk_docs,
+    gear_chunks,
+)
+
+
+def test_cdc_reconstruction_and_sizes():
+    import random
+
+    rng = random.Random(3)
+    data = bytes(rng.randrange(256) for _ in range(5000))
+    spans = gear_chunks(data, avg_size=64)
+    assert b"".join(data[a:z] for a, z in spans) == data
+    sizes = [z - a for a, z in spans]
+    assert min(sizes) >= 16 and max(sizes) <= 256  # min=avg/4, max=4*avg
+
+
+def test_cdc_shift_tolerance():
+    import random
+
+    rng = random.Random(9)
+    base = bytes(rng.randrange(256) for _ in range(4000))
+    shifted = b"XYZ-INSERT-" + base
+    c1 = {base[a:z] for a, z in gear_chunks(base)}
+    c2 = {shifted[a:z] for a, z in gear_chunks(shifted)}
+    # insertion may only perturb the chunks touching it
+    assert len(c1 & c2) >= len(c1) - 3
+
+
+def test_cdc_multibyte_split_safe():
+    text = "é" * 500 + "漢" * 200  # 1600 utf-8 bytes, no ascii cuts
+    t = pa.table({"doc_id": [7], "text": [text]})
+    out = cdc_chunk_docs(t)
+    assert out.num_rows > 1  # boundaries DID land inside the doc
+    joined = b"".join(out.column("chunk_bytes").to_pylist())
+    assert joined.decode("utf-8") == text
+    # offsets tile the byte range exactly
+    df = out.to_pandas().sort_values("chunk_idx")
+    assert df["start"].iloc[0] == 0
+    assert (df["start"] + df["length"]).iloc[-1] == len(text.encode())
+
+
+def test_cdc_cross_doc_hash_equality():
+    shared = "the same paragraph " * 40
+    t = pa.table({"doc_id": [1, 2], "text": [shared, shared]})
+    out = cdc_chunk_docs(t).to_pandas()
+    h1 = out[out.doc_id == 1].sort_values("chunk_idx")["chunk_hash"]
+    h2 = out[out.doc_id == 2].sort_values("chunk_idx")["chunk_hash"]
+    assert list(h1) == list(h2)
+
+
+def test_cdc_param_validation_and_empty():
+    with pytest.raises(ValueError, match="power of two"):
+        gear_chunks(b"xx", avg_size=48)
+    with pytest.raises(ValueError, match="max_size"):
+        gear_chunks(b"xx", avg_size=64, min_size=32, max_size=16)
+    assert gear_chunks(b"") == []
+    assert cdc_chunk_docs(pa.table({"doc_id": [1], "text": [None]})
+                          ).num_rows == 0
