@@ -219,6 +219,13 @@ def run_queries() -> dict:
         "kg_export_ntriples", "graph_hits", "robots_filter",
         "crawl_frontier", "main_text", "kg_sameas_canonical",
         "sitemap_urls",
+        # round-4 fourth sitting: web tables / RDFS / similarity join /
+        # CDC / crawl composition
+        "unicode_fold", "web_tables", "web_table_records",
+        "rdfs_infer_types", "jaccard_join_docs", "page_features",
+        "html_entities", "bgp_optional_match", "crawl_schedule",
+        "script_profile", "property_path", "cdc_reconstruct",
+        "fold_dedup_docs",
     ]
     out = {}
     for name in names:

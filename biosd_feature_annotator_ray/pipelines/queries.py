@@ -6130,3 +6130,37 @@ ORACLES["cdc_reconstruct"] = (
     " CAST(strlen(coalesce(text, '')) AS BIGINT) AS n_bytes"
     " FROM documents"
 )
+
+
+def q_fold_dedup_docs(sf_dir: str):
+    """Cross-lingual exact dedup: documents keyed by their FOLDED text
+    (unicode_fold kernel — NFC + lower + accent strip), each fold
+    class keeping its minimum doc_id. Twin: row_number() OVER
+    (PARTITION BY strip_accents(lower(nfc_normalize(text)))) = 1 —
+    the DuckDB expression the fold kernel is pinned byte-identical
+    to."""
+    from ..functions.normalize import fold_array
+
+    def keyed(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "fold_key": fold_array(pc.fill_null(b.column("text"), "")),
+        })
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keyed, batch_format="pyarrow")
+    kept = groupby_argmax(ds, ["fold_key"], ["doc_id"], [True], nb=8)
+    df = (kept.to_pandas()[["doc_id", "fold_key"]]
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["fold_dedup_docs"] = q_fold_dedup_docs
+
+ORACLES["fold_dedup_docs"] = (
+    "WITH keyed AS (SELECT doc_id,"
+    "  strip_accents(lower(nfc_normalize(coalesce(text, ''))))"
+    "   AS fold_key FROM documents)"
+    " SELECT min(doc_id) AS doc_id, fold_key"
+    " FROM keyed GROUP BY fold_key"
+)
