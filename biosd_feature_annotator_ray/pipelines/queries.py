@@ -6164,3 +6164,74 @@ ORACLES["fold_dedup_docs"] = (
     " SELECT min(doc_id) AS doc_id, fold_key"
     " FROM keyed GROUP BY fold_key"
 )
+
+
+def q_kg_export_turtle(sf_dir: str):
+    """Turtle interchange loop: synthesize triples (prefix-
+    compressible URIs, literals with quotes/newlines/backslashes,
+    non-compressible odd IRIs), WRITE prefix-compressed .ttl blocks
+    (subject-grouped `s p o ; p o .` lines), READ them back with the
+    same prefix map, and aggregate per pred. Equality with the
+    never-serialized twin proves compression + escaping + the
+    subject-group parse are lossless."""
+    import shutil
+    import tempfile
+
+    from ray.data.aggregate import Count
+
+    from ..sources.ntriples import read_turtle, write_turtle
+
+    pfx = {"ent": "https://kg.test/p/", "org": "https://kg.test/org/",
+           "v": "https://kg.test/v/"}
+    rows = []
+    for i in range(400):
+        rows.append({"subj": f"https://kg.test/p/{i}",
+                     "pred": "https://kg.test/v/worksFor",
+                     "obj": f"https://kg.test/org/{i % 20}",
+                     "obj_kind": "uri"})
+        rows.append({"subj": f"https://kg.test/p/{i}",
+                     "pred": "https://kg.test/v/name",
+                     "obj": f'N"{i}"\nend\\', "obj_kind": "string"})
+        if i % 7 == 0:  # space in IRI: must stay <bracketed>
+            rows.append({"subj": f"https://kg.test/p/{i}",
+                         "pred": "https://kg.test/v/sameAs",
+                         "obj": f"https://odd.test/x y/{i}",
+                         "obj_kind": "uri"})
+    triples = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out_dir = tempfile.mkdtemp(prefix="ttlq_")
+    try:
+        write_turtle(triples, out_dir, pfx, obj_kind_col="obj_kind")
+        back = read_turtle(out_dir, pfx)
+        agg = (back.groupby(["pred", "obj"])
+               .aggregate(Count(alias_name="n_occ")))
+        df = agg.to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    g = (df.groupby(["pred"], sort=True)
+         .agg(n=("n_occ", "sum"), n_distinct_obj=("obj", "nunique"),
+              min_obj=("obj", "min"))
+         .reset_index())
+    g["n"] = g["n"].astype("int64")
+    g["n_distinct_obj"] = g["n_distinct_obj"].astype("int64")
+    return pa.Table.from_pandas(g, preserve_index=False)
+
+
+QUERIES["kg_export_turtle"] = q_kg_export_turtle
+
+ORACLES["kg_export_turtle"] = (
+    "WITH t AS ("
+    " SELECT 'https://kg.test/p/' || i AS subj,"
+    "  'https://kg.test/v/worksFor' AS pred,"
+    "  'https://kg.test/org/' || (i % 20) AS obj"
+    "  FROM generate_series(0, 399) s(i)"
+    " UNION ALL SELECT 'https://kg.test/p/' || i,"
+    "  'https://kg.test/v/name',"
+    "  'N\"' || i || '\"' || chr(10) || 'end\\'"
+    "  FROM generate_series(0, 399) s(i)"
+    " UNION ALL SELECT 'https://kg.test/p/' || i,"
+    "  'https://kg.test/v/sameAs', 'https://odd.test/x y/' || i"
+    "  FROM generate_series(0, 399) s(i) WHERE i % 7 = 0)"
+    " SELECT pred, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct_obj,"
+    " min(obj) AS min_obj FROM t GROUP BY 1"
+)

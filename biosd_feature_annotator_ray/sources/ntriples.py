@@ -189,3 +189,173 @@ def read_ntriples(path: str) -> "ray.data.Dataset":
     ds = rd.read_text(path, file_extensions=["nt"])
     return ds.map_batches(parse_ntriples, batch_format="pyarrow",
                           batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
+# Turtle (prefix-compressed) sink + source — the human-facing KG
+# interchange sibling of the .nt sink above. Same scale shape:
+# content-hash-named blocks, embarrassingly parallel, idempotent.
+#
+# Serialization contract (kept deliberately line-oriented so the
+# reader stays stateless across blocks): every SUBJECT GROUP is ONE
+# line — `s p1 o1 ; p2 o2 .` — grouping is batch-local (Turtle allows
+# repeated subjects across groups), and IRIs compress to pfx:local
+# against the caller's prefix map (longest namespace wins) only when
+# the local part is PN-safe; otherwise they stay <bracketed>. The
+# reader takes the SAME prefix map (this is a reader for this sink's
+# output, not a general Turtle parser — @prefix header lines are
+# validated and skipped).
+
+_PN_LOCAL_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_\-]*$")
+_TURTLE_TERM_RE = re.compile(
+    r"<[^>]*>|\"(?:[^\"\\]|\\.)*\"|[A-Za-z][A-Za-z0-9_\-]*:[A-Za-z0-9_\-]*"
+    r"|_:\S+|;|\.")
+
+
+def _pfx_compress(iri: str, prefixes: "dict[str, str]") -> str:
+    best = None
+    for pfx, ns in prefixes.items():
+        if iri.startswith(ns) and (best is None
+                                   or len(ns) > len(prefixes[best])):
+            local = iri[len(ns):]
+            if _PN_LOCAL_RE.match(local):
+                best = pfx
+    if best is None:
+        return f"<{iri}>"
+    return f"{best}:{iri[len(prefixes[best]):]}"
+
+
+def serialize_turtle(batch: pa.Table, prefixes: "dict[str, str]",
+                     subj_col: str = "subj", pred_col: str = "pred",
+                     obj_col: str = "obj",
+                     obj_kind_col: str | None = None) -> list[str]:
+    """One Turtle line per batch-local subject group (see module
+    contract above). Literal escaping is shared with the .nt sink."""
+    df_cols = [subj_col, pred_col, obj_col]
+    if obj_kind_col:
+        df_cols.append(obj_kind_col)
+    df = batch.select(df_cols).to_pandas()
+    df = df.sort_values([subj_col, pred_col, obj_col], kind="stable")
+    lines: list[str] = []
+    esc = str.maketrans({"\\": "\\\\", '"': '\\"', "\n": "\\n",
+                         "\r": "\\r", "\t": "\\t"})
+
+    def term(o: str, kind: "str | None") -> str:
+        if kind is not None:
+            is_iri = kind == "uri"
+            is_bn = kind == "bnode"
+        else:
+            is_iri = bool(re.match(_IRI_RE, o))
+            is_bn = o.startswith("_:")
+        if is_bn:
+            return o
+        if is_iri:
+            return _pfx_compress(o, prefixes)
+        return '"' + o.translate(esc) + '"'
+
+    for subj, grp in df.groupby(subj_col, sort=True):
+        s = subj if str(subj).startswith("_:") else \
+            _pfx_compress(str(subj), prefixes)
+        parts = []
+        for r in grp.itertuples(index=False):
+            p = _pfx_compress(getattr(r, pred_col), prefixes)
+            k = getattr(r, obj_kind_col) if obj_kind_col else None
+            parts.append(f"{p} {term(getattr(r, obj_col), k)}")
+        lines.append(f"{s} " + " ; ".join(parts) + " .")
+    return lines
+
+
+def write_turtle(ds: "ray.data.Dataset", path: str,
+                 prefixes: "dict[str, str]",
+                 subj_col: str = "subj", pred_col: str = "pred",
+                 obj_col: str = "obj",
+                 obj_kind_col: str | None = None) -> pa.Table:
+    """Write a triple Dataset as content-hash-named ``.ttl`` blocks
+    (each with its own @prefix header). Same idempotence contract as
+    :func:`write_ntriples`."""
+    os.makedirs(path, exist_ok=True)
+    header = "".join(f"@prefix {p}: <{ns}> .\n"
+                     for p, ns in sorted(prefixes.items()))
+
+    def write_block(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({"path": pa.array([], pa.string()),
+                             "n_triples": pa.array([], pa.int64())})
+        lines = serialize_turtle(batch, prefixes, subj_col, pred_col,
+                                 obj_col, obj_kind_col)
+        payload = (header + "\n".join(lines) + "\n").encode()
+        name = f"part-{hashlib.md5(payload).hexdigest()[:16]}.ttl"
+        fp = os.path.join(path, name)
+        tmp = f"{fp}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, fp)
+        return pa.table({"path": pa.array([fp], pa.string()),
+                         "n_triples": pa.array([len(batch)], pa.int64())})
+
+    return (ds.map_batches(write_block, batch_format="pyarrow")
+            .to_pandas().pipe(pa.Table.from_pandas, preserve_index=False))
+
+
+def parse_turtle(batch: pa.Table, prefixes: "dict[str, str]",
+                 text_col: str = "text") -> pa.Table:
+    """Parse lines of this sink's Turtle output back to (subj, pred,
+    obj) rows. @prefix lines must re-declare a known mapping (raises
+    on an unknown prefix — the reader's map IS the file's map);
+    malformed statement lines raise rather than silently drop."""
+    out_s: list = []
+    out_p: list = []
+    out_o: list = []
+
+    def expand(t: str) -> str:
+        if t.startswith("<"):
+            return t[1:-1]
+        if t.startswith("_:"):
+            return t
+        pfx, local = t.split(":", 1)
+        if pfx not in prefixes:
+            raise ValueError(f"unknown prefix {pfx!r}")
+        return prefixes[pfx] + local
+
+    for line in batch.column(text_col).to_pylist():
+        if line is None:
+            continue
+        ln = line.strip()
+        if not ln:
+            continue
+        if ln.startswith("@prefix"):
+            m = re.match(r"@prefix\s+([A-Za-z][\w\-]*):\s+<([^>]*)>\s*\.",
+                         ln)
+            if not m or prefixes.get(m.group(1)) != m.group(2):
+                raise ValueError(f"prefix mismatch in header: {ln!r}")
+            continue
+        toks = _TURTLE_TERM_RE.findall(ln)
+        if len(toks) < 4 or toks[-1] != ".":
+            raise ValueError(f"malformed turtle line: {ln!r}")
+        subj = expand(toks[0])
+        i = 1
+        while i < len(toks) - 1:
+            p, o = toks[i], toks[i + 1]
+            out_s.append(subj)
+            out_p.append(expand(p))
+            if o.startswith('"'):
+                out_o.append(_unescape(o[1:-1]))
+            else:
+                out_o.append(expand(o))
+            i += 2
+            if i < len(toks) - 1 and toks[i] == ";":
+                i += 1
+    return pa.table({"subj": pa.array(out_s, pa.string()),
+                     "pred": pa.array(out_p, pa.string()),
+                     "obj": pa.array(out_o, pa.string())})
+
+
+def read_turtle(path: str, prefixes: "dict[str, str]"):
+    """Read a directory of this sink's ``.ttl`` blocks back as a
+    triple Dataset."""
+    import ray.data as rd
+
+    ds = rd.read_text(path, file_extensions=["ttl"])
+    return ds.map_batches(
+        lambda b: parse_turtle(b, prefixes), batch_format="pyarrow",
+        batch_size=65536)

@@ -460,3 +460,72 @@ def test_cdc_param_validation_and_empty():
     assert gear_chunks(b"") == []
     assert cdc_chunk_docs(pa.table({"doc_id": [1], "text": [None]})
                           ).num_rows == 0
+
+
+# ------------------------------------------------------------- turtle
+
+from biosd_feature_annotator_ray.sources.ntriples import (  # noqa: E402
+    parse_turtle,
+    read_turtle,
+    serialize_turtle,
+    write_turtle,
+)
+
+_PFX = {"ex": "http://ex.test/", "sc": "http://schema.test/"}
+
+
+def test_turtle_prefix_compression_and_grouping():
+    t = pa.table({
+        "subj": ["http://ex.test/a", "http://ex.test/a",
+                 "http://other.test/x y"],
+        "pred": ["http://schema.test/p1", "http://schema.test/p2",
+                 "http://schema.test/p1"],
+        "obj": ["lit", "http://ex.test/b", "v"],
+        "obj_kind": ["string", "uri", "string"],
+    })
+    lines = serialize_turtle(t, _PFX, obj_kind_col="obj_kind")
+    assert lines == [  # groups sort by RAW subject iri
+        'ex:a sc:p1 "lit" ; sc:p2 ex:b .',
+        '<http://other.test/x y> sc:p1 "v" .',
+    ]
+
+
+def test_turtle_longest_prefix_wins():
+    pfx = {"a": "http://x.test/", "ab": "http://x.test/deep/"}
+    t = pa.table({"subj": ["http://x.test/deep/n"],
+                  "pred": ["http://x.test/p"],
+                  "obj": ["http://x.test/deep/m"],
+                  "obj_kind": ["uri"]})
+    (line,) = serialize_turtle(t, pfx, obj_kind_col="obj_kind")
+    assert line == "ab:n a:p ab:m ."
+
+
+def test_turtle_round_trip_with_escapes(tmp_path):
+    rows = [
+        {"subj": "http://ex.test/e1",
+         "pred": "http://schema.test/name",
+         "obj": 'va"l\n\t1\\', "obj_kind": "string"},
+        {"subj": "http://ex.test/e1",
+         "pred": "http://schema.test/knows",
+         "obj": "http://ex.test/e2", "obj_kind": "uri"},
+        {"subj": "_:b0", "pred": "http://schema.test/ref",
+         "obj": "_:b1", "obj_kind": "bnode"},
+    ]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    out = str(tmp_path / "ttl")
+    write_turtle(ds, out, _PFX, obj_kind_col="obj_kind")
+    back = (read_turtle(out, _PFX).to_pandas()
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    orig = (pa.Table.from_pylist(rows).to_pandas()[["subj", "pred", "obj"]]
+            .sort_values(["subj", "pred", "obj"]).reset_index(drop=True))
+    assert back.equals(orig)
+
+
+def test_turtle_parse_rejects_bad_input():
+    with pytest.raises(ValueError, match="unknown prefix"):
+        parse_turtle(pa.table({"text": ["zz:a sc:p zz:b ."]}), _PFX)
+    with pytest.raises(ValueError, match="prefix mismatch"):
+        parse_turtle(pa.table(
+            {"text": ["@prefix ex: <http://WRONG/> ."]}), _PFX)
+    with pytest.raises(ValueError, match="malformed"):
+        parse_turtle(pa.table({"text": ["ex:a sc:p"]}), _PFX)
