@@ -1062,12 +1062,19 @@ def hits(
         batch_format="pyarrow").materialize()
     auths = None
 
-    def _propagate(scores, key_in, key_out, col_in, col_out):
-        """scores(key_in, col_in) → (key_out, col_out) summed over
-        edges, L1-normalized; returns a materialized Dataset."""
+    def _propagate(scores, key_in, key_out, col_in, col_out, scale):
+        """scores(key_in, col_in) scaled by the DEFERRED normalizer
+        ``scale`` → (key_out, col_out) summed over edges. Returns the
+        materialized UNNORMALIZED sums plus the L1 total: the division
+        is folded into the next half-step's map (or the final
+        projection) instead of rewriting the dataset — one fewer Ray
+        execution per half-step, identical math up to 1 ulp (both
+        sides round to 8 dp at the end)."""
         j = shuffle_hash_join(
             e, scores.map_batches(
-                lambda t: t.rename_columns([key_in, col_in]),
+                lambda t, s=scale: pa.table({
+                    key_in: t.column(0),
+                    col_in: pc.multiply(t.column(1), pa.scalar(s))}),
                 batch_format="pyarrow"),
             on=[key_in], how="inner", nb=nb)
         agg = (j.map_batches(
@@ -1078,38 +1085,36 @@ def hits(
                                             alias_name=col_out)))
         agg = agg.materialize()
         total = agg.sum(col_out) or 0.0
-        if total <= 0:
-            return agg
-        return agg.map_batches(
-            lambda t, s=total: pa.table({
-                key_out: t.column(key_out),
-                col_out: pc.divide(t.column(col_out), pa.scalar(s))}),
-            batch_format="pyarrow").materialize()
+        return agg, (1.0 / total if total > 0 else 1.0)
 
+    h_scale = 1.0
+    a_scale = 1.0
     for _ in range(iters):
         # authority from hubs: join on src, sum into dst
-        auths = _propagate(
+        auths, a_scale = _propagate(
             hubs.map_batches(lambda t: t.select(["node", "h"]),
                              batch_format="pyarrow"),
-            "src", "dst", "h", "a")
+            "src", "dst", "h", "a", h_scale)
         # hubs from authorities: join on dst, sum into src
-        hubs = _propagate(
+        hubs, h_scale = _propagate(
             auths.map_batches(lambda t: t.rename_columns(["node", "a"]),
                               batch_format="pyarrow"),
-            "dst", "src", "a", "h")
+            "dst", "src", "a", "h", a_scale)
         hubs = hubs.map_batches(
             lambda t: t.rename_columns(["node", "h"]),
-            batch_format="pyarrow").materialize()
+            batch_format="pyarrow")
 
     auths = auths.map_batches(lambda t: t.rename_columns(["node", "a"]),
                               batch_format="pyarrow")
     h_full = shuffle_hash_join(nodes, hubs, on=["node"], how="left", nb=nb)
     both = shuffle_hash_join(h_full, auths, on=["node"], how="left", nb=nb)
     return both.map_batches(
-        lambda t: pa.table({
+        lambda t, hs=h_scale, as_=a_scale: pa.table({
             "node": t.column("node"),
-            "hub": pc.round(pc.fill_null(t.column("h"), 0.0), 8),
-            "authority": pc.round(pc.fill_null(t.column("a"), 0.0), 8),
+            "hub": pc.round(pc.multiply(
+                pc.fill_null(t.column("h"), 0.0), pa.scalar(hs)), 8),
+            "authority": pc.round(pc.multiply(
+                pc.fill_null(t.column("a"), 0.0), pa.scalar(as_)), 8),
         }), batch_format="pyarrow")
 
 
