@@ -226,6 +226,8 @@ def run_queries() -> dict:
         "html_entities", "bgp_optional_match", "crawl_schedule",
         "script_profile", "property_path", "cdc_reconstruct",
         "fold_dedup_docs",
+        # round-4 fifth sitting: KG QA / crawl canonicalization
+        "shacl_validate", "redirect_resolve",
     ]
     out = {}
     for name in names:

@@ -6235,3 +6235,141 @@ ORACLES["kg_export_turtle"] = (
     " CAST(count(DISTINCT obj) AS BIGINT) AS n_distinct_obj,"
     " min(obj) AS min_obj FROM t GROUP BY 1"
 )
+
+
+def q_shacl_validate(sf_dir: str):
+    """SHACL-lite shape validation (graph.validate_shapes) over a
+    synthesized KG with planted violations: Person shape 0 requires
+    exactly one worksFor edge whose object is a typed Organization;
+    shape 1 requires a name matching ^name. Fully oracled: the SQL
+    twin regenerates the corpus with generate_series and computes the
+    same cardinality/pattern/membership violations."""
+    from ..stages.graph import validate_shapes
+
+    rows = []
+    for i in range(300):
+        rows.append({"subj": f"P{i}", "pred": "@type", "obj": "Person"})
+        if i % 5 != 0:
+            rows.append({"subj": f"P{i}", "pred": "worksFor",
+                         "obj": f"O{i % 20}"})
+        if i % 7 == 0:
+            rows.append({"subj": f"P{i}", "pred": "worksFor",
+                         "obj": f"O{(i + 1) % 20}"})
+        if i % 13 != 0:
+            rows.append({"subj": f"P{i}", "pred": "name",
+                         "obj": (f"bad{i}" if i % 11 == 0
+                                 else f"name{i}")})
+    for j in range(15):  # O15..O19 stay untyped → obj_class violations
+        rows.append({"subj": f"O{j}", "pred": "@type",
+                     "obj": "Organization"})
+    triples = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = validate_shapes(triples, [
+        {"target_class": "Person", "pred": "worksFor", "min_count": 1,
+         "max_count": 1, "obj_class": "Organization"},
+        {"target_class": "Person", "pred": "name", "min_count": 1,
+         "pattern": "^name"},
+    ], nb=8)
+    df = (out.to_pandas()
+          .sort_values(["shape_id", "constraint", "subj", "obj"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["shacl_validate"] = q_shacl_validate
+
+ORACLES["shacl_validate"] = (
+    "WITH t AS ("
+    " SELECT 'P' || i AS subj, '@type' AS pred, 'Person' AS obj"
+    "  FROM generate_series(0, 299) s(i)"
+    " UNION ALL SELECT 'P' || i, 'worksFor', 'O' || (i % 20)"
+    "  FROM generate_series(0, 299) s(i) WHERE i % 5 <> 0"
+    " UNION ALL SELECT 'P' || i, 'worksFor', 'O' || ((i + 1) % 20)"
+    "  FROM generate_series(0, 299) s(i) WHERE i % 7 = 0"
+    " UNION ALL SELECT 'P' || i, 'name',"
+    "  CASE WHEN i % 11 = 0 THEN 'bad' || i ELSE 'name' || i END"
+    "  FROM generate_series(0, 299) s(i) WHERE i % 13 <> 0"
+    " UNION ALL SELECT 'O' || j, '@type', 'Organization'"
+    "  FROM generate_series(0, 14) s(j)),"
+    " targets AS (SELECT DISTINCT subj FROM t"
+    "  WHERE pred = '@type' AND obj = 'Person'),"
+    " orgm AS (SELECT DISTINCT subj FROM t"
+    "  WHERE pred = '@type' AND obj = 'Organization'),"
+    " wf AS (SELECT subj, obj FROM t WHERE pred = 'worksFor'),"
+    " nm AS (SELECT subj, obj FROM t WHERE pred = 'name'),"
+    " cwf AS (SELECT targets.subj, count(wf.obj) AS n FROM targets"
+    "  LEFT JOIN wf USING (subj) GROUP BY 1),"
+    " cnm AS (SELECT targets.subj, count(nm.obj) AS n FROM targets"
+    "  LEFT JOIN nm USING (subj) GROUP BY 1)"
+    " SELECT CAST(0 AS BIGINT) AS shape_id, subj,"
+    "  'min_count' AS \"constraint\", CAST(NULL AS VARCHAR) AS obj, n"
+    "  FROM cwf WHERE n < 1"
+    " UNION ALL SELECT 0, subj, 'max_count', NULL, n"
+    "  FROM cwf WHERE n > 1"
+    " UNION ALL SELECT 0, wf.subj, 'obj_class', wf.obj,"
+    "  CAST(1 AS BIGINT) FROM wf JOIN targets USING (subj)"
+    "  WHERE wf.obj NOT IN (SELECT subj FROM orgm)"
+    " UNION ALL SELECT 1, subj, 'min_count', NULL, n"
+    "  FROM cnm WHERE n < 1"
+    " UNION ALL SELECT 1, nm.subj, 'pattern', nm.obj, 1"
+    "  FROM nm JOIN targets USING (subj)"
+    "  WHERE NOT regexp_matches(nm.obj, '^name')"
+)
+
+
+def q_redirect_resolve(sf_dir: str):
+    """Redirect-chain resolution (graph.resolve_redirects, pointer
+    doubling) over a synthesized redirect graph: a 50-edge chain
+    (resolvable only from depth ≤ 16), five 3-cycles, a two-hop
+    hub/terminal fan, and duplicate-src rows collapsing to the min
+    dst. Fully oracled: the SQL twin regenerates the edges and walks
+    chains with a bounded recursive CTE."""
+    from ..stages.graph import resolve_redirects
+
+    rows = []
+    for i in range(50):
+        rows.append({"src": f"c{i}", "dst": f"c{i + 1}"})
+    for k in range(5):
+        for j in range(3):
+            rows.append({"src": f"x{k}_{j}", "dst": f"x{k}_{(j + 1) % 3}"})
+    for i in range(200):
+        rows.append({"src": f"r{i}", "dst": f"h{i % 10}"})
+    for j in range(10):
+        rows.append({"src": f"h{j}", "dst": f"t{j % 3}"})
+    for i in range(10):
+        rows.append({"src": f"d{i}", "dst": "t0"})
+        rows.append({"src": f"d{i}", "dst": f"a{i}"})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = resolve_redirects(edges, max_hops=16, nb=8)
+    df = out.to_pandas().sort_values("src").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["redirect_resolve"] = q_redirect_resolve
+
+ORACLES["redirect_resolve"] = (
+    "WITH RECURSIVE e0 AS ("
+    " SELECT 'c' || i AS src, 'c' || (i + 1) AS dst"
+    "  FROM generate_series(0, 49) s(i)"
+    " UNION ALL SELECT 'x' || k || '_' || j,"
+    "  'x' || k || '_' || ((j + 1) % 3)"
+    "  FROM generate_series(0, 4) s(k), generate_series(0, 2) q(j)"
+    " UNION ALL SELECT 'r' || i, 'h' || (i % 10)"
+    "  FROM generate_series(0, 199) s(i)"
+    " UNION ALL SELECT 'h' || j, 't' || (j % 3)"
+    "  FROM generate_series(0, 9) s(j)"
+    " UNION ALL SELECT 'd' || i, 't0' FROM generate_series(0, 9) s(i)"
+    " UNION ALL SELECT 'd' || i, 'a' || i"
+    "  FROM generate_series(0, 9) s(i)),"
+    " e AS (SELECT src, min(dst) AS dst FROM e0 GROUP BY src),"
+    " walk(src, cur, hops) AS ("
+    "  SELECT src, dst, 1 FROM e"
+    "  UNION ALL SELECT w.src, e.dst, w.hops + 1 FROM walk w"
+    "   JOIN e ON w.cur = e.src WHERE w.hops < 17),"
+    " term AS (SELECT src, cur, hops FROM walk"
+    "  WHERE hops <= 16 AND cur NOT IN (SELECT src FROM e))"
+    " SELECT e.src, term.cur AS final,"
+    "  CAST(term.hops AS BIGINT) AS hops,"
+    "  CASE WHEN term.src IS NULL THEN 'unresolved'"
+    "   ELSE 'resolved' END AS status"
+    " FROM e LEFT JOIN term ON e.src = term.src"
+)

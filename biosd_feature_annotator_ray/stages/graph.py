@@ -1358,3 +1358,293 @@ def rdfs_infer_types(
 
     out = triples.map_batches(expand, batch_format="pyarrow")
     return dedup_exact(out, [s_col, p_col, o_col], nb=nb)
+
+
+_SHAPE_KEYS = {"target_class", "pred", "min_count", "max_count",
+               "obj_class", "pattern", "obj_kind"}
+
+
+def validate_shapes(
+    triples: "ray.data.Dataset",
+    shapes: "list[dict]",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    kind_col: "str | None" = None,
+    type_pred: str = "@type",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """SHACL-lite shape validation — the QA gate a KG-construction
+    pipeline runs before publishing triples (graft-added, r04). Each
+    shape is a dict targeting the instances of one class::
+
+        {"target_class": "Person",   # subjects with (s, @type, Person)
+         "pred": "worksFor",         # the property under constraint
+         "min_count": 1,             # cardinality lower bound (default 0)
+         "max_count": 1,             # upper bound (default None = ∞)
+         "obj_class": "Organization",# objects must be typed this class
+         "pattern": "^http",         # objects must match (partial regex,
+                                     #   SHACL sh:pattern semantics)
+         "obj_kind": "uri"}          # kind_col value check (optional)
+
+    Returns a violation Dataset ``(shape_id, subj, constraint, obj,
+    n)``: one row per cardinality violation (``obj`` null, ``n`` the
+    actual count) and one row per offending TRIPLE for the value-level
+    constraints (``n`` = 1, bag semantics — duplicate triples violate
+    twice, exactly the SQL twin's result).
+
+    Scale shape: shapes are ontology-sized (a handful); the triple
+    stream is the big side. Per shape the plan is pred-pushdown
+    filtered scans, one map-side pre-aggregated count per subject, and
+    bucketed shuffle joins (left for cardinality, semi to scope value
+    checks to targets, anti for obj_class membership) — no stage sees
+    more than the shape's own predicate slice.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+
+    _V_SCHEMA = pa.schema([
+        ("shape_id", pa.int64()), ("subj", pa.string()),
+        ("constraint", pa.string()), ("obj", pa.string()),
+        ("n", pa.int64())])
+
+    def _empty() -> pa.Table:
+        return _V_SCHEMA.empty_table()
+
+    def _viol(sid: int, subj: pa.Array, constraint: str,
+              obj: "pa.Array | None", n: "pa.Array | None") -> pa.Table:
+        k = len(subj)
+        return pa.table({
+            "shape_id": pa.array([sid] * k, pa.int64()),
+            "subj": subj.cast(pa.string()),
+            "constraint": pa.array([constraint] * k, pa.string()),
+            "obj": (obj.cast(pa.string()) if obj is not None
+                    else pa.nulls(k, pa.string())),
+            "n": (n.cast(pa.int64()) if n is not None
+                  else pa.array([1] * k, pa.int64()))})
+
+    def _pred_scan(pred: str, cols: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.fill_null(pc.equal(b.column(p_col), pred), False)
+            f = b.filter(m)
+            return pa.table({c: f.column(c) for c in cols})
+        return triples.map_batches(fn, batch_format="pyarrow",
+                                   batch_size=65536)
+
+    def _class_members(cls: str, out_col: str):
+        def fn(b: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.fill_null(pc.equal(b.column(p_col), type_pred), False),
+                pc.fill_null(pc.equal(b.column(o_col), cls), False))
+            return pa.table({out_col: b.filter(m).column(s_col)})
+        ds = triples.map_batches(fn, batch_format="pyarrow",
+                                 batch_size=65536)
+        return dedup_exact(ds, [out_col], nb=nb)
+
+    outs = []
+    for sid, shape in enumerate(shapes):
+        extra = set(shape) - _SHAPE_KEYS
+        if extra:
+            raise ValueError(f"shape {sid}: unknown keys {sorted(extra)}")
+        if "target_class" not in shape or "pred" not in shape:
+            raise ValueError(
+                f"shape {sid}: target_class and pred are required")
+        if shape.get("obj_kind") is not None and kind_col is None:
+            raise ValueError(
+                f"shape {sid}: obj_kind constraint needs kind_col")
+        min_count = int(shape.get("min_count", 0) or 0)
+        max_count = shape.get("max_count")
+        # Targets/counts are class-sized reductions of the stream —
+        # materializing them pins the schema even when a slice is
+        # empty (an empty lazy chain reports schema None, which the
+        # bucketed join cannot plan around) and lets a no-target
+        # shape skip its joins entirely.
+        targets = _class_members(shape["target_class"], "subj") \
+            .materialize()
+        if targets.count() == 0:
+            continue  # no instances → nothing to violate
+        val_cols = [s_col, o_col] + ([kind_col] if kind_col else [])
+        pt = _pred_scan(shape["pred"], val_cols)
+
+        # --- cardinality: map-side partial count, one bucketed groupby
+        def _partial(b: pa.Table) -> pa.Table:
+            if b.num_rows == 0:
+                return pa.table({"subj": pa.array([], pa.string()),
+                                 "n": pa.array([], pa.int64())})
+            g = b.group_by(s_col).aggregate([(s_col, "count")])
+            return pa.table({"subj": g.column(s_col),
+                             "n": g.column(f"{s_col}_count")
+                             .cast(pa.int64())})
+
+        counts = (pt.map_batches(_partial, batch_format="pyarrow")
+                  .groupby("subj").aggregate(Sum("n", alias_name="n"))
+                  .materialize())
+        if counts.count() == 0:
+            counts = rd.from_arrow(pa.table(
+                {"subj": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}))
+        card = shuffle_hash_join(targets, counts, on=["subj"],
+                                 how="left", nb=nb)
+
+        def _card_viol(b: pa.Table, sid=sid, lo=min_count,
+                       hi=max_count) -> pa.Table:
+            n = pc.fill_null(b.column("n"), 0).cast(pa.int64())
+            parts = []
+            if lo > 0:
+                m = pc.less(n, lo)
+                parts.append(_viol(sid, b.filter(m).column("subj"),
+                                   "min_count", None, n.filter(m)))
+            if hi is not None:
+                m = pc.greater(n, hi)
+                parts.append(_viol(sid, b.filter(m).column("subj"),
+                                   "max_count", None, n.filter(m)))
+            return (pa.concat_tables(parts) if parts else _empty())
+
+        outs.append(card.map_batches(_card_viol, batch_format="pyarrow"))
+
+        # --- value-level constraints: scope the pred slice to targets
+        needs_values = (shape.get("pattern") is not None
+                        or shape.get("obj_class") is not None
+                        or shape.get("obj_kind") is not None)
+        if not needs_values:
+            continue
+        tpt = shuffle_hash_join(pt, targets, on=["subj"],
+                                how="semi", nb=nb)
+        if shape.get("pattern") is not None:
+            def _pat_viol(b: pa.Table, sid=sid,
+                          rx=shape["pattern"]) -> pa.Table:
+                ok = pc.fill_null(
+                    pc.match_substring_regex(b.column(o_col), rx), False)
+                bad = b.filter(pc.invert(ok))
+                return _viol(sid, bad.column(s_col), "pattern",
+                             bad.column(o_col), None)
+            outs.append(tpt.map_batches(_pat_viol,
+                                        batch_format="pyarrow"))
+        if shape.get("obj_kind") is not None:
+            def _kind_viol(b: pa.Table, sid=sid,
+                           want=shape["obj_kind"]) -> pa.Table:
+                ok = pc.fill_null(
+                    pc.equal(b.column(kind_col), want), False)
+                bad = b.filter(pc.invert(ok))
+                return _viol(sid, bad.column(s_col), "obj_kind",
+                             bad.column(o_col), None)
+            outs.append(tpt.map_batches(_kind_viol,
+                                        batch_format="pyarrow"))
+        if shape.get("obj_class") is not None:
+            members = _class_members(shape["obj_class"], o_col) \
+                .materialize()
+            if members.count() == 0:  # schema-pinned empty (see above)
+                members = rd.from_arrow(pa.table(
+                    {o_col: pa.array([], pa.string())}))
+            bad = shuffle_hash_join(
+                tpt.map_batches(
+                    lambda b: pa.table({s_col: b.column(s_col),
+                                        o_col: b.column(o_col)}),
+                    batch_format="pyarrow"),
+                members, on=[o_col], how="anti", nb=nb)
+
+            def _cls_viol(b: pa.Table, sid=sid) -> pa.Table:
+                return _viol(sid, b.column(s_col), "obj_class",
+                             b.column(o_col), None)
+            outs.append(bad.map_batches(_cls_viol,
+                                        batch_format="pyarrow"))
+
+    base = rd.from_arrow(_empty())
+    return base.union(*outs) if outs else base
+
+
+def resolve_redirects(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 32,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Follow redirect chains to their final target (graft-added,
+    r04) — the URL-canonicalization step a crawl/KG pipeline runs so
+    every alias of a page collapses to one node before linking.
+
+    ``edges`` is a (src → dst) redirect table; multiple outgoing
+    edges per src are collapsed deterministically to the MINIMUM dst
+    (one functional edge per src, matching the SQL twin). Returns one
+    row per redirect SOURCE: ``(src, final, hops, status)`` where
+    status is ``resolved`` (final has no outgoing redirect and the
+    chain used ≤ max_hops edges; ``hops`` is the exact chain length)
+    or ``unresolved`` (cycle or chain longer than ``max_hops``;
+    ``final``/``hops`` are null — intermediate pointers would be
+    round-count-dependent, so they are never exposed).
+
+    Scale shape: POINTER DOUBLING — each round left-joins the mapping
+    with itself (``f'(x) = f(f(x))``, hop counts add), so a chain of
+    length L resolves in ⌈log2 L⌉ bucketed shuffles instead of L
+    sequential self-joins; cycles are bounded by the same round count
+    and detected by a final membership join, never by per-row walking.
+    """
+    import math
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+
+    def _proj(b: pa.Table) -> pa.Table:
+        return pa.table({"src": b.column(src).cast(pa.string()),
+                         "final": b.column(dst).cast(pa.string())})
+
+    m = dedup_exact(edges.map_batches(_proj, batch_format="pyarrow"),
+                    ["src"], nb=nb, keep_order_col="final")
+    m = m.map_batches(
+        lambda b: b.append_column(
+            "hops", pa.array(np.ones(b.num_rows, np.int64))),
+        batch_format="pyarrow").materialize()
+    if m.count() == 0:  # empty lazy chains report schema None
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "src": pa.array([], pa.string()),
+            "final": pa.array([], pa.string()),
+            "hops": pa.array([], pa.int64()),
+            "status": pa.array([], pa.string())}))
+
+    def _as_next(b: pa.Table) -> pa.Table:
+        return pa.table({"final": b.column("src"),
+                         "nxt": b.column("final"),
+                         "hops2": b.column("hops")})
+
+    def _double(b: pa.Table) -> pa.Table:
+        matched = pc.is_valid(b.column("nxt"))
+        return pa.table({
+            "src": b.column("src"),
+            "final": pc.if_else(matched, b.column("nxt"),
+                                b.column("final")),
+            "hops": pc.if_else(
+                matched,
+                pc.add(b.column("hops"),
+                       pc.fill_null(b.column("hops2"), 0)),
+                b.column("hops")).cast(pa.int64())})
+
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(rounds):
+        nxt = m.map_batches(_as_next, batch_format="pyarrow")
+        j = shuffle_hash_join(m, nxt, on=["final"], how="left", nb=nb)
+        m = j.map_batches(_double,
+                          batch_format="pyarrow").materialize()
+
+    # status: still pointing into the domain OR over budget → unresolved
+    nxt = m.map_batches(_as_next, batch_format="pyarrow")
+    j = shuffle_hash_join(m, nxt, on=["final"], how="left", nb=nb)
+
+    def _finish(b: pa.Table) -> pa.Table:
+        bad = pc.or_(pc.is_valid(b.column("nxt")),
+                     pc.greater(b.column("hops"),
+                                pa.scalar(max_hops, pa.int64())))
+        return pa.table({
+            "src": b.column("src"),
+            "final": pc.if_else(bad, pa.nulls(b.num_rows, pa.string()),
+                                b.column("final")),
+            "hops": pc.if_else(bad, pa.nulls(b.num_rows, pa.int64()),
+                               b.column("hops")),
+            "status": pc.if_else(bad, "unresolved", "resolved")})
+
+    return j.map_batches(_finish, batch_format="pyarrow")

@@ -1,0 +1,213 @@
+"""SHACL-lite shape validation + redirect-chain resolution tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from biosd_feature_annotator_ray.stages.graph import (
+    resolve_redirects,
+    validate_shapes,
+)
+
+
+def _kg(rows):
+    return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+
+
+def _person_corpus():
+    rows = []
+    for i in range(30):
+        rows.append({"subj": f"P{i}", "pred": "@type", "obj": "Person"})
+        if i % 5 != 0:
+            rows.append({"subj": f"P{i}", "pred": "worksFor",
+                         "obj": f"O{i % 4}"})
+        if i % 7 == 0:
+            rows.append({"subj": f"P{i}", "pred": "worksFor",
+                         "obj": f"O{(i + 1) % 4}"})
+        rows.append({"subj": f"P{i}", "pred": "name",
+                     "obj": (f"bad{i}" if i % 11 == 0 else f"name{i}")})
+    for j in range(3):  # O3 untyped
+        rows.append({"subj": f"O{j}", "pred": "@type",
+                     "obj": "Organization"})
+    return rows
+
+
+def test_shapes_planted_violations(ray_session):
+    out = validate_shapes(_kg(_person_corpus()), [
+        {"target_class": "Person", "pred": "worksFor", "min_count": 1,
+         "max_count": 1, "obj_class": "Organization"},
+        {"target_class": "Person", "pred": "name", "min_count": 1,
+         "pattern": "^name"},
+    ], nb=8).to_pandas()
+    by = out.groupby(["shape_id", "constraint"]).size().to_dict()
+    # i%5==0 → no primary edge; P0 still has the i%7 extra (n=1, legal)
+    assert by[(0, "min_count")] == 5
+    assert set(out[(out.shape_id == 0)
+                   & (out.constraint == "min_count")].subj) == {
+        "P5", "P10", "P15", "P20", "P25"}
+    assert by[(0, "max_count")] == 4  # i%7==0 and i%5!=0 → n=2
+    assert by[(0, "obj_class")] == 7  # edges landing on untyped O3
+    assert by[(1, "pattern")] == 3    # i%11==0 → bad name
+    assert (1, "min_count") not in by
+    mins = out[out.constraint == "min_count"]
+    assert mins.obj.isna().all() and (mins.n == 0).all()
+
+
+def test_shapes_bag_semantics_duplicate_triples(ray_session):
+    rows = [
+        {"subj": "P0", "pred": "@type", "obj": "Person"},
+        {"subj": "P0", "pred": "name", "obj": "zzz"},
+        {"subj": "P0", "pred": "name", "obj": "zzz"},  # exact dup
+    ]
+    out = validate_shapes(_kg(rows), [
+        {"target_class": "Person", "pred": "name", "max_count": 1,
+         "pattern": "^name"},
+    ], nb=4).to_pandas()
+    # duplicate triples violate the pattern TWICE and count n=2
+    assert len(out[out.constraint == "pattern"]) == 2
+    card = out[out.constraint == "max_count"]
+    assert len(card) == 1 and card.iloc[0].n == 2
+
+
+def test_shapes_non_targets_ignored(ray_session):
+    rows = [
+        {"subj": "P0", "pred": "@type", "obj": "Person"},
+        {"subj": "P0", "pred": "name", "obj": "name0"},
+        {"subj": "B0", "pred": "@type", "obj": "Bot"},
+        {"subj": "B0", "pred": "name", "obj": "!!!"},  # bot: not checked
+        {"subj": "B1", "pred": "name", "obj": "!!!"},  # untyped: ditto
+    ]
+    out = validate_shapes(_kg(rows), [
+        {"target_class": "Person", "pred": "name", "min_count": 1,
+         "pattern": "^name"},
+    ], nb=4).to_pandas()
+    assert len(out) == 0
+
+
+def test_shapes_obj_kind_constraint(ray_session):
+    rows = [
+        {"subj": "P0", "pred": "@type", "obj": "Person", "kind": "uri"},
+        {"subj": "P0", "pred": "ref", "obj": "http://x", "kind": "uri"},
+        {"subj": "P1", "pred": "@type", "obj": "Person", "kind": "uri"},
+        {"subj": "P1", "pred": "ref", "obj": "plain", "kind": "string"},
+    ]
+    out = validate_shapes(_kg(rows), [
+        {"target_class": "Person", "pred": "ref", "obj_kind": "uri"},
+    ], kind_col="kind", nb=4).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0].subj == "P1" and out.iloc[0].constraint == "obj_kind"
+
+
+def test_shapes_validation_errors(ray_session):
+    ds = _kg([{"subj": "a", "pred": "b", "obj": "c"}])
+    with pytest.raises(ValueError, match="unknown keys"):
+        validate_shapes(ds, [{"target_class": "T", "pred": "p",
+                              "bogus": 1}])
+    with pytest.raises(ValueError, match="required"):
+        validate_shapes(ds, [{"pred": "p"}])
+    with pytest.raises(ValueError, match="kind_col"):
+        validate_shapes(ds, [{"target_class": "T", "pred": "p",
+                              "obj_kind": "uri"}])
+
+
+def test_shapes_empty_inputs(ray_session):
+    ds = _kg([{"subj": "a", "pred": "b", "obj": "c"}])
+    assert validate_shapes(ds, []).count() == 0
+    out = validate_shapes(ds, [
+        {"target_class": "Nope", "pred": "b", "min_count": 1}], nb=4)
+    assert out.count() == 0  # no targets → no violations
+    # targets but ZERO pred triples → every target violates min_count
+    rows = [{"subj": "P0", "pred": "@type", "obj": "Person"},
+            {"subj": "P1", "pred": "@type", "obj": "Person"}]
+    out2 = validate_shapes(_kg(rows), [
+        {"target_class": "Person", "pred": "name", "min_count": 1}],
+        nb=4).to_pandas()
+    assert set(out2.subj) == {"P0", "P1"}
+    assert (out2.constraint == "min_count").all()
+    # obj_class with ZERO typed members → every scoped edge violates
+    rows3 = rows + [{"subj": "P0", "pred": "knows", "obj": "Q0"}]
+    out3 = validate_shapes(_kg(rows3), [
+        {"target_class": "Person", "pred": "knows",
+         "obj_class": "Ghost"}], nb=4).to_pandas()
+    assert len(out3) == 1 and out3.iloc[0].constraint == "obj_class"
+
+
+def _resolve_df(rows, max_hops, nb=8):
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    return (resolve_redirects(ds, max_hops=max_hops, nb=nb)
+            .to_pandas().set_index("src").sort_index())
+
+
+def test_redirects_chain_cycle_dup(ray_session):
+    rows = ([{"src": f"c{i}", "dst": f"c{i + 1}"} for i in range(5)]
+            + [{"src": "x0", "dst": "x1"}, {"src": "x1", "dst": "x0"}]
+            + [{"src": "r1", "dst": "t1"}, {"src": "r1", "dst": "a0"}])
+    df = _resolve_df(rows, max_hops=3)
+    assert df.loc["c4"].final == "c5" and df.loc["c4"].hops == 1
+    assert df.loc["c2"].final == "c5" and df.loc["c2"].hops == 3
+    # c0/c1 need 5/4 hops > 3 → unresolved with null final/hops
+    for s in ("c0", "c1", "x0", "x1"):
+        r = df.loc[s]
+        assert r.status == "unresolved"
+        assert r.final is None or r.final != r.final
+        assert np.isnan(r.hops)
+    assert df.loc["r1"].final == "a0"  # duplicate src → min dst wins
+
+
+def test_redirects_max_hops_exact_boundary(ray_session):
+    rows = [{"src": f"n{i}", "dst": f"n{i + 1}"} for i in range(7)]
+    df = _resolve_df(rows, max_hops=7)
+    assert df.loc["n0"].status == "resolved" and df.loc["n0"].hops == 7
+    df6 = _resolve_df(rows, max_hops=6)
+    assert df6.loc["n0"].status == "unresolved"
+    assert df6.loc["n1"].status == "resolved" and df6.loc["n1"].hops == 6
+
+
+def test_redirects_self_loop_and_empty(ray_session):
+    df = _resolve_df([{"src": "s", "dst": "s"}], max_hops=4)
+    assert df.loc["s"].status == "unresolved"
+    ds = rd.from_arrow(pa.table({"src": pa.array([], pa.string()),
+                                 "dst": pa.array([], pa.string())}))
+    assert resolve_redirects(ds, max_hops=4, nb=4).count() == 0
+
+
+def test_redirects_random_duckdb_parity(ray_session):
+    import duckdb
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        n = 40
+        srcs = rng.choice(n, size=30, replace=False)
+        rows = [{"src": f"v{s}", "dst": f"v{rng.integers(0, n)}"}
+                for s in srcs]
+        max_hops = int(rng.integers(3, 9))
+        got = _resolve_df(rows, max_hops=max_hops).reset_index()
+        con = duckdb.connect()
+        con.register("e0", pa.Table.from_pylist(rows))
+        want = con.sql(f"""
+            WITH RECURSIVE e AS (
+              SELECT src, min(dst) AS dst FROM e0 GROUP BY src),
+            walk(src, cur, hops) AS (
+              SELECT src, dst, 1 FROM e
+              UNION ALL SELECT w.src, e.dst, w.hops + 1 FROM walk w
+                JOIN e ON w.cur = e.src WHERE w.hops < {max_hops + 1}),
+            term AS (SELECT src, cur, hops FROM walk
+              WHERE hops <= {max_hops}
+                AND cur NOT IN (SELECT src FROM e))
+            SELECT e.src, term.cur AS final,
+              CAST(term.hops AS BIGINT) AS hops,
+              CASE WHEN term.src IS NULL THEN 'unresolved'
+                ELSE 'resolved' END AS status
+            FROM e LEFT JOIN term ON e.src = term.src
+            ORDER BY e.src""").df()
+        con.close()
+        got = got.sort_values("src").reset_index(drop=True)
+        want = want.sort_values("src").reset_index(drop=True)
+        assert got.src.tolist() == want.src.tolist()
+        assert got.status.tolist() == want.status.tolist()
+        assert got.final.fillna("∅").tolist() == \
+            want.final.fillna("∅").tolist()
+        assert got.hops.fillna(-1).tolist() == \
+            want.hops.fillna(-1).tolist(), f"trial {trial}"
