@@ -227,7 +227,7 @@ def run_queries() -> dict:
         "script_profile", "property_path", "cdc_reconstruct",
         "fold_dedup_docs",
         # round-4 fifth sitting: KG QA / crawl canonicalization
-        "shacl_validate", "redirect_resolve",
+        "shacl_validate", "redirect_resolve", "url_canonical",
     ]
     out = {}
     for name in names:

@@ -164,3 +164,46 @@ def url_features(batch: pa.Table, url_col: str = "url") -> pa.Table:
     out = out.append_column("domain", registrable_domain(arr, host=host))
     out = out.append_column("path_depth", url_path_depth(arr, host=host))
     return out.append_column("canonical_url", strip_tracking_params(arr))
+
+
+_CANON_RE = (r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.\-]*)://"
+             r"(?P<host>[^/?#:@]*)(?::(?P<port>[0-9]*))?"
+             r"(?P<rest>[/?].*)?$")
+
+
+def canonicalize_url(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
+    """RFC-3986-style URL normalization (graft-added, r04): lowercase
+    the scheme and host, strip the fragment, drop default ports
+    (``:80`` for http, ``:443`` for https) and empty ports (``:``),
+    and give a bare authority a ``/`` path. Path, query and
+    percent-encoding are preserved byte-for-byte (encoding
+    normalization needs per-octet decisions — out of scope).
+
+    Strings that do not match ``scheme://host...`` — including
+    bracketed IPv6 authorities and userinfo@host forms, which the
+    single-host-group regex deliberately skips — pass through with
+    only the fragment stripped. A userinfo-bearing authority is NOT
+    lowercased (userinfo is case-sensitive); IPv6 literals keep their
+    port. All steps are pyarrow.compute kernels; the exact same RE2
+    regex chain is replayable in SQL (see the ``url_canonical``
+    oracle)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    s = pc.replace_substring_regex(arr, r"#.*$", "",
+                                   max_replacements=1)
+    ex = pc.extract_regex(s, _CANON_RE)
+    ok = pc.is_valid(ex)
+    scheme = pc.utf8_lower(pc.struct_field(ex, "scheme"))
+    host = pc.utf8_lower(pc.struct_field(ex, "host"))
+    port = pc.struct_field(ex, "port")
+    rest = pc.struct_field(ex, "rest")
+    default = pc.or_(
+        pc.or_(pc.equal(port, ""),
+               pc.and_(pc.equal(scheme, "http"), pc.equal(port, "80"))),
+        pc.and_(pc.equal(scheme, "https"), pc.equal(port, "443")))
+    port_part = pc.if_else(default, "",
+                           pc.binary_join_element_wise(":", port, ""))
+    rest_part = pc.if_else(pc.equal(rest, ""), "/", rest)
+    canon = pc.binary_join_element_wise(
+        scheme, "://", host, port_part, rest_part, "")
+    return pc.if_else(ok, canon, s)

@@ -6373,3 +6373,72 @@ ORACLES["redirect_resolve"] = (
     "   ELSE 'resolved' END AS status"
     " FROM e LEFT JOIN term ON e.src = term.src"
 )
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization (urls.canonicalize_url) over a synthesized
+    tricky-URL corpus: case-folded scheme/host, fragment strip,
+    default/empty-port drop, bare-authority '/' path, and passthrough
+    forms (non-URLs, userinfo, IPv6). Fully oracled: the SQL twin
+    rebuilds the corpus and replays the SAME RE2 regex chain in
+    DuckDB."""
+    from ..functions.urls import canonicalize_url
+
+    def mk(i: int) -> str:
+        k = i % 5
+        return [
+            f"HTTP://EX{k}.COM:80/path{i}?q={i}#frag{i}",
+            f"https://Sub.Ex{k}.com:443/",
+            f"http://ex{k}.com:8080/p{i}",
+            f"HTTPS://ex{k}.COM",
+            f"http://ex{k}.com:/x{i}",
+            f"not a url {i}",
+            f"ftp://Files.Ex{k}.org/f{i}",
+            f"http://ex{k}.com/P{i}?#tail",
+        ][i % 8]
+
+    urls = pa.table({"url": pa.array([mk(i) for i in range(200)])})
+
+    def fn(b: pa.Table) -> pa.Table:
+        return b.append_column("canon",
+                               canonicalize_url(b.column("url")))
+
+    out = (rd.from_arrow(urls).repartition(4)
+           .map_batches(fn, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values(["url", "canon"]) \
+        .reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["url_canonical"] = q_url_canonical
+
+_URL_CANON_RE = (r"^([A-Za-z][A-Za-z0-9+.\-]*)://"
+                 r"([^/?#:@]*)(?::([0-9]*))?([/?].*)?$")
+
+ORACLES["url_canonical"] = (
+    "WITH u AS (SELECT CASE i % 8"
+    "  WHEN 0 THEN 'HTTP://EX' || (i%5) || '.COM:80/path' || i"
+    "   || '?q=' || i || '#frag' || i"
+    "  WHEN 1 THEN 'https://Sub.Ex' || (i%5) || '.com:443/'"
+    "  WHEN 2 THEN 'http://ex' || (i%5) || '.com:8080/p' || i"
+    "  WHEN 3 THEN 'HTTPS://ex' || (i%5) || '.COM'"
+    "  WHEN 4 THEN 'http://ex' || (i%5) || '.com:/x' || i"
+    "  WHEN 5 THEN 'not a url ' || i"
+    "  WHEN 6 THEN 'ftp://Files.Ex' || (i%5) || '.org/f' || i"
+    "  ELSE 'http://ex' || (i%5) || '.com/P' || i || '?#tail'"
+    "  END AS url FROM generate_series(0, 199) s(i)),"
+    " st AS (SELECT url, regexp_replace(url, '#.*$', '') AS s FROM u),"
+    " ex AS (SELECT url, s,"
+    f"  regexp_matches(s, '{_URL_CANON_RE}') AS ok,"
+    f"  lower(regexp_extract(s, '{_URL_CANON_RE}', 1)) AS scheme,"
+    f"  lower(regexp_extract(s, '{_URL_CANON_RE}', 2)) AS host,"
+    f"  regexp_extract(s, '{_URL_CANON_RE}', 3) AS port,"
+    f"  regexp_extract(s, '{_URL_CANON_RE}', 4) AS rest FROM st)"
+    " SELECT url, CASE WHEN NOT ok THEN s ELSE"
+    "  scheme || '://' || host ||"
+    "  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')"
+    "   OR (scheme = 'https' AND port = '443')"
+    "   THEN '' ELSE ':' || port END ||"
+    "  CASE WHEN rest = '' THEN '/' ELSE rest END"
+    "  END AS canon FROM ex"
+)

@@ -197,3 +197,51 @@ def test_extract_links_anchor_text():
     # capture_text=False keeps the two-column shape
     out2 = extract_links(t)
     assert out2.column_names == ["url", "link"]
+
+
+def test_canonicalize_url_cases():
+    from biosd_feature_annotator_ray.functions.urls import canonicalize_url
+
+    cases = [
+        ("HTTP://EX.COM:80/path?q=1#frag", "http://ex.com/path?q=1"),
+        ("https://Sub.Ex.com:443/", "https://sub.ex.com/"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        ("HTTPS://ex.COM", "https://ex.com/"),
+        ("http://ex.com:/x", "http://ex.com/x"),  # empty port dropped
+        ("not a url", "not a url"),
+        ("ftp://Files.Ex.org/f", "ftp://files.ex.org/f"),
+        ("http://ex.com/P?#", "http://ex.com/P?"),  # empty query kept
+        # passthrough forms: only the fragment is stripped
+        ("http://User@Host.com/x#f", "http://User@Host.com/x"),
+        ("http://[::1]:8080/v#z", "http://[::1]:8080/v"),
+        ("https://ex.com:443", "https://ex.com/"),
+        ("http://ex.com:443/a", "http://ex.com:443/a"),  # not default
+        (None, None),
+    ]
+    got = canonicalize_url(pa.array([c[0] for c in cases])).to_pylist()
+    assert got == [c[1] for c in cases]
+
+
+def test_canonicalize_url_idempotent_and_urllib_agreement():
+    from biosd_feature_annotator_ray.functions.urls import canonicalize_url
+
+    rng_urls = []
+    for i in range(120):
+        scheme = ["http", "HTTP", "https", "HtTpS", "ftp"][i % 5]
+        host = ["Ex.COM", f"sub{i}.Ex.org", f"H{i}.net"][i % 3]
+        port = ["", ":80", ":443", ":8080", ":"][i % 5]
+        rest = ["", "/", f"/p{i}?a=B{i}", f"/A/b{i}#f", f"?x={i}"][i % 5]
+        rng_urls.append(f"{scheme}://{host}{port}{rest}")
+    arr = pa.array(rng_urls)
+    once = canonicalize_url(arr)
+    twice = canonicalize_url(once)
+    assert once.to_pylist() == twice.to_pylist()
+    # scheme/host always agree with urllib on these well-formed URLs
+    for u, c in zip(rng_urls, once.to_pylist()):
+        sp, cp = urlsplit(u), urlsplit(c)
+        assert cp.scheme == sp.scheme.lower()
+        assert cp.hostname == sp.hostname
+        assert cp.fragment == ""
+        default = {"http": 80, "https": 443}.get(sp.scheme.lower())
+        want_port = sp.port if sp.port and sp.port != default else None
+        assert cp.port == want_port
