@@ -6442,3 +6442,126 @@ ORACLES["url_canonical"] = (
     "  CASE WHEN rest = '' THEN '/' ELSE rest END"
     "  END AS canon FROM ex"
 )
+
+
+def q_canonical_crawl_graph(sf_dir: str):
+    """Canonical crawl-graph composition — the full link-normalization
+    recipe a crawler runs before graph construction: extract absolute
+    links, CANONICALIZE each (case/port/fragment), resolve through a
+    redirect table (pointer doubling; unresolved/cyclic redirects keep
+    their canonical URL), then aggregate host→host edge counts. Fully
+    oracled: the SQL twin regenerates pages + redirects, re-extracts
+    links, replays the canonicalization RE2 chain, and walks redirects
+    with a bounded recursive CTE."""
+    from ray.data.aggregate import Count
+
+    from ..functions.urls import canonicalize_url, url_host
+    from ..stages.graph import resolve_redirects
+    from ..stages.join import shuffle_hash_join
+
+    rows = []
+    for i in range(240):
+        rows.append({
+            "url": f"https://site{i % 4}.test/p/{i}",
+            "html": (
+                f'<a href="HTTPS://Site{(i + 1) % 4}.TEST:443/q/'
+                f'{i % 60}#f{i}">n</a>'
+                f'<a href="https://old{i % 3}.test/r/{i % 30}">r</a>'
+                f'<a href="/rel/{i}">rel</a>'),
+        })
+    redirects = []
+    for k in range(3):
+        for j in range(30):
+            redirects.append({"src": f"https://old{k}.test/r/{j}",
+                              "dst": f"https://new{k}.test/page/{j % 10}"})
+    for m in range(10):
+        redirects.append({"src": f"https://new0.test/page/{m}",
+                          "dst": f"https://final0.test/{m}"})
+        redirects.append({"src": f"https://new2.test/page/{m}",
+                          "dst": f"https://old2.test/r/{m}"})  # cycle
+
+    from ..functions.urls import extract_links
+
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    links = pages.map_batches(extract_links, batch_format="pyarrow")
+    canon = links.map_batches(
+        lambda b: pa.table({"url": b.column("url"),
+                            "canon": canonicalize_url(b.column("link"))}),
+        batch_format="pyarrow")
+    mapping = resolve_redirects(
+        rd.from_arrow(pa.Table.from_pylist(redirects)).repartition(2),
+        max_hops=8, nb=8)
+    resolved = mapping.map_batches(
+        lambda b: (lambda f: pa.table(
+            {"canon": f.column("src"), "final": f.column("final")}))(
+            b.filter(pc.equal(b.column("status"), "resolved"))),
+        batch_format="pyarrow")
+    j = shuffle_hash_join(canon, resolved, on=["canon"], how="left",
+                          nb=8)
+    hosts = j.map_batches(
+        lambda b: pa.table({
+            "src_host": url_host(b.column("url")),
+            "dst_host": url_host(pc.coalesce(b.column("final"),
+                                             b.column("canon")))}),
+        batch_format="pyarrow")
+    agg = hosts.groupby(["src_host", "dst_host"]).aggregate(
+        Count(alias_name="n"))
+    df = (agg.to_pandas().sort_values(["src_host", "dst_host"])
+          .reset_index(drop=True))
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["canonical_crawl_graph"] = q_canonical_crawl_graph
+
+ORACLES["canonical_crawl_graph"] = (
+    "WITH RECURSIVE pages AS (SELECT i,"
+    " 'https://site' || (i%4) || '.test/p/' || i AS url,"
+    " '<a href=\"HTTPS://Site' || ((i+1)%4) || '.TEST:443/q/'"
+    " || (i%60) || '#f' || i || '\">n</a>'"
+    " || '<a href=\"https://old' || (i%3) || '.test/r/' || (i%30)"
+    " || '\">r</a><a href=\"/rel/' || i || '\">rel</a>' AS html"
+    " FROM generate_series(0, 239) t(i)),"
+    " links AS (SELECT url, unnest(regexp_extract_all(html,"
+    "  '(?i)<a\\s[^>]*href\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1)) AS link"
+    "  FROM pages),"
+    " abs_links AS (SELECT url, link FROM links"
+    "  WHERE regexp_matches(link, '^[A-Za-z][A-Za-z0-9+.\\-]*://')),"
+    " cx AS (SELECT url, regexp_replace(link, '#.*$', '') AS s"
+    "  FROM abs_links),"
+    " cparts AS (SELECT url, s,"
+    f"  regexp_matches(s, '{_URL_CANON_RE}') AS ok,"
+    f"  lower(regexp_extract(s, '{_URL_CANON_RE}', 1)) AS scheme,"
+    f"  lower(regexp_extract(s, '{_URL_CANON_RE}', 2)) AS host,"
+    f"  regexp_extract(s, '{_URL_CANON_RE}', 3) AS port,"
+    f"  regexp_extract(s, '{_URL_CANON_RE}', 4) AS rest FROM cx),"
+    " canon AS (SELECT url, CASE WHEN NOT ok THEN s ELSE"
+    "  scheme || '://' || host ||"
+    "  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')"
+    "   OR (scheme = 'https' AND port = '443')"
+    "   THEN '' ELSE ':' || port END ||"
+    "  CASE WHEN rest = '' THEN '/' ELSE rest END END AS canon"
+    "  FROM cparts),"
+    " e0 AS ("
+    "  SELECT 'https://old' || k || '.test/r/' || j AS src,"
+    "   'https://new' || k || '.test/page/' || (j%10) AS dst"
+    "   FROM generate_series(0, 2) a(k), generate_series(0, 29) b(j)"
+    "  UNION ALL SELECT 'https://new0.test/page/' || m,"
+    "   'https://final0.test/' || m FROM generate_series(0, 9) c(m)"
+    "  UNION ALL SELECT 'https://new2.test/page/' || m,"
+    "   'https://old2.test/r/' || m FROM generate_series(0, 9) c(m)),"
+    " e AS (SELECT src, min(dst) AS dst FROM e0 GROUP BY src),"
+    " walk(src, cur, hops) AS ("
+    "  SELECT src, dst, 1 FROM e"
+    "  UNION ALL SELECT w.src, e.dst, w.hops + 1 FROM walk w"
+    "   JOIN e ON w.cur = e.src WHERE w.hops < 9),"
+    " term AS (SELECT src, cur FROM walk WHERE hops <= 8"
+    "  AND cur NOT IN (SELECT src FROM e)),"
+    " fin AS (SELECT c.url, coalesce(t.cur, c.canon) AS final"
+    "  FROM canon c LEFT JOIN term t ON c.canon = t.src)"
+    " SELECT lower(regexp_extract(url,"
+    "  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:@]*)', 1)) AS src_host,"
+    " lower(regexp_extract(final,"
+    "  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:@]*)', 1)) AS dst_host,"
+    " CAST(count(*) AS BIGINT) AS n FROM fin GROUP BY 1, 2"
+)
