@@ -228,7 +228,7 @@ def run_queries() -> dict:
         "fold_dedup_docs",
         # round-4 fifth sitting: KG QA / crawl canonicalization
         "shacl_validate", "redirect_resolve", "url_canonical",
-        "canonical_crawl_graph",
+        "canonical_crawl_graph", "clustering_coeff", "kg_snapshot_diff",
     ]
     out = {}
     for name in names:

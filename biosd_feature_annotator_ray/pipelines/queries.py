@@ -6565,3 +6565,94 @@ ORACLES["canonical_crawl_graph"] = (
     "  '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#:@]*)', 1)) AS dst_host,"
     " CAST(count(*) AS BIGINT) AS n FROM fin GROUP BY 1, 2"
 )
+
+
+def q_clustering_coeff(sf_dir: str):
+    """Per-node triangle count + local clustering coefficient
+    (graph.clustering_coefficient) over the derived customer graph.
+    Fully oracled: 3-way self-join triangle enumeration + per-node
+    scatter in SQL."""
+    from ..stages.graph import clustering_coefficient
+
+    out = clustering_coefficient(_derived_customer_edges(sf_dir), nb=16)
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["clustering_coeff"] = q_clustering_coeff
+
+ORACLES["clustering_coeff"] = (
+    "WITH e0 AS ("
+    "  SELECT o_custkey AS u, (o_custkey * 37) % 500 AS v FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 101) % 500 FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 7 + 13) % 500"
+    "   FROM orders),"
+    " e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+    "   FROM e0 WHERE u <> v),"
+    " deg AS (SELECT node, count(*) AS deg FROM"
+    "  (SELECT a AS node FROM e UNION ALL SELECT b FROM e)"
+    "  GROUP BY 1),"
+    " tri3 AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1"
+    "  JOIN e e2 ON e2.a = e1.b"
+    "  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),"
+    " tcnt AS (SELECT node, count(*) AS tri FROM"
+    "  (SELECT x AS node FROM tri3 UNION ALL SELECT y FROM tri3"
+    "   UNION ALL SELECT z FROM tri3) GROUP BY 1)"
+    " SELECT deg.node, CAST(deg.deg AS BIGINT) AS deg,"
+    "  CAST(coalesce(tcnt.tri, 0) AS BIGINT) AS tri,"
+    "  CASE WHEN deg.deg < 2 THEN 0.0 ELSE"
+    "   2.0 * coalesce(tcnt.tri, 0) / (deg.deg * (deg.deg - 1))"
+    "  END AS cc"
+    " FROM deg LEFT JOIN tcnt USING (node)"
+)
+
+
+def q_kg_snapshot_diff(sf_dir: str):
+    """KG snapshot diff — nightly-recrawl change detection: diff two
+    triple snapshots keyed by (subj, pred), with the object as the
+    compared payload: added / removed / changed facts. Composition of
+    the generic CDC table_diff over synthesized snapshots. Fully
+    oracled (FULL OUTER + null-safe compare in SQL)."""
+    from ..stages.join import table_diff
+
+    old_rows, new_rows = [], []
+    for i in range(400):
+        s, p = f"E{i % 80}", f"p{i // 80}"
+        if i % 11 != 0:  # 11-multiples only exist in the NEW snapshot
+            old_rows.append({"subj": s, "pred": p,
+                             "obj": f"v{i % 13}"})
+        if i % 7 != 0:   # 7-multiples removed in the new snapshot
+            new_rows.append(
+                {"subj": s, "pred": p,
+                 "obj": (f"w{i % 13}" if i % 3 == 0 else f"v{i % 13}")})
+    old = rd.from_arrow(pa.Table.from_pylist(old_rows)).repartition(3)
+    new = rd.from_arrow(pa.Table.from_pylist(new_rows)).repartition(3)
+    out = table_diff(old, new, key_cols=["subj", "pred"],
+                     compare_cols=["obj"], nb=8)
+    df = (out.to_pandas().sort_values(["subj", "pred", "change"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["kg_snapshot_diff"] = q_kg_snapshot_diff
+
+ORACLES["kg_snapshot_diff"] = (
+    "WITH gen AS (SELECT i, 'E' || (i % 80) AS subj,"
+    "  'p' || (i // 80) AS pred, 'v' || (i % 13) AS v,"
+    "  CASE WHEN i % 3 = 0 THEN 'w' || (i % 13)"
+    "   ELSE 'v' || (i % 13) END AS w"
+    "  FROM generate_series(0, 399) s(i)),"
+    " old AS (SELECT subj, pred, v AS obj FROM gen"
+    "  WHERE i % 11 <> 0),"
+    " new AS (SELECT subj, pred, w AS obj FROM gen"
+    "  WHERE i % 7 <> 0)"
+    " SELECT coalesce(old.subj, new.subj) AS subj,"
+    "  coalesce(old.pred, new.pred) AS pred,"
+    "  CASE WHEN old.subj IS NULL THEN 'added'"
+    "   WHEN new.subj IS NULL THEN 'removed'"
+    "   ELSE 'changed' END AS change"
+    " FROM old FULL OUTER JOIN new"
+    "  ON old.subj = new.subj AND old.pred = new.pred"
+    " WHERE old.subj IS NULL OR new.subj IS NULL"
+    "  OR old.obj IS DISTINCT FROM new.obj"
+)

@@ -1648,3 +1648,116 @@ def resolve_redirects(
             "status": pc.if_else(bad, "unresolved", "resolved")})
 
     return j.map_batches(_finish, batch_format="pyarrow")
+
+
+def clustering_coefficient(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    nb: int = 64,
+    orient: str = "degree",
+) -> "ray.data.Dataset":
+    """Per-node triangle count and local clustering coefficient
+    ``cc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` (0 when deg < 2) over an
+    undirected simple graph given — like ``triangle_count`` — as
+    DISTINCT edges with ``a < b``. Returns ``(node, deg, tri, cc)``
+    for every node incident to an edge.
+
+    Same join-based node-iterator as ``triangle_count`` (wedge join +
+    closing semi join, ``orient="degree"`` re-orients along the
+    (degree, node) total order so hub wedge volume is O(m^1.5)), but
+    each closed wedge KEEPS its three node ids and scatters +1 to
+    each — per-node totals are orientation-invariant, which the tests
+    assert by running both modes.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"a": t.column(a_col).cast(pa.int64()),
+                            "b": t.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = pa.table({"node": pa.concat_arrays([
+            t.column("a").combine_chunks(),
+            t.column("b").combine_chunks()])})
+        g = both.group_by("node").aggregate([("node", "count")])
+        return pa.table({"node": g.column("node"),
+                         "deg_part": g.column("node_count")
+                         .cast(pa.int64())})
+
+    deg = (e.map_batches(ends, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("deg_part", alias_name="deg"))
+           ).materialize()
+
+    if orient == "degree":
+        w = shuffle_hash_join(
+            e, deg.map_batches(lambda t: t.rename_columns(["a", "deg_a"]),
+                               batch_format="pyarrow"),
+            on=["a"], how="inner", nb=nb)
+        w = shuffle_hash_join(
+            w, deg.map_batches(lambda t: t.rename_columns(["b", "deg_b"]),
+                               batch_format="pyarrow"),
+            on=["b"], how="inner", nb=nb)
+
+        def reorient(t: pa.Table) -> pa.Table:
+            a = t.column("a").to_numpy(zero_copy_only=False)
+            b = t.column("b").to_numpy(zero_copy_only=False)
+            da = t.column("deg_a").to_numpy(zero_copy_only=False)
+            db = t.column("deg_b").to_numpy(zero_copy_only=False)
+            fwd = (da < db) | ((da == db) & (a < b))
+            return pa.table({"a": pa.array(np.where(fwd, a, b), pa.int64()),
+                             "b": pa.array(np.where(fwd, b, a), pa.int64())})
+
+        e = w.map_batches(reorient, batch_format="pyarrow")
+    elif orient != "value":
+        raise ValueError(f"unknown orient={orient!r}")
+    e = e.materialize()
+
+    # wedges (a, mid, b): a→mid, mid→b; close on (a, b) keeping mid
+    wedges = shuffle_hash_join(
+        e.map_batches(lambda t: t.rename_columns(["a", "mid"]),
+                      batch_format="pyarrow"),
+        e.map_batches(lambda t: t.rename_columns(["mid", "b"]),
+                      batch_format="pyarrow"),
+        on=["mid"], how="inner", nb=nb)
+    closed = shuffle_hash_join(wedges, e, on=["a", "b"],
+                               how="semi", nb=nb)
+
+    def scatter(t: pa.Table) -> pa.Table:
+        nodes = pa.table({"node": pa.concat_arrays([
+            t.column("a").combine_chunks(),
+            t.column("mid").combine_chunks(),
+            t.column("b").combine_chunks()])})
+        g = nodes.group_by("node").aggregate([("node", "count")])
+        return pa.table({"node": g.column("node"),
+                         "tri_part": g.column("node_count")
+                         .cast(pa.int64())})
+
+    tri = (closed.map_batches(scatter, batch_format="pyarrow")
+           .groupby("node").aggregate(Sum("tri_part", alias_name="tri"))
+           ).materialize()
+    if tri.count() == 0:  # schema-pinned empty (lazy empties → None)
+        tri = rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "tri": pa.array([], pa.int64())}))
+
+    out = shuffle_hash_join(deg, tri, on=["node"], how="left", nb=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("deg").cast(pa.float64())
+        tr = pc.fill_null(t.column("tri"), 0)
+        cc = pc.if_else(
+            pc.less(t.column("deg"), 2), pa.scalar(0.0),
+            pc.divide(pc.multiply(tr.cast(pa.float64()), 2.0),
+                      pc.multiply(d, pc.subtract(d, 1.0))))
+        return pa.table({"node": t.column("node"),
+                         "deg": t.column("deg").cast(pa.int64()),
+                         "tri": tr.cast(pa.int64()),
+                         "cc": cc})
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -211,3 +211,56 @@ def test_redirects_random_duckdb_parity(ray_session):
             want.final.fillna("∅").tolist()
         assert got.hops.fillna(-1).tolist() == \
             want.hops.fillna(-1).tolist(), f"trial {trial}"
+
+
+def test_clustering_coefficient_known_graphs(ray_session):
+    import itertools
+
+    from biosd_feature_annotator_ray.stages.graph import (
+        clustering_coefficient,
+    )
+
+    ed = (list(itertools.combinations(range(4), 2))  # K4
+          + [(10, 11), (11, 12), (20, 21)])          # path + edge
+    t = pa.table({"a": [e[0] for e in ed], "b": [e[1] for e in ed]})
+    outs = {}
+    for orient in ("degree", "value"):
+        df = (clustering_coefficient(
+            rd.from_arrow(t).repartition(2), nb=8, orient=orient)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+        outs[orient] = df
+        k4 = df[df.node < 4]
+        assert (k4.deg == 3).all() and (k4.tri == 3).all() \
+            and (k4.cc == 1.0).all()
+        assert (df[df.node >= 10].tri == 0).all()
+        assert (df[df.node >= 10].cc == 0.0).all()
+        assert df.set_index("node").loc[11].deg == 2
+    # orientation-invariance
+    assert outs["degree"].equals(outs["value"])
+
+
+def test_clustering_coefficient_random_bruteforce(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import (
+        clustering_coefficient,
+    )
+
+    rng = np.random.default_rng(7)
+    pairs = {(int(a), int(b)) if a < b else (int(b), int(a))
+             for a, b in rng.integers(0, 25, size=(80, 2)) if a != b}
+    ed = sorted(pairs)
+    t = pa.table({"a": [e[0] for e in ed], "b": [e[1] for e in ed]})
+    got = (clustering_coefficient(rd.from_arrow(t).repartition(3), nb=8)
+           .to_pandas().set_index("node").sort_index())
+    adj: dict = {}
+    for a, b in ed:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    for v, nbrs in adj.items():
+        tri = sum(1 for x in nbrs for y in nbrs
+                  if x < y and y in adj.get(x, ()))
+        d = len(nbrs)
+        assert got.loc[v].deg == d
+        assert got.loc[v].tri == tri, f"node {v}"
+        want_cc = 0.0 if d < 2 else 2.0 * tri / (d * (d - 1))
+        assert abs(got.loc[v].cc - want_cc) < 1e-12
+    assert set(got.index) == set(adj)
