@@ -6656,3 +6656,57 @@ ORACLES["kg_snapshot_diff"] = (
     " WHERE old.subj IS NULL OR new.subj IS NULL"
     "  OR old.obj IS DISTINCT FROM new.obj"
 )
+
+
+def q_kcore(sf_dir: str):
+    """k-core decomposition (graph.kcore, k=2) over a synthesized
+    graph of ten 8-cycles each dragging a 3-node tail: the tails peel
+    in exactly three rounds, the cycles survive with degree 2. Fully
+    oracled: the SQL twin unrolls the three peel rounds (plus the
+    fixpoint check) over the regenerated edge list."""
+    from ..stages.graph import kcore
+
+    rows = []
+    for g in range(10):
+        base = 100 * g
+        for j in range(7):
+            rows.append({"a": base + j, "b": base + j + 1})
+        rows.append({"a": base, "b": base + 7})
+        rows.append({"a": base, "b": base + 10})
+        rows.append({"a": base + 10, "b": base + 11})
+        rows.append({"a": base + 11, "b": base + 12})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = kcore(edges, k=2, nb=8)
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["kcore"] = q_kcore
+
+_KCORE_DEG = ("SELECT node, count(*) AS deg FROM (SELECT a AS node"
+              " FROM {e} UNION ALL SELECT b FROM {e}) GROUP BY 1")
+_KCORE_PEEL = ("SELECT a, b FROM {e} WHERE"
+               " a IN (SELECT node FROM {d} WHERE deg >= 2)"
+               " AND b IN (SELECT node FROM {d} WHERE deg >= 2)")
+
+ORACLES["kcore"] = (
+    "WITH e0 AS ("
+    " SELECT 100 * g + j AS a, 100 * g + j + 1 AS b"
+    "  FROM generate_series(0, 9) G(g), generate_series(0, 6) J(j)"
+    " UNION ALL SELECT 100 * g, 100 * g + 7"
+    "  FROM generate_series(0, 9) G(g)"
+    " UNION ALL SELECT 100 * g, 100 * g + 10"
+    "  FROM generate_series(0, 9) G(g)"
+    " UNION ALL SELECT 100 * g + 10, 100 * g + 11"
+    "  FROM generate_series(0, 9) G(g)"
+    " UNION ALL SELECT 100 * g + 11, 100 * g + 12"
+    "  FROM generate_series(0, 9) G(g)),"
+    f" d1 AS ({_KCORE_DEG.format(e='e0')}),"
+    f" e1 AS ({_KCORE_PEEL.format(e='e0', d='d1')}),"
+    f" d2 AS ({_KCORE_DEG.format(e='e1')}),"
+    f" e2 AS ({_KCORE_PEEL.format(e='e1', d='d2')}),"
+    f" d3 AS ({_KCORE_DEG.format(e='e2')}),"
+    f" e3 AS ({_KCORE_PEEL.format(e='e2', d='d3')}),"
+    f" d4 AS ({_KCORE_DEG.format(e='e3')})"
+    " SELECT node, deg FROM d4 WHERE deg >= 2"
+)

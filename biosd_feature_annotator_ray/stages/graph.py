@@ -1761,3 +1761,79 @@ def clustering_coefficient(
                          "cc": cc})
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def kcore(
+    edges,
+    k: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    nb: int = 32,
+    max_rounds: int = 100,
+) -> "ray.data.Dataset":
+    """k-core decomposition — iteratively peel nodes of degree < k
+    from an undirected simple graph (DISTINCT edges, ``a < b``) until
+    a fixpoint; returns the surviving ``(node, deg)`` rows where
+    ``deg`` is the node's degree INSIDE the k-core subgraph. The
+    classic community/spam-farm filter for web link graphs.
+
+    Shape per round: one map-side pre-aggregated degree groupby to
+    find the sub-``k`` nodes, then two semi joins keep only edges
+    whose BOTH endpoints survive — each round is bucketed shuffles,
+    no driver-side node sets. Peeling converges in at most the graph
+    diameter's worth of rounds in practice; ``max_rounds`` bounds the
+    worst case (raises — a non-converged core would be silently
+    wrong).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .join import shuffle_hash_join
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"a": t.column(a_col).cast(pa.int64()),
+                            "b": t.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = pa.table({"node": pa.concat_arrays([
+            t.column("a").combine_chunks(),
+            t.column("b").combine_chunks()])})
+        g = both.group_by("node").aggregate([("node", "count")])
+        return pa.table({"node": g.column("node"),
+                         "deg_part": g.column("node_count")
+                         .cast(pa.int64())})
+
+    empty_deg = pa.table({"node": pa.array([], pa.int64()),
+                          "deg": pa.array([], pa.int64())})
+
+    for _ in range(max_rounds):
+        if e.count() == 0:
+            return rd.from_arrow(empty_deg)
+        deg = (e.map_batches(ends, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("deg_part",
+                                              alias_name="deg"))
+               ).materialize()
+        good = deg.map_batches(
+            lambda t, kk=k: t.filter(
+                pc.greater_equal(t.column("deg"), kk))
+            .select(["node"]),
+            batch_format="pyarrow").materialize()
+        n_bad = deg.count() - good.count()
+        if n_bad == 0:
+            return deg
+        if good.count() == 0:
+            return rd.from_arrow(empty_deg)
+        e = shuffle_hash_join(
+            e, good.map_batches(lambda t: t.rename_columns(["a"]),
+                                batch_format="pyarrow"),
+            on=["a"], how="semi", nb=nb)
+        e = shuffle_hash_join(
+            e, good.map_batches(lambda t: t.rename_columns(["b"]),
+                                batch_format="pyarrow"),
+            on=["b"], how="semi", nb=nb).materialize()
+    raise RuntimeError(
+        f"kcore: no fixpoint within max_rounds={max_rounds}")

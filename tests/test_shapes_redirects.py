@@ -264,3 +264,58 @@ def test_clustering_coefficient_random_bruteforce(ray_session):
         want_cc = 0.0 if d < 2 else 2.0 * tri / (d * (d - 1))
         assert abs(got.loc[v].cc - want_cc) < 1e-12
     assert set(got.index) == set(adj)
+
+
+def _peel_ref(edges, k):
+    """Brute-force k-core reference."""
+    es = set(edges)
+    while True:
+        deg: dict = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        bad = {v for v, d in deg.items() if d < k}
+        if not bad:
+            return deg
+        es = {(a, b) for a, b in es if a not in bad and b not in bad}
+        if not es:
+            return {}
+
+
+def test_kcore_known_and_bruteforce(ray_session):
+    import itertools
+
+    from biosd_feature_annotator_ray.stages.graph import kcore
+
+    # K5 + a 4-node pendant path: k=3 keeps exactly the clique
+    ed = (list(itertools.combinations(range(5), 2))
+          + [(0, 10), (10, 11), (11, 12)])
+    t = pa.table({"a": [e[0] for e in ed], "b": [e[1] for e in ed]})
+    df = (kcore(rd.from_arrow(t).repartition(2), k=3, nb=8)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    assert df.node.tolist() == [0, 1, 2, 3, 4]
+    assert (df.deg == 4).all()
+    # k above the max core → empty
+    assert kcore(rd.from_arrow(t), k=5, nb=4).count() == 0
+
+    rng = np.random.default_rng(11)
+    for k in (2, 3):
+        pairs = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                        for a, b in rng.integers(0, 30, size=(90, 2))
+                        if a != b})
+        tt = pa.table({"a": [e[0] for e in pairs],
+                       "b": [e[1] for e in pairs]})
+        got = (kcore(rd.from_arrow(tt).repartition(3), k=k, nb=8)
+               .to_pandas().set_index("node").deg.to_dict())
+        assert got == _peel_ref(pairs, k), f"k={k}"
+
+
+def test_kcore_validation(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import kcore
+
+    t = pa.table({"a": [1], "b": [2]})
+    with pytest.raises(ValueError, match="k must be"):
+        kcore(rd.from_arrow(t), k=0)
+    # k=1 keeps every edge-incident node as-is (no isolated peel)
+    df = kcore(rd.from_arrow(t), k=1, nb=4).to_pandas()
+    assert sorted(df.node.tolist()) == [1, 2]
