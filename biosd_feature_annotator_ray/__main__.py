@@ -226,6 +226,31 @@ def main(argv: list[str] | None = None) -> int:
                      "scheme:// heuristic)")
     pnt.add_argument("--num-cpus", type=int, default=8)
 
+    pvs = sub.add_parser("validate", help="SHACL-lite shape validation "
+                         "of a triples parquet (QA gate before publish)")
+    pvs.add_argument("--input", required=True,
+                     help="parquet with (subj, pred, obj[, kind])")
+    pvs.add_argument("--shapes", required=True,
+                     help="JSON file: list of shape dicts "
+                     "(target_class, pred, min_count, max_count, "
+                     "obj_class, pattern, obj_kind)")
+    pvs.add_argument("--output", default=None,
+                     help="violations parquet dir (default: summary "
+                     "to stdout only)")
+    pvs.add_argument("--kind-col", default=None)
+    pvs.add_argument("--type-pred", default="@type")
+    pvs.add_argument("--num-cpus", type=int, default=8)
+
+    prd = sub.add_parser("redirects", help="resolve redirect chains "
+                         "(pointer doubling) to a canonical mapping")
+    prd.add_argument("--input", required=True,
+                     help="parquet with (src, dst) redirect edges")
+    prd.add_argument("--output", required=True,
+                     help="mapping parquet dir (src, final, hops, "
+                     "status)")
+    prd.add_argument("--max-hops", type=int, default=32)
+    prd.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -479,6 +504,51 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"rows": int(len(df)),
                               "lines_removed": int(df["n_removed"].sum()),
                               "output": args.output}))
+            return 0
+
+        if args.cmd == "validate":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import (
+                validate_shapes,
+            )
+
+            with open(args.shapes) as f:
+                shapes = json.load(f)
+            out = validate_shapes(rd.read_parquet(args.input), shapes,
+                                  kind_col=args.kind_col,
+                                  type_pred=args.type_pred)
+            if args.output:
+                out = out.materialize()
+                out.write_parquet(args.output)
+            df = out.to_pandas()
+            by = (df.groupby(["shape_id", "constraint"]).size()
+                  .reset_index(name="n"))
+            print(json.dumps({
+                "violations": int(len(df)),
+                "by_constraint": [
+                    {"shape_id": int(r.shape_id),
+                     "constraint": r.constraint, "n": int(r.n)}
+                    for r in by.itertuples()],
+                "output": args.output}))
+            return 0
+
+        if args.cmd == "redirects":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import (
+                resolve_redirects,
+            )
+
+            out = resolve_redirects(rd.read_parquet(args.input),
+                                    max_hops=args.max_hops).materialize()
+            out.write_parquet(args.output)
+            df = out.to_pandas()
+            print(json.dumps({
+                "sources": int(len(df)),
+                "resolved": int((df["status"] == "resolved").sum()),
+                "unresolved": int((df["status"] == "unresolved").sum()),
+                "output": args.output}))
             return 0
 
         if args.cmd == "ntexport":

@@ -319,3 +319,47 @@ def test_kcore_validation(ray_session):
     # k=1 keeps every edge-incident node as-is (no isolated peel)
     df = kcore(rd.from_arrow(t), k=1, nb=4).to_pandas()
     assert sorted(df.node.tolist()) == [1, 2]
+
+
+def test_cli_validate_and_redirects(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    tp = str(tmp_path / "triples.parquet")
+    pd.DataFrame(_person_corpus()).to_parquet(tp)
+    sp = str(tmp_path / "shapes.json")
+    with open(sp, "w") as f:
+        json.dump([{"target_class": "Person", "pred": "worksFor",
+                    "min_count": 1, "max_count": 1,
+                    "obj_class": "Organization"}], f)
+    rp = str(tmp_path / "redirects.parquet")
+    pd.DataFrame([{"src": f"c{i}", "dst": f"c{i + 1}"}
+                  for i in range(5)]).to_parquet(rp)
+
+    def run(*cmd):
+        out = subprocess.run(
+            [sys.executable, "-m", "biosd_feature_annotator_ray", *cmd,
+             "--num-cpus", "2"],
+            capture_output=True, text=True, check=True, cwd="/root/repo")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r = run("validate", "--input", tp, "--shapes", sp,
+            "--output", str(tmp_path / "viol"))
+    assert r["violations"] == 16  # 5 min + 4 max + 7 obj_class
+    cs = {(d["constraint"], d["n"]) for d in r["by_constraint"]}
+    assert cs == {("min_count", 5), ("max_count", 4), ("obj_class", 7)}
+    n = duckdb.sql(f"SELECT count(*) AS n FROM"
+                   f" '{tmp_path}/viol/*.parquet'").df().n[0]
+    assert n == 16
+
+    r = run("redirects", "--input", rp, "--output",
+            str(tmp_path / "map"), "--max-hops", "3")
+    assert r["sources"] == 5
+    assert r["resolved"] == 3 and r["unresolved"] == 2
+    fin = duckdb.sql(f"SELECT final FROM '{tmp_path}/map/*.parquet'"
+                     f" WHERE src = 'c2'").df().final[0]
+    assert fin == "c5"
