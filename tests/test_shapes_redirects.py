@@ -363,3 +363,69 @@ def test_cli_validate_and_redirects(ray_session, tmp_path):
     fin = duckdb.sql(f"SELECT final FROM '{tmp_path}/map/*.parquet'"
                      f" WHERE src = 'c2'").df().final[0]
     assert fin == "c5"
+
+
+def test_shapes_random_duckdb_parity(ray_session):
+    """Randomized SHACL-vs-SQL fuzz: random typed corpora with random
+    cardinality/pattern/membership shapes, compared against a DuckDB
+    twin computed over the SAME registered table."""
+    import duckdb
+
+    rng = np.random.default_rng(99)
+    for trial in range(3):
+        rows = []
+        n_subj = 40
+        for i in range(n_subj):
+            cls = ["Person", "Bot"][int(rng.integers(0, 2))]
+            rows.append({"subj": f"S{i}", "pred": "@type", "obj": cls})
+            for _ in range(int(rng.integers(0, 4))):
+                rows.append({"subj": f"S{i}", "pred": "rel",
+                             "obj": f"T{int(rng.integers(0, 12))}"})
+        for t in range(8):  # T0..T7 typed, T8..T11 not
+            rows.append({"subj": f"T{t}", "pred": "@type",
+                         "obj": "Thing"})
+        lo = int(rng.integers(0, 3))
+        hi = int(rng.integers(1, 4))
+        shape = {"target_class": "Person", "pred": "rel",
+                 "min_count": lo, "max_count": hi,
+                 "obj_class": "Thing", "pattern": "^T[0-5]$"}
+        from biosd_feature_annotator_ray.stages.graph import (
+            validate_shapes,
+        )
+
+        got = (validate_shapes(_kg(rows), [shape], nb=8).to_pandas()
+               .sort_values(["constraint", "subj", "obj"],
+                            na_position="first")
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("t", pa.Table.from_pylist(rows))
+        want = con.sql(f"""
+            WITH targets AS (SELECT DISTINCT subj FROM t
+              WHERE pred = '@type' AND obj = 'Person'),
+            thing AS (SELECT DISTINCT subj FROM t
+              WHERE pred = '@type' AND obj = 'Thing'),
+            pt AS (SELECT subj, obj FROM t WHERE pred = 'rel'),
+            cnt AS (SELECT targets.subj, count(pt.obj) AS n
+              FROM targets LEFT JOIN pt USING (subj) GROUP BY 1)
+            SELECT CAST(0 AS BIGINT) AS shape_id, subj,
+              'min_count' AS "constraint",
+              CAST(NULL AS VARCHAR) AS obj, n FROM cnt WHERE n < {lo}
+            UNION ALL SELECT 0, subj, 'max_count', NULL, n
+              FROM cnt WHERE n > {hi}
+            UNION ALL SELECT 0, pt.subj, 'obj_class', pt.obj,
+              CAST(1 AS BIGINT) FROM pt JOIN targets USING (subj)
+              WHERE pt.obj NOT IN (SELECT subj FROM thing)
+            UNION ALL SELECT 0, pt.subj, 'pattern', pt.obj, 1
+              FROM pt JOIN targets USING (subj)
+              WHERE NOT regexp_matches(pt.obj, '^T[0-5]$')
+            """).df()
+        con.close()
+        want = (want.sort_values(["constraint", "subj", "obj"],
+                                 na_position="first")
+                .reset_index(drop=True))
+        assert len(got) == len(want), f"trial {trial}"
+        assert got.constraint.tolist() == want.constraint.tolist()
+        assert got.subj.tolist() == want.subj.tolist()
+        assert got.obj.fillna("∅").tolist() == \
+            want.obj.fillna("∅").tolist()
+        assert got.n.tolist() == want.n.tolist(), f"trial {trial}"
