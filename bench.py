@@ -229,7 +229,7 @@ def run_queries() -> dict:
         # round-4 fifth sitting: KG QA / crawl canonicalization
         "shacl_validate", "redirect_resolve", "url_canonical",
         "canonical_crawl_graph", "clustering_coeff", "kg_snapshot_diff",
-        "kcore",
+        "kcore", "personalized_pagerank",
     ]
     out = {}
     for name in names:

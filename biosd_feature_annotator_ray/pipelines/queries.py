@@ -6710,3 +6710,58 @@ ORACLES["kcore"] = (
     f" d4 AS ({_KCORE_DEG.format(e='e3')})"
     " SELECT node, deg FROM d4 WHERE deg >= 2"
 )
+
+
+def q_personalized_pagerank(sf_dir: str):
+    """Personalized PageRank (graph.personalized_pagerank) over a
+    synthesized 10-ary DAG with teleport restricted to seeds {1, 2}.
+    Fully oracled: the SQL twin unrolls the 3 power iterations with
+    the seed teleport vector."""
+    from ..stages.graph import personalized_pagerank
+
+    i = np.arange(10, 510, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({"src": pa.array(i // 10),
+                                    "dst": pa.array(i)})).repartition(4)
+    out = personalized_pagerank(edges, seeds=[1, 2], damping=0.85,
+                                iters=3, nb=8)
+    df = out.to_pandas()
+    df["node"] = df["node"].astype("int64")
+    df["rank"] = df["rank"].round(8)
+    return pa.Table.from_pandas(
+        df.sort_values("node").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["personalized_pagerank"] = q_personalized_pagerank
+
+
+def _ppr_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    s = (
+        "WITH e AS (SELECT i // 10 AS src, i AS dst"
+        "   FROM generate_series(10, 509) s(i)),"
+        " deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),"
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        " r0 AS (SELECT node, CASE WHEN node IN (1, 2) THEN 0.5"
+        "   ELSE 0.0 END AS rank FROM nodes)"
+    )
+    for i in range(iters):
+        s += (
+            f", m{i} AS (SELECT e.dst AS node,"
+            f"   sum(r.rank / deg.deg) AS msum"
+            f"   FROM e JOIN r{i} r ON e.src = r.node"
+            f"   JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", em{i} AS (SELECT coalesce(sum(msum), 0) AS emitted"
+            f"   FROM m{i})"
+            f", r{i + 1} AS (SELECT n.node,"
+            f"   coalesce({d} * m.msum, 0)"
+            f"   + CASE WHEN n.node IN (1, 2) THEN"
+            f"      ((1 - {d}) + {d} * (1 - em.emitted)) * 0.5"
+            f"     ELSE 0 END AS rank"
+            f"   FROM nodes n CROSS JOIN em{i} em"
+            f"   LEFT JOIN m{i} m ON m.node = n.node)"
+        )
+    return (s + f" SELECT CAST(node AS BIGINT) AS node,"
+                f" round(rank, 8) AS rank FROM r{iters}")
+
+
+ORACLES["personalized_pagerank"] = _ppr_oracle_sql(iters=3, d=0.85)

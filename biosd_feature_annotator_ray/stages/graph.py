@@ -1837,3 +1837,113 @@ def kcore(
             on=["b"], how="semi", nb=nb).materialize()
     raise RuntimeError(
         f"kcore: no fixpoint within max_rounds={max_rounds}")
+
+
+def personalized_pagerank(
+    edges: "ray.data.Dataset",
+    seeds: list,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Personalized PageRank — relevance of every node TO a seed set
+    (topic-sensitive ranking / related-entity discovery over the KG):
+    ``r ← (1−d)·v + d·(Σ_in r/outdeg + dangling·v)`` with the teleport
+    vector ``v`` uniform over ``seeds`` instead of over all nodes.
+    Ranks sum to 1 every iteration; nodes unreachable from the seeds
+    score 0.
+
+    Same per-iteration shape as ``pagerank`` (ONE shuffle join + one
+    pre-combined groupby sum); the seed set is ontology-sized and
+    rides into the vectorized maps as a broadcast `pa.array` for
+    ``pc.is_in`` membership — no extra join. Seeds missing from the
+    node set would silently leak teleport mass, so they raise.
+    """
+    import ray.data as _rd
+    from ray.data.aggregate import Sum
+
+    from .canonicalize import distinct_counts, set_op
+    from .join import shuffle_hash_join
+
+    if not seeds:
+        raise ValueError("seeds must be non-empty")
+    e = edges.map_batches(
+        lambda t: t.select([src, dst]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow", batch_size=65536).materialize()
+
+    deg = distinct_counts(e.select_columns(["src"]), "src", nb=nb)
+    edges_w = shuffle_hash_join(e, deg, on=["src"], how="inner",
+                                nb=nb).materialize()
+    srcs = e.map_batches(
+        lambda t: t.select(["src"]).rename_columns(["node"]),
+        batch_format="pyarrow")
+    dsts = e.map_batches(
+        lambda t: t.select(["dst"]).rename_columns(["node"]),
+        batch_format="pyarrow")
+    nodes = set_op(srcs, dsts, "node", op="union", nb=nb).materialize()
+    no_in = set_op(nodes, dsts, "node", op="except", nb=nb).materialize()
+
+    seed_vals = sorted(set(seeds))
+    n_seeds = len(seed_vals)
+    seed_arr = pa.array(seed_vals)
+    n_found = nodes.map_batches(
+        lambda t, sa=seed_arr: pa.table({"hit": pa.array(
+            [int(pc.sum(pc.is_in(t.column("node"),
+                                 value_set=sa)).as_py() or 0)],
+            pa.int64())}),
+        batch_format="pyarrow").sum("hit") or 0
+    if n_found != n_seeds:
+        raise ValueError(
+            f"personalized_pagerank: {n_seeds - n_found} seed(s) not "
+            "in the graph's node set — their teleport mass would "
+            "silently vanish")
+
+    tv = 1.0 / n_seeds
+    ranks = nodes.map_batches(
+        lambda t, sa=seed_arr: t.append_column("rank", pc.if_else(
+            pc.is_in(t.column("node"), value_set=sa),
+            pa.scalar(tv), pa.scalar(0.0))),
+        batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        r_src = ranks.map_batches(
+            lambda t: t.rename_columns(["src", "rank"]),
+            batch_format="pyarrow")
+        joined = shuffle_hash_join(edges_w, r_src, on=["src"],
+                                   how="inner", nb=nb)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            w = (batch.column("rank").to_numpy(zero_copy_only=False)
+                 / batch.column("count").to_numpy(zero_copy_only=False))
+            t = pa.table({"dst": batch.column("dst"), "w": pa.array(w)})
+            df = t.to_pandas().groupby("dst", as_index=False)["w"].sum()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        msum = (joined.map_batches(contrib, batch_format="pyarrow",
+                                   batch_size=65536)
+                .groupby("dst").aggregate(Sum("w", alias_name="msum"))
+                ).materialize()
+        emitted = msum.sum("msum") or 0.0
+        boost = ((1.0 - damping)
+                 + damping * (1.0 - emitted)) * tv
+
+        scored = msum.map_batches(
+            lambda t, b=boost, sa=seed_arr, d=damping: pa.table({
+                "node": t.column("dst"),
+                "rank": pc.add(
+                    pc.multiply(t.column("msum").cast(pa.float64()),
+                                pa.scalar(d)),
+                    pc.if_else(pc.is_in(t.column("dst"), value_set=sa),
+                               pa.scalar(b), pa.scalar(0.0)))}),
+            batch_format="pyarrow")
+        floor_rows = no_in.map_batches(
+            lambda t, b=boost, sa=seed_arr: t.append_column(
+                "rank", pc.if_else(
+                    pc.is_in(t.column("node"), value_set=sa),
+                    pa.scalar(b), pa.scalar(0.0))),
+            batch_format="pyarrow")
+        ranks = scored.union(floor_rows).materialize()
+
+    return ranks

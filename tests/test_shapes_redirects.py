@@ -429,3 +429,48 @@ def test_shapes_random_duckdb_parity(ray_session):
         assert got.obj.fillna("∅").tolist() == \
             want.obj.fillna("∅").tolist()
         assert got.n.tolist() == want.n.tolist(), f"trial {trial}"
+
+
+def test_personalized_pagerank_properties(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import (
+        personalized_pagerank,
+    )
+
+    # star: seed 1 → {2,3}, plus disconnected 8→9
+    t = pa.table({"src": [1, 1, 8], "dst": [2, 3, 9]})
+    df = (personalized_pagerank(rd.from_arrow(t), seeds=[1], iters=6,
+                                nb=4)
+          .to_pandas().set_index("node").sort_index())
+    assert abs(df["rank"].sum() - 1.0) < 1e-9  # mass conserved
+    # unreachable-from-seed nodes score 0
+    assert df.loc[8, "rank"] == 0.0 and df.loc[9, "rank"] == 0.0
+    assert df.loc[1, "rank"] > df.loc[2, "rank"] > 0
+    assert df.loc[2, "rank"] == df.loc[3, "rank"]  # symmetry
+
+    # numpy reference parity on a small cyclic graph
+    ed = [(1, 2), (2, 3), (3, 1), (2, 4), (4, 2)]
+    tt = pa.table({"src": [e[0] for e in ed], "dst": [e[1] for e in ed]})
+    got = (personalized_pagerank(rd.from_arrow(tt).repartition(2),
+                                 seeds=[2], damping=0.85, iters=5, nb=4)
+           .to_pandas().set_index("node").sort_index())
+    nodes = [1, 2, 3, 4]
+    idx = {v: i for i, v in enumerate(nodes)}
+    out = {v: [] for v in nodes}
+    for a, b in ed:
+        out[a].append(b)
+    v = np.array([0.0, 1.0, 0.0, 0.0])
+    r = v.copy()
+    for _ in range(5):
+        nxt = np.zeros(4)
+        for a, succ in out.items():
+            for b in succ:
+                nxt[idx[b]] += r[idx[a]] / len(succ)
+        emitted = nxt.sum()
+        r = 0.85 * nxt + ((1 - 0.85) + 0.85 * (1 - emitted)) * v
+    for n in nodes:
+        assert abs(got.loc[n, "rank"] - r[idx[n]]) < 1e-9, n
+
+    with pytest.raises(ValueError, match="not in the graph"):
+        personalized_pagerank(rd.from_arrow(tt), seeds=[99], iters=1)
+    with pytest.raises(ValueError, match="non-empty"):
+        personalized_pagerank(rd.from_arrow(tt), seeds=[])
