@@ -136,6 +136,35 @@ def distinct_counts(ds: "ray.data.Dataset", col: str, nb: int = 64) -> "ray.data
     )
 
 
+def sum_by_key(ds: "ray.data.Dataset", key: str, col: str,
+               nb: int = 64,
+               out_col: "str | None" = None) -> "ray.data.Dataset":
+    """Exact per-key sums of ``col`` via the bucket plan (map-side
+    partial Arrow group_by → 16-ish-int bucket shuffle → per-bucket
+    Arrow group_by). Ray's sort-based ``groupby(key).aggregate(Sum)``
+    pays seconds of fixed overhead per call regardless of size
+    (measured ~4 s on 150k rows); this is the per-iteration
+    aggregation primitive for the iterative graph operators, costing
+    one cheap bucket sort instead. Null keys form their own group
+    (Arrow group_by semantics), matching SQL GROUP BY."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        g = (batch.select([key, col])
+             .group_by(key).aggregate([(col, "sum")]))
+        t = pa.table({key: g.column(key), col: g.column(f"{col}_sum")})
+        return _add_bucket(t, [key], nb)
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = (group.select([key, col])
+             .group_by(key).aggregate([(col, "sum")]))
+        return pa.table({key: g.column(key),
+                         (out_col or col): g.column(f"{col}_sum")})
+
+    return (ds.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
 def groupby_argmax(
     ds: "ray.data.Dataset",
     key_cols: list[str],

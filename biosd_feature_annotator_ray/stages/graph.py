@@ -176,9 +176,8 @@ def pagerank(
     to 1 every iteration.
     """
     import ray.data as _rd
-    from ray.data.aggregate import Sum
 
-    from .canonicalize import distinct_counts, set_op
+    from .canonicalize import distinct_counts, set_op, sum_by_key
     from .join import shuffle_hash_join
 
     e = edges.map_batches(
@@ -237,8 +236,10 @@ def pagerank(
             df = t.to_pandas().groupby("dst", as_index=False)["w"].sum()
             return pa.Table.from_pandas(df, preserve_index=False)
 
-        msum = (joined.map_batches(contrib, batch_format="pyarrow", batch_size=65536)
-                .groupby("dst").aggregate(Sum("w", alias_name="msum")).materialize())
+        msum = sum_by_key(
+            joined.map_batches(contrib, batch_format="pyarrow",
+                               batch_size=65536),
+            "dst", "w", nb=nb, out_col="msum").materialize()
         emitted = msum.sum("msum") or 0.0
         base = (1.0 - damping) / n_nodes + damping * (1.0 - emitted) / n_nodes
 
@@ -734,9 +735,8 @@ def triangle_count(
     total order — parity between the two modes is the self-test.
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    from .canonicalize import dedup_exact
+    from .canonicalize import dedup_exact, sum_by_key
     from .join import shuffle_hash_join
 
     edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
@@ -755,8 +755,8 @@ def triangle_count(
             return pa.table({"node": pa.array(part["node"], pa.int64()),
                              "deg_part": pa.array(part["size"], pa.int64())})
 
-        deg = (e.map_batches(ends, batch_format="pyarrow")
-               .groupby("node").aggregate(Sum("deg_part", alias_name="deg")))
+        deg = sum_by_key(e.map_batches(ends, batch_format="pyarrow"),
+                         "node", "deg_part", nb=nb, out_col="deg")
         # re-orient: src = lower (deg, node), dst = higher
         w = shuffle_hash_join(
             e, deg.map_batches(lambda t: t.rename_columns(["a", "deg_a"]),
@@ -1036,14 +1036,18 @@ def hits(
     The SQL twin unrolls the same recurrence as CTEs.
     """
     import ray.data as _rd
-    from ray.data.aggregate import Sum
 
-    from .canonicalize import set_op
+    from .canonicalize import set_op, sum_by_key
     from .join import shuffle_hash_join
 
+    # Block count drives every downstream sort/groupby's parallelism:
+    # a single-file read arrives as ONE block, which would serialize
+    # each half-step's shuffle (measured 7× slower at sf0.1) — spread
+    # the edge set across nb blocks once, up front.
     e = edges.map_batches(
         lambda t: t.select([src, dst]).rename_columns(["src", "dst"]),
-        batch_format="pyarrow", batch_size=65536).materialize()
+        batch_format="pyarrow", batch_size=65536) \
+        .repartition(nb).materialize()
     srcs = e.map_batches(lambda t: t.select(["src"]).rename_columns(["node"]),
                          batch_format="pyarrow")
     dsts = e.map_batches(lambda t: t.select(["dst"]).rename_columns(["node"]),
@@ -1077,12 +1081,15 @@ def hits(
                     col_in: pc.multiply(t.column(1), pa.scalar(s))}),
                 batch_format="pyarrow"),
             on=[key_in], how="inner", nb=nb)
-        agg = (j.map_batches(
-            lambda t: pa.table({key_out: t.column(key_out),
-                                col_out: t.column(col_in)}),
-            batch_format="pyarrow")
-            .groupby(key_out).aggregate(Sum(col_out,
-                                            alias_name=col_out)))
+        # bucket-plan sum (canonicalize.sum_by_key): Ray's sort-based
+        # groupby().aggregate(Sum) costs ~4 s of fixed overhead per
+        # call — ×4 half-steps it dominated the whole operator
+        agg = sum_by_key(
+            j.map_batches(
+                lambda t: pa.table({key_out: t.column(key_out),
+                                    col_out: t.column(col_in)}),
+                batch_format="pyarrow"),
+            key_out, col_out, nb=nb)
         agg = agg.materialize()
         total = agg.sum(col_out) or 0.0
         return agg, (1.0 / total if total > 0 else 1.0)
@@ -1401,9 +1408,8 @@ def validate_shapes(
     more than the shape's own predicate slice.
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
-    from .canonicalize import dedup_exact
+    from .canonicalize import dedup_exact, sum_by_key
     from .join import shuffle_hash_join
 
     _V_SCHEMA = pa.schema([
@@ -1479,9 +1485,9 @@ def validate_shapes(
                              "n": g.column(f"{s_col}_count")
                              .cast(pa.int64())})
 
-        counts = (pt.map_batches(_partial, batch_format="pyarrow")
-                  .groupby("subj").aggregate(Sum("n", alias_name="n"))
-                  .materialize())
+        counts = sum_by_key(
+            pt.map_batches(_partial, batch_format="pyarrow"),
+            "subj", "n", nb=nb).materialize()
         if counts.count() == 0:
             counts = rd.from_arrow(pa.table(
                 {"subj": pa.array([], pa.string()),
@@ -1671,8 +1677,8 @@ def clustering_coefficient(
     assert by running both modes.
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
+    from .canonicalize import sum_by_key
     from .join import shuffle_hash_join
 
     edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
@@ -1690,9 +1696,9 @@ def clustering_coefficient(
                          "deg_part": g.column("node_count")
                          .cast(pa.int64())})
 
-    deg = (e.map_batches(ends, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("deg_part", alias_name="deg"))
-           ).materialize()
+    deg = sum_by_key(e.map_batches(ends, batch_format="pyarrow"),
+                     "node", "deg_part", nb=nb,
+                     out_col="deg").materialize()
 
     if orient == "degree":
         w = shuffle_hash_join(
@@ -1738,9 +1744,10 @@ def clustering_coefficient(
                          "tri_part": g.column("node_count")
                          .cast(pa.int64())})
 
-    tri = (closed.map_batches(scatter, batch_format="pyarrow")
-           .groupby("node").aggregate(Sum("tri_part", alias_name="tri"))
-           ).materialize()
+    tri = sum_by_key(closed.map_batches(scatter,
+                                        batch_format="pyarrow"),
+                     "node", "tri_part", nb=nb,
+                     out_col="tri").materialize()
     if tri.count() == 0:  # schema-pinned empty (lazy empties → None)
         tri = rd.from_arrow(pa.table(
             {"node": pa.array([], pa.int64()),
@@ -1786,8 +1793,8 @@ def kcore(
     wrong).
     """
     import ray.data as rd
-    from ray.data.aggregate import Sum
 
+    from .canonicalize import sum_by_key
     from .join import shuffle_hash_join
 
     if k < 1:
@@ -1813,10 +1820,9 @@ def kcore(
     for _ in range(max_rounds):
         if e.count() == 0:
             return rd.from_arrow(empty_deg)
-        deg = (e.map_batches(ends, batch_format="pyarrow")
-               .groupby("node").aggregate(Sum("deg_part",
-                                              alias_name="deg"))
-               ).materialize()
+        deg = sum_by_key(e.map_batches(ends, batch_format="pyarrow"),
+                         "node", "deg_part", nb=nb,
+                         out_col="deg").materialize()
         good = deg.map_batches(
             lambda t, kk=k: t.filter(
                 pc.greater_equal(t.column("deg"), kk))
@@ -1862,9 +1868,8 @@ def personalized_pagerank(
     node set would silently leak teleport mass, so they raise.
     """
     import ray.data as _rd
-    from ray.data.aggregate import Sum
 
-    from .canonicalize import distinct_counts, set_op
+    from .canonicalize import distinct_counts, set_op, sum_by_key
     from .join import shuffle_hash_join
 
     if not seeds:
@@ -1921,10 +1926,10 @@ def personalized_pagerank(
             df = t.to_pandas().groupby("dst", as_index=False)["w"].sum()
             return pa.Table.from_pandas(df, preserve_index=False)
 
-        msum = (joined.map_batches(contrib, batch_format="pyarrow",
-                                   batch_size=65536)
-                .groupby("dst").aggregate(Sum("w", alias_name="msum"))
-                ).materialize()
+        msum = sum_by_key(
+            joined.map_batches(contrib, batch_format="pyarrow",
+                               batch_size=65536),
+            "dst", "w", nb=nb, out_col="msum").materialize()
         emitted = msum.sum("msum") or 0.0
         boost = ((1.0 - damping)
                  + damping * (1.0 - emitted)) * tv
