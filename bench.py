@@ -229,7 +229,7 @@ def run_queries() -> dict:
         # round-4 fifth sitting: KG QA / crawl canonicalization
         "shacl_validate", "redirect_resolve", "url_canonical",
         "canonical_crawl_graph", "clustering_coeff", "kg_snapshot_diff",
-        "kcore", "personalized_pagerank",
+        "kcore", "personalized_pagerank", "node_similarity",
     ]
     out = {}
     for name in names:

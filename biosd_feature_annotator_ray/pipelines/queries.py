@@ -6765,3 +6765,45 @@ def _ppr_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
 
 
 ORACLES["personalized_pagerank"] = _ppr_oracle_sql(iters=3, d=0.85)
+
+
+def q_node_similarity(sf_dir: str):
+    """Structural link-prediction scores (graph.node_similarity):
+    common neighbors / Jaccard / Adamic–Adar per 2-hop pair of the
+    derived customer graph, min_common=2. Fully oracled (SQL wedge
+    self-join + degree joins)."""
+    from ..stages.graph import node_similarity
+
+    out = node_similarity(_derived_customer_edges(sf_dir),
+                          min_common=2, nb=16)
+    df = (out.to_pandas().sort_values(["a", "b"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["node_similarity"] = q_node_similarity
+
+ORACLES["node_similarity"] = (
+    "WITH e0 AS ("
+    "  SELECT o_custkey AS u, (o_custkey * 37) % 500 AS v FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 101) % 500 FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 7 + 13) % 500"
+    "   FROM orders),"
+    " e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+    "   FROM e0 WHERE u <> v),"
+    " und AS (SELECT a AS mid, b AS n FROM e"
+    "  UNION ALL SELECT b, a FROM e),"
+    " deg AS (SELECT mid AS node, count(*) AS deg FROM und"
+    "  GROUP BY 1),"
+    " pairs AS (SELECT x.n AS a, y.n AS b,"
+    "   count(*) AS common, sum(1.0 / ln(d.deg)) AS aa"
+    "   FROM und x JOIN und y ON x.mid = y.mid AND x.n < y.n"
+    "   JOIN deg d ON d.node = x.mid GROUP BY 1, 2)"
+    " SELECT p.a, p.b, CAST(p.common AS BIGINT) AS common,"
+    "  round(CAST(p.common AS DOUBLE)"
+    "   / (da.deg + db.deg - p.common), 6) AS jaccard,"
+    "  round(p.aa, 6) AS adamic_adar"
+    " FROM pairs p JOIN deg da ON da.node = p.a"
+    "  JOIN deg db ON db.node = p.b"
+    " WHERE p.common >= 2"
+)

@@ -136,8 +136,8 @@ def distinct_counts(ds: "ray.data.Dataset", col: str, nb: int = 64) -> "ray.data
     )
 
 
-def sum_by_key(ds: "ray.data.Dataset", key: str, col: str,
-               nb: int = 64,
+def sum_by_key(ds: "ray.data.Dataset", key: "str | list[str]",
+               col: str, nb: int = 64,
                out_col: "str | None" = None) -> "ray.data.Dataset":
     """Exact per-key sums of ``col`` via the bucket plan (map-side
     partial Arrow group_by → 16-ish-int bucket shuffle → per-bucket
@@ -145,20 +145,23 @@ def sum_by_key(ds: "ray.data.Dataset", key: str, col: str,
     pays seconds of fixed overhead per call regardless of size
     (measured ~4 s on 150k rows); this is the per-iteration
     aggregation primitive for the iterative graph operators, costing
-    one cheap bucket sort instead. Null keys form their own group
-    (Arrow group_by semantics), matching SQL GROUP BY."""
+    one cheap bucket sort instead. ``key`` may be a single column or a
+    composite-key list. Null keys form their own group (Arrow group_by
+    semantics), matching SQL GROUP BY."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _sum(t: pa.Table, name: str) -> pa.Table:
+        g = (t.select(keys + [col])
+             .group_by(keys).aggregate([(col, "sum")]))
+        cols = {k: g.column(k) for k in keys}
+        cols[name] = g.column(f"{col}_sum")
+        return pa.table(cols)
 
     def local(batch: pa.Table) -> pa.Table:
-        g = (batch.select([key, col])
-             .group_by(key).aggregate([(col, "sum")]))
-        t = pa.table({key: g.column(key), col: g.column(f"{col}_sum")})
-        return _add_bucket(t, [key], nb)
+        return _add_bucket(_sum(batch, col), keys, nb)
 
     def finish(group: pa.Table) -> pa.Table:
-        g = (group.select([key, col])
-             .group_by(key).aggregate([(col, "sum")]))
-        return pa.table({key: g.column(key),
-                         (out_col or col): g.column(f"{col}_sum")})
+        return _sum(group, out_col or col)
 
     return (ds.map_batches(local, batch_format="pyarrow",
                            batch_size=65536)

@@ -1952,3 +1952,130 @@ def personalized_pagerank(
         ranks = scored.union(floor_rows).materialize()
 
     return ranks
+
+
+def node_similarity(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    min_common: int = 1,
+    max_degree: "int | None" = None,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Structural link-prediction scores over an undirected simple
+    graph (DISTINCT edges, ``a < b``): for every 2-hop node pair emit
+    common-neighbor count, Jaccard ``|N∩| / |N∪|``, and Adamic–Adar
+    ``Σ_mid 1/ln(deg(mid))`` — the classic "which entities should be
+    linked/merged" signals for KG completion and ER blocking.
+
+    Shape: one bucket shuffle co-locates each MID node's neighbor
+    list; pairs expand with a per-bucket vectorized self-merge
+    (volume Σ deg(mid)² — pass ``max_degree`` to SKIP super-hub mids,
+    the standard link-prediction cut, reported via the returned
+    dataset's companion count if needed); pair scores combine via the
+    bucketed composite-key ``sum_by_key``; degrees join back for the
+    Jaccard denominator. ``min_common`` prunes the long tail before
+    the pair shuffle leaves the bucket stage.
+    """
+    import ray.data as rd
+
+    from .canonicalize import _B, _add_bucket, sum_by_key
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"a": t.column(a_col).cast(pa.int64()),
+                            "b": t.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    und = e.map_batches(
+        lambda t: pa.table({
+            "mid": pa.concat_arrays([t.column("a").combine_chunks(),
+                                     t.column("b").combine_chunks()]),
+            "n": pa.concat_arrays([t.column("b").combine_chunks(),
+                                   t.column("a").combine_chunks()])}),
+        batch_format="pyarrow")
+    und = und.map_batches(
+        lambda t: t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow")
+    deg = sum_by_key(und.map_batches(
+        lambda t: pa.table({"mid": t.column("mid"),
+                            "one": t.column("one")}),
+        batch_format="pyarrow"), "mid", "one", nb=nb,
+        out_col="deg").materialize()
+
+    und_w = shuffle_hash_join(
+        und.map_batches(lambda t: t.select(["mid", "n"]),
+                        batch_format="pyarrow"),
+        deg, on=["mid"], how="inner", nb=nb)
+    if max_degree is not None:
+        und_w = und_w.map_batches(
+            lambda t, md=int(max_degree): t.filter(
+                pc.less_equal(t.column("deg"), md)),
+            batch_format="pyarrow")
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return _add_bucket(t, ["mid"], nb)
+
+    def expand(g: pa.Table) -> pa.Table:
+        import pandas as pd
+        if g.num_rows == 0:
+            return pa.table({"pa_": pa.array([], pa.int64()),
+                             "pb_": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "aa": pa.array([], pa.float64())})
+        df = g.select(["mid", "n", "deg"]).to_pandas()
+        m = df.merge(df[["mid", "n"]], on="mid")
+        m = m[m["n_x"] < m["n_y"]]
+        m["aa_w"] = 1.0 / np.log(m["deg"].to_numpy())
+        out = (m.groupby(["n_x", "n_y"], as_index=False)
+               .agg(c=("mid", "size"), aa=("aa_w", "sum")))
+        return pa.table({"pa_": pa.array(out["n_x"], pa.int64()),
+                         "pb_": pa.array(out["n_y"], pa.int64()),
+                         "c": pa.array(out["c"], pa.int64()),
+                         "aa": pa.array(out["aa"], pa.float64())})
+
+    pairs = (und_w.map_batches(bucketize, batch_format="pyarrow")
+             .groupby(_B).map_groups(expand, batch_format="pyarrow"))
+    pairs = pairs.materialize()
+    if pairs.count() == 0:  # e.g. max_degree filtered every mid
+        return rd.from_arrow(pa.table({
+            "a": pa.array([], pa.int64()),
+            "b": pa.array([], pa.int64()),
+            "common": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+            "adamic_adar": pa.array([], pa.float64())}))
+    csum = sum_by_key(pairs.map_batches(
+        lambda t: t.select(["pa_", "pb_", "c"]),
+        batch_format="pyarrow"), ["pa_", "pb_"], "c", nb=nb)
+    asum = sum_by_key(pairs.map_batches(
+        lambda t: t.select(["pa_", "pb_", "aa"]),
+        batch_format="pyarrow"), ["pa_", "pb_"], "aa", nb=nb)
+    both = shuffle_hash_join(csum, asum, on=["pa_", "pb_"],
+                             how="inner", nb=nb)
+    both = both.map_batches(
+        lambda t, mc=int(min_common): t.filter(
+            pc.greater_equal(t.column("c"), mc)),
+        batch_format="pyarrow")
+
+    j = shuffle_hash_join(
+        both, deg.map_batches(lambda t: t.rename_columns(
+            ["pa_", "deg_a"]), batch_format="pyarrow"),
+        on=["pa_"], how="inner", nb=nb)
+    j = shuffle_hash_join(
+        j, deg.map_batches(lambda t: t.rename_columns(
+            ["pb_", "deg_b"]), batch_format="pyarrow"),
+        on=["pb_"], how="inner", nb=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        c = t.column("c").cast(pa.float64())
+        da = t.column("deg_a").cast(pa.float64())
+        db = t.column("deg_b").cast(pa.float64())
+        jac = pc.divide(c, pc.subtract(pc.add(da, db), c))
+        return pa.table({
+            "a": t.column("pa_"), "b": t.column("pb_"),
+            "common": t.column("c").cast(pa.int64()),
+            "jaccard": pc.round(jac, 6),
+            "adamic_adar": pc.round(t.column("aa"), 6)})
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -474,3 +474,60 @@ def test_personalized_pagerank_properties(ray_session):
         personalized_pagerank(rd.from_arrow(tt), seeds=[99], iters=1)
     with pytest.raises(ValueError, match="non-empty"):
         personalized_pagerank(rd.from_arrow(tt), seeds=[])
+
+
+def test_node_similarity_known_and_hub_cut(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import node_similarity
+
+    # C4 cycle + separate triangle
+    ed = [(1, 2), (2, 3), (3, 4), (1, 4), (5, 6), (6, 7), (5, 7)]
+    t = pa.table({"a": [e[0] for e in ed], "b": [e[1] for e in ed]})
+    df = (node_similarity(rd.from_arrow(t).repartition(2), nb=8)
+          .to_pandas().set_index(["a", "b"]).sort_index())
+    assert df.loc[(1, 3)].common == 2
+    assert df.loc[(1, 3)].jaccard == 1.0
+    assert abs(df.loc[(1, 3)].adamic_adar - 2 / np.log(2)) < 1e-6
+    assert df.loc[(5, 6)].common == 1
+    assert abs(df.loc[(5, 6)].jaccard - 1 / 3) < 1e-6
+    assert len(df) == 5  # adjacent C4 pairs share no neighbor
+    # min_common prunes
+    assert (node_similarity(rd.from_arrow(t), min_common=2, nb=4)
+            .count() == 2)
+    # max_degree skips hub mids: star center 10 with leaves 20..23
+    star = [(10, 20), (10, 21), (10, 22), (10, 23)]
+    ts = pa.table({"a": [e[0] for e in star],
+                   "b": [e[1] for e in star]})
+    assert node_similarity(rd.from_arrow(ts), nb=4).count() == 6
+    assert (node_similarity(rd.from_arrow(ts), max_degree=3, nb=4)
+            .count() == 0)
+
+
+def test_node_similarity_bruteforce(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import node_similarity
+
+    rng = np.random.default_rng(5)
+    pairs = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                    for a, b in rng.integers(0, 20, size=(50, 2))
+                    if a != b})
+    t = pa.table({"a": [e[0] for e in pairs],
+                  "b": [e[1] for e in pairs]})
+    got = (node_similarity(rd.from_arrow(t).repartition(3), nb=8)
+           .to_pandas().set_index(["a", "b"]).sort_index())
+    adj: dict = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for u in adj:
+        for v in adj:
+            if u < v:
+                com = adj[u] & adj[v]
+                if com:
+                    aa = sum(1 / np.log(len(adj[m])) for m in com)
+                    want[(u, v)] = (len(com),
+                                    len(com) / len(adj[u] | adj[v]), aa)
+    assert set(got.index) == set(want)
+    for k, (c, jac, aa) in want.items():
+        assert got.loc[k].common == c
+        assert abs(got.loc[k].jaccard - jac) < 1e-6
+        assert abs(got.loc[k].adamic_adar - aa) < 1e-6
