@@ -6807,3 +6807,33 @@ ORACLES["node_similarity"] = (
     "  JOIN deg db ON db.node = p.b"
     " WHERE p.common >= 2"
 )
+
+
+def q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the derived customer graph
+    (graph.degree_assortativity). Oracled by DuckDB corr() over both
+    orientations of the degree-joined edge list."""
+    from ..stages.graph import degree_assortativity
+
+    r = degree_assortativity(_derived_customer_edges(sf_dir), nb=16)
+    return pa.table({"assortativity": pa.array([round(r, 6)],
+                                               pa.float64())})
+
+
+QUERIES["degree_assortativity"] = q_degree_assortativity
+
+ORACLES["degree_assortativity"] = (
+    "WITH e0 AS ("
+    "  SELECT o_custkey AS u, (o_custkey * 37) % 500 AS v FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 101) % 500 FROM orders"
+    "  UNION ALL SELECT o_custkey, (o_custkey * 7 + 13) % 500"
+    "   FROM orders),"
+    " e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b"
+    "   FROM e0 WHERE u <> v),"
+    " und AS (SELECT a AS u, b AS v FROM e UNION ALL SELECT b, a FROM e),"
+    " deg AS (SELECT u AS node, count(*) AS deg FROM und GROUP BY 1)"
+    " SELECT round(corr(CAST(da.deg AS DOUBLE),"
+    "  CAST(db.deg AS DOUBLE)), 6) AS assortativity"
+    " FROM und JOIN deg da ON da.node = und.u"
+    " JOIN deg db ON db.node = und.v"
+)

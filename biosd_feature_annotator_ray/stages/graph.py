@@ -2079,3 +2079,73 @@ def node_similarity(
             "adamic_adar": pc.round(t.column("aa"), 6)})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def degree_assortativity(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    nb: int = 32,
+) -> float:
+    """Degree assortativity coefficient of an undirected simple graph
+    (DISTINCT edges, ``a < b``): the Pearson correlation of endpoint
+    degrees over both orientations of every edge. Positive →
+    hubs link to hubs (social-graph shape); negative → hub-and-spoke
+    (the typical web/link-farm shape) — a one-number skew fingerprint
+    used to pick salting/partitioning strategies.
+
+    One bucketed degree census (``sum_by_key``), two bucketed joins to
+    attach endpoint degrees, then a single sufficient-statistics pass
+    (n, Σx, Σy, Σxy, Σx², Σy² per batch → tiny driver reduce). NaN
+    for degenerate graphs (all degrees equal)."""
+    import ray.data as rd
+
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"a": t.column(a_col).cast(pa.int64()),
+                            "b": t.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    und = e.map_batches(
+        lambda t: pa.table({
+            "u": pa.concat_arrays([t.column("a").combine_chunks(),
+                                   t.column("b").combine_chunks()]),
+            "v": pa.concat_arrays([t.column("b").combine_chunks(),
+                                   t.column("a").combine_chunks()]),
+            "one": pa.array(np.ones(2 * t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    deg = sum_by_key(und.map_batches(
+        lambda t: t.select(["u", "one"]), batch_format="pyarrow"),
+        "u", "one", nb=nb, out_col="deg").materialize()
+    j = shuffle_hash_join(
+        und.map_batches(lambda t: t.select(["u", "v"]),
+                        batch_format="pyarrow"),
+        deg, on=["u"], how="inner", nb=nb)
+    j = shuffle_hash_join(
+        j, deg.map_batches(lambda t: t.rename_columns(["v", "deg_v"]),
+                           batch_format="pyarrow"),
+        on=["v"], how="inner", nb=nb)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("deg").to_numpy(zero_copy_only=False).astype(float)
+        y = t.column("deg_v").to_numpy(zero_copy_only=False) \
+            .astype(float)
+        return pa.table({
+            "n": pa.array([float(len(x))]), "sx": pa.array([x.sum()]),
+            "sy": pa.array([y.sum()]), "sxx": pa.array([(x * x).sum()]),
+            "syy": pa.array([(y * y).sum()]),
+            "sxy": pa.array([(x * y).sum()])})
+
+    p = j.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n, sx, sy = p["n"].sum(), p["sx"].sum(), p["sy"].sum()
+    sxx, syy, sxy = p["sxx"].sum(), p["syy"].sum(), p["sxy"].sum()
+    if n == 0:
+        return float("nan")
+    cov = sxy - sx * sy / n
+    vx = sxx - sx * sx / n
+    vy = syy - sy * sy / n
+    if vx <= 0 or vy <= 0:
+        return float("nan")
+    return float(cov / np.sqrt(vx * vy))

@@ -531,3 +531,33 @@ def test_node_similarity_bruteforce(ray_session):
         assert got.loc[k].common == c
         assert abs(got.loc[k].jaccard - jac) < 1e-6
         assert abs(got.loc[k].adamic_adar - aa) < 1e-6
+
+
+def test_degree_assortativity_known(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import (
+        degree_assortativity,
+    )
+
+    # star graph: perfectly disassortative → r = -1
+    star = pa.table({"a": [0, 0, 0, 0], "b": [1, 2, 3, 4]})
+    r = degree_assortativity(rd.from_arrow(star), nb=4)
+    assert abs(r - (-1.0)) < 1e-9
+    # regular graph (C4 cycle): all degrees equal → NaN (zero variance)
+    c4 = pa.table({"a": [1, 2, 3, 1], "b": [2, 3, 4, 4]})
+    assert np.isnan(degree_assortativity(rd.from_arrow(c4), nb=4))
+    # numpy parity on a random graph
+    rng = np.random.default_rng(3)
+    pairs = sorted({(int(a), int(b)) if a < b else (int(b), int(a))
+                    for a, b in rng.integers(0, 15, size=(40, 2))
+                    if a != b})
+    t = pa.table({"a": [e[0] for e in pairs],
+                  "b": [e[1] for e in pairs]})
+    got = degree_assortativity(rd.from_arrow(t).repartition(2), nb=8)
+    deg: dict = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs = [deg[a] for a, b in pairs] + [deg[b] for a, b in pairs]
+    ys = [deg[b] for a, b in pairs] + [deg[a] for a, b in pairs]
+    want = np.corrcoef(xs, ys)[0, 1]
+    assert abs(got - want) < 1e-9
