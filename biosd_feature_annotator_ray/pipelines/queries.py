@@ -6837,3 +6837,47 @@ ORACLES["degree_assortativity"] = (
     " FROM und JOIN deg da ON da.node = und.u"
     " JOIN deg db ON db.node = und.v"
 )
+
+
+def q_sssp(sf_dir: str):
+    """Weighted shortest paths (graph.sssp) over a synthesized 6-layer
+    DAG with two weighted out-edges per node, seeds = layer-0 nodes.
+    Fully oracled: bounded recursive-CTE walk + min per node."""
+    from ..stages.graph import sssp
+
+    rows = []
+    for lvl in range(6):
+        for i in range(10):
+            rows.append({"src": 100 * lvl + i,
+                         "dst": 100 * (lvl + 1) + i,
+                         "w": (i % 5) + 1})
+            rows.append({"src": 100 * lvl + i,
+                         "dst": 100 * (lvl + 1) + ((i + 3) % 10),
+                         "w": ((i + lvl) % 4) + 1})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = sssp(edges, seeds=list(range(10)), nb=8)
+    df = out.to_pandas()
+    df["node"] = df["node"].astype("int64")
+    df["dist"] = df["dist"].round(6)
+    return pa.Table.from_pandas(
+        df.sort_values("node").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["sssp"] = q_sssp
+
+ORACLES["sssp"] = (
+    "WITH RECURSIVE e AS ("
+    "  SELECT 100 * l + i AS src, 100 * (l + 1) + i AS dst,"
+    "   CAST((i % 5) + 1 AS DOUBLE) AS w"
+    "   FROM generate_series(0, 5) L(l), generate_series(0, 9) I(i)"
+    "  UNION ALL SELECT 100 * l + i, 100 * (l + 1) + ((i + 3) % 10),"
+    "   CAST(((i + l) % 4) + 1 AS DOUBLE)"
+    "   FROM generate_series(0, 5) L(l), generate_series(0, 9) I(i)),"
+    " walk(node, d, hops) AS ("
+    "  SELECT i, CAST(0 AS DOUBLE), 0 FROM generate_series(0, 9) I(i)"
+    "  UNION ALL SELECT e.dst, w.d + e.w, w.hops + 1 FROM walk w"
+    "   JOIN e ON e.src = w.node WHERE w.hops < 7)"
+    " SELECT CAST(node AS BIGINT) AS node,"
+    "  round(min(d), 6) AS dist FROM walk GROUP BY node"
+)

@@ -2149,3 +2149,89 @@ def degree_assortativity(
     if vx <= 0 or vy <= 0:
         return float("nan")
     return float(cov / np.sqrt(vx * vy))
+
+
+def sssp(
+    edges,
+    seeds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    nb: int = 32,
+    max_iters: int = 100,
+) -> "ray.data.Dataset":
+    """Weighted single-source(-set) shortest paths over a directed
+    edge list with NON-NEGATIVE weights → ``(node, dist)`` for every
+    node reachable from ``seeds`` (seeds at 0.0). Distributed
+    Bellman-Ford: unlike :func:`bfs_min_depth`, a labeled node can be
+    IMPROVED by a cheaper many-hop path, so rounds relax until no
+    distance changes rather than settling on first touch.
+
+    Per round: frontier ⋈ edges (one bucket join) → candidate
+    ``dist + w`` per target, map-side-combined min per node, then one
+    left join against the current labels keeps only strict
+    improvements — the next frontier. Converges in ≤ longest
+    shortest-path hop count rounds; negative weights raise up front
+    (Bellman-Ford would need the V−1 bound and a negative-cycle
+    check — out of contract at this scale)."""
+    import ray.data as rd
+
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+
+    def prep(t: pa.Table) -> pa.Table:
+        w = t.column(weight_col).cast(pa.float64())
+        if t.num_rows and pc.min(w).as_py() < 0:
+            raise ValueError("sssp: negative edge weight")
+        return pa.table({"src": t.column(src_col).cast(pa.int64()),
+                         "dst": t.column(dst_col).cast(pa.int64()),
+                         "w": w})
+
+    e = edges_ds.map_batches(prep, batch_format="pyarrow").materialize()
+    if isinstance(seeds, (list, tuple, np.ndarray)):
+        seeds = pa.table({"node": pa.array(
+            sorted(set(int(x) for x in seeds)), pa.int64())})
+    seeds_ds = rd.from_arrow(seeds) if isinstance(seeds, pa.Table) else seeds
+    dist = seeds_ds.map_batches(
+        lambda t: pa.table({"node": t.column("node").cast(pa.int64()),
+                            "dist": pa.array(np.zeros(len(t)))}),
+        batch_format="pyarrow").materialize()
+    frontier = dist
+
+    for _ in range(max_iters):
+        if frontier.count() == 0:
+            return dist
+        msgs = shuffle_hash_join(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["src", "dist"]),
+                batch_format="pyarrow"),
+            e, on=["src"], how="inner", nb=nb)
+        msgs = msgs.map_batches(
+            lambda t: pa.table({
+                "node": t.column("dst"),
+                "dnew": pc.add(t.column("dist"), t.column("w"))}),
+            batch_format="pyarrow")
+        cand = _min_per_node(msgs, nb, "node", "dnew").materialize()
+        if cand.count() == 0:  # frontier had no out-edges
+            return dist
+        j = shuffle_hash_join(
+            cand, dist.map_batches(
+                lambda t: t.rename_columns(["node", "dcur"]),
+                batch_format="pyarrow"),
+            on=["node"], how="left", nb=nb)
+        frontier = j.map_batches(
+            lambda t: (lambda f: pa.table(
+                {"node": f.column("node"),
+                 "dist": f.column("dnew")}))(
+                t.filter(pc.fill_null(
+                    pc.less(t.column("dnew"), t.column("dcur")), True))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            return dist
+        dist = shuffle_hash_join(dist, frontier, on=["node"],
+                                 how="anti", nb=nb) \
+            .union(frontier).materialize()
+    raise RuntimeError(
+        f"sssp did not converge in max_iters={max_iters} — deeper "
+        "shortest paths than that; raise max_iters")

@@ -561,3 +561,61 @@ def test_degree_assortativity_known(ray_session):
     ys = [deg[b] for a, b in pairs] + [deg[a] for a, b in pairs]
     want = np.corrcoef(xs, ys)[0, 1]
     assert abs(got - want) < 1e-9
+
+
+def test_sssp_improvement_and_validation(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import sssp
+
+    # direct edge 0→3 costs 10; the 3-hop path costs 3 — a node
+    # labeled early MUST be improved by the cheaper longer path
+    ed = [(0, 3, 10.0), (0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)]
+    t = pa.table({"src": [e[0] for e in ed], "dst": [e[1] for e in ed],
+                  "w": [e[2] for e in ed]})
+    df = (sssp(rd.from_arrow(t), seeds=[0], nb=4)
+          .to_pandas().set_index("node").sort_index())
+    assert df.loc[3, "dist"] == 3.0
+    assert df.loc[0, "dist"] == 0.0 and df.loc[2, "dist"] == 2.0
+
+    with pytest.raises(Exception, match="negative"):
+        sssp(rd.from_arrow(pa.table(
+            {"src": [0], "dst": [1], "w": [-1.0]})), seeds=[0], nb=4)
+
+
+def test_sssp_random_dijkstra_parity(ray_session):
+    import heapq
+
+    from biosd_feature_annotator_ray.stages.graph import sssp
+
+    rng = np.random.default_rng(13)
+    for trial in range(2):
+        n = 25
+        ed = [(int(a), int(b), float(rng.integers(1, 9)))
+              for a, b in rng.integers(0, n, size=(70, 2)) if a != b]
+        # keep one weight per (src, dst) — match engine's multi-edge
+        # handling by taking the min weight
+        best: dict = {}
+        for a, b, w in ed:
+            best[(a, b)] = min(w, best.get((a, b), np.inf))
+        ed = [(a, b, w) for (a, b), w in sorted(best.items())]
+        t = pa.table({"src": [e[0] for e in ed],
+                      "dst": [e[1] for e in ed],
+                      "w": [e[2] for e in ed]})
+        seeds = [0, 1]
+        got = (sssp(rd.from_arrow(t).repartition(2), seeds=seeds, nb=8)
+               .to_pandas().set_index("node").dist.to_dict())
+        adj: dict = {}
+        for a, b, w in ed:
+            adj.setdefault(a, []).append((b, w))
+        distd = {s: 0.0 for s in seeds}
+        h = [(0.0, s) for s in seeds]
+        heapq.heapify(h)
+        while h:
+            d, u = heapq.heappop(h)
+            if d > distd.get(u, np.inf):
+                continue
+            for v, w in adj.get(u, ()):
+                nd = d + w
+                if nd < distd.get(v, np.inf):
+                    distd[v] = nd
+                    heapq.heappush(h, (nd, v))
+        assert got == distd, f"trial {trial}"
