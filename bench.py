@@ -230,7 +230,7 @@ def run_queries() -> dict:
         "shacl_validate", "redirect_resolve", "url_canonical",
         "canonical_crawl_graph", "clustering_coeff", "kg_snapshot_diff",
         "kcore", "personalized_pagerank", "node_similarity",
-        "degree_assortativity", "sssp",
+        "degree_assortativity", "sssp", "triple_confidence",
     ]
     out = {}
     for name in names:

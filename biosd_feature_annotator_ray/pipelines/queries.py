@@ -6881,3 +6881,36 @@ ORACLES["sssp"] = (
     " SELECT CAST(node AS BIGINT) AS node,"
     "  round(min(d), 6) AS dist FROM walk GROUP BY node"
 )
+
+
+def q_triple_confidence(sf_dir: str):
+    """Noisy-OR confidence fusion (graph.fuse_triple_confidence) over
+    a synthesized multi-mention triple stream: conf = 1 − Π(1 − sᵢ)
+    per (subj, pred, obj) plus mention count. Fully oracled via
+    exp/ln product folding in SQL."""
+    from ..stages.graph import fuse_triple_confidence
+
+    rows = []
+    for i in range(900):
+        rows.append({"subj": f"E{i % 60}", "pred": f"p{(i // 60) % 3}",
+                     "obj": f"V{i % 15}",
+                     "score": ((i * 7) % 9 + 1) / 10.0})
+    t = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = fuse_triple_confidence(t, nb=8)
+    df = (out.to_pandas().sort_values(["subj", "pred", "obj"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["triple_confidence"] = q_triple_confidence
+
+ORACLES["triple_confidence"] = (
+    "WITH t AS (SELECT 'E' || (i % 60) AS subj,"
+    "  'p' || ((i // 60) % 3) AS pred, 'V' || (i % 15) AS obj,"
+    "  ((i * 7) % 9 + 1) / 10.0 AS score"
+    "  FROM generate_series(0, 899) s(i))"
+    " SELECT subj, pred, obj,"
+    "  CAST(count(*) AS BIGINT) AS n_mentions,"
+    "  round(1.0 - exp(sum(ln(1.0 - score))), 6) AS conf"
+    " FROM t GROUP BY 1, 2, 3"
+)

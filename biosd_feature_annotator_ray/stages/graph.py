@@ -2235,3 +2235,62 @@ def sssp(
     raise RuntimeError(
         f"sssp did not converge in max_iters={max_iters} — deeper "
         "shortest paths than that; raise max_iters")
+
+
+def fuse_triple_confidence(
+    triples: "ray.data.Dataset",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    score_col: str = "score",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Noisy-OR confidence fusion of duplicate triples — the merge
+    step after extraction when the SAME fact arrives from many pages
+    with independent per-mention scores: ``conf = 1 − Π(1 − sᵢ)``,
+    plus the supporting-mention count. Scores must lie in [0, 1)
+    (a 1.0 would be certainty; pass 1-ε upstream — raises otherwise,
+    since ln(0) would silently poison the group).
+
+    Shape: the product folds to a SUM of ``ln(1 − s)`` per (s, p, o),
+    so the whole operator is one composite-key bucketed
+    ``sum_by_key`` pass (map-side combined) — no sort groupby, no
+    row loops."""
+    from .canonicalize import sum_by_key
+
+    def prep(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).cast(pa.float64())
+        if t.num_rows:
+            lo = pc.min(s).as_py()
+            hi = pc.max(s).as_py()
+            if lo is not None and (lo < 0 or hi >= 1.0):
+                raise ValueError(
+                    "fuse_triple_confidence: scores must be in [0, 1)")
+        return pa.table({
+            "subj": t.column(s_col), "pred": t.column(p_col),
+            "obj": t.column(o_col),
+            "lg": pc.ln(pc.subtract(pa.scalar(1.0), s)),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    pp = triples.map_batches(prep, batch_format="pyarrow")
+    lsum = sum_by_key(pp.map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "lg"]),
+        batch_format="pyarrow"), ["subj", "pred", "obj"], "lg", nb=nb)
+    nsum = sum_by_key(pp.map_batches(
+        lambda t: t.select(["subj", "pred", "obj", "n"]),
+        batch_format="pyarrow"), ["subj", "pred", "obj"], "n", nb=nb)
+
+    from .join import shuffle_hash_join
+
+    j = shuffle_hash_join(lsum, nsum, on=["subj", "pred", "obj"],
+                          how="inner", nb=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        conf = pc.subtract(pa.scalar(1.0), pc.exp(t.column("lg")))
+        return pa.table({
+            "subj": t.column("subj"), "pred": t.column("pred"),
+            "obj": t.column("obj"),
+            "n_mentions": t.column("n").cast(pa.int64()),
+            "conf": pc.round(conf, 6)})
+
+    return j.map_batches(finish, batch_format="pyarrow")

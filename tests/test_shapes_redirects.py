@@ -619,3 +619,28 @@ def test_sssp_random_dijkstra_parity(ray_session):
                     distd[v] = nd
                     heapq.heappush(h, (nd, v))
         assert got == distd, f"trial {trial}"
+
+
+def test_fuse_triple_confidence(ray_session):
+    from biosd_feature_annotator_ray.stages.graph import (
+        fuse_triple_confidence,
+    )
+
+    rows = [
+        {"subj": "a", "pred": "p", "obj": "x", "score": 0.5},
+        {"subj": "a", "pred": "p", "obj": "x", "score": 0.5},
+        {"subj": "a", "pred": "p", "obj": "x", "score": 0.9},
+        {"subj": "b", "pred": "p", "obj": "y", "score": 0.0},
+    ]
+    t = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+    df = (fuse_triple_confidence(t, nb=4).to_pandas()
+          .set_index(["subj", "pred", "obj"]).sort_index())
+    # 1 - 0.5*0.5*0.1 = 0.975
+    assert abs(df.loc[("a", "p", "x")].conf - 0.975) < 1e-9
+    assert df.loc[("a", "p", "x")].n_mentions == 3
+    assert df.loc[("b", "p", "y")].conf == 0.0
+
+    with pytest.raises(Exception, match="0, 1"):
+        fuse_triple_confidence(rd.from_arrow(pa.Table.from_pylist(
+            [{"subj": "a", "pred": "p", "obj": "x", "score": 1.0}])),
+            nb=2).materialize()
