@@ -6914,3 +6914,55 @@ ORACLES["triple_confidence"] = (
     "  round(1.0 - exp(sum(ln(1.0 - score))), 6) AS conf"
     " FROM t GROUP BY 1, 2, 3"
 )
+
+
+def q_lpa_communities(sf_dir: str):
+    """Deterministic synchronous label propagation
+    (graph.label_propagation, min-label tie-break) over two K5
+    cliques joined by a bridge plus a 7-node path — community ids
+    after exactly 3 rounds. Fully oracled: the SQL twin unrolls the
+    three synchronous rounds as vote/argmax CTE pairs."""
+    from ..stages.graph import label_propagation
+
+    rows = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append({"a": base + i, "b": base + j})
+    rows.append({"a": 4, "b": 10})
+    for i in range(6):
+        rows.append({"a": 20 + i, "b": 21 + i})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = label_propagation(edges, n_iters=3, nb=8)
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["lpa_communities"] = q_lpa_communities
+
+_LPA_VOTE = (
+    " v{k} AS (SELECT e.dst AS node, l{p}.lab AS lab, COUNT(*) AS c"
+    "  FROM e JOIN l{p} ON l{p}.node = e.src GROUP BY 1, 2),"
+    " l{k} AS (SELECT node, lab FROM (SELECT node, lab, ROW_NUMBER()"
+    "  OVER (PARTITION BY node ORDER BY c DESC, lab ASC) AS rn"
+    "  FROM v{k}) q{k} WHERE rn = 1),"
+)
+
+ORACLES["lpa_communities"] = (
+    "WITH base AS ("
+    " SELECT b10 + i AS a, b10 + j AS b"
+    "  FROM (VALUES (0), (10)) t(b10),"
+    "   generate_series(0, 4) s(i), generate_series(0, 4) u(j)"
+    "  WHERE i < j"
+    " UNION ALL SELECT 4, 10"
+    " UNION ALL SELECT 20 + i, 21 + i FROM generate_series(0, 5) s(i)),"
+    " e AS (SELECT a AS src, b AS dst FROM base"
+    "  UNION ALL SELECT b, a FROM base),"
+    " l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),"
+    + _LPA_VOTE.format(k=1, p=0)
+    + _LPA_VOTE.format(k=2, p=1)
+    + _LPA_VOTE.format(k=3, p=2)
+    + " f AS (SELECT node, lab FROM l3)"
+    " SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label"
+    " FROM f"
+)

@@ -2294,3 +2294,81 @@ def fuse_triple_confidence(
             "conf": pc.round(conf, 6)})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def label_propagation(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    n_iters: int = 3,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation community detection over an
+    undirected simple graph (DISTINCT edges, ``a < b``, no self-loops
+    — the :func:`triangle_count` contract) → ``(node, label)`` after
+    exactly ``n_iters`` rounds.
+
+    Deterministic by construction so a recovered partition reproduces
+    the same communities and the run is SQL-twinnable: every node
+    updates SYNCHRONOUSLY from the previous round's labels, the new
+    label is the most frequent label among its (distinct) neighbors,
+    ties break to the MIN label. (Classic LPA is asynchronous with
+    random tie-breaks — useless as a pipeline operator, where
+    re-running a failed partition must not flip communities.)
+
+    Per round: one bucket join scatters each node's label across both
+    edge orientations, ``sum_by_key`` counts (node, label) votes
+    map-side-combined, ``groupby_argmax`` keeps the winner. LPA is
+    not monotone (labels can flip back), so there is no settled-set
+    pruning — every round touches all nodes; ``n_iters`` is a fixed
+    hyperparameter, not a convergence bound.
+    """
+    import ray.data as rd
+
+    from .canonicalize import groupby_argmax, sum_by_key
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    und = edges_ds.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column(a_col).cast(pa.int64()).combine_chunks(),
+                t.column(b_col).cast(pa.int64()).combine_chunks()]),
+            "dst": pa.concat_arrays([
+                t.column(b_col).cast(pa.int64()).combine_chunks(),
+                t.column(a_col).cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow").materialize()
+
+    # round 0: every node labels itself (min over the trivial group)
+    labels = _min_per_node(
+        und.map_batches(
+            lambda t: pa.table({"node": t.column("src"),
+                                "lab": t.column("src")}),
+            batch_format="pyarrow"),
+        nb, "node", "lab").materialize()
+
+    for _ in range(n_iters):
+        votes = shuffle_hash_join(
+            labels.map_batches(
+                lambda t: t.select(["node", "lab"])
+                .rename_columns(["src", "lab"]),
+                batch_format="pyarrow"),
+            und, on=["src"], how="inner", nb=nb)
+        counted = sum_by_key(
+            votes.map_batches(
+                lambda t: pa.table({
+                    "node": t.column("dst"), "lab": t.column("lab"),
+                    "c": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            ["node", "lab"], "c", nb=nb)
+        labels = groupby_argmax(
+            counted, ["node"], ["c", "lab"], [False, True], nb=nb
+        ).map_batches(
+            lambda t: t.select(["node", "lab"]),
+            batch_format="pyarrow").materialize()
+
+    return labels.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "label": t.column("lab").cast(pa.int64())}),
+        batch_format="pyarrow")

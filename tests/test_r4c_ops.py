@@ -1,0 +1,92 @@
+"""Sixth-sitting operators: label-propagation communities, 1-WL color
+refinement, bipartite butterfly counting, multi-source BFS / harmonic
+centrality."""
+
+from __future__ import annotations
+
+import random
+from collections import Counter, defaultdict
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from biosd_feature_annotator_ray.stages.graph import label_propagation
+
+
+# ------------------------------------------------------------- helpers
+
+def _edges_table(pairs):
+    return pa.table({"a": pa.array([a for a, _ in pairs], pa.int64()),
+                     "b": pa.array([b for _, b in pairs], pa.int64())})
+
+
+def _random_simple_graph(rng, n, m):
+    pairs = set()
+    while len(pairs) < m:
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a == b:
+            continue
+        pairs.add((min(a, b), max(a, b)))
+    return sorted(pairs)
+
+
+# ------------------------------------------------------------------ LPA
+
+def _ref_lpa(pairs, n_iters):
+    """Scalar reference: synchronous, most-frequent neighbor label,
+    min-label tie-break."""
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    lab = {v: v for v in adj}
+    for _ in range(n_iters):
+        lab = {
+            v: max(Counter(lab[u] for u in adj[v]).items(),
+                   key=lambda kv: (kv[1], -kv[0]))[0]
+            for v in adj
+        }
+    return lab
+
+
+def test_lpa_two_cliques_bridge():
+    pairs = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                pairs.append((base + i, base + j))
+    pairs.append((4, 10))
+    out = label_propagation(
+        rd.from_arrow(_edges_table(pairs)).repartition(3),
+        n_iters=3, nb=8).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    # each clique collapses onto its min node id
+    for i in range(5):
+        assert got[i] == 0
+        assert got[10 + i] == 10
+    assert got == _ref_lpa(pairs, 3)
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_lpa_random_graph_matches_reference(seed):
+    rng = random.Random(seed)
+    pairs = _random_simple_graph(rng, n=40, m=120)
+    n_iters = rng.choice([1, 2, 3, 4])
+    out = label_propagation(
+        rd.from_arrow(_edges_table(pairs)).repartition(4),
+        n_iters=n_iters, nb=8).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    assert got == _ref_lpa(pairs, n_iters)
+
+
+def test_lpa_deterministic_across_runs():
+    rng = random.Random(7)
+    pairs = _random_simple_graph(rng, n=30, m=80)
+    runs = []
+    for _ in range(2):
+        out = label_propagation(
+            rd.from_arrow(_edges_table(pairs)).repartition(5),
+            n_iters=3, nb=8).to_pandas()
+        runs.append(sorted(zip(out["node"], out["label"])))
+    assert runs[0] == runs[1]
