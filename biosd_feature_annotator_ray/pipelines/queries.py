@@ -6966,3 +6966,56 @@ ORACLES["lpa_communities"] = (
     " SELECT CAST(node AS BIGINT) AS node, CAST(lab AS BIGINT) AS label"
     " FROM f"
 )
+
+
+def q_wl_colors(sf_dir: str):
+    """1-WL color refinement (graph.wl_refinement, 2 rounds) over two
+    isomorphic 4-stars, a 5-path, and two isomorphic 4-cycles —
+    structurally equivalent nodes end with identical md5 colors.
+    Fully oracled: DuckDB replays c0=degree then two
+    md5(own || '|' || string_agg(neighbor ORDER BY)) rounds."""
+    from ..stages.graph import wl_refinement
+
+    rows = []
+    for i in range(1, 5):
+        rows.append({"a": 0, "b": i})
+        rows.append({"a": 10, "b": 10 + i})
+    for i in range(4):
+        rows.append({"a": 20 + i, "b": 21 + i})
+    for base in (30, 40):
+        for i in range(4):
+            x, y = base + i, base + ((i + 1) % 4)
+            rows.append({"a": min(x, y), "b": max(x, y)})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = wl_refinement(edges, n_iters=2, nb=8)
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["wl_colors"] = q_wl_colors
+
+_WL_ROUND = (
+    " s{k} AS (SELECT e.dst AS node,"
+    "  string_agg(c{p}.c, ',' ORDER BY c{p}.c) AS sig"
+    "  FROM e JOIN c{p} ON c{p}.node = e.src GROUP BY 1),"
+    " c{k} AS (SELECT s{k}.node, md5(c{p}.c || '|' || s{k}.sig) AS c"
+    "  FROM s{k} JOIN c{p} ON c{p}.node = s{k}.node),"
+)
+
+ORACLES["wl_colors"] = (
+    "WITH base AS ("
+    " SELECT 0 AS a, i AS b FROM generate_series(1, 4) s(i)"
+    " UNION ALL SELECT 10, 10 + i FROM generate_series(1, 4) s(i)"
+    " UNION ALL SELECT 20 + i, 21 + i FROM generate_series(0, 3) s(i)"
+    " UNION ALL SELECT least(b30 + i, b30 + ((i + 1) % 4)),"
+    "  greatest(b30 + i, b30 + ((i + 1) % 4))"
+    "  FROM (VALUES (30), (40)) t(b30), generate_series(0, 3) s(i)),"
+    " e AS (SELECT a AS src, b AS dst FROM base"
+    "  UNION ALL SELECT b, a FROM base),"
+    " c0 AS (SELECT src AS node, CAST(COUNT(*) AS VARCHAR) AS c"
+    "  FROM e GROUP BY 1),"
+    + _WL_ROUND.format(k=1, p=0)
+    + _WL_ROUND.format(k=2, p=1)
+    + " f AS (SELECT node, c FROM c2)"
+    " SELECT CAST(node AS BIGINT) AS node, c AS wl_color FROM f"
+)

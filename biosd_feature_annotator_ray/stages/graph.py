@@ -2372,3 +2372,108 @@ def label_propagation(
             "node": t.column("node").cast(pa.int64()),
             "label": t.column("lab").cast(pa.int64())}),
         batch_format="pyarrow")
+
+
+def wl_refinement(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    n_iters: int = 2,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """1-WL (Weisfeiler–Leman color refinement) node signatures over
+    an undirected simple graph (DISTINCT edges, ``a < b``) →
+    ``(node, wl_color)``: structurally equivalent nodes (up to
+    ``n_iters``-hop neighborhoods) share a color — the standard
+    structural-role fingerprint for template-page detection and
+    near-isomorphic subgraph dedup in a crawl graph.
+
+    ``c0 = str(degree)``; each round
+    ``c_{k+1}(v) = md5(c_k(v) || '|' || ','.join(sorted(c_k(N(v)))))``
+    — md5 keeps labels fixed-width across rounds (multiset strings
+    grow exponentially otherwise) AND is reproducible in SQL (DuckDB
+    ``md5`` + ``string_agg(... ORDER BY ...)``), so the operator is
+    fully oracle-checkable end to end.
+
+    Per round: one bucket join scatters colors across both edge
+    orientations, then one bucket shuffle co-locates each node's
+    neighbor colors; the multiset string builds vectorized (Arrow
+    sort + run-offset ``pc.binary_join`` — no per-node Python), and
+    only the final digest is a per-row C-speed md5 (no Arrow kernel
+    exists for it; ~1 µs/row against a shuffle-dominated round).
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    from .canonicalize import _B, _add_bucket, sum_by_key
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    und = edges_ds.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column(a_col).cast(pa.int64()).combine_chunks(),
+                t.column(b_col).cast(pa.int64()).combine_chunks()]),
+            "dst": pa.concat_arrays([
+                t.column(b_col).cast(pa.int64()).combine_chunks(),
+                t.column(a_col).cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow").materialize()
+
+    deg = sum_by_key(
+        und.map_batches(
+            lambda t: pa.table({
+                "node": t.column("src"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "node", "one", nb=nb, out_col="deg")
+    colors = deg.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "color": t.column("deg").cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+
+    def concat_sig(g: pa.Table) -> pa.Table:
+        t = g.drop_columns([_B]).sort_by(
+            [("node", "ascending"), ("color", "ascending")])
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        if len(node) == 0:
+            return pa.table({"node": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.string())})
+        change = np.nonzero(node[1:] != node[:-1])[0] + 1
+        offsets = np.concatenate([[0], change, [len(node)]])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            t.column("color").combine_chunks())
+        return pa.table({
+            "node": pa.array(node[offsets[:-1]], pa.int64()),
+            "sig": pc.binary_join(lst.cast(pa.list_(pa.string())),
+                                  pa.scalar(","))})
+
+    def digest(t: pa.Table) -> pa.Table:
+        own = t.column("color").to_pylist()
+        sig = t.column("sig").to_pylist()
+        new = [hashlib.md5((c + "|" + s).encode()).hexdigest()
+               for c, s in zip(own, sig)]
+        return pa.table({"node": t.column("node"),
+                         "color": pa.array(new, pa.string())})
+
+    for _ in range(n_iters):
+        msgs = shuffle_hash_join(
+            colors.map_batches(
+                lambda t: t.rename_columns(["src", "color"]),
+                batch_format="pyarrow"),
+            und, on=["src"], how="inner", nb=nb)
+        sigs = (msgs.map_batches(
+            lambda t: _add_bucket(pa.table({
+                "node": t.column("dst"),
+                "color": t.column("color")}), ["node"], nb),
+            batch_format="pyarrow")
+            .groupby(_B).map_groups(concat_sig, batch_format="pyarrow"))
+        colors = shuffle_hash_join(
+            sigs, colors, on=["node"], how="inner", nb=nb
+        ).map_batches(digest, batch_format="pyarrow").materialize()
+
+    return colors.map_batches(
+        lambda t: pa.table({"node": t.column("node").cast(pa.int64()),
+                            "wl_color": t.column("color")}),
+        batch_format="pyarrow")

@@ -4,6 +4,7 @@ centrality."""
 
 from __future__ import annotations
 
+import hashlib
 import random
 from collections import Counter, defaultdict
 
@@ -11,7 +12,10 @@ import pyarrow as pa
 import pytest
 import ray.data as rd
 
-from biosd_feature_annotator_ray.stages.graph import label_propagation
+from biosd_feature_annotator_ray.stages.graph import (
+    label_propagation,
+    wl_refinement,
+)
 
 
 # ------------------------------------------------------------- helpers
@@ -90,3 +94,50 @@ def test_lpa_deterministic_across_runs():
             n_iters=3, nb=8).to_pandas()
         runs.append(sorted(zip(out["node"], out["label"])))
     assert runs[0] == runs[1]
+
+
+# ------------------------------------------------------------------- WL
+
+def _ref_wl(pairs, n_iters):
+    """Scalar reference: c0 = str(degree), then md5 multiset rounds."""
+    adj = defaultdict(set)
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    c = {v: str(len(adj[v])) for v in adj}
+    for _ in range(n_iters):
+        c = {
+            v: hashlib.md5(
+                (c[v] + "|" + ",".join(sorted(c[u] for u in adj[v])))
+                .encode()).hexdigest()
+            for v in adj
+        }
+    return c
+
+
+def test_wl_isomorphic_components_share_colors():
+    pairs = ([(0, i) for i in (1, 2, 3, 4)]
+             + [(10, i) for i in (11, 12, 13, 14)]
+             + [(20, 21), (21, 22), (22, 23), (23, 24)])
+    out = wl_refinement(
+        rd.from_arrow(_edges_table(pairs)).repartition(3),
+        n_iters=2, nb=8).to_pandas()
+    got = dict(zip(out["node"], out["wl_color"]))
+    assert got == _ref_wl(pairs, 2)
+    # the two stars are isomorphic: hub≡hub, leaf≡leaf
+    assert got[0] == got[10]
+    assert got[1] == got[11] == got[2] == got[14]
+    # a path midpoint is NOT star-shaped
+    assert got[22] != got[0] and got[22] != got[1]
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_wl_random_graph_matches_reference(seed):
+    rng = random.Random(seed)
+    pairs = _random_simple_graph(rng, n=30, m=70)
+    n_iters = rng.choice([1, 2, 3])
+    out = wl_refinement(
+        rd.from_arrow(_edges_table(pairs)).repartition(4),
+        n_iters=n_iters, nb=8).to_pandas()
+    got = dict(zip(out["node"], out["wl_color"]))
+    assert got == _ref_wl(pairs, n_iters)
