@@ -7019,3 +7019,45 @@ ORACLES["wl_colors"] = (
     + " f AS (SELECT node, c FROM c2)"
     " SELECT CAST(node AS BIGINT) AS node, c AS wl_color FROM f"
 )
+
+
+def q_butterflies(sf_dir: str):
+    """Bipartite butterfly (2×2 biclique) count
+    (graph.butterfly_count) over a deterministic customer→term
+    incidence graph derived from orders — the bipartite cohesion
+    metric (two pages sharing two entities). Fully oracled: wedge
+    self-join + Σ C(w,2) in SQL."""
+    from ..stages.graph import butterfly_count
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        u = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        us = np.concatenate([u, u, u])
+        vs = np.concatenate([(u * 37) % 150, (u * 11 + 3) % 150,
+                             (u * 53 + 7) % 150])
+        return pa.table({"u": pa.array(us, pa.int64()),
+                         "v": pa.array(vs, pa.int64())})
+
+    e = dedup_exact(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        ["u", "v"], nb=16)
+    n = butterfly_count(e, nb=16)
+    return pa.table({"butterflies": pa.array([n], pa.int64())})
+
+
+QUERIES["butterflies"] = q_butterflies
+
+ORACLES["butterflies"] = (
+    "WITH e AS ("
+    "  SELECT DISTINCT o_custkey AS u, (o_custkey * 37) % 150 AS v"
+    "   FROM orders"
+    "  UNION SELECT o_custkey, (o_custkey * 11 + 3) % 150 FROM orders"
+    "  UNION SELECT o_custkey, (o_custkey * 53 + 7) % 150 FROM orders),"
+    " w AS (SELECT e1.u AS u1, e2.u AS u2, COUNT(*) AS c"
+    "  FROM e e1 JOIN e e2 ON e2.v = e1.v AND e1.u < e2.u"
+    "  GROUP BY 1, 2)"
+    " SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)"
+    "  AS butterflies FROM w"
+)

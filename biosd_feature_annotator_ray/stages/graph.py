@@ -2477,3 +2477,75 @@ def wl_refinement(
         lambda t: pa.table({"node": t.column("node").cast(pa.int64()),
                             "wl_color": t.column("color")}),
         batch_format="pyarrow")
+
+
+def butterfly_count(
+    edges,
+    u_col: str = "u",
+    v_col: str = "v",
+    max_degree: "int | None" = None,
+    nb: int = 64,
+) -> int:
+    """Count butterflies (2×2 bicliques / 4-cycles) in a bipartite
+    graph given as DISTINCT ``(u, v)`` edges — the bipartite analogue
+    of the triangle count, the standard cohesion metric for
+    page–entity / doc–term incidence graphs (a butterfly = two pages
+    sharing two entities = a strong co-citation signal).
+
+    Exact wedge-pair identity: ``#butterflies = Σ_{u1<u2} C(w, 2)``
+    where ``w`` counts the common v-neighbors of the pair. Shape: one
+    bucket shuffle co-locates each v's u-list, pairs expand with a
+    per-bucket vectorized self-merge (volume Σ deg(v)² — pass
+    ``max_degree`` to skip super-hub v's, the standard cut, which
+    makes the count a documented UNDERCOUNT), pair multiplicities
+    combine via the bucketed composite-key ``sum_by_key``, and the
+    closing ``C(w, 2)`` folds map-side to one scalar.
+    """
+    import ray.data as rd
+
+    from .canonicalize import _B, _add_bucket, sum_by_key
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"u": t.column(u_col).cast(pa.int64()),
+                            "v": t.column(v_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    if max_degree is not None:
+        deg = sum_by_key(
+            e.map_batches(
+                lambda t: pa.table({
+                    "v": t.column("v"),
+                    "one": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            "v", "one", nb=nb, out_col="deg")
+        e = shuffle_hash_join(e, deg, on=["v"], how="inner", nb=nb)
+        e = e.map_batches(
+            lambda t, md=int(max_degree): t.filter(
+                pc.less_equal(t.column("deg"), md)).select(["u", "v"]),
+            batch_format="pyarrow")
+
+    def expand(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"u1": pa.array([], pa.int64()),
+                             "u2": pa.array([], pa.int64()),
+                             "w": pa.array([], pa.int64())})
+        df = g.select(["v", "u"]).to_pandas()
+        m = df.merge(df, on="v")
+        m = m[m["u_x"] < m["u_y"]]
+        out = m.groupby(["u_x", "u_y"], as_index=False).size()
+        return pa.table({"u1": pa.array(out["u_x"], pa.int64()),
+                         "u2": pa.array(out["u_y"], pa.int64()),
+                         "w": pa.array(out["size"], pa.int64())})
+
+    pairs = (e.map_batches(
+        lambda t: _add_bucket(t, ["v"], nb), batch_format="pyarrow")
+        .groupby(_B).map_groups(expand, batch_format="pyarrow"))
+    wsum = sum_by_key(pairs, ["u1", "u2"], "w", nb=nb)
+    part = wsum.map_batches(
+        lambda t: pa.table({"pb": pa.array([int(pc.sum(pc.multiply(
+            t.column("w"), pc.subtract(t.column("w"), 1))).as_py() or 0)
+            // 2], pa.int64())}),
+        batch_format="pyarrow")
+    return int(part.sum("pb") or 0)

@@ -141,3 +141,61 @@ def test_wl_random_graph_matches_reference(seed):
         n_iters=n_iters, nb=8).to_pandas()
     got = dict(zip(out["node"], out["wl_color"]))
     assert got == _ref_wl(pairs, n_iters)
+
+
+# ------------------------------------------------------------ butterflies
+
+def _ref_butterflies(pairs):
+    import itertools
+
+    nv = defaultdict(set)
+    for u, v in pairs:
+        nv[v].add(u)
+    w = Counter()
+    for us in nv.values():
+        for u1, u2 in itertools.combinations(sorted(us), 2):
+            w[(u1, u2)] += 1
+    return sum(c * (c - 1) // 2 for c in w.values())
+
+
+def _bip_table(pairs):
+    return pa.table({"u": pa.array([p[0] for p in pairs], pa.int64()),
+                     "v": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+def test_butterfly_single_biclique():
+    from biosd_feature_annotator_ray.stages.graph import butterfly_count
+
+    # K_{2,2} = 1 butterfly; K_{3,3} = C(3,2)^2 = 9
+    k22 = [(0, 100), (0, 101), (1, 100), (1, 101)]
+    assert butterfly_count(rd.from_arrow(_bip_table(k22)), nb=8) == 1
+    k33 = [(u, 100 + v) for u in range(3) for v in range(3)]
+    assert butterfly_count(rd.from_arrow(_bip_table(k33)), nb=8) == 9
+
+
+@pytest.mark.parametrize("seed", [21, 22])
+def test_butterfly_random_matches_bruteforce(seed):
+    from biosd_feature_annotator_ray.stages.graph import butterfly_count
+
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < 140:
+        pairs.add((rng.randrange(20), 100 + rng.randrange(20)))
+    pairs = sorted(pairs)
+    n = butterfly_count(
+        rd.from_arrow(_bip_table(pairs)).repartition(3), nb=8)
+    assert n == _ref_butterflies(pairs)
+
+
+def test_butterfly_max_degree_skips_hubs():
+    from biosd_feature_annotator_ray.stages.graph import butterfly_count
+
+    # hub v=100 touches all u's; v=101/102 touch two each
+    pairs = ([(u, 100) for u in range(6)]
+             + [(0, 101), (1, 101), (0, 102), (1, 102)])
+    full = butterfly_count(rd.from_arrow(_bip_table(pairs)), nb=8)
+    cut = butterfly_count(rd.from_arrow(_bip_table(pairs)),
+                          max_degree=2, nb=8)
+    # dropping the hub keeps only the (0,1)×(101,102) butterfly
+    assert full == _ref_butterflies(pairs)
+    assert cut == 1 < full
