@@ -7061,3 +7061,46 @@ ORACLES["butterflies"] = (
     " SELECT CAST(COALESCE(SUM(c * (c - 1) // 2), 0) AS BIGINT)"
     "  AS butterflies FROM w"
 )
+
+
+def q_harmonic_centrality(sf_dir: str):
+    """Landmark harmonic centrality (graph.harmonic_centrality — ONE
+    multi-source BFS pass for all landmarks) over the bfs_depth
+    orders-derived DAG, landmarks 1..9. Fully oracled: recursive-CTE
+    walk → min dist per (lm, node) → Σ 1/dist."""
+    from ..stages.graph import harmonic_centrality
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        dst = np.concatenate([k[k >= 10], k[k >= 7]])
+        src = np.concatenate([k[k >= 10] // 10, k[k >= 7] // 7])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    out = harmonic_centrality(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        landmarks=list(range(1, 10)), nb=16)
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["harmonic_centrality"] = q_harmonic_centrality
+
+ORACLES["harmonic_centrality"] = (
+    "WITH RECURSIVE e AS ("
+    "  SELECT o_orderkey // 10 AS src, o_orderkey AS dst FROM orders"
+    "   WHERE o_orderkey >= 10"
+    "  UNION SELECT o_orderkey // 7, o_orderkey FROM orders"
+    "   WHERE o_orderkey >= 7),"
+    " d(lm, node, dist) AS ("
+    "  SELECT x, x, 0 FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS x)"
+    "  UNION SELECT d.lm, e.dst, d.dist + 1 FROM d"
+    "   JOIN e ON e.src = d.node),"
+    " md AS (SELECT lm, node, MIN(dist) AS dist FROM d GROUP BY 1, 2)"
+    " SELECT CAST(node AS BIGINT) AS node,"
+    "  round(SUM(1.0 / dist), 6) AS harmonic"
+    " FROM md WHERE dist > 0 GROUP BY node"
+)

@@ -2549,3 +2549,108 @@ def butterfly_count(
             // 2], pa.int64())}),
         batch_format="pyarrow")
     return int(part.sum("pb") or 0)
+
+
+def multi_source_bfs(
+    edges,
+    seeds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nb: int = 32,
+    max_iters: int = 60,
+) -> "ray.data.Dataset":
+    """Min-hop distance from EVERY seed (landmark) in ONE frontier
+    loop → ``(lm, node, dist)`` for each landmark/reachable-node pair
+    (seeds at dist 0 from themselves). The frontier rows are
+    ``(lm, node)`` composites, so a single round's bucket shuffle
+    carries ALL landmarks' frontiers together — k landmarks cost the
+    same number of rounds as one (the per-round volume grows, not the
+    round count), which is what makes landmark-based centrality
+    estimates affordable at scale vs. k sequential BFS runs.
+
+    Same per-round shape as :func:`bfs_min_depth`: frontier ⋈ edges,
+    then ONE fused composite-key min + settled-anti-join shuffle
+    (:func:`_subtract_new` on ``(lm, node)``)."""
+    import ray.data as rd
+
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column(src_col).cast(pa.int64()),
+                            "dst": t.column(dst_col).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    if isinstance(seeds, (list, tuple, np.ndarray)):
+        seeds = pa.table({"node": pa.array(
+            sorted(set(int(x) for x in seeds)), pa.int64())})
+    seeds_ds = rd.from_arrow(seeds) if isinstance(seeds, pa.Table) else seeds
+
+    frontier = seeds_ds.map_batches(
+        lambda t: pa.table({
+            "lm": t.column("node").cast(pa.int64()),
+            "node": t.column("node").cast(pa.int64()),
+            "dist": pa.array(np.zeros(len(t), np.int64))}),
+        batch_format="pyarrow").materialize()
+    settled = frontier
+
+    for _ in range(max_iters):
+        if frontier.count() == 0:
+            return settled
+        msgs = shuffle_hash_join(
+            frontier.map_batches(
+                lambda t: t.select(["node", "lm", "dist"])
+                .rename_columns(["src", "lm", "dist"]),
+                batch_format="pyarrow"),
+            e, on=["src"], how="inner", nb=nb)
+        msgs = msgs.map_batches(
+            lambda t: pa.table({
+                "lm": t.column("lm"),
+                "node": t.column("dst").cast(pa.int64()),
+                "dist": pc.add(t.column("dist").cast(pa.int64()), 1)}),
+            batch_format="pyarrow")
+        frontier = _subtract_new(msgs, settled, ["lm", "node"], nb,
+                                 min_col="dist").materialize()
+        settled = settled.union(frontier).materialize()
+    raise RuntimeError(
+        f"multi_source_bfs did not converge in max_iters={max_iters} "
+        "(graph diameter exceeds it) — raise max_iters")
+
+
+def harmonic_centrality(
+    edges,
+    landmarks,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nb: int = 32,
+    max_iters: int = 60,
+) -> "ray.data.Dataset":
+    """Landmark-estimated harmonic centrality → ``(node, harmonic)``
+    with ``harmonic(v) = Σ_{lm : d(lm,v)>0} 1 / d(lm, v)`` over the
+    given landmark set — the standard sampled estimator (Boldi &
+    Vigna's centrality family; exact when ``landmarks`` = all nodes).
+    Directed: distances follow edge direction FROM the landmarks
+    (pass a symmetrized edge list for the undirected variant).
+
+    One :func:`multi_source_bfs` pass (all landmarks share each
+    round's shuffle), then a bucketed ``sum_by_key`` of ``1/dist``
+    per node — no per-landmark sequential loops anywhere."""
+    from .canonicalize import sum_by_key
+
+    d = multi_source_bfs(edges, landmarks, src_col=src_col,
+                         dst_col=dst_col, nb=nb, max_iters=max_iters)
+
+    def inv(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t.column("dist"), 0))
+        return pa.table({
+            "node": pos.column("node"),
+            "h": pc.divide(pa.scalar(1.0),
+                           pos.column("dist").cast(pa.float64()))})
+
+    return sum_by_key(
+        d.map_batches(inv, batch_format="pyarrow"),
+        "node", "h", nb=nb, out_col="harmonic",
+    ).map_batches(
+        lambda t: pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "harmonic": pc.round(t.column("harmonic"), 6)}),
+        batch_format="pyarrow")

@@ -199,3 +199,74 @@ def test_butterfly_max_degree_skips_hubs():
     # dropping the hub keeps only the (0,1)×(101,102) butterfly
     assert full == _ref_butterflies(pairs)
     assert cut == 1 < full
+
+
+# ------------------------------------------- multi-source BFS / harmonic
+
+def _ref_multi_bfs(pairs, seeds):
+    from collections import deque
+
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+    out = {}
+    for lm in seeds:
+        dist = {lm: 0}
+        q = deque([lm])
+        while q:
+            x = q.popleft()
+            for y in adj[x]:
+                if y not in dist:
+                    dist[y] = dist[x] + 1
+                    q.append(y)
+        for n, d in dist.items():
+            out[(lm, n)] = d
+    return out
+
+
+def _dir_table(pairs):
+    return pa.table({"src": pa.array([p[0] for p in pairs], pa.int64()),
+                     "dst": pa.array([p[1] for p in pairs], pa.int64())})
+
+
+@pytest.mark.parametrize("seed", [31, 32])
+def test_multi_source_bfs_matches_per_seed_bfs(seed):
+    from biosd_feature_annotator_ray.stages.graph import multi_source_bfs
+
+    rng = random.Random(seed)
+    pairs = set()
+    while len(pairs) < 150:
+        a, b = rng.randrange(35), rng.randrange(35)
+        if a != b:
+            pairs.add((a, b))  # directed, cycles allowed
+    pairs = sorted(pairs)
+    seeds_l = sorted(rng.sample(range(35), 4))
+    out = multi_source_bfs(
+        rd.from_arrow(_dir_table(pairs)).repartition(3),
+        seeds_l, nb=8).to_pandas()
+    got = {(r.lm, r.node): r.dist for r in out.itertuples()}
+    assert got == _ref_multi_bfs(pairs, seeds_l)
+
+
+def test_harmonic_centrality_matches_reference():
+    from biosd_feature_annotator_ray.stages.graph import harmonic_centrality
+
+    rng = random.Random(41)
+    pairs = set()
+    while len(pairs) < 120:
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b:
+            pairs.add((a, b))
+    pairs = sorted(pairs)
+    seeds_l = [0, 5, 9]
+    hc = harmonic_centrality(
+        rd.from_arrow(_dir_table(pairs)).repartition(3),
+        seeds_l, nb=8).to_pandas()
+    got = dict(zip(hc["node"], hc["harmonic"]))
+    exp = defaultdict(float)
+    for (lm, n), d in _ref_multi_bfs(pairs, seeds_l).items():
+        if d > 0:
+            exp[n] += 1.0 / d
+    assert set(got) == set(exp)
+    for n, v in exp.items():
+        assert abs(got[n] - round(v, 6)) < 1e-9
