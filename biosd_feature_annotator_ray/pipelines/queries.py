@@ -7104,3 +7104,95 @@ ORACLES["harmonic_centrality"] = (
     "  round(SUM(1.0 / dist), 6) AS harmonic"
     " FROM md WHERE dist > 0 GROUP BY node"
 )
+
+
+def q_construct_kg(sf_dir: str):
+    """SPARQL CONSTRUCT (graph.construct_triples): WHERE = typed
+    documents + hasAuthor (+ OPTIONAL cites), TEMPLATE materializes
+    the inverse authored edge, an Author rdf:type fan-out, and a
+    related edge from the OPTIONAL (skipped where unbound) — set
+    semantics. Fully oracled: joins + LEFT JOIN + UNION in SQL."""
+    from ..stages.graph import construct_triples
+
+    rows = []
+    for i in range(40):
+        rows.append({"subj": f"d{i}", "pred": "type", "obj": "Document"})
+        rows.append({"subj": f"d{i}", "pred": "hasAuthor",
+                     "obj": f"a{i % 7}"})
+        if i % 3 == 0:
+            rows.append({"subj": f"d{i}", "pred": "cites",
+                         "obj": f"d{(i + 1) % 40}"})
+    t = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = construct_triples(
+        t,
+        where=[("?d", "type", "Document"), ("?d", "hasAuthor", "?a")],
+        template=[("?a", "authored", "?d"), ("?a", "type", "Author"),
+                  ("?d", "related", "?c")],
+        optional=[("?d", "cites", "?c")],
+        nb=8)
+    df = (out.to_pandas().sort_values(["subj", "pred", "obj"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["construct_kg"] = q_construct_kg
+
+ORACLES["construct_kg"] = (
+    "WITH t AS ("
+    " SELECT 'd' || i AS subj, 'type' AS pred, 'Document' AS obj"
+    "  FROM generate_series(0, 39) s(i)"
+    " UNION ALL SELECT 'd' || i, 'hasAuthor', 'a' || (i % 7)"
+    "  FROM generate_series(0, 39) s(i)"
+    " UNION ALL SELECT 'd' || i, 'cites', 'd' || ((i + 1) % 40)"
+    "  FROM generate_series(0, 39) s(i) WHERE i % 3 = 0),"
+    " b AS (SELECT t1.subj AS d, t2.obj AS a, t3.obj AS c"
+    "  FROM t t1"
+    "  JOIN t t2 ON t2.subj = t1.subj AND t2.pred = 'hasAuthor'"
+    "  LEFT JOIN t t3 ON t3.subj = t1.subj AND t3.pred = 'cites'"
+    "  WHERE t1.pred = 'type' AND t1.obj = 'Document'),"
+    " c AS (SELECT a AS subj, 'authored' AS pred, d AS obj FROM b"
+    "  UNION SELECT a, 'type', 'Author' FROM b"
+    "  UNION SELECT d, 'related', c FROM b WHERE c IS NOT NULL)"
+    " SELECT subj, pred, obj FROM c"
+)
+
+
+def q_graph_eccentricity(sf_dir: str):
+    """Per-landmark eccentricity (graph.eccentricity — one shared
+    multi-source BFS) over the bfs_depth orders-derived DAG,
+    landmarks 1..9: the diameter lower-bound probe. Fully oracled."""
+    from ..stages.graph import eccentricity
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        dst = np.concatenate([k[k >= 10], k[k >= 7]])
+        src = np.concatenate([k[k >= 10] // 10, k[k >= 7] // 7])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    out = eccentricity(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        landmarks=list(range(1, 10)), nb=16)
+    df = out.to_pandas().sort_values("lm").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["graph_eccentricity"] = q_graph_eccentricity
+
+ORACLES["graph_eccentricity"] = (
+    "WITH RECURSIVE e AS ("
+    "  SELECT o_orderkey // 10 AS src, o_orderkey AS dst FROM orders"
+    "   WHERE o_orderkey >= 10"
+    "  UNION SELECT o_orderkey // 7, o_orderkey FROM orders"
+    "   WHERE o_orderkey >= 7),"
+    " d(lm, node, dist) AS ("
+    "  SELECT x, x, 0 FROM (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS x)"
+    "  UNION SELECT d.lm, e.dst, d.dist + 1 FROM d"
+    "   JOIN e ON e.src = d.node),"
+    " md AS (SELECT lm, node, MIN(dist) AS dist FROM d GROUP BY 1, 2)"
+    " SELECT CAST(lm AS BIGINT) AS lm, CAST(MAX(dist) AS BIGINT) AS ecc"
+    " FROM md GROUP BY lm"
+)

@@ -2654,3 +2654,105 @@ def harmonic_centrality(
             "node": t.column("node").cast(pa.int64()),
             "harmonic": pc.round(t.column("harmonic"), 6)}),
         batch_format="pyarrow")
+
+
+def construct_triples(
+    triples: "ray.data.Dataset",
+    where: "list[tuple[str, str, str]]",
+    template: "list[tuple[str, str, str]]",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    nb: int = 32,
+    optional: "list | None" = None,
+    filters: "list[tuple[str, str, object]] | None" = None,
+) -> "ray.data.Dataset":
+    """SPARQL-style CONSTRUCT: match the ``where`` BGP
+    (:func:`match_bgp`, including OPTIONAL groups and FILTERs), then
+    instantiate each ``template`` triple pattern once per binding row
+    — the KG-to-KG rewrite primitive (schema alignment, inverse-edge
+    materialization, rdf:type fan-out) that turns extraction output
+    into a target vocabulary.
+
+    SPARQL semantics: the result is a SET of triples —
+    template instantiations dedupe exactly on (subj, pred, obj) —
+    and a template triple whose variable is unbound in a row (an
+    OPTIONAL miss) is silently skipped for that row. Template
+    instantiation is one vectorized projection per template entry
+    (constants broadcast, variables select binding columns); dedup is
+    the bucketed :func:`~.canonicalize.dedup_exact`.
+    """
+    from .canonicalize import dedup_exact
+
+    def is_var(t: str) -> bool:
+        return isinstance(t, str) and t.startswith("?")
+
+    bindings = match_bgp(triples, where, s_col=s_col, p_col=p_col,
+                         o_col=o_col, nb=nb, optional=optional,
+                         filters=filters)
+    bound = set(bindings.schema().names)
+    for tp in template:
+        for t in tp:
+            if is_var(t) and t[1:] not in bound:
+                raise ValueError(
+                    f"template variable {t!r} is not bound by the"
+                    " where clause")
+
+    def instantiate(batch: pa.Table) -> pa.Table:
+        outs = []
+        for tp in template:
+            cols, mask = [], None
+            for t in tp:
+                if is_var(t):
+                    c = batch.column(t[1:])
+                    m = pc.is_valid(c)
+                    mask = m if mask is None else pc.and_(mask, m)
+                    cols.append(c)
+                else:
+                    cols.append(pa.array([t] * batch.num_rows,
+                                         pa.string()))
+            t3 = pa.table({"subj": cols[0], "pred": cols[1],
+                           "obj": cols[2]})
+            outs.append(t3.filter(mask) if mask is not None else t3)
+        return pa.concat_tables(outs)
+
+    inst = bindings.map_batches(instantiate, batch_format="pyarrow",
+                                batch_size=65536)
+    return dedup_exact(inst, ["subj", "pred", "obj"], nb=nb)
+
+
+def eccentricity(
+    edges,
+    landmarks,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nb: int = 32,
+    max_iters: int = 60,
+) -> "ray.data.Dataset":
+    """Per-landmark eccentricity → ``(lm, ecc)`` where ``ecc`` is the
+    max min-hop distance from the landmark to any node it reaches —
+    one :func:`multi_source_bfs` pass shared by all landmarks; the
+    max over the returned table is the standard diameter LOWER bound
+    (and ≤ 2×ecc(lm) the upper bound) used to size iterative-op
+    round budgets before running them at scale."""
+    d = multi_source_bfs(edges, landmarks, src_col=src_col,
+                         dst_col=dst_col, nb=nb, max_iters=max_iters)
+
+    def local(t: pa.Table) -> pa.Table:
+        g = t.group_by(["lm"]).aggregate([("dist", "max")])
+        return pa.table({"lm": g.column("lm"),
+                         "ecc_p": g.column("dist_max")})
+
+    from .canonicalize import _B, _add_bucket
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = g.drop_columns([_B])
+        out = t.group_by(["lm"]).aggregate([("ecc_p", "max")])
+        return pa.table({"lm": out.column("lm").cast(pa.int64()),
+                         "ecc": out.column("ecc_p_max").cast(pa.int64())})
+
+    return (d.map_batches(local, batch_format="pyarrow",
+                          batch_size=65536)
+            .map_batches(lambda t: _add_bucket(t, ["lm"], nb),
+                         batch_format="pyarrow")
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))

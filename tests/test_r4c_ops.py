@@ -270,3 +270,73 @@ def test_harmonic_centrality_matches_reference():
     assert set(got) == set(exp)
     for n, v in exp.items():
         assert abs(got[n] - round(v, 6)) < 1e-9
+
+
+# ----------------------------------------------------------- construct
+
+def test_construct_set_semantics_and_optional_skip():
+    from biosd_feature_annotator_ray.stages.graph import construct_triples
+
+    rows = []
+    for i in range(12):
+        rows.append({"subj": f"d{i}", "pred": "type", "obj": "Document"})
+        rows.append({"subj": f"d{i}", "pred": "hasAuthor",
+                     "obj": f"a{i % 3}"})
+        if i % 4 == 0:
+            rows.append({"subj": f"d{i}", "pred": "cites",
+                         "obj": f"d{(i + 1) % 12}"})
+    t = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = construct_triples(
+        t,
+        where=[("?d", "type", "Document"), ("?d", "hasAuthor", "?a")],
+        template=[("?a", "type", "Author"), ("?d", "related", "?c")],
+        optional=[("?d", "cites", "?c")],
+        nb=8).to_pandas()
+    got = set(map(tuple, out[["subj", "pred", "obj"]]
+                  .itertuples(index=False)))
+    exp = {(f"a{j}", "type", "Author") for j in range(3)}
+    exp |= {(f"d{i}", "related", f"d{(i + 1) % 12}")
+            for i in range(12) if i % 4 == 0}
+    # set semantics: 12 docs collapse onto 3 distinct Author triples;
+    # the OPTIONAL-miss rows emit NO related triple
+    assert got == exp
+
+
+def test_construct_unbound_template_var_raises():
+    from biosd_feature_annotator_ray.stages.graph import construct_triples
+
+    t = rd.from_arrow(pa.Table.from_pylist(
+        [{"subj": "s", "pred": "p", "obj": "o"}]))
+    with pytest.raises(ValueError, match="not bound"):
+        construct_triples(t, where=[("?s", "p", "?o")],
+                          template=[("?s", "q", "?zzz")], nb=4)
+
+
+# --------------------------------------------------------- eccentricity
+
+def test_eccentricity_chain_and_parity():
+    from biosd_feature_annotator_ray.stages.graph import eccentricity
+
+    pairs = [(i, i + 1) for i in range(6)]
+    ecc = eccentricity(
+        rd.from_arrow(_dir_table(pairs)), [0, 2, 5], nb=8).to_pandas()
+    got = dict(zip(ecc["lm"], ecc["ecc"]))
+    assert got == {0: 6, 2: 4, 5: 1}
+
+    rng = random.Random(51)
+    rpairs = set()
+    while len(rpairs) < 100:
+        a, b = rng.randrange(25), rng.randrange(25)
+        if a != b:
+            rpairs.add((a, b))
+    rpairs = sorted(rpairs)
+    seeds_l = [0, 3, 11]
+    ecc = eccentricity(
+        rd.from_arrow(_dir_table(rpairs)).repartition(3),
+        seeds_l, nb=8).to_pandas()
+    got = dict(zip(ecc["lm"], ecc["ecc"]))
+    ref = _ref_multi_bfs(rpairs, seeds_l)
+    exp = defaultdict(int)
+    for (lm, _), d in ref.items():
+        exp[lm] = max(exp[lm], d)
+    assert got == dict(exp)
