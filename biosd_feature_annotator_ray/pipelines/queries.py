@@ -7196,3 +7196,53 @@ ORACLES["graph_eccentricity"] = (
     " SELECT CAST(lm AS BIGINT) AS lm, CAST(MAX(dist) AS BIGINT) AS ecc"
     " FROM md GROUP BY lm"
 )
+
+
+def q_ktruss(sf_dir: str):
+    """k-truss edge peeling (graph.ktruss, k=4) over ten K5 blocks
+    each dragging a pendant triangle — the pendants peel in exactly
+    one round (support 1 < k−2), so the SQL twin unrolls two support
+    censuses (round 2 proves the fixpoint)."""
+    from ..stages.graph import ktruss
+
+    rows = []
+    for g in range(10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append({"a": 10 * g + i, "b": 10 * g + j})
+        rows.append({"a": 10 * g, "b": 10 * g + 9})
+        rows.append({"a": 10 * g + 1, "b": 10 * g + 9})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = ktruss(edges, k=4, nb=8)
+    df = (out.to_pandas().sort_values(["a", "b"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["ktruss"] = q_ktruss
+
+_TRUSS_ROUND = (
+    " tri{k} AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z"
+    "  FROM e{p} e1 JOIN e{p} e2 ON e2.a = e1.b"
+    "  JOIN e{p} e3 ON e3.a = e1.a AND e3.b = e2.b),"
+    " sup{k} AS (SELECT a, b, COUNT(*) AS c FROM ("
+    "  SELECT x AS a, y AS b FROM tri{k}"
+    "  UNION ALL SELECT y, z FROM tri{k}"
+    "  UNION ALL SELECT x, z FROM tri{k}) r{k} GROUP BY 1, 2),"
+    " e{k} AS (SELECT a, b FROM sup{k} WHERE c >= 2),"
+)
+
+ORACLES["ktruss"] = (
+    "WITH e0 AS ("
+    " SELECT 10 * g + i AS a, 10 * g + j AS b"
+    "  FROM generate_series(0, 9) G(g), generate_series(0, 4) s(i),"
+    "   generate_series(0, 4) u(j) WHERE i < j"
+    " UNION ALL SELECT 10 * g, 10 * g + 9 FROM generate_series(0, 9) G(g)"
+    " UNION ALL SELECT 10 * g + 1, 10 * g + 9"
+    "  FROM generate_series(0, 9) G(g)),"
+    + _TRUSS_ROUND.format(k=1, p=0)
+    + _TRUSS_ROUND.format(k=2, p=1)
+    + " f AS (SELECT a, b, c FROM sup2 WHERE c >= 2)"
+    " SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
+    "  CAST(c AS BIGINT) AS support FROM f"
+)

@@ -340,3 +340,58 @@ def test_eccentricity_chain_and_parity():
     for (lm, _), d in ref.items():
         exp[lm] = max(exp[lm], d)
     assert got == dict(exp)
+
+
+# ---------------------------------------------------------------- ktruss
+
+def _ref_ktruss(pairs, k):
+    import itertools
+
+    es = set(pairs)
+    while True:
+        sup = {e: 0 for e in es}
+        nodes = sorted({v for e in es for v in e})
+        for x, y, z in itertools.combinations(nodes, 3):
+            if (x, y) in es and (y, z) in es and (x, z) in es:
+                sup[(x, y)] += 1
+                sup[(y, z)] += 1
+                sup[(x, z)] += 1
+        bad = {e for e, s in sup.items() if s < k - 2}
+        if not bad:
+            return sup
+        es -= bad
+        if not es:
+            return {}
+
+
+def test_ktruss_k5_with_pendant_triangle():
+    from biosd_feature_annotator_ray.stages.graph import ktruss
+
+    pairs = ([(i, j) for i in range(5) for j in range(i + 1, 5)]
+             + [(0, 9), (1, 9)])
+    out = ktruss(rd.from_arrow(_edges_table(pairs)), k=4, nb=8).to_pandas()
+    got = {(r.a, r.b): r.support for r in out.itertuples()}
+    # pendant edges peel; K5 survives with support 3 everywhere
+    assert got == {(i, j): 3 for i in range(5) for j in range(i + 1, 5)}
+    # k=6 kills even K5 (needs support 4)
+    out6 = ktruss(rd.from_arrow(_edges_table(pairs)), k=6, nb=8)
+    assert out6.count() == 0
+
+
+@pytest.mark.parametrize("seed,k", [(61, 4), (62, 5)])
+def test_ktruss_random_matches_bruteforce(seed, k):
+    from biosd_feature_annotator_ray.stages.graph import ktruss
+
+    rng = random.Random(seed)
+    pairs = _random_simple_graph(rng, n=16, m=80)
+    out = ktruss(rd.from_arrow(_edges_table(pairs)).repartition(3),
+                 k=k, nb=8).to_pandas()
+    got = {(r.a, r.b): r.support for r in out.itertuples()}
+    assert got == _ref_ktruss(pairs, k)
+
+
+def test_ktruss_k_below_3_raises():
+    from biosd_feature_annotator_ray.stages.graph import ktruss
+
+    with pytest.raises(ValueError, match=">= 3"):
+        ktruss(rd.from_arrow(_edges_table([(0, 1)])), k=2)
