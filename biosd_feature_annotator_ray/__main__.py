@@ -251,6 +251,28 @@ def main(argv: list[str] | None = None) -> int:
     prd.add_argument("--max-hops", type=int, default=32)
     prd.add_argument("--num-cpus", type=int, default=8)
 
+    pcm = sub.add_parser("communities", help="deterministic synchronous "
+                         "label-propagation communities over an edge "
+                         "parquet")
+    pcm.add_argument("--input", required=True,
+                     help="parquet with distinct (a, b) undirected edges")
+    pcm.add_argument("--output", required=True,
+                     help="(node, label) parquet dir")
+    pcm.add_argument("--iters", type=int, default=3)
+    pcm.add_argument("--num-cpus", type=int, default=8)
+
+    pct = sub.add_parser("construct", help="SPARQL-style CONSTRUCT: match "
+                         "a BGP over a triples parquet, emit template "
+                         "triples (set semantics)")
+    pct.add_argument("--input", required=True,
+                     help="parquet with (subj, pred, obj) triples")
+    pct.add_argument("--spec", required=True,
+                     help="JSON file: {where: [[s,p,o],...], template: "
+                     "[[s,p,o],...], optional?: [...], filters?: [...]}")
+    pct.add_argument("--output", required=True,
+                     help="constructed (subj, pred, obj) parquet dir")
+    pct.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -549,6 +571,46 @@ def main(argv: list[str] | None = None) -> int:
                 "resolved": int((df["status"] == "resolved").sum()),
                 "unresolved": int((df["status"] == "unresolved").sum()),
                 "output": args.output}))
+            return 0
+
+        if args.cmd == "communities":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import (
+                label_propagation,
+            )
+
+            out = label_propagation(rd.read_parquet(args.input),
+                                    n_iters=args.iters).materialize()
+            out.write_parquet(args.output)
+            df = out.to_pandas()
+            print(json.dumps({
+                "nodes": int(len(df)),
+                "communities": int(df["label"].nunique()),
+                "output": args.output}))
+            return 0
+
+        if args.cmd == "construct":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import (
+                construct_triples,
+            )
+
+            with open(args.spec) as fh:
+                spec = json.load(fh)
+            out = construct_triples(
+                rd.read_parquet(args.input),
+                where=[tuple(x) for x in spec["where"]],
+                template=[tuple(x) for x in spec["template"]],
+                optional=[tuple(x) for x in spec["optional"]]
+                if spec.get("optional") else None,
+                filters=[tuple(x) for x in spec["filters"]]
+                if spec.get("filters") else None,
+            ).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"triples": out.count(),
+                              "output": args.output}))
             return 0
 
         if args.cmd == "ntexport":

@@ -395,3 +395,55 @@ def test_ktruss_k_below_3_raises():
 
     with pytest.raises(ValueError, match=">= 3"):
         ktruss(rd.from_arrow(_edges_table([(0, 1)])), k=2)
+
+
+# -------------------------------------------------------------- CLI
+
+def test_cli_communities_and_construct(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+    import pandas as pd
+
+    pairs = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                pairs.append({"a": base + i, "b": base + j})
+    pd.DataFrame(pairs).to_parquet(str(tmp_path / "edges.parquet"))
+
+    rows = []
+    for i in range(10):
+        rows.append({"subj": f"d{i}", "pred": "type", "obj": "Document"})
+        rows.append({"subj": f"d{i}", "pred": "hasAuthor",
+                     "obj": f"a{i % 3}"})
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "triples.parquet"))
+    with open(tmp_path / "spec.json", "w") as f:
+        json.dump({"where": [["?d", "type", "Document"],
+                             ["?d", "hasAuthor", "?a"]],
+                   "template": [["?a", "authored", "?d"],
+                                ["?a", "type", "Author"]]}, f)
+
+    def run(*cmd):
+        out = subprocess.run(
+            [sys.executable, "-m", "biosd_feature_annotator_ray", *cmd,
+             "--num-cpus", "2"],
+            capture_output=True, text=True, check=True, cwd="/root/repo")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    r = run("communities", "--input", str(tmp_path / "edges.parquet"),
+            "--output", str(tmp_path / "comm"), "--iters", "3")
+    assert r["nodes"] == 10 and r["communities"] == 2
+    labs = duckdb.sql(f"SELECT DISTINCT label FROM"
+                      f" '{tmp_path}/comm/*.parquet' ORDER BY 1").df()
+    assert labs["label"].tolist() == [0, 10]
+
+    r = run("construct", "--input", str(tmp_path / "triples.parquet"),
+            "--spec", str(tmp_path / "spec.json"),
+            "--output", str(tmp_path / "cons"))
+    assert r["triples"] == 13  # 10 authored + 3 Author types
+    n = duckdb.sql(f"SELECT count(*) AS n FROM '{tmp_path}/cons/*.parquet'"
+                   f" WHERE pred = 'type'").df().n[0]
+    assert n == 3
