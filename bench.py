@@ -231,6 +231,11 @@ def run_queries() -> dict:
         "canonical_crawl_graph", "clustering_coeff", "kg_snapshot_diff",
         "kcore", "personalized_pagerank", "node_similarity",
         "degree_assortativity", "sssp", "triple_confidence",
+        # round-4 sixth sitting: communities / structural signatures /
+        # bipartite motifs / landmark centrality / CONSTRUCT / k-truss
+        "lpa_communities", "wl_colors", "butterflies",
+        "harmonic_centrality", "construct_kg", "graph_eccentricity",
+        "ktruss",
     ]
     out = {}
     for name in names:
