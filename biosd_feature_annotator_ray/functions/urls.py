@@ -207,3 +207,57 @@ def canonicalize_url(arr: "pa.Array | pa.ChunkedArray") -> pa.Array:
     canon = pc.binary_join_element_wise(
         scheme, "://", host, port_part, rest_part, "")
     return pc.if_else(ok, canon, s)
+
+
+def extract_rel_links(batch: pa.Table, html_col: str = "html",
+                      url_col: str = "url") -> pa.Table:
+    """Row-expanding ``<link>`` relation extraction — the SEO/i18n
+    page-equivalence signals a crawl pipeline folds before dedup:
+    one output row per ``rel="canonical"`` (kind ``canonical``,
+    ``lang`` null) or ``rel="alternate" hreflang=…`` (kind
+    ``alternate``, ``lang`` lower-cased) tag → ``(url, kind, lang,
+    target)``. Attribute order inside the tag doesn't matter (each
+    attribute is matched independently); tags missing href are
+    dropped; rel/hreflang compare case-insensitively.
+
+    Same vectorization shape as :func:`extract_links`: one compiled
+    findall over the batch for the tags, ``np.repeat`` id carriage,
+    then per-attribute vectorized extracts on the FLAT tag list. All
+    patterns are RE2-compatible (no '' vs null mismatch: a DuckDB
+    ``regexp_extract`` miss is '' — the kernel normalizes misses to
+    '' before filtering, so the SQL twin replays exactly)."""
+    import numpy as np
+    import pandas as pd
+
+    html = batch.column(html_col).to_pandas().fillna("")
+    found = html.str.findall(r"(?i)<link\s[^>]*>")
+    flat = pd.Series([t for tags in found for t in tags], dtype="object")
+    counts = np.fromiter((len(x) for x in found), dtype=np.int64,
+                         count=len(found))
+    idx = np.repeat(np.arange(len(found)), counts)
+    if len(flat) == 0:
+        return pa.table({url_col: pa.array([], pa.string()),
+                         "kind": pa.array([], pa.string()),
+                         "lang": pa.array([], pa.string()),
+                         "target": pa.array([], pa.string())})
+    rel = (flat.str.extract(r'(?i)\brel\s*=\s*["\']?([^"\'\s>]+)',
+                            expand=False).fillna("").str.lower())
+    href = flat.str.extract(r'(?i)\bhref\s*=\s*["\']?([^"\'\s>]+)',
+                            expand=False).fillna("")
+    hreflang = (flat.str.extract(
+        r'(?i)\bhreflang\s*=\s*["\']?([^"\'\s>]+)',
+        expand=False).fillna("").str.lower())
+
+    is_canon = (rel == "canonical") & (href != "")
+    is_alt = (rel == "alternate") & (hreflang != "") & (href != "")
+    keep = (is_canon | is_alt).to_numpy()
+    kind = np.where(is_canon.to_numpy()[keep], "canonical", "alternate")
+    lang = hreflang.to_numpy()[keep]
+    lang_arr = pa.array(
+        [None if k == "canonical" else lg
+         for k, lg in zip(kind, lang)], pa.string())
+    return pa.table({
+        url_col: batch.column(url_col).take(pa.array(idx[keep])),
+        "kind": pa.array(kind, pa.string()),
+        "lang": lang_arr,
+        "target": pa.array(href.to_numpy()[keep], pa.string())})

@@ -7246,3 +7246,72 @@ ORACLES["ktruss"] = (
     " SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b,"
     "  CAST(c AS BIGINT) AS support FROM f"
 )
+
+
+def q_rel_links(sf_dir: str):
+    """rel=canonical / hreflang-alternate extraction
+    (urls.extract_rel_links) over synthesized pages with mixed attr
+    order, case, and quoting — the page-equivalence signals folded
+    before crawl dedup. Fully oracled: the SQL twin regenerates the
+    corpus and replays the tag findall + per-attribute extracts with
+    the same RE2 patterns."""
+    from ..functions.urls import extract_rel_links
+
+    rows = []
+    for i in range(300):
+        if i % 4 == 0:
+            h = (f'<LINK REL="Canonical" HREF="https://ex.com/p{i % 50}">'
+                 f'<a href="https://a.org/{i}">x</a>')
+        elif i % 4 == 1:
+            h = (f'<link href=https://alt.org/{i} rel=alternate'
+                 f' hreflang=EN-GB><p>t</p>')
+        elif i % 4 == 2:
+            h = (f'<link rel="alternate" hreflang="fr"'
+                 f' href="https://fr.ex/{i % 30}">'
+                 f'<link rel=canonical href=https://ex.com/c{i % 10}>')
+        else:
+            h = ('<link rel=stylesheet href=/x.css>'
+                 f'<link rel=alternate href=https://nolang.ex/{i}>')
+        rows.append({"url": f"https://src.ex/{i}", "html": h})
+    pages = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = pages.map_batches(extract_rel_links, batch_format="pyarrow")
+    df = (out.to_pandas()
+          .sort_values(["url", "kind", "target"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["rel_links"] = q_rel_links
+
+ORACLES["rel_links"] = (
+    "WITH corpus AS (SELECT 'https://src.ex/' || i AS url,"
+    " CASE WHEN i % 4 = 0 THEN"
+    "  '<LINK REL=\"Canonical\" HREF=\"https://ex.com/p' || (i % 50)"
+    "   || '\"><a href=\"https://a.org/' || i || '\">x</a>'"
+    " WHEN i % 4 = 1 THEN"
+    "  '<link href=https://alt.org/' || i ||"
+    "   ' rel=alternate hreflang=EN-GB><p>t</p>'"
+    " WHEN i % 4 = 2 THEN"
+    "  '<link rel=\"alternate\" hreflang=\"fr\" href=\"https://fr.ex/'"
+    "   || (i % 30) || '\"><link rel=canonical href=https://ex.com/c'"
+    "   || (i % 10) || '>'"
+    " ELSE '<link rel=stylesheet href=/x.css>'"
+    "  || '<link rel=alternate href=https://nolang.ex/' || i || '>'"
+    " END AS html FROM generate_series(0, 299) s(i)),"
+    " tags AS (SELECT url, unnest(regexp_extract_all(html,"
+    "  '(?i)<link\\s[^>]*>')) AS tag FROM corpus),"
+    " a AS (SELECT url,"
+    "  lower(regexp_extract(tag,"
+    "   '(?i)\\brel\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1)) AS rel,"
+    "  regexp_extract(tag,"
+    "   '(?i)\\bhref\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1) AS href,"
+    "  lower(regexp_extract(tag,"
+    "   '(?i)\\bhreflang\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1)) AS hl"
+    "  FROM tags),"
+    " f AS (SELECT url, 'canonical' AS kind,"
+    "   CAST(NULL AS VARCHAR) AS lang, href AS target FROM a"
+    "   WHERE rel = 'canonical' AND href <> ''"
+    "  UNION ALL SELECT url, 'alternate', hl, href FROM a"
+    "   WHERE rel = 'alternate' AND hl <> '' AND href <> '')"
+    " SELECT url, kind, lang, target FROM f"
+)

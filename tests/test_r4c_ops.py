@@ -447,3 +447,45 @@ def test_cli_communities_and_construct(tmp_path):
     n = duckdb.sql(f"SELECT count(*) AS n FROM '{tmp_path}/cons/*.parquet'"
                    f" WHERE pred = 'type'").df().n[0]
     assert n == 3
+
+
+# ------------------------------------------------------------ rel links
+
+def test_extract_rel_links_variants():
+    from biosd_feature_annotator_ray.functions.urls import extract_rel_links
+
+    batch = pa.table({
+        "url": ["u1", "u2", "u3", "u4"],
+        "html": [
+            # attr order + case + quoting variants
+            '<LINK HREF="https://c.ex/a" REL=Canonical>'
+            "<link rel=alternate hreflang=EN href=https://c.ex/en>",
+            # stylesheet and lang-less alternates drop
+            '<link rel=stylesheet href=/x.css>'
+            "<link rel=alternate href=https://no.lang/>",
+            # no link tags at all
+            '<a href="https://a.ex/">x</a>',
+            # hreflang before href, single quotes
+            "<link hreflang='fr-CA' rel='ALTERNATE' href='https://c.ex/fr'>",
+        ]})
+    out = extract_rel_links(batch).to_pandas()
+    got = set(map(tuple, out[["url", "kind", "lang", "target"]]
+                  .itertuples(index=False)))
+    assert got == {
+        ("u1", "canonical", None, "https://c.ex/a"),
+        ("u1", "alternate", "en", "https://c.ex/en"),
+        ("u4", "alternate", "fr-ca", "https://c.ex/fr"),
+    }
+
+
+def test_extract_rel_links_empty_and_null():
+    from biosd_feature_annotator_ray.functions.urls import extract_rel_links
+
+    out = extract_rel_links(pa.table({
+        "url": pa.array([], pa.string()),
+        "html": pa.array([], pa.string())}))
+    assert out.num_rows == 0
+    assert out.schema.names == ["url", "kind", "lang", "target"]
+    out = extract_rel_links(pa.table({
+        "url": ["u"], "html": pa.array([None], pa.string())}))
+    assert out.num_rows == 0
