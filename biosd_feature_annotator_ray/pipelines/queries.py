@@ -7315,3 +7315,47 @@ ORACLES["rel_links"] = (
     "   WHERE rel = 'alternate' AND hl <> '' AND href <> '')"
     " SELECT url, kind, lang, target FROM f"
 )
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination (dedup.decontaminate, 3-gram): flag
+    documents sharing any 3-token shingle with a 'benchmark' slice
+    (doc_id % 17 == 0 of the same corpus — guaranteed overlap plus
+    cross-doc hits from shared templates). Fully oracled: SQL shingle
+    build + IN-subquery semi join + left-join zero fill."""
+    import pyarrow.dataset as pads
+
+    from ..stages.dedup import decontaminate
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+    ).map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.subtract(t.column("doc_id"),
+                        pc.multiply(pc.divide(t.column("doc_id"), 17),
+                                    17)), 0)).select(["text"]),
+        batch_format="pyarrow")
+    out = decontaminate(docs, bench, n=3, nb=16)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["decontaminate"] = q_decontaminate
+
+ORACLES["decontaminate"] = (
+    "WITH t AS (SELECT doc_id,"
+    "  regexp_split_to_array(trim(text), '\\s+') AS toks,"
+    "  len(regexp_split_to_array(trim(text), '\\s+')) AS L"
+    "  FROM documents),"
+    " dg AS (SELECT DISTINCT doc_id,"
+    "  toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g"
+    "  FROM t, UNNEST(generate_series(1, L - 2)) AS u(i) WHERE L >= 3),"
+    " bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 17 = 0),"
+    " h AS (SELECT doc_id, COUNT(*) AS n_hits FROM dg"
+    "  WHERE g IN (SELECT g FROM bg) GROUP BY doc_id)"
+    " SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,"
+    "  COALESCE(h.n_hits, 0) > 0 AS contaminated"
+    " FROM (SELECT doc_id FROM documents) d"
+    " LEFT JOIN h ON h.doc_id = d.doc_id"
+)

@@ -1305,3 +1305,109 @@ def cdc_chunk_docs(batch: pa.Table, id_col: str = "doc_id",
         "chunk_hash": pa.array(hashes, pa.int64()),
         "chunk_bytes": chunks,
     })
+
+
+def _doc_ngrams(batch: pa.Table, n: int, id_col: str,
+                text_col: str) -> pa.Table:
+    """Distinct (id, ngram) rows per batch — the same trimmed
+    whitespace tokenization + shifted-join n-gram build as
+    ``textstats.top_ngrams`` (SQL twin:
+    ``regexp_split_to_array(trim(text), '\\s+')`` + positional
+    concat), but keeping the doc id. Rows are whole documents, so a
+    per-batch distinct IS globally distinct per (id, ngram)."""
+    import pyarrow.compute as pc
+
+    from .textstats import _WS
+
+    text = pc.fill_null(batch.column(text_col), "")
+    toks = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), _WS)
+    lengths = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat_arr = pc.list_flatten(toks)
+    if isinstance(flat_arr, pa.ChunkedArray):
+        flat_arr = flat_arr.combine_chunks()
+    flat = flat_arr.to_pandas()
+    ids = batch.column(id_col).to_pandas()
+    doc_idx = np.repeat(np.arange(len(lengths)), lengths)
+    empty = pa.table({id_col: batch.column(id_col).slice(0, 0),
+                      "ngram": pa.array([], pa.string())})
+    if len(flat) < n:
+        return empty
+    grams = flat.iloc[: len(flat) - n + 1].reset_index(drop=True)
+    same_doc = np.ones(len(grams), dtype=bool)
+    for j in range(1, n):
+        grams = grams + " " + flat.iloc[j: len(flat) - n + 1 + j
+                                        ].reset_index(drop=True)
+        same_doc &= doc_idx[: len(grams)] == doc_idx[j: len(grams) + j]
+    if not same_doc.any():
+        return empty
+    df = pd.DataFrame({
+        id_col: ids.iloc[doc_idx[: len(grams)][same_doc]].to_numpy(),
+        "ngram": grams[same_doc].to_numpy()}).drop_duplicates()
+    return pa.Table.from_pandas(df, preserve_index=False).cast(
+        pa.schema([batch.schema.field(id_col),
+                   pa.field("ngram", pa.string())]))
+
+
+def decontaminate(
+    docs: "ray.data.Dataset",
+    benchmark: "ray.data.Dataset",
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Benchmark decontamination scan — the standard LLM-training-set
+    hygiene pass: flag every training document sharing at least one
+    n-token shingle with any benchmark text →
+    ``(doc_id, n_hits, contaminated)`` where ``n_hits`` counts the
+    doc's DISTINCT overlapping shingles (0 rows included, so the
+    output is a full per-doc report, joinable as a filter).
+
+    Shape: both sides shingle map-side (vectorized shifted-token
+    joins, per-batch distinct); one bucketed SEMI join on the shingle
+    string keeps overlapping (doc, shingle) rows (benchmark-side
+    duplicates can't multiply counts); a composite ``sum_by_key``
+    folds hits per doc; one left join restores the zero-hit docs.
+    Nothing is broadcast — benchmark suites are small today but the
+    operator stays correct when the 'benchmark' is another corpus."""
+    import pyarrow.compute as pc
+
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+
+    dsh = docs.map_batches(
+        lambda t, nn=n: _doc_ngrams(t, nn, id_col, text_col),
+        batch_format="pyarrow", batch_size=65536)
+
+    def bench_ngrams(t: pa.Table, nn=n) -> pa.Table:
+        # per-batch row index is id enough: only the distinct ngram
+        # strings leave this stage
+        withid = t.append_column(
+            "__bid", pa.array(np.arange(t.num_rows, dtype=np.int64)))
+        return _doc_ngrams(withid, nn, "__bid",
+                           bench_text_col).select(["ngram"])
+
+    bsh = benchmark.map_batches(bench_ngrams, batch_format="pyarrow",
+                                batch_size=65536)
+
+    hits = shuffle_hash_join(dsh, bsh, on=["ngram"], how="semi", nb=nb)
+    counts = sum_by_key(
+        hits.map_batches(
+            lambda t: pa.table({
+                id_col: t.column(id_col),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        id_col, "one", nb=nb, out_col="n_hits")
+
+    ids = docs.map_batches(lambda t: t.select([id_col]),
+                           batch_format="pyarrow")
+    j = shuffle_hash_join(ids, counts, on=[id_col], how="left", nb=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        nh = pc.fill_null(t.column("n_hits"), 0).cast(pa.int64())
+        return pa.table({id_col: t.column(id_col), "n_hits": nh,
+                         "contaminated": pc.greater(nh, 0)})
+
+    return j.map_batches(finish, batch_format="pyarrow")

@@ -489,3 +489,52 @@ def test_extract_rel_links_empty_and_null():
     out = extract_rel_links(pa.table({
         "url": ["u"], "html": pa.array([None], pa.string())}))
     assert out.num_rows == 0
+
+
+# -------------------------------------------------------- decontaminate
+
+def test_decontaminate_basic_and_nulls():
+    from biosd_feature_annotator_ray.stages.dedup import decontaminate
+
+    docs = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over"},
+        {"doc_id": 2, "text": "completely unrelated words here now"},
+        {"doc_id": 3,
+         "text": "quick brown fox again and the quick brown cat"},
+        {"doc_id": 4, "text": "short one"},
+        {"doc_id": 5, "text": None},
+    ]
+    bench = [{"text": "a quick brown fox ran"},
+             {"text": "over the hill"}]
+    out = decontaminate(
+        rd.from_arrow(pa.Table.from_pylist(docs)).repartition(2),
+        rd.from_arrow(pa.Table.from_pylist(bench)), n=3, nb=8).to_pandas()
+    got = {r.doc_id: (r.n_hits, r.contaminated) for r in out.itertuples()}
+    # only 'quick brown fox' overlaps; distinct per doc (doc 3 repeats
+    # shingles but counts once); sub-n docs and null text report 0
+    assert got == {1: (1, True), 2: (0, False), 3: (1, True),
+                   4: (0, False), 5: (0, False)}
+
+
+def test_decontaminate_random_matches_reference():
+    from biosd_feature_annotator_ray.stages.dedup import decontaminate
+
+    rng = random.Random(71)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [{"doc_id": i,
+             "text": " ".join(rng.choice(vocab) for _ in range(25))}
+            for i in range(40)]
+    bench = [{"text": " ".join(rng.choice(vocab) for _ in range(25))}
+             for _ in range(5)]
+
+    def sh(s, n=3):
+        t = s.split()
+        return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+    bset = set().union(*(sh(b["text"]) for b in bench))
+    exp = {d["doc_id"]: len(sh(d["text"]) & bset) for d in docs}
+    out = decontaminate(
+        rd.from_arrow(pa.Table.from_pylist(docs)).repartition(3),
+        rd.from_arrow(pa.Table.from_pylist(bench)), n=3, nb=8).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    assert got == exp
