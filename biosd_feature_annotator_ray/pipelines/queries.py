@@ -7359,3 +7359,32 @@ ORACLES["decontaminate"] = (
     " FROM (SELECT doc_id FROM documents) d"
     " LEFT JOIN h ON h.doc_id = d.doc_id"
 )
+
+
+def q_vocab_ids(sf_dir: str):
+    """Global vocabulary with dense contiguous ids
+    (textstats.build_vocab): document frequency over the shared RE2
+    tokenizer, min_df=2, top-200 by (df DESC, token ASC). Fully
+    oracled: list_distinct + ROW_NUMBER twin."""
+    from ..stages.textstats import build_vocab
+
+    out = build_vocab(_docs(sf_dir, ["doc_id", "text"]),
+                      min_df=2, max_vocab=200, nb=16)
+    df = out.to_pandas().sort_values("token_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["vocab_ids"] = q_vocab_ids
+
+ORACLES["vocab_ids"] = (
+    "WITH t AS (SELECT doc_id, unnest(list_distinct("
+    "  regexp_split_to_array(trim(text), '\\s+'))) AS tok"
+    "  FROM documents),"
+    " dfx AS (SELECT tok, COUNT(*) AS df FROM t WHERE tok <> ''"
+    "  GROUP BY tok),"
+    " r AS (SELECT tok AS token, CAST(df AS BIGINT) AS df,"
+    "  CAST(ROW_NUMBER() OVER (ORDER BY df DESC, tok ASC) - 1"
+    "   AS BIGINT) AS token_id"
+    "  FROM dfx WHERE df >= 2)"
+    " SELECT token, df, token_id FROM r WHERE token_id < 200"
+)

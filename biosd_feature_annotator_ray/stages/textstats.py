@@ -1414,3 +1414,74 @@ def script_profile(batch: pa.Table, col: str = "text",
         out[f"n_{name}"] = pa.array(counts[name], pa.int32())
     out["dominant_script"] = pa.array(dom, pa.string())
     return pa.table(out)
+
+
+def build_vocab(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    min_df: int = 1,
+    max_vocab: "int | None" = None,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Global vocabulary construction → ``(token, df, token_id)`` with
+    DENSE CONTIGUOUS 0-based ids assigned by ``(df DESC, token ASC)``
+    — the deterministic token→id table every tokenizer/embedding
+    stage downstream keys on. ``df`` is DOCUMENT frequency (each doc
+    counts a token once); ``min_df`` prunes the hapax tail before the
+    rank, ``max_vocab`` truncates after it.
+
+    Shape: per-batch doc-distinct token partials (the shared RE2
+    ``\\s+`` tokenizer) → one bucketed ``sum_by_key`` for df → the
+    histogram-partitioned :func:`~.windows.global_row_number` for the
+    id (no single-node global sort: three passes, driver traffic =
+    bin counts)."""
+    import pandas as pd
+
+    from .canonicalize import sum_by_key
+    from .windows import global_row_number
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch.column(text_col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text), r"\s+")
+        parent = pc.list_parent_indices(lists)
+        flat_t = pc.list_flatten(lists)
+        keep = pc.not_equal(flat_t, "")
+        flat = pd.DataFrame({
+            "d": pc.filter(parent, keep).to_numpy(zero_copy_only=False),
+            "t": pc.filter(flat_t, keep).to_pandas(),
+        }).drop_duplicates()
+        vc = flat["t"].value_counts()
+        return pa.table({"token": pa.array(vc.index.to_numpy(),
+                                           pa.string()),
+                         "df_p": pa.array(vc.to_numpy().astype(np.int64))})
+
+    df = sum_by_key(
+        docs.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536),
+        "token", "df_p", nb=nb, out_col="df")
+    if min_df > 1:
+        df = df.map_batches(
+            lambda t, md=int(min_df): t.filter(
+                pc.greater_equal(t.column("df"), md)),
+            batch_format="pyarrow")
+    ranked = global_row_number(
+        df.map_batches(
+            lambda t: t.append_column(
+                "neg_df", pc.multiply(t.column("df"), -1)),
+            batch_format="pyarrow"),
+        ["neg_df", "token"], out="rn", n_parts=nb)
+    out = ranked.map_batches(
+        lambda t: pa.table({
+            "token": t.column("token"),
+            "df": t.column("df").cast(pa.int64()),
+            "token_id": pc.subtract(t.column("rn"), 1).cast(pa.int64())}),
+        batch_format="pyarrow")
+    if max_vocab is not None:
+        out = out.map_batches(
+            lambda t, mv=int(max_vocab): t.filter(
+                pc.less(t.column("token_id"), mv)),
+            batch_format="pyarrow")
+    return out

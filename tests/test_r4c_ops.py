@@ -538,3 +538,32 @@ def test_decontaminate_random_matches_reference():
         rd.from_arrow(pa.Table.from_pylist(bench)), n=3, nb=8).to_pandas()
     got = dict(zip(out["doc_id"], out["n_hits"]))
     assert got == exp
+
+
+# --------------------------------------------------------------- vocab
+
+def test_build_vocab_ids_and_pruning():
+    from biosd_feature_annotator_ray.stages.textstats import build_vocab
+
+    docs = [{"doc_id": i, "text": f"alpha beta w{i % 5} w{i % 3} alpha"}
+            for i in range(30)]
+    out = build_vocab(
+        rd.from_arrow(pa.Table.from_pylist(docs)).repartition(3),
+        min_df=2, nb=8).to_pandas().sort_values("token_id")
+    dfc = Counter()
+    for d in docs:
+        for t in set(d["text"].split()):
+            dfc[t] += 1
+    ref = sorted(((t, c) for t, c in dfc.items() if c >= 2),
+                 key=lambda kv: (-kv[1], kv[0]))
+    exp = [(t, c, i) for i, (t, c) in enumerate(ref)]
+    got = list(map(tuple, out[["token", "df", "token_id"]]
+                   .itertuples(index=False)))
+    assert got == exp
+    # ids are dense and 0-based; max_vocab truncates AFTER ranking
+    assert out["token_id"].tolist() == list(range(len(exp)))
+    top3 = build_vocab(
+        rd.from_arrow(pa.Table.from_pylist(docs)).repartition(3),
+        min_df=2, max_vocab=3, nb=8).to_pandas().sort_values("token_id")
+    assert list(map(tuple, top3[["token", "df", "token_id"]]
+                    .itertuples(index=False))) == exp[:3]
