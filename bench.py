@@ -235,7 +235,7 @@ def run_queries() -> dict:
         # bipartite motifs / landmark centrality / CONSTRUCT / k-truss
         "lpa_communities", "wl_colors", "butterflies",
         "harmonic_centrality", "construct_kg", "graph_eccentricity",
-        "ktruss",
+        "ktruss", "rel_links", "decontaminate_joined", "vocab_ids",
     ]
     out = {}
     for name in names:

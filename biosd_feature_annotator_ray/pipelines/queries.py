@@ -7317,15 +7317,15 @@ ORACLES["rel_links"] = (
 )
 
 
-def q_decontaminate(sf_dir: str):
-    """Benchmark decontamination (dedup.decontaminate, 3-gram): flag
-    documents sharing any 3-token shingle with a 'benchmark' slice
+def q_decontaminate_joined(sf_dir: str):
+    """Corpus-vs-corpus decontamination, shuffle-join variant
+    (dedup.decontaminate_joined, 3-gram; nothing broadcast — the
+    scale path next to the broadcast q:decontaminate): flag documents
+    sharing any 3-token shingle with a 'benchmark' slice
     (doc_id % 17 == 0 of the same corpus — guaranteed overlap plus
     cross-doc hits from shared templates). Fully oracled: SQL shingle
     build + IN-subquery semi join + left-join zero fill."""
-    import pyarrow.dataset as pads
-
-    from ..stages.dedup import decontaminate
+    from ..stages.dedup import decontaminate_joined
 
     docs = _docs(sf_dir, ["doc_id", "text"])
     bench = rd.read_parquet(
@@ -7336,14 +7336,14 @@ def q_decontaminate(sf_dir: str):
                         pc.multiply(pc.divide(t.column("doc_id"), 17),
                                     17)), 0)).select(["text"]),
         batch_format="pyarrow")
-    out = decontaminate(docs, bench, n=3, nb=16)
+    out = decontaminate_joined(docs, bench, n=3, nb=16)
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-QUERIES["decontaminate"] = q_decontaminate
+QUERIES["decontaminate_joined"] = q_decontaminate_joined
 
-ORACLES["decontaminate"] = (
+ORACLES["decontaminate_joined"] = (
     "WITH t AS (SELECT doc_id,"
     "  regexp_split_to_array(trim(text), '\\s+') AS toks,"
     "  len(regexp_split_to_array(trim(text), '\\s+')) AS L"

@@ -1349,7 +1349,7 @@ def _doc_ngrams(batch: pa.Table, n: int, id_col: str,
                    pa.field("ngram", pa.string())]))
 
 
-def decontaminate(
+def decontaminate_joined(
     docs: "ray.data.Dataset",
     benchmark: "ray.data.Dataset",
     n: int = 3,
@@ -1358,20 +1358,23 @@ def decontaminate(
     bench_text_col: str = "text",
     nb: int = 32,
 ) -> "ray.data.Dataset":
-    """Benchmark decontamination scan — the standard LLM-training-set
-    hygiene pass: flag every training document sharing at least one
-    n-token shingle with any benchmark text →
-    ``(doc_id, n_hits, contaminated)`` where ``n_hits`` counts the
-    doc's DISTINCT overlapping shingles (0 rows included, so the
-    output is a full per-doc report, joinable as a filter).
+    """Benchmark decontamination, SHUFFLE-JOIN variant — the scale
+    path ``textstats.decontaminate``'s docstring reserves for when
+    the contaminating side outgrows a driver-collected broadcast set
+    (corpus-vs-corpus overlap, not corpus-vs-eval-suite): flag every
+    training document sharing at least one n-token shingle with any
+    benchmark text → ``(doc_id, n_hits, contaminated)`` where
+    ``n_hits`` counts the doc's DISTINCT overlapping shingles (the
+    broadcast variant counts gram OCCURRENCES — distinct is the
+    right unit when both sides are corpora); 0-hit rows included, so
+    the output is a full per-doc report, joinable as a filter.
 
     Shape: both sides shingle map-side (vectorized shifted-token
     joins, per-batch distinct); one bucketed SEMI join on the shingle
     string keeps overlapping (doc, shingle) rows (benchmark-side
     duplicates can't multiply counts); a composite ``sum_by_key``
     folds hits per doc; one left join restores the zero-hit docs.
-    Nothing is broadcast — benchmark suites are small today but the
-    operator stays correct when the 'benchmark' is another corpus."""
+    Nothing is broadcast and nothing is driver-collected."""
     import pyarrow.compute as pc
 
     from .canonicalize import sum_by_key

@@ -493,8 +493,8 @@ def test_extract_rel_links_empty_and_null():
 
 # -------------------------------------------------------- decontaminate
 
-def test_decontaminate_basic_and_nulls():
-    from biosd_feature_annotator_ray.stages.dedup import decontaminate
+def test_decontaminate_joined_basic_and_nulls():
+    from biosd_feature_annotator_ray.stages.dedup import decontaminate_joined
 
     docs = [
         {"doc_id": 1, "text": "the quick brown fox jumps over"},
@@ -506,7 +506,7 @@ def test_decontaminate_basic_and_nulls():
     ]
     bench = [{"text": "a quick brown fox ran"},
              {"text": "over the hill"}]
-    out = decontaminate(
+    out = decontaminate_joined(
         rd.from_arrow(pa.Table.from_pylist(docs)).repartition(2),
         rd.from_arrow(pa.Table.from_pylist(bench)), n=3, nb=8).to_pandas()
     got = {r.doc_id: (r.n_hits, r.contaminated) for r in out.itertuples()}
@@ -516,8 +516,8 @@ def test_decontaminate_basic_and_nulls():
                    4: (0, False), 5: (0, False)}
 
 
-def test_decontaminate_random_matches_reference():
-    from biosd_feature_annotator_ray.stages.dedup import decontaminate
+def test_decontaminate_joined_random_matches_reference():
+    from biosd_feature_annotator_ray.stages.dedup import decontaminate_joined
 
     rng = random.Random(71)
     vocab = [f"w{i}" for i in range(30)]
@@ -533,7 +533,7 @@ def test_decontaminate_random_matches_reference():
 
     bset = set().union(*(sh(b["text"]) for b in bench))
     exp = {d["doc_id"]: len(sh(d["text"]) & bset) for d in docs}
-    out = decontaminate(
+    out = decontaminate_joined(
         rd.from_arrow(pa.Table.from_pylist(docs)).repartition(3),
         rd.from_arrow(pa.Table.from_pylist(bench)), n=3, nb=8).to_pandas()
     got = dict(zip(out["doc_id"], out["n_hits"]))
