@@ -7388,3 +7388,49 @@ ORACLES["vocab_ids"] = (
     "  FROM dfx WHERE df >= 2)"
     " SELECT token, df, token_id FROM r WHERE token_id < 200"
 )
+
+
+def q_encode_corpus(sf_dir: str):
+    """Corpus encoding against the built vocabulary
+    (textstats.build_vocab min_df=2/top-200 → textstats.encode_tokens,
+    OOV → −1): ordered id sequences + token/OOV counts per document.
+    Fully oracled: SQL rebuilds the vocab, explodes tokens with
+    positions, LEFT-joins ids, and string_aggs in position order."""
+    from ..stages.textstats import build_vocab, encode_tokens
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    vocab = pa.Table.from_pandas(
+        build_vocab(docs, min_df=2, max_vocab=200, nb=16).to_pandas(),
+        preserve_index=False)
+    out = encode_tokens(docs, vocab)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["encode_corpus"] = q_encode_corpus
+
+ORACLES["encode_corpus"] = (
+    "WITH t AS (SELECT doc_id,"
+    "  regexp_split_to_array(trim(text), '\\s+') AS toks,"
+    "  len(regexp_split_to_array(trim(text), '\\s+')) AS L"
+    "  FROM documents),"
+    " dt AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),"
+    " dfx AS (SELECT tok, COUNT(*) AS df FROM dt WHERE tok <> ''"
+    "  GROUP BY tok),"
+    " v AS (SELECT tok, tid FROM (SELECT tok,"
+    "   ROW_NUMBER() OVER (ORDER BY df DESC, tok ASC) - 1 AS tid"
+    "   FROM dfx WHERE df >= 2) r WHERE tid < 200),"
+    " e AS (SELECT doc_id, i, toks[i] AS tok FROM t,"
+    "  UNNEST(generate_series(1, L)) AS u(i) WHERE toks[i] <> ''),"
+    " m AS (SELECT e.doc_id, e.i, COALESCE(v.tid, -1) AS tid"
+    "  FROM e LEFT JOIN v ON v.tok = e.tok),"
+    " agg AS (SELECT doc_id, COUNT(*) AS n_tokens,"
+    "  SUM(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS n_oov,"
+    "  string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS ids_str"
+    "  FROM m GROUP BY doc_id)"
+    " SELECT d.doc_id, CAST(COALESCE(agg.n_tokens, 0) AS BIGINT)"
+    "  AS n_tokens, CAST(COALESCE(agg.n_oov, 0) AS BIGINT) AS n_oov,"
+    "  agg.ids_str"
+    " FROM (SELECT doc_id FROM documents) d"
+    " LEFT JOIN agg ON agg.doc_id = d.doc_id"
+)

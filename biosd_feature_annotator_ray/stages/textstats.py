@@ -1485,3 +1485,72 @@ def build_vocab(
                 pc.less(t.column("token_id"), mv)),
             batch_format="pyarrow")
     return out
+
+
+def encode_tokens(
+    docs: "ray.data.Dataset",
+    vocab,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> "ray.data.Dataset":
+    """Corpus encoding against a fixed vocabulary — the step after
+    :func:`build_vocab` in a training-data pipeline: every document's
+    tokens (shared RE2 ``\\s+`` tokenizer, '' dropped) map to their
+    ``token_id`` in ORDER, out-of-vocabulary tokens to ``oov_id`` →
+    ``(doc_id, n_tokens, n_oov, ids_str)`` with ``ids_str`` the
+    ','-joined id sequence (null for token-less docs — a separator
+    join can't represent "empty" distinctly from [""]).
+
+    The vocab (a ``(token, token_id)`` Table/Dataset — MBs against a
+    TB corpus) is collected once and broadcast via the object store
+    (`ray.put` once per run, read per actor), never re-shipped per
+    batch; the corpus streams through one stateless ``map_batches``
+    doing a vectorized pandas map + run-offset ``binary_join`` — no
+    shuffle touches the corpus."""
+    import pandas as pd
+    import ray
+
+    vt = vocab if isinstance(vocab, pa.Table) else None
+    if vt is None:
+        vt = pa.Table.from_pandas(vocab.to_pandas(), preserve_index=False) \
+            if hasattr(vocab, "to_pandas") else pa.table(vocab)
+    mapping = dict(zip(vt.column("token").to_pylist(),
+                       (int(x) for x in vt.column("token_id").to_pylist())))
+    ref = ray.put(mapping)
+
+    def encode(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        text = pc.fill_null(batch.column(text_col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text), r"\s+")
+        parent = pc.list_parent_indices(lists)
+        flat_t = pc.list_flatten(lists)
+        keep = pc.not_equal(flat_t, "")
+        doc_idx = pc.filter(parent, keep).to_numpy(zero_copy_only=False)
+        toks = pc.filter(flat_t, keep).to_pandas()
+        ids = toks.map(m).fillna(oov_id).astype(np.int64).to_numpy()
+        n_tok = np.bincount(doc_idx, minlength=batch.num_rows
+                            ).astype(np.int64)
+        n_oov = np.bincount(doc_idx[ids == oov_id],
+                            minlength=batch.num_rows).astype(np.int64)
+        offsets = np.concatenate(
+            [[0], np.cumsum(n_tok)]).astype(np.int32)
+        id_strs = pa.array(ids.astype("U"), pa.string())
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                     id_strs),
+            pa.scalar(","))
+        # token-less docs → null, not ""
+        joined = pc.if_else(pa.array(n_tok > 0), joined,
+                            pa.scalar(None, pa.string()))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(n_tok),
+            "n_oov": pa.array(n_oov),
+            "ids_str": joined})
+
+    return docs.map_batches(encode, batch_format="pyarrow",
+                            batch_size=65536)

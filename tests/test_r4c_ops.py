@@ -567,3 +567,26 @@ def test_build_vocab_ids_and_pruning():
         min_df=2, max_vocab=3, nb=8).to_pandas().sort_values("token_id")
     assert list(map(tuple, top3[["token", "df", "token_id"]]
                     .itertuples(index=False))) == exp[:3]
+
+
+# -------------------------------------------------------------- encode
+
+def test_encode_tokens_order_oov_and_nulls():
+    from biosd_feature_annotator_ray.stages.textstats import encode_tokens
+
+    vocab = pa.table({"token": ["alpha", "beta", "gamma"],
+                      "token_id": pa.array([0, 1, 2], pa.int64())})
+    docs = [
+        {"doc_id": 1, "text": "alpha beta zeta alpha"},
+        {"doc_id": 2, "text": "  "},
+        {"doc_id": 3, "text": None},
+        {"doc_id": 4, "text": "gamma"},
+    ]
+    out = encode_tokens(
+        rd.from_arrow(pa.Table.from_pylist(docs)).repartition(2),
+        vocab).to_pandas().sort_values("doc_id")
+    got = list(map(tuple, out[["doc_id", "n_tokens", "n_oov", "ids_str"]]
+                   .itertuples(index=False)))
+    # order preserved; OOV → -1; whitespace-only and null text → null
+    assert got == [(1, 4, 1, "0,1,-1,0"), (2, 0, 0, None),
+                   (3, 0, 0, None), (4, 1, 0, "2")]
