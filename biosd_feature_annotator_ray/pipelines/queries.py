@@ -7434,3 +7434,68 @@ ORACLES["encode_corpus"] = (
     " FROM (SELECT doc_id FROM documents) d"
     " LEFT JOIN agg ON agg.doc_id = d.doc_id"
 )
+
+
+def q_page_equivalence(sf_dir: str):
+    """Page-equivalence classes — the crawl-dedup composition that
+    folds every alias of a page to one node BEFORE content dedup:
+    rel=canonical edges (urls.extract_rel_links) UNION resolved
+    redirect finals (graph.resolve_redirects) → string min-label
+    connected components (graph.string_components). Fully oracled:
+    the SQL twin re-extracts the canonical targets with the same RE2
+    chain, rebuilds the redirect finals, and labels components with a
+    recursive min-reach CTE."""
+    from ..functions.urls import extract_rel_links
+    from ..stages.graph import resolve_redirects, string_components
+
+    prows = [{"url": f"https://s.ex/p{i}",
+              "html": (f'<link rel=canonical'
+                       f' href=https://s.ex/c{i // 4}><p>t</p>')}
+             for i in range(160)]
+    pages = rd.from_arrow(pa.Table.from_pylist(prows)).repartition(3)
+    canon = pages.map_batches(extract_rel_links,
+                              batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "canonical"))
+        .select(["url", "target"]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow")
+
+    rrows = [{"src": f"https://s.ex/c{j}", "dst": f"https://s.ex/m{j % 8}"}
+             for j in range(0, 40, 2)]
+    red = resolve_redirects(
+        rd.from_arrow(pa.Table.from_pylist(rrows)).repartition(2), nb=8)
+    red_edges = red.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), "resolved"))
+        .select(["src", "final"]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow")
+
+    labels = string_components(canon.union(red_edges), nb=8)
+    df = (labels.to_pandas().sort_values("node")
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["page_equivalence"] = q_page_equivalence
+
+ORACLES["page_equivalence"] = (
+    "WITH RECURSIVE corpus AS (SELECT 'https://s.ex/p' || i AS url,"
+    "  '<link rel=canonical href=https://s.ex/c' || (i // 4)"
+    "   || '><p>t</p>' AS html FROM generate_series(0, 159) s(i)),"
+    " tags AS (SELECT url, unnest(regexp_extract_all(html,"
+    "  '(?i)<link\\s[^>]*>')) AS tag FROM corpus),"
+    " canon AS (SELECT url AS src, regexp_extract(tag,"
+    "   '(?i)\\bhref\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1) AS dst"
+    "  FROM tags WHERE lower(regexp_extract(tag,"
+    "   '(?i)\\brel\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1)) = 'canonical'"
+    "   AND regexp_extract(tag,"
+    "   '(?i)\\bhref\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1) <> ''),"
+    " red AS (SELECT 'https://s.ex/c' || j AS src,"
+    "  'https://s.ex/m' || (j % 8) AS dst"
+    "  FROM generate_series(0, 39) s(j) WHERE j % 2 = 0),"
+    " ed AS (SELECT src, dst FROM canon UNION ALL SELECT dst, src"
+    "  FROM canon UNION ALL SELECT src, dst FROM red"
+    "  UNION ALL SELECT dst, src FROM red),"
+    " reach(node, lab) AS (SELECT src, src FROM ed"
+    "  UNION SELECT ed.dst, r.lab FROM reach r"
+    "   JOIN ed ON ed.src = r.node)"
+    " SELECT node, min(lab) AS lab FROM reach GROUP BY node"
+)

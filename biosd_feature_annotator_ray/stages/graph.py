@@ -1125,6 +1125,83 @@ def hits(
         }), batch_format="pyarrow")
 
 
+def string_components(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nb: int = 16,
+    max_iters: int = 20,
+    symmetrize: bool = True,
+) -> "ray.data.Dataset":
+    """Connected components over STRING-keyed edges → ``(node, lab)``
+    with ``lab`` the component's MINIMUM node (string order) — the
+    reusable min-label propagation inside
+    :func:`canonicalize_entities`, exposed for every "fold these keys
+    into equivalence classes" composition (owl:sameAs, page
+    equivalence via canonical/redirect links, near-dup clusters over
+    string ids). Per round: one bucket-shuffle join ships labels
+    across edges, a groupby-argmax takes the per-node min;
+    convergence by a per-round 64-bit (node, label) hash-sum fixpoint
+    (unchanged sum ⇔ unchanged labels up to an astronomically
+    unlikely collision). ``symmetrize=False`` when the input already
+    carries both orientations."""
+    from .canonicalize import dedup_exact, groupby_argmax
+    from .join import shuffle_hash_join
+
+    if symmetrize:
+        def both(t: pa.Table) -> pa.Table:
+            a = t.column(src_col).combine_chunks()
+            b = t.column(dst_col).combine_chunks()
+            return pa.table({"src": pa.concat_arrays([a, b]),
+                             "dst": pa.concat_arrays([b, a])})
+
+        e = edges.map_batches(both, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+    else:
+        e = edges.map_batches(
+            lambda t: pa.table({"src": t.column(src_col),
+                                "dst": t.column(dst_col)}),
+            batch_format="pyarrow").materialize()
+
+    labels = dedup_exact(
+        e.map_batches(lambda t: pa.table({"node": t.column("src")}),
+                      batch_format="pyarrow"),
+        ["node"], nb=nb).map_batches(
+        lambda t: t.append_column("lab", t.column("node")),
+        batch_format="pyarrow").materialize()
+
+    def _state_hash(ds) -> int:
+        from ..functions.hashing import hash_strings
+
+        def h(t: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                t.column("node"), t.column("lab"), "\x1f")
+            v = hash_strings(s).astype(np.uint64)
+            return pa.table({"h": pa.array(
+                [int(v.sum() % np.uint64(2**63 - 1))], pa.int64())})
+
+        return int(ds.map_batches(h, batch_format="pyarrow").sum("h"))
+
+    prev = _state_hash(labels)
+    for _ in range(max_iters):
+        shipped = shuffle_hash_join(
+            e, labels.map_batches(
+                lambda t: t.rename_columns(["src", "lab"]),
+                batch_format="pyarrow"),
+            on=["src"], how="inner", nb=nb).map_batches(
+            lambda t: pa.table({"node": t.column("dst"),
+                                "lab": t.column("lab")}),
+            batch_format="pyarrow")
+        cand = labels.union(shipped)
+        labels = groupby_argmax(cand, ["node"], ["lab"], [True],
+                                nb=nb).materialize()
+        cur = _state_hash(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
 def canonicalize_entities(
     triples: "ray.data.Dataset",
     sameas_pred: str = "sameAs",
@@ -1176,42 +1253,9 @@ def canonicalize_entities(
             triples.map_batches(facts_only, batch_format="pyarrow"),
             [s_col, p_col, o_col], nb=nb)
 
-    labels = dedup_exact(
-        e.map_batches(lambda t: pa.table({"node": t.column("src")}),
-                      batch_format="pyarrow"),
-        ["node"], nb=nb).map_batches(
-        lambda t: t.append_column("lab", t.column("node")),
-        batch_format="pyarrow").materialize()
-
-    def _state_hash(ds) -> int:
-        from ..functions.hashing import hash_strings
-
-        def h(t: pa.Table) -> pa.Table:
-            s = pc.binary_join_element_wise(
-                t.column("node"), t.column("lab"), "\x1f")
-            v = hash_strings(s).astype(np.uint64)
-            return pa.table({"h": pa.array(
-                [int(v.sum() % np.uint64(2**63 - 1))], pa.int64())})
-
-        return int(ds.map_batches(h, batch_format="pyarrow").sum("h"))
-
-    prev = _state_hash(labels)
-    for _ in range(max_iters):
-        shipped = shuffle_hash_join(
-            e, labels.map_batches(
-                lambda t: t.rename_columns(["src", "lab"]),
-                batch_format="pyarrow"),
-            on=["src"], how="inner", nb=nb).map_batches(
-            lambda t: pa.table({"node": t.column("dst"),
-                                "lab": t.column("lab")}),
-            batch_format="pyarrow")
-        cand = labels.union(shipped)
-        labels = groupby_argmax(cand, ["node"], ["lab"], [True],
-                                nb=nb).materialize()
-        cur = _state_hash(labels)
-        if cur == prev:
-            break
-        prev = cur
+    # alias_edges already emitted both orientations
+    labels = string_components(e, nb=nb, max_iters=max_iters,
+                               symmetrize=False)
 
     mapping = labels.map_batches(
         lambda t: t.filter(pc.invert(pc.equal(t.column("node"),

@@ -590,3 +590,50 @@ def test_encode_tokens_order_oov_and_nulls():
     # order preserved; OOV → -1; whitespace-only and null text → null
     assert got == [(1, 4, 1, "0,1,-1,0"), (2, 0, 0, None),
                    (3, 0, 0, None), (4, 1, 0, "2")]
+
+
+# -------------------------------------------------- string components
+
+def test_string_components_chain_pair_and_isolated_edge():
+    from biosd_feature_annotator_ray.stages.graph import string_components
+
+    edges = pa.table({
+        "src": ["b", "c", "x", "q"],
+        "dst": ["a", "b", "y", "q"],  # chain c-b-a, pair x-y, self q
+    })
+    out = string_components(rd.from_arrow(edges), nb=4).to_pandas()
+    got = dict(zip(out["node"], out["lab"]))
+    assert got == {"a": "a", "b": "a", "c": "a",
+                   "x": "x", "y": "x", "q": "q"}
+
+
+def test_page_equivalence_components_fold_canonical_and_redirects():
+    from biosd_feature_annotator_ray.functions.urls import extract_rel_links
+    from biosd_feature_annotator_ray.stages.graph import (
+        resolve_redirects,
+        string_components,
+    )
+    import pyarrow.compute as pc
+
+    pages = rd.from_arrow(pa.table({
+        "url": ["https://s/p0", "https://s/p1", "https://s/p2"],
+        "html": ['<link rel=canonical href=https://s/c0>',
+                 '<link rel=canonical href=https://s/c0>',
+                 '<link rel=canonical href=https://s/c1>']}))
+    canon = pages.map_batches(extract_rel_links,
+                              batch_format="pyarrow").map_batches(
+        lambda t: t.filter(pc.equal(t.column("kind"), "canonical"))
+        .select(["url", "target"]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow")
+    red = resolve_redirects(rd.from_arrow(pa.table({
+        "src": ["https://s/c0"], "dst": ["https://s/m"]})), nb=4)
+    red_edges = red.map_batches(
+        lambda t: t.filter(pc.equal(t.column("status"), "resolved"))
+        .select(["src", "final"]).rename_columns(["src", "dst"]),
+        batch_format="pyarrow")
+    labels = string_components(canon.union(red_edges), nb=4).to_pandas()
+    got = dict(zip(labels["node"], labels["lab"]))
+    # p0, p1, c0, m fold together (canonical + redirect); p2/c1 apart
+    assert (got["https://s/p0"] == got["https://s/p1"]
+            == got["https://s/c0"] == got["https://s/m"])
+    assert got["https://s/p2"] == got["https://s/c1"] != got["https://s/p0"]
