@@ -236,7 +236,7 @@ def run_queries() -> dict:
         "lpa_communities", "wl_colors", "butterflies",
         "harmonic_centrality", "construct_kg", "graph_eccentricity",
         "ktruss", "rel_links", "decontaminate_joined", "vocab_ids",
-        "encode_corpus", "page_equivalence",
+        "encode_corpus", "page_equivalence", "closure_incremental",
     ]
     out = {}
     for name in names:

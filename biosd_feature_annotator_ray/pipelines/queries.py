@@ -7499,3 +7499,47 @@ ORACLES["page_equivalence"] = (
     "   JOIN ed ON ed.src = r.node)"
     " SELECT node, min(lab) AS lab FROM reach GROUP BY node"
 )
+
+
+def q_closure_incremental(sf_dir: str):
+    """Incremental closure maintenance
+    (graph.transitive_closure_incremental): 20 five-node chains get
+    nightly bridge-edge inserts joining even/odd chain pairs; the old
+    closure is extended by ONE old-closure∘ΔE seed join + frontier
+    rounds instead of recomputing from scratch. Fully oracled: the
+    SQL twin computes the closure of the POST-insert edge set with a
+    recursive CTE (incremental ≡ from-scratch is the contract)."""
+    from ..stages.graph import (
+        transitive_closure,
+        transitive_closure_incremental,
+    )
+
+    base, delta = [], []
+    for i in range(99):
+        if i % 5 != 4:
+            base.append({"child": i, "parent": i + 1})
+        elif (i // 5) % 2 == 0:
+            delta.append({"child": i, "parent": i + 1})
+    all_e = base + delta
+    C = transitive_closure(
+        rd.from_arrow(pa.Table.from_pylist(base)).repartition(3),
+        nb=8).materialize()
+    out = transitive_closure_incremental(
+        C, pa.Table.from_pylist(delta), pa.Table.from_pylist(all_e),
+        nb=8)
+    df = (out.to_pandas().sort_values(["node", "anc"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["closure_incremental"] = q_closure_incremental
+
+ORACLES["closure_incremental"] = (
+    "WITH RECURSIVE e AS ("
+    " SELECT i AS c, i + 1 AS p FROM generate_series(0, 98) s(i)"
+    "  WHERE i % 5 <> 4 OR ((i // 5) % 2 = 0)),"
+    " cl(node, anc) AS (SELECT c, p FROM e"
+    "  UNION SELECT cl.node, e.p FROM cl JOIN e ON e.c = cl.anc)"
+    " SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS anc"
+    " FROM cl"
+)

@@ -637,3 +637,53 @@ def test_page_equivalence_components_fold_canonical_and_redirects():
     assert (got["https://s/p0"] == got["https://s/p1"]
             == got["https://s/c0"] == got["https://s/m"])
     assert got["https://s/p2"] == got["https://s/c1"] != got["https://s/p0"]
+
+
+# ------------------------------------------- incremental closure
+
+def test_incremental_closure_equals_from_scratch():
+    from biosd_feature_annotator_ray.stages.graph import (
+        transitive_closure,
+        transitive_closure_incremental,
+    )
+
+    rng = random.Random(13)
+    all_e = set()
+    while len(all_e) < 100:
+        i, j = sorted(rng.sample(range(35), 2))
+        all_e.add((i, j))
+    all_e = sorted(all_e)
+    base = [e for k, e in enumerate(all_e) if k % 5 != 0]
+    delta = [e for k, e in enumerate(all_e) if k % 5 == 0]
+
+    def tbl(pairs):
+        return pa.table({
+            "child": pa.array([p[0] for p in pairs], pa.int64()),
+            "parent": pa.array([p[1] for p in pairs], pa.int64())})
+
+    C = transitive_closure(
+        rd.from_arrow(tbl(base)).repartition(3), nb=8).materialize()
+    inc = transitive_closure_incremental(
+        C, tbl(delta), tbl(all_e), nb=8).to_pandas()
+    full = transitive_closure(
+        rd.from_arrow(tbl(all_e)).repartition(3), nb=8).to_pandas()
+    gi = set(map(tuple, inc[["node", "anc"]].itertuples(index=False)))
+    gf = set(map(tuple, full[["node", "anc"]].itertuples(index=False)))
+    assert gi == gf
+
+
+def test_incremental_closure_cycle_raises():
+    from biosd_feature_annotator_ray.stages.graph import (
+        transitive_closure,
+        transitive_closure_incremental,
+    )
+
+    base = pa.table({"child": pa.array([0, 1], pa.int64()),
+                     "parent": pa.array([1, 2], pa.int64())})
+    C = transitive_closure(rd.from_arrow(base), nb=4).materialize()
+    cyc = pa.table({"child": pa.array([2], pa.int64()),
+                    "parent": pa.array([0], pa.int64())})
+    alle = pa.table({"child": pa.array([0, 1, 2], pa.int64()),
+                     "parent": pa.array([1, 2, 0], pa.int64())})
+    with pytest.raises(ValueError, match="cycle"):
+        transitive_closure_incremental(C, cyc, alle, nb=4).materialize()
