@@ -237,6 +237,7 @@ def run_queries() -> dict:
         "harmonic_centrality", "construct_kg", "graph_eccentricity",
         "ktruss", "rel_links", "decontaminate_joined", "vocab_ids",
         "encode_corpus", "page_equivalence", "closure_incremental",
+        "fact_intervals",
     ]
     out = {}
     for name in names:

@@ -7543,3 +7543,52 @@ ORACLES["closure_incremental"] = (
     " SELECT CAST(node AS BIGINT) AS node, CAST(anc AS BIGINT) AS anc"
     " FROM cl"
 )
+
+
+def q_fact_intervals(sf_dir: str):
+    """Temporal fact compaction (windows.fact_intervals): each user's
+    event_type stream compacts into validity intervals — consecutive
+    same-value observations merge; valid_to = next island's start,
+    null while current. Fully oracled: LAG-boundary + running-SUM
+    islands + LEAD twin."""
+    from ..stages.windows import fact_intervals
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    obs = ev.map_batches(
+        lambda t: pa.table({
+            "subj": pc.binary_join_element_wise(
+                pa.array(["u"] * t.num_rows),
+                t.column("user_id").cast(pa.string()), ""),
+            "pred": pa.array(["status"] * t.num_rows),
+            "obj": t.column("event_type"),
+            "ts": t.column("ts")}),
+        batch_format="pyarrow")
+    out = fact_intervals(obs, nb=16)
+    df = (out.to_pandas()
+          .sort_values(["subj", "valid_from", "obj"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["fact_intervals"] = q_fact_intervals
+
+ORACLES["fact_intervals"] = (
+    "WITH obs AS (SELECT 'u' || user_id AS subj, 'status' AS pred,"
+    "  event_type AS obj, ts FROM events),"
+    " l AS (SELECT subj, pred, obj, ts,"
+    "  CASE WHEN LAG(ts) OVER w IS NULL THEN 1"
+    "   WHEN obj IS DISTINCT FROM LAG(obj) OVER w THEN 1 ELSE 0 END"
+    "   AS chg FROM obs"
+    "  WINDOW w AS (PARTITION BY subj, pred ORDER BY ts, obj)),"
+    " isl AS (SELECT subj, pred, obj, ts, SUM(chg) OVER"
+    "  (PARTITION BY subj, pred ORDER BY ts, obj"
+    "   ROWS UNBOUNDED PRECEDING) AS island FROM l),"
+    " g AS (SELECT subj, pred, obj, island, MIN(ts) AS valid_from,"
+    "  COUNT(*) AS n_obs FROM isl GROUP BY 1, 2, 3, 4),"
+    " f AS (SELECT subj, pred, obj, valid_from,"
+    "  LEAD(valid_from) OVER (PARTITION BY subj, pred"
+    "   ORDER BY island) AS valid_to,"
+    "  CAST(n_obs AS BIGINT) AS n_obs FROM g)"
+    " SELECT subj, pred, obj, valid_from, valid_to, n_obs FROM f"
+)

@@ -1523,3 +1523,83 @@ def centered_mean_per_key(
     return (events.map_batches(local, batch_format="pyarrow",
                                batch_size=65536)
             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def fact_intervals(
+    obs: "ray.data.Dataset",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    ts_col: str = "ts",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Temporal fact compaction (SQL islands-and-gaps) — the KG fact
+    VERSIONING pass over recrawl observations: consecutive
+    observations of the same ``(subj, pred)`` with the same ``obj``
+    merge into one validity interval →
+    ``(subj, pred, obj, valid_from, valid_to, n_obs)`` where
+    ``valid_to`` is the next island's start (exclusive) or null for
+    the currently-valid fact. Observation order is the total
+    ``(ts, obj)`` sort, so ts ties break deterministically; obj
+    comparison is null-safe (IS DISTINCT FROM semantics — null is a
+    value a recrawl can observe).
+
+    Shape: one bucket shuffle on ``(subj, pred)`` co-locates each
+    fact's history; per bucket the islands build vectorized from
+    boundary flags + cumsum run offsets (no per-fact Python)."""
+    from .canonicalize import _B, _add_bucket
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return _add_bucket(
+            t.select([s_col, p_col, o_col, ts_col]), [s_col, p_col], nb)
+
+    def compact(g: pa.Table) -> pa.Table:
+        t = g.drop_columns([_B]).sort_by(
+            [(s_col, "ascending"), (p_col, "ascending"),
+             (ts_col, "ascending"), (o_col, "ascending")])
+        n = t.num_rows
+        ts_type = t.schema.field(ts_col).type
+        if n == 0:
+            return pa.table({
+                s_col: pa.array([], pa.string()),
+                p_col: pa.array([], pa.string()),
+                o_col: pa.array([], pa.string()),
+                "valid_from": pa.array([], ts_type),
+                "valid_to": pa.array([], ts_type),
+                "n_obs": pa.array([], pa.int64())})
+        import pandas as pd
+
+        s = t.column(s_col).to_pandas().to_numpy()
+        p = t.column(p_col).to_pandas().to_numpy()
+        o = t.column(o_col).to_pandas()  # keep pandas for null-safe ne
+        key_chg = np.ones(n, dtype=bool)
+        key_chg[1:] = (s[1:] != s[:-1]) | (p[1:] != p[:-1])
+        prev_o = o.shift(1)
+        obj_chg = (o.ne(prev_o) & ~(o.isna() & prev_o.isna())).to_numpy()
+        boundary = key_chg | obj_chg
+        starts = np.nonzero(boundary)[0]
+        counts = np.diff(np.append(starts, n))
+        ts_arr = t.column(ts_col).combine_chunks()
+        vfrom = ts_arr.take(pa.array(starts))
+        # valid_to: next island's start within the SAME (s, p) run
+        nxt = np.empty(len(starts), dtype=np.int64)
+        nxt[:-1] = starts[1:]
+        nxt[-1] = -1
+        same_key = np.zeros(len(starts), dtype=bool)
+        if len(starts) > 1:
+            same_key[:-1] = ~key_chg[starts[1:]]
+        vto_idx = np.where(same_key, nxt, 0)
+        vto = ts_arr.take(pa.array(vto_idx))
+        vto = pa.compute.if_else(pa.array(same_key), vto,
+                                 pa.scalar(None, ts_type))
+        return pa.table({
+            s_col: t.column(s_col).take(pa.array(starts)),
+            p_col: t.column(p_col).take(pa.array(starts)),
+            o_col: t.column(o_col).take(pa.array(starts)),
+            "valid_from": vfrom,
+            "valid_to": vto,
+            "n_obs": pa.array(counts.astype(np.int64))})
+
+    return (obs.map_batches(bucketize, batch_format="pyarrow",
+                            batch_size=65536)
+            .groupby(_B).map_groups(compact, batch_format="pyarrow"))

@@ -687,3 +687,79 @@ def test_incremental_closure_cycle_raises():
                      "parent": pa.array([1, 2, 0], pa.int64())})
     with pytest.raises(ValueError, match="cycle"):
         transitive_closure_incremental(C, cyc, alle, nb=4).materialize()
+
+
+# ------------------------------------------------------ fact intervals
+
+def test_fact_intervals_islands_nulls_and_reopen():
+    import datetime as dt
+
+    import pandas as pd
+
+    from biosd_feature_annotator_ray.stages.windows import fact_intervals
+
+    T = lambda m: dt.datetime(2026, 1, 1, 0, m)  # noqa: E731
+    rows = [
+        {"subj": "u1", "pred": "status", "obj": "a", "ts": T(0)},
+        {"subj": "u1", "pred": "status", "obj": "a", "ts": T(1)},
+        {"subj": "u1", "pred": "status", "obj": "b", "ts": T(2)},
+        {"subj": "u1", "pred": "status", "obj": "a", "ts": T(3)},
+        {"subj": "u2", "pred": "status", "obj": None, "ts": T(0)},
+        {"subj": "u2", "pred": "status", "obj": None, "ts": T(1)},
+        {"subj": "u2", "pred": "status", "obj": "c", "ts": T(2)},
+    ]
+    out = fact_intervals(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3),
+        nb=8).to_pandas().sort_values(["subj", "valid_from"])
+    recs = [(r.subj, r.obj,
+             r.valid_from, r.valid_to if pd.notna(r.valid_to) else None,
+             r.n_obs) for r in out.itertuples()]
+    TS = pd.Timestamp
+    assert recs == [
+        # a reopens as a NEW interval after b (no cross-gap merge)
+        ("u1", "a", TS(T(0)), TS(T(2)), 2),
+        ("u1", "b", TS(T(2)), TS(T(3)), 1),
+        ("u1", "a", TS(T(3)), None, 1),
+        # null obj is a value: its island compacts like any other
+        ("u2", None, TS(T(0)), TS(T(2)), 2),
+        ("u2", "c", TS(T(2)), None, 1),
+    ]
+
+
+def test_fact_intervals_random_matches_pandas_reference():
+    import datetime as dt
+
+    import pandas as pd
+
+    from biosd_feature_annotator_ray.stages.windows import fact_intervals
+
+    rng = random.Random(81)
+    rows = []
+    for i in range(400):
+        rows.append({
+            "subj": f"s{rng.randrange(8)}", "pred": f"p{rng.randrange(2)}",
+            "obj": rng.choice(["x", "y", "z", None]),
+            "ts": dt.datetime(2026, 1, 1) + dt.timedelta(minutes=i)})
+    out = fact_intervals(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4),
+        nb=8).to_pandas().sort_values(["subj", "pred", "valid_from"])
+    got = [(r.subj, r.pred, r.obj,
+            r.valid_from, r.valid_to if pd.notna(r.valid_to) else None,
+            r.n_obs) for r in out.itertuples()]
+
+    df = pd.DataFrame(rows).sort_values(["subj", "pred", "ts", "obj"])
+    exp = []
+    for (s, p), g in df.groupby(["subj", "pred"], sort=True):
+        islands = []
+        for r in g.itertuples():
+            if islands and ((islands[-1][0] == r.obj) or
+                            (islands[-1][0] is None and r.obj is None)):
+                islands[-1][2] += 1
+            else:
+                islands.append([r.obj, r.ts, 1])
+        for k, (o, vf, n) in enumerate(islands):
+            vt = islands[k + 1][1] if k + 1 < len(islands) else None
+            exp.append((s, p, o, pd.Timestamp(vf),
+                        pd.Timestamp(vt) if vt else None, n))
+    exp.sort(key=lambda r: (r[0], r[1], r[3]))
+    assert got == exp
