@@ -7592,3 +7592,62 @@ ORACLES["fact_intervals"] = (
     "  CAST(n_obs AS BIGINT) AS n_obs FROM g)"
     " SELECT subj, pred, obj, valid_from, valid_to, n_obs FROM f"
 )
+
+
+def q_facts_asof(sf_dir: str):
+    """Point-in-time KG lookup: the facts valid AT 2024-01-15 00:00 —
+    a vectorized interval filter over the fact_intervals compaction
+    (valid_from ≤ t < valid_to, open intervals included). One
+    snapshot row per (subj, pred) by construction. Shares the
+    fact_intervals corpus; fully oracled."""
+    from ..stages.windows import fact_intervals
+
+    t_asof = pa.scalar(pd.Timestamp("2024-01-15 00:00:00"),
+                       pa.timestamp("us"))
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "ts"])
+    obs = ev.map_batches(
+        lambda t: pa.table({
+            "subj": pc.binary_join_element_wise(
+                pa.array(["u"] * t.num_rows),
+                t.column("user_id").cast(pa.string()), ""),
+            "pred": pa.array(["status"] * t.num_rows),
+            "obj": t.column("event_type"),
+            "ts": t.column("ts")}),
+        batch_format="pyarrow")
+
+    def at(t: pa.Table, q=t_asof) -> pa.Table:
+        keep = pc.and_(
+            pc.less_equal(t.column("valid_from"), q),
+            pc.fill_null(pc.greater(t.column("valid_to"), q), True))
+        return t.filter(keep).select(["subj", "pred", "obj"])
+
+    out = fact_intervals(obs, nb=16).map_batches(
+        at, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("subj").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["facts_asof"] = q_facts_asof
+
+ORACLES["facts_asof"] = (
+    "WITH obs AS (SELECT 'u' || user_id AS subj, 'status' AS pred,"
+    "  event_type AS obj, ts FROM events),"
+    " l AS (SELECT subj, pred, obj, ts,"
+    "  CASE WHEN LAG(ts) OVER w IS NULL THEN 1"
+    "   WHEN obj IS DISTINCT FROM LAG(obj) OVER w THEN 1 ELSE 0 END"
+    "   AS chg FROM obs"
+    "  WINDOW w AS (PARTITION BY subj, pred ORDER BY ts, obj)),"
+    " isl AS (SELECT subj, pred, obj, ts, SUM(chg) OVER"
+    "  (PARTITION BY subj, pred ORDER BY ts, obj"
+    "   ROWS UNBOUNDED PRECEDING) AS island FROM l),"
+    " g AS (SELECT subj, pred, obj, island, MIN(ts) AS valid_from"
+    "  FROM isl GROUP BY 1, 2, 3, 4),"
+    " f AS (SELECT subj, pred, obj, valid_from,"
+    "  LEAD(valid_from) OVER (PARTITION BY subj, pred"
+    "   ORDER BY island) AS valid_to FROM g)"
+    " SELECT subj, pred, obj FROM f"
+    " WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'"
+    "  AND (valid_to IS NULL OR valid_to > TIMESTAMP"
+    "   '2024-01-15 00:00:00')"
+)
