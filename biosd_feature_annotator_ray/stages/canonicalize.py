@@ -168,6 +168,36 @@ def sum_by_key(ds: "ray.data.Dataset", key: "str | list[str]",
             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
 
 
+def sums_by_key(ds: "ray.data.Dataset", key: "str | list[str]",
+                cols: "list[str]", nb: int = 64) -> "ray.data.Dataset":
+    """Multi-column sibling of :func:`sum_by_key`: exact per-key sums
+    of EVERY column in ``cols`` in ONE bucket plan — when an operator
+    needs several per-key sums over the same keys (pair counts +
+    Adamic–Adar weights, log-scores + mention counts), this replaces
+    N ``sum_by_key`` passes plus the join that re-combines them with
+    a single map-side-combined shuffle. Output columns keep their
+    input names."""
+    keys = [key] if isinstance(key, str) else list(key)
+
+    def _sum(t: pa.Table) -> pa.Table:
+        g = (t.select(keys + cols)
+             .group_by(keys).aggregate([(c, "sum") for c in cols]))
+        out = {k: g.column(k) for k in keys}
+        for c in cols:
+            out[c] = g.column(f"{c}_sum")
+        return pa.table(out)
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(_sum(batch), keys, nb)
+
+    def finish(group: pa.Table) -> pa.Table:
+        return _sum(group)
+
+    return (ds.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
 def groupby_argmax(
     ds: "ray.data.Dataset",
     key_cols: list[str],

@@ -2089,14 +2089,13 @@ def node_similarity(
             "common": pa.array([], pa.int64()),
             "jaccard": pa.array([], pa.float64()),
             "adamic_adar": pa.array([], pa.float64())}))
-    csum = sum_by_key(pairs.map_batches(
-        lambda t: t.select(["pa_", "pb_", "c"]),
-        batch_format="pyarrow"), ["pa_", "pb_"], "c", nb=nb)
-    asum = sum_by_key(pairs.map_batches(
-        lambda t: t.select(["pa_", "pb_", "aa"]),
-        batch_format="pyarrow"), ["pa_", "pb_"], "aa", nb=nb)
-    both = shuffle_hash_join(csum, asum, on=["pa_", "pb_"],
-                             how="inner", nb=nb)
+    from .canonicalize import sums_by_key
+
+    # one combined (c, aa) bucket pass — replaces two sum_by_key
+    # shuffles plus the pair-key join that re-merged them (measured
+    # on the sf0.1 derived graph: ~2M 2-hop pairs crossed the wire
+    # three times; now once)
+    both = sums_by_key(pairs, ["pa_", "pb_"], ["c", "aa"], nb=nb)
     both = both.map_batches(
         lambda t, mc=int(min_common): t.filter(
             pc.greater_equal(t.column("c"), mc)),
@@ -2317,17 +2316,11 @@ def fuse_triple_confidence(
             "n": pa.array(np.ones(t.num_rows, np.int64))})
 
     pp = triples.map_batches(prep, batch_format="pyarrow")
-    lsum = sum_by_key(pp.map_batches(
-        lambda t: t.select(["subj", "pred", "obj", "lg"]),
-        batch_format="pyarrow"), ["subj", "pred", "obj"], "lg", nb=nb)
-    nsum = sum_by_key(pp.map_batches(
-        lambda t: t.select(["subj", "pred", "obj", "n"]),
-        batch_format="pyarrow"), ["subj", "pred", "obj"], "n", nb=nb)
+    # one combined (lg, n) bucket pass — replaces two sum_by_key
+    # shuffles plus the composite-key join that re-merged them
+    from .canonicalize import sums_by_key
 
-    from .join import shuffle_hash_join
-
-    j = shuffle_hash_join(lsum, nsum, on=["subj", "pred", "obj"],
-                          how="inner", nb=nb)
+    j = sums_by_key(pp, ["subj", "pred", "obj"], ["lg", "n"], nb=nb)
 
     def finish(t: pa.Table) -> pa.Table:
         conf = pc.subtract(pa.scalar(1.0), pc.exp(t.column("lg")))
