@@ -238,6 +238,8 @@ def run_queries() -> dict:
         "ktruss", "rel_links", "decontaminate_joined", "vocab_ids",
         "encode_corpus", "page_equivalence", "closure_incremental",
         "fact_intervals",
+        # round-4 seventh sitting
+        "hearst_isa",
     ]
     out = {}
     for name in names:

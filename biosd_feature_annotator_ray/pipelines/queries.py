@@ -7651,3 +7651,98 @@ ORACLES["facts_asof"] = (
     "  AND (valid_to IS NULL OR valid_to > TIMESTAMP"
     "   '2024-01-15 00:00:00')"
 )
+
+
+_HEARST_SUFFIXES = np.array([
+    " mammals such as dogs, cats and foxes",
+    " metals including iron, zinc",
+    " oaks, pines and other trees",
+    " fruits especially apples",
+    " gems such as rubies or emeralds",
+    "",
+    "",
+], dtype=object)
+
+
+def q_hearst_isa(sf_dir: str):
+    """Hearst-pattern is-a extraction (relations.extract_hearst): the
+    text→triple step of KG construction. Deterministic pattern
+    sentences are planted per doc_id (the synthetic corpus has no
+    natural hypernym phrasing — same approach as pii_redact); the
+    extractor then mines (hypo, isa, hyper) triples with four
+    RE2-replayable Hearst patterns. Fully oracled: the SQL twin
+    augments identically and replays every regex + the list splitter
+    in DuckDB."""
+    from ..stages.relations import extract_hearst
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        suf = pa.array(_HEARST_SUFFIXES[ids % 7], pa.string())
+        txt = pc.binary_join_element_wise(t.column("text"), suf, "")
+        return pa.table({"doc_id": t.column("doc_id"), "text": txt})
+
+    out = docs.map_batches(aug, batch_format="pyarrow").map_batches(
+        extract_hearst, batch_format="pyarrow")
+    df = (out.to_pandas()
+          .sort_values(["doc_id", "pattern", "subj"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["hearst_isa"] = q_hearst_isa
+
+_HEARST_AUG_SQL = (
+    "SELECT doc_id, lower(text || CASE CAST(doc_id % 7 AS INTEGER)"
+    "  WHEN 0 THEN ' mammals such as dogs, cats and foxes'"
+    "  WHEN 1 THEN ' metals including iron, zinc'"
+    "  WHEN 2 THEN ' oaks, pines and other trees'"
+    "  WHEN 3 THEN ' fruits especially apples'"
+    "  WHEN 4 THEN ' gems such as rubies or emeralds'"
+    "  ELSE '' END) AS txt FROM documents"
+)
+
+ORACLES["hearst_isa"] = (
+    "WITH aug AS (" + _HEARST_AUG_SQL + "),"
+    " m1 AS (SELECT doc_id, unnest(regexp_extract_all(txt,"
+    "  '(\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)'))"
+    "  AS m FROM aug),"
+    " e1 AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "   regexp_extract(m,"
+    "   '(\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),"
+    "   ',? (?:and|or) |, ')) AS subj,"
+    "  regexp_extract(m,"
+    "   '(\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1)"
+    "   AS obj, 'such_as' AS pattern FROM m1),"
+    " m2 AS (SELECT doc_id, unnest(regexp_extract_all(txt,"
+    "  '(\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)'))"
+    "  AS m FROM aug),"
+    " e2 AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "   regexp_extract(m,"
+    "   '(\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),"
+    "   ',? (?:and|or) |, ')) AS subj,"
+    "  regexp_extract(m,"
+    "   '(\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1)"
+    "   AS obj, 'including' AS pattern FROM m2),"
+    " m3 AS (SELECT doc_id, unnest(regexp_extract_all(txt,"
+    "  '(\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)'))"
+    "  AS m FROM aug),"
+    " e3 AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "   regexp_extract(m,"
+    "   '(\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),"
+    "   ',? (?:and|or) |, ')) AS subj,"
+    "  regexp_extract(m,"
+    "   '(\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1)"
+    "   AS obj, 'especially' AS pattern FROM m3),"
+    " m4 AS (SELECT doc_id, unnest(regexp_extract_all(txt,"
+    "  '(\\w+(?:, \\w+)*) and other (\\w+)')) AS m FROM aug),"
+    " e4 AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "   regexp_extract(m, '(\\w+(?:, \\w+)*) and other (\\w+)', 1),"
+    "   ',? (?:and|or) |, ')) AS subj,"
+    "  regexp_extract(m, '(\\w+(?:, \\w+)*) and other (\\w+)', 2)"
+    "   AS obj, 'and_other' AS pattern FROM m4)"
+    " SELECT doc_id, subj, 'isa' AS pred, obj, pattern FROM"
+    " (SELECT * FROM e1 UNION ALL SELECT * FROM e2"
+    "  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)"
+)
