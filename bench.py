@@ -239,7 +239,7 @@ def run_queries() -> dict:
         "encode_corpus", "page_equivalence", "closure_incremental",
         "fact_intervals",
         # round-4 seventh sitting
-        "hearst_isa",
+        "hearst_isa", "mine_rules",
     ]
     out = {}
     for name in names:

@@ -7746,3 +7746,79 @@ ORACLES["hearst_isa"] = (
     " (SELECT * FROM e1 UNION ALL SELECT * FROM e2"
     "  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4)"
 )
+
+
+def q_mine_rules(sf_dir: str):
+    """AMIE-lite rule mining (graph.mine_rules): confidence +
+    head-coverage of every supported 2-hop chain rule
+    p1(x,y) ∧ p2(y,z) ⇒ p3(x,z) over a deterministic synthetic KG
+    (worksFor/locatedIn/livesIn/inCountry/citizenOf/knows — planted
+    so three rules hold with distinct confidences). Fully oracled:
+    the SQL twin regenerates the KG with generate_series and replays
+    body/support/head censuses with joins + GROUP BYs."""
+    from ..stages.graph import mine_rules
+
+    rows = []
+    for i in range(60):
+        rows.append({"subj": f"p{i}", "pred": "worksFor",
+                     "obj": f"org{i % 10}"})
+    for j in range(10):
+        rows.append({"subj": f"org{j}", "pred": "locatedIn",
+                     "obj": f"city{j % 5}"})
+    for i in range(0, 60, 3):
+        rows.append({"subj": f"p{i}", "pred": "livesIn",
+                     "obj": f"city{(i % 10) % 5}"})
+    for k in range(5):
+        rows.append({"subj": f"city{k}", "pred": "inCountry",
+                     "obj": f"country{k % 2}"})
+    for i in range(0, 60, 6):
+        rows.append({"subj": f"p{i}", "pred": "citizenOf",
+                     "obj": f"country{((i % 10) % 5) % 2}"})
+    for i in range(60):
+        rows.append({"subj": f"p{i}", "pred": "knows",
+                     "obj": f"p{(i + 1) % 60}"})
+    kg = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = mine_rules(kg, nb=8)
+    df = (out.to_pandas().sort_values(["p1", "p2", "p3"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["mine_rules"] = q_mine_rules
+
+ORACLES["mine_rules"] = (
+    "WITH t AS ("
+    " SELECT 'p' || i AS subj, 'worksFor' AS pred,"
+    "  'org' || (i % 10) AS obj FROM generate_series(0, 59) s(i)"
+    " UNION ALL SELECT 'org' || j, 'locatedIn', 'city' || (j % 5)"
+    "  FROM generate_series(0, 9) s(j)"
+    " UNION ALL SELECT 'p' || i, 'livesIn',"
+    "  'city' || ((i % 10) % 5) FROM generate_series(0, 59) s(i)"
+    "  WHERE i % 3 = 0"
+    " UNION ALL SELECT 'city' || k, 'inCountry',"
+    "  'country' || (k % 2) FROM generate_series(0, 4) s(k)"
+    " UNION ALL SELECT 'p' || i, 'citizenOf',"
+    "  'country' || (((i % 10) % 5) % 2)"
+    "  FROM generate_series(0, 59) s(i) WHERE i % 6 = 0"
+    " UNION ALL SELECT 'p' || i, 'knows', 'p' || ((i + 1) % 60)"
+    "  FROM generate_series(0, 59) s(i)),"
+    " td AS (SELECT DISTINCT subj, pred, obj FROM t),"
+    " body AS (SELECT DISTINCT a.pred AS p1, b.pred AS p2,"
+    "  a.subj AS x, b.obj AS z FROM td a JOIN td b"
+    "  ON a.obj = b.subj),"
+    " bn AS (SELECT p1, p2, COUNT(*) AS body_pairs FROM body"
+    "  GROUP BY 1, 2),"
+    " sup AS (SELECT body.p1, body.p2, h.pred AS p3,"
+    "  COUNT(*) AS support FROM body JOIN td h"
+    "  ON h.subj = body.x AND h.obj = body.z GROUP BY 1, 2, 3),"
+    " hn AS (SELECT pred AS p3, COUNT(*) AS head_pairs FROM td"
+    "  GROUP BY 1)"
+    " SELECT sup.p1, sup.p2, sup.p3,"
+    "  CAST(bn.body_pairs AS BIGINT) AS body_pairs,"
+    "  CAST(sup.support AS BIGINT) AS support,"
+    "  round(sup.support / CAST(bn.body_pairs AS DOUBLE), 6) AS conf,"
+    "  round(sup.support / CAST(hn.head_pairs AS DOUBLE), 6)"
+    "   AS head_coverage"
+    " FROM sup JOIN bn ON bn.p1 = sup.p1 AND bn.p2 = sup.p2"
+    " JOIN hn ON hn.p3 = sup.p3"
+)

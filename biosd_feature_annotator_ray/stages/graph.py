@@ -2980,3 +2980,97 @@ def transitive_closure_incremental(
     raise RuntimeError(
         "transitive_closure_incremental did not converge in "
         f"max_iters={max_iters}")
+
+
+def mine_rules(
+    triples: "ray.data.Dataset",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    min_support: int = 1,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """AMIE-lite 2-hop rule mining (Galárraga et al. 2013, public):
+    for every chain rule ``p1(x,y) ∧ p2(y,z) ⇒ p3(x,z)`` report
+
+    - ``body_pairs``: #distinct (x, z) connected by a (p1, p2) path,
+    - ``support``: #those pairs where ``p3(x, z)`` is in the KG,
+    - ``conf``: support / body_pairs (standard CWA confidence),
+    - ``head_coverage``: support / #pairs of p3.
+
+    The KG-completion miner a construction pipeline runs AFTER
+    canonicalization to propose missing facts. Shape: set-semantics
+    dedup → ONE mid-node bucket join (the only |E|-scale shuffle) →
+    distinct body pairs (exact dedup, bucketed) → one (x, z) join
+    against the head set → tiny per-rule ``sum_by_key`` censuses.
+    The rule table itself is O(#predicates³) — broadcast-small — so
+    the final confidence joins run over kilobytes."""
+    from .canonicalize import dedup_exact, sum_by_key
+    from .join import shuffle_hash_join
+
+    def _sel(t: pa.Table, mapping: "list[tuple[str, str]]") -> pa.Table:
+        return pa.table({new: t.column(old) for old, new in mapping})
+
+    T = dedup_exact(
+        triples.map_batches(
+            lambda t: _sel(t, [(s_col, "subj"), (p_col, "pred"),
+                               (o_col, "obj")]),
+            batch_format="pyarrow"),
+        ["subj", "pred", "obj"], nb=nb)
+
+    left = T.map_batches(
+        lambda t: _sel(t, [("subj", "x"), ("pred", "p1"), ("obj", "y")]),
+        batch_format="pyarrow")
+    right = T.map_batches(
+        lambda t: _sel(t, [("subj", "y"), ("pred", "p2"), ("obj", "z")]),
+        batch_format="pyarrow")
+    body = dedup_exact(
+        shuffle_hash_join(left, right, on=["y"], how="inner", nb=nb)
+        .map_batches(lambda t: t.select(["p1", "p2", "x", "z"]),
+                     batch_format="pyarrow"),
+        ["p1", "p2", "x", "z"], nb=nb)
+
+    def _one(t: pa.Table, cols: list[str]) -> pa.Table:
+        return t.select(cols).append_column(
+            "n", pa.array(np.ones(t.num_rows, np.int64)))
+
+    body_n = sum_by_key(
+        body.map_batches(lambda t: _one(t, ["p1", "p2"]),
+                         batch_format="pyarrow"),
+        ["p1", "p2"], "n", nb=nb, out_col="body_pairs")
+
+    heads = T.map_batches(
+        lambda t: _sel(t, [("subj", "x"), ("pred", "p3"), ("obj", "z")]),
+        batch_format="pyarrow")
+    supp = sum_by_key(
+        shuffle_hash_join(body, heads, on=["x", "z"], how="inner",
+                          nb=nb)
+        .map_batches(lambda t: _one(t, ["p1", "p2", "p3"]),
+                     batch_format="pyarrow"),
+        ["p1", "p2", "p3"], "n", nb=nb, out_col="support")
+    head_n = sum_by_key(
+        heads.map_batches(lambda t: _one(t, ["p3"]),
+                          batch_format="pyarrow"),
+        ["p3"], "n", nb=nb, out_col="head_pairs")
+
+    out = shuffle_hash_join(
+        shuffle_hash_join(supp, body_n, on=["p1", "p2"], how="inner",
+                          nb=nb),
+        head_n, on=["p3"], how="inner", nb=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t.column("support"),
+                                      pa.scalar(min_support)))
+        sup = t.column("support").cast(pa.float64())
+        return pa.table({
+            "p1": t.column("p1"), "p2": t.column("p2"),
+            "p3": t.column("p3"),
+            "body_pairs": t.column("body_pairs").cast(pa.int64()),
+            "support": t.column("support").cast(pa.int64()),
+            "conf": pc.round(pc.divide(
+                sup, t.column("body_pairs").cast(pa.float64())), 6),
+            "head_coverage": pc.round(pc.divide(
+                sup, t.column("head_pairs").cast(pa.float64())), 6),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
