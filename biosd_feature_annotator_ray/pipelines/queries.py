@@ -7822,3 +7822,64 @@ ORACLES["mine_rules"] = (
     " FROM sup JOIN bn ON bn.p1 = sup.p1 AND bn.p2 = sup.p2"
     " JOIN hn ON hn.p3 = sup.p3"
 )
+
+
+def q_random_walks(sf_dir: str):
+    """Seeded deterministic random walks (graph.random_walks) — the
+    DeepWalk corpus-prep step, reproducible by construction: step-t
+    choice = md5(node:walk:t:seed) mod outdeg, taking that rank of
+    the dst-sorted neighbor list. 50-node ring+chord graph, 2 walks
+    per node, length 3. Fully oracled: the SQL twin rebuilds the
+    graph, replays the identical md5 draw per unrolled step, and
+    joins on (node, rank)."""
+    from ..stages.graph import random_walks
+
+    rows = []
+    for i in range(50):
+        for d in ((i + 1) % 50, (i + 3) % 50, (2 * i) % 50):
+            rows.append({"src": i, "dst": d})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = random_walks(ds, walk_len=3, walks_per_node=2, seed=7, nb=8)
+    df = (out.to_pandas().sort_values(["start", "walk", "step"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["random_walks"] = q_random_walks
+
+
+def _rw_choice_sql(w: str, t: int) -> str:
+    return (
+        f" c{t} AS (SELECT {w}.start, {w}.walk, {w}.node,"
+        f"  CAST(('0x' || substr(md5(CAST({w}.node AS VARCHAR) || ':'"
+        f"   || CAST({w}.walk AS VARCHAR) || ':{t}:7'), 1, 8))::UBIGINT"
+        f"   AS BIGINT) % d.deg AS ch"
+        f"  FROM {w} JOIN d ON d.src = {w}.node),"
+        f" w{t} AS (SELECT c{t}.start, c{t}.walk, adj.dst AS node"
+        f"  FROM c{t} JOIN adj ON adj.src = c{t}.node"
+        f"   AND adj.rnk = c{t}.ch),"
+    )
+
+
+ORACLES["random_walks"] = (
+    "WITH e AS (SELECT DISTINCT src, dst FROM ("
+    " SELECT i AS src, (i + 1) % 50 AS dst"
+    "  FROM generate_series(0, 49) s(i)"
+    " UNION ALL SELECT i, (i + 3) % 50"
+    "  FROM generate_series(0, 49) s(i)"
+    " UNION ALL SELECT i, (2 * i) % 50"
+    "  FROM generate_series(0, 49) s(i))),"
+    " adj AS (SELECT src, dst, ROW_NUMBER() OVER"
+    "  (PARTITION BY src ORDER BY dst) - 1 AS rnk,"
+    "  COUNT(*) OVER (PARTITION BY src) AS deg FROM e),"
+    " d AS (SELECT DISTINCT src, deg FROM adj),"
+    " w0 AS (SELECT n.src AS start, g.r AS walk, n.src AS node"
+    "  FROM (SELECT DISTINCT src FROM e) n,"
+    "  generate_series(0, 1) g(r)),"
+    + _rw_choice_sql("w0", 1) + _rw_choice_sql("w1", 2)[1:]
+    + _rw_choice_sql("w2", 3)[1:-1]
+    + " SELECT start, walk, CAST(0 AS BIGINT) AS step, node FROM w0"
+    " UNION ALL SELECT start, walk, 1, node FROM w1"
+    " UNION ALL SELECT start, walk, 2, node FROM w2"
+    " UNION ALL SELECT start, walk, 3, node FROM w3"
+)

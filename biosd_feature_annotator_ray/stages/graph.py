@@ -3074,3 +3074,125 @@ def mine_rules(
         })
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+def random_walks(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walk_len: int = 3,
+    walks_per_node: int = 1,
+    seed: int = 7,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Seeded DETERMINISTIC random walks — the corpus-prep step for
+    DeepWalk/node2vec-style graph embeddings (Perozzi et al. 2014,
+    public), made reproducible so a failed 100-TB job re-runs to the
+    identical corpus: the step-t choice out of node v on walk r is
+    ``md5(f"{v}:{r}:{t}:{seed}") mod outdeg(v)`` (the repo's
+    cross-system md5 uniform, ``functions/hashing.py::md5_u32``),
+    taking that rank in the dst-sorted DISTINCT-neighbor list. Output
+    is the walk corpus in long format ``(start, walk, step, node)``
+    with step 0 = the start node; walks start from every node with
+    out-edges and stop early at sinks.
+
+    Shape: one bucketed rank/degree pass over the deduped edge set
+    (per-src-bucket sort + numpy run offsets), then TWO bucketed
+    joins per step (frontier⋈degree to draw the choice, ⋈adjacency on
+    (node, rank) to step) — 2·walk_len shuffles total, no per-row
+    Python beyond the md5 draw itself, no driver materialization."""
+    from ..functions.hashing import md5_u32
+    from .canonicalize import _B, _add_bucket, dedup_exact
+    from .join import shuffle_hash_join
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column(src_col),
+                         "dst": t.column(dst_col)})
+
+    E = dedup_exact(edges.map_batches(_sel, batch_format="pyarrow"),
+                    ["src", "dst"], nb=nb)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        t = g.select(["src", "dst"]).sort_by(
+            [("src", "ascending"), ("dst", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "src": t.column("src"), "dst": t.column("dst"),
+                "rank": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64())})
+        arr = t.column("src").to_pandas().to_numpy()
+        starts = np.r_[True, arr[1:] != arr[:-1]]
+        run_id = np.cumsum(starts) - 1
+        start_idx = np.flatnonzero(starts)
+        counts = np.diff(np.r_[start_idx, n])
+        return pa.table({
+            "src": t.column("src"), "dst": t.column("dst"),
+            "rank": pa.array((np.arange(n) - start_idx[run_id])
+                             .astype(np.int64)),
+            "deg": pa.array(counts[run_id].astype(np.int64))})
+
+    adj = (E.map_batches(lambda t: _add_bucket(t, ["src"], nb),
+                         batch_format="pyarrow")
+           .groupby(_B).map_groups(rank_group, batch_format="pyarrow")
+           .map_batches(lambda t: pa.table({
+               "node": t.column("src"), "next": t.column("dst"),
+               "rank": t.column("rank"), "deg": t.column("deg")}),
+               batch_format="pyarrow")
+           .materialize())
+    deg_tbl = adj.map_batches(
+        lambda t: t.filter(pc.equal(t.column("rank"), 0))
+        .select(["node", "deg"]), batch_format="pyarrow")
+    adj_j = adj.map_batches(lambda t: t.select(["node", "rank", "next"]),
+                            batch_format="pyarrow")
+
+    def fan(t: pa.Table, w=walks_per_node) -> pa.Table:
+        node = t.column("node")
+        idx = pa.array(np.repeat(np.arange(t.num_rows), w))
+        walk = pa.array(np.tile(np.arange(w, dtype=np.int64),
+                                t.num_rows))
+        n = node.take(idx)
+        return pa.table({"start": n, "walk": walk, "node": n})
+
+    frontier = deg_tbl.map_batches(fan, batch_format="pyarrow")
+
+    def emit(t: pa.Table, step: int) -> pa.Table:
+        return pa.table({
+            "start": t.column("start"), "walk": t.column("walk"),
+            "step": pa.array(np.full(t.num_rows, step, np.int64)),
+            "node": t.column("node")})
+
+    acc = frontier.map_batches(lambda t: emit(t, 0),
+                               batch_format="pyarrow")
+    for t_step in range(1, walk_len + 1):
+        j = shuffle_hash_join(frontier, deg_tbl, on=["node"],
+                              how="inner", nb=nb)
+        # an emptied intermediate loses its schema and can't feed the
+        # (node, rank) join — stop as soon as every walk has ended
+
+        def choose(t: pa.Table, ts=t_step) -> pa.Table:
+            keys = [f"{n}:{r}:{ts}:{seed}" for n, r in
+                    zip(t.column("node").to_pylist(),
+                        t.column("walk").to_pylist())]
+            ch = (md5_u32(keys)
+                  % t.column("deg").to_numpy(zero_copy_only=False))
+            return pa.table({
+                "start": t.column("start"), "walk": t.column("walk"),
+                "node": t.column("node"),
+                "rank": pa.array(ch.astype(np.int64))})
+
+        picked = j.map_batches(choose,
+                               batch_format="pyarrow").materialize()
+        if picked.count() == 0:
+            break
+        stepped = shuffle_hash_join(
+            picked, adj_j, on=["node", "rank"], how="inner",
+            nb=nb).map_batches(
+            lambda t: pa.table({"start": t.column("start"),
+                                "walk": t.column("walk"),
+                                "node": t.column("next")}),
+            batch_format="pyarrow").materialize()
+        acc = acc.union(stepped.map_batches(
+            lambda t, ts=t_step: emit(t, ts), batch_format="pyarrow"))
+        frontier = stepped
+    return acc
