@@ -239,7 +239,7 @@ def run_queries() -> dict:
         "encode_corpus", "page_equivalence", "closure_incremental",
         "fact_intervals",
         # round-4 seventh sitting
-        "hearst_isa", "mine_rules", "random_walks",
+        "hearst_isa", "mine_rules", "random_walks", "mime_sniff",
     ]
     out = {}
     for name in names:

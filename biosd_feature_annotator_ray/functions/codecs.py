@@ -496,3 +496,53 @@ def audio_fp64(samples: np.ndarray, rate: int = 16000) -> np.uint64:
     return np.uint64(
         (bits.astype(np.uint64)
          << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
+
+
+# content-type → magic-byte rule used by sniff_mime (public file-magic
+# constants). (mime, offset, magic) — first match in ORDER wins, so the
+# RIFF-container refinements (WAVE/WEBP) sit above nothing generic.
+MIME_MAGIC = [
+    ("image/png", 0, b"\x89PNG\r\n\x1a\n"),
+    ("image/jpeg", 0, b"\xff\xd8\xff"),
+    ("image/gif", 0, b"GIF87a"),
+    ("image/gif", 0, b"GIF89a"),
+    ("application/pdf", 0, b"%PDF-"),
+    ("application/zip", 0, b"PK\x03\x04"),
+    ("application/gzip", 0, b"\x1f\x8b"),
+    ("video/mp4", 4, b"ftyp"),
+]
+# RIFF containers need BOTH the tag and the format fourcc
+_RIFF_FORMS = [("audio/wav", b"WAVE"), ("image/webp", b"WEBP")]
+
+
+def sniff_mime(arr: "pa.Array | pa.ChunkedArray") -> "pa.Array":
+    """Vectorized MIME sniffing of a binary column by magic bytes —
+    the triage step a multimodal crawl pipeline runs BEFORE routing
+    payloads to decoders (PNG/JPEG/GIF/PDF/ZIP/GZIP/MP4/WAV/WEBP;
+    anything else → ``application/octet-stream``; null → null). All
+    Arrow kernels (binary_slice + equality), no per-row Python."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    n = len(arr)
+    conds, picks = [], []
+
+    def _eq(off: int, magic: bytes) -> np.ndarray:
+        s = pc.binary_slice(arr, off, off + len(magic))
+        return pc.fill_null(
+            pc.equal(s, pa.scalar(magic, pa.binary())),
+            False).to_numpy(zero_copy_only=False)
+
+    for mime, off, magic in MIME_MAGIC:
+        conds.append(_eq(off, magic))
+        picks.append(mime)
+    riff = _eq(0, b"RIFF")
+    for mime, form in _RIFF_FORMS:
+        conds.append(riff & _eq(8, form))
+        picks.append(mime)
+    out = np.select(conds, picks, default="application/octet-stream")
+    valid = ~np.asarray(arr.is_null())
+    return pa.array(np.where(valid, out, None), pa.string(),
+                    mask=~valid)

@@ -7883,3 +7883,71 @@ ORACLES["random_walks"] = (
     " UNION ALL SELECT start, walk, 2, node FROM w2"
     " UNION ALL SELECT start, walk, 3, node FROM w3"
 )
+
+
+_MIME_PREFIXES = [
+    b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff", b"GIF89a", b"%PDF-",
+    b"PK\x03\x04", b"\x1f\x8b", b"xxxxftyp", b"RIFF0000WAVE",
+    b"RIFF0000WEBP", b"junkdata",
+]
+
+
+def q_mime_sniff(sf_dir: str):
+    """Magic-byte MIME sniffing (codecs.sniff_mime): the multimodal
+    triage that routes crawl payloads to decoders. Deterministic
+    binary payloads are derived per doc_id (10 format families +
+    id-dependent tails). Fully oracled at the HEX level: the SQL twin
+    regenerates each payload's hex string and re-sniffs it with its
+    own substr CASE chain — an independent second implementation."""
+    from ..functions.codecs import sniff_mime
+
+    docs = _docs(sf_dir, ["doc_id"])
+
+    def build(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        payload = [_MIME_PREFIXES[i % 10] + b"\x01" * (i % 5)
+                   for i in ids]
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "payload": pa.array(payload, pa.binary())})
+
+    def sniff(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "mime": sniff_mime(t.column("payload"))})
+
+    out = (docs.map_batches(build, batch_format="pyarrow")
+           .map_batches(sniff, batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["mime_sniff"] = q_mime_sniff
+
+ORACLES["mime_sniff"] = (
+    "WITH b AS (SELECT doc_id, CASE CAST(doc_id % 10 AS INTEGER)"
+    "  WHEN 0 THEN '89504E470D0A1A0A'"
+    "  WHEN 1 THEN 'FFD8FF'"
+    "  WHEN 2 THEN '474946383961'"
+    "  WHEN 3 THEN '255044462D'"
+    "  WHEN 4 THEN '504B0304'"
+    "  WHEN 5 THEN '1F8B'"
+    "  WHEN 6 THEN '7878787866747970'"
+    "  WHEN 7 THEN '524946463030303057415645'"
+    "  WHEN 8 THEN '524946463030303057454250'"
+    "  ELSE '6A756E6B64617461' END"
+    "  || repeat('01', CAST(doc_id % 5 AS INTEGER)) AS h"
+    " FROM documents)"
+    " SELECT doc_id, CASE"
+    "  WHEN substr(h, 1, 16) = '89504E470D0A1A0A' THEN 'image/png'"
+    "  WHEN substr(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg'"
+    "  WHEN substr(h, 1, 12) IN ('474946383761', '474946383961')"
+    "   THEN 'image/gif'"
+    "  WHEN substr(h, 1, 10) = '255044462D' THEN 'application/pdf'"
+    "  WHEN substr(h, 1, 8) = '504B0304' THEN 'application/zip'"
+    "  WHEN substr(h, 1, 4) = '1F8B' THEN 'application/gzip'"
+    "  WHEN substr(h, 9, 8) = '66747970' THEN 'video/mp4'"
+    "  WHEN substr(h, 1, 8) = '52494646'"
+    "   AND substr(h, 17, 8) = '57415645' THEN 'audio/wav'"
+    "  WHEN substr(h, 1, 8) = '52494646'"
+    "   AND substr(h, 17, 8) = '57454250' THEN 'image/webp'"
+    "  ELSE 'application/octet-stream' END AS mime FROM b"
+)

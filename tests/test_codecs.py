@@ -286,3 +286,22 @@ def test_mp4_meta_stage_dirty_column(ray_session):
     assert pd.isna(out.loc[1, "width"]) and "ValueError" in out.loc[1, "mp4_error"]
     assert out.loc[2, "height"] == 480 and out.loc[2, "keyframes"] == "0,1,2,3"
     assert out.loc[0, "mp4_error"] is None or pd.isna(out.loc[0, "mp4_error"])
+
+
+def test_sniff_mime_magic_table():
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.functions.codecs import sniff_mime
+
+    vals = [b"\x89PNG\r\n\x1a\npayload", b"\x89PNG\r\n\x1a\x08xx",
+            b"\xff\xd8\xffrest", b"GIF87a;;", b"GIF89a;;", b"%PDF-1.7",
+            b"PK\x03\x04zip", b"\x1f\x8bgz", b"xxxxftypisom",
+            b"RIFF1234WAVEfmt", b"RIFF1234WEBPVP8", b"RIFF1234AVI ",
+            b"", b"\x89P", None]
+    got = sniff_mime(pa.array(vals, pa.binary())).to_pylist()
+    assert got == [
+        "image/png", "application/octet-stream", "image/jpeg",
+        "image/gif", "image/gif", "application/pdf",
+        "application/zip", "application/gzip", "video/mp4",
+        "audio/wav", "image/webp", "application/octet-stream",
+        "application/octet-stream", "application/octet-stream", None]
