@@ -240,6 +240,7 @@ def run_queries() -> dict:
         "fact_intervals",
         # round-4 seventh sitting
         "hearst_isa", "mine_rules", "random_walks", "mime_sniff",
+        "resolve_conflicts",
     ]
     out = {}
     for name in names:

@@ -7951,3 +7951,46 @@ ORACLES["mime_sniff"] = (
     "   AND substr(h, 17, 8) = '57454250' THEN 'image/webp'"
     "  ELSE 'application/octet-stream' END AS mime FROM b"
 )
+
+
+def q_resolve_conflicts(sf_dir: str):
+    """Functional-property conflict resolution
+    (graph.resolve_conflicts): per (subj, pred) of the functional
+    predicates p0/p1, the max-confidence object plus the competing
+    value count and winner margin. Synth multi-mention stream with
+    per-group conflicting objects. Fully oracled: noisy-OR fold +
+    row_number/lead/count window twin."""
+    from ..stages.graph import resolve_conflicts
+
+    rows = []
+    for i in range(900):
+        rows.append({"subj": f"E{i % 60}", "pred": f"p{(i // 60) % 3}",
+                     "obj": f"V{(i % 15 + i // 60) % 15}",
+                     "score": ((i * 7) % 9 + 1) / 10.0})
+    t = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    out = resolve_conflicts(t, ["p0", "p1"], nb=8)
+    df = (out.to_pandas().sort_values(["subj", "pred"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["resolve_conflicts"] = q_resolve_conflicts
+
+ORACLES["resolve_conflicts"] = (
+    "WITH t AS (SELECT 'E' || (i % 60) AS subj,"
+    "  'p' || ((i // 60) % 3) AS pred,"
+    "  'V' || ((i % 15 + i // 60) % 15) AS obj,"
+    "  ((i * 7) % 9 + 1) / 10.0 AS score"
+    "  FROM generate_series(0, 899) s(i)),"
+    " fused AS (SELECT subj, pred, obj,"
+    "  round(1.0 - exp(sum(ln(1.0 - score))), 6) AS conf"
+    "  FROM t WHERE pred IN ('p0', 'p1') GROUP BY 1, 2, 3),"
+    " r AS (SELECT subj, pred, obj, conf,"
+    "  ROW_NUMBER() OVER w AS rn, LEAD(conf) OVER w AS nxt,"
+    "  COUNT(*) OVER (PARTITION BY subj, pred) AS nv FROM fused"
+    "  WINDOW w AS (PARTITION BY subj, pred"
+    "   ORDER BY conf DESC, obj))"
+    " SELECT subj, pred, obj, conf, CAST(nv AS BIGINT) AS n_values,"
+    "  round(conf - COALESCE(nxt, conf), 6) AS margin"
+    " FROM r WHERE rn = 1"
+)

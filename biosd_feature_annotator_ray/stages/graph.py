@@ -3196,3 +3196,69 @@ def random_walks(
             lambda t, ts=t_step: emit(t, ts), batch_format="pyarrow"))
         frontier = stepped
     return acc
+
+
+def resolve_conflicts(
+    triples: "ray.data.Dataset",
+    functional_preds: "list[str]",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    score_col: str = "score",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Functional-property conflict resolution — the KG-QA merge when
+    a predicate admits ONE object per subject (bornIn, capitalOf) but
+    extraction produced several: noisy-OR fuse per candidate
+    (:func:`fuse_triple_confidence`), then per (subj, pred) keep the
+    max-confidence object (ties → lexically smallest obj, so recovery
+    reruns pick the same winner) and report ``n_values`` (#competing
+    objects) and ``margin`` (winner conf − runner-up conf, 0 when
+    uncontested) — the audit columns a curator triages by.
+
+    Shape: one fused bucket pass + ONE (subj, pred) bucket shuffle
+    with a numpy run-geometry finisher — no sort-based groupby, no
+    per-row Python."""
+    from .canonicalize import _B, _add_bucket
+
+    keep = pa.array(sorted(functional_preds), pa.string())
+    fused = fuse_triple_confidence(
+        triples, s_col=s_col, p_col=p_col, o_col=o_col,
+        score_col=score_col, nb=nb).map_batches(
+        lambda t: t.filter(pc.is_in(t.column("pred"), value_set=keep)),
+        batch_format="pyarrow")
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = g.select(["subj", "pred", "obj", "conf"]).sort_by(
+            [("subj", "ascending"), ("pred", "ascending"),
+             ("conf", "descending"), ("obj", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "subj": t.column("subj"), "pred": t.column("pred"),
+                "obj": t.column("obj"), "conf": t.column("conf"),
+                "n_values": pa.array([], pa.int64()),
+                "margin": pa.array([], pa.float64())})
+        k1 = t.column("subj").to_pandas().to_numpy()
+        k2 = t.column("pred").to_pandas().to_numpy()
+        starts = np.r_[True, (k1[1:] != k1[:-1]) | (k2[1:] != k2[:-1])]
+        start_idx = np.flatnonzero(starts)
+        counts = np.diff(np.r_[start_idx, n])
+        conf = t.column("conf").to_numpy(zero_copy_only=False)
+        winner = conf[start_idx]
+        second = np.where(counts > 1,
+                          conf[np.minimum(start_idx + 1, n - 1)],
+                          winner)
+        sel = pa.array(start_idx)
+        return pa.table({
+            "subj": t.column("subj").take(sel),
+            "pred": t.column("pred").take(sel),
+            "obj": t.column("obj").take(sel),
+            "conf": pa.array(winner),
+            "n_values": pa.array(counts.astype(np.int64)),
+            "margin": pa.array(np.round(winner - second, 6))})
+
+    return (fused.map_batches(
+        lambda t: _add_bucket(t, ["subj", "pred"], nb),
+        batch_format="pyarrow")
+        .groupby(_B).map_groups(finish, batch_format="pyarrow"))
