@@ -240,7 +240,7 @@ def run_queries() -> dict:
         "fact_intervals",
         # round-4 seventh sitting
         "hearst_isa", "mine_rules", "random_walks", "mime_sniff",
-        "resolve_conflicts",
+        "resolve_conflicts", "bpe_merges", "bpe_encode",
     ]
     out = {}
     for name in names:

@@ -7994,3 +7994,35 @@ ORACLES["resolve_conflicts"] = (
     "  round(conf - COALESCE(nxt, conf), 6) AS margin"
     " FROM r WHERE rn = 1"
 )
+
+
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training (textstats.learn_bpe): the
+    first 10 learned merges over the documents corpus. Rows-only by
+    nature (iterative greedy merge-apply is not SQL-expressible —
+    pinned against a sequential reference + fuzz in tests/test_bpe.py
+    and double-run by the determinism net)."""
+    from ..stages.textstats import learn_bpe
+
+    return learn_bpe(_docs(sf_dir, ["doc_id", "text"]),
+                     n_merges=10, nb=16)
+
+
+QUERIES["bpe_merges"] = q_bpe_merges
+
+
+def q_bpe_encode(sf_dir: str):
+    """BPE train→encode composition: learn 8 merges on the corpus,
+    then encode every document with them (textstats.apply_bpe) —
+    per-doc word/subword counts plus the segmented text. Rows-only
+    (same reason as bpe_merges)."""
+    from ..stages.textstats import apply_bpe, learn_bpe
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    merges = learn_bpe(docs, n_merges=8, nb=16)
+    out = apply_bpe(docs, merges)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["bpe_encode"] = q_bpe_encode
