@@ -8026,3 +8026,54 @@ def q_bpe_encode(sf_dir: str):
 
 
 QUERIES["bpe_encode"] = q_bpe_encode
+
+
+def q_scc(sf_dir: str):
+    """Strongly connected components (graph.scc, coloring + trim):
+    three chained cycles of sizes 2..4 bridged by DAG edges plus a
+    4-node tail chain — exercises multi-phase settling AND the trim
+    peel. Fully oracled: the SQL twin labels each node with the min
+    id over its mutual-reachability class via a recursive closure
+    CTE."""
+    from ..stages.graph import scc
+
+    edges = []
+    for c in range(3):
+        base, size = c * 8, c + 2
+        for i in range(size):
+            edges.append({"src": base + i,
+                          "dst": base + (i + 1) % size})
+        if c < 2:
+            edges.append({"src": base, "dst": (c + 1) * 8})
+    for i in range(24, 26):
+        edges.append({"src": i, "dst": i + 1})
+    edges.append({"src": 16, "dst": 24})
+    ds = rd.from_arrow(pa.Table.from_pylist(edges)).repartition(3)
+    out = scc(ds, nb=8)
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["scc"] = q_scc
+
+ORACLES["scc"] = (
+    "WITH RECURSIVE e AS ("
+    " SELECT c * 8 + i AS src,"
+    "  c * 8 + (i + 1) % (c + 2) AS dst"
+    "  FROM generate_series(0, 2) s(c),"
+    "   UNNEST(generate_series(0, c + 1)) u(i)"
+    " UNION ALL SELECT c * 8, (c + 1) * 8"
+    "  FROM generate_series(0, 1) s(c)"
+    " UNION ALL SELECT i, i + 1 FROM generate_series(24, 25) s(i)"
+    " UNION ALL SELECT 16, 24),"
+    " r(a, b) AS (SELECT src, dst FROM e"
+    "  UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),"
+    " n AS (SELECT src AS node FROM e"
+    "  UNION SELECT dst FROM e),"
+    " mutual AS (SELECT node, node AS o FROM n"
+    "  UNION ALL SELECT r1.a AS node, r1.b AS o FROM r r1"
+    "   JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a)"
+    " SELECT CAST(node AS BIGINT) AS node,"
+    "  CAST(min(o) AS BIGINT) AS scc"
+    " FROM mutual GROUP BY node"
+)

@@ -51,3 +51,34 @@ def explode_list(batch: pa.Table, list_col: str, id_cols: list[str],
     cols[pos_col] = pa.array(pos.astype(np.int64))
     cols[value_col] = flat
     return pa.table(cols)
+
+
+def mat_cut(ds):
+    """``materialize()`` + truncate the DatasetStats parent chain.
+
+    Ray keeps the FULL stats ancestry across materializations and
+    summarizes it recursively on every subsequent execution
+    (ray/data/_internal/stats.py::to_summary walks ``parents``), so a
+    deeply iterative operator — many rounds × several materializes per
+    round — blows the driver's recursion limit merely computing stats
+    for the next step. Cutting the lineage at each round boundary
+    keeps the current round's stats and bounds the chain; output
+    blocks are untouched. Best-effort against private internals: on
+    any attribute change in Ray this degrades to plain materialize."""
+    return strip_stats(ds.materialize())
+
+
+def strip_stats(ds):
+    """Truncate a (materialized) Dataset's stats parent chain in
+    place — the non-materializing half of :func:`mat_cut`; see its
+    docstring for why iterative operators need this."""
+    try:
+        st = ds._plan._snapshot_stats
+        if st is not None:
+            st.parents = []
+        ins = ds._plan._in_stats
+        if ins is not None:
+            ins.parents = []
+    except Exception:  # noqa: BLE001 — best-effort on private API
+        pass
+    return ds
