@@ -8077,3 +8077,57 @@ ORACLES["scc"] = (
     "  CAST(min(o) AS BIGINT) AS scc"
     " FROM mutual GROUP BY node"
 )
+
+
+def q_containment_join(sf_dir: str):
+    """Overlap-coefficient containment join (dedup.containment_join,
+    threshold 0.7): sliding 8-token windows over a 90-token universe
+    (adjacent docs overlap 5/8) plus planted 4-token SUBSET docs that
+    Jaccard would miss entirely. Fully oracled: the SQL twin
+    regenerates both corpora, counts exact pair intersections with a
+    token self-join, and applies the identical least()-denominator
+    filter — ratios are raw float64 divisions on both sides."""
+    from ..stages.dedup import containment_join
+
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i, "text": " ".join(
+            f"w{(i * 3 + j) % 90}" for j in range(8))})
+    for k in range(20):
+        rows.append({"doc_id": 100 + k, "text": " ".join(
+            f"w{(k * 9 + j) % 90}" for j in range(4))})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = containment_join(ds, 0.7, nb=8)
+    df = (out.to_pandas().sort_values(["id_a", "id_b"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["containment_join"] = q_containment_join
+
+ORACLES["containment_join"] = (
+    "WITH base AS (SELECT i AS doc_id,"
+    "  string_agg('w' || ((i * 3 + j) % 90), ' ' ORDER BY j) AS text"
+    "  FROM generate_series(0, 59) s(i),"
+    "   UNNEST(generate_series(0, 7)) u(j) GROUP BY i),"
+    " subs AS (SELECT 100 + k AS doc_id,"
+    "  string_agg('w' || ((k * 9 + j) % 90), ' ' ORDER BY j) AS text"
+    "  FROM generate_series(0, 19) s(k),"
+    "   UNNEST(generate_series(0, 3)) u(j) GROUP BY k),"
+    " t AS (SELECT * FROM base UNION ALL SELECT * FROM subs),"
+    " toks AS (SELECT doc_id, unnest(list_distinct("
+    "  regexp_split_to_array(lower(text), ' '))) AS w FROM t),"
+    " sizes AS (SELECT doc_id, COUNT(DISTINCT w) AS n FROM toks"
+    "  GROUP BY 1),"
+    " ix AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,"
+    "  COUNT(*) AS inter FROM toks a JOIN toks b"
+    "  ON a.w = b.w AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    " SELECT ix.id_a, ix.id_b, sa.n AS size_a, sb.n AS size_b,"
+    "  CAST(ix.inter AS BIGINT) AS inter,"
+    "  ix.inter / CAST(sa.n AS DOUBLE) AS contain_a,"
+    "  ix.inter / CAST(sb.n AS DOUBLE) AS contain_b,"
+    "  ix.inter / CAST(least(sa.n, sb.n) AS DOUBLE) AS overlap"
+    " FROM ix JOIN sizes sa ON sa.doc_id = ix.id_a"
+    " JOIN sizes sb ON sb.doc_id = ix.id_b"
+    " WHERE ix.inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.7"
+)

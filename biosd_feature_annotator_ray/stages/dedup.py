@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -1414,3 +1415,171 @@ def decontaminate_joined(
                          "contaminated": pc.greater(nh, 0)})
 
     return j.map_batches(finish, batch_format="pyarrow")
+
+
+def containment_join(
+    docs: "ray.data.Dataset",
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Exact OVERLAP-COEFFICIENT set-similarity self-join — the
+    near-subset detector (a doc largely CONTAINED in another — quote
+    farms, templated expansions — that Jaccard misses because the
+    size imbalance drowns the ratio): every pair with
+    ``|A∩B| / min(|A|,|B|) ≥ threshold``, with both directional
+    containments exact.
+
+    Prefix filtering is ASYMMETRIC here (contrast
+    :func:`jaccard_similarity_join`): a qualifying pair shares
+    ≥ ⌈t·min⌉ tokens, so the SMALLER side must expose a shared token
+    inside its own rarest-first prefix (pigeonhole), while the larger
+    side can hide it anywhere — candidates therefore come from
+    prefix(probe) × ALL-token(index) buckets on the token. Prefix
+    tokens are by construction the rarest, and the index side is
+    semi-join-pruned to tokens appearing in SOME prefix, so no
+    stopword bucket ever explodes. Verification fetches both ordered
+    token lists by id (two bucketed joins) and computes the exact
+    intersection per CANDIDATE (bounded by candidate count, not
+    |pairs|²).
+
+    Returns (id_a, id_b, size_a, size_b, inter, contain_a, contain_b,
+    overlap), id_a < id_b; ratios are raw float64 divisions of the
+    integer operands — bit-identical to a SQL twin."""
+    import math
+
+    from .join import shuffle_hash_join
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("containment_join: threshold in (0, 1]")
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pandas().fillna("")
+        ids = batch.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        o_tok: list = []
+        o_id: list = []
+        for i, s in enumerate(texts):
+            for w in set(s.lower().split()):
+                o_tok.append(w)
+                o_id.append(ids[i])
+        return pa.table({"token": pa.array(o_tok, pa.string()),
+                         id_col: pa.array(o_id, pa.int64())})
+
+    tok = docs.map_batches(tok_rows, batch_format="pyarrow",
+                           batch_size=65536).materialize()
+
+    def local_df(batch: pa.Table) -> pa.Table:
+        return batch.group_by("token").aggregate([("token", "count")])
+
+    df_counts = (tok.map_batches(local_df, batch_format="pyarrow")
+                 .groupby("token").sum("token_count"))
+    df_counts = df_counts.map_batches(
+        lambda t: pa.table({"token": t.column("token"),
+                            "df": t.column("sum(token_count)")
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")
+    ranked = shuffle_hash_join(tok, df_counts, on=["token"],
+                               how="inner", nb=nb)
+
+    # one row per doc: rarest-first ordered token list + own prefix
+    def build_doc(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_BUCKET_COL]).to_pandas()
+        o_id: list = []
+        o_size: list = []
+        o_toks: list = []
+        o_plen: list = []
+        for did, grp in df.groupby(id_col, sort=False):
+            pairs = sorted(zip(grp["df"], grp["token"]))
+            ordered = [w for _, w in pairs]
+            n = len(ordered)
+            o_id.append(did)
+            o_size.append(n)
+            o_toks.append(ordered)
+            o_plen.append(n - math.ceil(threshold * n) + 1)
+        return pa.table({
+            id_col: pa.array(o_id, pa.int64()),
+            "size": pa.array(o_size, pa.int64()),
+            "tokens": pa.array(o_toks, pa.list_(pa.string())),
+            "plen": pa.array(o_plen, pa.int64())})
+
+    doclists = (ranked.map_batches(
+        lambda t: _add_bucket(t, [id_col], nb),
+        batch_format="pyarrow", batch_size=65536)
+        .groupby(_BUCKET_COL)
+        .map_groups(build_doc, batch_format="pyarrow")).materialize()
+
+    def explode_prefix(t: pa.Table) -> pa.Table:
+        lists = t.column("tokens")
+        plen = t.column("plen").to_numpy(zero_copy_only=False)
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        o_tok: list = []
+        o_id: list = []
+        for i, lst in enumerate(lists.to_pylist()):
+            for w in lst[:plen[i]]:
+                o_tok.append(w)
+                o_id.append(ids[i])
+        return pa.table({"token": pa.array(o_tok, pa.string()),
+                         "pid": pa.array(o_id, pa.int64())})
+
+    prefixes = doclists.map_batches(explode_prefix,
+                                    batch_format="pyarrow")
+    ptokens = dedup_exact(
+        prefixes.map_batches(lambda t: t.select(["token"]),
+                             batch_format="pyarrow"),
+        ["token"], nb=nb)
+    # index side pruned to tokens that occur in SOME prefix
+    index = shuffle_hash_join(tok, ptokens, on=["token"], how="semi",
+                              nb=nb).map_batches(
+        lambda t: pa.table({"token": t.column("token"),
+                            "iid": t.column(id_col)}),
+        batch_format="pyarrow")
+
+    cand = dedup_exact(
+        shuffle_hash_join(prefixes, index, on=["token"], how="inner",
+                          nb=nb).map_batches(
+            lambda t: pa.table({
+                "id_a": pc.min_element_wise(t.column("pid"),
+                                            t.column("iid")),
+                "id_b": pc.max_element_wise(t.column("pid"),
+                                            t.column("iid"))})
+            .filter(pc.not_equal(t.column("pid"), t.column("iid"))),
+            batch_format="pyarrow"),
+        ["id_a", "id_b"], nb=nb)
+
+    side = doclists.map_batches(
+        lambda t: t.select([id_col, "size", "tokens"]),
+        batch_format="pyarrow")
+    j1 = shuffle_hash_join(
+        cand, side.map_batches(
+            lambda t: t.rename_columns(["id_a", "size_a", "toks_a"]),
+            batch_format="pyarrow"),
+        on=["id_a"], how="inner", nb=nb)
+    j2 = shuffle_hash_join(
+        j1, side.map_batches(
+            lambda t: t.rename_columns(["id_b", "size_b", "toks_b"]),
+            batch_format="pyarrow"),
+        on=["id_b"], how="inner", nb=nb)
+
+    def verify(t: pa.Table) -> pa.Table:
+        ta = t.column("toks_a").to_pylist()
+        tb = t.column("toks_b").to_pylist()
+        inter = np.fromiter(
+            (len(set(a) & set(b)) for a, b in zip(ta, tb)),
+            np.int64, count=t.num_rows)
+        sa = t.column("size_a").to_numpy(zero_copy_only=False)
+        sb = t.column("size_b").to_numpy(zero_copy_only=False)
+        ov = inter / np.minimum(sa, sb)
+        keep = ov >= threshold
+        return pa.table({
+            "id_a": t.column("id_a").filter(pa.array(keep)),
+            "id_b": t.column("id_b").filter(pa.array(keep)),
+            "size_a": pa.array(sa[keep]),
+            "size_b": pa.array(sb[keep]),
+            "inter": pa.array(inter[keep]),
+            "contain_a": pa.array(inter[keep] / sa[keep]),
+            "contain_b": pa.array(inter[keep] / sb[keep]),
+            "overlap": pa.array(ov[keep])})
+
+    return j2.map_batches(verify, batch_format="pyarrow")
