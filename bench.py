@@ -241,7 +241,7 @@ def run_queries() -> dict:
         # round-4 seventh sitting
         "hearst_isa", "mine_rules", "random_walks", "mime_sniff",
         "resolve_conflicts", "bpe_merges", "bpe_encode",
-        "containment_join",
+        "containment_join", "readability", "feed_entries",
     ]
     out = {}
     for name in names:

@@ -212,3 +212,59 @@ def parse_sitemap_urls(batch: pa.Table, host_col: str = "host",
         "loc": pa.array(out_l, pa.string()),
         "lastmod": pa.array(out_m, pa.string()),
     })
+
+
+# feed-entry block + field patterns (RE2-compatible: (?s) non-greedy
+# blocks, no lookahead — the SQL twin replays them verbatim)
+_FEED_BLOCK_RE = r"(?s)<(?:item|entry)[\s>].*?</(?:item|entry)>"
+_FEED_TITLE_RE = r"(?s)<title[^>]*>\s*([^<]*?)\s*</title>"
+_FEED_LINK_TEXT_RE = r"(?s)<link[^>]*>\s*([^<\s][^<]*?)\s*</link>"
+_FEED_LINK_HREF_RE = r"""(?i)<link\s[^>]*href\s*=\s*["']?([^"'\s>]+)"""
+_FEED_DATE_RE = (r"(?s)<(?:pubDate|updated)[^>]*>"
+                 r"\s*([^<]*?)\s*</(?:pubDate|updated)>")
+
+
+def parse_feed_entries(batch: pa.Table, url_col: str = "url",
+                       feed_col: str = "feed_xml") -> pa.Table:
+    """Row-expanding RSS/Atom feed parse — the crawl-discovery
+    sibling of :func:`parse_sitemap_urls`: one output row per
+    ``<item>`` (RSS) / ``<entry>`` (Atom) block →
+    ``(url, title, link, published)``, null where a block lacks the
+    field. The link is the RSS ``<link>text</link>`` form when
+    present, else the Atom ``<link href=…>`` attribute; dates come
+    from ``<pubDate>`` or ``<updated>``. One compiled findall for the
+    blocks per batch, then per-block field extracts."""
+    import re as _re
+
+    blk_re = _re.compile(_FEED_BLOCK_RE)
+    ti_re = _re.compile(_FEED_TITLE_RE)
+    lt_re = _re.compile(_FEED_LINK_TEXT_RE)
+    lh_re = _re.compile(_FEED_LINK_HREF_RE)
+    dt_re = _re.compile(_FEED_DATE_RE)
+    urls = batch.column(url_col).to_pylist()
+    docs = batch.column(feed_col).to_pylist()
+    out_u: list = []
+    out_t: list = []
+    out_l: list = []
+    out_d: list = []
+    for url, doc in zip(urls, docs):
+        if not doc:
+            continue
+        if isinstance(doc, (bytes, bytearray)):
+            doc = doc.decode("utf-8", "replace")
+        for blk in blk_re.findall(doc):
+            ti = ti_re.search(blk)
+            lt = lt_re.search(blk)
+            lh = lh_re.search(blk)
+            dt = dt_re.search(blk)
+            out_u.append(url)
+            out_t.append(ti.group(1) if ti else None)
+            out_l.append(lt.group(1) if lt
+                         else (lh.group(1) if lh else None))
+            out_d.append(dt.group(1) if dt else None)
+    return pa.table({
+        url_col: pa.array(out_u, pa.string()),
+        "title": pa.array(out_t, pa.string()),
+        "link": pa.array(out_l, pa.string()),
+        "published": pa.array(out_d, pa.string()),
+    })

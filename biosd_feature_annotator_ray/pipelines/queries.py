@@ -8131,3 +8131,125 @@ ORACLES["containment_join"] = (
     " JOIN sizes sb ON sb.doc_id = ix.id_b"
     " WHERE ix.inter / CAST(least(sa.n, sb.n) AS DOUBLE) >= 0.7"
 )
+
+
+def q_readability(sf_dir: str):
+    """Flesch/FK readability (textstats.readability) over documents
+    with planted per-doc punctuation so the sentence heuristic
+    varies. Fully oracled: the SQL twin replays the same \\S+ /
+    [.!?]+ / [aeiouy]+ regex counts and formulas."""
+    from ..stages.textstats import readability
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    sufs = np.array(["", " one. two! three?", " four."], dtype=object)
+
+    def aug(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        suf = pa.array(sufs[ids % 3], pa.string())
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pc.binary_join_element_wise(
+                pc.fill_null(t.column("text"), ""), suf, "")})
+
+    out = docs.map_batches(aug, batch_format="pyarrow").map_batches(
+        readability, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["readability"] = q_readability
+
+ORACLES["readability"] = (
+    "WITH aug AS (SELECT doc_id, coalesce(text, '') ||"
+    "  CASE CAST(doc_id % 3 AS INTEGER)"
+    "   WHEN 1 THEN ' one. two! three?'"
+    "   WHEN 2 THEN ' four.' ELSE '' END AS t FROM documents),"
+    " c AS (SELECT doc_id,"
+    "  CAST(len(regexp_extract_all(t, '\\S+')) AS DOUBLE) AS w,"
+    "  CAST(greatest(1, len(regexp_extract_all(t, '[.!?]+')))"
+    "   AS DOUBLE) AS s,"
+    "  CAST(len(regexp_extract_all(lower(t), '[aeiouy]+'))"
+    "   AS DOUBLE) AS syl FROM aug)"
+    " SELECT doc_id, CAST(w AS BIGINT) AS n_words,"
+    "  CASE WHEN w > 0 THEN CAST(s AS BIGINT) END AS n_sentences,"
+    "  CAST(syl AS BIGINT) AS n_syllables,"
+    "  CASE WHEN w > 0 THEN round(206.835 - 1.015 * (w / s)"
+    "   - 84.6 * (syl / w), 6) END AS flesch,"
+    "  CASE WHEN w > 0 THEN round(0.39 * (w / s)"
+    "   + 11.8 * (syl / w) - 15.59, 6) END AS fk_grade"
+    " FROM c"
+)
+
+
+def q_feed_entries(sf_dir: str):
+    """RSS/Atom feed-entry extraction (robots.parse_feed_entries):
+    40 deterministic feeds — RSS with text links + a link-less item
+    on even hosts, Atom with href links on odd hosts. Fully oracled:
+    the SQL twin regenerates the XML with string_agg and re-extracts
+    blocks + fields with the same RE2 patterns."""
+    from ..functions.robots import parse_feed_entries
+
+    rows = []
+    for j in range(40):
+        if j % 2 == 0:
+            parts = []
+            for i in range(3):
+                if i < 2:
+                    parts.append(
+                        f"<item><title>T{j}_{i}</title>"
+                        f"<link>https://h{j}.ex/p{i}</link>"
+                        f"<pubDate>2024-01-0{i + 1}</pubDate></item>")
+                else:
+                    parts.append(f"<item><title>T{j}_2</title></item>")
+            xml = "".join(parts)
+        else:
+            xml = "".join(
+                f'<entry><title>A{j}_{i}</title>'
+                f'<link href="https://h{j}.ex/a{i}" rel="x"/>'
+                f"<updated>2024-02-0{i + 1}</updated></entry>"
+                for i in range(2))
+        rows.append({"url": f"https://h{j}.ex/feed", "feed_xml": xml})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = ds.map_batches(parse_feed_entries, batch_format="pyarrow")
+    df = (out.to_pandas().sort_values(["url", "title"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["feed_entries"] = q_feed_entries
+
+ORACLES["feed_entries"] = (
+    "WITH rss AS (SELECT j, string_agg(CASE WHEN i < 2 THEN"
+    "   '<item><title>T' || j || '_' || i || '</title><link>"
+    "https://h' || j || '.ex/p' || i || '</link><pubDate>2024-01-0'"
+    "   || (i + 1) || '</pubDate></item>'"
+    "  ELSE '<item><title>T' || j || '_2</title></item>' END,"
+    "  '' ORDER BY i) AS xml"
+    "  FROM generate_series(0, 39) s(j),"
+    "   UNNEST(generate_series(0, 2)) u(i)"
+    "  WHERE j % 2 = 0 GROUP BY j),"
+    " atoms AS (SELECT j, string_agg('<entry><title>A' || j || '_'"
+    "   || i || '</title><link href=\"https://h' || j || '.ex/a'"
+    "   || i || '\" rel=\"x\"/><updated>2024-02-0' || (i + 1)"
+    "   || '</updated></entry>', '' ORDER BY i) AS xml"
+    "  FROM generate_series(0, 39) s(j),"
+    "   UNNEST(generate_series(0, 1)) u(i)"
+    "  WHERE j % 2 = 1 GROUP BY j),"
+    " f AS (SELECT 'https://h' || j || '.ex/feed' AS url, xml"
+    "  FROM rss UNION ALL"
+    "  SELECT 'https://h' || j || '.ex/feed', xml FROM atoms),"
+    " blocks AS (SELECT url, unnest(regexp_extract_all(xml,"
+    "  '(?s)<(?:item|entry)[\\s>].*?</(?:item|entry)>')) AS blk"
+    "  FROM f)"
+    " SELECT url,"
+    "  nullif(regexp_extract(blk,"
+    "   '(?s)<title[^>]*>\\s*([^<]*?)\\s*</title>', 1), '') AS title,"
+    "  coalesce(nullif(regexp_extract(blk,"
+    "    '(?s)<link[^>]*>\\s*([^<\\s][^<]*?)\\s*</link>', 1), ''),"
+    "   nullif(regexp_extract(blk,"
+    "    '(?i)<link\\s[^>]*href\\s*=\\s*[\"'']?([^\"''\\s>]+)', 1),"
+    "    '')) AS link,"
+    "  nullif(regexp_extract(blk, '(?s)<(?:pubDate|updated)[^>]*>"
+    "\\s*([^<]*?)\\s*</(?:pubDate|updated)>', 1), '') AS published"
+    " FROM blocks"
+)

@@ -1719,3 +1719,41 @@ def apply_bpe(
             "subwords": pa.array(joined, pa.string())})
 
     return ds.map_batches(encode, batch_format="pyarrow")
+
+
+def readability(batch: pa.Table, id_col: str = "doc_id",
+                col: str = "text") -> pa.Table:
+    """Flesch reading-ease + Flesch–Kincaid grade (public formulas)
+    with the standard regex heuristics: words = \\S+ runs, sentences
+    = [.!?]+ runs (floored at 1), syllables = [aeiouy]+ vowel groups
+    of the lowercased text. All pyarrow.compute kernels, replayable
+    verbatim in a SQL twin; docs with no words emit nulls."""
+    text = pc.fill_null(batch.column(col), "")
+    if text.type != pa.string():
+        text = text.cast(pa.string())
+    w = pc.count_substring_regex(text, r"\S+").cast(pa.float64())
+    s_raw = pc.count_substring_regex(text, r"[.!?]+")
+    s = pc.max_element_wise(s_raw, pa.scalar(1, s_raw.type)).cast(
+        pa.float64())
+    syl = pc.count_substring_regex(
+        pc.utf8_lower(text), r"[aeiouy]+").cast(pa.float64())
+    wps = pc.divide(w, s)
+    spw = pc.divide(syl, w)  # null-free only where w > 0 (guarded)
+    ok = pc.greater(w, 0.0)
+    flesch = pc.subtract(
+        pa.scalar(206.835),
+        pc.add(pc.multiply(pa.scalar(1.015), wps),
+               pc.multiply(pa.scalar(84.6), spw)))
+    grade = pc.subtract(
+        pc.add(pc.multiply(pa.scalar(0.39), wps),
+               pc.multiply(pa.scalar(11.8), spw)),
+        pa.scalar(15.59))
+    null_f = pa.scalar(None, pa.float64())
+    return pa.table({
+        id_col: batch.column(id_col),
+        "n_words": w.cast(pa.int64()),
+        "n_sentences": pc.if_else(ok, s.cast(pa.int64()),
+                                  pa.scalar(None, pa.int64())),
+        "n_syllables": syl.cast(pa.int64()),
+        "flesch": pc.if_else(ok, pc.round(flesch, 6), null_f),
+        "fk_grade": pc.if_else(ok, pc.round(grade, 6), null_f)})

@@ -174,3 +174,28 @@ class TestSitemap:
         got = {r["loc"]: r["lastmod"]
                for r in parse_sitemap_urls(t).to_pylist()}
         assert got == {"https://h/a": None, "https://h/b": "2024-05-06"}
+
+
+def test_parse_feed_entries_rss_atom_and_misses():
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.functions.robots import (
+        parse_feed_entries)
+
+    rss = ("<rss><channel><item><title> Post One </title>"
+           "<link>https://ex.org/p1</link>"
+           "<pubDate>Mon, 01 Jan 2024</pubDate></item>"
+           "<item><title>Two</title></item></channel></rss>")
+    atom = ('<feed><entry><title>A1</title>'
+            '<link href="https://ex.org/a1" rel="alternate"/>'
+            '<updated>2024-02-03</updated></entry></feed>')
+    t = pa.table({"url": ["u1", "u2", "u3", "u4"],
+                  "feed_xml": [rss, atom.encode(), "", None]})
+    got = parse_feed_entries(t).to_pylist()
+    assert got == [
+        {"url": "u1", "title": "Post One", "link": "https://ex.org/p1",
+         "published": "Mon, 01 Jan 2024"},
+        {"url": "u1", "title": "Two", "link": None, "published": None},
+        {"url": "u2", "title": "A1", "link": "https://ex.org/a1",
+         "published": "2024-02-03"},
+    ]

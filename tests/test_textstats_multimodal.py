@@ -130,3 +130,30 @@ def test_dup_ngram_stats_planted(ray_session):
     both = pd.concat([df, short], ignore_index=True)
     out2 = dup_ngram_stats(rd.from_pandas(both), k=5, nb=4).to_pandas()
     assert 9 not in set(out2["doc_id"])
+
+
+def test_readability_known_values_and_nulls():
+    import pyarrow as pa
+
+    from biosd_feature_annotator_ray.stages.textstats import readability
+
+    t = pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": ["The cat sat. The dog ran!", "", None,
+                 "word word word"]})
+    out = readability(t)
+    d = out.to_pylist()
+    # doc 0: 6 words, 2 sentences, syllable groups: e,a,a,e,o,a = 6
+    assert d[0]["n_words"] == 6
+    assert d[0]["n_sentences"] == 2
+    assert d[0]["n_syllables"] == 6
+    assert abs(d[0]["flesch"]
+               - (206.835 - 1.015 * 3 - 84.6 * 1.0)) < 1e-6
+    assert abs(d[0]["fk_grade"]
+               - (0.39 * 3 + 11.8 * 1.0 - 15.59)) < 1e-6
+    for i in (1, 2):
+        assert d[i]["n_words"] == 0
+        assert d[i]["n_sentences"] is None
+        assert d[i]["flesch"] is None
+    # no punctuation → sentence floor of 1
+    assert d[3]["n_sentences"] == 1
