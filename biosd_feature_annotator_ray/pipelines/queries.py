@@ -8253,3 +8253,58 @@ ORACLES["feed_entries"] = (
     "\\s*([^<]*?)\\s*</(?:pubDate|updated)>', 1), '') AS published"
     " FROM blocks"
 )
+
+
+def q_zscore_events(sf_dir: str):
+    """Per-event-type z-scores of event values
+    (sketches.zscore_per_key): population σ, null for null values.
+    Fully oracled via AVG/STDDEV_POP window twin."""
+    from ..stages.sketches import zscore_per_key
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+    out = zscore_per_key(ev, "event_type", "value", "event_id", nb=16)
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["zscore_events"] = q_zscore_events
+
+ORACLES["zscore_events"] = (
+    "SELECT event_id, event_type, value,"
+    " CASE WHEN value IS NOT NULL AND"
+    "  stddev_pop(value) OVER w > 0 THEN"
+    "  round((value - avg(value) OVER w)"
+    "   / stddev_pop(value) OVER w, 6) END AS z"
+    " FROM events WINDOW w AS (PARTITION BY event_type)"
+)
+
+
+def q_cocitation(sf_dir: str):
+    """Co-citation counts (graph.cocitation, mode='cocite'): pages
+    cited together by the same citing pages over a deterministic
+    citation graph (page i cites i%20, (i+1)%20, (i*2)%20). Fully
+    oracled by a DISTINCT-edge self-join GROUP BY twin."""
+    from ..stages.graph import cocitation
+
+    rows = []
+    for i in range(120):
+        for d in (i % 20, (i + 1) % 20, (i * 2) % 20):
+            rows.append({"src": 100 + i, "dst": d})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = cocitation(ds, mode="cocite", nb=8)
+    df = (out.to_pandas().sort_values(["a", "b"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["cocitation"] = q_cocitation
+
+ORACLES["cocitation"] = (
+    "WITH e AS (SELECT DISTINCT 100 + i AS src, d AS dst FROM"
+    "  generate_series(0, 119) s(i),"
+    "  UNNEST([i % 20, (i + 1) % 20, (i * 2) % 20]) u(d))"
+    " SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT)"
+    "  AS common"
+    " FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst"
+    " GROUP BY 1, 2"
+)

@@ -3460,3 +3460,79 @@ def scc(
             nb=nb).materialize()
         _strip(E)
     raise RuntimeError(f"scc did not converge in {max_rounds} phases")
+
+
+def cocitation(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    mode: str = "cocite",
+    min_common: int = 1,
+    max_degree: "int | None" = None,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Co-citation / bibliographic-coupling counts over a DIRECTED
+    graph (Small 1973 / Kessler 1963, public) — the link-similarity
+    signals of citation and web-link analysis: ``cocite(a, b)`` =
+    #pages linking to BOTH a and b (common in-neighbors),
+    ``couple(a, b)`` = #pages a and b BOTH link to (common
+    out-neighbors). The directed siblings of
+    :func:`node_similarity`'s undirected common-neighbor count.
+
+    Shape: dedup edges → per-MID bucketed vectorized pair expansion
+    (mid = the citing page for cocite, the cited page for couple;
+    volume Σ deg(mid)², ``max_degree`` hub cut skips super-mids) →
+    one composite-key ``sum_by_key``. Returns (a, b, common), a < b,
+    common ≥ ``min_common``."""
+    from .canonicalize import _B, _add_bucket, dedup_exact, sum_by_key
+    from .join import shuffle_hash_join
+
+    if mode not in ("cocite", "couple"):
+        raise ValueError("cocitation: mode is 'cocite' or 'couple'")
+    mid_col, n_col = ((src_col, dst_col) if mode == "cocite"
+                      else (dst_col, src_col))
+
+    E = dedup_exact(
+        edges.map_batches(
+            lambda t: pa.table({"mid": t.column(mid_col),
+                                "n": t.column(n_col)}),
+            batch_format="pyarrow"),
+        ["mid", "n"], nb=nb)
+    if max_degree is not None:
+        deg = sum_by_key(E.map_batches(
+            lambda t: pa.table({
+                "mid": t.column("mid"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"), "mid", "one", nb=nb,
+            out_col="deg")
+        E = shuffle_hash_join(E, deg, on=["mid"], how="inner",
+                              nb=nb).map_batches(
+            lambda t, md=int(max_degree): t.filter(
+                pc.less_equal(t.column("deg"), md))
+            .select(["mid", "n"]), batch_format="pyarrow")
+
+    def expand(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table({"a": g.column("n").slice(0, 0),
+                             "b": g.column("n").slice(0, 0),
+                             "common": pa.array([], pa.int64())})
+        df = g.select(["mid", "n"]).to_pandas()
+        m = df.merge(df, on="mid")
+        m = m[m["n_x"] < m["n_y"]]
+        out = (m.groupby(["n_x", "n_y"], as_index=False)
+               .agg(common=("mid", "size")))
+        return pa.table({
+            "a": pa.Array.from_pandas(
+                out["n_x"], type=g.schema.field("n").type),
+            "b": pa.Array.from_pandas(
+                out["n_y"], type=g.schema.field("n").type),
+            "common": pa.array(out["common"], pa.int64())})
+
+    pairs = (E.map_batches(lambda t: _add_bucket(t, ["mid"], nb),
+                           batch_format="pyarrow")
+             .groupby(_B).map_groups(expand, batch_format="pyarrow"))
+    out = sum_by_key(pairs, ["a", "b"], "common", nb=nb)
+    return out.map_batches(
+        lambda t, mc=int(min_common): t.filter(
+            pc.greater_equal(t.column("common"), mc)),
+        batch_format="pyarrow")

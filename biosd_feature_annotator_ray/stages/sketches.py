@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -695,3 +696,71 @@ def winsorize(
         return batch.append_column(dest, w)
 
     return ds.map_batches(clamp, batch_format="pyarrow", batch_size=65536)
+
+
+def zscore_per_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Per-group standardization — the feature-normalization step of
+    a training-data pipeline: every row gets ``z = (x − μ_key) /
+    σ_key`` with the population σ (SQL ``STDDEV_POP``), null when the
+    group is constant (σ = 0) or the value is null.
+
+    Shape: ONE map-side-combined ``sums_by_key`` census (n, Σx, Σx²)
+    + one bucketed join back onto the row stream + a vectorized
+    transform — no sort, no per-row Python. Rounded to 6 dp so the
+    naive-sums variance and SQL's stable aggregate agree bit-wise."""
+    from .canonicalize import sums_by_key
+    from .join import shuffle_hash_join
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).cast(pa.float64())
+        ok = pc.is_valid(v)
+        return pa.table({
+            key_col: t.column(key_col),
+            "s1": pc.fill_null(v, 0.0),
+            "s2": pc.fill_null(pc.multiply(v, v), 0.0),
+            "cnt": ok.cast(pa.int64())})
+
+    stats = sums_by_key(ds.map_batches(prep, batch_format="pyarrow"),
+                        key_col, ["s1", "s2", "cnt"], nb=nb)
+
+    def finish_stats(t: pa.Table) -> pa.Table:
+        n = t.column("cnt").cast(pa.float64())
+        mean = pc.divide(t.column("s1"), n)
+        var = pc.subtract(pc.divide(t.column("s2"), n),
+                          pc.multiply(mean, mean))
+        # float noise can push a constant group's variance a hair
+        # below zero — clamp before the sqrt
+        sd = pc.sqrt(pc.max_element_wise(var, pa.scalar(0.0)))
+        return pa.table({key_col: t.column(key_col),
+                         "__mean": mean, "__sd": sd})
+
+    j = shuffle_hash_join(
+        ds.map_batches(
+            lambda t: pa.table({id_col: t.column(id_col),
+                                key_col: t.column(key_col),
+                                val_col: t.column(val_col)}),
+            batch_format="pyarrow"),
+        stats.map_batches(finish_stats, batch_format="pyarrow"),
+        on=[key_col], how="left", nb=nb)
+
+    def z(t: pa.Table) -> pa.Table:
+        v = t.column(val_col).cast(pa.float64())
+        sd = t.column("__sd")
+        zz = pc.divide(pc.subtract(v, t.column("__mean")), sd)
+        bad = pc.or_kleene(pc.is_null(v),
+                           pc.fill_null(pc.equal(sd, 0.0), True))
+        return pa.table({
+            id_col: t.column(id_col),
+            key_col: t.column(key_col),
+            val_col: t.column(val_col),
+            "z": pc.if_else(pc.fill_null(bad, True),
+                            pa.scalar(None, pa.float64()),
+                            pc.round(zz, 6))})
+
+    return j.map_batches(z, batch_format="pyarrow")

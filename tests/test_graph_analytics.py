@@ -354,3 +354,49 @@ class TestCanonicalizeEntities:
     def test_no_aliases_passthrough(self, ray_session):
         rows = [("A", "p", "B"), ("B", "q", "C")]
         assert self._run(rows) == sorted(rows)
+
+
+def test_cocitation_and_coupling():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.graph import cocitation
+
+    # citers 10,11,12 → cited {0,1},{0,1,2},{1,2}; dup edge exercised
+    rows = [(10, 0), (10, 1), (11, 0), (11, 1), (11, 2), (12, 1),
+            (12, 2), (10, 0)]
+    ds = rd.from_arrow(pa.Table.from_pylist(
+        [{"src": a, "dst": b} for a, b in rows]))
+    co = cocitation(ds, mode="cocite", nb=4).to_pandas()
+    got = {(r.a, r.b): r.common for r in co.itertuples()}
+    assert got == {(0, 1): 2, (0, 2): 1, (1, 2): 2}
+    # coupling: citers sharing cited pages
+    cp = cocitation(ds, mode="couple", nb=4).to_pandas()
+    got = {(r.a, r.b): r.common for r in cp.itertuples()}
+    assert got == {(10, 11): 2, (10, 12): 1, (11, 12): 2}
+    # min_common filter
+    cp2 = cocitation(ds, mode="couple", min_common=2,
+                     nb=4).to_pandas()
+    assert {(r.a, r.b) for r in cp2.itertuples()} == {(10, 11),
+                                                      (11, 12)}
+
+
+def test_zscore_per_key_constant_and_null_groups():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.sketches import (
+        zscore_per_key)
+
+    rows = [{"id": 0, "k": "a", "v": 1.0},
+            {"id": 1, "k": "a", "v": 3.0},
+            {"id": 2, "k": "b", "v": 5.0},
+            {"id": 3, "k": "b", "v": 5.0},
+            {"id": 4, "k": "a", "v": None}]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    out = (zscore_per_key(ds, "k", "v", "id", nb=4).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # group a: mean 2, pop sd 1 → z = ±1; null value → null z
+    assert out.z[0] == -1.0 and out.z[1] == 1.0
+    # constant group → sd 0 → null z
+    assert out.z.isna()[2] and out.z.isna()[3] and out.z.isna()[4]
