@@ -242,7 +242,7 @@ def run_queries() -> dict:
         "hearst_isa", "mine_rules", "random_walks", "mime_sniff",
         "resolve_conflicts", "bpe_merges", "bpe_encode",
         "containment_join", "readability", "feed_entries",
-        "zscore_events", "cocitation",
+        "zscore_events", "cocitation", "winsorize_events",
     ]
     out = {}
     for name in names:

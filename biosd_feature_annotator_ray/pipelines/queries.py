@@ -8308,3 +8308,28 @@ ORACLES["cocitation"] = (
     " FROM e x JOIN e y ON x.src = y.src AND x.dst < y.dst"
     " GROUP BY 1, 2"
 )
+
+
+def q_winsorize_events(sf_dir: str):
+    """Quantile winsorization (sketches.winsorize): event values
+    clamped to [p5, p95] with a clipped audit flag. Fully oracled via
+    DuckDB quantile_cont + least/greatest twin."""
+    from ..stages.sketches import winsorize
+
+    ev = _events(sf_dir, ["event_id", "value"])
+    out = winsorize(ev, "value", "event_id", 0.05, 0.95)
+    df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["winsorize_events"] = q_winsorize_events
+
+ORACLES["winsorize_events"] = (
+    "WITH b AS (SELECT quantile_cont(value, 0.05) AS lo,"
+    "  quantile_cont(value, 0.95) AS hi FROM events)"
+    " SELECT event_id, value,"
+    "  round(least(greatest(value, b.lo), b.hi), 6) AS winsorized,"
+    "  coalesce(value <> least(greatest(value, b.lo), b.hi), FALSE)"
+    "   AS clipped"
+    " FROM events, b"
+)

@@ -764,3 +764,40 @@ def zscore_per_key(
                             pc.round(zz, 6))})
 
     return j.map_batches(z, batch_format="pyarrow")
+
+
+def winsorize(
+    ds: "ray.data.Dataset",
+    col: str,
+    id_col: str,
+    q_lo: float = 0.05,
+    q_hi: float = 0.95,
+) -> "ray.data.Dataset":
+    """Quantile winsorization — the outlier-clamping cleanup step of
+    a feature pipeline: values below ``percentile_cont(q_lo)`` /
+    above ``percentile_cont(q_hi)`` clamp to those bounds (nulls pass
+    through untouched), plus a ``clipped`` flag for auditing.
+
+    The bounds come from :func:`exact_quantile_cont` — the
+    histogram-bracket rank lookup, no global sort — and broadcast as
+    plain floats into a vectorized clamp, so the row stream is
+    touched once for the census and once for the transform."""
+    if not 0.0 <= q_lo < q_hi <= 1.0:
+        raise ValueError("winsorize: need 0 <= q_lo < q_hi <= 1")
+    qs = exact_quantile_cont(ds, col, [q_lo, q_hi])
+    lo, hi = float(qs[q_lo]), float(qs[q_hi])
+
+    def clamp(t: pa.Table) -> pa.Table:
+        v = t.column(col).cast(pa.float64())
+        # skip_nulls=False so a null value stays null (SQL least/
+        # greatest semantics) instead of collapsing to the bound
+        w = pc.min_element_wise(
+            pc.max_element_wise(v, pa.scalar(lo), skip_nulls=False),
+            pa.scalar(hi), skip_nulls=False)
+        return pa.table({
+            id_col: t.column(id_col),
+            col: t.column(col),
+            "winsorized": pc.round(w, 6),
+            "clipped": pc.fill_null(pc.not_equal(v, w), False)})
+
+    return ds.map_batches(clamp, batch_format="pyarrow")

@@ -202,3 +202,26 @@ def test_new_operators_empty_inputs(ray_session):
         "end": pd.Series([], dtype="float64"), "iv": pd.Series([], dtype="int64")}))
     assert interval_join(one, none_iv, key="k", ts="ts", start="start",
                          end="end").to_pandas().empty
+
+
+def test_winsorize_bounds_and_nulls():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.sketches import winsorize
+
+    rows = [{"id": i, "v": float(i)} for i in range(101)]
+    rows.append({"id": 200, "v": None})
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    out = (winsorize(ds, "v", "id", 0.1, 0.9).to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    # values 0..100 → p10 = 10, p90 = 90 (percentile_cont exact)
+    assert out.winsorized[0] == 10.0 and out.clipped[0]
+    assert out.winsorized[100] == 90.0 and out.clipped[100]
+    assert out.winsorized[50] == 50.0 and not out.clipped[50]
+    assert out.winsorized.isna().iloc[-1]
+    assert not out.clipped.iloc[-1]
+    import pytest
+
+    with pytest.raises(ValueError, match="q_lo"):
+        winsorize(ds, "v", "id", 0.9, 0.1)
