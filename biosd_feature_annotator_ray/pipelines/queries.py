@@ -8333,3 +8333,56 @@ ORACLES["winsorize_events"] = (
     "   AS clipped"
     " FROM events, b"
 )
+
+
+def q_community_graph(sf_dir: str):
+    """Community supergraph: label_propagation communities over two
+    bridged K5 cliques + a path (the lpa_communities corpus), then
+    graph.contract_graph rolls the ORIGINAL directed edge list up to
+    community-level weighted edges. Fully oracled: the twin unrolls
+    the 3 LPA rounds (vote/argmax CTEs) and re-aggregates crossing
+    edges."""
+    from ..stages.graph import contract_graph, label_propagation
+
+    rows = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append({"a": base + i, "b": base + j})
+    rows.append({"a": 4, "b": 10})
+    for i in range(6):
+        rows.append({"a": 20 + i, "b": 21 + i})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    labs = label_propagation(edges, n_iters=3, nb=8).materialize()
+    out = contract_graph(edges, labs, src_col="a", dst_col="b",
+                         label_col="label", nb=8)
+    df = (out.to_pandas().sort_values(["la", "lb"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["community_graph"] = q_community_graph
+
+
+ORACLES["community_graph"] = (
+    "WITH base AS ("
+    " SELECT b10 + i AS a, b10 + j AS b"
+    "  FROM (VALUES (0), (10)) t(b10),"
+    "   generate_series(0, 4) s(i), generate_series(0, 4) u(j)"
+    "  WHERE i < j"
+    " UNION ALL SELECT 4, 10"
+    " UNION ALL SELECT 20 + i, 21 + i FROM generate_series(0, 5) s(i)),"
+    " e AS (SELECT a AS src, b AS dst FROM base"
+    "  UNION ALL SELECT b, a FROM base),"
+    " l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),"
+    + _LPA_VOTE.format(k=1, p=0)
+    + _LPA_VOTE.format(k=2, p=1)
+    + _LPA_VOTE.format(k=3, p=2)
+    + " f AS (SELECT node, lab FROM l3)"
+    " SELECT CAST(la.lab AS BIGINT) AS la,"
+    "  CAST(lb.lab AS BIGINT) AS lb,"
+    "  CAST(COUNT(*) AS BIGINT) AS weight"
+    " FROM base ed JOIN f la ON la.node = ed.a"
+    " JOIN f lb ON lb.node = ed.b"
+    " WHERE la.lab <> lb.lab GROUP BY 1, 2"
+)

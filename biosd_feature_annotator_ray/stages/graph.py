@@ -3536,3 +3536,56 @@ def cocitation(
         lambda t, mc=int(min_common): t.filter(
             pc.greater_equal(t.column("common"), mc)),
         batch_format="pyarrow")
+
+
+def contract_graph(
+    edges: "ray.data.Dataset",
+    labels: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    label_col: str = "lab",
+    self_loops: bool = False,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Contract a graph by a node→label mapping (community, SCC,
+    page-equivalence class …) into its SUPERGRAPH: one node per
+    label, edge (la, lb) weighted by the number of original edges
+    crossing the pair — the graph-summarization step that turns a
+    trillion-edge web graph into a communities-level map. Intra-label
+    edges drop unless ``self_loops``.
+
+    Shape: two bucketed hash joins (src→label, dst→label) + one
+    map-side-combined composite-key ``sum_by_key``. Edges whose
+    endpoint has no label are DROPPED (inner joins) — feed a total
+    labeling (e.g. ``label_propagation`` output) for full coverage."""
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+
+    e = edges.map_batches(
+        lambda t: pa.table({"src": t.column(src_col),
+                            "dst": t.column(dst_col)}),
+        batch_format="pyarrow")
+    la = labels.map_batches(
+        lambda t: pa.table({"src": t.column(node_col),
+                            "la": t.column(label_col)}),
+        batch_format="pyarrow")
+    lb = labels.map_batches(
+        lambda t: pa.table({"dst": t.column(node_col),
+                            "lb": t.column(label_col)}),
+        batch_format="pyarrow")
+    j = shuffle_hash_join(
+        shuffle_hash_join(e, la, on=["src"], how="inner", nb=nb),
+        lb, on=["dst"], how="inner", nb=nb)
+
+    def pairup(t: pa.Table) -> pa.Table:
+        t = pa.table({"la": t.column("la"), "lb": t.column("lb"),
+                      "weight": pa.array(np.ones(t.num_rows,
+                                                 np.int64))})
+        if not self_loops:
+            t = t.filter(pc.not_equal(t.column("la"),
+                                      t.column("lb")))
+        return t
+
+    return sum_by_key(j.map_batches(pairup, batch_format="pyarrow"),
+                      ["la", "lb"], "weight", nb=nb)

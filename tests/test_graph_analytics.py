@@ -400,3 +400,26 @@ def test_zscore_per_key_constant_and_null_groups():
     assert out.z[0] == -1.0 and out.z[1] == 1.0
     # constant group → sd 0 → null z
     assert out.z.isna()[2] and out.z.isna()[3] and out.z.isna()[4]
+
+
+def test_contract_graph_weights_and_self_loops():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.graph import contract_graph
+
+    edges = rd.from_arrow(pa.Table.from_pylist(
+        [{"src": 0, "dst": 1}, {"src": 0, "dst": 2},
+         {"src": 1, "dst": 2}, {"src": 2, "dst": 3},
+         {"src": 3, "dst": 0}, {"src": 9, "dst": 0}]))  # 9 unlabeled
+    labs = rd.from_arrow(pa.Table.from_pylist(
+        [{"node": n, "lab": n // 2} for n in range(4)]))
+    out = contract_graph(edges, labs, nb=4).to_pandas()
+    got = {(r.la, r.lb): r.weight for r in out.itertuples()}
+    # 0→2 within lab0; crossing: 0→2(l0→l1), 1→2(l0→l1), 2→3 within
+    # lab1, 3→0(l1→l0); unlabeled 9 dropped
+    assert got == {(0, 1): 2, (1, 0): 1}
+    out2 = contract_graph(edges, labs, self_loops=True,
+                          nb=4).to_pandas()
+    got2 = {(r.la, r.lb): r.weight for r in out2.itertuples()}
+    assert got2 == {(0, 0): 1, (0, 1): 2, (1, 1): 1, (1, 0): 1}
