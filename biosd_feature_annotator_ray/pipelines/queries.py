@@ -8386,3 +8386,47 @@ ORACLES["community_graph"] = (
     " JOIN f lb ON lb.node = ed.b"
     " WHERE la.lab <> lb.lab GROUP BY 1, 2"
 )
+
+
+def q_lca(sf_dir: str):
+    """Lowest common ancestor (graph.lowest_common_ancestor) of 15
+    query pairs over a 31-node binary ontology tree. Fully oracled:
+    recursive ancestors CTE + self rows + depth census + row_number
+    argmax twin."""
+    from ..stages.graph import lowest_common_ancestor
+
+    edges = rd.from_arrow(pa.Table.from_pylist(
+        [{"child": i, "parent": (i - 1) // 2}
+         for i in range(1, 31)])).repartition(2)
+    pairs = rd.from_arrow(pa.Table.from_pylist(
+        [{"u": i, "v": 30 - i} for i in range(15)])).repartition(2)
+    out = lowest_common_ancestor(edges, pairs, nb=8)
+    df = (out.to_pandas().sort_values(["u", "v"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["lca"] = q_lca
+
+ORACLES["lca"] = (
+    "WITH RECURSIVE e AS (SELECT i AS child, (i - 1) // 2 AS parent"
+    "  FROM generate_series(1, 30) s(i)),"
+    " anc(node, anc) AS (SELECT child, parent FROM e"
+    "  UNION SELECT a.node, e.parent FROM anc a"
+    "   JOIN e ON e.child = a.anc),"
+    " alln AS (SELECT child AS n FROM e UNION SELECT parent FROM e),"
+    " fa AS (SELECT node, anc FROM anc"
+    "  UNION SELECT n, n FROM alln),"
+    " dep AS (SELECT node AS anc, COUNT(*) AS d FROM anc GROUP BY 1),"
+    " p AS (SELECT i AS u, 30 - i AS v"
+    "  FROM generate_series(0, 14) s(i)),"
+    " cand AS (SELECT p.u, p.v, a1.anc,"
+    "  COALESCE(dep.d, 0) AS depth FROM p"
+    "  JOIN fa a1 ON a1.node = p.u"
+    "  JOIN fa a2 ON a2.node = p.v AND a2.anc = a1.anc"
+    "  LEFT JOIN dep ON dep.anc = a1.anc)"
+    " SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,"
+    "  CAST(anc AS BIGINT) AS anc, CAST(depth AS BIGINT) AS depth"
+    " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u, v"
+    "  ORDER BY depth DESC, anc) AS rn FROM cand) q WHERE rn = 1"
+)

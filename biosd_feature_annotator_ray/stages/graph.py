@@ -3589,3 +3589,80 @@ def contract_graph(
 
     return sum_by_key(j.map_batches(pairup, batch_format="pyarrow"),
                       ["la", "lb"], "weight", nb=nb)
+
+
+def lowest_common_ancestor(
+    edges: "ray.data.Dataset",
+    pairs: "ray.data.Dataset",
+    child_col: str = "child",
+    parent_col: str = "parent",
+    u_col: str = "u",
+    v_col: str = "v",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Lowest common ancestor of query pairs over an ontology
+    TREE/FOREST (child→parent edges) — the class-generalization
+    primitive of KG reasoning ("what do EFO:asthma and EFO:COPD have
+    in common?"): per (u, v) the common ancestor with the greatest
+    depth, where every node counts as its own ancestor and depth =
+    #proper ancestors (exact for trees; on a multi-parent DAG this
+    picks the deepest common ancestor by that count — deterministic,
+    ties → smallest ancestor id).
+
+    Shape: one ``transitive_closure`` (frontier-doubling rounds) +
+    self rows, a depth census (``sum_by_key``), two bucketed joins
+    fanning each pair over u's then v's ancestor sets, and a
+    groupby-argmax finisher. Pairs whose nodes share no tree emit no
+    row."""
+    from .canonicalize import dedup_exact, groupby_argmax, sum_by_key
+    from .join import shuffle_hash_join
+
+    C = transitive_closure(
+        edges.map_batches(
+            lambda t: pa.table({"child": t.column(child_col),
+                                "parent": t.column(parent_col)}),
+            batch_format="pyarrow"),
+        child_col="child", parent_col="parent", nb=nb).materialize()
+    nodes = dedup_exact(
+        C.map_batches(lambda t: pa.table({"node": t.column("node")}),
+                      batch_format="pyarrow")
+        .union(C.map_batches(
+            lambda t: pa.table({"node": t.column("anc")}),
+            batch_format="pyarrow")),
+        ["node"], nb=nb)
+    anc = C.union(nodes.map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "anc": t.column("node")}),
+        batch_format="pyarrow")).materialize()
+    depth = sum_by_key(
+        C.map_batches(
+            lambda t: pa.table({
+                "anc": t.column("node"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "anc", "one", nb=nb, out_col="depth")
+
+    p = pairs.map_batches(
+        lambda t: pa.table({"u": t.column(u_col),
+                            "v": t.column(v_col)}),
+        batch_format="pyarrow")
+    ju = shuffle_hash_join(
+        p, anc.map_batches(
+            lambda t: t.rename_columns(["u", "anc"]),
+            batch_format="pyarrow"),
+        on=["u"], how="inner", nb=nb)
+    common = shuffle_hash_join(
+        ju, anc.map_batches(
+            lambda t: t.rename_columns(["v", "anc"]),
+            batch_format="pyarrow"),
+        on=["v", "anc"], how="inner", nb=nb)
+    scored = shuffle_hash_join(
+        common, depth, on=["anc"], how="left", nb=nb).map_batches(
+        lambda t: pa.table({
+            "u": t.column("u"), "v": t.column("v"),
+            "anc": t.column("anc"),
+            "depth": pc.fill_null(t.column("depth"), 0)
+            .cast(pa.int64())}),
+        batch_format="pyarrow")
+    return groupby_argmax(scored, ["u", "v"], ["depth", "anc"],
+                          [False, True], nb=nb)

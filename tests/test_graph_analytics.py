@@ -423,3 +423,23 @@ def test_contract_graph_weights_and_self_loops():
                           nb=4).to_pandas()
     got2 = {(r.la, r.lb): r.weight for r in out2.itertuples()}
     assert got2 == {(0, 0): 1, (0, 1): 2, (1, 1): 1, (1, 0): 1}
+
+
+def test_lowest_common_ancestor_tree():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.graph import (
+        lowest_common_ancestor)
+
+    edges = rd.from_arrow(pa.Table.from_pylist(
+        [{"child": i, "parent": (i - 1) // 2} for i in range(1, 15)]))
+    pairs = rd.from_arrow(pa.Table.from_pylist(
+        [{"u": 7, "v": 8}, {"u": 7, "v": 9}, {"u": 7, "v": 14},
+         {"u": 3, "v": 7}, {"u": 5, "v": 5},
+         {"u": 7, "v": 999}]))  # unknown node → no row
+    out = (lowest_common_ancestor(edges, pairs, nb=4).to_pandas()
+           .sort_values(["u", "v"]).reset_index(drop=True))
+    got = {(r.u, r.v): (r.anc, r.depth) for r in out.itertuples()}
+    assert got == {(7, 8): (3, 2), (7, 9): (1, 1), (7, 14): (0, 0),
+                   (3, 7): (3, 2), (5, 5): (5, 2)}
