@@ -8430,3 +8430,43 @@ ORACLES["lca"] = (
     " FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY u, v"
     "  ORDER BY depth DESC, anc) AS rn FROM cand) q WHERE rn = 1"
 )
+
+
+def q_ffill_events(sf_dir: str):
+    """Forward fill (windows.ffill_per_key): per-user last non-null
+    value carried forward in (ts, event_id) order — every third
+    value is nulled first so the fill does real work. Fully oracled
+    via last_value(x IGNORE NULLS) OVER."""
+    from ..stages.windows import ffill_per_key
+
+    ev = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def holes(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").cast(pa.float64())
+        keep = pa.array(ids % 3 != 0)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"), "ts": t.column("ts"),
+            "value": pc.if_else(keep, v,
+                                pa.scalar(None, pa.float64()))})
+
+    out = ffill_per_key(ev.map_batches(holes, batch_format="pyarrow"),
+                        nb=16)
+    df = (out.to_pandas()
+          .sort_values("event_id").reset_index(drop=True)
+          [["event_id", "user_id", "ts", "value", "filled"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["ffill_events"] = q_ffill_events
+
+ORACLES["ffill_events"] = (
+    "WITH h AS (SELECT event_id, user_id, ts,"
+    "  CASE WHEN event_id % 3 <> 0 THEN CAST(value AS DOUBLE) END"
+    "   AS value FROM events)"
+    " SELECT event_id, user_id, ts, value,"
+    "  last_value(value IGNORE NULLS) OVER (PARTITION BY user_id"
+    "   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS filled"
+    " FROM h"
+)

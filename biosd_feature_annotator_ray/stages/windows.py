@@ -1603,3 +1603,84 @@ def fact_intervals(
     return (obs.map_batches(bucketize, batch_format="pyarrow",
                             batch_size=65536)
             .groupby(_B).map_groups(compact, batch_format="pyarrow"))
+
+
+def _ffill_sorted(col: "pa.Array", new: np.ndarray):
+    """Forward-fill kernel over one sorted span: per row, the last
+    non-null value at-or-before it WITHIN its run (null until the
+    run's first non-null). Returns (filled_array, ok_mask, cand)."""
+    m = len(col)
+    idx = np.arange(m, dtype=np.int64)
+    rs = np.maximum.accumulate(np.where(new, idx, 0))
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    cand = np.maximum.accumulate(np.where(valid, idx, -1))
+    ok = cand >= rs
+    filled = col.take(pa.array(np.where(ok, cand, 0), mask=~ok))
+    return filled, ok, cand
+
+
+def _stream_ffill(t: pa.Table, key_col: str, value_col: str,
+                  bound: int, out: str) -> pa.Table:
+    """Forward fill over an already-sorted table in slices: the only
+    carried state is ONE value (the tail key's last non-null) — a
+    virtual carry row is prepended to each slice and sliced back off."""
+    parts = []
+    kcol = t.column(key_col)
+    ck, carry = _NOKEY, None
+    for lo in range(0, len(t), bound):
+        sub = t.slice(lo, bound)
+        m = len(sub)
+        new, _ = _runs_of(sub, key_col)
+        col = sub.column(value_col).combine_chunks()
+        cont = ck is not _NOKEY and _same_key(kcol[lo].as_py(), ck)
+        prep = (carry if cont and carry is not None
+                else pa.array([None], col.type))
+        col2 = pa.concat_arrays([prep.cast(col.type), col])
+        new2 = np.concatenate([[True], new])
+        if cont:
+            new2[1] = False
+        filled2, ok2, cand2 = _ffill_sorted(col2, new2)
+        parts.append(sub.append_column(out, filled2.slice(1)))
+        ck = kcol[lo + m - 1].as_py()
+        carry = col2.slice(cand2[-1], 1) if ok2[-1] else None
+    return pa.concat_tables(parts) if parts else t
+
+
+def ffill_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    out: str = "filled",
+    nb: int = 16,
+    max_bucket_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Forward fill — ``last_value(x IGNORE NULLS) OVER (PARTITION BY
+    key ORDER BY order ROWS UNBOUNDED PRECEDING)``: the gap-filling
+    step for sensor/telemetry/price streams (graft-added, r04 seventh
+    sitting). Null until a key's first non-null. Arrow-native
+    (run-relative maximum.accumulate of non-null indices + one take);
+    over-bound hot keys DEGRADE to the sorted-slice spill carrying a
+    single value."""
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        if len(g) > bound:
+            return _stream_ffill(_sort_bucket(g, key_col, oc),
+                                 key_col, value_col, bound, out)
+        t, new, _ = _sorted_runs(g, key_col, oc)
+        filled, _ok, _c = _ffill_sorted(
+            t.column(value_col).combine_chunks(), new)
+        return t.append_column(out, filled)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -460,3 +460,39 @@ def test_session_windows_null_ts_no_wrap(ray_session):
                           order_tiebreak="event_id", nb=2).to_pandas()
     # all four events in ONE session (NaT sorts last, does not break)
     assert len(out) == 1 and int(out.loc[0, "n_events"]) == 4
+
+
+def test_ffill_spill_matches_vector_path():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.windows import ffill_per_key
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(400):
+        uid = 1 if i < 300 else (2 + i % 3)  # one hot key
+        v = None if rng.random() < 0.5 else float(i)
+        rows.append({"event_id": i, "user_id": uid,
+                     "ts": 1000 + i, "value": v})
+    # a key whose leading rows are all null
+    rows += [{"event_id": 1000 + j, "user_id": 9,
+              "ts": 1, "value": None} for j in range(3)]
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+    key = ["event_id"]
+    a = (ffill_per_key(ds, nb=4).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    b = (ffill_per_key(ds, nb=4, max_bucket_rows=37).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    assert a.filled.equals(b.filled)
+    # all-null key stays null
+    assert a[a.user_id == 9].filled.isna().all()
+    # filled is last non-null at or before, per pandas reference
+    import pandas as pd
+
+    df = pd.DataFrame(rows).sort_values(["user_id", "ts", "event_id"])
+    ref = df.groupby("user_id")["value"].ffill()
+    df["ref"] = ref
+    df = df.sort_values(key).reset_index(drop=True)
+    assert a.filled.equals(df.ref)
