@@ -273,6 +273,43 @@ def main(argv: list[str] | None = None) -> int:
                      help="constructed (subj, pred, obj) parquet dir")
     pct.add_argument("--num-cpus", type=int, default=8)
 
+    prl = sub.add_parser("relations", help="Hearst-pattern is-a triple "
+                         "extraction from a documents parquet")
+    prl.add_argument("--input", required=True,
+                     help="parquet with (doc_id, text)")
+    prl.add_argument("--output", required=True,
+                     help="(doc_id, subj, pred, obj, pattern) parquet dir")
+    prl.add_argument("--num-cpus", type=int, default=8)
+
+    pmr = sub.add_parser("rules", help="AMIE-lite 2-hop rule mining over a "
+                         "triples parquet")
+    pmr.add_argument("--input", required=True,
+                     help="parquet with (subj, pred, obj) triples")
+    pmr.add_argument("--output", required=True,
+                     help="(p1, p2, p3, body_pairs, support, conf, "
+                     "head_coverage) parquet dir")
+    pmr.add_argument("--min-support", type=int, default=1)
+    pmr.add_argument("--num-cpus", type=int, default=8)
+
+    pwk = sub.add_parser("walks", help="seeded deterministic random walks "
+                         "over an edge parquet (DeepWalk corpus prep)")
+    pwk.add_argument("--input", required=True,
+                     help="parquet with (src, dst) edges")
+    pwk.add_argument("--output", required=True,
+                     help="(start, walk, step, node) parquet dir")
+    pwk.add_argument("--walk-len", type=int, default=3)
+    pwk.add_argument("--walks-per-node", type=int, default=1)
+    pwk.add_argument("--seed", type=int, default=7)
+    pwk.add_argument("--num-cpus", type=int, default=8)
+
+    psc = sub.add_parser("sccs", help="strongly connected components of a "
+                         "directed edge parquet (trim + coloring)")
+    psc.add_argument("--input", required=True,
+                     help="parquet with (src, dst) edges")
+    psc.add_argument("--output", required=True,
+                     help="(node, scc) parquet dir")
+    psc.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -610,6 +647,62 @@ def main(argv: list[str] | None = None) -> int:
             ).materialize()
             out.write_parquet(args.output)
             print(json.dumps({"triples": out.count(),
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "relations":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.relations import (
+                extract_hearst,
+            )
+
+            out = rd.read_parquet(args.input,
+                                  columns=["doc_id", "text"]).map_batches(
+                extract_hearst, batch_format="pyarrow").materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"triples": out.count(),
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "rules":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import mine_rules
+
+            out = mine_rules(rd.read_parquet(args.input),
+                             min_support=args.min_support).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"rules": out.count(),
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "walks":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import (
+                random_walks,
+            )
+
+            out = random_walks(
+                rd.read_parquet(args.input), walk_len=args.walk_len,
+                walks_per_node=args.walks_per_node,
+                seed=args.seed).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"rows": out.count(),
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "sccs":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import scc
+
+            out = scc(rd.read_parquet(args.input)).materialize()
+            out.write_parquet(args.output)
+            df = out.to_pandas()
+            print(json.dumps({"nodes": int(len(df)),
+                              "components": int(df["scc"].nunique()),
                               "output": args.output}))
             return 0
 

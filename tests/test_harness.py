@@ -308,3 +308,50 @@ def test_cli_structured_pii_boilerplate_ntexport(ray_session, tmp_path):
     assert r["triples"] == 1
     from biosd_feature_annotator_ray.sources.ntriples import read_ntriples
     assert read_ntriples(str(tmp_path / "nt")).count() == 1
+
+
+def test_cli_relations_rules_walks_sccs(ray_session, tmp_path):
+    """Seventh-sitting CLI commands end to end (subprocess Ray)."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pylist([
+        {"doc_id": 1,
+         "text": "we saw mammals such as dogs, cats and foxes"},
+        {"doc_id": 2, "text": "no patterns here"}]),
+        tmp_path / "docs.parquet")
+    pq.write_table(pa.Table.from_pylist(
+        [{"src": i, "dst": (i + 1) % 6} for i in range(6)]
+        + [{"src": 6, "dst": 0}]), tmp_path / "edges.parquet")
+    pq.write_table(pa.Table.from_pylist(
+        [{"subj": f"p{i}", "pred": "worksFor", "obj": f"o{i % 3}"}
+         for i in range(9)]
+        + [{"subj": f"o{j}", "pred": "locatedIn", "obj": "c0"}
+           for j in range(3)]
+        + [{"subj": f"p{i}", "pred": "livesIn", "obj": "c0"}
+           for i in range(0, 9, 3)]), tmp_path / "tri.parquet")
+
+    def run(*a):
+        r = subprocess.run(
+            [sys.executable, "-m", "biosd_feature_annotator_ray", *a],
+            capture_output=True, text=True, timeout=600)
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.loads(r.stdout.strip().splitlines()[-1])
+
+    got = run("relations", "--input", str(tmp_path / "docs.parquet"),
+              "--output", str(tmp_path / "rel"), "--num-cpus", "2")
+    assert got["triples"] == 3
+    got = run("rules", "--input", str(tmp_path / "tri.parquet"),
+              "--output", str(tmp_path / "rules"), "--num-cpus", "2")
+    assert got["rules"] == 1
+    got = run("walks", "--input", str(tmp_path / "edges.parquet"),
+              "--output", str(tmp_path / "walks"), "--num-cpus", "2")
+    assert got["rows"] == 28  # 7 nodes × 4 steps (incl. step 0)
+    got = run("sccs", "--input", str(tmp_path / "edges.parquet"),
+              "--output", str(tmp_path / "scc"), "--num-cpus", "2")
+    assert got == {"nodes": 7, "components": 2,
+                   "output": str(tmp_path / "scc")}
