@@ -243,7 +243,7 @@ def run_queries() -> dict:
         "resolve_conflicts", "bpe_merges", "bpe_encode",
         "containment_join", "readability", "feed_entries",
         "zscore_events", "cocitation", "winsorize_events",
-        "community_graph", "lca", "ffill_events",
+        "community_graph", "lca", "ffill_events", "topk_per_user",
     ]
     out = {}
     for name in names:

@@ -8470,3 +8470,27 @@ ORACLES["ffill_events"] = (
     "   ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS filled"
     " FROM h"
 )
+
+
+def q_topk_per_user(sf_dir: str):
+    """Generic top-k per key (windows.topk_per_key): each user's 3
+    highest-value events (value DESC, event_id ASC tie-break). Fully
+    oracled via ROW_NUMBER ≤ 3."""
+    from ..stages.windows import topk_per_key
+
+    ev = _events(sf_dir, ["event_id", "user_id", "value"])
+    out = topk_per_key(ev, "user_id", ["value", "event_id"], 3,
+                       ascending=[False, True], nb=16)
+    df = (out.to_pandas().sort_values("event_id")
+          .reset_index(drop=True)[["event_id", "user_id", "value"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["topk_per_user"] = q_topk_per_user
+
+ORACLES["topk_per_user"] = (
+    "SELECT event_id, user_id, value FROM ("
+    " SELECT event_id, user_id, value, ROW_NUMBER() OVER ("
+    "  PARTITION BY user_id ORDER BY value DESC, event_id) AS rn"
+    " FROM events) q WHERE rn <= 3"
+)

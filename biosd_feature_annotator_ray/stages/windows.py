@@ -1684,3 +1684,67 @@ def ffill_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def topk_per_key(
+    events: "ray.data.Dataset",
+    key_col: str,
+    order_cols: "list[str]",
+    k: int,
+    ascending: "list[bool] | None" = None,
+    nb: int = 16,
+    max_bucket_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Generic top-k rows per key by a total order — the k>1 sibling
+    of ``canonicalize.groupby_argmax`` (grab each user's 3 latest
+    events, each host's 5 biggest pages): rows whose ROW_NUMBER over
+    (PARTITION BY key ORDER BY order_cols, key) is ≤ k. The order is
+    made total by appending the key columns, so output is
+    deterministic under any block arrival order.
+
+    Arrow-native: one key-bucket shuffle + the shared `_sorted_runs`
+    / `_run_geometry` position kernel + a boolean take — no pandas,
+    no per-row Python. Over-bound hot buckets DEGRADE via the sorted
+    sub-slice spill (position within a run is streamable with one
+    carried counter)."""
+    if k < 1:
+        raise ValueError("topk_per_key: k must be >= 1")
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        bound = (DEFAULT_MAX_BUCKET_ROWS if max_bucket_rows is None
+                 else max_bucket_rows)
+        if len(g) > bound:
+            t = _sort_bucket(g, key_col, order_cols, ascending)
+            parts = []
+            kcol = t.column(key_col)
+            ck, cpos = _NOKEY, 0
+            for lo in range(0, len(t), bound):
+                sub = t.slice(lo, bound)
+                new, _ = _runs_of(sub, key_col)
+                pos, _sz, _h, _l = _run_geometry(new)
+                if ck is not _NOKEY and _same_key(kcol[lo].as_py(),
+                                                 ck):
+                    first_len = int(np.argmax(new[1:]) + 1
+                                    if new[1:].any() else len(sub))
+                    pos = pos.copy()
+                    pos[:first_len] += cpos
+                m = len(sub)
+                keep = pos < k
+                parts.append(sub.filter(pa.array(keep)))
+                if m:
+                    ck = kcol[lo + m - 1].as_py()
+                    cpos = int(pos[m - 1]) + 1
+            return pa.concat_tables(parts) if parts else g.slice(0, 0)
+        t, new, _ = _sorted_runs(g, key_col, order_cols, ascending)
+        pos, _size, _heads, _lens = _run_geometry(new)
+        return t.filter(pa.array(pos < k))
+
+    return (
+        events.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )

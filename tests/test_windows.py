@@ -496,3 +496,35 @@ def test_ffill_spill_matches_vector_path():
     df["ref"] = ref
     df = df.sort_values(key).reset_index(drop=True)
     assert a.filled.equals(df.ref)
+
+
+def test_topk_per_key_spill_parity_and_reference():
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from biosd_feature_annotator_ray.stages.windows import topk_per_key
+
+    rows = [{"k": i % 5, "v": (i * 13) % 40, "id": i}
+            for i in range(200)]
+    rows.append({"k": 1, "v": None, "id": 999})  # null orders last
+    ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    key = ["k", "v", "id"]
+    a = (topk_per_key(ds, "k", ["v", "id"], 3,
+                      ascending=[False, True], nb=4).to_pandas()
+         .sort_values(key).reset_index(drop=True)[key])
+    b = (topk_per_key(ds, "k", ["v", "id"], 3,
+                      ascending=[False, True], nb=4,
+                      max_bucket_rows=17).to_pandas()
+         .sort_values(key).reset_index(drop=True)[key])
+    df = pd.DataFrame(rows).sort_values(
+        ["k", "v", "id"], ascending=[True, False, True])
+    ref = (df.groupby("k").head(3)
+           .sort_values(key).reset_index(drop=True)[key])
+    pd.testing.assert_frame_equal(a, ref, check_dtype=False)
+    pd.testing.assert_frame_equal(b, ref, check_dtype=False)
+    assert 999 not in set(a.id)
+    import pytest
+
+    with pytest.raises(ValueError, match="k must"):
+        topk_per_key(ds, "k", ["v"], 0)
