@@ -8311,13 +8311,20 @@ ORACLES["cocitation"] = (
 
 
 def q_winsorize_events(sf_dir: str):
-    """Quantile winsorization (sketches.winsorize): event values
-    clamped to [p5, p95] with a clipped audit flag. Fully oracled via
-    DuckDB quantile_cont + least/greatest twin."""
+    """Quantile winsorization with interpolated (percentile_cont)
+    bounds and a clipped audit flag (sketches.winsorize with
+    cont=True, flag=...; the quantile_disc twin is
+    q:winsorize_values). Fully oracled via DuckDB quantile_cont +
+    least/greatest."""
     from ..stages.sketches import winsorize
 
     ev = _events(sf_dir, ["event_id", "value"])
-    out = winsorize(ev, "value", "event_id", 0.05, 0.95)
+    out = winsorize(ev, "value", 0.05, 0.95, out="winsorized",
+                    flag="clipped", cont=True).map_batches(
+        lambda t: t.set_column(
+            t.schema.get_field_index("winsorized"), "winsorized",
+            pc.round(t.column("winsorized").cast(pa.float64()), 6)),
+        batch_format="pyarrow")
     df = out.to_pandas().sort_values("event_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
 

