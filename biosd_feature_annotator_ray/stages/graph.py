@@ -23,6 +23,56 @@ from ..functions.hashing import hash_strings
 from ..schemas import GRAPH_EDGE
 
 
+def _pair_index_upper(d: np.ndarray) -> "tuple[np.ndarray, np.ndarray]":
+    """Run lengths ``d`` (over a sorted array) → global index arrays
+    ``(left, right)`` enumerating every within-run index pair with
+    ``left < right`` — the vectorized upper-triangle expansion shared
+    by the wedge/pair operators (butterflies, node similarity,
+    co-citation, co-occurrence). O(Σ d(d-1)/2) output, zero Python
+    loops, half the memory of the naive d² self-merge."""
+    d = d.astype(np.int64, copy=False)
+    n = int(d.sum())
+    starts = np.cumsum(d) - d
+    li = np.arange(n, dtype=np.int64) - np.repeat(starts, d)
+    mult = np.repeat(d, d) - 1 - li
+    total = int(mult.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64))
+    left = np.repeat(np.arange(n, dtype=np.int64), mult)
+    bs = np.cumsum(mult) - mult
+    right = left + 1 + (np.arange(total, dtype=np.int64) - np.repeat(bs, mult))
+    return left, right
+
+
+def _expand_sorted_pairs(
+    tbl: pa.Table, key_col: str, val_col: str
+) -> "tuple[pa.Table, np.ndarray, np.ndarray]":
+    """Sort ``tbl`` by ``(key, val)`` and enumerate all within-key
+    value pairs with ``val[left] < val[right]`` (equal-value pairs
+    dropped — STRICT ``<``, matching the self-merge + ``x < y`` filter
+    semantics this replaces, including duplicate-row multiplicities).
+    Returns ``(sorted_tbl, left, right)`` global index arrays into the
+    sorted table."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64))
+    if tbl.num_rows == 0:
+        return (tbl, *empty)
+    idx = pc.sort_indices(tbl, sort_keys=[(key_col, "ascending"),
+                                          (val_col, "ascending")])
+    s = tbl.take(idx)
+    k = s.column(key_col).combine_chunks()
+    ne = pc.not_equal(k.slice(1), k.slice(0, len(k) - 1))
+    ne = ne.fill_null(True).to_numpy(zero_copy_only=False)
+    starts = np.flatnonzero(np.r_[True, ne])
+    d = np.diff(np.r_[starts, len(k)])
+    left, right = _pair_index_upper(d)
+    if len(left) == 0:
+        return (s, *empty)
+    v = s.column(val_col).combine_chunks()
+    keep = pc.not_equal(v.take(pa.array(left)), v.take(pa.array(right)))
+    keep = keep.fill_null(False).to_numpy(zero_copy_only=False)
+    return s, left[keep], right[keep]
+
+
 def add_part_id(batch: pa.Table, num_parts: int) -> pa.Table:
     h = hash_strings(batch.column("subj"))
     return batch.append_column("part_id", pa.array((h % np.uint64(num_parts)).astype(np.int32)))
@@ -317,22 +367,31 @@ def cooccurrence_edges(
     vocabulary must be pre-filtered (min-df cut or an entity linker) so
     per-doc distinct sets stay small — pair volume is Σ d_i², not V².
     """
-    import pandas as pd
     from ray.data.aggregate import Sum
+
+    schema = pa.schema([
+        pa.field("t1", pa.string()), pa.field("t2", pa.string()),
+        pa.field("n_part", pa.int64())])
 
     def pairs(batch: pa.Table) -> pa.Table:
         flat, n_trunc = _doc_distinct_tokens(batch, col, max_tokens_per_doc)
-        m = flat.merge(flat, on="d")
-        m = m[m["t_x"] < m["t_y"]]
-        part = (m.groupby(["t_x", "t_y"], sort=False).size()
-                .reset_index(name="n_part")
-                .rename(columns={"t_x": "t1", "t_y": "t2"}))
+        ft = pa.table({"d": pa.array(flat["d"].to_numpy(), pa.int64()),
+                       "t": pa.array(flat["t"], pa.string())})
+        s, l, r = _expand_sorted_pairs(ft, "d", "t")
+        if len(l):
+            tok = s.column("t").combine_chunks()
+            pt = pa.table({"t1": tok.take(pa.array(l)),
+                           "t2": tok.take(pa.array(r))})
+            out = pt.group_by(["t1", "t2"]).aggregate([("t1", "count")])
+            part = pa.table({"t1": out.column("t1"), "t2": out.column("t2"),
+                             "n_part": out.column("t1_count").cast(pa.int64())})
+        else:
+            part = schema.empty_table()
         if n_trunc:
-            part = pd.concat([part, pd.DataFrame(
-                {"t1": ["__truncated__"], "t2": ["__docs__"], "n_part": [n_trunc]})])
-        return pa.Table.from_pandas(part, preserve_index=False).cast(pa.schema([
-            pa.field("t1", pa.string()), pa.field("t2", pa.string()),
-            pa.field("n_part", pa.int64())]))
+            part = pa.concat_tables([part.cast(schema), pa.table(
+                {"t1": ["__truncated__"], "t2": ["__docs__"],
+                 "n_part": pa.array([n_trunc], pa.int64())})])
+        return part.cast(schema)
 
     agg = (docs.map_batches(pairs, batch_format="pyarrow", batch_size=8192)
            .groupby(["t1", "t2"])
@@ -813,7 +872,6 @@ def entity_cooccurrence(
     Sum groupby. Pair volume is Σ d_subj² — bounded by links per page,
     never by vocabulary size.
     """
-    import pandas as pd
     import ray.data as rd
     from ray.data.aggregate import Sum
 
@@ -827,17 +885,22 @@ def entity_cooccurrence(
         return _add_bucket(t, ["subj"], nb)
 
     def pairs(g: pa.Table) -> pa.Table:
-        df = (g.drop_columns([_B]).to_pandas()
-              .drop_duplicates(["subj", "obj"]))
-        m = df.merge(df, on="subj")
-        m = m[m["obj_x"] < m["obj_y"]]
-        part = (m.groupby(["obj_x", "obj_y"], sort=False).size()
-                .reset_index(name="n_part")
-                .rename(columns={"obj_x": "uri_a", "obj_y": "uri_b"}))
-        return pa.Table.from_pandas(part, preserve_index=False).cast(
-            pa.schema([pa.field("uri_a", pa.string()),
-                       pa.field("uri_b", pa.string()),
-                       pa.field("n_part", pa.int64())]))
+        schema = pa.schema([pa.field("uri_a", pa.string()),
+                            pa.field("uri_b", pa.string()),
+                            pa.field("n_part", pa.int64())])
+        dedup = (g.drop_columns([_B])
+                 .group_by(["subj", "obj"]).aggregate([]))
+        s, l, r = _expand_sorted_pairs(dedup, "subj", "obj")
+        if len(l) == 0:
+            return schema.empty_table()
+        obj = s.column("obj").combine_chunks()
+        pt = pa.table({"uri_a": obj.take(pa.array(l)),
+                       "uri_b": obj.take(pa.array(r))})
+        out = pt.group_by(["uri_a", "uri_b"]).aggregate([("uri_a", "count")])
+        return pa.table({"uri_a": out.column("uri_a"),
+                         "uri_b": out.column("uri_b"),
+                         "n_part": out.column("uri_a_count").cast(pa.int64())}
+                        ).cast(schema)
 
     agg = (ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
            .groupby(_B).map_groups(pairs, batch_format="pyarrow")
@@ -2062,22 +2125,27 @@ def node_similarity(
         return _add_bucket(t, ["mid"], nb)
 
     def expand(g: pa.Table) -> pa.Table:
-        import pandas as pd
+        empty = pa.table({"pa_": pa.array([], pa.int64()),
+                          "pb_": pa.array([], pa.int64()),
+                          "c": pa.array([], pa.int64()),
+                          "aa": pa.array([], pa.float64())})
         if g.num_rows == 0:
-            return pa.table({"pa_": pa.array([], pa.int64()),
-                             "pb_": pa.array([], pa.int64()),
-                             "c": pa.array([], pa.int64()),
-                             "aa": pa.array([], pa.float64())})
-        df = g.select(["mid", "n", "deg"]).to_pandas()
-        m = df.merge(df[["mid", "n"]], on="mid")
-        m = m[m["n_x"] < m["n_y"]]
-        m["aa_w"] = 1.0 / np.log(m["deg"].to_numpy())
-        out = (m.groupby(["n_x", "n_y"], as_index=False)
-               .agg(c=("mid", "size"), aa=("aa_w", "sum")))
-        return pa.table({"pa_": pa.array(out["n_x"], pa.int64()),
-                         "pb_": pa.array(out["n_y"], pa.int64()),
-                         "c": pa.array(out["c"], pa.int64()),
-                         "aa": pa.array(out["aa"], pa.float64())})
+            return empty
+        s, l, r = _expand_sorted_pairs(
+            g.select(["mid", "n", "deg"]), "mid", "n")
+        if len(l) == 0:
+            return empty
+        n_arr = s.column("n").combine_chunks()
+        deg = s.column("deg").to_numpy(zero_copy_only=False).astype(np.float64)
+        pt = pa.table({"pa_": n_arr.take(pa.array(l)),
+                       "pb_": n_arr.take(pa.array(r)),
+                       "aa_w": pa.array(1.0 / np.log(deg[l]), pa.float64())})
+        out = pt.group_by(["pa_", "pb_"]).aggregate(
+            [("aa_w", "sum"), ("aa_w", "count")])
+        return pa.table({"pa_": out.column("pa_"),
+                         "pb_": out.column("pb_"),
+                         "c": out.column("aa_w_count").cast(pa.int64()),
+                         "aa": out.column("aa_w_sum")})
 
     pairs = (und_w.map_batches(bucketize, batch_format="pyarrow")
              .groupby(_B).map_groups(expand, batch_format="pyarrow"))
@@ -2537,6 +2605,15 @@ def butterfly_count(
     makes the count a documented UNDERCOUNT), pair multiplicities
     combine via the bucketed composite-key ``sum_by_key``, and the
     closing ``C(w, 2)`` folds map-side to one scalar.
+
+    SIDE SELECTION (exact, Wang-et-al-style): the 4-cycle count is
+    symmetric in the bipartition, so when ``max_degree`` is unset the
+    wedges expand through whichever side has the smaller Σ deg² —
+    measured first with two cheap degree censuses. On skewed
+    incidence graphs (many pages × few entities) this collapses pair
+    volume by orders of magnitude (sf0.1 derived graph: 6.7M → 135k
+    wedges). With ``max_degree`` set the v-side is kept so the
+    documented undercount contract stays on ``v``.
     """
     import ray.data as rd
 
@@ -2548,6 +2625,28 @@ def butterfly_count(
         lambda t: pa.table({"u": t.column(u_col).cast(pa.int64()),
                             "v": t.column(v_col).cast(pa.int64())}),
         batch_format="pyarrow")
+
+    if max_degree is None:
+        def _sumsq(side: str) -> int:
+            deg = sum_by_key(e.map_batches(
+                lambda t, s=side: pa.table({
+                    s: t.column(s),
+                    "one": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"), side, "one", nb=nb,
+                out_col="deg")
+            part = deg.map_batches(
+                lambda t: pa.table({"sq": pa.array([int(pc.sum(
+                    pc.multiply(t.column("deg"), t.column("deg"))
+                ).as_py() or 0)], pa.int64())}),
+                batch_format="pyarrow")
+            return int(part.sum("sq") or 0)
+
+        e = e.materialize()
+        if _sumsq("u") < _sumsq("v"):
+            e = e.map_batches(
+                lambda t: pa.table({"u": t.column("v"),
+                                    "v": t.column("u")}),
+                batch_format="pyarrow")
 
     if max_degree is not None:
         deg = sum_by_key(
@@ -2564,17 +2663,19 @@ def butterfly_count(
             batch_format="pyarrow")
 
     def expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"u1": pa.array([], pa.int64()),
+                          "u2": pa.array([], pa.int64()),
+                          "w": pa.array([], pa.int64())})
         if g.num_rows == 0:
-            return pa.table({"u1": pa.array([], pa.int64()),
-                             "u2": pa.array([], pa.int64()),
-                             "w": pa.array([], pa.int64())})
-        df = g.select(["v", "u"]).to_pandas()
-        m = df.merge(df, on="v")
-        m = m[m["u_x"] < m["u_y"]]
-        out = m.groupby(["u_x", "u_y"], as_index=False).size()
-        return pa.table({"u1": pa.array(out["u_x"], pa.int64()),
-                         "u2": pa.array(out["u_y"], pa.int64()),
-                         "w": pa.array(out["size"], pa.int64())})
+            return empty
+        s, l, r = _expand_sorted_pairs(g.select(["v", "u"]), "v", "u")
+        if len(l) == 0:
+            return empty
+        u = s.column("u").combine_chunks()
+        pt = pa.table({"u1": u.take(pa.array(l)), "u2": u.take(pa.array(r))})
+        out = pt.group_by(["u1", "u2"]).aggregate([("u1", "count")])
+        return pa.table({"u1": out.column("u1"), "u2": out.column("u2"),
+                         "w": out.column("u1_count").cast(pa.int64())})
 
     pairs = (e.map_batches(
         lambda t: _add_bucket(t, ["v"], nb), batch_format="pyarrow")
@@ -3512,21 +3613,20 @@ def cocitation(
             .select(["mid", "n"]), batch_format="pyarrow")
 
     def expand(g: pa.Table) -> pa.Table:
+        empty = pa.table({"a": g.column("n").slice(0, 0),
+                          "b": g.column("n").slice(0, 0),
+                          "common": pa.array([], pa.int64())})
         if g.num_rows == 0:
-            return pa.table({"a": g.column("n").slice(0, 0),
-                             "b": g.column("n").slice(0, 0),
-                             "common": pa.array([], pa.int64())})
-        df = g.select(["mid", "n"]).to_pandas()
-        m = df.merge(df, on="mid")
-        m = m[m["n_x"] < m["n_y"]]
-        out = (m.groupby(["n_x", "n_y"], as_index=False)
-               .agg(common=("mid", "size")))
-        return pa.table({
-            "a": pa.Array.from_pandas(
-                out["n_x"], type=g.schema.field("n").type),
-            "b": pa.Array.from_pandas(
-                out["n_y"], type=g.schema.field("n").type),
-            "common": pa.array(out["common"], pa.int64())})
+            return empty
+        s, l, r = _expand_sorted_pairs(g.select(["mid", "n"]), "mid", "n")
+        if len(l) == 0:
+            return empty
+        n_arr = s.column("n").combine_chunks()
+        pt = pa.table({"a": n_arr.take(pa.array(l)),
+                       "b": n_arr.take(pa.array(r))})
+        out = pt.group_by(["a", "b"]).aggregate([("a", "count")])
+        return pa.table({"a": out.column("a"), "b": out.column("b"),
+                         "common": out.column("a_count").cast(pa.int64())})
 
     pairs = (E.map_batches(lambda t: _add_bucket(t, ["mid"], nb),
                            batch_format="pyarrow")
