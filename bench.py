@@ -244,6 +244,9 @@ def run_queries() -> dict:
         "containment_join", "readability", "feed_entries",
         "zscore_events", "cocitation", "winsorize_events",
         "community_graph", "lca", "ffill_events", "topk_per_user",
+        # round-4 eighth sitting
+        "characteristic_sets", "entity_table", "negative_samples",
+        "mad_outliers",
     ]
     out = {}
     for name in names:

@@ -8501,3 +8501,213 @@ ORACLES["topk_per_user"] = (
     "  PARTITION BY user_id ORDER BY value DESC, event_id) AS rn"
     " FROM events) q WHERE rn <= 3"
 )
+
+
+def q_characteristic_sets(sf_dir: str):
+    """Characteristic-set census (graph.characteristic_sets — the
+    Neumann/Moerkotte RDF cardinality structure): subjects grouped by
+    their DISTINCT predicate set over an orders-derived KG with
+    conditional predicates and planted duplicate (subj, pred) rows.
+    Fully oracled: SQL dedups, string_agg-assembles the sorted
+    signature per subject, and censuses signatures."""
+    from ..stages.graph import characteristic_sets
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        subj = k.astype("U20")
+        subjs = [subj, subj, subj[k % 2 == 0], subj[k % 3 == 0],
+                 subj[price > 100000]]
+        preds = [np.full(len(s), p) for s, p in zip(
+            subjs, ["status", "status", "clerk", "priority", "total"])]
+        return pa.table({
+            "subj": pa.array(np.concatenate(subjs), pa.string()),
+            "pred": pa.array(np.concatenate(preds), pa.string())})
+
+    out = characteristic_sets(
+        orders.map_batches(triples, batch_format="pyarrow"), nb=16)
+    df = (out.to_pandas().sort_values("cs").reset_index(drop=True)
+          [["cs", "n_preds", "n_subjects"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["characteristic_sets"] = q_characteristic_sets
+
+ORACLES["characteristic_sets"] = (
+    "WITH t AS ("
+    " SELECT CAST(o_orderkey AS VARCHAR) AS subj, 'status' AS pred"
+    "  FROM orders"
+    " UNION ALL SELECT CAST(o_orderkey AS VARCHAR), 'status'"
+    "  FROM orders"
+    " UNION ALL SELECT CAST(o_orderkey AS VARCHAR), 'clerk'"
+    "  FROM orders WHERE o_orderkey % 2 = 0"
+    " UNION ALL SELECT CAST(o_orderkey AS VARCHAR), 'priority'"
+    "  FROM orders WHERE o_orderkey % 3 = 0"
+    " UNION ALL SELECT CAST(o_orderkey AS VARCHAR), 'total'"
+    "  FROM orders WHERE o_totalprice > 100000),"
+    " d AS (SELECT DISTINCT subj, pred FROM t),"
+    " s AS (SELECT subj, string_agg(pred, ',' ORDER BY pred) AS cs,"
+    "  count(*) AS n_preds FROM d GROUP BY subj)"
+    " SELECT cs, n_preds, CAST(count(*) AS BIGINT) AS n_subjects"
+    " FROM s GROUP BY cs, n_preds"
+)
+
+
+def q_entity_table(sf_dir: str):
+    """Property-table pivot (graph.entity_table): orders-derived
+    triples → one wide row per entity with status/priority/tag
+    columns; 'tag' is multi-valued (two objects per subject) so the
+    deterministic MIN pick does real work, 'priority' is conditional
+    so nulls appear. Fully oracled via MIN(CASE WHEN...) GROUP BY."""
+    from ..stages.graph import entity_table
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_orderstatus",
+                                      "o_orderpriority"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        subj = k.astype("U20")
+        status = t.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        prio = t.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        even = k % 2 == 0
+        subjs = np.concatenate([subj, subj[even], subj, subj])
+        preds = np.concatenate([
+            np.full(len(subj), "status"),
+            np.full(int(even.sum()), "priority"),
+            np.full(len(subj), "tag"), np.full(len(subj), "tag")])
+        objs = np.concatenate([
+            status.astype("U30"), prio[even].astype("U30"),
+            np.char.add("a", (k % 5).astype("U2")),
+            np.char.add("b", (k % 3).astype("U2"))])
+        return pa.table({"subj": pa.array(subjs, pa.string()),
+                         "pred": pa.array(preds, pa.string()),
+                         "obj": pa.array(objs, pa.string())})
+
+    out = entity_table(
+        orders.map_batches(triples, batch_format="pyarrow"),
+        ["status", "priority", "tag"], nb=16)
+    df = (out.to_pandas().sort_values("subj").reset_index(drop=True)
+          [["subj", "status", "priority", "tag"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["entity_table"] = q_entity_table
+
+ORACLES["entity_table"] = (
+    "WITH t AS ("
+    " SELECT CAST(o_orderkey AS VARCHAR) AS subj, 'status' AS pred,"
+    "  o_orderstatus AS obj FROM orders"
+    " UNION ALL SELECT CAST(o_orderkey AS VARCHAR), 'priority',"
+    "  o_orderpriority FROM orders WHERE o_orderkey % 2 = 0"
+    " UNION ALL SELECT CAST(o_orderkey AS VARCHAR), 'tag',"
+    "  'a' || CAST(o_orderkey % 5 AS VARCHAR) FROM orders"
+    " UNION ALL SELECT CAST(o_orderkey AS VARCHAR), 'tag',"
+    "  'b' || CAST(o_orderkey % 3 AS VARCHAR) FROM orders)"
+    " SELECT subj,"
+    "  MIN(CASE WHEN pred = 'status' THEN obj END) AS status,"
+    "  MIN(CASE WHEN pred = 'priority' THEN obj END) AS priority,"
+    "  MIN(CASE WHEN pred = 'tag' THEN obj END) AS tag"
+    " FROM t GROUP BY subj"
+)
+
+
+def q_negative_samples(sf_dir: str):
+    """KG-embedding negative sampling (graph.negative_sample_triples
+    — TransE corrupt-tail protocol, reproducible md5 draws, global
+    distinct-object pool ranked without a single-node sort, known
+    positives anti-joined out). Fully oracled: the SQL twin replays
+    the identical md5 draw, pool ranking, and anti join."""
+    from ..stages.graph import negative_sample_triples
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        kk = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "subj": pa.array(np.char.add("E", (kk % 200).astype("U4"))),
+            "pred": pa.array(np.full(len(kk), "linksTo")),
+            "obj": pa.array(np.char.add("E", ((kk * 7) % 200).astype("U4")))})
+
+    out = negative_sample_triples(
+        orders.map_batches(triples, batch_format="pyarrow"),
+        k=2, seed=7, nb=16)
+    df = (out.to_pandas()
+          .sort_values(["subj", "pred", "obj_neg", "j"])
+          .reset_index(drop=True)[["subj", "pred", "obj_neg", "j"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["negative_samples"] = q_negative_samples
+
+ORACLES["negative_samples"] = (
+    "WITH t AS (SELECT 'E' || CAST(o_orderkey % 200 AS VARCHAR) AS subj,"
+    "  'linksTo' AS pred,"
+    "  'E' || CAST((o_orderkey * 7) % 200 AS VARCHAR) AS obj FROM orders),"
+    " pool AS (SELECT DISTINCT obj FROM t),"
+    " ranked AS (SELECT obj AS obj_neg, ROW_NUMBER() OVER (ORDER BY"
+    "  CAST(('0x' || substr(md5(obj), 1, 8))::UBIGINT AS BIGINT), obj)"
+    "  AS rank FROM pool),"
+    " d AS (SELECT subj, pred, obj, g.j,"
+    "  CAST(('0x' || substr(md5(subj || ':' || pred || ':' || obj ||"
+    "   ':' || CAST(g.j AS VARCHAR) || ':7'), 1, 8))::UBIGINT AS BIGINT)"
+    "   % (SELECT count(*) FROM pool) + 1 AS rank"
+    "  FROM t CROSS JOIN generate_series(0, 1) g(j)),"
+    " n AS (SELECT d.subj, d.pred, r.obj_neg, d.j FROM d"
+    "  JOIN ranked r USING (rank))"
+    " SELECT n.subj, n.pred, n.obj_neg, CAST(n.j AS BIGINT) AS j FROM n"
+    " ANTI JOIN t ON t.subj = n.subj AND t.pred = n.pred"
+    "  AND t.obj = n.obj_neg"
+)
+
+
+def q_mad_outliers(sf_dir: str):
+    """Robust per-group outlier detection (sketches.
+    mad_outliers_per_key): |x − median| > 3·MAD per event_type, with
+    every third value nulled so null passthrough does real work.
+    Fully oracled via DuckDB median()/mad-style twin (two grouped
+    medians + joins)."""
+    from ..stages.sketches import mad_outliers_per_key
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+
+    def holes(t: pa.Table) -> pa.Table:
+        ids = t.column("event_id").to_numpy(zero_copy_only=False)
+        v = t.column("value").cast(pa.float64())
+        keep = pa.array(ids % 3 != 0)
+        return pa.table({
+            "event_type": t.column("event_type"),
+            "value": pc.if_else(keep, v, pa.scalar(None, pa.float64()))})
+
+    out = mad_outliers_per_key(
+        ev.map_batches(holes, batch_format="pyarrow"),
+        "event_type", "value", k=3.0, nb=16)
+    df = (out.to_pandas()
+          .sort_values(["event_type", "value", "is_outlier"])
+          .reset_index(drop=True)
+          [["event_type", "value", "med", "mad", "is_outlier"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["mad_outliers"] = q_mad_outliers
+
+ORACLES["mad_outliers"] = (
+    "WITH h AS (SELECT event_type,"
+    "  CASE WHEN event_id % 3 <> 0 THEN CAST(value AS DOUBLE) END"
+    "   AS value FROM events),"
+    " m AS (SELECT event_type, median(value) AS med FROM h"
+    "  GROUP BY event_type),"
+    " d AS (SELECT h.event_type, h.value, m.med,"
+    "  abs(h.value - m.med) AS dev FROM h JOIN m USING (event_type)),"
+    " md AS (SELECT event_type, median(dev) AS mad FROM d"
+    "  GROUP BY event_type)"
+    " SELECT d.event_type, d.value, round(d.med, 6) AS med,"
+    "  round(md.mad, 6) AS mad,"
+    "  CAST(CASE WHEN d.value IS NULL THEN NULL"
+    "   ELSE d.dev > 3 * md.mad END AS BIGINT) AS is_outlier"
+    " FROM d JOIN md USING (event_type)"
+)

@@ -3766,3 +3766,214 @@ def lowest_common_ancestor(
         batch_format="pyarrow")
     return groupby_argmax(scored, ["u", "v"], ["depth", "anc"],
                           [False, True], nb=nb)
+
+
+def characteristic_sets(
+    triples,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Characteristic-set statistics (Neumann & Moerkotte, ICDE'11 —
+    the published RDF-store cardinality-estimation structure): group
+    subjects by their DISTINCT predicate set and report, per set, the
+    sorted ','-joined signature, its predicate count, and how many
+    subjects share it. On a crawl-extracted KG this is both the query
+    planner's join-cardinality table and a schema-discovery census
+    ("how many entities look like a Product with name+price+brand").
+
+    Shape: exact (subj, pred) dedup (bucketed), ONE bucket shuffle on
+    subj, per-bucket sorted-run signature assembly via ``ListArray`` +
+    ``pc.binary_join`` (no per-subject Python), then a bucketed census
+    on the signature string. No global sort; driver sees nothing.
+    """
+    import ray.data as rd
+
+    from .canonicalize import _B, _add_bucket, dedup_exact, sum_by_key
+
+    ds = rd.from_arrow(triples) if isinstance(triples, pa.Table) else triples
+    sp = dedup_exact(
+        ds.map_batches(
+            lambda t: pa.table({"subj": t.column(subj_col),
+                                "pred": t.column(pred_col)}),
+            batch_format="pyarrow"),
+        ["subj", "pred"], nb=nb)
+
+    def sigs(g: pa.Table) -> pa.Table:
+        t = g.drop_columns([_B]).sort_by(
+            [("subj", "ascending"), ("pred", "ascending")])
+        if t.num_rows == 0:
+            return pa.table({"cs": pa.array([], pa.string()),
+                             "n_preds": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        subj = t.column("subj").combine_chunks()
+        ne = pc.not_equal(subj.slice(1), subj.slice(0, len(subj) - 1))
+        ne = ne.fill_null(True).to_numpy(zero_copy_only=False)
+        offsets = np.concatenate([[0], np.flatnonzero(ne) + 1,
+                                  [len(subj)]])
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            t.column("pred").cast(pa.string()).combine_chunks())
+        return pa.table({
+            "cs": pc.binary_join(lst.cast(pa.list_(pa.string())),
+                                 pa.scalar(",")),
+            "n_preds": pa.array(np.diff(offsets), pa.int64()),
+            "one": pa.array(np.ones(len(offsets) - 1, np.int64))})
+
+    per_subj = (sp.map_batches(
+        lambda t: _add_bucket(t, ["subj"], nb), batch_format="pyarrow")
+        .groupby(_B).map_groups(sigs, batch_format="pyarrow"))
+    return sum_by_key(per_subj, ["cs", "n_preds"], "one", nb=nb,
+                      out_col="n_subjects")
+
+
+def entity_table(
+    triples,
+    preds: "list[str]",
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Property-table pivot: the extracted triple stream → ONE wide
+    row per entity with a column per requested predicate (the
+    relational hand-off every KG-construction pipeline ends with —
+    feed entities to a trainer or SQL store without a triple join per
+    attribute). Multi-valued predicates resolve deterministically to
+    the MIN object; absent predicates are null.
+
+    Shape: predicate filter at the map side (only requested columns'
+    triples survive), per-batch partial (subj, pred) → min(obj)
+    combine, ONE bucket shuffle on subj, per-bucket Arrow hash-agg +
+    per-predicate left joins (Acero) — never a driver-side pivot.
+    """
+    import ray.data as rd
+
+    from .canonicalize import _B, _add_bucket
+
+    for p in preds:
+        if p == "subj":
+            raise ValueError("predicate column name 'subj' collides")
+    pset = pa.array(list(preds), pa.string())
+    ds = rd.from_arrow(triples) if isinstance(triples, pa.Table) else triples
+
+    def local(t: pa.Table) -> pa.Table:
+        f = pa.table({"subj": t.column(subj_col),
+                      "pred": t.column(pred_col).cast(pa.string()),
+                      "obj": t.column(obj_col)})
+        f = f.filter(pc.is_in(f.column("pred"), value_set=pset))
+        part = f.group_by(["subj", "pred"]).aggregate([("obj", "min")])
+        return _add_bucket(
+            part.rename_columns(["subj", "pred", "obj"]),
+            ["subj"], nb)
+
+    def pivot(g: pa.Table) -> pa.Table:
+        t = (g.drop_columns([_B])
+             .group_by(["subj", "pred"]).aggregate([("obj", "min")]))
+        out = t.group_by(["subj"]).aggregate([])
+        for p in preds:
+            sub = (t.filter(pc.equal(t.column("pred"), p))
+                   .select(["subj", "obj_min"])
+                   .rename_columns(["subj", p]))
+            out = out.join(sub, keys="subj", join_type="left outer")
+        return out.select(["subj"] + list(preds))
+
+    return (ds.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(_B).map_groups(pivot, batch_format="pyarrow"))
+
+
+def negative_sample_triples(
+    triples,
+    k: int = 1,
+    seed: int = 0,
+    subj_col: str = "subj",
+    pred_col: str = "pred",
+    obj_col: str = "obj",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Deterministic negative sampling for KG-embedding training
+    (TransE-family corrupt-tail protocol): for every positive triple
+    emit up to ``k`` corrupted copies whose object is drawn from the
+    global DISTINCT-object pool, with KNOWN positives filtered out
+    (type-unconstrained uniform corruption, the published baseline).
+    Reproducible by construction — draw ``j`` for a triple is
+    ``md5(subj:pred:obj:j:seed) mod |pool|``, the same replayable-md5
+    contract as :func:`random_walks`, so recovery never changes the
+    training set and a SQL twin can replay every draw.
+
+    Shape: pool = bucketed exact distinct; pool ranks come from the
+    histogram-partitioned :func:`~..stages.windows.global_row_number`
+    over a numeric md5 key (no single-node sort); draws expand
+    map-side k× and resolve with ONE bucketed rank join; the
+    false-negative filter is ONE bucketed anti join against the
+    positives. Yields ≤ k negatives per positive (collisions with true
+    triples are dropped, not resampled — deterministic, documented).
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    ds = rd.from_arrow(triples) if isinstance(triples, pa.Table) else triples
+    pos = ds.map_batches(
+        lambda t: pa.table({
+            "subj": t.column(subj_col).cast(pa.string()),
+            "pred": t.column(pred_col).cast(pa.string()),
+            "obj": t.column(obj_col).cast(pa.string())}),
+        batch_format="pyarrow").materialize()
+
+    def add_h(t: pa.Table) -> pa.Table:
+        objs = t.column("obj").to_pylist()
+        h = [int(hashlib.md5(o.encode()).hexdigest()[:8], 16)
+             for o in objs]
+        return t.append_column("h", pa.array(h, pa.int64()))
+
+    pool = dedup_exact(
+        pos.map_batches(lambda t: t.select(["obj"]),
+                        batch_format="pyarrow"),
+        ["obj"], nb=nb).map_batches(add_h, batch_format="pyarrow")
+    n_pool = pool.count()
+    if n_pool == 0:
+        raise ValueError("empty object pool")
+
+    from .windows import global_row_number
+    ranked = global_row_number(pool, ["h", "obj"], out="rank").map_batches(
+        lambda t: pa.table({"rank": t.column("rank"),
+                            "obj_neg": t.column("obj")}),
+        batch_format="pyarrow")
+
+    def draws(t: pa.Table) -> pa.Table:
+        s = t.column("subj").to_pylist()
+        p = t.column("pred").to_pylist()
+        o = t.column("obj").to_pylist()
+        out_s, out_p, out_j, out_r = [], [], [], []
+        for si, pi, oi in zip(s, p, o):
+            for j in range(k):
+                d = int(hashlib.md5(
+                    f"{si}:{pi}:{oi}:{j}:{seed}".encode()
+                ).hexdigest()[:8], 16) % n_pool
+                out_s.append(si); out_p.append(pi)
+                out_j.append(j); out_r.append(d + 1)
+        return pa.table({"subj": pa.array(out_s, pa.string()),
+                         "pred": pa.array(out_p, pa.string()),
+                         "j": pa.array(out_j, pa.int64()),
+                         "rank": pa.array(out_r, pa.int64())})
+
+    negs = shuffle_hash_join(
+        pos.map_batches(draws, batch_format="pyarrow"),
+        ranked, on=["rank"], how="inner", nb=nb).map_batches(
+        lambda t: t.select(["subj", "pred", "obj_neg", "j"]),
+        batch_format="pyarrow")
+    true_neg = pos.map_batches(
+        lambda t: pa.table({"subj": t.column("subj"),
+                            "pred": t.column("pred"),
+                            "obj_neg": t.column("obj")}),
+        batch_format="pyarrow")
+    return shuffle_hash_join(negs, true_neg,
+                             on=["subj", "pred", "obj_neg"],
+                             how="anti", nb=nb)

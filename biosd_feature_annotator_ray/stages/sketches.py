@@ -779,3 +779,93 @@ def zscore_per_key(
                             pc.round(zz, 6))})
 
     return j.map_batches(z, batch_format="pyarrow")
+
+
+def mad_outliers_per_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    val_col: str,
+    k: float = 3.0,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Robust per-group outlier detection — the curation filter that
+    survives the heavy tails z-scores choke on: a row is an outlier
+    when ``|x − median_key| > k · MAD_key`` (MAD = median absolute
+    deviation, both medians interpolated — SQL ``median()`` /
+    ``mad()`` semantics). Null values get null ``is_outlier``;
+    medians are computed over the group's non-null values.
+    ``is_outlier`` is a nullable 0/1 int64 (not bool): a null bool
+    round-trips as Python ``None`` from Arrow but ``NaN`` from
+    DuckDB, which breaks representation-sensitive value hashes.
+
+    Shape: ONE bucket shuffle on the key; per bucket BOTH medians are
+    computed for ALL groups at once with two vectorized sorted-run
+    passes (sort → reduceat counts → midpoint gather; re-rank of
+    |dev| reuses the same run geometry via ``np.lexsort``) — no
+    per-group Python, no global sort. Groups must fit a bucket (the
+    same co-location contract as the window family); 6-dp rounding
+    pins float parity with SQL's stable aggregates."""
+    from .canonicalize import _B, _add_bucket
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = pa.table({key_col: batch.column(key_col),
+                      val_col: batch.column(val_col).cast(pa.float64())})
+        return _add_bucket(t, [key_col], nb)
+
+    def _run_median(v: np.ndarray, starts: np.ndarray,
+                    nn: np.ndarray) -> np.ndarray:
+        # v sorted within runs, non-null (non-NaN) first; nn = per-run
+        # non-null count. Interpolated median, NaN for empty runs.
+        safe = np.maximum(nn, 1)
+        lo = starts + (safe - 1) // 2
+        hi = starts + safe // 2
+        med = (v[lo] + v[hi]) / 2.0
+        return np.where(nn > 0, med, np.nan)
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = g.drop_columns([_B])
+        if t.num_rows == 0:
+            return pa.table({
+                key_col: t.column(key_col),
+                val_col: t.column(val_col),
+                "med": pa.array([], pa.float64()),
+                "mad": pa.array([], pa.float64()),
+                "is_outlier": pa.array([], pa.int64())})
+        idx = pc.sort_indices(
+            t, sort_keys=[(key_col, "ascending"),
+                          (val_col, "ascending")],
+            null_placement="at_end")
+        t = t.take(idx)
+        kc = t.column(key_col).combine_chunks()
+        ne = pc.not_equal(kc.slice(1), kc.slice(0, len(kc) - 1))
+        # null keys form ONE trailing group (sorted together): a
+        # null-vs-null comparison is null -> fill False keeps them fused
+        ne = ne.fill_null(
+            pc.or_(pc.is_valid(kc.slice(1)),
+                   pc.is_valid(kc.slice(0, len(kc) - 1)))
+        ).to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.r_[True, ne])
+        lens = np.diff(np.r_[starts, len(kc)])
+        run_id = np.repeat(np.arange(len(starts)), lens)
+        v = t.column(val_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        valid = ~np.isnan(v)
+        nn = np.add.reduceat(valid.astype(np.int64), starts)
+        med_run = _run_median(v, starts, nn)
+        med = np.repeat(med_run, lens)
+        dev = np.abs(v - med)
+        order = np.lexsort((dev, run_id))  # NaN devs sort last per run
+        mad_run = _run_median(dev[order], starts, nn)
+        mad = np.repeat(mad_run, lens)
+        out_flag = dev > k * mad
+        return pa.table({
+            key_col: kc,
+            val_col: t.column(val_col),
+            "med": pa.array(np.round(med, 6), pa.float64()),
+            "mad": pa.array(np.round(mad, 6), pa.float64()),
+            "is_outlier": pa.array(out_flag.astype(np.int64),
+                                   pa.int64(), mask=~valid)})
+
+    return (ds.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
