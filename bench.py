@@ -247,6 +247,8 @@ def run_queries() -> dict:
         # round-4 eighth sitting
         "characteristic_sets", "entity_table", "negative_samples",
         "mad_outliers",
+        # round-4 ninth sitting
+        "collocations", "mis", "matching", "mst", "rake_keyphrases",
     ]
     out = {}
     for name in names:

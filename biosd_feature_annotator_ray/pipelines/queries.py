@@ -8711,3 +8711,285 @@ ORACLES["mad_outliers"] = (
     "   ELSE d.dev > 3 * md.mad END AS BIGINT) AS is_outlier"
     " FROM d JOIN md USING (event_type)"
 )
+
+
+def q_collocations(sf_dir: str):
+    """Dunning log-likelihood collocations (textstats.
+    collocations_llr): significant adjacent bigrams over the
+    documents table with min_count=3, the published G² phrase test.
+    Fully oracled: SQL re-tokenizes with the identical regex chain,
+    rebuilds bigrams positionally, and replays the 4-term LLR."""
+    from ..stages.textstats import collocations_llr
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text"])
+    out = collocations_llr(docs, col="text", min_count=3, nb=16)
+    df = (out.to_pandas().sort_values(["w1", "w2"])
+          .reset_index(drop=True)[["w1", "w2", "c12", "llr"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["collocations"] = q_collocations
+
+ORACLES["collocations"] = (
+    "WITH t AS (SELECT doc_id,"
+    "  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,"
+    "  len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS L"
+    "  FROM documents),"
+    " e AS (SELECT doc_id, i, toks[i] AS tok FROM t,"
+    "  UNNEST(generate_series(1, L)) AS u(i) WHERE toks[i] <> ''),"
+    " b AS (SELECT a.tok AS w1, c.tok AS w2 FROM e a"
+    "  JOIN e c ON c.doc_id = a.doc_id AND c.i = a.i + 1),"
+    " p AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM b"
+    "  GROUP BY w1, w2),"
+    " m1 AS (SELECT w1, CAST(SUM(c12) AS DOUBLE) AS c1 FROM p"
+    "  GROUP BY w1),"
+    " m2 AS (SELECT w2, CAST(SUM(c12) AS DOUBLE) AS c2 FROM p"
+    "  GROUP BY w2),"
+    " nt AS (SELECT CAST(SUM(c12) AS DOUBLE) AS n FROM p)"
+    " SELECT p.w1, p.w2, p.c12, round(2 * ("
+    "  CASE WHEN p.c12 > 0 THEN p.c12 * ln(p.c12 * nt.n"
+    "   / (m1.c1 * m2.c2)) ELSE 0 END"
+    "  + CASE WHEN m1.c1 - p.c12 > 0 THEN (m1.c1 - p.c12)"
+    "   * ln((m1.c1 - p.c12) * nt.n / (m1.c1 * (nt.n - m2.c2)))"
+    "   ELSE 0 END"
+    "  + CASE WHEN m2.c2 - p.c12 > 0 THEN (m2.c2 - p.c12)"
+    "   * ln((m2.c2 - p.c12) * nt.n / ((nt.n - m1.c1) * m2.c2))"
+    "   ELSE 0 END"
+    "  + CASE WHEN nt.n - m1.c1 - m2.c2 + p.c12 > 0"
+    "   THEN (nt.n - m1.c1 - m2.c2 + p.c12)"
+    "   * ln((nt.n - m1.c1 - m2.c2 + p.c12) * nt.n"
+    "    / ((nt.n - m1.c1) * (nt.n - m2.c2))) ELSE 0 END), 6) AS llr"
+    " FROM p JOIN m1 USING (w1) JOIN m2 USING (w2), nt"
+    " WHERE p.c12 >= 3"
+)
+
+
+def q_mis(sf_dir: str):
+    """Luby maximal independent set (graph.maximal_independent_set):
+    deterministic md5 priorities, winners beat all alive neighbors,
+    winner neighborhoods peel per round — over the orders-derived
+    mod-300 conflict graph (identical at every sf; converges in 3
+    rounds, independence + maximality pinned in tests). Fully
+    oracled: the SQL twin unrolls 4 Luby rounds replaying the same
+    60-bit md5 draws."""
+    from ..stages.graph import maximal_independent_set
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array((k % 300).astype(np.int64)),
+            "b": pa.array(((k * 7 + 1) % 300).astype(np.int64))})
+
+    out = maximal_independent_set(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        seed=7, nb=16)
+    df = (out.to_pandas().sort_values("node").reset_index(drop=True)
+          [["node", "mis_round"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["mis"] = q_mis
+
+
+def _mis_round_sql(r: int) -> str:
+    return (
+        f" p{r} AS (SELECT node, CAST(('0x' || substr(md5("
+        f"CAST(node AS VARCHAR) || ':{r}:7'), 1, 15))::UBIGINT"
+        f" AS BIGINT) AS p FROM n{r}),"
+        f" m{r} AS (SELECT e.src AS node, min(p.p) AS mp"
+        f"  FROM e{r} e JOIN p{r} p ON p.node = e.dst GROUP BY e.src),"
+        f" w{r} AS (SELECT a.node FROM p{r} a LEFT JOIN m{r} m"
+        f"  USING (node) WHERE m.mp IS NULL OR a.p < m.mp),"
+        f" rm{r} AS (SELECT node FROM w{r}"
+        f"  UNION SELECT e.dst FROM e{r} e JOIN w{r} w"
+        f"   ON w.node = e.src),"
+        f" n{r + 1} AS (SELECT node FROM n{r}"
+        f"  EXCEPT SELECT node FROM rm{r}),"
+        f" e{r + 1} AS (SELECT e.src, e.dst FROM e{r} e"
+        f"  JOIN n{r + 1} x ON x.node = e.src"
+        f"  JOIN n{r + 1} y ON y.node = e.dst),"
+    )
+
+
+ORACLES["mis"] = (
+    "WITH base AS (SELECT o_orderkey % 300 AS a,"
+    "  (o_orderkey * 7 + 1) % 300 AS b FROM orders),"
+    " e0 AS (SELECT DISTINCT a AS src, b AS dst FROM base WHERE a <> b"
+    "  UNION SELECT DISTINCT b, a FROM base WHERE a <> b),"
+    " n0 AS (SELECT DISTINCT src AS node FROM e0),"
+    + _mis_round_sql(0)[1:] + _mis_round_sql(1)[1:]
+    + _mis_round_sql(2)[1:] + _mis_round_sql(3)[1:-1]
+    + " SELECT node, CAST(0 AS BIGINT) AS mis_round FROM w0"
+    " UNION ALL SELECT node, 1 FROM w1"
+    " UNION ALL SELECT node, 2 FROM w2"
+    " UNION ALL SELECT node, 3 FROM w3"
+)
+
+
+def q_matching(sf_dir: str):
+    """Israeli-Itai parallel maximal matching (graph.
+    maximal_matching): deterministic md5 edge priorities, an edge
+    matches iff it is the unique (p, u, v)-argmin at BOTH endpoints,
+    matched vertices peel per round — over the orders-derived mod-300
+    conflict graph (identical at every sf; converges in 3 rounds;
+    validity + maximality pinned in tests). Fully oracled: the SQL
+    twin unrolls 4 rounds replaying the same 60-bit md5 draws and the
+    same per-vertex argmin via row_number."""
+    from ..stages.graph import maximal_matching
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": pa.array((k % 300).astype(np.int64)),
+            "b": pa.array(((k * 7 + 1) % 300).astype(np.int64))})
+
+    out = maximal_matching(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        seed=7, nb=16)
+    df = (out.to_pandas().sort_values(["u", "v"])
+          .reset_index(drop=True)[["u", "v", "match_round"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["matching"] = q_matching
+
+
+def _matching_round_sql(r: int) -> str:
+    return (
+        f" p{r} AS (SELECT u, v, CAST(('0x' || substr(md5("
+        f"CAST(u AS VARCHAR) || '-' || CAST(v AS VARCHAR)"
+        f" || ':{r}:7'), 1, 15))::UBIGINT AS BIGINT) AS p"
+        f" FROM e{r}),"
+        f" i{r} AS (SELECT u AS vtx, u, v, p FROM p{r}"
+        f"  UNION ALL SELECT v, u, v, p FROM p{r}),"
+        f" w{r} AS (SELECT u, v FROM (SELECT vtx, u, v,"
+        f"  row_number() OVER (PARTITION BY vtx ORDER BY p, u, v)"
+        f"  AS rn FROM i{r}) WHERE rn = 1),"
+        f" m{r} AS (SELECT u, v FROM w{r} GROUP BY u, v"
+        f"  HAVING count(*) = 2),"
+        f" mv{r} AS (SELECT u AS vtx FROM m{r}"
+        f"  UNION SELECT v FROM m{r}),"
+        f" e{r + 1} AS (SELECT u, v FROM e{r}"
+        f"  WHERE u NOT IN (SELECT vtx FROM mv{r})"
+        f"  AND v NOT IN (SELECT vtx FROM mv{r})),"
+    )
+
+
+ORACLES["matching"] = (
+    "WITH base AS (SELECT o_orderkey % 300 AS a,"
+    "  (o_orderkey * 7 + 1) % 300 AS b FROM orders),"
+    " e0 AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v"
+    "  FROM base WHERE a <> b),"
+    + _matching_round_sql(0)[1:] + _matching_round_sql(1)[1:]
+    + _matching_round_sql(2)[1:] + _matching_round_sql(3)[1:-1]
+    + " SELECT u, v, CAST(0 AS BIGINT) AS match_round FROM m0"
+    " UNION ALL SELECT u, v, 1 FROM m1"
+    " UNION ALL SELECT u, v, 2 FROM m2"
+    " UNION ALL SELECT u, v, 3 FROM m3"
+)
+
+
+def q_mst(sf_dir: str):
+    """Borůvka minimum spanning forest (graph.boruvka_mst):
+    per-component min outgoing edge under the (w, u, v) total order,
+    pointer-doubling contraction, O(log n) rounds — over an
+    orders-derived 200-node ring + heavy chords (identical at every
+    sf). Fully oracled by the cycle property: every chord (w ≥ 5000)
+    is the heaviest edge of its chord+ring-path cycle and every ring
+    edge except the single heaviest (unique: 1 + 37·i mod 997 is
+    injective below 200) survives, so the SQL twin selects ring minus
+    argmax in closed form. General correctness is pinned by Kruskal-
+    reference fuzz tests."""
+    from ..stages.graph import boruvka_mst
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        i = (k % 200).astype(np.int64)
+        ring_w = (1 + (37 * i) % 997).astype(np.float64)
+        chord_b = ((13 * i + 5) % 200).astype(np.int64)
+        chord_w = (5000 + i).astype(np.float64)
+        return pa.table({
+            "a": pa.array(np.concatenate([i, i])),
+            "b": pa.array(np.concatenate([(i + 1) % 200, chord_b])),
+            "w": pa.array(np.concatenate([ring_w, chord_w]))})
+
+    out = boruvka_mst(
+        orders.map_batches(edges, batch_format="pyarrow"), nb=16)
+    df = (out.to_pandas().sort_values(["u", "v"])
+          .reset_index(drop=True)[["u", "v", "w"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["mst"] = q_mst
+
+ORACLES["mst"] = (
+    "WITH r AS (SELECT DISTINCT o_orderkey % 200 AS i FROM orders),"
+    " ring AS (SELECT least(i, (i + 1) % 200) AS u,"
+    "  greatest(i, (i + 1) % 200) AS v,"
+    "  CAST(1 + (37 * i) % 997 AS DOUBLE) AS w FROM r),"
+    " mx AS (SELECT max(w) AS wm FROM ring)"
+    " SELECT u, v, w FROM ring, mx WHERE w < wm"
+)
+
+
+def q_rake(sf_dir: str):
+    """RAKE keyphrase extraction (textstats.rake_keyphrases): maximal
+    content-token runs between stopword/non-alphanumeric delimiters,
+    phrase score = Σ deg(w)/freq(w) per document — one stateless
+    map_batches, no shuffle. Fully oracled: the SQL twin re-tokenizes
+    with the identical regex chain, rebuilds candidate runs with the
+    islands trick (position − row_number), and replays freq/deg/score
+    per document."""
+    from ..stages.textstats import rake_keyphrases
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    out = rake_keyphrases(docs)
+    df = (out.to_pandas().sort_values(["doc_id", "phrase"])
+          .reset_index(drop=True)
+          [["doc_id", "phrase", "n_words", "score"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["rake_keyphrases"] = q_rake
+
+_RAKE_STOP = ("'the','a','an','and','or','of','to','in','is','are',"
+              "'was','for','on','with','as','at','by','it','this',"
+              "'that','be','from'")
+
+ORACLES["rake_keyphrases"] = (
+    "WITH t AS (SELECT doc_id,"
+    "  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks,"
+    "  len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS L"
+    "  FROM documents),"
+    " e AS (SELECT doc_id, i, toks[i] AS tok FROM t,"
+    "  UNNEST(generate_series(1, L)) AS u(i) WHERE toks[i] <> ''),"
+    " c AS (SELECT doc_id, i, tok,"
+    "  i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS isl"
+    "  FROM e WHERE NOT (tok IN (" + _RAKE_STOP + ")"
+    "   OR regexp_matches(tok, '[^a-z0-9]'))),"
+    " runs AS (SELECT doc_id, isl,"
+    "  string_agg(tok, ' ' ORDER BY i) AS phrase,"
+    "  CAST(count(*) AS BIGINT) AS n_words"
+    "  FROM c GROUP BY doc_id, isl),"
+    " wstat AS (SELECT c.doc_id, c.tok,"
+    "  count(*) AS freq, sum(r.n_words) AS deg"
+    "  FROM c JOIN runs r ON r.doc_id = c.doc_id AND r.isl = c.isl"
+    "  GROUP BY c.doc_id, c.tok),"
+    " ps AS (SELECT c.doc_id, c.isl,"
+    "  round(sum(w.deg * 1.0 / w.freq), 6) AS score"
+    "  FROM c JOIN wstat w ON w.doc_id = c.doc_id AND w.tok = c.tok"
+    "  GROUP BY c.doc_id, c.isl)"
+    " SELECT DISTINCT r.doc_id, r.phrase, r.n_words, p.score"
+    " FROM runs r JOIN ps p ON p.doc_id = r.doc_id AND p.isl = r.isl"
+)

@@ -3977,3 +3977,467 @@ def negative_sample_triples(
     return shuffle_hash_join(negs, true_neg,
                              on=["subj", "pred", "obj_neg"],
                              how="anti", nb=nb)
+
+
+def maximal_independent_set(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed: int = 0,
+    max_rounds: int = 30,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Maximal independent set via Luby's algorithm (Luby 1986 — the
+    published O(log n)-round parallel MIS): per round every alive node
+    draws a priority and enters the MIS iff it strictly beats ALL
+    alive neighbors; winners and their neighborhoods leave the graph.
+    The KG/crawl use: pick a maximal set of pairwise-non-conflicting
+    items (mirror pages, contradictory facts) in logarithmically many
+    shuffles instead of a sequential greedy pass.
+
+    Deterministic by construction: the round-``r`` priority of node
+    ``v`` is the 60-bit ``md5(v:r:seed)`` prefix (the replayable-md5
+    contract of :func:`random_walks`), so recovery replays identical
+    rounds and a SQL twin can unroll them. Neighbor priority TIES
+    (adjacent 60-bit collisions, ~|E|/2^60) eliminate nobody that
+    round — never an independence violation, the pair just redraws.
+
+    Shape per round: one bucketed join ships priorities to neighbors,
+    one map-side-combined per-node min, one left join picks winners
+    (isolated-by-attrition nodes win on the null min), one semi join
+    expands winner neighborhoods, anti/semi joins shrink the node and
+    edge sets. Nodes are edge endpoints — truly isolated input nodes
+    never appear. Raises after ``max_rounds`` non-converged rounds.
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    und = ds.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column(a_col).cast(pa.int64()).combine_chunks(),
+                t.column(b_col).cast(pa.int64()).combine_chunks()]),
+            "dst": pa.concat_arrays([
+                t.column(b_col).cast(pa.int64()).combine_chunks(),
+                t.column(a_col).cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    und = und.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("src"),
+                                        t.column("dst"))),
+        batch_format="pyarrow")  # self-loops would block their node forever
+    und = mat_cut(dedup_exact(und, ["src", "dst"], nb=nb))
+    alive = mat_cut(dedup_exact(
+        und.map_batches(lambda t: pa.table({"node": t.column("src")}),
+                        batch_format="pyarrow"),
+        ["node"], nb=nb))
+    schema = pa.schema([pa.field("node", pa.int64()),
+                        pa.field("mis_round", pa.int64())])
+    parts: list = []
+    for r in range(max_rounds):
+        if alive.count() == 0:
+            break
+        if und.count() == 0:
+            # every remaining alive node is isolated by attrition —
+            # all of them join the MIS and the loop is done (an empty
+            # edge set also has no schema for the join below)
+            parts.append(mat_cut(alive.map_batches(
+                lambda t, rr=r: pa.table({
+                    "node": t.column("node"),
+                    "mis_round": pa.array(
+                        np.full(t.num_rows, rr, np.int64))}),
+                batch_format="pyarrow")))
+            alive = rd.from_arrow(pa.table(
+                {"node": pa.array([], pa.int64())}))
+            break
+
+        def prio(t: pa.Table, rr=r) -> pa.Table:
+            p = [int(hashlib.md5(f"{v}:{rr}:{seed}".encode())
+                     .hexdigest()[:15], 16)
+                 for v in t.column("node").to_pylist()]
+            return pa.table({"node": t.column("node"),
+                             "p": pa.array(p, pa.int64())})
+
+        pri = mat_cut(alive.map_batches(prio, batch_format="pyarrow"))
+        msgs = shuffle_hash_join(
+            und, pri.map_batches(
+                lambda t: t.rename_columns(["dst", "p"]),
+                batch_format="pyarrow"),
+            on=["dst"], how="inner", nb=nb).map_batches(
+            lambda t: pa.table({"node": t.column("src"),
+                                "p": t.column("p")}),
+            batch_format="pyarrow")
+        minnb = _min_per_node(msgs, nb=nb, node_col="node",
+                              val_col="p").map_batches(
+            lambda t: t.rename_columns(["node", "minp"]),
+            batch_format="pyarrow")
+        def pick(t: pa.Table, rr=r) -> pa.Table:
+            w = t.filter(pc.or_kleene(
+                pc.is_null(t.column("minp")),
+                pc.less(t.column("p"), t.column("minp"))))
+            return pa.table({
+                "node": w.column("node"),
+                "mis_round": pa.array(
+                    np.full(w.num_rows, rr, np.int64))})
+
+        winners = mat_cut(shuffle_hash_join(
+            pri, minnb, on=["node"], how="left", nb=nb).map_batches(
+            pick, batch_format="pyarrow"))
+        if winners.count() > 0:
+            parts.append(winners)
+            w_nodes = winners.map_batches(
+                lambda t: pa.table({"node": t.column("node")}),
+                batch_format="pyarrow")
+            nb_of_w = shuffle_hash_join(
+                und, w_nodes.map_batches(
+                    lambda t: t.rename_columns(["src"]),
+                    batch_format="pyarrow"),
+                on=["src"], how="semi", nb=nb).map_batches(
+                lambda t: pa.table({"node": t.column("dst")}),
+                batch_format="pyarrow")
+            removed = dedup_exact(w_nodes.union(nb_of_w), ["node"],
+                                  nb=nb)
+            alive = mat_cut(shuffle_hash_join(
+                alive, removed, on=["node"], how="anti", nb=nb))
+            if alive.count() == 0:
+                # everyone is in the MIS or adjacent to it — and an
+                # all-empty anti-join result loses its schema, which
+                # the semi joins below could not probe anyway
+                break
+            und = shuffle_hash_join(
+                und, alive.map_batches(
+                    lambda t: t.rename_columns(["src"]),
+                    batch_format="pyarrow"),
+                on=["src"], how="semi", nb=nb)
+            und = mat_cut(shuffle_hash_join(
+                und, alive.map_batches(
+                    lambda t: t.rename_columns(["dst"]),
+                    batch_format="pyarrow"),
+                on=["dst"], how="semi", nb=nb))
+    else:
+        if alive.count() > 0:
+            raise RuntimeError(
+                f"MIS did not converge in {max_rounds} rounds")
+    if not parts:
+        return rd.from_arrow(schema.empty_table())
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.union(p_)
+    return out.map_batches(lambda t: t.cast(schema),
+                           batch_format="pyarrow")
+
+
+def maximal_matching(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed: int = 0,
+    max_rounds: int = 30,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Maximal matching via parallel symmetry breaking (Israeli &
+    Itai 1986 — the published O(log n)-round distributed matching):
+    per round every alive edge draws a priority; an edge joins the
+    matching iff it is the UNIQUE minimum at BOTH endpoints under the
+    total order (priority, u, v); matched vertices and all their
+    incident edges leave the graph. The KG/ER use: pair up candidate
+    duplicate records one-to-one (each entity merged with at most one
+    partner per pass) without a sequential greedy scan.
+
+    Deterministic by construction: the round-``r`` priority of edge
+    ``(u, v)`` (canonical ``u < v`` orientation) is the 60-bit
+    ``md5(u-v:r:seed)`` prefix — the replayable-md5 contract of
+    :func:`random_walks` — and the per-vertex argmin breaks ties on
+    ``(p, u, v)``, a total order, so the globally smallest edge always
+    matches: every round makes progress and a SQL twin can unroll the
+    rounds. Self-loops are dropped (a loop can never be matched).
+
+    Shape per round: one vectorized incidence expansion, one bucketed
+    :func:`~..canonicalize.groupby_argmax` per-vertex winner pick, one
+    bucketed pair census (an edge must win at both endpoints), two
+    anti joins peel matched vertices' edges. Raises after
+    ``max_rounds`` non-converged rounds.
+
+    Returns ``(u, v, match_round)`` with ``u < v``.
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact, groupby_argmax, sum_by_key
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).cast(pa.int64())
+        b = t.column(b_col).cast(pa.int64())
+        keep = pc.not_equal(a, b)
+        a, b = a.filter(keep), b.filter(keep)
+        return pa.table({"u": pc.min_element_wise(a, b),
+                         "v": pc.max_element_wise(a, b)})
+
+    alive = mat_cut(dedup_exact(
+        ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"],
+        nb=nb))
+    schema = pa.schema([pa.field("u", pa.int64()),
+                        pa.field("v", pa.int64()),
+                        pa.field("match_round", pa.int64())])
+    parts: list = []
+    for r in range(max_rounds):
+        if alive.count() == 0:
+            break
+
+        def prio(t: pa.Table, rr=r) -> pa.Table:
+            p = [int(hashlib.md5(f"{u}-{v}:{rr}:{seed}".encode())
+                     .hexdigest()[:15], 16)
+                 for u, v in zip(t.column("u").to_pylist(),
+                                 t.column("v").to_pylist())]
+            return pa.table({"u": t.column("u"), "v": t.column("v"),
+                             "p": pa.array(p, pa.int64())})
+
+        def incidence(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "vtx": pa.concat_arrays([
+                    t.column("u").combine_chunks(),
+                    t.column("v").combine_chunks()]),
+                "u": pa.concat_arrays([
+                    t.column("u").combine_chunks(),
+                    t.column("u").combine_chunks()]),
+                "v": pa.concat_arrays([
+                    t.column("v").combine_chunks(),
+                    t.column("v").combine_chunks()]),
+                "p": pa.concat_arrays([
+                    t.column("p").combine_chunks(),
+                    t.column("p").combine_chunks()])})
+
+        winners = groupby_argmax(
+            alive.map_batches(prio, batch_format="pyarrow")
+                 .map_batches(incidence, batch_format="pyarrow"),
+            ["vtx"], ["p", "u", "v"], [True, True, True], nb=nb)
+        matched = mat_cut(sum_by_key(
+            winners.map_batches(
+                lambda t: pa.table({
+                    "u": t.column("u"), "v": t.column("v"),
+                    "c": pa.array(np.ones(t.num_rows, np.int64))}),
+                batch_format="pyarrow"),
+            ["u", "v"], "c", nb=nb, out_col="c").map_batches(
+            lambda t, rr=r: pa.table({
+                "u": (w := t.filter(pc.equal(t.column("c"),
+                                             2))).column("u"),
+                "v": w.column("v"),
+                "match_round": pa.array(
+                    np.full(w.num_rows, rr, np.int64))}),
+            batch_format="pyarrow"))
+        parts.append(matched)
+        mvtx = dedup_exact(matched.map_batches(
+            lambda t: pa.table({"vtx": pa.concat_arrays([
+                t.column("u").combine_chunks(),
+                t.column("v").combine_chunks()])}),
+            batch_format="pyarrow"), ["vtx"], nb=nb)
+        done = False
+        for side in ("u", "v"):
+            alive = mat_cut(shuffle_hash_join(
+                alive, mvtx.map_batches(
+                    lambda t, s=side: t.rename_columns([s]),
+                    batch_format="pyarrow"),
+                on=[side], how="anti", nb=nb))
+            if alive.count() == 0:
+                # an all-empty anti-join result loses its schema —
+                # stop before the next join would probe it
+                done = True
+                break
+        if done:
+            break
+    else:
+        if alive.count() > 0:
+            raise RuntimeError(
+                f"matching did not converge in {max_rounds} rounds")
+    if not parts:
+        return rd.from_arrow(schema.empty_table())
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.union(p_)
+    return out.map_batches(lambda t: t.cast(schema),
+                           batch_format="pyarrow")
+
+
+def boruvka_mst(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    w_col: str = "w",
+    max_rounds: int = 30,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Minimum spanning forest via Borůvka's algorithm (Borůvka 1926;
+    the standard parallel MST — e.g. the GraphX/PBGL formulation):
+    per round every component selects its minimum incident outgoing
+    edge under the total order ``(w, u, v)`` (ties broken by edge
+    identity ⇒ the MST is unique and the cut property applies),
+    selected edges join the forest, and components contract by
+    pointer doubling. Components at least halve per round ⇒ O(log n)
+    bucketed-shuffle rounds. The KG/ER use: a minimum-cost linkage
+    forest over a weighted similarity graph (single-linkage
+    clustering dendrogram edges).
+
+    Edge prep: canonical ``u < v`` orientation, self-loops dropped,
+    parallel edges collapsed to their minimum weight. Null or NaN
+    weights raise (they have no place in a total order). Returns
+    ``(u, v, w, mst_round)`` — one row per forest edge; disconnected
+    inputs yield a spanning forest. Raises after ``max_rounds``
+    non-contracted rounds.
+
+    Contraction shape: each component points at its selected
+    neighbor; mutual pairs break toward the smaller label (that
+    component becomes the root), leaving a forest whose roots are
+    found by ⌈log2(#comps)⌉ self-join doubling rounds — never per-row
+    walking.
+    """
+    import math
+
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact, groupby_argmax
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t.column(a_col).cast(pa.int64())
+        b = t.column(b_col).cast(pa.int64())
+        w = t.column(w_col).cast(pa.float64())
+        bad = pc.or_kleene(pc.is_null(w),
+                           pc.is_nan(pc.fill_null(w, 0.0)))
+        if pc.any(bad).as_py():
+            raise ValueError("boruvka_mst: null/NaN edge weight")
+        keep = pc.not_equal(a, b)
+        a, b, w = a.filter(keep), b.filter(keep), w.filter(keep)
+        return pa.table({"u": pc.min_element_wise(a, b),
+                         "v": pc.max_element_wise(a, b), "w": w})
+
+    e = mat_cut(groupby_argmax(
+        ds.map_batches(canon, batch_format="pyarrow"),
+        ["u", "v"], ["w"], [True], nb=nb))
+    comp = mat_cut(dedup_exact(e.map_batches(
+        lambda t: pa.table({"node": pa.concat_arrays([
+            t.column("u").combine_chunks(),
+            t.column("v").combine_chunks()])}),
+        batch_format="pyarrow"), ["node"], nb=nb).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "comp": t.column("node")}),
+        batch_format="pyarrow"))
+    schema = pa.schema([
+        pa.field("u", pa.int64()), pa.field("v", pa.int64()),
+        pa.field("w", pa.float64()), pa.field("mst_round", pa.int64())])
+    if e.count() == 0:
+        return rd.from_arrow(schema.empty_table())
+
+    parts: list = []
+    for r in range(max_rounds):
+        # label both endpoints with their current component
+        lab = shuffle_hash_join(
+            e, comp.map_batches(
+                lambda t: pa.table({"u": t.column("node"),
+                                    "cu": t.column("comp")}),
+                batch_format="pyarrow"),
+            on=["u"], how="inner", nb=nb)
+        lab = shuffle_hash_join(
+            lab, comp.map_batches(
+                lambda t: pa.table({"v": t.column("node"),
+                                    "cv": t.column("comp")}),
+                batch_format="pyarrow"),
+            on=["v"], how="inner", nb=nb)
+        out_e = mat_cut(lab.map_batches(
+            lambda t: t.filter(pc.not_equal(t.column("cu"),
+                                            t.column("cv"))),
+            batch_format="pyarrow"))
+        if out_e.count() == 0:
+            break
+
+        def incidence(t: pa.Table) -> pa.Table:
+            def one(c_col: str, o_col: str) -> pa.Table:
+                return pa.table({
+                    "comp": t.column(c_col), "w": t.column("w"),
+                    "u": t.column("u"), "v": t.column("v"),
+                    "oc": t.column(o_col)})
+            return pa.concat_tables([one("cu", "cv"), one("cv", "cu")])
+
+        sel = mat_cut(groupby_argmax(
+            out_e.map_batches(incidence, batch_format="pyarrow"),
+            ["comp"], ["w", "u", "v"], [True, True, True], nb=nb))
+        picked = dedup_exact(sel.map_batches(
+            lambda t, rr=r: pa.table({
+                "u": t.column("u"), "v": t.column("v"),
+                "w": t.column("w"),
+                "mst_round": pa.array(
+                    np.full(t.num_rows, rr, np.int64))}),
+            batch_format="pyarrow"), ["u", "v"], nb=nb)
+        parts.append(mat_cut(picked))
+
+        # component pointers: comp → oc; mutual pairs root at the
+        # smaller label (drop its pointer) so the graph is a forest
+        ptr = sel.map_batches(
+            lambda t: pa.table({"c": t.column("comp"),
+                                "p": t.column("oc")}),
+            batch_format="pyarrow")
+        swapped = ptr.map_batches(
+            lambda t: pa.table({"c": t.column("p"),
+                                "p": t.column("c")}),
+            batch_format="pyarrow")
+        mutual = shuffle_hash_join(ptr, swapped, on=["c", "p"],
+                                   how="semi", nb=nb)
+        keep_mutual = mutual.map_batches(
+            lambda t: t.filter(pc.greater(t.column("c"),
+                                          t.column("p"))),
+            batch_format="pyarrow")
+        non_mutual = shuffle_hash_join(ptr, swapped, on=["c", "p"],
+                                       how="anti", nb=nb)
+        m = mat_cut(non_mutual.union(keep_mutual))
+
+        # pointer-double to roots
+        n_ptr = max(2, m.count())
+        for _ in range(math.ceil(math.log2(n_ptr)) + 1):
+            nxt = m.map_batches(
+                lambda t: pa.table({"p": t.column("c"),
+                                    "p2": t.column("p")}),
+                batch_format="pyarrow")
+            j = shuffle_hash_join(m, nxt, on=["p"], how="left", nb=nb)
+            m = mat_cut(j.map_batches(
+                lambda t: pa.table({
+                    "c": t.column("c"),
+                    "p": pc.if_else(pc.is_valid(t.column("p2")),
+                                    t.column("p2"), t.column("p"))}),
+                batch_format="pyarrow"))
+
+        # comp relabel: comp → root(comp); roots keep their label
+        j = shuffle_hash_join(
+            comp, m.map_batches(
+                lambda t: pa.table({"comp": t.column("c"),
+                                    "root": t.column("p")}),
+                batch_format="pyarrow"),
+            on=["comp"], how="left", nb=nb)
+        comp = mat_cut(j.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "comp": pc.if_else(pc.is_valid(t.column("root")),
+                                   t.column("root"),
+                                   t.column("comp"))}),
+            batch_format="pyarrow"))
+    else:
+        raise RuntimeError(
+            f"boruvka_mst did not converge in {max_rounds} rounds")
+    if not parts:
+        return rd.from_arrow(schema.empty_table())
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.union(p_)
+    return out.map_batches(lambda t: t.cast(schema),
+                           batch_format="pyarrow")

