@@ -249,6 +249,7 @@ def run_queries() -> dict:
         "mad_outliers",
         # round-4 ninth sitting
         "collocations", "mis", "matching", "mst", "rake_keyphrases",
+        "textrank_terms", "url_change_rate",
     ]
     out = {}
     for name in names:

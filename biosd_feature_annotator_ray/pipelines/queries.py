@@ -8993,3 +8993,169 @@ ORACLES["rake_keyphrases"] = (
     " SELECT DISTINCT r.doc_id, r.phrase, r.n_words, p.score"
     " FROM runs r JOIN ps p ON p.doc_id = r.doc_id AND p.isl = r.isl"
 )
+
+
+def q_textrank(sf_dir: str):
+    """TextRank-style corpus keyword ranking (Mihalcea & Tarau 2004
+    recast at corpus level): compose graph.cooccurrence_edges
+    (distinct-token doc pairs, min_count=3) into an undirected graph
+    and run the SAME damped pagerank power iteration over the STRING
+    term nodes; top-50 terms by rounded rank. Pure composition of two
+    existing operators — no new stage code. Fully oracled: the SQL
+    twin rebuilds the pair graph with the pmi_pairs token contract
+    and unrolls 3 pagerank iterations over term nodes."""
+    from ..stages.graph import cooccurrence_edges, pagerank
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"])
+    edges = cooccurrence_edges(docs, min_count=3)
+
+    def und(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("t1"), "__truncated__"))
+        return pa.table({
+            "src": pa.concat_arrays([t.column("t1").combine_chunks(),
+                                     t.column("t2").combine_chunks()]),
+            "dst": pa.concat_arrays([t.column("t2").combine_chunks(),
+                                     t.column("t1").combine_chunks()])})
+
+    pr = pagerank(edges.map_batches(und, batch_format="pyarrow"),
+                  src="src", dst="dst", damping=0.85, iters=3, nb=16)
+    df = pr.to_pandas()
+    df["rank"] = df["rank"].round(8)
+    df = (df.sort_values(["rank", "node"], ascending=[False, True])
+          .head(50).reset_index(drop=True)
+          .rename(columns={"node": "term"})[["term", "rank"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["textrank_terms"] = q_textrank
+
+
+def _textrank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    s = (
+        "WITH raw AS ("
+        "  SELECT doc_id,"
+        "   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t,"
+        "   generate_subscripts(regexp_split_to_array(trim(text),"
+        "    '\\s+'), 1) AS pos"
+        "  FROM documents WHERE trim(text) <> ''),"
+        " firstpos AS (SELECT doc_id, t, min(pos) AS fp FROM raw"
+        "   WHERE t <> '' GROUP BY 1, 2),"
+        " tok AS (SELECT doc_id, t FROM ("
+        "   SELECT doc_id, t, row_number() OVER"
+        "     (PARTITION BY doc_id ORDER BY fp) AS rk FROM firstpos)"
+        "   WHERE rk <= 2048),"
+        " pairs AS (SELECT a.t AS t1, b.t AS t2"
+        "   FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND a.t < b.t"
+        "   GROUP BY 1, 2 HAVING count(*) >= 3),"
+        " e AS (SELECT t1 AS src, t2 AS dst FROM pairs"
+        "   UNION ALL SELECT t2, t1 FROM pairs),"
+        " deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),"
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        " nn AS (SELECT count(*) AS n FROM nodes),"
+        " r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes"
+        "   CROSS JOIN nn)"
+    )
+    for i in range(iters):
+        s += (
+            f", m{i} AS (SELECT e.dst AS node,"
+            f"   sum(r.rank / deg.deg) AS msum"
+            f"   FROM e JOIN r{i} r ON e.src = r.node"
+            f"   JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", em{i} AS (SELECT coalesce(sum(msum), 0) AS emitted"
+            f"   FROM m{i})"
+            f", r{i + 1} AS (SELECT n.node,"
+            f"   (1 - {d}) / nn.n + {d} * (1 - em.emitted) / nn.n"
+            f"   + coalesce({d} * m.msum, 0) AS rank"
+            f"   FROM nodes n CROSS JOIN nn CROSS JOIN em{i} em"
+            f"   LEFT JOIN m{i} m ON m.node = n.node)"
+        )
+    return (s + f" SELECT node AS term, rank FROM"
+                f" (SELECT node, round(rank, 8) AS rank FROM r{iters})"
+                f" ORDER BY rank DESC, term LIMIT 50")
+
+
+ORACLES["textrank_terms"] = _textrank_oracle_sql(iters=3, d=0.85)
+
+
+def q_change_rate(sf_dir: str):
+    """Crawl revisit scheduling input (Cho & Garcia-Molina style
+    change-frequency estimate): per entity, the fraction of revisits
+    whose observed content differed from the previous observation —
+    composed from windows.lag_per_key (previous content per key in ts
+    order) + two sum_by_key censuses + one bucketed join; no new
+    stage code. Content is a deterministic quantization of the events
+    value column (floor(value / 50)) standing in for a page content
+    hash. change_rate is null for single-observation keys."""
+    from ..stages.canonicalize import sum_by_key
+    from ..stages.join import shuffle_hash_join
+    from ..stages.windows import lag_per_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "value"])
+
+    def content(t: pa.Table) -> pa.Table:
+        c = pc.floor(pc.divide(t.column("value"), 50.0))
+        return pa.table({"user_id": t.column("user_id"),
+                         "event_id": t.column("event_id"),
+                         "ts": t.column("ts"),
+                         "content": c.cast(pa.int64())})
+
+    lagged = lag_per_key(
+        ev.map_batches(content, batch_format="pyarrow"),
+        key_col="user_id", value_col="content",
+        order_cols=["ts", "event_id"], out="prev", nb=16)
+
+    def flags(t: pa.Table) -> pa.Table:
+        chg = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("prev")),
+                          pc.is_valid(t.column("content"))),
+            pc.not_equal(t.column("content"), t.column("prev")))
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "chg": pc.fill_null(chg, False).cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    f = lagged.map_batches(flags, batch_format="pyarrow")
+    n_chg = sum_by_key(f, "user_id", "chg", nb=16,
+                       out_col="n_changes")
+    n_obs = sum_by_key(f, "user_id", "one", nb=16, out_col="n_obs")
+    j = shuffle_hash_join(n_obs, n_chg, on=["user_id"], how="inner",
+                          nb=16)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_obs").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c = t.column("n_changes").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.round(c / (n - 1), 6)
+        rate = pa.array(np.where(n > 1, r, np.nan), pa.float64())
+        rate = pc.if_else(pc.is_nan(rate),
+                          pa.nulls(t.num_rows, pa.float64()), rate)
+        return pa.table({"user_id": t.column("user_id"),
+                         "n_obs": t.column("n_obs"),
+                         "n_changes": t.column("n_changes"),
+                         "change_rate": rate})
+
+    df = (j.map_batches(finish, batch_format="pyarrow").to_pandas()
+          .sort_values("user_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["url_change_rate"] = q_change_rate
+
+ORACLES["url_change_rate"] = (
+    "WITH c AS (SELECT user_id, ts, event_id,"
+    "  CAST(floor(value / 50) AS BIGINT) AS content FROM events),"
+    " l AS (SELECT user_id, content, lag(content) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM c),"
+    " a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,"
+    "  CAST(sum(CASE WHEN prev IS NOT NULL AND content IS NOT NULL"
+    "   AND content <> prev THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_changes FROM l GROUP BY user_id)"
+    " SELECT user_id, n_obs, n_changes,"
+    "  CASE WHEN n_obs > 1 THEN round(n_changes * 1.0 / (n_obs - 1),"
+    "   6) END AS change_rate FROM a"
+)
