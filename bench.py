@@ -249,7 +249,8 @@ def run_queries() -> dict:
         "mad_outliers",
         # round-4 ninth sitting
         "collocations", "mis", "matching", "mst", "rake_keyphrases",
-        "textrank_terms", "url_change_rate",
+        "textrank_terms", "url_change_rate", "katz_centrality",
+        "robots_directives",
     ]
     out = {}
     for name in names:

@@ -268,3 +268,99 @@ def parse_feed_entries(batch: pa.Table, url_col: str = "url",
         "link": pa.array(out_l, pa.string()),
         "published": pa.array(out_d, pa.string()),
     })
+
+
+def _selected_section_lines(doc: str, agent: str) -> "list[str]":
+    """The rule lines of the agent's selected section — exact-agent
+    section first, else the ``*`` section (same selection contract as
+    :func:`parse_robots_rules`)."""
+    sections: list = []
+    cur_agents: list = []
+    cur_lines: list = []
+    in_agents = False
+    for raw in doc.split("\n"):
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if not in_agents and (cur_agents or cur_lines):
+                sections.append((cur_agents, cur_lines))
+                cur_agents, cur_lines = [], []
+            cur_agents.append(val.lower())
+            in_agents = True
+        else:
+            in_agents = False
+            cur_lines.append((key, val))
+    if cur_agents or cur_lines:
+        sections.append((cur_agents, cur_lines))
+    for agents, lines in sections:
+        if agent.lower() in agents:
+            return lines
+    for agents, lines in sections:
+        if "*" in agents:
+            return lines
+    return []
+
+
+def parse_crawl_delay(batch: pa.Table, host_col: str = "host",
+                      robots_col: str = "robots_txt",
+                      agent: str = "*") -> pa.Table:
+    """Per-host Crawl-delay from the selected agent section (the
+    de-facto politeness directive most large crawlers honor): one
+    output row per host whose section carries a parseable
+    non-negative delay → ``(host, crawl_delay: float64)``. The FIRST
+    delay line in the section wins; unparseable or negative values
+    are skipped (treated as absent). Same per-host bounded-Python
+    budget as :func:`parse_robots_rules`."""
+    hosts = batch.column(host_col).to_pylist()
+    docs = batch.column(robots_col).to_pylist()
+    out_h: list = []
+    out_d: list = []
+    for host, doc in zip(hosts, docs):
+        if not doc:
+            continue
+        if isinstance(doc, (bytes, bytearray)):
+            doc = doc.decode("utf-8", "replace")
+        for key, val in _selected_section_lines(doc, agent):
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                except ValueError:
+                    continue
+                if d >= 0:
+                    out_h.append(host)
+                    out_d.append(d)
+                    break
+    return pa.table({host_col: pa.array(out_h, pa.string()),
+                     "crawl_delay": pa.array(out_d, pa.float64())})
+
+
+def parse_sitemap_directives(batch: pa.Table, host_col: str = "host",
+                             robots_col: str = "robots_txt"
+                             ) -> pa.Table:
+    """Row-expanding Sitemap: URL extraction — RFC 9309 makes the
+    Sitemap directive section-INDEPENDENT (it applies to every
+    agent), so every ``Sitemap:`` line in the file yields one
+    ``(host, sitemap)`` row in file order; duplicates are kept (the
+    caller dedups if it cares). Comments strip first; empty values
+    are skipped."""
+    hosts = batch.column(host_col).to_pylist()
+    docs = batch.column(robots_col).to_pylist()
+    out_h: list = []
+    out_s: list = []
+    for host, doc in zip(hosts, docs):
+        if not doc:
+            continue
+        if isinstance(doc, (bytes, bytearray)):
+            doc = doc.decode("utf-8", "replace")
+        for raw in doc.split("\n"):
+            line = raw.split("#", 1)[0].strip()
+            key, _, val = line.partition(":")
+            if key.strip().lower() == "sitemap" and val.strip():
+                out_h.append(host)
+                out_s.append(val.strip())
+    return pa.table({host_col: pa.array(out_h, pa.string()),
+                     "sitemap": pa.array(out_s, pa.string())})

@@ -9159,3 +9159,131 @@ ORACLES["url_change_rate"] = (
     "  CASE WHEN n_obs > 1 THEN round(n_changes * 1.0 / (n_obs - 1),"
     "   6) END AS change_rate FROM a"
 )
+
+
+def q_katz(sf_dir: str):
+    """Katz centrality (graph.katz_centrality): r ← β + α·(incoming
+    score sum), 3 iterations over the same orders-derived prefix DAG
+    graph_pagerank uses — the undivided-prestige counterpart of
+    pagerank (no out-degree normalization, no dangling recycling).
+    Fully oracled by an unrolled 3-iteration CTE twin."""
+    from ..stages.graph import katz_centrality
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k = k[k >= 10]
+        return pa.table({"src": pa.array(k // 10, pa.int64()),
+                         "dst": pa.array(k, pa.int64())})
+
+    out = katz_centrality(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        alpha=0.1, beta=1.0, iters=3, nb=16)
+    df = out.to_pandas()
+    df["rank"] = df["rank"].round(8)
+    return pa.Table.from_pandas(
+        df.sort_values("node").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["katz_centrality"] = q_katz
+
+
+def _katz_oracle_sql(iters: int = 3, a: float = 0.1,
+                     b: float = 1.0) -> str:
+    s = (
+        "WITH e AS (SELECT o_orderkey // 10 AS src, o_orderkey AS dst"
+        "   FROM orders WHERE o_orderkey >= 10),"
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        f" r0 AS (SELECT node, CAST({b} AS DOUBLE) AS rank FROM nodes)"
+    )
+    for i in range(iters):
+        s += (
+            f", m{i} AS (SELECT e.dst AS node, sum(r.rank) AS msum"
+            f"   FROM e JOIN r{i} r ON e.src = r.node GROUP BY e.dst)"
+            f", r{i + 1} AS (SELECT n.node,"
+            f"   {b} + {a} * coalesce(m.msum, 0) AS rank"
+            f"   FROM nodes n LEFT JOIN m{i} m ON m.node = n.node)"
+        )
+    return (s + f" SELECT CAST(node AS BIGINT) AS node,"
+                f" round(rank, 8) AS rank FROM r{iters}")
+
+
+ORACLES["katz_centrality"] = _katz_oracle_sql(iters=3, a=0.1, b=1.0)
+
+
+def q_robots_directives(sf_dir: str):
+    """robots.txt politeness + discovery directives (functions.
+    robots.parse_crawl_delay / parse_sitemap_directives): per host,
+    the selected agent section's Crawl-delay (exact-agent section
+    beats *, unparseable/absent → null) and ALL section-independent
+    Sitemap URLs in file order. The parse logic is pinned by pytest;
+    the deterministic 30-host corpus (agent override, *-only,
+    unparseable, absent, wrong-agent variants × 1–3 sitemaps) lets
+    the SQL twin state the expected output in closed form — any
+    engine parse regression breaks the match."""
+    from ..functions.robots import (parse_crawl_delay,
+                                    parse_sitemap_directives)
+    from ..stages.join import shuffle_hash_join
+
+    rows = []
+    for k in range(30):
+        doc = "".join(f"Sitemap: https://h{k}.test/sm_{j}.xml\n"
+                      for j in range(k % 3 + 1))
+        m = k % 5
+        if m == 0:
+            doc += (f"User-agent: gruntbot\nCrawl-delay: {k}.5\n"
+                    "Disallow: /x\nUser-agent: *\nCrawl-delay: 99\n")
+        elif m == 1:
+            doc += f"User-agent: *\nCrawl-delay: {k}\n"
+        elif m == 2:
+            doc += "User-agent: *\nCrawl-delay: nope\n"
+        elif m == 3:
+            doc += "User-agent: *\nDisallow: /p\n"
+        else:
+            doc += "User-agent: other\nCrawl-delay: 3\n"
+        rows.append({"host": f"h{k}.test", "robots_txt": doc})
+    robots = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+
+    delays = robots.map_batches(
+        lambda t: parse_crawl_delay(t, agent="gruntbot"),
+        batch_format="pyarrow")
+    sm = robots.map_batches(parse_sitemap_directives,
+                            batch_format="pyarrow")
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = t.group_by("host", use_threads=False).aggregate(
+            [("sitemap", "count"), ("sitemap", "list")])
+        return pa.table({
+            "host": g.column("host"),
+            "n_sitemaps": g.column("sitemap_count").cast(pa.int64()),
+            "sitemaps": pc.binary_join(g.column("sitemap_list"), ",")})
+
+    # per-host sitemap lists stay in file order: the parse emits them
+    # in order and each host lives in one input row/batch
+    sm_agg = sm.map_batches(agg, batch_format="pyarrow")
+    j = shuffle_hash_join(sm_agg, delays, on=["host"], how="left",
+                          nb=8)
+    df = j.to_pandas().sort_values("host").reset_index(drop=True)
+    df = df[["host", "crawl_delay", "n_sitemaps", "sitemaps"]]
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["robots_directives"] = q_robots_directives
+
+ORACLES["robots_directives"] = (
+    "WITH h AS (SELECT k, 'h' || k || '.test' AS host,"
+    "  'https://h' || k || '.test/sm_' AS base"
+    "  FROM generate_series(0, 29) s(k))"
+    " SELECT host,"
+    "  CASE WHEN k % 5 = 0 THEN k + 0.5"
+    "   WHEN k % 5 = 1 THEN CAST(k AS DOUBLE) END AS crawl_delay,"
+    "  CAST(k % 3 + 1 AS BIGINT) AS n_sitemaps,"
+    "  CASE k % 3 WHEN 0 THEN base || '0.xml'"
+    "   WHEN 1 THEN base || '0.xml,' || base || '1.xml'"
+    "   ELSE base || '0.xml,' || base || '1.xml,' || base || '2.xml'"
+    "  END AS sitemaps"
+    " FROM h"
+)

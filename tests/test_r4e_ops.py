@@ -529,3 +529,113 @@ def test_rake_custom_stopwords():
     out = rake_keyphrases(rd.from_arrow(t),
                           stopwords=frozenset({"stopme"})).to_pandas()
     assert set(out["phrase"]) == {"alpha beta", "gamma"}
+
+
+# ------------------------------------------------------------- katz
+
+
+def test_katz_numpy_reference_parity():
+    from biosd_feature_annotator_ray.stages.graph import katz_centrality
+
+    rng = np.random.default_rng(3)
+    n = 30
+    src = rng.integers(0, n, size=80)
+    dst = rng.integers(0, n, size=80)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64())})
+    out = (katz_centrality(rd.from_arrow(t).repartition(4),
+                           alpha=0.2, beta=1.0, iters=4, nb=4)
+           .to_pandas().set_index("node")["rank"])
+    nodes = sorted(set(src.tolist()) | set(dst.tolist()))
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, d in zip(src, dst):
+        A[idx[s], idx[d]] += 1.0   # parallel edges each count
+    r = np.ones(len(nodes))
+    for _ in range(4):
+        r = 1.0 + 0.2 * (A.T @ r)
+    for v in nodes:
+        assert out[v] == pytest.approx(r[idx[v]], rel=1e-12), v
+
+
+def test_katz_chain_closed_form():
+    from biosd_feature_annotator_ray.stages.graph import katz_centrality
+
+    # chain 1→2→3: after 3 iters r(3)=1+α+α²+α³, r(2)=1+α(... ) etc.
+    t = pa.table({"src": pa.array([1, 2], pa.int64()),
+                  "dst": pa.array([2, 3], pa.int64())})
+    a = 0.5
+    out = (katz_centrality(t, alpha=a, beta=1.0, iters=3, nb=2)
+           .to_pandas().set_index("node")["rank"])
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(1 + a)
+    assert out[3] == pytest.approx(1 + a * (1 + a))
+
+
+def test_katz_alpha_validation():
+    from biosd_feature_annotator_ray.stages.graph import katz_centrality
+
+    t = pa.table({"src": pa.array([1], pa.int64()),
+                  "dst": pa.array([2], pa.int64())})
+    with pytest.raises(ValueError):
+        katz_centrality(t, alpha=1.0)
+    with pytest.raises(ValueError):
+        katz_centrality(t, alpha=0.0)
+
+
+# --------------------------------------------------- robots directives
+
+
+def test_crawl_delay_section_selection():
+    from biosd_feature_annotator_ray.functions.robots import (
+        parse_crawl_delay)
+
+    t = pa.table({
+        "host": ["a", "b", "c", "d", "e", "f"],
+        "robots_txt": [
+            # agent section beats *
+            "User-agent: bot\nCrawl-delay: 2.5\nUser-agent: *\n"
+            "Crawl-delay: 9\n",
+            # * fallback
+            "User-agent: *\nCrawl-delay: 4\n",
+            # unparseable → absent
+            "User-agent: *\nCrawl-delay: soon\n",
+            # negative → absent
+            "User-agent: *\nCrawl-delay: -1\n",
+            # no matching section → absent
+            "User-agent: other\nCrawl-delay: 3\n",
+            # first delay line wins
+            "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 7\n",
+        ]})
+    out = parse_crawl_delay(t, agent="bot").to_pandas()
+    got = dict(zip(out["host"], out["crawl_delay"]))
+    assert got == {"a": 2.5, "b": 4.0, "f": 1.0}
+
+
+def test_crawl_delay_bytes_and_null():
+    from biosd_feature_annotator_ray.functions.robots import (
+        parse_crawl_delay)
+
+    t = pa.table({
+        "host": pa.array(["x", "y"], pa.string()),
+        "robots_txt": pa.array(
+            [b"User-agent: *\nCrawl-delay: 3\n", None],
+            pa.binary())})
+    out = parse_crawl_delay(t).to_pandas()
+    assert dict(zip(out["host"], out["crawl_delay"])) == {"x": 3.0}
+
+
+def test_sitemap_directives_section_independent_and_ordered():
+    from biosd_feature_annotator_ray.functions.robots import (
+        parse_sitemap_directives)
+
+    doc = ("Sitemap: https://a/s1.xml\n"
+           "User-agent: bot\nDisallow: /\n"
+           "Sitemap: https://a/s2.xml  # trailing comment\n"
+           "User-agent: *\n"
+           "sitemap: https://a/s3.xml\n"
+           "Sitemap:\n")          # empty value skipped
+    t = pa.table({"host": ["a"], "robots_txt": [doc]})
+    out = parse_sitemap_directives(t).to_pandas()
+    assert out["sitemap"].tolist() == [
+        "https://a/s1.xml", "https://a/s2.xml", "https://a/s3.xml"]
