@@ -250,7 +250,7 @@ def run_queries() -> dict:
         # round-4 ninth sitting
         "collocations", "mis", "matching", "mst", "rake_keyphrases",
         "textrank_terms", "url_change_rate", "katz_centrality",
-        "robots_directives",
+        "robots_directives", "time_weighted_avg", "reciprocity",
     ]
     out = {}
     for name in names:

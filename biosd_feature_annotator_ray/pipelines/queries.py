@@ -9287,3 +9287,85 @@ ORACLES["robots_directives"] = (
     "  END AS sitemaps"
     " FROM h"
 )
+
+
+def q_twa(sf_dir: str):
+    """Time-weighted average value per user (windows.
+    time_weighted_avg): piecewise-constant TWAP over the events
+    stream — Σ vᵢ·Δtᵢ / total span, last observation carries no span,
+    single-observation keys emit null. Fully oracled by a
+    lead()-window SQL twin (6-dp rounded floats)."""
+    from ..stages.windows import time_weighted_avg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_id", "ts",
+                                  "value"])
+    out = time_weighted_avg(ev, nb=16)
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "n_obs": t.column("n_obs"),
+            "span_seconds": pc.round(t.column("span_seconds"), 6),
+            "twa": pc.round(t.column("twa"), 6)})
+
+    df = (out.map_batches(rounder, batch_format="pyarrow").to_pandas()
+          .sort_values("user_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["time_weighted_avg"] = q_twa
+
+ORACLES["time_weighted_avg"] = (
+    "WITH c AS (SELECT user_id, ts, event_id, value FROM events"
+    "  WHERE ts IS NOT NULL AND value IS NOT NULL),"
+    " l AS (SELECT user_id, value, ts, lead(ts) OVER ("
+    "  PARTITION BY user_id ORDER BY ts, event_id) AS nts FROM c),"
+    " a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_obs,"
+    "  sum(CASE WHEN nts IS NOT NULL THEN value *"
+    "   (epoch_us(nts) - epoch_us(ts)) ELSE 0 END) AS num,"
+    "  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS DOUBLE)"
+    "   AS span_us FROM l GROUP BY user_id)"
+    " SELECT user_id, n_obs, round(span_us / 1e6, 6) AS span_seconds,"
+    "  CASE WHEN span_us > 0 THEN round(num / span_us, 6) END AS twa"
+    " FROM a"
+)
+
+
+def q_reciprocity(sf_dir: str):
+    """Directed-graph reciprocity (graph.reciprocity): fraction of
+    distinct non-loop edges whose reverse edge also exists, over an
+    orders-derived 250-node directed graph. One-row result; fully
+    oracled (DISTINCT + IN-transpose twin)."""
+    from ..stages.graph import reciprocity
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array((k % 250).astype(np.int64)),
+            "dst": pa.array(((k * 11 + 3) % 250).astype(np.int64))})
+
+    out = reciprocity(
+        orders.map_batches(edges, batch_format="pyarrow"), nb=16)
+    df = out.to_pandas()
+    df["reciprocity"] = df["reciprocity"].round(6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["reciprocity"] = q_reciprocity
+
+ORACLES["reciprocity"] = (
+    "WITH e AS (SELECT DISTINCT o_orderkey % 250 AS src,"
+    "  (o_orderkey * 11 + 3) % 250 AS dst FROM orders"
+    "  WHERE o_orderkey % 250 <> (o_orderkey * 11 + 3) % 250),"
+    " r AS (SELECT count(*) AS nr FROM e"
+    "  WHERE EXISTS (SELECT 1 FROM e e2"
+    "   WHERE e2.src = e.dst AND e2.dst = e.src)),"
+    " n AS (SELECT count(*) AS ne FROM e)"
+    " SELECT CAST(n.ne AS BIGINT) AS n_edges,"
+    "  CAST(r.nr AS BIGINT) AS n_reciprocal,"
+    "  round(r.nr * 1.0 / n.ne, 6) AS reciprocity FROM n, r"
+)

@@ -4517,3 +4517,54 @@ def katz_centrality(
                 ).cast(pa.float64())}),
             batch_format="pyarrow"))
     return ranks
+
+
+def reciprocity(
+    edges: "ray.data.Dataset",
+    src: str = "src",
+    dst: str = "dst",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Reciprocity of a directed graph (the classic webgraph/social
+    metric: what fraction of links are returned?): over DISTINCT
+    non-loop directed edges, r = |E ∩ Eᵀ| / |E|. The KG/crawl use:
+    distinguishing mutual-citation cores from one-way link farms, and
+    a cheap sanity invariant when re-crawling (reciprocity is stable
+    under sampling; a crawler bug that drops one link direction shows
+    up immediately).
+
+    Returns ONE row ``(n_edges, n_reciprocal, reciprocity)`` (null
+    ratio on an empty graph). Shape: exact dedup, one bucketed
+    semi join of E against its transpose, two count aggregates —
+    no driver-side edge materialization.
+    """
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = mat_cut(dedup_exact(ds.map_batches(
+        lambda t: pa.table({
+            "src": t.column(src).cast(pa.int64()),
+            "dst": t.column(dst).cast(pa.int64())}).filter(
+            pc.not_equal(t.column(src).cast(pa.int64()),
+                         t.column(dst).cast(pa.int64()))),
+        batch_format="pyarrow"), ["src", "dst"], nb=nb))
+    n = e.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "n_edges": pa.array([0], pa.int64()),
+            "n_reciprocal": pa.array([0], pa.int64()),
+            "reciprocity": pa.array([None], pa.float64())}))
+    swapped = e.map_batches(
+        lambda t: pa.table({"src": t.column("dst"),
+                            "dst": t.column("src")}),
+        batch_format="pyarrow")
+    nr = shuffle_hash_join(e, swapped, on=["src", "dst"], how="semi",
+                           nb=nb).count()
+    return rd.from_arrow(pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "n_reciprocal": pa.array([nr], pa.int64()),
+        "reciprocity": pa.array([nr / n], pa.float64())}))

@@ -1748,3 +1748,80 @@ def topk_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def time_weighted_avg(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_tiebreak: str = "event_id",
+    nb: int = 16,
+    max_bucket_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Time-weighted average per key (the TWAP/telemetry aggregate —
+    each observation holds until the next one, so irregular sampling
+    does not bias the mean): with a key's non-null observations
+    sorted by (ts, tiebreak), twa = Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_n−t_1) —
+    piecewise-constant (last-observation-carried-forward)
+    interpolation; the final observation spans nothing. Keys with one
+    observation or a zero total span emit null twa (no interval to
+    average over). Rows with a null ts or value are dropped first
+    (they carry no span information).
+
+    Output: ``(key, n_obs, span_seconds, twa)``, one row per key.
+    Scale shape: map-side null filtering, ONE bucket shuffle, and an
+    Arrow/numpy finisher (run geometry + ``add.reduceat`` — no pandas
+    copy, no per-row Python).
+    """
+
+    def local(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(batch.column(ts_col)),
+                       pc.is_valid(batch.column(value_col)))
+        return _add_bucket(batch.filter(keep), [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "time_weighted_avg", max_bucket_rows)
+        t, new, _ = _sorted_runs(
+            g.select([_B, key_col, ts_col, value_col,
+                      order_tiebreak]),
+            key_col, [ts_col, order_tiebreak])
+        n = len(t)
+        key_arr = t.column(key_col).combine_chunks()
+        if n == 0:
+            return pa.table({
+                key_col: key_arr,
+                "n_obs": pa.array([], pa.int64()),
+                "span_seconds": pa.array([], pa.float64()),
+                "twa": pa.array([], pa.float64())})
+        ts = (t.column(ts_col).combine_chunks()
+              .to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        v = (t.column(value_col).combine_chunks()
+             .to_numpy(zero_copy_only=False).astype(np.float64))
+        _, _, heads, lens = _run_geometry(new)
+        # per-interval contribution v_i * (t_{i+1} - t_i), zeroed at
+        # run boundaries; pad to length n so reduceat segments align
+        contrib = np.zeros(n, dtype=np.float64)
+        if n > 1:
+            same = ~new[1:]
+            contrib[:-1] = np.where(same, v[:-1] * (ts[1:] - ts[:-1]),
+                                    0.0)
+        num = np.add.reduceat(contrib, heads)
+        span_us = (ts[heads + lens - 1] - ts[heads]).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            twa = num / span_us
+        twa_arr = pa.array(
+            np.where(span_us > 0, twa, np.nan), pa.float64())
+        twa_arr = pc.if_else(pc.is_nan(twa_arr),
+                             pa.nulls(len(heads), pa.float64()),
+                             twa_arr)
+        return pa.table({
+            key_col: key_arr.take(pa.array(heads)),
+            "n_obs": pa.array(lens.astype(np.int64)),
+            "span_seconds": pa.array(span_us / 1e6, pa.float64()),
+            "twa": twa_arr})
+
+    return (events.map_batches(local, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))

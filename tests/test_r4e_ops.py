@@ -639,3 +639,110 @@ def test_sitemap_directives_section_independent_and_ordered():
     out = parse_sitemap_directives(t).to_pandas()
     assert out["sitemap"].tolist() == [
         "https://a/s1.xml", "https://a/s2.xml", "https://a/s3.xml"]
+
+
+# ------------------------------------------------------------------ TWA
+
+
+def test_twa_pandas_reference_parity():
+    from biosd_feature_annotator_ray.stages.windows import (
+        time_weighted_avg)
+
+    rng = np.random.default_rng(19)
+    n = 300
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    rows = {
+        "user_id": pa.array(rng.integers(0, 12, n), pa.int64()),
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(
+            [None if rng.random() < 0.05 else
+             t0 + np.timedelta64(int(rng.integers(0, 10**9)), "us")
+             for _ in range(n)], pa.timestamp("us")),
+        "value": pa.array(
+            [None if rng.random() < 0.05 else
+             round(float(rng.uniform(0, 100)), 2) for _ in range(n)],
+            pa.float64()),
+    }
+    t = pa.table(rows)
+    out = (time_weighted_avg(rd.from_arrow(t).repartition(4), nb=4)
+           .to_pandas().set_index("user_id"))
+    df = t.to_pandas().dropna(subset=["ts", "value"])
+    for uid, g in df.groupby("user_id"):
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        v = g["value"].to_numpy()
+        span = float(ts[-1] - ts[0])
+        assert out.loc[uid, "n_obs"] == len(g)
+        assert out.loc[uid, "span_seconds"] == pytest.approx(span / 1e6)
+        if span > 0:
+            want = float((v[:-1] * np.diff(ts)).sum()) / span
+            assert out.loc[uid, "twa"] == pytest.approx(want,
+                                                        rel=1e-12)
+        else:
+            assert pd.isna(out.loc[uid, "twa"])
+
+
+def test_twa_single_obs_and_equal_ts():
+    from biosd_feature_annotator_ray.stages.windows import (
+        time_weighted_avg)
+
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([1, 2, 2], pa.int64()),
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "ts": pa.array([ts0, ts0, ts0], pa.timestamp("us")),
+        "value": pa.array([5.0, 1.0, 9.0], pa.float64())})
+    out = (time_weighted_avg(t if isinstance(t, rd.Dataset) else
+                             rd.from_arrow(t), nb=2)
+           .to_pandas().set_index("user_id"))
+    assert pd.isna(out.loc[1, "twa"])       # single observation
+    assert pd.isna(out.loc[2, "twa"])       # zero span
+    assert out.loc[2, "n_obs"] == 2
+
+
+def test_twa_constant_value_is_exact():
+    from biosd_feature_annotator_ray.stages.windows import (
+        time_weighted_avg)
+
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([7] * 4, pa.int64()),
+        "event_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "ts": pa.array([ts0 + np.timedelta64(s, "s")
+                        for s in (0, 10, 25, 100)],
+                       pa.timestamp("us")),
+        "value": pa.array([3.5] * 4, pa.float64())})
+    out = time_weighted_avg(rd.from_arrow(t), nb=2).to_pandas()
+    assert out["twa"].iloc[0] == pytest.approx(3.5)
+    assert out["span_seconds"].iloc[0] == pytest.approx(100.0)
+
+
+# ----------------------------------------------------------- reciprocity
+
+
+def test_reciprocity_known_graphs():
+    from biosd_feature_annotator_ray.stages.graph import reciprocity
+
+    # 1→2, 2→1 (mutual), 1→3 (one-way), self loop dropped, dup kept once
+    t = pa.table({
+        "src": pa.array([1, 2, 1, 4, 1], pa.int64()),
+        "dst": pa.array([2, 1, 3, 4, 2], pa.int64())})
+    out = reciprocity(rd.from_arrow(t).repartition(2), nb=4).to_pandas()
+    assert out["n_edges"].iloc[0] == 3
+    assert out["n_reciprocal"].iloc[0] == 2
+    assert out["reciprocity"].iloc[0] == pytest.approx(2 / 3)
+
+
+def test_reciprocity_empty_and_full():
+    from biosd_feature_annotator_ray.stages.graph import reciprocity
+
+    e = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    out = reciprocity(e, nb=2).to_pandas()
+    assert out["n_edges"].iloc[0] == 0
+    assert pd.isna(out["reciprocity"].iloc[0])
+
+    full = pa.table({"src": pa.array([1, 2], pa.int64()),
+                     "dst": pa.array([2, 1], pa.int64())})
+    out = reciprocity(full, nb=2).to_pandas()
+    assert out["reciprocity"].iloc[0] == pytest.approx(1.0)
