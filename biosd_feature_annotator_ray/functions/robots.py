@@ -19,6 +19,8 @@ the side that scales with the corpus.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -64,6 +66,12 @@ def parse_robots_rules(batch: pa.Table, host_col: str = "host",
             elif key in ("allow", "disallow"):
                 in_agents = False
                 cur_rules.append((key == "allow", val))
+            elif key == "crawl-delay":
+                # a group-member rule for grouping purposes (RFC 9309:
+                # a User-agent line after any rule starts a NEW group)
+                # even though this parser does not emit it — keeps the
+                # section boundaries identical to parse_crawl_delay
+                in_agents = False
         if cur_agents or cur_rules:
             sections.append((cur_agents, cur_rules))
         chosen = None
@@ -291,7 +299,10 @@ def _selected_section_lines(doc: str, agent: str) -> "list[str]":
                 cur_agents, cur_lines = [], []
             cur_agents.append(val.lower())
             in_agents = True
-        else:
+        elif key in ("allow", "disallow", "crawl-delay"):
+            # group-member rules only; other directives (Sitemap,
+            # Host, …) are section-INDEPENDENT and must not end the
+            # agent block — same grouping as parse_robots_rules
             in_agents = False
             cur_lines.append((key, val))
     if cur_agents or cur_lines:
@@ -326,14 +337,14 @@ def parse_crawl_delay(batch: pa.Table, host_col: str = "host",
             doc = doc.decode("utf-8", "replace")
         for key, val in _selected_section_lines(doc, agent):
             if key == "crawl-delay":
-                try:
-                    d = float(val)
-                except ValueError:
+                # strict non-negative decimal only — bare float()
+                # would accept 'inf'/'1_0' and hand schedulers an
+                # infinite politeness delay (r04 review)
+                if not re.fullmatch(r"[0-9]+(\.[0-9]+)?", val):
                     continue
-                if d >= 0:
-                    out_h.append(host)
-                    out_d.append(d)
-                    break
+                out_h.append(host)
+                out_d.append(float(val))
+                break
     return pa.table({host_col: pa.array(out_h, pa.string()),
                      "crawl_delay": pa.array(out_d, pa.float64())})
 

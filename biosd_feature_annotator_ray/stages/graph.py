@@ -4341,7 +4341,11 @@ def boruvka_mst(
         return rd.from_arrow(schema.empty_table())
 
     parts: list = []
-    for r in range(max_rounds):
+    # max_rounds + 1 iterations: a forest completed exactly in round
+    # max_rounds-1 is only DETECTED by the next round's empty
+    # outgoing-edge check, which must therefore be allowed to run
+    # (r04 review — the old for-else raised on that correct result)
+    for r in range(max_rounds + 1):
         # label both endpoints with their current component
         lab = shuffle_hash_join(
             e, comp.map_batches(
@@ -4361,6 +4365,9 @@ def boruvka_mst(
             batch_format="pyarrow"))
         if out_e.count() == 0:
             break
+        if r == max_rounds:
+            raise RuntimeError(
+                f"boruvka_mst did not converge in {max_rounds} rounds")
 
         def incidence(t: pa.Table) -> pa.Table:
             def one(c_col: str, o_col: str) -> pa.Table:
@@ -4431,9 +4438,6 @@ def boruvka_mst(
                                    t.column("root"),
                                    t.column("comp"))}),
             batch_format="pyarrow"))
-    else:
-        raise RuntimeError(
-            f"boruvka_mst did not converge in {max_rounds} rounds")
     if not parts:
         return rd.from_arrow(schema.empty_table())
     out = parts[0]

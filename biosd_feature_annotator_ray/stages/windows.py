@@ -1811,11 +1811,13 @@ def time_weighted_avg(
         span_us = (ts[heads + lens - 1] - ts[heads]).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
             twa = num / span_us
-        twa_arr = pa.array(
-            np.where(span_us > 0, twa, np.nan), pa.float64())
-        twa_arr = pc.if_else(pc.is_nan(twa_arr),
-                             pa.nulls(len(heads), pa.float64()),
-                             twa_arr)
+        # null ONLY for zero-span keys (nothing to average over); a
+        # NaN arising from NaN VALUES stays NaN, matching the SQL twin
+        # (r04 review — the old blanket NaN→null masked corrupt data)
+        twa_arr = pc.if_else(
+            pa.array(span_us > 0),
+            pa.array(np.where(span_us > 0, twa, 0.0), pa.float64()),
+            pa.nulls(len(heads), pa.float64()))
         return pa.table({
             key_col: key_arr.take(pa.array(heads)),
             "n_obs": pa.array(lens.astype(np.int64)),

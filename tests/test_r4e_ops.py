@@ -746,3 +746,74 @@ def test_reciprocity_empty_and_full():
                      "dst": pa.array([2, 1], pa.int64())})
     out = reciprocity(full, nb=2).to_pandas()
     assert out["reciprocity"].iloc[0] == pytest.approx(1.0)
+
+
+# ------------------------------------------------- r04 review regressions
+
+
+def test_robots_sitemap_line_does_not_split_agent_group():
+    """A section-independent directive (Sitemap) between User-agent
+    lines must not split the group — crawl-delay selection and rule
+    selection must agree on section boundaries (r04 review)."""
+    from biosd_feature_annotator_ray.functions.robots import (
+        parse_crawl_delay, parse_robots_rules)
+
+    doc = ("User-agent: gruntbot\nSitemap: https://x/sm.xml\n"
+           "User-agent: *\nCrawl-delay: 5\nDisallow: /priv\n")
+    t = pa.table({"host": ["h"], "robots_txt": [doc]})
+    rules = parse_robots_rules(t, agent="gruntbot").to_pandas()
+    delay = parse_crawl_delay(t, agent="gruntbot").to_pandas()
+    # gruntbot and * share ONE group: both the rule and the delay apply
+    assert rules["prefix"].tolist() == ["/priv"]
+    assert dict(zip(delay["host"], delay["crawl_delay"])) == {"h": 5.0}
+
+
+def test_robots_crawl_delay_rejects_non_decimal_forms():
+    from biosd_feature_annotator_ray.functions.robots import (
+        parse_crawl_delay)
+
+    t = pa.table({
+        "host": ["a", "b", "c", "d"],
+        "robots_txt": [
+            "User-agent: *\nCrawl-delay: inf\n",
+            "User-agent: *\nCrawl-delay: 1_0\n",
+            "User-agent: *\nCrawl-delay: nan\n",
+            "User-agent: *\nCrawl-delay: 2.25\n",
+        ]})
+    out = parse_crawl_delay(t).to_pandas()
+    assert dict(zip(out["host"], out["crawl_delay"])) == {"d": 2.25}
+
+
+def test_boruvka_completes_in_exactly_max_rounds():
+    """A forest finished in the last allowed contraction round must
+    return, not raise (r04 review)."""
+    from biosd_feature_annotator_ray.stages.graph import boruvka_mst
+
+    t = pa.table({"a": pa.array([0], pa.int64()),
+                  "b": pa.array([1], pa.int64()),
+                  "w": pa.array([1.0], pa.float64())})
+    out = boruvka_mst(t, max_rounds=1, nb=2).to_pandas()
+    assert set(zip(out["u"], out["v"], out["w"])) == {(0, 1, 1.0)}
+    # and max_rounds=0 with work remaining still raises
+    with pytest.raises(RuntimeError, match="did not converge"):
+        boruvka_mst(t, max_rounds=0, nb=2)
+
+
+def test_twa_nan_value_stays_nan_not_null():
+    from biosd_feature_annotator_ray.stages.windows import (
+        time_weighted_avg)
+
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_id": pa.array([0, 1], pa.int64()),
+        "ts": pa.array([ts0, ts0 + np.timedelta64(10, "s")],
+                       pa.timestamp("us")),
+        "value": pa.array([float("nan"), 2.0], pa.float64())})
+    out = time_weighted_avg(rd.from_arrow(t), nb=2)
+    tbl = pa.concat_tables(list(out.iter_batches(
+        batch_format="pyarrow")))
+    twa = tbl.column("twa")
+    # NaN VALUE, not null: corrupt data must stay visible
+    assert twa[0].is_valid
+    assert np.isnan(twa[0].as_py())
