@@ -18,6 +18,7 @@ a real library) — the stages raise at the exact integration point.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -546,3 +547,105 @@ def sniff_mime(arr: "pa.Array | pa.ChunkedArray") -> "pa.Array":
     valid = ~np.asarray(arr.is_null())
     return pa.array(np.where(valid, out, None), pa.string(),
                     mask=~valid)
+
+
+_META_CHARSET = re.compile(
+    rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""",
+    re.IGNORECASE)
+_KNOWN_CHARSETS = {
+    "utf-8": "utf-8", "utf8": "utf-8",
+    "iso-8859-1": "iso-8859-1", "latin-1": "iso-8859-1",
+    "latin1": "iso-8859-1",
+    "windows-1252": "windows-1252", "cp1252": "windows-1252",
+    "us-ascii": "ascii", "ascii": "ascii",
+    "utf-16": "utf-16", "utf-16le": "utf-16-le",
+    "utf-16be": "utf-16-be",
+}
+
+
+def detect_charset(b: "bytes | None", sniff_len: int = 2048) -> str:
+    """Charset detection for raw crawled HTML bytes, in the WHATWG
+    encoding-sniffing priority order a browser uses (BOM > declared
+    <meta charset> > content heuristic): returns one of 'utf-8',
+    'utf-16-le', 'utf-16-be', 'ascii', 'iso-8859-1',
+    'windows-1252'. Heuristic tail: pure-ASCII prefix → 'ascii';
+    valid-UTF-8 prefix → 'utf-8'; else 'windows-1252' (the web's
+    de-facto latin-1 superset — every byte decodes, matching how
+    crawl pipelines treat legacy pages). Unknown declared charsets
+    fall through to the heuristic; empty/None input reports
+    'ascii' (nothing to decode)."""
+    if not b:
+        return "ascii"
+    if b[:3] == b"\xef\xbb\xbf":
+        return "utf-8"
+    if b[:2] == b"\xff\xfe":
+        return "utf-16-le"
+    if b[:2] == b"\xfe\xff":
+        return "utf-16-be"
+    head = b[:sniff_len]
+    m = _META_CHARSET.search(head)
+    if m:
+        label = m.group(1).decode("ascii", "replace").lower()
+        if label in _KNOWN_CHARSETS:
+            return _KNOWN_CHARSETS[label]
+    try:
+        head.decode("ascii")
+        return "ascii"
+    except UnicodeDecodeError:
+        pass
+    # tolerate a multibyte sequence SPLIT by the sniff boundary (only
+    # when the document actually extends past it — a short doc ending
+    # in an invalid byte is genuinely not UTF-8)
+    max_trim = 4 if len(b) > sniff_len else 1
+    for trim in range(max_trim):
+        try:
+            head[: len(head) - trim or None].decode("utf-8")
+            return "utf-8"
+        except UnicodeDecodeError:
+            continue
+    return "windows-1252"
+
+
+def decode_html_bytes(b: "bytes | None",
+                      sniff_len: int = 2048) -> "tuple[str, str]":
+    """(charset, text) for raw page bytes: detect via
+    :func:`detect_charset`, strip the BOM, decode with
+    errors='replace' (a crawl never hard-fails on one mojibake
+    page). None/empty → ('ascii', '')."""
+    cs = detect_charset(b, sniff_len)
+    if not b:
+        return cs, ""
+    if cs == "utf-8" and b[:3] == b"\xef\xbb\xbf":
+        b = b[3:]
+    elif cs in ("utf-16-le", "utf-16-be") and b[:2] in (b"\xff\xfe",
+                                                        b"\xfe\xff"):
+        b = b[2:]
+    codec = "cp1252" if cs == "windows-1252" else cs
+    return cs, b.decode(codec, "replace")
+
+
+class CharsetDecodeStage:
+    """Actor-pool map_batches stage: binary html column → (charset,
+    text) columns appended. Regexes/tables are module-level
+    compiled; per-row work is bounded by ``sniff_len`` + one decode
+    of the page. Use in front of the text-extraction stages when
+    ingesting raw (non-UTF-8-guaranteed) crawl bytes."""
+
+    def __init__(self, col: str = "html", sniff_len: int = 2048):
+        self.col = col
+        self.sniff_len = sniff_len
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        raw = batch.column(self.col).to_pylist()
+        cs: list = []
+        tx: list = []
+        for b in raw:
+            c, t = decode_html_bytes(b, self.sniff_len)
+            cs.append(c)
+            tx.append(t)
+        return (batch
+                .append_column("charset", pa.array(cs, pa.string()))
+                .append_column("decoded_text",
+                               pa.array(tx, pa.string())))

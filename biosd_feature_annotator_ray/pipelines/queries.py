@@ -9369,3 +9369,73 @@ ORACLES["reciprocity"] = (
     "  CAST(r.nr AS BIGINT) AS n_reciprocal,"
     "  round(r.nr * 1.0 / n.ne, 6) AS reciprocity FROM n, r"
 )
+
+
+def q_charset(sf_dir: str):
+    """Charset sniffing + decoding for raw crawl bytes
+    (codecs.detect_charset / CharsetDecodeStage): WHATWG priority
+    order (BOM > declared <meta charset> > ASCII/UTF-8 heuristic >
+    windows-1252 fallback), decode with errors='replace'. The parse
+    is pinned by pytest over planted encodings; the deterministic
+    40-doc corpus (8 variants × zero-padded keys) lets the SQL twin
+    state charset + decoded length in closed form."""
+    from ..functions.codecs import CharsetDecodeStage
+
+    rows = []
+    for k in range(40):
+        tag = f"{k:04d}"
+        m = k % 8
+        if m == 0:
+            b = b"\xef\xbb\xbf" + f"bom utf8 {tag}".encode()
+        elif m == 1:
+            b = b"\xff\xfe" + f"u16 {tag}".encode("utf-16-le")
+        elif m == 2:
+            b = (b'<meta charset="windows-1252">caf\xe9 ' + tag.encode())
+        elif m == 3:
+            b = (b"<META CHARSET = iso-8859-1 >x\xe8 " + tag.encode())
+        elif m == 4:
+            b = f"plain ascii {tag}".encode()
+        elif m == 5:
+            b = f"café utf8 {tag}".encode()
+        elif m == 6:
+            b = b"\xe9\xe8 legacy " + tag.encode()
+        else:
+            b = b""
+        rows.append({"doc_key": k, "html": b})
+    t = pa.table({
+        "doc_key": pa.array([r["doc_key"] for r in rows], pa.int64()),
+        "html": pa.array([r["html"] for r in rows], pa.binary())})
+    out = (rd.from_arrow(t).repartition(3)
+           .map_batches(CharsetDecodeStage(col="html"),
+                        batch_format="pyarrow", concurrency=2)
+           .map_batches(lambda b: pa.table({
+               "doc_key": b.column("doc_key"),
+               "charset": b.column("charset"),
+               "n_chars": pc.utf8_length(
+                   b.column("decoded_text")).cast(pa.int64())}),
+               batch_format="pyarrow"))
+    df = out.to_pandas().sort_values("doc_key").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["charset_decode"] = q_charset
+
+ORACLES["charset_decode"] = (
+    # closed-form expectation per variant: decoded lengths count
+    # replaced/BOM-stripped characters exactly
+    "SELECT k AS doc_key,"
+    " CASE k % 8 WHEN 0 THEN 'utf-8' WHEN 1 THEN 'utf-16-le'"
+    "  WHEN 2 THEN 'windows-1252' WHEN 3 THEN 'iso-8859-1'"
+    "  WHEN 4 THEN 'ascii' WHEN 5 THEN 'utf-8'"
+    "  WHEN 6 THEN 'windows-1252' ELSE 'ascii' END AS charset,"
+    " CAST(CASE k % 8"
+    "  WHEN 0 THEN length('bom utf8 0000')"          # BOM stripped
+    "  WHEN 1 THEN length('u16 0000')"
+    "  WHEN 2 THEN length('<meta charset=\"windows-1252\">café 0000')"
+    "  WHEN 3 THEN length('<META CHARSET = iso-8859-1 >xè 0000')"
+    "  WHEN 4 THEN length('plain ascii 0000')"
+    "  WHEN 5 THEN length('café utf8 0000')"
+    "  WHEN 6 THEN length('éè legacy 0000')"
+    "  ELSE 0 END AS BIGINT) AS n_chars"
+    " FROM generate_series(0, 39) s(k)"
+)

@@ -817,3 +817,72 @@ def test_twa_nan_value_stays_nan_not_null():
     # NaN VALUE, not null: corrupt data must stay visible
     assert twa[0].is_valid
     assert np.isnan(twa[0].as_py())
+
+
+# -------------------------------------------------------------- charset
+
+
+def test_detect_charset_priority_order():
+    from biosd_feature_annotator_ray.functions.codecs import (
+        detect_charset)
+
+    # BOM beats a contradicting meta declaration
+    assert detect_charset(
+        b'\xef\xbb\xbf<meta charset="iso-8859-1">x') == "utf-8"
+    assert detect_charset(b"\xff\xfeh\x00") == "utf-16-le"
+    assert detect_charset(b"\xfe\xff\x00h") == "utf-16-be"
+    # declared meta beats the heuristic
+    assert detect_charset(
+        b'<meta charset="windows-1252">caf\xe9') == "windows-1252"
+    assert detect_charset(
+        b"<META CHARSET = iso-8859-1 >x") == "iso-8859-1"
+    # heuristics
+    assert detect_charset(b"plain") == "ascii"
+    assert detect_charset("café".encode()) == "utf-8"
+    assert detect_charset(b"\xe9\xe8") == "windows-1252"
+    assert detect_charset(None) == "ascii"
+    assert detect_charset(b"") == "ascii"
+    # unknown declared charset falls through to the heuristic
+    assert detect_charset(
+        b'<meta charset="klingon">\xe9') == "windows-1252"
+
+
+def test_detect_charset_sniff_boundary_split():
+    from biosd_feature_annotator_ray.functions.codecs import (
+        detect_charset)
+
+    # a multibyte char SPLIT at the sniff boundary of a longer doc is
+    # tolerated; the same split at the true end of a short doc is not
+    longer = b"x" * 2047 + "é".encode()[:1] + b"tail beyond sniff"
+    assert detect_charset(longer, sniff_len=2048) == "utf-8"
+    short = b"x" * 10 + "é".encode()[:1]
+    assert detect_charset(short, sniff_len=2048) == "windows-1252"
+
+
+def test_decode_html_bytes_replace_and_bom_strip():
+    from biosd_feature_annotator_ray.functions.codecs import (
+        decode_html_bytes)
+
+    cs, t = decode_html_bytes(b"\xef\xbb\xbfhi")
+    assert (cs, t) == ("utf-8", "hi")
+    cs, t = decode_html_bytes(b"\xff\xfeh\x00i\x00")
+    assert (cs, t) == ("utf-16-le", "hi")
+    cs, t = decode_html_bytes(
+        b'<meta charset="windows-1252">caf\xe9')
+    assert cs == "windows-1252" and t.endswith("café")
+    cs, t = decode_html_bytes(None)
+    assert (cs, t) == ("ascii", "")
+
+
+def test_charset_stage_batch():
+    from biosd_feature_annotator_ray.functions.codecs import (
+        CharsetDecodeStage)
+
+    t = pa.table({
+        "html": pa.array([b"\xef\xbb\xbfx", "café".encode(), None,
+                          b"\xe9"], pa.binary())})
+    out = CharsetDecodeStage(col="html")(t)
+    assert out.column("charset").to_pylist() == [
+        "utf-8", "utf-8", "ascii", "windows-1252"]
+    assert out.column("decoded_text").to_pylist() == [
+        "x", "café", "", "é"]
