@@ -251,7 +251,7 @@ def run_queries() -> dict:
         "collocations", "mis", "matching", "mst", "rake_keyphrases",
         "textrank_terms", "url_change_rate", "katz_centrality",
         "robots_directives", "time_weighted_avg", "reciprocity",
-        "charset_decode",
+        "charset_decode", "matching_weighted", "resample_hourly",
     ]
     out = {}
     for name in names:

@@ -9439,3 +9439,119 @@ ORACLES["charset_decode"] = (
     "  ELSE 0 END AS BIGINT) AS n_chars"
     " FROM generate_series(0, 39) s(k)"
 )
+
+
+def q_resample(sf_dir: str):
+    """Fixed-interval resampling per user (windows.resample_per_key):
+    epoch-anchored hourly buckets, per-(key, bucket) mean, DENSE grid
+    from each key's first to last bucket with empty buckets emitted
+    (null mean, n_rows 0). Fully oracled by a generate_series-grid +
+    LEFT JOIN twin."""
+    from ..stages.windows import resample_per_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = resample_per_key(ev, every=pd.Timedelta(hours=1),
+                           agg="mean", fill="null", nb=16)
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "bucket_ts": t.column("bucket_ts"),
+            "mean_value": pc.round(t.column("mean_value"), 6),
+            "n_rows": t.column("n_rows")})
+
+    df = (out.map_batches(rounder, batch_format="pyarrow").to_pandas()
+          .sort_values(["user_id", "bucket_ts"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["resample_hourly"] = q_resample
+
+ORACLES["resample_hourly"] = (
+    "WITH c AS (SELECT user_id,"
+    "  epoch_us(ts) // 3600000000 AS b, value FROM events"
+    "  WHERE ts IS NOT NULL),"
+    " a AS (SELECT user_id, b, sum(value) AS s,"
+    "  count(value) AS c, CAST(count(*) AS BIGINT) AS n"
+    "  FROM c GROUP BY 1, 2),"
+    " k AS (SELECT user_id, min(b) AS mb, max(b) AS xb FROM a"
+    "  GROUP BY 1),"
+    " grid AS (SELECT user_id, UNNEST(generate_series(mb, xb)) AS b"
+    "  FROM k),"
+    " j AS (SELECT grid.user_id, grid.b, a.s, a.c, a.n"
+    "  FROM grid LEFT JOIN a ON a.user_id = grid.user_id"
+    "   AND a.b = grid.b)"
+    " SELECT user_id, make_timestamp(b * 3600000000) AS bucket_ts,"
+    "  CASE WHEN c > 0 THEN round(s / c, 6) END AS mean_value,"
+    "  coalesce(n, 0) AS n_rows FROM j"
+)
+
+
+def q_matching_weighted(sf_dir: str):
+    """Locally-heaviest-edge greedy matching (Preis 1999 ½-approx of
+    maximum-weight matching; graph.maximal_matching with
+    weight_col): an edge matches iff it is the strict (−w, u, v)
+    argmin at BOTH endpoints; matched vertices peel — over the
+    orders-derived chord graph with injective weights (identical at
+    every sf; converges in 3 rounds). Fully oracled: the SQL twin
+    collapses parallel edges to max weight and unrolls 4 rounds of
+    the same argmin."""
+    from ..stages.graph import maximal_matching
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        i = (k % 200).astype(np.int64)
+        return pa.table({
+            "a": pa.array(i),
+            "b": pa.array((i * 13 + 5) % 200),
+            "w": pa.array((1.0 + (37 * i) % 997).astype(np.float64))})
+
+    out = maximal_matching(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        weight_col="w", nb=16)
+    df = (out.to_pandas().sort_values(["u", "v"])
+          .reset_index(drop=True)[["u", "v", "w", "match_round"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["matching_weighted"] = q_matching_weighted
+
+
+def _wmatch_round_sql(r: int) -> str:
+    return (
+        f" i{r} AS (SELECT u AS vtx, u, v, w FROM e{r}"
+        f"  UNION ALL SELECT v, u, v, w FROM e{r}),"
+        f" w{r} AS (SELECT u, v FROM (SELECT vtx, u, v,"
+        f"  row_number() OVER (PARTITION BY vtx ORDER BY -w, u, v)"
+        f"  AS rn FROM i{r}) WHERE rn = 1),"
+        f" m{r} AS (SELECT u, v FROM w{r} GROUP BY u, v"
+        f"  HAVING count(*) = 2),"
+        f" mv{r} AS (SELECT u AS vtx FROM m{r}"
+        f"  UNION SELECT v FROM m{r}),"
+        f" e{r + 1} AS (SELECT u, v, w FROM e{r}"
+        f"  WHERE u NOT IN (SELECT vtx FROM mv{r})"
+        f"  AND v NOT IN (SELECT vtx FROM mv{r})),"
+    )
+
+
+ORACLES["matching_weighted"] = (
+    "WITH base AS (SELECT o_orderkey % 200 AS i FROM orders),"
+    " raw AS (SELECT least(i, (i * 13 + 5) % 200) AS u,"
+    "  greatest(i, (i * 13 + 5) % 200) AS v,"
+    "  CAST(1 + (37 * i) % 997 AS DOUBLE) AS w FROM base"
+    "  WHERE i <> (i * 13 + 5) % 200),"
+    " e0 AS (SELECT u, v, max(w) AS w FROM raw GROUP BY u, v),"
+    + _wmatch_round_sql(0)[1:] + _wmatch_round_sql(1)[1:]
+    + _wmatch_round_sql(2)[1:] + _wmatch_round_sql(3)[1:-1]
+    + " SELECT e.u, e.v, e.w, m.r AS match_round FROM e0 e JOIN ("
+    "  SELECT u, v, CAST(0 AS BIGINT) AS r FROM m0"
+    "  UNION ALL SELECT u, v, 1 FROM m1"
+    "  UNION ALL SELECT u, v, 2 FROM m2"
+    "  UNION ALL SELECT u, v, 3 FROM m3) m"
+    "  ON m.u = e.u AND m.v = e.v"
+)

@@ -4139,6 +4139,7 @@ def maximal_matching(
     seed: int = 0,
     max_rounds: int = 30,
     nb: int = 32,
+    weight_col: "str | None" = None,
 ) -> "ray.data.Dataset":
     """Maximal matching via parallel symmetry breaking (Israeli &
     Itai 1986 — the published O(log n)-round distributed matching):
@@ -4163,7 +4164,18 @@ def maximal_matching(
     anti joins peel matched vertices' edges. Raises after
     ``max_rounds`` non-converged rounds.
 
-    Returns ``(u, v, match_round)`` with ``u < v``.
+    With ``weight_col`` the priority is the NEGATED edge weight
+    instead of an md5 draw — the locally-heaviest-edge greedy matching
+    (Preis 1999, a ½-approximation of maximum-weight matching, the
+    standard parallel recipe): an edge matches iff it is strictly the
+    heaviest under the (−w, u, v) total order at both endpoints.
+    Parallel edges collapse to their MAXIMUM weight; null/NaN weights
+    raise. Caveat: unlike the randomized variant's O(log n) rounds,
+    adversarial weights (a strictly decreasing path) serialize to one
+    match per round — raise ``max_rounds`` for such graphs.
+
+    Returns ``(u, v, match_round)`` with ``u < v`` (plus ``w`` when
+    weighted).
     """
     import hashlib
 
@@ -4179,22 +4191,42 @@ def maximal_matching(
         a = t.column(a_col).cast(pa.int64())
         b = t.column(b_col).cast(pa.int64())
         keep = pc.not_equal(a, b)
-        a, b = a.filter(keep), b.filter(keep)
-        return pa.table({"u": pc.min_element_wise(a, b),
-                         "v": pc.max_element_wise(a, b)})
+        cols = {"u": pc.min_element_wise(a, b).filter(keep),
+                "v": pc.max_element_wise(a, b).filter(keep)}
+        if weight_col is not None:
+            w = t.column(weight_col).cast(pa.float64())
+            bad = pc.or_kleene(pc.is_null(w),
+                               pc.is_nan(pc.fill_null(w, 0.0)))
+            if pc.any(bad).as_py():
+                raise ValueError(
+                    "maximal_matching: null/NaN edge weight")
+            cols["w"] = w.filter(keep)
+        return pa.table(cols)
 
-    alive = mat_cut(dedup_exact(
-        ds.map_batches(canon, batch_format="pyarrow"), ["u", "v"],
-        nb=nb))
-    schema = pa.schema([pa.field("u", pa.int64()),
-                        pa.field("v", pa.int64()),
-                        pa.field("match_round", pa.int64())])
+    cn = ds.map_batches(canon, batch_format="pyarrow")
+    if weight_col is not None:
+        # parallel edges collapse to their MAX weight
+        alive = mat_cut(groupby_argmax(cn, ["u", "v"], ["w"],
+                                       [False], nb=nb))
+    else:
+        alive = mat_cut(dedup_exact(cn, ["u", "v"], nb=nb))
+    fields = [pa.field("u", pa.int64()), pa.field("v", pa.int64()),
+              pa.field("match_round", pa.int64())]
+    if weight_col is not None:
+        fields.insert(2, pa.field("w", pa.float64()))
+    schema = pa.schema(fields)
     parts: list = []
     for r in range(max_rounds):
         if alive.count() == 0:
             break
 
         def prio(t: pa.Table, rr=r) -> pa.Table:
+            if weight_col is not None:
+                # static priority: heavier edge wins (Preis greedy)
+                return pa.table({
+                    "u": t.column("u"), "v": t.column("v"),
+                    "w": t.column("w"),
+                    "p": pc.multiply(t.column("w"), -1.0)})
             p = [int(hashlib.md5(f"{u}-{v}:{rr}:{seed}".encode())
                      .hexdigest()[:15], 16)
                  for u, v in zip(t.column("u").to_pylist(),
@@ -4203,7 +4235,7 @@ def maximal_matching(
                              "p": pa.array(p, pa.int64())})
 
         def incidence(t: pa.Table) -> pa.Table:
-            return pa.table({
+            cols = {
                 "vtx": pa.concat_arrays([
                     t.column("u").combine_chunks(),
                     t.column("v").combine_chunks()]),
@@ -4215,7 +4247,12 @@ def maximal_matching(
                     t.column("v").combine_chunks()]),
                 "p": pa.concat_arrays([
                     t.column("p").combine_chunks(),
-                    t.column("p").combine_chunks()])})
+                    t.column("p").combine_chunks()])}
+            if weight_col is not None:
+                cols["w"] = pa.concat_arrays([
+                    t.column("w").combine_chunks(),
+                    t.column("w").combine_chunks()])
+            return pa.table(cols)
 
         winners = groupby_argmax(
             alive.map_batches(prio, batch_format="pyarrow")
@@ -4235,6 +4272,13 @@ def maximal_matching(
                 "match_round": pa.array(
                     np.full(w.num_rows, rr, np.int64))}),
             batch_format="pyarrow"))
+        if weight_col is not None:
+            # re-attach the matched edges' weights for the output
+            matched = mat_cut(shuffle_hash_join(
+                matched, alive, on=["u", "v"], how="inner",
+                nb=nb).map_batches(
+                lambda t: t.select(["u", "v", "w", "match_round"]),
+                batch_format="pyarrow"))
         parts.append(matched)
         mvtx = dedup_exact(matched.map_batches(
             lambda t: pa.table({"vtx": pa.concat_arrays([

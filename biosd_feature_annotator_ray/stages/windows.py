@@ -1827,3 +1827,172 @@ def time_weighted_avg(
     return (events.map_batches(local, batch_format="pyarrow",
                                batch_size=65536)
             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+class ResampleGridOverflow(RuntimeError):
+    """A key's resample grid (max_bucket − min_bucket + 1) exceeded
+    ``max_buckets_per_key`` — emitting it would materialize an
+    unbounded dense grid for one key (e.g. one stray 1970 timestamp
+    against 2024 data). Fix the data or raise the bound."""
+
+
+def resample_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    every: "pd.Timedelta" = None,
+    agg: str = "mean",
+    fill: str = "null",
+    max_buckets_per_key: int = 1_000_000,
+    nb: int = 16,
+    max_bucket_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Fixed-interval time resampling per key (pandas ``resample`` /
+    SQL time_bucket): assign every observation to an epoch-anchored
+    ``every`` bucket, aggregate per (key, bucket), and emit the DENSE
+    grid from each key's first to last bucket — EMPTY buckets
+    included, so downstream models see gaps instead of silently
+    skipping them. ``agg`` ∈ mean|sum|count (SQL null semantics:
+    null values don't count); ``fill`` ∈ null|zero|ffill for what an
+    empty bucket carries (ffill = last non-empty bucket's aggregate,
+    null before the first). Null-ts rows drop map-side.
+
+    The epoch-anchored bucket (``floor(epoch_us / every_us)``) makes
+    the grid data-independent and SQL-replayable. A per-key grid
+    wider than ``max_buckets_per_key`` raises the typed
+    :class:`ResampleGridOverflow` instead of materializing it.
+
+    Output: ``(key, bucket_ts, <agg>_value, n_rows)``. Scale shape:
+    map-side (key, bucket) partial aggregation (Arrow group_by), ONE
+    bucket shuffle, numpy grid expansion in the finisher.
+    """
+    if every is None:
+        every = pd.Timedelta(hours=1)
+    if agg not in ("mean", "sum", "count"):
+        raise ValueError(f"unsupported agg {agg!r}")
+    if fill not in ("null", "zero", "ffill"):
+        raise ValueError(f"unsupported fill {fill!r}")
+    every_us = np.int64(every // pd.Timedelta(microseconds=1))
+    if every_us <= 0:
+        raise ValueError("every must be a positive interval")
+    out_val = f"{agg}_value"
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column(ts_col)))
+        ts = (t.column(ts_col).combine_chunks()
+              .to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        b = ts // every_us
+        v = t.column(value_col).cast(pa.float64())
+        part = pa.table({key_col: t.column(key_col),
+                         "__rb": pa.array(b),
+                         "__v": v})
+        g = part.group_by([key_col, "__rb"]).aggregate(
+            [("__v", "sum"), ("__v", "count"), ("__rb", "count")])
+        out = pa.table({
+            key_col: g.column(key_col),
+            "__rb": g.column("__rb"),
+            "__s": pc.fill_null(g.column("__v_sum"), 0.0),
+            "__c": g.column("__v_count").cast(pa.int64()),
+            "__n": g.column("__rb_count").cast(pa.int64())})
+        return _add_bucket(out, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "resample_per_key", max_bucket_rows)
+        # merge map-side partials, then sort into per-key runs
+        m = g.drop_columns([_B]).group_by([key_col, "__rb"]).aggregate(
+            [("__s", "sum"), ("__c", "sum"), ("__n", "sum")])
+        m = m.sort_by([(key_col, "ascending"), ("__rb", "ascending")])
+        key_arr = m.column(key_col).combine_chunks()
+        n = len(m)
+        ts_type = pa.timestamp("us")
+        if n == 0:
+            return pa.table({
+                key_col: key_arr,
+                "bucket_ts": pa.array([], ts_type),
+                out_val: pa.array([], pa.float64() if agg != "count"
+                                  else pa.int64()),
+                "n_rows": pa.array([], pa.int64())})
+        new, _ = _runs_of(m, key_col)
+        _, _, heads, lens = _run_geometry(new)
+        rb = m.column("__rb").to_numpy(zero_copy_only=False)
+        s = m.column("__s_sum").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c = m.column("__c_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        nr = m.column("__n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        minb = rb[heads]
+        maxb = rb[heads + lens - 1]
+        glens = (maxb - minb + 1).astype(np.int64)
+        worst = int(glens.max())
+        if worst > max_buckets_per_key:
+            k = key_arr[int(heads[int(np.argmax(glens))])].as_py()
+            raise ResampleGridOverflow(
+                f"key {k!r} spans {worst} buckets "
+                f"(> {max_buckets_per_key})")
+        total = int(glens.sum())
+        gstart = np.zeros(len(heads) + 1, dtype=np.int64)
+        np.cumsum(glens, out=gstart[1:])
+        gpos = np.arange(total, dtype=np.int64)
+        run_of_pos = np.repeat(np.arange(len(heads)), glens)
+        out_b = gpos - gstart[run_of_pos] + minb[run_of_pos]
+        # scatter observed rows into the grid
+        row_pos = (gstart[np.cumsum(new) - 1] + (rb - minb[
+            np.cumsum(new) - 1]))
+        gs = np.zeros(total, dtype=np.float64)
+        gc = np.zeros(total, dtype=np.int64)
+        gn = np.zeros(total, dtype=np.int64)
+        gs[row_pos] = s
+        gc[row_pos] = c
+        gn[row_pos] = nr
+        present = np.zeros(total, dtype=bool)
+        present[row_pos] = True
+        if agg == "count":
+            # count is ALWAYS defined: an empty bucket counts 0 —
+            # fill modes don't apply
+            val = gc.astype(np.float64)
+            have = np.ones(total, dtype=bool)
+        elif agg == "sum":
+            val = gs
+            have = present & (gc > 0)
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                val = gs / gc
+            have = present & (gc > 0)
+        if fill == "zero":
+            val = np.where(have, val, 0.0)
+            have = np.ones(total, dtype=bool)
+        elif fill == "ffill":
+            src = np.where(have, gpos, -1)
+            acc = np.maximum.accumulate(src)
+            run_first = gstart[run_of_pos]
+            ok = acc >= run_first        # don't carry across keys
+            val = np.where(ok, val[np.maximum(acc, 0)], np.nan)
+            have = ok & ~np.isnan(val)
+        if agg == "count" and fill != "ffill":
+            out_v = pa.array(val.astype(np.int64), pa.int64())
+            if fill == "null":
+                out_v = pc.if_else(pa.array(have), out_v,
+                                   pa.nulls(total, pa.int64()))
+        elif agg == "count":
+            out_v = pc.if_else(
+                pa.array(have),
+                pa.array(np.where(have, val, 0).astype(np.int64)),
+                pa.nulls(total, pa.int64()))
+        else:
+            out_v = pc.if_else(pa.array(have),
+                               pa.array(np.where(have, val, 0.0),
+                                        pa.float64()),
+                               pa.nulls(total, pa.float64()))
+        out_keys = key_arr.take(pa.array(np.repeat(heads, glens)))
+        return pa.table({
+            key_col: out_keys,
+            "bucket_ts": pa.array(out_b * every_us).cast(ts_type),
+            out_val: out_v,
+            "n_rows": pa.array(gn)})
+
+    return (events.map_batches(local, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))

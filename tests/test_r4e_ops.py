@@ -886,3 +886,162 @@ def test_charset_stage_batch():
         "utf-8", "utf-8", "ascii", "windows-1252"]
     assert out.column("decoded_text").to_pylist() == [
         "x", "café", "", "é"]
+
+
+# --------------------------------------------------- weighted matching
+
+
+def test_weighted_matching_valid_and_halfapprox():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_matching)
+
+    rng = np.random.default_rng(29)
+    for trial in range(2):
+        a = rng.integers(0, 30, size=70)
+        b = rng.integers(0, 30, size=70)
+        w = np.round(rng.uniform(1, 100, size=70), 2)
+        t = pa.table({"a": pa.array(a, pa.int64()),
+                      "b": pa.array(b, pa.int64()),
+                      "w": pa.array(w, pa.float64())})
+        out = maximal_matching(rd.from_arrow(t).repartition(3),
+                               weight_col="w", nb=4).to_pandas()
+        vs = list(out["u"]) + list(out["v"])
+        assert len(vs) == len(set(vs))
+        # greedy-by-weight reference (same total order): the parallel
+        # locally-heaviest rule yields EXACTLY the sequential greedy
+        # matching, so compare edge sets
+        best: dict = {}
+        for x, y, wt in zip(a.tolist(), b.tolist(), w.tolist()):
+            if x == y:
+                continue
+            u, v = (x, y) if x < y else (y, x)
+            if (u, v) not in best or wt > best[(u, v)]:
+                best[(u, v)] = wt
+        taken: set = set()
+        want = set()
+        for (u, v), wt in sorted(best.items(),
+                                 key=lambda kv: (-kv[1], kv[0])):
+            if u not in taken and v not in taken:
+                taken |= {u, v}
+                want.add((u, v, wt))
+        got = set(zip(out["u"], out["v"], out["w"]))
+        assert got == want
+
+
+def test_weighted_matching_prefers_heavy_edge():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_matching)
+
+    # path 1-2-3: middle edge heaviest → only it matches
+    t = pa.table({"a": pa.array([1, 2, 3], pa.int64()),
+                  "b": pa.array([2, 3, 4], pa.int64()),
+                  "w": pa.array([1.0, 9.0, 1.0], pa.float64())})
+    out = maximal_matching(t, weight_col="w", nb=2).to_pandas()
+    assert set(zip(out["u"], out["v"])) == {(2, 3)}
+
+
+def test_weighted_matching_nan_raises_and_parallel_max():
+    from biosd_feature_annotator_ray.stages.graph import (
+        maximal_matching)
+
+    bad = pa.table({"a": pa.array([1], pa.int64()),
+                    "b": pa.array([2], pa.int64()),
+                    "w": pa.array([float("nan")], pa.float64())})
+    with pytest.raises(Exception):
+        maximal_matching(bad, weight_col="w", nb=2).to_pandas()
+    # parallel edges collapse to max weight in the output
+    t = pa.table({"a": pa.array([1, 2], pa.int64()),
+                  "b": pa.array([2, 1], pa.int64()),
+                  "w": pa.array([3.0, 8.0], pa.float64())})
+    out = maximal_matching(t, weight_col="w", nb=2).to_pandas()
+    assert out["w"].tolist() == [8.0]
+
+
+# -------------------------------------------------------------- resample
+
+
+def test_resample_pandas_reference_parity():
+    from biosd_feature_annotator_ray.stages.windows import (
+        resample_per_key)
+
+    rng = np.random.default_rng(31)
+    n = 400
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array(rng.integers(0, 8, n), pa.int64()),
+        "ts": pa.array(
+            [None if rng.random() < 0.03 else
+             t0 + np.timedelta64(int(rng.integers(0, 3 * 10**10)),
+                                 "us") for _ in range(n)],
+            pa.timestamp("us")),
+        "value": pa.array(
+            [None if rng.random() < 0.1 else
+             round(float(rng.uniform(0, 50)), 2) for _ in range(n)],
+            pa.float64())})
+    out = (resample_per_key(rd.from_arrow(t).repartition(4),
+                            every=pd.Timedelta(hours=1), nb=4)
+           .to_pandas())
+    df = t.to_pandas().dropna(subset=["ts"])
+    df["b"] = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 3600000000)
+    for uid, g in df.groupby("user_id"):
+        got = (out[out["user_id"] == uid]
+               .sort_values("bucket_ts").reset_index(drop=True))
+        lo, hi = g["b"].min(), g["b"].max()
+        assert len(got) == hi - lo + 1, uid
+        for _, row in got.iterrows():
+            b = (row["bucket_ts"].to_datetime64()
+                 .astype("datetime64[us]").astype("int64")
+                 // 3600000000)
+            sub = g[g["b"] == b]
+            assert row["n_rows"] == len(sub)
+            vals = sub["value"].dropna()
+            if len(vals):
+                assert row["mean_value"] == pytest.approx(
+                    vals.mean(), rel=1e-9)
+            else:
+                assert pd.isna(row["mean_value"])
+
+
+def test_resample_fill_modes_and_count():
+    from biosd_feature_annotator_ray.stages.windows import (
+        resample_per_key)
+
+    ts0 = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "ts": pa.array([ts0, ts0 + np.timedelta64(3, "h"),
+                        ts0 + np.timedelta64(3, "h")],
+                       pa.timestamp("us")),
+        "value": pa.array([2.0, 4.0, 8.0], pa.float64())})
+    ff = (resample_per_key(rd.from_arrow(t),
+                           every=pd.Timedelta(hours=1),
+                           agg="mean", fill="ffill", nb=2)
+          .to_pandas().sort_values("bucket_ts"))
+    assert ff["mean_value"].tolist() == [2.0, 2.0, 2.0, 6.0]
+    z = (resample_per_key(rd.from_arrow(t),
+                          every=pd.Timedelta(hours=1),
+                          agg="sum", fill="zero", nb=2)
+         .to_pandas().sort_values("bucket_ts"))
+    assert z["sum_value"].tolist() == [2.0, 0.0, 0.0, 12.0]
+    c = (resample_per_key(rd.from_arrow(t),
+                          every=pd.Timedelta(hours=1),
+                          agg="count", nb=2)
+         .to_pandas().sort_values("bucket_ts"))
+    assert c["count_value"].tolist() == [1, 0, 0, 2]
+
+
+def test_resample_grid_overflow_raises():
+    from biosd_feature_annotator_ray.stages.windows import (
+        ResampleGridOverflow, resample_per_key)
+
+    ts0 = np.datetime64("1970-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([ts0, np.datetime64("2024-01-01", "us")],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.0], pa.float64())})
+    with pytest.raises(Exception, match="buckets"):
+        resample_per_key(rd.from_arrow(t),
+                         every=pd.Timedelta(hours=1),
+                         max_buckets_per_key=1000, nb=2).to_pandas()
