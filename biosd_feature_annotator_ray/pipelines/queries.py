@@ -9555,3 +9555,86 @@ ORACLES["matching_weighted"] = (
     "  UNION ALL SELECT u, v, 3 FROM m3) m"
     "  ON m.u = e.u AND m.v = e.v"
 )
+
+
+def q_graph_coloring(sf_dir: str):
+    """Jones–Plassmann distributed greedy coloring
+    (graph.greedy_coloring): static md5 priorities, per round the
+    local priority minimum among uncolored neighbors takes the
+    smallest color absent from its colored neighborhood — exactly the
+    sequential greedy coloring in priority order (pinned in tests) —
+    over the orders-derived mod-48 double-chord graph (identical at
+    every sf; converges in 6 rounds, Δ=4 → ≤5 colors). Fully oracled:
+    the SQL twin unrolls 7 rounds replaying the same 60-bit md5 draws,
+    with the mex as a min over non-forbidden generate_series
+    candidates."""
+    from ..stages.graph import greedy_coloring
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        i = (k % 48).astype(np.int64)
+        return pa.table({
+            "a": pa.array(np.concatenate([i, i])),
+            "b": pa.array(np.concatenate(
+                [(i * 17 + 3) % 48, (i * 29 + 11) % 48]))})
+
+    out = greedy_coloring(
+        orders.map_batches(edges, batch_format="pyarrow"), nb=16)
+    df = (out.to_pandas().sort_values("node")
+          .reset_index(drop=True)[["node", "color", "color_round"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["graph_coloring"] = q_graph_coloring
+
+
+def _coloring_round_sql(r: int) -> str:
+    return (
+        f" m{r} AS MATERIALIZED (SELECT e.src AS node, min(p2.p) AS mp"
+        f"  FROM ea{r} e JOIN pr p2 ON p2.node = e.dst"
+        f"  GROUP BY e.src),"
+        f" w{r} AS MATERIALIZED (SELECT a.node FROM n{r} a"
+        f"  JOIN pr ON pr.node = a.node"
+        f"  LEFT JOIN m{r} m ON m.node = a.node"
+        f"  WHERE m.mp IS NULL OR pr.p < m.mp),"
+        f" f{r} AS MATERIALIZED (SELECT w.node, c.color FROM w{r} w"
+        f"  JOIN e0 e ON e.src = w.node"
+        f"  JOIN c{r} c ON c.node = e.dst),"
+        f" a{r} AS MATERIALIZED (SELECT w.node, min(s.k) AS color"
+        f"  FROM w{r} w CROSS JOIN generate_series(0, 8) s(k)"
+        f"  LEFT JOIN f{r} f ON f.node = w.node AND f.color = s.k"
+        f"  WHERE f.node IS NULL GROUP BY w.node),"
+        f" c{r + 1} AS MATERIALIZED (SELECT * FROM c{r} UNION ALL"
+        f"  SELECT node, color, CAST({r} AS BIGINT) FROM a{r}),"
+        f" n{r + 1} AS MATERIALIZED (SELECT node FROM n{r}"
+        f"  EXCEPT SELECT node FROM w{r}),"
+        f" ea{r + 1} AS MATERIALIZED (SELECT e.src, e.dst FROM ea{r} e"
+        f"  JOIN n{r + 1} x ON x.node = e.src"
+        f"  JOIN n{r + 1} y ON y.node = e.dst),"
+    )
+
+
+ORACLES["graph_coloring"] = (
+    "WITH base AS MATERIALIZED (SELECT o_orderkey % 48 AS i FROM orders),"
+    " raw AS MATERIALIZED (SELECT i AS a, (i * 17 + 3) % 48 AS b FROM base"
+    "  UNION ALL SELECT i, (i * 29 + 11) % 48 FROM base),"
+    " e0 AS MATERIALIZED (SELECT DISTINCT a AS src, b AS dst FROM raw"
+    "  WHERE a <> b"
+    "  UNION SELECT DISTINCT b, a FROM raw WHERE a <> b),"
+    " ea0 AS MATERIALIZED (SELECT src, dst FROM e0),"
+    " n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0),"
+    " pr AS MATERIALIZED (SELECT node, CAST(('0x' || substr(md5("
+    "  CAST(node AS VARCHAR) || ':0'), 1, 15))::UBIGINT AS BIGINT)"
+    "  AS p FROM n0),"
+    " c0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS node,"
+    "  CAST(NULL AS BIGINT) AS color,"
+    "  CAST(NULL AS BIGINT) AS color_round WHERE 1 = 0),"
+    + _coloring_round_sql(0)[1:] + _coloring_round_sql(1)[1:]
+    + _coloring_round_sql(2)[1:] + _coloring_round_sql(3)[1:]
+    + _coloring_round_sql(4)[1:] + _coloring_round_sql(5)[1:]
+    + _coloring_round_sql(6)[1:-1]
+    + " SELECT node, color, color_round FROM c7"
+)

@@ -4616,3 +4616,218 @@ def reciprocity(
         "n_edges": pa.array([n], pa.int64()),
         "n_reciprocal": pa.array([nr], pa.int64()),
         "reciprocity": pa.array([nr / n], pa.float64())}))
+
+
+def greedy_coloring(
+    edges,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed: int = 0,
+    max_rounds: int = 60,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed greedy graph coloring via Jones–Plassmann (Jones &
+    Plassmann 1993 — the published parallel analogue of sequential
+    greedy coloring): every node draws ONE static priority; per round,
+    an uncolored node whose priority strictly beats every uncolored
+    neighbor takes the SMALLEST color absent from its already-colored
+    neighborhood. With a total priority order the result is EXACTLY
+    the sequential greedy coloring in priority order, so the color
+    count obeys the classic Δ+1 bound. The KG/crawl use: conflict-free
+    scheduling — partition mutually-linked hosts into polite crawl
+    waves, or group pairwise-conflicting fact-merge jobs into
+    independent batches.
+
+    Deterministic by construction: the priority of node ``v`` is the
+    60-bit ``md5(v:seed)`` prefix with the node id as tie-break (the
+    replayable-md5 contract of :func:`maximal_independent_set`), so a
+    SQL twin can unroll the rounds. Round count is the longest
+    priority-decreasing path (O(log n / log log n) w.h.p. on
+    bounded-degree graphs); raises after ``max_rounds``.
+
+    Shape per round: one bucketed join ships priorities to uncolored
+    neighbors, one map-side-combined per-node min picks winners, one
+    bucketed join gathers colored-neighbor colors, and a vectorized
+    sorted-run mex kernel assigns colors — no per-node Python in the
+    hot path. Self-loops drop (a node can never avoid its own color).
+
+    Returns ``(node, color, color_round)``.
+    """
+    import hashlib
+
+    import ray.data as rd
+
+    from .canonicalize import _B, _add_bucket, dedup_exact
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    und = ds.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column(a_col).cast(pa.int64()).combine_chunks(),
+                t.column(b_col).cast(pa.int64()).combine_chunks()]),
+            "dst": pa.concat_arrays([
+                t.column(b_col).cast(pa.int64()).combine_chunks(),
+                t.column(a_col).cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    und = mat_cut(dedup_exact(und.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("src"),
+                                        t.column("dst"))),
+        batch_format="pyarrow"), ["src", "dst"], nb=nb))
+
+    def prio(t: pa.Table) -> pa.Table:
+        p = [int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15],
+                 16) for v in t.column("node").to_pylist()]
+        return pa.table({"node": t.column("node"),
+                         "p": pa.array(p, pa.int64())})
+
+    alive = mat_cut(dedup_exact(
+        und.map_batches(lambda t: pa.table({"node": t.column("src")}),
+                        batch_format="pyarrow"),
+        ["node"], nb=nb).map_batches(prio, batch_format="pyarrow"))
+    live = und  # contest edges: pruned to alive x alive per round;
+    # und itself stays FULL so winners can see colored neighbors
+    schema = pa.schema([pa.field("node", pa.int64()),
+                        pa.field("color", pa.int64()),
+                        pa.field("color_round", pa.int64())])
+    colored: list = []
+
+    def _mex_assign(g: pa.Table, rr: int) -> pa.Table:
+        # g: (node, color) rows — color >= 0 are the node's
+        # colored-neighbor (forbidden) colors, color == -1 is the
+        # winner sentinel (present for EVERY winner by construction,
+        # and sorting first in its run). Per node, assign the
+        # smallest color >= 0 absent from the forbidden set — a
+        # vectorized mex over sorted deduped runs.
+        s = g.sort_by([("node", "ascending"), ("color", "ascending")])
+        node = s.column("node").to_numpy(zero_copy_only=False)
+        col = s.column("color").to_numpy(zero_copy_only=False)
+        new = np.ones(len(node), dtype=bool)
+        new[1:] = node[1:] != node[:-1]
+        dupc = np.zeros(len(node), dtype=bool)
+        dupc[1:] = (~new[1:]) & (col[1:] == col[:-1])
+        keep = ~dupc
+        node, col, new = node[keep], col[keep], new[keep]
+        heads = np.flatnonzero(new)
+        run_id = np.cumsum(new) - 1
+        # ladder position of a forbidden color within its run (the
+        # sentinel head occupies index 0)
+        pos = np.arange(len(node)) - heads[run_id] - 1
+        lens = np.diff(np.append(heads, len(node))) - 1
+        # mex = first ladder position where the packed 0,1,2,...
+        # prefix breaks; if the forbidden colors pack the full
+        # prefix, mex = count of distinct forbidden colors
+        miss = np.flatnonzero((col != pos) & (col >= 0))
+        mex = lens.copy()
+        if len(miss):
+            uniq, firsts = np.unique(run_id[miss], return_index=True)
+            mex[uniq] = pos[miss[firsts]]
+        return pa.table({
+            "node": pa.array(node[heads]),
+            "color": pa.array(mex),
+            "color_round": pa.array(np.full(len(heads), rr, np.int64))})
+
+    for r in range(max_rounds):
+        if alive.count() == 0:
+            break
+        if live.count() == 0:
+            # no alive-alive edges left: every alive node wins this
+            # round (it still needs a mex against colored neighbors)
+            winners = mat_cut(alive.map_batches(
+                lambda t: pa.table({"node": t.column("node")}),
+                batch_format="pyarrow"))
+        else:
+            # contest: alive node wins iff p < min(alive-neighbor p)
+            msgs = shuffle_hash_join(
+                live, alive.map_batches(
+                    lambda t: t.rename_columns(["dst", "p"]),
+                    batch_format="pyarrow"),
+                on=["dst"], how="inner", nb=nb).map_batches(
+                lambda t: pa.table({"node": t.column("src"),
+                                    "p": t.column("p")}),
+                batch_format="pyarrow")
+            minnb = _min_per_node(msgs, nb=nb, node_col="node",
+                                  val_col="p").map_batches(
+                lambda t: t.rename_columns(["node", "minp"]),
+                batch_format="pyarrow")
+
+            def pick(t: pa.Table) -> pa.Table:
+                w = t.filter(pc.or_kleene(
+                    pc.is_null(t.column("minp")),
+                    pc.less(t.column("p"), t.column("minp"))))
+                return pa.table({"node": w.column("node")})
+
+            winners = mat_cut(shuffle_hash_join(
+                alive, minnb, on=["node"], how="left",
+                nb=nb).map_batches(pick, batch_format="pyarrow"))
+        if winners.count() == 0:
+            continue
+        # forbidden colors: colored neighbors of each winner. Join
+        # the winners' edges first (und is never empty here), then
+        # gather neighbor colors; count-guard each hop because a
+        # zero-row dataset loses its schema for the next join.
+        forb = rd.from_arrow(pa.table(
+            {"node": pa.array([], pa.int64()),
+             "color": pa.array([], pa.int64())}))
+        if colored:
+            wedges = mat_cut(shuffle_hash_join(
+                und, winners.map_batches(
+                    lambda t: pa.table({"src": t.column("node")}),
+                    batch_format="pyarrow"),
+                on=["src"], how="semi", nb=nb))
+            if wedges.count() > 0:
+                coltab = colored[0]
+                for c_ in colored[1:]:
+                    coltab = coltab.union(c_)
+                got = mat_cut(shuffle_hash_join(
+                    wedges, coltab.map_batches(
+                        lambda t: pa.table(
+                            {"dst": t.column("node"),
+                             "color": t.column("color")}),
+                        batch_format="pyarrow"),
+                    on=["dst"], how="inner", nb=nb).map_batches(
+                    lambda t: pa.table({"node": t.column("src"),
+                                        "color": t.column("color")}),
+                    batch_format="pyarrow"))
+                if got.count() > 0:
+                    forb = got
+        sentinel = winners.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "color": pa.array(np.full(t.num_rows, -1, np.int64))}),
+            batch_format="pyarrow")
+        assigned = mat_cut(
+            forb.union(sentinel).map_batches(
+                lambda t: _add_bucket(t, ["node"], nb),
+                batch_format="pyarrow")
+            .groupby(_B)
+            .map_groups(lambda g, rr=r: _mex_assign(
+                g.drop_columns([_B]), rr),
+                batch_format="pyarrow"))
+        colored.append(assigned)
+        alive = mat_cut(shuffle_hash_join(
+            alive, winners, on=["node"], how="anti", nb=nb))
+        if alive.count() == 0:
+            break
+        live = shuffle_hash_join(
+            live, alive.map_batches(
+                lambda t: pa.table({"src": t.column("node")}),
+                batch_format="pyarrow"),
+            on=["src"], how="semi", nb=nb)
+        live = mat_cut(shuffle_hash_join(
+            live, alive.map_batches(
+                lambda t: pa.table({"dst": t.column("node")}),
+                batch_format="pyarrow"),
+            on=["dst"], how="semi", nb=nb))
+    else:
+        if alive.count() > 0:
+            raise RuntimeError(
+                f"coloring did not converge in {max_rounds} rounds")
+    if not colored:
+        return rd.from_arrow(schema.empty_table())
+    out = colored[0]
+    for c_ in colored[1:]:
+        out = out.union(c_)
+    return out.map_batches(lambda t: t.cast(schema),
+                           batch_format="pyarrow")
