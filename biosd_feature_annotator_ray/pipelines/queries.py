@@ -9638,3 +9638,73 @@ ORACLES["graph_coloring"] = (
     + _coloring_round_sql(6)[1:-1]
     + " SELECT node, color, color_round FROM c7"
 )
+
+
+def q_label_spreading(sf_dir: str):
+    """Seeded majority-vote label propagation (graph.label_spreading
+    — the clamped-seed classifier, not LPA community detection):
+    seeds = every 12th node labeled node%3, per round an unlabeled
+    node adopts the majority label of its labeled neighbors (smallest
+    label on ties) — over the orders-derived mod-60 double-chord
+    graph (identical at every sf; converges in 3 rounds, all 60 nodes
+    labeled). Fully oracled: the SQL twin unrolls 4 rounds of the
+    same count-argmax."""
+    from ..stages.graph import label_spreading
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        i = (k % 60).astype(np.int64)
+        return pa.table({
+            "a": pa.array(np.concatenate([i, i])),
+            "b": pa.array(np.concatenate(
+                [(i * 7 + 2) % 60, (i * 11 + 5) % 60]))})
+
+    seeds = pa.table({
+        "node": pa.array(list(range(0, 60, 12)), pa.int64()),
+        "label": pa.array([n % 3 for n in range(0, 60, 12)],
+                          pa.int64())})
+    out = label_spreading(
+        orders.map_batches(edges, batch_format="pyarrow"), seeds,
+        nb=16)
+    df = (out.to_pandas().sort_values("node")
+          .reset_index(drop=True)[["node", "label", "spread_round"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["label_spreading"] = q_label_spreading
+
+
+def _spread_round_sql(r: int) -> str:
+    return (
+        f" msg{r} AS MATERIALIZED (SELECT e.src AS node, l.label"
+        f"  FROM e0 e JOIN l{r} l ON l.node = e.dst"
+        f"  WHERE e.src NOT IN (SELECT node FROM l{r})),"
+        f" cnt{r} AS MATERIALIZED (SELECT node, label,"
+        f"  count(*) AS n FROM msg{r} GROUP BY 1, 2),"
+        f" a{r} AS MATERIALIZED (SELECT node, label FROM ("
+        f"  SELECT node, label, row_number() OVER (PARTITION BY node"
+        f"   ORDER BY n DESC, label) AS rk FROM cnt{r}) WHERE rk = 1),"
+        f" l{r + 1} AS MATERIALIZED (SELECT * FROM l{r} UNION ALL"
+        f"  SELECT node, label, CAST({r + 1} AS BIGINT) FROM a{r}),"
+    )
+
+
+ORACLES["label_spreading"] = (
+    "WITH base AS MATERIALIZED (SELECT o_orderkey % 60 AS i"
+    "  FROM orders),"
+    " raw AS MATERIALIZED (SELECT i AS a, (i * 7 + 2) % 60 AS b"
+    "  FROM base"
+    "  UNION ALL SELECT i, (i * 11 + 5) % 60 FROM base),"
+    " e0 AS MATERIALIZED (SELECT DISTINCT a AS src, b AS dst"
+    "  FROM raw WHERE a <> b"
+    "  UNION SELECT DISTINCT b, a FROM raw WHERE a <> b),"
+    " l0 AS MATERIALIZED (SELECT (s.k * 12) AS node,"
+    "  (s.k * 12) % 3 AS label, CAST(0 AS BIGINT) AS spread_round"
+    "  FROM generate_series(0, 4) s(k)),"
+    + _spread_round_sql(0)[1:] + _spread_round_sql(1)[1:]
+    + _spread_round_sql(2)[1:] + _spread_round_sql(3)[1:-1]
+    + " SELECT node, label, spread_round FROM l4"
+)

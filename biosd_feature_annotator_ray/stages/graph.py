@@ -4831,3 +4831,119 @@ def greedy_coloring(
         out = out.union(c_)
     return out.map_batches(lambda t: t.cast(schema),
                            batch_format="pyarrow")
+
+
+def label_spreading(
+    edges,
+    seeds,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    label_col: str = "label",
+    max_rounds: int = 30,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Seeded label propagation for semi-supervised node
+    classification (the synchronous majority-vote variant of
+    Zhu & Ghahramani 2002 label spreading / Raghavan 2007 LPA with
+    CLAMPED seeds): seed nodes carry fixed labels; per round, every
+    still-unlabeled node with at least one labeled neighbor adopts
+    the majority label among ALL labeled neighbors (deterministic
+    tie-break: smallest label wins), and once assigned a label never
+    changes. Converges when a round assigns nothing — unlabeled
+    nodes in components without seeds stay unlabeled (absent from
+    the output), which is the honest answer, not an error. The KG
+    use: propagating rdf:type / topic labels from a curated seed set
+    over the sameAs/link graph.
+
+    Unlike :func:`label_propagation` (unseeded community detection,
+    md5 tie-breaks, labels keep flipping), this is the CLASSIFIER:
+    deterministic given seeds, so a SQL twin can unroll the rounds.
+
+    Shape per round: one bucketed join ships labels to unlabeled
+    neighbors, one map-side-combined (node, label) count, one
+    argmax — all bucket-partitioned, no driver-side state.
+
+    Returns ``(node, label, spread_round)`` — seeds at round 0.
+    """
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact, groupby_argmax, sum_by_key
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    sd = rd.from_arrow(seeds) if isinstance(seeds, pa.Table) else seeds
+    und = ds.map_batches(
+        lambda t: pa.table({
+            "src": pa.concat_arrays([
+                t.column(a_col).cast(pa.int64()).combine_chunks(),
+                t.column(b_col).cast(pa.int64()).combine_chunks()]),
+            "dst": pa.concat_arrays([
+                t.column(b_col).cast(pa.int64()).combine_chunks(),
+                t.column(a_col).cast(pa.int64()).combine_chunks()])}),
+        batch_format="pyarrow")
+    und = mat_cut(dedup_exact(und.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("src"),
+                                        t.column("dst"))),
+        batch_format="pyarrow"), ["src", "dst"], nb=nb))
+    labeled = mat_cut(dedup_exact(sd.map_batches(
+        lambda t: pa.table({
+            "node": t.column(node_col).cast(pa.int64()),
+            "label": t.column(label_col).cast(pa.int64()),
+            "spread_round": pa.array(
+                np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow"), ["node"], nb=nb))
+    schema = pa.schema([pa.field("node", pa.int64()),
+                        pa.field("label", pa.int64()),
+                        pa.field("spread_round", pa.int64())])
+    if labeled.count() == 0 or und.count() == 0:
+        return labeled.map_batches(lambda t: t.cast(schema),
+                                   batch_format="pyarrow")
+    parts = [labeled]
+    for r in range(1, max_rounds + 1):
+        cur = parts[0]
+        for p_ in parts[1:]:
+            cur = cur.union(p_)
+        # labels arriving at each edge source from labeled targets
+        msgs = shuffle_hash_join(
+            und, cur.map_batches(
+                lambda t: pa.table({"dst": t.column("node"),
+                                    "label": t.column("label")}),
+                batch_format="pyarrow"),
+            on=["dst"], how="inner", nb=nb).map_batches(
+            lambda t: pa.table({"node": t.column("src"),
+                                "label": t.column("label")}),
+            batch_format="pyarrow")
+        # only still-unlabeled receivers vote
+        msgs = mat_cut(shuffle_hash_join(
+            msgs, cur.map_batches(
+                lambda t: pa.table({"node": t.column("node")}),
+                batch_format="pyarrow"),
+            on=["node"], how="anti", nb=nb))
+        if msgs.count() == 0:
+            break
+        counts = sum_by_key(
+            msgs.map_batches(
+                lambda t: t.append_column(
+                    "one", pa.array(np.ones(t.num_rows, np.int64))),
+                batch_format="pyarrow"),
+            ["node", "label"], "one", nb=nb, out_col="n")
+        won = mat_cut(groupby_argmax(
+            counts, ["node"], ["n", "label"], [False, True],
+            nb=nb).map_batches(
+            lambda t, rr=r: pa.table({
+                "node": t.column("node"),
+                "label": t.column("label"),
+                "spread_round": pa.array(
+                    np.full(t.num_rows, rr, np.int64))}),
+            batch_format="pyarrow"))
+        parts.append(won)
+    else:
+        raise RuntimeError(
+            f"label spreading did not converge in {max_rounds} rounds")
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.union(p_)
+    return out.map_batches(lambda t: t.cast(schema),
+                           batch_format="pyarrow")

@@ -87,3 +87,85 @@ def test_coloring_self_loops_and_empty():
     ds = greedy_coloring(empty, nb=2)
     assert ds.count() == 0
     assert ds.schema().names == ["node", "color", "color_round"]
+
+
+# ------------------------------------------------------- label spreading
+
+
+def _spread_reference(a, b, seeds):
+    adj: dict[int, set[int]] = {}
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        adj.setdefault(x, set()).add(y)
+        adj.setdefault(y, set()).add(x)
+    lab = dict(seeds)
+    rnd = {n: 0 for n in lab}
+    r = 0
+    while True:
+        r += 1
+        new = {}
+        for v in adj:
+            if v in lab:
+                continue
+            votes: dict[int, int] = {}
+            for u in adj[v]:
+                if u in lab:
+                    votes[lab[u]] = votes.get(lab[u], 0) + 1
+            if votes:
+                new[v] = min(votes, key=lambda l: (-votes[l], l))
+        if not new:
+            break
+        for v, l in new.items():
+            lab[v] = l
+            rnd[v] = r
+    return lab, rnd
+
+
+def test_label_spreading_reference_parity():
+    from biosd_feature_annotator_ray.stages.graph import label_spreading
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 50, 100).tolist()
+    b = rng.integers(0, 50, 100).tolist()
+    seeds = [(n, n % 3) for n in range(0, 50, 7)]
+    t = pa.table({"a": pa.array(a, pa.int64()),
+                  "b": pa.array(b, pa.int64())})
+    st = pa.table({"node": pa.array([s[0] for s in seeds], pa.int64()),
+                   "label": pa.array([s[1] for s in seeds], pa.int64())})
+    out = label_spreading(rd.from_arrow(t).repartition(3), st,
+                          nb=4).to_pandas()
+    lab, rnd = _spread_reference(a, b, seeds)
+    assert dict(zip(out["node"], out["label"])) == lab
+    assert dict(zip(out["node"], out["spread_round"])) == rnd
+
+
+def test_label_spreading_seeds_clamped_and_unreachable():
+    from biosd_feature_annotator_ray.stages.graph import label_spreading
+
+    # seed 0 (label 9) surrounded by three seeds labeled 1 keeps 9;
+    # node 99 is in a component with no seed -> absent from output
+    t = pa.table({"a": pa.array([0, 0, 0, 99], pa.int64()),
+                  "b": pa.array([1, 2, 3, 98], pa.int64())})
+    st = pa.table({"node": pa.array([0, 1, 2, 3], pa.int64()),
+                   "label": pa.array([9, 1, 1, 1], pa.int64())})
+    out = label_spreading(t, st, nb=2).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    assert got == {0: 9, 1: 1, 2: 1, 3: 1}
+    assert (out["spread_round"] == 0).all()
+
+
+def test_label_spreading_majority_and_tiebreak():
+    from biosd_feature_annotator_ray.stages.graph import label_spreading
+
+    # node 10: two neighbors labeled 2, one labeled 1 -> majority 2;
+    # node 20: one neighbor each of 3 and 4 -> tie, smallest label 3
+    t = pa.table({"a": pa.array([10, 10, 10, 20, 20], pa.int64()),
+                  "b": pa.array([1, 2, 3, 4, 5], pa.int64())})
+    st = pa.table({"node": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                   "label": pa.array([2, 2, 1, 3, 4], pa.int64())})
+    out = label_spreading(t, st, nb=2).to_pandas()
+    got = dict(zip(out["node"], out["label"]))
+    assert got[10] == 2 and got[20] == 3
+    rr = dict(zip(out["node"], out["spread_round"]))
+    assert rr[10] == 1 and rr[20] == 1
