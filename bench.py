@@ -252,7 +252,7 @@ def run_queries() -> dict:
         "textrank_terms", "url_change_rate", "katz_centrality",
         "robots_directives", "time_weighted_avg", "reciprocity",
         "charset_decode", "matching_weighted", "resample_hourly",
-        "graph_coloring", "label_spreading",
+        "graph_coloring", "label_spreading", "void_stats",
     ]
     out = {}
     for name in names:

@@ -9708,3 +9708,67 @@ ORACLES["label_spreading"] = (
     + _spread_round_sql(2)[1:] + _spread_round_sql(3)[1:-1]
     + " SELECT node, label, spread_round FROM l4"
 )
+
+
+def q_void_stats(sf_dir: str):
+    """VoID dataset statistics (graph.void_stats): dataset totals +
+    per-predicate propertyPartition + per-class classPartition over
+    triples derived from events (subj=u<user>, pred=event_type,
+    obj=e<event> plus rdf:type fan-out to C<user%4>). Fully oracled:
+    plain GROUP BY / COUNT(DISTINCT) / UNION ALL in SQL."""
+    from ..stages.graph import void_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id", "user_id", "event_type"])
+
+    def _flat(x):
+        return (x.combine_chunks() if isinstance(x, pa.ChunkedArray)
+                else x)
+
+    def to_triples(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").cast(pa.string())
+        subj = _flat(pc.binary_join_element_wise(pa.scalar("u"), u, ""))
+        obj = _flat(pc.binary_join_element_wise(
+            pa.scalar("e"), t.column("event_id").cast(pa.string()), ""))
+        um = t.column("user_id").to_numpy(zero_copy_only=False)
+        cls = _flat(pc.binary_join_element_wise(
+            pa.scalar("C"),
+            pa.array((um % 4).astype(np.int64)).cast(pa.string()), ""))
+        typ = pa.array(["rdf:type"] * t.num_rows, pa.string())
+        return pa.table({
+            "subj": pa.concat_arrays([subj, subj]),
+            "pred": pa.concat_arrays([
+                _flat(t.column("event_type").cast(pa.string())), typ]),
+            "obj": pa.concat_arrays([obj, cls])})
+
+    out = void_stats(ev.map_batches(to_triples, batch_format="pyarrow"),
+                     nb=16)
+    df = (out.to_pandas().sort_values(["part", "key"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["void_stats"] = q_void_stats
+
+
+ORACLES["void_stats"] = (
+    "WITH t AS MATERIALIZED ("
+    "  SELECT 'u' || CAST(user_id AS VARCHAR) AS subj,"
+    "   event_type AS pred,"
+    "   'e' || CAST(event_id AS VARCHAR) AS obj FROM events"
+    "  UNION ALL"
+    "  SELECT 'u' || CAST(user_id AS VARCHAR), 'rdf:type',"
+    "   'C' || CAST(user_id % 4 AS VARCHAR) FROM events)"
+    " SELECT 'dataset' AS part, '(all)' AS key,"
+    "  count(*) AS n_triples,"
+    "  count(DISTINCT subj) AS n_subjects,"
+    "  count(DISTINCT obj) AS n_objects FROM t"
+    " UNION ALL"
+    " SELECT 'predicate', pred, count(*),"
+    "  count(DISTINCT subj), count(DISTINCT obj)"
+    " FROM t GROUP BY pred"
+    " UNION ALL"
+    " SELECT 'class', obj, count(*), count(DISTINCT subj),"
+    "  CAST(NULL AS BIGINT)"
+    " FROM t WHERE pred = 'rdf:type' GROUP BY obj"
+)

@@ -4947,3 +4947,158 @@ def label_spreading(
         out = out.union(p_)
     return out.map_batches(lambda t: t.cast(schema),
                            batch_format="pyarrow")
+
+
+def void_stats(
+    triples,
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    type_pred: str = "rdf:type",
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """VoID-style dataset statistics over a triple store (the W3C
+    VoID vocabulary's descriptive core: dataset totals,
+    void:propertyPartition per predicate, void:classPartition per
+    rdf:type object) — the profiling pass a KG pipeline runs after
+    every build to catch extraction regressions (a predicate's triple
+    count halving, a class partition vanishing) before publishing.
+
+    Output rows, one table::
+
+        part='dataset'   key='(all)'   n_triples, n_subjects, n_objects
+        part='predicate' key=<pred>    n_triples, n_subjects, n_objects
+        part='class'     key=<class>   n_triples (type-triple count),
+                                       n_subjects (distinct entities),
+                                       n_objects null
+
+    Scale shape: counts are map-side-combined :func:`~.canonicalize.
+    sum_by_key` partials; distincts are the pair-bucketed
+    :func:`~.canonicalize.groupby_nunique` (a hot predicate's values
+    spread across buckets); the per-predicate frames merge with
+    bucketed hash joins — the row stream is never driver-materialized.
+    """
+    import ray.data as rd
+
+    from .canonicalize import groupby_nunique, sum_by_key
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    ds = (rd.from_arrow(triples) if isinstance(triples, pa.Table)
+          else triples)
+
+    def ones(t: pa.Table, key: str) -> pa.Table:
+        return pa.table({
+            "key": t.column(key).cast(pa.string()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    # predicate partition: count + distinct subj/obj per predicate
+    pred_n = sum_by_key(
+        ds.map_batches(lambda t: ones(t, p_col),
+                       batch_format="pyarrow"),
+        "key", "one", nb=nb, out_col="n_triples")
+    pred_s = groupby_nunique(
+        ds.map_batches(lambda t: pa.table({
+            "key": t.column(p_col).cast(pa.string()),
+            "v": t.column(s_col).cast(pa.string())}),
+            batch_format="pyarrow"), "key", "v", nb=nb)
+    pred_o = groupby_nunique(
+        ds.map_batches(lambda t: pa.table({
+            "key": t.column(p_col).cast(pa.string()),
+            "v": t.column(o_col).cast(pa.string())}),
+            batch_format="pyarrow"), "key", "v", nb=nb)
+    pred = shuffle_hash_join(
+        pred_n,
+        pred_s.map_batches(
+            lambda t: t.rename_columns(["key", "n_subjects"]),
+            batch_format="pyarrow"),
+        on=["key"], how="left", nb=nb)
+    pred = shuffle_hash_join(
+        pred,
+        pred_o.map_batches(
+            lambda t: t.rename_columns(["key", "n_objects"]),
+            batch_format="pyarrow"),
+        on=["key"], how="left", nb=nb).map_batches(
+        lambda t: pa.table({
+            "part": pa.array(["predicate"] * t.num_rows, pa.string()),
+            "key": t.column("key"),
+            "n_triples": t.column("n_triples").cast(pa.int64()),
+            "n_subjects": t.column("n_subjects").cast(pa.int64()),
+            "n_objects": t.column("n_objects").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    # dataset totals (constant-key nunique pair-buckets, so the one
+    # global key cannot melt a single reducer)
+    def const(t: pa.Table, col: str) -> pa.Table:
+        return pa.table({
+            "key": pa.array(["(all)"] * t.num_rows, pa.string()),
+            "v": t.column(col).cast(pa.string())})
+
+    tot_n = sum_by_key(
+        ds.map_batches(lambda t: pa.table({
+            "key": pa.array(["(all)"] * t.num_rows, pa.string()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "key", "one", nb=nb, out_col="n_triples")
+    tot_s = groupby_nunique(
+        ds.map_batches(lambda t: const(t, s_col),
+                       batch_format="pyarrow"), "key", "v", nb=nb)
+    tot_o = groupby_nunique(
+        ds.map_batches(lambda t: const(t, o_col),
+                       batch_format="pyarrow"), "key", "v", nb=nb)
+    tot = shuffle_hash_join(
+        tot_n, tot_s.map_batches(
+            lambda t: t.rename_columns(["key", "n_subjects"]),
+            batch_format="pyarrow"),
+        on=["key"], how="left", nb=nb)
+    tot = shuffle_hash_join(
+        tot, tot_o.map_batches(
+            lambda t: t.rename_columns(["key", "n_objects"]),
+            batch_format="pyarrow"),
+        on=["key"], how="left", nb=nb).map_batches(
+        lambda t: pa.table({
+            "part": pa.array(["dataset"] * t.num_rows, pa.string()),
+            "key": t.column("key"),
+            "n_triples": t.column("n_triples").cast(pa.int64()),
+            "n_subjects": t.column("n_subjects").cast(pa.int64()),
+            "n_objects": t.column("n_objects").cast(pa.int64())}),
+        batch_format="pyarrow")
+
+    # class partition over rdf:type triples (may be empty -> schema
+    # guard: build from counted parts only)
+    typed = mat_cut(ds.map_batches(
+        lambda t: t.filter(pc.equal(
+            t.column(p_col).cast(pa.string()),
+            pa.scalar(type_pred))),
+        batch_format="pyarrow"))
+    out = pred.union(tot)
+    if typed.count() > 0:
+        cls_n = sum_by_key(
+            typed.map_batches(lambda t: ones(t, o_col),
+                              batch_format="pyarrow"),
+            "key", "one", nb=nb, out_col="n_triples")
+        cls_s = groupby_nunique(
+            typed.map_batches(lambda t: pa.table({
+                "key": t.column(o_col).cast(pa.string()),
+                "v": t.column(s_col).cast(pa.string())}),
+                batch_format="pyarrow"), "key", "v", nb=nb)
+        cls = shuffle_hash_join(
+            cls_n, cls_s.map_batches(
+                lambda t: t.rename_columns(["key", "n_subjects"]),
+                batch_format="pyarrow"),
+            on=["key"], how="left", nb=nb).map_batches(
+            lambda t: pa.table({
+                "part": pa.array(["class"] * t.num_rows, pa.string()),
+                "key": t.column("key"),
+                "n_triples": t.column("n_triples").cast(pa.int64()),
+                "n_subjects": t.column("n_subjects").cast(pa.int64()),
+                "n_objects": pa.nulls(t.num_rows, pa.int64())}),
+            batch_format="pyarrow")
+        out = out.union(cls)
+    schema = pa.schema([
+        pa.field("part", pa.string()), pa.field("key", pa.string()),
+        pa.field("n_triples", pa.int64()),
+        pa.field("n_subjects", pa.int64()),
+        pa.field("n_objects", pa.int64())])
+    return out.map_batches(lambda t: t.cast(schema),
+                           batch_format="pyarrow")

@@ -169,3 +169,44 @@ def test_label_spreading_majority_and_tiebreak():
     assert got[10] == 2 and got[20] == 3
     rr = dict(zip(out["node"], out["spread_round"]))
     assert rr[10] == 1 and rr[20] == 1
+
+
+# ------------------------------------------------------------ void stats
+
+
+def test_void_stats_known_kg():
+    from biosd_feature_annotator_ray.stages.graph import void_stats
+
+    t = pa.table({
+        "subj": pa.array(["a", "a", "b", "c", "a", "b", "c", "d"]),
+        "pred": pa.array(["knows", "knows", "knows", "likes",
+                          "rdf:type", "rdf:type", "rdf:type",
+                          "rdf:type"]),
+        "obj": pa.array(["b", "c", "c", "b", "Person", "Person",
+                         "Org", "Org"])})
+    out = void_stats(rd.from_arrow(t).repartition(3), nb=4).to_pandas()
+    rows = {(r["part"], r["key"]): r for _, r in out.iterrows()}
+    ds = rows[("dataset", "(all)")]
+    assert (ds["n_triples"], ds["n_subjects"], ds["n_objects"]) \
+        == (8, 4, 4)
+    kn = rows[("predicate", "knows")]
+    assert (kn["n_triples"], kn["n_subjects"], kn["n_objects"]) \
+        == (3, 2, 2)
+    lk = rows[("predicate", "likes")]
+    assert (lk["n_triples"], lk["n_subjects"], lk["n_objects"]) \
+        == (1, 1, 1)
+    per = rows[("class", "Person")]
+    assert (per["n_triples"], per["n_subjects"]) == (2, 2)
+    assert per["n_objects"] is None or np.isnan(per["n_objects"])
+    org = rows[("class", "Org")]
+    assert (org["n_triples"], org["n_subjects"]) == (2, 2)
+
+
+def test_void_stats_no_type_triples():
+    from biosd_feature_annotator_ray.stages.graph import void_stats
+
+    t = pa.table({"subj": pa.array(["x"]), "pred": pa.array(["p"]),
+                  "obj": pa.array(["y"])})
+    out = void_stats(t, nb=2).to_pandas()
+    assert set(out["part"]) == {"dataset", "predicate"}
+    assert len(out) == 2
