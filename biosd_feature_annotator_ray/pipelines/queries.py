@@ -9772,3 +9772,57 @@ ORACLES["void_stats"] = (
     "  CAST(NULL AS BIGINT)"
     " FROM t WHERE pred = 'rdf:type' GROUP BY obj"
 )
+
+
+def q_frequent_itemsets(sf_dir: str):
+    """Distributed a-priori frequent itemsets
+    (sketches.frequent_itemsets): baskets = users, items = event
+    types observed with value >= 30, itemsets of size 1-3 occurring
+    in >= 40%-of-users baskets. Fully oracled: DISTINCT-pair
+    self-joins + HAVING in SQL (the a-priori pruning is an
+    efficiency device, not a semantic one)."""
+    from ..stages.canonicalize import dedup_exact
+    from ..stages.sketches import frequent_itemsets
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "event_type", "value"])
+    ev = ev.map_batches(
+        lambda t: t.filter(pc.and_kleene(
+            pc.is_valid(t.column("value")),
+            pc.greater_equal(t.column("value"), pa.scalar(30.0)))),
+        batch_format="pyarrow")
+    n_users = dedup_exact(
+        ev.map_batches(lambda t: t.select(["user_id"]),
+                       batch_format="pyarrow"),
+        ["user_id"], nb=8).count()
+    support = int(-(-n_users * 2 // 5))  # ceil(0.4 * n_users)
+    out = frequent_itemsets(ev, "user_id", "event_type",
+                            min_support=support, nb=16)
+    df = (out.to_pandas().sort_values(["size", "i1", "i2", "i3"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["frequent_itemsets"] = q_frequent_itemsets
+
+
+ORACLES["frequent_itemsets"] = (
+    "WITH b AS MATERIALIZED (SELECT DISTINCT user_id AS bk,"
+    "  event_type AS it FROM events"
+    "  WHERE value IS NOT NULL AND value >= 30),"
+    " s AS MATERIALIZED (SELECT CAST(ceil("
+    "  0.4 * count(DISTINCT bk)) AS BIGINT) AS v FROM b)"
+    " SELECT it AS i1, CAST(NULL AS VARCHAR) AS i2,"
+    "  CAST(NULL AS VARCHAR) AS i3, CAST(1 AS BIGINT) AS size,"
+    "  count(*) AS n_baskets"
+    " FROM b GROUP BY it HAVING count(*) >= (SELECT v FROM s)"
+    " UNION ALL"
+    " SELECT x.it, y.it, NULL, 2, count(*)"
+    " FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it"
+    " GROUP BY 1, 2 HAVING count(*) >= (SELECT v FROM s)"
+    " UNION ALL"
+    " SELECT x.it, y.it, z.it, 3, count(*)"
+    " FROM b x JOIN b y ON x.bk = y.bk AND x.it < y.it"
+    "  JOIN b z ON x.bk = z.bk AND y.it < z.it"
+    " GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT v FROM s)"
+)

@@ -869,3 +869,206 @@ def mad_outliers_per_key(
     return (ds.map_batches(local, batch_format="pyarrow",
                            batch_size=65536)
             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def frequent_itemsets(
+    ds: "ray.data.Dataset",
+    basket_col: str,
+    item_col: str,
+    min_support: int,
+    max_size: int = 3,
+    nb: int = 64,
+    max_frequent_items: int = 100_000,
+    max_basket_items: int = 4096,
+) -> "ray.data.Dataset":
+    """Frequent itemsets up to size 3 via distributed a-priori
+    (Agrawal & Srikant 1994): an itemset is frequent iff it occurs in
+    ≥ ``min_support`` distinct baskets, and every subset of a frequent
+    itemset is frequent — so each level's candidates are pruned by the
+    previous level before any counting. The training-data/KG use:
+    co-occurring tags, hosts sharing link targets, predicate bundles
+    that travel together (feeds characteristic-set style schema
+    discovery with support guarantees).
+
+    Scale shape: level 1 is a map-side-combined count over DISTINCT
+    (basket, item) pairs; the frequent-ITEM list (bounded by
+    ``max_frequent_items``, raises beyond — by definition at most
+    |items with count ≥ min_support|, a reduced aggregate) broadcasts
+    into a membership filter; pair/triple expansion is the shared
+    vectorized upper-triangle kernel over basket-bucketed sorted runs
+    (one shuffle keyed on basket), counted via map-side-combined
+    ``sum_by_key`` — the raw row stream never materializes on the
+    driver. A basket holding more than ``max_basket_items`` FREQUENT
+    items raises (its pair expansion is quadratic) — at that point
+    raise ``min_support``, not the bound.
+
+    Returns ``(i1, i2, i3, size, n_baskets)`` — itemset members in
+    ascending item order, absent slots null.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..pipelines.annotate import dataset_to_table
+    from .canonicalize import _B, _add_bucket, dedup_exact, sum_by_key
+    from .graph import _pair_index_upper
+    from .util import mat_cut
+
+    if min_support < 1:
+        raise ValueError("min_support must be >= 1")
+    if max_size not in (1, 2, 3):
+        raise ValueError("max_size must be 1, 2 or 3")
+
+    pairs = mat_cut(dedup_exact(ds.map_batches(
+        lambda t: pa.table({
+            "bk": t.column(basket_col),
+            "it": t.column(item_col).cast(pa.string())}).filter(
+            pc.and_kleene(pc.is_valid(t.column(basket_col)),
+                          pc.is_valid(t.column(item_col)))),
+        batch_format="pyarrow"), ["bk", "it"], nb=nb))
+    f1 = mat_cut(sum_by_key(
+        pairs.map_batches(
+            lambda t: t.append_column(
+                "one", pa.array(np.ones(t.num_rows, np.int64))),
+            batch_format="pyarrow"),
+        "it", "one", nb=nb, out_col="n").filter(
+        expr=f"n >= {int(min_support)}"))
+    out_schema = pa.schema([
+        pa.field("i1", pa.string()), pa.field("i2", pa.string()),
+        pa.field("i3", pa.string()), pa.field("size", pa.int64()),
+        pa.field("n_baskets", pa.int64())])
+
+    def lvl1(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "i1": t.column("it"),
+            "i2": pa.nulls(t.num_rows, pa.string()),
+            "i3": pa.nulls(t.num_rows, pa.string()),
+            "size": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_baskets": t.column("n").cast(pa.int64())})
+
+    result = f1.map_batches(lvl1, batch_format="pyarrow")
+    if max_size == 1 or f1.count() == 0:
+        return result.map_batches(lambda t: t.cast(out_schema),
+                                  batch_format="pyarrow")
+
+    f1_tab = dataset_to_table(f1)
+    if f1_tab.num_rows > max_frequent_items:
+        raise RuntimeError(
+            f"{f1_tab.num_rows} frequent items exceed the broadcast "
+            f"bound {max_frequent_items}; raise min_support")
+    # broadcast the frequent-item list; encode items as codes so pair
+    # keys become int64s for the vectorized membership checks
+    items_sorted = sorted(f1_tab.column("it").to_pylist())
+    code_of = {v: i for i, v in enumerate(items_sorted)}
+    m = len(items_sorted)
+
+    def keep_frequent(t: pa.Table) -> pa.Table:
+        it = t.column("it").to_pylist()
+        codes = np.array([code_of.get(v, -1) for v in it], np.int64)
+        ok = codes >= 0
+        return pa.table({
+            "bk": t.column("bk").filter(pa.array(ok)),
+            "code": pa.array(codes[ok])})
+
+    coded = (pairs.map_batches(keep_frequent, batch_format="pyarrow")
+             .map_batches(lambda t: _add_bucket(t, ["bk"], nb),
+                          batch_format="pyarrow"))
+
+    def expand_pairs(g: pa.Table) -> pa.Table:
+        s = g.drop_columns([_B]).sort_by(
+            [("bk", "ascending"), ("code", "ascending")])
+        bk = s.column("bk").to_numpy(zero_copy_only=False)
+        code = s.column("code").to_numpy(zero_copy_only=False)
+        new = np.ones(len(bk), dtype=bool)
+        new[1:] = bk[1:] != bk[:-1]
+        d = np.diff(np.append(np.flatnonzero(new), len(bk)))
+        if d.size and int(d.max()) > max_basket_items:
+            raise RuntimeError(
+                f"a basket holds {int(d.max())} frequent items "
+                f"(> {max_basket_items}); raise min_support")
+        li, ri = _pair_index_upper(d)
+        return pa.table({
+            "k": pa.array(code[li] * m + code[ri]),
+            "one": pa.array(np.ones(len(li), np.int64))})
+
+    f2 = mat_cut(
+        coded.groupby(_B)
+        .map_groups(expand_pairs, batch_format="pyarrow")
+        .groupby("k").aggregate(Sum("one", alias_name="n"))
+        .filter(expr=f"n >= {int(min_support)}"))
+
+    def lvl2(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        a = pa.array([items_sorted[int(x) // m] for x in k],
+                     pa.string())
+        b = pa.array([items_sorted[int(x) % m] for x in k],
+                     pa.string())
+        return pa.table({
+            "i1": a, "i2": b,
+            "i3": pa.nulls(t.num_rows, pa.string()),
+            "size": pa.array(np.full(t.num_rows, 2, np.int64)),
+            "n_baskets": t.column("n").cast(pa.int64())})
+
+    result = result.union(f2.map_batches(lvl2, batch_format="pyarrow"))
+    if max_size == 2 or f2.count() == 0:
+        return result.map_batches(lambda t: t.cast(out_schema),
+                                  batch_format="pyarrow")
+
+    f2_keys = np.sort(dataset_to_table(f2).column("k").to_numpy(
+        zero_copy_only=False).astype(np.int64))
+    f2_items = np.unique(np.concatenate(
+        [f2_keys // m, f2_keys % m])) if f2_keys.size else \
+        np.empty(0, np.int64)
+
+    def expand_triples(g: pa.Table) -> pa.Table:
+        s = g.drop_columns([_B]).sort_by(
+            [("bk", "ascending"), ("code", "ascending")])
+        bk = s.column("bk").to_numpy(zero_copy_only=False)
+        code = s.column("code").to_numpy(zero_copy_only=False)
+        keep = np.isin(code, f2_items)
+        bk, code = bk[keep], code[keep]
+        new = np.ones(len(bk), dtype=bool)
+        new[1:] = bk[1:] != bk[:-1]
+        heads = np.flatnonzero(new)
+        d = np.diff(np.append(heads, len(bk)))
+        li, ri = _pair_index_upper(d)
+        if li.size == 0:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "one": pa.array([], pa.int64())})
+        # third element: every index k > ri within the same run
+        run_of_pair = np.searchsorted(heads, li, side="right") - 1
+        run_end = (heads + d)[run_of_pair]
+        cnt3 = run_end - ri - 1
+        li3 = np.repeat(li, cnt3)
+        ri3 = np.repeat(ri, cnt3)
+        base = np.cumsum(cnt3) - cnt3
+        ki3 = np.repeat(ri + 1, cnt3) + (
+            np.arange(int(cnt3.sum()), dtype=np.int64)
+            - np.repeat(base, cnt3))
+        c1, c2, c3 = code[li3], code[ri3], code[ki3]
+        # a-priori prune: all three sub-pairs frequent
+        ok = (np.isin(c1 * m + c2, f2_keys)
+              & np.isin(c1 * m + c3, f2_keys)
+              & np.isin(c2 * m + c3, f2_keys))
+        return pa.table({
+            "k": pa.array(c1[ok] * m * m + c2[ok] * m + c3[ok]),
+            "one": pa.array(np.ones(int(ok.sum()), np.int64))})
+
+    f3 = (coded.groupby(_B)
+          .map_groups(expand_triples, batch_format="pyarrow")
+          .groupby("k").aggregate(Sum("one", alias_name="n"))
+          .filter(expr=f"n >= {int(min_support)}"))
+
+    def lvl3(t: pa.Table) -> pa.Table:
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "i1": pa.array([items_sorted[int(x) // (m * m)]
+                            for x in k], pa.string()),
+            "i2": pa.array([items_sorted[(int(x) // m) % m]
+                            for x in k], pa.string()),
+            "i3": pa.array([items_sorted[int(x) % m] for x in k],
+                           pa.string()),
+            "size": pa.array(np.full(t.num_rows, 3, np.int64)),
+            "n_baskets": t.column("n").cast(pa.int64())})
+
+    result = result.union(f3.map_batches(lvl3, batch_format="pyarrow"))
+    return result.map_batches(lambda t: t.cast(out_schema),
+                              batch_format="pyarrow")

@@ -210,3 +210,83 @@ def test_void_stats_no_type_triples():
     out = void_stats(t, nb=2).to_pandas()
     assert set(out["part"]) == {"dataset", "predicate"}
     assert len(out) == 2
+
+
+# ------------------------------------------------------ frequent itemsets
+
+
+def test_frequent_itemsets_bruteforce_parity():
+    from collections import Counter
+    from itertools import combinations
+
+    from biosd_feature_annotator_ray.stages.sketches import (
+        frequent_itemsets)
+
+    rng = np.random.default_rng(3)
+    rows_b, rows_i = [], []
+    for bk in range(40):
+        items = rng.choice(list("abcdefgh"),
+                           size=rng.integers(1, 6), replace=False)
+        for it in items:
+            rows_b.append(bk)
+            rows_i.append(str(it))
+            if rng.random() < 0.3:  # dup rows must not double-count
+                rows_b.append(bk)
+                rows_i.append(str(it))
+    t = pa.table({"user": pa.array(rows_b, pa.int64()),
+                  "tag": pa.array(rows_i)})
+    out = frequent_itemsets(rd.from_arrow(t).repartition(3), "user",
+                            "tag", min_support=6, nb=4).to_pandas()
+    baskets: dict[int, set[str]] = {}
+    for bk, it in zip(rows_b, rows_i):
+        baskets.setdefault(bk, set()).add(it)
+    want = set()
+    for size in (1, 2, 3):
+        cnt: Counter = Counter()
+        for items in baskets.values():
+            for combo in combinations(sorted(items), size):
+                cnt[combo] += 1
+        for combo, n in cnt.items():
+            if n >= 6:
+                padded = combo + (None,) * (3 - size)
+                want.add(padded + (size, n))
+    got = set((r.i1, r.i2, r.i3, r.size, r.n_baskets)
+              for r in out.itertuples())
+    assert got == want
+
+
+def test_frequent_itemsets_sizes_and_guards():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        frequent_itemsets)
+
+    t = pa.table({"b": pa.array([1, 1, 1, 2, 2, 2], pa.int64()),
+                  "i": pa.array(["x", "y", "z", "x", "y", "z"])})
+    out1 = frequent_itemsets(rd.from_arrow(t), "b", "i",
+                             min_support=2, max_size=1,
+                             nb=2).to_pandas()
+    assert set(out1["size"]) == {1} and len(out1) == 3
+    out3 = frequent_itemsets(rd.from_arrow(t), "b", "i",
+                             min_support=2, max_size=3,
+                             nb=2).to_pandas()
+    assert sorted(out3["size"].value_counts().to_dict().items()) \
+        == [(1, 3), (2, 3), (3, 1)]
+    trip = out3[out3["size"] == 3].iloc[0]
+    assert (trip["i1"], trip["i2"], trip["i3"]) == ("x", "y", "z")
+    with pytest.raises(Exception, match="broadcast bound"):
+        frequent_itemsets(rd.from_arrow(t), "b", "i", min_support=1,
+                          max_frequent_items=2, nb=2).to_pandas()
+    with pytest.raises(ValueError):
+        frequent_itemsets(rd.from_arrow(t), "b", "i", min_support=0)
+
+
+def test_frequent_itemsets_null_rows_dropped():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        frequent_itemsets)
+
+    t = pa.table({"b": pa.array([1, None, 1], pa.int64()),
+                  "i": pa.array(["x", "y", None])})
+    out = frequent_itemsets(rd.from_arrow(t), "b", "i",
+                            min_support=1, nb=2).to_pandas()
+    assert len(out) == 1
+    assert (out.iloc[0]["i1"], out.iloc[0]["size"],
+            out.iloc[0]["n_baskets"]) == ("x", 1, 1)
