@@ -253,7 +253,7 @@ def run_queries() -> dict:
         "robots_directives", "time_weighted_avg", "reciprocity",
         "charset_decode", "matching_weighted", "resample_hourly",
         "graph_coloring", "label_spreading", "void_stats",
-        "frequent_itemsets",
+        "frequent_itemsets", "dsir_select",
     ]
     out = {}
     for name in names:

@@ -9826,3 +9826,65 @@ ORACLES["frequent_itemsets"] = (
     "  JOIN b z ON x.bk = z.bk AND y.it < z.it"
     " GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT v FROM s)"
 )
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR importance selection (textstats.dsir_select — Xie et al.
+    2023 data selection): target LM = source 'src0' docs, raw LM =
+    the whole pool, explicit top-64 target vocabulary, add-one
+    smoothing, keep the 100 docs with the highest target/raw
+    log-likelihood ratio. Fully oracled: both unigram LMs, the LLR
+    weights and the row_number cutoff replay in SQL over the same
+    whitespace tokenization."""
+    from ..stages.textstats import dsir_select
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "source"])
+    target = docs.filter(expr="source == 'src0'")
+    out = dsir_select(docs, target, top_n=100, vocab_size=64, nb=16)
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "score": pc.round(t.column("score"), 6),
+            "n_vocab_tokens": t.column("n_vocab_tokens")})
+
+    df = (out.map_batches(rounder, batch_format="pyarrow").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["dsir_select"] = q_dsir_select
+
+
+ORACLES["dsir_select"] = (
+    "WITH tgt AS MATERIALIZED (SELECT unnest(regexp_split_to_array("
+    "  trim(lower(text)), '\\s+')) AS t FROM documents"
+    "  WHERE source = 'src0'),"
+    " tgt2 AS MATERIALIZED (SELECT t FROM tgt WHERE t <> ''),"
+    " v AS MATERIALIZED (SELECT t, n FROM (SELECT t, count(*) AS n,"
+    "  row_number() OVER (ORDER BY count(*) DESC, t) AS rk"
+    "  FROM tgt2 GROUP BY t) WHERE rk <= 64),"
+    " raw AS MATERIALIZED (SELECT doc_id, unnest("
+    "  regexp_split_to_array(trim(lower(text)), '\\s+')) AS t"
+    "  FROM documents),"
+    " raw2 AS MATERIALIZED (SELECT doc_id, t FROM raw"
+    "  WHERE t <> ''),"
+    " vc AS MATERIALIZED (SELECT count(*) AS nv FROM v),"
+    " rc AS MATERIALIZED (SELECT v.t, count(r.t) AS n FROM v"
+    "  LEFT JOIN raw2 r ON r.t = v.t GROUP BY v.t),"
+    " tots AS MATERIALIZED (SELECT (SELECT sum(n) FROM v) AS nt,"
+    "  (SELECT sum(n) FROM rc) AS nr),"
+    " llr AS MATERIALIZED (SELECT v.t,"
+    "  ln((v.n + 1.0) / (tots.nt + vc.nv))"
+    "  - ln((rc.n + 1.0) / (tots.nr + vc.nv)) AS w"
+    "  FROM v JOIN rc ON rc.t = v.t CROSS JOIN tots CROSS JOIN vc),"
+    " ds AS MATERIALIZED (SELECT d.doc_id,"
+    "  coalesce(sum(l.w), 0.0) AS score,"
+    "  CAST(count(l.t) AS BIGINT) AS n_vocab_tokens"
+    "  FROM documents d LEFT JOIN raw2 r ON r.doc_id = d.doc_id"
+    "  LEFT JOIN llr l ON l.t = r.t GROUP BY d.doc_id)"
+    " SELECT doc_id, round(score, 6) AS score, n_vocab_tokens"
+    " FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)"
+    "  AS rk FROM ds) WHERE rk <= 100"
+)

@@ -1937,3 +1937,123 @@ def rake_keyphrases(
 
     return docs.map_batches(extract, batch_format="pyarrow",
                             batch_size=2048)
+
+
+def dsir_select(
+    raw: "ray.data.Dataset",
+    target: "ray.data.Dataset",
+    top_n: int = 100,
+    vocab_size: int = 64,
+    id_col: str = "doc_id",
+    col: str = "text",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Data Selection with Importance Resampling (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw-pool document by the log-likelihood ratio of a
+    target-domain unigram LM against the raw-pool unigram LM and keep
+    the top ``top_n`` — the published recipe for "find me more data
+    that looks like my curated set" at pre-training scale. This
+    variant restricts both LMs to an explicit top-``vocab_size``
+    target vocabulary (count-desc, token-asc cutoff) with add-one
+    smoothing, instead of the paper's hashed n-gram buckets, so the
+    weights are exactly replayable by a SQL twin; swap the feature
+    map for :func:`_token_hashes` buckets when collision-tolerant
+    scale matters more than auditability.
+
+    Scale shape: two map-side-combined token-count passes (target,
+    then raw restricted to the broadcast vocabulary — the vocab is
+    the SMALL side by construction), one broadcast LLR dict via
+    ``ray.put``, one vectorized per-batch scoring pass, then a
+    local-top-N + single-block final cut (each block contributes at
+    most ``top_n`` candidate rows, so the reduce side is tiny).
+
+    Returns ``(doc_id, score, n_vocab_tokens)`` — the ``top_n``
+    highest-scoring docs; ties break by ``doc_id`` asc. Docs with no
+    vocabulary token score 0 (they carry no evidence either way).
+    """
+    import ray as _ray
+
+    from .canonicalize import sum_by_key
+
+    if top_n < 1 or vocab_size < 1:
+        raise ValueError("top_n and vocab_size must be >= 1")
+
+    def token_counts_batch(batch: pa.Table) -> pa.Table:
+        _, terms = _ws_doc_tokens(batch, col)
+        g = pa.table({"t": terms}).group_by(["t"]).aggregate(
+            [("t", "count")])
+        return pa.table({"t": g.column("t"),
+                         "one": g.column("t_count").cast(pa.int64())})
+
+    tgt_counts = sum_by_key(
+        target.map_batches(token_counts_batch, batch_format="pyarrow",
+                           batch_size=65536),
+        "t", "one", nb=nb, out_col="n").to_pandas()
+    if tgt_counts.empty:
+        raise ValueError("target corpus yields an empty vocabulary")
+    tgt_counts = tgt_counts.sort_values(
+        ["n", "t"], ascending=[False, True], kind="mergesort").head(
+        vocab_size)
+    vocab = list(tgt_counts["t"])
+    v = len(vocab)
+    tgt_n = dict(zip(tgt_counts["t"], tgt_counts["n"]))
+    nt = int(tgt_counts["n"].sum())
+    vset_ref = _ray.put(set(vocab))
+
+    def raw_vocab_counts(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        vset = _r.get(vset_ref)
+        _, terms = _ws_doc_tokens(batch, col)
+        mask = pa.array([t in vset for t in terms.to_pylist()])
+        g = (pa.table({"t": terms.filter(mask)})
+             .group_by(["t"]).aggregate([("t", "count")]))
+        return pa.table({"t": g.column("t"),
+                         "one": g.column("t_count").cast(pa.int64())})
+
+    raw_counts = sum_by_key(
+        raw.map_batches(raw_vocab_counts, batch_format="pyarrow",
+                        batch_size=65536),
+        "t", "one", nb=nb, out_col="n").to_pandas()
+    raw_n = dict(zip(raw_counts["t"], raw_counts["n"]))
+    nr = int(raw_counts["n"].sum())
+    llr = {t: (np.log((tgt_n[t] + 1.0) / (nt + v))
+               - np.log((raw_n.get(t, 0) + 1.0) / (nr + v)))
+           for t in vocab}
+    llr_ref = _ray.put(llr)
+
+    def score(batch: pa.Table) -> pa.Table:
+        import ray as _r
+
+        lut = _r.get(llr_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        doc_i, terms = _ws_doc_tokens(batch, col)
+        w = np.array([lut.get(t, np.nan) for t in terms.to_pylist()],
+                     np.float64)
+        keep = ~np.isnan(w)
+        di = doc_i[keep]
+        sc = np.zeros(batch.num_rows, np.float64)
+        nv = np.zeros(batch.num_rows, np.int64)
+        if di.size:
+            np.add.at(sc, di, w[keep])
+            np.add.at(nv, di, 1)
+        t = pa.table({
+            id_col: batch.column(id_col),
+            "score": pa.array(sc),
+            "n_vocab_tokens": pa.array(nv)})
+        # local top-N: each block ships at most top_n candidates
+        order = np.lexsort((ids, -sc))[:top_n]
+        return t.take(pa.array(np.sort(order)))
+
+    def final(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        sc = t.column("score").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sc))[:top_n]
+        return t.take(pa.array(order))
+
+    return (raw.map_batches(score, batch_format="pyarrow",
+                            batch_size=65536)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         batch_size=1 << 30))

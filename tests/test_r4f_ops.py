@@ -290,3 +290,72 @@ def test_frequent_itemsets_null_rows_dropped():
     assert len(out) == 1
     assert (out.iloc[0]["i1"], out.iloc[0]["size"],
             out.iloc[0]["n_baskets"]) == ("x", 1, 1)
+
+
+# ----------------------------------------------------------------- DSIR
+
+
+def test_dsir_select_reference_parity():
+    import math
+    from collections import Counter
+
+    from biosd_feature_annotator_ray.stages.textstats import dsir_select
+
+    rng = np.random.default_rng(17)
+    tgt_words = ["alpha", "beta", "gamma"]
+    raw_words = ["delta", "epsilon", "zeta", "eta"]
+    texts, srcs = [], []
+    for i in range(60):
+        is_t = i % 5 == 0
+        pool = tgt_words if is_t else raw_words
+        mix = list(rng.choice(pool, size=8)) + list(
+            rng.choice(tgt_words + raw_words, size=4))
+        texts.append(" ".join(mix))
+        srcs.append("tgt" if is_t else "raw")
+    t = pa.table({"doc_id": pa.array(range(60), pa.int64()),
+                  "text": pa.array(texts), "source": pa.array(srcs)})
+    docs = rd.from_arrow(t).repartition(4)
+    out = dsir_select(docs, docs.filter(expr="source == 'tgt'"),
+                      top_n=10, vocab_size=5, nb=4).to_pandas()
+    # python reference
+    tgt_tokens = [w for txt, s in zip(texts, srcs) if s == "tgt"
+                  for w in txt.lower().split()]
+    cnt = Counter(tgt_tokens)
+    vocab = sorted(cnt, key=lambda w: (-cnt[w], w))[:5]
+    v = len(vocab)
+    nt = sum(cnt[w] for w in vocab)
+    raw_cnt = Counter(w for txt in texts for w in txt.lower().split()
+                      if w in vocab)
+    nr = sum(raw_cnt.values())
+    llr = {w: math.log((cnt[w] + 1) / (nt + v))
+           - math.log((raw_cnt[w] + 1) / (nr + v)) for w in vocab}
+    scores = []
+    for i, txt in enumerate(texts):
+        ws = [w for w in txt.lower().split() if w in llr]
+        scores.append((i, sum(llr[w] for w in ws), len(ws)))
+    want = sorted(scores, key=lambda r: (-r[1], r[0]))[:10]
+    got = sorted(zip(out["doc_id"], out["score"],
+                     out["n_vocab_tokens"]),
+                 key=lambda r: (-r[1], r[0]))
+    assert [(g[0], g[2]) for g in got] == [(w[0], w[2]) for w in want]
+    for g, w in zip(got, want):
+        assert g[1] == pytest.approx(w[1], rel=1e-9)
+    # only target-ish docs should win
+    assert all(srcs[d] == "tgt" for d in out["doc_id"][:5])
+
+
+def test_dsir_select_guards_and_zero_vocab_doc():
+    from biosd_feature_annotator_ray.stages.textstats import dsir_select
+
+    t = pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["aa bb", ""])})
+    ds = rd.from_arrow(t)
+    out = dsir_select(ds, ds, top_n=5, vocab_size=8, nb=2).to_pandas()
+    assert len(out) == 2
+    row2 = out[out["doc_id"] == 2].iloc[0]
+    assert row2["score"] == 0.0 and row2["n_vocab_tokens"] == 0
+    with pytest.raises(ValueError):
+        dsir_select(ds, ds, top_n=0)
+    empty_target = ds.filter(expr="doc_id > 99")
+    with pytest.raises(Exception, match="empty vocabulary"):
+        dsir_select(ds, empty_target).to_pandas()
