@@ -253,7 +253,8 @@ def run_queries() -> dict:
         "robots_directives", "time_weighted_avg", "reciprocity",
         "charset_decode", "matching_weighted", "resample_hourly",
         "graph_coloring", "label_spreading", "void_stats",
-        "frequent_itemsets", "dsir_select",
+        "frequent_itemsets", "dsir_select", "condensation",
+        "vocab_richness",
     ]
     out = {}
     for name in names:

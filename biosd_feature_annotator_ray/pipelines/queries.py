@@ -9888,3 +9888,108 @@ ORACLES["dsir_select"] = (
     " FROM (SELECT *, row_number() OVER (ORDER BY score DESC, doc_id)"
     "  AS rk FROM ds) WHERE rk <= 100"
 )
+
+
+def q_condensation(sf_dir: str):
+    """Condensation DAG (graph.condensation): SCCs contract to their
+    min-id node, distinct cross-component edges survive weighted by
+    collapsed-edge count — over the same three-cycle + tail graph as
+    q:scc. Fully oracled: the scc closure CTE relabels endpoints in
+    SQL."""
+    from ..stages.graph import condensation
+
+    edges = []
+    for c in range(3):
+        base, size = c * 8, c + 2
+        for i in range(size):
+            edges.append({"src": base + i,
+                          "dst": base + (i + 1) % size})
+        if c < 2:
+            edges.append({"src": base, "dst": (c + 1) * 8})
+    for i in range(24, 26):
+        edges.append({"src": i, "dst": i + 1})
+    edges.append({"src": 16, "dst": 24})
+    ds = rd.from_arrow(pa.Table.from_pylist(edges)).repartition(3)
+    out = condensation(ds, nb=8)
+    df = (out.to_pandas().sort_values(["src_scc", "dst_scc"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["condensation"] = q_condensation
+
+ORACLES["condensation"] = (
+    "WITH RECURSIVE e AS ("
+    " SELECT c * 8 + i AS src,"
+    "  c * 8 + (i + 1) % (c + 2) AS dst"
+    "  FROM generate_series(0, 2) s(c),"
+    "   UNNEST(generate_series(0, c + 1)) u(i)"
+    " UNION ALL SELECT c * 8, (c + 1) * 8"
+    "  FROM generate_series(0, 1) s(c)"
+    " UNION ALL SELECT i, i + 1 FROM generate_series(24, 25) s(i)"
+    " UNION ALL SELECT 16, 24),"
+    " r(a, b) AS (SELECT src, dst FROM e"
+    "  UNION SELECT r.a, e.dst FROM r JOIN e ON e.src = r.b),"
+    " n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+    " mutual AS (SELECT node, node AS o FROM n"
+    "  UNION ALL SELECT r1.a AS node, r1.b AS o FROM r r1"
+    "   JOIN r r2 ON r2.a = r1.b AND r2.b = r1.a),"
+    " lab AS (SELECT node, min(o) AS scc FROM mutual GROUP BY node)"
+    " SELECT CAST(ls.scc AS BIGINT) AS src_scc,"
+    "  CAST(ld.scc AS BIGINT) AS dst_scc,"
+    "  count(*) AS n_edges"
+    " FROM (SELECT DISTINCT src, dst FROM e) de"
+    " JOIN lab ls ON ls.node = de.src"
+    " JOIN lab ld ON ld.node = de.dst"
+    " WHERE ls.scc <> ld.scc GROUP BY 1, 2"
+)
+
+
+def q_vocab_richness(sf_dir: str):
+    """Per-source vocabulary richness (textstats.vocab_richness):
+    token totals, distinct types, singletons/doubletons, bias-
+    corrected Chao1 and Good-Turing unseen mass. Fully oracled: both
+    estimators are closed-form over a GROUP BY twin."""
+    from ..stages.textstats import vocab_richness
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "source"])
+    out = vocab_richness(docs, "source", "text", nb=16)
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "n_tokens": t.column("n_tokens"),
+            "n_distinct": t.column("n_distinct"),
+            "f1": t.column("f1"), "f2": t.column("f2"),
+            "chao1": pc.round(t.column("chao1"), 6),
+            "gt_unseen": pc.round(t.column("gt_unseen"), 6)})
+
+    df = (out.map_batches(rounder, batch_format="pyarrow").to_pandas()
+          .sort_values("source").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["vocab_richness"] = q_vocab_richness
+
+ORACLES["vocab_richness"] = (
+    "WITH tok AS MATERIALIZED (SELECT source, unnest("
+    "  regexp_split_to_array(trim(lower(text)), '\\s+')) AS t"
+    "  FROM documents),"
+    " tok2 AS MATERIALIZED (SELECT source, t FROM tok"
+    "  WHERE t <> ''),"
+    " c AS MATERIALIZED (SELECT source, t, count(*) AS n"
+    "  FROM tok2 GROUP BY 1, 2)"
+    " SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,"
+    "  count(*) AS n_distinct,"
+    "  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,"
+    "  CAST(sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,"
+    "  round(count(*)"
+    "   + sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)"
+    "   * (sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) - 1.0)"
+    "   / (2.0 * (sum(CASE WHEN n = 2 THEN 1 ELSE 0 END) + 1.0)), 6)"
+    "  AS chao1,"
+    "  round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / sum(n),"
+    "   6) AS gt_unseen"
+    " FROM c GROUP BY source"
+)

@@ -3424,6 +3424,18 @@ def scc(
             if _trim == max_rounds:
                 raise RuntimeError(
                     f"scc: trim did not converge in {max_rounds}")
+            if E.count() == 0:
+                # trimming consumed every live edge: the remaining
+                # live nodes are all singleton SCCs (an empty census
+                # below would also lose its schema for the joins)
+                if nodes.count() > 0:
+                    singles = nodes.map_batches(
+                        lambda t: pa.table(
+                            {"node": t.column("node"),
+                             "scc": t.column("node")}),
+                        batch_format="pyarrow").materialize()
+                    _settle(_strip(singles))
+                return settled.materialize()
             outd = sum_by_key(E.map_batches(
                 lambda t: _one(pa.table({"node": t.column("src")}),
                                ["node"]),
@@ -5102,3 +5114,62 @@ def void_stats(
         pa.field("n_objects", pa.int64())])
     return out.map_batches(lambda t: t.cast(schema),
                            batch_format="pyarrow")
+
+
+def condensation(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_rounds: int = 30,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Condensation DAG of a directed graph: contract every strongly
+    connected component (:func:`scc` — labels are component-min node
+    ids) to one node and keep the DISTINCT cross-component edges,
+    weighted by how many original edges they collapse. The result is
+    always a DAG — the classic cycle-collapse step before any
+    topological pass (taxonomy repair over a cyclic subClassOf crawl,
+    redirect-chain untangling, dependency layering).
+
+    Shape: one :func:`scc` run, two bucketed hash joins to relabel
+    edge endpoints, one map-side-combined count per condensed edge.
+
+    Returns ``(src_scc, dst_scc, n_edges)``; self-edges inside a
+    component drop.
+    """
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact, sum_by_key
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    edges = (rd.from_arrow(edges) if isinstance(edges, pa.Table)
+             else edges)
+    labels = mat_cut(scc(edges, src_col=src_col, dst_col=dst_col,
+                         max_rounds=max_rounds, nb=nb))
+    E = dedup_exact(edges.map_batches(
+        lambda t: pa.table({"src": t.column(src_col),
+                            "dst": t.column(dst_col)}),
+        batch_format="pyarrow"), ["src", "dst"], nb=nb)
+    j = shuffle_hash_join(
+        E, labels.map_batches(
+            lambda t: pa.table({"src": t.column("node"),
+                                "src_scc": t.column("scc")}),
+            batch_format="pyarrow"),
+        on=["src"], how="inner", nb=nb)
+    j = shuffle_hash_join(
+        j, labels.map_batches(
+            lambda t: pa.table({"dst": t.column("node"),
+                                "dst_scc": t.column("scc")}),
+            batch_format="pyarrow"),
+        on=["dst"], how="inner", nb=nb)
+    cross = j.map_batches(
+        lambda t: pa.table({
+            "src_scc": t.column("src_scc").cast(pa.int64()),
+            "dst_scc": t.column("dst_scc").cast(pa.int64()),
+            "one": pa.array(np.ones(t.num_rows, np.int64))}).filter(
+            pc.not_equal(t.column("src_scc").cast(pa.int64()),
+                         t.column("dst_scc").cast(pa.int64()))),
+        batch_format="pyarrow")
+    return sum_by_key(cross, ["src_scc", "dst_scc"], "one", nb=nb,
+                      out_col="n_edges")

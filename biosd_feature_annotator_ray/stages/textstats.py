@@ -2057,3 +2057,76 @@ def dsir_select(
             .repartition(1)
             .map_batches(final, batch_format="pyarrow",
                          batch_size=1 << 30))
+
+
+def vocab_richness(
+    docs: "ray.data.Dataset",
+    group_col: str = "source",
+    col: str = "text",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Per-group vocabulary richness: token totals, distinct types,
+    singleton/doubleton counts, the bias-corrected Chao1 species
+    estimate ``D + F1(F1−1)/(2(F2+1))`` (Chao 1984/Colwell's EstimateS
+    form — defined even when F2 = 0) and the Good–Turing unseen-mass
+    estimate ``F1/N`` — the corpus-coverage diagnostics a
+    training-data pipeline runs per domain: a source whose Chao1 far
+    exceeds its observed D is under-sampled; a rising unseen mass
+    says more crawl will still buy new vocabulary.
+
+    Scale shape: one map-side-combined (group, token) count
+    (:func:`~.canonicalize.sum_by_key` — the pair key spreads a hot
+    group across buckets), then ONE :func:`~.canonicalize.sums_by_key`
+    reduce of four tiny per-type indicator columns per group. The
+    token stream never leaves the combiners un-aggregated.
+
+    Returns ``(group, n_tokens, n_distinct, f1, f2, chao1,
+    gt_unseen)``; ``gt_unseen`` is null for an empty group (no
+    tokens), which cannot occur for groups emitted here.
+    """
+    from .canonicalize import sum_by_key, sums_by_key
+
+    def pair_counts(batch: pa.Table) -> pa.Table:
+        doc_i, terms = _ws_doc_tokens(batch, col)
+        g = pa.table({
+            "g": batch.column(group_col).take(pa.array(doc_i)),
+            "t": terms}).group_by(["g", "t"]).aggregate(
+            [("t", "count")])
+        return pa.table({"g": g.column("g"), "t": g.column("t"),
+                         "one": g.column("t_count").cast(pa.int64())})
+
+    type_counts = sum_by_key(
+        docs.map_batches(pair_counts, batch_format="pyarrow",
+                         batch_size=65536),
+        ["g", "t"], "one", nb=nb, out_col="n")
+
+    def indicators(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": t.column("g"),
+            "n_tokens": pa.array(n.astype(np.int64)),
+            "n_distinct": pa.array(np.ones(len(n), np.int64)),
+            "f1": pa.array((n == 1).astype(np.int64)),
+            "f2": pa.array((n == 2).astype(np.int64))})
+
+    sums = sums_by_key(
+        type_counts.map_batches(indicators, batch_format="pyarrow"),
+        "g", ["n_tokens", "n_distinct", "f1", "f2"], nb=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        d = t.column("n_distinct").to_numpy(zero_copy_only=False)
+        f1 = t.column("f1").to_numpy(zero_copy_only=False)
+        f2 = t.column("f2").to_numpy(zero_copy_only=False)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        chao1 = d + f1 * (f1 - 1.0) / (2.0 * (f2 + 1.0))
+        gt = f1 / n.astype(np.float64)
+        return pa.table({
+            group_col: t.column("g"),
+            "n_tokens": t.column("n_tokens").cast(pa.int64()),
+            "n_distinct": t.column("n_distinct").cast(pa.int64()),
+            "f1": t.column("f1").cast(pa.int64()),
+            "f2": t.column("f2").cast(pa.int64()),
+            "chao1": pa.array(chao1, pa.float64()),
+            "gt_unseen": pa.array(gt, pa.float64())})
+
+    return sums.map_batches(finish, batch_format="pyarrow")

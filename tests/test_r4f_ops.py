@@ -359,3 +359,71 @@ def test_dsir_select_guards_and_zero_vocab_doc():
     empty_target = ds.filter(expr="doc_id > 99")
     with pytest.raises(Exception, match="empty vocabulary"):
         dsir_select(ds, empty_target).to_pandas()
+
+
+# ---------------------------------------------------------- condensation
+
+
+def test_condensation_collapses_cycles_to_dag():
+    from biosd_feature_annotator_ray.stages.graph import condensation
+
+    # cycle {1,2,3} -> cycle {10,11} -> node 20; parallel original
+    # edges 3->10 and 1->11 collapse onto ONE condensed edge (n=2)
+    t = pa.Table.from_pylist([
+        {"src": 1, "dst": 2}, {"src": 2, "dst": 3},
+        {"src": 3, "dst": 1}, {"src": 10, "dst": 11},
+        {"src": 11, "dst": 10}, {"src": 3, "dst": 10},
+        {"src": 1, "dst": 11}, {"src": 11, "dst": 20}])
+    out = condensation(rd.from_arrow(t).repartition(2),
+                       nb=4).to_pandas()
+    got = {(r.src_scc, r.dst_scc): r.n_edges for r in out.itertuples()}
+    assert got == {(1, 10): 2, (10, 20): 1}
+
+
+def test_condensation_pure_dag_identity():
+    from biosd_feature_annotator_ray.stages.graph import condensation
+
+    t = pa.Table.from_pylist([
+        {"src": 1, "dst": 2}, {"src": 2, "dst": 3},
+        {"src": 1, "dst": 3}])
+    out = condensation(t, nb=2).to_pandas()
+    got = {(r.src_scc, r.dst_scc): r.n_edges for r in out.itertuples()}
+    assert got == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+
+
+# -------------------------------------------------------- vocab richness
+
+
+def test_vocab_richness_closed_form():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        vocab_richness)
+
+    t = pa.table({
+        "source": pa.array(["a", "a", "b"]),
+        "text": pa.array(["x x y z", "z w", "q q q"])})
+    out = vocab_richness(rd.from_arrow(t).repartition(2), "source",
+                         "text", nb=4).to_pandas()
+    a = out[out["source"] == "a"].iloc[0]
+    # counts: x2 y1 z2 w1 -> N=6 D=4 F1=2 F2=2
+    assert (a["n_tokens"], a["n_distinct"], a["f1"], a["f2"]) \
+        == (6, 4, 2, 2)
+    assert a["chao1"] == pytest.approx(4 + 2 * 1 / (2 * 3))
+    assert a["gt_unseen"] == pytest.approx(2 / 6)
+    b = out[out["source"] == "b"].iloc[0]
+    # q3 -> F1=F2=0, chao1 = D
+    assert (b["n_tokens"], b["n_distinct"], b["f1"], b["f2"]) \
+        == (3, 1, 0, 0)
+    assert b["chao1"] == pytest.approx(1.0)
+    assert b["gt_unseen"] == pytest.approx(0.0)
+
+
+def test_scc_pure_dag_regression():
+    # regression: a graph whose trim consumes every live edge while
+    # live nodes remain used to crash on an empty-census join
+    from biosd_feature_annotator_ray.stages.graph import scc
+
+    t = pa.Table.from_pylist([
+        {"src": 1, "dst": 2}, {"src": 2, "dst": 3},
+        {"src": 1, "dst": 3}])
+    out = scc(rd.from_arrow(t), nb=4).to_pandas()
+    assert dict(zip(out["node"], out["scc"])) == {1: 1, 2: 2, 3: 3}
