@@ -254,7 +254,7 @@ def run_queries() -> dict:
         "charset_decode", "matching_weighted", "resample_hourly",
         "graph_coloring", "label_spreading", "void_stats",
         "frequent_itemsets", "dsir_select", "condensation",
-        "vocab_richness",
+        "vocab_richness", "burst_islands",
     ]
     out = {}
     for name in names:

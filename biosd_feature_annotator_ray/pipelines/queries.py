@@ -9993,3 +9993,42 @@ ORACLES["vocab_richness"] = (
     "   6) AS gt_unseen"
     " FROM c GROUP BY source"
 )
+
+
+def q_burst_islands(sf_dir: str):
+    """Per-user burst islands (windows.burst_islands): hourly
+    buckets, threshold max(2, (1.5*total)/span) against each user's
+    own span-average rate, consecutive flagged buckets merged. Fully
+    oracled: counts + greatest() threshold + the b - row_number()
+    gaps-and-islands grouping in SQL."""
+    from ..stages.windows import burst_islands
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts"])
+    out = burst_islands(ev, every=pd.Timedelta(hours=1), mult=1.5,
+                        min_count=2, nb=16)
+    df = (out.to_pandas().sort_values(["user_id", "start_ts"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["burst_islands"] = q_burst_islands
+
+ORACLES["burst_islands"] = (
+    "WITH c AS MATERIALIZED (SELECT user_id,"
+    "  epoch_us(ts) // 3600000000 AS b, count(*) AS n FROM events"
+    "  WHERE ts IS NOT NULL GROUP BY 1, 2),"
+    " k AS MATERIALIZED (SELECT user_id,"
+    "  CAST(max(b) - min(b) + 1 AS DOUBLE) AS span,"
+    "  CAST(sum(n) AS DOUBLE) AS total FROM c GROUP BY 1),"
+    " bursts AS MATERIALIZED (SELECT c.user_id, c.b, c.n FROM c"
+    "  JOIN k ON k.user_id = c.user_id"
+    "  WHERE c.n >= greatest(2.0, (1.5 * k.total) / k.span)),"
+    " g AS MATERIALIZED (SELECT user_id, b, n,"
+    "  b - row_number() OVER (PARTITION BY user_id ORDER BY b)"
+    "  AS grp FROM bursts)"
+    " SELECT user_id, make_timestamp(min(b) * 3600000000)"
+    "  AS start_ts, make_timestamp(max(b) * 3600000000) AS end_ts,"
+    "  count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_events"
+    " FROM g GROUP BY user_id, grp"
+)

@@ -1996,3 +1996,112 @@ def resample_per_key(
     return (events.map_batches(local, batch_format="pyarrow",
                                batch_size=65536)
             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def burst_islands(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    every: "pd.Timedelta" = None,
+    mult: float = 2.0,
+    min_count: int = 1,
+    nb: int = 16,
+    max_bucket_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Burst detection per key via rate islands (the thresholded
+    special case of Kleinberg 2002 burst detection, s = ``mult``,
+    zero switching cost): bucket each key's events into epoch-anchored
+    ``every`` intervals, flag buckets whose count reaches
+    ``max(min_count, mult * total / span)`` — ``span`` being the
+    key's first-to-last bucket range, so the base rate is the key's
+    own average INCLUDING its silent buckets — and merge runs of
+    CONSECUTIVE flagged buckets into islands (the classic
+    gaps-and-islands grouping). The crawl/telemetry use: bot spikes,
+    flash-crowd pages, scraper bursts — per key, against that key's
+    own baseline, with one number per episode instead of one per
+    bucket.
+
+    Null-ts rows drop map-side. The threshold is evaluated as
+    ``(mult * total) / span`` in float64, left to right, so a SQL
+    twin replays it bit-exactly.
+
+    Output ``(key, start_ts, end_ts, n_buckets, n_events)`` — one row
+    per island. Scale shape: map-side (key, bucket) partial counts
+    (Arrow group_by), ONE key-bucket shuffle, vectorized sorted-run
+    island kernel in the finisher.
+    """
+    if every is None:
+        every = pd.Timedelta(hours=1)
+    if mult <= 0:
+        raise ValueError("mult must be positive")
+    every_us = np.int64(every // pd.Timedelta(microseconds=1))
+    if every_us <= 0:
+        raise ValueError("every must be a positive interval")
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_valid(batch.column(ts_col)))
+        ts = (t.column(ts_col).combine_chunks()
+              .to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        part = pa.table({key_col: t.column(key_col),
+                         "__rb": pa.array(ts // every_us)})
+        g = part.group_by([key_col, "__rb"]).aggregate(
+            [("__rb", "count")])
+        out = pa.table({key_col: g.column(key_col),
+                        "__rb": g.column("__rb"),
+                        "__n": g.column("__rb_count").cast(pa.int64())})
+        return _add_bucket(out, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "burst_islands", max_bucket_rows)
+        m = g.drop_columns([_B]).group_by([key_col, "__rb"]).aggregate(
+            [("__n", "sum")])
+        m = m.sort_by([(key_col, "ascending"), ("__rb", "ascending")])
+        key_arr = m.column(key_col).combine_chunks()
+        ts_type = pa.timestamp("us")
+        if len(m) == 0:
+            return pa.table({
+                key_col: key_arr,
+                "start_ts": pa.array([], ts_type),
+                "end_ts": pa.array([], ts_type),
+                "n_buckets": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())})
+        new, _ = _runs_of(m, key_col)
+        _, _, heads, lens = _run_geometry(new)
+        rb = m.column("__rb").to_numpy(zero_copy_only=False)
+        n = m.column("__n_sum").to_numpy(zero_copy_only=False).astype(
+            np.int64)
+        run_id = np.cumsum(new) - 1
+        total = np.add.reduceat(n, heads)
+        span = (rb[heads + lens - 1] - rb[heads] + 1).astype(
+            np.float64)
+        thr = np.maximum(float(min_count),
+                         (mult * total.astype(np.float64)) / span)
+        is_burst = n >= thr[run_id]
+        if not is_burst.any():
+            return pa.table({
+                key_col: key_arr.take(pa.array([], pa.int64())),
+                "start_ts": pa.array([], ts_type),
+                "end_ts": pa.array([], ts_type),
+                "n_buckets": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64())})
+        bi = np.flatnonzero(is_burst)
+        brb, bn, brun = rb[bi], n[bi], run_id[bi]
+        # island head: first burst bucket of a run, or a gap > 1
+        head = np.ones(len(bi), dtype=bool)
+        head[1:] = (brun[1:] != brun[:-1]) | (brb[1:] != brb[:-1] + 1)
+        ih = np.flatnonzero(head)
+        ilen = np.diff(np.append(ih, len(bi)))
+        istart = brb[ih]
+        iend = brb[ih + ilen - 1]
+        ievents = np.add.reduceat(bn, ih)
+        return pa.table({
+            key_col: key_arr.take(pa.array(heads[brun[ih]])),
+            "start_ts": pa.array(istart * every_us).cast(ts_type),
+            "end_ts": pa.array(iend * every_us).cast(ts_type),
+            "n_buckets": pa.array(ilen.astype(np.int64)),
+            "n_events": pa.array(ievents.astype(np.int64))})
+
+    return (events.map_batches(local, batch_format="pyarrow",
+                               batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))

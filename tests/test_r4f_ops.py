@@ -427,3 +427,84 @@ def test_scc_pure_dag_regression():
         {"src": 1, "dst": 3}])
     out = scc(rd.from_arrow(t), nb=4).to_pandas()
     assert dict(zip(out["node"], out["scc"])) == {1: 1, 2: 2, 3: 3}
+
+
+# --------------------------------------------------------- burst islands
+
+
+def test_burst_islands_pandas_reference():
+    import pandas as pd
+
+    from biosd_feature_annotator_ray.stages.windows import burst_islands
+
+    rng = np.random.default_rng(23)
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    rows_k, rows_t = [], []
+    for uid in range(6):
+        # background: one event per hour over 48h
+        for h in range(48):
+            rows_k.append(uid)
+            rows_t.append(t0 + np.timedelta64(h, "h")
+                          + np.timedelta64(int(rng.integers(0, 3600)),
+                                           "s"))
+        # burst: 10 events inside hours 20-21 for even uids
+        if uid % 2 == 0:
+            for _ in range(10):
+                rows_k.append(uid)
+                rows_t.append(t0 + np.timedelta64(20, "h")
+                              + np.timedelta64(
+                                  int(rng.integers(0, 7200)), "s"))
+    t = pa.table({"user_id": pa.array(rows_k, pa.int64()),
+                  "ts": pa.array(rows_t, pa.timestamp("us"))})
+    out = (burst_islands(rd.from_arrow(t).repartition(4),
+                         every=pd.Timedelta(hours=1), mult=2.0,
+                         min_count=2, nb=4).to_pandas()
+           .sort_values(["user_id", "start_ts"]).reset_index(drop=True))
+    # reference
+    df = t.to_pandas()
+    df["b"] = (df["ts"].astype("datetime64[us]").astype("int64")
+               // 3600000000)
+    want = []
+    for uid, g in df.groupby("user_id"):
+        cnt = g.groupby("b").size().sort_index()
+        span = float(cnt.index.max() - cnt.index.min() + 1)
+        thr = max(2.0, (2.0 * float(cnt.sum())) / span)
+        burst = [b for b, n in cnt.items() if n >= thr]
+        i = 0
+        while i < len(burst):
+            j = i
+            while j + 1 < len(burst) and burst[j + 1] == burst[j] + 1:
+                j += 1
+            want.append((uid, burst[i], burst[j],
+                         j - i + 1,
+                         int(cnt.loc[burst[i]:burst[j]].sum())))
+            i = j + 1
+    got = [(r.user_id,
+            r.start_ts.to_datetime64().astype("datetime64[us]")
+            .astype("int64") // 3600000000,
+            r.end_ts.to_datetime64().astype("datetime64[us]")
+            .astype("int64") // 3600000000,
+            r.n_buckets, r.n_events) for r in out.itertuples()]
+    assert got == sorted(want)
+    assert set(r[0] for r in got) == {0, 2, 4}
+
+
+def test_burst_islands_merges_consecutive_buckets():
+    import pandas as pd
+
+    from biosd_feature_annotator_ray.stages.windows import burst_islands
+
+    t0 = np.datetime64("2024-03-01T00:00:00", "us")
+    # hours 0..9 quiet (1 event each), hours 3 and 4 loud (5 each):
+    # one island spanning two consecutive buckets
+    ts = [t0 + np.timedelta64(h, "h") for h in range(10)]
+    ts += [t0 + np.timedelta64(3, "h")] * 4
+    ts += [t0 + np.timedelta64(4, "h")] * 4
+    t = pa.table({"user_id": pa.array([7] * len(ts), pa.int64()),
+                  "ts": pa.array(ts, pa.timestamp("us"))})
+    out = burst_islands(rd.from_arrow(t),
+                        every=pd.Timedelta(hours=1), mult=2.0,
+                        min_count=2, nb=2).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r["n_buckets"], r["n_events"]) == (2, 10)
