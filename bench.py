@@ -254,7 +254,9 @@ def run_queries() -> dict:
         "charset_decode", "matching_weighted", "resample_hourly",
         "graph_coloring", "label_spreading", "void_stats",
         "frequent_itemsets", "dsir_select", "condensation",
-        "vocab_richness", "burst_islands",
+        "vocab_richness", "burst_islands", "mixture_sample",
+        "rendezvous_shards", "join_skew_report", "decayed_sum",
+        "grouped_hll",
     ]
     out = {}
     for name in names:

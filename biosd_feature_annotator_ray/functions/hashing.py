@@ -62,3 +62,47 @@ def md5_u32(ids) -> "np.ndarray":
     return np.fromiter(
         (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
          for i in ids), np.int64, count=len(ids))
+
+
+def rendezvous_assign(
+    batch: pa.Table,
+    key_col: str,
+    nodes: "list[str]",
+    seed: int = 0,
+    out_col: str = "node",
+) -> pa.Table:
+    """Rendezvous (highest-random-weight) hashing (Thaler & Ravishankar
+    1996 — the consistent-assignment scheme behind cache routing and
+    crawl-frontier sharding): each key goes to the node with the
+    LARGEST ``md5(key:node:seed)`` draw, so adding or removing one
+    node reassigns only the keys that node owned/gains (1/N churn,
+    no ring state). Ties (128-bit md5 collisions, ~never) break by
+    node name asc via the (hex desc, node asc) total order.
+
+    Replayable-md5 contract: a SQL twin replays the same draws with
+    ``md5(key || ':' || node || ':' || seed)``. Null keys get a null
+    assignment. The per-batch cost is |rows| x |nodes| md5 draws —
+    ``nodes`` is a shard list, small by definition.
+
+    Returns the batch plus ``out_col``.
+    """
+    import hashlib
+
+    if not nodes:
+        raise ValueError("nodes must be non-empty")
+    if len(set(nodes)) != len(nodes):
+        raise ValueError("duplicate node names")
+    keys = batch.column(key_col).cast(pa.string()).to_pylist()
+    order = sorted(nodes)  # stable tie-break order
+    out = []
+    for k in keys:
+        if k is None:
+            out.append(None)
+            continue
+        best, best_h = None, ""
+        for nd in order:
+            h = hashlib.md5(f"{k}:{nd}:{seed}".encode()).hexdigest()
+            if h > best_h:
+                best, best_h = nd, h
+        out.append(best)
+    return batch.append_column(out_col, pa.array(out, pa.string()))

@@ -10032,3 +10032,167 @@ ORACLES["burst_islands"] = (
     "  count(*) AS n_buckets, CAST(sum(n) AS BIGINT) AS n_events"
     " FROM g GROUP BY user_id, grp"
 )
+
+
+def q_mixture_sample(sf_dir: str):
+    """Target-mixture sampling (canonicalize.mixture_sample): an
+    80-doc sample hitting 50/25/15/10% quotas over four sources via
+    the md5-smallest replayable draw. Fully oracled: row_number over
+    md5(doc_id||':0') per source against a VALUES quota table."""
+    from ..stages.canonicalize import mixture_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "source"])
+    out = mixture_sample(
+        docs, "source",
+        {"src0": 0.5, "src1": 0.25, "src2": 0.15, "src3": 0.10},
+        total_n=80, id_col="doc_id", seed=0, nb=8)
+    df = (out.to_pandas().sort_values(["source", "doc_id"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["mixture_sample"] = q_mixture_sample
+
+ORACLES["mixture_sample"] = (
+    "WITH q(source, quota) AS (VALUES ('src0', 40), ('src1', 20),"
+    "  ('src2', 12), ('src3', 8)),"
+    " r AS (SELECT d.doc_id, d.source, q.quota,"
+    "  row_number() OVER (PARTITION BY d.source"
+    "   ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':0'), d.doc_id)"
+    "  AS rn FROM documents d JOIN q ON q.source = d.source)"
+    " SELECT doc_id, source FROM r WHERE rn <= quota"
+)
+
+
+def q_rendezvous_shards(sf_dir: str):
+    """Rendezvous-hash shard assignment (hashing.rendezvous_assign):
+    each document URL key routes to the argmax md5(key:node:0) of a
+    4-node shard list; the aggregate reports per-node key counts (the
+    balance check an operator actually runs). Fully oracled: the SQL
+    twin replays the draws and the argmax via row_number."""
+    from ..functions.hashing import rendezvous_assign
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])
+    nodes = ["crawl-a", "crawl-b", "crawl-c", "crawl-d"]
+    assigned = docs.map_batches(
+        lambda t: rendezvous_assign(t, "doc_id", nodes, seed=0),
+        batch_format="pyarrow")
+    from ..stages.canonicalize import sum_by_key
+    out = sum_by_key(
+        assigned.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "node", "one", nb=8, out_col="n_keys")
+    df = (out.to_pandas().sort_values("node").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["rendezvous_shards"] = q_rendezvous_shards
+
+ORACLES["rendezvous_shards"] = (
+    "WITH nodes(node) AS (VALUES ('crawl-a'), ('crawl-b'),"
+    "  ('crawl-c'), ('crawl-d')),"
+    " draws AS (SELECT d.doc_id, n.node,"
+    "  md5(CAST(d.doc_id AS VARCHAR) || ':' || n.node || ':0') AS h"
+    "  FROM documents d CROSS JOIN nodes n),"
+    " pick AS (SELECT doc_id, node FROM (SELECT doc_id, node,"
+    "  row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, node)"
+    "  AS rk FROM draws) WHERE rk = 1)"
+    " SELECT node, count(*) AS n_keys FROM pick GROUP BY node"
+)
+
+
+def q_join_skew_report(sf_dir: str):
+    """Pre-join skew profiler (join.join_skew_report): events.user_id
+    vs orders.o_custkey per-key row counts and inner-join output
+    contribution, top 15 by pairs. Fully oracled: two GROUP BYs, a
+    FULL OUTER JOIN and an ORDER BY/LIMIT in SQL."""
+    from ..stages.join import join_skew_report
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey"])
+    out = join_skew_report(ev, orders, "user_id", "o_custkey", k=15,
+                           nb=16)
+    df = (out.to_pandas()
+          .sort_values(["pairs", "key"], ascending=[False, True])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["join_skew_report"] = q_join_skew_report
+
+ORACLES["join_skew_report"] = (
+    "WITH lc AS (SELECT user_id AS key, count(*) AS l_count"
+    "  FROM events GROUP BY 1),"
+    " rc AS (SELECT o_custkey AS key, count(*) AS r_count"
+    "  FROM orders GROUP BY 1)"
+    " SELECT coalesce(lc.key, rc.key) AS key,"
+    "  coalesce(l_count, 0) AS l_count,"
+    "  coalesce(r_count, 0) AS r_count,"
+    "  coalesce(l_count, 0) * coalesce(r_count, 0) AS pairs"
+    " FROM lc FULL OUTER JOIN rc ON rc.key = lc.key"
+    " ORDER BY pairs DESC, key LIMIT 15"
+)
+
+
+def q_decayed_sum(sf_dir: str):
+    """Time-decayed per-user value sum (windows.decayed_sum_per_key):
+    half-life 7 days, evaluated as-of 2025-07-01 (events after the
+    instant excluded). Fully oracled: pow(0.5, delta/hl) GROUP BY
+    twin over the identical float64 expression."""
+    from ..stages.windows import decayed_sum_per_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    out = decayed_sum_per_key(ev, half_life=pd.Timedelta(days=7),
+                              at="2024-01-20", nb=16)
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "decayed_sum": pc.round(t.column("decayed_sum"), 6),
+            "n_rows": t.column("n_rows")})
+
+    df = (out.map_batches(rounder, batch_format="pyarrow").to_pandas()
+          .sort_values("user_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["decayed_sum"] = q_decayed_sum
+
+ORACLES["decayed_sum"] = (
+    "SELECT user_id,"
+    " round(sum(value * pow(0.5,"
+    "  (epoch_us(TIMESTAMP '2024-01-20') - epoch_us(ts))"
+    "  / 604800000000.0)), 6) AS decayed_sum,"
+    " count(*) AS n_rows"
+    " FROM events"
+    " WHERE ts IS NOT NULL AND value IS NOT NULL"
+    "  AND ts <= TIMESTAMP '2024-01-20'"
+    " GROUP BY user_id"
+)
+
+
+def q_grouped_hll(sf_dir: str):
+    """Per-user HLL distinct-props estimates (sketches.grouped_hll,
+    p=12): the mergeable sketch sibling of nunique_types_per_user —
+    rows-only by nature (the pandas 64-bit hash has no SQL twin);
+    estimates are deterministic and the merge lattice property is
+    pinned in tests."""
+    from ..stages.sketches import grouped_hll
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["user_id", "props"])
+    out = grouped_hll(ev, "user_id", "props", p=12, nb=16)
+    df = (out.to_pandas()[["user_id", "n_distinct_est"]]
+          .sort_values("user_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["grouped_hll"] = q_grouped_hll

@@ -849,3 +849,72 @@ def mode_per_key(
             [{"n": "n_mode", col: "mode"}.get(c, c)
              for c in t.column_names]),
         batch_format="pyarrow")
+
+
+def mixture_sample(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    weights: "dict[str, float]",
+    total_n: int,
+    id_col: str,
+    seed: int = 0,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Target-mixture sampling for training-data curation (the
+    "mixture weights" knob of every LM data recipe — e.g. the
+    domain-weight tables of GPT-3/Pile-style corpora): each group
+    ``g`` in ``weights`` contributes its quota ``floor(total_n *
+    weights[g])`` rows — the md5-smallest rows of that group under
+    the replayable ``md5(id:seed)`` draw (the repo's deterministic-
+    sampling contract) — groups not in ``weights`` are excluded, and
+    a group smaller than its quota contributes everything it has
+    (the honest shortfall; upsampling is a repeat-read policy, not a
+    sampling one). Unlike :func:`rebalance_sample` (CAPS heavy
+    groups) or stratified sampling (one fraction per group), this
+    hits absolute per-group TARGETS.
+
+    Scale shape: the weight table broadcasts inside the map stage
+    (it is tiny by definition); ranking is ONE key-bucket shuffle
+    (:func:`~.windows.rank_per_key`, hot-key spill path included);
+    the quota filter is a vectorized lookup.
+
+    Returns the sampled rows ``(id_col, group_col)``.
+    """
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .windows import rank_per_key
+
+    if total_n < 1:
+        raise ValueError("total_n must be >= 1")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("weights must be non-negative")
+    quota = {g: int(total_n * w) for g, w in weights.items()}
+
+    def add_md5(batch: pa.Table) -> pa.Table:
+        t = batch.select([id_col, group_col]).filter(pc.and_kleene(
+            pc.is_valid(batch.column(id_col)),
+            pc.is_valid(batch.column(group_col))))
+        gs = t.column(group_col).to_pylist()
+        keep = np.array([g in quota for g in gs], dtype=bool)
+        t = t.filter(pa.array(keep))
+        h = [hashlib.md5(f"{i}:{seed}".encode()).hexdigest()
+             for i in t.column(id_col).to_pylist()]
+        return t.append_column("h", pa.array(h, pa.string()))
+
+    ranked = rank_per_key(
+        ds.map_batches(add_md5, batch_format="pyarrow",
+                       batch_size=65536),
+        key_col=group_col, order_cols=["h", id_col], nb=nb)
+
+    def cut(t: pa.Table) -> pa.Table:
+        q = np.array([quota[g] for g in
+                      t.column(group_col).to_pylist()], np.int64)
+        rn = t.column("rn").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(rn <= q)).select(
+            [id_col, group_col])
+
+    return ranked.map_batches(cut, batch_format="pyarrow")

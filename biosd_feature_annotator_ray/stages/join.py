@@ -791,3 +791,65 @@ def table_diff(
         return out.filter(pa.array(keep))
 
     return j.map_batches(classify, batch_format="pyarrow")
+
+
+def join_skew_report(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    k: int = 20,
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """Pre-join skew profiler: per join key, how many rows each side
+    holds and how many output rows the key would contribute to an
+    inner join (``l_count * r_count``) — the top-``k`` contributors
+    by output size. This is the planning pass behind the repo's
+    hot-key salting (:func:`~.canonicalize.recommend_salt`): run it
+    BEFORE a large-large shuffle join to decide salting/broadcast,
+    or after a blow-up to name the keys that caused it.
+
+    Scale shape: both sides reduce to map-side-combined per-key
+    counts (:func:`~.canonicalize.sum_by_key`) before anything joins
+    — the profiler never shuffles the row streams, only the count
+    tables (one bucketed full-outer join), then a local-top-k +
+    single-block cut (each block ships at most ``k`` candidates).
+
+    Returns ``(key, l_count, r_count, pairs)`` — top ``k`` by
+    ``pairs`` desc, key asc; a key missing from one side counts 0
+    there (pairs 0, still reportable when fewer than ``k`` keys
+    overlap).
+    """
+    from .canonicalize import sum_by_key
+
+    def ones(ds, col):
+        return ds.map_batches(
+            lambda t: pa.table({
+                "key": t.column(col),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow")
+
+    lc = sum_by_key(ones(left, left_key), "key", "one", nb=nb,
+                    out_col="l_count")
+    rc = sum_by_key(ones(right, right_key), "key", "one", nb=nb,
+                    out_col="r_count")
+    both = shuffle_hash_join(lc, rc, on=["key"], how="full", nb=nb)
+
+    def score(t: pa.Table) -> pa.Table:
+        lcv = pc.fill_null(t.column("l_count"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        rcv = pc.fill_null(t.column("r_count"), 0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keys = t.column("key")
+        out = pa.table({"key": keys, "l_count": pa.array(lcv),
+                        "r_count": pa.array(rcv),
+                        "pairs": pa.array(lcv * rcv)})
+        idx = pc.sort_indices(out, sort_keys=[
+            ("pairs", "descending"), ("key", "ascending")])
+        return out.take(idx[:k])
+
+    return (both.map_batches(score, batch_format="pyarrow",
+                             batch_size=1 << 20)
+            .repartition(1)
+            .map_batches(score, batch_format="pyarrow",
+                         batch_size=1 << 30))

@@ -2105,3 +2105,61 @@ def burst_islands(
     return (events.map_batches(local, batch_format="pyarrow",
                                batch_size=65536)
             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def decayed_sum_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life: "pd.Timedelta" = None,
+    at: "pd.Timestamp | str" = None,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Exponentially time-decayed sum per key evaluated at a fixed
+    reference instant ``at``: ``sum(value * 0.5 ** ((at - ts) /
+    half_life))`` — the recency-weighted engagement/score aggregate
+    (freshness-weighted host authority, decayed click counts) that,
+    unlike :func:`ewma_per_key`, is an ALGEBRAIC aggregate: partials
+    from any partitioning merge by addition, so it map-side-combines
+    like a plain sum and re-evaluating tomorrow is one multiply, not
+    a re-scan.
+
+    Rows after ``at`` are excluded (the aggregate is "as of" that
+    instant); null ts/value rows drop. The weight is evaluated as
+    ``0.5 ** ((at_us - ts_us) / hl_us)`` in float64 so a SQL twin
+    replays it. Returns ``(key, decayed_sum, n_rows)``.
+    """
+    from .canonicalize import sums_by_key
+
+    if half_life is None:
+        half_life = pd.Timedelta(days=7)
+    hl_us = float(half_life // pd.Timedelta(microseconds=1))
+    if hl_us <= 0:
+        raise ValueError("half_life must be positive")
+    if at is None:
+        raise ValueError("pass the reference instant `at` explicitly")
+    at_us = int(pd.Timestamp(at).value // 1000)
+
+    def local(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.and_kleene(
+            pc.is_valid(batch.column(ts_col)),
+            pc.is_valid(batch.column(value_col))))
+        ts = (t.column(ts_col).combine_chunks()
+              .to_numpy(zero_copy_only=False)
+              .astype("datetime64[us]").astype(np.int64))
+        keep = ts <= at_us
+        t = t.filter(pa.array(keep))
+        ts = ts[keep]
+        v = (t.column(value_col).cast(pa.float64())
+             .to_numpy(zero_copy_only=False))
+        w = np.power(0.5, (at_us - ts) / hl_us)
+        return pa.table({
+            key_col: t.column(key_col),
+            "decayed_sum": pa.array(v * w),
+            "n_rows": pa.array(np.ones(len(ts), np.int64))})
+
+    return sums_by_key(
+        events.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536),
+        key_col, ["decayed_sum", "n_rows"], nb=nb)

@@ -508,3 +508,163 @@ def test_burst_islands_merges_consecutive_buckets():
     assert len(out) == 1
     r = out.iloc[0]
     assert (r["n_buckets"], r["n_events"]) == (2, 10)
+
+
+# ------------------------------------------------------------ grouped HLL
+
+
+def test_grouped_hll_error_and_merge_lattice():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        grouped_hll, merge_hll)
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 4, 20000)
+    vals = [f"v{rng.integers(0, 3000 * (k + 1))}" for k in keys]
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals)})
+    out = grouped_hll(rd.from_arrow(t).repartition(5), "k", "v",
+                      p=12, nb=4).to_pandas()
+    import pandas as pd
+    exact = pd.DataFrame({"k": keys, "v": vals}).groupby("k")[
+        "v"].nunique()
+    assert len(out) == 4
+    for _, r in out.iterrows():
+        assert abs(r["n_distinct_est"] - exact[r["k"]]) \
+            / exact[r["k"]] < 0.05
+    # merging the two halves' sketch tables == one build over the
+    # whole input, byte-identical (HLL register-lattice property)
+    h1, h2 = t.slice(0, 10000), t.slice(10000)
+    a = grouped_hll(rd.from_arrow(h1), "k", "v", p=12, nb=4)
+    b = grouped_hll(rd.from_arrow(h2), "k", "v", p=12, nb=4)
+    merged = (merge_hll(a.union(b), "k", nb=4).to_pandas()
+              .sort_values("k"))
+    whole = out.sort_values("k")
+    assert list(merged["sketch"]) == list(whole["sketch"])
+    assert list(merged["n_distinct_est"]) \
+        == list(whole["n_distinct_est"])
+
+
+def test_grouped_hll_null_values_and_exact_small():
+    from biosd_feature_annotator_ray.stages.sketches import grouped_hll
+
+    t = pa.table({"k": pa.array([1, 1, 1, 2], pa.int64()),
+                  "v": pa.array(["a", "a", None, "b"])})
+    out = grouped_hll(rd.from_arrow(t), "k", "v", p=10,
+                      nb=2).to_pandas().sort_values("k")
+    # small-range correction is exact at tiny cardinalities
+    assert list(out["n_distinct_est"]) == [1, 1]
+
+
+# ---------------------------------------------------------- mixture etc.
+
+
+def test_mixture_sample_quotas_and_determinism():
+    import hashlib
+
+    from biosd_feature_annotator_ray.stages.canonicalize import (
+        mixture_sample)
+
+    t = pa.table({
+        "id": pa.array(range(200), pa.int64()),
+        "g": pa.array(["a", "b", "c", "d"] * 50)})
+    w = {"a": 0.5, "b": 0.3, "c": 0.2}
+    out = mixture_sample(rd.from_arrow(t).repartition(3), "g", w,
+                         total_n=40, id_col="id", nb=4).to_pandas()
+    got = out.groupby("g").size().to_dict()
+    assert got == {"a": 20, "b": 12, "c": 8}  # 'd' excluded
+    # exact md5-smallest membership per group
+    for g, q in [("a", 20), ("b", 12), ("c", 8)]:
+        ids = [i for i in range(200) if ["a", "b", "c", "d"][i % 4] == g]
+        want = sorted(ids, key=lambda i: (
+            hashlib.md5(f"{i}:0".encode()).hexdigest(), i))[:q]
+        assert sorted(out[out["g"] == g]["id"]) == sorted(want)
+
+
+def test_mixture_sample_shortfall_keeps_all():
+    from biosd_feature_annotator_ray.stages.canonicalize import (
+        mixture_sample)
+
+    t = pa.table({"id": pa.array(range(6), pa.int64()),
+                  "g": pa.array(["a"] * 2 + ["b"] * 4)})
+    out = mixture_sample(t if hasattr(t, "map_batches") else
+                         rd.from_arrow(t), "g",
+                         {"a": 0.5, "b": 0.5}, total_n=8,
+                         id_col="id", nb=2).to_pandas()
+    got = out.groupby("g").size().to_dict()
+    assert got == {"a": 2, "b": 4}  # a short of quota 4 keeps its 2
+
+
+def test_rendezvous_assign_stability_under_node_change():
+    import hashlib
+
+    from biosd_feature_annotator_ray.functions.hashing import (
+        rendezvous_assign)
+
+    t = pa.table({"k": pa.array([f"key{i}" for i in range(300)]
+                                + [None])})
+    n3 = ["n1", "n2", "n3"]
+    a3 = rendezvous_assign(t, "k", n3)["node"].to_pylist()
+    assert a3[-1] is None
+    # reference argmax
+    for k, nd in zip(t.column("k").to_pylist(), a3):
+        if k is None:
+            continue
+        want = max(sorted(n3), key=lambda n: hashlib.md5(
+            f"{k}:{n}:0".encode()).hexdigest())
+        assert nd == want
+    # removing a node only moves THAT node's keys (HRW property)
+    a2 = rendezvous_assign(t, "k", ["n1", "n2"])["node"].to_pylist()
+    for x3, x2 in zip(a3[:-1], a2[:-1]):
+        if x3 != "n3":
+            assert x2 == x3
+    with pytest.raises(ValueError):
+        rendezvous_assign(t, "k", [])
+    with pytest.raises(ValueError):
+        rendezvous_assign(t, "k", ["n1", "n1"])
+
+
+def test_join_skew_report_counts():
+    from biosd_feature_annotator_ray.stages.join import join_skew_report
+
+    left = pa.table({"k": pa.array([1] * 5 + [2] * 3 + [3],
+                                   pa.int64())})
+    right = pa.table({"j": pa.array([1] * 4 + [3] * 2 + [9],
+                                    pa.int64())})
+    out = join_skew_report(rd.from_arrow(left).repartition(2),
+                           rd.from_arrow(right), "k", "j", k=10,
+                           nb=4).to_pandas()
+    got = {r.key: (r.l_count, r.r_count, r.pairs)
+           for r in out.itertuples()}
+    assert got == {1: (5, 4, 20), 3: (1, 2, 2), 2: (3, 0, 0),
+                   9: (0, 1, 0)}
+    assert list(out["key"])[:2] == [1, 3]  # pairs-desc order
+    top1 = join_skew_report(rd.from_arrow(left),
+                            rd.from_arrow(right), "k", "j", k=1,
+                            nb=4).to_pandas()
+    assert list(top1["key"]) == [1]
+
+
+def test_decayed_sum_reference():
+    import pandas as pd
+
+    from biosd_feature_annotator_ray.stages.windows import (
+        decayed_sum_per_key)
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "ts": pa.array([t0, t0 + np.timedelta64(12, "h"),
+                        t0 + np.timedelta64(10, "D"),  # after `at`
+                        t0, None], pa.timestamp("us")),
+        "value": pa.array([4.0, 8.0, 100.0, 2.0, 9.0], pa.float64())})
+    out = decayed_sum_per_key(
+        rd.from_arrow(t), half_life=pd.Timedelta(days=1),
+        at="2024-01-02", nb=2).to_pandas().sort_values("user_id")
+    # user 1: 4*0.5^1 + 8*0.5^0.5 (12 h before `at`); the 10-days-
+    # later row is excluded
+    want1 = 4 * 0.5 + 8 * 0.5 ** 0.5
+    assert out.iloc[0]["decayed_sum"] == pytest.approx(want1)
+    assert out.iloc[0]["n_rows"] == 2
+    # user 2: null-ts row drops; its one row is a full day old
+    assert out.iloc[1]["decayed_sum"] == pytest.approx(2 * 0.5)
+    assert out.iloc[1]["n_rows"] == 1
