@@ -10196,3 +10196,162 @@ def q_grouped_hll(sf_dir: str):
 
 
 QUERIES["grouped_hll"] = q_grouped_hll
+
+
+def q_term_drift(sf_dir: str):
+    """Corpus term drift (textstats.term_drift, Monroe et al.
+    log-odds z): sources src0-src4 vs the rest of the pool, top 40
+    terms by |z|. Fully oracled: both count tables, the smoothed
+    log-odds, the Wald z and the |z| cutoff replay in SQL."""
+    from ..stages.textstats import term_drift
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["text", "source"])
+    sel = pa.array(["src0", "src1", "src2", "src3", "src4"])
+    a = docs.map_batches(
+        lambda t: t.filter(pc.is_in(t.column("source"),
+                                    value_set=sel)),
+        batch_format="pyarrow")
+    b = docs.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t.column("source"),
+                                              value_set=sel))),
+        batch_format="pyarrow")
+    out = term_drift(a, b, top_k=40, min_count=5, nb=16)
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": t.column("term"),
+            "a_count": t.column("a_count"),
+            "b_count": t.column("b_count"),
+            "delta": pc.round(t.column("delta"), 6),
+            "z": pc.round(t.column("z"), 6)})
+
+    df = (out.map_batches(rounder, batch_format="pyarrow").to_pandas()
+          .sort_values("term").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["term_drift"] = q_term_drift
+
+ORACLES["term_drift"] = (
+    "WITH sel AS MATERIALIZED (SELECT text, source IN ('src0',"
+    "  'src1', 'src2', 'src3', 'src4') AS in_a FROM documents),"
+    " tok AS MATERIALIZED (SELECT in_a, unnest("
+    "  regexp_split_to_array(trim(lower(text)), '\\s+')) AS t"
+    "  FROM sel),"
+    " tok2 AS MATERIALIZED (SELECT in_a, t FROM tok WHERE t <> ''),"
+    " ac AS MATERIALIZED (SELECT t, count(*) AS n FROM tok2"
+    "  WHERE in_a GROUP BY t),"
+    " bc AS MATERIALIZED (SELECT t, count(*) AS n FROM tok2"
+    "  WHERE NOT in_a GROUP BY t),"
+    " tots AS MATERIALIZED (SELECT"
+    "  (SELECT coalesce(sum(n), 0) FROM ac) AS na,"
+    "  (SELECT coalesce(sum(n), 0) FROM bc) AS nbt),"
+    " j AS MATERIALIZED (SELECT coalesce(ac.t, bc.t) AS term,"
+    "  CAST(coalesce(ac.n, 0) AS DOUBLE) AS av,"
+    "  CAST(coalesce(bc.n, 0) AS DOUBLE) AS bv"
+    "  FROM ac FULL OUTER JOIN bc ON bc.t = ac.t),"
+    " sc AS MATERIALIZED (SELECT term,"
+    "  CAST(av AS BIGINT) AS a_count, CAST(bv AS BIGINT) AS b_count,"
+    "  ln((av + 1.0) / (tots.na - av + 1.0))"
+    "   - ln((bv + 1.0) / (tots.nbt - bv + 1.0)) AS delta,"
+    "  (ln((av + 1.0) / (tots.na - av + 1.0))"
+    "   - ln((bv + 1.0) / (tots.nbt - bv + 1.0)))"
+    "   / sqrt(1.0 / (av + 1.0) + 1.0 / (bv + 1.0)) AS z"
+    "  FROM j CROSS JOIN tots WHERE av + bv >= 5)"
+    " SELECT term, a_count, b_count, round(delta, 6) AS delta,"
+    "  round(z, 6) AS z FROM (SELECT *, row_number() OVER"
+    "  (ORDER BY abs(z) DESC, term) AS rk FROM sc) WHERE rk <= 40"
+)
+
+
+def q_attribution(sf_dir: str):
+    """Last-touch attribution (windows.attribution): each 'purchase'
+    credits the user's most recent strictly-earlier 'view'/'click'
+    event (null = organic). Fully oracled: DuckDB lateral
+    max-by twin with the identical strict < and (ts, id) tie-break."""
+    from ..stages.windows import attribution
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    out = attribution(ev, "purchase", ["view", "signup"], nb=16)
+    df = (out.to_pandas().sort_values("event_id")
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["attribution"] = q_attribution
+
+ORACLES["attribution"] = (
+    "WITH conv AS MATERIALIZED (SELECT event_id, user_id, ts"
+    "  FROM events WHERE event_type = 'purchase'"
+    "  AND ts IS NOT NULL),"
+    " touch AS MATERIALIZED (SELECT user_id, ts AS touch_ts,"
+    "  event_type AS channel, row_number() OVER ("
+    "   PARTITION BY user_id, ts ORDER BY event_id DESC) AS rk"
+    "  FROM events WHERE event_type IN ('view', 'signup')"
+    "  AND ts IS NOT NULL),"
+    " t1 AS MATERIALIZED (SELECT user_id, touch_ts, channel"
+    "  FROM touch WHERE rk = 1),"
+    " pick AS (SELECT c.event_id, c.user_id, c.ts, t.channel,"
+    "  t.touch_ts, row_number() OVER (PARTITION BY c.event_id"
+    "   ORDER BY t.touch_ts DESC) AS rk"
+    "  FROM conv c LEFT JOIN t1 t ON t.user_id = c.user_id"
+    "   AND t.touch_ts < c.ts)"
+    " SELECT event_id, user_id, ts, channel, touch_ts FROM pick"
+    " WHERE rk = 1"
+)
+
+
+def q_ip_cidr_filter(sf_dir: str):
+    """IPv4/CIDR containment tagging (net.ip_in_cidr_join): event-
+    derived client IPs probed against a 3-entry blocklist with
+    overlapping ranges (first match wins), counted per range. Fully
+    oracled: the SQL twin rebuilds the same IPs, masks the same
+    ranges arithmetically and applies the same first-match priority."""
+    from ..functions.net import ip_in_cidr_join
+    from ..stages.canonicalize import sum_by_key
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                         columns=["event_id"])
+
+    def mk_ip(t: pa.Table) -> pa.Table:
+        k = t.column("event_id").to_numpy(zero_copy_only=False)
+        ip = [f"{(i * 7) % 224}.{(i * 13) % 256}"
+              f".{(i * 29) % 256}.{i % 256}" for i in k]
+        return pa.table({"ip": pa.array(ip, pa.string())})
+
+    tagged = ip_in_cidr_join(
+        ev.map_batches(mk_ip, batch_format="pyarrow"),
+        ["10.0.0.0/8", "96.0.0.0/6", "64.0.0.0/2"], how="inner")
+    out = sum_by_key(
+        tagged.map_batches(
+            lambda t: pa.table({
+                "cidr": t.column("cidr"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        "cidr", "one", nb=8, out_col="n_ips")
+    df = out.to_pandas().sort_values("cidr").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["ip_cidr_filter"] = q_ip_cidr_filter
+
+ORACLES["ip_cidr_filter"] = (
+    "WITH ips AS MATERIALIZED (SELECT"
+    "  ((event_id * 7) % 224) * 16777216"
+    "  + ((event_id * 13) % 256) * 65536"
+    "  + ((event_id * 29) % 256) * 256"
+    "  + (event_id % 256) AS ip FROM events),"
+    " ranges(cidr, pri, lo, hi) AS (VALUES"
+    "  ('10.0.0.0/8', 1, 167772160, 184549375),"
+    "  ('96.0.0.0/6', 2, 1610612736, 1677721599),"
+    "  ('64.0.0.0/2', 3, 1073741824, 2147483647)),"
+    " hit AS (SELECT ip, cidr, row_number() OVER (PARTITION BY rowid"
+    "  ORDER BY pri) AS rk FROM (SELECT row_number() OVER () AS"
+    "  rowid, ip FROM ips) i JOIN ranges r ON i.ip BETWEEN r.lo"
+    "  AND r.hi)"
+    " SELECT cidr, count(*) AS n_ips FROM hit WHERE rk = 1"
+    " GROUP BY cidr"
+)

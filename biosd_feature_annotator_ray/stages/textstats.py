@@ -2130,3 +2130,101 @@ def vocab_richness(
             "gt_unseen": pa.array(gt, pa.float64())})
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def term_drift(
+    a: "ray.data.Dataset",
+    b: "ray.data.Dataset",
+    col: str = "text",
+    top_k: int = 50,
+    min_count: int = 5,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Corpus drift by term: the add-one-smoothed log-odds-ratio of
+    every term between corpus A and corpus B with its Wald z-score
+    (the informative-prior-free core of Monroe, Colaresi & Quinn
+    2008 "Fightin' Words"): ``delta = ln((a+1)/(Na-a+1)) -
+    ln((b+1)/(Nb-b+1))``, ``z = delta / sqrt(1/(a+1) + 1/(b+1))`` —
+    the between-crawl regression check: which vocabulary exploded or
+    vanished since the last snapshot (template rot, spam bursts,
+    language shift), ranked by evidence rather than raw ratio.
+
+    Terms observed fewer than ``min_count`` times across BOTH
+    corpora are dropped (rare-term z-scores are noise). Returns the
+    ``top_k`` terms by ``|z|`` desc, term asc:
+    ``(term, a_count, b_count, delta, z)``.
+
+    Scale shape: two map-side-combined token-count passes, ONE
+    term-bucket shuffle each, a bucketed full join of the two count
+    tables, then local-top-k + single-block cut — the totals are the
+    only driver-side values.
+    """
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+
+    def token_counts(ds):
+        def f(batch: pa.Table) -> pa.Table:
+            _, terms = _ws_doc_tokens(batch, col)
+            g = pa.table({"t": terms}).group_by(["t"]).aggregate(
+                [("t", "count")])
+            return pa.table({
+                "t": g.column("t"),
+                "one": g.column("t_count").cast(pa.int64())})
+
+        return sum_by_key(
+            ds.map_batches(f, batch_format="pyarrow",
+                           batch_size=65536),
+            "t", "one", nb=nb, out_col="n")
+
+    ac = token_counts(a)
+    bc = token_counts(b)
+    na = int(ac.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [t.column("n").to_numpy(zero_copy_only=False).sum()],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+    nb_tot = int(bc.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [t.column("n").to_numpy(zero_copy_only=False).sum()],
+            pa.int64())}),
+        batch_format="pyarrow").to_pandas()["s"].sum())
+    both = shuffle_hash_join(
+        ac.map_batches(lambda t: t.rename_columns(["t", "a_count"]),
+                       batch_format="pyarrow"),
+        bc.map_batches(lambda t: t.rename_columns(["t", "b_count"]),
+                       batch_format="pyarrow"),
+        on=["t"], how="full", nb=nb)
+
+    def score(t: pa.Table) -> pa.Table:
+        av = pc.fill_null(t.column("a_count"), 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        bv = pc.fill_null(t.column("b_count"), 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = (av + bv) >= min_count
+        av, bv = av[keep], bv[keep]
+        terms = t.column("t").filter(pa.array(keep))
+        delta = (np.log((av + 1.0) / (na - av + 1.0))
+                 - np.log((bv + 1.0) / (nb_tot - bv + 1.0)))
+        z = delta / np.sqrt(1.0 / (av + 1.0) + 1.0 / (bv + 1.0))
+        out = pa.table({
+            "term": terms,
+            "a_count": pa.array(av.astype(np.int64)),
+            "b_count": pa.array(bv.astype(np.int64)),
+            "delta": pa.array(delta), "z": pa.array(z)})
+        idx = pc.sort_indices(
+            out.append_column("absz", pa.array(-np.abs(z))),
+            sort_keys=[("absz", "ascending"), ("term", "ascending")])
+        return out.take(idx[:top_k])
+
+    def final(t: pa.Table) -> pa.Table:
+        z = t.column("z").to_numpy(zero_copy_only=False)
+        idx = pc.sort_indices(
+            t.append_column("absz", pa.array(-np.abs(z))),
+            sort_keys=[("absz", "ascending"), ("term", "ascending")])
+        return t.take(idx[:top_k])
+
+    return (both.map_batches(score, batch_format="pyarrow",
+                             batch_size=1 << 20)
+            .repartition(1)
+            .map_batches(final, batch_format="pyarrow",
+                         batch_size=1 << 30))

@@ -2163,3 +2163,87 @@ def decayed_sum_per_key(
         events.map_batches(local, batch_format="pyarrow",
                            batch_size=65536),
         key_col, ["decayed_sum", "n_rows"], nb=nb)
+
+
+def attribution(
+    events: "ray.data.Dataset",
+    conversion_type: str,
+    channel_types: "list[str]",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Last-touch attribution: for every CONVERSION event, credit the
+    user's most recent STRICTLY-EARLIER channel event (the classic
+    marketing/referral attribution query; also the provenance
+    question "which crawl seed led to this captured page"). A
+    conversion with no earlier channel touch attributes to null
+    (organic). Ties on the channel side break deterministically by
+    the largest ``(ts, id)``.
+
+    Composition of existing primitives: two vectorized filters + ONE
+    backward AS-OF join (``how="left"``), channel-side pre-dedup to
+    one row per (key, ts) per the as-of determinism contract.
+
+    Returns ``(id_col, key_col, ts, channel, touch_ts)`` — one row
+    per conversion.
+    """
+    from .canonicalize import groupby_argmax
+    from .join import asof_join
+
+    chans = pa.array(list(channel_types))
+
+    def only(pred):
+        return lambda t: t.filter(pred(t))
+
+    conv = events.map_batches(
+        only(lambda t: pc.and_kleene(
+            pc.equal(t.column(type_col), pa.scalar(conversion_type)),
+            pc.is_valid(t.column(ts_col)))),
+        batch_format="pyarrow").map_batches(
+        lambda t: t.select([id_col, key_col, ts_col]),
+        batch_format="pyarrow")
+    touch = events.map_batches(
+        only(lambda t: pc.and_kleene(
+            pc.is_in(t.column(type_col), value_set=chans),
+            pc.is_valid(t.column(ts_col)))),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({
+            key_col: t.column(key_col),
+            # strictly-earlier contract: shift channel ts by +1us is
+            # WRONG (changes the ts); instead dedup to one row per
+            # (key, ts) and let merge_asof's allow_exact_matches
+            # semantics stay <= — we subtract nothing and instead
+            # drop exact-ts self-matches below via ts inequality on
+            # the conversion side
+            "touch_ts": t.column(ts_col),
+            "channel": t.column(type_col),
+            "touch_id": t.column(id_col)}),
+        batch_format="pyarrow")
+    # one channel row per (key, ts): largest id wins
+    touch = groupby_argmax(touch, [key_col, "touch_ts"],
+                           ["touch_id"], [False], nb=nb)
+    # strict earlier: as-of compares <=; shift the conversion ts by
+    # -1us for the join, then report the original ts
+    conv_shift = conv.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            key_col: t.column(key_col),
+            "__ts_orig": t.column(ts_col),
+            ts_col: pc.add(t.column(ts_col).cast(pa.int64()),
+                           pa.scalar(-1, pa.int64())).cast(
+                t.column(ts_col).type)}),
+        batch_format="pyarrow")
+    j = asof_join(conv_shift, touch, key=key_col, ts=ts_col,
+                  right_ts="touch_ts", nb=nb, how="left",
+                  direction="backward")
+    return j.map_batches(
+        lambda t: pa.table({
+            id_col: t.column(id_col),
+            key_col: t.column(key_col),
+            "ts": t.column("__ts_orig"),
+            "channel": t.column("channel"),
+            "touch_ts": t.column("touch_ts")}),
+        batch_format="pyarrow")

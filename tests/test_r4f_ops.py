@@ -668,3 +668,119 @@ def test_decayed_sum_reference():
     # user 2: null-ts row drops; its one row is a full day old
     assert out.iloc[1]["decayed_sum"] == pytest.approx(2 * 0.5)
     assert out.iloc[1]["n_rows"] == 1
+
+
+# ------------------------------------------------------------ term drift
+
+
+def test_term_drift_closed_form():
+    import math
+
+    from biosd_feature_annotator_ray.stages.textstats import term_drift
+
+    a = pa.table({"text": pa.array(["cat cat cat dog", "cat bird"])})
+    b = pa.table({"text": pa.array(["dog dog dog bird", "dog fish"])})
+    out = term_drift(rd.from_arrow(a), rd.from_arrow(b), top_k=10,
+                     min_count=1, nb=2).to_pandas()
+    na, nbt = 6, 6
+    rows = {r.term: r for r in out.itertuples()}
+    for term, ac, bc in [("cat", 4, 0), ("dog", 1, 4), ("bird", 1, 1),
+                         ("fish", 0, 1)]:
+        delta = (math.log((ac + 1) / (na - ac + 1))
+                 - math.log((bc + 1) / (nbt - bc + 1)))
+        z = delta / math.sqrt(1 / (ac + 1) + 1 / (bc + 1))
+        r = rows[term]
+        assert (r.a_count, r.b_count) == (ac, bc)
+        assert r.delta == pytest.approx(delta)
+        assert r.z == pytest.approx(z)
+    # |z| ordering: cat (most skewed) first
+    assert out.iloc[0]["term"] == "cat"
+
+
+def test_term_drift_min_count_and_topk():
+    from biosd_feature_annotator_ray.stages.textstats import term_drift
+
+    a = pa.table({"text": pa.array(["x x x rare"])})
+    b = pa.table({"text": pa.array(["y y y"])})
+    out = term_drift(rd.from_arrow(a), rd.from_arrow(b), top_k=1,
+                     min_count=3, nb=2).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["term"] in ("x", "y")  # 'rare' dropped
+
+
+# ------------------------------------------------------------ attribution
+
+
+def test_attribution_last_touch():
+    import pandas as pd
+
+    from biosd_feature_annotator_ray.stages.windows import attribution
+
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+
+    def ev(i, u, dt_min, typ):
+        return {"event_id": i, "user_id": u,
+                "ts": t0 + np.timedelta64(dt_min, "m"),
+                "event_type": typ}
+
+    rows = [
+        ev(1, 1, 0, "view"), ev(2, 1, 5, "signup"),
+        ev(3, 1, 10, "purchase"),          # last touch: signup @5
+        ev(4, 2, 0, "purchase"),           # organic (no touch)
+        ev(5, 3, 7, "view"),
+        ev(6, 3, 7, "purchase"),           # same-ts touch NOT counted
+        ev(7, 3, 9, "purchase"),           # view @7 counts here
+    ]
+    t = pa.Table.from_pylist(rows).cast(pa.schema([
+        pa.field("event_id", pa.int64()),
+        pa.field("user_id", pa.int64()),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("event_type", pa.string())]))
+    out = (attribution(rd.from_arrow(t).repartition(2), "purchase",
+                       ["view", "signup"], nb=4).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    assert list(out["event_id"]) == [3, 4, 6, 7]
+    assert out.iloc[0]["channel"] == "signup"
+    assert pd.isna(out.iloc[1]["channel"])
+    assert pd.isna(out.iloc[2]["channel"])  # strict <
+    assert out.iloc[3]["channel"] == "view"
+
+
+# ------------------------------------------------------------ net kernels
+
+
+def test_ipv4_and_cidr_parsing():
+    from biosd_feature_annotator_ray.functions.net import (
+        cidr_to_range, ipv4_to_uint32)
+
+    ips = pa.array(["10.0.0.1", "255.255.255.255", "1.2.3.999",
+                    "bad", None, "0.0.0.0"])
+    assert ipv4_to_uint32(ips).to_pylist() == [
+        167772161, 4294967295, None, None, None, 0]
+    c = cidr_to_range(pa.array(["10.0.0.7/8", "192.168.1.0/24",
+                                "1.2.3.4/33", "x/8"]))
+    assert c.column("lo").to_pylist() == [
+        167772160, 3232235776, None, None]
+    assert c.column("hi").to_pylist() == [
+        184549375, 3232236031, None, None]
+
+
+def test_ip_in_cidr_join_modes_and_priority():
+    from biosd_feature_annotator_ray.functions.net import ip_in_cidr_join
+
+    t = pa.table({"ip": pa.array([
+        "10.1.2.3", "11.0.0.1", "192.168.1.7", "bad", "8.8.8.8"])})
+    cidrs = ["10.0.0.0/8", "0.0.0.0/4"]  # overlapping: first wins
+    inner = ip_in_cidr_join(rd.from_arrow(t), cidrs,
+                            how="inner").to_pandas()
+    got = dict(zip(inner["ip"], inner["cidr"]))
+    assert got == {"10.1.2.3": "10.0.0.0/8", "11.0.0.1": "0.0.0.0/4",
+                   "8.8.8.8": "0.0.0.0/4"}
+    left = ip_in_cidr_join(rd.from_arrow(t), cidrs,
+                           how="left").to_pandas()
+    assert len(left) == 5
+    anti = ip_in_cidr_join(rd.from_arrow(t), cidrs,
+                           how="anti").to_pandas()
+    assert sorted(anti["ip"]) == ["192.168.1.7", "bad"]
+    with pytest.raises(ValueError, match="malformed"):
+        ip_in_cidr_join(rd.from_arrow(t), ["nope/8"]).to_pandas()
