@@ -10355,3 +10355,73 @@ ORACLES["ip_cidr_filter"] = (
     " SELECT cidr, count(*) AS n_ips FROM hit WHERE rk = 1"
     " GROUP BY cidr"
 )
+
+
+def q_rrf_fuse(sf_dir: str):
+    """Reciprocal Rank Fusion (similarity.rrf_fuse, k=60): fuse two
+    deterministic document rankers — by n_chars desc and by
+    whitespace token count desc (doc_id tie-breaks) — into one
+    top-50. Fully oracled: both rankings, the 1/(60+rank) sum and
+    the cutoff replay via row_number in SQL."""
+    from ..stages.similarity import rrf_fuse
+    from ..stages.windows import rank_per_key
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text", "n_chars"])
+
+    def const_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "g", pa.array(np.zeros(t.num_rows, np.int64)))
+
+    by_chars = rank_per_key(
+        docs.map_batches(
+            lambda t: const_key(t.select(["doc_id", "n_chars"])),
+            batch_format="pyarrow"),
+        key_col="g", order_cols=["n_chars", "doc_id"],
+        ascending=[False, True], out="rank", nb=4).map_batches(
+        lambda t: t.select(["doc_id", "rank"]),
+        batch_format="pyarrow")
+
+    def tok_count(t: pa.Table) -> pa.Table:
+        from ..stages.textstats import token_count
+        return const_key(token_count(t.select(["doc_id", "text"])
+                                     ).select(["doc_id", "n_tokens"]))
+
+    by_tokens = rank_per_key(
+        docs.map_batches(tok_count, batch_format="pyarrow"),
+        key_col="g", order_cols=["n_tokens", "doc_id"],
+        ascending=[False, True], out="rank", nb=4).map_batches(
+        lambda t: t.select(["doc_id", "rank"]),
+        batch_format="pyarrow")
+
+    out = rrf_fuse([by_chars, by_tokens], top_n=50, k=60, nb=8)
+
+    def rounder(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "rrf_score": pc.round(t.column("rrf_score"), 6),
+            "n_lists": t.column("n_lists")})
+
+    df = (out.map_batches(rounder, batch_format="pyarrow").to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["rrf_fuse"] = q_rrf_fuse
+
+ORACLES["rrf_fuse"] = (
+    "WITH r1 AS MATERIALIZED (SELECT doc_id, row_number() OVER"
+    "  (ORDER BY n_chars DESC, doc_id) AS rank FROM documents),"
+    " tok AS MATERIALIZED (SELECT doc_id, length("
+    "  regexp_split_to_array(trim(text), '\\s+')) AS n_tokens"
+    "  FROM documents),"
+    " r2 AS MATERIALIZED (SELECT doc_id, row_number() OVER"
+    "  (ORDER BY n_tokens DESC, doc_id) AS rank FROM tok),"
+    " u AS (SELECT doc_id, 1.0 / (60.0 + rank) AS s FROM r1"
+    "  UNION ALL SELECT doc_id, 1.0 / (60.0 + rank) FROM r2),"
+    " f AS (SELECT doc_id, sum(s) AS rrf_score,"
+    "  CAST(count(*) AS BIGINT) AS n_lists FROM u GROUP BY doc_id)"
+    " SELECT doc_id, round(rrf_score, 6) AS rrf_score, n_lists"
+    " FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC,"
+    "  doc_id) AS rk FROM f) WHERE rk <= 50"
+)

@@ -1192,3 +1192,67 @@ def pca_transform(
 
     return vecs.map_batches(project, batch_format="pyarrow",
                             batch_size=65536)
+
+
+def rrf_fuse(
+    rankings: "list",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_n: int = 100,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009 — the
+    standard hybrid-retrieval combiner): given N ranked candidate
+    lists (e.g. BM25 lexical top-k and embedding-ANN top-k over the
+    same corpus), score every candidate ``sum_i 1/(k + rank_i)`` over
+    the lists that contain it and keep the ``top_n`` by fused score
+    (ties by id asc). RRF needs no score calibration between rankers
+    — only ranks — which is why it is the default fusion baseline.
+
+    Each input dataset carries ``(id_col, rank_col)`` with rank
+    starting at 1. Scale shape: the lists union and bucket-shuffle
+    once on id (map-side 1/(k+r) partials combine by addition), then
+    local-top-n + single-block cut.
+
+    Returns ``(id_col, rrf_score, n_lists)``.
+    """
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from .canonicalize import sums_by_key
+
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    if k < 0 or top_n < 1:
+        raise ValueError("k must be >= 0 and top_n >= 1")
+
+    parts = []
+    for r in rankings:
+        ds = rd.from_arrow(r) if isinstance(r, pa.Table) else r
+        parts.append(ds.map_batches(
+            lambda t: pa.table({
+                id_col: t.column(id_col),
+                "rrf_score": pc.divide(
+                    pa.scalar(1.0),
+                    pc.add(t.column(rank_col).cast(pa.float64()),
+                           pa.scalar(float(k)))),
+                "n_lists": pa.array(
+                    np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"))
+    u = parts[0]
+    for p_ in parts[1:]:
+        u = u.union(p_)
+    fused = sums_by_key(u, id_col, ["rrf_score", "n_lists"], nb=nb)
+
+    def cut(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("rrf_score", "descending"), (id_col, "ascending")])
+        return t.take(idx[:top_n])
+
+    return (fused.map_batches(cut, batch_format="pyarrow",
+                              batch_size=1 << 20)
+            .repartition(1)
+            .map_batches(cut, batch_format="pyarrow",
+                         batch_size=1 << 30))

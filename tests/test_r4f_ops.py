@@ -784,3 +784,29 @@ def test_ip_in_cidr_join_modes_and_priority():
     assert sorted(anti["ip"]) == ["192.168.1.7", "bad"]
     with pytest.raises(ValueError, match="malformed"):
         ip_in_cidr_join(rd.from_arrow(t), ["nope/8"]).to_pandas()
+
+
+# -------------------------------------------------------------- RRF fuse
+
+
+def test_rrf_fuse_closed_form():
+    from biosd_feature_annotator_ray.stages.similarity import rrf_fuse
+
+    r1 = pa.table({"doc_id": pa.array([10, 20, 30], pa.int64()),
+                   "rank": pa.array([1, 2, 3], pa.int64())})
+    r2 = pa.table({"doc_id": pa.array([20, 40], pa.int64()),
+                   "rank": pa.array([1, 2], pa.int64())})
+    out = rrf_fuse([r1, r2], k=60, top_n=10, nb=2).to_pandas()
+    got = {r.doc_id: (round(r.rrf_score, 9), r.n_lists)
+           for r in out.itertuples()}
+    assert got == {
+        10: (round(1 / 61, 9), 1),
+        20: (round(1 / 62 + 1 / 61, 9), 2),
+        30: (round(1 / 63, 9), 1),
+        40: (round(1 / 62, 9), 1)}
+    # doc 20 fused first (appears in both lists)
+    assert out.iloc[0]["doc_id"] == 20
+    top2 = rrf_fuse([r1, r2], k=60, top_n=2, nb=2).to_pandas()
+    assert sorted(top2["doc_id"]) == [10, 20]
+    with pytest.raises(ValueError):
+        rrf_fuse([], top_n=5)
