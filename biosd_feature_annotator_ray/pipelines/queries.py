@@ -10425,3 +10425,36 @@ ORACLES["rrf_fuse"] = (
     " FROM (SELECT *, row_number() OVER (ORDER BY rrf_score DESC,"
     "  doc_id) AS rk FROM f) WHERE rk <= 50"
 )
+
+
+def q_weighted_sample_per_key(sf_dir: str):
+    """Per-priority weighted order sampling
+    (sketches.weighted_sample_per_key): 30 orders per
+    o_orderpriority, P ∝ o_totalprice, deterministic A-ES md5 draw.
+    Fully oracled: the SQL twin replays -ln((md5_32+0.5)/2^32)/w and
+    the per-key row_number cutoff."""
+    from ..stages.sketches import weighted_sample_per_key
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderkey", "o_totalprice"])
+    out = weighted_sample_per_key(orders, "o_orderpriority",
+                                  "o_orderkey", "o_totalprice",
+                                  k=30, nb=8)
+    df = (out.to_pandas()
+          .sort_values(["o_orderpriority", "o_orderkey"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["weighted_sample_per_key"] = q_weighted_sample_per_key
+
+ORACLES["weighted_sample_per_key"] = (
+    "SELECT o_orderpriority, o_orderkey, o_totalprice FROM ("
+    " SELECT o_orderpriority, o_orderkey, o_totalprice,"
+    "  row_number() OVER (PARTITION BY o_orderpriority ORDER BY"
+    "   -ln((CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),"
+    "    1, 8))::UBIGINT AS BIGINT) + 0.5) / 4294967296.0)"
+    "    / o_totalprice, o_orderkey) AS rk"
+    " FROM orders WHERE o_totalprice > 0) WHERE rk <= 30"
+)

@@ -1214,3 +1214,57 @@ def merge_hll(
                               [key_col], nb),
         batch_format="pyarrow")
         .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def weighted_sample_per_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Per-key weighted sampling without replacement — the
+    PARTITION BY sibling of :func:`weighted_sample` (k quality-
+    weighted docs per domain, k price-weighted orders per priority):
+    the same deterministic Efraimidis–Spirakis draw (``u =
+    (md5(id)[:8] + 0.5) / 2^32``, A-ES key ``-ln(u)/w``, k SMALLEST
+    keys win) applied within every key group. Rows with null/≤0
+    weight are excluded; groups smaller than ``k`` keep everything.
+
+    Scale shape: the A-ES key computes map-side, then ONE key-bucket
+    shuffle through the shared :func:`~.windows.topk_per_key` kernel
+    (hot-key spill path included). Returns the sampled rows
+    ``(key, id, weight)``.
+    """
+    from ..functions.hashing import md5_u32
+    from .windows import topk_per_key
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        w = (batch.column(weight_col).cast(pa.float64())
+             .to_numpy(zero_copy_only=False))
+        h = md5_u32(ids).astype(np.float64)
+        u = (h + 0.5) / 4294967296.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = -np.log(u) / w
+        ok = np.isfinite(key) & (w > 0)
+        ok &= pc.is_valid(batch.column(key_col)).to_numpy(
+            zero_copy_only=False)
+        t = pa.table({
+            key_col: batch.column(key_col),
+            id_col: batch.column(id_col),
+            weight_col: batch.column(weight_col),
+            "_aes_key": pa.array(key)})
+        return t.filter(pa.array(ok))
+
+    out = topk_per_key(
+        ds.map_batches(add_key, batch_format="pyarrow",
+                       batch_size=65536),
+        key_col, ["_aes_key", id_col], k=k, nb=nb)
+    return out.map_batches(
+        lambda t: t.select([key_col, id_col, weight_col]),
+        batch_format="pyarrow")

@@ -810,3 +810,53 @@ def test_rrf_fuse_closed_form():
     assert sorted(top2["doc_id"]) == [10, 20]
     with pytest.raises(ValueError):
         rrf_fuse([], top_n=5)
+
+
+# ------------------------------------------------- weighted per-key A-ES
+
+
+def test_weighted_sample_per_key_reference():
+    import hashlib
+    import math
+
+    from biosd_feature_annotator_ray.stages.sketches import (
+        weighted_sample_per_key)
+
+    rng = np.random.default_rng(41)
+    n = 120
+    t = pa.table({
+        "g": pa.array(rng.integers(0, 3, n), pa.int64()),
+        "id": pa.array(range(n), pa.int64()),
+        "w": pa.array(np.round(rng.uniform(0.1, 9, n), 3),
+                      pa.float64())})
+    out = weighted_sample_per_key(rd.from_arrow(t).repartition(3),
+                                  "g", "id", "w", k=10,
+                                  nb=4).to_pandas()
+
+    def aes(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return -math.log((h + 0.5) / 4294967296.0) / w
+
+    want: dict[int, list] = {}
+    for g, i, w in zip(t["g"].to_pylist(), t["id"].to_pylist(),
+                       t["w"].to_pylist()):
+        want.setdefault(g, []).append((aes(i, w), i))
+    for g, rows in want.items():
+        ids = [i for _, i in sorted(rows)[:10]]
+        got = sorted(out[out["g"] == g]["id"])
+        assert got == sorted(ids), g
+
+
+def test_weighted_sample_per_key_guards():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        weighted_sample_per_key)
+
+    t = pa.table({"g": pa.array([1, 1, 1, None], pa.int64()),
+                  "id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "w": pa.array([1.0, 0.0, None, 5.0], pa.float64())})
+    out = weighted_sample_per_key(rd.from_arrow(t), "g", "id", "w",
+                                  k=5, nb=2).to_pandas()
+    # zero/null weight rows and null keys drop; small group keeps all
+    assert sorted(out["id"]) == [1]
+    with pytest.raises(ValueError):
+        weighted_sample_per_key(rd.from_arrow(t), "g", "id", "w", k=0)
