@@ -256,7 +256,7 @@ def run_queries() -> dict:
         "frequent_itemsets", "dsir_select", "condensation",
         "vocab_richness", "burst_islands", "mixture_sample",
         "rendezvous_shards", "join_skew_report", "decayed_sum",
-        "grouped_hll", "term_drift", "attribution", "ip_cidr_filter", "rrf_fuse", "weighted_sample_per_key",
+        "grouped_hll", "term_drift", "attribution", "ip_cidr_filter", "rrf_fuse", "weighted_sample_per_key", "zorder_layout",
     ]
     out = {}
     for name in names:

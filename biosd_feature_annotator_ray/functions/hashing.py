@@ -106,3 +106,51 @@ def rendezvous_assign(
                 best, best_h = nd, h
         out.append(best)
     return batch.append_column(out_col, pa.array(out, pa.string()))
+
+
+def zorder_key(
+    batch: pa.Table,
+    cols: "list[str]",
+    bits: int = 16,
+    out_col: str = "zkey",
+) -> pa.Table:
+    """Z-order (Morton) key over 2-4 integer columns: each value is
+    range-clamped to ``bits`` bits and the bits interleave
+    column-round-robin (col0 owns the least-significant position of
+    each round) — the multi-dimensional clustering key behind
+    Delta/Iceberg OPTIMIZE ZORDER: sorting or range-partitioning by
+    ``zkey`` co-locates rows close in EVERY listed dimension, so
+    min/max row-group pruning works for predicates on any of them,
+    not just the leading sort column.
+
+    Values must already be non-negative integers (bucket/normalize
+    first); values >= 2^bits clamp to the top code (documented —
+    clamping preserves ordering at the boundary). Nulls yield a null
+    key. ``len(cols) * bits`` must fit in 63 bits.
+
+    Returns the batch plus ``out_col`` (int64).
+    """
+    import pyarrow.compute as pc
+
+    if not 2 <= len(cols) <= 4:
+        raise ValueError("zorder_key needs 2-4 columns")
+    if bits < 1 or len(cols) * bits > 63:
+        raise ValueError("len(cols) * bits must be within 63 bits")
+    n = batch.num_rows
+    valid = np.ones(n, dtype=bool)
+    vals = []
+    for c in cols:
+        col = batch.column(c)
+        valid &= pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if (v < 0).any():
+            raise ValueError(f"column {c!r} holds negative values")
+        vals.append(np.minimum(v, (1 << bits) - 1))
+    z = np.zeros(n, dtype=np.int64)
+    for b in range(bits):
+        for j, v in enumerate(vals):
+            z |= ((v >> b) & 1) << (b * len(cols) + j)
+    return batch.append_column(out_col, pc.if_else(
+        pa.array(valid), pa.array(z, pa.int64()),
+        pa.nulls(n, pa.int64())))

@@ -10458,3 +10458,42 @@ ORACLES["weighted_sample_per_key"] = (
     "    / o_totalprice, o_orderkey) AS rk"
     " FROM orders WHERE o_totalprice > 0) WHERE rk <= 30"
 )
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order clustering keys (hashing.zorder_key, bits=8): Morton
+    interleave of (o_custkey%256, o_orderkey%256) — the multi-dim
+    layout key for OPTIMIZE-ZORDER-style row-group pruning. Fully
+    oracled: the SQL twin rebuilds the interleave as a bit-sum over
+    generate_series."""
+    from ..functions.hashing import zorder_key
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        base = pa.table({
+            "o_orderkey": t.column("o_orderkey"),
+            "x": pa.array((c % 256).astype(np.int64)),
+            "y": pa.array((k % 256).astype(np.int64))})
+        return zorder_key(base, ["x", "y"], bits=8).select(
+            ["o_orderkey", "zkey"])
+
+    out = orders.map_batches(prep, batch_format="pyarrow")
+    df = out.to_pandas().sort_values("o_orderkey").reset_index(
+        drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["zorder_layout"] = q_zorder_layout
+
+ORACLES["zorder_layout"] = (
+    "SELECT o_orderkey, (SELECT CAST(sum("
+    "  ((o_custkey % 256) // (1 << b.k) % 2) * (1 << (2 * b.k))"
+    "  + ((o_orderkey % 256) // (1 << b.k) % 2)"
+    "    * (1 << (2 * b.k + 1))) AS BIGINT)"
+    "  FROM generate_series(0, 7) b(k)) AS zkey"
+    " FROM orders"
+)

@@ -860,3 +860,37 @@ def test_weighted_sample_per_key_guards():
     assert sorted(out["id"]) == [1]
     with pytest.raises(ValueError):
         weighted_sample_per_key(rd.from_arrow(t), "g", "id", "w", k=0)
+
+
+# --------------------------------------------------------------- z-order
+
+
+def test_zorder_interleave_and_guards():
+    from biosd_feature_annotator_ray.functions.hashing import zorder_key
+
+    t = pa.table({"x": pa.array([0, 1, 2, 3, None], pa.int64()),
+                  "y": pa.array([0, 1, 0, 3, 1], pa.int64())})
+    out = zorder_key(t, ["x", "y"], bits=2)
+    assert out["zkey"].to_pylist() == [0, 3, 4, 15, None]
+    # locality: sorting by zkey groups quadrants — the (0,0) corner
+    # sorts before any point with both coords >= 2
+    t2 = pa.table({"x": pa.array([0, 2, 0, 3], pa.int64()),
+                   "y": pa.array([0, 2, 1, 3], pa.int64())})
+    z = zorder_key(t2, ["x", "y"], bits=2)["zkey"].to_pylist()
+    assert z[0] < z[1] and z[2] < z[1] and z[1] < z[3]
+    # clamp: values beyond 2^bits clamp to the top code
+    big = pa.table({"x": pa.array([5], pa.int64()),
+                    "y": pa.array([0], pa.int64())})
+    assert zorder_key(big, ["x", "y"], bits=2)["zkey"].to_pylist() \
+        == [zorder_key(pa.table({
+            "x": pa.array([3], pa.int64()),
+            "y": pa.array([0], pa.int64())}), ["x", "y"],
+            bits=2)["zkey"].to_pylist()[0]]
+    with pytest.raises(ValueError):
+        zorder_key(t, ["x"], bits=2)
+    with pytest.raises(ValueError):
+        zorder_key(t, ["x", "y"], bits=32)
+    with pytest.raises(ValueError, match="negative"):
+        zorder_key(pa.table({"x": pa.array([-1], pa.int64()),
+                             "y": pa.array([0], pa.int64())}),
+                   ["x", "y"], bits=2)
