@@ -82,7 +82,8 @@ def ip_in_cidr_join(
     shuffle at all. Overlapping CIDRs: the FIRST match in ``cidrs``
     order wins. ``how``: ``inner`` keeps matching rows only,
     ``left`` keeps all rows with a null ``cidr`` on misses,
-    ``anti`` keeps non-matching rows (the filter mode).
+    ``anti`` keeps non-matching rows (the filter mode; the ``cidr``
+    column is present and all-null so the schema is mode-stable).
 
     Returns the input plus ``cidr``.
     """
@@ -121,7 +122,7 @@ def ip_in_cidr_join(
         if how == "inner":
             return out.filter(pa.array(hit))
         if how == "anti":
-            return out.drop_columns(["cidr"]).filter(pa.array(~hit))
+            return out.filter(pa.array(~hit))  # cidr stays, all null
         return out
 
     return ips.map_batches(probe, batch_format="pyarrow",

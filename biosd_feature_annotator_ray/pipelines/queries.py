@@ -9626,9 +9626,9 @@ ORACLES["graph_coloring"] = (
     "  UNION SELECT DISTINCT b, a FROM raw WHERE a <> b),"
     " ea0 AS MATERIALIZED (SELECT src, dst FROM e0),"
     " n0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0),"
-    " pr AS MATERIALIZED (SELECT node, CAST(('0x' || substr(md5("
-    "  CAST(node AS VARCHAR) || ':0'), 1, 15))::UBIGINT AS BIGINT)"
-    "  AS p FROM n0),"
+    " pr AS MATERIALIZED (SELECT node, substr(md5("
+    "  CAST(node AS VARCHAR) || ':0'), 1, 15)"
+    "  || ':' || CAST(node AS VARCHAR) AS p FROM n0),"
     " c0 AS MATERIALIZED (SELECT CAST(NULL AS BIGINT) AS node,"
     "  CAST(NULL AS BIGINT) AS color,"
     "  CAST(NULL AS BIGINT) AS color_round WHERE 1 = 0),"

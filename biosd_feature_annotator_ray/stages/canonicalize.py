@@ -892,7 +892,9 @@ def mixture_sample(
         raise ValueError("weights must be non-empty")
     if any(w < 0 for w in weights.values()):
         raise ValueError("weights must be non-negative")
-    quota = {g: int(total_n * w) for g, w in weights.items()}
+    # floor of the REAL product, not the binary-float one:
+    # 0.29 * 100 = 28.999999999999996 must still floor to 29
+    quota = {g: int(total_n * w + 1e-9) for g, w in weights.items()}
 
     def add_md5(batch: pa.Table) -> pa.Table:
         t = batch.select([id_col, group_col]).filter(pc.and_kleene(

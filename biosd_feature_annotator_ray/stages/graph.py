@@ -4651,9 +4651,11 @@ def greedy_coloring(
     independent batches.
 
     Deterministic by construction: the priority of node ``v`` is the
-    60-bit ``md5(v:seed)`` prefix with the node id as tie-break (the
-    replayable-md5 contract of :func:`maximal_independent_set`), so a
-    SQL twin can unroll the rounds. Round count is the longest
+    STRING ``md5(v:seed)[:15] + ":" + str(v)`` — the 60-bit md5
+    prefix with the node id appended, compared byte-wise, so
+    priorities are UNIQUE (an md5 collision between neighbors cannot
+    deadlock the contest) and a SQL twin replays them with
+    ``substr(md5(...), 1, 15) || ':' || node``. Round count is the longest
     priority-decreasing path (O(log n / log log n) w.h.p. on
     bounded-degree graphs); raises after ``max_rounds``.
 
@@ -4689,10 +4691,10 @@ def greedy_coloring(
         batch_format="pyarrow"), ["src", "dst"], nb=nb))
 
     def prio(t: pa.Table) -> pa.Table:
-        p = [int(hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15],
-                 16) for v in t.column("node").to_pylist()]
+        p = [hashlib.md5(f"{v}:{seed}".encode()).hexdigest()[:15]
+             + f":{v}" for v in t.column("node").to_pylist()]
         return pa.table({"node": t.column("node"),
-                         "p": pa.array(p, pa.int64())})
+                         "p": pa.array(p, pa.string())})
 
     alive = mat_cut(dedup_exact(
         und.map_batches(lambda t: pa.table({"node": t.column("src")}),
@@ -4952,8 +4954,26 @@ def label_spreading(
             batch_format="pyarrow"))
         parts.append(won)
     else:
-        raise RuntimeError(
-            f"label spreading did not converge in {max_rounds} rounds")
+        # rounds exhausted: only an error if another round would
+        # still assign something (the final round may have labeled
+        # the last reachable node, which IS convergence)
+        cur = parts[0]
+        for p_ in parts[1:]:
+            cur = cur.union(p_)
+        remaining = shuffle_hash_join(
+            shuffle_hash_join(
+                und, cur.map_batches(
+                    lambda t: pa.table({"dst": t.column("node")}),
+                    batch_format="pyarrow"),
+                on=["dst"], how="semi", nb=nb),
+            cur.map_batches(
+                lambda t: pa.table({"src": t.column("node")}),
+                batch_format="pyarrow"),
+            on=["src"], how="anti", nb=nb)
+        if remaining.count() > 0:
+            raise RuntimeError(
+                f"label spreading did not converge in {max_rounds}"
+                " rounds")
     out = parts[0]
     for p_ in parts[1:]:
         out = out.union(p_)

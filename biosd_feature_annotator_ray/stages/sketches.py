@@ -880,6 +880,7 @@ def frequent_itemsets(
     nb: int = 64,
     max_frequent_items: int = 100_000,
     max_basket_items: int = 4096,
+    max_expanded_triples: int = 50_000_000,
 ) -> "ray.data.Dataset":
     """Frequent itemsets up to size 3 via distributed a-priori
     (Agrawal & Srikant 1994): an itemset is frequent iff it occurs in
@@ -899,14 +900,15 @@ def frequent_itemsets(
     (one shuffle keyed on basket), counted via map-side-combined
     ``sum_by_key`` — the raw row stream never materializes on the
     driver. A basket holding more than ``max_basket_items`` FREQUENT
-    items raises (its pair expansion is quadratic) — at that point
-    raise ``min_support``, not the bound.
+    items raises (its pair expansion is quadratic), and a bucket
+    whose baskets would materialize more than
+    ``max_expanded_triples`` size-3 candidates raises before the
+    cubic expansion — at that point raise ``min_support``, not the
+    bounds.
 
     Returns ``(i1, i2, i3, size, n_baskets)`` — itemset members in
     ascending item order, absent slots null.
     """
-    from ray.data.aggregate import Sum
-
     from ..pipelines.annotate import dataset_to_table
     from .canonicalize import _B, _add_bucket, dedup_exact, sum_by_key
     from .graph import _pair_index_upper
@@ -989,10 +991,10 @@ def frequent_itemsets(
             "k": pa.array(code[li] * m + code[ri]),
             "one": pa.array(np.ones(len(li), np.int64))})
 
-    f2 = mat_cut(
+    f2 = mat_cut(sum_by_key(
         coded.groupby(_B)
-        .map_groups(expand_pairs, batch_format="pyarrow")
-        .groupby("k").aggregate(Sum("one", alias_name="n"))
+        .map_groups(expand_pairs, batch_format="pyarrow"),
+        "k", "one", nb=nb, out_col="n")
         .filter(expr=f"n >= {int(min_support)}"))
 
     def lvl2(t: pa.Table) -> pa.Table:
@@ -1029,6 +1031,16 @@ def frequent_itemsets(
         new[1:] = bk[1:] != bk[:-1]
         heads = np.flatnonzero(new)
         d = np.diff(np.append(heads, len(bk)))
+        # the pair guard bounds the quadratic stage; this stage is
+        # CUBIC, so bound the materialized triple count explicitly
+        # before expanding (C(d,3) summed over the bucket's baskets)
+        dd = d.astype(np.float64)
+        n_triples = float((dd * (dd - 1) * (dd - 2) / 6.0).sum())
+        if n_triples > max_expanded_triples:
+            raise RuntimeError(
+                f"triple expansion would materialize "
+                f"{int(n_triples)} candidates "
+                f"(> {max_expanded_triples}); raise min_support")
         li, ri = _pair_index_upper(d)
         if li.size == 0:
             return pa.table({"k": pa.array([], pa.int64()),
@@ -1052,10 +1064,11 @@ def frequent_itemsets(
             "k": pa.array(c1[ok] * m * m + c2[ok] * m + c3[ok]),
             "one": pa.array(np.ones(int(ok.sum()), np.int64))})
 
-    f3 = (coded.groupby(_B)
-          .map_groups(expand_triples, batch_format="pyarrow")
-          .groupby("k").aggregate(Sum("one", alias_name="n"))
-          .filter(expr=f"n >= {int(min_support)}"))
+    f3 = (sum_by_key(
+        coded.groupby(_B)
+        .map_groups(expand_triples, batch_format="pyarrow"),
+        "k", "one", nb=nb, out_col="n")
+        .filter(expr=f"n >= {int(min_support)}"))
 
     def lvl3(t: pa.Table) -> pa.Table:
         k = t.column("k").to_numpy(zero_copy_only=False)

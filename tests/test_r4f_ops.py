@@ -894,3 +894,62 @@ def test_zorder_interleave_and_guards():
         zorder_key(pa.table({"x": pa.array([-1], pa.int64()),
                              "y": pa.array([0], pa.int64())}),
                    ["x", "y"], bits=2)
+
+
+# ----------------------------------------------------- review regressions
+
+
+def test_label_spreading_converges_exactly_at_max_rounds():
+    # review fix: finishing on the LAST allowed round is convergence,
+    # not an error
+    from biosd_feature_annotator_ray.stages.graph import label_spreading
+
+    t = pa.table({"a": pa.array([0, 1, 2], pa.int64()),
+                  "b": pa.array([1, 2, 3], pa.int64())})
+    st = pa.table({"node": pa.array([0], pa.int64()),
+                   "label": pa.array([7], pa.int64())})
+    out = label_spreading(t, st, max_rounds=3, nb=2).to_pandas()
+    assert dict(zip(out["node"], out["label"])) \
+        == {0: 7, 1: 7, 2: 7, 3: 7}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        label_spreading(t, st, max_rounds=2, nb=2).to_pandas()
+
+
+def test_mixture_sample_exact_decimal_quota():
+    # review fix: int(100 * 0.29) == 28 in float; quota must be 29
+    from biosd_feature_annotator_ray.stages.canonicalize import (
+        mixture_sample)
+
+    t = pa.table({"id": pa.array(range(100), pa.int64()),
+                  "g": pa.array(["a"] * 60 + ["b"] * 40)})
+    out = mixture_sample(rd.from_arrow(t), "g",
+                         {"a": 0.29, "b": 0.40}, total_n=100,
+                         id_col="id", nb=2).to_pandas()
+    assert out.groupby("g").size().to_dict() == {"a": 29, "b": 40}
+
+
+def test_ip_in_cidr_anti_schema_stable():
+    from biosd_feature_annotator_ray.functions.net import ip_in_cidr_join
+
+    t = pa.table({"ip": pa.array(["10.0.0.1", "8.8.8.8"])})
+    anti = ip_in_cidr_join(rd.from_arrow(t), ["10.0.0.0/8"],
+                           how="anti")
+    assert anti.schema().names == ["ip", "cidr"]
+    df = anti.to_pandas()
+    assert list(df["ip"]) == ["8.8.8.8"]
+    assert df["cidr"].isna().all()
+
+
+def test_frequent_itemsets_triple_expansion_guard():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        frequent_itemsets)
+
+    # one basket with 12 shared items -> C(12,3)=220 candidates
+    t = pa.table({"b": pa.array([1] * 12 + [2] * 12, pa.int64()),
+                  "i": pa.array([f"i{j:02d}" for j in range(12)] * 2)})
+    with pytest.raises(RuntimeError, match="triple expansion"):
+        frequent_itemsets(rd.from_arrow(t), "b", "i", min_support=2,
+                          max_expanded_triples=100, nb=2).to_pandas()
+    ok = frequent_itemsets(rd.from_arrow(t), "b", "i", min_support=2,
+                           max_expanded_triples=1000, nb=2).to_pandas()
+    assert (ok["size"] == 3).sum() == 220
