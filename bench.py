@@ -257,6 +257,9 @@ def run_queries() -> dict:
         "vocab_richness", "burst_islands", "mixture_sample",
         "rendezvous_shards", "join_skew_report", "decayed_sum",
         "grouped_hll", "term_drift", "attribution", "ip_cidr_filter", "rrf_fuse", "weighted_sample_per_key", "zorder_layout",
+        # round-4 eleventh sitting
+        "topo_layers", "skyline_lineitem", "band_join_events",
+        "heavy_hitters_exact",
     ]
     out = {}
     for name in names:

@@ -10497,3 +10497,147 @@ ORACLES["zorder_layout"] = (
     "  FROM generate_series(0, 7) b(k)) AS zkey"
     " FROM orders"
 )
+
+
+def q_topo_layers(sf_dir: str):
+    """Kahn topological layering (graph.topo_layers) over a
+    synthesized DAG: the 10-ary tree (i//10 -> i) plus chord edges
+    (j -> j+100), so layers are genuine longest-path depths, not tree
+    depths. Fully oracled: the SQL twin enumerates all root paths
+    with a recursive CTE and takes max(depth) per node."""
+    from ..stages.graph import topo_layers
+
+    i = np.arange(10, 510, dtype=np.int64)
+    j = np.arange(100, 400, dtype=np.int64)
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array(np.concatenate([i // 10, j])),
+        "dst": pa.array(np.concatenate([i, j + 100]))})).repartition(4)
+    out = topo_layers(edges, nb=8)
+    df = out.to_pandas()
+    df["node"] = df["node"].astype("int64")
+    df["layer"] = df["layer"].astype("int64")
+    return pa.Table.from_pandas(df.sort_values("node").reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES["topo_layers"] = q_topo_layers
+
+ORACLES["topo_layers"] = (
+    "WITH RECURSIVE e AS ("
+    " SELECT i // 10 AS src, i AS dst FROM generate_series(10, 509) s(i)"
+    " UNION ALL SELECT j, j + 100 FROM generate_series(100, 399) t(j)),"
+    " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+    " p AS ("
+    "  SELECT node, 0 AS d FROM nodes"
+    "   WHERE node NOT IN (SELECT dst FROM e)"
+    "  UNION ALL SELECT e.dst, p.d + 1 FROM p JOIN e ON e.src = p.node)"
+    " SELECT node, CAST(max(d) AS BIGINT) AS layer FROM p GROUP BY node"
+)
+
+
+def q_skyline_lineitem(sf_dir: str):
+    """Distributed Pareto front (sketches.skyline): lineitems on the
+    (min price, max quantity, max discount) frontier within a one-month
+    ship window. Fully oracled: NOT-EXISTS dominance twin (the window
+    filter keeps the quadratic oracle small; the engine's kernel is
+    the same at any scale)."""
+    import pyarrow.dataset as pads
+
+    from ..stages.sketches import skyline
+
+    lo = pd.Timestamp("1995-06-01")
+    hi = pd.Timestamp("1995-07-01")
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_quantity", "l_discount"],
+        filter=((pads.field("l_shipdate") >= lo)
+                & (pads.field("l_shipdate") < hi)))
+    out = skyline(li, ["l_extendedprice", "l_quantity", "l_discount"],
+                  maximize=[False, True, True])
+    df = out.to_pandas().sort_values(
+        ["l_orderkey", "l_linenumber"]).reset_index(drop=True)
+    df["l_linenumber"] = df["l_linenumber"].astype("int32")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["skyline_lineitem"] = q_skyline_lineitem
+
+ORACLES["skyline_lineitem"] = (
+    "WITH w AS (SELECT l_orderkey, l_linenumber, l_extendedprice,"
+    "  l_quantity, l_discount FROM lineitem"
+    "  WHERE l_shipdate >= TIMESTAMP '1995-06-01'"
+    "    AND l_shipdate < TIMESTAMP '1995-07-01')"
+    " SELECT * FROM w r WHERE NOT EXISTS ("
+    "  SELECT 1 FROM w s WHERE s.l_extendedprice <= r.l_extendedprice"
+    "   AND s.l_quantity >= r.l_quantity"
+    "   AND s.l_discount >= r.l_discount"
+    "   AND (s.l_extendedprice < r.l_extendedprice"
+    "     OR s.l_quantity > r.l_quantity"
+    "     OR s.l_discount > r.l_discount))"
+)
+
+
+def q_band_join_events(sf_dir: str):
+    """Keyed numeric band join (join.band_join): event pairs of the
+    same type whose values lie within 0.25 of each other — the
+    eps-cell replicate-left-by-3 plan, each pair meeting in exactly
+    one bucket. Fully oracled (inner-join + ABS twin)."""
+    from ..stages.join import band_join
+
+    ev = _events(sf_dir, ["event_id", "event_type", "value"])
+    out = band_join(ev, ev, on="event_type", lval="value", eps=0.25, nb=32)
+
+    def post(t: pa.Table) -> pa.Table:
+        keep = pc.less(t.column("event_id"), t.column("event_id_r"))
+        return t.filter(keep)
+
+    df = out.map_batches(post, batch_format="pyarrow").to_pandas()
+    df = df.sort_values(["event_id", "event_id_r"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["band_join_events"] = q_band_join_events
+
+ORACLES["band_join_events"] = (
+    "SELECT a.event_type, a.event_id, a.value,"
+    "  b.event_id AS event_id_r, b.value AS value_r"
+    " FROM events a JOIN events b ON a.event_type = b.event_type"
+    "  AND abs(a.value - b.value) <= 0.25"
+    "  AND a.event_id < b.event_id"
+)
+
+
+def q_heavy_hitters_exact(sf_dir: str):
+    """Exact heavy hitters (sketches.exact_heavy_hitters, k=20): every
+    derived key with global count strictly above n/20, exact counts —
+    two streaming passes (per-block local-HH superset + candidate-only
+    recount), no distinct-key shuffle. The key is deliberately skewed
+    (clicks keep the raw user id; everything else folds to user_id %
+    10). Fully oracled (GROUP BY ... HAVING twin)."""
+    from ..stages.sketches import exact_heavy_hitters
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def derive(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        click = pc.equal(t.column("event_type"), "click").to_numpy(
+            zero_copy_only=False)
+        return pa.table({"key": pa.array(
+            np.where(click, u, u % 10).astype(np.int64))})
+
+    out = exact_heavy_hitters(
+        ev.map_batches(derive, batch_format="pyarrow"), "key", k=20, nb=8)
+    df = out.to_pandas().sort_values("key").reset_index(drop=True)
+    df["count"] = df["count"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["heavy_hitters_exact"] = q_heavy_hitters_exact
+
+ORACLES["heavy_hitters_exact"] = (
+    "WITH d AS (SELECT CASE WHEN event_type = 'click' THEN user_id"
+    "  ELSE user_id % 10 END AS key FROM events)"
+    " SELECT key, count(*) AS count FROM d GROUP BY key"
+    " HAVING count(*) * 20 > (SELECT count(key) FROM d)"
+)

@@ -5193,3 +5193,104 @@ def condensation(
         batch_format="pyarrow")
     return sum_by_key(cross, ["src_scc", "dst_scc"], "one", nb=nb,
                       out_col="n_edges")
+
+
+def topo_layers(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nb: int = 32,
+    max_rounds: int = 200,
+) -> "ray.data.Dataset":
+    """Kahn topological layering over a DAG edge list: every node gets
+    the round in which it would be peeled by Kahn's algorithm —
+    equivalently ``layer(v) = length of the longest path from any
+    zero-in-degree node to v``. The scheduling primitive for
+    dependency DAGs (ontology import order, pipeline stage ordering,
+    crawl-before relations): all nodes in layer k can run in parallel
+    once layers < k finished.
+
+    Shape per round: one fused dedup+anti-join (`_subtract_new`) finds
+    the current sources (live nodes with no incoming live edge), a
+    second subtracts them from the live set, and one semi join drops
+    the edges leaving assigned nodes — every step is a bucketed
+    shuffle over frontier-sized data; rounds = DAG depth. A round that
+    assigns nothing while nodes remain means a cycle → raises (a
+    silent partial layering would be wrong).
+    """
+    import ray.data as rd
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    sch = edges_ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        ft = base.field(src_col).type
+        is_str = (pa.types.is_string(ft) or pa.types.is_large_string(ft))
+    else:
+        ft = base.types[list(base.names).index(src_col)]
+        is_str = str(ft) in ("object", "string", "string[python]")
+    node_t = pa.string() if is_str else pa.int64()
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column(src_col).cast(node_t),
+                            "dst": t.column(dst_col).cast(node_t)}),
+        batch_format="pyarrow").materialize()
+    empty = pa.table({"node": pa.array([], node_t),
+                      "layer": pa.array([], pa.int64())})
+    if e.count() == 0:
+        return rd.from_arrow(empty)
+    live = mat_cut(dedup_exact(
+        e.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays([
+                t.column("src").combine_chunks(),
+                t.column("dst").combine_chunks()])}),
+            batch_format="pyarrow"),
+        ["node"], nb=nb))
+
+    def _with_layer(r: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "layer", pa.array(np.full(t.num_rows, r, np.int64)))
+        return f
+
+    layers: list = []
+    for r in range(max_rounds):
+        n_live = live.count()
+        if n_live == 0:
+            break
+        if e.count() == 0:
+            # no edges left: every remaining live node is a source
+            layers.append(live.map_batches(_with_layer(r),
+                                           batch_format="pyarrow"))
+            break
+        heads = e.map_batches(
+            lambda t: pa.table({"node": t.column("dst")}),
+            batch_format="pyarrow")
+        layer = mat_cut(_subtract_new(live, heads, ["node"], nb,
+                                      key_type=node_t))
+        if layer.count() == 0:
+            raise ValueError(
+                "topo_layers: no zero-in-degree node among "
+                f"{n_live} remaining — the graph has a cycle")
+        layers.append(layer.map_batches(_with_layer(r),
+                                        batch_format="pyarrow").materialize())
+        live = mat_cut(_subtract_new(live, layer, ["node"], nb,
+                                     key_type=node_t))
+        e = mat_cut(shuffle_hash_join(
+            e, live.map_batches(
+                lambda t: pa.table({"src": t.column("node")}),
+                batch_format="pyarrow"),
+            on=["src"], how="semi", nb=nb))
+    else:
+        if live.count() > 0:
+            raise RuntimeError(
+                f"topo_layers: no fixpoint within max_rounds={max_rounds}")
+    if not layers:
+        return rd.from_arrow(empty)
+    out = layers[0]
+    for d in layers[1:]:
+        out = out.union(d)
+    return out

@@ -853,3 +853,93 @@ def join_skew_report(
             .repartition(1)
             .map_batches(score, batch_format="pyarrow",
                          batch_size=1 << 30))
+
+
+def band_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: "str | list[str]",
+    lval: str,
+    eps: float,
+    rval: "str | None" = None,
+    nb: int = 64,
+    suffix: str = "_r",
+) -> "ray.data.Dataset":
+    """Keyed numeric band join: inner join on ``on`` equality AND
+    ``|l.lval − r.rval| ≤ eps`` — the fuzzy-measurement join (same
+    entity key, numeric reading within tolerance) that an equi-join
+    can't express and a cross-join can't afford.
+
+    Scale shape: both sides bucket on ``(on…, floor(value/eps))``;
+    each LEFT row is replicated to its cell and both neighbors (3×),
+    each RIGHT row lands in its own cell only — any pair within eps
+    spans at most one cell boundary, so it meets in EXACTLY one
+    bucket (the right row's cell; no post-dedup pass needed). The
+    shuffle therefore moves 3·|L| + |R| rows, never |L|·|R|; skew is
+    bounded by rows per (key, eps-cell). Right columns colliding with
+    left names get ``suffix``. SQL inner-join null semantics: rows
+    with a null key or null value match nothing and are dropped
+    map-side."""
+    keys = [on] if isinstance(on, str) else list(on)
+    rval = rval if rval is not None else lval
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = [n for n in lschema.names if n not in keys]
+    taken = set(keys) | set(lcols)
+    rmap = {n: (n + suffix if n in taken else n)
+            for n in rschema.names if n not in keys}
+    rval_out = rmap[rval]
+    wide = pa.schema(
+        [lschema.field(k) for k in keys]
+        + [lschema.field(n) for n in lcols]
+        + [pa.field(rmap[n], rschema.field(n).type) for n in rmap])
+    _CELL = "__cell"
+
+    def _cells(t: pa.Table, vcol: str) -> "tuple[pa.Table, np.ndarray]":
+        import pyarrow.compute as pc
+        ok = pc.true_unless_null(t.column(vcol))
+        for k in keys:
+            ok = pc.and_(ok, pc.true_unless_null(t.column(k)))
+        t = t.filter(pc.fill_null(ok, False))
+        v = t.column(vcol).to_numpy(zero_copy_only=False).astype(np.float64)
+        fin = np.isfinite(v)
+        if not fin.all():
+            t = t.take(pa.array(np.flatnonzero(fin)))
+            v = v[fin]
+        return t, np.floor(v / eps).astype(np.int64)
+
+    def prep_left(batch: pa.Table) -> pa.Table:
+        t = _align(batch, wide, 0)
+        t, c = _cells(t, lval)
+        parts = []
+        for d in (-1, 0, 1):
+            parts.append(t.append_column(_CELL, pa.array(c + d)))
+        out = pa.concat_tables(parts)
+        return _add_bucket(out, keys + [_CELL], nb)
+
+    def prep_right(batch: pa.Table) -> pa.Table:
+        renamed = batch.rename_columns(
+            [rmap.get(n, n) for n in batch.column_names])
+        t = _align(renamed, wide, 1)
+        t, c = _cells(t, rval_out)
+        return _add_bucket(t.append_column(_CELL, pa.array(c)), keys + [_CELL], nb)
+
+    both = (left.map_batches(prep_left, batch_format="pyarrow",
+                             batch_size=65536)
+            .union(right.map_batches(prep_right, batch_format="pyarrow",
+                                     batch_size=65536)))
+
+    rcols_out = list(rmap.values())
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        side = df.pop(_SIDE)
+        ldf = df[side == 0][keys + lcols + [_CELL]]
+        rdf = df[side == 1][keys + rcols_out + [_CELL]]
+        if len(ldf) == 0 or len(rdf) == 0:
+            return _df_to_schema(df.iloc[0:0], wide)
+        out = ldf.merge(rdf, on=keys + [_CELL])
+        out = out[(out[lval] - out[rval_out]).abs() <= eps]
+        return _df_to_schema(out.drop(columns=[_CELL]), wide)
+
+    return both.groupby(_B).map_groups(finish, batch_format="pyarrow")

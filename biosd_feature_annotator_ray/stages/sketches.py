@@ -1281,3 +1281,173 @@ def weighted_sample_per_key(
     return out.map_batches(
         lambda t: t.select([key_col, id_col, weight_col]),
         batch_format="pyarrow")
+
+
+def _skyline_local(M: np.ndarray, tile: int = 2048) -> np.ndarray:
+    """Boolean keep-mask of the Pareto-minimal rows of ``M`` (n × d
+    float64, all-minimize). Tiled vectorized dominance test — row i is
+    dropped iff some row j has all(M[j] <= M[i]) and any(M[j] < M[i]).
+    Duplicate rows never dominate each other (any(<) is false), so
+    ties all survive, matching the SQL NOT-EXISTS twin. O(n²·d) per
+    block but fully numpy; callers bound n by batch size."""
+    n = M.shape[0]
+    keep = np.ones(n, dtype=bool)
+    if n == 0:
+        return keep
+    for lo in range(0, n, tile):
+        hi = min(lo + tile, n)
+        # candidates [lo:hi] vs every currently-kept row
+        C = M[lo:hi]                       # t × d
+        K = M[keep]                        # m × d
+        le = (K[None, :, :] <= C[:, None, :]).all(-1)   # t × m
+        lt = (K[None, :, :] < C[:, None, :]).any(-1)
+        dominated = (le & lt).any(1)
+        keep[lo:hi] &= ~dominated
+        del le, lt
+    # Completeness: when tile T is tested, every row of a LATER tile is
+    # still in K (nothing after T has been dropped yet), and a dropped
+    # earlier row's dominator survives and dominates transitively — so
+    # one pass suffices.
+    return keep
+
+
+def skyline(
+    ds: "ray.data.Dataset",
+    cols: list[str],
+    maximize: "list[bool] | None" = None,
+    nb: int = 8,
+    batch_size: int = 8192,
+    max_candidates: int = 2_000_000,
+) -> pa.Table:
+    """Distributed skyline (Pareto front) over ``cols``: the rows not
+    dominated by any other row, where row s dominates row r iff s is
+    ≤ r on every criterion and < on at least one (after flipping
+    ``maximize`` columns). The multi-criteria curation primitive —
+    e.g. "documents on the quality/length/recency frontier".
+
+    Scale shape: the skyline operator is ASSOCIATIVE — the global
+    skyline equals the skyline of the union of per-block skylines —
+    so each batch reduces locally (vectorized tiled dominance kernel,
+    typically a tiny surviving fraction) and only local survivors
+    move; one final single-group pass merges them. ``max_candidates``
+    guards the reduce side: a frontier that big means the criteria
+    don't discriminate (raise, don't OOM). Rows with a NULL/NaN in
+    any criterion are excluded (SQL comparison semantics: they can
+    neither dominate nor be ranked)."""
+    sign = np.ones(len(cols))
+    if maximize:
+        if len(maximize) != len(cols):
+            raise ValueError("maximize must match cols length")
+        sign[np.asarray(maximize, bool)] = -1.0
+
+    def _mat(batch: pa.Table) -> np.ndarray:
+        M = np.column_stack([
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in cols])
+        return M * sign
+
+    def local(batch: pa.Table) -> pa.Table:
+        M = _mat(batch)
+        ok = ~np.isnan(M).any(1)
+        batch = batch.take(pa.array(np.flatnonzero(ok)))
+        keep = _skyline_local(M[ok])
+        return batch.take(pa.array(np.flatnonzero(keep)))
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=batch_size).materialize()
+    n = cand.count()
+    if n > max_candidates:
+        raise ValueError(
+            f"skyline: {n} local-skyline candidates exceed "
+            f"max_candidates={max_candidates} — criteria too weak to "
+            "discriminate; add a criterion or pre-filter")
+    tbl = pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="permissive") if n else None
+    if tbl is None or tbl.num_rows == 0:
+        return pa.Table.from_pylist([], schema=_arrow_schema_of(ds))
+    keep = _skyline_local(_mat(tbl))
+    return tbl.take(pa.array(np.flatnonzero(keep)))
+
+
+def _arrow_schema_of(ds: "ray.data.Dataset") -> pa.Schema:
+    sch = ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema([pa.field(n, pa.from_numpy_dtype(t) if t != object
+                               else pa.string())
+                      for n, t in zip(base.names, base.types)])
+
+
+def exact_heavy_hitters(
+    ds: "ray.data.Dataset",
+    col: str,
+    k: int,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """EXACT heavy hitters: every value whose global count strictly
+    exceeds n/k, with its exact count — without a full distinct-key
+    shuffle. Complements :func:`count_min_heavy_hitters` (approximate,
+    sketch-based) when the answer must be auditable.
+
+    Soundness: if count(x) > n/k globally then count_b(x) > n_b/k in
+    at least ONE block b (otherwise summing the per-block bounds gives
+    count(x) ≤ n/k) — so the union of per-block local heavy hitters
+    (< k candidates per block, found with one vectorized value_counts)
+    is a SUPERSET of the true answer. Pass 2 exact-counts only the
+    candidate set (broadcast once via ray.put, read per task) and
+    filters by the true threshold. Two streaming passes, no shuffle
+    proportional to distinct keys."""
+    import ray
+
+    from .canonicalize import sum_by_key
+
+    def local(batch: pa.Table) -> pa.Table:
+        s = batch.column(col).to_pandas()
+        vc = s.value_counts(dropna=True)
+        nb_rows = int(s.notna().sum())
+        hot = vc[vc * k > nb_rows]
+        return pa.table({col: pa.Array.from_pandas(
+            pd.Series(hot.index), type=batch.schema.field(col).type)})
+
+    cand = ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=65536)
+    cand_vals = set()
+    for b in cand.iter_batches(batch_format="pyarrow", batch_size=None):
+        cand_vals.update(b.column(col).to_pylist())
+    if not cand_vals:
+        sch = _arrow_schema_of(ds)
+        return ray.data.from_arrow(pa.table({
+            col: pa.array([], sch.field(col).type),
+            "count": pa.array([], pa.int64())}))
+    cand_ref = ray.put(cand_vals)
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        vals = ray.get(cand_ref)
+        arr = batch.column(col)
+        m = pc.is_in(arr, value_set=pa.array(
+            list(vals), type=arr.type))
+        t = batch.filter(pc.fill_null(m, False)).select([col])
+        return t.append_column(
+            "one", pa.array(np.ones(t.num_rows, np.int64)))
+
+    counts = sum_by_key(
+        ds.map_batches(count_cand, batch_format="pyarrow",
+                       batch_size=65536),
+        col, "one", nb=nb, out_col="count").materialize()
+    # n = total non-null rows (SQL count(col)); one cheap agg pass
+    def nn(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array(
+            [int(pc.count(batch.column(col)).as_py())], pa.int64())})
+
+    n = sum(b.column("n").to_numpy().sum()
+            for b in ds.map_batches(nn, batch_format="pyarrow",
+                                    batch_size=65536)
+            .iter_batches(batch_format="pyarrow", batch_size=None))
+    n = int(n)
+    return counts.map_batches(
+        lambda t: t.filter(pc.greater(
+            pc.multiply(t.column("count"), pa.scalar(k, pa.int64())),
+            pa.scalar(n, pa.int64()))),
+        batch_format="pyarrow")

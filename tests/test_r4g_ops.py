@@ -1,0 +1,241 @@
+"""Eleventh-sitting operators: Kahn topological layering, distributed
+skyline (Pareto front), exact heavy hitters, keyed numeric band join."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+# --------------------------------------------------------- topo_layers
+
+
+def _layers_reference(edges: pd.DataFrame) -> dict[int, int]:
+    con = duckdb.connect()
+    con.register("e", edges)
+    df = con.execute(
+        "WITH RECURSIVE nodes AS (SELECT src AS node FROM e"
+        "  UNION SELECT dst FROM e),"
+        " p AS (SELECT node, 0 AS d FROM nodes"
+        "   WHERE node NOT IN (SELECT dst FROM e)"
+        "  UNION ALL SELECT e.dst, p.d + 1 FROM p JOIN e ON e.src = p.node)"
+        " SELECT node, max(d) AS layer FROM p GROUP BY node").df()
+    return dict(zip(df["node"].astype(int), df["layer"].astype(int)))
+
+
+def test_topo_layers_known_dag():
+    from biosd_feature_annotator_ray.stages.graph import topo_layers
+
+    edges = pd.DataFrame({"src": [1, 1, 2, 3, 10, 10, 4],
+                          "dst": [2, 3, 4, 4, 11, 12, 11]})
+    out = topo_layers(rd.from_pandas(edges).repartition(2)).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["layer"].astype(int)))
+    assert got == {1: 0, 10: 0, 2: 1, 3: 1, 12: 1, 4: 2, 11: 3}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_topo_layers_random_dag_duckdb_parity(seed):
+    from biosd_feature_annotator_ray.stages.graph import topo_layers
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    src = rng.integers(0, n - 1, 150)
+    # dst strictly greater than src -> guaranteed DAG
+    dst = src + 1 + rng.integers(0, 5, 150)
+    edges = pd.DataFrame({"src": src, "dst": np.minimum(dst, n)})
+    edges = edges[edges.src != edges.dst].drop_duplicates()
+    out = topo_layers(rd.from_pandas(edges).repartition(3)).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["layer"].astype(int)))
+    assert got == _layers_reference(edges)
+
+
+def test_topo_layers_cycle_raises():
+    from biosd_feature_annotator_ray.stages.graph import topo_layers
+
+    edges = pd.DataFrame({"src": [1, 2, 3], "dst": [2, 3, 1]})
+    with pytest.raises(ValueError, match="cycle"):
+        topo_layers(rd.from_pandas(edges)).to_pandas()
+
+
+def test_topo_layers_string_nodes_and_empty():
+    from biosd_feature_annotator_ray.stages.graph import topo_layers
+
+    edges = pd.DataFrame({"src": ["a", "b"], "dst": ["b", "c"]})
+    out = topo_layers(rd.from_pandas(edges)).to_pandas()
+    got = dict(zip(out["node"], out["layer"].astype(int)))
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                          "dst": pd.Series([], dtype="int64")})
+    out = topo_layers(rd.from_pandas(empty)).to_pandas()
+    assert len(out) == 0
+
+
+# ------------------------------------------------------------- skyline
+
+
+def _skyline_reference(df: pd.DataFrame, cols, maximize) -> set:
+    m = df.dropna(subset=cols)
+    M = m[cols].to_numpy(float).copy()
+    for i, mx in enumerate(maximize):
+        if mx:
+            M[:, i] = -M[:, i]
+    keep = []
+    for i in range(len(M)):
+        dominated = False
+        for j in range(len(M)):
+            if i == j:
+                continue
+            if (M[j] <= M[i]).all() and (M[j] < M[i]).any():
+                dominated = True
+                break
+        if not dominated:
+            keep.append(m.index[i])
+    return set(m.loc[keep, "id"])
+
+
+@pytest.mark.parametrize("seed,d", [(0, 2), (1, 3), (2, 4)])
+def test_skyline_reference_parity(seed, d):
+    from biosd_feature_annotator_ray.stages.sketches import skyline
+
+    rng = np.random.default_rng(seed)
+    n = 800
+    df = pd.DataFrame({f"c{i}": rng.uniform(0, 1, n) for i in range(d)})
+    df["id"] = np.arange(n)
+    df.loc[0, "c0"] = np.nan  # null criterion -> excluded
+    maximize = [i % 2 == 1 for i in range(d)]
+    cols = [f"c{i}" for i in range(d)]
+    out = skyline(rd.from_pandas(df).repartition(4), cols,
+                  maximize=maximize, batch_size=128).to_pandas()
+    assert set(out["id"]) == _skyline_reference(df, cols, maximize)
+
+
+def test_skyline_duplicate_frontier_points_all_kept():
+    from biosd_feature_annotator_ray.stages.sketches import skyline
+
+    df = pd.DataFrame({"x": [1.0, 1.0, 2.0, 3.0], "y": [5.0, 5.0, 4.0, 6.0],
+                       "id": [0, 1, 2, 3]})
+    # minimize x, maximize y: (1,5)x2 on the front; (2,4) dominated by
+    # (1,5); (3,6) kept (higher y).
+    out = skyline(rd.from_pandas(df), ["x", "y"],
+                  maximize=[False, True]).to_pandas()
+    assert sorted(out["id"]) == [0, 1, 3]
+
+
+def test_skyline_max_candidates_guard():
+    from biosd_feature_annotator_ray.stages.sketches import skyline
+
+    # anti-correlated ring: every point is on the front
+    t = np.linspace(0, np.pi / 2, 500)
+    df = pd.DataFrame({"x": np.cos(t), "y": np.sin(t)})
+    with pytest.raises(ValueError, match="max_candidates"):
+        skyline(rd.from_pandas(df), ["x", "y"], maximize=[True, True],
+                max_candidates=100)
+
+
+# -------------------------------------------------- exact_heavy_hitters
+
+
+@pytest.mark.parametrize("seed,k", [(0, 10), (1, 25), (2, 50)])
+def test_exact_heavy_hitters_duckdb_parity(seed, k):
+    from biosd_feature_annotator_ray.stages.sketches import exact_heavy_hitters
+
+    rng = np.random.default_rng(seed)
+    vals = np.concatenate([
+        rng.integers(0, 2000, 6000),         # long tail
+        np.repeat(rng.integers(0, 50, 5), rng.integers(500, 1500, 5)),
+    ]).astype("float64")
+    df = pd.DataFrame({"v": vals})
+    df.loc[rng.integers(0, len(df), 50), "v"] = np.nan
+    ds = exact_heavy_hitters(
+        rd.from_pandas(df).repartition(5), "v", k=k, nb=4)
+    got_t = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)),
+        promote_options="permissive") if ds.count() else None
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        f"SELECT v, count(*) AS count FROM t WHERE v IS NOT NULL"
+        f" GROUP BY v HAVING count(*) * {k} > (SELECT count(v) FROM t)").df()
+    got = (sorted(zip(got_t["v"].to_pylist(),
+                      got_t["count"].to_pylist())) if got_t is not None else [])
+    want = sorted(zip(exp["v"], exp["count"].astype(int)))
+    assert got == want
+    if seed == 0 and k == 10:
+        assert len(want) > 0  # at least one case exercises survivors
+
+
+def test_exact_heavy_hitters_none_qualify_schema():
+    from biosd_feature_annotator_ray.stages.sketches import exact_heavy_hitters
+
+    df = pd.DataFrame({"v": np.arange(1000, dtype="int64")})  # all unique
+    ds = exact_heavy_hitters(rd.from_pandas(df), "v", k=10)
+    assert ds.count() == 0
+    # the typed-empty early return keeps the (col, count) schema
+    assert ds.schema().names == ["v", "count"]
+
+
+# ----------------------------------------------------------- band_join
+
+
+@pytest.mark.parametrize("seed,eps", [(0, 0.25), (1, 1.0), (2, 3.5)])
+def test_band_join_duckdb_parity(seed, eps):
+    from biosd_feature_annotator_ray.stages.join import band_join
+
+    rng = np.random.default_rng(seed)
+    n = 1500
+    L = pd.DataFrame({"k": rng.integers(0, 4, n).astype(str),
+                      "v": np.round(rng.uniform(-50, 50, n), 2),
+                      "lid": np.arange(n, dtype="int64")})
+    R = pd.DataFrame({"k": rng.integers(0, 4, n).astype(str),
+                      "v": np.round(rng.uniform(-50, 50, n), 2),
+                      "rid": np.arange(n, dtype="int64")})
+    L.loc[3, "v"] = np.nan
+    R.loc[5, "k"] = None
+    out = band_join(rd.from_pandas(L).repartition(3),
+                    rd.from_pandas(R).repartition(4),
+                    "k", "v", eps=eps, nb=8).to_pandas()
+    con = duckdb.connect()
+    con.register("L", L)
+    con.register("R", R)
+    exp = con.execute(
+        f"SELECT l.k, l.v, l.lid, r.v AS v_r, r.rid FROM L l JOIN R r"
+        f" ON l.k = r.k AND abs(l.v - r.v) <= {eps}").df()
+    got = out.sort_values(["lid", "rid"]).reset_index(drop=True)
+    want = exp.sort_values(["lid", "rid"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_frame_equal(
+        got[["k", "v", "lid", "v_r", "rid"]].astype({"lid": "int64", "rid": "int64"}),
+        want.astype({"lid": "int64", "rid": "int64"}),
+        check_dtype=False)
+
+
+def test_band_join_exact_boundary_and_negative_cells():
+    from biosd_feature_annotator_ray.stages.join import band_join
+
+    # |dv| == eps is INSIDE the band; values straddle 0 (negative cells)
+    L = pd.DataFrame({"k": ["a", "a"], "v": [-0.1, 0.0],
+                      "lid": [0, 1]})
+    R = pd.DataFrame({"k": ["a", "a"], "v": [0.15, -0.35],
+                      "rid": [0, 1]})
+    out = band_join(rd.from_pandas(L), rd.from_pandas(R),
+                    "k", "v", eps=0.25).to_pandas()
+    pairs = set(zip(out["lid"].astype(int), out["rid"].astype(int)))
+    assert pairs == {(0, 0), (0, 1), (1, 0)}  # |0.0-(-0.35)|=0.35 out
+
+
+def test_band_join_empty_side():
+    from biosd_feature_annotator_ray.stages.join import band_join
+
+    L = pd.DataFrame({"k": ["a"], "v": [1.0], "lid": [0]})
+    R = pd.DataFrame({"k": pd.Series([], dtype="str"),
+                      "v": pd.Series([], dtype="float64"),
+                      "rid": pd.Series([], dtype="int64")})
+    out = band_join(rd.from_pandas(L), rd.from_pandas(R),
+                    "k", "v", eps=0.5).to_pandas()
+    assert len(out) == 0
