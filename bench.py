@@ -259,7 +259,7 @@ def run_queries() -> dict:
         "grouped_hll", "term_drift", "attribution", "ip_cidr_filter", "rrf_fuse", "weighted_sample_per_key", "zorder_layout",
         # round-4 eleventh sitting
         "topo_layers", "skyline_lineitem", "band_join_events",
-        "heavy_hitters_exact",
+        "heavy_hitters_exact", "bigram_nll", "curate_corpus",
     ]
     out = {}
     for name in names:

@@ -10641,3 +10641,172 @@ ORACLES["heavy_hitters_exact"] = (
     " SELECT key, count(*) AS count FROM d GROUP BY key"
     " HAVING count(*) * 20 > (SELECT count(key) FROM d)"
 )
+
+
+def q_bigram_nll(sf_dir: str):
+    """Add-k-smoothed bigram LM NLL per document
+    (textstats.bigram_nll, max_vocab=512, k=0.5) — the sequence-aware
+    perplexity filter, self-scored over the corpus. Fully oracled:
+    the SQL twin rebuilds the vocabulary cut, the BOS-prefixed mapped
+    bigram stream, and both count tables, then replays the smoothed
+    NLL."""
+    from ..stages.textstats import bigram_nll
+
+    out = bigram_nll(_docs(sf_dir, ["doc_id", "text"]), max_vocab=512,
+                     k=0.5, nb=8)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["n_bigrams"] = df["n_bigrams"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["bigram_nll"] = q_bigram_nll
+
+ORACLES["bigram_nll"] = (
+    "WITH t AS (SELECT doc_id,"
+    "   regexp_split_to_array(trim(text), '\\s+') AS toks,"
+    "   len(regexp_split_to_array(trim(text), '\\s+')) AS L"
+    "  FROM documents WHERE trim(text) <> ''),"
+    " e AS (SELECT doc_id, i, toks[i] AS tok FROM t,"
+    "   UNNEST(generate_series(1, L)) AS s(i) WHERE toks[i] <> ''),"
+    " cnt AS (SELECT tok, count(*) AS n FROM e GROUP BY tok),"
+    " v AS (SELECT tok FROM (SELECT tok, row_number() OVER"
+    "   (ORDER BY n DESC, tok ASC) AS rk FROM cnt) WHERE rk <= 512),"
+    " m AS (SELECT doc_id,"
+    "   row_number() OVER (PARTITION BY doc_id ORDER BY i) AS pos,"
+    "   CASE WHEN tok IN (SELECT tok FROM v) THEN tok"
+    "     ELSE '<unk>' END AS mt FROM e),"
+    " big AS (SELECT a.doc_id, coalesce(b.mt, '') AS u, a.mt AS w"
+    "   FROM m a LEFT JOIN m b"
+    "   ON a.doc_id = b.doc_id AND b.pos = a.pos - 1),"
+    " bc AS (SELECT u, w, count(*) AS c FROM big GROUP BY u, w),"
+    " cc AS (SELECT u, sum(c) AS cu FROM bc GROUP BY u),"
+    " vsz AS (SELECT count(*) + 1 AS V FROM v)"
+    " SELECT big.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,"
+    "  round(avg(-ln((bc.c + 0.5) / (cc.cu + 0.5 * vsz.V))), 6) AS nll"
+    " FROM big JOIN bc ON bc.u = big.u AND bc.w = big.w"
+    " JOIN cc ON cc.u = big.u CROSS JOIN vsz"
+    " GROUP BY big.doc_id"
+)
+
+
+_CURATE_STOP_SQL = ("'the','a','an','and','or','of','to','in','is',"
+                    "'are','was','for','on','with','as','at','by','it',"
+                    "'this','that','be','from'")
+
+
+def q_curate_corpus(sf_dir: str):
+    """FLAGSHIP training-data curation chain, end to end and fully
+    oracled — the C4/Gopher-style recipe composed from in-repo
+    stages, every step SQL-replayable:
+
+      1. language filter at the read (lang = 'en', predicate pushdown)
+      2. deterministic PII augmentation (same planting as
+         q:`pii_redact`, so the redaction step has real matches)
+      3. quality gate (quality_counts integers: ≥10 tokens, ≥5%
+         stopwords) + Gopher repetition gate (top-token share ≤ 25%)
+         in ONE stateless pass
+      4. corpus-wide duplicate-line removal over the survivors
+         (dedup_lines, '.'-separated, global keep-first)
+      5. typed PII redaction of the cleaned text (redact_pii)
+
+    Output: (doc_id, text_redacted, n_lines, n_removed)."""
+    import pyarrow.dataset as pads
+
+    from ..functions.pii import redact_pii
+    from ..stages.dedup import dedup_lines
+    from ..stages.textstats import quality_counts, repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id", "text"],
+                           filter=pads.field("lang") == "en")
+
+    def augment(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        d = df["doc_id"]
+        mod = d % 5
+        tail = d.astype(str).copy()
+        tail[:] = " no pii here"
+        tail[mod == 0] = (" Contact: user" + d.astype(str)
+                          + "@example.com now.")
+        tail[mod == 1] = (" Call +1 (555) 010-"
+                          + (d % 10000).astype(int).map("{:04d}".format)
+                          + " today")
+        tail[mod == 2] = (" Server at 10." + (d % 256).astype(str)
+                          + ".0." + (d % 100).astype(str) + " port 80")
+        tail[mod == 3] = (" Card 4111 1111 1111 "
+                          + (d % 10000).astype(int).map("{:04d}".format)
+                          + " expired")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text": pa.array(df["text"].fillna("") + tail, pa.string()),
+        })
+
+    def gate(batch: pa.Table) -> pa.Table:
+        q = quality_counts(batch)
+        r = repetition_stats(batch)
+        n = q.column("n_tokens_q").to_numpy(zero_copy_only=False)
+        ns = q.column("n_stop").to_numpy(zero_copy_only=False)
+        share = r.column("top_token_share").to_numpy(zero_copy_only=False)
+        keep = (n >= 10) & (ns * 20 >= n) & (share <= 0.25)
+        return batch.filter(pa.array(keep))
+
+    surv = (docs.map_batches(augment, batch_format="pyarrow",
+                             batch_size=65536)
+            .map_batches(gate, batch_format="pyarrow", batch_size=65536))
+    clean = dedup_lines(surv, sep=".", nb=8)
+    out = clean.map_batches(
+        lambda t: redact_pii(t).drop_columns(["text"]),
+        batch_format="pyarrow")
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for c in ("n_lines", "n_removed"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["curate_corpus"] = q_curate_corpus
+
+ORACLES["curate_corpus"] = (
+    "WITH aug AS (SELECT doc_id, coalesce(text,'')"
+    " || CASE CAST(doc_id % 5 AS INTEGER)"
+    " WHEN 0 THEN ' Contact: user' || doc_id || '@example.com now.'"
+    " WHEN 1 THEN ' Call +1 (555) 010-'"
+    "  || lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') || ' today'"
+    " WHEN 2 THEN ' Server at 10.' || (doc_id % 256) || '.0.'"
+    "  || (doc_id % 100) || ' port 80'"
+    " WHEN 3 THEN ' Card 4111 1111 1111 '"
+    "  || lpad(CAST(doc_id % 10000 AS VARCHAR),4,'0') || ' expired'"
+    " ELSE ' no pii here' END AS t"
+    " FROM documents WHERE lang = 'en'),"
+    " tk AS (SELECT doc_id, t,"
+    "  regexp_split_to_array(trim(t), '\\s+') AS toks FROM aug),"
+    " q AS (SELECT doc_id, t, len(toks) AS n_tok,"
+    "  len(list_filter(toks, x -> lower(x) IN (" + _CURATE_STOP_SQL + ")))"
+    "   AS n_stop FROM tk),"
+    " r AS (SELECT doc_id, max(c) AS mx FROM ("
+    "   SELECT doc_id, tok, count(*) AS c FROM ("
+    "    SELECT doc_id, unnest(toks) AS tok FROM tk) GROUP BY 1, 2)"
+    "  GROUP BY doc_id),"
+    " surv AS (SELECT q.doc_id, q.t FROM q JOIN r USING (doc_id)"
+    "  WHERE n_tok >= 10 AND n_stop * 20 >= n_tok AND mx * 4 <= n_tok),"
+    " l AS (SELECT doc_id, unnest(string_split(t, '.')) AS line,"
+    "   unnest(range(1, len(string_split(t, '.')) + 1)) AS ord FROM surv),"
+    " ranked AS (SELECT doc_id, ord, line,"
+    "   row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn,"
+    "   count(*) OVER (PARTITION BY line) AS cnt FROM l),"
+    " clean AS (SELECT doc_id,"
+    "  coalesce(string_agg(line, '.' ORDER BY ord)"
+    "    FILTER (WHERE cnt = 1 OR rn = 1), '') AS ctext,"
+    "  CAST(count(*) AS BIGINT) AS n_lines,"
+    "  CAST(count(*) FILTER (WHERE cnt > 1 AND rn > 1) AS BIGINT)"
+    "    AS n_removed"
+    "  FROM ranked GROUP BY doc_id)"
+    " SELECT doc_id, n_lines, n_removed,"
+    " regexp_replace(regexp_replace(regexp_replace(regexp_replace(ctext,"
+    "  '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',"
+    "  '[EMAIL]', 'g'),"
+    "  '\\b\\d{4}[- ]\\d{4}[- ]\\d{4}[- ]\\d{4}\\b', '[CC]', 'g'),"
+    "  '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'),"
+    "  '\\+?\\d{1,3}[-. (]{1,2}\\d{3}[-. )]{1,2}\\d{3}[-. ]\\d{2,4}',"
+    "  '[PHONE]', 'g') AS text_redacted"
+    " FROM clean"
+)

@@ -2228,3 +2228,128 @@ def term_drift(
             .repartition(1)
             .map_batches(final, batch_format="pyarrow",
                          batch_size=1 << 30))
+
+
+def bigram_nll(
+    docs: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    col: str = "text",
+    max_vocab: int = 4096,
+    k: float = 0.5,
+    max_bigrams: int = 2_000_000,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Add-k-smoothed BIGRAM LM negative log-likelihood per document —
+    the sequence-aware upgrade of :func:`unigram_nll_exact` (a doc of
+    common words in an uncommon ORDER now scores badly; the standard
+    KenLM-style perplexity filter shape for corpus curation, here
+    self-scored over the input corpus).
+
+    Model: tokens outside the top-``max_vocab`` vocabulary (count
+    desc, token asc — a deterministic cut) fold to ``<unk>``; each
+    doc's token sequence is prefixed with a BOS context (the empty
+    string — unreachable by whitespace tokens, so no collision and
+    trivially SQL-replayable); P(v|u) = (c(u,v)+k) / (c(u)+k·V) with
+    V = |vocab|+1 (the <unk> class). NLL = mean −ln P over the doc's
+    bigrams; docs with no tokens are dropped.
+
+    Scale shape: pass 1 = map-side-combined token census →
+    deterministic top-V cut (only V rows reach the driver); pass 2 =
+    mapped-bigram census via one composite-key ``sum_by_key`` —
+    distinct mapped bigrams are bounded by the corpus and by V², and
+    ``max_bigrams`` guards the broadcast (raise, don't silently
+    truncate a probability model); context counts fold from the
+    bigram dict driver-side (same rows). Pass 3 = one stateless
+    scoring pass against the ray.put model. Output: (id, n_bigrams,
+    nll round 6)."""
+    import ray as _ray
+
+    from .canonicalize import sum_by_key
+
+    def _tok_lists(batch: pa.Table):
+        text = pc.fill_null(batch.column(col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        return pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(_tok_lists(batch))
+        vc = flat.to_pandas().value_counts()
+        vc = vc[vc.index != ""]
+        return pa.table({"t": pa.array(vc.index, pa.string()),
+                         "n_part": pa.array(vc.to_numpy(), pa.int64())})
+
+    counts = sum_by_key(
+        docs.map_batches(tok_partial, batch_format="pyarrow",
+                         batch_size=65536),
+        "t", "n_part", nb=nb, out_col="n").materialize()
+    cp = (counts.sort(["n", "t"], descending=[True, False])
+          .limit(max_vocab).to_pandas())
+    vocab = set(cp["t"])
+    V = len(vocab) + 1
+    vocab_ref = _ray.put(vocab)
+
+    def _mapped_pairs(batch: pa.Table):
+        """(doc_index, u, v) arrays of mapped bigrams for a batch."""
+        voc = _ray.get(vocab_ref)
+        lists = _tok_lists(batch)
+        parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lists).to_pandas()
+        keep = (flat != "").to_numpy()
+        parent, flat = parent[keep], flat[keep].to_numpy()
+        mapped = np.where(pd.Index(flat).isin(voc), flat, "<unk>")
+        if len(parent) == 0:
+            z = np.empty(0, dtype=object)
+            return np.empty(0, np.int64), z, z
+        # v = every token; u = previous token in the same doc, else BOS ''
+        u = np.empty(len(mapped), dtype=object)
+        u[0] = ""
+        u[1:] = np.where(parent[1:] == parent[:-1], mapped[:-1], "")
+        return parent, u, mapped.astype(object)
+
+    def big_partial(batch: pa.Table) -> pa.Table:
+        _, u, v = _mapped_pairs(batch)
+        df = pd.DataFrame({"u": u, "w": v})
+        g = df.groupby(["u", "w"], as_index=False).size()
+        return pa.table({"u": pa.array(g["u"], pa.string()),
+                         "w": pa.array(g["w"], pa.string()),
+                         "c_part": pa.array(g["size"].to_numpy(), pa.int64())})
+
+    bc = sum_by_key(
+        docs.map_batches(big_partial, batch_format="pyarrow",
+                         batch_size=65536),
+        ["u", "w"], "c_part", nb=nb, out_col="c").materialize()
+    n_big = bc.count()
+    if n_big > max_bigrams:
+        raise ValueError(
+            f"bigram_nll: {n_big} distinct mapped bigrams exceed "
+            f"max_bigrams={max_bigrams}; lower max_vocab")
+    bdf = bc.to_pandas()
+    big_map = dict(zip(zip(bdf["u"], bdf["w"]), bdf["c"].astype(float)))
+    ctx_map = bdf.groupby("u")["c"].sum().astype(float).to_dict()
+    model_ref = _ray.put((big_map, ctx_map))
+
+    def score(batch: pa.Table) -> pa.Table:
+        big_m, ctx_m = _ray.get(model_ref)
+        parent, u, v = _mapped_pairs(batch)
+        nrows = len(batch)
+        if len(parent) == 0:
+            return pa.table({
+                id_col: batch.column(id_col).slice(0, 0),
+                "n_bigrams": pa.array([], pa.int64()),
+                "nll": pa.array([], pa.float64())})
+        cb = pd.Series(list(zip(u, v))).map(big_m).to_numpy(np.float64)
+        cu = pd.Series(u).map(ctx_m).to_numpy(np.float64)
+        # every observed bigram is in the model by construction
+        neg = -np.log((cb + k) / (cu + k * V))
+        sums = np.bincount(parent, weights=neg, minlength=nrows)
+        lens = np.bincount(parent, minlength=nrows)
+        ok = lens > 0
+        nll = np.floor((sums[ok] / lens[ok]) * 1e6 + 0.5) / 1e6
+        return pa.table({
+            id_col: batch.column(id_col).filter(pa.array(ok)),
+            "n_bigrams": pa.array(lens[ok].astype(np.int64)),
+            "nll": pa.array(nll, pa.float64())})
+
+    return docs.map_batches(score, batch_format="pyarrow",
+                            batch_size=65536)

@@ -239,3 +239,84 @@ def test_band_join_empty_side():
     out = band_join(rd.from_pandas(L), rd.from_pandas(R),
                     "k", "v", eps=0.5).to_pandas()
     assert len(out) == 0
+
+
+# ---------------------------------------------------------- bigram_nll
+
+
+def _bigram_reference(texts, max_vocab, k):
+    import math
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    from collections import Counter
+    cnt = Counter(w for ts in toks.values() for w in ts)
+    vocab = set(t for t, _ in sorted(cnt.items(),
+                                     key=lambda kv: (-kv[1], kv[0]))[:max_vocab])
+    V = len(vocab) + 1
+    def m(w):
+        return w if w in vocab else "<unk>"
+    bigrams = Counter()
+    ctx = Counter()
+    for ts in toks.values():
+        prev = ""
+        for w in ts:
+            bigrams[(prev, m(w))] += 1
+            ctx[prev] += 1
+            prev = m(w)
+    out = {}
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        prev, s = "", 0.0
+        for w in ts:
+            s += -math.log((bigrams[(prev, m(w))] + k) / (ctx[prev] + k * V))
+            prev = m(w)
+        out[i] = (len(ts), math.floor(s / len(ts) * 1e6 + 0.5) / 1e6)
+    return out
+
+
+def test_bigram_nll_reference_parity():
+    from biosd_feature_annotator_ray.stages.textstats import bigram_nll
+
+    rng = np.random.default_rng(3)
+    words = [f"w{i}" for i in range(30)]
+    texts = [" ".join(rng.choice(words, rng.integers(1, 40)))
+             for _ in range(120)]
+    texts.append("")          # empty doc -> dropped
+    texts.append("solo")      # single token -> one (BOS, t) bigram
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype="int64"),
+                       "text": texts})
+    out = bigram_nll(rd.from_pandas(df).repartition(3), max_vocab=12,
+                     k=0.5, nb=4).to_pandas()
+    ref = _bigram_reference(texts, max_vocab=12, k=0.5)
+    got = {int(r.doc_id): (int(r.n_bigrams), float(r.nll))
+           for r in out.itertuples()}
+    assert set(got) == set(ref)
+    for i in ref:
+        assert got[i][0] == ref[i][0]
+        assert abs(got[i][1] - ref[i][1]) < 2e-6, (i, got[i], ref[i])
+
+
+def test_bigram_nll_order_sensitivity():
+    """Same bag of words, different ORDER -> different bigram NLL
+    (the property the unigram scorer cannot express)."""
+    from biosd_feature_annotator_ray.stages.textstats import bigram_nll
+
+    base = ["the cat sat on the mat"] * 20
+    df = pd.DataFrame({
+        "doc_id": np.arange(22, dtype="int64"),
+        "text": base + ["the cat sat on the mat",
+                        "mat the on sat cat the"]})
+    out = bigram_nll(rd.from_pandas(df), max_vocab=100, nb=2).to_pandas()
+    nll = dict(zip(out["doc_id"].astype(int), out["nll"]))
+    assert nll[20] < nll[21]  # in-order doc scores better
+
+
+def test_bigram_nll_max_bigrams_guard():
+    from biosd_feature_annotator_ray.stages.textstats import bigram_nll
+
+    texts = [" ".join(f"u{i}_{j}" for j in range(30)) for i in range(30)]
+    df = pd.DataFrame({"doc_id": np.arange(30, dtype="int64"),
+                       "text": texts})
+    with pytest.raises(ValueError, match="max_bigrams"):
+        bigram_nll(rd.from_pandas(df), max_vocab=4096, max_bigrams=100,
+                   nb=2).to_pandas()
