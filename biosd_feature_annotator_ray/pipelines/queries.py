@@ -10810,3 +10810,94 @@ ORACLES["curate_corpus"] = (
     "  '[PHONE]', 'g') AS text_redacted"
     " FROM clean"
 )
+
+
+def q_betweenness(sf_dir: str):
+    """Brandes betweenness centrality (graph.betweenness, exact — all
+    nodes as sources) over a synthesized closed-form graph: a directed
+    6-path (bc(v) = v·(5−v)), a 2-hop star (bc(hub) = #leaves), and a
+    diamond with two tied shortest paths (σ-splitting: bc 1/1/3).
+    Fully oracled in closed form by Brandes' own algebra; general
+    correctness is pinned by the random-graph Brandes-reference fuzz
+    in tests/test_r4g_ops.py."""
+    from ..stages.graph import betweenness
+
+    rows = []
+    for i in range(5):                      # path 0..5
+        rows.append((i, i + 1))
+    rows.append((100, 101))                 # star: c -> m -> leaves
+    for leaf in range(102, 112):
+        rows.append((101, leaf))
+    rows += [(200, 201), (200, 202), (201, 203), (202, 203), (203, 204)]
+    edges = rd.from_arrow(pa.table({
+        "src": pa.array([r[0] for r in rows], pa.int64()),
+        "dst": pa.array([r[1] for r in rows], pa.int64())})).repartition(3)
+    out = betweenness(edges, nb=8)
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    df["node"] = df["node"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["betweenness"] = q_betweenness
+
+ORACLES["betweenness"] = (
+    "SELECT i AS node, CAST(i * (5 - i) AS DOUBLE) AS bc"
+    "  FROM generate_series(0, 5) s(i)"
+    " UNION ALL SELECT 100, 0.0"
+    " UNION ALL SELECT 101, 10.0"
+    " UNION ALL SELECT 100 + i, 0.0 FROM generate_series(2, 11) t(i)"
+    " UNION ALL SELECT 200, 0.0 UNION ALL SELECT 201, 1.0"
+    " UNION ALL SELECT 202, 1.0 UNION ALL SELECT 203, 3.0"
+    " UNION ALL SELECT 204, 0.0"
+)
+
+
+def q_survivorship_events(sf_dir: str):
+    """Golden-record survivorship (canonicalize.survivorship): per
+    user, each attribute independently takes its most recent non-null
+    value (ts desc, event_id tiebreak) — the ER attribute-fusion step.
+    Nulls are planted deterministically (value nulled on 'error'
+    events, props nulled when value < 50) so the per-column
+    independence is actually exercised. Fully oracled (correlated
+    first-non-null subqueries)."""
+    from ..stages.canonicalize import survivorship
+
+    ev = _events(sf_dir, ["event_id", "ts", "user_id", "event_type",
+                          "value", "props"])
+
+    def mask(t: pa.Table) -> pa.Table:
+        err = pc.equal(t.column("event_type"), "error")
+        low = pc.less(t.column("value"), 50.0)
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "event_id": t.column("event_id"),
+            "value_n": pc.if_else(err, pa.nulls(t.num_rows, pa.float64()),
+                                  t.column("value")),
+            "props_n": pc.if_else(low, pa.nulls(t.num_rows, pa.string()),
+                                  t.column("props"))})
+
+    out = survivorship(ev.map_batches(mask, batch_format="pyarrow"),
+                       "user_id", "ts", "event_id",
+                       ["value_n", "props_n"], ascending=False, nb=8)
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    df["user_id"] = df["user_id"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["survivorship_events"] = q_survivorship_events
+
+ORACLES["survivorship_events"] = (
+    "WITH m AS (SELECT user_id, ts, event_id,"
+    "  CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value_n,"
+    "  CASE WHEN value < 50 THEN NULL ELSE props END AS props_n"
+    "  FROM events)"
+    " SELECT user_id,"
+    "  (SELECT value_n FROM m i WHERE i.user_id = o.user_id"
+    "    AND value_n IS NOT NULL ORDER BY ts DESC, event_id LIMIT 1)"
+    "   AS value_n,"
+    "  (SELECT props_n FROM m i WHERE i.user_id = o.user_id"
+    "    AND props_n IS NOT NULL ORDER BY ts DESC, event_id LIMIT 1)"
+    "   AS props_n"
+    " FROM (SELECT DISTINCT user_id FROM m) o"
+)

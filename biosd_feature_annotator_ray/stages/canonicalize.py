@@ -920,3 +920,88 @@ def mixture_sample(
             [id_col, group_col])
 
     return ranked.map_batches(cut, batch_format="pyarrow")
+
+
+def survivorship(
+    ds: "ray.data.Dataset",
+    key: str,
+    order_col: str,
+    id_col: str,
+    value_cols: "list[str] | None" = None,
+    ascending: bool = True,
+    nb: int = 64,
+) -> "ray.data.Dataset":
+    """ER survivorship / golden-record merge: one fused record per
+    ``key`` where EACH value column independently takes its first
+    NON-NULL value in the ``(order_col, id_col)`` order (e.g. "most
+    recent non-null attribute per entity" with a timestamp and
+    ``ascending=False``) — the attribute-fusion step after entity
+    resolution clusters duplicate records. ``id_col`` must be unique
+    per row: it makes the order total, hence the output deterministic
+    under any partitioning. Null keys form their own group (SQL GROUP
+    BY semantics).
+
+    Scale shape: map-side combine — each batch reduces to ONE partial
+    golden row per key, carrying per COLUMN the winner's (order, id)
+    coordinates; partials merge associatively in the per-bucket finish
+    (first-non-null over a total order is associative), so the shuffle
+    moves ≤ keys-per-batch rows, never the raw records. Output:
+    ``key`` + ``value_cols``."""
+    schema = None
+    base = getattr(ds.schema(), "base_schema", ds.schema())
+    if isinstance(base, pa.Schema):
+        schema = base
+    if value_cols is None:
+        names = (schema.names if schema is not None else list(base.names))
+        value_cols = [c for c in names if c not in (key, order_col, id_col)]
+
+    def _reduce(df: pd.DataFrame) -> pd.DataFrame:
+        """(key, per-col value + __ord/__id winner coords) partials."""
+        df = df.sort_values([order_col, id_col],
+                            ascending=[ascending, True], kind="mergesort")
+        out = None
+        for c in value_cols:
+            nn = df[df[c].notna()]
+            g = nn.groupby(key, dropna=False, sort=False, as_index=False)
+            win = g.first()[[key, c, order_col, id_col]].rename(
+                columns={order_col: f"{c}__ord", id_col: f"{c}__id"})
+            out = win if out is None else out.merge(win, on=key, how="outer")
+        keys_all = df[[key]].drop_duplicates()
+        if out is None:
+            out = keys_all
+        else:
+            out = keys_all.merge(out, on=key, how="left")
+        return out
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        """Merge partial golden rows: per column argmin by winner
+        coords among non-null partials."""
+        out = None
+        for c in value_cols:
+            nn = df[df[c].notna()]
+            nn = nn.sort_values([f"{c}__ord", f"{c}__id"],
+                                ascending=[ascending, True],
+                                kind="mergesort")
+            g = nn.groupby(key, dropna=False, sort=False, as_index=False)
+            win = g.first()[[key, c, f"{c}__ord", f"{c}__id"]]
+            out = win if out is None else out.merge(win, on=key, how="outer")
+        keys_all = df[[key]].drop_duplicates()
+        if out is None:
+            out = keys_all
+        else:
+            out = keys_all.merge(out, on=key, how="left")
+        return out
+
+    def local(batch: pa.Table) -> pa.Table:
+        part = _reduce(batch.to_pandas())
+        return _add_bucket(pa.Table.from_pandas(part, preserve_index=False),
+                           [key], nb)
+
+    def finish(group: pa.Table) -> pa.Table:
+        df = _merge(group.drop_columns([_B]).to_pandas())
+        return pa.Table.from_pandas(
+            df[[key] + list(value_cols)], preserve_index=False)
+
+    return (ds.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))

@@ -5294,3 +5294,189 @@ def topo_layers(
     for d in layers[1:]:
         out = out.union(d)
     return out
+
+
+def betweenness(
+    edges,
+    sources=None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nb: int = 32,
+    max_iters: int = 60,
+) -> "ray.data.Dataset":
+    """Betweenness centrality (Brandes, unweighted DIRECTED shortest
+    paths) from the given ``sources`` — exact when sources = all
+    nodes, the standard sampled estimator otherwise (pass the
+    md5-chosen landmark subset your budget allows; estimates scale by
+    n/|S| outside this function if desired).
+
+    bc(v) = Σ_{s∈S} Σ_{s≠v≠t} σ_st(v)/σ_st — computed with Brandes'
+    dependency accumulation, re-expressed in rounds of bucketed
+    shuffles (no per-source sequential BFS):
+
+    - FORWARD: one composite-key (source, node) BFS carrying the
+      shortest-path COUNT σ (int64 — exact): each round's messages
+      pre-aggregate σ per (s, node) map-side (sum_by_key), then one
+      anti join settles only first-time nodes; every source shares
+      every round's shuffle, like :func:`multi_source_bfs`.
+    - BACKWARD: per depth layer d (deepest first), the shortest-path
+      DAG edges u→w (dist u = d, dist w = d+1) are recovered with two
+      bucketed joins against the settled layers; δ(s,u) =
+      Σ σ_u/σ_w·(1+δ(s,w)) folds in one sum_by_key; bc accumulates δ
+      over non-source rows.
+
+    Rounds = 2 × eccentricity bound; ``max_iters`` guards. Returns
+    (node, bc round 6) zero-filled over every settled node."""
+    import ray.data as rd
+
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column(src_col).cast(pa.int64()),
+                            "dst": t.column(dst_col).cast(pa.int64())}),
+        batch_format="pyarrow").materialize()
+    if sources is None:
+        from .canonicalize import dedup_exact
+        srcs = dedup_exact(e.map_batches(
+            lambda t: pa.table({"node": pa.concat_arrays([
+                t.column("src").combine_chunks(),
+                t.column("dst").combine_chunks()])}),
+            batch_format="pyarrow"), ["node"], nb=nb)
+    else:
+        srcs = rd.from_arrow(pa.table({"node": pa.array(
+            sorted(set(int(x) for x in sources)), pa.int64())}))
+
+    layer = mat_cut(srcs.map_batches(
+        lambda t: pa.table({
+            "lm": t.column("node").cast(pa.int64()),
+            "node": t.column("node").cast(pa.int64()),
+            "sig": pa.array(np.ones(len(t), np.int64))}),
+        batch_format="pyarrow"))
+    layers = [layer]
+    settled = layer
+    for _ in range(max_iters):
+        if layer.count() == 0:
+            layers.pop()
+            break
+        msgs = shuffle_hash_join(
+            layer.map_batches(
+                lambda t: t.select(["node", "lm", "sig"])
+                .rename_columns(["src", "lm", "sig"]),
+                batch_format="pyarrow"),
+            e, on=["src"], how="inner", nb=nb)
+        cand = mat_cut(sum_by_key(
+            msgs.map_batches(
+                lambda t: pa.table({
+                    "lm": t.column("lm").cast(pa.int64()),
+                    "node": t.column("dst").cast(pa.int64()),
+                    "sig": t.column("sig").cast(pa.int64())}),
+                batch_format="pyarrow"),
+            ["lm", "node"], "sig", nb=nb))
+        if cand.count() == 0:
+            # every frontier node was a sink: BFS is settled
+            break
+        layer = mat_cut(shuffle_hash_join(
+            cand, settled.map_batches(
+                lambda t: t.select(["lm", "node"]),
+                batch_format="pyarrow"),
+            on=["lm", "node"], how="anti", nb=nb))
+        if layer.count() == 0:
+            break
+        layers.append(layer)
+        settled = mat_cut(settled.union(layer))
+    else:
+        raise RuntimeError(
+            f"betweenness: BFS did not settle within max_iters="
+            f"{max_iters}; raise it (graph eccentricity exceeds it)")
+
+    D = len(layers) - 1
+    # backward dependency accumulation, deepest layer first (δ=0 there)
+    delta_next = None  # δ rows (lm, node, delta) for layer d+1
+    acc: list = []     # per-layer δ datasets (bc contributions)
+    for d in range(D - 1, -1, -1):
+        w = layers[d + 1]
+        if delta_next is not None:
+            w = shuffle_hash_join(
+                w, delta_next, on=["lm", "node"], how="left", nb=nb)
+            w = w.map_batches(
+                lambda t: pa.table({
+                    "lm": t.column("lm").cast(pa.int64()),
+                    "node": t.column("node").cast(pa.int64()),
+                    "sig": t.column("sig").cast(pa.int64()),
+                    "delta": pc.fill_null(
+                        t.column("delta").cast(pa.float64()), 0.0)}),
+                batch_format="pyarrow")
+        else:
+            w = w.map_batches(
+                lambda t: t.append_column(
+                    "delta", pa.array(np.zeros(t.num_rows, np.float64))),
+                batch_format="pyarrow")
+        # DAG edges into layer d: u(src) at depth d, w(dst) at depth d+1
+        uw = shuffle_hash_join(
+            w.map_batches(
+                lambda t: pa.table({
+                    "dst": t.column("node"), "lm": t.column("lm"),
+                    "sig_w": t.column("sig"), "delta": t.column("delta")}),
+                batch_format="pyarrow"),
+            e, on=["dst"], how="inner", nb=nb)
+        contrib = shuffle_hash_join(
+            uw.map_batches(
+                lambda t: pa.table({
+                    "lm": t.column("lm"), "node": t.column("src"),
+                    "sig_w": t.column("sig_w"),
+                    "delta": t.column("delta")}),
+                batch_format="pyarrow"),
+            layers[d].map_batches(
+                lambda t: pa.table({
+                    "lm": t.column("lm"), "node": t.column("node"),
+                    "sig_u": t.column("sig")}),
+                batch_format="pyarrow"),
+            on=["lm", "node"], how="inner", nb=nb)
+        contrib = contrib.map_batches(
+            lambda t: pa.table({
+                "lm": t.column("lm").cast(pa.int64()),
+                "node": t.column("node").cast(pa.int64()),
+                "part": pc.multiply(
+                    pc.divide(t.column("sig_u").cast(pa.float64()),
+                              t.column("sig_w").cast(pa.float64())),
+                    pc.add(t.column("delta").cast(pa.float64()), 1.0))}),
+            batch_format="pyarrow")
+        delta_next = mat_cut(sum_by_key(contrib, ["lm", "node"], "part",
+                                        nb=nb, out_col="delta"))
+        acc.append(delta_next)
+
+    # bc(v) = Σ δ over non-source rows, zero-filled over settled nodes
+    nodes = settled.map_batches(
+        lambda t: pa.table({"node": pc.unique(
+            t.column("node").combine_chunks())}),
+        batch_format="pyarrow")
+    from .canonicalize import dedup_exact as _dx
+    nodes = _dx(nodes, ["node"], nb=nb)
+    if not acc:
+        return nodes.map_batches(
+            lambda t: t.append_column(
+                "bc", pa.array(np.zeros(t.num_rows, np.float64))),
+            batch_format="pyarrow")
+    allc = acc[0]
+    for a in acc[1:]:
+        allc = allc.union(a)
+    pos = allc.map_batches(
+        lambda t: t.filter(pc.not_equal(t.column("lm"),
+                                        t.column("node"))),
+        batch_format="pyarrow")
+    bc = mat_cut(sum_by_key(pos, "node", "delta", nb=nb, out_col="bc"))
+    if bc.count() == 0:  # all δ landed on sources: every bc is 0
+        return nodes.map_batches(
+            lambda t: t.append_column(
+                "bc", pa.array(np.zeros(t.num_rows, np.float64))),
+            batch_format="pyarrow")
+    out = shuffle_hash_join(nodes, bc, on=["node"], how="left", nb=nb)
+    return out.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "bc": pc.round(pc.fill_null(
+                t.column("bc").cast(pa.float64()), 0.0), 6)}),
+        batch_format="pyarrow")

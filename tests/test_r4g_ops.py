@@ -320,3 +320,136 @@ def test_bigram_nll_max_bigrams_guard():
     with pytest.raises(ValueError, match="max_bigrams"):
         bigram_nll(rd.from_pandas(df), max_vocab=4096, max_bigrams=100,
                    nb=2).to_pandas()
+
+
+# --------------------------------------------------------- betweenness
+
+
+def _brandes_reference(edge_list, sources=None):
+    from collections import defaultdict, deque
+    adj = defaultdict(list)
+    nodes = set()
+    for u, v in edge_list:
+        adj[u].append(v)
+        nodes |= {u, v}
+    S = sources if sources is not None else sorted(nodes)
+    bc = defaultdict(float)
+    for s in S:
+        stack, pred = [], defaultdict(list)
+        sigma, dist = defaultdict(int), {}
+        sigma[s], dist[s] = 1, 0
+        Q = deque([s])
+        while Q:
+            v = Q.popleft()
+            stack.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    Q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    pred[w].append(v)
+        delta = defaultdict(float)
+        while stack:
+            w = stack.pop()
+            for v in pred[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return {n: round(bc.get(n, 0.0), 6) for n in nodes}
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_betweenness_brandes_parity(seed):
+    from biosd_feature_annotator_ray.stages.graph import betweenness
+
+    rng = np.random.default_rng(seed)
+    u = rng.integers(0, 30, 90)
+    v = rng.integers(0, 30, 90)
+    el = list(dict.fromkeys((a, b) for a, b in zip(u, v) if a != b))
+    df = pd.DataFrame(el, columns=["src", "dst"])
+    out = betweenness(rd.from_pandas(df).repartition(3), nb=8).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["bc"]))
+    want = _brandes_reference(el)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] - want[n]) < 1e-5, (n, got[n], want[n])
+
+
+def test_betweenness_sampled_sources():
+    from biosd_feature_annotator_ray.stages.graph import betweenness
+
+    el = [(0, 1), (1, 2), (2, 3), (3, 4)]  # path: sources {0, 2}
+    df = pd.DataFrame(el, columns=["src", "dst"])
+    out = betweenness(rd.from_pandas(df), sources=[0, 2], nb=4).to_pandas()
+    got = dict(zip(out["node"].astype(int), out["bc"]))
+    assert got == _brandes_reference(el, sources=[0, 2])
+
+
+def test_betweenness_sink_only_frontier_terminates():
+    from biosd_feature_annotator_ray.stages.graph import betweenness
+
+    # star: every non-center node is a sink -> round-2 frontier all sinks
+    el = [(0, i) for i in range(1, 6)]
+    out = betweenness(rd.from_pandas(
+        pd.DataFrame(el, columns=["src", "dst"])), nb=4).to_pandas()
+    assert set(out["bc"]) == {0.0}
+
+
+# -------------------------------------------------------- survivorship
+
+
+@pytest.mark.parametrize("seed,asc", [(0, True), (1, False)])
+def test_survivorship_duckdb_parity(seed, asc):
+    from biosd_feature_annotator_ray.stages.canonicalize import survivorship
+
+    rng = np.random.default_rng(seed)
+    n = 2500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 35, n),
+        "ord": rng.integers(0, 400, n),   # heavy order ties -> rid breaks
+        "rid": np.arange(n, dtype="int64"),
+        "a": np.where(rng.random(n) < 0.5, np.nan,
+                      rng.integers(0, 100, n).astype(float)),
+        "b": np.where(rng.random(n) < 0.7, None,
+                      rng.choice(list("xyz"), n)),
+    })
+    df.loc[df.k == 0, "a"] = np.nan  # a key with an all-null column
+    out = survivorship(rd.from_pandas(df).repartition(5), "k", "ord",
+                       "rid", ["a", "b"], ascending=asc, nb=4).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    d = "" if asc else "DESC"
+    exp = con.execute(f"""
+     SELECT k,
+      (SELECT a FROM t i WHERE i.k = o.k AND a IS NOT NULL
+        ORDER BY ord {d}, rid LIMIT 1) AS a,
+      (SELECT b FROM t i WHERE i.k = o.k AND b IS NOT NULL
+        ORDER BY ord {d}, rid LIMIT 1) AS b
+     FROM (SELECT DISTINCT k FROM t) o""").df()
+    got = out.sort_values("k").reset_index(drop=True)
+    want = exp.sort_values("k").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["k", "a", "b"]],
+                                  want[["k", "a", "b"]], check_dtype=False)
+
+
+def test_survivorship_salted_partitioning_invariance():
+    from biosd_feature_annotator_ray.stages.canonicalize import survivorship
+
+    rng = np.random.default_rng(9)
+    n = 1200
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, n),  # 3 hot keys
+        "ord": rng.integers(0, 50, n),
+        "rid": np.arange(n, dtype="int64"),
+        "a": np.where(rng.random(n) < 0.5, np.nan,
+                      rng.integers(0, 9, n).astype(float)),
+    })
+    a = survivorship(rd.from_pandas(df).repartition(2), "k", "ord",
+                     "rid", ["a"], nb=2).to_pandas()
+    b = survivorship(rd.from_pandas(df.sample(frac=1, random_state=1))
+                     .repartition(7), "k", "ord", "rid", ["a"],
+                     nb=4).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("k").reset_index(drop=True),
+        b.sort_values("k").reset_index(drop=True), check_dtype=False)
