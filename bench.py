@@ -260,7 +260,7 @@ def run_queries() -> dict:
         # round-4 eleventh sitting
         "topo_layers", "skyline_lineitem", "band_join_events",
         "heavy_hitters_exact", "bigram_nll", "curate_corpus",
-        "betweenness", "survivorship_events",
+        "betweenness", "survivorship_events", "auc_value_purchase", "quality_classifier",
     ]
     out = {}
     for name in names:

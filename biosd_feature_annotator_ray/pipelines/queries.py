@@ -10901,3 +10901,87 @@ ORACLES["survivorship_events"] = (
     "   AS props_n"
     " FROM (SELECT DISTINCT user_id FROM m) o"
 )
+
+
+def q_auc_value_purchase(sf_dir: str):
+    """Exact ROC-AUC (sketches.roc_auc — rank-sum with half-tie
+    credit, NO global sort: per-score census + histogram carry-in
+    offsets + per-bin local cumulatives) of event value as a predictor
+    of 'purchase'. Fully oracled: the SQL twin replays the
+    distinct-score cumulative formula with a window function."""
+    from ..stages.sketches import roc_auc
+
+    ev = _events(sf_dir, ["value", "event_type"])
+
+    def lab(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "value": t.column("value"),
+            "y": pc.cast(pc.equal(t.column("event_type"), "purchase"),
+                         pa.int64())})
+
+    auc = roc_auc(ev.map_batches(lab, batch_format="pyarrow"),
+                  "value", "y", n_bins=256, nb=8)
+    return pa.table({"auc": pa.array([round(auc, 6)], pa.float64())})
+
+
+QUERIES["auc_value_purchase"] = q_auc_value_purchase
+
+ORACLES["auc_value_purchase"] = (
+    "WITH d AS (SELECT value AS s,"
+    "  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+    "  FROM events WHERE value IS NOT NULL),"
+    " tot AS (SELECT sum(y) AS P, count(*) - sum(y) AS N FROM d),"
+    " r AS (SELECT s, sum(y) AS np, count(*) - sum(y) AS nn"
+    "  FROM d GROUP BY s),"
+    " o AS (SELECT s, np, nn, coalesce(sum(nn) OVER (ORDER BY s"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cneg"
+    "  FROM r)"
+    " SELECT round(sum(np * (cneg + 0.5 * nn)) / (tot.P * tot.N), 6)"
+    "  AS auc FROM o, tot GROUP BY tot.P, tot.N"
+)
+
+
+def q_quality_classifier(sf_dir: str):
+    """Trained quality classifier (textstats.logistic_fit — IRLS with
+    fsum-deterministic sufficient-statistics reduces) over the
+    documents table: integer quality_counts signals + n_chars predict
+    lang='en'; every doc is scored (logistic_predict) and the model's
+    training ROC-AUC rides along as the doc_id=-1 summary row.
+    Rows-only (an iterative Newton fit has no SQL twin); determinism
+    is covered by the rows-only double-run net, and the fit is pinned
+    bit-exact against a single-machine IRLS reference in tests."""
+    from ..stages.join import shuffle_hash_join
+    from ..stages.sketches import roc_auc
+    from ..stages.textstats import (logistic_fit, logistic_predict,
+                                    quality_counts)
+
+    docs = _docs(sf_dir, ["doc_id", "text", "lang", "n_chars"])
+
+    def feats(t: pa.Table) -> pa.Table:
+        q = quality_counts(t)
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "n_tokens_q": q.column("n_tokens_q"),
+            "n_punct": q.column("n_punct"),
+            "n_digit": q.column("n_digit"),
+            "n_stop": q.column("n_stop"),
+            "n_chars": t.column("n_chars"),
+            "y": pc.cast(pc.equal(t.column("lang"), "en"), pa.int64())})
+
+    F = ["n_tokens_q", "n_punct", "n_digit", "n_stop", "n_chars"]
+    fds = docs.map_batches(feats, batch_format="pyarrow").materialize()
+    model = logistic_fit(fds, F, "y", iters=8)
+    scored = logistic_predict(fds, model, F).materialize()
+    lab = shuffle_hash_join(
+        scored, fds.map_batches(lambda t: t.select(["doc_id", "y"]),
+                                batch_format="pyarrow"),
+        on=["doc_id"], how="inner", nb=8)
+    auc = roc_auc(lab, "score", "y", n_bins=64, nb=8)
+    df = scored.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["score"] = np.round(df["score"], 6)
+    head = pd.DataFrame({"doc_id": [-1], "score": [round(auc, 6)]})
+    return pa.Table.from_pandas(pd.concat([head, df], ignore_index=True),
+                                preserve_index=False)
+
+
+QUERIES["quality_classifier"] = q_quality_classifier

@@ -1451,3 +1451,90 @@ def exact_heavy_hitters(
             pc.multiply(t.column("count"), pa.scalar(k, pa.int64())),
             pa.scalar(n, pa.int64()))),
         batch_format="pyarrow")
+
+
+def roc_auc(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    label_col: str,
+    n_bins: int = 4096,
+    nb: int = 32,
+) -> float:
+    """Exact ROC-AUC (rank-sum / Mann-Whitney form, ties counted half)
+    of ``score_col`` as a predictor of binary ``label_col`` — the
+    model-evaluation primitive for the curation classifiers — WITHOUT
+    a global sort: AUC = Σ_s n_pos(s)·(N_neg(<s) + ½·n_neg(s)) / (P·N)
+    over distinct scores s, so it reduces to (1) a per-score census
+    (one bucketed sum pass, map-side pre-combined), (2) a fixed-width
+    histogram of the census giving every bin's exact carry-in negative
+    count (driver traffic = n_bins ints), (3) per-bin local cumulative
+    contributions with the broadcast carry. Rows with a null score or
+    label are excluded (SQL comparison semantics); raises if either
+    class is empty (AUC undefined)."""
+    import ray as _ray
+
+    from .canonicalize import sums_by_key
+
+    def census_part(batch: pa.Table) -> pa.Table:
+        s = batch.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = batch.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = ~(np.isnan(s) | np.isnan(y))
+        s, y = s[ok], y[ok]
+        df = pd.DataFrame({"s": s, "p": (y != 0).astype(np.int64)})
+        g = df.groupby("s", as_index=False).agg(
+            n_pos=("p", "sum"), n=("p", "size"))
+        g["n_neg"] = g["n"] - g["n_pos"]
+        return pa.table({"s": pa.array(g["s"], pa.float64()),
+                         "n_pos": pa.array(g["n_pos"], pa.int64()),
+                         "n_neg": pa.array(g["n_neg"], pa.int64())})
+
+    census = sums_by_key(
+        ds.map_batches(census_part, batch_format="pyarrow",
+                       batch_size=65536),
+        "s", ["n_pos", "n_neg"], nb=nb).materialize()
+    if census.count() == 0:
+        raise ValueError("roc_auc: no scorable rows")
+    lo, hi = float(census.min("s")), float(census.max("s"))
+    width = (hi - lo) / n_bins if hi > lo else 1.0
+
+    def binned(t: pa.Table) -> pa.Table:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        b = np.clip(((s - lo) / width).astype(np.int64), 0, n_bins - 1)
+        return t.append_column("bin", pa.array(b))
+
+    bt = census.map_batches(binned, batch_format="pyarrow").materialize()
+    # per-bin negative totals -> exact carry-in offsets (n_bins ints)
+    from .canonicalize import sum_by_key
+    bins = sum_by_key(bt.map_batches(
+        lambda t: t.select(["bin", "n_neg"]), batch_format="pyarrow"),
+        "bin", "n_neg", nb=nb, out_col="nn").to_pandas()
+    carry = np.zeros(n_bins, np.int64)
+    per_bin = np.zeros(n_bins, np.int64)
+    per_bin[bins["bin"].to_numpy()] = bins["nn"].to_numpy()
+    carry[1:] = np.cumsum(per_bin)[:-1]
+    carry_ref = _ray.put(carry)
+
+    def contrib(g: pa.Table) -> pa.Table:
+        c = _ray.get(carry_ref)
+        df = g.to_pandas().sort_values("s")
+        cum_before = np.concatenate(
+            [[0], np.cumsum(df["n_neg"].to_numpy())[:-1]])
+        base = c[int(df["bin"].iloc[0])]
+        num = (df["n_pos"].to_numpy()
+               * (base + cum_before + 0.5 * df["n_neg"].to_numpy()))
+        return pa.table({
+            "num": pa.array([float(num.sum())], pa.float64()),
+            "p": pa.array([int(df["n_pos"].sum())], pa.int64()),
+            "n": pa.array([int(df["n_neg"].sum())], pa.int64())})
+
+    parts = (bt.groupby("bin")
+             .map_groups(contrib, batch_format="pyarrow")
+             .to_pandas())
+    P, N = int(parts["p"].sum()), int(parts["n"].sum())
+    if P == 0 or N == 0:
+        raise ValueError(
+            f"roc_auc: needs both classes (P={P}, N={N})")
+    import math
+    return math.fsum(sorted(parts["num"].to_numpy())) / (float(P) * N)

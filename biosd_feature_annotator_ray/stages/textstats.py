@@ -2353,3 +2353,127 @@ def bigram_nll(
 
     return docs.map_batches(score, batch_format="pyarrow",
                             batch_size=65536)
+
+
+def logistic_fit(
+    ds: "ray.data.Dataset",
+    feature_cols: "list[str]",
+    label_col: str,
+    iters: int = 8,
+    l2: float = 1e-4,
+) -> dict:
+    """Distributed logistic regression via IRLS (Newton) — the
+    fasttext-style quality-classifier trainer for corpus curation
+    (label a seed set, score the corpus, keep the top). Features are
+    standardized internally (one sufficient-statistics pass), then
+    each Newton step is ONE streaming pass producing per-batch
+    partials of the gradient Xᵀ(μ−y) and Hessian XᵀWX — (d+1)² floats
+    per batch, reduced driver-side with order-independent fsum over
+    the sorted partial multiset, so the fit is deterministic under
+    any block arrival order. d = len(feature_cols) must be small
+    (model state is broadcast; guard raises above 64).
+
+    Returns {"w": coefs (std space), "b": intercept, "mean", "std",
+    "n_iter"} — feed to :func:`logistic_predict`."""
+    import math
+
+    import ray as _ray
+
+    d = len(feature_cols)
+    if d == 0 or d > 64:
+        raise ValueError(f"logistic_fit: 1..64 features, got {d}")
+
+    def moments(batch: pa.Table) -> pa.Table:
+        X = np.column_stack([
+            batch.column(c).to_numpy(zero_copy_only=False).astype(np.float64)
+            for c in feature_cols])
+        ok = ~np.isnan(X).any(1)
+        ok &= ~pd.isna(batch.column(label_col).to_pandas()).to_numpy()
+        X = X[ok]
+        row = np.concatenate([[float(len(X))], X.sum(0), (X * X).sum(0)])
+        return pa.table({f"m{i}": pa.array([row[i]], pa.float64())
+                         for i in range(len(row))})
+
+    mom = ds.map_batches(moments, batch_format="pyarrow",
+                         batch_size=65536).to_pandas()
+    cols = [math.fsum(sorted(mom[c].to_numpy())) for c in mom.columns]
+    n = cols[0]
+    if n < 2:
+        raise ValueError("logistic_fit: not enough rows")
+    mean = np.array(cols[1:d + 1]) / n
+    var = np.array(cols[d + 1:]) / n - mean ** 2
+    std = np.sqrt(np.maximum(var, 1e-12))
+    scaler_ref = _ray.put((mean, std))
+
+    w = np.zeros(d + 1)  # [bias, w_1..w_d]
+    n_iter = 0
+    for it in range(iters):
+        w_ref = _ray.put(w)
+
+        def newton_part(batch: pa.Table, _w_ref=w_ref) -> pa.Table:
+            mu_, sd_ = _ray.get(scaler_ref)
+            wv = _ray.get(_w_ref)
+            X = np.column_stack([
+                batch.column(c).to_numpy(zero_copy_only=False)
+                .astype(np.float64) for c in feature_cols])
+            yb = batch.column(label_col).to_pandas()
+            ok = ~np.isnan(X).any(1) & ~pd.isna(yb).to_numpy()
+            X = (X[ok] - mu_) / sd_
+            y = yb[ok].astype(float).to_numpy()
+            X1 = np.column_stack([np.ones(len(X)), X])
+            z = np.clip(X1 @ wv, -30, 30)
+            mu = 1.0 / (1.0 + np.exp(-z))
+            g = X1.T @ (mu - y)
+            W = mu * (1 - mu)
+            H = X1.T @ (X1 * W[:, None])
+            row = np.concatenate([g, H.ravel()])
+            return pa.table({f"p{i}": pa.array([row[i]], pa.float64())
+                             for i in range(len(row))})
+
+        parts = ds.map_batches(newton_part, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
+        vals = [math.fsum(sorted(parts[c].to_numpy()))
+                for c in parts.columns]
+        g = np.array(vals[:d + 1])
+        H = np.array(vals[d + 1:]).reshape(d + 1, d + 1)
+        reg = l2 * np.eye(d + 1)
+        reg[0, 0] = 0.0  # never regularize the intercept
+        step = np.linalg.solve(H + reg, g + (reg @ w))
+        w = w - step
+        n_iter = it + 1
+        if float(np.abs(step).max()) < 1e-10:
+            break
+    return {"w": w[1:], "b": float(w[0]), "mean": mean, "std": std,
+            "n_iter": n_iter}
+
+
+def logistic_predict(
+    ds: "ray.data.Dataset",
+    model: dict,
+    feature_cols: "list[str]",
+    id_col: str = "doc_id",
+    out_col: str = "score",
+) -> "ray.data.Dataset":
+    """Score rows with a :func:`logistic_fit` model — one stateless
+    broadcast pass; rows with a null/NaN feature score null."""
+    import ray as _ray
+
+    ref = _ray.put((model["mean"], model["std"],
+                    np.asarray(model["w"]), model["b"]))
+
+    def score(batch: pa.Table) -> pa.Table:
+        mu_, sd_, wv, b = _ray.get(ref)
+        X = np.column_stack([
+            batch.column(c).to_numpy(zero_copy_only=False)
+            .astype(np.float64) for c in feature_cols])
+        ok = ~np.isnan(X).any(1)
+        z = np.clip(((X - mu_) / sd_) @ wv + b, -30, 30)
+        p = 1.0 / (1.0 + np.exp(-z))
+        p[~ok] = np.nan
+        return pa.table({
+            id_col: batch.column(id_col),
+            out_col: pa.array(pd.Series(p), pa.float64(),
+                              from_pandas=True)})
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          batch_size=65536)

@@ -453,3 +453,121 @@ def test_survivorship_salted_partitioning_invariance():
     pd.testing.assert_frame_equal(
         a.sort_values("k").reset_index(drop=True),
         b.sort_values("k").reset_index(drop=True), check_dtype=False)
+
+
+# --------------------------------------------------------- roc_auc
+
+
+def _auc_reference(s, y):
+    order = np.argsort(s, kind="mergesort")
+    sv, yv = s[order], y[order]
+    ranks = np.empty(len(sv))
+    i, r = 0, 1
+    while i < len(sv):
+        j = i
+        while j < len(sv) and sv[j] == sv[i]:
+            j += 1
+        ranks[i:j] = (r + (r + j - i - 1)) / 2
+        r += j - i
+        i = j
+    P = yv.sum()
+    N = len(yv) - P
+    return (ranks[yv == 1].sum() - P * (P + 1) / 2) / (P * N)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_roc_auc_rank_sum_parity(seed):
+    from biosd_feature_annotator_ray.stages.sketches import roc_auc
+
+    rng = np.random.default_rng(seed)
+    n = 6000
+    y = (rng.random(n) < 0.25).astype(int)
+    s = np.round(rng.normal(0, 1, n) + 0.9 * y, 1)  # heavy ties
+    df = pd.DataFrame({"s": s, "y": y})
+    df.loc[0, "s"] = np.nan  # excluded
+    got = roc_auc(rd.from_pandas(df).repartition(5), "s", "y",
+                  n_bins=32, nb=4)
+    d = df.dropna()
+    want = _auc_reference(d["s"].to_numpy(), d["y"].to_numpy())
+    assert abs(got - want) < 1e-9
+
+
+def test_roc_auc_single_class_raises():
+    from biosd_feature_annotator_ray.stages.sketches import roc_auc
+
+    df = pd.DataFrame({"s": np.arange(100.0), "y": np.ones(100, int)})
+    with pytest.raises(ValueError, match="both classes"):
+        roc_auc(rd.from_pandas(df), "s", "y", n_bins=8)
+
+
+def test_roc_auc_perfect_separation():
+    from biosd_feature_annotator_ray.stages.sketches import roc_auc
+
+    df = pd.DataFrame({"s": np.arange(200.0),
+                       "y": (np.arange(200) >= 100).astype(int)})
+    assert roc_auc(rd.from_pandas(df).repartition(3), "s", "y",
+                   n_bins=16) == 1.0
+
+
+# ------------------------------------------------- logistic regression
+
+
+def test_logistic_fit_matches_reference_irls():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        logistic_fit, logistic_predict)
+
+    rng = np.random.default_rng(0)
+    n = 3000
+    X = rng.normal(0, 1, (n, 3))
+    p = 1 / (1 + np.exp(-(X @ np.array([2.0, -1.0, 0.5]) - 0.3)))
+    y = (rng.random(n) < p).astype(int)
+    df = pd.DataFrame({"f0": X[:, 0], "f1": X[:, 1], "f2": X[:, 2],
+                       "y": y, "doc_id": np.arange(n, dtype="int64")})
+    m = logistic_fit(rd.from_pandas(df).repartition(5),
+                     ["f0", "f1", "f2"], "y", iters=10)
+    mu, sd = X.mean(0), X.std(0)
+    Xs = np.column_stack([np.ones(n), (X - mu) / sd])
+    w = np.zeros(4)
+    for _ in range(10):
+        z = np.clip(Xs @ w, -30, 30)
+        q = 1 / (1 + np.exp(-z))
+        g = Xs.T @ (q - y)
+        H = Xs.T @ (Xs * (q * (1 - q))[:, None])
+        reg = 1e-4 * np.eye(4)
+        reg[0, 0] = 0
+        step = np.linalg.solve(H + reg, g + reg @ w)
+        w = w - step
+        if abs(step).max() < 1e-10:
+            break
+    assert np.allclose(np.r_[m["b"], m["w"]], w, atol=1e-6)
+    sc = logistic_predict(rd.from_pandas(df).repartition(3), m,
+                          ["f0", "f1", "f2"]).to_pandas()
+    sc = sc.sort_values("doc_id")
+    acc = ((sc["score"] > 0.5).to_numpy().astype(int) == y).mean()
+    assert acc > 0.75  # separable synthetic data
+
+
+def test_logistic_predict_null_feature_scores_null():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        logistic_fit, logistic_predict)
+
+    rng = np.random.default_rng(1)
+    n = 500
+    df = pd.DataFrame({"f0": rng.normal(0, 1, n),
+                       "y": (rng.random(n) < 0.5).astype(int),
+                       "doc_id": np.arange(n, dtype="int64")})
+    m = logistic_fit(rd.from_pandas(df), ["f0"], "y", iters=5)
+    df2 = df.copy()
+    df2.loc[0, "f0"] = np.nan
+    sc = logistic_predict(rd.from_pandas(df2), m, ["f0"]).to_pandas()
+    sc = sc.sort_values("doc_id").reset_index(drop=True)
+    assert pd.isna(sc.loc[0, "score"])
+    assert sc["score"].iloc[1:].notna().all()
+
+
+def test_logistic_fit_feature_guard():
+    from biosd_feature_annotator_ray.stages.textstats import logistic_fit
+
+    df = pd.DataFrame({"y": [0, 1]})
+    with pytest.raises(ValueError, match="1..64 features"):
+        logistic_fit(rd.from_pandas(df), [], "y")
