@@ -261,6 +261,7 @@ def run_queries() -> dict:
         "topo_layers", "skyline_lineitem", "band_join_events",
         "heavy_hitters_exact", "bigram_nll", "curate_corpus",
         "betweenness", "survivorship_events", "auc_value_purchase", "quality_classifier",
+        "running_nunique", "trend_per_type",
     ]
     out = {}
     for name in names:

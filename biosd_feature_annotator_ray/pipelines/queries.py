@@ -10985,3 +10985,73 @@ def q_quality_classifier(sf_dir: str):
 
 
 QUERIES["quality_classifier"] = q_quality_classifier
+
+
+def q_running_nunique(sf_dir: str):
+    """Running COUNT(DISTINCT event_type) per user in event order
+    (windows.running_nunique_per_key) — engagement-breadth signal.
+    Fully oracled (correlated DISTINCT-count subquery twin)."""
+    from ..stages.windows import running_nunique_per_key
+
+    out = running_nunique_per_key(
+        _events(sf_dir, ["event_id", "ts", "user_id", "event_type"]),
+        key_col="user_id", value_col="event_type",
+        order_cols=["ts", "event_id"], nb=8)
+    df = (out.to_pandas()[["event_id", "n_distinct"]]
+          .sort_values("event_id").reset_index(drop=True))
+    df["n_distinct"] = df["n_distinct"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["running_nunique"] = q_running_nunique
+
+ORACLES["running_nunique"] = (
+    "SELECT o.event_id,"
+    " (SELECT count(DISTINCT i.event_type) FROM events i"
+    "   WHERE i.user_id = o.user_id AND (i.ts < o.ts"
+    "     OR (i.ts = o.ts AND i.event_id <= o.event_id)))"
+    "  AS n_distinct"
+    " FROM events o"
+)
+
+
+def q_trend_per_type(sf_dir: str):
+    """Per-key OLS trend (sketches.trend_per_key): slope / intercept /
+    r² of event value over time (hours since 2024-01-01) per event
+    type — one sufficient-statistics pass, closed-form finish. Fully
+    oracled (explicit-sums formula twin)."""
+    from ..stages.sketches import trend_per_key
+
+    ev = _events(sf_dir, ["ts", "event_type", "value"])
+
+    def xy(t: pa.Table) -> pa.Table:
+        micros = t.column("ts").cast(pa.int64())
+        x = pc.divide(pc.subtract(
+            pc.divide(pc.cast(micros, pa.float64()), 1e6),
+            pa.scalar(1704067200.0)), 3600.0)
+        return pa.table({"event_type": t.column("event_type"),
+                         "x": x, "y": t.column("value")})
+
+    out = trend_per_key(ev.map_batches(xy, batch_format="pyarrow"),
+                        "event_type", "x", "y", nb=8)
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["trend_per_type"] = q_trend_per_type
+
+ORACLES["trend_per_type"] = (
+    "WITH d AS (SELECT event_type,"
+    "  (epoch(ts) - 1704067200) / 3600.0 AS x, value AS y"
+    "  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),"
+    " s AS (SELECT event_type, count(*) AS n, sum(x) AS sx,"
+    "  sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx,"
+    "  sum(y * y) AS syy FROM d GROUP BY event_type)"
+    " SELECT event_type,"
+    "  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,"
+    "  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
+    "    / n, 6) AS intercept,"
+    "  round(power(n * sxy - sx * sy, 2)"
+    "    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2"
+    " FROM s"
+)

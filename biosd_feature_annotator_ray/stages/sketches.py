@@ -1538,3 +1538,76 @@ def roc_auc(
             f"roc_auc: needs both classes (P={P}, N={N})")
     import math
     return math.fsum(sorted(parts["num"].to_numpy())) / (float(P) * N)
+
+
+def trend_per_key(
+    ds: "ray.data.Dataset",
+    key: "str | list[str]",
+    x_col: str,
+    y_col: str,
+    nb: int = 32,
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """Per-key OLS trend line: slope, intercept and r² of y on x for
+    every key — "is this domain's quality drifting", "is the crawl
+    rate of this host rising" — in ONE sufficient-statistics pass:
+    per-batch partial (n, Σx, Σy, Σxy, Σx², Σy²) per key, one
+    composite-key bucketed sums reduce, then closed-form finishers.
+    Rows where x or y is null/NaN are excluded (SQL regr_* slope
+    semantics). Keys with < 2 points or zero x-variance emit null
+    slope/intercept/r²; zero y-variance emits r² = null (corr
+    undefined), matching SQL corr(). Center x per key before calling
+    if |x| is huge (epoch micros) — the naive sums lose precision
+    like any closed-form OLS."""
+    from .canonicalize import sums_by_key
+
+    keys = [key] if isinstance(key, str) else list(key)
+    stat_cols = ["n_", "sx", "sy", "sxy", "sxx", "syy"]
+
+    def part(batch: pa.Table) -> pa.Table:
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = batch.column(y_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = ~(np.isnan(x) | np.isnan(y))
+        df = pd.DataFrame({k: batch.column(k).to_pandas()[ok]
+                           for k in keys})
+        xv, yv = x[ok], y[ok]
+        df["n_"] = 1.0
+        df["sx"] = xv
+        df["sy"] = yv
+        df["sxy"] = xv * yv
+        df["sxx"] = xv * xv
+        df["syy"] = yv * yv
+        g = df.groupby(keys, dropna=False, as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = sums_by_key(
+        ds.map_batches(part, batch_format="pyarrow", batch_size=65536),
+        keys, stat_cols, nb=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.column("n_").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        sy = t.column("sy").to_numpy(zero_copy_only=False)
+        sxy = t.column("sxy").to_numpy(zero_copy_only=False)
+        sxx = t.column("sxx").to_numpy(zero_copy_only=False)
+        syy = t.column("syy").to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            vx = n * sxx - sx * sx
+            vy = n * syy - sy * sy
+            cov = n * sxy - sx * sy
+            slope = np.where((n >= 2) & (vx > 0), cov / vx, np.nan)
+            intercept = np.where(np.isnan(slope), np.nan,
+                                 (sy - slope * sx) / n)
+            r2 = np.where((~np.isnan(slope)) & (vy > 0),
+                          (cov * cov) / (vx * vy), np.nan)
+        cols = {k: t.column(k) for k in keys}
+        for name, v in (("slope", slope), ("intercept", intercept),
+                        ("r2", r2)):
+            v = np.round(v, round_to)
+            cols[name] = pa.array(v, pa.float64(),
+                                  mask=np.isnan(v))
+        return pa.table(cols)
+
+    return sums.map_batches(finish, batch_format="pyarrow")

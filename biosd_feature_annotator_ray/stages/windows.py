@@ -2247,3 +2247,51 @@ def attribution(
             "channel": t.column("channel"),
             "touch_ts": t.column("touch_ts")}),
         batch_format="pyarrow")
+
+
+def running_nunique_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "event_type",
+    order_cols: list[str] | None = None,
+    out: str = "n_distinct",
+    nb: int = 16,
+    max_bucket_rows: int | None = None,
+) -> "ray.data.Dataset":
+    """Running COUNT(DISTINCT value) OVER (PARTITION BY key ORDER BY
+    order_cols ROWS UNBOUNDED PRECEDING) — "how many distinct event
+    types has this user produced so far", the engagement-breadth /
+    novelty signal. SQL DISTINCT-aggregate semantics: NULL values
+    never increment the count.
+
+    Finisher: one stable sort, a vectorized first-occurrence mask of
+    (key, value) in sort order (pandas duplicated over just the two
+    key columns — payload stays Arrow), and run-rebased cumsum. NOT
+    O(1)-streamable (the carry is the per-key seen-set), so an
+    over-bound bucket raises ``WindowBucketOverflow`` like the other
+    non-streamable finishers."""
+    import pandas as pd
+
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "running_nunique_per_key", max_bucket_rows)
+        t, new, start = _sorted_runs(g, key_col, oc)
+        kv = pd.DataFrame({
+            "k": t.column(key_col).to_pandas(),
+            "v": t.column(value_col).to_pandas()})
+        first = (~kv.duplicated(["k", "v"])).to_numpy()
+        first &= kv["v"].notna().to_numpy()
+        cs = np.cumsum(first.astype(np.int64))
+        run_first = first[start].astype(np.int64)
+        rn = cs - (cs[start] - run_first)
+        return t.append_column(out, pa.array(rn.astype(np.int64)))
+
+    return (
+        events.map_batches(local, batch_format="pyarrow", batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )

@@ -571,3 +571,88 @@ def test_logistic_fit_feature_guard():
     df = pd.DataFrame({"y": [0, 1]})
     with pytest.raises(ValueError, match="1..64 features"):
         logistic_fit(rd.from_pandas(df), [], "y")
+
+
+# ------------------------------------------------ running_nunique_per_key
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_running_nunique_duckdb_parity(seed):
+    from biosd_feature_annotator_ray.stages.windows import (
+        running_nunique_per_key)
+
+    rng = np.random.default_rng(seed)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 25, n),
+        "ord": rng.integers(0, 10_000, n),
+        "rid": np.arange(n, dtype="int64"),
+        "v": rng.choice(list("abcde"), n),
+    })
+    df.loc[rng.integers(0, n, 100), "v"] = None  # nulls never count
+    out = running_nunique_per_key(
+        rd.from_pandas(df).repartition(4), key_col="k", value_col="v",
+        order_cols=["ord", "rid"], nb=4).to_pandas()
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+     SELECT o.rid, (SELECT count(DISTINCT i.v) FROM t i
+        WHERE i.k = o.k AND (i.ord < o.ord
+          OR (i.ord = o.ord AND i.rid <= o.rid))) AS n_distinct
+     FROM t o""").df()
+    got = out.sort_values("rid")["n_distinct"].astype(int).to_numpy()
+    want = exp.sort_values("rid")["n_distinct"].astype(int).to_numpy()
+    assert (got == want).all()
+
+
+def test_running_nunique_hot_key_raises():
+    from biosd_feature_annotator_ray.stages.windows import (
+        WindowBucketOverflow, running_nunique_per_key)
+
+    df = pd.DataFrame({"k": np.zeros(500, int),
+                       "ord": np.arange(500),
+                       "rid": np.arange(500, dtype="int64"),
+                       "v": np.arange(500).astype(str)})
+    with pytest.raises(WindowBucketOverflow):
+        running_nunique_per_key(rd.from_pandas(df), key_col="k",
+                                value_col="v", order_cols=["ord", "rid"],
+                                nb=1, max_bucket_rows=100).to_pandas()
+
+
+# --------------------------------------------------------- trend_per_key
+
+
+def test_trend_per_key_reference_and_degenerates():
+    from biosd_feature_annotator_ray.stages.sketches import trend_per_key
+
+    rng = np.random.default_rng(4)
+    frames = []
+    # key 'a': clean linear y = 3x - 2 + noise
+    x = rng.uniform(0, 10, 400)
+    frames.append(pd.DataFrame({
+        "k": "a", "x": x, "y": 3 * x - 2 + rng.normal(0, .1, 400)}))
+    # key 'b': single point -> all null
+    frames.append(pd.DataFrame({"k": ["b"], "x": [1.0], "y": [2.0]}))
+    # key 'c': constant x -> zero x-variance -> all null
+    frames.append(pd.DataFrame({
+        "k": "c", "x": np.ones(50), "y": rng.uniform(0, 1, 50)}))
+    # key 'd': constant y -> slope 0, r2 null
+    frames.append(pd.DataFrame({
+        "k": "d", "x": np.arange(50, dtype=float), "y": np.ones(50)}))
+    df = pd.concat(frames, ignore_index=True)
+    out = trend_per_key(rd.from_pandas(df).repartition(3), "k", "x", "y",
+                        nb=4).to_pandas().set_index("k")
+    a = out.loc["a"]
+    # closed-form reference
+    d = df[df.k == "a"]
+    n, sx, sy = len(d), d.x.sum(), d.y.sum()
+    sxy, sxx, syy = (d.x * d.y).sum(), (d.x ** 2).sum(), (d.y ** 2).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    icpt = (sy - slope * sx) / n
+    r2 = (n * sxy - sx * sy) ** 2 / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    assert abs(a["slope"] - round(slope, 6)) < 2e-6
+    assert abs(a["intercept"] - round(icpt, 6)) < 2e-6
+    assert abs(a["r2"] - round(r2, 6)) < 2e-6
+    assert pd.isna(out.loc["b"]).all()
+    assert pd.isna(out.loc["c"]).all()
+    assert out.loc["d", "slope"] == 0.0 and pd.isna(out.loc["d", "r2"])
