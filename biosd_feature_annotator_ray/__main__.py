@@ -310,6 +310,36 @@ def main(argv: list[str] | None = None) -> int:
                      help="(node, scc) parquet dir")
     psc.add_argument("--num-cpus", type=int, default=8)
 
+    pto = sub.add_parser("topo", help="Kahn topological layering of a DAG "
+                         "edge parquet (cycles raise)")
+    pto.add_argument("--input", required=True,
+                     help="parquet with (src, dst) edges")
+    pto.add_argument("--output", required=True,
+                     help="(node, layer) parquet dir")
+    pto.add_argument("--num-cpus", type=int, default=8)
+
+    pbc = sub.add_parser("centrality", help="Brandes betweenness centrality "
+                         "of a directed edge parquet (exact, or sampled "
+                         "with --sample-every)")
+    pbc.add_argument("--input", required=True,
+                     help="parquet with (src, dst) edges")
+    pbc.add_argument("--output", required=True,
+                     help="(node, bc) parquet dir")
+    pbc.add_argument("--sample-every", type=int, default=1,
+                     help="use every k-th node (md5 order) as a source")
+    pbc.add_argument("--num-cpus", type=int, default=8)
+
+    pgd = sub.add_parser("golden", help="ER survivorship: fuse one golden "
+                         "record per key (per-column first non-null by "
+                         "order)")
+    pgd.add_argument("--input", required=True)
+    pgd.add_argument("--output", required=True)
+    pgd.add_argument("--key", required=True)
+    pgd.add_argument("--order-col", required=True)
+    pgd.add_argument("--id-col", required=True)
+    pgd.add_argument("--descending", action="store_true")
+    pgd.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -703,6 +733,73 @@ def main(argv: list[str] | None = None) -> int:
             df = out.to_pandas()
             print(json.dumps({"nodes": int(len(df)),
                               "components": int(df["scc"].nunique()),
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "topo":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import topo_layers
+
+            out = topo_layers(rd.read_parquet(args.input)).materialize()
+            out.write_parquet(args.output)
+            df = out.to_pandas()
+            print(json.dumps({"nodes": int(len(df)),
+                              "depth": int(df["layer"].max()) if len(df) else 0,
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "centrality":
+            import hashlib
+
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import betweenness
+
+            edges = rd.read_parquet(args.input)
+            sources = None
+            if args.sample_every > 1:
+                # distributed node dedup + md5 sample; only the sampled
+                # source ids (|nodes|/k) ever reach the driver
+                import pyarrow as pa
+
+                from biosd_feature_annotator_ray.stages.canonicalize import (
+                    dedup_exact)
+
+                k = args.sample_every
+
+                def pick(t, _k=k):
+                    keep = [int(hashlib.md5(str(v).encode())
+                                .hexdigest()[:8], 16) % _k == 0
+                            for v in t.column("node").to_pylist()]
+                    return t.filter(pa.array(keep))
+
+                nodes = dedup_exact(edges.map_batches(
+                    lambda t: pa.table({"node": pa.concat_arrays([
+                        t.column("src").combine_chunks(),
+                        t.column("dst").combine_chunks()])}),
+                    batch_format="pyarrow"), ["node"])
+                sources = sorted(nodes.map_batches(
+                    pick, batch_format="pyarrow")
+                    .to_pandas()["node"].tolist())
+            out = betweenness(edges, sources=sources).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"nodes": int(out.count()),
+                              "sampled": args.sample_every > 1,
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "golden":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.canonicalize import (
+                survivorship)
+
+            out = survivorship(
+                rd.read_parquet(args.input), args.key, args.order_col,
+                args.id_col, ascending=not args.descending).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"keys": int(out.count()),
                               "output": args.output}))
             return 0
 

@@ -656,3 +656,53 @@ def test_trend_per_key_reference_and_degenerates():
     assert pd.isna(out.loc["b"]).all()
     assert pd.isna(out.loc["c"]).all()
     assert out.loc["d", "slope"] == 0.0 and pd.isna(out.loc["d", "r2"])
+
+
+# -------------------------------------------------------------- CLI
+
+
+def test_cli_topo_centrality_golden(ray_session, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq_
+
+    def run(*a):
+        out = subprocess.run(
+            [sys.executable, "-m", "biosd_feature_annotator_ray", *a,
+             "--num-cpus", "2"],
+            capture_output=True, text=True, check=True, cwd="/root/repo")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    edges = pa.table({"src": pa.array([0, 1, 2, 0], pa.int64()),
+                      "dst": pa.array([1, 2, 3, 2], pa.int64())})
+    ep = tmp_path / "edges.parquet"
+    pq_.write_table(edges, str(ep))
+
+    got = run("topo", "--input", str(ep),
+              "--output", str(tmp_path / "topo"))
+    assert got["nodes"] == 4 and got["depth"] == 3
+
+    got = run("centrality", "--input", str(ep),
+              "--output", str(tmp_path / "bc"))
+    assert got["nodes"] == 4 and not got["sampled"]
+    bc = pq_.read_table(str(tmp_path / "bc")).to_pandas()
+    want = _brandes_reference([(0, 1), (1, 2), (2, 3), (0, 2)])
+    assert dict(zip(bc["node"].astype(int), bc["bc"])) == want
+
+    recs = pa.table({
+        "k": pa.array([1, 1, 2], pa.int64()),
+        "ord": pa.array([1, 2, 1], pa.int64()),
+        "rid": pa.array([0, 1, 2], pa.int64()),
+        "a": pa.array([None, 5.0, 7.0], pa.float64())})
+    rp = tmp_path / "recs.parquet"
+    pq_.write_table(recs, str(rp))
+    got = run("golden", "--input", str(rp),
+              "--output", str(tmp_path / "golden"),
+              "--key", "k", "--order-col", "ord", "--id-col", "rid",
+              "--descending")
+    assert got["keys"] == 2
+    g = (pq_.read_table(str(tmp_path / "golden")).to_pandas()
+         .sort_values("k"))
+    assert g["a"].tolist() == [5.0, 7.0]
