@@ -661,9 +661,19 @@ def transitive_closure(
             ck.write(0, delta)
         start_round = 1
 
+    # the closure is only ever CONSUMED (anti-join old side / return
+    # value) — keep it as a LAZY flat union of the materialized
+    # per-round deltas instead of re-materializing the whole closure
+    # every round (one fewer Ray execution per round; the union of
+    # already-materialized parts just concatenates block lists)
+    parts = [closure]
+
+    def _union_parts():
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
     for k in range(start_round, max_iters + 1):
         if delta.count() == 0:
-            return closure
+            return _union_parts()
         # one hop: (node, anc) ⋈ (child=anc, parent) → (node, parent)
         hop = shuffle_hash_join(
             delta, e.map_batches(
@@ -673,11 +683,11 @@ def transitive_closure(
         hop = hop.map_batches(_project("node", "new_anc"),
                               batch_format="pyarrow")
         # fused dedup + closure-anti-join: ONE shuffle per round
-        delta = _mat(_subtract_new(hop, closure, ["node", "anc"], nb,
-                                   key_type=node_t))
+        delta = _mat(_subtract_new(hop, _union_parts(), ["node", "anc"],
+                                   nb, key_type=node_t))
         if ck is not None:
             ck.write(k, delta)
-        closure = closure.union(delta).materialize()
+        parts.append(delta)
     raise RuntimeError(
         f"transitive_closure did not converge in max_iters={max_iters} "
         "(DAG deeper than that) — raise max_iters")
