@@ -262,6 +262,8 @@ def run_queries() -> dict:
         "heavy_hitters_exact", "bigram_nll", "curate_corpus",
         "betweenness", "survivorship_events", "auc_value_purchase", "quality_classifier",
         "running_nunique", "trend_per_type",
+        # round-4 twelfth sitting
+        "er_parts_jw", "fs_linkage", "soundex_blocking",
     ]
     out = {}
     for name in names:

@@ -11055,3 +11055,184 @@ ORACLES["trend_per_type"] = (
     "    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2"
     " FROM s"
 )
+
+
+def q_er_parts_jw(sf_dir: str):
+    """Jaro-Winkler blocked ER (similarity.blocked_jw_join): part
+    names corrupted by an adjacent-char swap (the transposition typo
+    JW is designed for) matched back against the catalog under the
+    same (first-char, length-band) blocking as er_parts. Sims are
+    bit-identical to DuckDB's jaro_winkler_similarity (pinned by a
+    4000-case fuzz), so the oracle compares raw float64."""
+    from ..stages.similarity import blocked_jw_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    corrupted = part.map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy() % 25 == 0)),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "p_name": pa.array([s[:2] + s[3] + s[2] + s[4:]
+                                for s in t.column("p_name").to_pylist()])}),
+        batch_format="pyarrow")
+    out = blocked_jw_join(corrupted, part, "p_partkey", "p_name",
+                          "p_partkey", "p_name", min_sim=0.92,
+                          nb=16).to_pandas()
+    return pa.Table.from_pandas(
+        out.sort_values(["l_id", "r_id"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["er_parts_jw"] = q_er_parts_jw
+
+ORACLES["er_parts_jw"] = (
+    "WITH l AS (SELECT p_partkey AS l_id,"
+    "   substr(p_name, 1, 2) || substr(p_name, 4, 1)"
+    "   || substr(p_name, 3, 1) || substr(p_name, 5) AS l_name"
+    "  FROM part WHERE p_partkey % 25 = 0),"
+    " r AS (SELECT p_partkey AS r_id, p_name AS r_name FROM part)"
+    " SELECT l_id, r_id,"
+    "  jaro_winkler_similarity(l_name, r_name) AS sim"
+    " FROM l JOIN r ON substr(l_name, 1, 1) = substr(r_name, 1, 1)"
+    "  AND length(l_name) // 4 = length(r_name) // 4"
+    " WHERE jaro_winkler_similarity(l_name, r_name) >= 0.92"
+)
+
+
+def q_fs_linkage(sf_dir: str):
+    """Fellegi-Sunter probabilistic record linkage
+    (similarity.fellegi_sunter_join): perturbed customer records
+    linked back to the master under nationkey blocking; three field
+    comparisons (name / market segment / floored balance) contribute
+    log2 agreement weights. The SQL twin embeds the IDENTICAL
+    Python-computed weight literals, so scores are bit-exact."""
+    from ..stages.similarity import fellegi_sunter_join
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_name", "c_mktsegment",
+                 "c_acctbal"])
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        k = t.column("c_custkey").to_numpy()
+        keep = k % 4 == 0
+        t = t.filter(pa.array(keep))
+        k = t.column("c_custkey").to_numpy()
+        name = t.column("c_name").to_pylist()
+        seg = t.column("c_mktsegment").to_pylist()
+        bal = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        name = [s + "~" if kk % 3 == 0 else s for s, kk in zip(name, k)]
+        seg = ["XX" if kk % 5 == 0 else s for s, kk in zip(seg, k)]
+        bal = np.where(k % 7 == 0, bal + 1.0, bal)
+        return pa.table({
+            "l_id": t.column("c_custkey"),
+            "c_nationkey": t.column("c_nationkey"),
+            "c_name": pa.array(name, pa.string()),
+            "c_mktsegment": pa.array(seg, pa.string()),
+            "bal": pa.array(np.floor(bal), pa.float64())})
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_id": t.column("c_custkey"),
+            "c_nationkey": t.column("c_nationkey"),
+            "c_name": t.column("c_name"),
+            "c_mktsegment": t.column("c_mktsegment"),
+            "bal": pc.floor(t.column("c_acctbal"))})
+
+    left = cust.map_batches(mk_left, batch_format="pyarrow")
+    right = cust.map_batches(mk_right, batch_format="pyarrow")
+    out = fellegi_sunter_join(
+        left, right, block_on=["c_nationkey"],
+        fields=[("c_name", "c_name", 0.9, 0.001),
+                ("c_mktsegment", "c_mktsegment", 0.95, 0.2),
+                ("bal", "bal", 0.9, 0.01)],
+        min_score=2.0, nb=16)
+    df = (out.to_pandas()[["l_id", "r_id", "fs_score"]]
+          .sort_values(["l_id", "r_id"]).reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["fs_linkage"] = q_fs_linkage
+
+
+def _fs_oracle() -> str:
+    import math
+
+    w = {}
+    for tag, m, u in (("nm", 0.9, 0.001), ("sg", 0.95, 0.2),
+                      ("bl", 0.9, 0.01)):
+        w[tag] = (repr(math.log2(m / u)), repr(math.log2((1 - m) / (1 - u))))
+    return (
+        "WITH l AS (SELECT c_custkey AS l_id, c_nationkey,"
+        "   CASE WHEN c_custkey % 3 = 0 THEN c_name || '~'"
+        "    ELSE c_name END AS nm,"
+        "   CASE WHEN c_custkey % 5 = 0 THEN 'XX'"
+        "    ELSE c_mktsegment END AS sg,"
+        "   floor(CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 1.0"
+        "    ELSE c_acctbal END) AS bl"
+        "  FROM customer WHERE c_custkey % 4 = 0),"
+        " r AS (SELECT c_custkey AS r_id, c_nationkey, c_name AS nm,"
+        "   c_mktsegment AS sg, floor(c_acctbal) AS bl FROM customer),"
+        " p AS (SELECT l_id, r_id,"
+        f"   (CASE WHEN l.nm = r.nm THEN {w['nm'][0]} ELSE {w['nm'][1]} END"
+        f"    + CASE WHEN l.sg = r.sg THEN {w['sg'][0]} ELSE {w['sg'][1]} END)"
+        f"    + CASE WHEN l.bl = r.bl THEN {w['bl'][0]} ELSE {w['bl'][1]} END"
+        "    AS fs_score"
+        "  FROM l JOIN r USING (c_nationkey))"
+        " SELECT l_id, r_id, fs_score FROM p WHERE fs_score >= 2.0"
+    )
+
+
+ORACLES["fs_linkage"] = _fs_oracle()
+
+
+def q_soundex_blocking(sf_dir: str):
+    """Soundex phonetic blocking-key census (functions.phonetic):
+    fully vectorized Arrow-kernel Soundex over the first token of
+    every part name, then a sum_by_key count per code — the blocking
+    census an ER pass runs to size its buckets. The oracle replays
+    the identical translate/run-collapse chain in SQL."""
+    from ..functions.phonetic import soundex_array
+    from ..stages.canonicalize import sum_by_key
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_name"])
+
+    def key(t: pa.Table) -> pa.Table:
+        w = pc.replace_substring_regex(t.column("p_name"), r"\s.*$", "")
+        return pa.table({"soundex": soundex_array(w),
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    out = sum_by_key(part.map_batches(key, batch_format="pyarrow"),
+                     "soundex", "n", nb=8)
+    df = out.to_pandas().sort_values("soundex").reset_index(drop=True)
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["soundex_blocking"] = q_soundex_blocking
+
+
+def _soundex_sql(expr: str) -> str:
+    """The engine's Soundex kernel chain replayed in DuckDB SQL over
+    ``expr`` (see functions/phonetic.py — same steps, same order)."""
+    coded = (f"translate(regexp_replace(upper({expr}), '[^A-Z]', '', 'g'),"
+             " 'BFPVCGJKQSXZDTLMNRAEIOUYHW', '111122222222334556000000')")
+    for d in "0123456":
+        coded = f"regexp_replace({coded}, '{d}{{2,}}', '{d}', 'g')"
+    s = f"regexp_replace(upper({expr}), '[^A-Z]', '', 'g')"
+    first = f"substr({s}, 1, 1)"
+    tail = (f"CASE WHEN {first} IN ('H', 'W') THEN {coded}"
+            f" ELSE substr({coded}, 2) END")
+    return (f"CASE WHEN {s} = '' THEN ''"
+            f" ELSE substr(rpad({first} || replace({tail}, '0', ''),"
+            " 4, '0'), 1, 4) END")
+
+
+ORACLES["soundex_blocking"] = (
+    "WITH w AS (SELECT regexp_replace(p_name, '\\s.*$', '') AS fw"
+    "  FROM part)"
+    f" SELECT {_soundex_sql('fw')} AS soundex,"
+    "  count(*) AS n FROM w GROUP BY 1"
+)

@@ -1,0 +1,130 @@
+"""Twelfth-sitting ER-family operators: Jaro-Winkler blocked join,
+Fellegi-Sunter linkage scoring, Soundex phonetic keys."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from biosd_feature_annotator_ray.functions.phonetic import soundex_array
+from biosd_feature_annotator_ray.stages.similarity import (
+    _jaro_winkler, blocked_jw_join, fellegi_sunter_join)
+
+
+def test_jaro_winkler_matches_duckdb_fuzz():
+    """The scalar is bit-identical to DuckDB's jaro_winkler_similarity
+    (including the integer-halved transpositions and the >0.7 boost
+    threshold) over random strings."""
+    import duckdb
+
+    rng = random.Random(303)
+    con = duckdb.connect()
+    for _ in range(1500):
+        s = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
+        t = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
+        ref = con.execute(
+            "select jaro_winkler_similarity(?, ?)", [s, t]).fetchone()[0]
+        assert _jaro_winkler(s, t) == ref, (s, t)
+
+
+def test_jaro_winkler_known_values():
+    assert _jaro_winkler("martha", "marhta") == pytest.approx(
+        0.9611111111111111, abs=0)
+    assert _jaro_winkler("", "") == 0.0
+    assert _jaro_winkler("a", "") == 0.0
+    assert _jaro_winkler("same", "same") == 1.0
+    assert _jaro_winkler("ab", "ba") == 0.0
+
+
+def test_blocked_jw_join_finds_planted_swaps():
+    names = [f"widget alpha {i:03d}" for i in range(40)]
+    right = rd.from_arrow(pa.table({
+        "rid": pa.array(range(40), pa.int64()),
+        "name": pa.array(names, pa.string())}))
+    # swap two adjacent mid-string chars — same first char, same length
+    corrupted = [n[:6] + n[7] + n[6] + n[8:] for n in names[:10]]
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array(range(10), pa.int64()),
+        "name": pa.array(corrupted, pa.string())}))
+    out = blocked_jw_join(left, right, "lid", "name", "rid", "name",
+                          min_sim=0.97, nb=4).to_pandas()
+    got = set(zip(out["l_id"].astype(int), out["r_id"].astype(int)))
+    assert {(i, i) for i in range(10)} <= got
+    # every emitted sim honours the threshold and self-pairs score top
+    assert (out["sim"] >= 0.97).all()
+
+
+def test_fellegi_sunter_scores_and_nulls():
+    left = rd.from_arrow(pa.table({
+        "l_id": pa.array([1, 2, 3], pa.int64()),
+        "blk": pa.array([0, 0, 0], pa.int64()),
+        "f1": pa.array(["x", "x", None], pa.string()),
+        "f2": pa.array([10.0, 99.0, 10.0], pa.float64())}))
+    right = rd.from_arrow(pa.table({
+        "r_id": pa.array([7], pa.int64()),
+        "blk": pa.array([0], pa.int64()),
+        "f1": pa.array(["x"], pa.string()),
+        "f2": pa.array([10.0], pa.float64())}))
+    out = fellegi_sunter_join(
+        left, right, block_on=["blk"],
+        fields=[("f1", "f1", 0.9, 0.1), ("f2", "f2", 0.8, 0.2)],
+        nb=2).to_pandas().set_index("l_id")
+    import math
+
+    w1a, w1d = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+    w2a, w2d = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+    assert out.loc[1, "fs_score"] == pytest.approx(w1a + w2a)
+    assert out.loc[2, "fs_score"] == pytest.approx(w1a + w2d)
+    # null field contributes ZERO weight, not disagreement
+    assert out.loc[3, "fs_score"] == pytest.approx(0.0 + w2a)
+
+
+def test_fellegi_sunter_min_score_and_validation():
+    left = rd.from_arrow(pa.table({
+        "l_id": pa.array([1, 2], pa.int64()),
+        "blk": pa.array([0, 0], pa.int64()),
+        "f1": pa.array(["x", "y"], pa.string())}))
+    right = rd.from_arrow(pa.table({
+        "r_id": pa.array([7], pa.int64()),
+        "blk": pa.array([0], pa.int64()),
+        "f1": pa.array(["x"], pa.string())}))
+    out = fellegi_sunter_join(
+        left, right, block_on=["blk"],
+        fields=[("f1", "f1", 0.9, 0.1)], min_score=1.0, nb=2).to_pandas()
+    assert out["l_id"].tolist() == [1]
+    with pytest.raises(ValueError, match="0 < u < m < 1"):
+        fellegi_sunter_join(left, right, ["blk"],
+                            fields=[("f1", "f1", 0.1, 0.9)])
+
+
+def test_soundex_known_values():
+    got = soundex_array(pa.array(
+        ["Robert", "Rupert", "Ashcraft", "Ashcroft", "Tymczak",
+         "Pfister", "Honeywell", "Aubrey", "", "   ", None, "Wu",
+         "a1b2c3"], pa.string())).to_pylist()
+    assert got == ["R163", "R163", "A261", "A261", "T522", "P236",
+                   "H540", "A160", "", "", None, "W000", "A120"]
+
+
+def test_soundex_matches_sql_chain_fuzz():
+    """Engine kernel == the DuckDB replay used by the oracle, over
+    random letter soup (incl. vowel runs, H/W separators, non-alpha)."""
+    import duckdb
+
+    from biosd_feature_annotator_ray.pipelines.queries import _soundex_sql
+
+    rng = random.Random(99)
+    vals = ["".join(rng.choice("aeiouhwbcdrstx -9")
+                    for _ in range(rng.randint(0, 12)))
+            for _ in range(400)]
+    eng = soundex_array(pa.array(vals, pa.string())).to_pylist()
+    con = duckdb.connect()
+    con.register("v", pa.table({"x": pa.array(vals, pa.string())}))
+    ref = [r[0] for r in con.execute(
+        f"SELECT {_soundex_sql('x')} FROM v").fetchall()]
+    assert eng == ref
