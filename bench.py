@@ -264,6 +264,7 @@ def run_queries() -> dict:
         "running_nunique", "trend_per_type",
         # round-4 twelfth sitting
         "er_parts_jw", "fs_linkage", "soundex_blocking",
+        "community_modularity", "triple_agreement", "annotator_kappa",
     ]
     out = {}
     for name in names:

@@ -11236,3 +11236,161 @@ ORACLES["soundex_blocking"] = (
     f" SELECT {_soundex_sql('fw')} AS soundex,"
     "  count(*) AS n FROM w GROUP BY 1"
 )
+
+
+def q_community_modularity(sf_dir: str):
+    """Newman modularity of the LPA community assignment
+    (graph.modularity) over the lpa_communities corpus (two bridged
+    K5 cliques + a 7-node path) — the detector and its quality score
+    composed end to end. Fully oracled: the SQL twin unrolls the
+    three LPA rounds then replays Q = intra/m - sum(d_c^2)/(4m^2)."""
+    from ..stages.graph import label_propagation, modularity
+
+    rows = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append({"a": base + i, "b": base + j})
+    rows.append({"a": 4, "b": 10})
+    for i in range(6):
+        rows.append({"a": 20 + i, "b": 21 + i})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    labels = label_propagation(edges, n_iters=3, nb=8)
+    return modularity(edges, labels, nb=8)
+
+
+QUERIES["community_modularity"] = q_community_modularity
+
+ORACLES["community_modularity"] = (
+    "WITH base AS ("
+    " SELECT b10 + i AS a, b10 + j AS b"
+    "  FROM (VALUES (0), (10)) t(b10),"
+    "   generate_series(0, 4) s(i), generate_series(0, 4) u(j)"
+    "  WHERE i < j"
+    " UNION ALL SELECT 4, 10"
+    " UNION ALL SELECT 20 + i, 21 + i FROM generate_series(0, 5) s(i)),"
+    " e AS (SELECT a AS src, b AS dst FROM base"
+    "  UNION ALL SELECT b, a FROM base),"
+    " l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),"
+    + _LPA_VOTE.format(k=1, p=0)
+    + _LPA_VOTE.format(k=2, p=1)
+    + _LPA_VOTE.format(k=3, p=2)
+    + " f AS (SELECT node, lab FROM l3),"
+    " m AS (SELECT count(*) AS m FROM base),"
+    " intra AS (SELECT count(*) AS intra FROM base"
+    "  JOIN f la ON la.node = base.a JOIN f lb ON lb.node = base.b"
+    "  WHERE la.lab = lb.lab),"
+    " deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),"
+    " dc AS (SELECT f.lab, sum(deg.d) AS d FROM deg"
+    "  JOIN f ON f.node = deg.node GROUP BY 1),"
+    " s2 AS (SELECT sum(d * d * 1.0) AS sd2 FROM dc)"
+    " SELECT CAST(m.m AS BIGINT) AS m_edges,"
+    "  CAST(intra.intra AS BIGINT) AS intra_edges,"
+    "  round(intra.intra * 1.0 / m.m"
+    "   - s2.sd2 / (4.0 * m.m * m.m), 6) AS q"
+    " FROM m, intra, s2"
+)
+
+
+def q_triple_agreement(sf_dir: str):
+    """Distributed triple-set P/R/F1 (graph.triple_agreement) — the
+    north-rule acceptance gate (P/R vs a reference annotation set)
+    as a first-class operator: gold = distinct (user, event_type,
+    value-bucket) triples from events; pred = gold minus every
+    subj % 13 == 0 row plus planted fakes for subj % 17 == 0. Fully
+    oracled (INTERSECT-count twin)."""
+    from ..stages.graph import triple_agreement
+
+    ev = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def mk_gold(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column("value")),
+                             pc.is_valid(t.column("event_type"))),
+                     pc.is_valid(t.column("user_id")))
+        t = t.filter(ok)
+        return pa.table({
+            "subj": t.column("user_id").cast(pa.int64()),
+            "pred": t.column("event_type"),
+            "obj": pc.cast(pc.floor(pc.divide(
+                t.column("value"), pa.scalar(100.0))), pa.int64())})
+
+    gold = ev.map_batches(mk_gold, batch_format="pyarrow")
+
+    def mk_pred(t: pa.Table) -> pa.Table:
+        s = t.column("subj").to_numpy()
+        kept = t.filter(pa.array(s % 13 != 0))
+        fakes_src = t.filter(pa.array(s % 17 == 0))
+        fakes = pa.table({
+            "subj": pc.add(fakes_src.column("subj"), pa.scalar(1000000)),
+            "pred": pa.array(["fake"] * fakes_src.num_rows, pa.string()),
+            "obj": pa.array(np.zeros(fakes_src.num_rows, np.int64))})
+        return pa.concat_tables([kept, fakes])
+
+    pred = gold.map_batches(mk_pred, batch_format="pyarrow")
+    return triple_agreement(gold, pred, nb=8)
+
+
+QUERIES["triple_agreement"] = q_triple_agreement
+
+ORACLES["triple_agreement"] = (
+    "WITH gold AS (SELECT DISTINCT user_id AS subj,"
+    "   event_type AS pred,"
+    "   CAST(floor(value / 100.0) AS BIGINT) AS obj"
+    "  FROM events WHERE value IS NOT NULL"
+    "   AND event_type IS NOT NULL AND user_id IS NOT NULL),"
+    " predt AS (SELECT * FROM gold WHERE subj % 13 <> 0"
+    "  UNION SELECT subj + 1000000, 'fake', 0 FROM gold"
+    "   WHERE subj % 17 = 0),"
+    " c AS (SELECT count(*) AS n_common FROM"
+    "  (SELECT * FROM predt INTERSECT SELECT * FROM gold)),"
+    " s AS (SELECT (SELECT count(*) FROM gold) AS n_gold,"
+    "  (SELECT count(*) FROM predt) AS n_pred, n_common FROM c)"
+    " SELECT n_gold, n_pred, n_common,"
+    "  round(n_common * 1.0 / n_pred, 6) AS precision,"
+    "  round(n_common * 1.0 / n_gold, 6) AS recall,"
+    "  round(2.0 * (n_common * 1.0 / n_pred) * (n_common * 1.0 / n_gold)"
+    "   / ((n_common * 1.0 / n_pred) + (n_common * 1.0 / n_gold)), 6)"
+    "   AS f1"
+    " FROM s"
+)
+
+
+def q_annotator_kappa(sf_dir: str):
+    """Cohen's kappa inter-annotator agreement (sketches.cohen_kappa)
+    between the event_type column and a deterministic second
+    annotator that relabels every event_id % 7 == 0 row 'other' —
+    the QA statistic for comparing two annotation runs. Fully
+    oracled (marginals-product twin with unrounded intermediates)."""
+    from ..stages.sketches import cohen_kappa
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+
+    def two(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        a = t.column("event_type")
+        b = pc.if_else(pa.array(eid % 7 == 0),
+                       pa.scalar("other", pa.string()), a)
+        return pa.table({"a": a, "b": b})
+
+    return cohen_kappa(ev.map_batches(two, batch_format="pyarrow"),
+                       "a", "b", nb=4)
+
+
+QUERIES["annotator_kappa"] = q_annotator_kappa
+
+ORACLES["annotator_kappa"] = (
+    "WITH p AS (SELECT event_type AS a,"
+    "   CASE WHEN event_id % 7 = 0 THEN 'other' ELSE event_type END AS b"
+    "  FROM events WHERE event_type IS NOT NULL),"
+    " nn AS (SELECT count(*) AS n FROM p),"
+    " ag AS (SELECT count(*) * 1.0 AS agree FROM p WHERE a = b),"
+    " ra AS (SELECT a, count(*) * 1.0 AS c FROM p GROUP BY a),"
+    " cb AS (SELECT b, count(*) * 1.0 AS c FROM p GROUP BY b),"
+    " pe AS (SELECT sum(ra.c * cb.c) AS s FROM ra"
+    "  JOIN cb ON ra.a = cb.b)"
+    " SELECT nn.n, round(ag.agree / nn.n, 6) AS po,"
+    "  round(pe.s / (nn.n * 1.0 * nn.n), 6) AS pe,"
+    "  round((ag.agree / nn.n - pe.s / (nn.n * 1.0 * nn.n))"
+    "   / (1 - pe.s / (nn.n * 1.0 * nn.n)), 6) AS kappa"
+    " FROM nn, ag, pe"
+)

@@ -5490,3 +5490,149 @@ def betweenness(
             "bc": pc.round(pc.fill_null(
                 t.column("bc").cast(pa.float64()), 0.0), 6)}),
         batch_format="pyarrow")
+
+
+def modularity(
+    edges,
+    labels,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    label_col: str = "label",
+    nb: int = 32,
+) -> "pa.Table":
+    """Newman modularity Q of a community assignment over an
+    undirected graph (each edge listed ONCE, no self-loops) — the
+    quality score that decides whether a community detection pass
+    (LPA, label spreading) actually found structure:
+
+        Q = (intra / m) - Σ_c (d_c / 2m)²
+
+    with m = |E|, intra = #edges inside a community, d_c = total
+    degree of community c. Scale shape: two bucketed label joins tag
+    each edge's endpoints, one sum_by_key builds the per-node degree
+    census, one more the per-community degree sums; the final scalar
+    reduce ships one (Σe, Σd²) partial per block and folds them with
+    order-independent math.fsum on the driver — the per-community
+    table itself is never collected. Edges whose endpoints are
+    missing from ``labels`` raise (a silent drop would inflate Q).
+
+    Returns a ONE-ROW pa.Table ``(m_edges, intra_edges, q)`` with q
+    rounded to 6 dp.
+    """
+    import math
+
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    e = edges.map_batches(
+        lambda t: pa.table({"src": t.column(a_col).cast(pa.int64()),
+                            "dst": t.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    lab = labels.map_batches(
+        lambda t: pa.table({"node": t.column(node_col).cast(pa.int64()),
+                            "lab": t.column(label_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    e = mat_cut(e)
+    m = e.count()
+    if m == 0:
+        return pa.table({"m_edges": pa.array([0], pa.int64()),
+                         "intra_edges": pa.array([0], pa.int64()),
+                         "q": pa.array([0.0], pa.float64())})
+
+    # tag both endpoints with their community
+    t1 = shuffle_hash_join(
+        e, lab.map_batches(lambda t: pa.table(
+            {"src": t.column("node"), "lab_a": t.column("lab")}),
+            batch_format="pyarrow"), on=["src"], how="left", nb=nb)
+    t2 = shuffle_hash_join(
+        t1, lab.map_batches(lambda t: pa.table(
+            {"dst": t.column("node"), "lab_b": t.column("lab")}),
+            batch_format="pyarrow"), on=["dst"], how="left", nb=nb)
+
+    def intra_part(t: pa.Table) -> pa.Table:
+        la, lb = t.column("lab_a"), t.column("lab_b")
+        miss = int(pc.sum(pc.cast(pc.or_(
+            pc.is_null(la), pc.is_null(lb)), pa.int64())).as_py() or 0)
+        if miss:
+            raise ValueError(
+                f"{miss} edge endpoint(s) missing from labels — "
+                "modularity over a partial labeling would be wrong")
+        same = pc.sum(pc.cast(pc.equal(la, lb), pa.int64())).as_py() or 0
+        return pa.table({"same": pa.array([same], pa.int64())})
+
+    # iter_batches may coalesce the one-row partials — sum whole columns
+    intra = int(sum(
+        pc.sum(b["same"]).as_py() or 0
+        for b in t2.map_batches(intra_part, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow")))
+
+    # degree census: each edge endpoint contributes 1
+    deg_src = e.map_batches(
+        lambda t: pa.table({"node": t.column("src"),
+                            "d": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    deg_dst = e.map_batches(
+        lambda t: pa.table({"node": t.column("dst"),
+                            "d": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    deg = sum_by_key(deg_src.union(deg_dst), "node", "d", nb=nb)
+    degl = shuffle_hash_join(deg, lab, on=["node"], how="inner", nb=nb)
+    dc = sum_by_key(degl, "lab", "d", nb=nb)
+
+    # Σ d_c² as per-block partials, fsum'd in sorted order (bit-stable
+    # under any block arrival order)
+    parts: list[float] = []
+    for b in dc.map_batches(
+            lambda t: pa.table({"p": pa.array([float(np.sum(
+                t.column("d").to_numpy().astype(np.float64) ** 2))])}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow"):
+        parts.extend(b["p"].to_pylist())
+    sum_d2 = math.fsum(sorted(parts))
+    q = intra / m - sum_d2 / (4.0 * m * m)
+    return pa.table({"m_edges": pa.array([m], pa.int64()),
+                     "intra_edges": pa.array([intra], pa.int64()),
+                     "q": pa.array([round(q, 6)], pa.float64())})
+
+
+def triple_agreement(
+    gold,
+    pred,
+    cols: "list[str] | None" = None,
+    nb: int = 32,
+) -> "pa.Table":
+    """Precision / recall / F1 of a predicted triple set against a
+    gold one — the acceptance gate the north rule states (P/R >= 0.95
+    vs the reference annotator). Both sides are set-deduped on
+    ``cols`` (default subj/pred/obj), the overlap is ONE bucketed
+    semi join, and only three counts ever reach the driver — no
+    triple table is collected.
+
+    Returns a ONE-ROW pa.Table
+    ``(n_gold, n_pred, n_common, precision, recall, f1)`` rounded to
+    6 dp; empty sides yield 0.0 metrics rather than NaN.
+    """
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    cols = cols or ["subj", "pred", "obj"]
+    g = mat_cut(dedup_exact(gold.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"), cols, nb=nb))
+    p = mat_cut(dedup_exact(pred.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"), cols, nb=nb))
+    n_gold, n_pred = g.count(), p.count()
+    n_common = (shuffle_hash_join(p, g, on=cols, how="semi", nb=nb).count()
+                if n_gold and n_pred else 0)
+    precision = n_common / n_pred if n_pred else 0.0
+    recall = n_common / n_gold if n_gold else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return pa.table({
+        "n_gold": pa.array([n_gold], pa.int64()),
+        "n_pred": pa.array([n_pred], pa.int64()),
+        "n_common": pa.array([n_common], pa.int64()),
+        "precision": pa.array([round(precision, 6)], pa.float64()),
+        "recall": pa.array([round(recall, 6)], pa.float64()),
+        "f1": pa.array([round(f1, 6)], pa.float64())})

@@ -1611,3 +1611,67 @@ def trend_per_key(
         return pa.table(cols)
 
     return sums.map_batches(finish, batch_format="pyarrow")
+
+
+def cohen_kappa(
+    ds: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+    nb: int = 16,
+    max_cells: int = 100_000,
+) -> "pa.Table":
+    """Cohen's kappa inter-annotator agreement between two categorical
+    columns — the QA statistic for comparing two annotation runs (two
+    linker versions, human vs model labels) beyond raw accuracy:
+
+        kappa = (po - pe) / (1 - pe)
+
+    po = observed agreement, pe = chance agreement from the marginal
+    label distributions. Rows with a null on either side are excluded
+    (no vote cast). Scale shape: ONE composite-key sum_by_key builds
+    the (a, b) confusion census (map-side pre-combined, so the shuffle
+    carries at most |A|x|B| rows per block); only the census — bounded
+    by ``max_cells``, raises beyond it — is collected to compute the
+    marginals. Returns a ONE-ROW pa.Table ``(n, po, pe, kappa)``
+    rounded to 6 dp; kappa is null when pe == 1 (a single label pair
+    everywhere — agreement is undefined, not perfect).
+    """
+    from .canonicalize import sum_by_key
+
+    def census(t: pa.Table) -> pa.Table:
+        a, b = t.column(col_a), t.column(col_b)
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        t = pa.table({"a": pc.cast(a, pa.string()),
+                      "b": pc.cast(b, pa.string())}).filter(ok)
+        return t.append_column(
+            "n", pa.array(np.ones(t.num_rows, np.int64)))
+
+    cen = sum_by_key(ds.map_batches(census, batch_format="pyarrow"),
+                     ["a", "b"], "n", nb=nb)
+    rows = []
+    for b in cen.iter_batches(batch_format="pyarrow"):
+        rows.append(b)
+        if sum(r.num_rows for r in rows) > max_cells:
+            raise ValueError(
+                f"confusion census exceeds max_cells={max_cells} — "
+                "cohen_kappa is for bounded label vocabularies")
+    if not rows:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "po": pa.array([None], pa.float64()),
+                         "pe": pa.array([None], pa.float64()),
+                         "kappa": pa.array([None], pa.float64())})
+    df = pa.concat_tables(rows).to_pandas()
+    n = int(df["n"].sum())
+    po = float(df.loc[df["a"] == df["b"], "n"].sum()) / n
+    row_m = df.groupby("a")["n"].sum()
+    col_m = df.groupby("b")["n"].sum()
+    common = row_m.index.intersection(col_m.index)
+    pe = float((row_m[common] * col_m[common]).sum()) / (n * n)
+    kappa = (po - pe) / (1 - pe) if pe != 1.0 else None
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "po": pa.array([round(po, 6)], pa.float64()),
+        "pe": pa.array([round(pe, 6)], pa.float64()),
+        "kappa": pa.array(
+            [round(kappa, 6) if kappa is not None else None],
+            pa.float64())})

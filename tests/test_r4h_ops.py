@@ -128,3 +128,109 @@ def test_soundex_matches_sql_chain_fuzz():
     ref = [r[0] for r in con.execute(
         f"SELECT {_soundex_sql('x')} FROM v").fetchall()]
     assert eng == ref
+
+
+def _ds(tbl: dict) -> "rd.Dataset":
+    return rd.from_arrow(pa.table(tbl))
+
+
+def test_modularity_known_graphs():
+    from biosd_feature_annotator_ray.stages.graph import modularity
+
+    # two disjoint triangles, each its own community: the textbook
+    # value Q = 1/2 for k disjoint equal cliques as k*(1/k - 1/k^2)
+    edges = _ds({"a": pa.array([0, 1, 0, 10, 11, 10], pa.int64()),
+                 "b": pa.array([1, 2, 2, 11, 12, 12], pa.int64())})
+    labels = _ds({"node": pa.array([0, 1, 2, 10, 11, 12], pa.int64()),
+                  "label": pa.array([0, 0, 0, 1, 1, 1], pa.int64())})
+    out = modularity(edges, labels).to_pandas()
+    assert out["m_edges"].iloc[0] == 6
+    assert out["intra_edges"].iloc[0] == 6
+    assert out["q"].iloc[0] == 0.5
+    # everything one community: Q = intra/m - 1 = 0
+    one = _ds({"node": pa.array([0, 1, 2, 10, 11, 12], pa.int64()),
+               "label": pa.array([7] * 6, pa.int64())})
+    assert modularity(edges, one).to_pandas()["q"].iloc[0] == 0.0
+
+
+def test_modularity_missing_label_raises():
+    import pytest as _pytest
+
+    from biosd_feature_annotator_ray.stages.graph import modularity
+
+    edges = _ds({"a": pa.array([0], pa.int64()),
+                 "b": pa.array([1], pa.int64())})
+    labels = _ds({"node": pa.array([0], pa.int64()),
+                  "label": pa.array([0], pa.int64())})
+    with _pytest.raises(Exception, match="missing from labels"):
+        modularity(edges, labels).to_pandas()
+
+
+def test_triple_agreement_counts():
+    from biosd_feature_annotator_ray.stages.graph import triple_agreement
+
+    gold = _ds({"subj": pa.array([1, 2, 3, 3], pa.int64()),
+                "pred": pa.array(["p", "p", "p", "p"]),
+                "obj": pa.array([10, 20, 30, 30], pa.int64())})
+    pred = _ds({"subj": pa.array([1, 2, 9], pa.int64()),
+                "pred": pa.array(["p", "p", "p"]),
+                "obj": pa.array([10, 99, 90], pa.int64())})
+    out = triple_agreement(gold, pred, nb=4).to_pandas().iloc[0]
+    # gold dedups to 3, pred 3, common 1 (subj=1)
+    assert (out["n_gold"], out["n_pred"], out["n_common"]) == (3, 3, 1)
+    assert out["precision"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["recall"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["f1"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_triple_agreement_empty_pred():
+    from biosd_feature_annotator_ray.stages.graph import triple_agreement
+
+    gold = _ds({"subj": pa.array([1], pa.int64()),
+                "pred": pa.array(["p"]),
+                "obj": pa.array([10], pa.int64())})
+    pred = _ds({"subj": pa.array([], pa.int64()),
+                "pred": pa.array([], pa.string()),
+                "obj": pa.array([], pa.int64())})
+    out = triple_agreement(gold, pred, nb=2).to_pandas().iloc[0]
+    assert out["n_pred"] == 0 and out["precision"] == 0.0
+    assert out["f1"] == 0.0
+
+
+def test_cohen_kappa_values():
+    from biosd_feature_annotator_ray.stages.sketches import cohen_kappa
+
+    # classic 2x2 example: po = 0.7, marginals a: 0.5/0.5, b: 0.6/0.4
+    # pe = 0.5*0.6 + 0.5*0.4 = 0.5 -> kappa = 0.4
+    a = ["x"] * 25 + ["x"] * 25 + ["y"] * 5 + ["y"] * 45
+    b = ["x"] * 25 + ["y"] * 25 + ["x"] * 5 + ["y"] * 45
+    # wait: po must be 0.7 -> agree on 25 xx + 45 yy = 70/100
+    ds = _ds({"a": pa.array(a), "b": pa.array(b)})
+    out = cohen_kappa(ds, "a", "b", nb=2).to_pandas().iloc[0]
+    assert out["n"] == 100
+    assert out["po"] == pytest.approx(0.70)
+    # marginals: a x=50 y=50; b x=30 y=70 -> pe = .5*.3+.5*.7 = 0.5
+    assert out["pe"] == pytest.approx(0.5)
+    assert out["kappa"] == pytest.approx((0.7 - 0.5) / 0.5)
+
+
+def test_cohen_kappa_nulls_and_perfect():
+    from biosd_feature_annotator_ray.stages.sketches import cohen_kappa
+
+    ds = _ds({"a": pa.array(["x", "y", None, "x"]),
+              "b": pa.array(["x", "y", "x", None])})
+    out = cohen_kappa(ds, "a", "b", nb=2).to_pandas().iloc[0]
+    assert out["n"] == 2 and out["po"] == 1.0
+    # pe = 1 exactly only when ONE label pair dominates everywhere
+    single = _ds({"a": pa.array(["x", "x"]), "b": pa.array(["x", "x"])})
+    k = cohen_kappa(single, "a", "b", nb=2).to_pandas().iloc[0]
+    assert k["pe"] == 1.0 and pa.Table.from_pandas(
+        k.to_frame().T)["kappa"][0].as_py() is None
+
+
+def test_cohen_kappa_empty():
+    from biosd_feature_annotator_ray.stages.sketches import cohen_kappa
+
+    ds = _ds({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
+    out = cohen_kappa(ds, "a", "b", nb=2).to_pandas().iloc[0]
+    assert out["n"] == 0
