@@ -265,6 +265,8 @@ def run_queries() -> dict:
         # round-4 twelfth sitting
         "er_parts_jw", "fs_linkage", "soundex_blocking",
         "community_modularity", "triple_agreement", "annotator_kappa",
+        "merge_intervals_events", "retention_cohorts", "event_transitions",
+        "phonetic_er",
     ]
     out = {}
     for name in names:

@@ -11394,3 +11394,213 @@ ORACLES["annotator_kappa"] = (
     "   / (1 - pe.s / (nn.n * 1.0 * nn.n)), 6) AS kappa"
     " FROM nn, ag, pe"
 )
+
+
+def q_merge_intervals_events(sf_dir: str):
+    """Per-key interval union (windows.merge_intervals): events become
+    [ts, ts + floor(value) seconds] activity intervals per user;
+    overlapping/touching intervals merge into coverage islands. Fully
+    oracled (running-max gaps-and-islands window twin)."""
+    from ..stages.windows import merge_intervals
+
+    ev = _events(sf_dir, ["user_id", "ts", "value"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        ok = pc.and_(pc.and_(pc.is_valid(t.column("value")),
+                             pc.is_valid(t.column("ts"))),
+                     pa.array(np.isfinite(v) & (v >= 0)))
+        t = t.filter(ok)
+        micros = t.column("ts").cast(pa.int64()).to_numpy()
+        dur = np.floor(t.column("value").to_numpy(
+            zero_copy_only=False)).astype(np.int64) * 1_000_000
+        return pa.table({
+            "user_id": t.column("user_id"),
+            "lo": t.column("ts"),
+            "hi": pa.array(micros + dur).cast(pa.timestamp("us"))})
+
+    out = merge_intervals(ev.map_batches(mk, batch_format="pyarrow"),
+                          "user_id", "lo", "hi", nb=8)
+    df = (out.to_pandas().sort_values(["user_id", "lo"])
+          .reset_index(drop=True))
+    df["n_intervals"] = df["n_intervals"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["merge_intervals_events"] = q_merge_intervals_events
+
+ORACLES["merge_intervals_events"] = (
+    "WITH x AS (SELECT user_id, ts AS lo,"
+    "   ts + to_seconds(CAST(floor(value) AS BIGINT)) AS hi"
+    "  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL"
+    "   AND isfinite(value) AND value >= 0),"
+    " w AS (SELECT user_id, lo, hi,"
+    "   max(hi) OVER (PARTITION BY user_id ORDER BY lo, hi"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm"
+    "  FROM x),"
+    " b AS (SELECT *, CASE WHEN pm IS NULL OR lo > pm THEN 1 ELSE 0 END"
+    "   AS brk FROM w),"
+    " g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id"
+    "   ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND"
+    "   CURRENT ROW) AS grp FROM b)"
+    " SELECT user_id, min(lo) AS lo, max(hi) AS hi,"
+    "  count(*) AS n_intervals"
+    " FROM g GROUP BY user_id, grp"
+)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort retention matrix: users grouped by first-activity month
+    (cohort), counted distinct per months-since-cohort offset — the
+    composition of dedup_exact + groupby_argmax + a bucketed join +
+    sum_by_key. Fully oracled."""
+    from ..stages.canonicalize import dedup_exact, groupby_argmax, sum_by_key
+    from ..stages.join import shuffle_hash_join
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def month_idx(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("ts"))))
+        ts = t.column("ts")
+        idx = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                                 pa.scalar(12)),
+                     pc.cast(pc.month(ts), pa.int64()))
+        return pa.table({"user_id": t.column("user_id"), "midx": idx})
+
+    um = dedup_exact(ev.map_batches(month_idx, batch_format="pyarrow"),
+                     ["user_id", "midx"], nb=8)
+    cohort = groupby_argmax(um, ["user_id"], ["midx"], [True], nb=8)
+    cohort = cohort.map_batches(
+        lambda t: pa.table({"user_id": t.column("user_id"),
+                            "cohort": t.column("midx")}),
+        batch_format="pyarrow")
+    j = shuffle_hash_join(um, cohort, on=["user_id"], how="inner", nb=8)
+    pairs = j.map_batches(
+        lambda t: pa.table({
+            "cohort": t.column("cohort"),
+            "offset": pc.subtract(t.column("midx"), t.column("cohort")),
+            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    out = sum_by_key(pairs, ["cohort", "offset"], "n", nb=8,
+                     out_col="n_users")
+    df = (out.to_pandas().sort_values(["cohort", "offset"])
+          .reset_index(drop=True))
+    df["n_users"] = df["n_users"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["retention_cohorts"] = q_retention_cohorts
+
+ORACLES["retention_cohorts"] = (
+    "WITH um AS (SELECT DISTINCT user_id,"
+    "   year(ts) * 12 + month(ts) AS midx"
+    "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),"
+    " c AS (SELECT user_id, min(midx) AS cohort FROM um GROUP BY 1)"
+    " SELECT CAST(c.cohort AS BIGINT) AS cohort,"
+    "  CAST(um.midx - c.cohort AS BIGINT) AS offset,"
+    "  count(DISTINCT um.user_id) AS n_users"
+    " FROM um JOIN c USING (user_id)"
+    " GROUP BY 1, 2"
+)
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order event-type transition counts per user stream
+    (markov-chain prep): lag_per_key previous event_type in (ts,
+    event_id) order composed with sum_by_key. Fully oracled (lag
+    window twin)."""
+    from ..stages.canonicalize import sum_by_key
+    from ..stages.windows import lag_per_key
+
+    ev = _events(sf_dir, ["user_id", "ts", "event_id", "event_type"])
+    lagged = lag_per_key(ev, key_col="user_id", value_col="event_type",
+                         order_cols=["ts", "event_id"], out="prev", nb=8)
+    pairs = lagged.map_batches(
+        lambda t: (lambda f: pa.table({
+            "prev": f.column("prev"), "cur": f.column("event_type"),
+            "n": pa.array(np.ones(f.num_rows, np.int64))}))(
+            t.filter(pc.is_valid(t.column("prev")))),
+        batch_format="pyarrow")
+    out = sum_by_key(pairs, ["prev", "cur"], "n", nb=8, out_col="n")
+    df = (out.to_pandas().sort_values(["prev", "cur"])
+          .reset_index(drop=True))
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["event_transitions"] = q_event_transitions
+
+ORACLES["event_transitions"] = (
+    "WITH l AS (SELECT user_id, event_type AS cur,"
+    "   lag(event_type) OVER (PARTITION BY user_id"
+    "    ORDER BY ts, event_id) AS prev"
+    "  FROM events)"
+    " SELECT prev, cur, count(*) AS n FROM l"
+    " WHERE prev IS NOT NULL GROUP BY 1, 2"
+)
+
+
+def q_phonetic_er(sf_dir: str):
+    """Phonetic-blocked ER composition: vowel-doubled first words of
+    part names (a Soundex-invariant corruption) matched back via
+    soundex-key equality blocking + Jaro-Winkler verification — the
+    soundex kernel and the JW scalar composed end to end. Fully
+    oracled (both replayed in SQL)."""
+    from ..functions.phonetic import soundex_array
+    from ..stages.join import shuffle_hash_join
+    from ..stages.similarity import _jaro_winkler
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+
+    def words(t: pa.Table, corrupt: bool, idc: str) -> pa.Table:
+        w = pc.replace_substring_regex(t.column("p_name"), r"\s.*$", "")
+        if corrupt:
+            t2 = t.filter(pa.array(
+                t.column("p_partkey").to_numpy() % 20 == 0))
+            w = pc.replace_substring_regex(pc.replace_substring_regex(
+                t2.column("p_name"), r"\s.*$", ""),
+                "a", "aa", max_replacements=1)
+            t = t2
+        return pa.table({idc: t.column("p_partkey"),
+                         "w": w, "blk": soundex_array(w)})
+
+    left = part.map_batches(lambda t: words(t, True, "l_id"),
+                            batch_format="pyarrow")
+    right = part.map_batches(lambda t: words(t, False, "r_id"),
+                             batch_format="pyarrow")
+    j = shuffle_hash_join(left, right, on=["blk"], how="inner", nb=16)
+
+    def verify(t: pa.Table) -> pa.Table:
+        wl = t.column("w_l").to_pylist()
+        wr = t.column("w_r").to_pylist()
+        sim = np.array([_jaro_winkler(a, b) for a, b in zip(wl, wr)],
+                       np.float64)
+        keep = sim >= 0.85
+        t = t.filter(pa.array(keep))
+        return pa.table({"l_id": t.column("l_id"),
+                         "r_id": t.column("r_id"),
+                         "sim": pa.array(sim[keep])})
+
+    out = j.map_batches(verify, batch_format="pyarrow").to_pandas()
+    out = (out.drop_duplicates(["l_id", "r_id"])
+           .sort_values(["l_id", "r_id"]).reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+QUERIES["phonetic_er"] = q_phonetic_er
+
+ORACLES["phonetic_er"] = (
+    "WITH l0 AS (SELECT p_partkey AS l_id,"
+    "   regexp_replace(regexp_replace(p_name, '\\s.*$', ''),"
+    "    'a', 'aa') AS w FROM part WHERE p_partkey % 20 = 0),"
+    " r0 AS (SELECT p_partkey AS r_id,"
+    "   regexp_replace(p_name, '\\s.*$', '') AS w FROM part),"
+    f" l AS (SELECT l_id, w, {_soundex_sql('w')} AS blk FROM l0),"
+    f" r AS (SELECT r_id, w, {_soundex_sql('w')} AS blk FROM r0)"
+    " SELECT DISTINCT l.l_id, r.r_id,"
+    "  jaro_winkler_similarity(l.w, r.w) AS sim"
+    " FROM l JOIN r USING (blk)"
+    " WHERE jaro_winkler_similarity(l.w, r.w) >= 0.85"
+)

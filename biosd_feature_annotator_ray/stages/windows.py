@@ -2295,3 +2295,89 @@ def running_nunique_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def merge_intervals(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    lo_col: str,
+    hi_col: str,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Per-key union of overlapping intervals (the islands step of
+    coverage/uptime/session math): intervals ``[lo, hi]`` under the
+    same key merge while the next ``lo`` is <= the running max ``hi``
+    seen so far (touching endpoints merge; strictly-after starts open
+    a new island). Works for any orderable lo/hi type (numerics,
+    timestamps). Rows with a null bound are dropped (an interval
+    without both bounds can't merge — the SQL twin filters the same);
+    null KEYS form their own group, matching GROUP BY.
+
+    Shape: one bucket shuffle on the key; per bucket ONE vectorized
+    sweep — the segmented running max is computed without any per-key
+    Python via the rank + run-offset trick (prefix-max of
+    ``run_id * n + rank(hi)`` resets at run starts because the offset
+    dominates, and ``pm % n`` recovers the running max's rank).
+
+    Output: ``(key, lo, hi, n_intervals)`` — one row per merged
+    island, lo/hi keeping their input names and types.
+    """
+    import pandas as pd
+
+    from .canonicalize import _B, _add_bucket
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        t = t.select([key_col, lo_col, hi_col]).filter(
+            pc.and_(pc.is_valid(t.column(lo_col)),
+                    pc.is_valid(t.column(hi_col))))
+        bad = pc.sum(pc.cast(pc.greater(t.column(lo_col),
+                                        t.column(hi_col)),
+                             pa.int64())).as_py() or 0
+        if bad:
+            raise ValueError(
+                f"merge_intervals: {bad} row(s) with lo > hi — "
+                "degenerate intervals have no union semantics")
+        return _add_bucket(t, [key_col], nb)
+
+    def sweep(g: pa.Table) -> pa.Table:
+        t = g.drop_columns([_B]).sort_by(
+            [(key_col, "ascending"), (lo_col, "ascending"),
+             (hi_col, "ascending")])
+        n = t.num_rows
+        lo_t, hi_t = (t.schema.field(lo_col).type,
+                      t.schema.field(hi_col).type)
+        if n == 0:
+            return pa.table({key_col: t.column(key_col),
+                             lo_col: pa.array([], lo_t),
+                             hi_col: pa.array([], hi_t),
+                             "n_intervals": pa.array([], pa.int64())})
+        k = t.column(key_col).to_pandas()
+        key_chg = np.ones(n, dtype=bool)
+        if n > 1:
+            kv, pv = k.iloc[1:].reset_index(drop=True), \
+                k.iloc[:-1].reset_index(drop=True)
+            key_chg[1:] = (kv.ne(pv) & ~(kv.isna() & pv.isna())).to_numpy()
+        run_id = np.cumsum(key_chg) - 1
+        lo = t.column(lo_col).to_pandas().to_numpy()
+        hi = t.column(hi_col).to_pandas().to_numpy()
+        order = np.argsort(hi, kind="stable")
+        rank = np.empty(n, np.int64)
+        rank[order] = np.arange(n, dtype=np.int64)
+        pm = np.maximum.accumulate(run_id * n + rank)
+        hi_sorted = hi[order]
+        run_max_hi = hi_sorted[pm % n]
+        boundary = np.ones(n, dtype=bool)
+        if n > 1:
+            boundary[1:] = key_chg[1:] | (lo[1:] > run_max_hi[:-1])
+        starts = np.nonzero(boundary)[0]
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            key_col: t.column(key_col).take(pa.array(starts)),
+            lo_col: t.column(lo_col).take(pa.array(starts)),
+            hi_col: pa.array(run_max_hi[ends]).cast(hi_t),
+            "n_intervals": pa.array(counts)})
+
+    return (ds.map_batches(bucketize, batch_format="pyarrow",
+                           batch_size=65536)
+            .groupby(_B).map_groups(sweep, batch_format="pyarrow"))

@@ -234,3 +234,92 @@ def test_cohen_kappa_empty():
     ds = _ds({"a": pa.array([], pa.string()), "b": pa.array([], pa.string())})
     out = cohen_kappa(ds, "a", "b", nb=2).to_pandas().iloc[0]
     assert out["n"] == 0
+
+
+def test_merge_intervals_nested_and_touching():
+    from biosd_feature_annotator_ray.stages.windows import merge_intervals
+
+    ds = _ds({
+        "k": pa.array([1, 1, 1, 1, 2, 2, None, None], pa.int64()),
+        "lo": pa.array([0, 1, 3, 50, 10, 20, 5, 6], pa.int64()),
+        "hi": pa.array([100, 2, 4, 60, 20, 30, 6, 7], pa.int64())})
+    out = (merge_intervals(ds, "k", "lo", "hi", nb=4).to_pandas()
+           .sort_values(["k", "lo"]).reset_index(drop=True))
+    # key 1: [0,100] swallows [1,2] and [3,4] AND [50,60] (nested);
+    # key 2: [10,20]+[20,30] touch -> merge; null key its own group
+    rows = [(r["k"], r["lo"], r["hi"], r["n_intervals"])
+            for _, r in out.iterrows()]
+    assert (1.0, 0, 100, 4) in [(r[0], r[1], r[2], r[3]) for r in rows] or \
+           (1, 0, 100, 4) in rows
+    assert any(r[0] == 2 and r[1] == 10 and r[2] == 30 and r[3] == 2
+               for r in rows)
+    null_rows = out[out["k"].isna()]
+    assert len(null_rows) == 1 and null_rows["n_intervals"].iloc[0] == 2
+
+
+def test_merge_intervals_null_bounds_and_degenerate():
+    from biosd_feature_annotator_ray.stages.windows import merge_intervals
+
+    ds = _ds({"k": pa.array([1, 1], pa.int64()),
+              "lo": pa.array([0, None], pa.int64()),
+              "hi": pa.array([5, 9], pa.int64())})
+    out = merge_intervals(ds, "k", "lo", "hi", nb=2).to_pandas()
+    assert len(out) == 1 and out["hi"].iloc[0] == 5  # null-lo row dropped
+
+    bad = _ds({"k": pa.array([1], pa.int64()),
+               "lo": pa.array([9], pa.int64()),
+               "hi": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="lo > hi"):
+        merge_intervals(bad, "k", "lo", "hi", nb=2).to_pandas()
+
+
+def test_merge_intervals_duckdb_parity_fuzz():
+    import duckdb
+
+    from biosd_feature_annotator_ray.stages.windows import merge_intervals
+
+    rng = random.Random(42)
+    for trial in range(5):
+        n = 300
+        k = [rng.randint(0, 8) for _ in range(n)]
+        lo = [rng.randint(0, 200) for _ in range(n)]
+        hi = [a + rng.randint(0, 40) for a in lo]
+        tbl = pa.table({"k": pa.array(k, pa.int64()),
+                        "lo": pa.array(lo, pa.int64()),
+                        "hi": pa.array(hi, pa.int64())})
+        got = (merge_intervals(rd.from_arrow(tbl).repartition(3),
+                               "k", "lo", "hi", nb=4)
+               .to_pandas().sort_values(["k", "lo"])
+               .reset_index(drop=True))
+        con = duckdb.connect()
+        con.register("x", tbl)
+        ref = con.execute(
+            "WITH w AS (SELECT k, lo, hi, max(hi) OVER (PARTITION BY k"
+            "  ORDER BY lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            "  1 PRECEDING) AS pm FROM x),"
+            " b AS (SELECT *, CASE WHEN pm IS NULL OR lo > pm THEN 1"
+            "  ELSE 0 END AS brk FROM w),"
+            " g AS (SELECT *, sum(brk) OVER (PARTITION BY k ORDER BY"
+            "  lo, hi ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            "  AS grp FROM b)"
+            " SELECT k, min(lo) AS lo, max(hi) AS hi,"
+            "  count(*) AS n_intervals FROM g GROUP BY k, grp"
+            " ORDER BY k, lo").df()
+        assert got["k"].tolist() == ref["k"].tolist(), trial
+        assert got["lo"].tolist() == ref["lo"].tolist(), trial
+        assert got["hi"].tolist() == ref["hi"].tolist(), trial
+        assert (got["n_intervals"].astype(int).tolist()
+                == ref["n_intervals"].astype(int).tolist()), trial
+
+
+def test_merge_intervals_timestamps():
+    from biosd_feature_annotator_ray.stages.windows import merge_intervals
+
+    ts = pa.array([0, 1_000_000, 5_000_000], pa.int64()).cast(
+        pa.timestamp("us"))
+    te = pa.array([2_000_000, 3_000_000, 6_000_000], pa.int64()).cast(
+        pa.timestamp("us"))
+    ds = _ds({"k": pa.array([1, 1, 1], pa.int64()), "lo": ts, "hi": te})
+    out = merge_intervals(ds, "k", "lo", "hi", nb=2).to_pandas()
+    assert len(out) == 2
+    assert str(out["hi"].dtype).startswith("datetime64")
