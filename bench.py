@@ -266,6 +266,7 @@ def run_queries() -> dict:
         "er_parts_jw", "fs_linkage", "soundex_blocking",
         "community_modularity", "triple_agreement", "annotator_kappa",
         "merge_intervals_events", "retention_cohorts", "event_transitions",
+        "benford_orders", "weighted_pagerank",
         "phonetic_er",
     ]
     out = {}

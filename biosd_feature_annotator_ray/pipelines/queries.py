@@ -11604,3 +11604,118 @@ ORACLES["phonetic_er"] = (
     " FROM l JOIN r USING (blk)"
     " WHERE jaro_winkler_similarity(l.w, r.w) >= 0.85"
 )
+
+
+def q_benford_orders(sf_dir: str):
+    """Benford first-digit conformance (sketches.benford_deviation)
+    of order totals in cents per order priority — the data-quality /
+    fraud screen. First digits come from exact integer strings (both
+    sides), chi-square vs embedded-literal Benford expectations."""
+    from ..stages.sketches import benford_deviation
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_totalprice", "o_orderpriority"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(
+            t.column("o_totalprice"), pa.scalar(100.0))), pa.int64())
+        return pa.table({"cents": c,
+                         "grp": t.column("o_orderpriority")})
+
+    out = benford_deviation(
+        orders.map_batches(cents, batch_format="pyarrow"),
+        "cents", group_col="grp", nb=8)
+    df = out.to_pandas().sort_values("grp").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["benford_orders"] = q_benford_orders
+
+
+# build the benford oracle with explicit per-digit scalar subqueries
+def _benford_oracle2() -> str:
+    import math
+
+    joins = " ".join(
+        f"LEFT JOIN c o{d} ON o{d}.grp = t.grp AND o{d}.digit = {d}"
+        for d in range(1, 10))
+    terms = " + ".join(
+        f"pow(coalesce(o{d}.n, 0) - t.n * {math.log10(1 + 1 / d)!r}, 2)"
+        f" / (t.n * {math.log10(1 + 1 / d)!r})"
+        for d in range(1, 10))
+    return (
+        "WITH v AS (SELECT o_orderpriority AS grp,"
+        "   CAST(round(o_totalprice * 100.0) AS BIGINT) AS cents"
+        "  FROM orders),"
+        " f AS (SELECT grp, CAST(substr(CAST(cents AS VARCHAR), 1, 1)"
+        "   AS BIGINT) AS digit FROM v WHERE cents > 0),"
+        " c AS (SELECT grp, digit, count(*) AS n FROM f GROUP BY 1, 2),"
+        " t AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n FROM c GROUP BY 1)"
+        f" SELECT t.grp, t.n, round({terms}, 6) AS chi2 FROM t {joins}"
+    )
+
+
+ORACLES["benford_orders"] = _benford_oracle2()
+
+
+def q_weighted_pagerank(sf_dir: str):
+    """Weight-proportional PageRank (pagerank weight_col path): rank
+    distributes as r*w/W_src over a weighted digraph derived from
+    orders. Fully oracled (unrolled 3-iteration weighted CTE twin,
+    rank rounded to 8 dp like graph_pagerank)."""
+    from ..stages.graph import pagerank
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k = k[k >= 10]
+        return pa.table({"src": pa.array(k // 10, pa.int64()),
+                         "dst": pa.array(k, pa.int64()),
+                         "w": pa.array((k % 5 + 1).astype(np.float64))})
+
+    out = pagerank(orders.map_batches(edges, batch_format="pyarrow"),
+                   src="src", dst="dst", damping=0.85, iters=3, nb=16,
+                   weight_col="w")
+    df = out.to_pandas()
+    df["node"] = df["node"].astype("int64")
+    df["rank"] = df["rank"].round(8)
+    return pa.Table.from_pandas(
+        df.sort_values("node").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["weighted_pagerank"] = q_weighted_pagerank
+
+
+def _weighted_pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
+    """graph.pagerank(weight_col=...) semantics unrolled: msum(dst) =
+    Σ rank(src)·w/W_src with W_src = sum of outgoing weights."""
+    s = (
+        "WITH e AS (SELECT o_orderkey // 10 AS src, o_orderkey AS dst,"
+        "   CAST(o_orderkey % 5 + 1 AS DOUBLE) AS w"
+        "   FROM orders WHERE o_orderkey >= 10),"
+        " deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY src),"
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        " nn AS (SELECT count(*) AS n FROM nodes),"
+        " r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"
+    )
+    for i in range(iters):
+        s += (
+            f", m{i} AS (SELECT e.dst AS node,"
+            f"   sum(r.rank / deg.deg * e.w) AS msum"
+            f"   FROM e JOIN r{i} r ON e.src = r.node"
+            f"   JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", em{i} AS (SELECT coalesce(sum(msum), 0) AS emitted FROM m{i})"
+            f", r{i + 1} AS (SELECT n.node,"
+            f"   (1 - {d}) / nn.n + {d} * (1 - em.emitted) / nn.n"
+            f"   + coalesce({d} * m.msum, 0) AS rank"
+            f"   FROM nodes n CROSS JOIN nn CROSS JOIN em{i} em"
+            f"   LEFT JOIN m{i} m ON m.node = n.node)"
+        )
+    return (s + f" SELECT CAST(node AS BIGINT) AS node,"
+                f" round(rank, 8) AS rank FROM r{iters}")
+
+
+ORACLES["weighted_pagerank"] = _weighted_pagerank_oracle_sql()

@@ -211,6 +211,7 @@ def pagerank(
     iters: int = 10,
     nb: int = 16,
     checkpoint_dir: str | None = None,
+    weight_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Distributed PageRank over an edge-list Dataset → (node, rank).
 
@@ -224,17 +225,40 @@ def pagerank(
 
     Semantics: r ← (1−d)/N + d·(Σ_in r/outdeg + dangling/N), ranks sum
     to 1 every iteration.
+
+    ``weight_col``: when given, rank distributes proportionally to
+    edge weight instead of uniformly — contribution per edge is
+    r·w/W_src with W_src the source's total outgoing weight. Weights
+    must be positive and finite (a zero/negative/null weight would
+    silently destroy or invert mass — raises instead). The unweighted
+    path is untouched.
     """
     import ray.data as _rd
 
     from .canonicalize import distinct_counts, set_op, sum_by_key
     from .join import shuffle_hash_join
 
-    e = edges.map_batches(
-        lambda t: t.select([src, dst]).rename_columns(["src", "dst"]),
-        batch_format="pyarrow", batch_size=65536).materialize()
+    if weight_col is None:
+        e = edges.map_batches(
+            lambda t: t.select([src, dst]).rename_columns(["src", "dst"]),
+            batch_format="pyarrow", batch_size=65536).materialize()
+        deg = distinct_counts(e.select_columns(["src"]), "src", nb=nb)  # (src, count)
+    else:
+        def wmap(t: pa.Table) -> pa.Table:
+            w = t.column(weight_col).cast(pa.float64())
+            wn = w.to_numpy(zero_copy_only=False)
+            bad = int(np.sum(~np.isfinite(wn) | (wn <= 0)))
+            if bad or w.null_count:
+                raise ValueError(
+                    f"pagerank weight_col={weight_col!r}: "
+                    f"{bad + w.null_count} null/non-positive/non-finite "
+                    "weight(s)")
+            return pa.table({"src": t.column(src), "dst": t.column(dst),
+                             "wgt": w})
 
-    deg = distinct_counts(e.select_columns(["src"]), "src", nb=nb)  # (src, count)
+        e = edges.map_batches(wmap, batch_format="pyarrow",
+                              batch_size=65536).materialize()
+        deg = sum_by_key(e, "src", "wgt", nb=nb, out_col="count")
     edges_w = shuffle_hash_join(e, deg, on=["src"], how="inner", nb=nb).materialize()
 
     srcs = e.map_batches(lambda t: t.select(["src"]).rename_columns(["node"]),
@@ -282,6 +306,8 @@ def pagerank(
         def contrib(batch: pa.Table) -> pa.Table:
             w = (batch.column("rank").to_numpy(zero_copy_only=False)
                  / batch.column("count").to_numpy(zero_copy_only=False))
+            if "wgt" in batch.column_names:
+                w = w * batch.column("wgt").to_numpy(zero_copy_only=False)
             t = pa.table({"dst": batch.column("dst"), "w": pa.array(w)})
             df = t.to_pandas().groupby("dst", as_index=False)["w"].sum()
             return pa.Table.from_pandas(df, preserve_index=False)

@@ -1675,3 +1675,75 @@ def cohen_kappa(
         "kappa": pa.array(
             [round(kappa, 6) if kappa is not None else None],
             pa.float64())})
+
+
+def benford_deviation(
+    ds: "ray.data.Dataset",
+    col: str,
+    group_col: "str | None" = None,
+    nb: int = 16,
+    max_groups: int = 100_000,
+) -> "pa.Table":
+    """Benford's-law conformance per group — the fraud/data-quality
+    screen over a POSITIVE INTEGER column (amounts in cents, counts):
+    per group, the first-significant-digit histogram and the
+    chi-square statistic against Benford expectation
+    p(d) = log10(1 + 1/d). The first digit is taken from the INTEGER'S
+    DECIMAL STRING (exact — no float log10 whose last-ulp wobble could
+    flip a 9/1 at powers of ten), the identical kernel the SQL twin
+    replays. Non-positive or null values are excluded.
+
+    Shape: one composite-key (group, digit) sum_by_key census
+    (map-side pre-combined); only the census — at most 9 rows per
+    group, bounded by ``max_groups`` — reaches the driver for the
+    chi-square finish.
+
+    Output: one row per group ``(group, n, chi2)``, chi2 rounded to
+    6 dp (null when a group has no rows after filtering).
+    """
+    import math
+
+    from .canonicalize import sum_by_key
+
+    def census(t: pa.Table) -> pa.Table:
+        v = t.column(col).cast(pa.int64())
+        keep = pc.and_(pc.is_valid(v), pc.greater(v, pa.scalar(0)))
+        t = t.filter(keep)
+        v = t.column(col).cast(pa.int64())
+        digit = pc.cast(pc.utf8_slice_codeunits(
+            pc.cast(v, pa.string()), 0, 1), pa.int64())
+        grp = (t.column(group_col).cast(pa.string()) if group_col
+               else pa.array(["_all"] * t.num_rows, pa.string()))
+        return pa.table({"grp": grp, "digit": digit,
+                         "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cen = sum_by_key(ds.map_batches(census, batch_format="pyarrow"),
+                     ["grp", "digit"], "n", nb=nb)
+    rows = []
+    total = 0
+    for b in cen.iter_batches(batch_format="pyarrow"):
+        rows.append(b)
+        total += b.num_rows
+        if total > max_groups * 9:
+            raise ValueError(
+                f"benford census exceeds {max_groups} groups — "
+                "benford_deviation is for bounded group vocabularies")
+    if not rows:
+        return pa.table({"grp": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "chi2": pa.array([], pa.float64())})
+    df = pa.concat_tables(rows).to_pandas()
+    p = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    out_g, out_n, out_c = [], [], []
+    for g, sub in df.groupby("grp", sort=True, dropna=False):
+        n = int(sub["n"].sum())
+        obs = dict(zip(sub["digit"].astype(int), sub["n"].astype(int)))
+        chi2 = math.fsum(
+            (obs.get(d, 0) - n * p[d]) ** 2 / (n * p[d])
+            for d in range(1, 10))
+        out_g.append(g)
+        out_n.append(n)
+        out_c.append(round(chi2, 6))
+    return pa.table({"grp": pa.array(out_g, pa.string()),
+                     "n": pa.array(out_n, pa.int64()),
+                     "chi2": pa.array(out_c, pa.float64())})

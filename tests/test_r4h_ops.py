@@ -323,3 +323,79 @@ def test_merge_intervals_timestamps():
     out = merge_intervals(ds, "k", "lo", "hi", nb=2).to_pandas()
     assert len(out) == 2
     assert str(out["hi"].dtype).startswith("datetime64")
+
+
+def test_benford_deviation_uniform_vs_benford():
+    import math
+
+    from biosd_feature_annotator_ray.stages.sketches import benford_deviation
+
+    # perfectly Benford-distributed multiset: chi2 == 0 by construction
+    counts = {d: round(1000 * math.log10(1 + 1 / d)) for d in range(1, 10)}
+    vals, grp = [], []
+    for d, c in counts.items():
+        vals += [d * 10] * c
+        grp += ["b"] * c
+    # uniform digits: visibly non-Benford
+    for d in range(1, 10):
+        vals += [d] * 100
+        grp += ["u"] * 100
+    ds = _ds({"v": pa.array(vals, pa.int64()),
+              "g": pa.array(grp, pa.string())})
+    out = benford_deviation(ds, "v", group_col="g", nb=4).to_pandas()
+    out = out.set_index("grp")
+    n_b = sum(counts.values())
+    chi_b = math.fsum((counts[d] - n_b * math.log10(1 + 1 / d)) ** 2
+                      / (n_b * math.log10(1 + 1 / d))
+                      for d in range(1, 10))
+    assert out.loc["b", "chi2"] == pytest.approx(chi_b, abs=1e-6)
+    assert out.loc["u", "chi2"] > 100  # uniform digits scream
+
+
+def test_benford_excludes_nonpositive_and_nulls():
+    from biosd_feature_annotator_ray.stages.sketches import benford_deviation
+
+    ds = _ds({"v": pa.array([123, -5, 0, None, 999], pa.int64())})
+    out = benford_deviation(ds, "v", nb=2).to_pandas()
+    assert out["n"].iloc[0] == 2  # 123 and 999 only
+
+
+def test_weighted_pagerank_matches_numpy_reference():
+    from biosd_feature_annotator_ray.stages.graph import pagerank
+
+    # weighted triangle + a dangling sink
+    edges = _ds({"src": pa.array([0, 0, 1, 2], pa.int64()),
+                 "dst": pa.array([1, 2, 2, 3], pa.int64()),
+                 "w": pa.array([3.0, 1.0, 2.0, 5.0], pa.float64())})
+    out = pagerank(edges, iters=4, nb=4, weight_col="w").to_pandas()
+    got = dict(zip(out["node"].astype(int), out["rank"]))
+
+    # dense reference
+    N, d = 4, 0.85
+    import numpy as _np
+
+    W = _np.zeros((N, N))
+    for s, t, w in [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 3, 5.0)]:
+        W[s, t] = w
+    out_w = W.sum(axis=1)
+    r = _np.full(N, 1 / N)
+    for _ in range(4):
+        msum = _np.zeros(N)
+        for s in range(N):
+            if out_w[s]:
+                msum += r[s] * W[s] / out_w[s]
+        emitted = msum.sum()
+        r = (1 - d) / N + d * (1 - emitted) / N + d * msum
+    for i in range(N):
+        assert got[i] == pytest.approx(r[i], abs=1e-12), i
+
+
+def test_weighted_pagerank_rejects_bad_weights():
+    from biosd_feature_annotator_ray.stages.graph import pagerank
+
+    for bad in ([0.0], [-1.0], [float("nan")], [None]):
+        edges = _ds({"src": pa.array([0], pa.int64()),
+                     "dst": pa.array([1], pa.int64()),
+                     "w": pa.array(bad, pa.float64())})
+        with pytest.raises(Exception, match="weight_col"):
+            pagerank(edges, iters=1, nb=2, weight_col="w").to_pandas()
