@@ -340,6 +340,40 @@ def main(argv: list[str] | None = None) -> int:
     pgd.add_argument("--descending", action="store_true")
     pgd.add_argument("--num-cpus", type=int, default=8)
 
+    pag = sub.add_parser("agreement", help="triple-set P/R/F1 of a "
+                         "predicted triples parquet vs a gold one "
+                         "(the north-rule acceptance gate)")
+    pag.add_argument("--gold", required=True)
+    pag.add_argument("--pred", required=True)
+    pag.add_argument("--cols", default="subj,pred,obj",
+                     help="comma-separated triple columns")
+    pag.add_argument("--num-cpus", type=int, default=8)
+
+    pka = sub.add_parser("kappa", help="Cohen's kappa agreement between "
+                         "two categorical columns of one parquet")
+    pka.add_argument("--input", required=True)
+    pka.add_argument("--col-a", required=True)
+    pka.add_argument("--col-b", required=True)
+    pka.add_argument("--num-cpus", type=int, default=8)
+
+    piv = sub.add_parser("intervals", help="per-key union of overlapping "
+                         "[lo, hi] intervals (coverage islands)")
+    piv.add_argument("--input", required=True)
+    piv.add_argument("--output", required=True)
+    piv.add_argument("--key", required=True)
+    piv.add_argument("--lo", required=True)
+    piv.add_argument("--hi", required=True)
+    piv.add_argument("--num-cpus", type=int, default=8)
+
+    pmo = sub.add_parser("modularity", help="Newman modularity Q of a "
+                         "community labeling over an undirected edge "
+                         "parquet")
+    pmo.add_argument("--edges", required=True,
+                     help="parquet with (a, b) undirected edges")
+    pmo.add_argument("--labels", required=True,
+                     help="parquet with (node, label)")
+    pmo.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -801,6 +835,54 @@ def main(argv: list[str] | None = None) -> int:
             out.write_parquet(args.output)
             print(json.dumps({"keys": int(out.count()),
                               "output": args.output}))
+            return 0
+
+        if args.cmd == "agreement":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import (
+                triple_agreement)
+
+            cols = [c.strip() for c in args.cols.split(",") if c.strip()]
+            row = triple_agreement(rd.read_parquet(args.gold),
+                                   rd.read_parquet(args.pred),
+                                   cols=cols).to_pylist()[0]
+            print(json.dumps(row))
+            return 0
+
+        if args.cmd == "kappa":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.sketches import (
+                cohen_kappa)
+
+            row = cohen_kappa(rd.read_parquet(args.input),
+                              args.col_a, args.col_b).to_pylist()[0]
+            print(json.dumps(row))
+            return 0
+
+        if args.cmd == "intervals":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.windows import (
+                merge_intervals)
+
+            out = merge_intervals(rd.read_parquet(args.input),
+                                  args.key, args.lo,
+                                  args.hi).materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"islands": int(out.count()),
+                              "output": args.output}))
+            return 0
+
+        if args.cmd == "modularity":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.graph import modularity
+
+            row = modularity(rd.read_parquet(args.edges),
+                             rd.read_parquet(args.labels)).to_pylist()[0]
+            print(json.dumps(row))
             return 0
 
         if args.cmd == "ntexport":

@@ -399,3 +399,59 @@ def test_weighted_pagerank_rejects_bad_weights():
                      "w": pa.array(bad, pa.float64())})
         with pytest.raises(Exception, match="weight_col"):
             pagerank(edges, iters=1, nb=2, weight_col="w").to_pandas()
+
+
+def test_cli_agreement_kappa_intervals_modularity(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq_
+
+    def run(*a):
+        out = subprocess.run(
+            [sys.executable, "-m", "biosd_feature_annotator_ray", *a,
+             "--num-cpus", "2"],
+            capture_output=True, text=True, check=True, cwd="/root/repo")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    trip = pa.table({"subj": pa.array([1, 2, 3], pa.int64()),
+                     "pred": pa.array(["p"] * 3),
+                     "obj": pa.array([1, 2, 3], pa.int64())})
+    predt = pa.table({"subj": pa.array([1, 2, 9], pa.int64()),
+                      "pred": pa.array(["p"] * 3),
+                      "obj": pa.array([1, 2, 9], pa.int64())})
+    gp, pp = tmp_path / "g.parquet", tmp_path / "p.parquet"
+    pq_.write_table(trip, str(gp))
+    pq_.write_table(predt, str(pp))
+    got = run("agreement", "--gold", str(gp), "--pred", str(pp))
+    assert got["n_common"] == 2 and got["precision"] == pytest.approx(2 / 3)
+
+    ann = pa.table({"a": pa.array(["x", "y", "x", "y"]),
+                    "b": pa.array(["x", "y", "y", "y"])})
+    ap = tmp_path / "ann.parquet"
+    pq_.write_table(ann, str(ap))
+    got = run("kappa", "--input", str(ap), "--col-a", "a", "--col-b", "b")
+    assert got["n"] == 4 and got["po"] == 0.75
+
+    iv = pa.table({"k": pa.array([1, 1, 2], pa.int64()),
+                   "lo": pa.array([0, 5, 0], pa.int64()),
+                   "hi": pa.array([10, 20, 3], pa.int64())})
+    ip = tmp_path / "iv.parquet"
+    pq_.write_table(iv, str(ip))
+    got = run("intervals", "--input", str(ip),
+              "--output", str(tmp_path / "isl"),
+              "--key", "k", "--lo", "lo", "--hi", "hi")
+    assert got["islands"] == 2
+    isl = pq_.read_table(str(tmp_path / "isl")).to_pandas()
+    assert sorted(isl["hi"].tolist()) == [3, 20]
+
+    ed = pa.table({"a": pa.array([0, 1, 0, 10, 11, 10], pa.int64()),
+                   "b": pa.array([1, 2, 2, 11, 12, 12], pa.int64())})
+    lb = pa.table({"node": pa.array([0, 1, 2, 10, 11, 12], pa.int64()),
+                   "label": pa.array([0, 0, 0, 1, 1, 1], pa.int64())})
+    ep, lp = tmp_path / "e.parquet", tmp_path / "l.parquet"
+    pq_.write_table(ed, str(ep))
+    pq_.write_table(lb, str(lp))
+    got = run("modularity", "--edges", str(ep), "--labels", str(lp))
+    assert got["q"] == 0.5
