@@ -267,6 +267,8 @@ def run_queries() -> dict:
         "community_modularity", "triple_agreement", "annotator_kappa",
         "merge_intervals_events", "retention_cohorts", "event_transitions",
         "benford_orders", "weighted_pagerank",
+        "components_incremental", "embedding_profile", "kwic_mentions",
+        "dau_mau",
         "phonetic_er",
     ]
     out = {}

@@ -11719,3 +11719,170 @@ def _weighted_pagerank_oracle_sql(iters: int = 3, d: float = 0.85) -> str:
 
 
 ORACLES["weighted_pagerank"] = _weighted_pagerank_oracle_sql()
+
+
+def q_components_incremental(sf_dir: str):
+    """Incremental connected-components maintenance
+    (graph.components_incremental): a 200-node chain-group labeling
+    absorbs bridge edges (merging neighbor groups) plus brand-new
+    node pairs — work proportional to the delta, one rewrite join.
+    Fully oracled (recursive-CTE min-label twin over base ∪ delta)."""
+    from ..stages.graph import components_incremental, string_components
+
+    base_rows, delta_rows = [], []
+    for i in range(200):
+        if i % 5 < 4:
+            base_rows.append({"src": f"n{i:04d}", "dst": f"n{i + 1:04d}"})
+    for k in range(0, 39, 3):
+        delta_rows.append({"src": f"n{5 * k + 4:04d}",
+                           "dst": f"n{5 * k + 5:04d}"})
+    for j in range(10):
+        delta_rows.append({"src": f"x{j:02d}", "dst": f"y{j:02d}"})
+    base = rd.from_arrow(pa.Table.from_pylist(base_rows)).repartition(3)
+    delta = rd.from_arrow(pa.Table.from_pylist(delta_rows)).repartition(2)
+    old = string_components(base, nb=8)
+    out = components_incremental(old, delta, nb=8)
+    df = out.to_pandas().sort_values("node").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["components_incremental"] = q_components_incremental
+
+ORACLES["components_incremental"] = (
+    "WITH RECURSIVE b AS ("
+    "  SELECT 'n' || lpad(CAST(i AS VARCHAR), 4, '0') AS src,"
+    "   'n' || lpad(CAST(i + 1 AS VARCHAR), 4, '0') AS dst"
+    "  FROM generate_series(0, 199) s(i) WHERE i % 5 < 4),"
+    " d AS ("
+    "  SELECT 'n' || lpad(CAST(5 * k + 4 AS VARCHAR), 4, '0') AS src,"
+    "   'n' || lpad(CAST(5 * k + 5 AS VARCHAR), 4, '0') AS dst"
+    "  FROM generate_series(0, 38, 3) s(k)"
+    "  UNION ALL"
+    "  SELECT 'x' || lpad(CAST(j AS VARCHAR), 2, '0'),"
+    "   'y' || lpad(CAST(j AS VARCHAR), 2, '0')"
+    "  FROM generate_series(0, 9) s(j)),"
+    " ed AS (SELECT src, dst FROM b UNION ALL SELECT dst, src FROM b"
+    "  UNION ALL SELECT src, dst FROM d UNION ALL SELECT dst, src FROM d),"
+    " reach(node, lab) AS ("
+    "  SELECT src, src FROM ed"
+    "  UNION SELECT ed.dst, r.lab FROM reach r JOIN ed ON ed.src = r.node)"
+    " SELECT node, min(lab) AS lab FROM reach GROUP BY node"
+)
+
+
+def q_embedding_profile(sf_dir: str):
+    """Embedding-column QC (similarity.embedding_norm_profile): row
+    L2-norm census in one pass — float64-upcast squares, sequential
+    64-dim sums, so per-row norms bit-match the SQL list_aggregate
+    twin."""
+    from ..stages.similarity import embedding_norm_profile
+
+    vecs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["embedding"])
+    return embedding_norm_profile(vecs, "embedding")
+
+
+QUERIES["embedding_profile"] = q_embedding_profile
+
+ORACLES["embedding_profile"] = (
+    "WITH v AS (SELECT sqrt(list_aggregate(list_transform(embedding,"
+    "   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nm,"
+    "   len(embedding) AS d"
+    "  FROM embeddings WHERE embedding IS NOT NULL)"
+    " SELECT count(*) AS n, CAST(max(d) AS BIGINT) AS dim,"
+    "  round(avg(nm), 6) AS mean_norm,"
+    "  round(min(nm), 6) AS min_norm,"
+    "  round(max(nm), 6) AS max_norm"
+    " FROM v"
+)
+
+
+def q_kwic_mentions(sf_dir: str):
+    """KWIC mention contexts (textstats.kwic_contexts): every
+    non-overlapping occurrence of join/merge/scan with a ±12-char
+    snippet — the annotation-debugging view. The SQL twin replays the
+    identical RE2 alternation with two lockstep regexp_extract_all
+    unnests."""
+    from ..stages.textstats import kwic_contexts
+
+    out = kwic_contexts(_docs(sf_dir, ["doc_id", "text"]),
+                        ["join", "merge", "scan"], width=12)
+    df = (out.to_pandas()
+          .sort_values(["doc_id", "term", "snippet"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["kwic_mentions"] = q_kwic_mentions
+
+ORACLES["kwic_mentions"] = (
+    "WITH m AS (SELECT doc_id,"
+    "   regexp_extract_all(text,"
+    "    '(.{0,12}(join|merge|scan).{0,12})', 1) AS sn,"
+    "   regexp_extract_all(text,"
+    "    '(.{0,12}(join|merge|scan).{0,12})', 2) AS tm"
+    "  FROM documents WHERE text IS NOT NULL)"
+    " SELECT doc_id, unnest(tm) AS term, unnest(sn) AS snippet FROM m"
+)
+
+
+def q_dau_mau(sf_dir: str):
+    """DAU/MAU stickiness per month: distinct (day, user) census,
+    distinct active days and MAU per month — stickiness =
+    pairs / (days · mau) (= mean DAU over observed days / MAU).
+    Composition of dedup_exact + sum_by_key. Fully oracled."""
+    from ..stages.canonicalize import dedup_exact, sum_by_key
+
+    ev = _events(sf_dir, ["user_id", "ts"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.and_(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("ts"))))
+        ts = t.column("ts")
+        midx = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                                  pa.scalar(12)),
+                      pc.cast(pc.month(ts), pa.int64()))
+        day = pc.cast(pc.day_of_year(ts), pa.int64())
+        return pa.table({"midx": midx, "day": day,
+                         "user_id": t.column("user_id")})
+
+    du = dedup_exact(ev.map_batches(keys, batch_format="pyarrow"),
+                     ["midx", "day", "user_id"], nb=8)
+    pairs = sum_by_key(du.map_batches(
+        lambda t: pa.table({"midx": t.column("midx"),
+                            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow"), "midx", "n", nb=8, out_col="pairs")
+    days = sum_by_key(dedup_exact(du, ["midx", "day"], nb=8).map_batches(
+        lambda t: pa.table({"midx": t.column("midx"),
+                            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow"), "midx", "n", nb=8, out_col="days")
+    mau = sum_by_key(dedup_exact(du, ["midx", "user_id"], nb=8).map_batches(
+        lambda t: pa.table({"midx": t.column("midx"),
+                            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow"), "midx", "n", nb=8, out_col="mau")
+    from ..stages.join import shuffle_hash_join
+
+    j = shuffle_hash_join(shuffle_hash_join(pairs, days, on=["midx"],
+                                            how="inner", nb=8),
+                          mau, on=["midx"], how="inner", nb=8)
+    df = j.to_pandas().sort_values("midx").reset_index(drop=True)
+    for c in ("pairs", "days", "mau"):
+        df[c] = df[c].astype("int64")
+    df["stickiness"] = (df["pairs"] / (df["days"] * df["mau"])).round(6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["dau_mau"] = q_dau_mau
+
+ORACLES["dau_mau"] = (
+    "WITH du AS (SELECT DISTINCT year(ts) * 12 + month(ts) AS midx,"
+    "   dayofyear(ts) AS day, user_id"
+    "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL)"
+    " SELECT CAST(midx AS BIGINT) AS midx,"
+    "  count(*) AS pairs,"
+    "  count(DISTINCT day) AS days,"
+    "  count(DISTINCT user_id) AS mau,"
+    "  round(count(*) * 1.0 / (count(DISTINCT day)"
+    "   * count(DISTINCT user_id)), 6) AS stickiness"
+    " FROM du GROUP BY 1"
+)

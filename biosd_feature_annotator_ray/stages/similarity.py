@@ -1436,3 +1436,77 @@ def rrf_fuse(
             .repartition(1)
             .map_batches(cut, batch_format="pyarrow",
                          batch_size=1 << 30))
+
+
+def embedding_norm_profile(
+    vecs: "ray.data.Dataset",
+    vec_col: str = "embedding",
+) -> "pa.Table":
+    """One-pass QC profile of an embedding column: row L2 norms →
+    (n_rows, dim, mean_norm, min_norm, max_norm), the sanity gate
+    before any similarity work (an unnormalized or degenerate batch
+    shows up immediately). Per-batch partials are (count, Σnorm, min,
+    max); the driver folds them with order-independent fsum. Elements
+    upcast to float64 BEFORE squaring and dims ≤ 128 keep numpy's
+    summation sequential, so per-row norms are bit-identical to the
+    SQL twin's list_aggregate sum. Null vectors are excluded; mixed
+    dims raise (a ragged embedding column is corrupt).
+
+    Returns a ONE-ROW pa.Table, stats rounded to 6 dp (nulls when no
+    rows survive).
+    """
+    import math
+
+    import pyarrow.compute as pc
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t.column(vec_col)
+        valid = pc.is_valid(col)
+        t = t.filter(valid)
+        col = t.column(vec_col)
+        if t.num_rows == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "dim": pa.array([None], pa.int64()),
+                             "s": pa.array([0.0], pa.float64()),
+                             "lo": pa.array([None], pa.float64()),
+                             "hi": pa.array([None], pa.float64())})
+        lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+        dims = np.unique(lens)
+        if len(dims) != 1:
+            raise ValueError(
+                f"embedding_norm_profile: ragged dims {dims.tolist()[:5]}")
+        d = int(dims[0])
+        V = np.asarray(col.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), np.float64).reshape(-1, d)
+        norms = np.sqrt(np.sum(V * V, axis=1))
+        return pa.table({
+            "n": pa.array([len(norms)], pa.int64()),
+            "dim": pa.array([d], pa.int64()),
+            "s": pa.array([float(np.sum(norms))], pa.float64()),
+            "lo": pa.array([float(norms.min())], pa.float64()),
+            "hi": pa.array([float(norms.max())], pa.float64())})
+
+    parts = []
+    for b in vecs.map_batches(partial, batch_format="pyarrow",
+                              batch_size=65536).iter_batches(
+            batch_format="pyarrow"):
+        parts.extend(b.to_pylist())
+    n = sum(p["n"] for p in parts)
+    if n == 0:
+        return pa.table({"n": pa.array([0], pa.int64()),
+                         "dim": pa.array([None], pa.int64()),
+                         "mean_norm": pa.array([None], pa.float64()),
+                         "min_norm": pa.array([None], pa.float64()),
+                         "max_norm": pa.array([None], pa.float64())})
+    dims = {p["dim"] for p in parts if p["dim"] is not None}
+    if len(dims) != 1:
+        raise ValueError(f"embedding_norm_profile: ragged dims {sorted(dims)}")
+    mean = math.fsum(sorted(p["s"] for p in parts)) / n
+    lo = min(p["lo"] for p in parts if p["lo"] is not None)
+    hi = max(p["hi"] for p in parts if p["hi"] is not None)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "dim": pa.array([dims.pop()], pa.int64()),
+        "mean_norm": pa.array([round(mean, 6)], pa.float64()),
+        "min_norm": pa.array([round(lo, 6)], pa.float64()),
+        "max_norm": pa.array([round(hi, 6)], pa.float64())})

@@ -2477,3 +2477,50 @@ def logistic_predict(
 
     return ds.map_batches(score, batch_format="pyarrow",
                           batch_size=65536)
+
+
+def kwic_contexts(
+    docs: "ray.data.Dataset",
+    terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 12,
+) -> "ray.data.Dataset":
+    """KWIC (keyword-in-context) mention extraction — the annotation
+    debugging view: one row per NON-OVERLAPPING occurrence of any of
+    ``terms`` in each document, carrying the matched term and a
+    ±``width``-char snippet. The regex is one alternation
+    ``(.{0,w}(t1|t2|…).{0,w})`` applied with leftmost-first,
+    dot-excludes-newline semantics — identical between Python re and
+    DuckDB's RE2, so the SQL twin replays it byte-exactly with two
+    lockstep regexp_extract_all calls. Terms must be
+    non-empty/alphanumeric-ish (re.escape'd; an empty term would
+    match everywhere).
+
+    Shape: ONE stateless row-expanding map_batches (pandas
+    str.findall + np.repeat id carriage) — no shuffle.
+    """
+    import re
+
+    import pandas as pd
+
+    if not terms or any(t == "" for t in terms):
+        raise ValueError("kwic_contexts needs non-empty terms")
+    alt = "|".join(re.escape(t) for t in sorted(terms))
+    pat = re.compile(f"(.{{0,{width}}}({alt}).{{0,{width}}})")
+
+    def expand(batch: pa.Table) -> pa.Table:
+        txt = batch.column(text_col).to_pandas().fillna("")
+        found = txt.str.findall(pat)
+        counts = np.fromiter((len(x) for x in found), dtype=np.int64,
+                             count=len(found))
+        idx = np.repeat(np.arange(len(found)), counts)
+        snips = [s for row in found for (s, _t) in row]
+        trms = [t for row in found for (_s, t) in row]
+        return pa.table({
+            id_col: batch.column(id_col).take(pa.array(idx)),
+            "term": pa.array(trms, pa.string()),
+            "snippet": pa.array(snips, pa.string())})
+
+    return docs.map_batches(expand, batch_format="pyarrow",
+                            batch_size=65536)

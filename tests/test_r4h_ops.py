@@ -455,3 +455,85 @@ def test_cli_agreement_kappa_intervals_modularity(tmp_path):
     pq_.write_table(lb, str(lp))
     got = run("modularity", "--edges", str(ep), "--labels", str(lp))
     assert got["q"] == 0.5
+
+
+def test_components_incremental_matches_scratch_fuzz():
+    from biosd_feature_annotator_ray.stages.graph import (
+        components_incremental, string_components)
+
+    rng = random.Random(7)
+    for _trial in range(3):
+        nodes = [f"v{i:03d}" for i in range(40)]
+        base = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+        delta = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(10)]
+        delta += [(f"new{j}a", f"new{j}b") for j in range(3)]
+
+        def ds_of(pairs):
+            return rd.from_arrow(pa.table({
+                "src": pa.array([a for a, _ in pairs], pa.string()),
+                "dst": pa.array([b for _, b in pairs], pa.string())}))
+
+        old = string_components(ds_of(base), nb=4)
+        inc = (components_incremental(old, ds_of(delta), nb=4)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        scratch = (string_components(ds_of(base + delta), nb=4)
+                   .to_pandas().sort_values("node").reset_index(drop=True))
+        assert inc["node"].tolist() == scratch["node"].tolist()
+        assert inc["lab"].tolist() == scratch["lab"].tolist()
+
+
+def test_components_incremental_no_merge_delta():
+    from biosd_feature_annotator_ray.stages.graph import (
+        components_incremental, string_components)
+
+    base = rd.from_arrow(pa.table({"src": pa.array(["a"], pa.string()),
+                                   "dst": pa.array(["b"], pa.string())}))
+    old = string_components(base, nb=2)
+    # delta edge entirely inside the existing component: no merges
+    delta = rd.from_arrow(pa.table({"src": pa.array(["a"], pa.string()),
+                                    "dst": pa.array(["b"], pa.string())}))
+    out = (components_incremental(old, delta, nb=2).to_pandas()
+           .sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == ["a", "b"]
+    assert out["lab"].tolist() == ["a", "a"]
+
+
+def test_embedding_norm_profile_known():
+    from biosd_feature_annotator_ray.stages.similarity import (
+        embedding_norm_profile)
+
+    vecs = _ds({"embedding": pa.array(
+        [[3.0, 4.0], [6.0, 8.0], None], pa.list_(pa.float32()))})
+    out = embedding_norm_profile(vecs).to_pandas().iloc[0]
+    assert out["n"] == 2 and out["dim"] == 2
+    assert out["min_norm"] == 5.0 and out["max_norm"] == 10.0
+    assert out["mean_norm"] == 7.5
+
+
+def test_embedding_norm_profile_ragged_raises():
+    from biosd_feature_annotator_ray.stages.similarity import (
+        embedding_norm_profile)
+
+    vecs = _ds({"embedding": pa.array([[1.0], [1.0, 2.0]],
+                                      pa.list_(pa.float32()))})
+    with pytest.raises(Exception, match="ragged"):
+        embedding_norm_profile(vecs)
+
+
+def test_kwic_contexts_semantics():
+    from biosd_feature_annotator_ray.stages.textstats import kwic_contexts
+
+    docs = _ds({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(["xx join yy scan zz", None,
+                                  "joinjoin"], pa.string())})
+    out = (kwic_contexts(docs, ["join", "scan"], width=3).to_pandas()
+           .sort_values(["doc_id", "snippet"]).reset_index(drop=True))
+    # doc 1: both terms (second match starts AFTER the first match's
+    # trailing context, hence the leading space); doc 3:
+    # non-overlapping -> the second 'join' is partly consumed by the
+    # first match's trailing context
+    assert out["term"].tolist() == ["scan", "join", "join"]
+    assert out["snippet"].tolist() == [" scan zz", "xx join yy",
+                                       "joinjoi"]
+    with pytest.raises(ValueError, match="non-empty"):
+        kwic_contexts(docs, [])

@@ -73,6 +73,12 @@ def main() -> None:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a typo'd/flag-style arg would otherwise filter to an EMPTY
+        # run that prints "FAILURES: none" — a vacuous green
+        print(f"ERROR: unknown query name(s): {sorted(unknown)}")
+        sys.exit(2)
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
