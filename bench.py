@@ -268,6 +268,7 @@ def run_queries() -> dict:
         "merge_intervals_events", "retention_cohorts", "event_transitions",
         "benford_orders", "weighted_pagerank",
         "components_incremental", "embedding_profile", "kwic_mentions",
+        "blocking_quality", "calibration_events", "label_prf",
         "dau_mau",
         "phonetic_er",
     ]

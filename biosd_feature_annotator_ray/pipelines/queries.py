@@ -11886,3 +11886,158 @@ ORACLES["dau_mau"] = (
     "   * count(DISTINCT user_id)), 6) AS stickiness"
     " FROM du GROUP BY 1"
 )
+
+
+def q_blocking_quality(sf_dir: str):
+    """ER blocking-scheme QA (similarity.blocking_quality) over the
+    er_parts corpus: pair completeness of the (first-char, len-band)
+    blocking against the identity gold pairs (a dropped 2nd char can
+    shift the length band → genuinely lost pairs) + the reduction
+    ratio vs the full cross product. Fully oracled (census-product
+    twin)."""
+    from ..stages.similarity import blocking_quality
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+
+    def blk_of(name_col):
+        import pandas as pd
+
+        s = name_col.to_pandas().fillna("").astype(str)
+        return pa.array(s.str[:1] + "|" + (s.str.len() // 4).astype(str))
+
+    def mk_left(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t.column("p_partkey").to_numpy() % 20 == 0))
+        nm = pa.array([s[:1] + s[2:] for s in
+                       t.column("p_name").to_pylist()])
+        return pa.table({"l_id": t.column("p_partkey"),
+                         "blk": blk_of(nm)})
+
+    def mk_right(t: pa.Table) -> pa.Table:
+        return pa.table({"r_id": t.column("p_partkey"),
+                         "blk": blk_of(t.column("p_name"))})
+
+    def mk_gold(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(t.column("p_partkey").to_numpy() % 20 == 0))
+        return pa.table({"l_id": t.column("p_partkey"),
+                         "r_id": t.column("p_partkey")})
+
+    left = part.map_batches(mk_left, batch_format="pyarrow")
+    right = part.map_batches(mk_right, batch_format="pyarrow")
+    gold = part.map_batches(mk_gold, batch_format="pyarrow")
+    return blocking_quality(left, right, gold, nb=8)
+
+
+QUERIES["blocking_quality"] = q_blocking_quality
+
+ORACLES["blocking_quality"] = (
+    "WITH l AS (SELECT p_partkey AS lid,"
+    "   substr(nm, 1, 1) || '|' || CAST(length(nm) // 4 AS VARCHAR)"
+    "    AS blk"
+    "  FROM (SELECT p_partkey,"
+    "    substr(p_name, 1, 1) || substr(p_name, 3) AS nm"
+    "   FROM part WHERE p_partkey % 20 = 0)),"
+    " r AS (SELECT p_partkey AS rid,"
+    "   substr(p_name, 1, 1) || '|'"
+    "    || CAST(length(p_name) // 4 AS VARCHAR) AS blk FROM part),"
+    " cl AS (SELECT blk, count(*) AS nl FROM l GROUP BY 1),"
+    " cr AS (SELECT blk, count(*) AS nr FROM r GROUP BY 1),"
+    " cand AS (SELECT coalesce(sum(nl * nr), 0) AS c FROM cl"
+    "  JOIN cr USING (blk)),"
+    " co AS (SELECT count(*) AS co FROM l JOIN r"
+    "   ON l.lid = r.rid AND l.blk = r.blk),"
+    " nn AS (SELECT (SELECT count(*) FROM l) AS n_left,"
+    "   (SELECT count(*) FROM r) AS n_right,"
+    "   (SELECT count(*) FROM l) AS n_gold)"
+    " SELECT n_left, n_right, n_gold, co.co AS co_blocked,"
+    "  CAST(cand.c AS BIGINT) AS candidates,"
+    "  round(co.co * 1.0 / n_gold, 6) AS pair_completeness,"
+    "  round(1.0 - cand.c * 1.0 / (n_left * n_right), 6)"
+    "   AS reduction_ratio"
+    " FROM nn, cand, co"
+)
+
+
+def q_calibration_events(sf_dir: str):
+    """Classifier calibration table (sketches.calibration_bins):
+    deterministic [0,1] scores vs 'purchase' labels over events, 10
+    equal-width bins with count / mean score / observed positive
+    rate. Fully oracled."""
+    from ..stages.sketches import calibration_bins
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+
+    def score(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        s = (eid % 1000) / 999.0
+        y = pc.equal(t.column("event_type"), pa.scalar("purchase"))
+        return pa.table({
+            "score": pa.array(s),
+            "label": pc.cast(pc.fill_null(y, False), pa.int64())})
+
+    return calibration_bins(ev.map_batches(score, batch_format="pyarrow"),
+                            "score", "label", n_bins=10, nb=4)
+
+
+QUERIES["calibration_events"] = q_calibration_events
+
+ORACLES["calibration_events"] = (
+    "WITH s AS (SELECT (event_id % 1000) / 999.0 AS score,"
+    "   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y"
+    "  FROM events),"
+    " b AS (SELECT least(CAST(floor(score * 10) AS BIGINT), 9) AS bin,"
+    "   score, y FROM s)"
+    " SELECT bin, count(*) AS n,"
+    "  round(sum(score) / count(*), 6) AS mean_score,"
+    "  round(sum(y) * 1.0 / count(*), 6) AS frac_pos"
+    " FROM b GROUP BY bin"
+)
+
+
+def q_label_prf(sf_dir: str):
+    """Per-label precision/recall/F1 (sketches.label_prf) between
+    event_type and the kappa corpus's perturbed annotator — the
+    per-class annotation-QA complement of annotator_kappa. Fully
+    oracled."""
+    from ..stages.sketches import label_prf
+
+    ev = _events(sf_dir, ["event_id", "event_type"])
+
+    def two(t: pa.Table) -> pa.Table:
+        eid = t.column("event_id").to_numpy()
+        a = t.column("event_type")
+        b = pc.if_else(pa.array(eid % 7 == 0),
+                       pa.scalar("other", pa.string()), a)
+        return pa.table({"gold": a, "pred": b})
+
+    return label_prf(ev.map_batches(two, batch_format="pyarrow"),
+                     "gold", "pred", nb=4)
+
+
+QUERIES["label_prf"] = q_label_prf
+
+ORACLES["label_prf"] = (
+    "WITH p AS (SELECT event_type AS a,"
+    "   CASE WHEN event_id % 7 = 0 THEN 'other' ELSE event_type END AS b"
+    "  FROM events WHERE event_type IS NOT NULL),"
+    " g AS (SELECT a AS label, count(*) AS n_gold FROM p GROUP BY 1),"
+    " q AS (SELECT b AS label, count(*) AS n_pred FROM p GROUP BY 1),"
+    " d AS (SELECT a AS label, count(*) AS tp FROM p WHERE a = b"
+    "  GROUP BY 1),"
+    " labs AS (SELECT label FROM g UNION SELECT label FROM q),"
+    " m AS (SELECT labs.label,"
+    "   coalesce(g.n_gold, 0) AS n_gold,"
+    "   coalesce(q.n_pred, 0) AS n_pred,"
+    "   coalesce(d.tp, 0) AS tp"
+    "  FROM labs LEFT JOIN g USING (label) LEFT JOIN q USING (label)"
+    "   LEFT JOIN d USING (label)),"
+    " f AS (SELECT label, n_gold, n_pred, tp,"
+    "   CASE WHEN n_pred = 0 THEN 0.0 ELSE tp * 1.0 / n_pred END AS pr,"
+    "   CASE WHEN n_gold = 0 THEN 0.0 ELSE tp * 1.0 / n_gold END AS rc"
+    "  FROM m)"
+    " SELECT label, n_gold, n_pred, tp, round(pr, 6) AS precision,"
+    "  round(rc, 6) AS recall,"
+    "  round(CASE WHEN pr + rc = 0 THEN 0.0"
+    "   ELSE 2 * pr * rc / (pr + rc) END, 6) AS f1"
+    " FROM f"
+)

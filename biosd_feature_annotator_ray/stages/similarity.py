@@ -1510,3 +1510,94 @@ def embedding_norm_profile(
         "mean_norm": pa.array([round(mean, 6)], pa.float64()),
         "min_norm": pa.array([round(lo, 6)], pa.float64()),
         "max_norm": pa.array([round(hi, 6)], pa.float64())})
+
+
+def blocking_quality(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    gold: "ray.data.Dataset",
+    left_id: str = "l_id",
+    right_id: str = "r_id",
+    blk_col: str = "blk",
+    nb: int = 16,
+) -> "pa.Table":
+    """Blocking-scheme quality report for an ER pipeline: given each
+    side's records with their blocking key and a GOLD pair set,
+    reports pair completeness (fraction of gold pairs that share a
+    block — the recall ceiling any downstream matcher inherits) and
+    reduction ratio (1 − candidates/|L×R| — how much work blocking
+    saved). Candidates are counted from the two per-block censuses
+    (Σ_b |L_b|·|R_b|) — the cross product itself is NEVER formed; the
+    census products fold to Python ints on the driver (exact at any
+    scale). Gold pairs resolve their blocks via two hash joins; a
+    gold id missing from its side counts as not co-blocked.
+
+    Returns a ONE-ROW pa.Table ``(n_left, n_right, n_gold,
+    co_blocked, candidates, pair_completeness, reduction_ratio)``.
+    """
+    import pyarrow.compute as pc
+
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    l = mat_cut(left.map_batches(
+        lambda t: pa.table({"lid": t.column(left_id),
+                            "blk": t.column(blk_col)}),
+        batch_format="pyarrow"))
+    r = mat_cut(right.map_batches(
+        lambda t: pa.table({"rid": t.column(right_id),
+                            "blk": t.column(blk_col)}),
+        batch_format="pyarrow"))
+    n_left, n_right = l.count(), r.count()
+    g = mat_cut(gold.map_batches(
+        lambda t: pa.table({"lid": t.column(left_id),
+                            "rid": t.column(right_id)}),
+        batch_format="pyarrow"))
+    n_gold = g.count()
+
+    def ones(idc):
+        return lambda t: pa.table({
+            "blk": t.column("blk"),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cl = sum_by_key(l.map_batches(ones("lid"), batch_format="pyarrow"),
+                    "blk", "n", nb=nb, out_col="nl")
+    cr = sum_by_key(r.map_batches(ones("rid"), batch_format="pyarrow"),
+                    "blk", "n", nb=nb, out_col="nr")
+    prod = shuffle_hash_join(cl, cr, on=["blk"], how="inner", nb=nb)
+    candidates = 0
+    for b in prod.iter_batches(batch_format="pyarrow"):
+        for a, c in zip(b["nl"].to_pylist(), b["nr"].to_pylist()):
+            candidates += a * c
+
+    gl = shuffle_hash_join(
+        g, l.map_batches(lambda t: pa.table(
+            {"lid": t.column("lid"), "blk_l": t.column("blk")}),
+            batch_format="pyarrow"),
+        on=["lid"], how="left", nb=nb)
+    glr = shuffle_hash_join(
+        gl, r.map_batches(lambda t: pa.table(
+            {"rid": t.column("rid"), "blk_r": t.column("blk")}),
+            batch_format="pyarrow"),
+        on=["rid"], how="left", nb=nb)
+    co = int(sum(
+        pc.sum(b["co"]).as_py() or 0
+        for b in glr.map_batches(
+            lambda t: pa.table({"co": pa.array([int(pc.sum(pc.cast(
+                pc.and_kleene(pc.is_valid(t.column("blk_l")),
+                              pc.equal(t.column("blk_l"),
+                                       t.column("blk_r"))),
+                pa.int64())).as_py() or 0)], pa.int64())}),
+            batch_format="pyarrow").iter_batches(batch_format="pyarrow")))
+    total = n_left * n_right
+    pcmp = co / n_gold if n_gold else 0.0
+    rr = 1.0 - candidates / total if total else 0.0
+    return pa.table({
+        "n_left": pa.array([n_left], pa.int64()),
+        "n_right": pa.array([n_right], pa.int64()),
+        "n_gold": pa.array([n_gold], pa.int64()),
+        "co_blocked": pa.array([co], pa.int64()),
+        "candidates": pa.array([candidates], pa.int64()),
+        "pair_completeness": pa.array([round(pcmp, 6)], pa.float64()),
+        "reduction_ratio": pa.array([round(rr, 6)], pa.float64())})

@@ -1747,3 +1747,126 @@ def benford_deviation(
     return pa.table({"grp": pa.array(out_g, pa.string()),
                      "n": pa.array(out_n, pa.int64()),
                      "chi2": pa.array(out_c, pa.float64())})
+
+
+def calibration_bins(
+    ds: "ray.data.Dataset",
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    nb: int = 8,
+) -> "pa.Table":
+    """Calibration table for a probabilistic classifier: scores in
+    [0, 1] bucketed into ``n_bins`` equal-width bins (hi edge clamped
+    into the last bin), each bin reporting count, mean score and
+    observed positive rate — the reliability-diagram input that pairs
+    with :func:`roc_auc`. Rows with a null/NaN score or label are
+    excluded; scores outside [0, 1] raise (a miscalibrated INPUT
+    domain is a caller bug, not a bin). One composite census shuffle
+    (bin → count/Σscore/Σpos partials pre-combined map-side); bins
+    with no rows are absent (the SQL twin behaves identically).
+
+    Output: ``(bin, n, mean_score, frac_pos)`` rounded to 6 dp.
+    """
+    from .canonicalize import sums_by_key
+
+    def part(t: pa.Table) -> pa.Table:
+        s = t.column(score_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        y = t.column(label_col).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        ok = ~(np.isnan(s) | np.isnan(y))
+        s, y = s[ok], y[ok]
+        if len(s) and (s.min() < 0 or s.max() > 1):
+            raise ValueError("calibration_bins: scores outside [0, 1]")
+        b = np.minimum((s * n_bins).astype(np.int64), n_bins - 1)
+        return pa.table({"bin": pa.array(b),
+                         "n": pa.array(np.ones(len(b), np.int64)),
+                         "s": pa.array(s),
+                         "p": pa.array((y != 0).astype(np.int64))})
+
+    cen = sums_by_key(ds.map_batches(part, batch_format="pyarrow",
+                                     batch_size=65536),
+                      "bin", ["n", "s", "p"], nb=nb)
+    df = cen.to_pandas().sort_values("bin").reset_index(drop=True)
+    return pa.table({
+        "bin": pa.array(df["bin"].astype("int64")),
+        "n": pa.array(df["n"].astype("int64")),
+        "mean_score": pa.array((df["s"] / df["n"]).round(6)),
+        "frac_pos": pa.array((df["p"] / df["n"]).round(6))})
+
+
+def label_prf(
+    ds: "ray.data.Dataset",
+    gold_col: str,
+    pred_col: str,
+    nb: int = 16,
+    max_cells: int = 100_000,
+) -> "pa.Table":
+    """Per-label precision / recall / F1 from a gold-vs-predicted
+    confusion census — the per-class complement of
+    :func:`cohen_kappa` for annotation QA. Rows with a null on either
+    side are excluded. One composite-key census shuffle; only the
+    bounded census reaches the driver. Labels present on either side
+    get a row; a side with zero support yields 0.0 metrics (SQL-safe,
+    not NaN).
+
+    Output: ``(label, n_gold, n_pred, tp, precision, recall, f1)``
+    rounded to 6 dp, one row per label sorted by label.
+    """
+    from .canonicalize import sum_by_key
+
+    def census(t: pa.Table) -> pa.Table:
+        g, p = t.column(gold_col), t.column(pred_col)
+        ok = pc.and_(pc.is_valid(g), pc.is_valid(p))
+        t2 = pa.table({"g": pc.cast(g, pa.string()),
+                       "p": pc.cast(p, pa.string())}).filter(ok)
+        return t2.append_column(
+            "n", pa.array(np.ones(t2.num_rows, np.int64)))
+
+    cen = sum_by_key(ds.map_batches(census, batch_format="pyarrow"),
+                     ["g", "p"], "n", nb=nb)
+    rows, total = [], 0
+    for b in cen.iter_batches(batch_format="pyarrow"):
+        rows.append(b)
+        total += b.num_rows
+        if total > max_cells:
+            raise ValueError(
+                f"confusion census exceeds max_cells={max_cells}")
+    if not rows:
+        return pa.table({"label": pa.array([], pa.string()),
+                         "n_gold": pa.array([], pa.int64()),
+                         "n_pred": pa.array([], pa.int64()),
+                         "tp": pa.array([], pa.int64()),
+                         "precision": pa.array([], pa.float64()),
+                         "recall": pa.array([], pa.float64()),
+                         "f1": pa.array([], pa.float64())})
+    df = pa.concat_tables(rows).to_pandas()
+    gold_m = df.groupby("g")["n"].sum()
+    pred_m = df.groupby("p")["n"].sum()
+    diag = df[df["g"] == df["p"]].set_index("g")["n"]
+    labels = sorted(set(gold_m.index) | set(pred_m.index))
+    out = {"label": [], "n_gold": [], "n_pred": [], "tp": [],
+           "precision": [], "recall": [], "f1": []}
+    for lab in labels:
+        ng = int(gold_m.get(lab, 0))
+        np_ = int(pred_m.get(lab, 0))
+        tp = int(diag.get(lab, 0))
+        prec = tp / np_ if np_ else 0.0
+        rec = tp / ng if ng else 0.0
+        f1 = 2 * prec * rec / (prec + rec) if prec + rec else 0.0
+        out["label"].append(lab)
+        out["n_gold"].append(ng)
+        out["n_pred"].append(np_)
+        out["tp"].append(tp)
+        out["precision"].append(round(prec, 6))
+        out["recall"].append(round(rec, 6))
+        out["f1"].append(round(f1, 6))
+    return pa.table({
+        "label": pa.array(out["label"], pa.string()),
+        "n_gold": pa.array(out["n_gold"], pa.int64()),
+        "n_pred": pa.array(out["n_pred"], pa.int64()),
+        "tp": pa.array(out["tp"], pa.int64()),
+        "precision": pa.array(out["precision"], pa.float64()),
+        "recall": pa.array(out["recall"], pa.float64()),
+        "f1": pa.array(out["f1"], pa.float64())})

@@ -537,3 +537,49 @@ def test_kwic_contexts_semantics():
                                        "joinjoi"]
     with pytest.raises(ValueError, match="non-empty"):
         kwic_contexts(docs, [])
+
+
+def test_blocking_quality_counts():
+    from biosd_feature_annotator_ray.stages.similarity import blocking_quality
+
+    left = _ds({"l_id": pa.array([1, 2, 3], pa.int64()),
+                "blk": pa.array(["a", "a", "zz"], pa.string())})
+    right = _ds({"r_id": pa.array([1, 2, 3, 4], pa.int64()),
+                 "blk": pa.array(["a", "b", "zz", "a"], pa.string())})
+    gold = _ds({"l_id": pa.array([1, 2, 3], pa.int64()),
+                "r_id": pa.array([1, 2, 3], pa.int64())})
+    out = blocking_quality(left, right, gold, nb=4).to_pandas().iloc[0]
+    # candidates: blk a -> 2*2=4, zz -> 1*1=1 => 5; co-blocked gold:
+    # (1,1) both 'a' yes; (2,2) a vs b no; (3,3) zz yes => 2
+    assert out["candidates"] == 5
+    assert out["co_blocked"] == 2
+    assert out["pair_completeness"] == pytest.approx(2 / 3, abs=1e-6)
+    assert out["reduction_ratio"] == pytest.approx(1 - 5 / 12, abs=1e-6)
+
+
+def test_calibration_bins_known():
+    from biosd_feature_annotator_ray.stages.sketches import calibration_bins
+
+    ds = _ds({"s": pa.array([0.05, 0.06, 0.95, 1.0], pa.float64()),
+              "y": pa.array([0, 1, 1, 1], pa.int64())})
+    out = calibration_bins(ds, "s", "y", n_bins=10, nb=2).to_pandas()
+    assert out["bin"].tolist() == [0, 9]  # 1.0 clamps into bin 9
+    assert out["n"].tolist() == [2, 2]
+    assert out.loc[out["bin"] == 0, "frac_pos"].iloc[0] == 0.5
+    bad = _ds({"s": pa.array([1.5], pa.float64()),
+               "y": pa.array([1], pa.int64())})
+    with pytest.raises(Exception, match="outside"):
+        calibration_bins(bad, "s", "y")
+
+
+def test_label_prf_known():
+    from biosd_feature_annotator_ray.stages.sketches import label_prf
+
+    ds = _ds({"g": pa.array(["x", "x", "y", "y", None]),
+              "p": pa.array(["x", "y", "y", "z", "x"])})
+    out = label_prf(ds, "g", "p", nb=2).to_pandas().set_index("label")
+    # x: gold 2, pred 1, tp 1; y: gold 2, pred 2, tp 1; z: gold 0 pred 1
+    assert out.loc["x", "precision"] == 1.0
+    assert out.loc["x", "recall"] == 0.5
+    assert out.loc["y", "f1"] == pytest.approx(0.5)
+    assert out.loc["z", "recall"] == 0.0 and out.loc["z", "f1"] == 0.0
