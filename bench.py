@@ -269,6 +269,7 @@ def run_queries() -> dict:
         "benford_orders", "weighted_pagerank",
         "components_incremental", "embedding_profile", "kwic_mentions",
         "blocking_quality", "calibration_events", "label_prf",
+        "annotation_drift", "crawl_budget", "predicate_cardinality",
         "dau_mau",
         "phonetic_er",
     ]

@@ -12041,3 +12041,212 @@ ORACLES["label_prf"] = (
     "   ELSE 2 * pr * rc / (pr + rc) END, 6) AS f1"
     " FROM f"
 )
+
+
+def _gold_triples(sf_dir: str):
+    """Shared events-derived distinct triple set (the triple_agreement
+    gold): (user -> event_type -> value-bucket)."""
+    from ..stages.canonicalize import dedup_exact
+
+    ev = _events(sf_dir, ["user_id", "event_type", "value"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column("value")),
+                             pc.is_valid(t.column("event_type"))),
+                     pc.is_valid(t.column("user_id")))
+        t = t.filter(ok)
+        return pa.table({
+            "subj": t.column("user_id").cast(pa.int64()),
+            "pred": t.column("event_type"),
+            "obj": pc.cast(pc.floor(pc.divide(
+                t.column("value"), pa.scalar(100.0))), pa.int64())})
+
+    return dedup_exact(ev.map_batches(mk, batch_format="pyarrow"),
+                       ["subj", "pred", "obj"], nb=8)
+
+
+_GOLD_TRIPLES_SQL = (
+    "SELECT DISTINCT user_id AS subj, event_type AS pred,"
+    " CAST(floor(value / 100.0) AS BIGINT) AS obj"
+    " FROM events WHERE value IS NOT NULL"
+    "  AND event_type IS NOT NULL AND user_id IS NOT NULL"
+)
+
+
+def q_annotation_drift(sf_dir: str):
+    """Per-predicate drift census between two annotation-run triple
+    sets (the KG regression report after an extractor change): gold
+    vs the triple_agreement perturbation — added/removed counts per
+    predicate via two bucketed anti joins + one sum_by_key. Fully
+    oracled (EXCEPT twins)."""
+    from ..stages.canonicalize import sum_by_key
+    from ..stages.join import shuffle_hash_join
+
+    gold = _gold_triples(sf_dir)
+
+    def mk_pred(t: pa.Table) -> pa.Table:
+        s = t.column("subj").to_numpy()
+        kept = t.filter(pa.array(s % 13 != 0))
+        fakes_src = t.filter(pa.array(s % 17 == 0))
+        fakes = pa.table({
+            "subj": pc.add(fakes_src.column("subj"), pa.scalar(1000000)),
+            "pred": pa.array(["fake"] * fakes_src.num_rows, pa.string()),
+            "obj": pa.array(np.zeros(fakes_src.num_rows, np.int64))})
+        return pa.concat_tables([kept, fakes])
+
+    from ..stages.canonicalize import dedup_exact
+
+    # the fakes replicate per gold triple of a subject — SET semantics
+    # (the SQL twin's UNION) need a dedup before the anti joins
+    cols = ["subj", "pred", "obj"]
+    newv = dedup_exact(gold.map_batches(mk_pred, batch_format="pyarrow"),
+                       cols, nb=8)
+    removed = shuffle_hash_join(gold, newv, on=cols, how="anti",
+                                nb=8).map_batches(
+        lambda t: pa.table({"pred": t.column("pred"),
+                            "change": pa.array(["removed"] * t.num_rows),
+                            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    added = shuffle_hash_join(newv, gold, on=cols, how="anti",
+                              nb=8).map_batches(
+        lambda t: pa.table({"pred": t.column("pred"),
+                            "change": pa.array(["added"] * t.num_rows),
+                            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow")
+    out = sum_by_key(removed.union(added), ["pred", "change"], "n",
+                     nb=8, out_col="n")
+    df = (out.to_pandas().sort_values(["pred", "change"])
+          .reset_index(drop=True))
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["annotation_drift"] = q_annotation_drift
+
+ORACLES["annotation_drift"] = (
+    f"WITH gold AS ({_GOLD_TRIPLES_SQL}),"
+    " newv AS (SELECT * FROM gold WHERE subj % 13 <> 0"
+    "  UNION SELECT subj + 1000000, 'fake', 0 FROM gold"
+    "   WHERE subj % 17 = 0),"
+    " ch AS ("
+    "  SELECT pred, 'removed' AS change FROM"
+    "   (SELECT * FROM gold EXCEPT SELECT * FROM newv)"
+    "  UNION ALL"
+    "  SELECT pred, 'added' FROM"
+    "   (SELECT * FROM newv EXCEPT SELECT * FROM gold))"
+    " SELECT pred, change, count(*) AS n FROM ch GROUP BY 1, 2"
+)
+
+
+def q_crawl_budget(sf_dir: str):
+    """Crawl-budget allocation: pages-per-host quota proportional to
+    host PageRank over a deterministic host link graph —
+    floor(10000 * rank) after the 8-dp rank rounding the pagerank
+    oracle family uses. Fully oracled (unrolled CTE + same floor)."""
+    from ..stages.canonicalize import dedup_exact
+    from ..stages.graph import pagerank
+
+    rows = []
+    for i in range(300):
+        s, d = f"h{i % 20}", f"h{(i * 7 + 3) % 20}"
+        if s != d:
+            rows.append({"src": s, "dst": d})
+    edges = dedup_exact(
+        rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3),
+        ["src", "dst"], nb=8)
+    out = pagerank(edges, iters=3, nb=8)
+    df = out.to_pandas()
+    df["rank"] = df["rank"].round(8)
+    df["quota"] = np.floor(10000 * df["rank"]).astype("int64")
+    return pa.Table.from_pandas(
+        df.sort_values("node").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["crawl_budget"] = q_crawl_budget
+
+
+def _crawl_budget_oracle(iters: int = 3, d: float = 0.85) -> str:
+    s = (
+        "WITH e0 AS (SELECT 'h' || CAST(i % 20 AS VARCHAR) AS src,"
+        "   'h' || CAST((i * 7 + 3) % 20 AS VARCHAR) AS dst"
+        "  FROM generate_series(0, 299) s(i)),"
+        " e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),"
+        " deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),"
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        " nn AS (SELECT count(*) AS n FROM nodes),"
+        " r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)"
+    )
+    for i in range(iters):
+        s += (
+            f", m{i} AS (SELECT e.dst AS node, sum(r.rank / deg.deg) AS msum"
+            f"   FROM e JOIN r{i} r ON e.src = r.node"
+            f"   JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", em{i} AS (SELECT coalesce(sum(msum), 0) AS emitted FROM m{i})"
+            f", r{i + 1} AS (SELECT n.node,"
+            f"   (1 - {d}) / nn.n + {d} * (1 - em.emitted) / nn.n"
+            f"   + coalesce({d} * m.msum, 0) AS rank"
+            f"   FROM nodes n CROSS JOIN nn CROSS JOIN em{i} em"
+            f"   LEFT JOIN m{i} m ON m.node = n.node)"
+        )
+    return (s + f" SELECT node, round(rank, 8) AS rank,"
+                f" CAST(floor(10000 * round(rank, 8)) AS BIGINT) AS quota"
+                f" FROM r{iters}")
+
+
+ORACLES["crawl_budget"] = _crawl_budget_oracle()
+
+
+def q_predicate_cardinality(sf_dir: str):
+    """KG predicate profile: per predicate the triple count, distinct
+    subjects/objects, and functionality degree (avg triples per
+    subject) — the schema-discovery census that decides which
+    predicates are functional. groupby_nunique + sum_by_key
+    composition over the shared gold triple set. Fully oracled."""
+    from ..stages.canonicalize import groupby_nunique, sum_by_key
+    from ..stages.join import shuffle_hash_join
+
+    gold = _gold_triples(sf_dir)
+
+    def tag_subj(t: pa.Table) -> pa.Table:
+        return pa.table({"pred": t.column("pred"),
+                         "subj": t.column("subj")})
+
+    def tag_obj(t: pa.Table) -> pa.Table:
+        return pa.table({"pred": t.column("pred"),
+                         "obj": t.column("obj")})
+
+    nt = sum_by_key(gold.map_batches(
+        lambda t: pa.table({"pred": t.column("pred"),
+                            "n": pa.array(np.ones(t.num_rows, np.int64))}),
+        batch_format="pyarrow"), "pred", "n", nb=8, out_col="n_triples")
+    ns = groupby_nunique(gold.map_batches(tag_subj,
+                                          batch_format="pyarrow"),
+                         "pred", "subj", nb=8)
+    no = groupby_nunique(gold.map_batches(tag_obj,
+                                          batch_format="pyarrow"),
+                         "pred", "obj", nb=8)
+    ns = ns.map_batches(lambda t: t.rename_columns(["pred", "n_subj"]),
+                        batch_format="pyarrow")
+    no = no.map_batches(lambda t: t.rename_columns(["pred", "n_obj"]),
+                        batch_format="pyarrow")
+    j = shuffle_hash_join(shuffle_hash_join(nt, ns, on=["pred"],
+                                            how="inner", nb=8),
+                          no, on=["pred"], how="inner", nb=8)
+    df = j.to_pandas().sort_values("pred").reset_index(drop=True)
+    for c in ("n_triples", "n_subj", "n_obj"):
+        df[c] = df[c].astype("int64")
+    df["functionality"] = (df["n_triples"] / df["n_subj"]).round(6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["predicate_cardinality"] = q_predicate_cardinality
+
+ORACLES["predicate_cardinality"] = (
+    f"WITH gold AS ({_GOLD_TRIPLES_SQL})"
+    " SELECT pred, count(*) AS n_triples,"
+    "  count(DISTINCT subj) AS n_subj,"
+    "  count(DISTINCT obj) AS n_obj,"
+    "  round(count(*) * 1.0 / count(DISTINCT subj), 6) AS functionality"
+    " FROM gold GROUP BY pred"
+)
