@@ -270,6 +270,7 @@ def run_queries() -> dict:
         "components_incremental", "embedding_profile", "kwic_mentions",
         "blocking_quality", "calibration_events", "label_prf",
         "annotation_drift", "crawl_budget", "predicate_cardinality",
+        "langid_agreement", "zipf_slope", "triple_provenance",
         "dau_mau",
         "phonetic_er",
     ]

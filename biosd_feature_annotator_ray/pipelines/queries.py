@@ -12250,3 +12250,186 @@ ORACLES["predicate_cardinality"] = (
     "  round(count(*) * 1.0 / count(DISTINCT subj), 6) AS functionality"
     " FROM gold GROUP BY pred"
 )
+
+
+def q_langid_agreement(sf_dir: str):
+    """Language-column QA: Cohen's kappa between the documents table's
+    declared lang and the engine's n-gram lang_id prediction — the
+    lang-ID and annotation-QA families composed. Fully oracled (the
+    SQL twin replays the full lang-ID stopword census, then the kappa
+    marginals formula)."""
+    from ..stages.sketches import cohen_kappa
+
+    pred = (_docs(sf_dir, ["doc_id", "text", "lang"])
+            .map_batches(as_task_fn(textstats.LangIdStage),
+                         batch_format="pyarrow"))
+    keep = pred.map_batches(
+        lambda t: pa.table({"lang": t.column("lang"),
+                            "lang_pred": t.column("lang_pred")}),
+        batch_format="pyarrow")
+    return cohen_kappa(keep, "lang", "lang_pred", nb=4)
+
+
+QUERIES["langid_agreement"] = q_langid_agreement
+
+_LANGID_PRED_SQL = (
+    "WITH t AS (SELECT doc_id, lang,"
+    "  regexp_extract_all(lower(text), '\\pL+') AS w"
+    " FROM documents), c AS (SELECT doc_id, lang,"
+    " len(list_filter(w, x -> x IN ('der','die','und','das','in','den','von','zu',"
+    "  'mit','sich','des','auf','für','ist','im','nicht','ein'))) AS de,"
+    " len(list_filter(w, x -> x IN ('the','and','of','to','in','is','you','that',"
+    "  'it','for','on','with','as','are','this','be','at','or','was'))) AS en,"
+    " len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','ser','se',"
+    "  'no','por','con','para','su','al','lo','como','más','pero'))) AS es,"
+    " len(list_filter(w, x -> x IN ('le','la','de','et','les','des','en','un','une',"
+    "  'du','que','est','pour','qui','dans','par','sur','au'))) AS fr FROM t),"
+    " pr AS (SELECT lang AS a, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'"
+    "  WHEN de >= en AND de >= es AND de >= fr THEN 'de'"
+    "  WHEN en >= es AND en >= fr THEN 'en'"
+    "  WHEN es >= fr THEN 'es' ELSE 'fr' END AS b FROM c"
+    "  WHERE lang IS NOT NULL)"
+)
+
+ORACLES["langid_agreement"] = (
+    _LANGID_PRED_SQL +
+    ", p AS (SELECT a, b FROM pr),"
+    " nn AS (SELECT count(*) AS n FROM p),"
+    " ag AS (SELECT count(*) * 1.0 AS agree FROM p WHERE a = b),"
+    " ra AS (SELECT a, count(*) * 1.0 AS c FROM p GROUP BY a),"
+    " cb AS (SELECT b, count(*) * 1.0 AS c FROM p GROUP BY b),"
+    " pe AS (SELECT sum(ra.c * cb.c) AS s FROM ra"
+    "  JOIN cb ON ra.a = cb.b)"
+    " SELECT nn.n, round(ag.agree / nn.n, 6) AS po,"
+    "  round(pe.s / (nn.n * 1.0 * nn.n), 6) AS pe,"
+    "  round((ag.agree / nn.n - pe.s / (nn.n * 1.0 * nn.n))"
+    "   / (1 - pe.s / (nn.n * 1.0 * nn.n)), 6) AS kappa"
+    " FROM nn, ag, pe"
+)
+
+
+def q_zipf_slope(sf_dir: str):
+    """Zipf rank-frequency fit over the corpus token census: OLS of
+    ln(freq) on ln(rank) for the top-200 tokens — token census
+    (sum_by_key) × global_row_number ranking × the trend sufficient-
+    statistics pass composed. Fully oracled (window row_number +
+    explicit-sums formula twin; ln() bit-parity as in the PMI
+    family)."""
+    from ..stages.canonicalize import sum_by_key
+    from ..stages.sketches import trend_per_key
+    from ..stages.windows import global_row_number
+
+    docs = _docs(sf_dir, ["text"])
+
+    def toks(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = t.column("text").to_pandas().fillna("").str.strip()
+        parts = s.str.split(r"\s+", regex=True)
+        parts = parts.apply(lambda xs: [x for x in xs if x])
+        flat = [w for row in parts for w in row]
+        return pa.table({"token": pa.array(flat, pa.string()),
+                         "n": pa.array(np.ones(len(flat), np.int64))})
+
+    census = sum_by_key(docs.map_batches(toks, batch_format="pyarrow"),
+                        "token", "n", nb=8, out_col="cnt")
+    census = census.map_batches(
+        lambda t: t.append_column(
+            "neg", pc.negate(t.column("cnt").cast(pa.int64()))),
+        batch_format="pyarrow")
+    ranked = global_row_number(census, order_cols=["neg", "token"],
+                               n_parts=8)
+    top = ranked.map_batches(
+        lambda t: t.filter(pc.less_equal(t.column("rn"),
+                                         pa.scalar(200))),
+        batch_format="pyarrow")
+
+    def xy(t: pa.Table) -> pa.Table:
+        r = t.column("rn").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c = t.column("cnt").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return pa.table({"k": pa.array(np.zeros(len(r), np.int64)),
+                         "x": pa.array(np.log(r)),
+                         "y": pa.array(np.log(c))})
+
+    out = trend_per_key(top.map_batches(xy, batch_format="pyarrow"),
+                        "k", "x", "y", nb=4)
+    df = out.to_pandas().reset_index(drop=True)
+    return pa.Table.from_pandas(df[["slope", "intercept", "r2"]],
+                                preserve_index=False)
+
+
+QUERIES["zipf_slope"] = q_zipf_slope
+
+ORACLES["zipf_slope"] = (
+    "WITH toks AS (SELECT unnest(string_split_regex(trim(text), '\\s+'))"
+    "   AS token FROM documents WHERE text IS NOT NULL"
+    "   AND trim(text) <> ''),"
+    " c AS (SELECT token, count(*) AS cnt FROM toks"
+    "  WHERE token <> '' GROUP BY token),"
+    " r AS (SELECT cnt, row_number() OVER"
+    "   (ORDER BY cnt DESC, token ASC) AS rn FROM c),"
+    " d AS (SELECT ln(CAST(rn AS DOUBLE)) AS x,"
+    "   ln(CAST(cnt AS DOUBLE)) AS y FROM r WHERE rn <= 200),"
+    " s AS (SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,"
+    "   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM d)"
+    " SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)"
+    "   AS slope,"
+    "  round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
+    "    / n, 6) AS intercept,"
+    "  round(power(n * sxy - sx * sy, 2)"
+    "    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2"
+    " FROM s"
+)
+
+
+def q_triple_provenance(sf_dir: str):
+    """Per-triple provenance aggregation: each distinct fact carries
+    the ordered list of source ids that asserted it plus the mention
+    count — collect_seq_per_key over a composite triple key. Fully
+    oracled (ordered string_agg twin)."""
+    from ..stages.windows import collect_seq_per_key
+
+    ev = _events(sf_dir, ["event_id", "user_id", "event_type", "value"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.and_(pc.is_valid(t.column("value")),
+                             pc.is_valid(t.column("event_type"))),
+                     pc.is_valid(t.column("user_id")))
+        t = t.filter(ok)
+        obj = pc.cast(pc.floor(pc.divide(t.column("value"),
+                                         pa.scalar(100.0))), pa.int64())
+        key = pc.binary_join_element_wise(
+            pc.cast(t.column("user_id"), pa.string()),
+            t.column("event_type"),
+            pc.cast(obj, pa.string()), "|")
+        return pa.table({"triple": key,
+                         "src": pc.cast(t.column("event_id"),
+                                        pa.string()),
+                         "event_id": t.column("event_id")})
+
+    out = collect_seq_per_key(ev.map_batches(mk, batch_format="pyarrow"),
+                              key_col="triple", value_col="src",
+                              order_cols=["event_id"], sep=",",
+                              out="sources", nb=8)
+    df = out.to_pandas().sort_values("triple").reset_index(drop=True)
+    df["n_mentions"] = df["sources"].str.count(",") + 1
+    return pa.Table.from_pandas(df[["triple", "sources", "n_mentions"]],
+                                preserve_index=False)
+
+
+QUERIES["triple_provenance"] = q_triple_provenance
+
+ORACLES["triple_provenance"] = (
+    "WITH t AS (SELECT CAST(user_id AS VARCHAR) || '|' || event_type"
+    "   || '|' || CAST(CAST(floor(value / 100.0) AS BIGINT) AS VARCHAR)"
+    "   AS triple, event_id"
+    "  FROM events WHERE value IS NOT NULL"
+    "   AND event_type IS NOT NULL AND user_id IS NOT NULL)"
+    " SELECT triple,"
+    "  string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)"
+    "   AS sources,"
+    "  CAST(count(*) AS BIGINT) AS n_mentions"
+    " FROM t GROUP BY triple"
+)
