@@ -2613,6 +2613,34 @@ QUERIES = {
     "multimodal_video": q_multimodal_video,
 }
 
+def _langid_pred_sql(extra_cols: str = "") -> str:
+    """Lang-ID stopword census + argmax tie-break generated FROM
+    LangIdStage.STOPWORDS itself — the single source of truth, so the
+    'langid' and 'langid_agreement' oracles can never drift from the
+    engine's word lists. ``extra_cols`` (e.g. ", lang") is carried
+    through the CTE chain."""
+    from ..stages.textstats import LangIdStage
+
+    def lst(lang: str) -> str:
+        return ",".join(f"'{w}'" for w in
+                        LangIdStage.STOPWORDS[lang].split())
+
+    counts = ",".join(
+        f" len(list_filter(w, x -> x IN ({lst(lang)}))) AS {lang}"
+        for lang in ("de", "en", "es", "fr"))
+    return (
+        f"WITH t AS (SELECT doc_id{extra_cols},"
+        "  regexp_extract_all(lower(text), '\\pL+') AS w"
+        f" FROM documents), c AS (SELECT doc_id{extra_cols},"
+        f"{counts} FROM t),"
+        f" langpred AS (SELECT doc_id{extra_cols},"
+        "  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'"
+        "  WHEN de >= en AND de >= es AND de >= fr THEN 'de'"
+        "  WHEN en >= es AND en >= fr THEN 'en'"
+        "  WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c)"
+    )
+
+
 ORACLES = {
     "count_documents": "SELECT count(*) AS n FROM documents",
     "filter_lang_en": "SELECT doc_id FROM documents WHERE lang = 'en'",
@@ -3346,22 +3374,8 @@ ORACLES = {
     # LangIdStage oracle: same tokenization (unicode letter runs of the
     # lowered text), same per-language stopword hit counts, same
     # first-max tie-break in sorted language order (de, en, es, fr).
-    "langid": (
-        "WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '\\pL+') AS w"
-        " FROM documents), c AS (SELECT doc_id,"
-        " len(list_filter(w, x -> x IN ('der','die','und','das','in','den','von','zu',"
-        "  'mit','sich','des','auf','für','ist','im','nicht','ein'))) AS de,"
-        " len(list_filter(w, x -> x IN ('the','and','of','to','in','is','you','that',"
-        "  'it','for','on','with','as','are','this','be','at','or','was'))) AS en,"
-        " len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','ser','se',"
-        "  'no','por','con','para','su','al','lo','como','más','pero'))) AS es,"
-        " len(list_filter(w, x -> x IN ('le','la','de','et','les','des','en','un','une',"
-        "  'du','que','est','pour','qui','dans','par','sur','au'))) AS fr FROM t)"
-        " SELECT doc_id, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'"
-        "  WHEN de >= en AND de >= es AND de >= fr THEN 'de'"
-        "  WHEN en >= es AND en >= fr THEN 'en'"
-        "  WHEN es >= fr THEN 'es' ELSE 'fr' END AS lang_pred FROM c"
-    ),
+    "langid": _langid_pred_sql()
+    + " SELECT doc_id, lang_pred FROM langpred",
     "string_agg_events": (
         "SELECT user_id, string_agg(CAST(event_id AS VARCHAR), ','"
         " ORDER BY ts, event_id) AS seq FROM events GROUP BY user_id"
@@ -11818,9 +11832,9 @@ QUERIES["kwic_mentions"] = q_kwic_mentions
 ORACLES["kwic_mentions"] = (
     "WITH m AS (SELECT doc_id,"
     "   regexp_extract_all(text,"
-    "    '(.{0,12}(join|merge|scan).{0,12})', 1) AS sn,"
+    "    '(.{0,12}(merge|join|scan).{0,12})', 1) AS sn,"
     "   regexp_extract_all(text,"
-    "    '(.{0,12}(join|merge|scan).{0,12})', 2) AS tm"
+    "    '(.{0,12}(merge|join|scan).{0,12})', 2) AS tm"
     "  FROM documents WHERE text IS NOT NULL)"
     " SELECT doc_id, unnest(tm) AS term, unnest(sn) AS snippet FROM m"
 )
@@ -12272,28 +12286,9 @@ def q_langid_agreement(sf_dir: str):
 
 QUERIES["langid_agreement"] = q_langid_agreement
 
-_LANGID_PRED_SQL = (
-    "WITH t AS (SELECT doc_id, lang,"
-    "  regexp_extract_all(lower(text), '\\pL+') AS w"
-    " FROM documents), c AS (SELECT doc_id, lang,"
-    " len(list_filter(w, x -> x IN ('der','die','und','das','in','den','von','zu',"
-    "  'mit','sich','des','auf','für','ist','im','nicht','ein'))) AS de,"
-    " len(list_filter(w, x -> x IN ('the','and','of','to','in','is','you','that',"
-    "  'it','for','on','with','as','are','this','be','at','or','was'))) AS en,"
-    " len(list_filter(w, x -> x IN ('el','la','de','que','y','en','un','ser','se',"
-    "  'no','por','con','para','su','al','lo','como','más','pero'))) AS es,"
-    " len(list_filter(w, x -> x IN ('le','la','de','et','les','des','en','un','une',"
-    "  'du','que','est','pour','qui','dans','par','sur','au'))) AS fr FROM t),"
-    " pr AS (SELECT lang AS a, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'"
-    "  WHEN de >= en AND de >= es AND de >= fr THEN 'de'"
-    "  WHEN en >= es AND en >= fr THEN 'en'"
-    "  WHEN es >= fr THEN 'es' ELSE 'fr' END AS b FROM c"
-    "  WHERE lang IS NOT NULL)"
-)
-
 ORACLES["langid_agreement"] = (
-    _LANGID_PRED_SQL +
-    ", p AS (SELECT a, b FROM pr),"
+    _langid_pred_sql(", lang")
+    + ", p AS (SELECT lang AS a, lang_pred AS b FROM langpred WHERE lang IS NOT NULL),"
     " nn AS (SELECT count(*) AS n FROM p),"
     " ag AS (SELECT count(*) * 1.0 AS agree FROM p WHERE a = b),"
     " ra AS (SELECT a, count(*) * 1.0 AS c FROM p GROUP BY a),"

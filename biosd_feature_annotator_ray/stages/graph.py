@@ -247,7 +247,9 @@ def pagerank(
         def wmap(t: pa.Table) -> pa.Table:
             w = t.column(weight_col).cast(pa.float64())
             wn = w.to_numpy(zero_copy_only=False)
-            bad = int(np.sum(~np.isfinite(wn) | (wn <= 0)))
+            # nulls arrive as NaN in wn — count them once, not twice
+            valid = pc.is_valid(w).to_numpy(zero_copy_only=False)
+            bad = int(np.sum((~np.isfinite(wn) | (wn <= 0)) & valid))
             if bad or w.null_count:
                 raise ValueError(
                     f"pagerank weight_col={weight_col!r}: "
@@ -5736,13 +5738,15 @@ def components_incremental(
                                               t.column("dst")))),
         batch_format="pyarrow"), ["src", "dst"], nb=nb)
     super_e = mat_cut(super_e)
+    # Δ endpoints unknown to the old labeling enter with their own
+    # resolved label (shared by both branches below)
+    new_nodes = shuffle_hash_join(resolved, old, on=["node"], how="anti",
+                                  nb=nb).map_batches(
+        lambda t: pa.table({"node": t.column("node"),
+                            "lab": t.column("cur")}),
+        batch_format="pyarrow")
     if super_e.count() == 0:
         # Δ adds no merges: old labels + any new isolated-pair nodes
-        new_nodes = shuffle_hash_join(resolved, old, on=["node"],
-                                      how="anti", nb=nb).map_batches(
-            lambda t: pa.table({"node": t.column("node"),
-                                "lab": t.column("cur")}),
-            batch_format="pyarrow")
         return old.union(new_nodes)
     mapping = string_components(super_e, nb=nb, max_iters=max_iters)
     mapping = mapping.map_batches(
@@ -5755,13 +5759,6 @@ def components_incremental(
         lambda t: pa.table({
             "node": t.column("node"),
             "lab": pc.coalesce(t.column("newlab"), t.column("lab"))}),
-        batch_format="pyarrow")
-    # Δ endpoints unknown to the old labeling enter with their own
-    # resolved label, rewritten the same way
-    new_nodes = shuffle_hash_join(resolved, old, on=["node"], how="anti",
-                                  nb=nb).map_batches(
-        lambda t: pa.table({"node": t.column("node"),
-                            "lab": t.column("cur")}),
         batch_format="pyarrow")
     new_rewritten = shuffle_hash_join(new_nodes, mapping, on=["lab"],
                                       how="left", nb=nb).map_batches(

@@ -594,11 +594,16 @@ def blocked_lev_join(
 
 def _jaro_winkler(s: str, t: str) -> float:
     """Exact Jaro-Winkler similarity, bit-identical to DuckDB 1.0's
-    ``jaro_winkler_similarity`` (pinned by a 4000-case fuzz): empty vs
-    anything = 0.0, match window ``max(|s|,|t|)//2 - 1`` (min 0),
-    INTEGER-halved transpositions (``mismatches // 2`` — DuckDB's
-    semantics, not the fractional-textbook one), and the Winkler
-    prefix bonus (cap 4, weight 0.1) applied only when jaro > 0.7."""
+    ``jaro_winkler_similarity`` (pinned by fuzzes incl. non-ASCII):
+    DuckDB compares UTF-8 BYTES, not codepoints — 'café' vs 'cafe'
+    scores over the 5-byte encoding — so the scalar encodes first.
+    Empty vs anything = 0.0, match window ``max(|s|,|t|)//2 - 1``
+    (min 0), INTEGER-halved transpositions (``mismatches // 2`` —
+    DuckDB's semantics, not the fractional-textbook one), and the
+    Winkler prefix bonus (cap 4, weight 0.1) applied only when
+    jaro > 0.7."""
+    s = s.encode("utf-8") if isinstance(s, str) else s
+    t = t.encode("utf-8") if isinstance(t, str) else t
     ls, lt = len(s), len(t)
     if ls == 0 or lt == 0:
         return 0.0
@@ -742,18 +747,27 @@ def fellegi_sunter_join(
     def score(batch: pa.Table) -> pa.Table:
         names = set(batch.column_names)
 
-        def resolve(col: str, side_suffix: str) -> str:
-            if col in names:
-                return col
+        def resolve(col: str, side_suffix: str, same_name: bool) -> str:
+            # suffixed form first; an UNSUFFIXED hit for a same-named
+            # field means the column survived the join without a
+            # collision, i.e. it exists on ONE side only — resolving
+            # it for both sides would compare a column to itself and
+            # score 100% agreement. Raise instead.
             if col + side_suffix in names:
                 return col + side_suffix
+            if not same_name and col in names:
+                return col
             raise ValueError(
-                f"field column {col!r} not in joined schema {sorted(names)}")
+                f"field column {col!r} (side {side_suffix}) not in "
+                f"joined schema {sorted(names)} — a same-named field "
+                "must exist on BOTH sides")
 
         n = batch.num_rows
         total = np.zeros(n, np.float64)
         for lc, rc, w_agree, w_disagree in weights:
-            lname, rname = resolve(lc, "_l"), resolve(rc, "_r")
+            same = lc == rc
+            lname = resolve(lc, "_l", same)
+            rname = resolve(rc, "_r", same)
             lcol, rcol = batch.column(lname), batch.column(rname)
             valid = pc.and_(pc.is_valid(lcol), pc.is_valid(rcol))
             agree = pc.equal(lcol, rcol)
@@ -1447,9 +1461,11 @@ def embedding_norm_profile(
     before any similarity work (an unnormalized or degenerate batch
     shows up immediately). Per-batch partials are (count, Σnorm, min,
     max); the driver folds them with order-independent fsum. Elements
-    upcast to float64 BEFORE squaring and dims ≤ 128 keep numpy's
-    summation sequential, so per-row norms are bit-identical to the
-    SQL twin's list_aggregate sum. Null vectors are excluded; mixed
+    upcast to float64 BEFORE squaring; the per-row sum is an EXPLICIT
+    left-to-right accumulation over dims (numpy's np.sum goes
+    pairwise above 8 elements — NOT the sequential order DuckDB's
+    list_aggregate uses), so per-row norms are bit-identical to the
+    SQL twin. Null vectors are excluded; mixed
     dims raise (a ragged embedding column is corrupt).
 
     Returns a ONE-ROW pa.Table, stats rounded to 6 dp (nulls when no
@@ -1478,7 +1494,12 @@ def embedding_norm_profile(
         d = int(dims[0])
         V = np.asarray(col.combine_chunks().flatten().to_numpy(
             zero_copy_only=False), np.float64).reshape(-1, d)
-        norms = np.sqrt(np.sum(V * V, axis=1))
+        # sequential left-to-right accumulation (vectorized across
+        # rows) — matches list_aggregate's sum order bit-for-bit
+        acc = V[:, 0] * V[:, 0] if d else np.zeros(len(V))
+        for j in range(1, d):
+            acc = acc + V[:, j] * V[:, j]
+        norms = np.sqrt(acc)
         return pa.table({
             "n": pa.array([len(norms)], pa.int64()),
             "dim": pa.array([d], pa.int64()),

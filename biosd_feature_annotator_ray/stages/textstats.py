@@ -2506,7 +2506,11 @@ def kwic_contexts(
 
     if not terms or any(t == "" for t in terms):
         raise ValueError("kwic_contexts needs non-empty terms")
-    alt = "|".join(re.escape(t) for t in sorted(terms))
+    # longest-first alternation: leftmost-FIRST regex semantics would
+    # otherwise let a term that is a prefix of another ('scan' vs
+    # 'scanner') permanently shadow the longer one
+    alt = "|".join(re.escape(t)
+                   for t in sorted(terms, key=lambda x: (-len(x), x)))
     pat = re.compile(f"(.{{0,{width}}}({alt}).{{0,{width}}})")
 
     def expand(batch: pa.Table) -> pa.Table:

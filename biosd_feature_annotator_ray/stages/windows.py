@@ -2351,12 +2351,18 @@ def merge_intervals(
                              lo_col: pa.array([], lo_t),
                              hi_col: pa.array([], hi_t),
                              "n_intervals": pa.array([], pa.int64())})
-        k = t.column(key_col).to_pandas()
+        # key comparison stays on the ARROW column: a pandas
+        # round-trip coerces nullable int64 keys to float64, where
+        # keys above 2^53 alias and intervals merge across keys
+        kcol = t.column(key_col).combine_chunks()
         key_chg = np.ones(n, dtype=bool)
         if n > 1:
-            kv, pv = k.iloc[1:].reset_index(drop=True), \
-                k.iloc[:-1].reset_index(drop=True)
-            key_chg[1:] = (kv.ne(pv) & ~(kv.isna() & pv.isna())).to_numpy()
+            cur, prev = kcol.slice(1), kcol.slice(0, n - 1)
+            eq = pc.equal(cur, prev)  # null when either side is null
+            same = pc.or_(pc.fill_null(eq, False),
+                          pc.and_(pc.is_null(cur), pc.is_null(prev)))
+            key_chg[1:] = np.logical_not(
+                same.to_numpy(zero_copy_only=False))
         run_id = np.cumsum(key_chg) - 1
         lo = t.column(lo_col).to_pandas().to_numpy()
         hi = t.column(hi_col).to_pandas().to_numpy()

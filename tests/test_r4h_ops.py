@@ -583,3 +583,54 @@ def test_label_prf_known():
     assert out.loc["x", "recall"] == 0.5
     assert out.loc["y", "f1"] == pytest.approx(0.5)
     assert out.loc["z", "recall"] == 0.0 and out.loc["z", "f1"] == 0.0
+
+
+def test_jaro_winkler_utf8_byte_semantics():
+    """DuckDB compares UTF-8 bytes, not codepoints — pinned."""
+    import duckdb
+
+    con = duckdb.connect()
+    for a, b in [("café", "cafe"), ("naïve", "naive"),
+                 ("übermensch", "ubermensch"), ("日本語", "日本誤")]:
+        ref = con.execute("select jaro_winkler_similarity(?, ?)",
+                          [a, b]).fetchone()[0]
+        assert _jaro_winkler(a, b) == ref, (a, b)
+
+
+def test_kwic_longer_term_not_shadowed():
+    from biosd_feature_annotator_ray.stages.textstats import kwic_contexts
+
+    docs = _ds({"doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["a scanner darkly scan it"],
+                                 pa.string())})
+    out = kwic_contexts(docs, ["scan", "scanner"], width=2).to_pandas()
+    assert "scanner" in out["term"].tolist()
+    assert "scan" in out["term"].tolist()
+
+
+def test_fellegi_sunter_one_sided_field_raises():
+    left = _ds({"l_id": pa.array([1], pa.int64()),
+                "blk": pa.array([0], pa.int64()),
+                "f1": pa.array(["x"], pa.string())})
+    right = _ds({"r_id": pa.array([7], pa.int64()),
+                 "blk": pa.array([0], pa.int64())})
+    with pytest.raises(Exception, match="BOTH sides"):
+        fellegi_sunter_join(left, right, ["blk"],
+                            fields=[("f1", "f1", 0.9, 0.1)]).to_pandas()
+
+
+def test_merge_intervals_large_int64_keys_with_null():
+    from biosd_feature_annotator_ray.stages.windows import merge_intervals
+
+    k1, k2 = 2 ** 53, 2 ** 53 + 1  # alias under float64 coercion
+    ds = _ds({"k": pa.array([k1, k2, None], pa.int64()),
+              "lo": pa.array([0, 4, 0], pa.int64()),
+              "hi": pa.array([5, 9, 1], pa.int64())})
+    # assert on ARROW output — pandas itself would float64-coerce the
+    # nullable int64 key column and alias the two keys in the TEST
+    tbl = pa.concat_tables(list(
+        merge_intervals(ds, "k", "lo", "hi", nb=2)
+        .iter_batches(batch_format="pyarrow")))
+    keys = [v for v in tbl.column("k").to_pylist() if v is not None]
+    assert sorted(keys) == [k1, k2]  # two DISTINCT keys, no merge
+    assert tbl.num_rows == 3
