@@ -271,6 +271,7 @@ def run_queries() -> dict:
         "blocking_quality", "calibration_events", "label_prf",
         "annotation_drift", "crawl_budget", "predicate_cardinality",
         "langid_agreement", "zipf_slope", "triple_provenance",
+        "community_conductance", "span_agreement",
         "dau_mau",
         "phonetic_er",
     ]

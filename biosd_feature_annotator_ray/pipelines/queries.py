@@ -12428,3 +12428,138 @@ ORACLES["triple_provenance"] = (
     "  CAST(count(*) AS BIGINT) AS n_mentions"
     " FROM t GROUP BY triple"
 )
+
+
+def q_community_conductance(sf_dir: str):
+    """Per-community conductance (graph.conductance) of the LPA
+    assignment over the lpa_communities corpus — the cut-quality
+    complement of community_modularity. Fully oracled (unrolled-LPA +
+    cut/volume census twin)."""
+    from ..stages.graph import conductance, label_propagation
+
+    rows = []
+    for base in (0, 10):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                rows.append({"a": base + i, "b": base + j})
+    rows.append({"a": 4, "b": 10})
+    for i in range(6):
+        rows.append({"a": 20 + i, "b": 21 + i})
+    edges = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+    labels = label_propagation(edges, n_iters=3, nb=8)
+    out = conductance(edges, labels, nb=8)
+    df = out.to_pandas().sort_values("label").reset_index(drop=True)
+    for c in ("label", "cut_edges", "volume"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["community_conductance"] = q_community_conductance
+
+ORACLES["community_conductance"] = (
+    "WITH base AS ("
+    " SELECT b10 + i AS a, b10 + j AS b"
+    "  FROM (VALUES (0), (10)) t(b10),"
+    "   generate_series(0, 4) s(i), generate_series(0, 4) u(j)"
+    "  WHERE i < j"
+    " UNION ALL SELECT 4, 10"
+    " UNION ALL SELECT 20 + i, 21 + i FROM generate_series(0, 5) s(i)),"
+    " e AS (SELECT a AS src, b AS dst FROM base"
+    "  UNION ALL SELECT b, a FROM base),"
+    " l0 AS (SELECT DISTINCT src AS node, src AS lab FROM e),"
+    + _LPA_VOTE.format(k=1, p=0)
+    + _LPA_VOTE.format(k=2, p=1)
+    + _LPA_VOTE.format(k=3, p=2)
+    + " f AS (SELECT node, lab FROM l3),"
+    " m AS (SELECT count(*) AS m FROM base),"
+    " cutpairs AS (SELECT la.lab AS lab FROM base"
+    "   JOIN f la ON la.node = base.a JOIN f lb ON lb.node = base.b"
+    "   WHERE la.lab <> lb.lab"
+    "  UNION ALL SELECT lb.lab FROM base"
+    "   JOIN f la ON la.node = base.a JOIN f lb ON lb.node = base.b"
+    "   WHERE la.lab <> lb.lab),"
+    " cut AS (SELECT lab, count(*) AS cut_edges FROM cutpairs"
+    "  GROUP BY 1),"
+    " deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),"
+    " vol AS (SELECT f.lab, sum(deg.d) AS volume FROM deg"
+    "  JOIN f ON f.node = deg.node GROUP BY 1)"
+    " SELECT CAST(vol.lab AS BIGINT) AS label,"
+    "  CAST(coalesce(cut.cut_edges, 0) AS BIGINT) AS cut_edges,"
+    "  CAST(vol.volume AS BIGINT) AS volume,"
+    "  round(coalesce(cut.cut_edges, 0) * 1.0"
+    "   / least(vol.volume, 2 * m.m - vol.volume), 6) AS conductance"
+    " FROM vol LEFT JOIN cut ON cut.lab = vol.lab CROSS JOIN m"
+)
+
+
+def q_span_agreement(sf_dir: str):
+    """Soft span-level annotation agreement (graph.span_agreement):
+    gold mention spans derived from orders, predictions = gold
+    shifted +3 chars for every 2nd span (still overlapping), dropped
+    for every 5th, plus disjoint fakes — overlap-based P/R/F1. Fully
+    oracled (EXISTS-overlap twin)."""
+    from ..stages.graph import span_agreement
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def mk_gold(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy()
+        s = (k * 7) % 995
+        return pa.table({"doc_id": pa.array(k % 100),
+                         "start": pa.array(s),
+                         "end": pa.array(s + 12)})
+
+    def mk_pred(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy()
+        k = k[k % 5 != 0]  # dropped spans
+        s = (k * 7) % 995 + np.where(k % 2 == 0, 3, 0)  # boundary drift
+        fk = t.column("o_orderkey").to_numpy()
+        fk = fk[fk % 11 == 0]  # disjoint fakes
+        fs = (fk * 13) % 900 + 2000
+        return pa.table({
+            "doc_id": pa.array(np.concatenate([k % 100, fk % 100])),
+            "start": pa.array(np.concatenate([s, fs])),
+            "end": pa.array(np.concatenate([s + 12, fs + 12]))})
+
+    gold = orders.map_batches(mk_gold, batch_format="pyarrow")
+    pred = orders.map_batches(mk_pred, batch_format="pyarrow")
+    return span_agreement(gold, pred, nb=8)
+
+
+QUERIES["span_agreement"] = q_span_agreement
+
+ORACLES["span_agreement"] = (
+    "WITH gold AS (SELECT DISTINCT o_orderkey % 100 AS doc_id,"
+    "   (o_orderkey * 7) % 995 AS start,"
+    "   (o_orderkey * 7) % 995 + 12 AS \"end\" FROM orders),"
+    " predt AS ("
+    "  SELECT DISTINCT o_orderkey % 100 AS doc_id,"
+    "   (o_orderkey * 7) % 995"
+    "    + CASE WHEN o_orderkey % 2 = 0 THEN 3 ELSE 0 END AS start,"
+    "   (o_orderkey * 7) % 995"
+    "    + CASE WHEN o_orderkey % 2 = 0 THEN 3 ELSE 0 END + 12 AS \"end\""
+    "   FROM orders WHERE o_orderkey % 5 <> 0"
+    "  UNION SELECT DISTINCT o_orderkey % 100,"
+    "   (o_orderkey * 13) % 900 + 2000,"
+    "   (o_orderkey * 13) % 900 + 2012 FROM orders"
+    "   WHERE o_orderkey % 11 = 0),"
+    " mp AS (SELECT count(*) AS matched_pred FROM predt p"
+    "  WHERE EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id"
+    "   AND least(p.\"end\", g.\"end\") - greatest(p.start, g.start)"
+    "    >= 1)),"
+    " mg AS (SELECT count(*) AS matched_gold FROM gold g"
+    "  WHERE EXISTS (SELECT 1 FROM predt p WHERE p.doc_id = g.doc_id"
+    "   AND least(p.\"end\", g.\"end\") - greatest(p.start, g.start)"
+    "    >= 1)),"
+    " nn AS (SELECT (SELECT count(*) FROM gold) AS n_gold,"
+    "   (SELECT count(*) FROM predt) AS n_pred)"
+    " SELECT n_gold, n_pred, matched_pred, matched_gold,"
+    "  round(matched_pred * 1.0 / n_pred, 6) AS precision,"
+    "  round(matched_gold * 1.0 / n_gold, 6) AS recall,"
+    "  round(2.0 * (matched_pred * 1.0 / n_pred)"
+    "   * (matched_gold * 1.0 / n_gold)"
+    "   / ((matched_pred * 1.0 / n_pred)"
+    "    + (matched_gold * 1.0 / n_gold)), 6) AS f1"
+    " FROM nn, mp, mg"
+)

@@ -5767,3 +5767,174 @@ def components_incremental(
             "lab": pc.coalesce(t.column("newlab"), t.column("lab"))}),
         batch_format="pyarrow")
     return rewritten.union(new_rewritten)
+
+
+def conductance(
+    edges,
+    labels,
+    a_col: str = "a",
+    b_col: str = "b",
+    node_col: str = "node",
+    label_col: str = "label",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Per-community conductance φ(c) = cut(c) / min(vol(c), 2m−vol(c))
+    over an undirected graph (each edge once, no self-loops) — the
+    cut-quality complement of :func:`modularity` (a community can
+    score high Q yet leak badly; φ says how porous each one is).
+    Unlabeled endpoints raise like modularity. Shape: the same two
+    bucketed label joins; the cut census is one composite sum_by_key
+    over both endpoints of label-crossing edges; volume joins the
+    degree census to labels. Output: ``(label, cut_edges, volume,
+    conductance)`` with conductance rounded to 6 dp (null for a
+    community with zero volume — cannot happen for labels attached to
+    edges, but guards empty slices).
+    """
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    e = edges.map_batches(
+        lambda t: pa.table({"src": t.column(a_col).cast(pa.int64()),
+                            "dst": t.column(b_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    lab = labels.map_batches(
+        lambda t: pa.table({"node": t.column(node_col).cast(pa.int64()),
+                            "lab": t.column(label_col).cast(pa.int64())}),
+        batch_format="pyarrow")
+    e = mat_cut(e)
+    m = e.count()
+    t1 = shuffle_hash_join(
+        e, lab.map_batches(lambda t: pa.table(
+            {"src": t.column("node"), "lab_a": t.column("lab")}),
+            batch_format="pyarrow"), on=["src"], how="left", nb=nb)
+    t2 = mat_cut(shuffle_hash_join(
+        t1, lab.map_batches(lambda t: pa.table(
+            {"dst": t.column("node"), "lab_b": t.column("lab")}),
+            batch_format="pyarrow"), on=["dst"], how="left", nb=nb))
+
+    def cut_rows(t: pa.Table) -> pa.Table:
+        la, lb = t.column("lab_a"), t.column("lab_b")
+        miss = int(pc.sum(pc.cast(pc.or_(
+            pc.is_null(la), pc.is_null(lb)), pa.int64())).as_py() or 0)
+        if miss:
+            raise ValueError(
+                f"{miss} edge endpoint(s) missing from labels — "
+                "conductance over a partial labeling would be wrong")
+        crossing = t.filter(pc.invert(pc.equal(la, lb)))
+        both = pa.concat_arrays([
+            crossing.column("lab_a").combine_chunks(),
+            crossing.column("lab_b").combine_chunks()])
+        return pa.table({"lab": both,
+                         "c": pa.array(np.ones(len(both), np.int64))})
+
+    cut = sum_by_key(t2.map_batches(cut_rows, batch_format="pyarrow"),
+                     "lab", "c", nb=nb, out_col="cut_edges")
+    deg = sum_by_key(
+        e.map_batches(lambda t: pa.table({
+            "node": pa.concat_arrays([t.column("src").combine_chunks(),
+                                      t.column("dst").combine_chunks()]),
+            "d": pa.array(np.ones(2 * t.num_rows, np.int64))}),
+            batch_format="pyarrow"), "node", "d", nb=nb)
+    vol = sum_by_key(
+        shuffle_hash_join(deg, lab, on=["node"], how="inner", nb=nb),
+        "lab", "d", nb=nb, out_col="volume")
+    j = shuffle_hash_join(vol, cut, on=["lab"], how="left", nb=nb)
+
+    def finish(t: pa.Table) -> pa.Table:
+        v = t.column("volume").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        c = pc.fill_null(t.column("cut_edges"), 0).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        denom = np.minimum(v, 2.0 * m - v)
+        phi = np.where(denom > 0, c / np.maximum(denom, 1.0), np.nan)
+        return pa.table({
+            "label": t.column("lab").cast(pa.int64()),
+            "cut_edges": pa.array(c.astype(np.int64)),
+            "volume": pa.array(v.astype(np.int64)),
+            "conductance": pa.array(np.round(phi, 6))})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+def span_agreement(
+    gold,
+    pred,
+    key_col: str = "doc_id",
+    start_col: str = "start",
+    end_col: str = "end",
+    min_overlap: int = 1,
+    nb: int = 32,
+) -> "pa.Table":
+    """SOFT span-level annotation agreement: a predicted span counts
+    as correct when it overlaps ANY gold span of the same document by
+    at least ``min_overlap`` characters (half-open [start, end)
+    spans) — the mention-level relaxation of the exact triple gate,
+    which punishes one-character boundary drift too hard for NER-style
+    QA. Both sides set-dedup on (key, start, end); the overlap test
+    is one bucketed key-equijoin + vectorized range filter (bounded
+    by per-document span counts), then distinct matched spans count
+    each side once.
+
+    Returns a ONE-ROW pa.Table ``(n_gold, n_pred, matched_pred,
+    matched_gold, precision, recall, f1)`` rounded to 6 dp.
+    """
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+    from .util import mat_cut
+
+    cols = [key_col, start_col, end_col]
+
+    def clean(ds):
+        return mat_cut(dedup_exact(ds.map_batches(
+            lambda t: t.select(cols), batch_format="pyarrow"),
+            cols, nb=nb))
+
+    g, p = clean(gold), clean(pred)
+    n_gold, n_pred = g.count(), p.count()
+    if n_gold == 0 or n_pred == 0:
+        return pa.table({
+            "n_gold": pa.array([n_gold], pa.int64()),
+            "n_pred": pa.array([n_pred], pa.int64()),
+            "matched_pred": pa.array([0], pa.int64()),
+            "matched_gold": pa.array([0], pa.int64()),
+            "precision": pa.array([0.0], pa.float64()),
+            "recall": pa.array([0.0], pa.float64()),
+            "f1": pa.array([0.0], pa.float64())})
+    gr = g.map_batches(
+        lambda t: pa.table({key_col: t.column(key_col),
+                            "gs": t.column(start_col),
+                            "ge": t.column(end_col)}),
+        batch_format="pyarrow")
+    joined = shuffle_hash_join(p, gr, on=[key_col], how="inner", nb=nb)
+
+    def overlapping(t: pa.Table) -> pa.Table:
+        s1 = t.column(start_col).to_numpy(zero_copy_only=False)
+        e1 = t.column(end_col).to_numpy(zero_copy_only=False)
+        s2 = t.column("gs").to_numpy(zero_copy_only=False)
+        e2 = t.column("ge").to_numpy(zero_copy_only=False)
+        ov = np.minimum(e1, e2) - np.maximum(s1, s2)
+        return t.filter(pa.array(ov >= min_overlap))
+
+    hits = mat_cut(joined.map_batches(overlapping,
+                                      batch_format="pyarrow"))
+    matched_pred = dedup_exact(hits.map_batches(
+        lambda t: t.select(cols), batch_format="pyarrow"),
+        cols, nb=nb).count()
+    matched_gold = dedup_exact(hits.map_batches(
+        lambda t: pa.table({key_col: t.column(key_col),
+                            start_col: t.column("gs"),
+                            end_col: t.column("ge")}),
+        batch_format="pyarrow"), cols, nb=nb).count()
+    precision = matched_pred / n_pred
+    recall = matched_gold / n_gold
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return pa.table({
+        "n_gold": pa.array([n_gold], pa.int64()),
+        "n_pred": pa.array([n_pred], pa.int64()),
+        "matched_pred": pa.array([matched_pred], pa.int64()),
+        "matched_gold": pa.array([matched_gold], pa.int64()),
+        "precision": pa.array([round(precision, 6)], pa.float64()),
+        "recall": pa.array([round(recall, 6)], pa.float64()),
+        "f1": pa.array([round(f1, 6)], pa.float64())})

@@ -634,3 +634,39 @@ def test_merge_intervals_large_int64_keys_with_null():
     keys = [v for v in tbl.column("k").to_pylist() if v is not None]
     assert sorted(keys) == [k1, k2]  # two DISTINCT keys, no merge
     assert tbl.num_rows == 3
+
+
+def test_conductance_known_graph():
+    from biosd_feature_annotator_ray.stages.graph import conductance
+
+    # two triangles joined by ONE bridge: each community has cut 1,
+    # volume 7 (6 intra-degree + 1 bridge endpoint), m = 7
+    edges = _ds({"a": pa.array([0, 1, 0, 10, 11, 10, 2], pa.int64()),
+                 "b": pa.array([1, 2, 2, 11, 12, 12, 10], pa.int64())})
+    labels = _ds({"node": pa.array([0, 1, 2, 10, 11, 12], pa.int64()),
+                  "label": pa.array([0, 0, 0, 1, 1, 1], pa.int64())})
+    out = (conductance(edges, labels).to_pandas()
+           .sort_values("label").reset_index(drop=True))
+    assert out["cut_edges"].tolist() == [1, 1]
+    assert out["volume"].tolist() == [7, 7]
+    assert out["conductance"].tolist() == [
+        pytest.approx(1 / 7, abs=1e-6)] * 2
+
+
+def test_span_agreement_known():
+    from biosd_feature_annotator_ray.stages.graph import span_agreement
+
+    gold = _ds({"doc_id": pa.array([1, 1, 2], pa.int64()),
+                "start": pa.array([0, 100, 0], pa.int64()),
+                "end": pa.array([10, 110, 10], pa.int64())})
+    # pred: one overlapping (shifted), one disjoint, one wrong doc
+    pred = _ds({"doc_id": pa.array([1, 1, 3], pa.int64()),
+                "start": pa.array([5, 500, 0], pa.int64()),
+                "end": pa.array([15, 510, 10], pa.int64())})
+    out = span_agreement(gold, pred, nb=2).to_pandas().iloc[0]
+    assert (out["matched_pred"], out["matched_gold"]) == (1, 1)
+    assert out["precision"] == pytest.approx(1 / 3, abs=1e-6)
+    assert out["recall"] == pytest.approx(1 / 3, abs=1e-6)
+    # min_overlap above the actual 5-char overlap kills the match
+    out2 = span_agreement(gold, pred, min_overlap=6, nb=2).to_pandas()
+    assert out2["matched_pred"].iloc[0] == 0
