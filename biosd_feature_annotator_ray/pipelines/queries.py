@@ -11563,7 +11563,6 @@ def q_phonetic_er(sf_dir: str):
     oracled (both replayed in SQL)."""
     from ..functions.phonetic import soundex_array
     from ..stages.join import shuffle_hash_join
-    from ..stages.similarity import _jaro_winkler
 
     part = rd.read_parquet(f"{sf_dir}/part.parquet",
                            columns=["p_partkey", "p_name"])
@@ -11587,11 +11586,11 @@ def q_phonetic_er(sf_dir: str):
     j = shuffle_hash_join(left, right, on=["blk"], how="inner", nb=16)
 
     def verify(t: pa.Table) -> pa.Table:
+        from ..stages.similarity import jw_score_pairs
+
         wl = t.column("w_l").to_pylist()
         wr = t.column("w_r").to_pylist()
-        sim = np.array([_jaro_winkler(a, b) for a, b in zip(wl, wr)],
-                       np.float64)
-        keep = sim >= 0.85
+        sim, keep = jw_score_pairs(wl, wr, 0.85)
         t = t.filter(pa.array(keep))
         return pa.table({"l_id": t.column("l_id"),
                          "r_id": t.column("r_id"),

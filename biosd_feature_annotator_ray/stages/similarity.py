@@ -636,6 +636,59 @@ def _jaro_winkler(s: str, t: str) -> float:
     return j
 
 
+def _byte_count_matrix(vals: "list[bytes]") -> np.ndarray:
+    """(n, 256) per-string byte histograms — the vectorized input of
+    the Jaro-Winkler upper-bound prefilter."""
+    n = len(vals)
+    out = np.zeros((n, 256), np.int32)
+    for i, b in enumerate(vals):
+        if b:
+            np.add.at(out[i], np.frombuffer(b, np.uint8), 1)
+    return out
+
+
+def _jw_upper_bound(mm: np.ndarray, l1, l2) -> np.ndarray:
+    """TRUE upper bound of DuckDB Jaro-Winkler given a bound ``mm`` on
+    the match count (multiset byte intersection ≥ any Jaro matching):
+    jaro ≤ (mm/l1 + mm/l2 + 1)/3, and x → x + 0.4·(1−x) (prefix cap 4,
+    weight 0.1) is increasing, so jw ≤ bound + 0.4·(1−bound). Zeros
+    where either side is empty or mm == 0 (jw is exactly 0 there)."""
+    l1 = np.asarray(l1, np.float64)
+    l2 = np.asarray(l2, np.float64)
+    ok = (mm > 0) & (l1 > 0) & (l2 > 0)
+    b = np.zeros(len(np.atleast_1d(mm)), np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        raw = (mm / l1 + mm / l2 + 1.0) / 3.0
+    b[ok] = np.minimum(raw[ok], 1.0)
+    return b + 0.4 * (1.0 - b)
+
+
+def jw_score_pairs(
+    lvals: "list[str]",
+    rvals: "list[str]",
+    min_sim: float,
+) -> "tuple[np.ndarray, np.ndarray]":
+    """Exact Jaro-Winkler over row-aligned candidate pairs with the
+    vectorized upper-bound prefilter: pairs whose multiset-overlap
+    bound cannot reach ``min_sim`` are skipped without running the
+    scalar (the dominant cost of a verify pass over blocked
+    candidates). Returns ``(sim, keep)`` where sim is only valid at
+    keep positions; keep already applies the threshold."""
+    lb = [s.encode("utf-8") for s in lvals]
+    rb = [s.encode("utf-8") for s in rvals]
+    lc = _byte_count_matrix(lb)
+    rc = _byte_count_matrix(rb)
+    mm = np.minimum(lc, rc).sum(axis=1)
+    l1 = np.fromiter((len(b) for b in lb), np.int64, len(lb))
+    l2 = np.fromiter((len(b) for b in rb), np.int64, len(rb))
+    cand = _jw_upper_bound(mm, l1, l2) >= min_sim - 1e-12
+    sim = np.zeros(len(lb), np.float64)
+    for i in np.nonzero(cand)[0]:
+        sim[i] = _jaro_winkler(lb[i], rb[i])
+    keep = sim >= min_sim
+    return sim, keep
+
+
 def blocked_jw_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -691,12 +744,24 @@ def blocked_jw_join(
                 continue
             rvals = rs["_s"].tolist()
             rids = rs["_id"].to_numpy()
+            rb = [s.encode("utf-8") for s in rvals]
+            RC = _byte_count_matrix(rb)
+            l2 = np.fromiter((len(b) for b in rb), np.int64, len(rb))
             for lid, lval in zip(ls["_id"], ls["_s"]):
-                for rid, rval in zip(rids, rvals):
-                    sim = _jaro_winkler(lval, rval)
+                lbv = lval.encode("utf-8")
+                lc = np.zeros(256, np.int32)
+                if lbv:
+                    np.add.at(lc, np.frombuffer(lbv, np.uint8), 1)
+                # vectorized upper-bound prune: only candidates whose
+                # byte-multiset overlap can reach min_sim run the scalar
+                mm = np.minimum(RC, lc).sum(axis=1)
+                cand = (_jw_upper_bound(mm, np.full(len(rb), len(lbv)),
+                                        l2) >= min_sim - 1e-12)
+                for j in np.nonzero(cand)[0]:
+                    sim = _jaro_winkler(lbv, rb[j])
                     if sim >= min_sim:
                         out_l.append(lid)
-                        out_r.append(rid)
+                        out_r.append(rids[j])
                         out_s.append(sim)
         return pa.table({
             "l_id": pa.array(np.asarray(out_l, np.int64)),

@@ -670,3 +670,22 @@ def test_span_agreement_known():
     # min_overlap above the actual 5-char overlap kills the match
     out2 = span_agreement(gold, pred, min_overlap=6, nb=2).to_pandas()
     assert out2["matched_pred"].iloc[0] == 0
+
+
+def test_jw_prefilter_never_drops_true_matches():
+    """The multiset upper bound is a TRUE bound: the prefilter may
+    only skip pairs whose exact JW is below min_sim."""
+    from biosd_feature_annotator_ray.stages.similarity import (
+        jw_score_pairs)
+
+    rng = random.Random(17)
+    l = ["".join(rng.choice("abcdé ") for _ in range(rng.randint(0, 12)))
+         for _ in range(600)]
+    r = ["".join(rng.choice("abcdé ") for _ in range(rng.randint(0, 12)))
+         for _ in range(600)]
+    for thr in (0.7, 0.85, 0.95):
+        sim, keep = jw_score_pairs(l, r, thr)
+        exact = np.array([_jaro_winkler(a, b) for a, b in zip(l, r)])
+        want = exact >= thr
+        assert (keep == want).all()
+        assert (sim[keep] == exact[keep]).all()
