@@ -12562,3 +12562,223 @@ ORACLES["span_agreement"] = (
     "    + (matched_gold * 1.0 / n_gold)), 6) AS f1"
     " FROM nn, mp, mg"
 )
+
+
+def q_inclusion_deps(sf_dir: str):
+    """FK-candidate discovery (profile.inclusion_profile): distinct-
+    value containment between three column pairs — two true foreign
+    keys (containment 1.0) and the reverse direction (customers
+    without orders < 1.0). The schema-induction primitive for
+    stitching extracted web tables into a KG. Twin: per-pair distinct
+    counts + IN-semijoin overlap in SQL."""
+    from ..stages.profile import inclusion_profile
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                         columns=["l_orderkey"])
+    orders_k = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_orderkey"])
+    orders_c = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                               columns=["o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey"])
+    pairs = [
+        ("lineitem.l_orderkey->orders.o_orderkey",
+         inclusion_profile(li, "l_orderkey", orders_k, "o_orderkey",
+                           nb=16)),
+        ("orders.o_custkey->customer.c_custkey",
+         inclusion_profile(orders_c, "o_custkey", cust, "c_custkey",
+                           nb=16)),
+        ("customer.c_custkey->orders.o_custkey",
+         inclusion_profile(cust, "c_custkey", orders_c, "o_custkey",
+                           nb=16)),
+    ]
+    t = pa.concat_tables([p.append_column(
+        "pair", pa.array([name], pa.string())) for name, p in pairs])
+    df = (t.to_pandas().sort_values("pair").reset_index(drop=True)
+          [["pair", "n_left", "n_right", "n_overlap", "containment"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["inclusion_deps"] = q_inclusion_deps
+
+ORACLES["inclusion_deps"] = (
+    "WITH p1 AS (SELECT 'lineitem.l_orderkey->orders.o_orderkey'"
+    "   AS pair,"
+    "  (SELECT count(DISTINCT l_orderkey) FROM lineitem) AS n_left,"
+    "  (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_right,"
+    "  (SELECT count(DISTINCT l_orderkey) FROM lineitem"
+    "   WHERE l_orderkey IN (SELECT o_orderkey FROM orders))"
+    "   AS n_overlap),"
+    " p2 AS (SELECT 'orders.o_custkey->customer.c_custkey' AS pair,"
+    "  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_left,"
+    "  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_right,"
+    "  (SELECT count(DISTINCT o_custkey) FROM orders"
+    "   WHERE o_custkey IN (SELECT c_custkey FROM customer))"
+    "   AS n_overlap),"
+    " p3 AS (SELECT 'customer.c_custkey->orders.o_custkey' AS pair,"
+    "  (SELECT count(DISTINCT c_custkey) FROM customer) AS n_left,"
+    "  (SELECT count(DISTINCT o_custkey) FROM orders) AS n_right,"
+    "  (SELECT count(DISTINCT c_custkey) FROM customer"
+    "   WHERE c_custkey IN (SELECT o_custkey FROM orders))"
+    "   AS n_overlap)"
+    " SELECT pair, n_left, n_right, n_overlap,"
+    "  round(n_overlap * 1.0 / n_left, 6) AS containment"
+    " FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2"
+    "  UNION ALL SELECT * FROM p3) ORDER BY pair"
+)
+
+
+def q_candidate_keys(sf_dir: str):
+    """Candidate-key discovery (profile.candidate_keys): the PK side
+    of schema induction — which column sets uniquely identify orders
+    rows. o_orderkey is a key; o_custkey is not; a planted
+    every-7th-null variant of o_orderkey fails the no-null PRIMARY KEY
+    contract even though its non-null tuples are distinct. Twin:
+    count(*) / any-null census / DISTINCT-subquery counts per set."""
+    from ..stages.profile import candidate_keys
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        k = batch.column("o_orderkey")
+        keep = pa.array(k.to_numpy() % 7 != 0)
+        return batch.append_column(
+            "o_key_holed",
+            pc.if_else(keep, k, pa.scalar(None, k.type)))
+
+    ds = orders.map_batches(plant, batch_format="pyarrow")
+    return candidate_keys(
+        ds,
+        [["o_orderkey"], ["o_custkey"], ["o_custkey", "o_orderdate"],
+         ["o_key_holed"]],
+        nb=16)
+
+
+QUERIES["candidate_keys"] = q_candidate_keys
+
+ORACLES["candidate_keys"] = (
+    "WITH src AS (SELECT o_orderkey, o_custkey, o_orderdate,"
+    "  CASE WHEN o_orderkey % 7 <> 0 THEN o_orderkey END"
+    "   AS o_key_holed FROM orders),"
+    " s1 AS (SELECT 'o_orderkey' AS cols, count(*) AS n_rows,"
+    "  count(*) FILTER (o_orderkey IS NULL) AS n_null_rows,"
+    "  (SELECT count(*) FROM (SELECT DISTINCT o_orderkey FROM src"
+    "    WHERE o_orderkey IS NOT NULL)) AS n_distinct FROM src),"
+    " s2 AS (SELECT 'o_custkey', count(*),"
+    "  count(*) FILTER (o_custkey IS NULL),"
+    "  (SELECT count(*) FROM (SELECT DISTINCT o_custkey FROM src"
+    "    WHERE o_custkey IS NOT NULL)) FROM src),"
+    " s3 AS (SELECT 'o_custkey,o_orderdate', count(*),"
+    "  count(*) FILTER (o_custkey IS NULL OR o_orderdate IS NULL),"
+    "  (SELECT count(*) FROM (SELECT DISTINCT o_custkey, o_orderdate"
+    "    FROM src WHERE o_custkey IS NOT NULL"
+    "    AND o_orderdate IS NOT NULL)) FROM src),"
+    " s4 AS (SELECT 'o_key_holed', count(*),"
+    "  count(*) FILTER (o_key_holed IS NULL),"
+    "  (SELECT count(*) FROM (SELECT DISTINCT o_key_holed FROM src"
+    "    WHERE o_key_holed IS NOT NULL)) FROM src),"
+    " uni AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2"
+    "  UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4)"
+    " SELECT cols, n_rows, n_null_rows, n_distinct,"
+    "  CAST(n_null_rows = 0 AND n_distinct = n_rows AS BIGINT)"
+    "   AS is_key"
+    " FROM uni ORDER BY cols"
+)
+
+
+def q_column_types(sf_dir: str):
+    """Semantic column-type inference (structured.infer_column_types)
+    over a long-form typed-cell corpus: clean int/float/date/bool/
+    url/email/text columns, a noisy float column (20% 'n/a' still
+    dominates at share 0.8), a genuinely mixed column (int share
+    ~0.5 < 0.6 → mixed), and an all-empty column. The twin replays
+    the identical first-match RE2 CASE chain + census + windowed
+    argmax in SQL."""
+    from ..stages.structured import infer_column_types
+
+    rows = []
+    for i in range(400):
+        day = i % 28 + 1
+        rows.extend([
+            ("id", str(i)),
+            ("price", f"{i}.25"),
+            ("when", f"2024-01-{day:02d}"),
+            ("flag", ["true", "False", "yes", "NO"][i % 4]),
+            ("home", f"https://h{i}.test/a"),
+            ("mail", f"u{i}@ex{i % 7}.org"),
+            ("note", f"free text {i}"),
+            ("mix", str(i) if i % 3 == 0 else
+             (f"x{i}" if i % 3 == 1 else "")),
+            ("dirty_price", "n/a" if i % 5 == 4 else f"{i}.5"),
+            ("blank", "" if i % 2 == 0 else None),
+        ])
+    t = pa.table({
+        "col_name": pa.array([r[0] for r in rows], pa.string()),
+        "value": pa.array([r[1] for r in rows], pa.string()),
+    })
+    ds = rd.from_arrow(t).repartition(4)
+    return infer_column_types(ds, nb=8)
+
+
+QUERIES["column_types"] = q_column_types
+
+ORACLES["column_types"] = (
+    "WITH cells AS ("
+    "  SELECT 'id' AS col, CAST(i AS VARCHAR) AS value"
+    "   FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'price', i || '.25' FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'when', '2024-01-' ||"
+    "   lpad(CAST(i % 28 + 1 AS VARCHAR), 2, '0')"
+    "   FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'flag',"
+    "   ['true','False','yes','NO'][(i % 4) + 1]"
+    "   FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'home', 'https://h' || i || '.test/a'"
+    "   FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'mail', 'u' || i || '@ex' || (i % 7) || '.org'"
+    "   FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'note', 'free text ' || i"
+    "   FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'mix', CASE WHEN i % 3 = 0 THEN"
+    "    CAST(i AS VARCHAR) WHEN i % 3 = 1 THEN 'x' || i ELSE '' END"
+    "   FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'dirty_price', CASE WHEN i % 5 = 4 THEN 'n/a'"
+    "    ELSE i || '.5' END FROM generate_series(0, 399) s(i)"
+    "  UNION ALL SELECT 'blank', CASE WHEN i % 2 = 0 THEN '' END"
+    "   FROM generate_series(0, 399) s(i)),"
+    " classified AS (SELECT col,"
+    "  CASE WHEN value IS NULL"
+    "    OR regexp_matches(value, '^\\s*$') THEN 'empty'"
+    "   WHEN regexp_matches(value, '^[+-]?\\d+$') THEN 'int'"
+    "   WHEN regexp_matches(value,"
+    "    '^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$')"
+    "    THEN 'float'"
+    "   WHEN regexp_matches(value, '^\\d{4}-\\d{2}-\\d{2}$')"
+    "    THEN 'date'"
+    "   WHEN regexp_matches(value, '^(?i)(true|false|yes|no)$')"
+    "    THEN 'bool'"
+    "   WHEN regexp_matches(value, '^https?://\\S+$') THEN 'url'"
+    "   WHEN regexp_matches(value,"
+    "    '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$')"
+    "    THEN 'email'"
+    "   ELSE 'string' END AS cls FROM cells),"
+    " census AS (SELECT col, cls, count(*) AS n FROM classified"
+    "  GROUP BY col, cls),"
+    " ne AS (SELECT * FROM census WHERE cls <> 'empty'),"
+    " tot AS (SELECT col, CAST(sum(n) AS BIGINT) AS n_nonempty FROM ne GROUP BY col),"
+    " emp AS (SELECT col, CAST(sum(CASE WHEN cls = 'empty' THEN n"
+    "   ELSE 0 END) AS BIGINT) AS n_empty FROM census GROUP BY col),"
+    " ranked AS (SELECT col, cls, n, row_number() OVER"
+    "  (PARTITION BY col ORDER BY n DESC, cls) AS rk FROM ne)"
+    " SELECT e.col,"
+    "  CASE WHEN t.n_nonempty IS NULL THEN 'empty'"
+    "   WHEN tp.n * 1.0 / t.n_nonempty >= 0.6 THEN tp.cls"
+    "   ELSE 'mixed' END AS inferred_type,"
+    "  coalesce(t.n_nonempty, 0) AS n_nonempty, e.n_empty,"
+    "  round(tp.n * 1.0 / t.n_nonempty, 6) AS share"
+    " FROM emp e LEFT JOIN tot t USING (col)"
+    " LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) tp USING (col)"
+    " ORDER BY e.col"
+)

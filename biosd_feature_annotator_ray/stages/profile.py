@@ -120,3 +120,137 @@ def profile_table(ds: "object", columns: list[str]) -> pa.Table:
     out = out[["col", "n_rows", "n_null", "n_distinct", "min_val", "max_val"]]
     out = out.sort_values("col").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def inclusion_profile(
+    l_ds: "object", l_col: str,
+    r_ds: "object", r_col: str,
+    nb: int = 64,
+) -> pa.Table:
+    """Inclusion-dependency (foreign-key candidate) profile: how much
+    of the DISTINCT non-null left column is contained in the distinct
+    right column — the schema-induction primitive that discovers FK
+    edges between extracted web tables before stitching them into a
+    KG. ``containment = |L ∩ R| / |L|`` (1.0 ⇒ L ⊆ R, a valid FK).
+
+    Scale shape: each side reduces to per-batch-distinct values
+    map-side (the shuffle carries distinct candidates, never raw
+    rows), the union bucket-shuffles ONCE on the value, and each
+    bucket emits a 3-int partial (distinct-left / distinct-right /
+    overlap counts); only ``nb`` tiny rows reach the driver. Values
+    are compared by their Arrow cast-to-string form (injective for
+    ints and strings — document non-injectivity before using float
+    keys). Nulls are excluded on both sides, matching SQL ``IN``
+    pruning of null probes.
+
+    Returns a 1-row table ``n_left, n_right, n_overlap, containment``
+    (containment is null when the left side has no non-null values).
+    """
+    import pyarrow.compute as pc
+
+    from .canonicalize import _add_bucket, _B
+
+    def _prep(col: str, side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            v = pc.cast(batch.column(col), pa.string())
+            u = pc.unique(v.combine_chunks()
+                          if isinstance(v, pa.ChunkedArray) else v)
+            u = u.drop_null()
+            t = pa.table({
+                "v": u,
+                "is_l": pa.array(
+                    np.full(len(u), 1 - side, np.int8)),
+                "is_r": pa.array(np.full(len(u), side, np.int8)),
+            })
+            return _add_bucket(t, ["v"], nb)
+        return f
+
+    both = (l_ds.map_batches(_prep(l_col, 0), batch_format="pyarrow",
+                             batch_size=65536)
+            .union(r_ds.map_batches(_prep(r_col, 1),
+                                    batch_format="pyarrow",
+                                    batch_size=65536)))
+
+    def finish(g: pa.Table) -> pa.Table:
+        t = (g.drop_columns([_B])
+             .group_by(["v"])
+             .aggregate([("is_l", "max"), ("is_r", "max")]))
+        in_l = t.column("is_l_max").to_numpy(zero_copy_only=False) == 1
+        in_r = t.column("is_r_max").to_numpy(zero_copy_only=False) == 1
+        return pa.table({
+            "n_l": pa.array([int(in_l.sum())], pa.int64()),
+            "n_r": pa.array([int(in_r.sum())], pa.int64()),
+            "n_both": pa.array([int((in_l & in_r).sum())], pa.int64()),
+        })
+
+    parts = both.groupby(_B).map_groups(
+        finish, batch_format="pyarrow").to_pandas()
+    n_l = int(parts["n_l"].sum())
+    n_r = int(parts["n_r"].sum())
+    n_both = int(parts["n_both"].sum())
+    cont = round(n_both / n_l, 6) if n_l else None
+    return pa.table({
+        "n_left": pa.array([n_l], pa.int64()),
+        "n_right": pa.array([n_r], pa.int64()),
+        "n_overlap": pa.array([n_both], pa.int64()),
+        "containment": pa.array([cont], pa.float64()),
+    })
+
+
+def candidate_keys(
+    ds: "object",
+    column_sets: "list[list[str]]",
+    nb: int = 64,
+) -> pa.Table:
+    """Candidate-key discovery: for each column set, does it uniquely
+    identify rows? The other half of schema induction over extracted
+    web tables (``inclusion_profile`` finds the FK side; this finds
+    the PK side).
+
+    Per set: total rows, rows with ANY null in the set, distinct
+    complete (all-non-null) tuples — ``is_key = 1`` iff there are no
+    null rows and every tuple is distinct (the SQL PRIMARY KEY
+    contract; SQL UNIQUE would permit the nulls).
+
+    Scale shape: one column-pruned pass for the row/null census plus
+    one exact bucket-shuffled dedup per set over only the set's
+    columns (``dedup_exact`` — distinct tuples travel, never payloads).
+    """
+    import pyarrow.compute as pc
+
+    rows = []
+    for cols in column_sets:
+        cols = list(cols)
+        sub = ds.select_columns(cols)
+
+        def census(batch: pa.Table, _cols=tuple(cols)) -> pa.Table:
+            any_null = pc.is_null(batch.column(_cols[0]))
+            for c in _cols[1:]:
+                any_null = pc.or_(any_null, pc.is_null(batch.column(c)))
+            nn = int(pc.sum(pc.cast(any_null, pa.int64())).as_py() or 0)
+            return pa.table({
+                "n": pa.array([len(batch)], pa.int64()),
+                "n_null": pa.array([nn], pa.int64()),
+            })
+
+        cens = sub.map_batches(census, batch_format="pyarrow",
+                               batch_size=65536).to_pandas()
+        n_rows = int(cens["n"].sum())
+        n_null_rows = int(cens["n_null"].sum())
+
+        def drop_nulls(batch: pa.Table, _cols=tuple(cols)) -> pa.Table:
+            return batch.drop_null()
+
+        n_distinct = dedup_exact(
+            sub.map_batches(drop_nulls, batch_format="pyarrow",
+                            batch_size=65536),
+            cols, nb=nb).count()
+        rows.append({
+            "cols": ",".join(cols),
+            "n_rows": n_rows,
+            "n_null_rows": n_null_rows,
+            "n_distinct": n_distinct,
+            "is_key": int(n_null_rows == 0 and n_distinct == n_rows),
+        })
+    out = pd.DataFrame(rows).sort_values("cols").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)

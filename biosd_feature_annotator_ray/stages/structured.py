@@ -403,3 +403,109 @@ def page_features(batch: pa.Table, html_col: str = "html",
         "n_images": _count(r"(?i)<img[\s>]"),
         "n_paragraphs": _count(r"(?i)<p[\s>]"),
     })
+
+
+# ---------------------------------------------------------------------------
+# Semantic column-type inference (thirteenth-sitting schema induction)
+
+# First-match-wins class chain, shared verbatim with the SQL twin
+# (every pattern is RE2-compatible; (?i) for the bool literals). Order
+# matters: 'int' wins over 'float' for bare digit runs, class 'empty'
+# is decided before any regex (null or whitespace-only).
+COLUMN_TYPE_CLASSES: "list[tuple[str, str]]" = [
+    ("int", r"^[+-]?\d+$"),
+    ("float", r"^[+-]?(\d+\.\d*|\.\d+|\d+)([eE][+-]?\d+)?$"),
+    ("date", r"^\d{4}-\d{2}-\d{2}$"),
+    ("bool", r"^(?i)(true|false|yes|no)$"),
+    ("url", r"^https?://\S+$"),
+    ("email", r"^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$"),
+]
+
+
+def infer_column_types(
+    ds: "object",
+    col: str = "col_name",
+    val: str = "value",
+    nb: int = 16,
+    dominant_share: float = 0.6,
+) -> pa.Table:
+    """Semantic type inference over a long-form ``(column, value)``
+    relation — the step between ``table_records`` (extracted web-table
+    cells) and KG typing: decide per column whether its values are
+    ints, floats, dates, bools, urls, emails or free text, so numeric
+    predicates get typed objects and FK discovery runs on the right
+    columns.
+
+    Classification is a first-match-wins RE2 chain
+    (:data:`COLUMN_TYPE_CLASSES`; null/whitespace-only → ``empty``,
+    no match → ``string``), applied batch-vectorized with
+    ``pyarrow.compute.match_substring_regex``. The per-(column, class)
+    census is map-side pre-aggregated (Arrow ``group_by`` per batch)
+    so the single bucket shuffle carries at most
+    |columns|×|classes| rows per batch, never cells. The dominant
+    class must cover ≥ ``dominant_share`` of a column's non-empty
+    values, else the column is ``mixed``; all-empty columns are
+    ``empty``. Ties break to the lexicographically smallest class
+    (deterministic, and replayable in SQL ``ORDER BY n DESC, cls``).
+
+    Returns the small table ``col, inferred_type, n_nonempty,
+    n_empty, share`` (share rounded to 6 dp; null for empty columns).
+    """
+    from .canonicalize import _add_bucket, _B
+
+    def classify(batch: pa.Table) -> pa.Table:
+        v = batch.column(val)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        cls = pa.array(np.full(len(v), "", object), pa.string())
+        empty = pc.or_kleene(
+            pc.is_null(v),
+            pc.match_substring_regex(pc.fill_null(v, ""), r"^\s*$"))
+        assigned = empty
+        cls = pc.if_else(empty, "empty", cls)
+        safe = pc.fill_null(v, "")
+        for name, pat in COLUMN_TYPE_CLASSES:
+            m = pc.and_(pc.invert(assigned),
+                        pc.match_substring_regex(safe, pat))
+            cls = pc.if_else(m, name, cls)
+            assigned = pc.or_(assigned, m)
+        cls = pc.if_else(assigned, cls, "string")
+        t = pa.table({"col": batch.column(col), "cls": cls,
+                      "n": pa.array(np.ones(len(v), np.int64))})
+        g = t.group_by(["col", "cls"]).aggregate([("n", "sum")])
+        g = g.rename_columns(["col", "cls", "n"])
+        return _add_bucket(g, ["col"], nb)
+
+    def finish(group: pa.Table) -> pa.Table:
+        g = (group.drop_columns([_B])
+             .group_by(["col", "cls"]).aggregate([("n", "sum")]))
+        df = g.to_pandas().rename(columns={"n_sum": "n"})
+        rows = []
+        for c, sub in df.groupby("col", sort=False):
+            n_empty = int(sub.loc[sub["cls"] == "empty", "n"].sum())
+            ne = sub[sub["cls"] != "empty"]
+            n_nonempty = int(ne["n"].sum())
+            if n_nonempty == 0:
+                rows.append((c, "empty", 0, n_empty, None))
+                continue
+            ne = ne.sort_values(["n", "cls"],
+                                ascending=[False, True])
+            top_cls = ne.iloc[0]["cls"]
+            top_n = int(ne.iloc[0]["n"])
+            share = top_n / n_nonempty
+            inferred = top_cls if share >= dominant_share else "mixed"
+            rows.append((c, inferred, n_nonempty, n_empty,
+                         round(share, 6)))
+        return pa.table({
+            "col": pa.array([r[0] for r in rows], pa.string()),
+            "inferred_type": pa.array([r[1] for r in rows], pa.string()),
+            "n_nonempty": pa.array([r[2] for r in rows], pa.int64()),
+            "n_empty": pa.array([r[3] for r in rows], pa.int64()),
+            "share": pa.array([r[4] for r in rows], pa.float64()),
+        })
+
+    out = (ds.map_batches(classify, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby(_B).map_groups(finish, batch_format="pyarrow")
+           .to_pandas().sort_values("col").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
