@@ -12782,3 +12782,199 @@ ORACLES["column_types"] = (
     " LEFT JOIN (SELECT * FROM ranked WHERE rk = 1) tp USING (col)"
     " ORDER BY e.col"
 )
+
+
+def q_table_to_triples(sf_dir: str):
+    """R2RML-lite direct mapping composed with semantic type inference
+    (structured.infer_column_types → structured.table_to_triples): a
+    wide string table derived from orders (an int column, a date
+    column, a synthetic float column, a status string, a dirty int
+    column with 20% 'n/a', an all-blank column) is typed by inference,
+    then mapped to (subj, pred, obj, obj_kind) triples — dirty values
+    degrade to string per row, blanks emit nothing. The twin replays
+    the mapping with the kinds inference MUST produce, so a drifting
+    inference breaks the hash."""
+    from ..stages.structured import infer_column_types, table_to_triples
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderstatus"])
+
+    def widen(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey")
+        kn = k.to_numpy(zero_copy_only=False)
+        c = pc.cast(b.column("o_custkey"), pa.string())
+        return pa.table({
+            "pk": k,
+            "cust_s": c,
+            "date_s": pc.strftime(b.column("o_orderdate"), "%Y-%m-%d"),
+            "price_s": pc.binary_join_element_wise(c, ".5", ""),
+            "status": b.column("o_orderstatus"),
+            "dirty": pc.if_else(
+                pa.array(kn % 5 == 0), "n/a", c),
+            "blank": pc.if_else(
+                pa.array(kn % 2 == 0),
+                "", pa.scalar(None, pa.string())),
+        })
+
+    wide = orders.map_batches(widen, batch_format="pyarrow")
+    vcols = ["cust_s", "date_s", "price_s", "status", "dirty", "blank"]
+
+    def to_cells(b: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in vcols:
+            v = b.column(c)
+            names.append(pa.array([c] * len(v), pa.string()))
+            vals.append(pc.cast(v, pa.string()))
+        return pa.table({"col_name": pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+             else a for a in names]),
+            "value": pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray)
+                 else a for a in vals])})
+
+    types = infer_column_types(
+        wide.map_batches(to_cells, batch_format="pyarrow"), nb=8)
+    tmap = {r["col"]: r["inferred_type"] for r in types.to_pylist()}
+    out = table_to_triples(wide, "pk", vcols, type_map=tmap,
+                           pred_prefix="ex:")
+    df = out.to_pandas().sort_values(
+        ["pred", "subj", "obj"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["table_to_triples"] = q_table_to_triples
+
+ORACLES["table_to_triples"] = (
+    "WITH w AS (SELECT o_orderkey AS pk,"
+    "  CAST(o_custkey AS VARCHAR) AS cust_s,"
+    "  strftime(o_orderdate, '%Y-%m-%d') AS date_s,"
+    "  CAST(o_custkey AS VARCHAR) || '.5' AS price_s,"
+    "  o_orderstatus AS status,"
+    "  CASE WHEN o_orderkey % 5 = 0 THEN 'n/a'"
+    "   ELSE CAST(o_custkey AS VARCHAR) END AS dirty"
+    "  FROM orders)"
+    " SELECT CAST(pk AS VARCHAR) AS subj, 'ex:cust_s' AS pred,"
+    "  cust_s AS obj, 'int' AS obj_kind FROM w"
+    " UNION ALL SELECT CAST(pk AS VARCHAR), 'ex:date_s', date_s,"
+    "  'date' FROM w"
+    " UNION ALL SELECT CAST(pk AS VARCHAR), 'ex:price_s', price_s,"
+    "  'float' FROM w"
+    " UNION ALL SELECT CAST(pk AS VARCHAR), 'ex:status', status,"
+    "  'string' FROM w"
+    " UNION ALL SELECT CAST(pk AS VARCHAR), 'ex:dirty', dirty,"
+    "  CASE WHEN dirty = 'n/a' THEN 'string' ELSE 'int' END FROM w"
+    " ORDER BY 2, 1, 3"
+)
+
+
+def q_schema_match(sf_dir: str):
+    """One-pass all-pairs schema matching (profile.inclusion_matrix):
+    containment of every customer key column in every orders key
+    column — 4 pairs from ONE value shuffle. c_custkey→o_custkey is
+    the true FK direction but <1.0 here (customers without orders);
+    nationkey vs orderkey overlaps only on small ints. Twin: per-pair
+    distinct/IN-semijoin subselects."""
+    from ..stages.profile import inclusion_matrix
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_custkey", "o_orderkey"])
+    return inclusion_matrix(cust, ["c_custkey", "c_nationkey"],
+                            orders, ["o_custkey", "o_orderkey"],
+                            nb=16)
+
+
+QUERIES["schema_match"] = q_schema_match
+
+
+def _sm_block(lc: str, lt: str, rc: str, rt: str) -> str:
+    return (
+        f"SELECT '{lc}' AS l_col, '{rc}' AS r_col,"
+        f" (SELECT count(DISTINCT {lc}) FROM {lt}) AS n_left,"
+        f" (SELECT count(DISTINCT {rc}) FROM {rt}) AS n_right,"
+        f" (SELECT count(DISTINCT {lc}) FROM {lt}"
+        f"  WHERE {lc} IN (SELECT {rc} FROM {rt})) AS n_overlap"
+    )
+
+
+ORACLES["schema_match"] = (
+    "SELECT l_col, r_col, n_left, n_right, n_overlap,"
+    " round(n_overlap * 1.0 / n_left, 6) AS containment FROM ("
+    + _sm_block("c_custkey", "customer", "o_custkey", "orders")
+    + " UNION ALL "
+    + _sm_block("c_custkey", "customer", "o_orderkey", "orders")
+    + " UNION ALL "
+    + _sm_block("c_nationkey", "customer", "o_custkey", "orders")
+    + " UNION ALL "
+    + _sm_block("c_nationkey", "customer", "o_orderkey", "orders")
+    + ") ORDER BY l_col, r_col"
+)
+
+
+def q_ref_integrity(sf_dir: str):
+    """Per-predicate dangling-edge census (graph.referential_integrity)
+    over a three-predicate KG built from orders/customer/nation:
+    hasCustomer edges dangle where the customer node was withheld
+    (custkey % 3 == 0), inNation edges fully resolve, inRegion edges
+    are 100% dangling (no region nodes). Twin: the same triple union
+    + NOT EXISTS census in SQL."""
+    from ..stages.graph import referential_integrity
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+
+    def _t(prefix_s, key_s, pred, prefix_o, key_o):
+        def f(b: pa.Table) -> pa.Table:
+            s = pc.binary_join_element_wise(
+                prefix_s, pc.cast(b.column(key_s), pa.string()), "")
+            o = pc.binary_join_element_wise(
+                prefix_o, pc.cast(b.column(key_o), pa.string()), "")
+            return pa.table({
+                "subj": s,
+                "pred": pa.array([pred] * len(s), pa.string()),
+                "obj": o,
+            })
+        return f
+
+    t1 = orders.map_batches(_t("o", "o_orderkey", "hasCustomer",
+                               "c", "o_custkey"),
+                            batch_format="pyarrow")
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(pa.array(
+            b.column("c_custkey").to_numpy(zero_copy_only=False)
+            % 3 != 0))
+
+    kept = cust.map_batches(keep, batch_format="pyarrow") \
+        .map_batches(_t("c", "c_custkey", "inNation", "n",
+                        "c_nationkey"), batch_format="pyarrow")
+    t3 = nation.map_batches(_t("n", "n_nationkey", "inRegion",
+                               "r", "n_regionkey"),
+                            batch_format="pyarrow")
+    return referential_integrity(t1.union(kept).union(t3), nb=16)
+
+
+QUERIES["ref_integrity"] = q_ref_integrity
+
+ORACLES["ref_integrity"] = (
+    "WITH t AS ("
+    " SELECT 'o' || o_orderkey AS subj, 'hasCustomer' AS pred,"
+    "  'c' || o_custkey AS obj FROM orders"
+    " UNION ALL SELECT 'c' || c_custkey, 'inNation',"
+    "  'n' || c_nationkey FROM customer WHERE c_custkey % 3 <> 0"
+    " UNION ALL SELECT 'n' || n_nationkey, 'inRegion',"
+    "  'r' || n_regionkey FROM nation)"
+    " SELECT pred, count(*) AS n_edges,"
+    "  count(*) FILTER (NOT EXISTS (SELECT 1 FROM t s"
+    "   WHERE s.subj = t.obj)) AS n_dangling,"
+    "  round(count(*) FILTER (NOT EXISTS (SELECT 1 FROM t s"
+    "   WHERE s.subj = t.obj)) * 1.0 / count(*), 6)"
+    "   AS dangling_ratio"
+    " FROM t GROUP BY pred ORDER BY pred"
+)

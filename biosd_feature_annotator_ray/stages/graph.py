@@ -5938,3 +5938,71 @@ def span_agreement(
         "precision": pa.array([round(precision, 6)], pa.float64()),
         "recall": pa.array([round(recall, 6)], pa.float64()),
         "f1": pa.array([round(f1, 6)], pa.float64())})
+
+
+def referential_integrity(
+    triples: "ray.data.Dataset",
+    s_col: str = "subj",
+    p_col: str = "pred",
+    o_col: str = "obj",
+    nb: int = 32,
+) -> pa.Table:
+    """Per-predicate dangling-edge census — the KG referential-
+    integrity check run before publishing a constructed graph: an
+    object value is DANGLING when it never appears as any subject
+    (the triple points at a node the graph does not describe).
+    Returns ``(pred, n_edges, n_dangling, dangling_ratio)``, one row
+    per predicate, sorted.
+
+    Scale shape: subjects reduce to distinct map-side then through the
+    bucketed exact dedup (distinct node ids travel, never triples);
+    the dangling test is ONE bucketed anti-join of the (pred, obj)
+    projection against that node set; both censuses are map-side
+    pre-aggregated counts. No driver-side row loops; the driver sees
+    only per-predicate counters.
+    """
+    import pandas as pd
+
+    from .canonicalize import dedup_exact
+    from .join import shuffle_hash_join
+
+    nodes = dedup_exact(
+        triples.select_columns([s_col]).map_batches(
+            lambda b: pa.table({o_col: pc.unique(
+                b.column(s_col).combine_chunks()
+                if isinstance(b.column(s_col), pa.ChunkedArray)
+                else b.column(s_col)).drop_null()}),
+            batch_format="pyarrow", batch_size=65536),
+        [o_col], nb=nb)
+
+    edges = triples.select_columns([p_col, o_col])
+    dangling = shuffle_hash_join(edges, nodes, [o_col], how="anti",
+                                 nb=nb)
+
+    def census(batch: pa.Table, value_name: str) -> pa.Table:
+        g = (pa.table({p_col: batch.column(p_col),
+                       "n": pa.array(
+                           np.ones(batch.num_rows, np.int64))})
+             .group_by([p_col]).aggregate([("n", "sum")])
+             .rename_columns([p_col, value_name]))
+        return g
+
+    def _agg(ds: "ray.data.Dataset", value_name: str) -> "pd.DataFrame":
+        parts = ds.map_batches(
+            lambda b, _v=value_name: census(b, _v),
+            batch_format="pyarrow", batch_size=65536).to_pandas()
+        if parts.empty:
+            return pd.DataFrame({p_col: [], value_name: []})
+        return parts.groupby(p_col, as_index=False)[value_name].sum()
+
+    total = _agg(edges, "n_edges")
+    bad = _agg(dangling, "n_dangling")
+    out = total.merge(bad, on=p_col, how="left")
+    out["n_dangling"] = out["n_dangling"].fillna(0).astype("int64")
+    out["n_edges"] = out["n_edges"].astype("int64")
+    out["dangling_ratio"] = (out["n_dangling"] / out["n_edges"]).round(6)
+    out = (out.rename(columns={p_col: "pred"})
+           .sort_values("pred").reset_index(drop=True))
+    return pa.Table.from_pandas(
+        out[["pred", "n_edges", "n_dangling", "dangling_ratio"]],
+        preserve_index=False)

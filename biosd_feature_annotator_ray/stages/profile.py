@@ -254,3 +254,114 @@ def candidate_keys(
         })
     out = pd.DataFrame(rows).sort_values("cols").reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def inclusion_matrix(
+    l_ds: "object", l_cols: "list[str]",
+    r_ds: "object", r_cols: "list[str]",
+    nb: int = 64,
+) -> pa.Table:
+    """All-pairs inclusion-dependency matrix — schema matching between
+    two extracted tables in ONE shuffle instead of |L|×|R| calls to
+    :func:`inclusion_profile`. For every (left column, right column)
+    pair: distinct counts, overlap, containment.
+
+    Scale shape: each batch emits per-column DISTINCT values tagged
+    with a single-bit column mask (≤ 63 columns per side; values
+    compared by Arrow cast-to-string, nulls dropped). ONE bucket
+    shuffle on the value; each bucket ORs the masks per value
+    (numpy ``bitwise_or.reduceat`` over the sorted run), builds the
+    presence bit-matrices and computes ALL pairwise overlaps as one
+    integer matmul (``L.T @ R``) — emitting |L|×|R|+|L|+|R| partial
+    counter rows, never values. The driver sums ``nb`` tiny partials.
+    """
+    import pyarrow.compute as pc
+
+    from .canonicalize import _add_bucket, _B
+
+    if len(l_cols) > 63 or len(r_cols) > 63:
+        raise ValueError("inclusion_matrix supports at most 63 columns per side")
+    nl, nr = len(l_cols), len(r_cols)
+
+    def _prep(cols: "list[str]", side: int):
+        def f(batch: pa.Table) -> pa.Table:
+            vs, lm, rm = [], [], []
+            for i, c in enumerate(cols):
+                v = pc.cast(batch.column(c), pa.string())
+                u = pc.unique(v.combine_chunks()
+                              if isinstance(v, pa.ChunkedArray) else v)
+                u = u.drop_null()
+                vs.append(u)
+                bit = np.uint64(1) << np.uint64(i)
+                m = np.full(len(u), bit if side == 0 else 0, np.uint64)
+                o = np.full(len(u), bit if side == 1 else 0, np.uint64)
+                lm.append(m)
+                rm.append(o)
+            t = pa.table({
+                "v": pa.concat_arrays(vs) if vs else pa.array([], pa.string()),
+                "lmask": pa.array(np.concatenate(lm) if lm else
+                                  np.array([], np.uint64), pa.uint64()),
+                "rmask": pa.array(np.concatenate(rm) if rm else
+                                  np.array([], np.uint64), pa.uint64()),
+            })
+            return _add_bucket(t, ["v"], nb)
+        return f
+
+    both = (l_ds.map_batches(_prep(l_cols, 0), batch_format="pyarrow",
+                             batch_size=65536)
+            .union(r_ds.map_batches(_prep(r_cols, 1),
+                                    batch_format="pyarrow",
+                                    batch_size=65536)))
+
+    def finish(g: pa.Table) -> pa.Table:
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        lmask = g.column("lmask").to_numpy(zero_copy_only=False)
+        rmask = g.column("rmask").to_numpy(zero_copy_only=False)
+        order = np.argsort(v, kind="stable")
+        v = v[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], v[1:] != v[:-1])))
+        lm = np.bitwise_or.reduceat(lmask[order], starts)
+        rm = np.bitwise_or.reduceat(rmask[order], starts)
+        lmat = ((lm[:, None] >> np.arange(nl, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)
+        rmat = ((rm[:, None] >> np.arange(nr, dtype=np.uint64)) &
+                np.uint64(1)).astype(np.int64)
+        overlap = lmat.T @ rmat                      # nl × nr
+        ii, jj = np.meshgrid(np.arange(nl), np.arange(nr),
+                             indexing="ij")
+        rows_i = np.concatenate([ii.ravel(), np.arange(nl),
+                                 np.full(nr, -1)])
+        rows_j = np.concatenate([jj.ravel(), np.full(nl, -1),
+                                 np.arange(nr)])
+        rows_n = np.concatenate([overlap.ravel(), lmat.sum(0),
+                                 rmat.sum(0)])
+        return pa.table({
+            "i": pa.array(rows_i, pa.int64()),
+            "j": pa.array(rows_j, pa.int64()),
+            "n": pa.array(rows_n, pa.int64()),
+        })
+
+    parts = (both.groupby(_B).map_groups(finish, batch_format="pyarrow")
+             .to_pandas())
+    agg = parts.groupby(["i", "j"], as_index=False)["n"].sum()
+    n_l = {int(r.i): int(r.n) for r in
+           agg[(agg.j == -1) & (agg.i >= 0)].itertuples()}
+    n_r = {int(r.j): int(r.n) for r in
+           agg[(agg.i == -1) & (agg.j >= 0)].itertuples()}
+    ov = {(int(r.i), int(r.j)): int(r.n) for r in
+          agg[(agg.i >= 0) & (agg.j >= 0)].itertuples()}
+    out = []
+    for i, lc in enumerate(l_cols):
+        for j, rc in enumerate(r_cols):
+            a = n_l.get(i, 0)
+            o = ov.get((i, j), 0)
+            out.append({
+                "l_col": lc, "r_col": rc,
+                "n_left": a, "n_right": n_r.get(j, 0),
+                "n_overlap": o,
+                "containment": round(o / a, 6) if a else None,
+            })
+    df = (pd.DataFrame(out).sort_values(["l_col", "r_col"])
+          .reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)

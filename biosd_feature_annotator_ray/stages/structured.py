@@ -509,3 +509,69 @@ def infer_column_types(
            .groupby(_B).map_groups(finish, batch_format="pyarrow")
            .to_pandas().sort_values("col").reset_index(drop=True))
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def table_to_triples(
+    ds: "object",
+    subject_col: str,
+    value_cols: "list[str]",
+    type_map: "dict[str, str] | None" = None,
+    pred_prefix: str = "",
+) -> "object":
+    """R2RML-lite direct mapping: turn a WIDE extracted-web-table
+    relation into typed KG triples ``(subj, pred, obj, obj_kind)`` —
+    the step after :func:`infer_column_types` decides what each column
+    holds. One triple per (row, value column); the predicate is the
+    column name (optionally prefixed with a vocabulary namespace).
+
+    Typing contract (replayable in SQL): ``obj_kind`` is the column's
+    inferred type from ``type_map`` — but only for values that
+    actually MATCH that type's regex (:data:`COLUMN_TYPE_CLASSES`);
+    a non-conforming non-empty value ("n/a" in a float column)
+    degrades to ``string`` for that row, so a numeric predicate never
+    carries an unparseable lexical form. Columns typed ``string`` /
+    ``mixed`` (or absent from the map) emit ``string``. Null or
+    whitespace-only cells emit NO triple (SQL direct mapping drops
+    NULLs). Subjects are the Arrow cast-to-string of ``subject_col``.
+
+    Scale shape: pure row-local expansion inside one ``map_batches``
+    (one vectorized regex + filter per column), no shuffle, no driver
+    state; ``type_map`` is a tiny per-column dict captured in the
+    closure (broadcast once with the function, never per batch).
+    """
+    tmap = dict(type_map or {})
+    class_re = dict(COLUMN_TYPE_CLASSES)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        subj = pc.cast(batch.column(subject_col), pa.string())
+        outs = []
+        for c in value_cols:
+            v = batch.column(c)
+            if not pa.types.is_string(v.type) and not pa.types.is_large_string(v.type):
+                v = pc.cast(v, pa.string())
+            nonempty = pc.and_(
+                pc.is_valid(v),
+                pc.invert(pc.match_substring_regex(
+                    pc.fill_null(v, ""), r"^\s*$")))
+            kind_name = tmap.get(c, "string")
+            pat = class_re.get(kind_name)
+            if pat is None:
+                kind = pa.array(
+                    np.full(len(v), "string", object), pa.string())
+            else:
+                conform = pc.match_substring_regex(
+                    pc.fill_null(v, ""), pat)
+                kind = pc.if_else(conform, kind_name, "string")
+            t = pa.table({
+                "subj": subj,
+                "pred": pa.array(
+                    np.full(len(v), pred_prefix + c, object),
+                    pa.string()),
+                "obj": pc.cast(v, pa.string()),
+                "obj_kind": kind,
+            })
+            outs.append(t.filter(nonempty))
+        return pa.concat_tables(outs)
+
+    return ds.map_batches(expand, batch_format="pyarrow",
+                          batch_size=65536)
