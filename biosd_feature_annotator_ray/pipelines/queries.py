@@ -12978,3 +12978,338 @@ ORACLES["ref_integrity"] = (
     "   AS dangling_ratio"
     " FROM t GROUP BY pred ORDER BY pred"
 )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 thirteenth sitting: statistics / set-sketch / KG-inference wave
+
+
+def q_contingency_events(sf_dir: str):
+    """Chi-square independence + Cramér's V + mutual information
+    (sketches.contingency_stats) between event_type and a
+    deterministic user bucket (user_id % 5) — the column-dependency
+    profiler. Fully oracled (closed-form Σ o²/e − n census twin; zero
+    cells never enumerated on either side)."""
+    from ..stages.sketches import contingency_stats
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+
+    def two(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "a": t.column("event_type"),
+            "b": pa.array((u % 5).astype(np.int64))})
+
+    return contingency_stats(
+        ev.map_batches(two, batch_format="pyarrow"), "a", "b", nb=4)
+
+
+QUERIES["contingency_events"] = q_contingency_events
+
+ORACLES["contingency_events"] = (
+    "WITH p AS (SELECT event_type AS a,"
+    "   CAST(user_id % 5 AS VARCHAR) AS b FROM events"
+    "  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),"
+    " cen AS (SELECT a, b, count(*) * 1.0 AS o FROM p GROUP BY a, b),"
+    " ra AS (SELECT a, sum(o) AS c FROM cen GROUP BY a),"
+    " cb AS (SELECT b, sum(o) AS c FROM cen GROUP BY b),"
+    " nn AS (SELECT sum(o) AS n FROM cen),"
+    " dims AS (SELECT (SELECT count(*) FROM ra) AS r,"
+    "   (SELECT count(*) FROM cb) AS c),"
+    " s AS (SELECT sum(cen.o * cen.o * nn.n / (ra.c * cb.c)) AS chi2n,"
+    "   sum((cen.o / nn.n) * ln(cen.o * nn.n / (ra.c * cb.c))) AS mi"
+    "  FROM cen JOIN ra ON cen.a = ra.a JOIN cb ON cen.b = cb.b, nn)"
+    " SELECT CAST(nn.n AS BIGINT) AS n, dims.r, dims.c,"
+    "  (dims.r - 1) * (dims.c - 1) AS dof,"
+    "  round(s.chi2n - nn.n, 6) AS chi2,"
+    "  round(sqrt(greatest(s.chi2n - nn.n, 0)"
+    "   / (nn.n * least(dims.r - 1, dims.c - 1))), 6) AS cramers_v,"
+    "  round(s.mi, 6) AS mi"
+    " FROM s, nn, dims"
+)
+
+
+def q_welch_orders(sf_dir: str):
+    """Welch's unequal-variance t-test (sketches.welch_ttest) on
+    o_totalprice between '1-URGENT' and '5-LOW' orders — the A/B
+    readout from per-group sufficient statistics. Fully oracled
+    (same ddof=1 / Welch–Satterthwaite arithmetic replayed over SQL
+    sums; 4 dp absorbs sum-order float noise)."""
+    from ..stages.sketches import welch_ttest
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_totalprice"])
+    return welch_ttest(o, "o_orderpriority", "o_totalprice",
+                       "1-URGENT", "5-LOW")
+
+
+QUERIES["welch_orders"] = q_welch_orders
+
+ORACLES["welch_orders"] = (
+    "WITH s AS (SELECT o_orderpriority AS g, count(o_totalprice) AS n,"
+    "   sum(o_totalprice) AS sx,"
+    "   sum(o_totalprice * o_totalprice) AS sxx"
+    "  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    "  GROUP BY o_orderpriority),"
+    " a AS (SELECT n, sx / n AS m,"
+    "   greatest(sxx - sx * sx / n, 0) / (n - 1) AS v FROM s"
+    "  WHERE g = '1-URGENT'),"
+    " b AS (SELECT n, sx / n AS m,"
+    "   greatest(sxx - sx * sx / n, 0) / (n - 1) AS v FROM s"
+    "  WHERE g = '5-LOW')"
+    " SELECT a.n AS n_a, b.n AS n_b,"
+    "  round(a.m, 4) AS mean_a, round(b.m, 4) AS mean_b,"
+    "  round(a.v, 4) AS var_a, round(b.v, 4) AS var_b,"
+    "  round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat,"
+    "  round(pow(a.v / a.n + b.v / b.n, 2)"
+    "   / (pow(a.v / a.n, 2) / (a.n - 1)"
+    "      + pow(b.v / b.n, 2) / (b.n - 1)), 4) AS df"
+    " FROM a, b"
+)
+
+
+def q_diversity_sources(sf_dir: str):
+    """Per-language source diversity (sketches.diversity_per_key):
+    Shannon entropy + Simpson concentration of the source mix within
+    each lang — the corpus-balance profiler. Fully oracled (census +
+    p·ln p twin)."""
+    from ..stages.sketches import diversity_per_key
+
+    return diversity_per_key(
+        _docs(sf_dir, ["lang", "source"]), "lang", "source", nb=4)
+
+
+QUERIES["diversity_sources"] = q_diversity_sources
+
+ORACLES["diversity_sources"] = (
+    "WITH cen AS (SELECT lang, source, count(*) * 1.0 AS n"
+    "  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL"
+    "  GROUP BY lang, source),"
+    " tot AS (SELECT lang, sum(n) AS t FROM cen GROUP BY lang)"
+    " SELECT cen.lang, CAST(sum(cen.n) AS BIGINT) AS n,"
+    "  count(*) AS k_distinct,"
+    "  round(sum(-(cen.n / tot.t) * ln(cen.n / tot.t)), 6) AS shannon,"
+    "  round(sum((cen.n / tot.t) * (cen.n / tot.t)), 6) AS simpson"
+    " FROM cen JOIN tot ON cen.lang = tot.lang"
+    " GROUP BY cen.lang"
+)
+
+
+def q_kmv_users(sf_dir: str):
+    """KMV bottom-k distinct sketches with set operations
+    (sketches.kmv_setops): estimated distinct users for 'view' vs
+    'purchase' events plus union/intersection estimates, k=64 —
+    mergeable cardinality sketches without a distinct shuffle. Fully
+    oracled: the md5 bottom-k draw and the (k−1)/h_k estimator are
+    replayed exactly in SQL (same md5_u32 convention as train_split)."""
+    from ..stages.sketches import kmv_setops
+
+    return kmv_setops(_events(sf_dir, ["event_type", "user_id"]),
+                      "event_type", "user_id", "view", "purchase",
+                      k=64, nb=4)
+
+
+QUERIES["kmv_users"] = q_kmv_users
+
+ORACLES["kmv_users"] = (
+    "WITH h AS (SELECT DISTINCT event_type AS g,"
+    "   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+    "    AS UBIGINT) AS h"
+    "  FROM events WHERE event_type IN ('view', 'purchase')"
+    "   AND user_id IS NOT NULL),"
+    " ka AS (SELECT h FROM h WHERE g = 'view' ORDER BY h LIMIT 64),"
+    " kb AS (SELECT h FROM h WHERE g = 'purchase'"
+    "  ORDER BY h LIMIT 64),"
+    " ku AS (SELECT DISTINCT h FROM h ORDER BY h LIMIT 64),"
+    " ea AS (SELECT CASE WHEN count(*) < 64 THEN count(*) * 1.0"
+    "   ELSE 63.0 / (max(h) / 4294967296.0) END AS e FROM ka),"
+    " eb AS (SELECT CASE WHEN count(*) < 64 THEN count(*) * 1.0"
+    "   ELSE 63.0 / (max(h) / 4294967296.0) END AS e FROM kb),"
+    " eu AS (SELECT CASE WHEN count(*) < 64 THEN count(*) * 1.0"
+    "   ELSE 63.0 / (max(h) / 4294967296.0) END AS e FROM ku)"
+    " SELECT round(ea.e, 4) AS est_a, round(eb.e, 4) AS est_b,"
+    "  round(eu.e, 4) AS est_union,"
+    "  round(greatest(ea.e + eb.e - eu.e, 0), 4) AS est_intersect"
+    " FROM ea, eb, eu"
+)
+
+
+def q_rolling_median_events(sf_dir: str):
+    """Trailing 5-row median per user (windows.rolling_median_per_key)
+    over event values — the robust smoother. Fully oracled (DuckDB
+    windowed median over ROWS 4 PRECEDING; null-skipping frames and
+    even-count interpolation match np.nanmedian)."""
+    from ..stages.windows import rolling_median_per_key
+
+    out = rolling_median_per_key(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        key_col="user_id", value_col="value",
+        order_cols=["ts", "event_id"], window=5, nb=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "mov_median": pc.round(t.column("mov_median"), 6)})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["rolling_median_events"] = q_rolling_median_events
+
+ORACLES["rolling_median_events"] = (
+    "SELECT event_id, user_id,"
+    "  round(median(value) OVER (PARTITION BY user_id"
+    "   ORDER BY ts, event_id"
+    "   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS mov_median"
+    " FROM events"
+)
+
+
+def q_acf_events(sf_dir: str):
+    """Per-user autocorrelation at lags 1–2 (windows.acf_per_key) of
+    event values in time order — the periodicity profiler for crawl
+    scheduling. Fully oracled (corr(v, lag(v, ℓ)) window twin per
+    lag; 4 dp absorbs sufficient-stat float noise)."""
+    from ..stages.windows import acf_per_key
+
+    return acf_per_key(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        key_col="user_id", value_col="value",
+        order_cols=["ts", "event_id"], max_lag=2, nb=4)
+
+
+QUERIES["acf_events"] = q_acf_events
+
+ORACLES["acf_events"] = (
+    "WITH l AS (SELECT user_id, value,"
+    "   lag(value, 1) OVER (PARTITION BY user_id"
+    "    ORDER BY ts, event_id) AS l1,"
+    "   lag(value, 2) OVER (PARTITION BY user_id"
+    "    ORDER BY ts, event_id) AS l2"
+    "  FROM events)"
+    " SELECT user_id, 1 AS lag,"
+    "  count(*) FILTER (value IS NOT NULL AND l1 IS NOT NULL)"
+    "   AS n_pairs,"
+    "  round(corr(value, l1), 4) AS acf FROM l GROUP BY user_id"
+    " UNION ALL"
+    " SELECT user_id, 2 AS lag,"
+    "  count(*) FILTER (value IS NOT NULL AND l2 IS NOT NULL)"
+    "   AS n_pairs,"
+    "  round(corr(value, l2), 4) AS acf FROM l GROUP BY user_id"
+)
+
+
+def q_gini_priority(sf_dir: str):
+    """Gini concentration of order value per priority class — the
+    spend-inequality / domain-concentration profiler, composed from
+    rank_per_key (deterministic within-group ranks by (price, key))
+    + one sufficient-statistics reduce:
+
+        G = 2·Σ rn·x / (n·Σx) − (n + 1)/n
+
+    Fully oracled (row_number twin with the identical tie order)."""
+    from ..stages.windows import rank_per_key
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_orderpriority",
+                                 "o_totalprice"])
+    rn = rank_per_key(o, key_col="o_orderpriority",
+                      order_cols=["o_totalprice", "o_orderkey"],
+                      ascending=[True, True], out="rn", nb=4)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        r = t.column("rn").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "g": t.column("o_orderpriority"),
+            "n": pa.array(np.ones(len(x), np.float64)),
+            "sx": pa.array(x.astype(np.float64)),
+            "srx": pa.array(r.astype(np.float64) * x)})
+
+    st = (rn.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby("g")
+          .aggregate(*[Sum(c, alias_name=c)
+                       for c in ("n", "sx", "srx")]))
+
+    def fin(t: pa.Table) -> pa.Table:
+        n = t.column("n").to_numpy(zero_copy_only=False)
+        sx = t.column("sx").to_numpy(zero_copy_only=False)
+        srx = t.column("srx").to_numpy(zero_copy_only=False)
+        g = 2.0 * srx / (n * sx) - (n + 1.0) / n
+        return pa.table({
+            "o_orderpriority": t.column("g"),
+            "n": pa.array(n.astype(np.int64)),
+            "gini": pa.array(np.round(g, 6), pa.float64())})
+
+    return st.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["gini_priority"] = q_gini_priority
+
+ORACLES["gini_priority"] = (
+    "WITH r AS (SELECT o_orderpriority AS g, o_totalprice AS x,"
+    "   row_number() OVER (PARTITION BY o_orderpriority"
+    "    ORDER BY o_totalprice, o_orderkey) AS rn FROM orders)"
+    " SELECT g AS o_orderpriority, count(*) AS n,"
+    "  round(2.0 * sum(rn * x) / (count(*) * sum(x))"
+    "   - (count(*) + 1.0) / count(*), 6) AS gini"
+    " FROM r GROUP BY g"
+)
+
+
+def q_ifp_sameas(sf_dir: str):
+    """Inverse-functional-property sameAs inference — the classic KG
+    identity-resolution rule (two subjects sharing the object of an
+    inverse-functional predicate are the same entity): over the
+    events-as-triples view (subj=user, pred=event_type, obj=props.k),
+    'signup' is declared IFP; every subject in a shared (pred, obj)
+    group maps to the group's min subject as canonical. Composed
+    entirely from existing primitives: distinct census (sum_by_key)
+    → per-(p,o) min via groupby_argmax → hash join back → filter.
+    Fully oracled (min-over-group window twin)."""
+    from ..stages.canonicalize import sum_by_key
+    from ..stages.join import shuffle_hash_join
+
+    ev = _events(sf_dir, ["user_id", "event_type", "props"])
+
+    def triples(t: pa.Table) -> pa.Table:
+        ext = pc.extract_regex(t.column("props"), r'"k": (?P<k>\d+)')
+        k = pc.cast(pc.struct_field(ext, "k"), pa.int64())
+        keep = pc.and_(pc.equal(t.column("event_type"), "signup"),
+                       pc.is_valid(k))
+        out = pa.table({"s": t.column("user_id"), "o": k})
+        out = out.filter(pc.fill_null(keep, False))
+        return out.append_column(
+            "one", pa.array(np.ones(out.num_rows, np.int64)))
+
+    dis = sum_by_key(ev.map_batches(triples, batch_format="pyarrow"),
+                     ["s", "o"], "one", nb=4).select_columns(["s", "o"])
+    mins = groupby_argmax(dis, ["o"], ["s"], [True], nb=4) \
+        .map_batches(lambda t: pa.table({
+            "o": t.column("o"), "canon": t.column("s")}),
+            batch_format="pyarrow")
+    joined = shuffle_hash_join(dis, mins, on=["o"], how="inner", nb=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t.column("s"), t.column("canon")))
+        return pa.table({"s": t.column("s"),
+                         "canon": t.column("canon"),
+                         "o_k": t.column("o")})
+
+    return joined.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["ifp_sameas"] = q_ifp_sameas
+
+ORACLES["ifp_sameas"] = (
+    "WITH tr AS (SELECT DISTINCT user_id AS s,"
+    "   CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)"
+    "    AS o"
+    "  FROM events WHERE event_type = 'signup'"
+    "   AND regexp_extract(props, '\"k\": (\\d+)', 1) <> ''),"
+    " m AS (SELECT o, min(s) AS canon FROM tr GROUP BY o)"
+    " SELECT tr.s, m.canon, tr.o AS o_k"
+    " FROM tr JOIN m ON tr.o = m.o WHERE tr.s <> m.canon"
+)

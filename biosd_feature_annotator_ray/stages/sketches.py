@@ -1870,3 +1870,317 @@ def label_prf(
         "precision": pa.array(out["precision"], pa.float64()),
         "recall": pa.array(out["recall"], pa.float64()),
         "f1": pa.array(out["f1"], pa.float64())})
+
+
+def contingency_stats(
+    ds: "ray.data.Dataset",
+    col_a: str,
+    col_b: str,
+    nb: int = 16,
+    max_cells: int = 100_000,
+    round_to: int = 6,
+) -> "pa.Table":
+    """Chi-square test of independence + effect sizes between two
+    categorical columns — the column-dependency profiler for schema
+    discovery and annotation QA (is ``lang`` independent of
+    ``source``? does annotator label depend on document domain?):
+
+        chi2      = Σ_cells (o - e)² / e   with e = row_m · col_m / n
+        cramers_v = sqrt(chi2 / (n · min(r-1, c-1)))
+        mi        = Σ_cells p(a,b) · ln(p(a,b) / (p(a)p(b)))  [nats]
+
+    Rows with a null on either side are excluded (no observation).
+    Scale shape: ONE composite-key ``sum_by_key`` builds the (a, b)
+    contingency census (map-side pre-combined — the shuffle carries at
+    most |A|x|B| rows per block); only the census, bounded by
+    ``max_cells``, is collected. Zero-observed cells contribute
+    ``e`` to chi2; the closed form Σ o²/e − n needs only observed
+    cells, and they contribute 0 to mi — so the full cross product is
+    never enumerated. Returns ONE row ``(n, r, c, dof, chi2,
+    cramers_v, mi)``; chi2/v/mi are null for degenerate tables
+    (r < 2 or c < 2).
+    """
+    from .canonicalize import sum_by_key
+
+    def census(t: pa.Table) -> pa.Table:
+        a, b = t.column(col_a), t.column(col_b)
+        ok = pc.and_(pc.is_valid(a), pc.is_valid(b))
+        t = pa.table({"a": pc.cast(a, pa.string()),
+                      "b": pc.cast(b, pa.string())}).filter(ok)
+        return t.append_column(
+            "n", pa.array(np.ones(t.num_rows, np.int64)))
+
+    cen = sum_by_key(ds.map_batches(census, batch_format="pyarrow"),
+                     ["a", "b"], "n", nb=nb)
+    rows = []
+    for b in cen.iter_batches(batch_format="pyarrow"):
+        rows.append(pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b)
+        if sum(r.num_rows for r in rows) > max_cells:
+            raise ValueError(
+                f"contingency census exceeds max_cells={max_cells} — "
+                "contingency_stats is for bounded category vocabularies")
+
+    def one(n, r, c, dof, chi2, v, mi):
+        rnd = (lambda x: None if x is None
+               else round(float(x), round_to))
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "r": pa.array([r], pa.int64()),
+            "c": pa.array([c], pa.int64()),
+            "dof": pa.array([dof], pa.int64()),
+            "chi2": pa.array([rnd(chi2)], pa.float64()),
+            "cramers_v": pa.array([rnd(v)], pa.float64()),
+            "mi": pa.array([rnd(mi)], pa.float64())})
+
+    if not rows:
+        return one(0, 0, 0, 0, None, None, None)
+    df = pa.concat_tables(rows).to_pandas()
+    n = int(df["n"].sum())
+    row_m = df.groupby("a")["n"].sum()
+    col_m = df.groupby("b")["n"].sum()
+    r, c = len(row_m), len(col_m)
+    dof = (r - 1) * (c - 1)
+    if dof == 0:
+        return one(n, r, c, 0, None, None, None)
+    ra = row_m[df["a"]].to_numpy(dtype=np.float64)
+    cb = col_m[df["b"]].to_numpy(dtype=np.float64)
+    o = df["n"].to_numpy(dtype=np.float64)
+    # Σ_all (o-e)²/e = Σ_obs o²/e − n  (zero cells add 0 to the sum)
+    chi2 = float(np.sum(o * o * n / (ra * cb))) - n
+    v = float(np.sqrt(max(chi2, 0.0) / (n * min(r - 1, c - 1))))
+    mi = float(np.sum((o / n) * np.log(o * n / (ra * cb))))
+    return one(n, r, c, dof, chi2, v, mi)
+
+
+def welch_ttest(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 4,
+) -> "pa.Table":
+    """Welch's unequal-variance two-sample t-test between two named
+    groups — the A/B-experiment readout (did treatment docs score
+    higher than control?) computed from per-group sufficient
+    statistics (n, Σx, Σx²): map-side partials, one six-double
+    reduce, driver-free arithmetic.
+
+        t  = (m_a − m_b) / sqrt(v_a/n_a + v_b/n_b)
+        df = (v_a/n_a + v_b/n_b)² /
+             ((v_a/n_a)²/(n_a−1) + (v_b/n_b)²/(n_b−1))
+
+    with v = sample variance (ddof=1). Null values are skipped. t/df
+    are null when either group has < 2 values or both variances are
+    zero. Returns ONE row ``(n_a, n_b, mean_a, mean_b, var_a, var_b,
+    t_stat, df)``; floats rounded to ``round_to`` dp (sufficient-stat
+    sums are order-sensitive at the 1e-12 relative level).
+    """
+    from ray.data.aggregate import Sum
+
+    names = {group_a: "a", group_b: "b"}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = pc.cast(batch.column(group_col), pa.string())
+        keep = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        t = pa.table({"g": g, "x": pc.cast(
+            batch.column(value_col), pa.float64())}).filter(
+                pc.fill_null(keep, False))
+        t = t.filter(pc.is_valid(t.column("x")))
+        x = t.column("x").to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"g": t.column("g").to_pandas(),
+                           "n": np.ones(len(x), np.float64),
+                           "sx": x, "sxx": x * x})
+        out = df.groupby("g", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    st = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby("g")
+          .aggregate(*[Sum(c, alias_name=c)
+                       for c in ("n", "sx", "sxx")]))
+    stats = {"a": (0.0, 0.0, 0.0), "b": (0.0, 0.0, 0.0)}
+    for b in st.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b
+        for i in range(t.num_rows):
+            gname = t.column("g")[i].as_py()
+            if gname in names:
+                stats[names[gname]] = (
+                    float(t.column("n")[i].as_py()),
+                    float(t.column("sx")[i].as_py()),
+                    float(t.column("sxx")[i].as_py()))
+
+    def mv(n, sx, sxx):
+        if n < 2:
+            return (sx / n if n else None), None
+        m = sx / n
+        return m, max(sxx - sx * sx / n, 0.0) / (n - 1)
+
+    na, sxa, sxxa = stats["a"]
+    nb_, sxb, sxxb = stats["b"]
+    ma, va = mv(na, sxa, sxxa)
+    mb, vb = mv(nb_, sxb, sxxb)
+    t_stat = dfree = None
+    if va is not None and vb is not None:
+        se2 = va / na + vb / nb_
+        if se2 > 0:
+            t_stat = (ma - mb) / np.sqrt(se2)
+            dfree = se2 * se2 / ((va / na) ** 2 / (na - 1)
+                                 + (vb / nb_) ** 2 / (nb_ - 1))
+    rnd = (lambda x: None if x is None else round(float(x), round_to))
+    return pa.table({
+        "n_a": pa.array([int(na)], pa.int64()),
+        "n_b": pa.array([int(nb_)], pa.int64()),
+        "mean_a": pa.array([rnd(ma)], pa.float64()),
+        "mean_b": pa.array([rnd(mb)], pa.float64()),
+        "var_a": pa.array([rnd(va)], pa.float64()),
+        "var_b": pa.array([rnd(vb)], pa.float64()),
+        "t_stat": pa.array([rnd(t_stat)], pa.float64()),
+        "df": pa.array([rnd(dfree)], pa.float64())})
+
+
+def diversity_per_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    cat_col: str,
+    nb: int = 16,
+    round_to: int = 6,
+) -> "ray.data.Dataset":
+    """Per-key categorical diversity — Shannon entropy (nats) and
+    Simpson concentration of ``cat_col``'s distribution within each
+    key: the "is this domain all one boilerplate page type?" /
+    "source mix per language" corpus-balance profiler.
+
+        shannon = −Σ_c p_c · ln(p_c)      simpson = Σ_c p_c²
+
+    Null categories are excluded; a key whose rows are all-null is
+    absent. Scale shape: ONE composite (key, cat) census shuffle
+    (map-side pre-combined), then a key-bucket reduce over census rows
+    only — |keys|·|cats| rows move, never the data. Output: one row
+    per key ``(key, n, k_distinct, shannon, simpson)``.
+    """
+    from .canonicalize import _B, _add_bucket, sum_by_key
+
+    def census(t: pa.Table) -> pa.Table:
+        k, c = t.column(key_col), t.column(cat_col)
+        ok = pc.and_(pc.is_valid(k), pc.is_valid(c))
+        t = pa.table({"k": k, "c": pc.cast(c, pa.string())}).filter(ok)
+        return t.append_column(
+            "n", pa.array(np.ones(t.num_rows, np.int64)))
+
+    cen = sum_by_key(ds.map_batches(census, batch_format="pyarrow"),
+                     ["k", "c"], "n", nb=nb)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return _add_bucket(t, ["k"], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        gb = df.groupby("k", sort=False)["n"]
+        tot = gb.sum()
+        p = df["n"].to_numpy(np.float64) / tot[df["k"]].to_numpy(
+            np.float64)
+        df = df.assign(_plogp=-p * np.log(p), _p2=p * p)
+        agg = df.groupby("k", sort=False).agg(
+            n=("n", "sum"), k_distinct=("c", "size"),
+            shannon=("_plogp", "sum"), simpson=("_p2", "sum"))
+        agg = agg.reset_index()
+        return pa.table({
+            key_col: pa.Array.from_pandas(agg["k"]),
+            "n": pa.array(agg["n"].to_numpy(np.int64)),
+            "k_distinct": pa.array(
+                agg["k_distinct"].to_numpy(np.int64)),
+            "shannon": pa.array(
+                np.round(agg["shannon"].to_numpy(np.float64),
+                         round_to)),
+            "simpson": pa.array(
+                np.round(agg["simpson"].to_numpy(np.float64),
+                         round_to))})
+
+    return (cen.map_batches(bucketize, batch_format="pyarrow",
+                            batch_size=65536)
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+
+
+def kmv_setops(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    item_col: str,
+    group_a: str,
+    group_b: str,
+    k: int = 256,
+    nb: int = 16,
+    round_to: int = 4,
+) -> "pa.Table":
+    """KMV (k-minimum-values) bottom-k distinct sketches with set
+    operations — mergeable distinct-cardinality estimates for two
+    groups plus their union/intersection ("how many users do these
+    two event types share?") without any distinct-count shuffle of
+    the full key space:
+
+        est(S) = k_kept            if fewer than k distinct hashes
+               = (k − 1) / h_k     else, h_k = k-th smallest md5/2³²
+        est(A∪B) from the merged bottom-k; est(A∩B) by
+        inclusion–exclusion, clamped at ≥ 0.
+
+    md5-replayable end to end (same ``md5_u32`` convention as
+    train/test splitting), so a SQL oracle can re-derive every number
+    exactly. Scale shape: per-block bottom-k per group (bounded
+    map-side state), ONE census shuffle of ≤ 3k·blocks rows, driver
+    sees ≤ 3k rows. Returns ONE row ``(est_a, est_b, est_union,
+    est_intersect)`` rounded to ``round_to`` dp.
+    """
+    from ..functions.hashing import md5_u32
+    from .canonicalize import _B, _add_bucket
+
+    def hashes(t: pa.Table) -> pa.Table:
+        g = pc.cast(t.column(group_col), pa.string())
+        keep = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        t = pa.table({"g": g, "i": t.column(item_col)}).filter(
+            pc.fill_null(keep, False))
+        t = t.filter(pc.is_valid(t.column("i")))
+        h = md5_u32(t.column("i").to_pylist())
+        out = pa.table({"g": t.column("g"), "h": pa.array(h)})
+        # map-side combine: per group, distinct hashes, keep k smallest
+        df = out.to_pandas().drop_duplicates()
+        df = df.sort_values(["g", "h"], kind="mergesort")
+        df = df.groupby("g", sort=False).head(k)
+        return _add_bucket(
+            pa.Table.from_pandas(df, preserve_index=False), ["g"], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(subset=["g", "h"])
+        df = df.sort_values(["g", "h"], kind="mergesort")
+        df = df.groupby("g", sort=False).head(k)
+        return pa.Table.from_pandas(
+            df[["g", "h"]], preserve_index=False)
+
+    sk = (ds.map_batches(hashes, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    parts = []
+    for b in sk.iter_batches(batch_format="pyarrow"):
+        parts.append(pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b)
+    df = (pa.concat_tables(parts).to_pandas() if parts
+          else pd.DataFrame({"g": [], "h": []}))
+
+    def est(hs: "np.ndarray") -> float:
+        hs = np.unique(hs)[:k]
+        if len(hs) < k:
+            return float(len(hs))
+        return (k - 1) / (float(hs[-1]) / 4294967296.0)
+
+    ha = df.loc[df["g"] == group_a, "h"].to_numpy(np.int64)
+    hb = df.loc[df["g"] == group_b, "h"].to_numpy(np.int64)
+    ea, eb = est(ha), est(hb)
+    eu = est(np.concatenate([ha, hb]))
+    ei = max(ea + eb - eu, 0.0)
+    rnd = (lambda x: round(float(x), round_to))
+    return pa.table({
+        "est_a": pa.array([rnd(ea)], pa.float64()),
+        "est_b": pa.array([rnd(eb)], pa.float64()),
+        "est_union": pa.array([rnd(eu)], pa.float64()),
+        "est_intersect": pa.array([rnd(ei)], pa.float64())})

@@ -2387,3 +2387,153 @@ def merge_intervals(
     return (ds.map_batches(bucketize, batch_format="pyarrow",
                            batch_size=65536)
             .groupby(_B).map_groups(sweep, batch_format="pyarrow"))
+
+
+def rolling_median_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    window: int = 5,
+    out: str = "mov_median",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """median(value) OVER (PARTITION BY key ORDER BY order_cols ROWS
+    window-1 PRECEDING) — the robust trailing smoother (spike-immune
+    rate baselines, sensor/metric denoising) that a plain moving
+    average can't provide. SQL ``median``/``quantile_cont(0.5)``
+    semantics: NULL values are skipped inside the frame; an even count
+    of survivors averages the two middle values; an all-null frame
+    yields NULL.
+
+    Arrow-native vectorization: the sorted bucket's value array is
+    NaN-padded by window−1 and viewed as an (n, window) strided matrix
+    (``sliding_window_view``, zero copies); frame cells that would
+    cross a run head are masked to NaN, then ONE ``np.nanmedian`` over
+    axis 1 scores every row. Peak extra memory is O(n·window) in the
+    single materialized mask copy — ``window`` is validated ≤ 1024 to
+    keep that bounded; use a time-bucketed aggregate for wider frames.
+    """
+    oc = order_cols or ["ts", "event_id"]
+    if not 1 <= window <= 1024:
+        raise ValueError("window must be in [1, 1024]")
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "rolling_median_per_key", None)
+        t, new, start = _sorted_runs(g, key_col, oc)
+        n = len(t)
+        if n == 0:
+            return t.append_column(out, pa.array([], pa.float64()))
+        col = t.column(value_col)
+        v = pc.fill_null(pc.cast(col, pa.float64()),
+                         np.nan).to_numpy(zero_copy_only=False)
+        from numpy.lib.stride_tricks import sliding_window_view
+        pad = np.concatenate([np.full(window - 1, np.nan), v])
+        m = sliding_window_view(pad, window).copy()
+        # column j of row i is v[i − window + 1 + j]; cells whose
+        # source index precedes the run head are outside the frame
+        cols = np.arange(window, dtype=np.int64)
+        idx = np.arange(n, dtype=np.int64)
+        thresh = (start - idx + window - 1)[:, None]
+        m[cols[None, :] < thresh] = np.nan
+        import warnings
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            med = np.nanmedian(m, axis=1)
+        return t.append_column(
+            out, pa.array(med, pa.float64(), mask=np.isnan(med)))
+
+    return (
+        events.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
+
+
+def acf_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    max_lag: int = 3,
+    nb: int = 16,
+    round_to: int = 4,
+) -> "ray.data.Dataset":
+    """Per-key autocorrelation function: for each lag ℓ in 1..max_lag,
+    the Pearson correlation of (value_t, value_{t−ℓ}) over the key's
+    rows in (order_cols) order — the periodicity/burstiness profiler
+    for crawl scheduling and per-host traffic characterization.
+    Matches SQL ``corr(v, lag(v, ℓ) OVER (PARTITION BY key ORDER BY
+    …)) GROUP BY key``: pairs where either side is null are skipped;
+    < 2 pairs or zero variance on either side yields NULL.
+
+    Arrow-native: one sort per bucket; per lag, a shifted-index mask
+    confines pairs to their run, and ``np.add.reduceat`` over run
+    heads produces the six sufficient statistics for EVERY key at
+    once — no per-key loop, no pandas copy. Output: one row per
+    (key, lag) with ``(n_pairs, acf)``.
+    """
+    oc = order_cols or ["ts", "event_id"]
+    if not 1 <= max_lag <= 64:
+        raise ValueError("max_lag must be in [1, 64]")
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "acf_per_key", None)
+        t, new, start = _sorted_runs(g, key_col, oc)
+        n = len(t)
+        key_t = pa.table({key_col: t.column(key_col)})
+        if n == 0:
+            return pa.table({
+                key_col: t.column(key_col),
+                "lag": pa.array([], pa.int32()),
+                "n_pairs": pa.array([], pa.int64()),
+                "acf": pa.array([], pa.float64())})
+        col = pc.cast(t.column(value_col), pa.float64())
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)
+        heads = np.flatnonzero(new)
+        idx = np.arange(n, dtype=np.int64)
+        keys_at_heads = key_t.take(pa.array(heads))[key_col]
+        outs = []
+        for lag in range(1, max_lag + 1):
+            src = idx - lag
+            ok = (src >= start) & ~null & ~null[np.maximum(src, 0)]
+            x = np.where(ok, v, 0.0)
+            y = np.where(ok, v[np.maximum(src, 0)], 0.0)
+            cnt = np.add.reduceat(ok.astype(np.float64), heads)
+            sx = np.add.reduceat(x, heads)
+            sy = np.add.reduceat(y, heads)
+            sxx = np.add.reduceat(x * x, heads)
+            syy = np.add.reduceat(y * y, heads)
+            sxy = np.add.reduceat(x * y, heads)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cov = cnt * sxy - sx * sy
+                vx = cnt * sxx - sx * sx
+                vy = cnt * syy - sy * sy
+                r = cov / np.sqrt(vx * vy)
+            bad = (cnt < 2) | (vx <= 0) | (vy <= 0)
+            r = np.where(bad, np.nan, r)
+            r = (np.sign(r) *
+                 np.floor(np.abs(r) * 10.0**round_to + 0.5)
+                 / 10.0**round_to)
+            outs.append(pa.table({
+                key_col: keys_at_heads,
+                "lag": pa.array(
+                    np.full(len(heads), lag, np.int32)),
+                "n_pairs": pa.array(cnt.astype(np.int64)),
+                "acf": pa.array(r, pa.float64(), mask=bad)}))
+        return pa.concat_tables(outs)
+
+    return (
+        events.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
