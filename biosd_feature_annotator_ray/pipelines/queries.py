@@ -13313,3 +13313,253 @@ ORACLES["ifp_sameas"] = (
     " SELECT tr.s, m.canon, tr.o AS o_k"
     " FROM tr JOIN m ON tr.o = m.o WHERE tr.s <> m.canon"
 )
+
+
+def q_ks_orders(sf_dir: str):
+    """Exact two-sample Kolmogorov–Smirnov D (sketches.ks_test) on
+    o_totalprice between urgent and low-priority orders — the
+    distribution-shift detector. Fully oracled (census + window-cumsum
+    walk twin; D evaluated at every distinct combined value on both
+    sides)."""
+    from ..stages.sketches import ks_test
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderpriority", "o_totalprice"])
+    return ks_test(o, "o_orderpriority", "o_totalprice",
+                   "1-URGENT", "5-LOW")
+
+
+QUERIES["ks_orders"] = q_ks_orders
+
+ORACLES["ks_orders"] = (
+    "WITH p AS (SELECT o_orderpriority AS g, o_totalprice AS v"
+    "  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')"
+    "   AND o_totalprice IS NOT NULL),"
+    " cen AS (SELECT v, count(*) FILTER (g = '1-URGENT') AS na,"
+    "   count(*) FILTER (g = '5-LOW') AS nb FROM p GROUP BY v),"
+    " tot AS (SELECT sum(na) AS ta, sum(nb) AS tb FROM cen),"
+    " walk AS (SELECT sum(na) OVER (ORDER BY v) * 1.0"
+    "    / (SELECT ta FROM tot) AS fa,"
+    "   sum(nb) OVER (ORDER BY v) * 1.0"
+    "    / (SELECT tb FROM tot) AS fb FROM cen)"
+    " SELECT (SELECT CAST(ta AS BIGINT) FROM tot) AS n_a,"
+    "  (SELECT CAST(tb AS BIGINT) FROM tot) AS n_b,"
+    "  round(max(abs(fa - fb)), 6) AS d_stat FROM walk"
+)
+
+
+def q_jackknife_orders(sf_dir: str):
+    """Delete-one-group jackknife SE + 95% CI for the mean order value
+    (sketches.jackknife_mean), G=20 md5 groups — the distributed
+    uncertainty estimate from ONE census. Fully oracled (same md5
+    bucket draw and leave-one-out algebra replayed in SQL)."""
+    from ..stages.sketches import jackknife_mean
+
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"])
+    return jackknife_mean(o, "o_orderkey", "o_totalprice",
+                          n_groups=20)
+
+
+QUERIES["jackknife_orders"] = q_jackknife_orders
+
+ORACLES["jackknife_orders"] = (
+    "WITH r AS (SELECT CAST(('0x' ||"
+    "   substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS UBIGINT)"
+    "   % 20 AS g, o_totalprice AS x FROM orders"
+    "  WHERE o_totalprice IS NOT NULL),"
+    " cen AS (SELECT g, count(*) * 1.0 AS n, sum(x) AS sx FROM r"
+    "  GROUP BY g),"
+    " tot AS (SELECT sum(n) AS nt, sum(sx) AS sxt,"
+    "   count(*) AS ng FROM cen),"
+    " loo AS (SELECT (tot.sxt - cen.sx) / (tot.nt - cen.n) AS m"
+    "  FROM cen, tot),"
+    " jk AS (SELECT sqrt(19.0 / 20.0"
+    "   * sum((m - (SELECT avg(m) FROM loo))"
+    "     * (m - (SELECT avg(m) FROM loo)))) AS se FROM loo)"
+    " SELECT CAST(tot.nt AS BIGINT) AS n,"
+    "  round(tot.sxt / tot.nt, 6) AS mean,"
+    "  round(jk.se, 6) AS se,"
+    "  round(tot.sxt / tot.nt - 1.96 * jk.se, 6) AS ci_lo,"
+    "  round(tot.sxt / tot.nt + 1.96 * jk.se, 6) AS ci_hi"
+    " FROM tot, jk"
+)
+
+
+def q_kmv_pairwise_users(sf_dir: str):
+    """Pairwise user-set overlap matrix across all five event types
+    (sketches.kmv_pairwise, k=64): estimated distinct users, union
+    and Jaccard per type pair from one bottom-k census pass. Fully
+    oracled (md5 bottom-k + (k−1)/h_k estimator replayed per pair in
+    SQL; merged bottom-k of a pair is the bottom-k of its union)."""
+    from ..stages.sketches import kmv_pairwise
+
+    return kmv_pairwise(_events(sf_dir, ["event_type", "user_id"]),
+                        "event_type", "user_id", k=64, nb=4)
+
+
+QUERIES["kmv_pairwise_users"] = q_kmv_pairwise_users
+
+ORACLES["kmv_pairwise_users"] = (
+    "WITH h AS (SELECT DISTINCT event_type AS g,"
+    "   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))"
+    "    AS UBIGINT) AS h"
+    "  FROM events WHERE event_type IS NOT NULL"
+    "   AND user_id IS NOT NULL),"
+    " rk AS (SELECT g, h, row_number() OVER (PARTITION BY g"
+    "   ORDER BY h) AS rn FROM h),"
+    " bk AS (SELECT g, h FROM rk WHERE rn <= 64),"
+    " est AS (SELECT g, CASE WHEN count(*) < 64 THEN count(*) * 1.0"
+    "   ELSE 63.0 / (max(h) / 4294967296.0) END AS e FROM bk"
+    "  GROUP BY g),"
+    " pairs AS (SELECT a.g AS ga, a.e AS ea, b.g AS gb, b.e AS eb"
+    "  FROM est a JOIN est b ON a.g < b.g),"
+    " pu AS (SELECT p.ga, p.gb, bk.h FROM pairs p JOIN bk"
+    "   ON bk.g = p.ga OR bk.g = p.gb"
+    "  GROUP BY p.ga, p.gb, bk.h),"
+    " pur AS (SELECT ga, gb, h, row_number() OVER"
+    "   (PARTITION BY ga, gb ORDER BY h) AS rn FROM pu),"
+    " uest AS (SELECT ga, gb, CASE WHEN count(*) < 64"
+    "   THEN count(*) * 1.0"
+    "   ELSE 63.0 / (max(h) / 4294967296.0) END AS eu"
+    "  FROM pur WHERE rn <= 64 GROUP BY ga, gb)"
+    " SELECT p.ga AS g_a, p.gb AS g_b, round(p.ea, 4) AS est_a,"
+    "  round(p.eb, 4) AS est_b, round(u.eu, 4) AS est_union,"
+    "  round(greatest(p.ea + p.eb - u.eu, 0) / u.eu, 4)"
+    "   AS est_jaccard"
+    " FROM pairs p JOIN uest u ON p.ga = u.ga AND p.gb = u.gb"
+)
+
+
+def q_cusum_events(sf_dir: str):
+    """One-sided CUSUM drift detector per user
+    (windows.cusum_per_key): reflected random walk of (value − 50)
+    with a 500-threshold alarm flag — the burst/abuse monitor. Fully
+    oracled via the reflection identity S = C − least(min(C) OVER, 0)
+    (window cumsum + running-min twin)."""
+    from ..stages.windows import cusum_per_key
+
+    out = cusum_per_key(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        key_col="user_id", value_col="value",
+        order_cols=["ts", "event_id"], target=50.0,
+        threshold=500.0, nb=4)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "cusum": pc.round(t.column("cusum"), 2),
+            "alarm": t.column("alarm")})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["cusum_events"] = q_cusum_events
+
+ORACLES["cusum_events"] = (
+    "WITH c AS (SELECT event_id, user_id,"
+    "   sum(CASE WHEN value IS NULL THEN 0 ELSE value - 50.0 END)"
+    "    OVER (PARTITION BY user_id ORDER BY ts, event_id"
+    "     ROWS UNBOUNDED PRECEDING) AS cum FROM events),"
+    " m AS (SELECT event_id, user_id, cum,"
+    "   min(cum) OVER (PARTITION BY user_id ORDER BY event_id"
+    "    ROWS UNBOUNDED PRECEDING) AS rm FROM"
+    "   (SELECT * FROM c ORDER BY user_id, event_id))"
+    " SELECT event_id, user_id,"
+    "  round(cum - least(rm, 0), 2) AS cusum,"
+    "  (cum - least(rm, 0)) > 500.0 AS alarm FROM m"
+)
+
+
+def q_jsd_sources(sf_dir: str):
+    """Jensen–Shannon divergence (textstats.js_divergence) between
+    the unigram distributions of src0 and src1 documents — the
+    corpus-drift measure. Fully oracled (same whitespace
+    tokenization; zero-count terms contribute only their side's
+    half on both sides)."""
+    from ..stages.textstats import js_divergence
+
+    return js_divergence(_docs(sf_dir, ["source", "text"]),
+                         "text", "source", "src0", "src1", nb=4)
+
+
+QUERIES["jsd_sources"] = q_jsd_sources
+
+ORACLES["jsd_sources"] = (
+    "WITH t AS (SELECT source AS g,"
+    "   unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok"
+    "  FROM documents WHERE source IN ('src0', 'src1')"
+    "   AND text IS NOT NULL),"
+    " cen AS (SELECT g, tok, count(*) * 1.0 AS n FROM t"
+    "  GROUP BY g, tok),"
+    " tot AS (SELECT sum(n) FILTER (g = 'src0') AS ta,"
+    "   sum(n) FILTER (g = 'src1') AS tb FROM cen),"
+    " pv AS (SELECT tok, coalesce(sum(n) FILTER (g = 'src0'), 0)"
+    "    AS ca, coalesce(sum(n) FILTER (g = 'src1'), 0) AS cb"
+    "  FROM cen GROUP BY tok),"
+    " c AS (SELECT ca / tot.ta AS p, cb / tot.tb AS q"
+    "  FROM pv, tot)"
+    " SELECT (SELECT CAST(ta AS BIGINT) FROM tot) AS n_tok_a,"
+    "  (SELECT CAST(tb AS BIGINT) FROM tot) AS n_tok_b,"
+    "  round(sum("
+    "   CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2))"
+    "    ELSE 0 END"
+    "   + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2))"
+    "    ELSE 0 END), 6) AS jsd FROM c"
+)
+
+
+def q_snm_blocking(sf_dir: str):
+    """Sorted-neighborhood ER blocking — the third classic blocking
+    family (after hash/phonetic blocks): parts sorted globally by
+    (p_retailprice, p_partkey) via global_row_number (histogram range
+    ranks, no single-node sort), then every pair within a window of
+    2 sort neighbors becomes a candidate, met exactly once through
+    the banded rank join (band_join on the rank with eps=2). Fully
+    oracled (row_number twin + rank-difference self-join)."""
+    from ..stages.join import band_join
+    from ..stages.windows import global_row_number
+
+    p = rd.read_parquet(f"{sf_dir}/part.parquet",
+                        columns=["p_partkey", "p_retailprice"])
+    rn = global_row_number(p, ["p_retailprice", "p_partkey"],
+                           out="rn", n_parts=8)
+    left = rn.map_batches(
+        lambda t: pa.table({
+            "c": pa.array(np.zeros(t.num_rows, np.int8)),
+            "a_key": t.column("p_partkey"),
+            "rn": pc.cast(t.column("rn"), pa.float64())}),
+        batch_format="pyarrow")
+    right = rn.map_batches(
+        lambda t: pa.table({
+            "c": pa.array(np.zeros(t.num_rows, np.int8)),
+            "b_key": t.column("p_partkey"),
+            "rn": pc.cast(t.column("rn"), pa.float64())}),
+        batch_format="pyarrow")
+    pairs = band_join(left, right, on="c", lval="rn", eps=2.0, nb=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        a = t.column("rn").to_numpy(zero_copy_only=False)
+        b = t.column("rn_r").to_numpy(zero_copy_only=False)
+        keep = a < b
+        t = t.filter(pa.array(keep))
+        gap = (t.column("rn_r").to_numpy(zero_copy_only=False)
+               - t.column("rn").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "a_key": t.column("a_key"),
+            "b_key": t.column("b_key"),
+            "rn_gap": pa.array(gap.astype(np.int64))})
+
+    return pairs.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["snm_blocking"] = q_snm_blocking
+
+ORACLES["snm_blocking"] = (
+    "WITH r AS (SELECT p_partkey, row_number() OVER"
+    "   (ORDER BY p_retailprice, p_partkey) AS rn FROM part)"
+    " SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,"
+    "  b.rn - a.rn AS rn_gap"
+    " FROM r a JOIN r b ON b.rn - a.rn IN (1, 2)"
+)

@@ -2184,3 +2184,253 @@ def kmv_setops(
         "est_b": pa.array([rnd(eb)], pa.float64()),
         "est_union": pa.array([rnd(eu)], pa.float64()),
         "est_intersect": pa.array([rnd(ei)], pa.float64())})
+
+
+def ks_test(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    nb: int = 16,
+    max_distinct: int = 2_000_000,
+    round_to: int = 6,
+) -> "pa.Table":
+    """Exact two-sample Kolmogorov–Smirnov statistic between two named
+    groups — the distribution-shift detector (did today's crawl's
+    page-length distribution drift from yesterday's?):
+
+        D = sup_v |F_a(v) − F_b(v)|
+
+    evaluated at every distinct value of the combined sample (where
+    the sup of two step functions is attained). Null values carry no
+    observation. Scale shape: ONE value census shuffle (map-side
+    pre-combined (value, n_a, n_b) rows); only the census — bounded by
+    ``max_distinct``, raises beyond it (quantize/bin upstream for
+    continuous 100-TB columns) — is sorted driver-side for the
+    cumulative walk. Returns ONE row ``(n_a, n_b, d_stat)``.
+    """
+    from ray.data.aggregate import Sum
+
+    def census(t: pa.Table) -> pa.Table:
+        g = pc.cast(t.column(group_col), pa.string())
+        v = pc.cast(t.column(value_col), pa.float64())
+        keep = pc.and_(
+            pc.or_(pc.equal(g, group_a), pc.equal(g, group_b)),
+            pc.is_valid(v))
+        t = pa.table({"g": g, "v": v}).filter(pc.fill_null(keep, False))
+        df = t.to_pandas()
+        isa = (df["g"] == group_a).to_numpy()
+        out = pd.DataFrame({
+            "v": df["v"],
+            "na": isa.astype(np.int64),
+            "nb": (~isa).astype(np.int64),
+        }).groupby("v", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    cen = (ds.map_batches(census, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby("v")
+           .aggregate(Sum("na", alias_name="na"),
+                      Sum("nb", alias_name="nb")))
+    parts = []
+    total = 0
+    for b in cen.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b
+        parts.append(t)
+        total += t.num_rows
+        if total > max_distinct:
+            raise ValueError(
+                f"value census exceeds max_distinct={max_distinct} — "
+                "quantize the column upstream for ks_test at scale")
+    if not parts:
+        return pa.table({"n_a": pa.array([0], pa.int64()),
+                         "n_b": pa.array([0], pa.int64()),
+                         "d_stat": pa.array([None], pa.float64())})
+    df = pa.concat_tables(parts).to_pandas().sort_values("v")
+    na_tot = int(df["na"].sum())
+    nb_tot = int(df["nb"].sum())
+    if na_tot == 0 or nb_tot == 0:
+        d = None
+    else:
+        fa = np.cumsum(df["na"].to_numpy(np.float64)) / na_tot
+        fb = np.cumsum(df["nb"].to_numpy(np.float64)) / nb_tot
+        d = round(float(np.max(np.abs(fa - fb))), round_to)
+    return pa.table({
+        "n_a": pa.array([na_tot], pa.int64()),
+        "n_b": pa.array([nb_tot], pa.int64()),
+        "d_stat": pa.array([d], pa.float64())})
+
+
+def jackknife_mean(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    value_col: str,
+    n_groups: int = 20,
+    z: float = 1.96,
+    round_to: int = 6,
+) -> "pa.Table":
+    """Delete-one-group jackknife standard error and CI for a column
+    mean — the distributed-friendly uncertainty estimate (bootstrap
+    needs resampling; the grouped jackknife needs ONE census): rows
+    are assigned to ``n_groups`` deterministic md5 buckets by id, the
+    G leave-one-group-out means are derived algebraically from the
+    per-group (n, Σx) census, and
+
+        se² = (G−1)/G · Σ_g (m_g − m̄_dot)²
+
+    with m̄_dot the mean of the leave-one-out means. Null values carry
+    no observation. Scale shape: map-side per-group partials, one
+    G-row reduce, driver arithmetic on G doubles. md5-replayable
+    end to end (same convention as train/test splitting), so a SQL
+    oracle re-derives every number. Returns ONE row ``(n, mean, se,
+    ci_lo, ci_hi)``; se/ci are null when any group is empty (G too
+    large for the data) or G < 2.
+    """
+    import hashlib
+
+    from ray.data.aggregate import Sum
+
+    if n_groups < 2:
+        raise ValueError("n_groups must be >= 2")
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = pc.cast(t.column(value_col), pa.float64())
+        keep = pc.is_valid(v)
+        t2 = pa.table({"i": t.column(id_col), "x": v}).filter(keep)
+        ids = t2.column("i").to_pylist()
+        g = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             % n_groups for i in ids), np.int64, count=len(ids))
+        x = t2.column("x").to_numpy(zero_copy_only=False)
+        out = pd.DataFrame({
+            "g": g, "n": np.ones(len(x), np.float64), "sx": x,
+        }).groupby("g", sort=False).sum().reset_index()
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    st = (ds.map_batches(partial, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby("g")
+          .aggregate(Sum("n", alias_name="n"),
+                     Sum("sx", alias_name="sx")))
+    rows = {r["g"]: (r["n"], r["sx"])
+            for b in st.iter_batches(batch_format="pyarrow")
+            for r in (pa.Table.from_batches([b]) if isinstance(
+                b, pa.RecordBatch) else b).to_pylist()}
+    n_tot = sum(r[0] for r in rows.values())
+    sx_tot = sum(r[1] for r in rows.values())
+    rnd = (lambda x: None if x is None else round(float(x), round_to))
+    if n_tot == 0:
+        return pa.table({
+            "n": pa.array([0], pa.int64()),
+            "mean": pa.array([None], pa.float64()),
+            "se": pa.array([None], pa.float64()),
+            "ci_lo": pa.array([None], pa.float64()),
+            "ci_hi": pa.array([None], pa.float64())})
+    mean = sx_tot / n_tot
+    se = None
+    if len(rows) == n_groups and all(
+            r[0] > 0 and n_tot > r[0] for r in rows.values()):
+        loo = np.array([(sx_tot - sx) / (n_tot - n)
+                        for n, sx in rows.values()])
+        se = float(np.sqrt((n_groups - 1) / n_groups
+                           * np.sum((loo - loo.mean()) ** 2)))
+    return pa.table({
+        "n": pa.array([int(n_tot)], pa.int64()),
+        "mean": pa.array([rnd(mean)], pa.float64()),
+        "se": pa.array([rnd(se)], pa.float64()),
+        "ci_lo": pa.array(
+            [rnd(mean - z * se) if se is not None else None],
+            pa.float64()),
+        "ci_hi": pa.array(
+            [rnd(mean + z * se) if se is not None else None],
+            pa.float64())})
+
+
+def kmv_pairwise(
+    ds: "ray.data.Dataset",
+    group_col: str,
+    item_col: str,
+    k: int = 256,
+    nb: int = 16,
+    max_groups: int = 64,
+    round_to: int = 4,
+) -> "pa.Table":
+    """Pairwise corpus-overlap matrix from per-group KMV sketches —
+    estimated distinct counts, union, and Jaccard for EVERY group
+    pair ("how much do these sources/snapshots overlap?") at the cost
+    of ONE pass + one bottom-k census; no pairwise shuffle of the
+    data. Same md5-replayable estimator as ``kmv_setops``; the merged
+    bottom-k of a pair is the bottom-k of the union, so every number
+    is SQL-re-derivable. Groups are capped at ``max_groups`` (the
+    G·k census and G² pairs live on the driver — raises beyond).
+    Output: one row per unordered pair (g_a < g_b): ``(g_a, g_b,
+    est_a, est_b, est_union, est_jaccard)``.
+    """
+    from ..functions.hashing import md5_u32
+    from .canonicalize import _B, _add_bucket
+
+    def hashes(t: pa.Table) -> pa.Table:
+        g = pc.cast(t.column(group_col), pa.string())
+        tt = pa.table({"g": g, "i": t.column(item_col)}).filter(
+            pc.and_(pc.is_valid(g), pc.is_valid(t.column(item_col))))
+        h = md5_u32(tt.column("i").to_pylist())
+        df = pa.table({"g": tt.column("g"),
+                       "h": pa.array(h)}).to_pandas().drop_duplicates()
+        df = df.sort_values(["g", "h"], kind="mergesort")
+        df = df.groupby("g", sort=False).head(k)
+        return _add_bucket(
+            pa.Table.from_pandas(df, preserve_index=False), ["g"], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.to_pandas().drop_duplicates(subset=["g", "h"])
+        df = df.sort_values(["g", "h"], kind="mergesort")
+        df = df.groupby("g", sort=False).head(k)
+        return pa.Table.from_pandas(
+            df[["g", "h"]], preserve_index=False)
+
+    sk = (ds.map_batches(hashes, batch_format="pyarrow",
+                         batch_size=65536)
+          .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    parts = []
+    for b in sk.iter_batches(batch_format="pyarrow"):
+        parts.append(pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b)
+    df = (pa.concat_tables(parts).to_pandas() if parts
+          else pd.DataFrame({"g": [], "h": []}))
+    groups = sorted(df["g"].unique())
+    if len(groups) > max_groups:
+        raise ValueError(
+            f"{len(groups)} groups exceeds max_groups={max_groups}")
+
+    def est(hs: "np.ndarray") -> float:
+        hs = np.unique(hs)[:k]
+        if len(hs) < k:
+            return float(len(hs))
+        return (k - 1) / (float(hs[-1]) / 4294967296.0)
+
+    by_g = {g: df.loc[df["g"] == g, "h"].to_numpy(np.int64)
+            for g in groups}
+    rnd = (lambda x: round(float(x), round_to))
+    out = {"g_a": [], "g_b": [], "est_a": [], "est_b": [],
+           "est_union": [], "est_jaccard": []}
+    for i, ga in enumerate(groups):
+        for gb in groups[i + 1:]:
+            ea, eb = est(by_g[ga]), est(by_g[gb])
+            eu = est(np.concatenate([by_g[ga], by_g[gb]]))
+            ei = max(ea + eb - eu, 0.0)
+            out["g_a"].append(ga)
+            out["g_b"].append(gb)
+            out["est_a"].append(rnd(ea))
+            out["est_b"].append(rnd(eb))
+            out["est_union"].append(rnd(eu))
+            out["est_jaccard"].append(
+                rnd(ei / eu) if eu > 0 else 0.0)
+    return pa.table({
+        "g_a": pa.array(out["g_a"], pa.string()),
+        "g_b": pa.array(out["g_b"], pa.string()),
+        "est_a": pa.array(out["est_a"], pa.float64()),
+        "est_b": pa.array(out["est_b"], pa.float64()),
+        "est_union": pa.array(out["est_union"], pa.float64()),
+        "est_jaccard": pa.array(out["est_jaccard"], pa.float64())})

@@ -2528,3 +2528,97 @@ def kwic_contexts(
 
     return docs.map_batches(expand, batch_format="pyarrow",
                             batch_size=65536)
+
+
+def js_divergence(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    nb: int = 16,
+    round_to: int = 6,
+) -> "pa.Table":
+    """Jensen–Shannon divergence (nats) between the unigram
+    distributions of two named corpora — the symmetric, bounded
+    distribution-shift measure for corpus comparison (is this
+    source's vocabulary drifting? how far is crawl N from crawl
+    N−1?). Zero-count terms contribute only their side's half (JS
+    needs no smoothing), so the full cross-vocabulary is never
+    enumerated:
+
+        JSD = ½ Σ p·ln(p/m) + ½ Σ q·ln(q/m),   m = (p + q)/2
+
+    Tokenization matches the repo convention (whitespace split of
+    trimmed text — replayable as DuckDB
+    ``regexp_split_to_array(trim(text), '\\s+')``). Scale shape: ONE
+    composite (group, token) census shuffle (map-side pre-combined),
+    totals from a tiny second reduce over the census, per-token
+    contributions as a stateless map over census rows, final scalar
+    via per-block partial sums — the vocabulary never lands on the
+    driver. Returns ONE row ``(n_tok_a, n_tok_b, jsd)``; jsd is null
+    if either corpus has no tokens.
+    """
+    from .canonicalize import sum_by_key
+
+    def census(t: pa.Table) -> pa.Table:
+        g = pc.cast(t.column(group_col), pa.string())
+        keep = pc.or_(pc.equal(g, group_a), pc.equal(g, group_b))
+        t2 = pa.table({"g": g, "text": t.column(text_col)}).filter(
+            pc.fill_null(keep, False))
+        t2 = t2.filter(pc.is_valid(t2.column("text")))
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t2.column("text")), _WS)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        gg = pa.array(np.repeat(
+            t2.column("g").to_numpy(zero_copy_only=False), lens))
+        out = pa.table({"g": gg, "tok": flat})
+        return out.append_column(
+            "n", pa.array(np.ones(out.num_rows, np.int64)))
+
+    cen = sum_by_key(ds.map_batches(census, batch_format="pyarrow"),
+                     ["g", "tok"], "n", nb=nb).materialize()
+    tot = {r["g"]: r["n"] for r in
+           sum_by_key(cen, "g", "n", nb=4).take_all()}
+    na, nb_tok = int(tot.get(group_a, 0)), int(tot.get(group_b, 0))
+    if na == 0 or nb_tok == 0:
+        return pa.table({
+            "n_tok_a": pa.array([na], pa.int64()),
+            "n_tok_b": pa.array([nb_tok], pa.int64()),
+            "jsd": pa.array([None], pa.float64())})
+
+    # per-token contributions need both sides' counts: one more
+    # bucket reduce keyed by token pairs the two census rows up.
+    from .canonicalize import _B, _add_bucket
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        return _add_bucket(t, ["tok"], nb)
+
+    def contrib(g: pa.Table) -> pa.Table:
+        df = g.to_pandas()
+        piv = df.pivot_table(index="tok", columns="g", values="n",
+                             aggfunc="sum", fill_value=0)
+        ca = (piv[group_a].to_numpy(np.float64)
+              if group_a in piv.columns else np.zeros(len(piv)))
+        cb = (piv[group_b].to_numpy(np.float64)
+              if group_b in piv.columns else np.zeros(len(piv)))
+        p, q = ca / na, cb / nb_tok
+        m = (p + q) / 2.0
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (0.5 * np.where(p > 0, p * np.log(p / m), 0.0)
+                 + 0.5 * np.where(q > 0, q * np.log(q / m), 0.0))
+        import math
+        return pa.table({"part": pa.array(
+            [math.fsum(s.tolist())], pa.float64())})
+
+    parts = (cen.map_batches(bucketize, batch_format="pyarrow",
+                             batch_size=65536)
+             .groupby(_B).map_groups(contrib, batch_format="pyarrow"))
+    import math
+    jsd = math.fsum(r["part"] for r in parts.take_all())
+    return pa.table({
+        "n_tok_a": pa.array([na], pa.int64()),
+        "n_tok_b": pa.array([nb_tok], pa.int64()),
+        "jsd": pa.array([round(jsd, round_to)], pa.float64())})

@@ -2537,3 +2537,75 @@ def acf_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def cusum_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    target: float = 0.0,
+    threshold: float = 10.0,
+    out: str = "cusum",
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """One-sided CUSUM change detection per key — the classic
+    burst/abuse/drift monitor (has this host's error rate shifted
+    above its baseline?): the reflected random walk
+
+        S_i = max(0, S_{i−1} + (x_i − target)),   S_0 = 0
+
+    with an ``alarm`` flag where S_i > threshold. Null values carry
+    zero drift (S unchanged, current S emitted), matching the SQL
+    twin where a window SUM skips nulls.
+
+    Fully vectorized via the reflection identity
+    ``S_i = C_i − min(0, min_{j≤i} C_j)`` (C = per-run prefix sum of
+    drift): the segmented running minimum is computed EXACTLY by
+    rank-transforming C to int64 and running ONE global
+    ``np.minimum.accumulate`` on rank − run_id·(n+1) (earlier runs
+    are offset strictly above later ones, so a run never sees its
+    predecessors; integer arithmetic → no precision loss). No per-key
+    loop, no pandas copy — and being O(1)-state sequential, the same
+    recurrence is a streamable-spill candidate for hot keys.
+    """
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "cusum_per_key", None)
+        t, new, start = _sorted_runs(g, key_col, oc)
+        n = len(t)
+        if n == 0:
+            return t.append_column(out, pa.array([], pa.float64()))
+        col = pc.cast(t.column(value_col), pa.float64())
+        null = pc.is_null(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)
+        drift = np.where(null, 0.0, v - target)
+        cs = np.cumsum(drift)
+        heads = np.flatnonzero(new)
+        # rebase the global prefix sum to per-run C
+        base = np.repeat(cs[heads] - drift[heads],
+                         np.diff(np.append(heads, n)))
+        C = cs - base
+        # exact segmented running min: rank-transform, offset by run
+        order = np.argsort(C, kind="stable")
+        ranks = np.empty(n, np.int64)
+        ranks[order] = np.arange(n, dtype=np.int64)
+        runid = np.cumsum(new.astype(np.int64)) - 1
+        acc = np.minimum.accumulate(ranks - runid * np.int64(n + 1))
+        rmin_rank = acc + runid * np.int64(n + 1)
+        vals_by_rank = C[order]
+        rmin = vals_by_rank[rmin_rank]
+        S = C - np.minimum(rmin, 0.0)
+        t = t.append_column(out, pa.array(np.round(S, 9), pa.float64()))
+        return t.append_column("alarm", pa.array(S > threshold))
+
+    return (
+        events.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
