@@ -122,3 +122,42 @@ def fold_text(batch, col: str = "text", out: str | None = None):
     """Batch wrapper over :func:`fold_array` (adds ``<col>_folded``)."""
     folded = fold_array(batch.column(col))
     return batch.append_column(out or f"{col}_folded", folded)
+
+
+def s_stem_array(arr: pa.ChunkedArray | pa.Array):
+    """Harman "S-stemmer" — the conservative three-rule English plural
+    stripper used by classic IR systems (stronger stemmers trade
+    precision for recall; the S-stemmer almost never conflates
+    distinct lemmas), vectorized as pure Arrow kernel chains and
+    fully replayable as SQL CASE arms:
+
+        ends ies (not eies/aies) -> ies=>y
+        ends es  (not aes/ees/oes) -> drop the s
+        ends s   (not us/ss) -> drop the s
+
+    Suffix classes nest (ies within es within s) and the FIRST
+    matching class decides: its exception list protects the word
+    entirely (no fall-through — 'goes'/'does' stay intact).
+    Applied to lowercase tokens; the bare tokens 's'/'es' reduce to
+    ''/'e' (the rules are positional, not length-guarded — matching
+    the SQL LIKE twin exactly)."""
+    import pyarrow.compute as pc
+
+    a = pc.utf8_lower(arr)
+
+    def ends(suf):
+        return pc.ends_with(a, suf)
+
+    ok1 = pc.and_(pc.invert(ends("eies")), pc.invert(ends("aies")))
+    ok2 = pc.and_(pc.invert(ends("aes")),
+                  pc.and_(pc.invert(ends("ees")),
+                          pc.invert(ends("oes"))))
+    ok3 = pc.and_(pc.invert(ends("us")), pc.invert(ends("ss")))
+    ies_y = pc.replace_substring_regex(a, "ies$", "y")
+    drop_s = pc.replace_substring_regex(a, "s$", "")
+    out = pc.if_else(
+        ends("ies"), pc.if_else(ok1, ies_y, a),
+        pc.if_else(
+            ends("es"), pc.if_else(ok2, drop_s, a),
+            pc.if_else(ends("s"), pc.if_else(ok3, drop_s, a), a)))
+    return out

@@ -13563,3 +13563,190 @@ ORACLES["snm_blocking"] = (
     "  b.rn - a.rn AS rn_gap"
     " FROM r a JOIN r b ON b.rn - a.rn IN (1, 2)"
 )
+
+
+def q_neighbor_agg_graph(sf_dir: str):
+    """2-hop GraphSAGE-style neighbor feature propagation
+    (graph.neighbor_agg) over the orders-derived key graph (src =
+    key//10), seeded with x = o_totalprice aggregated... here the
+    node feature is node_id % 100 so the twin is closed-form: per
+    node, x_h1 = mean of in-neighbors' features, x_h2 = mean of
+    in-neighbors' x_h1. Fully oracled (2 unrolled join+AVG CTEs)."""
+    from ..stages.graph import neighbor_agg
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(k[k >= 10], pa.int64()),
+                         "dst": pa.array(k[k >= 10] // 10, pa.int64())})
+
+    def feats(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "node": pa.array(k, pa.int64()),
+            "x": pa.array((k % 100).astype(np.float64))})
+
+    out = neighbor_agg(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        orders.map_batches(feats, batch_format="pyarrow"),
+        k=2, nb=8)
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t.column("node"),
+            "x_h1": pc.round(t.column("x_h1"), 6),
+            "x_h2": pc.round(t.column("x_h2"), 6)})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+QUERIES["neighbor_agg_graph"] = q_neighbor_agg_graph
+
+ORACLES["neighbor_agg_graph"] = (
+    "WITH e AS (SELECT o_orderkey AS src, o_orderkey // 10 AS dst"
+    "  FROM orders WHERE o_orderkey >= 10),"
+    " f0 AS (SELECT o_orderkey AS node,"
+    "   CAST(o_orderkey % 100 AS DOUBLE) AS x FROM orders),"
+    " h1 AS (SELECT e.dst AS node, avg(f0.x) AS x"
+    "  FROM e JOIN f0 ON e.src = f0.node GROUP BY e.dst),"
+    " h2 AS (SELECT e.dst AS node, avg(h1.x) AS x"
+    "  FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst)"
+    " SELECT coalesce(h1.node, h2.node) AS node,"
+    "  round(h1.x, 6) AS x_h1, round(h2.x, 6) AS x_h2"
+    " FROM h1 FULL OUTER JOIN h2 ON h1.node = h2.node"
+)
+
+
+def q_edge_cut_events(sf_dir: str):
+    """Hash-partitioning edge-cut census (graph.edge_cut_report): the
+    fraction of orders-graph edges whose endpoints hash to different
+    md5 partitions of 8 — the shuffle-volume price any per-partition
+    graph operator pays. Fully oracled (same md5 partition draw in
+    SQL)."""
+    from ..stages.graph import edge_cut_report
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({"src": pa.array(k[k >= 10], pa.int64()),
+                         "dst": pa.array(k[k >= 10] // 10, pa.int64())})
+
+    return edge_cut_report(
+        orders.map_batches(edges, batch_format="pyarrow"), n_parts=8)
+
+
+QUERIES["edge_cut_events"] = q_edge_cut_events
+
+ORACLES["edge_cut_events"] = (
+    "WITH e AS (SELECT o_orderkey AS src, o_orderkey // 10 AS dst"
+    "  FROM orders WHERE o_orderkey >= 10),"
+    " p AS (SELECT CAST(('0x' ||"
+    "    substr(md5(CAST(src AS VARCHAR)), 1, 8)) AS UBIGINT) % 8"
+    "    AS ps,"
+    "   CAST(('0x' || substr(md5(CAST(dst AS VARCHAR)), 1, 8))"
+    "    AS UBIGINT) % 8 AS pd FROM e)"
+    " SELECT count(*) AS n_edges,"
+    "  count(*) FILTER (ps <> pd) AS n_cut,"
+    "  round(count(*) FILTER (ps <> pd) * 1.0 / count(*), 6)"
+    "   AS cut_ratio FROM p"
+)
+
+
+def q_fd_check_docs(sf_dir: str):
+    """Approximate functional-dependency check source → lang
+    (profile.fd_violations): the g3-style confidence (rows kept if
+    every source were forced to its majority language) — the schema
+    QA probe. Fully oracled (census + per-det max twin)."""
+    from ..stages.profile import fd_violations
+
+    return fd_violations(_docs(sf_dir, ["source", "lang"]),
+                         "source", "lang", nb=4)
+
+
+QUERIES["fd_check_docs"] = q_fd_check_docs
+
+ORACLES["fd_check_docs"] = (
+    "WITH cen AS (SELECT source AS det, lang AS dep,"
+    "   count(*) AS n FROM documents GROUP BY source, lang),"
+    " mx AS (SELECT det, max(n) AS m FROM cen GROUP BY det),"
+    " tot AS (SELECT sum(n) AS n FROM cen),"
+    " k AS (SELECT sum(m) AS kept FROM mx)"
+    " SELECT CAST(tot.n AS BIGINT) AS n,"
+    "  (SELECT count(*) FROM mx) AS n_det,"
+    "  CAST(tot.n - k.kept AS BIGINT) AS violations,"
+    "  round(k.kept * 1.0 / tot.n, 6) AS confidence"
+    " FROM tot, k"
+)
+
+
+def q_s_stem_terms(sf_dir: str):
+    """Top-20 S-stemmed terms (functions.normalize.s_stem_array over
+    the whitespace token census): Harman's conservative plural
+    stripper, vectorized Arrow kernels, replayed in SQL as nested
+    CASE arms. Deterministic order (count desc, stem asc)."""
+    from ..functions.normalize import s_stem_array
+    from ..stages.canonicalize import sum_by_key
+
+    def toks(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(t.column("text")), r"\s+")
+        flat = pc.list_flatten(lists)
+        out = pa.table({"stem": s_stem_array(flat)})
+        return out.append_column(
+            "n", pa.array(np.ones(out.num_rows, np.int64)))
+
+    cen = sum_by_key(
+        _docs(sf_dir, ["text"]).map_batches(
+            toks, batch_format="pyarrow"), "stem", "n", nb=4)
+    df = cen.to_pandas().sort_values(
+        ["n", "stem"], ascending=[False, True], kind="mergesort")
+    return pa.Table.from_pandas(df.head(20), preserve_index=False)
+
+
+QUERIES["s_stem_terms"] = q_s_stem_terms
+
+ORACLES["s_stem_terms"] = (
+    "WITH t AS (SELECT lower(unnest(regexp_split_to_array("
+    "   trim(text), '\\s+'))) AS tok FROM documents),"
+    " s AS (SELECT CASE"
+    "   WHEN tok LIKE '%ies' THEN CASE"
+    "    WHEN tok LIKE '%eies' OR tok LIKE '%aies' THEN tok"
+    "    ELSE substr(tok, 1, length(tok) - 3) || 'y' END"
+    "   WHEN tok LIKE '%es' THEN CASE"
+    "    WHEN tok LIKE '%aes' OR tok LIKE '%ees' OR tok LIKE '%oes'"
+    "     THEN tok ELSE substr(tok, 1, length(tok) - 1) END"
+    "   WHEN tok LIKE '%s' THEN CASE"
+    "    WHEN tok LIKE '%us' OR tok LIKE '%ss' THEN tok"
+    "    ELSE substr(tok, 1, length(tok) - 1) END"
+    "   ELSE tok END AS stem FROM t)"
+    " SELECT stem, count(*) AS n FROM s GROUP BY stem"
+    " ORDER BY n DESC, stem LIMIT 20"
+)
+
+
+def q_mmr_embeddings(sf_dir: str):
+    """Maximal Marginal Relevance diverse top-10
+    (similarity.mmr_select): distributed exact top-64 cosine
+    prefilter against a fixed unit query, then the deterministic
+    greedy relevance-vs-redundancy loop on the ≤64-row pool.
+    Rows-only by nature (the greedy argmax chain is not reasonably
+    SQL-expressible); determinism is pinned by the rows-only
+    double-run net and unit tests."""
+    from ..stages.similarity import mmr_select
+
+    embs = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    first = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                          columns=["embedding"]).column(
+        "embedding")[0].as_py()
+    dim = len(first)
+    q = np.zeros(dim, np.float32)
+    q[0] = 1.0
+    return mmr_select(embs, q, k=10, lam=0.7, pool=64)
+
+
+QUERIES["mmr_embeddings"] = q_mmr_embeddings

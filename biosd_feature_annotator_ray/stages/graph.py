@@ -6006,3 +6006,126 @@ def referential_integrity(
     return pa.Table.from_pandas(
         out[["pred", "n_edges", "n_dangling", "dangling_ratio"]],
         preserve_index=False)
+
+
+def neighbor_agg(
+    edges,
+    feats,
+    k: int = 2,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "node",
+    feat_col: str = "x",
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """k-hop neighbor feature propagation (GraphSAGE-mean-style
+    pre-aggregation, the graph-ML feature-engineering primitive):
+    per node, hop h's feature is the MEAN of its in-neighbors'
+    hop-(h−1) features, seeded from ``feats``; nodes with no
+    in-neighbors at a hop carry NULL for that hop (SQL AVG-over-join
+    semantics). Output: one row per node that appears at any hop,
+    ``(node, x_h1 … x_hk)``.
+
+    Scale shape: per hop, ONE shuffle join (edges ⋈ current features
+    on src) + ONE composite sum_by_key producing (Σ feat, Σ 1) per
+    dst — the mean is algebraic, so map-side combining applies; the
+    feature table never exceeds |V| rows and hop h never revisits
+    hop h−1's edges. k is validated ≤ 8 (each hop is a shuffle)."""
+    import ray.data as rd
+
+    from .canonicalize import sum_by_key
+    from .join import shuffle_hash_join
+
+    if not 1 <= k <= 8:
+        raise ValueError("k must be in [1, 8]")
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) \
+        else edges
+    feats_ds = rd.from_arrow(feats) if isinstance(feats, pa.Table) \
+        else feats
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"src": t.column(src_col),
+                            "dst": t.column(dst_col)}),
+        batch_format="pyarrow")
+    cur = feats_ds.map_batches(
+        lambda t: pa.table({
+            "src": t.column(id_col),
+            "f": pc.cast(t.column(feat_col), pa.float64())}),
+        batch_format="pyarrow")
+    hops = []
+    for h in range(1, k + 1):
+        j = shuffle_hash_join(e, cur, on=["src"], how="inner", nb=nb)
+        j = j.map_batches(
+            lambda t: pa.table({
+                "dst": t.column("dst"), "f": t.column("f"),
+                "one": pa.array(np.ones(t.num_rows, np.float64))}),
+            batch_format="pyarrow")
+        sf = sum_by_key(j, "dst", "f", nb=nb, out_col="sf")
+        cn = sum_by_key(j.map_batches(
+            lambda t: t.select(["dst", "one"]),
+            batch_format="pyarrow"), "dst", "one", nb=nb,
+            out_col="cnt")
+        m = shuffle_hash_join(sf, cn, on=["dst"], how="inner", nb=nb)
+        cur = m.map_batches(
+            lambda t: pa.table({
+                "src": t.column("dst"),
+                "f": pc.divide(t.column("sf"), t.column("cnt"))}),
+            batch_format="pyarrow").materialize()
+        hops.append((h, cur))
+    # assemble the per-hop columns with full-outer joins on node
+    out = None
+    for h, ds_h in hops:
+        col = ds_h.map_batches(
+            lambda t, name=f"x_h{h}": pa.table({
+                "node": t.column("src"), name: t.column("f")}),
+            batch_format="pyarrow")
+        out = col if out is None else shuffle_hash_join(
+            out, col, on=["node"], how="full", nb=nb)
+    return out
+
+
+def edge_cut_report(
+    edges,
+    n_parts: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    nb: int = 16,
+) -> "pa.Table":
+    """Partitioning-quality census — for a hash partitioning of nodes
+    into ``n_parts`` (the repo's md5 convention), the fraction of
+    edges whose endpoints land in different partitions (the edge cut
+    every per-partition graph operator pays as shuffle volume at
+    scale). ONE stateless pass + a scalar reduce; md5-replayable, so
+    a SQL oracle re-derives it. Returns ONE row
+    ``(n_edges, n_cut, cut_ratio)``; null-endpoint edges are
+    excluded (no partition)."""
+    import hashlib
+
+    import ray.data as rd
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) \
+        else edges
+
+    def part(ids) -> np.ndarray:
+        return np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             % n_parts for i in ids), np.int64, count=len(ids))
+
+    def census(t: pa.Table) -> pa.Table:
+        s, d = t.column(src_col), t.column(dst_col)
+        ok = pc.and_(pc.is_valid(s), pc.is_valid(d))
+        t2 = pa.table({"s": s, "d": d}).filter(ok)
+        ps = part(t2.column("s").to_pylist())
+        pd_ = part(t2.column("d").to_pylist())
+        return pa.table({
+            "n": pa.array([len(ps)], pa.int64()),
+            "cut": pa.array([int((ps != pd_).sum())], pa.int64())})
+
+    parts = edges_ds.map_batches(census, batch_format="pyarrow",
+                                 batch_size=65536).take_all()
+    n = sum(r["n"] for r in parts)
+    cut = sum(r["cut"] for r in parts)
+    return pa.table({
+        "n_edges": pa.array([n], pa.int64()),
+        "n_cut": pa.array([cut], pa.int64()),
+        "cut_ratio": pa.array(
+            [round(cut / n, 6) if n else None], pa.float64())})

@@ -365,3 +365,57 @@ def inclusion_matrix(
     df = (pd.DataFrame(out).sort_values(["l_col", "r_col"])
           .reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def fd_violations(
+    ds: "object",
+    det_col: str,
+    dep_col: str,
+    nb: int = 16,
+) -> pa.Table:
+    """Approximate functional-dependency check det → dep — the schema
+    QA probe behind "is predicate P single-valued per subject?" /
+    "does url determine lang?": confidence is the g3-style measure
+
+        conf = (Σ_det max_dep count) / n
+
+    i.e. the fraction of rows kept if every determinant group were
+    forced to its majority dependent; ``violations = n − kept``. An
+    exact FD has conf = 1. Null determinants and null dependents are
+    each their own value (SQL GROUP BY semantics). Scale shape: ONE
+    composite (det, dep) census (map-side combined), a per-det argmax
+    over census rows, and a scalar reduce — the data never moves.
+    Returns ONE row ``(n, n_det, violations, confidence)``."""
+    import pyarrow.compute as pc
+
+    from .canonicalize import groupby_argmax, sum_by_key
+
+    def census(t: pa.Table) -> pa.Table:
+        out = pa.table({
+            "det": pc.cast(t.column(det_col), pa.string()),
+            "dep": pc.cast(t.column(dep_col), pa.string())})
+        return out.append_column(
+            "n", pa.array(np.ones(out.num_rows, np.int64)))
+
+    cen = sum_by_key(
+        ds.map_batches(census, batch_format="pyarrow"),
+        ["det", "dep"], "n", nb=nb).materialize()
+    best = groupby_argmax(cen, ["det"], ["n"], [False], nb=nb)
+    kept = 0
+    n_det = 0
+    for b in best.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b
+        kept += int(pc.sum(t.column("n")).as_py() or 0)
+        n_det += t.num_rows
+    n = 0
+    for b in cen.iter_batches(batch_format="pyarrow"):
+        t = pa.Table.from_batches([b]) if isinstance(
+            b, pa.RecordBatch) else b
+        n += int(pc.sum(t.column("n")).as_py() or 0)
+    return pa.table({
+        "n": pa.array([n], pa.int64()),
+        "n_det": pa.array([n_det], pa.int64()),
+        "violations": pa.array([n - kept], pa.int64()),
+        "confidence": pa.array(
+            [round(kept / n, 6) if n else None], pa.float64())})

@@ -1687,3 +1687,91 @@ def blocking_quality(
         "candidates": pa.array([candidates], pa.int64()),
         "pair_completeness": pa.array([round(pcmp, 6)], pa.float64()),
         "reduction_ratio": pa.array([round(rr, 6)], pa.float64())})
+
+
+def mmr_select(
+    vecs: "ray.data.Dataset",
+    query: "np.ndarray",
+    k: int = 10,
+    lam: float = 0.7,
+    pool: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> pa.Table:
+    """Maximal Marginal Relevance diverse top-k — the
+    relevance-vs-redundancy selector for retrieval-augmented and
+    few-shot example curation: greedily pick
+
+        argmax_d  lam·sim(d, q) − (1 − lam)·max_{s∈S} sim(d, s)
+
+    over a candidate pool. Scale shape: the DISTRIBUTED part is an
+    exact cosine top-``pool`` prefilter against the query (the same
+    broadcast-matmul path as knn_brute_force, never materializing the
+    corpus); only the pool (≤ ``pool`` rows, validated ≤ 4096) lands
+    on the driver for the inherently-sequential greedy loop — which
+    is O(pool·k) dot products on a (pool × dim) matrix. Deterministic:
+    ties break by (score desc, id asc) through a stable lexsort.
+    Returns (rank, vec_id, relevance, mmr_score)."""
+    if not 1 <= pool <= 4096:
+        raise ValueError("pool must be in [1, 4096]")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    q = np.asarray(query, np.float32).reshape(1, -1)
+    qt = pa.table({id_col: pa.array([np.int64(-1)]),
+                   vec_col: pa.array([q[0].tolist()],
+                                     pa.list_(pa.float32()))})
+    cand = knn_brute_force(vecs, qt, k=pool, id_col=id_col,
+                           vec_col=vec_col, exclude_self=False)
+    rows = cand.to_pandas()
+    ids = rows[id_col].to_numpy(np.int64)
+    # re-fetch the pool's vectors: one pruned pass with a broadcast
+    # membership set (pool ids are few) — no driver scan of the corpus
+    want = np.sort(ids)
+
+    def pick(t: pa.Table) -> pa.Table:
+        got = t.column(id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        return t.filter(pa.array(np.isin(got, want)))
+
+    pool_t = pa.concat_tables([
+        pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
+        else b
+        for b in vecs.map_batches(
+            pick, batch_format="pyarrow").iter_batches(
+                batch_format="pyarrow")])
+    pids = pool_t.column(id_col).to_numpy(zero_copy_only=False)
+    M = _normalize(_stack(pool_t.column(vec_col)))
+    rel = (M @ _normalize(q.astype(np.float64)).T).ravel()
+    # deterministic order: relevance desc, id asc
+    order = np.lexsort((pids, -rel))
+    pids, M, rel = pids[order], M[order], rel[order]
+    chosen: list[int] = []
+    chosen_rows: list[dict] = []
+    max_sim = np.full(len(pids), -np.inf)
+    alive = np.ones(len(pids), bool)
+    for rank in range(min(k, len(pids))):
+        if chosen:
+            s = M @ M[chosen[-1]]
+            max_sim = np.maximum(max_sim, s)
+        score = np.where(
+            alive,
+            lam * rel - (1 - lam) * np.where(
+                np.isfinite(max_sim), max_sim, 0.0)
+            if chosen else lam * rel,
+            -np.inf)
+        j = int(np.argmax(score))  # argmax takes first -> id-asc tie
+        alive[j] = False
+        chosen.append(j)
+        chosen_rows.append({
+            "rank": rank + 1, id_col: int(pids[j]),
+            "relevance": round(float(rel[j]), 6),
+            "mmr_score": round(float(score[j]), 6)})
+    return pa.table({
+        "rank": pa.array([r["rank"] for r in chosen_rows],
+                         pa.int32()),
+        id_col: pa.array([r[id_col] for r in chosen_rows],
+                         pa.int64()),
+        "relevance": pa.array([r["relevance"] for r in chosen_rows],
+                              pa.float64()),
+        "mmr_score": pa.array([r["mmr_score"] for r in chosen_rows],
+                              pa.float64())})
