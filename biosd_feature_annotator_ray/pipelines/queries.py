@@ -13750,3 +13750,125 @@ def q_mmr_embeddings(sf_dir: str):
 
 
 QUERIES["mmr_embeddings"] = q_mmr_embeddings
+
+
+def q_mann_kendall_events(sf_dir: str):
+    """Mann–Kendall monotonic-trend test per user
+    (windows.mann_kendall_per_key) over event values in time order —
+    the nonparametric drift detector complementing the OLS
+    trend_per_type. Fully oracled (pairwise sign self-join twin +
+    tie-census variance + continuity-corrected z)."""
+    from ..stages.windows import mann_kendall_per_key
+
+    return mann_kendall_per_key(
+        _events(sf_dir, ["event_id", "ts", "user_id", "value"]),
+        key_col="user_id", value_col="value",
+        order_cols=["ts", "event_id"], nb=4)
+
+
+QUERIES["mann_kendall_events"] = q_mann_kendall_events
+
+ORACLES["mann_kendall_events"] = (
+    "WITH r AS (SELECT user_id, value,"
+    "   row_number() OVER (PARTITION BY user_id"
+    "    ORDER BY ts, event_id) AS rn FROM events"
+    "  WHERE value IS NOT NULL),"
+    " s AS (SELECT a.user_id,"
+    "   sum(sign(b.value - a.value)) AS s FROM r a"
+    "  JOIN r b ON a.user_id = b.user_id AND a.rn < b.rn"
+    "  GROUP BY a.user_id),"
+    " nn AS (SELECT user_id, count(*) * 1.0 AS n FROM r"
+    "  GROUP BY user_id),"
+    " ties AS (SELECT user_id,"
+    "   coalesce(sum(CASE WHEN c > 1"
+    "    THEN c * (c - 1) * (2 * c + 5) ELSE 0 END), 0) AS tv"
+    "  FROM (SELECT user_id, value, count(*) * 1.0 AS c FROM r"
+    "   GROUP BY user_id, value) GROUP BY user_id),"
+    " v AS (SELECT nn.user_id, nn.n,"
+    "   coalesce(s.s, 0) AS s,"
+    "   (nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tv) / 18.0 AS var"
+    "  FROM nn LEFT JOIN s ON nn.user_id = s.user_id"
+    "  JOIN ties ON nn.user_id = ties.user_id)"
+    " SELECT user_id, CAST(n AS BIGINT) AS n,"
+    "  CAST(s AS BIGINT) AS s_stat, round(var, 6) AS var_s,"
+    "  CASE WHEN var > 0 THEN round((s - sign(s)) / sqrt(var), 4)"
+    "   ELSE NULL END AS z FROM v"
+)
+
+
+def q_phrase_search_docs(sf_dir: str):
+    """Exact positional phrase search (textindex.phrase_search) for
+    the repeated-word phrase 'batch batch': per matching doc, the
+    number of adjacent in-order occurrences (overlaps count). One
+    composite census shuffle — no k−1 join chain; the full
+    vocabulary never enters the pipeline. Fully oracled (zipped
+    unnest + slot-anchor HAVING twin)."""
+    from ..stages.textindex import phrase_search
+
+    out = phrase_search(_docs(sf_dir, ["doc_id", "text"]),
+                        "batch batch", nb=4)
+    return out
+
+
+QUERIES["phrase_search_docs"] = q_phrase_search_docs
+
+ORACLES["phrase_search_docs"] = (
+    "WITH toks AS (SELECT doc_id,"
+    "   unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+    "    AS tok,"
+    "   unnest(range(0, len(regexp_split_to_array(trim(lower(text)),"
+    "    '\\s+')))) AS pos FROM documents),"
+    " slots AS (SELECT * FROM (VALUES ('batch', 0), ('batch', 1))"
+    "  s(w, off)),"
+    " fire AS (SELECT DISTINCT t.doc_id, t.pos - s.off AS anchor,"
+    "   s.off AS slot FROM toks t JOIN slots s ON t.tok = s.w"
+    "  WHERE t.pos - s.off >= 0),"
+    " m AS (SELECT doc_id, anchor FROM fire"
+    "  GROUP BY doc_id, anchor HAVING count(*) = 2)"
+    " SELECT doc_id, count(*) AS n_matches FROM m GROUP BY doc_id"
+)
+
+
+def q_temperature_mix(sf_dir: str):
+    """Temperature-scaled source mixing (α = 0.5) — the multilingual
+    /multi-domain rebalancing recipe (upweight small sources,
+    downweight heads, e.g. mBERT/XLM-R style n^α sampling): a
+    source-size census sets mixture weights ∝ n_s^0.5, then
+    canonicalize.mixture_sample hits the 200-doc target with the
+    md5-smallest replayable draw. Fully oracled (census + pow
+    weights + floor quotas + md5 row_number twin)."""
+    from ..stages.canonicalize import mixture_sample, sum_by_key
+
+    docs = _docs(sf_dir, ["doc_id", "source"])
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t.column("source"),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cen = {r["source"]: r["n"] for r in sum_by_key(
+        docs.map_batches(one, batch_format="pyarrow"),
+        "source", "n", nb=4).take_all()}
+    tot = sum(v ** 0.5 for v in cen.values())
+    weights = {s: (v ** 0.5) / tot for s, v in cen.items()}
+    out = mixture_sample(docs, "source", weights, total_n=200,
+                         id_col="doc_id", seed=0, nb=4)
+    return out
+
+
+QUERIES["temperature_mix"] = q_temperature_mix
+
+ORACLES["temperature_mix"] = (
+    "WITH cen AS (SELECT source, count(*) AS n FROM documents"
+    "  GROUP BY source),"
+    " w AS (SELECT source,"
+    "   sqrt(n) / (SELECT sum(sqrt(n)) FROM cen) AS w FROM cen),"
+    " q AS (SELECT source, CAST(floor(200 * w) AS BIGINT) AS quota"
+    "  FROM w),"
+    " r AS (SELECT d.doc_id, d.source, row_number() OVER"
+    "   (PARTITION BY d.source ORDER BY"
+    "    md5(CAST(d.doc_id AS VARCHAR) || ':0'), d.doc_id) AS rn"
+    "  FROM documents d)"
+    " SELECT r.doc_id, r.source FROM r JOIN q"
+    "  ON r.source = q.source WHERE r.rn <= q.quota"
+)

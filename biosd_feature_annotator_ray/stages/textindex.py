@@ -219,3 +219,97 @@ def text_index_dir_for(parquet_path: str, base: str = "/tmp") -> str:
     from .similarity import index_dir_for
 
     return index_dir_for(parquet_path, base=base, prefix="graft_text_idx")
+
+
+def phrase_search(
+    docs: "object",
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    nb: int = 16,
+) -> "object":
+    """Exact positional phrase search — "find documents containing
+    these words adjacently, in order" (the IR primitive BM25's
+    bag-of-words scoring cannot express). Tokenization matches the
+    repo convention (whitespace split of trimmed text, lowercase).
+
+    Scale shape: the tokenize map emits (doc, pos) postings for the
+    PHRASE'S terms only (the full vocabulary never enters the
+    pipeline); term i's postings are rebased to ``pos − i`` so an
+    adjacent in-order match is a (doc, rebased-pos) key shared by ALL
+    terms — one composite census counting distinct terms per key
+    finds matches without any join chain (k-term phrase = one
+    shuffle, not k−1 joins). A phrase with repeated words is handled
+    by requiring ALL k distinct (term, offset) slots to fire.
+    Output: ``(doc_id, n_matches)`` per matching document.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from ..stages.canonicalize import sum_by_key
+
+    words = [w.lower() for w in phrase.strip().split()]
+    if not words:
+        raise ValueError("empty phrase")
+    k = len(words)
+    # slot id per (word, offset) pair — repeated words keep distinct
+    # slots, so "the big the" needs 'the' at BOTH offsets 0 and 2
+    slots = {(w, i) for i, w in enumerate(words)}
+    wordset = sorted({w for w, _ in slots})
+
+    def postings(t: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(t.column(text_col))),
+            r"\s+")
+        lens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        ids = np.repeat(
+            t.column(id_col).to_numpy(zero_copy_only=False), lens)
+        pos = (np.arange(len(flat), dtype=np.int64)
+               - np.repeat(np.cumsum(lens) - lens, lens))
+        keep = pc.is_in(flat, value_set=pa.array(wordset))
+        keepn = keep.to_numpy(zero_copy_only=False)
+        fl = flat.filter(keep)
+        ids, pos = ids[keepn], pos[keepn]
+        # expand to (doc, anchor = pos − offset, slot) rows
+        out_ids, out_anchor, out_slot = [], [], []
+        for w, off in slots:
+            m = pc.equal(fl, w).to_numpy(zero_copy_only=False)
+            a = pos[m] - off
+            ok = a >= 0
+            out_ids.append(ids[m][ok])
+            out_anchor.append(a[ok])
+            out_slot.append(np.full(int(ok.sum()),
+                                    off, np.int64))
+        return pa.table({
+            "doc": pa.array(np.concatenate(out_ids)
+                            if out_ids else
+                            np.array([], np.int64)),
+            "anchor": pa.array(np.concatenate(out_anchor)
+                               if out_anchor else
+                               np.array([], np.int64)),
+            "slot": pa.array(np.concatenate(out_slot)
+                             if out_slot else np.array([], np.int64)),
+            "one": pa.array(np.ones(
+                sum(len(a) for a in out_ids), np.int64))})
+
+    ds = docs.map_batches(postings, batch_format="pyarrow")
+    # distinct slots per (doc, anchor): a full match fires all k
+    per_slot = sum_by_key(ds, ["doc", "anchor", "slot"], "one", nb=nb)
+    per_anchor = sum_by_key(
+        per_slot.map_batches(
+            lambda t: pa.table({
+                "doc": t.column("doc"), "anchor": t.column("anchor"),
+                "one": pa.array(np.ones(t.num_rows, np.int64))}),
+            batch_format="pyarrow"),
+        ["doc", "anchor"], "one", nb=nb, out_col="n_slots")
+    def to_hits(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("n_slots"), k))
+        return pa.table({
+            "doc_id": t.column("doc"),
+            "one": pa.array(np.ones(t.num_rows, np.int64))})
+
+    return sum_by_key(
+        per_anchor.map_batches(to_hits, batch_format="pyarrow"),
+        "doc_id", "one", nb=nb, out_col="n_matches")

@@ -2609,3 +2609,88 @@ def cusum_per_key(
         .groupby(_B)
         .map_groups(finish, batch_format="pyarrow")
     )
+
+
+def mann_kendall_per_key(
+    events: "ray.data.Dataset",
+    key_col: str = "user_id",
+    value_col: str = "value",
+    order_cols: list[str] | None = None,
+    nb: int = 16,
+    max_rows_per_key: int = 4096,
+    round_to: int = 4,
+) -> "ray.data.Dataset":
+    """Mann–Kendall monotonic-trend test per key — the standard
+    nonparametric "is this series drifting?" detector (no linearity
+    or normality assumption, robust to outliers — complements the
+    OLS ``trend_per_key``):
+
+        S = Σ_{i<j} sign(x_j − x_i)          (time order, ties = 0)
+        Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18
+        z = (S ∓ 1) / sqrt(Var(S))           (continuity-corrected)
+
+    Null values carry no observation. Per-key work is the exact
+    pairwise sign sum — O(n²) cells vectorized per run, guarded by
+    ``max_rows_per_key`` (beyond it, raises: subsample or bucket the
+    series first; the pairwise census is the DEFINITION, not an
+    implementation shortcut, so there is no cheaper exact path
+    without a merge-count pass). Output per key: ``(key, n, s_stat,
+    var_s, z)``; z is null when Var(S) = 0 (all ties or n < 2).
+    """
+    oc = order_cols or ["ts", "event_id"]
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(batch, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        _check_bucket(g, "mann_kendall_per_key", None)
+        t, new, start = _sorted_runs(g, key_col, oc)
+        col = pc.cast(t.column(value_col), pa.float64())
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(col, 0.0).to_numpy(zero_copy_only=False)
+        heads = np.flatnonzero(new)
+        lens = np.diff(np.append(heads, len(t)))
+        keys = pa.table({key_col: t.column(key_col)}).take(
+            pa.array(heads))[key_col]
+        out = {"n": [], "s": [], "var": [], "z": []}
+        for h, ln in zip(heads, lens):
+            x = v[h:h + ln][valid[h:h + ln]]
+            n = len(x)
+            if n > max_rows_per_key:
+                raise ValueError(
+                    f"mann_kendall_per_key: key holds {n} values "
+                    f"(> max_rows_per_key={max_rows_per_key})")
+            if n < 2:
+                out["n"].append(n)
+                out["s"].append(0)
+                out["var"].append(0.0)
+                out["z"].append(None)
+                continue
+            sgn = np.sign(x[None, :] - x[:, None])
+            s = int(np.triu(sgn, 1).sum())
+            _, tie_counts = np.unique(x, return_counts=True)
+            tt = tie_counts[tie_counts > 1].astype(np.float64)
+            var = (n * (n - 1) * (2 * n + 5)
+                   - float(np.sum(tt * (tt - 1) * (2 * tt + 5)))) / 18.0
+            if var > 0:
+                zc = (s - 1 if s > 0 else (s + 1 if s < 0 else 0))
+                z = round(zc / np.sqrt(var), round_to)
+            else:
+                z = None
+            out["n"].append(n)
+            out["s"].append(s)
+            out["var"].append(round(var, 6))
+            out["z"].append(z)
+        return pa.table({
+            key_col: keys,
+            "n": pa.array(out["n"], pa.int64()),
+            "s_stat": pa.array(out["s"], pa.int64()),
+            "var_s": pa.array(out["var"], pa.float64()),
+            "z": pa.array(out["z"], pa.float64())})
+
+    return (
+        events.map_batches(local, batch_format="pyarrow",
+                           batch_size=65536)
+        .groupby(_B)
+        .map_groups(finish, batch_format="pyarrow")
+    )
