@@ -374,6 +374,34 @@ def main(argv: list[str] | None = None) -> int:
                      help="parquet with (node, label)")
     pmo.add_argument("--num-cpus", type=int, default=8)
 
+    pstat = sub.add_parser("stats", help="statistical tests over a "
+                           "parquet: chi-square independence, Welch "
+                           "t-test, two-sample KS, jackknife mean CI, "
+                           "FD check")
+    pstat.add_argument("--input", required=True)
+    pstat.add_argument("--test", required=True,
+                       choices=["contingency", "welch", "ks",
+                                "jackknife", "fd"])
+    pstat.add_argument("--col-a", required=True,
+                       help="first column (group/determinant/id col)")
+    pstat.add_argument("--col-b", required=True,
+                       help="second column (value/dependent col)")
+    pstat.add_argument("--group-a", help="first group value "
+                       "(welch/ks)")
+    pstat.add_argument("--group-b", help="second group value "
+                       "(welch/ks)")
+    pstat.add_argument("--n-groups", type=int, default=20,
+                       help="jackknife group count")
+    pstat.add_argument("--num-cpus", type=int, default=8)
+
+    pph = sub.add_parser("phrase", help="exact positional phrase "
+                         "search over a documents parquet")
+    pph.add_argument("--input", required=True)
+    pph.add_argument("--phrase", required=True)
+    pph.add_argument("--text-col", default="text")
+    pph.add_argument("--id-col", default="doc_id")
+    pph.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -883,6 +911,69 @@ def main(argv: list[str] | None = None) -> int:
             row = modularity(rd.read_parquet(args.edges),
                              rd.read_parquet(args.labels)).to_pylist()[0]
             print(json.dumps(row))
+            return 0
+
+        if args.cmd == "stats":
+            import ray.data as rd
+
+            ds = rd.read_parquet(args.input,
+                                 columns=[args.col_a, args.col_b])
+            if args.test == "contingency":
+                from biosd_feature_annotator_ray.stages.sketches import (
+                    contingency_stats,
+                )
+
+                row = contingency_stats(ds, args.col_a,
+                                        args.col_b).to_pylist()[0]
+            elif args.test == "welch":
+                from biosd_feature_annotator_ray.stages.sketches import (
+                    welch_ttest,
+                )
+
+                row = welch_ttest(ds, args.col_a, args.col_b,
+                                  args.group_a,
+                                  args.group_b).to_pylist()[0]
+            elif args.test == "ks":
+                from biosd_feature_annotator_ray.stages.sketches import (
+                    ks_test,
+                )
+
+                row = ks_test(ds, args.col_a, args.col_b,
+                              args.group_a, args.group_b).to_pylist()[0]
+            elif args.test == "jackknife":
+                from biosd_feature_annotator_ray.stages.sketches import (
+                    jackknife_mean,
+                )
+
+                row = jackknife_mean(ds, args.col_a, args.col_b,
+                                     n_groups=args.n_groups
+                                     ).to_pylist()[0]
+            else:
+                from biosd_feature_annotator_ray.stages.profile import (
+                    fd_violations,
+                )
+
+                row = fd_violations(ds, args.col_a,
+                                    args.col_b).to_pylist()[0]
+            print(json.dumps(row))
+            return 0
+
+        if args.cmd == "phrase":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.textindex import (
+                phrase_search,
+            )
+
+            out = phrase_search(
+                rd.read_parquet(args.input,
+                                columns=[args.id_col, args.text_col]),
+                args.phrase, text_col=args.text_col,
+                id_col=args.id_col)
+            df = out.to_pandas().sort_values(args.id_col)
+            print(json.dumps({"matching_docs": int(len(df)),
+                              "total_matches":
+                                  int(df["n_matches"].sum())}))
             return 0
 
         if args.cmd == "ntexport":

@@ -119,3 +119,48 @@ def test_phrase_search_case_and_three_words():
     assert got == {0: 1, 2: 2}
     with pytest.raises(ValueError):
         phrase_search(_docs_tbl(["x"]), "   ")
+
+
+def test_cli_stats_and_phrase(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq_
+
+    def run(*cli):
+        out = subprocess.run(
+            [sys.executable, "-m", "biosd_feature_annotator_ray",
+             *cli, "--num-cpus", "2"],
+            capture_output=True, text=True, check=True,
+            cwd="/root/repo")
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    t = pa.table({
+        "g": pa.array(["a"] * 40 + ["b"] * 40),
+        "x": pa.array([float(i % 7) for i in range(40)]
+                      + [float(i % 7) + 2.0 for i in range(40)])})
+    p = tmp_path / "t.parquet"
+    pq_.write_table(t, str(p))
+    got = run("stats", "--input", str(p), "--test", "welch",
+              "--col-a", "g", "--col-b", "x",
+              "--group-a", "a", "--group-b", "b")
+    assert got["n_a"] == 40 and got["mean_b"] - got["mean_a"] == \
+        pytest.approx(2.0, abs=1e-6)
+    got = run("stats", "--input", str(p), "--test", "ks",
+              "--col-a", "g", "--col-b", "x",
+              "--group-a", "a", "--group-b", "b")
+    assert 0.0 < got["d_stat"] <= 1.0
+    got = run("stats", "--input", str(p), "--test", "fd",
+              "--col-a", "g", "--col-b", "x")
+    assert got["n"] == 80
+
+    d = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["alpha beta alpha beta", "beta alpha"])})
+    dp = tmp_path / "d.parquet"
+    pq_.write_table(d, str(dp))
+    got = run("phrase", "--input", str(dp), "--phrase", "alpha beta")
+    # doc 1 has two overlap-free occurrences; "beta alpha" is NOT a
+    # match (order matters)
+    assert got == {"matching_docs": 1, "total_matches": 2}
