@@ -274,6 +274,12 @@ def run_queries() -> dict:
         "community_conductance", "span_agreement",
         "dau_mau",
         "phonetic_er",
+        # round-4 thirteenth sitting
+        "mann_kendall_events", "phrase_search_docs",
+        "temperature_mix", "fd_check_docs", "s_stem_terms",
+        "join_cardinality", "expectations_orders",
+        "sample_neighbors", "c4_lines", "allen_relations",
+        "fs_em_params",
     ]
     out = {}
     for name in names:

@@ -13872,3 +13872,318 @@ ORACLES["temperature_mix"] = (
     " SELECT r.doc_id, r.source FROM r JOIN q"
     "  ON r.source = q.source WHERE r.rn <= q.quota"
 )
+
+
+def q_join_cardinality(sf_dir: str):
+    """EXACT inner-join cardinality WITHOUT running the join
+    (join.join_cardinality_estimate): the planner probe behind "can
+    we afford click x purchase on user_id / which keys explode it" —
+    joins the two per-key COUNT censuses instead of the data and
+    reports Sum n_l*n_r plus the heaviest (salting-candidate) keys.
+    Fully oracled (census-join + row_number top-5 twin)."""
+    from ..stages.join import join_cardinality_estimate
+
+    ev = _events(sf_dir, ["user_id", "event_type"])
+    clicks = ev.filter(expr="event_type == 'click'")
+    buys = ev.filter(expr="event_type == 'purchase'")
+    return join_cardinality_estimate(clicks, buys, "user_id", nb=4)
+
+
+QUERIES["join_cardinality"] = q_join_cardinality
+
+ORACLES["join_cardinality"] = (
+    "WITH l AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS nl"
+    "  FROM events WHERE event_type = 'click'"
+    "   AND user_id IS NOT NULL GROUP BY 1),"
+    " r AS (SELECT CAST(user_id AS VARCHAR) AS k, count(*) AS nr"
+    "  FROM events WHERE event_type = 'purchase'"
+    "   AND user_id IS NOT NULL GROUP BY 1),"
+    " j AS (SELECT l.k, nl * nr AS rows_ FROM l JOIN r USING (k)),"
+    " t AS (SELECT k, rows_, row_number() OVER"
+    "   (ORDER BY rows_ DESC, k) AS rn FROM j)"
+    " SELECT coalesce((SELECT CAST(sum(rows_) AS BIGINT) FROM j), 0)"
+    "   AS est_rows,"
+    "  (SELECT count(*) FROM j) AS n_common_keys,"
+    "  coalesce((SELECT CAST(max(rows_) AS BIGINT) FROM j), 0)"
+    "   AS max_key_rows,"
+    "  coalesce((SELECT string_agg(k || ':' || rows_, '|'"
+    "    ORDER BY rn) FROM t WHERE rn <= 5), '') AS top_keys"
+)
+
+
+def q_expectations_orders(sf_dir: str):
+    """Declarative data-quality gate over orders
+    (profile.expectations_report): dbt-style expectations — not_null,
+    unique (nulls exempt), accepted_values, in_range — validated in
+    ONE stateless counting pass plus one census shuffle per
+    unique-rule column; one report row per rule, order preserved.
+    Fully oracled (UNION ALL of per-rule count twins)."""
+    from ..stages.profile import expectations_report
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus",
+                 "o_totalprice"])
+    return expectations_report(orders, [
+        {"rule": "not_null", "col": "o_custkey"},
+        {"rule": "unique", "col": "o_orderkey"},
+        {"rule": "accepted_values", "col": "o_orderstatus",
+         "values": ["O", "F", "P"]},
+        {"rule": "in_range", "col": "o_totalprice",
+         "lo": 0.0, "hi": 600000.0},
+    ], nb=4)
+
+
+QUERIES["expectations_orders"] = q_expectations_orders
+
+ORACLES["expectations_orders"] = (
+    "WITH u AS (SELECT o_orderkey AS v, count(*) AS n FROM orders"
+    "  WHERE o_orderkey IS NOT NULL GROUP BY 1)"
+    " SELECT 'not_null' AS rule, 'o_custkey' AS col,"
+    "  count(*) AS n_checked,"
+    "  count(*) FILTER (o_custkey IS NULL) AS violations,"
+    "  count(*) FILTER (o_custkey IS NULL) = 0 AS ok FROM orders"
+    " UNION ALL"
+    " SELECT 'unique', 'o_orderkey',"
+    "  coalesce(CAST(sum(n) AS BIGINT), 0),"
+    "  coalesce(CAST(sum(n) FILTER (n > 1) AS BIGINT), 0),"
+    "  coalesce(CAST(sum(n) FILTER (n > 1) AS BIGINT), 0) = 0 FROM u"
+    " UNION ALL"
+    " SELECT 'accepted_values', 'o_orderstatus',"
+    "  count(o_orderstatus),"
+    "  count(*) FILTER (o_orderstatus IS NOT NULL"
+    "   AND o_orderstatus NOT IN ('O', 'F', 'P')),"
+    "  count(*) FILTER (o_orderstatus IS NOT NULL"
+    "   AND o_orderstatus NOT IN ('O', 'F', 'P')) = 0 FROM orders"
+    " UNION ALL"
+    " SELECT 'in_range', 'o_totalprice', count(o_totalprice),"
+    "  count(*) FILTER (o_totalprice < 0.0"
+    "   OR o_totalprice > 600000.0),"
+    "  count(*) FILTER (o_totalprice < 0.0"
+    "   OR o_totalprice > 600000.0) = 0 FROM orders"
+)
+
+
+def q_sample_neighbors(sf_dir: str):
+    """Deterministic GraphSAGE-style neighbor sampling
+    (graph.sample_neighbors): cap every node of the orders-derived
+    graph at its 3 smallest-md5-draw out-edges — replayable by
+    construction, so the SQL twin re-draws the identical sample
+    (row_number over the same md5 expression)."""
+    from ..stages.graph import sample_neighbors
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k = k[k >= 10]
+        return pa.table({"src": pa.array(k // 10, pa.int64()),
+                         "dst": pa.array(k % 97, pa.int64())})
+
+    out = sample_neighbors(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        k=3, seed=7, nb=4)
+    return out
+
+
+QUERIES["sample_neighbors"] = q_sample_neighbors
+
+ORACLES["sample_neighbors"] = (
+    "WITH e AS (SELECT DISTINCT o_orderkey // 10 AS src,"
+    "   o_orderkey % 97 AS dst FROM orders WHERE o_orderkey >= 10),"
+    " r AS (SELECT src, dst, row_number() OVER (PARTITION BY src"
+    "   ORDER BY CAST(('0x' || substr(md5(CAST(src AS VARCHAR) ||"
+    "    ':' || CAST(dst AS VARCHAR) || ':7'), 1, 8)) AS UBIGINT),"
+    "   dst) AS rn FROM e)"
+    " SELECT src, dst FROM r WHERE rn <= 3"
+)
+
+
+def q_c4_lines(sf_dir: str):
+    """C4-style line filtering (textstats.c4_line_filter) over
+    documents line-ified deterministically (' data ' -> '.\\n', so
+    most lines end terminal and the trailing fragment does not):
+    keep lines with >= 3 words ending in terminal punctuation, drop
+    line-less docs. ONE stateless map_batches — no shuffle. Fully
+    oracled (unnest + regexp + ordered string_agg twin)."""
+    from ..stages.textstats import c4_line_filter
+
+    def lineify(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "text": pc.replace_substring(
+                pc.fill_null(t.column("text"), ""), " data ",
+                ".\n")})
+
+    docs = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        lineify, batch_format="pyarrow")
+    return c4_line_filter(docs, min_words=3, min_lines=1)
+
+
+QUERIES["c4_lines"] = q_c4_lines
+
+ORACLES["c4_lines"] = (
+    "WITH d AS (SELECT doc_id, replace(coalesce(text, ''), ' data ',"
+    "   '.' || chr(10)) AS text FROM documents),"
+    " l AS (SELECT doc_id, unnest(string_split(text, chr(10)))"
+    "    AS line,"
+    "   unnest(range(1, len(string_split(text, chr(10))) + 1))"
+    "    AS ord FROM d),"
+    " f AS (SELECT doc_id, line, ord,"
+    "   (len(regexp_extract_all(trim(line), '\\S+')) >= 3"
+    "    AND regexp_matches(trim(line), '[.!?\"]$')) AS keep FROM l)"
+    " SELECT doc_id,"
+    "  string_agg(line, chr(10) ORDER BY ord) FILTER (keep) AS text,"
+    "  CAST(count(*) AS BIGINT) AS n_lines,"
+    "  CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept"
+    " FROM f GROUP BY doc_id HAVING count(*) FILTER (keep) >= 1"
+)
+
+
+def q_allen_relations(sf_dir: str):
+    """Allen interval-algebra join (join.allen_join) over
+    orders-derived validity intervals: classify every same-key
+    even-vs-odd interval pair into the 13 temporal relations, with
+    disjoint pairs kept only within gap 1. Fully oracled (equi-join
+    + identical CASE chain twin)."""
+    from ..stages.join import allen_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def iv(parity: int):
+        def f(t: pa.Table) -> pa.Table:
+            k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+            c = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            sel = (k % 2) == parity
+            k, c = k[sel], c[sel]
+            lo = (k % 30).astype(np.float64)
+            return pa.table({
+                "k": pa.array(c % 1000, pa.int64()),
+                "id": pa.array(k.astype(str)),
+                "lo": pa.array(lo),
+                "hi": pa.array(lo + (c % 5))})
+
+        return f
+
+    left = orders.map_batches(iv(0), batch_format="pyarrow")
+    right = orders.map_batches(iv(1), batch_format="pyarrow")
+    return allen_join(left, right, "k", "id", "id", max_gap=1, nb=8)
+
+
+QUERIES["allen_relations"] = q_allen_relations
+
+ORACLES["allen_relations"] = (
+    "WITH o AS (SELECT o_orderkey AS id, o_custkey % 1000 AS k,"
+    "   CAST(o_orderkey % 30 AS DOUBLE) AS lo,"
+    "   CAST(o_orderkey % 30 + o_custkey % 5 AS DOUBLE) AS hi,"
+    "   o_orderkey % 2 AS par FROM orders),"
+    " l AS (SELECT * FROM o WHERE par = 0),"
+    " r AS (SELECT * FROM o WHERE par = 1)"
+    " SELECT CAST(l.k AS VARCHAR) AS k,"
+    "  CAST(l.id AS VARCHAR) AS l_id, CAST(r.id AS VARCHAR) AS r_id,"
+    "  l.lo AS l_lo, l.hi AS l_hi, r.lo AS r_lo, r.hi AS r_hi,"
+    "  CASE WHEN l.lo = r.lo AND l.hi = r.hi THEN 'equals'"
+    "   WHEN l.lo = r.lo AND l.hi < r.hi THEN 'starts'"
+    "   WHEN l.lo = r.lo THEN 'started_by'"
+    "   WHEN l.hi = r.hi AND l.lo > r.lo THEN 'finishes'"
+    "   WHEN l.hi = r.hi THEN 'finished_by'"
+    "   WHEN l.hi = r.lo THEN 'meets'"
+    "   WHEN r.hi = l.lo THEN 'met_by'"
+    "   WHEN l.lo < r.lo AND r.lo < l.hi AND l.hi < r.hi"
+    "    THEN 'overlaps'"
+    "   WHEN r.lo < l.lo AND l.lo < r.hi AND r.hi < l.hi"
+    "    THEN 'overlapped_by'"
+    "   WHEN l.lo > r.lo AND l.hi < r.hi THEN 'during'"
+    "   WHEN l.lo < r.lo AND l.hi > r.hi THEN 'contains'"
+    "   WHEN l.hi < r.lo THEN 'before' ELSE 'after' END AS relation"
+    " FROM l JOIN r ON l.k = r.k"
+    " WHERE NOT (l.hi < r.lo AND r.lo - l.hi > 1)"
+    "  AND NOT (r.hi < l.lo AND l.lo - r.hi > 1)"
+)
+
+
+def q_fs_em_params(sf_dir: str):
+    """Unsupervised Fellegi-Sunter EM training
+    (similarity.fs_em_train): learn per-field m/u agreement rates and
+    the match prior from the o_custkey-blocked even-vs-odd order
+    pairs, comparing (o_orderpriority, o_orderstatus) — 3 EM
+    iterations. Fully oracled: the SQL twin rebuilds the
+    agreement-pattern census and unrolls the identical EM updates."""
+    from ..stages.similarity import fs_em_train
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderpriority",
+                 "o_orderstatus"])
+    def par(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            keys = t.column("o_orderkey")
+            return t.filter(pc.equal(
+                pc.bit_wise_and(keys, 1), p))
+
+        return f
+
+    left = orders.map_batches(par(0), batch_format="pyarrow")
+    right = orders.map_batches(par(1), batch_format="pyarrow")
+    t = fs_em_train(left, right, ["o_custkey"],
+                    [("o_orderpriority", "o_orderpriority"),
+                     ("o_orderstatus", "o_orderstatus")],
+                    iters=3, nb=8)
+    return pa.table({
+        "field": t.column("field"),
+        "m": pc.round(t.column("m"), 6),
+        "u": pc.round(t.column("u"), 6),
+        "w_agree": pc.round(t.column("w_agree"), 6),
+        "w_disagree": pc.round(t.column("w_disagree"), 6),
+        "p": pc.round(t.column("p"), 6)})
+
+
+QUERIES["fs_em_params"] = q_fs_em_params
+
+
+def _fs_em_oracle() -> str:
+    init = "SELECT 0.9 AS m0, 0.9 AS m1, 0.1 AS u0, 0.1 AS u1, 0.1 AS p"
+    ctes = [
+        ("cen", "SELECT "
+         " CASE WHEN l.o_orderpriority = r.o_orderpriority THEN 1"
+         "  ELSE 0 END AS b0,"
+         " CASE WHEN l.o_orderstatus = r.o_orderstatus THEN 1"
+         "  ELSE 0 END AS b1, count(*) AS n"
+         " FROM (SELECT * FROM orders WHERE o_orderkey % 2 = 0) l"
+         " JOIN (SELECT * FROM orders WHERE o_orderkey % 2 = 1) r"
+         "  ON l.o_custkey = r.o_custkey GROUP BY 1, 2"),
+        ("it0", init),
+    ]
+    for k in range(3):
+        ctes.append((f"e{k}",
+            f"SELECT cen.n, cen.b0, cen.b1,"
+            f" (p * pow(m0, b0) * pow(1 - m0, 1 - b0)"
+            f"    * pow(m1, b1) * pow(1 - m1, 1 - b1)) /"
+            f" ((p * pow(m0, b0) * pow(1 - m0, 1 - b0)"
+            f"    * pow(m1, b1) * pow(1 - m1, 1 - b1))"
+            f"  + ((1 - p) * pow(u0, b0) * pow(1 - u0, 1 - b0)"
+            f"    * pow(u1, b1) * pow(1 - u1, 1 - b1))) AS r"
+            f" FROM cen, it{k}"))
+        ctes.append((f"it{k + 1}",
+            f"SELECT sum(r * n) / sum(n) AS p,"
+            f" sum(r * n * b0) / sum(r * n) AS m0,"
+            f" sum(r * n * b1) / sum(r * n) AS m1,"
+            f" sum((1 - r) * n * b0) / sum((1 - r) * n) AS u0,"
+            f" sum((1 - r) * n * b1) / sum((1 - r) * n) AS u1"
+            f" FROM e{k}"))
+    body = ", ".join(f"{name} AS ({sql})" for name, sql in ctes)
+    rows = []
+    for i, fld in enumerate(["o_orderpriority=o_orderpriority",
+                             "o_orderstatus=o_orderstatus"]):
+        rows.append(
+            f"SELECT '{fld}' AS field, round(m{i}, 6) AS m,"
+            f" round(u{i}, 6) AS u,"
+            f" round(log2(m{i} / u{i}), 6) AS w_agree,"
+            f" round(log2((1 - m{i}) / (1 - u{i})), 6)"
+            f"  AS w_disagree, round(p, 6) AS p FROM it3")
+    return "WITH " + body + " " + " UNION ALL ".join(rows)
+
+
+ORACLES["fs_em_params"] = _fs_em_oracle()

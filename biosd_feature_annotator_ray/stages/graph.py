@@ -6129,3 +6129,56 @@ def edge_cut_report(
         "n_cut": pa.array([cut], pa.int64()),
         "cut_ratio": pa.array(
             [round(cut / n, 6) if n else None], pa.float64())})
+
+
+def sample_neighbors(
+    edges: "ray.data.Dataset",
+    k: int,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed: int = 7,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Deterministic k-per-node neighbor sampling — the GraphSAGE /
+    GNN mini-batch prep step (Hamilton et al. 2017, public): cap every
+    node's out-neighborhood at ``k`` sampled edges so downstream
+    feature aggregation touches a bounded fan-out even at hub nodes.
+    Replayable by construction (the random_walks contract): each
+    DISTINCT edge draws priority ``md5(f"{src}:{dst}:{seed}")`` and a
+    node keeps its k smallest-priority neighbors (ties — 32-bit md5
+    collisions — break by dst asc, so the draw is a total order and a
+    failed 100-TB job re-runs to the identical sample).
+
+    Scale shape: one exact-dedup bucket shuffle over the edge set,
+    then the generic ``topk_per_key`` kernel (one src-bucket shuffle,
+    Arrow-native rank, hot-hub buckets degrade via the sorted
+    sub-slice spill). Null endpoints are dropped (an edge with an
+    unknown end samples nothing). Output: ``(src, dst)`` with ≤ k
+    rows per src. SQL twin: row_number() OVER (PARTITION BY src
+    ORDER BY md5-draw, dst) ≤ k."""
+    from ..functions.hashing import md5_u32
+    from .canonicalize import dedup_exact
+    from .windows import topk_per_key
+
+    if k < 1:
+        raise ValueError("sample_neighbors: k must be >= 1")
+
+    def _sel(t: pa.Table) -> pa.Table:
+        s, d = t.column(src_col), t.column(dst_col)
+        return pa.table({"src": s, "dst": d}).filter(
+            pc.and_(pc.is_valid(s), pc.is_valid(d)))
+
+    E = dedup_exact(edges.map_batches(_sel, batch_format="pyarrow"),
+                    ["src", "dst"], nb=nb)
+
+    def prio(t: pa.Table) -> pa.Table:
+        s = pc.cast(t.column("src"), pa.string()).to_pylist()
+        d = pc.cast(t.column("dst"), pa.string()).to_pylist()
+        draws = md5_u32([f"{a}:{b}:{seed}" for a, b in zip(s, d)])
+        return t.append_column("__prio", pa.array(draws, pa.int64()))
+
+    ranked = topk_per_key(
+        E.map_batches(prio, batch_format="pyarrow"),
+        "src", ["__prio", "dst"], k=k, nb=nb)
+    return ranked.map_batches(
+        lambda t: t.select(["src", "dst"]), batch_format="pyarrow")

@@ -943,3 +943,230 @@ def band_join(
         return _df_to_schema(out.drop(columns=[_CELL]), wide)
 
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
+
+
+def join_cardinality_estimate(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: "str | list[str]",
+    nb: int = 16,
+    top: int = 5,
+) -> pa.Table:
+    """EXACT inner-join output cardinality WITHOUT running the join —
+    the planner probe behind "can we afford this join / which keys
+    explode it": |L ⋈ R| = Σ_k n_L(k)·n_R(k), computed by joining the
+    two per-key COUNT censuses (each ≪ the data; map-side combined)
+    instead of the data. Also reports the ``top`` heaviest keys —
+    exactly the salting candidates ``recommend_salt`` wants. Null
+    keys match nothing (SQL inner-join semantics). Returns ONE row
+    ``(est_rows, n_common_keys, max_key_rows, top_keys)`` where
+    top_keys is a '|'-joined "key:rows" string (deterministic order:
+    rows desc, key asc)."""
+    import pyarrow.compute as pc
+
+    from .canonicalize import sum_by_key
+
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def census(t: pa.Table) -> pa.Table:
+        cols = {f"k{i}": pc.cast(t.column(k), pa.string())
+                for i, k in enumerate(keys)}
+        out = pa.table(cols)
+        ok = None
+        for c in cols:
+            v = pc.is_valid(out.column(c))
+            ok = v if ok is None else pc.and_(ok, v)
+        out = out.filter(ok)
+        return out.append_column(
+            "n", pa.array(np.ones(out.num_rows, np.int64)))
+
+    kcols = [f"k{i}" for i in range(len(keys))]
+    lc = sum_by_key(left.map_batches(census, batch_format="pyarrow"),
+                    kcols, "n", nb=nb, out_col="nl")
+    rc = sum_by_key(right.map_batches(census, batch_format="pyarrow"),
+                    kcols, "n", nb=nb, out_col="nr")
+    j = shuffle_hash_join(lc, rc, on=kcols, how="inner", nb=nb)
+
+    def contrib(t: pa.Table) -> pa.Table:
+        nl = t.column("nl").to_numpy(zero_copy_only=False)
+        nr = t.column("nr").to_numpy(zero_copy_only=False)
+        rows = nl * nr
+        key_join = t.column(kcols[0])
+        for c in kcols[1:]:
+            key_join = pc.binary_join_element_wise(
+                key_join, t.column(c), ",")
+        kj = key_join.to_numpy(zero_copy_only=False)
+        order = np.lexsort((kj, -rows))[:top]
+        return pa.table({
+            "est": pa.array([int(rows.sum())], pa.int64()),
+            "nk": pa.array([len(rows)], pa.int64()),
+            "mx": pa.array([int(rows.max()) if len(rows) else 0],
+                           pa.int64()),
+            "top": pa.array(["|".join(
+                f"{kj[i]}:{rows[i]}" for i in order)], pa.string())})
+
+    parts = [r for r in j.map_batches(
+        contrib, batch_format="pyarrow").take_all()]
+    est = sum(r["est"] for r in parts)
+    nk = sum(r["nk"] for r in parts)
+    cand = []
+    for r in parts:
+        for item in (r["top"] or "").split("|"):
+            if item:
+                k, _, n = item.rpartition(":")
+                cand.append((int(n), k))
+    cand.sort(key=lambda x: (-x[0], x[1]))
+    return pa.table({
+        "est_rows": pa.array([est], pa.int64()),
+        "n_common_keys": pa.array([nk], pa.int64()),
+        "max_key_rows": pa.array(
+            [max((r["mx"] for r in parts), default=0)], pa.int64()),
+        "top_keys": pa.array(
+            ["|".join(f"{k}:{n}" for n, k in cand[:top])],
+            pa.string())})
+
+
+class AllenPairOverflow(RuntimeError):
+    """A single key's interval-pair cross product exceeded the bound —
+    classifying Allen relations is inherently per-key quadratic, so a
+    hot key must fail loudly instead of OOMing the bucket."""
+
+
+def allen_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    key: str,
+    l_id: str,
+    r_id: str,
+    lo: str = "lo",
+    hi: str = "hi",
+    max_gap: "int | float" = 0,
+    nb: int = 32,
+    max_pairs_per_bucket: int = 5_000_000,
+) -> "ray.data.Dataset":
+    """Allen interval-algebra join (Allen 1983, public): classify
+    every same-key interval pair into one of the 13 temporal
+    relations — the KG temporal-QA primitive behind "did fact A's
+    validity overlap / abut / contain fact B's?". Disjoint pairs are
+    only emitted while their gap is ≤ ``max_gap`` (``before``/
+    ``after``); beyond that the pair is dropped, which is what keeps
+    the operator affordable — unbounded "before" is all-pairs.
+
+    Relations (X = left, Y = right): equals, starts, started_by,
+    finishes, finished_by, meets, met_by, overlaps, overlapped_by,
+    during, contains, before, after — evaluated in that order, which
+    resolves zero-length-interval ambiguity deterministically.
+
+    Scale shape: ONE key-bucket co-location shuffle; per bucket a
+    fully vectorized two-sided run expansion (repeat/ordinal
+    arithmetic — no per-key Python) builds the same-key pairs, one
+    ``np.select`` classifies them. Per-key pair volume is guarded by
+    ``max_pairs_per_bucket`` (typed ``AllenPairOverflow``). Null
+    keys/bounds match nothing (SQL join semantics); ``lo > hi``
+    raises. Bounds may be ints, floats or timestamps; comparisons run
+    in float64, exact for ints/µs-timestamps up to 2^53 (year ~2255).
+    Output: ``(key, l_id, r_id, l_lo, l_hi, r_lo, r_hi, relation)``."""
+
+    def _prep(side: int, idc: str):
+        def f(t: pa.Table) -> pa.Table:
+            k, a, b = t.column(key), t.column(lo), t.column(hi)
+            ok = pc.and_(pc.and_(pc.is_valid(k), pc.is_valid(a)),
+                         pc.is_valid(b))
+            bad = pc.any(pc.and_(ok, pc.greater(a, b))).as_py()
+            if bad:
+                raise ValueError("allen_join: interval with lo > hi")
+            if pa.types.is_temporal(a.type):
+                a = pc.cast(a, pa.int64())
+                b = pc.cast(b, pa.int64())
+            out = pa.table({
+                key: pc.cast(k, pa.string()),
+                "__id": pc.cast(t.column(idc), pa.string()),
+                "__lo": pc.cast(a, pa.float64(), safe=False),
+                "__hi": pc.cast(b, pa.float64(), safe=False),
+                "__side": pa.array(
+                    np.full(t.num_rows, side, np.int8))}).filter(ok)
+            return _add_bucket(out, [key], nb)
+
+        return f
+
+    both = (left.map_batches(_prep(0, l_id), batch_format="pyarrow")
+            .union(right.map_batches(_prep(1, r_id),
+                                     batch_format="pyarrow")))
+
+    rel_names = np.array([
+        "equals", "starts", "started_by", "finishes", "finished_by",
+        "meets", "met_by", "overlaps", "overlapped_by", "during",
+        "contains", "before", "after", "?"])
+
+    out_schema = pa.schema([
+        pa.field(key, pa.string()), pa.field("l_id", pa.string()),
+        pa.field("r_id", pa.string()), pa.field("l_lo", pa.float64()),
+        pa.field("l_hi", pa.float64()), pa.field("r_lo", pa.float64()),
+        pa.field("r_hi", pa.float64()),
+        pa.field("relation", pa.string())])
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = g.sort_by([(key, "ascending"), ("__side", "ascending"),
+                       ("__id", "ascending")])
+        ks = g.column(key).to_pandas().to_numpy()
+        side = g.column("__side").to_numpy(zero_copy_only=False)
+        L = np.flatnonzero(side == 0)
+        R = np.flatnonzero(side == 1)
+        if len(L) == 0 or len(R) == 0:
+            return out_schema.empty_table()
+        lk, rk = ks[L], ks[R]
+        # common keys via sorted merge
+        uk_l, lstart, lcnt = np.unique(
+            lk, return_index=True, return_counts=True)
+        uk_r, rstart, rcnt = np.unique(
+            rk, return_index=True, return_counts=True)
+        common, il, ir = np.intersect1d(
+            uk_l, uk_r, return_indices=True)
+        if len(common) == 0:
+            return out_schema.empty_table()
+        a, b = lcnt[il], rcnt[ir]
+        m = a * b
+        M = int(m.sum())
+        if M > max_pairs_per_bucket:
+            raise AllenPairOverflow(
+                f"allen_join: {M} same-key pairs in one bucket "
+                f"(> {max_pairs_per_bucket}); raise nb or filter "
+                "hot keys first")
+        kid = np.repeat(np.arange(len(common)), m)
+        o = np.arange(M) - np.repeat(np.r_[0, np.cumsum(m)[:-1]], m)
+        li = L[lstart[il][kid] + o // b[kid]]
+        ri = R[rstart[ir][kid] + o % b[kid]]
+        glo = g.column("__lo").to_numpy(zero_copy_only=False)
+        ghi = g.column("__hi").to_numpy(zero_copy_only=False)
+        xs, xe = glo[li].astype(np.float64), ghi[li].astype(np.float64)
+        ys, ye = glo[ri].astype(np.float64), ghi[ri].astype(np.float64)
+        rel = np.select(
+            [
+                (xs == ys) & (xe == ye),
+                (xs == ys) & (xe < ye),
+                (xs == ys) & (xe > ye),
+                (xe == ye) & (xs > ys),
+                (xe == ye) & (xs < ys),
+                xe == ys,
+                ye == xs,
+                (xs < ys) & (ys < xe) & (xe < ye),
+                (ys < xs) & (xs < ye) & (ye < xe),
+                (xs > ys) & (xe < ye),
+                (xs < ys) & (xe > ye),
+                xe < ys,
+                ye < xs,
+            ],
+            np.arange(13), default=13)
+        keep = np.ones(M, bool)
+        keep[rel == 11] = (ys - xe)[rel == 11] <= max_gap
+        keep[rel == 12] = (xs - ye)[rel == 12] <= max_gap
+        ids = g.column("__id").to_pandas().to_numpy()
+        return pa.table({
+            key: pa.array(ks[li][keep]),
+            "l_id": pa.array(ids[li][keep]),
+            "r_id": pa.array(ids[ri][keep]),
+            "l_lo": pa.array(xs[keep]), "l_hi": pa.array(xe[keep]),
+            "r_lo": pa.array(ys[keep]), "r_hi": pa.array(ye[keep]),
+            "relation": pa.array(rel_names[rel[keep]])})
+
+    return both.groupby(_B).map_groups(finish, batch_format="pyarrow")

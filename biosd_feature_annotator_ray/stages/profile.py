@@ -419,3 +419,118 @@ def fd_violations(
         "violations": pa.array([n - kept], pa.int64()),
         "confidence": pa.array(
             [round(kept / n, 6) if n else None], pa.float64())})
+
+
+def expectations_report(
+    ds: "object",
+    expectations: "list[dict]",
+    nb: int = 16,
+) -> pa.Table:
+    """dbt-style declarative data-quality gate — validate a table
+    against a list of expectations and report violations per rule
+    (the ingestion contract check every production pipeline runs
+    before accepting a crawl/shard):
+
+      {"rule": "not_null",        "col": c}
+      {"rule": "unique",          "col": c}           (nulls exempt)
+      {"rule": "accepted_values", "col": c, "values": [...]}
+      {"rule": "in_range",        "col": c, "lo": x, "hi": y}
+                                  (nulls exempt; bounds inclusive)
+
+    Scale shape: not_null / accepted_values / in_range are ONE
+    stateless counting pass over the needed columns (all rules share
+    it); unique needs the per-value census, so ONE dedup-count
+    shuffle per unique-rule column. Output: one row per expectation
+    ``(rule, col, n_checked, violations, ok)``, rule order preserved.
+    """
+    import pyarrow.compute as pc
+
+    from .canonicalize import sum_by_key
+
+    for e in expectations:
+        if e["rule"] not in ("not_null", "unique", "accepted_values",
+                             "in_range"):
+            raise ValueError(f"unknown rule {e['rule']!r}")
+
+    scan_rules = [e for e in expectations if e["rule"] != "unique"]
+    uniq_rules = [e for e in expectations if e["rule"] == "unique"]
+
+    def scan(t: pa.Table) -> pa.Table:
+        rows = {"idx": [], "n": [], "bad": []}
+        for i, e in enumerate(expectations):
+            if e["rule"] == "unique":
+                continue
+            col = t.column(e["col"])
+            if e["rule"] == "not_null":
+                n = len(col)
+                bad = int(pc.sum(pc.cast(pc.is_null(col),
+                                         pa.int64())).as_py() or 0)
+            elif e["rule"] == "accepted_values":
+                ok = pc.is_in(col, value_set=pa.array(
+                    e["values"], col.type))
+                valid = pc.is_valid(col)
+                n = int(pc.sum(pc.cast(valid, pa.int64())).as_py()
+                        or 0)
+                bad = n - int(pc.sum(pc.cast(
+                    pc.and_(ok, valid), pa.int64())).as_py() or 0)
+            else:  # in_range
+                valid = pc.is_valid(col)
+                ok = pc.and_(pc.greater_equal(col, e["lo"]),
+                             pc.less_equal(col, e["hi"]))
+                n = int(pc.sum(pc.cast(valid, pa.int64())).as_py()
+                        or 0)
+                bad = n - int(pc.sum(pc.cast(
+                    pc.fill_null(ok, False), pa.int64())).as_py()
+                    or 0)
+            rows["idx"].append(i)
+            rows["n"].append(n)
+            rows["bad"].append(bad)
+        return pa.table({
+            "idx": pa.array(rows["idx"], pa.int64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "bad": pa.array(rows["bad"], pa.int64())})
+
+    totals: dict[int, list[int]] = {
+        i: [0, 0] for i in range(len(expectations))}
+    if scan_rules:
+        for r in ds.map_batches(
+                scan, batch_format="pyarrow").take_all():
+            totals[r["idx"]][0] += r["n"]
+            totals[r["idx"]][1] += r["bad"]
+    for e in uniq_rules:
+        i = expectations.index(e)
+
+        def census(t: pa.Table, c=e["col"]) -> pa.Table:
+            col = t.column(c)
+            out = pa.table({
+                "v": pc.cast(col, pa.string())}).filter(
+                    pc.is_valid(col))
+            return out.append_column(
+                "n", pa.array(np.ones(out.num_rows, np.int64)))
+
+        cen = sum_by_key(
+            ds.map_batches(census, batch_format="pyarrow"),
+            "v", "n", nb=nb)
+
+        def viol(t: pa.Table) -> pa.Table:
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n": pa.array([int(n.sum())], pa.int64()),
+                "bad": pa.array([int(n[n > 1].sum())], pa.int64())})
+
+        for r in cen.map_batches(
+                viol, batch_format="pyarrow").take_all():
+            totals[i][0] += r["n"]
+            totals[i][1] += r["bad"]
+    return pa.table({
+        "rule": pa.array([e["rule"] for e in expectations],
+                         pa.string()),
+        "col": pa.array([e["col"] for e in expectations],
+                        pa.string()),
+        "n_checked": pa.array([totals[i][0] for i in
+                               range(len(expectations))], pa.int64()),
+        "violations": pa.array([totals[i][1] for i in
+                                range(len(expectations))],
+                               pa.int64()),
+        "ok": pa.array([totals[i][1] == 0 for i in
+                        range(len(expectations))])})

@@ -1775,3 +1775,118 @@ def mmr_select(
                               pa.float64()),
         "mmr_score": pa.array([r["mmr_score"] for r in chosen_rows],
                               pa.float64())})
+
+
+def fs_em_train(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    block_on: list,
+    fields: "list[tuple[str, str]]",
+    iters: int = 5,
+    init_m: float = 0.9,
+    init_u: float = 0.1,
+    init_p: float = 0.1,
+    nb: int = 64,
+) -> pa.Table:
+    """UNSUPERVISED Fellegi–Sunter parameter estimation (Winkler's
+    EM, public) — learns the per-field match/non-match agreement
+    rates ``m``/``u`` and the match prior ``p`` that
+    ``fellegi_sunter_join`` consumes, from nothing but the blocked
+    candidate pairs themselves. The missing half of the ER toolchain:
+    score with weights you ESTIMATED, not guessed.
+
+    Distributed shape: candidate pairs from ONE equality-blocking
+    hash join; each pair folds to an agreement-pattern bitmask
+    map-side (both-valid-and-equal per field; a null on either side
+    counts as disagreement for EM — unlike scoring's "no evidence",
+    documented divergence), so the only shuffle beyond the join is a
+    ≤2^F-key ``sum_by_key`` census. EM itself runs on the driver over
+    the census (2^F rows — independent of data size), vectorized
+    numpy, fixed field order, so the fit is deterministic under any
+    block arrival order.
+
+    Returns one row per field: ``(field, m, u, w_agree, w_disagree)``
+    — log2 agreement/disagreement weights — plus the shared match
+    prior ``p`` repeated per row. Degenerate fits (m or u hitting
+    0/1) yield ±inf weights honestly."""
+    import math
+
+    import pyarrow.compute as pc
+
+    from .join import shuffle_hash_join
+    from .canonicalize import sum_by_key
+
+    F = len(fields)
+    if F == 0 or F > 16:
+        raise ValueError("fs_em_train: need 1..16 compare fields")
+    if not 0.0 < init_u < init_m < 1.0 or not 0.0 < init_p < 1.0:
+        raise ValueError("fs_em_train: need 0 < u < m < 1, 0 < p < 1")
+
+    joined = shuffle_hash_join(left, right, on=list(block_on),
+                               how="inner", nb=nb)
+
+    def pattern(batch: pa.Table) -> pa.Table:
+        names = set(batch.column_names)
+
+        def resolve(col: str, suffix: str, same: bool) -> str:
+            if col + suffix in names:
+                return col + suffix
+            if not same and col in names:
+                return col
+            raise ValueError(
+                f"fs_em_train: field column {col!r} (side {suffix}) "
+                "not in joined schema — a same-named field must "
+                "exist on BOTH sides")
+
+        n = batch.num_rows
+        code = np.zeros(n, np.int64)
+        for i, (lc, rc) in enumerate(fields):
+            same = lc == rc
+            lcol = batch.column(resolve(lc, "_l", same))
+            rcol = batch.column(resolve(rc, "_r", same))
+            agree = pc.and_(
+                pc.and_(pc.is_valid(lcol), pc.is_valid(rcol)),
+                pc.fill_null(pc.equal(lcol, rcol), False))
+            code |= agree.to_numpy(zero_copy_only=False).astype(
+                np.int64) << i
+        return pa.table({
+            "pat": pa.array(code),
+            "n": pa.array(np.ones(n, np.int64))})
+
+    cen = sum_by_key(
+        joined.map_batches(pattern, batch_format="pyarrow"),
+        "pat", "n", nb=min(nb, 16)).take_all()
+    if not cen:
+        raise ValueError("fs_em_train: blocking produced no "
+                         "candidate pairs")
+    cen.sort(key=lambda r: r["pat"])
+    pats = np.array([r["pat"] for r in cen], np.int64)
+    n = np.array([r["n"] for r in cen], np.float64)
+    b = ((pats[:, None] >> np.arange(F)) & 1).astype(np.float64)
+
+    m = np.full(F, init_m)
+    u = np.full(F, init_u)
+    p = init_p
+    for _ in range(iters):
+        am = p * np.prod(m ** b * (1 - m) ** (1 - b), axis=1)
+        au = (1 - p) * np.prod(u ** b * (1 - u) ** (1 - b), axis=1)
+        r = am / (am + au)
+        rn = r * n
+        sm = rn.sum()
+        su = ((1 - r) * n).sum()
+        m = (rn[:, None] * b).sum(axis=0) / sm
+        u = (((1 - r) * n)[:, None] * b).sum(axis=0) / su
+        p = sm / n.sum()
+
+    def _log2(x: float) -> float:
+        return math.log2(x) if x > 0 else float("-inf")
+
+    wa = [_log2(m[i]) - _log2(u[i]) for i in range(F)]
+    wd = [_log2(1 - m[i]) - _log2(1 - u[i]) for i in range(F)]
+    return pa.table({
+        "field": pa.array([f"{lc}={rc}" for lc, rc in fields]),
+        "m": pa.array(m, pa.float64()),
+        "u": pa.array(u, pa.float64()),
+        "w_agree": pa.array(wa, pa.float64()),
+        "w_disagree": pa.array(wd, pa.float64()),
+        "p": pa.array([p] * F, pa.float64())})

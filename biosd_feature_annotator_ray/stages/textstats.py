@@ -2622,3 +2622,67 @@ def js_divergence(
         "n_tok_a": pa.array([na], pa.int64()),
         "n_tok_b": pa.array([nb_tok], pa.int64()),
         "jsd": pa.array([round(jsd, round_to)], pa.float64())})
+
+
+def c4_line_filter(
+    docs: "object",
+    min_words: int = 3,
+    min_lines: int = 1,
+    require_terminal: bool = True,
+    sep: str = "\n",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "object":
+    """C4-style LINE-level cleaning (Raffel et al. 2020, public): keep
+    only lines whose trimmed text has ≥ ``min_words`` whitespace words
+    and (with ``require_terminal``) ends in terminal punctuation
+    (``. ! ? "``); drop docs with fewer than ``min_lines`` surviving
+    lines. The purely LOCAL curation pass — every decision is per doc,
+    so this is ONE stateless ``map_batches`` with no shuffle at any
+    scale.
+
+    Fully vectorized: one Arrow split per batch, per-line keep mask
+    from ``count_substring_regex`` + a terminal-punct regex, per-doc
+    reassembly via a rebuilt ListArray + ``binary_join`` (no per-row
+    Python). Null text behaves as ``''``. Output one row per
+    surviving doc: ``id_col, text (cleaned), n_lines, n_kept``.
+    Split semantics are Python ``str.split(sep)`` == DuckDB
+    ``string_split`` (empty segments are lines), so the SQL twin
+    replays byte-exactly."""
+    if min_words < 0 or min_lines < 0:
+        raise ValueError("c4_line_filter: bounds must be >= 0")
+
+    def clean(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(t.column(text_col), pa.string()),
+                           "")
+        lists = pc.split_pattern(txt, sep)
+        nl = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        trimmed = pc.utf8_trim_whitespace(flat)
+        words = pc.count_substring_regex(trimmed, r"\S+")
+        keep = pc.greater_equal(words, min_words)
+        if require_terminal:
+            keep = pc.and_(keep, pc.match_substring_regex(
+                trimmed, r'[.!?"]$'))
+        keepnp = keep.to_numpy(zero_copy_only=False)
+        off = np.r_[0, np.cumsum(nl)]
+        kept = (np.add.reduceat(keepnp.astype(np.int64), off[:-1])
+                if len(flat) else np.zeros(t.num_rows, np.int64))
+        kept[nl == 0] = 0  # reduceat artifact on empty docs
+        new_off = np.r_[0, np.cumsum(kept)]
+        vals = flat.filter(keep)
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(new_off, pa.int32()),
+                pc.cast(vals, pa.string())), sep)
+        out = pa.table({
+            id_col: t.column(id_col),
+            "text": joined,
+            "n_lines": pa.array(nl),
+            "n_kept": pa.array(kept)})
+        return out.filter(pa.array(kept >= min_lines))
+
+    return docs.map_batches(clean, batch_format="pyarrow")
