@@ -279,7 +279,7 @@ def run_queries() -> dict:
         "temperature_mix", "fd_check_docs", "s_stem_terms",
         "join_cardinality", "expectations_orders",
         "sample_neighbors", "c4_lines", "allen_relations",
-        "fs_em_params",
+        "fs_em_params", "node2vec_walks", "pagerank_warmstart",
     ]
     out = {}
     for name in names:

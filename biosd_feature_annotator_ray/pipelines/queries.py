@@ -14187,3 +14187,149 @@ def _fs_em_oracle() -> str:
 
 
 ORACLES["fs_em_params"] = _fs_em_oracle()
+
+
+def q_node2vec_walks(sf_dir: str):
+    """Deterministic node2vec biased walks (graph.node2vec_walks,
+    weights return:common:far = 4:2:1) over the orders-derived graph
+    — integer weights make the second-order draw exactly replayable,
+    so the SQL twin re-runs both steps: step 1 via the uniform md5
+    rank pick, step 2 via cumulative-weight windows and the same md5
+    modulo draw."""
+    from ..stages.graph import node2vec_walks
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k = k[k >= 10]
+        return pa.table({"src": pa.array(k // 10, pa.int64()),
+                         "dst": pa.array(k % 97, pa.int64())})
+
+    return node2vec_walks(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        walk_len=2, w_return=4, w_common=2, w_far=1, seed=7, nb=8)
+
+
+QUERIES["node2vec_walks"] = q_node2vec_walks
+
+_N2V_DRAW1 = ("CAST(('0x' || substr(md5(CAST({n} AS VARCHAR)"
+              " || ':0:1:7'), 1, 8)) AS UBIGINT)")
+_N2V_DRAW2 = ("CAST(('0x' || substr(md5(CAST({n} AS VARCHAR) || ':'"
+              " || CAST({p} AS VARCHAR) || ':0:2:7'), 1, 8))"
+              " AS UBIGINT)")
+
+ORACLES["node2vec_walks"] = (
+    "WITH e AS (SELECT DISTINCT o_orderkey // 10 AS src,"
+    "   o_orderkey % 97 AS dst FROM orders WHERE o_orderkey >= 10),"
+    " adj AS (SELECT src AS node, dst AS next, row_number() OVER"
+    "   (PARTITION BY src ORDER BY dst) - 1 AS rnk FROM e),"
+    " deg AS (SELECT node, count(*) AS deg FROM adj GROUP BY node),"
+    " s0 AS (SELECT node AS start FROM deg),"
+    " s1 AS (SELECT s0.start, a.next FROM s0"
+    "   JOIN deg d ON d.node = s0.start"
+    "   JOIN adj a ON a.node = s0.start AND a.rnk = "
+    + _N2V_DRAW1.format(n="s0.start") + " % d.deg),"
+    " cand AS (SELECT s1.start, s1.start AS prev, s1.next AS node,"
+    "   a.next AS nxt, a.rnk,"
+    "   CASE WHEN a.next = s1.start THEN 4"
+    "    WHEN e2.src IS NOT NULL THEN 2 ELSE 1 END AS w"
+    "  FROM s1 JOIN adj a ON a.node = s1.next"
+    "  LEFT JOIN e e2 ON e2.src = s1.start AND e2.dst = a.next),"
+    " cw AS (SELECT *, sum(w) OVER (PARTITION BY start"
+    "    ORDER BY rnk) AS cum,"
+    "   sum(w) OVER (PARTITION BY start) AS tot FROM cand),"
+    " s2 AS (SELECT start, nxt FROM cw WHERE tot > 0"
+    "  AND " + _N2V_DRAW2.format(n="node", p="prev")
+    + " % tot >= cum - w"
+    "  AND " + _N2V_DRAW2.format(n="node", p="prev") + " % tot < cum)"
+    " SELECT start, CAST(0 AS BIGINT) AS walk,"
+    "  CAST(0 AS BIGINT) AS step, start AS node FROM s0"
+    " UNION ALL SELECT start, 0, 1, next FROM s1"
+    " UNION ALL SELECT start, 0, 2, nxt FROM s2"
+)
+
+
+def q_pagerank_warmstart(sf_dir: str):
+    """PageRank WARM START (graph.pagerank(init_ranks=…)) — the
+    nightly-recrawl path: previous ranks seed the vector (newcomers
+    at 1/N, renormalized), then 2 iterations. Fully oracled (the
+    unrolled twin rebuilds the identical warm r0)."""
+    from ..stages.canonicalize import dedup_exact
+    from ..stages.graph import pagerank
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k = k[k >= 10]
+        return pa.table({"src": pa.array(k // 10, pa.int64()),
+                         "dst": pa.array(k, pa.int64())})
+
+    e = orders.map_batches(edges, batch_format="pyarrow")
+
+    def both_nodes(t: pa.Table) -> pa.Table:
+        return pa.table({"node": pa.concat_arrays([
+            t.column("src").combine_chunks(),
+            t.column("dst").combine_chunks()])})
+
+    nodes = dedup_exact(
+        e.map_batches(both_nodes, batch_format="pyarrow"),
+        ["node"], nb=8)
+
+    def init(t: pa.Table) -> pa.Table:
+        v = t.column("node").to_numpy(zero_copy_only=False)
+        v = v[v % 2 == 0]
+        return pa.table({
+            "node": pa.array(v, pa.int64()),
+            "rank": pa.array((1 + v % 5).astype(np.float64))})
+
+    init_ranks = nodes.map_batches(init, batch_format="pyarrow")
+    out = pagerank(e, damping=0.85, iters=2, nb=16,
+                   init_ranks=init_ranks)
+    df = out.to_pandas()
+    df["node"] = df["node"].astype("int64")
+    df["rank"] = df["rank"].round(8)
+    return pa.Table.from_pandas(
+        df.sort_values("node").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["pagerank_warmstart"] = q_pagerank_warmstart
+
+
+def _pagerank_warm_oracle_sql(iters: int = 2, d: float = 0.85) -> str:
+    s = (
+        "WITH e AS (SELECT o_orderkey // 10 AS src, o_orderkey AS dst"
+        "   FROM orders WHERE o_orderkey >= 10),"
+        " deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),"
+        " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+        " nn AS (SELECT count(*) AS n FROM nodes),"
+        " raw AS (SELECT node, CASE WHEN node % 2 = 0"
+        "   THEN CAST(1 + node % 5 AS DOUBLE) ELSE 1.0 / nn.n END AS r"
+        "   FROM nodes CROSS JOIN nn),"
+        " tot AS (SELECT sum(r) AS s FROM raw),"
+        " r0 AS (SELECT node, r / tot.s AS rank"
+        "   FROM raw CROSS JOIN tot)"
+    )
+    for i in range(iters):
+        s += (
+            f", m{i} AS (SELECT e.dst AS node,"
+            f"   sum(r.rank / deg.deg) AS msum"
+            f"   FROM e JOIN r{i} r ON e.src = r.node"
+            f"   JOIN deg ON deg.src = e.src GROUP BY e.dst)"
+            f", em{i} AS (SELECT coalesce(sum(msum), 0) AS emitted"
+            f"   FROM m{i})"
+            f", r{i + 1} AS (SELECT n.node,"
+            f"   (1 - {d}) / nn.n + {d} * (1 - em.emitted) / nn.n"
+            f"   + coalesce({d} * m.msum, 0) AS rank"
+            f"   FROM nodes n CROSS JOIN nn CROSS JOIN em{i} em"
+            f"   LEFT JOIN m{i} m ON m.node = n.node)"
+        )
+    return (s + f" SELECT CAST(node AS BIGINT) AS node,"
+                f" round(rank, 8) AS rank FROM r{iters}")
+
+
+ORACLES["pagerank_warmstart"] = _pagerank_warm_oracle_sql()

@@ -88,3 +88,112 @@ def documents_as_pages(sf_dir: str) -> "ray.data.Dataset":
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
     return ds.map_batches(to_pages, batch_format="pyarrow")
+
+
+def read_pages_evolved(
+    paths: "str | list[str]",
+    target_schema: "pads.pa.Schema | None" = None,
+    columns: "list[str] | None" = None,
+    strict_types: bool = True,
+) -> "ray.data.Dataset":
+    """Schema-evolution-tolerant parquet read — a years-deep crawl
+    archive NEVER has one schema: early shards miss columns added
+    later, an int32 column was widened to int64 in 2023, field order
+    drifted. A plain multi-file ``read_parquet`` surfaces that as a
+    mid-job block-union failure; this reader reconciles AT THE READ:
+
+    * the target schema is the UNION of every fragment footer's
+      fields (name-keyed, first-seen field order; or pass
+      ``target_schema`` explicitly — e.g. ``PAGES`` — to pin it);
+    * per batch, missing columns null-fill and present columns cast
+      to the target type (safe widening casts only when
+      ``strict_types``; lossy casts raise rather than corrupt);
+    * conflicting fragment types resolve by safe-cast reconciliation
+      (int32 + int64 → int64, float + int → float64, anything +
+      string needs ``strict_types=False``).
+
+    Scale shape: footers are read once, driver-side (metadata only —
+    no data pulled); the fix-up is a stateless vectorized map fused
+    onto the read tasks, so evolution costs ~nothing at 100 TB.
+    ``columns`` prunes the read to target fields that exist per
+    fragment (a fragment lacking the column reads nothing for it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    plist = [paths] if isinstance(paths, str) else list(paths)
+    frag_paths = []
+    for p in plist:
+        import os
+
+        if os.path.isdir(p):
+            frag_paths.extend(
+                os.path.join(p, f) for f in sorted(os.listdir(p))
+                if f.endswith(".parquet"))
+        else:
+            frag_paths.append(p)
+    if not frag_paths:
+        raise ValueError("read_pages_evolved: no parquet files")
+    footers = {fp: pq.read_schema(fp) for fp in frag_paths}
+
+    def _widen(a: pa.DataType, b: pa.DataType) -> pa.DataType:
+        if a == b:
+            return a
+        if pa.types.is_integer(a) and pa.types.is_integer(b):
+            return a if a.bit_width >= b.bit_width else b
+        num = (pa.types.is_integer(a) or pa.types.is_floating(a)) and \
+              (pa.types.is_integer(b) or pa.types.is_floating(b))
+        if num:
+            return pa.float64()
+        if not strict_types:
+            return pa.string()
+        raise ValueError(
+            f"read_pages_evolved: incompatible fragment types {a} vs "
+            f"{b}; pass strict_types=False to stringify")
+
+    if target_schema is None:
+        fields: "dict[str, pa.DataType]" = {}
+        order: list[str] = []
+        for fp in frag_paths:
+            for f in footers[fp]:
+                if f.name in fields:
+                    fields[f.name] = _widen(fields[f.name], f.type)
+                else:
+                    fields[f.name] = f.type
+                    order.append(f.name)
+        target_schema = pa.schema(
+            [pa.field(n, fields[n]) for n in order])
+    if columns is not None:
+        target_schema = pa.schema(
+            [target_schema.field(c) for c in columns])
+
+    tgt = target_schema
+
+    def conform(t: "pa.Table") -> "pa.Table":
+        cols = []
+        for f in tgt:
+            if f.name in t.column_names:
+                c = t.column(f.name)
+                cols.append(c if c.type == f.type
+                            else c.cast(f.type, safe=strict_types))
+            else:
+                cols.append(pa.nulls(t.num_rows, f.type))
+        return pa.table(cols, schema=tgt)
+
+    # one Dataset per distinct fragment schema (so column pruning can
+    # still push down), conformed then unioned — the union is safe
+    # because every branch emits the identical target schema
+    by_sig: "dict[tuple, list[str]]" = {}
+    for fp in frag_paths:
+        names = tuple(sorted(footers[fp].names))
+        by_sig.setdefault(names, []).append(fp)
+    parts = []
+    for names, fps in sorted(by_sig.items()):
+        want = [c for c in tgt.names if c in names]
+        ds = rd.read_parquet(fps, columns=want or None)
+        parts.append(ds.map_batches(conform, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

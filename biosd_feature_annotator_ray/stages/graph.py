@@ -212,6 +212,7 @@ def pagerank(
     nb: int = 16,
     checkpoint_dir: str | None = None,
     weight_col: str | None = None,
+    init_ranks: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
     """Distributed PageRank over an edge-list Dataset → (node, rank).
 
@@ -232,6 +233,14 @@ def pagerank(
     must be positive and finite (a zero/negative/null weight would
     silently destroy or invert mass — raises instead). The unweighted
     path is untouched.
+
+    ``init_ranks``: warm start for the nightly-recrawl case — a
+    ``(node, rank)`` Dataset (unique per node; negative ranks raise)
+    from a previous run. Nodes present keep their old rank, newcomers
+    start at 1/N, and the vector is renormalized to sum 1 before the
+    first iteration, so a mostly-unchanged graph converges in far
+    fewer rounds than a cold uniform start. One extra bucketed left
+    join + one scalar pass; iterations are unchanged.
     """
     import ray.data as _rd
 
@@ -275,9 +284,35 @@ def pagerank(
     no_in = set_op(nodes, dsts, "node", op="except", nb=nb).materialize()
 
     init = 1.0 / n_nodes
-    ranks = nodes.map_batches(
-        lambda t: t.append_column("rank", pa.array(np.full(len(t), init))),
-        batch_format="pyarrow").materialize()
+    if init_ranks is None:
+        ranks = nodes.map_batches(
+            lambda t: t.append_column("rank", pa.array(np.full(len(t), init))),
+            batch_format="pyarrow").materialize()
+    else:
+        def _ir(t: pa.Table) -> pa.Table:
+            r = pc.cast(t.column("rank"), pa.float64())
+            bad = pc.any(pc.less(r, 0.0)).as_py()
+            if bad:
+                raise ValueError("pagerank: negative init_ranks rank")
+            return pa.table({"node": t.column("node"), "r0": r})
+
+        warm = shuffle_hash_join(
+            nodes, init_ranks.map_batches(_ir, batch_format="pyarrow"),
+            on=["node"], how="left", nb=nb)
+        warm = warm.map_batches(
+            lambda t: pa.table({
+                "node": t.column("node"),
+                "rank": pc.fill_null(t.column("r0"), init)}),
+            batch_format="pyarrow").materialize()
+        total = warm.sum("rank") or 0.0
+        if not np.isfinite(total) or total <= 0:
+            raise ValueError(
+                "pagerank: init_ranks must hold positive finite mass")
+        ranks = warm.map_batches(
+            lambda t, s=total: pa.table({
+                "node": t.column("node"),
+                "rank": pc.divide(t.column("rank"), s)}),
+            batch_format="pyarrow").materialize()
 
     # per-iteration checkpoint: the rank table IS the whole state, so a
     # restart loads the latest marked iteration and continues — the
@@ -6182,3 +6217,212 @@ def sample_neighbors(
         "src", ["__prio", "dst"], k=k, nb=nb)
     return ranked.map_batches(
         lambda t: t.select(["src", "dst"]), batch_format="pyarrow")
+
+
+def node2vec_walks(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    walk_len: int = 2,
+    walks_per_node: int = 1,
+    w_return: int = 1,
+    w_common: int = 1,
+    w_far: int = 1,
+    seed: int = 7,
+    nb: int = 32,
+) -> "ray.data.Dataset":
+    """Seeded DETERMINISTIC node2vec walks (Grover & Leskovec 2016,
+    public) — ``random_walks`` with the SECOND-ORDER bias: from edge
+    (prev → node), candidate ``next`` draws integer weight
+    ``w_return`` if next == prev, ``w_common`` if the edge
+    prev → next exists (distance 1), else ``w_far`` (the classic
+    1/p : 1 : 1/q ratios as exact integers so the draw is replayable
+    in SQL with no float roulette). Step 1 is first-order uniform
+    (no prev yet); step t ≥ 2 picks the candidate whose cumulative-
+    weight interval (neighbors in dst-rank order) contains
+    ``md5(f"{node}:{prev}:{walk}:{t}:{seed}") mod W``. A walk dies at
+    sinks and when its candidate weights sum to 0.
+
+    Scale shape per biased step: ONE fan-out join frontier ⋈
+    adjacency (volume = Σ deg over frontier — node2vec inherently
+    scores the whole neighborhood), ONE (prev, next) membership left
+    join against the edge set, ONE (start, walk) bucket shuffle with
+    a vectorized run-geometry pick — no per-row Python beyond the
+    one md5 draw per walk. Output: ``(start, walk, step, node)``
+    with step 0 = the start node."""
+    from ..functions.hashing import md5_u32
+    from .canonicalize import _B, _add_bucket, dedup_exact
+    from .join import shuffle_hash_join
+
+    for name, w in (("w_return", w_return), ("w_common", w_common),
+                    ("w_far", w_far)):
+        if not isinstance(w, (int, np.integer)) or w < 0:
+            raise ValueError(f"node2vec_walks: {name} must be an "
+                             f"int >= 0, got {w!r}")
+    if w_return + w_common + w_far == 0:
+        raise ValueError("node2vec_walks: all weights are 0")
+
+    def _sel(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t.column(src_col),
+                         "dst": t.column(dst_col)})
+
+    E = dedup_exact(edges.map_batches(_sel, batch_format="pyarrow"),
+                    ["src", "dst"], nb=nb)
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        t = g.select(["src", "dst"]).sort_by(
+            [("src", "ascending"), ("dst", "ascending")])
+        n = t.num_rows
+        if n == 0:
+            return pa.table({
+                "node": t.column("src"), "next": t.column("dst"),
+                "rank": pa.array([], pa.int64()),
+                "deg": pa.array([], pa.int64())})
+        arr = t.column("src").to_pandas().to_numpy()
+        starts = np.r_[True, arr[1:] != arr[:-1]]
+        run_id = np.cumsum(starts) - 1
+        start_idx = np.flatnonzero(starts)
+        counts = np.diff(np.r_[start_idx, n])
+        return pa.table({
+            "node": t.column("src"), "next": t.column("dst"),
+            "rank": pa.array((np.arange(n) - start_idx[run_id])
+                             .astype(np.int64)),
+            "deg": pa.array(counts[run_id].astype(np.int64))})
+
+    adj = (E.map_batches(lambda t: _add_bucket(t, ["src"], nb),
+                         batch_format="pyarrow")
+           .groupby(_B).map_groups(rank_group, batch_format="pyarrow")
+           .materialize())
+    deg_tbl = adj.map_batches(
+        lambda t: t.filter(pc.equal(t.column("rank"), 0))
+        .select(["node", "deg"]), batch_format="pyarrow")
+    adj_j = adj.map_batches(
+        lambda t: t.select(["node", "rank", "next"]),
+        batch_format="pyarrow")
+    marked = E.map_batches(
+        lambda t: pa.table({
+            "prev": t.column("src"), "next": t.column("dst"),
+            "__has": pa.array(np.ones(t.num_rows, np.int8))}),
+        batch_format="pyarrow")
+
+    def fan(t: pa.Table, w=walks_per_node) -> pa.Table:
+        node = t.column("node")
+        idx = pa.array(np.repeat(np.arange(t.num_rows), w))
+        walk = pa.array(np.tile(np.arange(w, dtype=np.int64),
+                                t.num_rows))
+        n = node.take(idx)
+        return pa.table({"start": n, "walk": walk, "node": n})
+
+    def emit(t: pa.Table, step: int) -> pa.Table:
+        return pa.table({
+            "start": t.column("start"), "walk": t.column("walk"),
+            "step": pa.array(np.full(t.num_rows, step, np.int64)),
+            "node": t.column("node")})
+
+    frontier0 = deg_tbl.map_batches(fan, batch_format="pyarrow")
+    acc = frontier0.map_batches(lambda t: emit(t, 0),
+                                batch_format="pyarrow")
+    if walk_len < 1:
+        return acc
+
+    # step 1: first-order uniform (random_walks draw contract)
+    j = shuffle_hash_join(frontier0, deg_tbl, on=["node"],
+                          how="inner", nb=nb)
+
+    def choose1(t: pa.Table) -> pa.Table:
+        keys = [f"{n}:{r}:1:{seed}" for n, r in
+                zip(t.column("node").to_pylist(),
+                    t.column("walk").to_pylist())]
+        ch = (md5_u32(keys)
+              % t.column("deg").to_numpy(zero_copy_only=False))
+        return pa.table({
+            "start": t.column("start"), "walk": t.column("walk"),
+            "node": t.column("node"),
+            "rank": pa.array(ch.astype(np.int64))})
+
+    stepped = shuffle_hash_join(
+        j.map_batches(choose1, batch_format="pyarrow"), adj_j,
+        on=["node", "rank"], how="inner", nb=nb).map_batches(
+        lambda t: pa.table({"start": t.column("start"),
+                            "walk": t.column("walk"),
+                            "prev": t.column("node"),
+                            "node": t.column("next")}),
+        batch_format="pyarrow").materialize()
+    if stepped.count() == 0:
+        return acc
+    acc = acc.union(stepped.map_batches(
+        lambda t: emit(t, 1), batch_format="pyarrow"))
+    frontier = stepped
+
+    for t_step in range(2, walk_len + 1):
+        cand = shuffle_hash_join(frontier, adj_j, on=["node"],
+                                 how="inner", nb=nb)
+        cand = shuffle_hash_join(cand, marked, on=["prev", "next"],
+                                 how="left", nb=nb)
+
+        def pick(g: pa.Table, ts=t_step) -> pa.Table:
+            t = g.sort_by([("start", "ascending"),
+                           ("walk", "ascending"),
+                           ("rank", "ascending")])
+            n = t.num_rows
+            empty = pa.table({
+                "start": t.column("start").slice(0, 0),
+                "walk": pa.array([], pa.int64()),
+                "prev": t.column("prev").slice(0, 0),
+                "node": t.column("next").slice(0, 0)})
+            if n == 0:
+                return empty
+            s1 = t.column("start").to_pandas().to_numpy()
+            s2 = t.column("walk").to_numpy(zero_copy_only=False)
+            starts = np.r_[True, (s1[1:] != s1[:-1])
+                           | (s2[1:] != s2[:-1])]
+            start_idx = np.flatnonzero(starts)
+            run_id = np.cumsum(starts) - 1
+            nxt = t.column("next")
+            prev = t.column("prev")
+            node = t.column("node")
+            ret = pc.equal(nxt, prev).to_numpy(zero_copy_only=False)
+            has = pc.fill_null(t.column("__has"), 0).to_numpy(
+                zero_copy_only=False).astype(bool)
+            w = np.where(ret, w_return,
+                         np.where(has, w_common, w_far)).astype(
+                np.int64)
+            cs = np.cumsum(w)
+            base = np.r_[0, cs[start_idx[1:] - 1]] if len(
+                start_idx) > 1 else np.array([0], np.int64)
+            cum = cs - base[run_id]
+            tot = np.diff(np.r_[base, cs[-1]])
+            keys = [f"{node[i].as_py()}:{prev[i].as_py()}:"
+                    f"{int(s2[i])}:{ts}:{seed}" for i in start_idx]
+            draws = md5_u32(keys)
+            alive = tot > 0
+            if not alive.any():
+                return empty
+            draw = draws % np.where(alive, tot, 1)
+            # first candidate whose cumulative interval contains the
+            # draw, per run: searchsorted within each run's slice
+            sel = np.full(len(start_idx), -1, np.int64)
+            ends = np.r_[start_idx[1:], n]
+            for ri in np.flatnonzero(alive):
+                lo_i, hi_i = start_idx[ri], ends[ri]
+                sel[ri] = lo_i + np.searchsorted(
+                    cum[lo_i:hi_i], draw[ri], side="right")
+            sel = sel[sel >= 0]
+            idx = pa.array(sel)
+            return pa.table({
+                "start": t.column("start").take(idx),
+                "walk": t.column("walk").take(idx),
+                "prev": node.take(idx),
+                "node": nxt.take(idx)})
+
+        stepped = (cand.map_batches(
+            lambda t: _add_bucket(t, ["start", "walk"], nb),
+            batch_format="pyarrow")
+            .groupby(_B).map_groups(pick, batch_format="pyarrow")
+            .materialize())
+        if stepped.count() == 0:
+            break
+        acc = acc.union(stepped.map_batches(
+            lambda t, ts=t_step: emit(t, ts), batch_format="pyarrow"))
+        frontier = stepped
+    return acc
