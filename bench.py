@@ -280,6 +280,7 @@ def run_queries() -> dict:
         "join_cardinality", "expectations_orders",
         "sample_neighbors", "c4_lines", "allen_relations",
         "fs_em_params", "node2vec_walks", "pagerank_warmstart",
+        "ccnet_buckets", "wordpiece_docs", "bloom_lookup_orders",
     ]
     out = {}
     for name in names:

@@ -14333,3 +14333,157 @@ def _pagerank_warm_oracle_sql(iters: int = 2, d: float = 0.85) -> str:
 
 
 ORACLES["pagerank_warmstart"] = _pagerank_warm_oracle_sql()
+
+
+def q_ccnet_buckets(sf_dir: str):
+    """CCNet perplexity bucketing (Wenzek et al. 2020, public) — the
+    head/middle/tail split a multilingual curation pipeline applies
+    before sampling: per-doc unigram LM NLL (unigram_nll_exact), then
+    per-LANG terciles by (nll asc, doc_id) via ntile_per_key. Pure
+    composition of two oracled operators; fully SQL-replayable."""
+    from ..stages.join import shuffle_hash_join
+    from ..stages.textstats import unigram_nll_exact
+    from ..stages.windows import ntile_per_key
+
+    docs = _docs(sf_dir, ["doc_id", "lang", "text"])
+    nll = unigram_nll_exact(
+        docs.map_batches(lambda t: t.select(["doc_id", "text"]),
+                         batch_format="pyarrow"), nb=8)
+    langs = docs.map_batches(
+        lambda t: t.select(["doc_id", "lang"]),
+        batch_format="pyarrow")
+    scored = shuffle_hash_join(nll, langs, on=["doc_id"],
+                               how="inner", nb=8)
+    tiled = ntile_per_key(scored, key_col="lang",
+                          order_cols=["nll", "doc_id"], n_tiles=3,
+                          nb=8)
+
+    def label(t: pa.Table) -> pa.Table:
+        tl = t.column("tile").to_numpy(zero_copy_only=False)
+        names = np.array(["head", "middle", "tail"])
+        return pa.table({
+            "doc_id": t.column("doc_id"),
+            "lang": t.column("lang"),
+            "nll": t.column("nll"),
+            "bucket": pa.array(names[tl - 1])})
+
+    return tiled.map_batches(label, batch_format="pyarrow")
+
+
+QUERIES["ccnet_buckets"] = q_ccnet_buckets
+
+ORACLES["ccnet_buckets"] = (
+    "WITH tok AS (SELECT doc_id,"
+    "   unnest(regexp_split_to_array(trim(text), '\\s+')) AS t"
+    "  FROM documents WHERE trim(text) <> ''),"
+    " tok2 AS (SELECT doc_id, t FROM tok WHERE t <> ''),"
+    " cnt AS (SELECT t, count(*) AS n FROM tok2 GROUP BY t),"
+    " v AS (SELECT t, n FROM (SELECT t, n, row_number() OVER"
+    "   (ORDER BY n DESC, t) AS rk FROM cnt) WHERE rk <= 65536),"
+    " tot AS (SELECT count(*) AS nn FROM tok2),"
+    " nll AS (SELECT t2.doc_id, round(avg(-ln(coalesce(v.n, 0.5)"
+    "    / tot.nn)), 6) AS nll"
+    "  FROM tok2 t2 LEFT JOIN v USING (t) CROSS JOIN tot"
+    "  GROUP BY t2.doc_id),"
+    " tiled AS (SELECT nll.doc_id, d.lang, nll.nll,"
+    "   ntile(3) OVER (PARTITION BY d.lang"
+    "    ORDER BY nll.nll, nll.doc_id) AS tile"
+    "  FROM nll JOIN documents d USING (doc_id))"
+    " SELECT doc_id, lang, nll, CASE tile WHEN 1 THEN 'head'"
+    "  WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket FROM tiled"
+)
+
+
+def q_wordpiece_docs(sf_dir: str):
+    """WordPiece tokenization (textstats.wordpiece_encode): greedy
+    longest-match-first against a fixed piece vocabulary, dead-end
+    words collapse to [UNK] — BERT reference semantics, paid only per
+    DISTINCT word per batch. Fully oracled: the SQL twin replays the
+    greedy match as a recursive CTE (NOT EXISTS enforces
+    longest-first; one deterministic successor per state)."""
+    from ..stages.textstats import wordpiece_encode
+
+    vocab = ["[UNK]", "ba", "##tch", "jo", "##in", "the", "a",
+             "scan", "s", "##ort", "m", "##erge", "data"]
+    return wordpiece_encode(_docs(sf_dir, ["doc_id", "text"]), vocab)
+
+
+QUERIES["wordpiece_docs"] = q_wordpiece_docs
+
+ORACLES["wordpiece_docs"] = (
+    "WITH RECURSIVE"
+    " v(piece, body, cont, plen) AS (VALUES"
+    "   ('ba','ba',0,2), ('##tch','tch',1,3), ('jo','jo',0,2),"
+    "   ('##in','in',1,2), ('the','the',0,3), ('a','a',0,1),"
+    "   ('scan','scan',0,4), ('s','s',0,1), ('##ort','ort',1,3),"
+    "   ('m','m',0,1), ('##erge','erge',1,4), ('data','data',0,4)),"
+    " toks0 AS (SELECT doc_id,"
+    "   unnest(regexp_split_to_array(trim(lower(coalesce(text,''))),"
+    "    '\\s+')) AS word,"
+    "   unnest(range(1, len(regexp_split_to_array(trim(lower("
+    "    coalesce(text,''))), '\\s+')) + 1)) AS ord FROM documents),"
+    " toks AS (SELECT * FROM toks0 WHERE word <> ''),"
+    " w AS (SELECT DISTINCT word FROM toks WHERE length(word) <= 100),"
+    " rec(word, i, acc, np) AS ("
+    "   SELECT word, 0, CAST('' AS VARCHAR), 0 FROM w"
+    "   UNION ALL"
+    "   SELECT r.word, r.i + v.plen,"
+    "     CASE WHEN r.i = 0 THEN v.piece"
+    "      ELSE r.acc || ' ' || v.piece END, r.np + 1"
+    "   FROM rec r JOIN v ON substr(r.word, r.i + 1, v.plen) = v.body"
+    "     AND v.cont = CASE WHEN r.i = 0 THEN 0 ELSE 1 END"
+    "   WHERE r.i < length(r.word)"
+    "     AND NOT EXISTS (SELECT 1 FROM v v2"
+    "       WHERE substr(r.word, r.i + 1, v2.plen) = v2.body"
+    "        AND v2.cont = CASE WHEN r.i = 0 THEN 0 ELSE 1 END"
+    "        AND v2.plen > v.plen)),"
+    " done AS (SELECT word, acc, np FROM rec WHERE i = length(word)),"
+    " enc AS (SELECT w0.word, coalesce(d.acc, '[UNK]') AS pieces,"
+    "    coalesce(d.np, 1) AS np,"
+    "    CASE WHEN d.word IS NULL THEN 1 ELSE 0 END AS unk"
+    "   FROM (SELECT DISTINCT word FROM toks) w0"
+    "   LEFT JOIN done d USING (word)),"
+    " agg AS (SELECT t.doc_id, count(*) AS n_words,"
+    "    CAST(sum(e.np) AS BIGINT) AS n_pieces,"
+    "    CAST(sum(e.unk) AS BIGINT) AS n_unk,"
+    "    string_agg(e.pieces, ' ' ORDER BY t.ord) AS pieces"
+    "   FROM toks t JOIN enc e USING (word) GROUP BY t.doc_id)"
+    " SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words,"
+    "  coalesce(a.n_pieces, 0) AS n_pieces,"
+    "  coalesce(a.n_unk, 0) AS n_unk, a.pieces"
+    " FROM documents d LEFT JOIN agg a USING (doc_id)"
+)
+
+
+def q_bloom_lookup_orders(sf_dir: str):
+    """Persisted per-file Bloom point-lookup
+    (stages/bloomindex.py): shard orders to parquet, build the
+    KB-scale Bloom sidecar over o_orderkey, then fetch 4 point keys
+    opening ONLY bloom-positive files (misses certain, hits settled
+    by the pushdown filter). Fully oracled (IN-list twin)."""
+    import tempfile
+
+    from ..stages.bloomindex import bloom_point_lookup, \
+        build_bloom_index
+
+    keys = [10, 42, 777, 1234]
+    with tempfile.TemporaryDirectory(prefix="bloomix-") as td:
+        data = f"{td}/data"
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"]
+        ).repartition(8).write_parquet(data)
+        build_bloom_index(data, "o_orderkey", f"{td}/ix",
+                          bits_pow=16)
+        out = bloom_point_lookup(data, f"{td}/ix", keys)
+        df = out.to_pandas().sort_values("o_orderkey")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES["bloom_lookup_orders"] = q_bloom_lookup_orders
+
+ORACLES["bloom_lookup_orders"] = (
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    " WHERE o_orderkey IN (10, 42, 777, 1234) ORDER BY o_orderkey"
+)

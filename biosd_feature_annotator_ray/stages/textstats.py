@@ -2686,3 +2686,114 @@ def c4_line_filter(
         return out.filter(pa.array(kept >= min_lines))
 
     return docs.map_batches(clean, batch_format="pyarrow")
+
+
+def wordpiece_encode(
+    docs: "object",
+    vocab: "list[str]",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    unk: str = "[UNK]",
+    max_word_len: int = 100,
+    lowercase: bool = True,
+) -> "object":
+    """WordPiece tokenization against a FIXED vocabulary (Wu et al.
+    2016 / BERT, public): per whitespace word, greedy
+    LONGEST-MATCH-FIRST — the longest vocab prefix, then repeatedly
+    the longest ``##``-continuation piece; any dead end (or a word
+    over ``max_word_len`` chars) collapses the whole word to ``unk``,
+    matching the BERT reference tokenizer exactly. The iterative
+    per-word match is not vectorizable, so the plan bounds it: each
+    batch DICTIONARY-ENCODES its words and pays the Python loop only
+    per DISTINCT word (Zipf makes that tiny next to token count),
+    then scatters piece strings back with a vectorized take +
+    run-offset join. The vocab broadcasts once via ``ray.put`` (the
+    ``encode_tokens`` contract — never re-shipped per batch); the
+    corpus streams through ONE stateless ``map_batches``, no shuffle.
+
+    Output: ``(id_col, n_words, n_pieces, n_unk, pieces)`` with
+    ``pieces`` the space-joined piece sequence (null for word-less
+    docs)."""
+    import ray
+
+    if unk not in vocab:
+        raise ValueError("wordpiece_encode: unk token must be in "
+                         "the vocab")
+    ref = ray.put(frozenset(vocab))
+
+    def _enc_word(w: str, vs) -> "list[str] | None":
+        if len(w) > max_word_len:
+            return None
+        out, i = [], 0
+        while i < len(w):
+            j = len(w)
+            while j > i:
+                piece = ("##" + w[i:j]) if i else w[i:j]
+                if piece in vs:
+                    out.append(piece)
+                    break
+                j -= 1
+            else:
+                return None
+            i = j
+        return out
+
+    def encode(batch: pa.Table) -> pa.Table:
+        vs = ray.get(ref)
+        text = pc.fill_null(batch.column(text_col), "")
+        if text.type != pa.string():
+            text = text.cast(pa.string())
+        if lowercase:
+            text = pc.utf8_lower(text)
+        lists = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(text), r"\s+")
+        parent = pc.list_parent_indices(lists)
+        flat = pc.list_flatten(lists)
+        keep = pc.not_equal(flat, "")
+        doc_idx = pc.filter(parent, keep).to_numpy(
+            zero_copy_only=False)
+        words = pc.filter(flat, keep)
+        dic = words.combine_chunks().dictionary_encode() \
+            if isinstance(words, pa.ChunkedArray) \
+            else words.dictionary_encode()
+        uniq = dic.dictionary.to_pylist() if not isinstance(
+            dic, pa.ChunkedArray) else \
+            dic.combine_chunks().dictionary.to_pylist()
+        if isinstance(dic, pa.ChunkedArray):
+            dic = dic.combine_chunks()
+        enc = []
+        for w in uniq:
+            pieces = _enc_word(w, vs)
+            enc.append((unk, 1, 1) if pieces is None
+                       else (" ".join(pieces), len(pieces), 0))
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        piece_str = np.array([e[0] for e in enc], object)[codes] \
+            if len(enc) else np.array([], object)
+        piece_n = np.array([e[1] for e in enc], np.int64)[codes] \
+            if len(enc) else np.array([], np.int64)
+        unk_n = np.array([e[2] for e in enc], np.int64)[codes] \
+            if len(enc) else np.array([], np.int64)
+        nw = np.bincount(doc_idx, minlength=batch.num_rows) \
+            if len(doc_idx) else np.zeros(batch.num_rows, np.int64)
+        npieces = np.zeros(batch.num_rows, np.int64)
+        nunk = np.zeros(batch.num_rows, np.int64)
+        if len(doc_idx):
+            np.add.at(npieces, doc_idx, piece_n)
+            np.add.at(nunk, doc_idx, unk_n)
+        # per-doc space-join of word piece-strings, in order
+        order = np.argsort(doc_idx, kind="stable")
+        svals = pa.array(piece_str[order], pa.string()) if len(
+            doc_idx) else pa.array([], pa.string())
+        off = np.r_[0, np.cumsum(nw)].astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off), svals), " ")
+        joined = pc.if_else(pc.equal(pa.array(nw, pa.int64()), 0),
+                            pa.scalar(None, pa.string()), joined)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_words": pa.array(nw.astype(np.int64)),
+            "n_pieces": pa.array(npieces),
+            "n_unk": pa.array(nunk),
+            "pieces": joined})
+
+    return docs.map_batches(encode, batch_format="pyarrow")

@@ -214,3 +214,157 @@ def test_read_pages_evolved_empty_raises(tmp_path):
 
     with pytest.raises(ValueError, match="no parquet files"):
         read_pages_evolved(str(tmp_path))
+
+
+# --- wordpiece_encode -------------------------------------------------------
+
+def _wp_reference(text, vocab, unk="[UNK]", max_len=100):
+    out, n_unk = [], 0
+    words = text.lower().split()
+    for w in words:
+        if len(w) > max_len:
+            out.append(unk)
+            n_unk += 1
+            continue
+        pieces, i, dead = [], 0, False
+        while i < len(w):
+            j = len(w)
+            while j > i:
+                p = ("##" + w[i:j]) if i else w[i:j]
+                if p in vocab:
+                    pieces.append(p)
+                    break
+                j -= 1
+            else:
+                dead = True
+                break
+            i = j
+        if dead:
+            out.append(unk)
+            n_unk += 1
+        else:
+            out.extend(pieces)
+    return words, out, n_unk
+
+
+WP_VOCAB = ["[UNK]", "un", "##aff", "##able", "##ed", "want",
+            "##want", "wa", "##nt", "the", "a", "##b", "b"]
+
+
+def test_wordpiece_bert_semantics():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        wordpiece_encode)
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": pa.array([
+            "unaffable unwanted the",   # classic BERT split + chain
+            "xyz",                      # dead end -> UNK
+            "THE A b",                  # lowercase fold
+            None,                       # null doc
+            "ab" * 80])})               # > max_word_len -> UNK
+    got = {r["doc_id"]: r for r in wordpiece_encode(
+        rd.from_arrow(docs).repartition(2), WP_VOCAB,
+        max_word_len=100).take_all()}
+    assert got[1]["pieces"] == "un ##aff ##able un ##want ##ed the"
+    assert got[1]["n_words"] == 3 and got[1]["n_pieces"] == 7
+    assert got[1]["n_unk"] == 0
+    assert got[2]["pieces"] == "[UNK]" and got[2]["n_unk"] == 1
+    assert got[3]["pieces"] == "the a b"
+    assert got[4]["pieces"] is None and got[4]["n_words"] == 0
+    assert got[5]["pieces"] == "[UNK]"      # 160 chars > 100
+    with pytest.raises(ValueError, match="unk token"):
+        wordpiece_encode(rd.from_arrow(docs), ["a", "b"])
+
+
+def test_wordpiece_reference_fuzz():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        wordpiece_encode)
+
+    rng = random.Random(59)
+    alphabet = "abu"
+    vocab = {"[UNK]"}
+    while len(vocab) < 25:
+        k = rng.randrange(1, 4)
+        w = "".join(rng.choices(alphabet, k=k))
+        vocab.add(w if rng.random() < 0.5 else "##" + w)
+    vocab = sorted(vocab)
+    texts = [" ".join("".join(rng.choices(alphabet,
+                                          k=rng.randrange(1, 8)))
+                      for _ in range(rng.randrange(0, 10)))
+             for _ in range(50)]
+    docs = pa.table({
+        "doc_id": pa.array(range(50), pa.int64()),
+        "text": pa.array(texts)})
+    got = {r["doc_id"]: r for r in wordpiece_encode(
+        rd.from_arrow(docs).repartition(3), vocab).take_all()}
+    vs = set(vocab)
+    for i, txt in enumerate(texts):
+        words, pieces, n_unk = _wp_reference(txt, vs)
+        if words:
+            assert got[i]["pieces"] == " ".join(pieces)
+            assert got[i]["n_pieces"] == len(pieces)
+            assert got[i]["n_unk"] == n_unk
+        else:
+            assert got[i]["pieces"] is None
+
+
+# --- bloom point-lookup index ------------------------------------------------
+
+def _write_sharded(tmp, n_files=8, rows_per=200):
+    import pyarrow.parquet as pq
+
+    d = tmp / "data"
+    d.mkdir()
+    rid = 0
+    for f in range(n_files):
+        ids = list(range(rid, rid + rows_per))
+        rid += rows_per
+        pq.write_table(pa.table({
+            "entity": pa.array([i * 7 for i in ids], pa.int64()),
+            "payload": pa.array([f"p{i}" for i in ids])}),
+            str(d / f"part-{f:03d}.parquet"))
+    return str(d)
+
+
+def test_bloom_index_lookup_exact_and_pruned(tmp_path):
+    from biosd_feature_annotator_ray.stages.bloomindex import (
+        bloom_candidate_files, bloom_point_lookup, build_bloom_index)
+
+    data = _write_sharded(tmp_path)
+    ix = str(tmp_path / "ix")
+    n = build_bloom_index(data, "entity", ix, bits_pow=16)
+    assert n == 8
+    # keys living in exactly two files
+    keys = [7 * 10, 7 * 1310]           # file 0 and file 6
+    cand = bloom_candidate_files(ix, keys)
+    assert "part-000.parquet" in cand and "part-006.parquet" in cand
+    assert len(cand) < 8                 # pruning actually happened
+    rows = sorted(bloom_point_lookup(data, ix, keys).take_all(),
+                  key=lambda r: r["entity"])
+    assert [(r["entity"], r["payload"]) for r in rows] == [
+        (70, "p10"), (9170, "p1310")]
+    # miss -> empty with schema, no candidate files
+    assert bloom_candidate_files(ix, [13]) == []
+    empty = bloom_point_lookup(data, ix, [13])
+    assert empty.count() == 0
+    assert set(empty.schema().names) == {"entity", "payload"}
+    # idempotent rebuild; param mismatch raises
+    assert build_bloom_index(data, "entity", ix, bits_pow=16) == 8
+    with pytest.raises(ValueError, match="was built with"):
+        build_bloom_index(data, "entity", ix, bits_pow=18)
+
+
+def test_bloom_index_no_false_negatives_fuzz(tmp_path):
+    from biosd_feature_annotator_ray.stages.bloomindex import (
+        bloom_point_lookup, build_bloom_index)
+
+    data = _write_sharded(tmp_path, n_files=4, rows_per=100)
+    ix = str(tmp_path / "ix")
+    build_bloom_index(data, "entity", ix, bits_pow=12)
+    rng = random.Random(3)
+    keys = [7 * rng.randrange(400) for _ in range(25)] + [5, 11]
+    got = sorted(r["entity"] for r in
+                 bloom_point_lookup(data, ix, keys).take_all())
+    want = sorted({k for k in keys if k % 7 == 0 and k < 2800})
+    assert got == want
