@@ -191,8 +191,22 @@ def read_pages_evolved(
     parts = []
     for names, fps in sorted(by_sig.items()):
         want = [c for c in tgt.names if c in names]
-        ds = rd.read_parquet(fps, columns=want or None)
+        if want:
+            ds = rd.read_parquet(fps, columns=want)
+        else:
+            # no requested column exists in this fragment group —
+            # synthesize its all-null rows from footer row counts
+            # instead of reading every column just to discard it
+            n = sum(pq.read_metadata(fp).num_rows for fp in fps)
+            if n == 0:
+                continue
+            ds = rd.range(n).map_batches(
+                lambda t: pa.table(
+                    {"__fill": pa.nulls(t.num_rows, pa.int8())}),
+                batch_format="pyarrow")
         parts.append(ds.map_batches(conform, batch_format="pyarrow"))
+    if not parts:
+        return rd.from_arrow(tgt.empty_table())
     out = parts[0]
     for p in parts[1:]:
         out = out.union(p)

@@ -304,6 +304,12 @@ def pagerank(
                 "node": t.column("node"),
                 "rank": pc.fill_null(t.column("r0"), init)}),
             batch_format="pyarrow").materialize()
+        if warm.count() != n_nodes:
+            # a duplicated init node multiplies through the left join
+            # and would silently double-count its mass every iteration
+            raise ValueError(
+                "pagerank: init_ranks must be unique per node "
+                f"({warm.count() - n_nodes} duplicate row(s))")
         total = warm.sum("rank") or 0.0
         if not np.isfinite(total) or total <= 0:
             raise ValueError(
@@ -6299,11 +6305,14 @@ def node2vec_walks(
     adj_j = adj.map_batches(
         lambda t: t.select(["node", "rank", "next"]),
         batch_format="pyarrow")
+    # materialized: the membership join re-reads it every biased step
+    # — without this the dedup shuffle in its lineage re-executes
+    # per step
     marked = E.map_batches(
         lambda t: pa.table({
             "prev": t.column("src"), "next": t.column("dst"),
             "__has": pa.array(np.ones(t.num_rows, np.int8))}),
-        batch_format="pyarrow")
+        batch_format="pyarrow").materialize()
 
     def fan(t: pa.Table, w=walks_per_node) -> pa.Table:
         node = t.column("node")

@@ -961,7 +961,10 @@ def join_cardinality_estimate(
     keys match nothing (SQL inner-join semantics). Returns ONE row
     ``(est_rows, n_common_keys, max_key_rows, top_keys)`` where
     top_keys is a '|'-joined "key:rows" string (deterministic order:
-    rows desc, key asc)."""
+    rows desc, key asc). Per-key products and the total are computed
+    in overflow-checked integer math: a join whose cardinality would
+    exceed int64 raises (the honest answer to "can we afford this
+    join" is NO, not a wrapped number)."""
     import pyarrow.compute as pc
 
     from .canonicalize import sum_by_key
@@ -990,31 +993,48 @@ def join_cardinality_estimate(
     def contrib(t: pa.Table) -> pa.Table:
         nl = t.column("nl").to_numpy(zero_copy_only=False)
         nr = t.column("nr").to_numpy(zero_copy_only=False)
-        rows = nl * nr
+        # overflow-checked products: wrap-around here is exactly the
+        # explosive join this probe exists to catch
+        if len(nl) and float(nl.max()) * float(nr.max()) > 2 ** 62:
+            rows_py = [int(a) * int(b) for a, b in zip(nl, nr)]
+            if max(rows_py) > 2 ** 63 - 1 or \
+                    sum(rows_py) > 2 ** 63 - 1:
+                raise ValueError(
+                    "join_cardinality_estimate: estimated join "
+                    "cardinality exceeds int64 — the join is "
+                    "unaffordable as keyed")
+            rows = np.array(rows_py, np.int64)
+        else:
+            rows = nl * nr
         key_join = t.column(kcols[0])
         for c in kcols[1:]:
             key_join = pc.binary_join_element_wise(
                 key_join, t.column(c), ",")
         kj = key_join.to_numpy(zero_copy_only=False)
         order = np.lexsort((kj, -rows))[:top]
+        # top keys ride as LIST columns (a key string may itself
+        # contain '|' — never re-parse a joined display string)
         return pa.table({
             "est": pa.array([int(rows.sum())], pa.int64()),
             "nk": pa.array([len(rows)], pa.int64()),
             "mx": pa.array([int(rows.max()) if len(rows) else 0],
                            pa.int64()),
-            "top": pa.array(["|".join(
-                f"{kj[i]}:{rows[i]}" for i in order)], pa.string())})
+            "top_k": pa.array([[kj[i] for i in order]],
+                              pa.list_(pa.string())),
+            "top_n": pa.array([[int(rows[i]) for i in order]],
+                              pa.list_(pa.int64()))})
 
     parts = [r for r in j.map_batches(
         contrib, batch_format="pyarrow").take_all()]
-    est = sum(r["est"] for r in parts)
+    est = sum(int(r["est"]) for r in parts)
+    if est > 2 ** 63 - 1:
+        raise ValueError(
+            "join_cardinality_estimate: estimated join cardinality "
+            "exceeds int64 — the join is unaffordable as keyed")
     nk = sum(r["nk"] for r in parts)
     cand = []
     for r in parts:
-        for item in (r["top"] or "").split("|"):
-            if item:
-                k, _, n = item.rpartition(":")
-                cand.append((int(n), k))
+        cand.extend(zip((int(x) for x in r["top_n"]), r["top_k"]))
     cand.sort(key=lambda x: (-x[0], x[1]))
     return pa.table({
         "est_rows": pa.array([est], pa.int64()),
@@ -1062,7 +1082,8 @@ def allen_join(
     arithmetic — no per-key Python) builds the same-key pairs, one
     ``np.select`` classifies them. Per-key pair volume is guarded by
     ``max_pairs_per_bucket`` (typed ``AllenPairOverflow``). Null
-    keys/bounds match nothing (SQL join semantics); ``lo > hi``
+    keys/bounds and NaN bounds match nothing (SQL join semantics —
+    a NaN interval satisfies no relation); ``lo > hi``
     raises. Bounds may be ints, floats or timestamps; comparisons run
     in float64, exact for ints/µs-timestamps up to 2^53 (year ~2255).
     Output: ``(key, l_id, r_id, l_lo, l_hi, r_lo, r_hi, relation)``."""
@@ -1072,6 +1093,12 @@ def allen_join(
             k, a, b = t.column(key), t.column(lo), t.column(hi)
             ok = pc.and_(pc.and_(pc.is_valid(k), pc.is_valid(a)),
                          pc.is_valid(b))
+            # NaN bounds classify as nothing — treat like null
+            # (they'd satisfy no relation arm and leak a '?' row)
+            for col in (a, b):
+                if pa.types.is_floating(col.type):
+                    ok = pc.and_(ok, pc.invert(pc.fill_null(
+                        pc.is_nan(col), False)))
             bad = pc.any(pc.and_(ok, pc.greater(a, b))).as_py()
             if bad:
                 raise ValueError("allen_join: interval with lo > hi")

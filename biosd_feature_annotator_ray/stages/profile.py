@@ -453,7 +453,8 @@ def expectations_report(
             raise ValueError(f"unknown rule {e['rule']!r}")
 
     scan_rules = [e for e in expectations if e["rule"] != "unique"]
-    uniq_rules = [e for e in expectations if e["rule"] == "unique"]
+    uniq_rules = [(i, e) for i, e in enumerate(expectations)
+                  if e["rule"] == "unique"]
 
     def scan(t: pa.Table) -> pa.Table:
         rows = {"idx": [], "n": [], "bad": []}
@@ -497,8 +498,7 @@ def expectations_report(
                 scan, batch_format="pyarrow").take_all():
             totals[r["idx"]][0] += r["n"]
             totals[r["idx"]][1] += r["bad"]
-    for e in uniq_rules:
-        i = expectations.index(e)
+    for i, e in uniq_rules:
 
         def census(t: pa.Table, c=e["col"]) -> pa.Table:
             col = t.column(c)

@@ -368,3 +368,77 @@ def test_bloom_index_no_false_negatives_fuzz(tmp_path):
                  bloom_point_lookup(data, ix, keys).take_all())
     want = sorted({k for k in keys if k % 7 == 0 and k < 2800})
     assert got == want
+
+
+# --- review-pass regressions -------------------------------------------------
+
+def test_join_cardinality_pipe_in_key():
+    from biosd_feature_annotator_ray.stages.join import (
+        join_cardinality_estimate)
+
+    l = rd.from_arrow(pa.table({"k": pa.array(
+        ["a|b", "a|b", "c:d", "plain"])}))
+    r = rd.from_arrow(pa.table({"k": pa.array(
+        ["a|b", "c:d", "c:d", "zz"])}))
+    got = join_cardinality_estimate(l, r, "k", nb=2).to_pylist()[0]
+    assert got["est_rows"] == 4 and got["n_common_keys"] == 2
+    assert got["max_key_rows"] == 2
+    # both contribute 2; tie broken key asc — no crash on '|' or ':'
+    assert got["top_keys"] == "a|b:2|c:d:2"
+
+
+def test_expectations_duplicate_unique_rules():
+    from biosd_feature_annotator_ray.stages.profile import (
+        expectations_report)
+
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 2], pa.int64())}))
+    rules = [{"rule": "unique", "col": "id"},
+             {"rule": "unique", "col": "id"}]
+    got = expectations_report(ds, rules, nb=2).to_pylist()
+    for row in got:
+        assert row["n_checked"] == 3 and row["violations"] == 2
+        assert row["ok"] is False
+
+
+def test_pagerank_init_duplicate_nodes_raise():
+    t = _star_edges()
+    init = rd.from_arrow(pa.table({
+        "node": pa.array([0, 0], pa.int64()),
+        "rank": pa.array([0.5, 0.5])}))
+    with pytest.raises(Exception, match="unique per node"):
+        pagerank(rd.from_arrow(t), iters=1, nb=2,
+                 init_ranks=init).take_all()
+
+
+def test_allen_join_nan_bounds_dropped():
+    from biosd_feature_annotator_ray.stages.join import allen_join
+
+    l = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "id": pa.array(["a", "b"]),
+        "lo": pa.array([float("nan"), 0.0]),
+        "hi": pa.array([1.0, 2.0])}))
+    r = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "id": pa.array(["x"]),
+        "lo": pa.array([0.0]),
+        "hi": pa.array([2.0])}))
+    got = allen_join(l, r, "k", "id", "id", nb=1).take_all()
+    # the NaN-lo interval classifies as nothing; no '?' rows ever
+    assert [(x["l_id"], x["relation"]) for x in got] == [
+        ("b", "equals")]
+
+
+def test_read_pages_evolved_all_missing_column_group(tmp_path):
+    from biosd_feature_annotator_ray.sources.pages import (
+        read_pages_evolved)
+
+    _write(tmp_path, "old.parquet", pa.table({
+        "url": pa.array(["u1", "u2"]),
+        "big": pa.array([b"x" * 10, b"y"], pa.binary())}))
+    _write(tmp_path, "new.parquet", pa.table({
+        "url": pa.array(["u3"]), "lang": pa.array(["en"])}))
+    ds = read_pages_evolved(str(tmp_path), columns=["lang"])
+    vals = sorted((r["lang"] or "") for r in ds.take_all())
+    assert vals == ["", "", "en"]
