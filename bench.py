@@ -281,6 +281,7 @@ def run_queries() -> dict:
         "sample_neighbors", "c4_lines", "allen_relations",
         "fs_em_params", "node2vec_walks", "pagerank_warmstart",
         "ccnet_buckets", "wordpiece_docs", "bloom_lookup_orders",
+        "temporal_reach",
     ]
     out = {}
     for name in names:

@@ -11588,13 +11588,25 @@ def q_phonetic_er(sf_dir: str):
     def verify(t: pa.Table) -> pa.Table:
         from ..stages.similarity import jw_score_pairs
 
-        wl = t.column("w_l").to_pylist()
-        wr = t.column("w_r").to_pylist()
-        sim, keep = jw_score_pairs(wl, wr, 0.85)
+        # the blocked pairs repeat a tiny set of (word, word) combos
+        # (first words of TPC-H part names) — score each DISTINCT
+        # pair once and gather, instead of re-running JW per row
+        pk = pc.binary_join_element_wise(
+            t.column("w_l"), t.column("w_r"), "\x1f")
+        if isinstance(pk, pa.ChunkedArray):
+            pk = pk.combine_chunks()
+        dic = pk.dictionary_encode()
+        uniq = dic.dictionary.to_pylist()
+        ul = [u.split("\x1f", 1)[0] for u in uniq]
+        ur = [u.split("\x1f", 1)[1] for u in uniq]
+        sim_u, keep_u = jw_score_pairs(ul, ur, 0.85)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        keep = keep_u[codes]
+        sim = sim_u[codes][keep]
         t = t.filter(pa.array(keep))
         return pa.table({"l_id": t.column("l_id"),
                          "r_id": t.column("r_id"),
-                         "sim": pa.array(sim[keep])})
+                         "sim": pa.array(sim)})
 
     out = j.map_batches(verify, batch_format="pyarrow").to_pandas()
     out = (out.drop_duplicates(["l_id", "r_id"])
@@ -14486,4 +14498,48 @@ QUERIES["bloom_lookup_orders"] = q_bloom_lookup_orders
 ORACLES["bloom_lookup_orders"] = (
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
     " WHERE o_orderkey IN (10, 42, 777, 1234) ORDER BY o_orderkey"
+)
+
+
+def q_temporal_reach(sf_dir: str):
+    """Time-respecting reachability (graph.temporal_reachability):
+    earliest arrival from seeds {0,1,2} at t0=0 over orders-derived
+    temporal edges — an edge is traversable only at-or-after the
+    information arrived at its source. Fully oracled (recursive CTE
+    over (node, time) states + min)."""
+    from ..stages.graph import temporal_reachability
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "src": pa.array(k % 300, pa.int64()),
+            "dst": pa.array((k // 7) % 300, pa.int64()),
+            "ts": pa.array(k % 1000, pa.int64())})
+
+    out = temporal_reachability(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        [0, 1, 2], t0=0, nb=8)
+    df = out.to_pandas().sort_values("node")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES["temporal_reach"] = q_temporal_reach
+
+ORACLES["temporal_reach"] = (
+    "WITH RECURSIVE"
+    " e AS (SELECT o_orderkey % 300 AS src,"
+    "   (o_orderkey // 7) % 300 AS dst,"
+    "   o_orderkey % 1000 AS ts FROM orders),"
+    " reach(node, t) AS ("
+    "   SELECT unnest([0, 1, 2]), 0"
+    "   UNION"
+    "   SELECT e.dst, e.ts FROM reach r"
+    "   JOIN e ON e.src = r.node AND e.ts >= r.t)"
+    " SELECT CAST(node AS BIGINT) AS node,"
+    "  CAST(min(t) AS BIGINT) AS arrival"
+    " FROM reach GROUP BY node"
 )

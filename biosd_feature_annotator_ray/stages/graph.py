@@ -6435,3 +6435,107 @@ def node2vec_walks(
             lambda t, ts=t_step: emit(t, ts), batch_format="pyarrow"))
         frontier = stepped
     return acc
+
+
+def temporal_reachability(
+    edges,
+    seeds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    ts_col: str = "ts",
+    t0: "int | None" = None,
+    nb: int = 32,
+    max_iters: int = 100,
+) -> "ray.data.Dataset":
+    """TIME-RESPECTING reachability over a temporal edge list — the
+    KG/crawl provenance question "what could X have influenced
+    AFTER t0?": an edge (u → v, t) is traversable only when
+    ``t ≥ arrival(u)`` (information can't ride an interaction that
+    happened before it arrived — Holme & Saramäki 2012, public).
+    Returns ``(node, arrival)`` with the EARLIEST arrival time of
+    every node reachable from ``seeds`` (seeds at ``t0``; default =
+    min int64, i.e. unconstrained starts). Timestamps may be ints or
+    timestamps (compared as int64 epoch units).
+
+    Shape per round (the sssp skeleton): frontier ⋈ edges (one
+    bucket join) filtered to time-respecting edges → candidate
+    arrival = the edge's own ts, map-side-combined min per node, ONE
+    left join keeping strict improvements as the next frontier. Like
+    Bellman-Ford, a labeled node can improve via a later-found
+    earlier path, so rounds relax to fixpoint; ``max_iters``
+    guards non-convergence."""
+    import ray.data as rd
+
+    from .join import shuffle_hash_join
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) \
+        else edges
+    t0 = int(t0) if t0 is not None else -(2 ** 62)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = t.column(ts_col)
+        if pa.types.is_temporal(ts.type):
+            ts = pc.cast(ts, pa.int64())
+        else:
+            ts = pc.cast(ts, pa.int64())
+        out = pa.table({"src": t.column(src_col).cast(pa.int64()),
+                        "dst": t.column(dst_col).cast(pa.int64()),
+                        "ts": ts})
+        ok = pc.and_(pc.and_(pc.is_valid(out.column("src")),
+                             pc.is_valid(out.column("dst"))),
+                     pc.is_valid(out.column("ts")))
+        return out.filter(ok)
+
+    e = edges_ds.map_batches(prep,
+                             batch_format="pyarrow").materialize()
+    if isinstance(seeds, (list, tuple, np.ndarray)):
+        seeds = pa.table({"node": pa.array(
+            sorted(set(int(x) for x in seeds)), pa.int64())})
+    seeds_ds = rd.from_arrow(seeds) if isinstance(seeds, pa.Table) \
+        else seeds
+    arr = seeds_ds.map_batches(
+        lambda t: pa.table({
+            "node": t.column("node").cast(pa.int64()),
+            "arrival": pa.array(np.full(len(t), t0, np.int64))}),
+        batch_format="pyarrow").materialize()
+    frontier = arr
+
+    for _ in range(max_iters):
+        if frontier.count() == 0:
+            return arr
+        msgs = shuffle_hash_join(
+            frontier.map_batches(
+                lambda t: t.rename_columns(["src", "arrival"]),
+                batch_format="pyarrow"),
+            e, on=["src"], how="inner", nb=nb)
+        msgs = msgs.map_batches(
+            lambda t: (lambda f: pa.table({
+                "node": f.column("dst"),
+                "anew": f.column("ts")}))(
+                t.filter(pc.greater_equal(t.column("ts"),
+                                          t.column("arrival")))),
+            batch_format="pyarrow")
+        cand = _min_per_node(msgs, nb, "node", "anew").materialize()
+        if cand.count() == 0:
+            return arr
+        j = shuffle_hash_join(
+            cand, arr.map_batches(
+                lambda t: t.rename_columns(["node", "acur"]),
+                batch_format="pyarrow"),
+            on=["node"], how="left", nb=nb)
+        frontier = j.map_batches(
+            lambda t: (lambda f: pa.table(
+                {"node": f.column("node"),
+                 "arrival": f.column("anew")}))(
+                t.filter(pc.fill_null(
+                    pc.less(t.column("anew"), t.column("acur")),
+                    True))),
+            batch_format="pyarrow").materialize()
+        if frontier.count() == 0:
+            return arr
+        arr = shuffle_hash_join(arr, frontier, on=["node"],
+                                how="anti", nb=nb) \
+            .union(frontier).materialize()
+    raise RuntimeError(
+        f"temporal_reachability did not converge in "
+        f"max_iters={max_iters}")
