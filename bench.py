@@ -281,7 +281,8 @@ def run_queries() -> dict:
         "sample_neighbors", "c4_lines", "allen_relations",
         "fs_em_params", "node2vec_walks", "pagerank_warmstart",
         "ccnet_buckets", "wordpiece_docs", "bloom_lookup_orders",
-        "temporal_reach",
+        "temporal_reach", "er_golden_parts", "bootstrap_ci_orders",
+        "compression_quality",
     ]
     out = {}
     for name in names:

@@ -14543,3 +14543,120 @@ ORACLES["temporal_reach"] = (
     "  CAST(min(t) AS BIGINT) AS arrival"
     " FROM reach GROUP BY node"
 )
+
+
+def q_er_golden_parts(sf_dir: str):
+    """END-TO-END entity resolution composition — the full dirty-
+    catalog fold in one pipeline, every step an already-oracled
+    operator: JW-blocked matching (blocked_jw_join, 0.92) over
+    swap-corrupted part names → string min-label components over the
+    match pairs (string_components) → one golden record per entity
+    (the label member's catalog name) + member count. The SQL twin
+    replays the match join, a recursive-CTE closure, and the golden
+    join."""
+    from ..stages.canonicalize import sum_by_key
+    from ..stages.graph import string_components
+    from ..stages.join import shuffle_hash_join
+    from ..stages.similarity import blocked_jw_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet",
+                           columns=["p_partkey", "p_name"])
+    corrupted = part.map_batches(
+        lambda t: t.filter(pa.array(
+            t.column("p_partkey").to_numpy() % 25 == 0)),
+        batch_format="pyarrow").map_batches(
+        lambda t: pa.table({
+            "p_partkey": t.column("p_partkey"),
+            "p_name": pa.array([s[:2] + s[3] + s[2] + s[4:]
+                                for s in
+                                t.column("p_name").to_pylist()])}),
+        batch_format="pyarrow")
+    matches = blocked_jw_join(corrupted, part, "p_partkey", "p_name",
+                              "p_partkey", "p_name", min_sim=0.92,
+                              nb=16)
+    edges = matches.map_batches(
+        lambda t: pa.table({
+            "src": pc.cast(t.column("l_id"), pa.string()),
+            "dst": pc.cast(t.column("r_id"), pa.string())}),
+        batch_format="pyarrow")
+    comp = string_components(edges, nb=8)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lab": t.column("lab"),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cen = sum_by_key(comp.map_batches(one, batch_format="pyarrow"),
+                     "lab", "n", nb=8, out_col="n_members")
+    labint = cen.map_batches(
+        lambda t: t.append_column(
+            "p_partkey", pc.cast(t.column("lab"), pa.int64())),
+        batch_format="pyarrow")
+    j = shuffle_hash_join(labint, part, on=["p_partkey"],
+                          how="inner", nb=8)
+    df = j.to_pandas()[["lab", "n_members", "p_name"]].rename(
+        columns={"lab": "entity", "p_name": "golden_name"})
+    df["n_members"] = df["n_members"].astype("int64")
+    return pa.Table.from_pandas(
+        df.sort_values("entity").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["er_golden_parts"] = q_er_golden_parts
+
+
+def _er_golden_oracle() -> str:
+    return (
+        "WITH RECURSIVE m AS (" + ORACLES["er_parts_jw"] + "),"
+        " e AS (SELECT CAST(l_id AS VARCHAR) AS s,"
+        "   CAST(r_id AS VARCHAR) AS d FROM m"
+        "  UNION SELECT CAST(r_id AS VARCHAR),"
+        "   CAST(l_id AS VARCHAR) FROM m),"
+        " nodes AS (SELECT DISTINCT s AS n FROM e),"
+        " rec(a, b) AS (SELECT n, n FROM nodes"
+        "  UNION SELECT r.a, e.d FROM rec r JOIN e ON e.s = r.b),"
+        " comp AS (SELECT a AS node, min(b) AS lab FROM rec"
+        "  GROUP BY a),"
+        " cen AS (SELECT lab, count(*) AS n_members FROM comp"
+        "  GROUP BY lab)"
+        " SELECT cen.lab AS entity,"
+        "  CAST(cen.n_members AS BIGINT) AS n_members,"
+        "  p.p_name AS golden_name"
+        " FROM cen JOIN part p ON p.p_partkey = CAST(cen.lab AS BIGINT)"
+    )
+
+
+ORACLES["er_golden_parts"] = _er_golden_oracle()
+
+
+def q_bootstrap_ci_orders(sf_dir: str):
+    """Poisson-bootstrap percentile CI for mean(o_totalprice)
+    (sketches.bootstrap_ci): Efron bootstrap in ONE streaming pass
+    with md5-deterministic Poisson(1) weights — replayable at any
+    scale, no RNG state. Fully oracled (the SQL twin re-draws every
+    weight from the same md5 and shared CDF threshold literals)."""
+    from ..stages.sketches import bootstrap_ci
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_totalprice"])
+    return bootstrap_ci(orders, "o_orderkey", "o_totalprice",
+                        n_replicates=50, seed=0, alpha=0.05, nb=8)
+
+
+QUERIES["bootstrap_ci_orders"] = q_bootstrap_ci_orders
+
+ORACLES["bootstrap_ci_orders"] = "WITH r AS (SELECT unnest(range(0, 50)) AS b), d AS (SELECT o.o_orderkey AS id, o.o_totalprice AS x, r.b,   CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)    || ':' || CAST(r.b AS VARCHAR) || ':0'), 1, 8)) AS UBIGINT)    AS u  FROM orders o CROSS JOIN r WHERE o.o_totalprice IS NOT NULL), w AS (SELECT b, x, (CASE WHEN CAST(u AS DOUBLE) > 1580030168.7021008 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 3160060337.4042015 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 3950075421.755252 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4213413783.2056017 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4279248373.5681896 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4292415291.640707 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4294609777.986126 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4294923276.035472 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4294962463.2916408 THEN 1 ELSE 0 END) AS w FROM d), m AS (SELECT b, sum(w * x) / sum(w) AS mean FROM w GROUP BY b  HAVING sum(w) > 0) SELECT round((SELECT avg(o_totalprice) FROM orders), 6)   AS mean,  round(quantile_cont(mean, 0.025), 6) AS lo,  round(quantile_cont(mean, 0.975), 6) AS hi,  (SELECT count(o_totalprice) FROM orders) AS n,  CAST(50 AS BIGINT) AS n_replicates FROM m"
+
+
+def q_compression_quality(sf_dir: str):
+    """Compression-ratio quality signal
+    (textstats.compression_ratio): deflate bytes / utf8 bytes per
+    document — the Gopher boilerplate heuristic. Rows-only (no SQL
+    zlib); fully deterministic (zlib is specified by input+level),
+    covered by the double-run determinism net."""
+    from ..stages.textstats import compression_ratio
+
+    return compression_ratio(_docs(sf_dir, ["doc_id", "text"]))
+
+
+QUERIES["compression_quality"] = q_compression_quality

@@ -2434,3 +2434,102 @@ def kmv_pairwise(
         "est_b": pa.array(out["est_b"], pa.float64()),
         "est_union": pa.array(out["est_union"], pa.float64()),
         "est_jaccard": pa.array(out["est_jaccard"], pa.float64())})
+
+
+# Poisson(1) inverse-CDF thresholds for the bootstrap draw, embedded
+# as shared literals so the DuckDB twin replays them bit-exactly:
+# P(X <= k) for k = 0..8; draws land in bucket k via searchsorted.
+POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988747974021)
+
+
+def bootstrap_ci(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 50,
+    seed: int = 0,
+    alpha: float = 0.05,
+    nb: int = 16,
+) -> pa.Table:
+    """Percentile BOOTSTRAP confidence interval for the mean with NO
+    RNG state — Efron's bootstrap via the Poisson approximation (each
+    row enters replicate b with weight ~ Poisson(1)), every draw
+    ``md5(f"{id}:{b}:{seed}")`` so a failed 100-TB job re-runs to the
+    identical interval and a SQL engine can replay it. The classic
+    "resample the dataset B times" is impossible at scale; Poisson
+    bootstrap needs ONE streaming pass (Chamandy et al. 2012,
+    public).
+
+    Shape: per batch, a (replicate, Σwx, Σw) partial — B rows per
+    batch regardless of data size — then one tiny ``sum_by_key``
+    over the replicate id; the driver touches only B means. Null
+    values are excluded (SQL AVG semantics). Output: ONE row
+    ``(mean, lo, hi, n, n_replicates)`` with the (alpha/2,
+    1-alpha/2) percentile interval (linear interpolation ==
+    ``quantile_cont``)."""
+    from ..functions.hashing import md5_u32
+    from .canonicalize import sum_by_key
+
+    if n_replicates < 2:
+        raise ValueError("bootstrap_ci: need >= 2 replicates")
+    thr = np.array(POISSON1_CDF) * 4294967296.0
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        ok = pc.is_valid(v)
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.invert(pc.fill_null(
+                pc.is_nan(v), False)))
+        t2 = t.filter(ok)
+        x = t2.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ids = pc.cast(t2.column(id_col), pa.string()).to_pylist()
+        draws = np.empty((len(ids), n_replicates), np.float64)
+        for b in range(n_replicates):
+            draws[:, b] = md5_u32(
+                [f"{i}:{b}:{seed}" for i in ids]).astype(np.float64)
+        w = np.searchsorted(thr, draws, side="left").astype(
+            np.float64)
+        return pa.table({
+            "b": pa.array(np.arange(n_replicates, dtype=np.int64)),
+            "swx": pa.array((w * x[:, None]).sum(axis=0)),
+            "sw": pa.array(w.sum(axis=0)),
+            "sx": pa.array(np.full(n_replicates, x.sum())),
+            "n": pa.array(np.full(n_replicates, len(x), np.int64))})
+
+    # driver reduce over B*n_batches tiny partial rows with
+    # ORDER-INDEPENDENT fsum (sorted multiset — the IRLS contract),
+    # so the interval is bit-deterministic under any block order
+    import math
+
+    rows = sorted(ds.map_batches(
+        partial, batch_format="pyarrow").take_all(),
+        key=lambda r: (r["b"], r["swx"], r["sw"]))
+    per_b: "dict[int, tuple[list, list]]" = {}
+    sx_parts, n_total = [], 0
+    for r in rows:
+        per_b.setdefault(r["b"], ([], []))
+        per_b[r["b"]][0].append(r["swx"])
+        per_b[r["b"]][1].append(r["sw"])
+        if r["b"] == 0:
+            sx_parts.append(r["sx"])
+            n_total += r["n"]
+    means = np.array([
+        math.fsum(a) / math.fsum(b_) for a, b_ in
+        (per_b[k] for k in sorted(per_b)) if math.fsum(b_) > 0])
+    mean = math.fsum(sorted(sx_parts)) / n_total if n_total else None
+    lo, hi = (float(np.quantile(means, alpha / 2)),
+              float(np.quantile(means, 1 - alpha / 2))) \
+        if len(means) else (None, None)
+    return pa.table({
+        "mean": pa.array([round(mean, 6) if mean is not None
+                          else None], pa.float64()),
+        "lo": pa.array([round(lo, 6) if lo is not None else None],
+                       pa.float64()),
+        "hi": pa.array([round(hi, 6) if hi is not None else None],
+                       pa.float64()),
+        "n": pa.array([n_total], pa.int64()),
+        "n_replicates": pa.array([n_replicates], pa.int64())})

@@ -75,3 +75,90 @@ def test_temporal_reachability_t0_and_nulls():
         rd.from_arrow(t), [0], t0=10, nb=2).take_all()}
     # t0=10: the t=5 edge already happened; null src edge ignored
     assert got == {0: 10, 2: 50}
+
+
+# --- bootstrap_ci ------------------------------------------------------------
+
+def _boot_reference(ids, xs, B, seed, alpha):
+    import hashlib
+    import math
+
+    import numpy as np
+
+    from biosd_feature_annotator_ray.stages.sketches import (
+        POISSON1_CDF)
+
+    thr = np.array(POISSON1_CDF) * 4294967296.0
+    means = []
+    for b in range(B):
+        sw = swx = 0.0
+        for i, x in zip(ids, xs):
+            u = int(hashlib.md5(
+                f"{i}:{b}:{seed}".encode()).hexdigest()[:8], 16)
+            w = int(np.searchsorted(thr, float(u), side="left"))
+            sw += w
+            swx += w * x
+        means.append(swx / sw)
+    lo = float(np.quantile(means, alpha / 2))
+    hi = float(np.quantile(means, 1 - alpha / 2))
+    return sum(xs) / len(xs), lo, hi
+
+
+def test_bootstrap_ci_matches_reference_and_deterministic():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        bootstrap_ci)
+
+    rng = random.Random(7)
+    ids = list(range(120))
+    xs = [rng.gauss(10, 2) for _ in ids]
+    t = pa.table({"id": pa.array(ids, pa.int64()),
+                  "v": pa.array(xs)})
+    got = bootstrap_ci(rd.from_arrow(t).repartition(4), "id", "v",
+                       n_replicates=30, seed=3,
+                       alpha=0.1).to_pylist()[0]
+    mean, lo, hi = _boot_reference(ids, xs, 30, 3, 0.1)
+    assert got["mean"] == pytest.approx(mean, abs=2e-6)
+    assert got["lo"] == pytest.approx(lo, abs=2e-6)
+    assert got["hi"] == pytest.approx(hi, abs=2e-6)
+    assert got["lo"] < got["mean"] < got["hi"]
+    assert got["n"] == 120
+    again = bootstrap_ci(rd.from_arrow(t).repartition(9), "id", "v",
+                         n_replicates=30, seed=3,
+                         alpha=0.1).to_pylist()[0]
+    assert again == got
+
+
+def test_bootstrap_ci_nulls_and_validation():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        bootstrap_ci)
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "v": pa.array([1.0, None, float("nan"), 3.0])})
+    got = bootstrap_ci(rd.from_arrow(t), "id", "v",
+                       n_replicates=20).to_pylist()[0]
+    assert got["n"] == 2 and got["mean"] == pytest.approx(2.0)
+    with pytest.raises(ValueError, match=">= 2 replicates"):
+        bootstrap_ci(rd.from_arrow(t), "id", "v", n_replicates=1)
+
+
+def test_compression_ratio_signal():
+    from biosd_feature_annotator_ray.stages.textstats import (
+        compression_ratio)
+
+    rng = random.Random(11)
+    noise = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ")
+                    for _ in range(2000))
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(["spam " * 400, noise, None, ""])})
+    got = {r["doc_id"]: r for r in compression_ratio(
+        rd.from_arrow(docs).repartition(2)).take_all()}
+    assert got[1]["ratio"] < 0.05          # pure repetition
+    assert got[2]["ratio"] > 0.5           # noise barely compresses
+    assert got[1]["n_bytes"] == 2000
+    assert got[3]["ratio"] is None and got[4]["ratio"] is None
+    # deterministic across partitionings
+    again = {r["doc_id"]: r for r in compression_ratio(
+        rd.from_arrow(docs).repartition(4)).take_all()}
+    assert again == got
