@@ -381,7 +381,7 @@ def main(argv: list[str] | None = None) -> int:
     pstat.add_argument("--input", required=True)
     pstat.add_argument("--test", required=True,
                        choices=["contingency", "welch", "ks",
-                                "jackknife", "fd"])
+                                "jackknife", "fd", "bootstrap"])
     pstat.add_argument("--col-a", required=True,
                        help="first column (group/determinant/id col)")
     pstat.add_argument("--col-b", required=True,
@@ -401,6 +401,31 @@ def main(argv: list[str] | None = None) -> int:
     pph.add_argument("--text-col", default="text")
     pph.add_argument("--id-col", default="doc_id")
     pph.add_argument("--num-cpus", type=int, default=8)
+
+    pex = sub.add_parser("expectations", help="declarative data-"
+                         "quality gate: validate a parquet against "
+                         "a JSON rules file, report per-rule "
+                         "violations")
+    pex.add_argument("--input", required=True)
+    pex.add_argument("--rules", required=True,
+                     help="JSON file: list of "
+                     '{"rule": ..., "col": ..., ...} expectations')
+    pex.add_argument("--fail-on-violation", action="store_true",
+                     help="exit 1 if any rule fails")
+    pex.add_argument("--num-cpus", type=int, default=8)
+
+    pbl = sub.add_parser("bloomindex", help="persisted per-file "
+                         "Bloom point-lookup index over a secondary "
+                         "key")
+    pbl.add_argument("action", choices=["build", "lookup"])
+    pbl.add_argument("--data", required=True,
+                     help="directory of parquet files")
+    pbl.add_argument("--index", required=True)
+    pbl.add_argument("--key-col", help="key column (build)")
+    pbl.add_argument("--keys", help="comma-separated keys (lookup)")
+    pbl.add_argument("--output", help="result parquet (lookup)")
+    pbl.add_argument("--bits-pow", type=int, default=20)
+    pbl.add_argument("--num-cpus", type=int, default=8)
 
     args = p.parse_args(argv)
 
@@ -948,6 +973,13 @@ def main(argv: list[str] | None = None) -> int:
                 row = jackknife_mean(ds, args.col_a, args.col_b,
                                      n_groups=args.n_groups
                                      ).to_pylist()[0]
+            elif args.test == "bootstrap":
+                from biosd_feature_annotator_ray.stages.sketches import (
+                    bootstrap_ci,
+                )
+
+                row = bootstrap_ci(ds, args.col_a,
+                                   args.col_b).to_pylist()[0]
             else:
                 from biosd_feature_annotator_ray.stages.profile import (
                     fd_violations,
@@ -956,6 +988,53 @@ def main(argv: list[str] | None = None) -> int:
                 row = fd_violations(ds, args.col_a,
                                     args.col_b).to_pylist()[0]
             print(json.dumps(row))
+            return 0
+
+        if args.cmd == "expectations":
+            import ray.data as rd
+
+            from biosd_feature_annotator_ray.stages.profile import (
+                expectations_report,
+            )
+
+            with open(args.rules) as f:
+                rules = json.load(f)
+            rep = expectations_report(rd.read_parquet(args.input),
+                                      rules)
+            rows = rep.to_pylist()
+            print(json.dumps({"rules": rows,
+                              "ok": all(r["ok"] for r in rows)}))
+            return 0 if (not args.fail_on_violation
+                         or all(r["ok"] for r in rows)) else 1
+
+        if args.cmd == "bloomindex":
+            from biosd_feature_annotator_ray.stages.bloomindex import (
+                bloom_point_lookup,
+                build_bloom_index,
+            )
+
+            if args.action == "build":
+                if not args.key_col:
+                    p.error("bloomindex build needs --key-col")
+                n = build_bloom_index(args.data, args.key_col,
+                                      args.index,
+                                      bits_pow=args.bits_pow)
+                print(json.dumps({"files_indexed": n,
+                                  "index": args.index}))
+                return 0
+            if not args.keys or not args.output:
+                p.error("bloomindex lookup needs --keys and --output")
+            keys = []
+            for k in args.keys.split(","):
+                try:
+                    keys.append(int(k))
+                except ValueError:
+                    keys.append(k)
+            out = bloom_point_lookup(args.data, args.index, keys)
+            out = out.materialize()
+            out.write_parquet(args.output)
+            print(json.dumps({"rows": int(out.count()),
+                              "output": args.output}))
             return 0
 
         if args.cmd == "phrase":

@@ -14660,3 +14660,49 @@ def q_compression_quality(sf_dir: str):
 
 
 QUERIES["compression_quality"] = q_compression_quality
+
+
+def q_event_gaps(sf_dir: str):
+    """Telemetry GAP detection — the islands complement: per user,
+    report every silence longer than 6 hours between consecutive
+    events (lag_per_key composition → vectorized duration filter).
+    The monitoring question "where did the feed stop?". Fully
+    oracled (lag window twin)."""
+    from ..stages.windows import lag_per_key
+
+    out = lag_per_key(_events(sf_dir, ["event_id", "user_id", "ts"]),
+                      key_col="user_id", value_col="ts",
+                      order_cols=["ts", "event_id"], out="prev_ts",
+                      nb=8)
+
+    def gaps(t: pa.Table) -> pa.Table:
+        cur = pc.cast(t.column("ts"), pa.int64())
+        prev = pc.cast(t.column("prev_ts"), pa.int64())
+        dur = pc.subtract(cur, prev)
+        keep = pc.fill_null(
+            pc.greater(dur, 6 * 3600 * 1_000_000), False)
+        t2 = pa.table({
+            "user_id": t.column("user_id"),
+            "gap_start": t.column("prev_ts"),
+            "gap_end": t.column("ts"),
+            "gap_seconds": pc.cast(pc.divide(dur, 1_000_000),
+                                   pa.int64())}).filter(keep)
+        return t2
+
+    out = out.map_batches(gaps, batch_format="pyarrow")
+    df = out.to_pandas().sort_values(
+        ["user_id", "gap_start"]).reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["event_gaps"] = q_event_gaps
+
+ORACLES["event_gaps"] = (
+    "WITH l AS (SELECT user_id, ts,"
+    "   lag(ts) OVER (PARTITION BY user_id"
+    "    ORDER BY ts, event_id) AS prev_ts FROM events)"
+    " SELECT user_id, prev_ts AS gap_start, ts AS gap_end,"
+    "  CAST(epoch_us(ts - prev_ts) // 1000000 AS BIGINT)"
+    "   AS gap_seconds"
+    " FROM l WHERE ts - prev_ts > INTERVAL 6 HOUR"
+)

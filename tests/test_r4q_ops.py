@@ -162,3 +162,61 @@ def test_compression_ratio_signal():
     again = {r["doc_id"]: r for r in compression_ratio(
         rd.from_arrow(docs).repartition(4)).take_all()}
     assert again == got
+
+
+def test_cli_expectations_and_bloomindex(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow.parquet as pq_
+
+    def run(*cli, check=True):
+        out = subprocess.run(
+            [sys.executable, "-m", "biosd_feature_annotator_ray",
+             *cli, "--num-cpus", "2"],
+            capture_output=True, text=True, check=check,
+            cwd="/root/repo")
+        return out, (json.loads(out.stdout.strip().splitlines()[-1])
+                     if out.stdout.strip() else None)
+
+    t = pa.table({
+        "id": pa.array([1, 2, 2, None], pa.int64()),
+        "v": pa.array([0.1, 0.5, 0.9, 2.0])})
+    p = tmp_path / "t.parquet"
+    pq_.write_table(t, str(p))
+    rules = tmp_path / "rules.json"
+    rules.write_text(json.dumps([
+        {"rule": "not_null", "col": "id"},
+        {"rule": "in_range", "col": "v", "lo": 0.0, "hi": 1.0}]))
+    out, got = run("expectations", "--input", str(p),
+                   "--rules", str(rules))
+    assert got["ok"] is False
+    assert got["rules"][0]["violations"] == 1
+    assert got["rules"][1]["violations"] == 1
+    out, _ = run("expectations", "--input", str(p),
+                 "--rules", str(rules), "--fail-on-violation",
+                 check=False)
+    assert out.returncode == 1
+
+    # bloom index build + lookup
+    d = tmp_path / "data"
+    d.mkdir()
+    for f in range(3):
+        pq_.write_table(pa.table({
+            "k": pa.array([f * 100 + i for i in range(50)],
+                          pa.int64()),
+            "v": pa.array([f"x{f}-{i}" for i in range(50)])}),
+            str(d / f"p{f}.parquet"))
+    ix = tmp_path / "ix"
+    _, got = run("bloomindex", "build", "--data", str(d),
+                 "--index", str(ix), "--key-col", "k",
+                 "--bits-pow", "14")
+    assert got["files_indexed"] == 3
+    outp = tmp_path / "hits"
+    _, got = run("bloomindex", "lookup", "--data", str(d),
+                 "--index", str(ix), "--keys", "5,205,999",
+                 "--output", str(outp))
+    assert got["rows"] == 2
+    hit = pq_.read_table(str(outp)).to_pylist()
+    assert sorted(r["k"] for r in hit) == [5, 205]
