@@ -282,7 +282,8 @@ def run_queries() -> dict:
         "fs_em_params", "node2vec_walks", "pagerank_warmstart",
         "ccnet_buckets", "wordpiece_docs", "bloom_lookup_orders",
         "temporal_reach", "er_golden_parts", "bootstrap_ci_orders",
-        "compression_quality", "event_gaps",
+        "compression_quality", "event_gaps", "bootstrap_by_type",
+        "distance_distribution", "property_path_alt",
     ]
     out = {}
     for name in names:

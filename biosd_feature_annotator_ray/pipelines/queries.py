@@ -14706,3 +14706,145 @@ ORACLES["event_gaps"] = (
     "   AS gap_seconds"
     " FROM l WHERE ts - prev_ts > INTERVAL 6 HOUR"
 )
+
+
+def q_bootstrap_by_type(sf_dir: str):
+    """Per-key Poisson-bootstrap CIs (sketches.bootstrap_ci_per_key):
+    a percentile interval for every event_type's mean value in one
+    streaming pass — md5-deterministic weights, fsum-deterministic
+    reduce. Fully oracled (same-md5 weight re-draw + per-key
+    quantile_cont twin)."""
+    from ..stages.sketches import bootstrap_ci_per_key
+
+    out = bootstrap_ci_per_key(
+        _events(sf_dir, ["event_id", "event_type", "value"]),
+        "event_type", "event_id", "value", n_replicates=30,
+        seed=0, alpha=0.05, nb=8)
+    df = out.to_pandas().rename(columns={"event_type": "event_type"})
+    return pa.Table.from_pandas(
+        df.sort_values("event_type").reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["bootstrap_by_type"] = q_bootstrap_by_type
+
+ORACLES["bootstrap_by_type"] = "WITH r AS (SELECT unnest(range(0, 30)) AS b), d AS (SELECT e.event_type AS k, e.event_id AS id,   e.value AS x, r.b,   CAST(('0x' || substr(md5(CAST(e.event_id AS VARCHAR)    || ':' || CAST(r.b AS VARCHAR) || ':0'), 1, 8)) AS UBIGINT)    AS u  FROM events e CROSS JOIN r  WHERE e.value IS NOT NULL AND NOT isnan(e.value)   AND e.event_type IS NOT NULL), w AS (SELECT k, b, x, (CASE WHEN CAST(u AS DOUBLE) > 1580030168.7021008 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 3160060337.4042015 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 3950075421.755252 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4213413783.2056017 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4279248373.5681896 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4292415291.640707 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4294609777.986126 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4294923276.035472 THEN 1 ELSE 0 END) + (CASE WHEN CAST(u AS DOUBLE) > 4294962463.2916408 THEN 1 ELSE 0 END) AS w FROM d), m AS (SELECT k, b, sum(w * x) / sum(w) AS mean FROM w  GROUP BY k, b HAVING sum(w) > 0), base AS (SELECT event_type AS k,   round(avg(value), 6) AS mean,   count(value) AS n FROM events  WHERE event_type IS NOT NULL AND NOT isnan(value)  GROUP BY 1) SELECT base.k AS event_type, base.mean,  round(quantile_cont(m.mean, 0.025), 6) AS lo,  round(quantile_cont(m.mean, 0.975), 6) AS hi,  CAST(base.n AS BIGINT) AS n,  CAST(30 AS BIGINT) AS n_replicates FROM m JOIN base ON m.k = base.k GROUP BY base.k, base.mean, base.n"
+
+
+def q_distance_distribution(sf_dir: str):
+    """Hop-distance distribution from 3 landmarks
+    (graph.multi_source_bfs composition): the effective-diameter /
+    small-world profile — count of nodes at each depth per landmark,
+    all landmarks sharing each round's shuffle. Fully oracled
+    (recursive-CTE min-hop twin + census)."""
+    from ..stages.canonicalize import sum_by_key
+    from ..stages.graph import multi_source_bfs
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        k = k[k >= 10]
+        return pa.table({"src": pa.array(k // 10, pa.int64()),
+                         "dst": pa.array(k % 97, pa.int64())})
+
+    bfs = multi_source_bfs(
+        orders.map_batches(edges, batch_format="pyarrow"),
+        [1, 2, 3], nb=8)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "lm": t.column("lm"), "dist": t.column("dist"),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cen = sum_by_key(bfs.map_batches(one, batch_format="pyarrow"),
+                     ["lm", "dist"], "n", nb=4, out_col="n_nodes")
+    df = cen.to_pandas()
+    df["lm"] = df["lm"].astype("int64")
+    df["dist"] = df["dist"].astype("int64")
+    df["n_nodes"] = df["n_nodes"].astype("int64")
+    return pa.Table.from_pandas(
+        df.sort_values(["lm", "dist"]).reset_index(drop=True),
+        preserve_index=False)
+
+
+QUERIES["distance_distribution"] = q_distance_distribution
+
+ORACLES["distance_distribution"] = (
+    "WITH RECURSIVE e AS (SELECT o_orderkey // 10 AS src,"
+    "   o_orderkey % 97 AS dst FROM orders WHERE o_orderkey >= 10),"
+    " walk(lm, node, d) AS ("
+    "   SELECT unnest([1, 2, 3]), unnest([1, 2, 3]), 0"
+    "   UNION SELECT w.lm, e.dst, w.d + 1 FROM walk w"
+    "   JOIN e ON e.src = w.node WHERE w.d < 60),"
+    " md AS (SELECT lm, node, min(d) AS dist FROM walk"
+    "  GROUP BY lm, node)"
+    " SELECT CAST(lm AS BIGINT) AS lm, CAST(dist AS BIGINT) AS dist,"
+    "  count(*) AS n_nodes FROM md GROUP BY lm, dist"
+)
+
+
+def q_property_path_alt(sf_dir: str):
+    """SPARQL property path with ALTERNATION and INVERSE —
+    ``(follows | ^manages)+`` — compiled to one edge union (forward
+    follows + swapped manages) feeding the string transitive
+    closure. Corpus: 20 disjoint follow chains BRIDGED only by
+    inverse-manages edges across chain breaks, so the alternation is
+    load-bearing. Twin: recursive CTE over the same union."""
+    from ..stages.graph import transitive_closure
+
+    rows = []
+    for i in range(200):
+        if i % 10 != 9:
+            rows.append({"subj": f"E{i}", "pred": "follows",
+                         "obj": f"E{i + 1}"})
+        if i % 20 == 9:
+            # manages points BACKWARD across the break; ^manages
+            # bridges i -> i+1
+            rows.append({"subj": f"E{i + 1}", "pred": "manages",
+                         "obj": f"E{i}"})
+        rows.append({"subj": f"E{i}", "pred": "likes",
+                     "obj": f"E{(i * 3) % 200}"})
+    triples = rd.from_arrow(
+        pa.Table.from_pylist(rows)).repartition(4)
+
+    def path_edges(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t.column("pred"), "follows"))
+        m = t.filter(pc.equal(t.column("pred"), "manages"))
+        return pa.table({
+            "child": pa.concat_arrays([
+                f.column("subj").combine_chunks(),
+                m.column("obj").combine_chunks()]),
+            "parent": pa.concat_arrays([
+                f.column("obj").combine_chunks(),
+                m.column("subj").combine_chunks()])})
+
+    edges = triples.map_batches(path_edges, batch_format="pyarrow")
+    out = transitive_closure(edges, nb=8)
+    df = out.to_pandas().sort_values(["node", "anc"])
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+QUERIES["property_path_alt"] = q_property_path_alt
+
+ORACLES["property_path_alt"] = (
+    "WITH RECURSIVE src AS (SELECT i FROM generate_series(0, 199)"
+    "   t(i)),"
+    " tr AS ("
+    "   SELECT 'E' || CAST(i AS VARCHAR) AS subj, 'follows' AS pred,"
+    "    'E' || CAST(i + 1 AS VARCHAR) AS obj FROM src"
+    "   WHERE i % 10 <> 9"
+    "   UNION ALL"
+    "   SELECT 'E' || CAST(i + 1 AS VARCHAR), 'manages',"
+    "    'E' || CAST(i AS VARCHAR) FROM src WHERE i % 20 = 9),"
+    " e AS (SELECT subj AS child, obj AS parent FROM tr"
+    "   WHERE pred = 'follows'"
+    "  UNION ALL SELECT obj, subj FROM tr WHERE pred = 'manages'),"
+    " cl(node, anc) AS ("
+    "   SELECT child, parent FROM e"
+    "   UNION SELECT c.node, e.parent FROM cl c"
+    "   JOIN e ON e.child = c.anc)"
+    " SELECT node, anc FROM cl"
+)

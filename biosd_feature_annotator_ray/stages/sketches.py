@@ -2533,3 +2533,115 @@ def bootstrap_ci(
                        pa.float64()),
         "n": pa.array([n_total], pa.int64()),
         "n_replicates": pa.array([n_replicates], pa.int64())})
+
+
+def bootstrap_ci_per_key(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    id_col: str,
+    value_col: str,
+    n_replicates: int = 30,
+    seed: int = 0,
+    alpha: float = 0.05,
+    nb: int = 16,
+) -> "ray.data.Dataset":
+    """Per-key :func:`bootstrap_ci` — a percentile bootstrap interval
+    for EVERY group's mean in one streaming pass (the per-segment
+    error-bar question: "is type A's mean genuinely above type B's,
+    or inside each other's CI?"). Same md5-Poisson draw contract
+    (``POISSON1_CDF`` literals, draw keyed by id and replicate only,
+    so a row's weights are identical whatever its key).
+
+    Shape: per batch a (key, replicate, Σwx, Σw) partial —
+    K·B rows per batch regardless of row count — plus one (key, Σx,
+    n) row; ONE key-bucket shuffle; the per-bucket finisher reduces
+    with sorted-multiset ``fsum`` (bit-deterministic under any block
+    order) and takes numpy linear quantiles over the B replicate
+    means. Null/NaN values excluded. Output: ``(key_col, mean, lo,
+    hi, n, n_replicates)`` rounded to 6 dp; replicates whose total
+    weight is 0 are skipped (quantile over the rest)."""
+    import math
+
+    from .canonicalize import _B, _add_bucket
+    from ..functions.hashing import md5_u32
+
+    if n_replicates < 2:
+        raise ValueError("bootstrap_ci_per_key: need >= 2 replicates")
+    thr = np.array(POISSON1_CDF) * 4294967296.0
+    B = n_replicates
+
+    def partial(t: pa.Table) -> pa.Table:
+        v = t.column(value_col)
+        k = t.column(key_col)
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(k))
+        if pa.types.is_floating(v.type):
+            ok = pc.and_(ok, pc.invert(pc.fill_null(
+                pc.is_nan(v), False)))
+        t2 = t.filter(ok)
+        x = t2.column(value_col).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keys = pc.cast(t2.column(key_col), pa.string())
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dic = keys.dictionary_encode()
+        kidx = dic.indices.to_numpy(zero_copy_only=False)
+        uk = dic.dictionary.to_pylist()
+        K = len(uk)
+        ids = pc.cast(t2.column(id_col), pa.string()).to_pylist()
+        swx = np.zeros((K, B))
+        sw = np.zeros((K, B))
+        for b in range(B):
+            u = md5_u32([f"{i}:{b}:{seed}" for i in ids]).astype(
+                np.float64)
+            w = np.searchsorted(thr, u, side="left").astype(
+                np.float64)
+            np.add.at(swx[:, b], kidx, w * x)
+            np.add.at(sw[:, b], kidx, w)
+        sx = np.zeros(K)
+        nk = np.zeros(K, np.int64)
+        np.add.at(sx, kidx, x)
+        np.add.at(nk, kidx, 1)
+        key_rep = np.repeat(np.arange(K), B)
+        out = pa.table({
+            key_col: pa.array(np.array(uk, object)[key_rep],
+                              pa.string()),
+            "b": pa.array(np.tile(np.arange(B, dtype=np.int64), K)),
+            "swx": pa.array(swx.ravel()),
+            "sw": pa.array(sw.ravel()),
+            "sx": pa.array(np.repeat(sx, B)),
+            "n": pa.array(np.repeat(nk, B))})
+        return _add_bucket(out, [key_col], nb)
+
+    def finish(g: pa.Table) -> pa.Table:
+        df = g.drop_columns([_B]).to_pandas()
+        rows = {key_col: [], "mean": [], "lo": [], "hi": [],
+                "n": [], "n_replicates": []}
+        for key, kd in df.groupby(key_col, sort=True):
+            means = []
+            for b, bd in kd.groupby("b", sort=True):
+                swx = math.fsum(sorted(bd["swx"]))
+                sw = math.fsum(sorted(bd["sw"]))
+                if sw > 0:
+                    means.append(swx / sw)
+            first_b = kd[kd["b"] == 0]
+            n = int(first_b["n"].sum())
+            mean = math.fsum(sorted(first_b["sx"])) / n
+            rows[key_col].append(key)
+            rows["mean"].append(round(mean, 6))
+            rows["lo"].append(round(float(np.quantile(
+                means, alpha / 2)), 6) if means else None)
+            rows["hi"].append(round(float(np.quantile(
+                means, 1 - alpha / 2)), 6) if means else None)
+            rows["n"].append(n)
+            rows["n_replicates"].append(B)
+        return pa.table({
+            key_col: pa.array(rows[key_col], pa.string()),
+            "mean": pa.array(rows["mean"], pa.float64()),
+            "lo": pa.array(rows["lo"], pa.float64()),
+            "hi": pa.array(rows["hi"], pa.float64()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "n_replicates": pa.array(rows["n_replicates"],
+                                     pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby(_B).map_groups(finish, batch_format="pyarrow"))

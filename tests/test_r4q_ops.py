@@ -220,3 +220,50 @@ def test_cli_expectations_and_bloomindex(tmp_path):
     assert got["rows"] == 2
     hit = pq_.read_table(str(outp)).to_pylist()
     assert sorted(r["k"] for r in hit) == [5, 205]
+
+
+def test_bootstrap_ci_per_key_matches_global_on_single_key():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        bootstrap_ci, bootstrap_ci_per_key)
+
+    rng = random.Random(19)
+    ids = list(range(80))
+    xs = [rng.gauss(5, 1) for _ in ids]
+    t = pa.table({
+        "k": pa.array(["only"] * 80),
+        "id": pa.array(ids, pa.int64()),
+        "v": pa.array(xs)})
+    per = bootstrap_ci_per_key(rd.from_arrow(t).repartition(3), "k",
+                               "id", "v", n_replicates=25,
+                               seed=2).take_all()
+    glob = bootstrap_ci(rd.from_arrow(t), "id", "v",
+                        n_replicates=25, seed=2).to_pylist()[0]
+    assert len(per) == 1
+    row = per[0]
+    assert row["mean"] == glob["mean"]
+    assert row["lo"] == glob["lo"] and row["hi"] == glob["hi"]
+    assert row["n"] == 80
+    # determinism across partitionings
+    again = bootstrap_ci_per_key(rd.from_arrow(t).repartition(7),
+                                 "k", "id", "v", n_replicates=25,
+                                 seed=2).take_all()
+    assert again == per
+
+
+def test_bootstrap_ci_per_key_separates_groups():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        bootstrap_ci_per_key)
+
+    rng = random.Random(29)
+    rows = [("a", i, rng.gauss(0, 1)) for i in range(150)] + \
+           [("b", i + 1000, rng.gauss(10, 1)) for i in range(150)]
+    t = pa.table({
+        "k": pa.array([r[0] for r in rows]),
+        "id": pa.array([r[1] for r in rows], pa.int64()),
+        "v": pa.array([r[2] for r in rows])})
+    got = {r["k"]: r for r in bootstrap_ci_per_key(
+        rd.from_arrow(t).repartition(4), "k", "id", "v",
+        n_replicates=30).take_all()}
+    assert got["a"]["hi"] < got["b"]["lo"]     # disjoint CIs
+    assert got["a"]["lo"] < got["a"]["mean"] < got["a"]["hi"]
+    assert got["b"]["n"] == 150
