@@ -284,6 +284,7 @@ def run_queries() -> dict:
         "temporal_reach", "er_golden_parts", "bootstrap_ci_orders",
         "compression_quality", "event_gaps", "bootstrap_by_type",
         "distance_distribution", "property_path_alt",
+        "bgp_not_exists", "bgp_aggregate",
     ]
     out = {}
     for name in names:

@@ -14848,3 +14848,98 @@ ORACLES["property_path_alt"] = (
     "   JOIN e ON e.child = c.anc)"
     " SELECT node, anc FROM cl"
 )
+
+
+def _bgp_kg():
+    rows = []
+    for i in range(500):
+        rows.append({"subj": f"P{i}", "pred": "worksFor",
+                     "obj": f"O{i % 20}"})
+        rows.append({"subj": f"P{i}", "pred": "@type",
+                     "obj": "Bot" if i % 3 == 1 else "Person"})
+        if i % 5 == 0:
+            rows.append({"subj": f"P{i}", "pred": "suspended",
+                         "obj": f"T{i % 4}"})
+    for j in range(20):
+        rows.append({"subj": f"O{j}", "pred": "locatedIn",
+                     "obj": f"C{j % 7}"})
+    return rd.from_arrow(pa.Table.from_pylist(rows)).repartition(4)
+
+
+_BGP_KG_SQL = (
+    " SELECT 'P' || i AS subj, 'worksFor' AS pred,"
+    "   'O' || (i % 20) AS obj FROM generate_series(0, 499) s(i)"
+    " UNION ALL SELECT 'P' || i, '@type',"
+    "  CASE WHEN i % 3 = 1 THEN 'Bot' ELSE 'Person' END"
+    "  FROM generate_series(0, 499) s(i)"
+    " UNION ALL SELECT 'P' || i, 'suspended', 'T' || (i % 4)"
+    "  FROM generate_series(0, 499) s(i) WHERE i % 5 = 0"
+    " UNION ALL SELECT 'O' || j, 'locatedIn', 'C' || (j % 7)"
+    "  FROM generate_series(0, 19) s(j)")
+
+
+def q_bgp_not_exists(sf_dir: str):
+    """SPARQL FILTER NOT EXISTS (graph.match_bgp(not_exists=…)):
+    employees of orgs in city C0 EXCEPT anyone with a suspended
+    record — the negation compiles to ONE anti-join per group,
+    unshared group variables existential. Fully oracled (NOT EXISTS
+    twin over the regenerated KG)."""
+    from ..stages.graph import match_bgp
+
+    out = match_bgp(
+        _bgp_kg(),
+        [("?p", "worksFor", "?o"), ("?o", "locatedIn", "C0")],
+        not_exists=[("?p", "suspended", "?t")], nb=8)
+    df = (out.to_pandas().sort_values(["p", "o"])
+          .reset_index(drop=True)[["p", "o"]])
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["bgp_not_exists"] = q_bgp_not_exists
+
+ORACLES["bgp_not_exists"] = (
+    "WITH t AS (" + _BGP_KG_SQL + ")"
+    " SELECT a.subj AS p, a.obj AS o FROM t a"
+    " JOIN t loc ON loc.subj = a.obj AND loc.pred = 'locatedIn'"
+    "  AND loc.obj = 'C0'"
+    " WHERE a.pred = 'worksFor'"
+    "  AND NOT EXISTS (SELECT 1 FROM t n WHERE n.subj = a.subj"
+    "   AND n.pred = 'suspended')"
+)
+
+
+def q_bgp_aggregate(sf_dir: str):
+    """SPARQL GROUP BY aggregate over BGP bindings — headcount per
+    city for non-Bot employees: match_bgp bindings → one
+    sum_by_key census (SELECT ?c (COUNT(*) AS n) ... GROUP BY ?c).
+    Fully oracled."""
+    from ..stages.canonicalize import sum_by_key
+    from ..stages.graph import match_bgp
+
+    bind = match_bgp(
+        _bgp_kg(),
+        [("?p", "worksFor", "?o"), ("?o", "locatedIn", "?c"),
+         ("?p", "@type", "Person")], nb=8)
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "c": t.column("c"),
+            "n": pa.array(np.ones(t.num_rows, np.int64))})
+
+    cen = sum_by_key(bind.map_batches(one, batch_format="pyarrow"),
+                     "c", "n", nb=4, out_col="n_people")
+    df = cen.to_pandas().sort_values("c").reset_index(drop=True)
+    df["n_people"] = df["n_people"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["bgp_aggregate"] = q_bgp_aggregate
+
+ORACLES["bgp_aggregate"] = (
+    "WITH t AS (" + _BGP_KG_SQL + ")"
+    " SELECT loc.obj AS c, count(*) AS n_people FROM t a"
+    " JOIN t loc ON loc.subj = a.obj AND loc.pred = 'locatedIn'"
+    " JOIN t ty ON ty.subj = a.subj AND ty.pred = '@type'"
+    "  AND ty.obj = 'Person'"
+    " WHERE a.pred = 'worksFor' GROUP BY loc.obj"
+)

@@ -999,6 +999,7 @@ def match_bgp(triples: "ray.data.Dataset",
               o_col: str = "obj", nb: int = 32,
               optional: "list | None" = None,
               filters: "list[tuple[str, str, object]] | None" = None,
+              not_exists: "list | None" = None,
               ) -> "ray.data.Dataset":
     """SPARQL-style basic-graph-pattern match over a triple Dataset
     (graft-added, r04). ``pattern`` is a list of (s, p, o) terms; a
@@ -1021,6 +1022,14 @@ def match_bgp(triples: "ray.data.Dataset",
     required block (inner joins within itself), then LEFT-joins onto
     the accumulated bindings on its shared variables, so unmatched
     rows keep their bindings with the group's new variables null.
+
+    ``not_exists``: SPARQL ``FILTER NOT EXISTS`` groups — each entry
+    a triple pattern or sub-BGP list; the group compiles like the
+    required block, then ANTI-joins the accumulated bindings on its
+    shared variables (one bucket shuffle per group), dropping every
+    binding the group can prove. Unshared group variables are
+    existential; a null shared binding matches nothing and is KEPT
+    (anti-join null semantics).
 
     ``filters``: SPARQL FILTER conjuncts ``(?var, op, operand)`` with
     op ∈ {==, !=, <, <=, >, >=, contains, regex, isnull, notnull};
@@ -1105,6 +1114,28 @@ def match_bgp(triples: "ray.data.Dataset",
                 f" {sorted(bound)} — cross products are not supported")
         acc = shuffle_hash_join(acc, sub, on=shared, how="left", nb=nb)
         bound |= sub_bound
+
+    for neg in (not_exists or []):
+        group = neg if isinstance(neg, list) else [neg]
+        for tp in group:
+            if not any(is_var(t) for t in tp):
+                raise ValueError(
+                    f"all-constant pattern {tp!r} has no variables to"
+                    " bind — existence checks are a filter, not a BGP")
+        sub, sub_bound = compile_group(group)
+        shared = sorted(bound & sub_bound)
+        if not shared:
+            raise ValueError(
+                f"NOT EXISTS group {group!r} shares no variable with"
+                f" {sorted(bound)} — an unanchored NOT EXISTS is a"
+                " whole-result existence test, not a per-binding one")
+        # existential on unshared vars: project the witness set to
+        # the shared columns before the anti join
+        sub = sub.map_batches(
+            lambda t, cols=tuple(shared): t.select(list(cols)),
+            batch_format="pyarrow")
+        acc = shuffle_hash_join(acc, sub, on=shared, how="anti",
+                                nb=nb)
 
     if filters:
         _OPS = {"==", "!=", "<", "<=", ">", ">=", "contains", "regex",

@@ -267,3 +267,47 @@ def test_bootstrap_ci_per_key_separates_groups():
     assert got["a"]["hi"] < got["b"]["lo"]     # disjoint CIs
     assert got["a"]["lo"] < got["a"]["mean"] < got["a"]["hi"]
     assert got["b"]["n"] == 150
+
+
+# --- match_bgp NOT EXISTS ----------------------------------------------------
+
+def _kg():
+    rows = [
+        ("a", "knows", "b"), ("b", "knows", "c"),
+        ("c", "knows", "a"), ("a", "blocked", "b"),
+        ("d", "knows", "a")]
+    return rd.from_arrow(pa.table({
+        "subj": pa.array([r[0] for r in rows]),
+        "pred": pa.array([r[1] for r in rows]),
+        "obj": pa.array([r[2] for r in rows])}))
+
+
+def test_bgp_not_exists_drops_proven_bindings():
+    from biosd_feature_annotator_ray.stages.graph import match_bgp
+
+    # ?x knows ?y WHERE NOT EXISTS { ?x blocked ?y }
+    got = {(r["x"], r["y"]) for r in match_bgp(
+        _kg(), [("?x", "knows", "?y")],
+        not_exists=[("?x", "blocked", "?y")], nb=2).take_all()}
+    assert got == {("b", "c"), ("c", "a"), ("d", "a")}
+    # existential unshared var: NOT EXISTS { ?y blocked ?z } kills
+    # every binding whose y blocks ANYONE (only 'a' blocks)
+    got = {(r["x"], r["y"]) for r in match_bgp(
+        _kg(), [("?x", "knows", "?y")],
+        not_exists=[("?y", "blocked", "?z")], nb=2).take_all()}
+    assert got == {("a", "b"), ("b", "c")}
+    # unanchored group rejected
+    with pytest.raises(ValueError, match="shares no variable"):
+        match_bgp(_kg(), [("?x", "knows", "?y")],
+                  not_exists=[("?p", "blocked", "?q")]).take_all()
+
+
+def test_bgp_not_exists_composes_with_optional_and_filters():
+    from biosd_feature_annotator_ray.stages.graph import match_bgp
+
+    got = {(r["x"], r["y"], r.get("w")) for r in match_bgp(
+        _kg(), [("?x", "knows", "?y")],
+        optional=[("?y", "knows", "?w")],
+        not_exists=[("?x", "blocked", "?y")],
+        filters=[("?x", "!=", "d")], nb=2).take_all()}
+    assert got == {("b", "c", "a"), ("c", "a", "b")}
