@@ -427,6 +427,14 @@ def main(argv: list[str] | None = None) -> int:
     pbl.add_argument("--bits-pow", type=int, default=20)
     pbl.add_argument("--num-cpus", type=int, default=8)
 
+    pzm = sub.add_parser("zonemap", help="row-group zone-map pruning "
+                         "probe: footers only, zero data I/O")
+    pzm.add_argument("--data", required=True)
+    pzm.add_argument("--col", required=True)
+    pzm.add_argument("--lo", type=float)
+    pzm.add_argument("--hi", type=float)
+    pzm.add_argument("--num-cpus", type=int, default=8)
+
     args = p.parse_args(argv)
 
     if args.cmd == "purge":  # no Ray needed
@@ -434,6 +442,21 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = purge(args.output, args.older_than_ts)
         print(json.dumps({"removed_partitions": removed}))
+        return 0
+
+    if args.cmd == "zonemap":  # metadata only, no Ray needed
+        from biosd_feature_annotator_ray.stages.profile import (
+            zonemap_report,
+        )
+
+        rep = zonemap_report(args.data, args.col, lo=args.lo,
+                             hi=args.hi).to_pylist()
+        total = rep[-1]
+        print(json.dumps({"files": len(rep) - 1,
+                          "n_rowgroups": total["n_rowgroups"],
+                          "n_pruned": total["n_pruned"],
+                          "rows_scanned": total["rows_scanned"],
+                          "n_rows": total["n_rows"]}))
         return 0
 
     import ray

@@ -534,3 +534,66 @@ def expectations_report(
                                pa.int64()),
         "ok": pa.array([totals[i][1] == 0 for i in
                         range(len(expectations))])})
+
+
+def zonemap_report(
+    data_dir: str,
+    col: str,
+    lo: "object" = None,
+    hi: "object" = None,
+) -> pa.Table:
+    """Row-group ZONE-MAP effectiveness probe — the storage-layout
+    audit behind "did sorting/z-ordering by this key actually buy us
+    pruning?": for every ``*.parquet`` file, read ONLY footers
+    (metadata, zero data I/O) and report how many row groups a range
+    predicate ``lo ≤ col ≤ hi`` would skip via min/max statistics. A
+    well-clustered layout prunes most groups; a shuffled one prunes
+    none — this makes that measurable before running the real query.
+    Either bound may be None (one-sided). Row groups without stats
+    count as unprunable (scanned). Output one row per file:
+    ``(file, n_rowgroups, n_pruned, n_rows, rows_scanned)`` plus a
+    TOTAL row (file = '*')."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(f for f in os.listdir(data_dir)
+                   if f.endswith(".parquet"))
+    if not files:
+        raise ValueError(f"zonemap_report: no parquet in {data_dir}")
+    rows = []
+    tot = [0, 0, 0, 0]
+    for f in files:
+        md = pq.read_metadata(os.path.join(data_dir, f))
+        names = md.schema.to_arrow_schema().names
+        if col not in names:
+            raise ValueError(f"zonemap_report: {f} lacks column "
+                             f"{col!r}")
+        ci = names.index(col)
+        n_rg = md.num_row_groups
+        pruned = scanned_rows = 0
+        for g in range(n_rg):
+            rg = md.row_group(g)
+            st = rg.column(ci).statistics
+            skip = False
+            if st is not None and st.has_min_max:
+                if lo is not None and st.max < lo:
+                    skip = True
+                if hi is not None and st.min > hi:
+                    skip = True
+            if skip:
+                pruned += 1
+            else:
+                scanned_rows += rg.num_rows
+        rows.append((f, n_rg, pruned, md.num_rows, scanned_rows))
+        tot[0] += n_rg
+        tot[1] += pruned
+        tot[2] += md.num_rows
+        tot[3] += scanned_rows
+    rows.append(("*", tot[0], tot[1], tot[2], tot[3]))
+    return pa.table({
+        "file": pa.array([r[0] for r in rows], pa.string()),
+        "n_rowgroups": pa.array([r[1] for r in rows], pa.int64()),
+        "n_pruned": pa.array([r[2] for r in rows], pa.int64()),
+        "n_rows": pa.array([r[3] for r in rows], pa.int64()),
+        "rows_scanned": pa.array([r[4] for r in rows], pa.int64())})
