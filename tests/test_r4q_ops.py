@@ -311,3 +311,95 @@ def test_bgp_not_exists_composes_with_optional_and_filters():
         not_exists=[("?x", "blocked", "?y")],
         filters=[("?x", "!=", "d")], nb=2).take_all()}
     assert got == {("b", "c", "a"), ("c", "a", "b")}
+
+
+# --- randomized DuckDB parity fuzzes (round-3 lesson: fuzzes beat
+# example tests) --------------------------------------------------------------
+
+def test_expectations_duckdb_parity_fuzz():
+    import duckdb
+
+    from biosd_feature_annotator_ray.stages.profile import (
+        expectations_report)
+
+    rng = random.Random(101)
+    for trial in range(3):
+        n = 200
+        ids = [rng.randrange(80) if rng.random() > 0.1 else None
+               for _ in range(n)]
+        status = [rng.choice(["A", "B", "C", "X", None])
+                  for _ in range(n)]
+        vals = [rng.uniform(-2, 12) if rng.random() > 0.1 else None
+                for _ in range(n)]
+        t = pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "st": pa.array(status),
+            "v": pa.array(vals, pa.float64())})
+        got = expectations_report(
+            rd.from_arrow(t).repartition(3), [
+                {"rule": "not_null", "col": "id"},
+                {"rule": "unique", "col": "id"},
+                {"rule": "accepted_values", "col": "st",
+                 "values": ["A", "B", "C"]},
+                {"rule": "in_range", "col": "v", "lo": 0.0,
+                 "hi": 10.0}], nb=3).to_pylist()
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(
+            "WITH u AS (SELECT id, count(*) n FROM t"
+            "  WHERE id IS NOT NULL GROUP BY 1)"
+            " SELECT count(*) FILTER (id IS NULL) FROM t"
+            " UNION ALL SELECT coalesce(CAST(sum(n)"
+            "  FILTER (n > 1) AS BIGINT), 0) FROM u"
+            " UNION ALL SELECT count(*) FILTER (st IS NOT NULL"
+            "  AND st NOT IN ('A','B','C')) FROM t"
+            " UNION ALL SELECT count(*) FILTER (v < 0 OR v > 10)"
+            "  FROM t").fetchall()
+        assert [r["violations"] for r in got] == \
+            [w[0] for w in want]
+
+
+def test_c4_lines_duckdb_parity_fuzz():
+    import duckdb
+
+    from biosd_feature_annotator_ray.stages.textstats import (
+        c4_line_filter)
+
+    rng = random.Random(107)
+    texts = []
+    words = ["aa", "bb", "cc", "d"]
+    for _ in range(80):
+        lines = [" ".join(rng.choices(words,
+                                      k=rng.randrange(0, 5)))
+                 + rng.choice([".", "!", "", "?", '"', " ."])
+                 for _ in range(rng.randrange(0, 6))]
+        texts.append("\n".join(lines) if lines else
+                     rng.choice(["", None]))
+    t = pa.table({
+        "doc_id": pa.array(range(80), pa.int64()),
+        "text": pa.array(texts, pa.string())})
+    got = {r["doc_id"]: r for r in c4_line_filter(
+        rd.from_arrow(t).repartition(3), min_words=2,
+        min_lines=1).take_all()}
+    con = duckdb.connect()
+    con.register("docs", t)
+    want = con.execute(
+        "WITH l AS (SELECT doc_id,"
+        "  unnest(string_split(coalesce(text, ''), chr(10)))"
+        "   AS line,"
+        "  unnest(range(1, len(string_split(coalesce(text, ''),"
+        "   chr(10))) + 1)) AS ord FROM docs),"
+        " f AS (SELECT doc_id, line, ord,"
+        "  (len(regexp_extract_all(trim(line), '\\S+')) >= 2"
+        "   AND regexp_matches(trim(line), '[.!?\"]$')) AS keep"
+        "  FROM l)"
+        " SELECT doc_id,"
+        "  string_agg(line, chr(10) ORDER BY ord) FILTER (keep),"
+        "  count(*) FILTER (keep)"
+        " FROM f GROUP BY doc_id"
+        " HAVING count(*) FILTER (keep) >= 1").fetchall()
+    want = {w[0]: w for w in want}
+    assert set(got) == set(want)
+    for d, row in got.items():
+        assert row["text"] == want[d][1]
+        assert row["n_kept"] == want[d][2]
