@@ -39,7 +39,17 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--salt", default="1",
                     help="hot-key sub-buckets for the dedup reduce; 'auto' samples "
                          "the key stream (K4 report) and picks one")
+    pr.add_argument("--obo", default=None,
+                    help="OBO ontology file replacing the built-in "
+                         "term dictionary for linking (S5/S6)")
     pr.add_argument("--num-cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+
+    pol = sub.add_parser("ontoload", help="parse an OBO ontology "
+                         "file into the linker's parquet tables")
+    pol.add_argument("--obo", required=True)
+    pol.add_argument("--output", required=True,
+                     help="directory for terms.parquet + is_a.parquet")
+    pol.add_argument("--num-cpus", type=int, default=2)
 
     pc_ = sub.add_parser("count", help="--property-count equivalent (A3)")
     pc_.add_argument("--input", required=True)
@@ -442,6 +452,26 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = purge(args.output, args.older_than_ts)
         print(json.dumps({"removed_partitions": removed}))
+        return 0
+
+    if args.cmd == "ontoload":  # pure parse, no Ray needed
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        from biosd_feature_annotator_ray.state.oboparse import (
+            parse_obo,
+        )
+
+        terms, is_a = parse_obo(args.obo)
+        _os.makedirs(args.output, exist_ok=True)
+        _pq.write_table(terms,
+                        _os.path.join(args.output, "terms.parquet"))
+        _pq.write_table(is_a,
+                        _os.path.join(args.output, "is_a.parquet"))
+        print(json.dumps({"terms": terms.num_rows,
+                          "is_a_edges": is_a.num_rows,
+                          "output": args.output}))
         return 0
 
     if args.cmd == "zonemap":  # metadata only, no Ray needed
@@ -1226,7 +1256,15 @@ def main(argv: list[str] | None = None) -> int:
             pages = pages.random_sample(args.random_quota, seed=42)
         if args.limit is not None:
             pages = pages.limit(args.limit)
-        manifest = run(pages, args.output, spec, resume=not args.no_resume)
+        terms = None
+        if args.obo:
+            from biosd_feature_annotator_ray.state.oboparse import (
+                parse_obo,
+            )
+
+            terms, _ = parse_obo(args.obo)
+        manifest = run(pages, args.output, spec, terms=terms,
+                       resume=not args.no_resume)
         df = manifest.to_pandas()
         print(json.dumps({
             "partitions_written": int(len(df)),
