@@ -1077,12 +1077,29 @@ def main(argv: list[str] | None = None) -> int:
                 return 0
             if not args.keys or not args.output:
                 p.error("bloomindex lookup needs --keys and --output")
-            keys = []
-            for k in args.keys.split(","):
-                try:
-                    keys.append(int(k))
-                except ValueError:
-                    keys.append(k)
+            # key type comes from the DATA schema, never guessed per
+            # token — a digit-like string key must stay a string
+            import os as _os
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            meta = _pq.read_table(
+                _os.path.join(args.index, "meta.parquet")
+            ).to_pylist()[0]
+            first = sorted(
+                f for f in _os.listdir(args.data)
+                if f.endswith(".parquet"))[0]
+            ktype = _pq.read_schema(
+                _os.path.join(args.data, first)).field(
+                meta["key_col"]).type
+            toks = args.keys.split(",")
+            if _pa.types.is_integer(ktype):
+                keys = [int(k) for k in toks]
+            elif _pa.types.is_floating(ktype):
+                keys = [float(k) for k in toks]
+            else:
+                keys = toks
             out = bloom_point_lookup(args.data, args.index, keys)
             out = out.materialize()
             out.write_parquet(args.output)

@@ -153,11 +153,29 @@ def bloom_point_lookup(
     meta = pq.read_table(
         os.path.join(index_dir, "meta.parquet")).to_pylist()[0]
     key_col = meta["key_col"]
+    files = sorted(f for f in os.listdir(data_dir)
+                   if f.endswith(".parquet"))
+    sch = pq.read_schema(os.path.join(data_dir, files[0]))
+    # coerce probe keys to the DATA key type — the bloom bits were
+    # hashed from native values, so int 5 and string '5' are
+    # different keys; a mistyped probe must not silently miss
+    ktype = sch.field(key_col).type
+    try:
+        if pa.types.is_integer(ktype):
+            keys = [int(k) for k in keys]
+        elif pa.types.is_floating(ktype):
+            keys = [float(k) for k in keys]
+        elif pa.types.is_string(ktype) or \
+                pa.types.is_large_string(ktype):
+            keys = [str(k) for k in keys]
+        else:
+            keys = pa.array(keys, type=ktype).to_pylist()
+    except (TypeError, ValueError, pa.ArrowInvalid) as ex:
+        raise ValueError(
+            f"bloom_point_lookup: keys not coercible to the "
+            f"{key_col!r} column type {ktype}: {ex}") from ex
     cand = bloom_candidate_files(index_dir, keys)
     if not cand:
-        files = sorted(f for f in os.listdir(data_dir)
-                       if f.endswith(".parquet"))
-        sch = pq.read_schema(os.path.join(data_dir, files[0]))
         if columns:
             sch = pa.schema([sch.field(c) for c in columns])
         return rd.from_arrow(sch.empty_table())

@@ -1076,16 +1076,18 @@ def match_bgp(triples: "ray.data.Dataset",
 
     if not pattern:
         raise ValueError("empty pattern")
-    for tp in pattern:
-        if not any(is_var(t) for t in tp):
-            raise ValueError(
-                f"all-constant pattern {tp!r} has no variables to bind"
-                " — existence checks are a filter, not a BGP")
+
+    # all-constant patterns raise inside scan() at graph construction
     def compile_group(pats: list):
         sub = scan(pats[0])
         sub_bound = {t[1:] for t in pats[0] if is_var(t)}
         for tp in pats[1:]:
             tp_vars = {t[1:] for t in tp if is_var(t)}
+            if not tp_vars:
+                raise ValueError(
+                    f"all-constant pattern {tp!r} has no variables"
+                    " to bind — existence checks are a filter, not"
+                    " a BGP")
             shared = sorted(sub_bound & tp_vars)
             if not shared:
                 raise ValueError(
@@ -1101,11 +1103,6 @@ def match_bgp(triples: "ray.data.Dataset",
 
     for opt in (optional or []):
         group = opt if isinstance(opt, list) else [opt]
-        for tp in group:
-            if not any(is_var(t) for t in tp):
-                raise ValueError(
-                    f"all-constant pattern {tp!r} has no variables to"
-                    " bind — existence checks are a filter, not a BGP")
         sub, sub_bound = compile_group(group)
         shared = sorted(bound & sub_bound)
         if not shared:
@@ -1117,11 +1114,6 @@ def match_bgp(triples: "ray.data.Dataset",
 
     for neg in (not_exists or []):
         group = neg if isinstance(neg, list) else [neg]
-        for tp in group:
-            if not any(is_var(t) for t in tp):
-                raise ValueError(
-                    f"all-constant pattern {tp!r} has no variables to"
-                    " bind — existence checks are a filter, not a BGP")
         sub, sub_bound = compile_group(group)
         shared = sorted(bound & sub_bound)
         if not shared:
@@ -6504,11 +6496,7 @@ def temporal_reachability(
     t0 = int(t0) if t0 is not None else -(2 ** 62)
 
     def prep(t: pa.Table) -> pa.Table:
-        ts = t.column(ts_col)
-        if pa.types.is_temporal(ts.type):
-            ts = pc.cast(ts, pa.int64())
-        else:
-            ts = pc.cast(ts, pa.int64())
+        ts = pc.cast(t.column(ts_col), pa.int64())
         out = pa.table({"src": t.column(src_col).cast(pa.int64()),
                         "dst": t.column(dst_col).cast(pa.int64()),
                         "ts": ts})

@@ -565,11 +565,20 @@ def zonemap_report(
     tot = [0, 0, 0, 0]
     for f in files:
         md = pq.read_metadata(os.path.join(data_dir, f))
-        names = md.schema.to_arrow_schema().names
-        if col not in names:
+        # row-group statistics are indexed by parquet LEAF column,
+        # not Arrow top-level position — a struct/list column before
+        # the probed one would silently shift the index
+        leaf_paths = [md.schema.column(i).path
+                      for i in range(md.num_columns)]
+        if col not in leaf_paths:
+            if any(p.startswith(col + ".") for p in leaf_paths):
+                raise ValueError(
+                    f"zonemap_report: {col!r} is a nested column — "
+                    "probe one of its leaves "
+                    f"({[p for p in leaf_paths if p.startswith(col + '.')]})")
             raise ValueError(f"zonemap_report: {f} lacks column "
                              f"{col!r}")
-        ci = names.index(col)
+        ci = leaf_paths.index(col)
         n_rg = md.num_row_groups
         pruned = scanned_rows = 0
         for g in range(n_rg):

@@ -2479,7 +2479,10 @@ def bootstrap_ci(
 
     def partial(t: pa.Table) -> pa.Table:
         v = t.column(value_col)
-        ok = pc.is_valid(v)
+        # null ids excluded too: a null id would hash as 'None' and
+        # give every null-id row the same (correlated) weight stream,
+        # and the SQL twin's md5(NULL || ...) is NULL -> weight 0
+        ok = pc.and_(pc.is_valid(v), pc.is_valid(t.column(id_col)))
         if pa.types.is_floating(v.type):
             ok = pc.and_(ok, pc.invert(pc.fill_null(
                 pc.is_nan(v), False)))
@@ -2573,7 +2576,8 @@ def bootstrap_ci_per_key(
     def partial(t: pa.Table) -> pa.Table:
         v = t.column(value_col)
         k = t.column(key_col)
-        ok = pc.and_(pc.is_valid(v), pc.is_valid(k))
+        ok = pc.and_(pc.and_(pc.is_valid(v), pc.is_valid(k)),
+                     pc.is_valid(t.column(id_col)))
         if pa.types.is_floating(v.type):
             ok = pc.and_(ok, pc.invert(pc.fill_null(
                 pc.is_nan(v), False)))
@@ -2602,14 +2606,18 @@ def bootstrap_ci_per_key(
         np.add.at(sx, kidx, x)
         np.add.at(nk, kidx, 1)
         key_rep = np.repeat(np.arange(K), B)
+        b_col = np.tile(np.arange(B, dtype=np.int64), K)
+        # base-mean partials (sx, n) ride ONLY on the b==0 rows —
+        # replicating them B times through the shuffle is pure waste
+        not0 = b_col != 0
         out = pa.table({
             key_col: pa.array(np.array(uk, object)[key_rep],
                               pa.string()),
-            "b": pa.array(np.tile(np.arange(B, dtype=np.int64), K)),
+            "b": pa.array(b_col),
             "swx": pa.array(swx.ravel()),
             "sw": pa.array(sw.ravel()),
-            "sx": pa.array(np.repeat(sx, B)),
-            "n": pa.array(np.repeat(nk, B))})
+            "sx": pa.array(np.repeat(sx, B), mask=not0),
+            "n": pa.array(np.repeat(nk, B), mask=not0)})
         return _add_bucket(out, [key_col], nb)
 
     def finish(g: pa.Table) -> pa.Table:

@@ -403,3 +403,73 @@ def test_c4_lines_duckdb_parity_fuzz():
     for d, row in got.items():
         assert row["text"] == want[d][1]
         assert row["n_kept"] == want[d][2]
+
+
+# --- second review-pass regressions ------------------------------------------
+
+def test_zonemap_nested_column_leaf_indexing(tmp_path):
+    import pyarrow.parquet as pq_
+
+    from biosd_feature_annotator_ray.stages.profile import (
+        zonemap_report)
+
+    # struct column BEFORE the probed one: leaf order is
+    # [meta.a, meta.b, k] — positional indexing would read meta.b
+    t = pa.table({
+        "meta": pa.array([{"a": 0, "b": 999}] * 100),
+        "k": pa.array(range(100), pa.int64())})
+    pq_.write_table(t, str(tmp_path / "p.parquet"),
+                    row_group_size=50)
+    rep = zonemap_report(str(tmp_path), "k", lo=60,
+                         hi=80).to_pylist()
+    # range [60,80] lives in rg 1 only -> rg 0 pruned
+    assert rep[0]["n_pruned"] == 1 and rep[0]["rows_scanned"] == 50
+    with pytest.raises(ValueError, match="nested column"):
+        zonemap_report(str(tmp_path), "meta")
+
+
+def test_bloom_lookup_string_keys_with_digit_text(tmp_path):
+    import pyarrow.parquet as pq_
+
+    from biosd_feature_annotator_ray.stages.bloomindex import (
+        bloom_point_lookup, build_bloom_index)
+
+    d = tmp_path / "data"
+    d.mkdir()
+    pq_.write_table(pa.table({
+        "k": pa.array(["5", "alpha", "42"]),
+        "v": pa.array([1, 2, 3], pa.int64())}),
+        str(d / "p.parquet"))
+    ix = str(tmp_path / "ix")
+    build_bloom_index(str(d), "k", ix, bits_pow=12)
+    # int-typed probes coerce to the data's string key type
+    got = sorted(r["k"] for r in bloom_point_lookup(
+        str(d), ix, [5, "alpha"]).take_all())
+    assert got == ["5", "alpha"]
+
+
+def test_bootstrap_null_ids_excluded():
+    from biosd_feature_annotator_ray.stages.sketches import (
+        bootstrap_ci, bootstrap_ci_per_key)
+
+    t = pa.table({
+        "id": pa.array([1, None, 3], pa.int64()),
+        "k": pa.array(["a", "a", "a"]),
+        "v": pa.array([1.0, 100.0, 3.0])})
+    got = bootstrap_ci(rd.from_arrow(t), "id", "v",
+                       n_replicates=10).to_pylist()[0]
+    # the null-id row (value 100) never enters: n=2, mean=2
+    assert got["n"] == 2 and got["mean"] == pytest.approx(2.0)
+    per = bootstrap_ci_per_key(rd.from_arrow(t), "k", "id", "v",
+                               n_replicates=10).take_all()[0]
+    assert per["n"] == 2 and per["mean"] == pytest.approx(2.0)
+
+
+def test_bgp_constant_pattern_still_raises():
+    from biosd_feature_annotator_ray.stages.graph import match_bgp
+
+    with pytest.raises(ValueError, match="all-constant pattern"):
+        match_bgp(_kg(), [("a", "knows", "b")]).take_all()
+    with pytest.raises(ValueError, match="all-constant pattern"):
+        match_bgp(_kg(), [("?x", "knows", "?y")],
+                  not_exists=[("a", "blocked", "b")]).take_all()
