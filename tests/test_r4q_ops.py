@@ -473,3 +473,39 @@ def test_bgp_constant_pattern_still_raises():
     with pytest.raises(ValueError, match="all-constant pattern"):
         match_bgp(_kg(), [("?x", "knows", "?y")],
                   not_exists=[("a", "blocked", "b")]).take_all()
+
+
+def test_allen_join_timestamp_bounds():
+    import pandas as pd
+
+    from biosd_feature_annotator_ray.stages.join import allen_join
+
+    def ts(h):
+        return pd.Timestamp(2026, 1, 1, h).to_datetime64()
+
+    l = rd.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()),
+        "id": pa.array(["a", "b"]),
+        "lo": pa.array([ts(0), ts(5)], pa.timestamp("us")),
+        "hi": pa.array([ts(2), ts(6)], pa.timestamp("us"))}))
+    r = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "id": pa.array(["x"]),
+        "lo": pa.array([ts(2)], pa.timestamp("us")),
+        "hi": pa.array([ts(5)], pa.timestamp("us"))}))
+    got = {x["l_id"]: x["relation"] for x in allen_join(
+        l, r, "k", "id", "id", nb=2).take_all()}
+    # [0h,2h] meets [2h,5h]; [5h,6h] is met_by it
+    assert got == {"a": "meets", "b": "met_by"}
+    # gap bound in native units (µs): 1-hour gap needs max_gap >= 3.6e9
+    l2 = rd.from_arrow(pa.table({
+        "k": pa.array([1], pa.int64()),
+        "id": pa.array(["c"]),
+        "lo": pa.array([ts(7)], pa.timestamp("us")),
+        "hi": pa.array([ts(8)], pa.timestamp("us"))}))
+    near = allen_join(l2, r, "k", "id", "id",
+                      max_gap=2 * 3600 * 1_000_000, nb=2).take_all()
+    assert [x["relation"] for x in near] == ["after"]
+    far = allen_join(l2, r, "k", "id", "id",
+                     max_gap=3600 * 1_000_000 - 1, nb=2).take_all()
+    assert far == []
