@@ -509,3 +509,22 @@ def test_allen_join_timestamp_bounds():
     far = allen_join(l2, r, "k", "id", "id",
                      max_gap=3600 * 1_000_000 - 1, nb=2).take_all()
     assert far == []
+
+
+def test_sample_neighbors_string_nodes():
+    import hashlib
+
+    from biosd_feature_annotator_ray.stages.graph import (
+        sample_neighbors)
+
+    edges = [("hub", f"n{i}") for i in range(8)] + [("n0", "hub")]
+    t = pa.table({
+        "src": pa.array([e[0] for e in edges]),
+        "dst": pa.array([e[1] for e in edges])})
+    got = {(r["src"], r["dst"]) for r in sample_neighbors(
+        rd.from_arrow(t), k=3, seed=7, nb=2).take_all()}
+    nbrs = sorted(
+        (f"n{i}" for i in range(8)),
+        key=lambda d: (int(hashlib.md5(
+            f"hub:{d}:7".encode()).hexdigest()[:8], 16), d))
+    assert got == {("hub", d) for d in nbrs[:3]} | {("n0", "hub")}
