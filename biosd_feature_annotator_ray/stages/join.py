@@ -945,6 +945,30 @@ def band_join(
     return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
 
 
+def _products_int64_checked(nl: np.ndarray,
+                            nr: np.ndarray) -> np.ndarray:
+    """Per-key count products with a WRAP-PROOF overflow guard:
+    wrap-around here is exactly the explosive join the cardinality
+    probe exists to catch.  The batch SUM can overflow int64 even
+    when every per-key product fits (3 keys × 2^62 pairs wraps the
+    np.int64 sum negative), so the guard checks a float64 sum too —
+    the 2**62 margin absorbs float rounding long before the int64
+    edge; past it the exact Python-int path decides."""
+    if not len(nl):
+        return nl.astype(np.int64)
+    prod_f = nl.astype(np.float64) * nr.astype(np.float64)
+    if prod_f.max() > 2 ** 62 or prod_f.sum() > 2 ** 62:
+        rows_py = [int(a) * int(b) for a, b in zip(nl, nr)]
+        if max(rows_py) > 2 ** 63 - 1 or \
+                sum(rows_py) > 2 ** 63 - 1:
+            raise ValueError(
+                "join_cardinality_estimate: estimated join "
+                "cardinality exceeds int64 — the join is "
+                "unaffordable as keyed")
+        return np.array(rows_py, np.int64)
+    return nl * nr
+
+
 def join_cardinality_estimate(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
@@ -993,19 +1017,7 @@ def join_cardinality_estimate(
     def contrib(t: pa.Table) -> pa.Table:
         nl = t.column("nl").to_numpy(zero_copy_only=False)
         nr = t.column("nr").to_numpy(zero_copy_only=False)
-        # overflow-checked products: wrap-around here is exactly the
-        # explosive join this probe exists to catch
-        if len(nl) and float(nl.max()) * float(nr.max()) > 2 ** 62:
-            rows_py = [int(a) * int(b) for a, b in zip(nl, nr)]
-            if max(rows_py) > 2 ** 63 - 1 or \
-                    sum(rows_py) > 2 ** 63 - 1:
-                raise ValueError(
-                    "join_cardinality_estimate: estimated join "
-                    "cardinality exceeds int64 — the join is "
-                    "unaffordable as keyed")
-            rows = np.array(rows_py, np.int64)
-        else:
-            rows = nl * nr
+        rows = _products_int64_checked(nl, nr)
         key_join = t.column(kcols[0])
         for c in kcols[1:]:
             key_join = pc.binary_join_element_wise(

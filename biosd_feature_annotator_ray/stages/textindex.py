@@ -282,10 +282,15 @@ def phrase_search(
             out_anchor.append(a[ok])
             out_slot.append(np.full(int(ok.sum()),
                                     off, np.int64))
+        # type the doc column from the ORIGINAL id column — an
+        # all-empty concatenation of object arrays (string ids, no
+        # phrase-term tokens in the batch) would otherwise infer as
+        # null and break downstream schema unification
+        id_type = t.column(id_col).type
         return pa.table({
             "doc": pa.array(np.concatenate(out_ids)
                             if out_ids else
-                            np.array([], np.int64)),
+                            np.array([], np.int64), type=id_type),
             "anchor": pa.array(np.concatenate(out_anchor)
                                if out_anchor else
                                np.array([], np.int64)),
