@@ -336,7 +336,13 @@ def main(argv: list[str] | None = None) -> int:
     pbc.add_argument("--output", required=True,
                      help="(node, bc) parquet dir")
     pbc.add_argument("--sample-every", type=int, default=1,
-                     help="use every k-th node (md5 order) as a source")
+                     help="use every k-th node (md5 order) as a source; "
+                          "scores are rescaled by n/|S| automatically")
+    pbc.add_argument("--max-exact-nodes", type=int, default=8192,
+                     help="refuse an exact (unsampled) run above this "
+                          "node count")
+    pbc.add_argument("--no-rescale", action="store_true",
+                     help="return raw sampled partial sums (no n/|S|)")
     pbc.add_argument("--num-cpus", type=int, default=8)
 
     pgd = sub.add_parser("golden", help="ER survivorship: fuse one golden "
@@ -890,42 +896,25 @@ def main(argv: list[str] | None = None) -> int:
             return 0
 
         if args.cmd == "centrality":
-            import hashlib
-
             import ray.data as rd
 
             from biosd_feature_annotator_ray.stages.graph import betweenness
 
             edges = rd.read_parquet(args.input)
-            sources = None
-            if args.sample_every > 1:
-                # distributed node dedup + md5 sample; only the sampled
-                # source ids (|nodes|/k) ever reach the driver
-                import pyarrow as pa
-
-                from biosd_feature_annotator_ray.stages.canonicalize import (
-                    dedup_exact)
-
-                k = args.sample_every
-
-                def pick(t, _k=k):
-                    keep = [int(hashlib.md5(str(v).encode())
-                                .hexdigest()[:8], 16) % _k == 0
-                            for v in t.column("node").to_pylist()]
-                    return t.filter(pa.array(keep))
-
-                nodes = dedup_exact(edges.map_batches(
-                    lambda t: pa.table({"node": pa.concat_arrays([
-                        t.column("src").combine_chunks(),
-                        t.column("dst").combine_chunks()])}),
-                    batch_format="pyarrow"), ["node"])
-                sources = sorted(nodes.map_batches(
-                    pick, batch_format="pyarrow")
-                    .to_pandas()["node"].tolist())
-            out = betweenness(edges, sources=sources).materialize()
+            # sampling + the n/|S| rescale now live IN betweenness():
+            # the estimator the CLI hands back is already unbiased,
+            # and an exact run over too many nodes raises loudly.
+            out = betweenness(
+                edges,
+                sample_every=(args.sample_every
+                              if args.sample_every > 1 else None),
+                max_exact_nodes=args.max_exact_nodes,
+                rescale=not args.no_rescale).materialize()
             out.write_parquet(args.output)
             print(json.dumps({"nodes": int(out.count()),
                               "sampled": args.sample_every > 1,
+                              "rescaled": (args.sample_every > 1
+                                           and not args.no_rescale),
                               "output": args.output}))
             return 0
 

@@ -5405,12 +5405,22 @@ def betweenness(
     dst_col: str = "dst",
     nb: int = 32,
     max_iters: int = 60,
+    sample_every: "int | None" = None,
+    max_exact_nodes: int = 8192,
+    rescale: bool = True,
 ) -> "ray.data.Dataset":
     """Betweenness centrality (Brandes, unweighted DIRECTED shortest
-    paths) from the given ``sources`` — exact when sources = all
-    nodes, the standard sampled estimator otherwise (pass the
-    md5-chosen landmark subset your budget allows; estimates scale by
-    n/|S| outside this function if desired).
+    paths) — exact over all nodes by default, with a GUARDRAIL: an
+    exact run is O(|V|) sources of composite-key BFS state, so when
+    ``sources is None`` and the distinct node count exceeds
+    ``max_exact_nodes`` the call RAISES with instructions instead of
+    attempting an infeasible web-scale sweep. Pass ``sample_every=k``
+    for the standard sampled estimator: sources are the md5-chosen
+    every-k-th node subset S, and the returned scores are ALREADY
+    rescaled by n/|S| (unbiased estimate of the exact sums;
+    ``rescale=False`` returns the raw partial sums). An explicit
+    ``sources`` list still returns raw per-source sums, unscaled —
+    the caller chose the subset and owns its statistics.
 
     bc(v) = Σ_{s∈S} Σ_{s≠v≠t} σ_st(v)/σ_st — computed with Brandes'
     dependency accumulation, re-expressed in rounds of bucketed
@@ -5440,14 +5450,49 @@ def betweenness(
         lambda t: pa.table({"src": t.column(src_col).cast(pa.int64()),
                             "dst": t.column(dst_col).cast(pa.int64())}),
         batch_format="pyarrow").materialize()
+    factor = 1.0
     if sources is None:
         from .canonicalize import dedup_exact
-        srcs = dedup_exact(e.map_batches(
+        srcs = mat_cut(dedup_exact(e.map_batches(
             lambda t: pa.table({"node": pa.concat_arrays([
                 t.column("src").combine_chunks(),
                 t.column("dst").combine_chunks()])}),
-            batch_format="pyarrow"), ["node"], nb=nb)
+            batch_format="pyarrow"), ["node"], nb=nb))
+        n_nodes = srcs.count()
+        if sample_every is not None and sample_every > 1:
+            k = int(sample_every)
+
+            def pick(t: pa.Table, _k=k) -> pa.Table:
+                import hashlib
+                keep = [int(hashlib.md5(str(v).encode())
+                            .hexdigest()[:8], 16) % _k == 0
+                        for v in t.column("node").to_pylist()]
+                return t.filter(pa.array(keep, pa.bool_()))
+
+            srcs = mat_cut(srcs.map_batches(
+                pick, batch_format="pyarrow"))
+            n_s = srcs.count()
+            if n_s == 0:
+                raise ValueError(
+                    "betweenness: sample_every=%d selected zero "
+                    "sources out of %d nodes — lower sample_every"
+                    % (k, n_nodes))
+            if rescale:
+                factor = n_nodes / n_s
+        elif n_nodes > max_exact_nodes:
+            raise ValueError(
+                "betweenness: exact run over all %d nodes exceeds "
+                "max_exact_nodes=%d — O(|V|) sources of composite-key "
+                "BFS state is infeasible at this size; pass "
+                "sample_every=k for the rescaled sampled estimator, "
+                "or raise max_exact_nodes explicitly"
+                % (n_nodes, max_exact_nodes))
     else:
+        if sample_every is not None:
+            raise ValueError(
+                "betweenness: sample_every only applies when "
+                "sources is None (the explicit sources list IS the "
+                "sample)")
         srcs = rd.from_arrow(pa.table({"node": pa.array(
             sorted(set(int(x) for x in sources)), pa.int64())}))
 
@@ -5577,10 +5622,10 @@ def betweenness(
             batch_format="pyarrow")
     out = shuffle_hash_join(nodes, bc, on=["node"], how="left", nb=nb)
     return out.map_batches(
-        lambda t: pa.table({
+        lambda t, _f=factor: pa.table({
             "node": t.column("node").cast(pa.int64()),
-            "bc": pc.round(pc.fill_null(
-                t.column("bc").cast(pa.float64()), 0.0), 6)}),
+            "bc": pc.round(pc.multiply(pc.fill_null(
+                t.column("bc").cast(pa.float64()), 0.0), _f), 6)}),
         batch_format="pyarrow")
 
 

@@ -85,3 +85,84 @@ def test_phrase_search_string_ids_with_empty_batches():
 def test_phrase_search_string_ids_no_hits_anywhere():
     ds = _docs_str_ids(["aa bb", "cc dd"]).repartition(2)
     assert phrase_search(ds, "the cat", nb=2).take_all() == []
+
+
+# --- betweenness guardrail (round-4 weak item) ------------------------------
+
+def _md5_sample(nodes, k):
+    import hashlib
+    return sorted(v for v in nodes
+                  if int(hashlib.md5(str(v).encode())
+                         .hexdigest()[:8], 16) % k == 0)
+
+
+def test_betweenness_sampled_rescale_equals_raw_times_factor():
+    from biosd_feature_annotator_ray.stages.graph import betweenness
+
+    rng = np.random.default_rng(7)
+    el = list(dict.fromkeys(
+        (int(a), int(b)) for a, b in zip(rng.integers(0, 20, 60),
+                                         rng.integers(0, 20, 60))
+        if a != b))
+    nodes = sorted({x for e in el for x in e})
+    import pandas as pd
+    df = pd.DataFrame(el, columns=["src", "dst"])
+    import ray.data as _rd
+    sampled = _md5_sample(nodes, 2)
+    assert 0 < len(sampled) < len(nodes)
+    factor = len(nodes) / len(sampled)
+
+    got = betweenness(_rd.from_pandas(df).repartition(3),
+                      sample_every=2, nb=8).to_pandas()
+    raw = betweenness(_rd.from_pandas(df).repartition(3),
+                      sources=sampled, nb=8).to_pandas()
+    g = dict(zip(got["node"].astype(int), got["bc"]))
+    r = dict(zip(raw["node"].astype(int), raw["bc"]))
+    # sampled path settles the same reachable set; rescale is built in
+    for n in r:
+        assert abs(g.get(n, 0.0) - r[n] * factor) < 1e-4, n
+
+
+def test_betweenness_sample_every_no_rescale():
+    from biosd_feature_annotator_ray.stages.graph import betweenness
+
+    import pandas as pd
+    import ray.data as _rd
+    el = [(i, i + 1) for i in range(8)]
+    df = pd.DataFrame(el, columns=["src", "dst"])
+    nodes = list(range(9))
+    sampled = _md5_sample(nodes, 3)
+    got = betweenness(_rd.from_pandas(df), sample_every=3,
+                      rescale=False, nb=4).to_pandas()
+    raw = betweenness(_rd.from_pandas(df), sources=sampled,
+                      nb=4).to_pandas()
+    g = dict(zip(got["node"].astype(int), got["bc"]))
+    r = dict(zip(raw["node"].astype(int), raw["bc"]))
+    for n in r:
+        assert abs(g.get(n, 0.0) - r[n]) < 1e-9
+
+
+def test_betweenness_exact_over_bound_raises():
+    from biosd_feature_annotator_ray.stages.graph import betweenness
+
+    import pandas as pd
+    import ray.data as _rd
+    el = [(i, i + 1) for i in range(30)]   # 31 nodes
+    ds = _rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+    with pytest.raises(ValueError, match="max_exact_nodes"):
+        betweenness(ds, max_exact_nodes=10, nb=4)
+    # sampled estimator over the same graph completes
+    out = betweenness(ds, max_exact_nodes=10, sample_every=4,
+                      nb=4).to_pandas()
+    assert len(out) == 31
+
+
+def test_betweenness_explicit_sources_rejects_sample_every():
+    from biosd_feature_annotator_ray.stages.graph import betweenness
+
+    import pandas as pd
+    import ray.data as _rd
+    ds = _rd.from_pandas(pd.DataFrame(
+        [(0, 1)], columns=["src", "dst"]))
+    with pytest.raises(ValueError, match="sample_every"):
+        betweenness(ds, sources=[0], sample_every=2)
