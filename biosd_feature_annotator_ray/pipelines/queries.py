@@ -14791,8 +14791,10 @@ def q_property_path_alt(sf_dir: str):
     follows + swapped manages) feeding the string transitive
     closure. Corpus: 20 disjoint follow chains BRIDGED only by
     inverse-manages edges across chain breaks, so the alternation is
-    load-bearing. Twin: recursive CTE over the same union."""
-    from ..stages.graph import transitive_closure
+    load-bearing. Deep-chain corpus → the ⌈log₂ depth⌉-round
+    path-doubling closure. Twin: recursive CTE over the same
+    union."""
+    from ..stages.graph import transitive_closure_doubling
 
     rows = []
     for i in range(200):
@@ -14821,7 +14823,7 @@ def q_property_path_alt(sf_dir: str):
                 m.column("subj").combine_chunks()])})
 
     edges = triples.map_batches(path_edges, batch_format="pyarrow")
-    out = transitive_closure(edges, nb=8)
+    out = transitive_closure_doubling(edges, nb=8)
     df = out.to_pandas().sort_values(["node", "anc"])
     return pa.Table.from_pandas(df.reset_index(drop=True),
                                 preserve_index=False)

@@ -136,6 +136,31 @@ def distinct_counts(ds: "ray.data.Dataset", col: str, nb: int = 64) -> "ray.data
     )
 
 
+def _annotate_via_probe(out, ds, *fns):
+    """Annotate ``out`` (an Arrow-native bucket plan over ``ds``) with
+    its known schema by running the plan's per-batch fns on a
+    ZERO-ROW table of the input schema — exact because every fn here
+    is a typed Arrow expression (group_by aggregates, explicit
+    ``pa.table`` builders), so its output schema is value-independent.
+    Skipped silently when the input schema isn't cheaply known or a
+    probe objects; consumers then fall back to Ray's paying
+    schema fetch."""
+    from .util import cheap_arrow_schema, with_schema
+
+    sch = cheap_arrow_schema(ds)
+    if sch is None:
+        return out
+    try:
+        t = sch.empty_table()
+        for fn in fns:
+            t = fn(t)
+        if isinstance(t, pa.Table):
+            with_schema(out, t.schema)
+    except Exception:  # noqa: BLE001 — annotation is best-effort
+        pass
+    return out
+
+
 def sum_by_key(ds: "ray.data.Dataset", key: "str | list[str]",
                col: str, nb: int = 64,
                out_col: "str | None" = None) -> "ray.data.Dataset":
@@ -163,9 +188,10 @@ def sum_by_key(ds: "ray.data.Dataset", key: "str | list[str]",
     def finish(group: pa.Table) -> pa.Table:
         return _sum(group, out_col or col)
 
-    return (ds.map_batches(local, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    out = (ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    return _annotate_via_probe(out, ds, local, finish)
 
 
 def sums_by_key(ds: "ray.data.Dataset", key: "str | list[str]",
@@ -193,9 +219,10 @@ def sums_by_key(ds: "ray.data.Dataset", key: "str | list[str]",
     def finish(group: pa.Table) -> pa.Table:
         return _sum(group)
 
-    return (ds.map_batches(local, batch_format="pyarrow",
-                           batch_size=65536)
-            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    out = (ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    return _annotate_via_probe(out, ds, local, finish)
 
 
 def groupby_argmax(

@@ -554,8 +554,22 @@ def _min_per_node(ds, nb: int, node_col: str = "node", val_col: str = "dist"):
         out = df.groupby(node_col, as_index=False)[val_col].min()
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
-            .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    out = (ds.map_batches(local, batch_format="pyarrow",
+                          batch_size=65536)
+           .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    from .util import cheap_arrow_schema, with_schema
+    sch = cheap_arrow_schema(ds)
+    if sch is not None and all(
+            n in sch.names for n in (node_col, val_col)):
+        nt, vt = sch.field(node_col).type, sch.field(val_col).type
+        # the pandas min roundtrip is type-stable for these families
+        # only (graph ids / distances are never null here)
+        stable = (pa.types.is_integer, pa.types.is_floating,
+                  pa.types.is_string)
+        if any(p(nt) for p in stable) and any(p(vt) for p in stable):
+            with_schema(out, pa.schema([pa.field(node_col, nt),
+                                        pa.field(val_col, vt)]))
+    return out
 
 
 def _subtract_new(new_ds, old_ds, keys: list[str], nb: int,
@@ -614,7 +628,13 @@ def _subtract_new(new_ds, old_ds, keys: list[str], nb: int,
             [pa.field(k, kt) for k in keys]
             + ([pa.field(min_col, pa.int64())] if min_col else [])))
 
-    return tagged.groupby(_B).map_groups(finish, batch_format="pyarrow")
+    from .util import with_schema
+    kt = key_type if key_type is not None else pa.int64()
+    return with_schema(
+        tagged.groupby(_B).map_groups(finish, batch_format="pyarrow"),
+        pa.schema([pa.field(k, kt) for k in keys]
+                  + ([pa.field(min_col, pa.int64())]
+                     if min_col else [])))
 
 
 def transitive_closure(
@@ -762,6 +782,89 @@ def transitive_closure(
         "(DAG deeper than that) — raise max_iters")
 
 
+def transitive_closure_doubling(
+    edges,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    nb: int = 32,
+    max_iters: int = 20,
+):
+    """Transitive closure by PATH DOUBLING — the ⌈log₂ depth⌉-round
+    sibling of the semi-naive :func:`transitive_closure`: each round
+    composes the closure-so-far with itself (R ← R ∪ R∘R), so
+    reachable distance doubles per round. The right strategy when the
+    graph is DEEP and the closure small relative to round count
+    (redirect-style chains, long property paths); semi-naive stays
+    the 100-TB default because its per-round frontier is delta-sized
+    while composition re-joins the whole closure every round. Same
+    output contract and cycle RAISE as transitive_closure."""
+    import ray.data as rd
+
+    from .join import shuffle_hash_join
+    from .util import map_known
+
+    edges_ds = rd.from_arrow(edges) if isinstance(edges, pa.Table) else edges
+    sch = edges_ds.schema()
+    base = getattr(sch, "base_schema", sch)
+    if isinstance(base, pa.Schema):
+        ft = base.field(child_col).type
+        is_str = (pa.types.is_string(ft) or pa.types.is_large_string(ft))
+    else:
+        ft = base.types[list(base.names).index(child_col)]
+        is_str = str(ft) in ("object", "string", "string[python]")
+    node_t = pa.string() if is_str else pa.int64()
+    e = edges_ds.map_batches(
+        lambda t: pa.table({"node": t.column(child_col).cast(node_t),
+                            "anc": t.column(parent_col).cast(node_t)}),
+        batch_format="pyarrow")
+
+    def _cycle_check(t: pa.Table) -> pa.Table:
+        if int(pc.sum(pc.equal(t.column("node"),
+                               t.column("anc"))).as_py() or 0):
+            raise ValueError(
+                "transitive_closure: cycle detected (derived a node "
+                "as its own ancestor)")
+        return t
+
+    def _mat(ds):
+        try:
+            return ds.materialize()
+        except Exception as ex:  # noqa: BLE001
+            if "cycle detected" in str(ex):
+                raise ValueError(
+                    "transitive_closure: cycle detected (derived a "
+                    "node as its own ancestor)") from ex
+            raise
+
+    from .canonicalize import dedup_exact
+    cur = _mat(dedup_exact(
+        e.map_batches(_cycle_check, batch_format="pyarrow"),
+        ["node", "anc"], nb=nb))
+    parts = [cur]
+
+    def _union():
+        return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+    for _ in range(max_iters):
+        u = _union()
+        comp = map_known(shuffle_hash_join(
+            map_known(u, lambda t: pa.table({"node": t.column("node"),
+                                             "mid": t.column("anc")})),
+            map_known(u, lambda t: pa.table({"mid": t.column("node"),
+                                             "anc": t.column("anc")})),
+            on=["mid"], how="inner", nb=nb),
+            lambda t: _cycle_check(pa.table({"node": t.column("node"),
+                                             "anc": t.column("anc")})))
+        delta = _mat(_subtract_new(comp, u, ["node", "anc"], nb,
+                                   key_type=node_t))
+        if delta.count() == 0:
+            return _union()
+        parts.append(delta)
+    raise RuntimeError(
+        f"transitive_closure_doubling did not converge in "
+        f"max_iters={max_iters} — depth exceeds 2^max_iters")
+
+
 def bfs_min_depth(
     edges,
     seeds,
@@ -845,7 +948,9 @@ def bfs_min_depth(
                                  min_col="dist").materialize()
         if ck is not None:
             ck.write(_k, frontier)
-        settled = settled.union(frontier).materialize()
+        # lazy flat union of materialized frontiers — consumers just
+        # concatenate block lists, no per-round re-materialize
+        settled = settled.union(frontier)
     raise RuntimeError(
         f"bfs_min_depth did not converge in max_iters={max_iters} "
         "(graph diameter exceeds it) — raise max_iters")
@@ -2412,39 +2517,32 @@ def sssp(
         batch_format="pyarrow").materialize()
     frontier = dist
 
+    from .util import map_known, strip_stats, with_schema
+    _sch_nd = pa.schema([pa.field("node", pa.int64()),
+                         pa.field("dist", pa.float64())])
     for _ in range(max_iters):
         if frontier.count() == 0:
             return dist
-        msgs = shuffle_hash_join(
-            frontier.map_batches(
-                lambda t: t.rename_columns(["src", "dist"]),
-                batch_format="pyarrow"),
-            e, on=["src"], how="inner", nb=nb)
-        msgs = msgs.map_batches(
+        msgs = map_known(shuffle_hash_join(
+            map_known(frontier, lambda t: t.rename_columns(
+                ["src", "dist"])),
+            e, on=["src"], how="inner", nb=nb),
             lambda t: pa.table({
                 "node": t.column("dst"),
-                "dnew": pc.add(t.column("dist"), t.column("w"))}),
-            batch_format="pyarrow")
-        cand = _min_per_node(msgs, nb, "node", "dnew").materialize()
-        if cand.count() == 0:  # frontier had no out-edges
-            return dist
-        j = shuffle_hash_join(
-            cand, dist.map_batches(
-                lambda t: t.rename_columns(["node", "dcur"]),
-                batch_format="pyarrow"),
-            on=["node"], how="left", nb=nb)
-        frontier = j.map_batches(
-            lambda t: (lambda f: pa.table(
-                {"node": f.column("node"),
-                 "dist": f.column("dnew")}))(
-                t.filter(pc.fill_null(
-                    pc.less(t.column("dnew"), t.column("dcur")), True))),
-            batch_format="pyarrow").materialize()
+                "dist": pc.add(t.column("dist"), t.column("w"))}))
+        # fused relax: min(candidates ∪ current) + old in ONE shuffle
+        # — frontier and the updated dist table are lazy views of it
+        delta = strip_stats(_min_with_old(
+            msgs, dist, nb, "node", "dist").materialize())
+        frontier = with_schema(map_known(delta, lambda t: (
+            lambda f: f.select(["node", "dist"]))(
+            t.filter(pc.fill_null(pc.less(t.column("dist"),
+                                          t.column("old")), True)))),
+            _sch_nd)
         if frontier.count() == 0:
             return dist
-        dist = shuffle_hash_join(dist, frontier, on=["node"],
-                                 how="anti", nb=nb) \
-            .union(frontier).materialize()
+        dist = with_schema(map_known(
+            delta, lambda t: t.select(["node", "dist"])), _sch_nd)
     raise RuntimeError(
         f"sssp did not converge in max_iters={max_iters} — deeper "
         "shortest paths than that; raise max_iters")
@@ -3128,6 +3226,11 @@ def transitive_closure_incremental(
     all_ds = (rd.from_arrow(all_edges)
               if isinstance(all_edges, pa.Table) else all_edges)
     nt = node_t or pa.int64()
+    # pin the old closure once — it anchors the lazy per-round
+    # ``total`` union, which would otherwise re-execute a lazy
+    # caller-supplied closure every round
+    closure = (rd.from_arrow(closure)
+               if isinstance(closure, pa.Table) else closure).materialize()
 
     def proj(t: pa.Table) -> pa.Table:
         return pa.table({"node": t.column("child").cast(nt),
@@ -3168,7 +3271,7 @@ def transitive_closure_incremental(
                           batch_format="pyarrow").union(ext)
     delta = _mat(_subtract_new(seed, closure, ["node", "anc"], nb,
                                key_type=nt))
-    total = closure.union(delta).materialize()
+    total = closure.union(delta)
 
     for _ in range(max_iters):
         if delta.count() == 0:
@@ -3179,7 +3282,9 @@ def transitive_closure_incremental(
             batch_format="pyarrow")
         delta = _mat(_subtract_new(hop, total, ["node", "anc"], nb,
                                    key_type=nt))
-        total = total.union(delta).materialize()
+        # lazy flat union of materialized deltas — one fewer
+        # execution per round; consumers concatenate block lists
+        total = total.union(delta)
     raise RuntimeError(
         "transitive_closure_incremental did not converge in "
         f"max_iters={max_iters}")
@@ -3467,12 +3572,140 @@ def resolve_conflicts(
         .groupby(_B).map_groups(finish, batch_format="pyarrow"))
 
 
+def _min_with_old(msgs, cur, nb: int, node_col: str = "node",
+                  val_col: str = "color"):
+    """One-bucket-shuffle relax step shared by the iterative label
+    operators (scc coloring, temporal arrival, distance relaxation):
+    per node, ``val`` = min over candidates (messages ∪ the node's
+    current value) and ``old`` = the current value, in the SAME
+    map-side-combined aggregate — so the per-round convergence check
+    (``val != old``, null old = newly discovered) is a lazy filter
+    over this one materialized result instead of a second join
+    shuffle, and the updated label table is a lazy select of it
+    (no anti-join ∪ frontier rebuild). All-Arrow (group_by min/max;
+    ``old`` rides as a null-masked column with exactly one non-null
+    per node), so the output schema is known by construction."""
+    from .canonicalize import _B, _add_bucket
+    from .util import map_known
+
+    def tag(is_old: bool):
+        def f(t: pa.Table) -> pa.Table:
+            c = t.column(val_col)
+            if isinstance(c, pa.ChunkedArray):
+                c = c.combine_chunks()
+            old = c if is_old else pa.nulls(len(t), c.type)
+            return pa.table({node_col: t.column(node_col),
+                             val_col: c, "old": old})
+        return f
+
+    def agg(t: pa.Table) -> pa.Table:
+        g = (t.select([node_col, val_col, "old"])
+             .group_by([node_col]).aggregate([(val_col, "min"),
+                                              ("old", "max")]))
+        return pa.table({node_col: g.column(node_col),
+                         val_col: g.column(f"{val_col}_min"),
+                         "old": g.column("old_max")})
+
+    def local(batch: pa.Table) -> pa.Table:
+        return _add_bucket(agg(batch), [node_col], nb)
+
+    def finish(group: pa.Table) -> pa.Table:
+        return agg(group)
+
+    tagged = map_known(msgs, tag(False)).union(
+        map_known(cur, tag(True)))
+    out = (tagged.map_batches(local, batch_format="pyarrow",
+                              batch_size=65536)
+           .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    from .util import cheap_arrow_schema, with_schema
+    csch = cheap_arrow_schema(cur)
+    if csch is not None:
+        ct = csch.field(val_col).type
+        with_schema(out, pa.schema([
+            pa.field(node_col, csch.field(node_col).type),
+            pa.field(val_col, ct), pa.field("old", ct)]))
+    return out
+
+
+def _min_color_with_old(msgs, colors, nb: int):
+    """scc's coloring step — see :func:`_min_with_old`."""
+    return _min_with_old(msgs, colors, nb, "node", "color")
+
+
+def _scc_local(E: "pa.Table") -> "pa.Table":
+    """Iterative Tarjan over a DRIVER-LOCAL edge table — the bounded
+    local finish of :func:`scc`'s hybrid: when the live core fits
+    under ``local_cutoff_edges``, dozens of per-round Ray executions
+    collapse into one O(V+E) pass. Labels are component-min node ids
+    (identical to the distributed contract; parity-tested)."""
+    src = E.column("src").to_pylist()
+    dst = E.column("dst").to_pylist()
+    adj: "dict[object, list]" = {}
+    nodes_set = set()
+    for u, v in zip(src, dst):
+        adj.setdefault(u, []).append(v)
+        nodes_set.add(u)
+        nodes_set.add(v)
+    index: "dict[object, int]" = {}
+    low: "dict[object, int]" = {}
+    on_stack: "set" = set()
+    stack: "list" = []
+    label: "dict[object, object]" = {}
+    counter = [0]
+    for root in sorted(nodes_set):
+        if root in index:
+            continue
+        # explicit work stack: (node, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            advanced = False
+            nbrs = adj.get(v, ())
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    label[w] = m
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+    ns = sorted(nodes_set)
+    node_arr = pa.array(ns, E.schema.field("src").type)
+    return pa.table({"node": node_arr,
+                     "scc": pa.array([label[n] for n in ns],
+                                     E.schema.field("src").type)})
+
+
 def scc(
     edges: "ray.data.Dataset",
     src_col: str = "src",
     dst_col: str = "dst",
     max_rounds: int = 30,
     nb: int = 32,
+    local_cutoff_edges: int = 200_000,
 ) -> "ray.data.Dataset":
     """Strongly connected components of a directed graph — the
     coloring algorithm (Orzan 2004 / FW-BW family, public), the
@@ -3491,6 +3724,7 @@ def scc(
     (a non-converged SCC labeling would be silently wrong)."""
     from .canonicalize import dedup_exact, sum_by_key
     from .join import shuffle_hash_join
+    from .util import cheap_arrow_schema, map_known, with_schema
     from .util import strip_stats as _strip
 
     def _sel(t: pa.Table) -> pa.Table:
@@ -3499,6 +3733,19 @@ def scc(
 
     E = dedup_exact(edges.map_batches(_sel, batch_format="pyarrow"),
                     ["src", "dst"], nb=nb).materialize()
+    if E.count() == 0:
+        raise ValueError("scc: empty edge set")
+    if local_cutoff_edges and E.count() <= local_cutoff_edges:
+        # hybrid local finish: the deduped edge set fits the bound, so
+        # ONE bounded driver-side Tarjan pass replaces dozens of
+        # trim/color/mark executor rounds (identical labels —
+        # parity-tested); the distributed phases below remain the
+        # 100-TB path (local_cutoff_edges=0 forces them)
+        import ray
+        import ray.data as rd
+        flat = pa.concat_tables(
+            [ray.get(r) for r in E.to_arrow_refs()])
+        return rd.from_arrow(_scc_local(flat.combine_chunks()))
     nodes = dedup_exact(
         E.map_batches(lambda t: pa.table({"node": t.column("src")}),
                       batch_format="pyarrow")
@@ -3508,6 +3755,12 @@ def scc(
         ["node"], nb=nb).materialize()
     if nodes.count() == 0:
         raise ValueError("scc: empty edge set")
+    # node id type (int64 graph ids or raw string KG terms) — every
+    # per-round lazy dataset below is schema-annotated with it so no
+    # join pays a schema-fetch execution (the per-round fixed cost
+    # that used to dominate this operator)
+    _T = cheap_arrow_schema(E).field("src").type
+    _sch_nc = pa.schema([pa.field("node", _T), pa.field("color", _T)])
     settled = None  # Dataset (node, scc)
 
     def _one(t: pa.Table, cols: list[str]) -> pa.Table:
@@ -3521,143 +3774,134 @@ def scc(
     for _phase in range(max_rounds):
         if nodes.count() == 0:
             return settled.materialize()
-        # ---- trim: peel no-in / no-out nodes until none remain
+        # ---- trim to the 1-in-1-out core: live = src(E) ∩ dst(E)
+        # (a node has an out-edge iff it appears as a src, an in-edge
+        # iff as a dst), E keeps edges with BOTH endpoints live —
+        # ONE materialize per peel round, fixpoint when the edge
+        # count stops shrinking; the peeled remainder settles as
+        # singleton SCCs in one lazy piece after the loop.
+        _sch_n = pa.schema([pa.field("node", _T)])
         for _trim in range(max_rounds + 1):
             if _trim == max_rounds:
                 raise RuntimeError(
                     f"scc: trim did not converge in {max_rounds}")
             if E.count() == 0:
-                # trimming consumed every live edge: the remaining
-                # live nodes are all singleton SCCs (an empty census
-                # below would also lose its schema for the joins)
-                if nodes.count() > 0:
-                    singles = nodes.map_batches(
-                        lambda t: pa.table(
-                            {"node": t.column("node"),
-                             "scc": t.column("node")}),
-                        batch_format="pyarrow").materialize()
-                    _settle(_strip(singles))
-                return settled.materialize()
-            outd = sum_by_key(E.map_batches(
-                lambda t: _one(pa.table({"node": t.column("src")}),
-                               ["node"]),
-                batch_format="pyarrow"), "node", "n", nb=nb)
-            ind = sum_by_key(E.map_batches(
-                lambda t: _one(pa.table({"node": t.column("dst")}),
-                               ["node"]),
-                batch_format="pyarrow"), "node", "n", nb=nb)
-            both = shuffle_hash_join(
-                shuffle_hash_join(nodes, outd, on=["node"],
-                                  how="semi", nb=nb),
-                ind, on=["node"], how="semi", nb=nb).materialize()
-            _strip(both)
-            n_live = both.count()
-            n_trim = nodes.count() - n_live
-            if n_trim == 0:
                 break
-            singles = shuffle_hash_join(
-                nodes, both, on=["node"], how="anti",
-                nb=nb).map_batches(
-                lambda t: pa.table({"node": t.column("node"),
-                                    "scc": t.column("node")}),
-                batch_format="pyarrow").materialize()
-            _settle(_strip(singles))
-            nodes = both
-            if n_live == 0:
+            # per-batch unique is enough on both sides: semi-join
+            # probe/build sides tolerate duplicates, so the global
+            # dedup shuffles are dead weight — map-side unique keeps
+            # the wire volume ≤ distinct-per-batch at zero extra
+            # stages
+            srcs_d = map_known(E, lambda t: pa.table(
+                {"node": pc.unique(t.column("src").combine_chunks())}))
+            dsts_d = map_known(E, lambda t: pa.table(
+                {"node": pc.unique(t.column("dst").combine_chunks())}))
+            live = shuffle_hash_join(
+                srcs_d, dsts_d, on=["node"], how="semi", nb=nb)
+            E2 = shuffle_hash_join(
+                shuffle_hash_join(E, map_known(
+                    live, lambda t: t.rename_columns(["src"])),
+                    on=["src"], how="semi", nb=nb),
+                map_known(live, lambda t: t.rename_columns(["dst"])),
+                on=["dst"], how="semi", nb=nb).materialize()
+            _strip(E2)
+            done = E2.count() == E.count()
+            E = E2
+            if done:
                 break
-            E = shuffle_hash_join(
-                shuffle_hash_join(E, nodes.map_batches(
-                    lambda t: t.rename_columns(["src"]),
-                    batch_format="pyarrow"), on=["src"], how="semi",
-                    nb=nb),
-                nodes.map_batches(
-                    lambda t: t.rename_columns(["dst"]),
-                    batch_format="pyarrow"), on=["dst"], how="semi",
-                nb=nb).materialize()
-            _strip(E)
+        live_nodes = with_schema(dedup_exact(
+            map_known(E, lambda t: pa.table(
+                {"node": t.column("src")}))
+            .union(map_known(E, lambda t: pa.table(
+                {"node": t.column("dst")}))),
+            ["node"], nb=nb), _sch_n)
+        # everything not in the trimmed core is a singleton SCC
+        _settle(map_known(shuffle_hash_join(
+            nodes, live_nodes, on=["node"], how="anti", nb=nb),
+            lambda t: pa.table({"node": t.column("node"),
+                                "scc": t.column("node")})))
+        nodes = _strip(live_nodes.materialize())
         if nodes.count() == 0:
             return settled.materialize()
         # ---- forward min-ancestor coloring to fixpoint
-        colors = nodes.map_batches(
-            lambda t: pa.table({"node": t.column("node"),
-                                "color": t.column("node")}),
-            batch_format="pyarrow").materialize()
-        _strip(colors)
+        colors = with_schema(map_known(
+            nodes, lambda t: pa.table({"node": t.column("node"),
+                                       "color": t.column("node")})),
+            _sch_nc)
         for _it in range(max_rounds + 1):
             if _it == max_rounds:
                 raise RuntimeError(
                     f"scc: coloring did not converge in {max_rounds}")
-            msgs = shuffle_hash_join(
-                E, colors.map_batches(
-                    lambda t: pa.table({"src": t.column("node"),
-                                        "color": t.column("color")}),
-                    batch_format="pyarrow"),
-                on=["src"], how="inner", nb=nb).map_batches(
+            msgs = map_known(shuffle_hash_join(
+                E, map_known(colors, lambda t: pa.table(
+                    {"src": t.column("node"),
+                     "color": t.column("color")})),
+                on=["src"], how="inner", nb=nb),
                 lambda t: pa.table({"node": t.column("dst"),
-                                    "color": t.column("color")}),
+                                    "color": t.column("color")}))
+            # pointer-doubling shortcut: color(color(v)) is a valid
+            # candidate (u reaches v and w reaches u ⟹ w reaches v),
+            # so reach doubles per round — O(log depth) rounds
+            sc = map_known(shuffle_hash_join(
+                map_known(colors, lambda t: pa.table(
+                    {"node": t.column("node"),
+                     "mid": t.column("color")})),
+                map_known(colors, lambda t: pa.table(
+                    {"mid": t.column("node"),
+                     "color2": t.column("color")})),
+                on=["mid"], how="inner", nb=nb),
+                lambda t: pa.table({"node": t.column("node"),
+                                    "color": t.column("color2")}))
+            # min + current color in ONE shuffle; the convergence
+            # check is a lazy filter over this materialized result
+            delta = _strip(_min_color_with_old(
+                msgs.union(sc), colors, nb).materialize())
+            changed = delta.map_batches(
+                lambda t: t.filter(pc.not_equal(t.column("color"),
+                                                t.column("old"))),
                 batch_format="pyarrow")
-            newc = _min_per_node(
-                msgs.union(colors), nb, node_col="node",
-                val_col="color")
-            changed = shuffle_hash_join(
-                newc.map_batches(
-                    lambda t: t.rename_columns(["node", "new"]),
-                    batch_format="pyarrow"),
-                colors, on=["node"], how="inner", nb=nb).map_batches(
-                lambda t: t.filter(pc.not_equal(t.column("new"),
-                                                t.column("color"))),
-                batch_format="pyarrow").materialize()
-            colors = newc.map_batches(
-                lambda t: t.rename_columns(["node", "color"]),
-                batch_format="pyarrow").materialize()
-            _strip(changed)
-            _strip(colors)
+            colors = with_schema(map_known(
+                delta, lambda t: t.select(["node", "color"])),
+                _sch_nc)
             if changed.count() == 0:
                 break
         # ---- backward mark from color roots within the color class
-        marked = colors.map_batches(
-            lambda t: t.filter(pc.equal(t.column("node"),
-                                        t.column("color"))),
-            batch_format="pyarrow").materialize()
-        _strip(marked)
+        marked = map_known(colors, lambda t: t.filter(
+            pc.equal(t.column("node"), t.column("color"))))
         frontier = marked
         for _it in range(max_rounds + 1):
             if _it == max_rounds:
                 raise RuntimeError(
                     f"scc: backward mark did not converge in "
                     f"{max_rounds}")
-            preds = shuffle_hash_join(
-                E, frontier.map_batches(
-                    lambda t: pa.table({"dst": t.column("node"),
-                                        "color": t.column("color")}),
-                    batch_format="pyarrow"),
-                on=["dst"], how="inner", nb=nb).map_batches(
+            preds = map_known(shuffle_hash_join(
+                E, map_known(frontier, lambda t: pa.table(
+                    {"dst": t.column("node"),
+                     "color": t.column("color")})),
+                on=["dst"], how="inner", nb=nb),
                 lambda t: pa.table({"node": t.column("src"),
-                                    "color": t.column("color")}),
-                batch_format="pyarrow")
+                                    "color": t.column("color")}))
             # keep only predecessors of the SAME color, not yet marked
-            cand = shuffle_hash_join(
-                dedup_exact(preds, ["node", "color"], nb=nb),
-                colors.map_batches(
-                    lambda t: t.rename_columns(["node", "c2"]),
-                    batch_format="pyarrow"),
-                on=["node"], how="inner", nb=nb).map_batches(
+            cand = map_known(shuffle_hash_join(
+                with_schema(dedup_exact(preds, ["node", "color"],
+                                        nb=nb), _sch_nc),
+                map_known(colors, lambda t: t.rename_columns(
+                    ["node", "c2"])),
+                on=["node"], how="inner", nb=nb),
                 lambda t: t.filter(pc.equal(t.column("color"),
                                             t.column("c2")))
-                .select(["node", "color"]), batch_format="pyarrow")
+                .select(["node", "color"]))
             fresh = shuffle_hash_join(
                 cand, marked, on=["node"], how="anti",
                 nb=nb).materialize()
             _strip(fresh)
             if fresh.count() == 0:
                 break
-            marked = marked.union(fresh).materialize()
-            _strip(marked)
+            marked = with_schema(marked.union(fresh), _sch_nc)
             frontier = fresh
-        _settle(_strip(marked.map_batches(
-            lambda t: pa.table({"node": t.column("node"),
-                                "scc": t.column("color")}),
-            batch_format="pyarrow").materialize()))
+        _settle(map_known(marked, lambda t: pa.table(
+            {"node": t.column("node"),
+             "scc": t.column("color")})))
         # ---- remove settled nodes and their edges, next phase
         nodes = shuffle_hash_join(nodes, marked, on=["node"],
                                   how="anti", nb=nb).materialize()
@@ -3665,14 +3909,11 @@ def scc(
         if nodes.count() == 0:
             return settled.materialize()
         E = shuffle_hash_join(
-            shuffle_hash_join(E, nodes.map_batches(
-                lambda t: t.rename_columns(["src"]),
-                batch_format="pyarrow"), on=["src"], how="semi",
-                nb=nb),
-            nodes.map_batches(
-                lambda t: t.rename_columns(["dst"]),
-                batch_format="pyarrow"), on=["dst"], how="semi",
-            nb=nb).materialize()
+            shuffle_hash_join(E, map_known(
+                nodes, lambda t: t.rename_columns(["src"])),
+                on=["src"], how="semi", nb=nb),
+            map_known(nodes, lambda t: t.rename_columns(["dst"])),
+            on=["dst"], how="semi", nb=nb).materialize()
         _strip(E)
     raise RuntimeError(f"scc did not converge in {max_rounds} phases")
 
@@ -5244,6 +5485,7 @@ def condensation(
     dst_col: str = "dst",
     max_rounds: int = 30,
     nb: int = 32,
+    local_cutoff_edges: int = 200_000,
 ) -> "ray.data.Dataset":
     """Condensation DAG of a directed graph: contract every strongly
     connected component (:func:`scc` — labels are component-min node
@@ -5267,23 +5509,32 @@ def condensation(
 
     edges = (rd.from_arrow(edges) if isinstance(edges, pa.Table)
              else edges)
+    from .util import cheap_arrow_schema, map_known, with_schema
+
     labels = mat_cut(scc(edges, src_col=src_col, dst_col=dst_col,
-                         max_rounds=max_rounds, nb=nb))
+                         max_rounds=max_rounds, nb=nb,
+                         local_cutoff_edges=local_cutoff_edges))
     E = dedup_exact(edges.map_batches(
         lambda t: pa.table({"src": t.column(src_col),
                             "dst": t.column(dst_col)}),
         batch_format="pyarrow"), ["src", "dst"], nb=nb)
+    lsch = cheap_arrow_schema(labels)
+    if lsch is not None:
+        # dedup preserves the (src, dst) pair schema; the node type
+        # matches the scc label type — annotating E spares the join a
+        # schema-fetch execution of the whole dedup shuffle
+        _t = lsch.field("node").type
+        with_schema(E, pa.schema([pa.field("src", _t),
+                                  pa.field("dst", _t)]))
     j = shuffle_hash_join(
-        E, labels.map_batches(
-            lambda t: pa.table({"src": t.column("node"),
-                                "src_scc": t.column("scc")}),
-            batch_format="pyarrow"),
+        E, map_known(labels, lambda t: pa.table(
+            {"src": t.column("node"),
+             "src_scc": t.column("scc")})),
         on=["src"], how="inner", nb=nb)
     j = shuffle_hash_join(
-        j, labels.map_batches(
-            lambda t: pa.table({"dst": t.column("node"),
-                                "dst_scc": t.column("scc")}),
-            batch_format="pyarrow"),
+        j, map_known(labels, lambda t: pa.table(
+            {"dst": t.column("node"),
+             "dst_scc": t.column("scc")})),
         on=["dst"], how="inner", nb=nb)
     cross = j.map_batches(
         lambda t: pa.table({
@@ -6564,42 +6815,35 @@ def temporal_reachability(
         batch_format="pyarrow").materialize()
     frontier = arr
 
+    from .util import map_known, strip_stats, with_schema
+    _sch_na = pa.schema([pa.field("node", pa.int64()),
+                         pa.field("arrival", pa.int64())])
     for _ in range(max_iters):
         if frontier.count() == 0:
             return arr
-        msgs = shuffle_hash_join(
-            frontier.map_batches(
-                lambda t: t.rename_columns(["src", "arrival"]),
-                batch_format="pyarrow"),
-            e, on=["src"], how="inner", nb=nb)
-        msgs = msgs.map_batches(
+        msgs = map_known(shuffle_hash_join(
+            map_known(frontier, lambda t: t.rename_columns(
+                ["src", "arrival"])),
+            e, on=["src"], how="inner", nb=nb),
             lambda t: (lambda f: pa.table({
                 "node": f.column("dst"),
-                "anew": f.column("ts")}))(
+                "arrival": f.column("ts")}))(
                 t.filter(pc.greater_equal(t.column("ts"),
-                                          t.column("arrival")))),
-            batch_format="pyarrow")
-        cand = _min_per_node(msgs, nb, "node", "anew").materialize()
-        if cand.count() == 0:
-            return arr
-        j = shuffle_hash_join(
-            cand, arr.map_batches(
-                lambda t: t.rename_columns(["node", "acur"]),
-                batch_format="pyarrow"),
-            on=["node"], how="left", nb=nb)
-        frontier = j.map_batches(
-            lambda t: (lambda f: pa.table(
-                {"node": f.column("node"),
-                 "arrival": f.column("anew")}))(
-                t.filter(pc.fill_null(
-                    pc.less(t.column("anew"), t.column("acur")),
-                    True))),
-            batch_format="pyarrow").materialize()
+                                          t.column("arrival")))))
+        # fused relax: min(candidates ∪ current) + old in ONE shuffle
+        # — the frontier is a lazy filter of it and the updated
+        # arrival table a lazy select (no anti-join ∪ rebuild)
+        delta = strip_stats(_min_with_old(
+            msgs, arr, nb, "node", "arrival").materialize())
+        frontier = with_schema(map_known(delta, lambda t: (
+            lambda f: f.select(["node", "arrival"]))(
+            t.filter(pc.fill_null(pc.less(t.column("arrival"),
+                                          t.column("old")), True)))),
+            _sch_na)
         if frontier.count() == 0:
             return arr
-        arr = shuffle_hash_join(arr, frontier, on=["node"],
-                                how="anti", nb=nb) \
-            .union(frontier).materialize()
+        arr = with_schema(map_known(
+            delta, lambda t: t.select(["node", "arrival"])), _sch_na)
     raise RuntimeError(
         f"temporal_reachability did not converge in "
         f"max_iters={max_iters}")

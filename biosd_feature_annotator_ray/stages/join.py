@@ -106,9 +106,17 @@ def _mix64(x):
 
 
 def _arrow_schema(ds: "ray.data.Dataset") -> pa.Schema:
-    """Arrow schema of a Dataset. Parquet-backed datasets answer from
-    metadata; pandas-backed ones (tests, from_pandas) report a
-    PandasBlockSchema — fall back to peeking one streaming batch."""
+    """Arrow schema of a Dataset. A :func:`util.cheap_arrow_schema`
+    answer (with_schema annotation / cached / metadata) avoids the
+    schema-fetch EXECUTION Ray pays on a lazy chain; parquet-backed
+    datasets answer from metadata; pandas-backed ones (tests,
+    from_pandas) report a PandasBlockSchema — fall back to peeking
+    one streaming batch."""
+    from .util import cheap_arrow_schema
+
+    cheap = cheap_arrow_schema(ds)
+    if cheap is not None:
+        return cheap
     s = ds.schema()
     base = getattr(s, "base_schema", s)
     if isinstance(base, pa.Schema):
@@ -338,7 +346,13 @@ def shuffle_hash_join(
             return chunks[0]
         return pa.concat_tables(chunks)
 
-    return both.groupby(_B).map_groups(finish, batch_format="pyarrow")
+    from .util import with_schema
+
+    # every bucket is pinned to out_schema — annotate it so chained
+    # joins / consumers never pay a schema-fetch execution
+    return with_schema(
+        both.groupby(_B).map_groups(finish, batch_format="pyarrow"),
+        out_schema)
 
 
 def asof_join(

@@ -166,3 +166,49 @@ def test_betweenness_explicit_sources_rejects_sample_every():
         [(0, 1)], columns=["src", "dst"]))
     with pytest.raises(ValueError, match="sample_every"):
         betweenness(ds, sources=[0], sample_every=2)
+
+
+# --- path-doubling closure --------------------------------------------------
+
+def test_closure_doubling_matches_seminaive():
+    from biosd_feature_annotator_ray.stages.graph import (
+        transitive_closure, transitive_closure_doubling)
+
+    import random
+    import ray.data as _rd
+    rng = random.Random(5)
+    edges = sorted({(rng.randrange(30), 30 + rng.randrange(30))
+                    for _ in range(40)}
+                   | {(i, i + 1) for i in range(60, 90)})  # deep chain
+    t = pa.table({"child": pa.array([a for a, _ in edges], pa.int64()),
+                  "parent": pa.array([b for _, b in edges], pa.int64())})
+    a = transitive_closure(
+        _rd.from_arrow(t).repartition(3), nb=4).to_pandas()
+    b = transitive_closure_doubling(
+        _rd.from_arrow(t).repartition(3), nb=4).to_pandas()
+    ka = sorted(map(tuple, a[["node", "anc"]].itertuples(index=False)))
+    kb = sorted(map(tuple, b[["node", "anc"]].itertuples(index=False)))
+    assert ka == kb and len(ka) > 0
+
+
+def test_closure_doubling_cycle_raises():
+    from biosd_feature_annotator_ray.stages.graph import (
+        transitive_closure_doubling)
+
+    import ray.data as _rd
+    t = pa.table({"child": pa.array([0, 1, 2], pa.int64()),
+                  "parent": pa.array([1, 2, 0], pa.int64())})
+    with pytest.raises(ValueError, match="cycle"):
+        transitive_closure_doubling(_rd.from_arrow(t), nb=2)
+
+
+def test_closure_doubling_string_nodes():
+    from biosd_feature_annotator_ray.stages.graph import (
+        transitive_closure_doubling)
+
+    import ray.data as _rd
+    t = pa.table({"child": ["a", "b", "c"], "parent": ["b", "c", "d"]})
+    got = transitive_closure_doubling(_rd.from_arrow(t), nb=2).to_pandas()
+    pairs = set(map(tuple, got[["node", "anc"]].itertuples(index=False)))
+    assert pairs == {("a", "b"), ("a", "c"), ("a", "d"),
+                     ("b", "c"), ("b", "d"), ("c", "d")}

@@ -59,20 +59,26 @@ def _ref_scc(edges):
     return {v: c[1] for v, c in comp.items()}
 
 
-def _run(edges, nb=4):
+def _run(edges, nb=4, cutoff=200_000):
     ds = rd.from_arrow(pa.Table.from_pylist(
         [{"src": a, "dst": b} for a, b in edges])).repartition(2)
-    df = scc(ds, nb=nb).to_pandas()
+    df = scc(ds, nb=nb, local_cutoff_edges=cutoff).to_pandas()
     return dict(zip(df.node, df.scc))
 
 
-def test_cycles_chains_and_self_loops():
+import pytest
+
+
+# cutoff=0 forces the distributed phases; the default takes the
+# bounded local-Tarjan finish — both must match the reference
+@pytest.mark.parametrize("cutoff", [200_000, 0])
+def test_cycles_chains_and_self_loops(cutoff):
     edges = [(0, 1), (1, 2), (2, 0),          # 3-cycle
              (3, 4), (4, 5), (5, 3), (2, 3),  # 3-cycle fed by first
              (6, 7), (7, 8),                  # chain (trims)
              (9, 10), (10, 9), (8, 9),        # 2-cycle
              (11, 11)]                        # self-loop
-    got = _run(edges)
+    got = _run(edges, cutoff=cutoff)
     assert got == _ref_scc(edges)
     assert got[0] == got[1] == got[2] == 0
     assert got[3] == got[4] == got[5] == 3
@@ -81,7 +87,8 @@ def test_cycles_chains_and_self_loops():
     assert got[11] == 11
 
 
-def test_fuzz_vs_kosaraju():
+@pytest.mark.parametrize("cutoff", [200_000, 0])
+def test_fuzz_vs_kosaraju(cutoff):
     rng = random.Random(23)
     for trial in range(2):
         n = 18
@@ -90,7 +97,18 @@ def test_fuzz_vs_kosaraju():
             a, b = rng.randrange(n), rng.randrange(n)
             edges.add((a, b))
         edges = sorted(edges)
-        assert _run(edges, nb=8) == _ref_scc(edges), trial
+        assert _run(edges, nb=8, cutoff=cutoff) == _ref_scc(edges), trial
+
+
+@pytest.mark.parametrize("cutoff", [200_000, 0])
+def test_scc_string_ids_both_paths(cutoff):
+    edges = [("a", "b"), ("b", "a"), ("b", "c"),
+             ("c", "d"), ("d", "c"), ("d", "e")]
+    got = _run(edges, cutoff=cutoff)
+    assert got == _ref_scc(edges)
+    assert got["a"] == got["b"] == "a"
+    assert got["c"] == got["d"] == "c"
+    assert got["e"] == "e"
 
 
 def test_empty_raises():
