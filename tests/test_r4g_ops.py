@@ -605,18 +605,30 @@ def test_running_nunique_duckdb_parity(seed):
     assert (got == want).all()
 
 
-def test_running_nunique_hot_key_raises():
+def test_running_nunique_hot_key_spills_with_parity():
+    # r04 weak item closed: the over-bound bucket now degrades
+    # through the sorted sub-slice spill (the global first-occurrence
+    # pre-pass made the finisher a plain cumsum) — the planted hot
+    # key COMPLETES and matches the vectorized path exactly
     from biosd_feature_annotator_ray.stages.windows import (
-        WindowBucketOverflow, running_nunique_per_key)
+        running_nunique_per_key)
 
+    rng = np.random.default_rng(3)
     df = pd.DataFrame({"k": np.zeros(500, int),
                        "ord": np.arange(500),
                        "rid": np.arange(500, dtype="int64"),
-                       "v": np.arange(500).astype(str)})
-    with pytest.raises(WindowBucketOverflow):
-        running_nunique_per_key(rd.from_pandas(df), key_col="k",
-                                value_col="v", order_cols=["ord", "rid"],
-                                nb=1, max_bucket_rows=100).to_pandas()
+                       "v": rng.choice(list("abcdefgh"), 500)})
+    df.loc[rng.integers(0, 500, 30), "v"] = None
+    spill = running_nunique_per_key(
+        rd.from_pandas(df), key_col="k", value_col="v",
+        order_cols=["ord", "rid"], nb=1,
+        max_bucket_rows=100).to_pandas()
+    vec = running_nunique_per_key(
+        rd.from_pandas(df), key_col="k", value_col="v",
+        order_cols=["ord", "rid"], nb=1).to_pandas()
+    a = spill.sort_values("rid")["n_distinct"].to_numpy()
+    b = vec.sort_values("rid")["n_distinct"].to_numpy()
+    assert (a == b).all() and len(a) == 500
 
 
 # --------------------------------------------------------- trend_per_key
