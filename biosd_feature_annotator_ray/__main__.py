@@ -443,6 +443,19 @@ def main(argv: list[str] | None = None) -> int:
     pbl.add_argument("--bits-pow", type=int, default=20)
     pbl.add_argument("--num-cpus", type=int, default=8)
 
+    plk = sub.add_parser("lookup", help="index-aware point lookup: "
+                         "bloom-positive files -> zone-map row-group "
+                         "pruning -> exact filter, one call; prints "
+                         "the pruning stats")
+    plk.add_argument("--data", required=True)
+    plk.add_argument("--index", required=True,
+                     help="bloomindex dir (build it first)")
+    plk.add_argument("--keys", required=True,
+                     help="comma-separated probe keys")
+    plk.add_argument("--output", required=True)
+    plk.add_argument("--columns", help="comma-separated projection")
+    plk.add_argument("--num-cpus", type=int, default=8)
+
     pzm = sub.add_parser("zonemap", help="row-group zone-map pruning "
                          "probe: footers only, zero data I/O")
     pzm.add_argument("--data", required=True)
@@ -1094,6 +1107,40 @@ def main(argv: list[str] | None = None) -> int:
             out.write_parquet(args.output)
             print(json.dumps({"rows": int(out.count()),
                               "output": args.output}))
+            return 0
+
+        if args.cmd == "lookup":
+            import os as _os
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from biosd_feature_annotator_ray.stages.bloomindex import (
+                pruned_point_lookup,
+            )
+
+            meta = _pq.read_table(
+                _os.path.join(args.index, "meta.parquet")).to_pylist()[0]
+            first = sorted(
+                f for f in _os.listdir(args.data)
+                if f.endswith(".parquet"))[0]
+            ktype = _pq.read_schema(
+                _os.path.join(args.data, first)).field(
+                meta["key_col"]).type
+            toks = args.keys.split(",")
+            if _pa.types.is_integer(ktype):
+                keys = [int(k) for k in toks]
+            elif _pa.types.is_floating(ktype):
+                keys = [float(k) for k in toks]
+            else:
+                keys = toks
+            cols = args.columns.split(",") if args.columns else None
+            ds, stats = pruned_point_lookup(
+                args.data, args.index, keys, columns=cols)
+            ds = ds.materialize()
+            ds.write_parquet(args.output)
+            print(json.dumps({"rows": int(ds.count()),
+                              "output": args.output, **stats}))
             return 0
 
         if args.cmd == "phrase":

@@ -894,3 +894,52 @@ ORACLES["bgp_aggregate"] = (
     "  AND ty.obj = 'Person'"
     " WHERE a.pred = 'worksFor' GROUP BY loc.obj"
 )
+
+
+def q_indexed_lookup_orders(sf_dir: str):
+    """Index-aware point lookup (bloomindex.pruned_point_lookup, r04
+    verdict item 4): orders re-laid-out sorted by o_custkey into a
+    4-file archive with small row groups, Bloom sidecar built over
+    o_custkey, then one lookup call that opens only bloom-positive
+    files and only zone-map-admitted row groups. Oracle: plain IN
+    filter over the orders view — results must be exact regardless
+    of pruning."""
+    import hashlib
+    import os
+
+    from ..stages.bloomindex import build_bloom_index, pruned_point_lookup
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/graft_lookup_{tag}"
+    data_dir, index_dir = f"{base}/data", f"{base}/bloom"
+    if not os.path.exists(f"{base}/_DONE"):
+        os.makedirs(data_dir, exist_ok=True)
+        t = (pq.read_table(f"{sf_dir}/orders.parquet")
+             .sort_by([("o_custkey", "ascending")]))
+        n = t.num_rows
+        step = (n + 3) // 4
+        for i in range(4):
+            part = t.slice(i * step, step)
+            if part.num_rows:
+                pq.write_table(
+                    part, f"{data_dir}/part-{i:02d}.parquet",
+                    row_group_size=max(1, step // 8))
+        build_bloom_index(data_dir, "o_custkey", index_dir,
+                          bits_pow=16)
+        with open(f"{base}/_DONE", "w") as f:
+            f.write("ok")
+    keys = [1, 2, 3, 5, 8]
+    ds, stats = pruned_point_lookup(
+        data_dir, index_dir, keys,
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    df = (ds.to_pandas()
+          .sort_values(["o_orderkey"]).reset_index(drop=True))
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["indexed_lookup_orders"] = q_indexed_lookup_orders
+
+ORACLES["indexed_lookup_orders"] = (
+    "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
+    " WHERE o_custkey IN (1, 2, 3, 5, 8) ORDER BY o_orderkey"
+)

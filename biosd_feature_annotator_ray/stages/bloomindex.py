@@ -183,3 +183,101 @@ def bloom_point_lookup(
     return rd.read_parquet(
         paths, columns=columns,
         filter=pads.field(key_col).isin(keys))
+
+
+def pruned_point_lookup(
+    data_dir: str,
+    index_dir: str,
+    keys: list,
+    columns: "list[str] | None" = None,
+):
+    """The index-aware point-lookup READ (r04 verdict item 4) — one
+    call chaining every pruning layer the repo owns:
+
+    1. Bloom sidecar → only bloom-POSITIVE files are candidates
+       (negatives are certain misses);
+    2. parquet footer zone maps → within each candidate, only row
+       groups whose [min, max] admits at least one probe key are
+       read (footers only — zero data I/O for pruned groups);
+    3. exact ``is_in`` filter inside each read task → bloom/zone
+       false positives die before leaving the task.
+
+    Returns ``(dataset, stats)`` where stats counts the pruning:
+    ``files_total / files_bloom / rowgroups_total / rowgroups_read /
+    rows_total / rows_scanned`` — the files-opened counter the
+    caller (and the tests) can assert on. Row groups without stats
+    count as unprunable. The read fans out one Ray task per
+    candidate file — at archive scale only bloom-positive footers
+    are even opened."""
+    import pyarrow.dataset as pads  # noqa: F401 — typed filter below
+
+    import ray.data as rd
+
+    meta = pq.read_table(
+        os.path.join(index_dir, "meta.parquet")).to_pylist()[0]
+    key_col = meta["key_col"]
+    files = sorted(f for f in os.listdir(data_dir)
+                   if f.endswith(".parquet"))
+    if not files:
+        raise ValueError(f"pruned_point_lookup: no parquet in "
+                         f"{data_dir}")
+    sch = pq.read_schema(os.path.join(data_dir, files[0]))
+    ktype = sch.field(key_col).type
+    keys = pa.array(keys, type=ktype).to_pylist()
+    out_sch = (pa.schema([sch.field(c) for c in columns])
+               if columns else sch)
+
+    stats = {"files_total": len(files), "files_bloom": 0,
+             "rowgroups_total": 0, "rowgroups_read": 0,
+             "rows_total": 0, "rows_scanned": 0}
+    cand = bloom_candidate_files(index_dir, keys)
+    stats["files_bloom"] = len(cand)
+
+    specs = []
+    for f in cand:
+        fp = os.path.join(data_dir, f)
+        md = pq.read_metadata(fp)
+        leaf_paths = [md.schema.column(i).path
+                      for i in range(md.num_columns)]
+        ci = leaf_paths.index(key_col)
+        keep = []
+        for g in range(md.num_row_groups):
+            rg = md.row_group(g)
+            stats["rowgroups_total"] += 1
+            stats["rows_total"] += rg.num_rows
+            st = rg.column(ci).statistics
+            if st is None or not st.has_min_max:
+                admit = True  # no stats → unprunable, must scan
+            else:
+                admit = any(st.min <= k <= st.max for k in keys)
+            if admit:
+                keep.append(g)
+                stats["rowgroups_read"] += 1
+                stats["rows_scanned"] += rg.num_rows
+        if keep:
+            specs.append({"path": fp,
+                          "rgs": ",".join(map(str, keep))})
+    if not specs:
+        return rd.from_arrow(out_sch.empty_table()), stats
+
+    key_set = pa.array(keys, type=ktype)
+    cols = list(columns) if columns else None
+
+    def read_one(batch: pa.Table) -> pa.Table:
+        outs = []
+        for row in batch.to_pylist():
+            pf = pq.ParquetFile(row["path"])
+            rgs = [int(x) for x in row["rgs"].split(",")]
+            need = cols if cols and key_col in cols else (
+                cols + [key_col] if cols else None)
+            t = pf.read_row_groups(rgs, columns=need)
+            t = t.filter(pc.is_in(t.column(key_col),
+                                  value_set=key_set))
+            outs.append(t.select(out_sch.names))
+        return (pa.concat_tables(outs) if outs
+                else out_sch.empty_table())
+
+    ds = rd.from_items(specs).map_batches(
+        read_one, batch_format="pyarrow", batch_size=1)
+    from .util import with_schema
+    return with_schema(ds, out_sch), stats
