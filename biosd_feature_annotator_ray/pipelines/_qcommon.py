@@ -307,22 +307,22 @@ _TRUSS_ROUND = (
 )
 
 _HEARST_SUFFIXES = np.array([
-    " mammals such as dogs, cats and foxes",
-    " metals including iron, zinc",
+    " large wild mammals such as dogs, cats and foxes",
+    " heavy metals including iron, zinc",
     " oaks, pines and other trees",
-    " fruits especially apples",
-    " gems such as rubies or emeralds",
+    " the stone fruits especially apples",
+    " precious gems such as rubies or emeralds",
     "",
     "",
 ], dtype=object)
 
 _HEARST_AUG_SQL = (
     "SELECT doc_id, lower(text || CASE CAST(doc_id % 7 AS INTEGER)"
-    "  WHEN 0 THEN ' mammals such as dogs, cats and foxes'"
-    "  WHEN 1 THEN ' metals including iron, zinc'"
+    "  WHEN 0 THEN ' large wild mammals such as dogs, cats and foxes'"
+    "  WHEN 1 THEN ' heavy metals including iron, zinc'"
     "  WHEN 2 THEN ' oaks, pines and other trees'"
-    "  WHEN 3 THEN ' fruits especially apples'"
-    "  WHEN 4 THEN ' gems such as rubies or emeralds'"
+    "  WHEN 3 THEN ' the stone fruits especially apples'"
+    "  WHEN 4 THEN ' precious gems such as rubies or emeralds'"
     "  ELSE '' END) AS txt FROM documents"
 )
 

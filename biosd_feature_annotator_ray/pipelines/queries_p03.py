@@ -1587,36 +1587,9 @@ QUERIES["hearst_isa"] = q_hearst_isa
 
 ORACLES["hearst_isa"] = (
     "WITH aug AS (" + _HEARST_AUG_SQL + "),"
-    " m1 AS (SELECT doc_id, unnest(regexp_extract_all(txt,"
-    "  '(\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)'))"
-    "  AS m FROM aug),"
-    " e1 AS (SELECT doc_id, unnest(regexp_split_to_array("
-    "   regexp_extract(m,"
-    "   '(\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),"
-    "   ',? (?:and|or) |, ')) AS subj,"
-    "  regexp_extract(m,"
-    "   '(\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1)"
-    "   AS obj, 'such_as' AS pattern FROM m1),"
-    " m2 AS (SELECT doc_id, unnest(regexp_extract_all(txt,"
-    "  '(\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)'))"
-    "  AS m FROM aug),"
-    " e2 AS (SELECT doc_id, unnest(regexp_split_to_array("
-    "   regexp_extract(m,"
-    "   '(\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),"
-    "   ',? (?:and|or) |, ')) AS subj,"
-    "  regexp_extract(m,"
-    "   '(\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1)"
-    "   AS obj, 'including' AS pattern FROM m2),"
-    " m3 AS (SELECT doc_id, unnest(regexp_extract_all(txt,"
-    "  '(\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)'))"
-    "  AS m FROM aug),"
-    " e3 AS (SELECT doc_id, unnest(regexp_split_to_array("
-    "   regexp_extract(m,"
-    "   '(\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),"
-    "   ',? (?:and|or) |, ')) AS subj,"
-    "  regexp_extract(m,"
-    "   '(\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1)"
-    "   AS obj, 'especially' AS pattern FROM m3),"
+    " m1 AS (SELECT doc_id, unnest(regexp_extract_all(txt,  '((?:\\w+ ){0,2}\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)')) AS m FROM aug), e1 AS (SELECT doc_id, unnest(regexp_split_to_array(   regexp_extract(m, '((?:\\w+ ){0,2}\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),   ',? (?:and|or) |, ')) AS subj,  regexp_replace(regexp_extract(m, '((?:\\w+ ){0,2}\\w+) such as (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1),   '^(?:(?:the|a|an|of|in|on|at|and|or|we|they|i|you|it|he|she|this|that|these|those|some|many|most|all|other|such|as|are|is|was|were|saw|see|like|with|for|to|from|by|has|have|had) ){0,2}', '') AS obj, 'such_as' AS pattern FROM m1),"
+    " m2 AS (SELECT doc_id, unnest(regexp_extract_all(txt,  '((?:\\w+ ){0,2}\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)')) AS m FROM aug), e2 AS (SELECT doc_id, unnest(regexp_split_to_array(   regexp_extract(m, '((?:\\w+ ){0,2}\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),   ',? (?:and|or) |, ')) AS subj,  regexp_replace(regexp_extract(m, '((?:\\w+ ){0,2}\\w+) including (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1),   '^(?:(?:the|a|an|of|in|on|at|and|or|we|they|i|you|it|he|she|this|that|these|those|some|many|most|all|other|such|as|are|is|was|were|saw|see|like|with|for|to|from|by|has|have|had) ){0,2}', '') AS obj, 'including' AS pattern FROM m2),"
+    " m3 AS (SELECT doc_id, unnest(regexp_extract_all(txt,  '((?:\\w+ ){0,2}\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)')) AS m FROM aug), e3 AS (SELECT doc_id, unnest(regexp_split_to_array(   regexp_extract(m, '((?:\\w+ ){0,2}\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 2),   ',? (?:and|or) |, ')) AS subj,  regexp_replace(regexp_extract(m, '((?:\\w+ ){0,2}\\w+) especially (\\w+(?:, \\w+)*(?:,? (?:and|or) \\w+)?)', 1),   '^(?:(?:the|a|an|of|in|on|at|and|or|we|they|i|you|it|he|she|this|that|these|those|some|many|most|all|other|such|as|are|is|was|were|saw|see|like|with|for|to|from|by|has|have|had) ){0,2}', '') AS obj, 'especially' AS pattern FROM m3),"
     " m4 AS (SELECT doc_id, unnest(regexp_extract_all(txt,"
     "  '(\\w+(?:, \\w+)*) and other (\\w+)')) AS m FROM aug),"
     " e4 AS (SELECT doc_id, unnest(regexp_split_to_array("

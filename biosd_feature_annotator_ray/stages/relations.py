@@ -23,18 +23,36 @@ import pyarrow as pa
 
 # (pattern_name, regex, hyper_group, list_group). Groups 1/2 index
 # into the findall tuple. ``and other`` has the LIST on the left.
-# \w+ terms: single-token NPs — the multiword-NP chunker a production
-# system would add is orthogonal to the distributed plumbing.
+#
+# NP grammar (r04 verdict item 7): hypernyms LEFT of the anchor
+# phrase are bounded multiword chunks ``(?:\w+ ){0,2}\w+`` — cleanly
+# delimited by the anchor, then stripped of leading function words
+# with ``HEARST_STOP_RE`` (a bounded non-lookahead strip, so the
+# whole grammar stays RE2-compatible and the DuckDB oracle replays
+# it byte-for-byte). List members and the TRAILING ``and other``
+# hypernym stay single-token: RE2 has no lookahead, so a trailing
+# bounded chunk would greedily swallow arbitrary right context —
+# the honest trade, documented here.
+_NP = r"(?:\w+ ){0,2}\w+"
 HEARST_PATTERNS = [
     ("such_as",
-     r"(\w+) such as (\w+(?:, \w+)*(?:,? (?:and|or) \w+)?)", 0, 1),
+     rf"({_NP}) such as (\w+(?:, \w+)*(?:,? (?:and|or) \w+)?)", 0, 1),
     ("including",
-     r"(\w+) including (\w+(?:, \w+)*(?:,? (?:and|or) \w+)?)", 0, 1),
+     rf"({_NP}) including (\w+(?:, \w+)*(?:,? (?:and|or) \w+)?)", 0, 1),
     ("especially",
-     r"(\w+) especially (\w+(?:, \w+)*(?:,? (?:and|or) \w+)?)", 0, 1),
+     rf"({_NP}) especially (\w+(?:, \w+)*(?:,? (?:and|or) \w+)?)", 0, 1),
     ("and_other",
      r"(\w+(?:, \w+)*) and other (\w+)", 1, 0),
 ]
+
+# leading function words stripped from a captured hypernym chunk —
+# bounded {0,2} so it can never empty a 3-token chunk; mirrored
+# verbatim by the oracle's regexp_replace
+HEARST_STOP_RE = (
+    r"^(?:(?:the|a|an|of|in|on|at|and|or|we|they|i|you|it|he|she|"
+    r"this|that|these|those|some|many|most|all|other|such|as|are|"
+    r"is|was|were|saw|see|like|with|for|to|from|by|has|have|had)"
+    r" ){0,2}")
 
 # splits "dogs, cats and foxes" → [dogs, cats, foxes]; mirrored
 # verbatim by the oracle's regexp_split_to_array
@@ -59,6 +77,7 @@ def extract_hearst(batch: pa.Table, text_col: str = "text",
     obj_out: list = []
     pat_out: list = []
     split_re = re.compile(LIST_SPLIT_RE)
+    stop_re = re.compile(HEARST_STOP_RE)
     id_arr = batch.column(id_col)
     for name, pat, hyper_g, list_g in HEARST_PATTERNS:
         found = text.str.findall(pat)
@@ -71,7 +90,7 @@ def extract_hearst(batch: pa.Table, text_col: str = "text",
         match_rows: list = []
         for matches in found:
             for m in matches:
-                hyper = m[hyper_g]
+                hyper = stop_re.sub("", m[hyper_g], count=1)
                 members = split_re.split(m[list_g])
                 match_rows.append((hyper, members))
         fan = np.fromiter((len(ms) for _h, ms in match_rows),
