@@ -209,8 +209,6 @@ def pruned_point_lookup(
     count as unprunable. The read fans out one Ray task per
     candidate file — at archive scale only bloom-positive footers
     are even opened."""
-    import pyarrow.dataset as pads  # noqa: F401 — typed filter below
-
     import ray.data as rd
 
     meta = pq.read_table(

@@ -637,6 +637,36 @@ def _subtract_new(new_ds, old_ds, keys: list[str], nb: int,
                      if min_col else [])))
 
 
+def _closure_cycle_check(t: pa.Table, node_col: str, anc_col: str,
+                         where: str) -> pa.Table:
+    """Shared cycle guard of the closure family: a derived (n, n)
+    pair can only mean a cycle → typed ValueError. Riding inside the
+    projection map costs no extra frontier pass; the message prefix
+    names the calling operator."""
+    node = t.column(node_col)
+    anc = t.column(anc_col)
+    if int(pc.sum(pc.equal(node, anc)).as_py() or 0):
+        raise ValueError(
+            f"{where}: cycle detected (derived a node as its own "
+            "ancestor)")
+    return pa.table({"node": node, "anc": anc})
+
+
+def _closure_mat(ds, where: str):
+    """materialize() that restores the closure family's documented
+    ValueError: Ray wraps in-task errors (UserCodeException), so the
+    cycle raise from :func:`_closure_cycle_check` is rewrapped with
+    its original type and operator prefix."""
+    try:
+        return ds.materialize()
+    except Exception as ex:  # noqa: BLE001
+        if "cycle detected" in str(ex):
+            raise ValueError(
+                f"{where}: cycle detected (derived a node as its "
+                "own ancestor)") from ex
+        raise
+
+
 def transitive_closure(
     edges,
     child_col: str = "child",
@@ -699,32 +729,13 @@ def transitive_closure(
         return rd.from_arrow(empty)
 
     def _project(node_col: str, anc_col: str):
-        # the cycle check rides INSIDE the projection map (a derived
-        # (n, n) pair can only mean a cycle) — no extra frontier pass;
-        # the in-task ValueError surfaces with its type preserved
         def f(t: pa.Table) -> pa.Table:
-            node = t.column(node_col)
-            anc = t.column(anc_col)
-            if int(pa.compute.sum(pa.compute.equal(node, anc)).as_py()
-                   or 0):
-                raise ValueError(
-                    "transitive_closure: cycle detected (derived a node "
-                    "as its own ancestor)")
-            return pa.table({"node": node, "anc": anc})
-
+            return _closure_cycle_check(t, node_col, anc_col,
+                                        "transitive_closure")
         return f
 
     def _mat(ds):
-        # Ray wraps in-task errors (UserCodeException) — restore the
-        # documented ValueError for the cycle contract
-        try:
-            return ds.materialize()
-        except Exception as ex:  # noqa: BLE001
-            if "cycle detected" in str(ex):
-                raise ValueError(
-                    "transitive_closure: cycle detected (derived a node "
-                    "as its own ancestor)") from ex
-            raise
+        return _closure_mat(ds, "transitive_closure")
 
     ck = (_RoundCheckpoint(checkpoint_dir, "delta", empty)
           if checkpoint_dir else None)
@@ -819,22 +830,11 @@ def transitive_closure_doubling(
         batch_format="pyarrow")
 
     def _cycle_check(t: pa.Table) -> pa.Table:
-        if int(pc.sum(pc.equal(t.column("node"),
-                               t.column("anc"))).as_py() or 0):
-            raise ValueError(
-                "transitive_closure: cycle detected (derived a node "
-                "as its own ancestor)")
-        return t
+        return _closure_cycle_check(t, "node", "anc",
+                                    "transitive_closure")
 
     def _mat(ds):
-        try:
-            return ds.materialize()
-        except Exception as ex:  # noqa: BLE001
-            if "cycle detected" in str(ex):
-                raise ValueError(
-                    "transitive_closure: cycle detected (derived a "
-                    "node as its own ancestor)") from ex
-            raise
+        return _closure_mat(ds, "transitive_closure")
 
     from .canonicalize import dedup_exact
     cur = _mat(dedup_exact(
@@ -3242,11 +3242,8 @@ def transitive_closure_incremental(
         batch_format="pyarrow").materialize()
 
     def _check(t: pa.Table, a: str, b: str) -> pa.Table:
-        if int(pc.sum(pc.equal(t.column(a), t.column(b))).as_py() or 0):
-            raise ValueError(
-                "transitive_closure_incremental: cycle detected "
-                "(derived a node as its own ancestor)")
-        return pa.table({"node": t.column(a), "anc": t.column(b)})
+        return _closure_cycle_check(
+            t, a, b, "transitive_closure_incremental")
 
     # seed: ΔE itself plus old-closure paths extended by one new edge
     ext = shuffle_hash_join(
@@ -3256,16 +3253,7 @@ def transitive_closure_incremental(
         on=["anc"], how="inner", nb=nb).map_batches(
         lambda t: _check(t, "node", "new_anc"), batch_format="pyarrow")
     def _mat(ds):
-        # Ray wraps in-task errors — restore the documented ValueError
-        # for the cycle contract (same as transitive_closure)
-        try:
-            return ds.materialize()
-        except Exception as ex:  # noqa: BLE001
-            if "cycle detected" in str(ex):
-                raise ValueError(
-                    "transitive_closure_incremental: cycle detected "
-                    "(derived a node as its own ancestor)") from ex
-            raise
+        return _closure_mat(ds, "transitive_closure_incremental")
 
     seed = ne.map_batches(lambda t: _check(t, "node", "anc"),
                           batch_format="pyarrow").union(ext)
@@ -3642,8 +3630,14 @@ def _scc_local(E: "pa.Table") -> "pa.Table":
     dst = E.column("dst").to_pylist()
     adj: "dict[object, list]" = {}
     nodes_set = set()
+    # SQL join semantics, matching the distributed phases: an edge
+    # with a NULL endpoint never matches any join, so it contributes
+    # its endpoints as nodes but is never traversable — a null node
+    # settles as its own singleton (scc = null), exactly like the
+    # trim/settle path with null keys
     for u, v in zip(src, dst):
-        adj.setdefault(u, []).append(v)
+        if u is not None and v is not None:
+            adj.setdefault(u, []).append(v)
         nodes_set.add(u)
         nodes_set.add(v)
     index: "dict[object, int]" = {}
@@ -3652,7 +3646,11 @@ def _scc_local(E: "pa.Table") -> "pa.Table":
     stack: "list" = []
     label: "dict[object, object]" = {}
     counter = [0]
-    for root in sorted(nodes_set):
+    # None-safe total order (null sorts first, like the bucket sort)
+    def _k(x):
+        return (x is None, x)
+
+    for root in sorted(nodes_set, key=_k):
         if root in index:
             continue
         # explicit work stack: (node, iterator position)
@@ -3686,13 +3684,13 @@ def _scc_local(E: "pa.Table") -> "pa.Table":
                     comp.append(w)
                     if w == v:
                         break
-                m = min(comp)
+                m = min(comp, key=_k)
                 for w in comp:
                     label[w] = m
             if work:
                 u, _ = work[-1]
                 low[u] = min(low[u], low[v])
-    ns = sorted(nodes_set)
+    ns = sorted(nodes_set, key=_k)
     node_arr = pa.array(ns, E.schema.field("src").type)
     return pa.table({"node": node_arr,
                      "scc": pa.array([label[n] for n in ns],
@@ -5710,14 +5708,17 @@ def betweenness(
                 t.column("dst").combine_chunks()])}),
             batch_format="pyarrow"), ["node"], nb=nb))
         n_nodes = srcs.count()
-        if sample_every is not None and sample_every > 1:
+        if sample_every is not None and sample_every == 1:
+            # explicit every-node "sample": the caller opted into the
+            # exact sweep — no guard, factor 1
+            pass
+        elif sample_every is not None and sample_every > 1:
             k = int(sample_every)
 
             def pick(t: pa.Table, _k=k) -> pa.Table:
-                import hashlib
-                keep = [int(hashlib.md5(str(v).encode())
-                            .hexdigest()[:8], 16) % _k == 0
-                        for v in t.column("node").to_pylist()]
+                from ..functions.hashing import md5_u32
+                keep = md5_u32(
+                    t.column("node").to_pylist()) % _k == 0
                 return t.filter(pa.array(keep, pa.bool_()))
 
             srcs = mat_cut(srcs.map_batches(

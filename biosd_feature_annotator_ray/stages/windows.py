@@ -2284,11 +2284,19 @@ def running_nunique_per_key(
     oc = order_cols or ["ts", "event_id"]
     sch = _arrow_schema(events)
 
+    def _countable(t: pa.Table) -> pa.Table:
+        # SQL DISTINCT-aggregate semantics, matching the old seen-set
+        # finisher exactly: NULL never counts, and a float NaN value
+        # doesn't either (the pandas notna() the seen-set used
+        # conflates the two)
+        ok = pc.is_valid(t.column(value_col))
+        if pa.types.is_floating(t.schema.field(value_col).type):
+            ok = pc.and_(ok, pc.invert(pc.fill_null(
+                pc.is_nan(t.column(value_col)), True)))
+        return t.filter(ok).select([key_col, value_col] + oc)
+
     firsts = groupby_argmax(
-        events.map_batches(
-            lambda t: (lambda f: f.select([key_col, value_col] + oc))(
-                t.filter(pc.is_valid(t.column(value_col)))),
-            batch_format="pyarrow"),
+        events.map_batches(_countable, batch_format="pyarrow"),
         [key_col, value_col], oc, [True] * len(oc), nb=nb)
 
     def inc_prep(t: pa.Table) -> pa.Table:

@@ -212,3 +212,60 @@ def test_closure_doubling_string_nodes():
     pairs = set(map(tuple, got[["node", "anc"]].itertuples(index=False)))
     assert pairs == {("a", "b"), ("a", "c"), ("a", "d"),
                      ("b", "c"), ("b", "d"), ("c", "d")}
+
+
+# --- round-5 code-review fixes ---------------------------------------------
+
+def test_scc_null_endpoint_both_paths():
+    # an edge with a NULL endpoint never joins (SQL semantics): the
+    # null settles as its own singleton and the non-null side keeps
+    # only its other edges — on the LOCAL Tarjan path too (used to
+    # TypeError on sorted(None, int))
+    from biosd_feature_annotator_ray.stages.graph import scc
+
+    import ray.data as _rd
+    t = pa.table({
+        "src": pa.array([0, 1, 2, None, 3], pa.int64()),
+        "dst": pa.array([1, 0, None, 3, 3], pa.int64())})
+    for cutoff in (200_000, 0):
+        got = {r["node"]: r["scc"]
+               for r in scc(_rd.from_arrow(t), nb=2,
+                            local_cutoff_edges=cutoff).take_all()}
+        assert got[0] == got[1] == 0
+        assert got[2] == 2 and got[3] == 3
+        assert None in got and got[None] is None
+
+
+def test_running_nunique_nan_values_do_not_count():
+    from biosd_feature_annotator_ray.stages.windows import (
+        running_nunique_per_key)
+
+    import pandas as pd
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1],
+        "ord": [0, 1, 2, 3],
+        "rid": [0, 1, 2, 3],
+        "v": [1.0, float("nan"), 2.0, float("nan")]})
+    out = (running_nunique_per_key(
+        rd.from_pandas(df), key_col="k", value_col="v",
+        order_cols=["ord", "rid"], nb=1).to_pandas()
+        .sort_values("rid"))
+    # NaN behaves like NULL (the seen-set formulation's notna())
+    assert out["n_distinct"].tolist() == [1, 1, 2, 2]
+
+
+def test_betweenness_sample_every_one_is_exact_opt_in():
+    from biosd_feature_annotator_ray.stages.graph import betweenness
+
+    import pandas as pd
+    import ray.data as _rd
+    el = [(i, i + 1) for i in range(12)]
+    ds = _rd.from_pandas(pd.DataFrame(el, columns=["src", "dst"]))
+    # 13 nodes > max_exact_nodes=5, but sample_every=1 is an explicit
+    # every-node opt-in: runs exact, no guard, factor 1
+    got = betweenness(ds, sample_every=1, max_exact_nodes=5,
+                      nb=4).to_pandas()
+    exact = betweenness(ds, nb=4).to_pandas()
+    g = dict(zip(got["node"], got["bc"]))
+    e = dict(zip(exact["node"], exact["bc"]))
+    assert g == e
