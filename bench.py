@@ -285,6 +285,9 @@ def run_queries() -> dict:
         "compression_quality", "event_gaps", "bootstrap_by_type",
         "distance_distribution", "property_path_alt",
         "bgp_not_exists", "bgp_aggregate",
+        # round-5 additions
+        "indexed_lookup_orders", "char_entropy",
+        "semdedup_embeddings",
     ]
     out = {}
     for name in names:

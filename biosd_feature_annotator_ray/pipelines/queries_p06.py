@@ -943,3 +943,60 @@ ORACLES["indexed_lookup_orders"] = (
     "SELECT o_orderkey, o_custkey, o_totalprice FROM orders"
     " WHERE o_custkey IN (1, 2, 3, 5, 8) ORDER BY o_orderkey"
 )
+
+
+def q_char_entropy(sf_dir: str):
+    """Per-document character Shannon entropy (textstats.char_entropy)
+    — repetition/boilerplate vs encoded-blob quality signal. Fully
+    oracled: the SQL twin re-derives per-(doc, char) counts with
+    regexp_extract_all + unnest and sums -p*log2(p) in DuckDB (float
+    compare under the sweep's 1e-9 rtol gate)."""
+    from ..stages.textstats import char_entropy
+
+    out = char_entropy(_docs(sf_dir, ["doc_id", "text"]))
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["char_entropy"] = q_char_entropy
+
+ORACLES["char_entropy"] = (
+    "WITH ch AS (SELECT doc_id, unnest(regexp_extract_all("
+    "   coalesce(text, ''), '[\\s\\S]')) AS c FROM documents),"
+    " cc AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY 1, 2),"
+    " tot AS (SELECT doc_id, sum(n) AS m FROM cc GROUP BY 1),"
+    " ent AS (SELECT cc.doc_id,"
+    "   -sum((n / m) * log2(n / m)) AS entropy"
+    "  FROM cc JOIN tot ON tot.doc_id = cc.doc_id GROUP BY 1)"
+    " SELECT d.doc_id,"
+    "  CAST(coalesce(t.m, 0) AS BIGINT) AS n_chars,"
+    "  coalesce(e.entropy, 0.0) AS entropy"
+    " FROM documents d"
+    " LEFT JOIN tot t ON t.doc_id = d.doc_id"
+    " LEFT JOIN ent e ON e.doc_id = d.doc_id"
+    " ORDER BY d.doc_id"
+)
+
+
+def q_semdedup_embeddings(sf_dir: str):
+    """SemDeDup (dedup.semdedup, Abbas et al. 2023): k-means cluster
+    the embedding corpus, then within-cluster cosine ≥ τ duplicate
+    groups keep their min-id representative. Deterministic (k-means
+    seeding and tie-breaks are order-free) → covered by the rows-only
+    double-run determinism net; brute-force parity is pinned in
+    tests/test_semdedup.py. No SQL twin: iterative k-means is not
+    SQL-expressible at this depth."""
+    from ..stages.dedup import semdedup
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                          columns=["vec_id", "embedding"])
+    out = semdedup(emb, k=8, threshold=0.92, nb=8)
+    df = (out.to_pandas().sort_values("vec_id")
+          .reset_index(drop=True))
+    for c in ("vec_id", "cluster", "rep"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["semdedup_embeddings"] = q_semdedup_embeddings

@@ -1583,3 +1583,89 @@ def containment_join(
             "overlap": pa.array(ov[keep])})
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+class SemdedupClusterOverflow(RuntimeError):
+    """A k-means cluster exceeded the per-cluster pair bound —
+    SemDeDup's within-cluster comparison is inherently quadratic, so
+    a runaway cluster must fail loudly (raise k, or pre-split the
+    hot cluster) instead of OOMing a reduce task."""
+
+
+def semdedup(
+    vecs: "ray.data.Dataset",
+    k: int,
+    threshold: float = 0.96,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nb: int = 32,
+    max_iters: int = 20,
+    max_cluster_rows: int = 100_000,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication
+    by k-means clustering the embeddings, then comparing ONLY within
+    each cluster — pairs with cosine ≥ ``threshold`` form duplicate
+    groups, and each group keeps its MIN-id representative.
+
+    Exactly the paper's recipe re-expressed Ray-Data-first: the
+    deterministic distributed Lloyd :func:`similarity.kmeans`
+    assigns clusters (whole-corpus streaming passes, broadcast
+    centroids), one bucketed hash join carries the vectors to their
+    assignment, and a per-CLUSTER ``map_groups`` runs the vectorized
+    cosine-Gram + union-find locally — quadratic only within a
+    cluster, which is the knob the paper scales with k;
+    ``max_cluster_rows`` guards a runaway cluster with a typed
+    raise. Output: ``(id, cluster, rep, keep)`` — one row per input
+    vector, ``keep`` false for every non-representative duplicate.
+
+    Returns are deterministic (k-means seeding and all tie-breaks
+    are order-free); parity against a brute-force reference is
+    pinned in tests."""
+    from .join import shuffle_hash_join
+    from .similarity import kmeans
+
+    if not 0 < threshold <= 1:
+        raise ValueError("semdedup: threshold in (0, 1]")
+    _, assign = kmeans(vecs, k, vec_col=vec_col, id_col=id_col,
+                       max_iters=max_iters)
+    j = shuffle_hash_join(
+        vecs, assign, on=[id_col], how="inner", nb=nb)
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n > max_cluster_rows:
+            raise SemdedupClusterOverflow(
+                f"semdedup: cluster of {n} rows exceeds "
+                f"max_cluster_rows={max_cluster_rows} — raise k")
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        emb = g.column(vec_col)
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        flat = np.asarray(emb.values, dtype=np.float64).reshape(n, -1)
+        flat = flat[order]
+        norms = np.linalg.norm(flat, axis=1)
+        norms[norms == 0] = 1.0
+        v = flat / norms[:, None]
+        sim = v @ v.T
+        adj = sim >= (threshold - 1e-12)
+        # vectorized min-label propagation over the dup graph (adj is
+        # reflexive, so labels only shrink): converges in O(log
+        # diameter) O(n^2) passes — no per-row Python
+        labels = np.arange(n, dtype=np.int64)
+        while True:
+            nxt = np.where(adj, labels[None, :], n).min(axis=1)
+            if (nxt == labels).all():
+                break
+            labels = nxt
+        rep = ids[labels]
+        cl = g.column("cluster").to_numpy(zero_copy_only=False)[order]
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster": pa.array(cl.astype(np.int64)),
+            "rep": pa.array(rep),
+            "keep": pa.array(ids == rep)})
+
+    return j.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow")

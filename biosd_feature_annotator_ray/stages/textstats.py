@@ -2837,3 +2837,44 @@ def compression_ratio(
             "ratio": pa.array(ratio, pa.float64())})
 
     return docs.map_batches(score, batch_format="pyarrow")
+
+
+def char_entropy(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Per-document Shannon entropy over CHARACTERS (bits/char) — the
+    classic randomness/quality signal next to compression ratio: low
+    entropy flags repetitive boilerplate, very high entropy flags
+    encoded blobs. One stateless ``map_batches``; inside each batch
+    the texts are concatenated ONCE into a UTF-32 codepoint array and
+    per-(doc, codepoint) counts come from a single ``np.unique`` over
+    a combined 64-bit key — no per-row Python, no per-row Counter.
+    Null/empty text → entropy 0.0 with n_chars 0 (log of nothing is
+    an empty sum, matching the SQL twin's COALESCE)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def f(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch.column(text_col), "")
+        s = "".join(txt.to_pylist())
+        lens = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        lens = lens.astype(np.int64)
+        n = len(batch)
+        codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        key = doc_idx << np.int64(21) | codes.astype(np.int64)
+        _, first, cnt = np.unique(key, return_index=True,
+                                  return_counts=True)
+        d = doc_idx[first] if len(first) else np.array([], np.int64)
+        p = cnt / np.maximum(lens[d], 1)
+        contrib = -p * np.log2(p)
+        ent = np.zeros(n, np.float64)
+        np.add.at(ent, d, contrib)
+        return pa.table({
+            id_col: batch.column(id_col),
+            "n_chars": pa.array(lens),
+            "entropy": pa.array(ent)})
+
+    return docs.map_batches(f, batch_format="pyarrow")
