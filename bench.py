@@ -287,7 +287,7 @@ def run_queries() -> dict:
         "bgp_not_exists", "bgp_aggregate",
         # round-5 additions
         "indexed_lookup_orders", "char_entropy",
-        "semdedup_embeddings",
+        "semdedup_embeddings", "knn_join_sample",
     ]
     out = {}
     for name in names:

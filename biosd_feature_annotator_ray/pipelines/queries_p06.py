@@ -1000,3 +1000,48 @@ def q_semdedup_embeddings(sf_dir: str):
 
 
 QUERIES["semdedup_embeddings"] = q_semdedup_embeddings
+
+
+def q_knn_join_sample(sf_dir: str):
+    """Cross-table cosine kNN join (similarity.knn_join): the 50
+    lowest vec_ids probe the WHOLE embedding corpus for their top-3
+    neighbors (self included at rank 1 — cosine 1). Fully oracled:
+    list_dot_product cosine + row_number twin with the same rounded
+    tie-break."""
+    import pyarrow.dataset as pads
+
+    from ..stages.similarity import knn_join
+
+    right = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                            columns=["vec_id", "embedding"])
+    left = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filter=pads.field("vec_id") < 50)
+    out = knn_join(left, right, k=3)
+    df = (out.to_pandas().sort_values(["vec_id", "rank"])
+          .reset_index(drop=True))
+    for c in ("vec_id", "right_id", "rank"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+QUERIES["knn_join_sample"] = q_knn_join_sample
+
+ORACLES["knn_join_sample"] = (
+    "WITH l AS (SELECT vec_id,"
+    "   CAST(embedding AS DOUBLE[]) AS e FROM embeddings"
+    "  WHERE vec_id < 50),"
+    " rr AS (SELECT vec_id,"
+    "   CAST(embedding AS DOUBLE[]) AS e FROM embeddings),"
+    " p AS (SELECT l.vec_id, rr.vec_id AS right_id,"
+    "   round(list_dot_product(l.e, rr.e)"
+    "    / (sqrt(list_dot_product(l.e, l.e))"
+    "       * sqrt(list_dot_product(rr.e, rr.e))), 9) AS score"
+    "  FROM l CROSS JOIN rr),"
+    " rk AS (SELECT vec_id, right_id, score,"
+    "   row_number() OVER (PARTITION BY vec_id"
+    "    ORDER BY score DESC, right_id) AS rank FROM p)"
+    " SELECT vec_id, right_id, CAST(rank AS BIGINT) AS rank, score"
+    " FROM rk WHERE rank <= 3 ORDER BY vec_id, rank"
+)

@@ -142,3 +142,59 @@ def test_char_entropy_unicode_codepoints():
     out = char_entropy(rd.from_arrow(t)).to_pandas()
     assert out["n_chars"][0] == 4
     assert abs(out["entropy"][0] - 1.0) < 1e-12
+
+
+# --- knn_join ---------------------------------------------------------------
+
+def test_knn_join_brute_force_parity_and_guards():
+    from biosd_feature_annotator_ray.stages.similarity import knn_join
+
+    rng = np.random.default_rng(4)
+    L = rng.standard_normal((12, 6))
+    R = rng.standard_normal((30, 6))
+    lt = pa.table({"vec_id": pa.array(range(12), pa.int64()),
+                   "embedding": pa.array([v.tolist() for v in L],
+                                         pa.list_(pa.float32()))})
+    rt = pa.table({"vec_id": pa.array(range(100, 130), pa.int64()),
+                   "embedding": pa.array([v.tolist() for v in R],
+                                         pa.list_(pa.float32()))})
+    out = (knn_join(rd.from_arrow(lt).repartition(3),
+                    rd.from_arrow(rt).repartition(2), k=4)
+           .to_pandas().sort_values(["vec_id", "rank"]))
+    # brute force over the SAME float32-rounded inputs
+    Lf = np.asarray(lt.column("embedding").combine_chunks().values,
+                    dtype=np.float64).reshape(12, -1)
+    Rf = np.asarray(rt.column("embedding").combine_chunks().values,
+                    dtype=np.float64).reshape(30, -1)
+    Lf /= np.linalg.norm(Lf, axis=1, keepdims=True)
+    Rf /= np.linalg.norm(Rf, axis=1, keepdims=True)
+    sims = np.round(Lf @ Rf.T, 9)
+    for i in range(12):
+        best = sorted(zip(-sims[i], range(100, 130)))[:4]
+        sub = out[out["vec_id"] == i]
+        assert sub["right_id"].tolist() == [b for _, b in best]
+        assert np.allclose(sub["score"].to_numpy(),
+                           [-a for a, _ in best], atol=1e-9)
+    assert out["rank"].max() == 4
+
+    with pytest.raises(ValueError, match="max_right_rows"):
+        knn_join(rd.from_arrow(lt), rd.from_arrow(rt), k=2,
+                 max_right_rows=5)
+    with pytest.raises(ValueError, match="empty"):
+        knn_join(rd.from_arrow(lt),
+                 rd.from_arrow(rt.slice(0, 0)), k=2)
+
+
+def test_knn_join_k_larger_than_right():
+    from biosd_feature_annotator_ray.stages.similarity import knn_join
+
+    lt = pa.table({"vec_id": pa.array([0], pa.int64()),
+                   "embedding": pa.array([[1.0, 0.0]],
+                                         pa.list_(pa.float32()))})
+    rt = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                   "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                         pa.list_(pa.float32()))})
+    out = knn_join(rd.from_arrow(lt), rd.from_arrow(rt),
+                   k=10).to_pandas()
+    assert len(out) == 2 and out["rank"].tolist() == [1, 2]
+    assert out.iloc[0]["right_id"] == 1
