@@ -824,7 +824,6 @@ def groupby_nunique(
     tiny groupby-sum (one row per key per bucket) totals them. SQL
     semantics: null values are not counted; the null KEY group is kept.
     """
-    from ray.data.aggregate import Sum
 
     def local(batch: pa.Table) -> pa.Table:
         df = batch.select([key_col, col]).to_pandas()
@@ -838,10 +837,24 @@ def groupby_nunique(
                .size().reset_index(name="n_part"))
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    return (ds.map_batches(local, batch_format="pyarrow", batch_size=65536)
-            .groupby(_B).map_groups(finish, batch_format="pyarrow")
-            .groupby(key_col)
-            .aggregate(Sum("n_part", alias_name="n_distinct")))
+    parts = (ds.map_batches(local, batch_format="pyarrow",
+                            batch_size=65536)
+             .groupby(_B).map_groups(finish, batch_format="pyarrow"))
+    from .util import cheap_arrow_schema, with_schema
+    sch = cheap_arrow_schema(ds)
+    if sch is not None and key_col in sch.names:
+        kt = sch.field(key_col).type
+        # annotate only drift-stable key types (string survives the
+        # pandas roundtrip; a nullable int key would drift to float)
+        if pa.types.is_string(kt) or pa.types.is_large_string(kt):
+            with_schema(parts, pa.schema([
+                pa.field(key_col, kt),
+                pa.field("n_part", pa.int64())]))
+    # bucket-plan final sum instead of Ray's sort groupby (seconds of
+    # fixed cost per call) — identical per-key totals, and the output
+    # schema annotates through the probe
+    return sum_by_key(parts, key_col, "n_part", nb=nb,
+                      out_col="n_distinct")
 
 
 def mode_per_key(

@@ -1450,7 +1450,12 @@ def string_components(
             return pa.table({"h": pa.array(
                 [int(v.sum() % np.uint64(2**63 - 1))], pa.int64())})
 
-        return int(ds.map_batches(h, batch_format="pyarrow").sum("h"))
+        # exact Python-int sum of the one-row-per-batch partials —
+        # Ray's int64 Sum overflowed C long on the aggregate (two
+        # 63-bit partials already exceed int64), logging an
+        # ArrowConversionError + slow fallback every round
+        return sum(int(r["h"]) for r in ds.map_batches(
+            h, batch_format="pyarrow").take_all())
 
     prev = _state_hash(labels)
     for _ in range(max_iters):
@@ -5126,27 +5131,24 @@ def greedy_coloring(
             {"node": pa.array([], pa.int64()),
              "color": pa.array([], pa.int64())}))
         if colored:
-            wedges = mat_cut(shuffle_hash_join(
-                und, winners.map_batches(
-                    lambda t: pa.table({"src": t.column("node")}),
-                    batch_format="pyarrow"),
-                on=["src"], how="semi", nb=nb))
-            if wedges.count() > 0:
-                coltab = colored[0]
-                for c_ in colored[1:]:
-                    coltab = coltab.union(c_)
-                got = mat_cut(shuffle_hash_join(
-                    wedges, coltab.map_batches(
-                        lambda t: pa.table(
-                            {"dst": t.column("node"),
-                             "color": t.column("color")}),
-                        batch_format="pyarrow"),
-                    on=["dst"], how="inner", nb=nb).map_batches(
-                    lambda t: pa.table({"node": t.column("src"),
-                                        "color": t.column("color")}),
-                    batch_format="pyarrow"))
-                if got.count() > 0:
-                    forb = got
+            # lazy all the way into the assigned materialize: joins
+            # pin (and annotate) their schema even at zero rows, so
+            # the old per-hop count-guard materializations are gone
+            from .util import map_known as _mk
+            wedges = shuffle_hash_join(
+                und, _mk(winners, lambda t: pa.table(
+                    {"src": t.column("node")})),
+                on=["src"], how="semi", nb=nb)
+            coltab = colored[0]
+            for c_ in colored[1:]:
+                coltab = coltab.union(c_)
+            forb = _mk(shuffle_hash_join(
+                wedges, _mk(coltab, lambda t: pa.table(
+                    {"dst": t.column("node"),
+                     "color": t.column("color")})),
+                on=["dst"], how="inner", nb=nb),
+                lambda t: pa.table({"node": t.column("src"),
+                                    "color": t.column("color")}))
         sentinel = winners.map_batches(
             lambda t: pa.table({
                 "node": t.column("node"),

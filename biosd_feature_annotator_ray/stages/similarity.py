@@ -982,8 +982,13 @@ def _hash_sample(vecs: "ray.data.Dataset", vec_col: str,
             h = _content_hash_rows(_stack(batch.column(vec_col)))
         else:
             h = hash_columns(batch, [id_col])
+        # top-bit flip maps uint64 order onto int64 order — Ray's
+        # sort boundary machinery converts key samples through Python
+        # ints and overflows C long on raw uint64 keys (logged
+        # ArrowConversionError + slow fallback on every run)
+        hs = (h.astype(np.uint64) ^ np.uint64(1 << 63)).view(np.int64)
         t = pa.table({vec_col: batch.column(vec_col),
-                      "__h": pa.array(h.astype(np.uint64))})
+                      "__h": pa.array(hs)})
         if len(t) > sample_rows:
             idx = np.argpartition(h, sample_rows - 1)[:sample_rows]
             t = t.take(pa.array(np.sort(idx)))
