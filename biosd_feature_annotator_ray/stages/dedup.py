@@ -1626,8 +1626,13 @@ def semdedup(
 
     if not 0 < threshold <= 1:
         raise ValueError("semdedup: threshold in (0, 1]")
+    # spherical assignment (normalize=True): the dedup criterion is
+    # COSINE, so clustering must be magnitude-blind too — otherwise
+    # cosine-identical vectors of different norms land in different
+    # clusters and are never compared (the paper clusters normalized
+    # embeddings)
     _, assign = kmeans(vecs, k, vec_col=vec_col, id_col=id_col,
-                       max_iters=max_iters)
+                       max_iters=max_iters, normalize=True)
     j = shuffle_hash_join(
         vecs, assign, on=[id_col], how="inner", nb=nb)
 
@@ -1650,6 +1655,11 @@ def semdedup(
         v = flat / norms[:, None]
         sim = v @ v.T
         adj = sim >= (threshold - 1e-12)
+        # a zero-norm or NaN embedding has an all-False row (its
+        # self-similarity is 0/NaN) — force the diagonal so every
+        # vector is at least its own singleton instead of converging
+        # to an out-of-range sentinel label
+        np.fill_diagonal(adj, True)
         # vectorized min-label propagation over the dup graph (adj is
         # reflexive, so labels only shrink): converges in O(log
         # diameter) O(n^2) passes — no per-row Python

@@ -5125,8 +5125,8 @@ def greedy_coloring(
             continue
         # forbidden colors: colored neighbors of each winner. Join
         # the winners' edges first (und is never empty here), then
-        # gather neighbor colors; count-guard each hop because a
-        # zero-row dataset loses its schema for the next join.
+        # gather neighbor colors — joins pin their schema even at
+        # zero rows, so every hop stays lazy.
         forb = rd.from_arrow(pa.table(
             {"node": pa.array([], pa.int64()),
              "color": pa.array([], pa.int64())}))

@@ -1924,9 +1924,17 @@ def knn_join(
     rank, score)`` with rank 1-based."""
     import ray
 
+    import pyarrow.compute as pc
+
+    if k <= 0:
+        raise ValueError("knn_join: k must be >= 1")
     rid = right_id_col or id_col
     rvec = right_vec_col or vec_col
-    n_right = right.count()
+    # collect once, count from the collected tables — a count() on a
+    # lazy right side would execute its whole plan a second time
+    rt = pa.concat_tables(
+        [ray.get(r) for r in right.to_arrow_refs()]).combine_chunks()
+    n_right = rt.num_rows
     if n_right == 0:
         raise ValueError("knn_join: right side is empty")
     if n_right > max_right_rows:
@@ -1934,8 +1942,10 @@ def knn_join(
             f"knn_join: right side has {n_right} rows > "
             f"max_right_rows={max_right_rows} — build an IVF index "
             "(similarity.build_ivf) and probe it instead")
-    rt = pa.concat_tables(
-        [ray.get(r) for r in right.to_arrow_refs()]).combine_chunks()
+    rt = rt.filter(pc.is_valid(rt.column(rvec)))
+    if rt.num_rows == 0:
+        raise ValueError("knn_join: right side has no non-null "
+                         "embeddings")
     rids = rt.column(rid).to_numpy(zero_copy_only=False)
     order = np.argsort(rids, kind="stable")
     rids = rids[order]
@@ -1949,7 +1959,17 @@ def knn_join(
 
     def f(batch: pa.Table) -> pa.Table:
         r_ids, r_mat = ray.get(ref)
+        # null-embedding left rows match nothing (SQL-join spirit);
+        # empty/all-null batches return a typed empty table
+        batch = batch.filter(pc.is_valid(batch.column(vec_col)))
         n = batch.num_rows
+        if n == 0:
+            return pa.table({
+                id_col: batch.column(id_col),
+                "right_id": pa.array([], pa.from_numpy_dtype(
+                    r_ids.dtype)),
+                "rank": pa.array([], pa.int64()),
+                "score": pa.array([], pa.float64())})
         emb = batch.column(vec_col)
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()

@@ -198,3 +198,52 @@ def test_knn_join_k_larger_than_right():
                    k=10).to_pandas()
     assert len(out) == 2 and out["rank"].tolist() == [1, 2]
     assert out.iloc[0]["right_id"] == 1
+
+
+# --- round-5 review regressions --------------------------------------------
+
+def test_semdedup_zero_and_magnitude_vectors():
+    from biosd_feature_annotator_ray.stages.dedup import semdedup
+
+    # a zero vector must settle as its own singleton (used to chase
+    # an out-of-range label), and cosine-identical vectors of
+    # DIFFERENT magnitude must still dedup (spherical clustering)
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((20, 6))
+    vecs = [v for v in base] + [base[0] * 3.0, np.zeros(6)]
+    ids = list(range(20)) + [500, 501]
+    t = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                  "embedding": pa.array([list(map(float, v))
+                                         for v in vecs],
+                                        pa.list_(pa.float32()))})
+    out = semdedup(rd.from_arrow(t), k=4, threshold=0.999,
+                   nb=2).to_pandas()
+    got = dict(zip(out["vec_id"], out["rep"]))
+    assert got[501] == 501          # zero vector: own singleton
+    assert got[500] == 0            # 3x-magnitude duplicate collapses
+    assert not out.set_index("vec_id")["keep"][500]
+
+
+def test_knn_join_null_embeddings_and_k_guard():
+    from biosd_feature_annotator_ray.stages.similarity import knn_join
+
+    lt = pa.table({"vec_id": pa.array([0, 1, 2], pa.int64()),
+                   "embedding": pa.array([[1.0, 0.0], None, [0.0, 1.0]],
+                                         pa.list_(pa.float32()))})
+    rt = pa.table({"vec_id": pa.array([10, 11], pa.int64()),
+                   "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                         pa.list_(pa.float32()))})
+    out = knn_join(rd.from_arrow(lt).repartition(3),
+                   rd.from_arrow(rt), k=1).to_pandas()
+    # the null-embedding left row matches nothing; empty blocks from
+    # repartition(3) don't crash
+    assert sorted(out["vec_id"]) == [0, 2]
+    assert dict(zip(out["vec_id"], out["right_id"])) == {0: 10, 2: 11}
+    with pytest.raises(ValueError, match="k must be"):
+        knn_join(rd.from_arrow(lt), rd.from_arrow(rt), k=0)
+    # all-null right side raises loudly
+    rt_null = pa.table({"vec_id": pa.array([1], pa.int64()),
+                        "embedding": pa.array([None],
+                                              pa.list_(pa.float32()))})
+    with pytest.raises(ValueError, match="non-null"):
+        knn_join(rd.from_arrow(lt), rd.from_arrow(rt_null), k=1)
